@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column-function library: the string/regex/date kernels the reference
+  * uses (tratamento_epe.R:98-189), plus vector and text-shingle kernels
+  * for the LLM-data operators. Everything here composes built-in
+  * `org.apache.spark.sql.functions` so it stays inside whole-stage
+  * codegen — no UDFs.
+  */
+package object functions {
+
+  // ---- wrangling kernels (reference surface) ----
+
+  /** Fill-down / last-observation-carried-forward, the Spark analogue of
+    * zoo::na.locf0 (tratamento_epe.R:100,140). Requires an explicit
+    * ordering column (Spark has no implicit row order) and an optional
+    * partition so the window never degenerates to a single partition.
+    */
+  def fillDown(c: Column, orderBy: Seq[Column], partitionBy: Seq[Column] = Nil): Column = {
+    val w0 = if (partitionBy.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partitionBy: _*)
+    last(c, ignoreNulls = true)
+      .over(w0.orderBy(orderBy: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+
+  /** str_to_title analogue (tratamento_epe.R:154). */
+  def titleCase(c: Column): Column = initcap(lower(c))
+
+  /** Whitespace tokenization after lowercase + punctuation strip. */
+  def tokens(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}\\s]", " "), "\\s+"), t => length(t) > 0)
+
+  /** Sliding word n-grams ("shingles") over the token array; empty when
+    * the document has fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val upper = size(toks) - n
+    when(upper < 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), upper), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Normalized-content fingerprint: lower, strip punct, collapse ws, md5. */
+  def normFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}\\s]", " "), "\\s+", " ")))
+
+  // ---- vector kernels ----
+
+  /** Dot product of two array<double>/array<float> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a.cast("array<double>"), x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  // ---- MinHash (pure functions, codegen'd; no UDF) ----
+
+  /** 64-bit MinHash signature of a string-array column: for each of
+    * `numHashes` seeded affine permutations h_i(x)=(a_i·x+b_i) mod p over
+    * xxhash64 of the elements, take the minimum. Returns array<long> of
+    * length numHashes (null-safe: empty input → array of p).
+    */
+  def minHashSignature(elems: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val prime = 2147483647L // 2^31-1, Mersenne
+    val rnd = new scala.util.Random(seed)
+    val params = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (prime - 1) + 1, math.abs(rnd.nextLong()) % prime))
+    val hashed = transform(elems, e => pmod(xxhash64(e), lit(prime)))
+    array(params.map { case (a, b) =>
+      coalesce(array_min(transform(hashed, h => pmod(h * a + b, lit(prime)))), lit(prime))
+    }: _*)
+  }
+}

@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Relational / analytical core (SURVEY §2.C): scan-pushdown, hash
+  * aggregation, broadcast joins, semi/anti joins, ranking and running
+  * windows, statistical aggregates, exact dedup, time buckets, JSON
+  * extraction, rollup.
+  *
+  * The reference motivates these through tratamento_epe.rmd:33 — the
+  * whole point of its wide→long reshape is to feed aggregations; this
+  * is the aggregation surface, expressed declaratively so Catalyst owns
+  * pushdown/pruning/join planning.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // C2: hash aggregate with exact decimal money sums (TPC-H Q1 shape).
+    Q(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base"),
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("sum_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // C1: filter+project that must reach the parquet scan as
+    // PushedFilters + pruned ReadSchema (verified in PlanSpec).
+    Q(
+      "q_pushdown_scan",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_shipdate AS DATE) AS ship_date,
+        |  l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          to_date($"l_shipdate").as("ship_date"),
+          $"l_extendedprice", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // C3: multi-way join; all dimension sides explicitly broadcast
+    // (region/nation/customer are tiny at every SF vs lineitem).
+    Q(
+      "q_join_pricing",
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin
+    ) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // C4: semi + anti join (EXISTS / NOT EXISTS) in one result.
+    Q(
+      "q_semi_anti",
+      """SELECT 'with_orders' AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY segment""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").select($"o_custkey")
+      def side(joinType: String, tag: String) =
+        c.join(o, $"c_custkey" === $"o_custkey", joinType)
+          .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+          .select(lit(tag).as("segment"), $"n_cust", $"sum_bal")
+      side("left_semi", "with_orders")
+        .unionByName(side("left_anti", "without_orders"))
+        .orderBy($"segment")
+    },
+
+    // C5 / B3: top-N per group via ranking window (the scalable form of
+    // the reference's positional slice, tratamento_epe.R:89).
+    Q(
+      "q_topn_per_group",
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      table(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"c_mktsegment", $"rn", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_mktsegment", $"rn")
+    },
+
+    // C6: running sum + lag over a per-customer ordered window.
+    Q(
+      "q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      table(s, dir, "orders")
+        .select(
+          $"o_custkey", $"o_orderkey",
+          sum(dec($"o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"),
+          lag($"o_totalprice", 1).over(w).as("prev_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // C7: statistical aggregates from exact decimal sums (identical
+    // IEEE expression tree on both sides → bit-stable), plus exact
+    // interpolated median.
+    Q(
+      "q_agg_stats",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) / count(*))
+        |    / (count(*) - 1)), 4) AS std_qty,
+        |  round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS med_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val g = table(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum($"l_quantity").as("sum_q"),
+          sum(dec($"l_quantity") * dec($"l_quantity")).cast("double").as("sum_sq"),
+          percentile($"l_quantity", lit(0.5)).as("med_raw"))
+      g.select(
+          $"l_returnflag",
+          $"n_rows",
+          r4($"sum_q" / $"n_rows").as("avg_qty"),
+          r4(sqrt(($"sum_sq" - ($"sum_q" * $"sum_q") / $"n_rows") / ($"n_rows" - 1)))
+            .as("std_qty"),
+          r4($"med_raw").as("med_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // C8 / D1: exact content dedup — hash-groupBy, min-id winner.
+    Q(
+      "q_dedup_exact",
+      """SELECT md5(text) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Dedup.exact(table(s, dir, "documents"), $"text", $"doc_id")
+        .orderBy($"keep_id")
+    },
+
+    // C11: tumbling time buckets on the ns-precision event stream.
+    // ts_ns is exact epoch-nanos (bigint) on both sides — integer
+    // bucket arithmetic, no timestamp emitted (SURVEY §3).
+    Q(
+      "q_time_buckets",
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket_s""".stripMargin
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          dsum($"value").as("sum_value"))
+        .orderBy($"bucket_s")
+    },
+
+    // C12: JSON field extraction from the events props payload.
+    Q(
+      "q_json_extract",
+      """SELECT CAST(props->>'$.k' AS INT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k""".stripMargin
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(get_json_object($"props", "$.k").cast("int").as("k"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .orderBy($"k")
+    },
+
+    // C13: rollup with explicit grouping level (sentinel '_all_' keeps
+    // the sort order engine-independent).
+    Q(
+      "q_rollup",
+      """SELECT coalesce(n_name, '_all_') AS nation,
+        |  coalesce(c_mktsegment, '_all_') AS segment,
+        |  CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS INT) AS lvl,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .rollup($"n_name", $"c_mktsegment")
+        .agg(
+          (grouping($"n_name") * 2 + grouping($"c_mktsegment")).cast("int").as("lvl"),
+          count(lit(1)).as("n_cust"),
+          dsum($"c_acctbal").as("sum_bal"))
+        .select(
+          coalesce($"n_name", lit("_all_")).as("nation"),
+          coalesce($"c_mktsegment", lit("_all_")).as("segment"),
+          $"lvl", $"n_cust", $"sum_bal")
+        .orderBy($"nation", $"segment")
+    },
+
+    // B16: concatenated selector key (tratamento_epe.R:274).
+    Q(
+      "q_concat_key",
+      """SELECT concat_ws(' - ', o_orderpriority, o_orderstatus, 'MERCADO') AS selector,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY selector""".stripMargin
+    ) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(concat_ws(" - ", $"o_orderpriority", $"o_orderstatus", lit("MERCADO"))
+          .as("selector"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"selector")
+    }
+  )
+
+  // $"..." sugar without a SparkSession-bound implicits import.
+  private implicit class Sym(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}

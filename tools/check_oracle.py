@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+same sfDir tables, sorts columns by name, and compares values exactly
+(floats exact too, so rounding-contract violations surface here before
+the driver sees them).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = sorted(got_rel.columns)
+            got = got_rel.select(", ".join(f'"{c}"' for c in got_cols)).fetchall()
+            exp_rel = con.sql(sql)
+            exp_cols = sorted(exp_rel.columns)
+            exp = exp_rel.select(", ".join(f'"{c}"' for c in exp_cols)).fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        g = [tuple(norm(v) for v in row) for row in got]
+        e = [tuple(norm(v) for v in row) for row in exp]
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            if len(g) != len(e):
+                print(f"FAIL {name}: rowcount {len(g)} != {len(e)}")
+            else:
+                diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
+                i, a, b = diffs[0]
+                print(f"FAIL {name}: {len(diffs)} differing rows; first at {i}:")
+                print(f"  spark : {a}")
+                print(f"  oracle: {b}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
