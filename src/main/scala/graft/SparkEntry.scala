@@ -9,11 +9,11 @@ object SparkEntry {
 
   /** All query groups, in SURVEY §2 order. */
   def registry: Seq[Q] =
-    RelationalQueries.all
+    RelationalQueries.all ++ WranglingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_epe_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

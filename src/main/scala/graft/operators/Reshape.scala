@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.fillDown
+
+/** Reshaping / wrangling verbs (SURVEY §2.B) — the Spark-native
+  * analogues of the reference's tidyverse pipeline
+  * (tratamento_epe.R:80-278): pivot_longer/wider, separate, fill-down,
+  * bind_rows, positional slicing, dynamic renames, regex column
+  * selection and bulk casts.
+  *
+  * All verbs are plan-to-plan (DataFrame in, DataFrame out) and keep
+  * the computation declarative so Catalyst still prunes/pushes through
+  * them; none touch the driver (no collect).
+  */
+object Reshape {
+
+  /** Wide→long unpivot (pivot_longer, tratamento_epe.R:148,185).
+    * `valueCols` melt into (`nameCol`, `valueCol`) pairs; value columns
+    * are cast to a common type by Spark's unpivot resolution.
+    */
+  def pivotLonger(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      nameCol: String = "name",
+      valueCol: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, nameCol, valueCol)
+
+  /** Long→wide pivot with an explicit value list — never collects the
+    * distinct values on the driver (required at 100 TB; also keeps the
+    * output schema deterministic for the oracle).
+    */
+  def pivotWider(
+      df: DataFrame,
+      groupCols: Seq[String],
+      pivotCol: String,
+      values: Seq[Any],
+      agg: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*).pivot(pivotCol, values).agg(agg)
+
+  /** Split one string column into parts (tidyr::separate,
+    * tratamento_epe.R:187). `into` names get successive split fields;
+    * missing parts become null (matching separate's fill='right').
+    */
+  def separate(
+      df: DataFrame,
+      column: String,
+      sep: String,
+      into: Seq[String],
+      drop: Boolean = true): DataFrame = {
+    val parts = split(col(column), sep)
+    // get() (not getItem) so a missing trailing part yields null instead
+    // of an ANSI out-of-bounds error.
+    val withParts = into.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+      d.withColumn(name, get(parts, lit(i)))
+    }
+    if (drop) withParts.drop(column) else withParts
+  }
+
+  /** Fill nulls downward within a partition along an explicit ordering
+    * (zoo::na.locf0, tratamento_epe.R:100,140). Spark has no implicit
+    * row order, so the ordering columns are part of the contract.
+    */
+  def fillDownCols(
+      df: DataFrame,
+      cols: Seq[String],
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column] = Nil): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, fillDown(col(c), orderBy, partitionBy))
+    }
+
+  /** n-way union with schema alignment (dplyr::bind_rows,
+    * tratamento_epe.R:267-273): missing columns become null.
+    */
+  def bindRows(dfs: DataFrame*): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Positional row slice per partition along an explicit ordering —
+    * the scalable form of slice(-1:-3) (tratamento_epe.R:89). Keeps
+    * rows whose 1-based position is in [from, until]; until=-1 means
+    * unbounded. The window is partitioned, never global.
+    */
+  def sliceRows(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      from: Int,
+      until: Int = -1,
+      partitionBy: Seq[Column] = Nil): DataFrame = {
+    val w0 = if (partitionBy.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partitionBy: _*)
+    val rn = col("__rn")
+    val bounded =
+      if (until < 0) rn >= from else rn >= from && rn <= until
+    df.withColumn("__rn", row_number().over(w0.orderBy(orderBy: _*)))
+      .filter(bounded).drop("__rn")
+  }
+
+  /** Dynamic rename over regex-matched columns (rename_with +
+    * matches(), tratamento_epe.R:106-131,162).
+    */
+  def renameWith(df: DataFrame, pattern: String, f: String => String): DataFrame = {
+    val re = pattern.r
+    val mapping = df.columns.collect {
+      case c if re.findFirstIn(c).isDefined => c -> f(c)
+    }.toMap
+    df.withColumnsRenamed(mapping)
+  }
+
+  /** Keep only columns whose name matches (select(matches(...)),
+    * tratamento_epe.R:133,152,220); `keep` always survive.
+    */
+  def selectMatching(df: DataFrame, pattern: String, keep: Seq[String] = Nil): DataFrame = {
+    val re = pattern.r
+    val cols = df.columns.filter(c => keep.contains(c) || re.findFirstIn(c).isDefined)
+    df.select(cols.map(col): _*)
+  }
+
+  /** Drop columns whose name matches (select(-matches(...))). */
+  def dropMatching(df: DataFrame, pattern: String): DataFrame = {
+    val re = pattern.r
+    df.drop(df.columns.filter(c => re.findFirstIn(c).isDefined): _*)
+  }
+
+  /** Bulk cast across regex-matched columns (mutate(across(matches(),
+    * as.numeric)), tratamento_epe.R:144,182).
+    */
+  def castMatching(df: DataFrame, pattern: String, to: String): DataFrame = {
+    val re = pattern.r
+    val cols = df.columns.map { c =>
+      if (re.findFirstIn(c).isDefined) col(c).cast(to).as(c) else col(c)
+    }
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.Reshape
+import graft.pipeline.EpeWideToLong
+
+/** Wrangling surface (SURVEY §2.B) — the reference's tidyverse verbs
+  * re-expressed declaratively: conditional mutation, regex
+  * extract/filter/replace, case normalization, fill-down, unpivot both
+  * directions, column separation, date construction, schema-aligned
+  * union, and the full EPE pipeline flagship.
+  */
+object WranglingQueries {
+
+  private val m12 = "m1,m2,m3,m4,m5,m6,m7,m8,m9,m10,m11,m12"
+
+  /** DuckDB twin of one wide monthly sheet (EpeWideToLong.monthlyWide). */
+  private def wideSql(classeExpr: String): String = {
+    val months = (1 to 12).map(m =>
+      s"sum(CASE WHEN month(o_orderdate) = $m THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS m$m")
+      .mkString(",\n    ")
+    s"""SELECT $classeExpr AS classe, CAST(year(o_orderdate) AS INT) AS ano,
+       |    $months
+       |  FROM orders GROUP BY 1, 2""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // B1+B2: derived columns with conditional rewrites (ifelse,
+    // tratamento_epe.R:104,154,215,248).
+    Q(
+      "q_mutate_when",
+      """SELECT
+        |  CASE WHEN o_totalprice < 50000 THEN 'low'
+        |       WHEN o_totalprice < 150000 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[12]') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY band""".stripMargin
+    ) { (s, dir) =>
+      table(s, dir, "orders")
+        .withColumn("band",
+          when($"o_totalprice" < 50000, "low")
+            .when($"o_totalprice" < 150000, "mid")
+            .otherwise("high"))
+        .withColumn("urgent", when($"o_orderpriority".rlike("^[12]"), 1).otherwise(0))
+        .groupBy($"band")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"urgent").cast("long").as("n_urgent"),
+          dsum($"o_totalprice").as("total"))
+        .orderBy($"band")
+    },
+
+    // B4: regex extraction (str_extract, tratamento_epe.R:98,102,214).
+    Q(
+      "q_regex_extract",
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS id_str,
+        |  CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS id_num,
+        |  CAST(CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) = c_custkey AS INT) AS id_matches
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      val idStr = regexp_extract($"c_name", "([0-9]+)$", 1)
+      table(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          idStr.as("id_str"),
+          idStr.cast("long").as("id_num"),
+          (idStr.cast("long") === $"c_custkey").cast("int").as("id_matches"))
+        .orderBy($"c_custkey")
+    },
+
+    // B5: regex row filters, positive and negative (grepl,
+    // tratamento_epe.R:136,179,213).
+    Q(
+      "q_regex_filter",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+        |FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue|green)')
+        |  AND NOT regexp_matches(p_type, '^PROMO')
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    ) { (s, dir) =>
+      table(s, dir, "part")
+        .filter($"p_name".rlike("^(red|blue|green)") && !$"p_type".rlike("^PROMO"))
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    },
+
+    // B6+B7: regex replace + case normalization (str_to_upper /
+    // str_to_title, tratamento_epe.R:154,167,215-218). DuckDB has no
+    // initcap, so the oracle emulates Spark's per-word semantics.
+    Q(
+      "q_string_funcs",
+      """SELECT DISTINCT p_name,
+        |  upper(p_name) AS up_name,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    w -> upper(w[1]) || lower(w[2:])), ' ') AS title_name,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel
+        |FROM part
+        |ORDER BY p_name""".stripMargin
+    ) { (s, dir) =>
+      table(s, dir, "part")
+        .select(
+          $"p_name",
+          upper($"p_name").as("up_name"),
+          initcap($"p_name").as("title_name"),
+          regexp_replace($"p_name", "[aeiou]", "").as("novowel"))
+        .distinct()
+        .orderBy($"p_name")
+    },
+
+    // B8: fill-down imputation over an ordered per-user window
+    // (zoo::na.locf0, tratamento_epe.R:100,140).
+    Q(
+      "q_fill_down",
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+      ev.select(
+          $"user_id", $"event_id",
+          graft.functions.fillDown(
+            when($"event_type" === "signup", $"value"),
+            orderBy = Seq($"ts_ns", $"event_id"),
+            partitionBy = Seq($"user_id")).as("last_signup_value"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // B11: wide→long unpivot (pivot_longer, tratamento_epe.R:148,185).
+    Q(
+      "q_unpivot", {
+        val months = (1 to 12).map(m =>
+          s"sum(CASE WHEN month(l_shipdate) = $m THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS m$m")
+          .mkString(",\n    ")
+        s"""WITH w AS (
+           |  SELECT l_returnflag,
+           |    $months
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, mon, CAST(qty AS DOUBLE) AS qty
+           |FROM w UNPIVOT (qty FOR mon IN ($m12))
+           |ORDER BY l_returnflag, mon""".stripMargin
+      }
+    ) { (s, dir) =>
+      val base = table(s, dir, "lineitem").select(
+        $"l_returnflag", month($"l_shipdate").as("mes"), $"l_quantity")
+      val wide = Reshape.renameWith(
+        Reshape.pivotWider(base, Seq("l_returnflag"), "mes", 1 to 12,
+          sum(dec($"l_quantity"))),
+        "^[0-9]+$", c => s"m$c")
+      Reshape.pivotLonger(
+          Reshape.castMatching(wide, "^m[0-9]+$", "double"),
+          Seq("l_returnflag"), (1 to 12).map(m => s"m$m"), "mon", "qty")
+        .filter($"qty".isNotNull)
+        .orderBy($"l_returnflag", $"mon")
+    },
+
+    // B12: long→wide pivot with explicit value list (no driver-side
+    // distinct collection).
+    Q(
+      "q_pivot_wider",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val base = table(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus", $"l_quantity")
+      Reshape.pivotWider(base, Seq("l_returnflag"), "l_linestatus",
+          Seq("F", "O"), sum(dec($"l_quantity")))
+        .select(
+          $"l_returnflag",
+          col("F").cast("double").as("qty_f"),
+          col("O").cast("double").as("qty_o"))
+        .orderBy($"l_returnflag")
+    },
+
+    // B13: separate a delimited column into typed parts
+    // (tidyr::separate, tratamento_epe.R:187).
+    Q(
+      "q_separate",
+      """SELECT CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_code,
+        |  split_part(o_orderpriority, '-', 2) AS prio_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY prio_code""".stripMargin
+    ) { (s, dir) =>
+      Reshape.separate(table(s, dir, "orders"), "o_orderpriority", "-",
+          Seq("prio_code_s", "prio_label"))
+        .withColumn("prio_code", $"prio_code_s".cast("int"))
+        .groupBy($"prio_code", $"prio_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prio_code")
+    },
+
+    // B14: date construction from parts (as.Date(paste(ano, mes, 1)),
+    // tratamento_epe.R:150,189).
+    Q(
+      "q_date_construct",
+      """SELECT make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month_start""".stripMargin
+    ) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(make_date(year($"o_orderdate"), month($"o_orderdate"), lit(1))
+          .as("month_start"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"month_start")
+    },
+
+    // A2+B15: multi-source union ingest with schema alignment
+    // (bind_rows, tratamento_epe.R:267-273).
+    Q(
+      "q_union_ingest",
+      """WITH u AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS amount, 'orders' AS src FROM orders
+        |  UNION ALL BY NAME
+        |  SELECT l_orderkey AS id, l_extendedprice AS amount, l_returnflag AS flag, 'lineitem' AS src FROM lineitem)
+        |SELECT src, coalesce(flag, '_none_') AS flag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u
+        |GROUP BY 1, 2
+        |ORDER BY src, flag""".stripMargin
+    ) { (s, dir) =>
+      val o = table(s, dir, "orders").select(
+        $"o_orderkey".as("id"), $"o_totalprice".as("amount"), lit("orders").as("src"))
+      val li = table(s, dir, "lineitem").select(
+        $"l_orderkey".as("id"), $"l_extendedprice".as("amount"),
+        $"l_returnflag".as("flag"), lit("lineitem").as("src"))
+      Reshape.bindRows(o, li)
+        .groupBy($"src", coalesce($"flag", lit("_none_")).as("flag"))
+        .agg(count(lit(1)).as("n"), dsum($"amount").as("total"))
+        .orderBy($"src", $"flag")
+    },
+
+    // B18: the full reference pipeline (flagship — see EpeWideToLong).
+    Q(
+      "q_epe_pipeline",
+      s"""WITH w1 AS (
+         |  ${wideSql("o_orderpriority")}),
+         |l1 AS (
+         |  SELECT classe, ano,
+         |    CAST(regexp_extract(mes_raw, '([0-9]+)$$', 1) AS INT) AS mes,
+         |    CAST(valor AS DOUBLE) AS valor
+         |  FROM w1 UNPIVOT (valor FOR mes_raw IN ($m12))),
+         |d1 AS (
+         |  SELECT classe, ano, mes, valor,
+         |    regexp_extract(classe, '^([0-9])', 1) AS dado,
+         |    CASE WHEN upper(regexp_replace(classe, '^[0-9]-', '')) = 'NOT SPECIFIED'
+         |         THEN 'NAO ESPECIFICADO'
+         |         ELSE upper(regexp_replace(classe, '^[0-9]-', '')) END AS abertura
+         |  FROM l1),
+         |w2 AS (
+         |  ${wideSql("o_orderstatus")}),
+         |l2 AS (
+         |  SELECT classe, ano,
+         |    CAST(regexp_extract(mes_raw, '([0-9]+)$$', 1) AS INT) AS mes,
+         |    CAST(valor AS DOUBLE) AS valor
+         |  FROM w2 UNPIVOT (valor FOR mes_raw IN ($m12))),
+         |d2 AS (
+         |  SELECT classe, ano, mes, valor, upper(classe) AS abertura FROM l2),
+         |u AS (SELECT * FROM d1 UNION ALL BY NAME SELECT * FROM d2)
+         |SELECT concat_ws(' - ', coalesce(dado, 'STATUS'), abertura, 'MERCADO') AS selector,
+         |  ano, mes, make_date(ano, mes, 1) AS data, valor
+         |FROM u
+         |WHERE NOT regexp_matches(abertura, '^TOTAL')
+         |ORDER BY selector, ano, mes""".stripMargin
+    ) { (s, dir) =>
+      EpeWideToLong.run(table(s, dir, "orders"))
+    }
+  )
+
+  private implicit class Sym(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Reshape
+
+class ReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sliceRows drops leading rows per partition (slice(-1:-3) analogue)") {
+    val df = Seq(
+      ("a", 1, "hdr1"), ("a", 2, "hdr2"), ("a", 3, "hdr3"), ("a", 4, "data1"), ("a", 5, "data2"),
+      ("b", 1, "hdr1"), ("b", 2, "hdr2"), ("b", 3, "hdr3"), ("b", 4, "data3")
+    ).toDF("sheet", "pos", "v")
+    val out = Reshape.sliceRows(df, orderBy = Seq(col("pos")), from = 4,
+      partitionBy = Seq(col("sheet")))
+    assert(out.select("v").as[String].collect().sorted ===
+      Array("data1", "data2", "data3"))
+  }
+
+  test("sliceRows with bounded range keeps [from, until]") {
+    val df = (1 to 10).toDF("i")
+    val out = Reshape.sliceRows(df, Seq(col("i")), from = 3, until = 5)
+    assert(out.as[Int].collect().sorted === Array(3, 4, 5))
+  }
+
+  test("selectMatching / dropMatching filter columns by regex") {
+    val df = Seq((1, 2, 3, "x")).toDF("m1", "m2", "other", "id")
+    assert(Reshape.selectMatching(df, "^m[0-9]+$", keep = Seq("id")).columns.toSet
+      === Set("m1", "m2", "id"))
+    assert(Reshape.dropMatching(df, "^m[0-9]+$").columns.toSet === Set("other", "id"))
+  }
+
+  test("castMatching bulk-casts regex-matched columns") {
+    val df = Seq(("1", "2", "x")).toDF("m1", "m2", "id")
+    val out = Reshape.castMatching(df, "^m[0-9]+$", "int")
+    assert(out.schema("m1").dataType.typeName === "integer")
+    assert(out.schema("id").dataType.typeName === "string")
+  }
+
+  test("fillDownCols carries last non-null forward within partition") {
+    val df = Seq(
+      ("a", 1, Some(10)), ("a", 2, None), ("a", 3, None), ("a", 4, Some(40)), ("a", 5, None),
+      ("b", 1, None), ("b", 2, Some(7))
+    ).toDF("k", "pos", "v")
+    val out = Reshape.fillDownCols(df, Seq("v"), Seq(col("pos")), Seq(col("k")))
+      .orderBy("k", "pos").select("v").as[Option[Int]].collect()
+    assert(out === Array(Some(10), Some(10), Some(10), Some(40), Some(40), None, Some(7)))
+  }
+
+  test("separate splits with right-fill nulls") {
+    val df = Seq("2024_5", "2023_11", "plain").toDF("ym")
+    val out = Reshape.separate(df, "ym", "_", Seq("ano", "mes"))
+      .orderBy("ano").collect()
+    assert(out.map(r => (r.getString(0), Option(r.getString(1)))).toSet ===
+      Set(("2023", Some("11")), ("2024", Some("5")), ("plain", None)))
+  }
+
+  test("bindRows aligns schemas with nulls") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 3.0)).toDF("id", "only_b")
+    val u = Reshape.bindRows(a, b)
+    assert(u.columns.toSet === Set("id", "only_a", "only_b"))
+    assert(u.count() === 2)
+    assert(u.filter(col("only_a").isNull).count() === 1)
+  }
+
+  test("epe pipeline output is long, keyed, and complete") {
+    val out = pipeline.EpeWideToLong.run(
+      spark.read.parquet(s"$sf/orders.parquet"))
+    val cols = out.columns.toSeq
+    assert(cols === Seq("selector", "ano", "mes", "data", "valor"))
+    assert(out.count() > 0)
+    // every selector carries the constant suffix from the key concat
+    assert(out.filter(!col("selector").endsWith("- MERCADO")).count() === 0)
+  }
+}
