@@ -26,4 +26,153 @@ object Dedup {
     val winners = exact(df, text, id).select(col("keep_id"))
     df.join(winners, id === col("keep_id"), "left_semi")
   }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: word shingles → `numHashes`-long MinHash signature
+    * (seeded affine permutations over xxhash64, pure built-in
+    * functions, fully codegen'd) → `bands` buckets per doc (xxhash64
+    * of each signature slice) → bucket-local self-join for candidate
+    * pairs → exact signature agreement estimates Jaccard.
+    *
+    * Scale: work is O(docs × bands) + bucket-local joins; never
+    * cartesian. `maxBucket` drops degenerate buckets (e.g. thousands
+    * of identical boilerplate docs) the way web-scale dedup drops
+    * ubiquitous shingles; AQE skew-join splitting covers the rest.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minHashLSH(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucket: Int = 200,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(
+      id.as("id"),
+      minHashSignature(shingles(tokens(text), shingleSize), numHashes, seed).as("sig"))
+    val bucketed = sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as("bucket"))
+    val keptBuckets = bucketed.groupBy("bucket").count()
+      .filter(col("count") <= maxBucket && col("count") >= 2)
+      .select("bucket")
+    val b = bucketed.join(keptBuckets, Seq("bucket"), "left_semi")
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val est = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        round(
+          aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / numHashes,
+          4))
+    est.filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-duplicate pairs within a Hamming radius.
+    *
+    * 64-bit SimHash signature (custom Catalyst Expression) blocked on
+    * four 16-bit chunks: by pigeonhole, any pair within Hamming
+    * distance ≤ 3 shares at least one exact chunk, so the candidate
+    * join is chunk-local, never cartesian. Exact distance via
+    * bit_count(xor).
+    */
+  def simHash(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxDist: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(maxDist <= 3, "4-chunk blocking only guarantees recall for maxDist <= 3")
+    val sigs = df.select(id.as("id"),
+      graft.functions.SimHash64.simhash64(tokens(text), seed).as("sig"))
+    val bucketed = sigs.select(
+      col("id"),
+      explode(array((0 until 4).map { c =>
+        (lit(c.toLong * (1L << 32)) + shiftright(col("sig"), 16 * c)
+          .bitwiseAND(lit(0xFFFFL))).as(s"b$c")
+      }: _*)).as("bucket"))
+    val cand = bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming",
+        expr("bit_count(sig_a ^ sig_b)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** n-gram Jaccard near-duplicate pairs via a df-capped inverted
+    * index.
+    *
+    * Candidate pairs come only from shingles shared by ≤ `dfCap`
+    * documents (ubiquitous shingles are dropped — standard at web
+    * scale, where a boilerplate shingle would otherwise create a
+    * quadratic bucket). Jaccard uses full distinct-shingle set sizes:
+    * |∩| / (|A| + |B| − |∩|).
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 5,
+      dfCap: Int = 20,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(id.as("id"),
+      explode(array_distinct(shingles(tokens(text), n))).as("sh"))
+    val rare = sh.groupBy("sh").count()
+      .filter(col("count") >= 2 && col("count") <= dfCap)
+      .select("sh")
+    val indexed = sh.join(rare, Seq("sh"), "left_semi")
+    val inter = indexed.as("a")
+      .join(indexed.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs, blocked on a coarse key so the
+    * pair join is block-local (label, cluster id, or an LSH bucket —
+    * never all-pairs).
+    */
+  def embeddingCosine(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      block: Column,
+      threshold: Double): DataFrame = {
+    val e = df.select(id.as("id"), vec.as("v"), block.as("blk"))
+    e.as("a")
+      .join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
+  }
 }
