@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprint (custom Catalyst Expression).
@@ -23,10 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * stream; per-row work is O(n).
   */
 case class RollingHashWinnow(child: Expression, k: Int = 8, w: Int = 16)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with CodegenFallback {
   require(k >= 2 && w >= 1, s"invalid winnowing params k=$k w=$w")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // No ExpectsInputTypes (private[sql] signature in Spark 4); the typed
+  // wrapper below guarantees a string child.
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
 
@@ -76,5 +77,5 @@ case class RollingHashWinnow(child: Expression, k: Int = 8, w: Int = 16)
 object RollingHashWinnow {
   /** Column wrapper: winnowing fingerprint of a string column. */
   def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
-    ExpressionUtils.column(RollingHashWinnow(ExpressionUtils.expression(text), k, w))
+    Shims.toColumn(RollingHashWinnow(Shims.toExpression(text.cast("string")), k, w))
 }

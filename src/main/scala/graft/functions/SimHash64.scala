@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** 64-bit SimHash of a token array (custom Catalyst Expression).
   *
@@ -24,9 +24,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * codegen'd and this sits off the bench hot path.
   */
 case class SimHash64(child: Expression, seed: Long = 42L)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    extends UnaryExpression with CodegenFallback {
+  // No ExpectsInputTypes: its AbstractDataType signature is private[sql]
+  // in Spark 4. Construction goes through the typed wrapper below, which
+  // guarantees an array<string> child.
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -61,5 +62,5 @@ case class SimHash64(child: Expression, seed: Long = 42L)
 object SimHash64 {
   /** Column wrapper: simhash64 of an array<string> token column. */
   def simhash64(tokens: Column, seed: Long = 42L): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens), seed))
+    Shims.toColumn(SimHash64(Shims.toExpression(tokens.cast("array<string>")), seed))
 }
