@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — SURVEY §2.C9.
+  *
+  * For every left row, attach the latest right row whose time is
+  * at-or-before the left time, per key. This is the temporal primitive
+  * behind "state of X when Y happened" queries (the reference's
+  * fill-down, tratamento_epe.R:100,140, is the single-table special
+  * case).
+  *
+  * Implementation is the union + ordered-window formulation, chosen for
+  * scale: both sides shuffle ONCE on the key, the per-key window does a
+  * single ordered pass, and no range/cartesian join ever forms. A
+  * sort-merge band join (`l.ts BETWEEN r.ts AND r.ts + tol`) would
+  * re-shuffle per band and explode on dense right sides; the union form
+  * is O((|L|+|R|) log) within each key partition and AQE handles skewed
+  * keys. At 100 TB this is the difference between one exchange of each
+  * input and an unbounded intermediate.
+  */
+object AsOf {
+
+  /** Backward as-of join.
+    *
+    * @param left         probe side; all its columns survive
+    * @param right        reference side
+    * @param keys         equi-join key columns (same names both sides)
+    * @param leftTs       left event-time column (numeric or timestamp)
+    * @param rightTs      right event-time column (same type/units)
+    * @param rightPayload right columns to attach (emitted as-is; must
+    *                     not collide with left column names)
+    * @param rightOrder   deterministic tiebreak among right rows with
+    *                     equal (key, ts) — e.g. an id column
+    * @param tolerance    optional max allowed leftTs - rightTs (same
+    *                     units as the ts columns); matches older than
+    *                     this are nulled out
+    */
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightOrder: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val payload = struct((rightTs +: rightPayload).distinct.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        payload.as("__rp")) ++
+        rightOrder.map(c => col(c).as(s"__ro_$c")): _*)
+    val l = left.select(
+      left.columns.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Right rows (__side=0) sort before left rows at equal ts, so
+    // "at-or-before" is inclusive; rightOrder breaks ties among right
+    // rows (nulls-first keeps left rows inert in that suffix).
+    val ord = col("__ts").asc +: col("__side").asc +: rightOrder.map(c => col(s"__ro_$c").asc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+    val bounded = tolerance match {
+      case Some(tol) => filled.withColumn("__match",
+        when(col("__ts") - col("__match")(rightTs) <= tol, col("__match")))
+      case None => filled
+    }
+    val out = bounded.filter(col("__side") === 1)
+    val rpCols = rightPayload.map(c => col("__match")(c).as(c))
+    out.select(left.columns.map(col) ++ rpCols: _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Sessionize}
+import graft.sources.Tables
+
+/** Temporal operators (SURVEY §2.C9-C10): as-of join and gap
+  * sessionization over the ns-precision `events` table.
+  *
+  * Precision contract: events carry TIMESTAMP(NANOS); Spark reads exact
+  * nanos (ts_ns) while DuckDB truncates to µs — so every comparison and
+  * every emitted value is on `ts_ns div 1000` vs `epoch_us(ts)`, which
+  * agree exactly (no (user, µs) collisions exist at any SF; verified
+  * against all three directories).
+  */
+object TemporalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // C9: backward as-of join — for each purchase, the user's latest
+    // click at-or-before it. Oracle uses DuckDB's native ASOF JOIN, so
+    // the two engines implement the operator independently.
+    Q(
+      "q_asof_join",
+      """SELECT p.event_id AS p_event, p.user_id,
+        |  epoch_us(p.ts) AS p_us,
+        |  c.event_id AS c_event,
+        |  epoch_us(c.ts) AS c_us,
+        |  CAST(round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 0) AS BIGINT) AS lag_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p_event""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"), col("ts_us").as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event"), col("user_id"), col("ts_us").as("c_us"))
+      AsOf.joinBackward(
+          purchases, clicks,
+          keys = Seq("user_id"),
+          leftTs = "p_us", rightTs = "c_us",
+          rightPayload = Seq("c_event", "c_us"),
+          rightOrder = Seq("c_event"))
+        .withColumn("lag_s",
+          round((col("p_us") - col("c_us")) / 1e6, 0).cast("bigint"))
+        .select("p_event", "user_id", "p_us", "c_event", "c_us", "lag_s")
+        .orderBy("p_event")
+    },
+
+    // C10: gap sessionization (12h inactivity closes a session) with
+    // per-session aggregates. The oracle rebuilds the same semantics
+    // from first principles (lag + running-sum windows).
+    Q(
+      "q_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+        |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |y AS (
+        |  SELECT *, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_us) AS start_ts, max(ts_us) AS end_ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM y
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      Sessionize.summarize(
+          ev,
+          keys = Seq("user_id"),
+          ts = col("ts_us"),
+          maxGap = lit(43200000000L), // 12h in µs
+          order = Seq(col("event_id")),
+          aggs = Seq(dsum(col("value")).as("sum_value")))
+        .select("user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_value")
+        .orderBy("user_id", "session_id")
+    }
+  )
+}
