@@ -43,13 +43,21 @@ object Similarity {
         col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Seeded random hyperplanes (row-major, plane i = planes(i)); the
+    * same constants feed both the Spark plan and the generated oracle
+    * SQL so the two engines bucket identically.
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
   /** Random-hyperplane signature: sign bit per plane, packed into a
     * long. Planes are seeded literals compiled into the plan — no
     * driver-side data movement, identical across executors.
     */
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val planes = hyperplanes(dim, nPlanes, seed)
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
       acc.bitwiseOR(
         when(dot(vec, array(p.map(lit): _*)) > 0d, lit(1L << i)).otherwise(lit(0L)))

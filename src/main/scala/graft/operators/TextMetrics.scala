@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{normFingerprint, tokens}
+
+/** Text-analysis operators for training-data curation (SURVEY §2.D8-D11):
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` so the whole
+  * stage stays codegen'd — per-document work is a handful of regex and
+  * array kernels, embarrassingly parallel, no shuffle at all until a
+  * caller aggregates.
+  */
+object TextMetrics {
+
+  /** Marker stopwords per language for the n-gram/marker heuristic.
+    * Deterministic, tiny, and public-knowledge word lists; ties resolve
+    * by list order (earlier wins), unknown → "und".
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "con", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "une", "sur", "avec", "pas"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "den"),
+    "pt" -> Seq("o", "os", "um", "uma", "não", "mais", "como", "mas", "foi", "são"))
+
+  /** Per-language marker hit count over the token array. */
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** Language-ID heuristic: argmax of marker hits, earlier language
+    * wins ties, zero hits → "und". Returns (lang, hits) struct-free via
+    * two columns from `withLangId`.
+    */
+  def langIdCols(text: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val hits = langMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = hits.foldRight(lit("und")) { case ((l, h), alt) =>
+      when(h === best && best > 0, lit(l)).otherwise(alt)
+    }
+    // foldRight means the FIRST matching language in list order wins:
+    // each earlier when() shadows later ones.
+    (lang, best)
+  }
+
+  def withLangId(df: DataFrame, text: Column): DataFrame = {
+    val (lang, hits) = langIdCols(text)
+    df.withColumn("lang_pred", lang).withColumn("lang_hits", hits)
+  }
+
+  /** Quality signals: token count, mean token length, punctuation
+    * ratio, stopword ratio, uppercase ratio — the standard cheap
+    * filters (Gopher/C4-style) — plus a [0,1] composite score.
+    * All ratios are rounded to 4 dp (oracle contract).
+    */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val nPunct = length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+    val nUpper = length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    val stop = langMarkers.flatMap(_._2).distinct
+    val nStop = size(filter(toks, t => t.isin(stop.map(lit): _*)))
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      .otherwise(0.0)
+    val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
+    val upperRatio = when(nChars > 0, nUpper.cast("double") / nChars).otherwise(0.0)
+    val stopRatio = when(nToks > 0, nStop.cast("double") / nToks).otherwise(0.0)
+    // Composite: in-range token length, some stopwords, low punctuation.
+    val score =
+      (when(meanTokLen >= 3 && meanTokLen <= 10, 0.4).otherwise(0.0)
+        + when(stopRatio >= 0.05, 0.3).otherwise(0.0)
+        + when(punctRatio <= 0.1, 0.2).otherwise(0.0)
+        + when(nToks >= 10 && nToks <= 10000, 0.1).otherwise(0.0))
+    df.withColumn("n_tokens", nToks.cast("long"))
+      .withColumn("mean_tok_len", round(meanTokLen, 4))
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("upper_ratio", round(upperRatio, 4))
+      .withColumn("stop_ratio", round(stopRatio, 4))
+      .withColumn("quality", round(score, 4))
+  }
+
+  /** Token counts: whitespace words and a BPE-ish sub-word regex
+    * (letter runs, digit runs, single punctuation marks — the GPT-2
+    * pre-tokenizer shape without the library). Both engines see the
+    * same ASCII-safe pattern.
+    */
+  def withTokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(text)).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Normalized-content fingerprint (D11a): lower, strip punctuation,
+    * collapse whitespace, md5.
+    */
+  def withFingerprint(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("fp", normFingerprint(text))
+}

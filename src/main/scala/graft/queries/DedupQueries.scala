@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.tokens
+import graft.operators.{Dedup, Similarity}
+
+/** Near-duplicate detection and similarity search (SURVEY §2.D2-D7).
+  *
+  * The testdata corpus has no planted near-duplicates at small SFs, so
+  * each dedup query derives a deterministic perturbed rendition of
+  * every document/embedding (truncation, an extra token, a nudged
+  * vector component) and must find exactly those pairs. Where the
+  * kernel is SQL-expressible (n-gram Jaccard, blocked cosine, ANN) the
+  * oracle recomputes it independently in DuckDB; the seeded-hash
+  * variants (MinHash, SimHash) are rows-only here and exactness-tested
+  * in DedupSpec.
+  */
+object DedupQueries {
+
+  /** documents ∪ word-truncated rendition (first 4/5 of the tokens,
+    * id + 1000000) — the planted near-dup corpus.
+    */
+  private def truncatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+    val trunc = d.select(
+      (col("id") + 1000000).as("id"),
+      array_join(
+        slice(tokens(col("text")), lit(1),
+          greatest(floor(size(tokens(col("text"))) * 4 / 5), lit(1)).cast("int")),
+        " ").as("text"))
+    d.unionByName(trunc)
+  }
+
+  /** Same corpus in DuckDB. */
+  private val truncatedDocsSql: String =
+    """tk0 AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id AS id, tk FROM tk0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS BIGINT), 1)] FROM tk0)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // D2: MinHash + LSH near-dup pairs on the planted corpus. The
+    // seeded affine hash family is not portably SQL-expressible →
+    // rows-only; DedupSpec asserts the planted pairs are recovered.
+    Q.rowsOnly("q_dedup_minhash") { (s, dir) =>
+      Dedup.minHashLSH(truncatedDocs(s, dir), col("id"), col("text"),
+          numHashes = 64, bands = 16, shingleSize = 5,
+          threshold = 0.5, maxBucket = 200)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D3: SimHash near-dup pairs (custom Catalyst Expression) — the
+    // perturbation appends one token, keeping Hamming distance small.
+    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val pert = d.select(
+        (col("id") + 1000000).as("id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      Dedup.simHash(d.unionByName(pert), col("id"), col("text"), maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D4: exact n-gram Jaccard over a df-capped inverted index — fully
+    // SQL-expressible, so the oracle recomputes shingling, the inverted
+    // index, and |∩|/|∪| from scratch.
+    Q(
+      "q_dedup_jaccard",
+      s"""WITH $truncatedDocsSql,
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+         |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+         |        FROM docs WHERE len(tk) >= 5)),
+         |rare AS (
+         |  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+         |idx AS (SELECT id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM idx a JOIN idx b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+         |SELECT id_a, id_b,
+         |  round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.id = id_a
+         |JOIN sizes nb ON nb.id = id_b
+         |WHERE round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.ngramJaccard(truncatedDocs(s, dir), col("id"), col("text"),
+          n = 5, dfCap = 20, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D5: blocked embedding-cosine near-dup. Planted rendition nudges
+    // the first component by +0.1 (unit-norm corpus → cosine ≈ 0.995);
+    // label blocking keeps the pair join block-local.
+    Q(
+      "q_dedup_embedding",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |u AS (
+        |  SELECT * FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_concat([v[1] + 0.1], v[2:]), label FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      val pert = e.select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.1)), slice(col("v"), 2, 63)).as("v"),
+        col("label"))
+      Dedup.embeddingCosine(e.unionByName(pert), col("vec_id"), col("v"),
+          col("label"), threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D6: brute-force cosine top-k (the exact ANN baseline): ten query
+    // vectors broadcast across the corpus, rank = round(sim, 6) with id
+    // tiebreak so both engines order identically.
+    Q(
+      "q_ann_topk",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_cosine_similarity(qv, v) AS cs
+        |  FROM q, c WHERE c.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 4) AS cos_sim
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.bruteForceTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          corpusId = col("vec_id"), corpusVec = col("v"),
+          queryId = col("vec_id"), queryVec = col("v"), k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // D7: LSH ANN — the oracle embeds the SAME seeded hyperplane
+    // constants (Similarity.hyperplanes) so DuckDB buckets identically
+    // and the in-bucket top-k must agree value-for-value.
+    Q(
+      "q_ann_lsh", {
+        val planes = Similarity.hyperplanes(dim = 64, nPlanes = 8, seed = 42L)
+        val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+          val arr = p.mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", "\n      + ", ")")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (
+           |  SELECT vec_id, v,
+           |    $bucketExpr AS bucket
+           |  FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+           |s AS (
+           |  SELECT q.query_id, b.vec_id, list_cosine_similarity(qv, b.v) AS cs
+           |  FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.query_id),
+           |r AS (
+           |  SELECT query_id, vec_id, cs,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, vec_id) AS rank
+           |  FROM s)
+           |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 4) AS cos_sim
+           |FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.lshTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          corpusId = col("vec_id"), corpusVec = col("v"),
+          queryId = col("vec_id"), queryVec = col("v"),
+          k = 5, dim = 64, nPlanes = 8, seed = 42L)
+        .orderBy("query_id", "rank")
+    }
+  )
+}

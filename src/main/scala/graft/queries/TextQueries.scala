@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHashWinnow
+import graft.operators.TextMetrics
+
+/** Text-analysis queries (SURVEY §2.D8-D11) over `documents`.
+  *
+  * The oracle twins re-express the SAME deterministic heuristics in
+  * DuckDB SQL (list/regex kernels), so every value — ratios, argmax
+  * language, fingerprints — must match exactly. Tokenization is the
+  * shared contract: lower → strip [^\p{L}\p{Nd}\s] → split \s+ →
+  * drop empties.
+  */
+object TextQueries {
+
+  /** DuckDB expression for the shared tokenizer over column `c`. */
+  private def tkSql(c: String): String =
+    s"""list_filter(regexp_split_to_array(regexp_replace(lower($c), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0)"""
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // D8: marker-word language ID — argmax hit count with list-order
+    // priority, zero hits → 'und'.
+    Q(
+      "q_text_langid", {
+        val hitCols = TextMetrics.langMarkers.map { case (l, ms) =>
+          s"len(list_filter(tk, t -> t IN ${inList(ms)})) AS h_$l"
+        }.mkString(",\n          ")
+        val langs = TextMetrics.langMarkers.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        s"""WITH t AS (
+           |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |          $hitCols
+           |  FROM t),
+           |b AS (SELECT *, $best AS best FROM h)
+           |SELECT doc_id,
+           |  CASE WHEN best = 0 THEN 'und' $cases END AS lang_pred,
+           |  CAST(best AS BIGINT) AS lang_hits
+           |FROM b ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      TextMetrics.withLangId(table(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("lang_pred"), col("lang_hits").cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // D9: quality signals + composite score (C4/Gopher-style cheap
+    // filters). Ratios are int/int double divisions → bit-identical.
+    Q(
+      "q_text_quality", {
+        val stop = inList(TextMetrics.langMarkers.flatMap(_._2).distinct)
+        s"""WITH t AS (
+           |  SELECT doc_id, text, ${tkSql("text")} AS tk FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    len(tk) AS n_tokens,
+           |    CASE WHEN len(tk) > 0
+           |      THEN list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS mean_tok_len,
+           |    CASE WHEN len(text) > 0
+           |      THEN (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(text) > 0
+           |      THEN (len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / len(text)
+           |      ELSE 0.0 END AS upper_ratio,
+           |    CASE WHEN len(tk) > 0
+           |      THEN len(list_filter(tk, t -> t IN $stop)) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS stop_ratio
+           |  FROM t)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  round(mean_tok_len, 4) AS mean_tok_len,
+           |  round(punct_ratio, 4) AS punct_ratio,
+           |  round(upper_ratio, 4) AS upper_ratio,
+           |  round(stop_ratio, 4) AS stop_ratio,
+           |  CAST(round(CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 0.4 ELSE 0.0 END
+           |      + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+           |      + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END
+           |      + CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.1 ELSE 0.0 END, 4) AS DOUBLE) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      TextMetrics.withQuality(table(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+          col("punct_ratio"), col("upper_ratio"), col("stop_ratio"), col("quality"))
+        .orderBy("doc_id")
+    },
+
+    // D10: whitespace vs BPE-ish sub-word token counts.
+    Q(
+      "q_text_tokens",
+      s"""SELECT doc_id,
+         |  CAST(len(${tkSql("text")}) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.withTokenCounts(table(s, dir, "documents"), col("text"))
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    },
+
+    // D11a: normalized-content fingerprint. Each document gets a noisy
+    // rendition (upper-case + trailing punctuation) planted alongside
+    // it; normalization must collapse both to the same md5, so every
+    // fingerprint group has exactly two members.
+    Q(
+      "q_fingerprint",
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || ' , ' FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM docs)
+        |SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val noisy = d.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(upper(col("text")), lit(" , ")).as("text"))
+      TextMetrics.withFingerprint(d.unionByName(noisy), col("text"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // D11b: winnowing fingerprints (custom Catalyst Expression). The
+    // wraparound rolling hash is not expressible in DuckDB's checked
+    // BIGINT arithmetic → rows-only here; exactness is covered by the
+    // planted shared-substring spec in TextMetricsSpec.
+    Q.rowsOnly("q_fingerprint_winnow") { (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          RollingHashWinnow.winnowFingerprint(col("text"), k = 8, w = 16).as("fps"))
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          size(array_distinct(col("fps"))).cast("long").as("n_distinct_fp"))
+        .orderBy("doc_id")
+    }
+  )
+}
