@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.E): watermarked tumbling
+  * windows and stateful gap sessionization over an event stream shaped
+  * like the `events` table.
+  *
+  * Scale design: watermarks bound state (late rows beyond the watermark
+  * are dropped, window state is evicted once the watermark passes);
+  * session state is per-key, O(1) per event, and evicted by event-time
+  * timeout — a 1000-executor job holds only the open sessions of its
+  * own key range.
+  */
+object EventStreams {
+
+  /** One event row. `ts` stays a Timestamp so the watermark-tagged
+    * attribute survives into the stateful operator (required for
+    * event-time timeout); `ts_us` carries the exact epoch-micros the
+    * session arithmetic uses.
+    */
+  case class Event(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Internal per-key state (public: Catalyst's generated encoder code
+    * must be able to call the accessors).
+    */
+  case class SessionState(
+      startUs: Long, endUs: Long, n: Long, sumV: Double)
+
+  /** E1: watermarked tumbling-window counts per event type. Input needs
+    * a TimestampType `ts` column. Batch twin: `q_time_buckets`.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** E2: stateful gap sessionization via flatMapGroupsWithState with
+    * event-time timeout. Emits one row per CLOSED session (append
+    * mode); open sessions close `gapUs` after their last event once the
+    * watermark passes. Batch twin: `q_sessionize`.
+    *
+    * Input needs a TimestampType `ts` column (for the watermark) plus
+    * the Event fields.
+    */
+  def sessionize(
+      events: DataFrame,
+      gapUs: Long = 43200000000L,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    implicit val eventEnc = Encoders.product[Event]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val keyEnc = Encoders.scalaLong
+
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[Event]
+
+    def close(uid: Long, st: SessionState): SessionOut =
+      SessionOut(uid, st.startUs, st.endUs, st.n, st.sumV)
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // Micro-batches deliver rows unordered: sort the batch, then
+            // fold it into (possibly several) gap-separated sessions.
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var closedSessions = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.ts_us - st.endUs <= gapUs =>
+                  cur = Some(SessionState(st.startUs, math.max(st.endUs, e.ts_us),
+                    st.n + 1, st.sumV + e.value))
+                case Some(st) =>
+                  closedSessions ::= close(uid, st)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // Event-time timeout: fire once the watermark passes the
+              // session end + gap — exactly when no on-time row can
+              // extend this session any more.
+              state.setTimeoutTimestamp((st.endUs + gapUs) / 1000L)
+            }
+            closedSessions.reverse.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Planted-duplicate exactness for the seeded-hash dedup/ANN operators
+  * (the ones without a portable DuckDB twin).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = sources.Tables.load(spark, sf, "documents")
+    .select(col("doc_id").as("id"), col("text")).limit(100).cache()
+
+  test("minHashLSH recovers word-truncation near-dups with high recall") {
+    val trunc = docs.select(
+      (col("id") + 1000000).as("id"),
+      array_join(
+        slice(graft.functions.tokens(col("text")), lit(1),
+          greatest(floor(size(graft.functions.tokens(col("text"))) * 4 / 5), lit(1)).cast("int")),
+        " ").as("text"))
+    val pairs = Dedup.minHashLSH(docs.unionByName(trunc), col("id"), col("text"),
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
+      .collect()
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000)
+    // 80%-token overlap → shingle jaccard ≈ 0.7; 16 bands of 4 rows
+    // detect that with prob ≈ 1-(1-0.7^4)^16 ≈ 0.99 per pair.
+    assert(planted >= 90, s"recovered only $planted/100 planted near-dup pairs")
+    // estimates must be real jaccard estimates, not degenerate 1.0
+    assert(pairs.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+  }
+
+  test("simHash finds appended-token near-dups within hamming 3") {
+    val pert = docs.select(
+      (col("id") + 1000000).as("id"),
+      concat(col("text"), lit(" zzz")).as("text"))
+    val pairs = Dedup.simHash(docs.unionByName(pert), col("id"), col("text"), maxDist = 3)
+      .collect()
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000)
+    assert(planted >= 60, s"recovered only $planted/100 planted simhash pairs")
+    assert(pairs.forall(r => r.getInt(2) <= 3))
+  }
+
+  test("simHash signature is identical for identical token multisets") {
+    val sig = docs.select(
+      graft.functions.SimHash64.simhash64(graft.functions.tokens(col("text"))).as("s1"),
+      graft.functions.SimHash64.simhash64(graft.functions.tokens(col("text"))).as("s2"))
+      .collect()
+    assert(sig.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("lshTopK: bucket-local, rank-consistent, finds planted near-identical vectors") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // plant a near-identical copy of each query vector (cosine ≈ 0.995)
+    val planted = base.filter(col("vec_id") < 5).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.1)), slice(col("v"), 2, 63)).as("v"))
+    val e = base.unionByName(planted)
+    val q = base.filter(col("vec_id") < 5)
+    val lsh = Similarity.lshTopK(e, q, col("vec_id"), col("v"),
+        col("vec_id"), col("v"), k = 5, dim = 64, nPlanes = 6)
+      .select("query_id", "rank", "vec_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH returned no candidates")
+    // invariant 1: candidates share the query's hyperplane bucket
+    val buckets = e.select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("v"), 64, 6, 42L).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(lsh.forall { case (qid, _, vid, _) => buckets(qid) == buckets(vid) })
+    // invariant 2: per query, ranks are 1..n and cos_sim non-increasing
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length).toSeq)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // planted copies bucket with their source unless a sign flips on
+    // the perturbed component; most must surface at rank 1
+    val hits = lsh.count { case (qid, rank, vid, _) => rank == 1 && vid == qid + 1000000 }
+    assert(hits >= 3, s"planted near-identical vector found at rank 1 for only $hits/5 queries")
+  }
+}

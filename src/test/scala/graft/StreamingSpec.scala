@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** MemoryStream checks for the Structured Streaming surface (E1/E2). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsOf(us: Long) = new Timestamp(us / 1000)
+
+  // (ts, user_id, event_id, event_type, value)
+  private def mkStream() =
+    MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
+
+  test("E1 windowedCounts: watermarked tumbling windows aggregate per type") {
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("e1_out").outputMode("append").start()
+    try {
+      val h = 3600000000L
+      input.addData(
+        (tsOf(0L), 1L, 1L, "click", 1.0),
+        (tsOf(10L * 1000000), 1L, 2L, "click", 2.0),
+        (tsOf(h + 5), 2L, 3L, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 0 and 1 so both windows close
+      input.addData((tsOf(10L * h), 3L, 4L, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("e1_out")
+        .select("bucket_us", "event_type", "n_events", "sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(out.contains((0L, "click", 2L, 3.0)), s"got $out")
+      assert(out.contains((h, "view", 1L, 5.0)), s"got $out")
+    } finally q.stop()
+  }
+
+  test("E2 sessionize: gap splits sessions, timeout closes them") {
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val gapUs = 3600000000L // 1h gap
+    val q = EventStreams.sessionize(df, gapUs, "10 minutes")
+      .writeStream.format("memory").queryName("e2_out").outputMode("append").start()
+    try {
+      // user 1: two events 10min apart (one session), then one event 2h
+      // later (second session). Times sit far from epoch 0 so the
+      // initial watermark (0) can't classify the first event as late.
+      val base = 1000000000000L // 1e6 s in µs
+      val m10 = 600000000L
+      input.addData(
+        (tsOf(base), 1L, 1L, "click", 1.0),
+        (tsOf(base + m10), 1L, 2L, "click", 2.0),
+        (tsOf(base + 3 * gapUs), 1L, 3L, "view", 4.0))
+      q.processAllAvailable()
+      // push the watermark far forward so every session times out
+      input.addData((tsOf(base + 20 * gapUs), 9L, 99L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData((tsOf(base + 40 * gapUs), 9L, 100L, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("e2_out")
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .filter(_._1 == 1L).toSet
+      assert(out.contains((1L, base, base + m10, 2L, 3.0)), s"got $out")
+      assert(out.contains((1L, base + 3 * gapUs, base + 3 * gapUs, 1L, 4.0)), s"got $out")
+    } finally q.stop()
+  }
+}
