@@ -47,13 +47,13 @@ package object functions {
 
   // ---- vector kernels ----
 
-  /** Dot product of two array<double>/array<float> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<double>/array<float> columns — a
+    * codegen'd Catalyst Expression (see [[DotProduct]]); identical
+    * left-to-right summation to the HOF fold it replaced.
+    */
+  def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a.cast("array<double>"), x => x * x), lit(0.0), (acc, v) => acc + v))
+  def l2Norm(a: Column): Column = sqrt(DotProduct.dotProduct(a, a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
@@ -64,15 +64,33 @@ package object functions {
 
   // ---- MinHash (pure functions, codegen'd; no UDF) ----
 
-  /** 64-bit MinHash signature of a string-array column: for each of
-    * `numHashes` seeded affine permutations h_i(x)=(a_i·x+b_i) mod p over
-    * xxhash64 of the elements, take the minimum. Returns array<long> of
-    * length numHashes (null-safe: empty input → array of p).
+  /** MinHash family parameters: `numHashes` seeded affine permutations
+    * h_i(x) = (a_i·x + b_i) mod p over a 31-bit Mersenne prime. Shared
+    * by signature construction and any oracle that replays it.
+    */
+  val minHashPrime: Long = 2147483647L // 2^31-1, Mersenne
+
+  def minHashParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((
+      math.abs(rnd.nextLong()) % (minHashPrime - 1) + 1,
+      math.abs(rnd.nextLong()) % minHashPrime))
+  }
+
+  /** 64-bit MinHash signature of a string-array column: for each seeded
+    * permutation, the minimum over xxhash64 of the elements. Returns
+    * array<long> of length numHashes (empty input → array of p).
+    *
+    * NOTE: this per-row form evaluates the element-hash tree once per
+    * permutation in interpreted (non-codegen) HOF eval — fine for small
+    * arrays / tests. The scale path is `operators.Dedup.minHashLSH`,
+    * which computes the same signature via explode + codegen'd min
+    * aggregates (one partial-aggregated shuffle, no HOFs on the hot
+    * path).
     */
   def minHashSignature(elems: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val prime = 2147483647L // 2^31-1, Mersenne
-    val rnd = new scala.util.Random(seed)
-    val params = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (prime - 1) + 1, math.abs(rnd.nextLong()) % prime))
+    val prime = minHashPrime
+    val params = minHashParams(numHashes, seed)
     val hashed = transform(elems, e => pmod(xxhash64(e), lit(prime)))
     array(params.map { case (a, b) =>
       coalesce(array_min(transform(hashed, h => pmod(h * a + b, lit(prime)))), lit(prime))

@@ -29,17 +29,23 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline: word shingles → `numHashes`-long MinHash signature
-    * (seeded affine permutations over xxhash64, pure built-in
-    * functions, fully codegen'd) → `bands` buckets per doc (xxhash64
-    * of each signature slice) → bucket-local self-join for candidate
+    * Pipeline: word shingles → explode → xxhash64 → ONE hash aggregate
+    * computing all `numHashes` permutation minima as codegen'd `min`
+    * columns (the signature) → `bands` buckets per doc (xxhash64 of
+    * each signature slice) → bucket-local self-join for candidate
     * pairs → exact signature agreement estimates Jaccard.
     *
-    * Scale: work is O(docs × bands) + bucket-local joins; never
-    * cartesian. `maxBucket` drops degenerate buckets (e.g. thousands
-    * of identical boilerplate docs) the way web-scale dedup drops
+    * Scale: the signature is built by explode + partial-aggregated
+    * groupBy — map-side combine reduces each doc to `numHashes` longs
+    * before the (only) shuffle, and everything on the hot path is
+    * whole-stage codegen (a per-row HOF form would run interpreted and
+    * re-evaluate the shingle tree per permutation — 64× slower). Work
+    * is O(shingles) + O(docs × bands) + bucket-local joins; never
+    * cartesian. `maxBucket` drops degenerate buckets (thousands of
+    * identical boilerplate docs) the way web-scale dedup drops
     * ubiquitous shingles; AQE skew-join splitting covers the rest.
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b. Docs with
+    * fewer than `shingleSize` tokens have no shingles and cannot pair.
     */
   def minHashLSH(
       df: DataFrame,
@@ -53,9 +59,22 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(
-      id.as("id"),
-      minHashSignature(shingles(tokens(text), shingleSize), numHashes, seed).as("sig"))
+    val prime = minHashPrime
+    val params = minHashParams(numHashes, seed)
+    // one interpreted HOF pass per doc (tokenize+shingle), then
+    // everything below is codegen'd
+    val exploded = scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        explode(array_distinct(shingles(tokens(col("__text")), shingleSize))).as("s"))
+      .select(col("id"), pmod(xxhash64(col("s")), lit(prime)).as("h"))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(prime))).as(s"__m$i")
+    }
+    val sigs = exploded
+      .groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
     val bucketed = sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -99,8 +118,9 @@ object Dedup {
       maxDist: Int = 3,
       seed: Long = 42L): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking only guarantees recall for maxDist <= 3")
-    val sigs = df.select(id.as("id"),
-      graft.functions.SimHash64.simhash64(tokens(text), seed).as("sig"))
+    val sigs = scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        graft.functions.SimHash64.simhash64(tokens(col("__text")), seed).as("sig"))
     val bucketed = sigs.select(
       col("id"),
       explode(array((0 until 4).map { c =>
@@ -137,8 +157,14 @@ object Dedup {
       n: Int = 5,
       dfCap: Int = 20,
       threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(id.as("id"),
-      explode(array_distinct(shingles(tokens(text), n))).as("sh"))
+    // One repartition by shingle materializes the tokenize+shingle
+    // work behind a shuffle: the inverted-index groupBy, the semi-join,
+    // and the per-doc size count all read the SAME exchange
+    // (ReusedExchange) instead of re-running the interpreted HOF scan
+    // 3×. At 100 TB that is one pass over the corpus, not three.
+    val sh = scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), explode(array_distinct(shingles(tokens(col("__text")), n))).as("sh"))
+      .repartition(col("sh"))
     val rare = sh.groupBy("sh").count()
       .filter(col("count") >= 2 && col("count") <= dfCap)
       .select("sh")

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks (SURVEY §2.A): loader coverage and partitioned
+  * batch export (A3).
+  */
+class TablesSpec extends SparkSpec {
+
+  test("loadAll exposes every table") {
+    val all = sources.Tables.loadAll(spark, sf)
+    assert(all.keySet == sources.Tables.names.toSet)
+    assert(all("region").count() > 0)
+  }
+
+  test("writeParquet partitions by the requested columns and round-trips") {
+    val out = Files.createTempDirectory("graft_write").toString
+    val orders = sources.Tables.load(spark, sf, "orders")
+      .withColumn("status", col("o_orderstatus"))
+    sources.Tables.writeParquet(orders, out, partitionBy = Seq("status"))
+    // hive-style partition dirs exist → partition pruning works downstream
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("status=")), s"no partition dirs in ${dirs.toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    // pruned read touches only one partition directory
+    val pruned = back.filter(col("status") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(back.filter(col("status") === "F").count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    assert(scan.contains("PartitionFilters") || scan.contains("status"), scan)
+  }
+
+  test("writeCsv round-trips with header") {
+    val out = Files.createTempDirectory("graft_csv").toString
+    val nation = sources.Tables.load(spark, sf, "nation")
+    sources.Tables.writeCsv(nation, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == nation.count())
+    assert(back.columns.toSet == nation.columns.toSet)
+  }
+}
