@@ -27,6 +27,9 @@ object Engine {
     master.orElse(Some(s"local[$cpus]")).foreach(b.master)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL names for the custom Catalyst expressions (simhash64,
+    // winnow_fingerprint, dot_product) — same surface as the Column API.
+    functions.GraftFunctions.registerAll(spark)
     spark
   }
 }

@@ -99,4 +99,17 @@ object TextMetrics {
     */
   def withFingerprint(df: DataFrame, text: Column): DataFrame =
     df.withColumn("fp", normFingerprint(text))
+
+  /** PII/URL scrubbing for training corpora: emails → <EMAIL>, URLs →
+    * <URL>, long digit runs (ids, phone numbers) → <NUM>. Pure
+    * codegen'd regexp_replace chain; order (email, url, num) is part
+    * of the contract.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[\\p{L}\\p{Nd}._%+-]+@[\\p{L}\\p{Nd}.-]+\\.[\\p{L}]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "[0-9]{6,}", "<NUM>")
 }

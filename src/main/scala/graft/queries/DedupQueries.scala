@@ -125,6 +125,19 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D1b: surviving rows after exact dedup (the filter form callers
+    // compose into pipelines; q_dedup_exact is the group form).
+    Q(
+      "q_dedup_keep",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.exactKeep(table(s, dir, "documents"), col("text"), col("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // D6: brute-force cosine top-k (the exact ANN baseline): ten query
     // vectors broadcast across the corpus, rank = round(sim, 6) with id
     // tiebreak so both engines order identically.

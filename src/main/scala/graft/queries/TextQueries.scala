@@ -134,6 +134,35 @@ object TextQueries {
         .orderBy("keep_id")
     },
 
+    // D13: PII/URL redaction — every document gets a planted email,
+    // URL, and long digit run; the scrub must normalize all three.
+    Q(
+      "q_text_redact",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or id 123456' || doc_id
+        |         || ' via https://example.com/x' || doc_id AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[\p{L}\p{Nd}._%+-]+@[\p{L}\p{Nd}.-]+\.[\p{L}]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or id 123456"), col("doc_id").cast("string"),
+          lit(" via https://example.com/x"), col("doc_id").cast("string")).as("text"))
+      planted
+        .select(col("doc_id"), TextMetrics.redact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
     // D11b: winnowing fingerprints (custom Catalyst Expression). The
     // wraparound rolling hash is not expressible in DuckDB's checked
     // BIGINT arithmetic → rows-only here; exactness is covered by the

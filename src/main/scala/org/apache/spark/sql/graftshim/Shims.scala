@@ -16,4 +16,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function into a LIVE session's registry (the
+    * builder-time path is `graft.GraftExtensions` via
+    * `spark.sql.extensions`; this covers sessions already built).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DotProduct, RollingHashWinnow, SimHash64}
+
+/** The SQL names registered by GraftFunctions must agree exactly with
+  * the Column API for every custom expression.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64 SQL name matches the Column API") {
+    val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("x", "y"))).toDF("id", "toks")
+    df.createOrReplaceTempView("t_sim")
+    val viaSql = spark.sql("SELECT id, simhash64(toks) AS s FROM t_sim ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    val viaCol = df.select($"id", SimHash64.simhash64($"toks").as("s")).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("winnow_fingerprint SQL name matches the Column API incl. params") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    df.createOrReplaceTempView("t_win")
+    val viaSql = spark.sql("SELECT winnow_fingerprint(text, 4, 8) AS f FROM t_win")
+      .as[Seq[Long]].head()
+    val viaCol = df.select(RollingHashWinnow.winnowFingerprint($"text", 4, 8).as("f"))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("dot_product SQL name matches the Column API") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    df.createOrReplaceTempView("t_dot")
+    val viaSql = spark.sql("SELECT dot_product(a, b) AS d FROM t_dot").as[Double].head()
+    val viaCol = df.select(DotProduct.dotProduct($"a", $"b").as("d")).as[Double].head()
+    assert(viaSql == 32.0 && viaCol == 32.0)
+  }
+}
