@@ -23,7 +23,11 @@ object DedupQueries {
     * id + 1000000) — the planted near-dup corpus.
     */
   private def truncatedDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = table(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+    // scaleOut BEFORE the (interpreted, tokenizing) truncation
+    // projection: the raw text shuffles once and the expensive per-row
+    // work runs at full parallelism instead of on the file's splits
+    val d = graft.operators.scaleOut(
+      table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
     val trunc = d.select(
       (col("id") + 1000000).as("id"),
       array_join(
@@ -58,7 +62,8 @@ object DedupQueries {
     // D3: SimHash near-dup pairs (custom Catalyst Expression) — the
     // perturbation appends one token, keeping Hamming distance small.
     Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
-      val d = table(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val d = graft.operators.scaleOut(
+        table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
       val pert = d.select(
         (col("id") + 1000000).as("id"),
         concat(col("text"), lit(" zzz")).as("text"))
