@@ -30,9 +30,12 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // `div` (integer division), NOT `/`: epoch-nanos exceed a
+        // double's 53-bit mantissa, so `/ 1000` would round the
+        // microsecond off by ±1 for most rows.
         raw
           .withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(col("ts_ns") / 1000L cast "long"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

@@ -70,4 +70,36 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((1L, base + 3 * gapUs, base + 3 * gapUs, 1L, 4.0)), s"got $out")
     } finally q.stop()
   }
+
+  test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
+    val gapUs = 43200000000L // same 12h gap as the batch query
+    // real sf0.001 events, µs-normalized exactly like the batch twin
+    val ev = sources.Tables.events(spark, sf)
+      .select("ts", "user_id", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val maxUs = ev.map(e => e._1.getTime * 1000L).max
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = EventStreams.sessionize(df, gapUs, "1 minute")
+      .writeStream.format("memory").queryName("e2_twin").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      // sentinel pushes the watermark past every session's timeout
+      input.addData((tsOf(maxUs + 20 * gapUs), -1L, -1L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData((tsOf(maxUs + 40 * gapUs), -1L, -2L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("e2_twin")
+        .filter($"user_id" >= 0)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+        .select("user_id", "start_ts", "end_ts", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: onlyStream=${(streamed -- batch).take(5)} onlyBatch=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
 }
