@@ -99,6 +99,24 @@ object Reshape {
       .filter(bounded).drop("__rn")
   }
 
+  /** Promote the first row (by explicit ordering) to column names —
+    * the reference's Shape-B header promotion (tratamento_epe.R:171-178
+    * lifts a year row into `YYYY_M` column labels). The single header
+    * row is the only driver round-trip, and it is metadata (column
+    * names must live on the driver anyway), not data.
+    */
+  def promoteFirstRowToHeader(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column] = Nil): DataFrame = {
+    val header = df.orderBy(orderBy: _*).limit(1).collect()(0)
+    val renamed = df.columns.zipWithIndex.map { case (c, i) =>
+      val h = Option(header.get(i)).map(_.toString).filter(_.nonEmpty).getOrElse(c)
+      col(c).as(h)
+    }
+    sliceRows(df, orderBy, from = 2, partitionBy = partitionBy).select(renamed: _*)
+  }
+
   /** Dynamic rename over regex-matched columns (rename_with +
     * matches(), tratamento_epe.R:106-131,162).
     */

@@ -30,6 +30,31 @@ object MultimodalQueries {
           col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"))
         .orderBy("doc_id")
+    },
+
+    // D12b: strided frame sampling over the binary payload — the
+    // explode-shaped video-pipeline op, oracle-checked byte-for-byte
+    // (ASCII corpus → frames decode to comparable strings).
+    Q(
+      "q_media_frames",
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    greatest(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 1) AS nf
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(substring(text, CAST(i AS INT) * 64 + 1, 64))) AS INT) AS frame_bytes,
+        |  substring(text, CAST(i AS INT) * 64 + 1, 64) AS frame_str
+        |FROM (SELECT doc_id, text, unnest(range(0, nf, 4)) AS i FROM m)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, dir) =>
+      val packed = Multimodal.pack(table(s, dir, "documents"), col("doc_id"), col("text"))
+      Multimodal.sampleFrames(packed, frameBytes = 64, stride = 4)
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("int").as("frame_idx"),
+          col("frame_bytes").cast("int").as("frame_bytes"),
+          col("frame").cast("string").as("frame_str"))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

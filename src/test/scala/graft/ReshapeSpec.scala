@@ -56,6 +56,20 @@ class ReshapeSpec extends SparkSpec {
       Set(("2023", Some("11")), ("2024", Some("5")), ("plain", None)))
   }
 
+  test("promoteFirstRowToHeader lifts the ordered first row into column names") {
+    import spark.implicits._
+    val df = Seq(
+      (0, "2024_1", "2024_2"),
+      (1, "10", "20"),
+      (2, "30", "40")).toDF("rn", "a", "b")
+    val out = graft.operators.Reshape.promoteFirstRowToHeader(
+      df, orderBy = Seq(org.apache.spark.sql.functions.col("rn")))
+    // header row consumed; its values became the column names
+    assert(out.columns.toSeq == Seq("0", "2024_1", "2024_2"))
+    assert(out.count() == 2)
+    assert(out.select("2024_1").as[String].collect().sorted.toSeq == Seq("10", "30"))
+  }
+
   test("bindRows aligns schemas with nulls") {
     val a = Seq((1, "x")).toDF("id", "only_a")
     val b = Seq((2, 3.0)).toDF("id", "only_b")
