@@ -71,6 +71,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E1 stream == batch: windowed counts over real events match q_time_buckets") {
+    val ev = sources.Tables.events(spark, sf)
+      .select("ts", "user_id", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val maxUs = ev.map(e => e._1.getTime * 1000L).max
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("e1_twin").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      input.addData((tsOf(maxUs + 30L * 86400000000L), -1L, -1L, "click", 0.0))
+      q.processAllAvailable()
+      // summed across types, keyed by epoch-second bucket — the exact
+      // grouping q_time_buckets computes in batch
+      val streamed = spark.table("e1_twin")
+        .filter($"bucket_us" <= lit(maxUs))
+        .groupBy(($"bucket_us" / 1000000L).cast("long").as("bucket_s"))
+        .agg(sum($"n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val batch = SparkEntry.queries("q_time_buckets")(spark, sf)
+        .select($"bucket_s", $"n_events")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} buckets")
+    } finally q.stop()
+  }
+
   test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
     val gapUs = 43200000000L // same 12h gap as the batch query
     // real sf0.001 events, µs-normalized exactly like the batch twin
