@@ -24,6 +24,10 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS); read as long epoch-nanos
       // so nothing silently truncates (see sources.Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table writes (Tables.writeBucketed) need a warehouse;
+      // keep it out of the source tree
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
     master.orElse(Some(s"local[$cpus]")).foreach(b.master)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -278,6 +278,21 @@ object RelationalQueries {
         .orderBy($"nation", $"segment")
     },
 
+    // C14: sketch aggregates — HyperLogLog++ distinct counts and
+    // t-digest-style approximate quantiles, the interactive-query path
+    // at 100 TB (exact twins: q_join_pricing's countDistinct and
+    // q_agg_stats' exact percentile). Sketch internals differ across
+    // engines → rows-only; SketchSpec bounds the relative error.
+    Q.rowsOnly("q_approx_stats") { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey", rsd = 0.01).as("approx_orders"),
+          percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx_med"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+
     // B16: concatenated selector key (tratamento_epe.R:274).
     Q(
       "q_concat_key",

@@ -47,4 +47,21 @@ object Tables {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Bucketed catalog table: co-locates rows by `bucketCols` so equi-
+    * joins and aggregations on those keys read both sides pre-shuffled
+    * — at 100 TB the difference between a full-corpus exchange per join
+    * and none. Both join sides must use the same bucket count.
+    */
+  def writeBucketed(
+      df: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
 }
