@@ -278,6 +278,31 @@ object RelationalQueries {
         .orderBy($"nation", $"segment")
     },
 
+    // C16: the SQL entry path — ONE ANSI string (TPC-H Q3 shape) runs
+    // verbatim through spark.sql over temp views AND through DuckDB:
+    // the engine's SQL surface is first-class, not a translation layer.
+    {
+      val q3 =
+        """SELECT o_orderkey,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-06-01'
+          |  AND l_shipdate > TIMESTAMP '1997-06-01'
+          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, o_orderkey
+          |LIMIT 10""".stripMargin
+      Q("q_sql_q3", q3) { (s, dir) =>
+        Seq("customer", "orders", "lineitem").foreach { t =>
+          table(s, dir, t).createOrReplaceTempView(t)
+        }
+        s.sql(q3)
+      }
+    },
+
     // C14: sketch aggregates — HyperLogLog++ distinct counts and
     // t-digest-style approximate quantiles, the interactive-query path
     // at 100 TB (exact twins: q_join_pricing's countDistinct and

@@ -134,6 +134,45 @@ object TextQueries {
         .orderBy("keep_id")
     },
 
+    // D9b: within-document repetition ratio (Gopher-style duplicate
+    // n-gram filter): 1 - distinct/total 3-gram shingles. Repetitive
+    // boilerplate scores high; the planted rendition doubles the text
+    // to guarantee non-trivial values at every SF.
+    Q(
+      "q_text_repetition", {
+        val tk = tkSql("text")
+        s"""WITH d AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text || ' ' || text FROM documents),
+           |t AS (SELECT doc_id, $tk AS tk FROM d),
+           |sh AS (
+           |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+           |        FROM t WHERE len(tk) >= 3))
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_sh,
+           |  CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+           |  round(1.0 - count(DISTINCT s) * 1.0 / count(*), 4) AS rep_ratio
+           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", col("text"), col("text")).as("text"))
+      val sh = graft.operators.scaleOut(d.unionByName(doubled))
+        .select(col("doc_id"),
+          explode(graft.functions.shingles(graft.functions.tokens(col("text")), 3)).as("s"))
+      sh.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_sh"),
+          countDistinct(col("s")).as("n_distinct"))
+        .select(col("doc_id"), col("n_sh"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_sh"), 4).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // D13: PII/URL redaction — every document gets a planted email,
     // URL, and long digit run; the scrub must normalize all three.
     Q(
