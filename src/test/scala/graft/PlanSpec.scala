@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$plan")
   }
 
+  test("epe pipeline scans the fact table once (pre-aggregated cube feeds both sheets)") {
+    val df = SparkEntry.queries("q_epe_pipeline")(spark, sf)
+    df.collect()
+    // AQE's toString appends an "== Initial Plan ==" copy — count scans
+    // only in the final plan section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    val reused = plan.contains("ReusedExchange")
+    assert(scans <= 1 || reused,
+      s"flagship scans orders $scans times with no exchange reuse:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     for (name <- Seq("q1_agg", "q_join_pricing", "q_mutate_when")) {
       // codegen spans only materialize in the FINAL adaptive plan
