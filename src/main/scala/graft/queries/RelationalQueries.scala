@@ -278,6 +278,69 @@ object RelationalQueries {
         .orderBy($"nation", $"segment")
     },
 
+    // C17: outer join with null-extension semantics — customers
+    // without orders survive with null aggregates.
+    Q(
+      "q_outer_join",
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      val o = table(s, dir, "orders").select($"o_custkey", $"o_orderkey")
+      c.join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"o_orderkey").as("n_matched"),
+          sum(when($"o_orderkey".isNull, 1).otherwise(0)).cast("long").as("n_unmatched"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // C18: set operations — INTERSECT/EXCEPT of key sets.
+    Q(
+      "q_set_ops",
+      """SELECT 'both' AS src, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'cust_only', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY src""".stripMargin
+    ) { (s, dir) =>
+      val ck = table(s, dir, "customer").select($"c_custkey")
+      val ok = table(s, dir, "orders").select($"o_custkey")
+      val both = ok.intersect(ck.toDF("o_custkey"))
+        .agg(count(lit(1)).as("n")).select(lit("both").as("src"), $"n")
+      val custOnly = ck.exceptAll(ok.toDF("c_custkey")).distinct()
+        .agg(count(lit(1)).as("n")).select(lit("cust_only").as("src"), $"n")
+      both.unionByName(custOnly).orderBy($"src")
+    },
+
+    // C19: ordered collect — per-group value lists with a deterministic
+    // internal order (array_sort), joined to a string for the oracle.
+    Q(
+      "q_collect",
+      """SELECT n_name,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments"),
+          count(lit(1)).as("n_cust"))
+        .orderBy($"n_name")
+    },
+
     // C16: the SQL entry path — ONE ANSI string (TPC-H Q3 shape) runs
     // verbatim through spark.sql over temp views AND through DuckDB:
     // the engine's SQL surface is first-class, not a translation layer.
