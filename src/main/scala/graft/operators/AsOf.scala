@@ -75,4 +75,27 @@ object AsOf {
     val rpCols = rightPayload.map(c => col("__match")(c).as(c))
     out.select(left.columns.map(col) ++ rpCols: _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row at-or-after each left
+    * row's time. Implemented by time negation over the backward form,
+    * so it inherits the same single-shuffle union plan. `tolerance`
+    * bounds rightTs - leftTs. The ts columns must be numeric (negation).
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightOrder: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    val l = left.withColumn("__neg_l", -col(leftTs))
+    val r = right.withColumn("__neg_r", -col(rightTs))
+    joinBackward(l, r, keys, "__neg_l", "__neg_r",
+        rightPayload.filterNot(_ == rightTs) :+ rightTs,
+        rightOrder, tolerance)
+      .drop("__neg_l")
+      .select((left.columns ++ rightPayload).distinct.map(col): _*)
+  }
 }

@@ -51,6 +51,58 @@ object TemporalQueries {
         .orderBy("p_event")
     },
 
+    // C9b: forward as-of — for each purchase, the user's EARLIEST error
+    // event at-or-after it (the "what broke next" join).
+    Q(
+      "q_asof_forward",
+      """SELECT p.event_id AS p_event, p.user_id,
+        |  epoch_us(p.ts) AS p_us,
+        |  e.event_id AS e_event,
+        |  epoch_us(e.ts) AS e_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND e.ts >= p.ts
+        |ORDER BY p_event""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"), col("ts_us").as("p_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_event"), col("user_id"), col("ts_us").as("e_us"))
+      AsOf.joinForward(
+          purchases, errors,
+          keys = Seq("user_id"),
+          leftTs = "p_us", rightTs = "e_us",
+          rightPayload = Seq("e_event", "e_us"),
+          rightOrder = Seq("e_event"))
+        .select("p_event", "user_id", "p_us", "e_event", "e_us")
+        .orderBy("p_event")
+    },
+
+    // C6b: RANGE-frame window — trailing 30-day spend per customer
+    // (value-based frame, not row-based; ties at the same date all
+    // see each other's contribution, so the result is deterministic).
+    Q(
+      "q_window_range",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000L, 0L)
+      table(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // C10: gap sessionization (12h inactivity closes a session) with
     // per-session aggregates. The oracle rebuilds the same semantics
     // from first principles (lag + running-sum windows).

@@ -31,6 +31,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
   }
 
+  test("minHashLSH maxBucket drops degenerate boilerplate buckets (no quadratic blowup)") {
+    // 200 byte-identical "boilerplate" docs: every band bucket holds all
+    // 200 → C(200,2)=19900 pairs if unguarded. maxBucket=50 must drop
+    // them while the genuine near-dup pair (one truncated doc) survives.
+    val boiler = spark.range(200).selectExpr(
+      "id",
+      "'the quick brown fox jumps over the lazy dog and runs far away today' AS text")
+    val real = Seq(
+      (1000L, "completely different content words alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "completely different content words alpha beta gamma delta epsilon zeta eta"))
+      .toDF("id", "text")
+    val pairs = Dedup.minHashLSH(boiler.unionByName(real), col("id"), col("text"),
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4, maxBucket = 50)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 1000L && r.getLong(1) == 1001L),
+      s"planted near-dup pair lost: ${pairs.take(5).toSeq}")
+    assert(!pairs.exists(r => r.getLong(0) < 200L && r.getLong(1) < 200L),
+      "boilerplate bucket produced pairs despite maxBucket cap")
+  }
+
   test("simHash finds appended-token near-dups within hamming 3") {
     val pert = docs.select(
       (col("id") + 1000000).as("id"),
