@@ -189,6 +189,39 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Winnowing near-copy pairs: documents sharing at least `minShared`
+    * winnowed fingerprints (custom Expression `RollingHashWinnow`).
+    * The winnowing guarantee (Schleimer et al., SIGMOD'03) makes this
+    * the plagiarism/near-copy primitive: ANY shared substring of length
+    * ≥ w + k - 1 characters forces at least one shared fingerprint, so
+    * recall for long shared runs is structural, not probabilistic.
+    * Same inverted-index shape as ngramJaccard: one exchange on the
+    * fingerprint, df-capped to kill boilerplate buckets.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      w: Int = 16,
+      dfCap: Int = 20,
+      minShared: Int = 2): DataFrame = {
+    val fp = scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        explode(array_distinct(
+          graft.functions.RollingHashWinnow.winnowFingerprint(col("__text"), k, w))).as("fp"))
+      .repartition(col("fp"))
+    val rare = fp.groupBy("fp").count()
+      .filter(col("count") >= 2 && col("count") <= dfCap)
+      .select("fp")
+    val idx = fp.join(rare, Seq("fp"), "left_semi")
+    idx.as("a")
+      .join(idx.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-duplicate pairs, blocked on a coarse key so the
     * pair join is block-local (label, cluster id, or an LSH bucket —
     * never all-pairs).

@@ -130,6 +130,20 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D11c: winnowing near-copy pairs — each planted rendition keeps
+    // the full original text behind a new prefix, so the winnowing
+    // guarantee forces shared fingerprints. Wraparound hashes aren't
+    // DuckDB-expressible → rows-only; exactness in TextMetricsSpec.
+    Q.rowsOnly("q_dedup_winnow") { (s, dir) =>
+      val d = graft.operators.scaleOut(
+        table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
+      val pert = d.select(
+        (col("id") + 1000000).as("id"),
+        concat(lit("prefixed rendition "), col("text")).as("text"))
+      Dedup.winnowPairs(d.unionByName(pert), col("id"), col("text"))
+        .orderBy("id_a", "id_b")
+    },
+
     // D1b: surviving rows after exact dedup (the filter form callers
     // compose into pipelines; q_dedup_exact is the group form).
     Q(

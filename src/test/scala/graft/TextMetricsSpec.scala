@@ -30,6 +30,19 @@ class TextMetricsSpec extends SparkSpec {
     assert(twice.forall { case (a, b) => a == b && a.nonEmpty })
   }
 
+  test("winnowPairs pairs documents sharing a long run, not unrelated ones") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, s"first document begins here $shared and then ends"),
+      (2L, s"second doc other opening $shared closing words differ"),
+      (3L, "totally unrelated content about distributed query engines and shuffles"))
+      .toDF("id", "text")
+    val pairs = graft.operators.Dedup.winnowPairs(df, col("id"), col("text"), minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared-run pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+  }
+
   test("langId prefers the language whose markers dominate") {
     val df = Seq(
       (1L, "the cat and the dog of the house is that it for"),
