@@ -17,6 +17,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** CSV with an explicit schema (schema inference would double-scan —
+    * never at 100 TB) or header-only when the caller accepts strings.
+    */
+  def loadCsv(
+      spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r)(s => r.schema(s)).csv(path)
+  }
+
+  def loadJson(
+      spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
   /** All tables of a scale-factor dir, name → DataFrame. */
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, dir, n)).toMap

@@ -33,12 +33,22 @@ class TablesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || scan.contains("status"), scan)
   }
 
-  test("writeCsv round-trips with header") {
+  test("writeCsv/loadCsv round-trips with an explicit schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = sources.Tables.load(spark, sf, "nation")
     sources.Tables.writeCsv(nation, out)
-    val back = spark.read.option("header", "true").csv(out)
+    val back = sources.Tables.loadCsv(spark, out, Some(nation.schema))
     assert(back.count() == nation.count())
-    assert(back.columns.toSet == nation.columns.toSet)
+    assert(back.schema == nation.schema)
+  }
+
+  test("writeJson/loadJson round-trips with an explicit schema") {
+    val out = Files.createTempDirectory("graft_json").toString
+    val region = sources.Tables.load(spark, sf, "region")
+    sources.Tables.writeJson(region, out)
+    val back = sources.Tables.loadJson(spark, out, Some(region.schema))
+    assert(back.count() == region.count())
+    assert(back.select(region.columns.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSet == region.collect().toSet)
   }
 }
