@@ -103,6 +103,34 @@ object TemporalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // C20: binned range join — event values classified into
+    // overlapping value bands. The oracle states the plain BETWEEN
+    // join; the Spark side must produce identical matches through the
+    // bin-bucketed equi-join (no nested-loop product at any scale).
+    Q(
+      "q_range_join",
+      """WITH bands AS (
+        |  SELECT CAST(i AS INT) AS band_id, i * 40.0 AS lo, i * 40.0 + 60.0 AS hi
+        |  FROM (SELECT unnest(range(0, 12)) AS i))
+        |SELECT band_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value BETWEEN lo AND hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin
+    ) { (s, dir) =>
+      val bands = s.range(0, 12).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * 40.0).as("lo"),
+        (col("id") * 40.0 + 60.0).as("hi"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev, bands, col("value"), col("lo"), col("hi"), binWidth = 40.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("band_id")
+    },
+
     // C10: gap sessionization (12h inactivity closes a session) with
     // per-session aggregates. The oracle rebuilds the same semantics
     // from first principles (lag + running-sum windows).

@@ -70,6 +70,13 @@ class PlanSpec extends SparkSpec {
       s"no exchange reuse in jaccard plan:\n$plan")
   }
 
+  test("binned range join never plans a product join") {
+    val df = SparkEntry.queries("q_range_join")(spark, sf)
+    val plan = run(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"range join degenerated to a product:\n$plan")
+  }
+
   test("asof join shuffles each input once (union form, no range join)") {
     val df = SparkEntry.queries("q_asof_join")(spark, sf)
     val plan = run(df)
