@@ -161,13 +161,17 @@ object TextQueries {
       val doubled = d.select(
         (col("doc_id") + 1000000).as("doc_id"),
         concat_ws(" ", col("text"), col("text")).as("text"))
+      // count distinct over 64-bit shingle hashes, not strings — the
+      // distinct-aggregation shuffles 8-byte keys (collision odds
+      // ~1e-9 per corpus perturb one count at most)
       val sh = graft.operators.scaleOut(d.unionByName(doubled))
         .select(col("doc_id"),
           explode(graft.functions.shingles(graft.functions.tokens(col("text")), 3)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
       sh.groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_sh"),
-          countDistinct(col("s")).as("n_distinct"))
+          countDistinct(col("h")).as("n_distinct"))
         .select(col("doc_id"), col("n_sh"), col("n_distinct"),
           round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_sh"), 4).as("rep_ratio"))
         .orderBy("doc_id")

@@ -50,6 +50,19 @@ object EventStreams {
         unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** E3: streaming exact dedup — drop payloads already seen, with the
+    * watermark bounding how long each key is remembered (unbounded
+    * dedup state is the classic streaming-ingest OOM). `keyCols`
+    * usually holds a content fingerprint (md5/xxhash of the payload).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** E2: stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout. Emits one row per CLOSED session (append
     * mode); open sessions close `gapUs` after their last event once the

@@ -101,6 +101,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E3 dedupStream drops repeated payloads within the watermark") {
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .withColumn("fp", md5(concat_ws("|", $"user_id", $"event_type", $"value")))
+    val q = EventStreams.dedupStream(df, Seq("fp"), "1 hour")
+      .writeStream.format("memory").queryName("e3_out").outputMode("append").start()
+    try {
+      val base = 1000000000000L
+      input.addData(
+        (tsOf(base), 1L, 1L, "click", 1.0),
+        (tsOf(base + 1000000L), 1L, 2L, "click", 1.0), // duplicate payload
+        (tsOf(base + 2000000L), 1L, 3L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        (tsOf(base + 3000000L), 1L, 4L, "click", 1.0)) // still duplicate
+      q.processAllAvailable()
+      val vals = spark.table("e3_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(vals == Set(1L, 3L), s"got $vals")
+    } finally q.stop()
+  }
+
   test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
     val gapUs = 43200000000L // same 12h gap as the batch query
     // real sf0.001 events, µs-normalized exactly like the batch twin
