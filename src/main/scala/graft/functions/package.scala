@@ -16,13 +16,18 @@ package object functions {
 
   /** Fill-down / last-observation-carried-forward, the Spark analogue of
     * zoo::na.locf0 (tratamento_epe.R:100,140). Requires an explicit
-    * ordering column (Spark has no implicit row order) and an optional
-    * partition so the window never degenerates to a single partition.
+    * ordering column (Spark has no implicit row order) AND a non-empty
+    * partition spec: an empty spec would be a global single-partition
+    * window — all rows through one task, a silent 100 TB scale-killer —
+    * so it is rejected rather than defaulted.
     */
-  def fillDown(c: Column, orderBy: Seq[Column], partitionBy: Seq[Column] = Nil): Column = {
-    val w0 = if (partitionBy.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partitionBy: _*)
+  def fillDown(c: Column, orderBy: Seq[Column], partitionBy: Seq[Column]): Column = {
+    require(partitionBy.nonEmpty,
+      "fillDown: partitionBy must be non-empty — an empty spec is a global " +
+        "single-partition window. Pass the group/sheet key.")
     last(c, ignoreNulls = true)
-      .over(w0.orderBy(orderBy: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
   }
 
   /** str_to_title analogue (tratamento_epe.R:154). */

@@ -69,7 +69,7 @@ object Reshape {
       df: DataFrame,
       cols: Seq[String],
       orderBy: Seq[Column],
-      partitionBy: Seq[Column] = Nil): DataFrame =
+      partitionBy: Seq[Column]): DataFrame =
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c, fillDown(col(c), orderBy, partitionBy))
     }
@@ -83,15 +83,23 @@ object Reshape {
   /** Positional row slice per partition along an explicit ordering —
     * the scalable form of slice(-1:-3) (tratamento_epe.R:89). Keeps
     * rows whose 1-based position is in [from, until]; until=-1 means
-    * unbounded. The window is partitioned, never global.
+    * unbounded.
+    *
+    * `partitionBy` is REQUIRED and must be non-empty: an empty spec
+    * would be a global single-partition window — every row through one
+    * task, a silent scale-killer at 100 TB. Per-sheet slicing passes
+    * the sheet key; there is deliberately no global form.
     */
   def sliceRows(
       df: DataFrame,
       orderBy: Seq[Column],
       from: Int,
-      until: Int = -1,
-      partitionBy: Seq[Column] = Nil): DataFrame = {
-    val w0 = if (partitionBy.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partitionBy: _*)
+      until: Int,
+      partitionBy: Seq[Column]): DataFrame = {
+    require(partitionBy.nonEmpty,
+      "sliceRows: partitionBy must be non-empty — an empty spec is a global " +
+        "single-partition window (all rows through one task). Pass the sheet/group key.")
+    val w0 = Window.partitionBy(partitionBy: _*)
     val rn = col("__rn")
     val bounded =
       if (until < 0) rn >= from else rn >= from && rn <= until
@@ -104,17 +112,32 @@ object Reshape {
     * lifts a year row into `YYYY_M` column labels). The single header
     * row is the only driver round-trip, and it is metadata (column
     * names must live on the driver anyway), not data.
+    *
+    * Windowless and sortless: the header row is found with one
+    * partially-aggregated `min_by` pass (no global sort, no
+    * single-partition window), then removed by its ordering key. The
+    * ordering key must be unique on the header row, or ties are
+    * dropped with it.
     */
   def promoteFirstRowToHeader(
       df: DataFrame,
-      orderBy: Seq[Column],
-      partitionBy: Seq[Column] = Nil): DataFrame = {
-    val header = df.orderBy(orderBy: _*).limit(1).collect()(0)
+      orderBy: Seq[Column]): DataFrame = {
+    require(orderBy.nonEmpty, "promoteFirstRowToHeader: orderBy must be non-empty")
+    val ordStruct = struct(orderBy: _*)
+    val rowStruct = struct(df.columns.map(col): _*)
+    val hdr = df
+      .agg(min_by(struct(rowStruct.as("row"), ordStruct.as("ord")), ordStruct).as("h"))
+      .head().getStruct(0)
+    val headerRow = hdr.getStruct(0)
+    val headerOrd = hdr.getStruct(1)
     val renamed = df.columns.zipWithIndex.map { case (c, i) =>
-      val h = Option(header.get(i)).map(_.toString).filter(_.nonEmpty).getOrElse(c)
+      val h = Option(headerRow.get(i)).map(_.toString).filter(_.nonEmpty).getOrElse(c)
       col(c).as(h)
     }
-    sliceRows(df, orderBy, from = 2, partitionBy = partitionBy).select(renamed: _*)
+    val isHeader = orderBy.zipWithIndex
+      .map { case (c, i) => c <=> lit(headerOrd.get(i)) }
+      .reduce(_ && _)
+    df.filter(!isHeader).select(renamed: _*)
   }
 
   /** Dynamic rename over regex-matched columns (rename_with +

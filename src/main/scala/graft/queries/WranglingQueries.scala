@@ -252,6 +252,69 @@ object WranglingQueries {
         .orderBy($"src", $"flag")
     },
 
+    // B19+B17+B11+B13+B14: the reference's Shape-B sheet end-to-end
+    // (tratamento_epe.R:160-195): a raw sheet whose FIRST ROW holds the
+    // `YYYY_M` year-month labels is header-promoted, bulk-cast,
+    // unpivoted over the promoted columns, `separate`d into ano/mes,
+    // and dated. The sheet is built deterministically from orders
+    // (2 years × 12 months = 24 value columns, all string-typed like an
+    // Excel read), so DuckDB can compute the same long table directly.
+    Q(
+      "q_epe_shape_b",
+      """SELECT o_orderpriority AS classe,
+        |  CAST(year(o_orderdate) AS INT) AS ano,
+        |  CAST(month(o_orderdate) AS INT) AS mes,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS data,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS valor
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+        |GROUP BY 1, 2, 3
+        |ORDER BY classe, ano, mes""".stripMargin
+    ) { (s, dir) =>
+      val nMonths = 24 // 1995_1 .. 1996_12
+      def ym(i: Int): String = s"${1995 + (i - 1) / 12}_${(i - 1) % 12 + 1}"
+      // the "sheet" as Excel would hand it over: generic c1..c24 column
+      // names, every cell a string, one (classe) row per priority
+      val keyed = table(s, dir, "orders")
+        .filter(year($"o_orderdate").between(1995, 1996))
+        .select(
+          $"o_orderpriority".as("classe"),
+          ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate")).as("ci"),
+          dec($"o_totalprice").as("valor"))
+      val wide = Reshape.renameWith(
+        Reshape.pivotWider(keyed, Seq("classe"), "ci", 1 to nMonths, sum($"valor")),
+        "^[0-9]+$", c => s"c$c")
+      // as data (LocalRelation), not lit() columns: ANSI constant
+      // folding would otherwise evaluate the later to-double cast on
+      // the label literals at optimization time and throw
+      val headerSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("classe",
+          org.apache.spark.sql.types.StringType) +:
+          (1 to nMonths).map(i => org.apache.spark.sql.types.StructField(s"c$i",
+            org.apache.spark.sql.types.StringType)))
+      val headerRow = s.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq("" +: (1 to nMonths).map(ym))),
+        headerSchema)
+      val sheet = Reshape.bindRows(headerRow,
+        Reshape.castMatching(wide, "^c[0-9]+$", "string"))
+      // --- the Shape-B pipeline under test ---
+      val promoted = Reshape.promoteFirstRowToHeader(sheet, Seq($"classe"))
+      val ymCols = promoted.columns.filter(_.matches("^[0-9]{4}_[0-9]+$")).toSeq
+      val long = Reshape
+        .pivotLonger(Reshape.castMatching(promoted, "^[0-9]{4}_[0-9]+$", "double"),
+          Seq("classe"), ymCols, "ano_mes", "valor")
+        .filter($"valor".isNotNull)
+      Reshape.separate(long, "ano_mes", "_", Seq("ano_s", "mes_s"))
+        .select(
+          $"classe",
+          $"ano_s".cast("int").as("ano"),
+          $"mes_s".cast("int").as("mes"),
+          make_date($"ano_s".cast("int"), $"mes_s".cast("int"), lit(1)).as("data"),
+          $"valor")
+        .orderBy($"classe", $"ano", $"mes")
+    },
+
     // B18: the full reference pipeline (flagship — see EpeWideToLong).
     Q(
       "q_epe_pipeline",

@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Physical-plan assertions: the scale properties SURVEY §5 claims must
   * be visible in `explain` — parquet pushdown, pruned schemas,
@@ -42,13 +44,67 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
-  test("windows are partitioned - no global single-partition window anywhere") {
-    for (name <- Seq("q_topn_per_group", "q_window_running", "q_sessionize", "q_asof_join")) {
-      val plan = planOf(name)
-      // a global window shows as 'Window [...], []' (empty partition spec)
-      val bad = "Window .*partitionBy=\\[\\]".r.findFirstIn(plan)
-      assert(bad.isEmpty, s"$name has a global window:\n$plan")
+  /** Every physical node in the executed plan, descending through AQE
+    * wrappers and materialized query stages (plan-string regexes can't
+    * see partition specs — WindowExec's toString never prints them).
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case s: QueryStageExec => s +: allNodes(s.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  /** A window is global when its partition spec is empty OR constant
+    * (`partitionBy(lit(1))` is the same single-partition landmine in
+    * disguise).
+    */
+  private def globalWindows(df: DataFrame): Seq[WindowExec] = {
+    df.collect()
+    allNodes(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
     }
+  }
+
+  test("windows are partitioned - no global single-partition window anywhere") {
+    for (name <- Seq("q_topn_per_group", "q_window_running", "q_sessionize",
+        "q_asof_join", "q_epe_shape_b")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val bad = globalWindows(df)
+      assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")
+    }
+  }
+
+  test("the global-window detector actually detects one (not vacuously green)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, row_number}
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    // this test PLANTS global windows on purpose; mute WindowExec's
+    // single-partition warning so a clean test log stays the signal
+    // that no real operator plans one
+    val windowLogger = classOf[WindowExec].getName
+    val prev = LogManager.getLogger(windowLogger).getLevel
+    Configurator.setLevel(windowLogger, Level.ERROR)
+    try {
+      val df = spark.range(10).toDF("i")
+      val empty = df.withColumn("rn",
+        row_number().over(Window.orderBy("i")))
+      assert(globalWindows(empty).nonEmpty, "empty partition spec not detected")
+      val const = df.withColumn("rn",
+        row_number().over(Window.partitionBy(lit(1)).orderBy("i")))
+      assert(globalWindows(const).nonEmpty, "constant partition spec not detected")
+    } finally Configurator.setLevel(windowLogger, prev)
+  }
+
+  test("promoteFirstRowToHeader plans no window and no global sort") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(100).selectExpr("cast(id as string) a", "cast(id*2 as string) b", "id rn")
+    val out = graft.operators.Reshape.promoteFirstRowToHeader(df, Seq(col("rn")))
+    out.collect()
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]), "header promotion uses a window")
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("sort")),
+      s"header promotion sorts:\n${out.queryExecution.executedPlan}")
   }
 
   test("sessionize evaluates both windows in one WindowExec pass / one exchange") {

@@ -13,15 +13,26 @@ class ReshapeSpec extends SparkSpec {
       ("b", 1, "hdr1"), ("b", 2, "hdr2"), ("b", 3, "hdr3"), ("b", 4, "data3")
     ).toDF("sheet", "pos", "v")
     val out = Reshape.sliceRows(df, orderBy = Seq(col("pos")), from = 4,
-      partitionBy = Seq(col("sheet")))
+      until = -1, partitionBy = Seq(col("sheet")))
     assert(out.select("v").as[String].collect().sorted ===
       Array("data1", "data2", "data3"))
   }
 
-  test("sliceRows with bounded range keeps [from, until]") {
-    val df = (1 to 10).toDF("i")
-    val out = Reshape.sliceRows(df, Seq(col("i")), from = 3, until = 5)
-    assert(out.as[Int].collect().sorted === Array(3, 4, 5))
+  test("sliceRows with bounded range keeps [from, until] per partition") {
+    val df = (1 to 10).map(i => (if (i <= 5) "a" else "b", i)).toDF("g", "i")
+    val out = Reshape.sliceRows(df, Seq(col("i")), from = 3, until = 4,
+      partitionBy = Seq(col("g")))
+    assert(out.select("i").as[Int].collect().sorted === Array(3, 4, 8, 9))
+  }
+
+  test("sliceRows and fillDown reject an empty partition spec (global-window guard)") {
+    val df = (1 to 3).toDF("i")
+    intercept[IllegalArgumentException] {
+      Reshape.sliceRows(df, Seq(col("i")), from = 1, until = 2, partitionBy = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.fillDown(col("i"), Seq(col("i")), Nil)
+    }
   }
 
   test("selectMatching / dropMatching filter columns by regex") {
