@@ -19,10 +19,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * disappearing into the scan.
   *
   * Summation is left-to-right in element order, matching the HOF fold
-  * it replaces, so oracle comparisons are bit-identical. Elements are
-  * assumed non-null (embedding vectors); lengths may differ — the
-  * shorter length wins, matching zip_with-with-nulls semantics of
-  * contributing nothing past the overlap.
+  * it replaces, so oracle comparisons are bit-identical on equal-length
+  * inputs. Length mismatch is a DELIBERATE behavior change: the old
+  * zip_with/aggregate fold padded the shorter array with nulls and so
+  * returned NULL for the whole product; this expression truncates to
+  * the overlap and returns the partial sum. Mixed-dimension embedding
+  * sets are caller error either way — truncation keeps the kernel
+  * null-free and branch-free; callers needing strict checking should
+  * validate dimensions upstream.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** SQL-name registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash64(tokens), ...")` works exactly like the
@@ -26,26 +27,35 @@ object GraftFunctions {
 
   private def intArg(e: Expression, what: String): Int = longArg(e, what).toInt
 
+  // The kernels read raw ArrayData/UTF8String, so the SQL builders must
+  // coerce exactly like the Column wrappers do (.cast("array<double>")
+  // etc.) — otherwise dot_product(array(1,2), array(3,4)) over int
+  // arrays would call getDouble on int-backed data: silently wrong
+  // values instead of an analysis-time cast.
+  private def asStringArray(e: Expression): Expression = Cast(e, ArrayType(StringType))
+  private def asDoubleArray(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+  private def asString(e: Expression): Expression = Cast(e, StringType)
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => args match {
-        case Seq(tokens) => SimHash64(tokens)
-        case Seq(tokens, seed) => SimHash64(tokens, longArg(seed, "seed"))
+        case Seq(tokens) => SimHash64(asStringArray(tokens))
+        case Seq(tokens, seed) => SimHash64(asStringArray(tokens), longArg(seed, "seed"))
         case _ => throw new IllegalArgumentException("simhash64(tokens[, seed])")
       }),
     ("winnow_fingerprint",
       new ExpressionInfo(classOf[RollingHashWinnow].getName, "winnow_fingerprint"),
       (args: Seq[Expression]) => args match {
-        case Seq(text) => RollingHashWinnow(text)
+        case Seq(text) => RollingHashWinnow(asString(text))
         case Seq(text, k, w) =>
-          RollingHashWinnow(text, intArg(k, "k"), intArg(w, "w"))
+          RollingHashWinnow(asString(text), intArg(k, "k"), intArg(w, "w"))
         case _ => throw new IllegalArgumentException("winnow_fingerprint(text[, k, w])")
       }),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => args match {
-        case Seq(a, b) => DotProduct(a, b)
+        case Seq(a, b) => DotProduct(asDoubleArray(a), asDoubleArray(b))
         case _ => throw new IllegalArgumentException("dot_product(a, b)")
       }))
 

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Supported join types: inner and left. The exact BETWEEN is part
+    * of the JOIN CONDITION (not a post-filter), so left-outer null
+    * extension survives: a point overlapping no interval comes back
+    * once, null-extended. Right/full are rejected — an unmatched
+    * interval is replicated once per bin it spans, so its null row
+    * would appear with the wrong multiplicity.
+    */
   def pointInInterval(
       left: DataFrame,
       right: DataFrame,
@@ -28,14 +35,17 @@ object RangeJoin {
       binWidth: Double,
       joinType: String = "inner"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val l = left.withColumn("__bin", floor(point / binWidth).cast("long"))
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter").contains(jt),
+      s"pointInInterval supports inner/left only, got '$joinType' " +
+        "(interval-side bin replication breaks right/full multiplicity)")
+    val l = left.withColumn("__binl", floor(point / binWidth).cast("long"))
     val r = right
       .withColumn("__lo_bin", floor(lo / binWidth).cast("long"))
       .withColumn("__hi_bin", floor(hi / binWidth).cast("long"))
-      .withColumn("__bin", explode(sequence(col("__lo_bin"), col("__hi_bin"))))
+      .withColumn("__binr", explode(sequence(col("__lo_bin"), col("__hi_bin"))))
       .drop("__lo_bin", "__hi_bin")
-    l.join(r, Seq("__bin"), joinType)
-      .filter(point >= lo && point <= hi)
-      .drop("__bin")
+    l.join(r, col("__binl") === col("__binr") && point >= lo && point <= hi, joinType)
+      .drop("__binl", "__binr")
   }
 }

@@ -27,6 +27,12 @@ object Skew {
       saltBuckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    // the small side is replicated saltBuckets× — under right/full its
+    // UNMATCHED rows would surface once per replica, breaking outer
+    // multiplicity; only big-side-preserving types are sound here
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType'")
     val b = big.withColumn("__salt", pmod(xxhash64(bigSaltBy), lit(saltBuckets)).cast("int"))
     val s = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))

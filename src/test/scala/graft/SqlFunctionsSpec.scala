@@ -37,4 +37,22 @@ class SqlFunctionsSpec extends SparkSpec {
     val viaCol = df.select(DotProduct.dotProduct($"a", $"b").as("d")).as[Double].head()
     assert(viaSql == 32.0 && viaCol == 32.0)
   }
+
+  test("SQL builders coerce argument types like the Column wrappers") {
+    // int arrays: without the builder-side cast this read int-backed
+    // ArrayData through getDouble — silently wrong values
+    val d = spark.sql("SELECT dot_product(array(1, 2), array(3, 4)) AS d").as[Double].head()
+    assert(d == 11.0, s"int-array dot_product returned $d")
+    // int tokens / int text coerce instead of failing or misreading
+    val viaSqlSim = spark.sql("SELECT simhash64(array(12, 34)) AS s").as[Long].head()
+    val viaColSim = spark.range(1)
+      .select(SimHash64.simhash64(array(lit("12"), lit("34"))).as("s")).as[Long].head()
+    assert(viaSqlSim == viaColSim)
+    val viaSqlWin = spark.sql("SELECT winnow_fingerprint(1234567890, 4, 8) AS f")
+      .as[Seq[Long]].head()
+    val viaColWin = spark.range(1)
+      .select(RollingHashWinnow.winnowFingerprint(lit("1234567890"), 4, 8).as("f"))
+      .as[Seq[Long]].head()
+    assert(viaSqlWin == viaColWin)
+  }
 }
