@@ -12,9 +12,14 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid);
+    // the driver never sets it, so round benches always cover everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // min of two runs per query: the first run pays codegen/classload,
     // the min reflects the steady-state plan cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

@@ -39,12 +39,21 @@ package object functions {
 
   /** Sliding word n-grams ("shingles") over the token array; empty when
     * the document has fewer than n tokens.
+    *
+    * `toks` is bound through a single-element-array transform so the
+    * inner lambda sees it as a LAMBDA VARIABLE. Spark's interpreted HOF
+    * eval re-evaluates any non-lambda-var subtree in the lambda body
+    * once per element — referencing `toks` (often a whole
+    * `tokens(text)` tree) directly in the position lambda re-tokenized
+    * the document once per shingle position, O(len²) per doc. Bound as
+    * a lambda var it is evaluated exactly once per row.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val upper = size(toks) - n
-    when(upper < 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), upper), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    flatten(transform(array(toks), tk => {
+      val upper = size(tk) - n
+      when(upper < 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), upper), i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+    }))
 
   /** Normalized-content fingerprint: lower, strip punct, collapse ws, md5. */
   def normFingerprint(text: Column): Column =

@@ -28,11 +28,14 @@ object DedupQueries {
     // work runs at full parallelism instead of on the file's splits
     val d = graft.operators.scaleOut(
       table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
+    // tokens(text) bound as a lambda variable (array-wrap trick, see
+    // functions.shingles): referencing it twice in one projection would
+    // tokenize each row twice under interpreted HOF eval
     val trunc = d.select(
       (col("id") + 1000000).as("id"),
       array_join(
-        slice(tokens(col("text")), lit(1),
-          greatest(floor(size(tokens(col("text"))) * 4 / 5), lit(1)).cast("int")),
+        flatten(transform(array(tokens(col("text"))), tk =>
+          slice(tk, lit(1), greatest(floor(size(tk) * 4 / 5), lit(1)).cast("int")))),
         " ").as("text"))
     d.unionByName(trunc)
   }
