@@ -239,4 +239,24 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
   }
+
+  /** Embedding near-dup with NO caller-supplied blocking key — the
+    * 100 TB unlabeled-corpus path as a first-class call: block on the
+    * seeded random-hyperplane LSH bucket (sign bits compiled into the
+    * plan, identical on every executor), then run the block-local
+    * cosine join. Near-identical vectors land in the same bucket with
+    * probability ≈ (1 − θ/π)^nPlanes (θ = angle between them), so for
+    * dedup-grade thresholds (cos ≥ 0.99 ⇒ θ ≤ 0.15 rad) recall stays
+    * high even at 8 planes while buckets shrink the join ~2^nPlanes×.
+    */
+  def embeddingCosineLSH(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      dim: Int = 64,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame =
+    embeddingCosine(df, id, vec,
+      Similarity.hyperplaneBucket(vec, dim, nPlanes, seed), threshold)
 }

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   *
   * Media payloads are opaque `binary` columns plus a typed metadata
   * struct; transforms (decode → feature-extract → thumbnail) run as
-  * partition-local batch kernels over the binary bytes — the Spark-side
-  * shape (schema, batching, partition locality, no shuffle) is real and
-  * tested, while the codec itself is a clearly marked deterministic
-  * STUB where libjpeg/ffmpeg would sit in production (those libraries
-  * are not in this container).
+  * partition-local batch kernels over the binary bytes. The image
+  * decode is REAL: `javax.imageio` (in the JDK — PNG/JPEG/BMP/GIF)
+  * runs inside the partition kernel; payloads no codec accepts (e.g.
+  * text bytes, or formats like webp that need an external plugin) fall
+  * back to a deterministic byte-fold and are flagged `decoded=false` —
+  * the total-function shape a production pipeline needs (quarantine by
+  * flag, never a task crash on one corrupt file). Audio/video codecs
+  * (ffmpeg-class) are the remaining external seam.
   *
   * Scale notes: decode work is embarrassingly parallel and stays inside
   * `mapPartitions` — no shuffle, no driver round-trip; batches bound
@@ -47,19 +50,17 @@ object Multimodal {
 
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB decode kernel: a real implementation hands `bytes` to an
-    * image codec and returns pixel data. This deterministic fake folds
-    * the bytes into `dim` accumulators so specs can assert exact
-    * values end-to-end. Marked clearly as the production seam.
+  /** Fallback kernel for payloads no installed codec accepts: folds the
+    * raw bytes into `dim` accumulators. Deterministic, so undecodable
+    * rows still carry a stable signature (dedup/grouping keeps working)
+    * instead of nulls or a task failure.
     */
-  private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // PRODUCTION SEAM: replace with codec call (e.g. javax.imageio /
-    // ffmpeg via JNI). Everything around this function — schema,
-    // batching, partition locality — is the real pipeline.
+  private def byteFold(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0
     while (i < bytes.length) {
@@ -69,11 +70,54 @@ object Multimodal {
     acc
   }
 
+  /** Real image decode via `javax.imageio` + fixed-size feature vector:
+    * features(0..2) = mean R/G/B in [0,1]; features(3..dim-1) = a
+    * luminance histogram over dim-3 integer buckets, normalized by
+    * pixel count. Integer bucket math keeps it bit-deterministic across
+    * JVMs. Returns None when no registered ImageReader accepts the
+    * bytes.
+    */
+  private def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
+    require(dim >= 4, "feature dim must leave room for 3 channel means + histogram")
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val nBuckets = dim - 3
+      val hist = new Array[Long](nBuckets)
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          rSum += r; gSum += g; bSum += b
+          hist(((r + g + b) / 3) * nBuckets / 256) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val px = w.toLong * h
+      val feats = new Array[Float](dim)
+      feats(0) = (rSum.toDouble / px / 255.0).toFloat
+      feats(1) = (gSum.toDouble / px / 255.0).toFloat
+      feats(2) = (bSum.toDouble / px / 255.0).toFloat
+      var i = 0
+      while (i < nBuckets) { feats(3 + i) = (hist(i).toDouble / px).toFloat; i += 1 }
+      (w, h, feats)
+    }
+  }
+
   /** Decode + feature-extract each media payload, `batchSize` rows at a
     * time within each partition (the JVM analogue of `mapInPandas`
     * batch shape: bounded memory, vectorizable kernel, zero shuffle).
     * Input needs columns (doc_id, media, meta); output is
-    * (doc_id, width, height, features[dim]).
+    * (doc_id, decoded, width, height, features[dim]) — width/height
+    * come from the DECODED image when a codec accepted the bytes, else
+    * from the declared metadata with `decoded=false`.
     */
   def decodeFeatures(df: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val enc = Encoders.row(decodedSchema)
@@ -84,7 +128,11 @@ object Multimodal {
           // Arrow batch; per-batch allocation stays bounded.
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]]("media")
-            Row(r.getLong(0), r.getInt(2), r.getInt(3), decodeStub(bytes, dim).toSeq)
+            decodeImage(bytes, dim) match {
+              case Some((w, h, feats)) => Row(r.getLong(0), true, w, h, feats.toSeq)
+              case None =>
+                Row(r.getLong(0), false, r.getInt(2), r.getInt(3), byteFold(bytes, dim).toSeq)
+            }
           }
         }
       }(enc)

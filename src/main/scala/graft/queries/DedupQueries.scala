@@ -133,6 +133,41 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D5b: embedding near-dup with NO label — blocked on the seeded
+    // hyperplane LSH bucket (the 100 TB unlabeled path). The oracle
+    // replays the identical plane constants, so bucketing, pairing,
+    // and cosine all hash-match.
+    Q(
+      "q_dedup_embedding_lsh", {
+        val planes = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = 8, seed = 42L)
+        val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+          val arr = p.mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", "\n      + ", ")")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |u AS (
+           |  SELECT * FROM e
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_concat([v[1] + 0.1], v[2:]) FROM e),
+           |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM u)
+           |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           |  round(list_cosine_similarity(a.v, b2.v), 4) AS cos_sim
+           |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+           |WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val pert = e.select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.1)), slice(col("v"), 2, 63)).as("v"))
+      Dedup.embeddingCosineLSH(e.unionByName(pert), col("vec_id"), col("v"),
+          threshold = 0.99, dim = 64, nPlanes = 8, seed = 42L)
+        .orderBy("id_a", "id_b")
+    },
+
     // D11c: winnowing near-copy pairs — each planted rendition keeps
     // the full original text behind a new prefix, so the winnowing
     // guarantee forces shared fingerprints. Wraparound hashes aren't

@@ -5,13 +5,44 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal binary-column plumbing (SURVEY §2.D12). The oracle-able
-  * part is the pack step — opaque binary payload + typed metadata; the
-  * decode/frame kernels are partition-local stubs covered by
-  * MultimodalSpec (no portable SQL exists for a codec seam).
+  * parts are the pack step (opaque binary payload + typed metadata) and
+  * frame sampling (byte-for-byte); the image decode kernel is REAL
+  * (javax.imageio inside the partition kernel) but has no portable SQL
+  * twin — `q_media_decode` is rows-only with exact-pixel assertions in
+  * MultimodalSpec.
   */
 object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
+
+    // D12: real image decode through the partition-local kernel — a
+    // deterministic mixed corpus (RGB gradient PNGs keyed by id, plus
+    // text payloads that must take the decoded=false fallback), decoded
+    // and aggregated. DuckDB has no PNG codec → rows-only.
+    Q.rowsOnly("q_media_decode") { (s, dir) =>
+      val pngs = (0L until 50L).map { i =>
+        val w = 2 + (i % 3).toInt
+        val h = 2 + (i % 2).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (((i * 41 + x * 17 + y * 7) % 256).toInt << 16) |
+            ((i % 256).toInt << 8) | ((x * y) % 256))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i, bos.toByteArray)
+      }
+      import s.implicits._
+      val imgDf = pngs.toDF("doc_id", "payload")
+      val txtDf = table(s, dir, "documents").limit(50)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text").cast("binary").as("payload"))
+      val packed = Multimodal.pack(imgDf.unionByName(txtDf), col("doc_id"), col("payload"))
+      Multimodal.decodeFeatures(packed, dim = 16)
+        .select(col("doc_id"), col("decoded"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 4).as("f_mean_r"),
+          round(element_at(col("features"), 4), 4).as("f_hist0"))
+        .orderBy("doc_id")
+    },
     Q(
       "q_binary_meta",
       """SELECT doc_id,

@@ -38,6 +38,44 @@ object Tables {
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, dir, n)).toMap
 
+  /** Workbook ingest: every "sheet" under `dir` as name → DataFrame —
+    * the Spark analogue of the reference's only real source, a
+    * multi-sheet Excel workbook read sheet-by-sheet
+    * (tratamento_epe.R:57-72, `excel_sheets(...) |> map(read_xls)`).
+    *
+    * A workbook here is a directory with one file (or parquet/csv dir)
+    * per sheet: `dir/<sheet>.parquet`, `dir/<sheet>.csv`, or
+    * `dir/<sheet>.json`; the sheet name is the file stem. CSV sheets
+    * are read header-first with all-string columns, exactly what
+    * `read_xls` hands R — downstream wrangling owns the casts
+    * (Reshape.castMatching, promoteFirstRowToHeader).
+    *
+    * Real `.xls`/`.xlsx` needs the public `spark-excel` data source
+    * (com.crealytics:spark-excel), which plugs in here unchanged:
+    * `spark.read.format("excel").option("dataAddress", s"'$sheet'!A1")`
+    * per sheet name. It is not bundled (no external deps in this
+    * build), so the workbook layout is the in-repo equivalent and the
+    * Excel path is a documented one-line seam.
+    */
+  def loadSheets(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val fs = new java.io.File(dir)
+    require(fs.isDirectory, s"workbook dir not found: $dir")
+    fs.listFiles().toSeq.sortBy(_.getName).flatMap { f =>
+      val name = f.getName
+      val stem = name.replaceAll("\\.(parquet|csv|json)$", "")
+      name match {
+        case n if n.endsWith(".parquet") => Some(stem -> load(spark, dir, stem))
+        case n if n.endsWith(".csv") =>
+          // all-string like read_xls: no inference double-scan, no
+          // premature typing before header promotion
+          Some(stem -> spark.read.option("header", "true")
+            .option("inferSchema", "false").csv(f.getPath))
+        case n if n.endsWith(".json") => Some(stem -> spark.read.json(f.getPath))
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** events with the ns-precision timestamp normalized to a µs
     * TimestampType column `ts` plus exact `ts_ns` (epoch nanos, long).
     * Parquet stores TIMESTAMP(NANOS) which Spark reads as long when

@@ -100,4 +100,26 @@ class DedupSpec extends SparkSpec {
     val hits = lsh.count { case (qid, rank, vid, _) => rank == 1 && vid == qid + 1000000 }
     assert(hits >= 3, s"planted near-identical vector found at rank 1 for only $hits/5 queries")
   }
+
+  test("embeddingCosineLSH recovers planted near-dups with no blocking label") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.1)), slice(col("v"), 2, 63)).as("v"))
+    val n = base.count()
+    val pairs = graft.operators.Dedup.embeddingCosineLSH(
+        base.unionByName(planted), col("vec_id"), col("v"), threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // every reported pair is genuinely >= threshold by construction;
+    // recall: most planted (id, id+1000000) pairs share all 8 sign bits
+    val planted_hits = pairs.count { case (a, b) => b == a + 1000000 }
+    assert(planted_hits >= (n * 0.8).toInt,
+      s"recovered only $planted_hits/$n planted pairs")
+    // and the join really was bucket-blocked: bucket of each pair agrees
+    val buckets = base.unionByName(planted).select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("v"), 64, 8, 42L).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.forall { case (a, b) => buckets(a) == buckets(b) })
+  }
 }

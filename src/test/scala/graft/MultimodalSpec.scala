@@ -21,9 +21,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("decodeFeatures is partition-local, batched, deterministic, schema-stable") {
     val out = Multimodal.decodeFeatures(packed, dim = 16, batchSize = 8)
-    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "width", "height", "features"))
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "decoded", "width", "height", "features"))
     val rows = out.collect()
     assert(rows.length == 50)
+    // text bytes are not an image: every row takes the flagged fallback
+    assert(rows.forall(!_.getAs[Boolean]("decoded")))
     assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("features").length == 16))
     // deterministic: same input → same features
     val again = Multimodal.decodeFeatures(packed, dim = 16, batchSize = 8).collect()
@@ -32,6 +35,40 @@ class MultimodalSpec extends SparkSpec {
     // no shuffle in the plan: decode must stay embarrassingly parallel
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode plan shuffles:\n$plan")
+  }
+
+  test("decodeFeatures decodes a real PNG through javax.imageio with exact pixel features") {
+    // 2x2 PNG: red, green / blue, white — written through the real codec
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((7L, bos.toByteArray)).toDF("doc_id", "media")
+      .withColumn("meta", struct(
+        lit("png").as("format"), lit(0).as("width"), lit(0).as("height"),
+        length(col("media")).cast("long").as("n_bytes")))
+    val r = Multimodal.decodeFeatures(df, dim = 16).head()
+    assert(r.getAs[Boolean]("decoded"), "PNG bytes must go through the real codec")
+    // dimensions come from the DECODED image, not the declared meta (0x0)
+    assert(r.getAs[Int]("width") == 2 && r.getAs[Int]("height") == 2)
+    val f = r.getAs[scala.collection.Seq[Float]]("features")
+    // channel means: each channel is 255 in exactly 2 of 4 pixels -> 0.5
+    assert(f(0) == 0.5f && f(1) == 0.5f && f(2) == 0.5f)
+    // luminance: r/g/b pixels all have lum 85 -> bucket 85*13/256 = 4;
+    // white has lum 255 -> bucket 255*13/256 = 12
+    assert(f(3 + 4) == 0.75f && f(3 + 12) == 0.25f)
+    assert(f.sum == 0.5f * 3 + 1.0f, "histogram must sum to 1")
+  }
+
+  test("q_media_decode mixes real decodes and flagged fallbacks") {
+    val out = SparkEntry.queries("q_media_decode")(spark, sf).collect()
+    assert(out.length == 100)
+    val (dec, fall) = out.partition(_.getAs[Boolean]("decoded"))
+    assert(dec.length == 50 && fall.length == 50)
+    // decoded rows report codec dimensions (2..4 x 2..3), not packed meta
+    assert(dec.forall(r => r.getAs[Int]("width") >= 2 && r.getAs[Int]("width") <= 4))
   }
 
   test("sampleFrames emits strided fixed-size chunks") {

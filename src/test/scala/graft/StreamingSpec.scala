@@ -123,6 +123,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E3 stream == batch: dedupStream over real events keeps exactly one row per fingerprint, same set as Dedup.exactKeep") {
+    val payload = concat_ws("|", $"user_id", $"event_type", $"value")
+    val evBatch = sources.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"event_id", $"event_type", $"value")
+    val ev = evBatch.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .withColumn("fp", md5(concat_ws("|", $"user_id", $"event_type", $"value")))
+    val q = EventStreams.dedupStream(df, Seq("fp"), "1 hour")
+      .writeStream.format("memory").queryName("e3_twin").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      val streamedFps = spark.table("e3_twin").select($"fp").as[String].collect()
+      // exactly one survivor per fingerprint
+      assert(streamedFps.length == streamedFps.distinct.length,
+        "stream emitted a duplicate fingerprint")
+      // identical surviving-content SET as the batch twin (WHICH row
+      // survives differs by design: stream keeps first arrival, batch
+      // keeps the min-id winner — content equality is the contract)
+      val batchFps = graft.operators.Dedup
+        .exactKeep(evBatch, payload, $"event_id")
+        .select(md5(payload).as("fp")).as[String].collect()
+      assert(batchFps.length == batchFps.distinct.length)
+      assert(streamedFps.toSet == batchFps.toSet,
+        s"stream/batch divergence: stream=${streamedFps.length} batch=${batchFps.length}")
+    } finally q.stop()
+  }
+
   test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
     val gapUs = 43200000000L // same 12h gap as the batch query
     // real sf0.001 events, µs-normalized exactly like the batch twin

@@ -33,6 +33,28 @@ class TablesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || scan.contains("status"), scan)
   }
 
+  test("loadSheets reads a sheet-per-file workbook and round-trips through bindRows") {
+    import spark.implicits._
+    val wb = Files.createTempDirectory("graft_workbook").toString
+    // 3 sheets, mixed formats, overlapping-but-not-identical schemas —
+    // the reference's excel_sheets |> map(read_xls) |> bind_rows shape
+    Seq(("2024", "10.5"), ("2025", "11.0")).toDF("ano", "valor")
+      .write.option("header", "true").csv(s"$wb/residencial.csv")
+    Seq(("2024", "3.2", "N")).toDF("ano", "valor", "flag")
+      .write.option("header", "true").csv(s"$wb/industrial.csv")
+    Seq(("2024", "7.7")).toDF("ano", "valor")
+      .write.parquet(s"$wb/comercial.parquet")
+    val sheets = sources.Tables.loadSheets(spark, wb)
+    assert(sheets.keySet == Set("residencial", "industrial", "comercial"))
+    // csv sheets arrive all-string (read_xls semantics)
+    assert(sheets("residencial").schema.fields.forall(_.dataType.typeName == "string"))
+    val bound = operators.Reshape.bindRows(
+      sheets.toSeq.sortBy(_._1).map { case (n, df) => df.withColumn("sheet", lit(n)) }: _*)
+    assert(bound.count() == 4)
+    assert(bound.columns.toSet == Set("ano", "valor", "flag", "sheet"))
+    assert(bound.filter(col("flag").isNull).count() == 3)
+  }
+
   test("writeCsv/loadCsv round-trips with an explicit schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = sources.Tables.load(spark, sf, "nation")
