@@ -10,7 +10,8 @@ object SparkEntry {
   /** All query groups, in SURVEY §2 order. */
   def registry: Seq[Q] =
     RelationalQueries.all ++ WranglingQueries.all ++ TemporalQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ MultimodalQueries.all
+      TextQueries.all ++ DedupQueries.all ++ MultimodalQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

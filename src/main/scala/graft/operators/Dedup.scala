@@ -259,4 +259,58 @@ object Dedup {
       seed: Long = 42L): DataFrame =
     embeddingCosine(df, id, vec,
       Similarity.hyperplaneBucket(vec, dim, nPlanes, seed), threshold)
+
+  /** Connected components over an undirected near-dup pair list —
+    * the step that turns pairwise findings into KEEP-ONE-PER-CLUSTER
+    * decisions (transitive closure: A≈B, B≈C ⇒ {A,B,C} is one
+    * duplicate cluster even if A and C never paired).
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round takes the min label across itself and its neighbors;
+    * fixpoint in O(component diameter) rounds. Each round is one
+    * equi-join + partial-aggregated groupBy (no cartesian work), and
+    * `localCheckpoint` truncates lineage so round N's plan does not
+    * replay rounds 1..N-1 — the standard iterative-algorithm shape on
+    * Spark. Near-dup graphs have tiny diameters (clusters are
+    * renditions of one document), so rounds stay single-digit; the
+    * driver sees only one convergence counter per round, never data.
+    * Returns (id, component) with component = min id in the cluster.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      src: Column,
+      dst: Column,
+      maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp_new"))
+        .localCheckpoint()
+      changed = updated.filter(col("comp_new") < col("comp")).count()
+      labels = updated.select(col("id"), col("comp_new").as("comp"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-level dedup decision from a pair list: every node of each
+    * connected component except the min-id representative, i.e. the
+    * rows to DROP. Composes with any pair generator above.
+    */
+  def clusterDuplicates(pairs: DataFrame, src: Column, dst: Column): DataFrame =
+    connectedComponents(pairs, src, dst)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("drop_id"), col("comp").as("keep_id"))
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset-split assignment — the
+  * reproducibility layer every training-data pipeline needs: the same
+  * row lands in the same sample/split on every run, every engine, every
+  * cluster size (no RNG, no partition-order dependence, no seed
+  * drift between Spark versions).
+  *
+  * The bucket is pure integer arithmetic (Knuth multiplicative hash mod
+  * a prime, folded to 1000 per-mille buckets), so it is portable SQL —
+  * the DuckDB oracles replay it exactly. It is deliberately NOT
+  * cryptographic: keys are ids, the goal is stable stratification, and
+  * at 100 TB the whole thing stays a codegen'd projection — no shuffle,
+  * no UDF, no driver participation. For adversarial keys pre-hash with
+  * xxhash64 first (Spark-side only).
+  */
+object Sampling {
+
+  val buckets: Int = 1000
+
+  /** Per-mille bucket in [0, 1000) from an integer key. */
+  def hashBucket(key: Column): Column =
+    pmod(pmod(key.cast("long") * lit(2654435761L), lit(1000003L)), lit(buckets.toLong))
+
+  /** The same bucket as ANSI SQL over column name `key` (oracle twin). */
+  def hashBucketSql(key: String): String =
+    s"((($key * 2654435761) % 1000003) % ${buckets})"
+
+  /** Deterministic `fraction` sample: keeps rows whose bucket falls
+    * below fraction×1000. Same rows survive on every run and engine.
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(hashBucket(key) < math.round(fraction * buckets))
+  }
+
+  /** Deterministic train/val/test (or any) split assignment: `splits`
+    * maps label → weight; weights are normalized and laid out as
+    * contiguous bucket ranges, so every row gets exactly one label.
+    */
+  def splitAssign(
+      df: DataFrame,
+      key: Column,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights required")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * buckets)
+    }.tail
+    val b = hashBucket(key)
+    val expr = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((label, _), cut), rest) => when(b < cut, label).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+}

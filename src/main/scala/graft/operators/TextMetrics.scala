@@ -112,4 +112,34 @@ object TextMetrics {
           "[\\p{L}\\p{Nd}._%+-]+@[\\p{L}\\p{Nd}.-]+\\.[\\p{L}]{2,}", "<EMAIL>"),
         "https?://[^\\s]+", "<URL>"),
       "[0-9]{6,}", "<NUM>")
+
+  /** Per-document top-k terms by TF-IDF — the corpus-statistics
+    * primitive behind keyword extraction and topical filtering.
+    *
+    * Shape at scale: one explode over tokens, a partial-aggregated
+    * (doc, term) count, a term-level document-frequency aggregate
+    * joined back (broadcastable for bounded vocabularies), and a
+    * per-doc ranking window — every join/window keyed, nothing
+    * cartesian, no driver round-trip. Smoothed idf = ln((N+1)/(df+1)),
+    * scores rounded to 4 dp (oracle contract); ties rank by term asc.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int): DataFrame = {
+    val toks = df.select(id.as("id"), explode(tokens(text)).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(countDistinct(id).as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("score"))
+  }
 }

@@ -63,6 +63,32 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** E4: watermarked stream-stream interval join — each `left` event
+    * joins `right` events of the same key whose event time falls in
+    * [left.ts − lookback, left.ts]. Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * evict buffered state once the watermark passes — without the time
+    * bound a stream-stream join buffers forever (the classic unbounded-
+    * state failure). Columns: left must have (ts, `key`), right
+    * (ts, `key`) — right's are renamed `r_ts`/key to avoid ambiguity.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lookback: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right
+      .withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermarkDelay)
+      .withColumnRenamed(key, s"r_$key")
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("ts"))
+  }
+
   /** E2: stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout. Emits one row per CLOSED session (append
     * mode); open sessions close `gapUs` after their last event once the

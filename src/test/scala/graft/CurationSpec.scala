@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling}
+
+/** API invariants for the curation operators; exact value agreement is
+  * covered by the DuckDB oracles (q_sample_split, q_pack_sequences,
+  * q_tfidf_topterms).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign labels every row into contiguous deterministic splits") {
+    val df = spark.range(10000).toDF("id")
+    val out = Sampling.splitAssign(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000)
+    // deterministic: same assignment on re-run
+    val again = Sampling.splitAssign(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.join(again.withColumnRenamed("split", "split2"), "id")
+      .filter($"split" =!= $"split2").count() == 0)
+    // roughly proportional (multiplicative-hash striding over 1000
+    // buckets is near-uniform on sequential keys)
+    assert(counts("train") > 7000 && counts("train") < 9000, counts.toString)
+  }
+
+  test("hashSample keeps a stable subset of about the requested fraction") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.hashSample(df, col("id"), 0.1).as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df, col("id"), 0.1).as[Long].collect().toSet
+    assert(s1 == s2, "sample is not deterministic")
+    assert(s1.size > 700 && s1.size < 1300, s"10% of 10k -> got ${s1.size}")
+    // nested property: a 5% sample is a subset of the 10% sample
+    val s3 = Sampling.hashSample(df, col("id"), 0.05).as[Long].collect().toSet
+    assert(s3.subsetOf(s1), "samples are not nested")
+  }
+
+  test("packSequences: offsets stay under budget and sequences are contiguous per shard") {
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(4)).as("shard"),
+      (pmod(col("id") * 37, lit(300)) + 1).as("n_toks"))
+    val out = Packing.packSequences(docs, col("shard"), Seq(col("doc_id")),
+      col("n_toks"), budget = 512)
+      .select("doc_id", "shard", "n_toks", "seq_id", "tok_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1000)
+    assert(out.forall(_._5 < 512), "tok_offset must be < budget")
+    // within a shard, seq_id is non-decreasing in doc order and the
+    // exclusive cumulative sum reconstructs offsets exactly
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, seq, off) =>
+        assert(seq == cum / 512 && off == cum % 512)
+        cum += n
+      }
+    }
+  }
+}

@@ -101,6 +101,20 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 3, s"planted near-identical vector found at rank 1 for only $hits/5 queries")
   }
 
+  test("connectedComponents computes transitive closure over a pair list") {
+    // chain 1-2-3-4 (diameter 3, never directly paired end-to-end),
+    // pair 10-11, and 20-21-22 sharing hub 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val drops = graft.operators.Dedup.clusterDuplicates(pairs, col("id_a"), col("id_b"))
+      .select("drop_id").as[Long].collect().toSet
+    assert(drops == Set(2L, 3L, 4L, 11L, 21L, 22L))
+  }
+
   test("embeddingCosineLSH recovers planted near-dups with no blocking label") {
     val base = sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

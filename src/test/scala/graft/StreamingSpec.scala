@@ -123,6 +123,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E4 intervalJoin: stream-stream join matches pairs within the lookback only") {
+    val clicks = mkStream()
+    val views = mkStream()
+    val cdf = clicks.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val vdf = views.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .select(col("ts"), col("user_id"), col("event_id").as("view_id"))
+    val joined = EventStreams.intervalJoin(
+      cdf, vdf, key = "user_id", lookback = "1 hour", watermarkDelay = "10 minutes")
+      .select(col("event_id"), col("view_id"))
+    val q = joined.writeStream.format("memory").queryName("e4_out")
+      .outputMode("append").start()
+    try {
+      val base = 1000000000000L
+      val h = 3600000000L
+      // view 30min before click (in window), view 2h before (out),
+      // view AFTER the click (out: condition is backward-looking),
+      // same-time view for another user (key mismatch)
+      views.addData(
+        (tsOf(base - h / 2), 1L, 100L, "view", 0.0),
+        (tsOf(base - 2 * h), 1L, 101L, "view", 0.0),
+        (tsOf(base + h / 4), 1L, 102L, "view", 0.0),
+        (tsOf(base - h / 2), 2L, 103L, "view", 0.0))
+      clicks.addData((tsOf(base), 1L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      views.addData((tsOf(base + 10 * h), 8L, 999L, "view", 0.0))
+      clicks.addData((tsOf(base + 10 * h), 9L, 998L, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("e4_out").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 100L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("E3 stream == batch: dedupStream over real events keeps exactly one row per fingerprint, same set as Dedup.exactKeep") {
     val payload = concat_ws("|", $"user_id", $"event_type", $"value")
     val evBatch = sources.Tables.events(spark, sf)
