@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Packing, Sampling, TextMetrics}
+import graft.operators.{Dedup, Packing, Sampling, TextMetrics}
 
 /** Corpus-curation queries (SURVEY §2.D16-D19): corpus statistics
   * (TF-IDF), deterministic sampling / dataset splits, and sequence
@@ -67,6 +67,102 @@ object CurationQueries {
           col("split"),
           (Sampling.hashBucket(col("doc_id")) < 100).cast("int").as("in_sample"))
         .orderBy("doc_id")
+    },
+
+    // D20: the curation pipeline END-TO-END — quality gate → language
+    // gate → exact dedup (keep min-id winner) → deterministic split —
+    // proving the operators compose into the real corpus-prep job, with
+    // the whole chain replayed in DuckDB. A planted exact-duplicate
+    // rendition of every doc must be swallowed by the dedup stage.
+    Q(
+      "q_corpus_curate", {
+        val stop = TextMetrics.langMarkers.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        val hitCols = TextMetrics.langMarkers.map { case (l, ms) =>
+          val in = ms.map(w => s"'$w'").mkString("(", ", ", ")")
+          s"len(list_filter(tk, t -> t IN $in)) AS h_$l"
+        }.mkString(",\n    ")
+        val langs = TextMetrics.langMarkers.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents),
+           |t AS (SELECT doc_id, text, ${tkSql("text")} AS tk FROM docs),
+           |m AS (
+           |  SELECT doc_id, text,
+           |    len(tk) AS n_tokens,
+           |    CASE WHEN len(tk) > 0
+           |      THEN list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS mean_tok_len,
+           |    CASE WHEN len(text) > 0
+           |      THEN (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(tk) > 0
+           |      THEN len(list_filter(tk, t -> t IN $stop)) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS stop_ratio,
+           |    $hitCols
+           |  FROM t),
+           |q AS (
+           |  SELECT doc_id, text,
+           |    CAST(round(CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 0.4 ELSE 0.0 END
+           |        + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+           |        + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END
+           |        + CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.1 ELSE 0.0 END, 4) AS DOUBLE) AS quality,
+           |    $best AS best,
+           |    CASE WHEN $best = 0 THEN 'und' $cases END AS lang_pred
+           |  FROM m),
+           |f AS (SELECT * FROM q WHERE quality >= 0.5 AND lang_pred <> 'und'),
+           |k AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id FROM f GROUP BY 1),
+           |s AS (SELECT doc_id, lang_pred, quality FROM f
+           |      WHERE doc_id IN (SELECT keep_id FROM k))
+           |SELECT doc_id, lang_pred, quality,
+           |  CASE WHEN $b < 900 THEN 'train'
+           |       WHEN $b < 950 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val scored = TextMetrics.withLangId(
+        TextMetrics.withQuality(d.unionByName(planted), col("text")), col("text"))
+      val gated = scored.filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      val kept = Dedup.exactKeep(gated, col("text"), col("doc_id"))
+      Sampling.splitAssign(kept, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // C21: quantile bucketing — ntile quartiles per event type with a
+    // deterministic tiebreak, the binning step behind stratified
+    // quality thresholds.
+    Q(
+      "q_quantile_bucket",
+      """WITH n AS (
+        |  SELECT event_type, value,
+        |    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+        |  FROM events)
+        |SELECT event_type, CAST(quartile AS INT) AS quartile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(value), 4) AS lo,
+        |  round(max(value), 4) AS hi
+        |FROM n GROUP BY 1, 2
+        |ORDER BY event_type, quartile""".stripMargin
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      graft.sources.Tables.events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("event_type"), col("quartile").cast("int").as("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy("event_type", "quartile")
     },
 
     // D19: concat-then-chunk sequence packing under a 512-token budget,

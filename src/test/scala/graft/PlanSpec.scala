@@ -67,7 +67,8 @@ class PlanSpec extends SparkSpec {
 
   test("windows are partitioned - no global single-partition window anywhere") {
     for (name <- Seq("q_topn_per_group", "q_window_running", "q_sessionize",
-        "q_asof_join", "q_epe_shape_b")) {
+        "q_asof_join", "q_epe_shape_b", "q_pack_sequences", "q_quantile_bucket",
+        "q_tfidf_topterms")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = globalWindows(df)
       assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")
@@ -157,6 +158,14 @@ class PlanSpec extends SparkSpec {
     val reused = plan.contains("ReusedExchange")
     assert(scans <= 1 || reused,
       s"flagship scans orders $scans times with no exchange reuse:\n$plan")
+  }
+
+  test("tfidf aggregates partially and broadcasts the doc count") {
+    val df = SparkEntry.queries("q_tfidf_topterms")(spark, sf)
+    val plan = run(df)
+    assert(plan.contains("partial_"), s"tf counts not map-side combined:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"n_docs scalar not broadcast:\n$plan")
   }
 
   test("whole-stage codegen covers the relational hot paths") {
