@@ -313,4 +313,42 @@ object Dedup {
     connectedComponents(pairs, src, dst)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("drop_id"), col("comp").as("keep_id"))
+
+  /** Benchmark decontamination: per-document fraction of its distinct
+    * word n-grams that occur ANYWHERE in the probe corpus (eval/test
+    * sets) — the GPT-3-style overlap check that keeps benchmark text
+    * out of training data.
+    *
+    * Shape at scale: both sides reduce to 8-byte hashed shingles; the
+    * probe side collapses to a DISTINCT shingle set (size of the
+    * benchmark suite — small relative to the corpus, often
+    * broadcastable); the hit count is a semi-join + partial-aggregated
+    * count. Bipartite, so no self-join blowup; work is O(corpus
+    * shingles + probe shingles). Returns one row per document with ≥ 1
+    * shingle: (id, n_shingles, n_contaminated, contamination in [0,1]).
+    */
+  def contamination(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      probes: DataFrame,
+      probeText: Column,
+      n: Int = 5): DataFrame = {
+    val docSh = scaleOut(docs.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        explode(array_distinct(shingles(tokens(col("__text")), n))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh"))
+    val probeSh = scaleOut(probes.select(probeText.as("__text")))
+      .select(explode(array_distinct(shingles(tokens(col("__text")), n))).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+    val tot = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hit = docSh.join(probeSh, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hit, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("contamination"))
+  }
 }

@@ -137,6 +137,39 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D21: benchmark decontamination — every doc scored by the fraction
+    // of its 5-gram shingles found in a deterministic 5% "benchmark"
+    // probe set. Probe docs themselves must score 1.0; the oracle
+    // recomputes the bipartite overlap from scratch.
+    Q(
+      "q_decontaminate", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH tk0 AS (
+           |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM tk0 WHERE len(tk) >= 5)),
+           |probe AS (
+           |  SELECT DISTINCT s FROM sh
+           |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE $b < 50)),
+           |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+           |hit AS (
+           |  SELECT doc_id, count(*) AS n_contaminated
+           |  FROM sh WHERE s IN (SELECT s FROM probe) GROUP BY 1)
+           |SELECT t.doc_id AS id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           |  round(coalesce(n_contaminated, 0) * 1.0 / n_shingles, 4) AS contamination
+           |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+           |ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = Sampling.hashSample(d, col("doc_id"), 0.05)
+      Dedup.contamination(d, col("doc_id"), col("text"), probes, col("text"), n = 5)
+        .orderBy("id")
+    },
+
     // C21: quantile bucketing — ntile quartiles per event type with a
     // deterministic tiebreak, the binning step behind stratified
     // quality thresholds.

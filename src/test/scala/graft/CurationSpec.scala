@@ -39,6 +39,23 @@ class CurationSpec extends SparkSpec {
     assert(s3.subsetOf(s1), "samples are not nested")
   }
 
+  test("contamination scores probe members 1.0 and disjoint docs 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      // doc 3 shares its first 8 words with doc 1 (= probe)
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val probes = docs.filter($"doc_id" === 1L)
+    val full = graft.operators.Dedup.contamination(
+        docs, col("doc_id"), col("text"), probes, col("text"), n = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(full(1L)._4 == 1.0, s"probe doc not fully contaminated: ${full(1L)}")
+    assert(full(2L)._4 == 0.0, s"disjoint doc contaminated: ${full(2L)}")
+    // doc 3: 6 shingles, 4 of them inside the shared 8-word prefix
+    assert(full(3L)._2 == 6L && full(3L)._3 == 4L, full(3L).toString)
+  }
+
   test("packSequences: offsets stay under budget and sequences are contiguous per shard") {
     val docs = spark.range(1000).select(
       col("id").as("doc_id"),
