@@ -167,12 +167,29 @@ object Reshape {
   }
 
   /** Bulk cast across regex-matched columns (mutate(across(matches(),
-    * as.numeric)), tratamento_epe.R:144,182).
+    * as.numeric)), tratamento_epe.R:144,182). ANSI semantics: a
+    * malformed cell FAILS the job. Use [[castMatchingSafe]] for the
+    * reference's actual behavior (R's as.numeric coerces to NA).
     */
   def castMatching(df: DataFrame, pattern: String, to: String): DataFrame = {
     val re = pattern.r
     val cols = df.columns.map { c =>
       if (re.findFirstIn(c).isDefined) col(c).cast(to).as(c) else col(c)
+    }
+    df.select(cols: _*)
+  }
+
+  /** [[castMatching]] with R's `as.numeric` coercion semantics: cells
+    * that don't parse become null instead of failing the job
+    * (`try_cast`). This is what a real Excel sheet needs — headers
+    * mid-data, '-' placeholders, stray footnotes — and exactly what the
+    * reference relies on (tratamento_epe.R:144 produces NAs with a
+    * warning, then filters them).
+    */
+  def castMatchingSafe(df: DataFrame, pattern: String, to: String): DataFrame = {
+    val re = pattern.r
+    val cols = df.columns.map { c =>
+      if (re.findFirstIn(c).isDefined) expr(s"try_cast(`$c` AS $to)").as(c) else col(c)
     }
     df.select(cols: _*)
   }

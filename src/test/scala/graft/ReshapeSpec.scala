@@ -49,6 +49,19 @@ class ReshapeSpec extends SparkSpec {
     assert(out.schema("id").dataType.typeName === "string")
   }
 
+  test("castMatchingSafe coerces malformed cells to null (as.numeric NA semantics)") {
+    val df = Seq(("1", "2.5"), ("-", "oops"), ("3", "")).toDF("m1", "m2")
+    val out = Reshape.castMatchingSafe(df, "^m[0-9]+$", "double")
+      .orderBy("m1").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(out.toSet === Set(
+      (Some(1.0), Some(2.5)), (None, None), (Some(3.0), None)))
+    // strict variant fails on the same data (ANSI contract)
+    intercept[Exception] {
+      Reshape.castMatching(df, "^m[0-9]+$", "double").collect()
+    }
+  }
+
   test("fillDownCols carries last non-null forward within partition") {
     val df = Seq(
       ("a", 1, Some(10)), ("a", 2, None), ("a", 3, None), ("a", 4, Some(40)), ("a", 5, None),

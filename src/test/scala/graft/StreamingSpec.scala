@@ -123,6 +123,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E1 parquet sink: windowed aggregates land in files via a checkpointed query") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, "1 hour", "2 hours")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      val h = 3600000000L
+      input.addData(
+        (tsOf(0L), 1L, 1L, "click", 1.0),
+        (tsOf(10L * 1000000), 1L, 2L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData((tsOf(10L * h), 3L, 4L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/out")
+      .select("bucket_us", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(out.contains((0L, "click", 2L, 3.0)), s"got $out")
+  }
+
   test("E4 intervalJoin: stream-stream join matches pairs within the lookback only") {
     val clicks = mkStream()
     val views = mkStream()
