@@ -170,6 +170,35 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // C22: interval attribution — each purchase joined to the same
+    // user's clicks in the preceding hour (equi-join on user with a
+    // two-sided time bound, the batch twin of streaming E4
+    // intervalJoin; StreamingSpec proves stream==batch on this table).
+    Q(
+      "q_interval_attribution",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  CAST(p.ts_us - c.ts_us AS BIGINT) AS lag_us
+        |FROM e p JOIN e c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_us"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("p_us") - col("c_us")).as("lag_us"))
+        .orderBy("user_id", "purchase_id", "click_id")
+    },
+
     // C21: quantile bucketing — ntile quartiles per event type with a
     // deterministic tiebreak, the binning step behind stratified
     // quality thresholds.

@@ -180,6 +180,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E4 stream == batch: intervalJoin over real events matches q_interval_attribution") {
+    val ev = sources.Tables.events(spark, sf)
+      .select("ts", "user_id", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val purchases = mkStream()
+    val clicks = mkStream()
+    val pdf = purchases.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .select(col("ts"), col("user_id"), col("event_id").as("purchase_id"))
+    val cdf = clicks.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+    val q = EventStreams.intervalJoin(pdf, cdf, key = "user_id",
+        lookback = "1 hour", watermarkDelay = "1 minute")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName("e4_twin").outputMode("append").start()
+    try {
+      purchases.addData(ev.filter(_._4 == "purchase").toSeq)
+      clicks.addData(ev.filter(_._4 == "click").toSeq)
+      q.processAllAvailable()
+      val maxUs = ev.map(e => e._1.getTime * 1000L).max
+      purchases.addData((tsOf(maxUs + 86400000000L), -1L, -1L, "purchase", 0.0))
+      clicks.addData((tsOf(maxUs + 86400000000L), -2L, -2L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("e4_twin").filter($"user_id" >= 0)
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_interval_attribution")(spark, sf)
+        .select("user_id", "purchase_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("E3 stream == batch: dedupStream over real events keeps exactly one row per fingerprint, same set as Dedup.exactKeep") {
     val payload = concat_ws("|", $"user_id", $"event_type", $"value")
     val evBatch = sources.Tables.events(spark, sf)
