@@ -43,6 +43,18 @@ object Probe {
       .agg(count(lit(1)).as("n_inter"))
     time("pair join + group")(inter.count())
 
+    // ALTERNATIVE: df-cap via a window over the existing sh partitioning
+    // (one pass; no rare-groupBy, no semi-join)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val idx2 = sh.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") >= 2 && col("__df") <= 20).drop("__df")
+    val inter2 = idx2.as("a")
+      .join(idx2.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    time("windowed df-cap pair join")(inter2.count())
+    println(s"[probe] pair parity: ${inter.count()} vs ${inter2.count()}")
+
     spark.stop()
   }
 }
