@@ -80,10 +80,11 @@ object Dedup {
       explode(array((0 until bands).map { b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
       }: _*)).as("bucket"))
-    val keptBuckets = bucketed.groupBy("bucket").count()
-      .filter(col("count") <= maxBucket && col("count") >= 2)
-      .select("bucket")
-    val b = bucketed.join(keptBuckets, Seq("bucket"), "left_semi")
+    // degenerate-bucket cap in one pass: count window over the bucket
+    // (same shape as the df-cap in ngramJaccard — no groupBy+semi-join)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val b = bucketed.withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucket && col("__n") >= 2).drop("__n")
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
