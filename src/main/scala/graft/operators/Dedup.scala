@@ -21,10 +21,17 @@ object Dedup {
     df.groupBy(md5(text).as("fp"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Rows of `df` surviving exact dedup (the min-id representative). */
+  /** Rows of `df` surviving exact dedup (the min-id representative).
+    * Window form, not groupBy+semi-join: one shuffle on the
+    * fingerprint, ONE evaluation of the input (the join form ran the
+    * upstream pipeline once per side), no join. `id` must be unique —
+    * the rank-1 row per fingerprint is then exactly the min-id winner.
+    */
   def exactKeep(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val winners = exact(df, text, id).select(col("keep_id"))
-    df.join(winners, id === col("keep_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(text)).orderBy(id.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** MinHash + LSH near-duplicate pairs.

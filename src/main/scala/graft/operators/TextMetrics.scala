@@ -26,29 +26,40 @@ object TextMetrics {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "den"),
     "pt" -> Seq("o", "os", "um", "uma", "não", "mais", "como", "mas", "foi", "são"))
 
+  /** Evaluate `f` over the token array with the array bound as a
+    * LAMBDA VARIABLE: interpreted HOF eval re-runs any non-lambda-var
+    * subtree once per reference, so sibling expressions that each
+    * mention `tokens(text)` re-tokenize the document once APIECE.
+    * Computing every metric inside one lambda (returning a struct)
+    * tokenizes exactly once per row. See SURVEY §5 / functions.shingles.
+    */
+  private def overTokens(text: Column)(f: Column => Column): Column =
+    get(transform(array(tokens(text)), f), lit(0))
+
   /** Per-language marker hit count over the token array. */
   private def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit): _*)))
 
   /** Language-ID heuristic: argmax of marker hits, earlier language
-    * wins ties, zero hits → "und". Returns (lang, hits) struct-free via
-    * two columns from `withLangId`.
+    * wins ties, zero hits → "und". One tokenization per row: all five
+    * marker counts come out of a single struct lambda, and the struct
+    * lands in its OWN projection — CollapseProject refuses to inline an
+    * expensive expression referenced more than once, so downstream
+    * getFields read the materialized struct instead of re-running it.
     */
-  def langIdCols(text: Column): (Column, Column) = {
-    val toks = tokens(text)
-    val hits = langMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
+  def withLangId(df: DataFrame, text: Column): DataFrame = {
+    val hitStruct = overTokens(text) { tk =>
+      struct(langMarkers.map { case (l, ms) => markerHits(tk, ms).as(s"h_$l") }: _*)
+    }
+    val tmp = df.withColumn("__lm", hitStruct)
+    val hits = langMarkers.map { case (l, _) => l -> col("__lm").getField(s"h_$l") }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight means the FIRST matching language in list order wins:
+    // each earlier when() shadows later ones.
     val lang = hits.foldRight(lit("und")) { case ((l, h), alt) =>
       when(h === best && best > 0, lit(l)).otherwise(alt)
     }
-    // foldRight means the FIRST matching language in list order wins:
-    // each earlier when() shadows later ones.
-    (lang, best)
-  }
-
-  def withLangId(df: DataFrame, text: Column): DataFrame = {
-    val (lang, hits) = langIdCols(text)
-    df.withColumn("lang_pred", lang).withColumn("lang_hits", hits)
+    tmp.withColumn("lang_pred", lang).withColumn("lang_hits", best).drop("__lm")
   }
 
   /** Quality signals: token count, mean token length, punctuation
@@ -57,31 +68,39 @@ object TextMetrics {
     * All ratios are rounded to 4 dp (oracle contract).
     */
   def withQuality(df: DataFrame, text: Column): DataFrame = {
-    val toks = tokens(text)
+    val stop = langMarkers.flatMap(_._2).distinct
+    // every token-derived count in ONE lambda → one tokenization/row;
+    // the struct projection stays separate (see withLangId)
+    val tokStruct = overTokens(text) { tk =>
+      struct(
+        size(tk).as("n_toks"),
+        aggregate(tk, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
+        size(filter(tk, t => t.isin(stop.map(lit): _*))).as("n_stop"))
+    }
+    val tmp = df.withColumn("__qt", tokStruct)
+    val nToks = col("__qt").getField("n_toks")
     val nChars = length(text)
-    val nToks = size(toks)
     val nPunct = length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
     val nUpper = length(text) - length(regexp_replace(text, "[A-Z]", ""))
-    val stop = langMarkers.flatMap(_._2).distinct
-    val nStop = size(filter(toks, t => t.isin(stop.map(lit): _*)))
     val meanTokLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
-      .otherwise(0.0)
+      col("__qt").getField("tok_chars").cast("double") / nToks).otherwise(0.0)
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
     val upperRatio = when(nChars > 0, nUpper.cast("double") / nChars).otherwise(0.0)
-    val stopRatio = when(nToks > 0, nStop.cast("double") / nToks).otherwise(0.0)
+    val stopRatio = when(nToks > 0,
+      col("__qt").getField("n_stop").cast("double") / nToks).otherwise(0.0)
     // Composite: in-range token length, some stopwords, low punctuation.
     val score =
       (when(meanTokLen >= 3 && meanTokLen <= 10, 0.4).otherwise(0.0)
         + when(stopRatio >= 0.05, 0.3).otherwise(0.0)
         + when(punctRatio <= 0.1, 0.2).otherwise(0.0)
         + when(nToks >= 10 && nToks <= 10000, 0.1).otherwise(0.0))
-    df.withColumn("n_tokens", nToks.cast("long"))
+    tmp.withColumn("n_tokens", nToks.cast("long"))
       .withColumn("mean_tok_len", round(meanTokLen, 4))
       .withColumn("punct_ratio", round(punctRatio, 4))
       .withColumn("upper_ratio", round(upperRatio, 4))
       .withColumn("stop_ratio", round(stopRatio, 4))
       .withColumn("quality", round(score, 4))
+      .drop("__qt")
   }
 
   /** Token counts: whitespace words and a BPE-ish sub-word regex
