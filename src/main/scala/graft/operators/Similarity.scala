@@ -64,6 +64,98 @@ object Similarity {
     }
   }
 
+  /** Squared-distance scores of `vec` against every centroid, as one
+    * array column: dist²(v,c) = v·v − 2c·v + c·c, and v·v is constant
+    * per row, so ranking uses score_c = c·c − 2·(c·v). Each c·v is the
+    * codegen'd DotProduct; the array lands in ONE projection so the
+    * interpreted array ops read a materialized value.
+    */
+  private def centroidScores(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map { c =>
+      lit(c.map(x => x * x).sum) - dot(vec, array(c.map(lit): _*)) * 2d
+    }: _*)
+
+  /** Deterministic k-means coarse quantizer for IVF: seeded init (the
+    * `nCentroids` lowest-id vectors), `iters` Lloyd rounds where the
+    * assignment is a distributed argmin over broadcast centroid
+    * literals and the re-estimation is one posexplode + groupBy(avg).
+    * Centroids are k×dim doubles — driver metadata by definition (like
+    * column names), NOT data on the driver; every per-row computation
+    * stays distributed and codegen'd. Empty clusters keep their old
+    * centroid. Returns the trained centroids.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      nCentroids: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    val base = corpus.select(id.as("id"), vec.as("v"))
+    var centroids = base.orderBy(col("id").asc).limit(nCentroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val scored = base.withColumn("__scores", centroidScores(col("v"), centroids))
+      val assigned = scored.withColumn("cluster",
+        expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** ANN top-k via IVF (inverted-file index): corpus vectors are
+    * bucketed by nearest coarse centroid; each query probes its
+    * `nProbe` nearest centroid buckets and pays exact cosine only
+    * there. The standard large-scale ANN layout (FAISS-style IVF-Flat)
+    * expressed as two equi-joins — candidate work is
+    * O(|corpus|·nProbe/nCentroids) per query, never cartesian, and the
+    * bucket assignment reuses the codegen'd DotProduct kernel.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: Column,
+      corpusVec: Column,
+      queryId: Column,
+      queryVec: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, corpusId, corpusVec, nCentroids, iters)
+    val c = corpus.select(corpusId.as("id"), corpusVec.as("v"))
+      .withColumn("__scores", centroidScores(col("v"), centroids))
+      .withColumn("cluster",
+        expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
+      .drop("__scores")
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__s").asc, col("cluster").asc)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("__scores", centroidScores(col("qv"), centroids))
+      .select(col("query_id"), col("qv"),
+        posexplode(col("__scores")).as(Seq("cluster", "__s")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_key").desc, col("id").asc)
+    c.join(broadcast(q), "cluster")
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("sim_key", round(col("cos_sim"), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** ANN top-k restricted to the query's hyperplane bucket. Recall is
     * tunable via nPlanes (fewer planes → bigger buckets → higher
     * recall, more cosine work). The candidate join is an equi-join on

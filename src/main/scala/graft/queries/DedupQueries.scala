@@ -311,6 +311,21 @@ object DedupQueries {
           queryId = col("vec_id"), queryVec = col("v"),
           k = 5, dim = 64, nPlanes = 8, seed = 42L)
         .orderBy("query_id", "rank")
+    },
+
+    // D7b: ANN via IVF (FAISS-style inverted file) — deterministic
+    // seeded k-means coarse quantizer, nProbe bucket probing. The
+    // Lloyd iterations aren't portable SQL → rows-only; SimilaritySpec
+    // measures recall against the exact brute-force oracle.
+    Q.rowsOnly("q_ann_ivf") { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.ivfTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          corpusId = col("vec_id"), corpusVec = col("v"),
+          queryId = col("vec_id"), queryVec = col("v"),
+          k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
     }
   )
 }

@@ -115,6 +115,28 @@ class DedupSpec extends SparkSpec {
     assert(drops == Set(2L, 3L, 4L, 11L, 21L, 22L))
   }
 
+  test("ivfTopK: deterministic training, high recall vs brute force on probed buckets") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = base.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(base, queries, col("vec_id"), col("v"),
+        col("vec_id"), col("v"), k = 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    val brute = Similarity.bruteForceTopK(base, queries, col("vec_id"), col("v"),
+        col("vec_id"), col("v"), k = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    // determinism: training twice yields the same result set
+    val again = Similarity.ivfTopK(base, queries, col("vec_id"), col("v"),
+        col("vec_id"), col("v"), k = 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    assert(ivf.toSet == again.toSet, "IVF training is not deterministic")
+    // recall@5 vs exact top-1: the true nearest neighbor should be in
+    // the IVF top-5 for most queries (probing 4/16 buckets)
+    val top5 = ivf.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val hits = brute.count { case (qid, nn) => top5.getOrElse(qid, Set.empty).contains(nn) }
+    assert(hits >= 7, s"IVF recall@5 of exact-NN too low: $hits/10")
+  }
+
   test("embeddingCosineLSH recovers planted near-dups with no blocking label") {
     val base = sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
