@@ -363,4 +363,49 @@ object Dedup {
         round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 4)
           .as("contamination"))
   }
+
+  /** `contamination` with a Bloom pre-filter on the corpus side —
+    * identical output (Bloom filters have no false negatives and an
+    * exact semi-join confirm removes the false positives), different
+    * scale shape: the probe's distinct shingle set is compressed into
+    * a bits-only sketch (~1.2 MB per 1M shingles at 1% fpp) that
+    * travels to every task, so the 100 TB corpus side discards
+    * non-candidate shingles BEFORE the exchange instead of shuffling
+    * all of them into the semi-join. Only true hits + the fpp share of
+    * misses reach the confirm-join.
+    *
+    * The probe shingle set is localCheckpoint'd: it feeds two jobs
+    * (sketch build + confirm join) and is benchmark-suite-sized by
+    * assumption — the reason a bloom pre-filter wins in the first
+    * place.
+    */
+  def contaminationBloom(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      probes: DataFrame,
+      probeText: Column,
+      n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val docSh = scaleOut(docs.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        explode(array_distinct(shingles(tokens(col("__text")), n))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh"))
+    val probeSh = scaleOut(probes.select(probeText.as("__text")))
+      .select(explode(array_distinct(shingles(tokens(col("__text")), n))).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val nProbe = math.max(probeSh.count(), 1000L)
+    val bloom = probeSh.stat.bloomFilter("sh", nProbe, fpp)
+    val tot = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hit = docSh.filter(BloomMightContain.mightContain(col("sh"), bloom))
+      .join(probeSh, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hit, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("contamination"))
+  }
 }

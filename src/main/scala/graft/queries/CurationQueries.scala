@@ -170,6 +170,40 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // D21b: decontamination via Bloom pre-filter — EXACT same semantics
+    // (no false negatives + exact confirm-join), so the oracle is the
+    // same bipartite overlap recomputed from scratch; the corpus side
+    // drops non-candidates before the shuffle. 8% probe slice to keep
+    // the query distinct from q_decontaminate.
+    Q(
+      "q_decontaminate_bloom", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH tk0 AS (
+           |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM tk0 WHERE len(tk) >= 5)),
+           |probe AS (
+           |  SELECT DISTINCT s FROM sh
+           |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE $b < 80)),
+           |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+           |hit AS (
+           |  SELECT doc_id, count(*) AS n_contaminated
+           |  FROM sh WHERE s IN (SELECT s FROM probe) GROUP BY 1)
+           |SELECT t.doc_id AS id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           |  round(coalesce(n_contaminated, 0) * 1.0 / n_shingles, 4) AS contamination
+           |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+           |ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = Sampling.hashSample(d, col("doc_id"), 0.08)
+      Dedup.contaminationBloom(d, col("doc_id"), col("text"), probes, col("text"), n = 5)
+        .orderBy("id")
+    },
+
     // C22: interval attribution — each purchase joined to the same
     // user's clicks in the preceding hour (equi-join on user with a
     // two-sided time bound, the batch twin of streaming E4

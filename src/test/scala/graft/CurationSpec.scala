@@ -56,6 +56,32 @@ class CurationSpec extends SparkSpec {
     assert(full(3L)._2 == 6L && full(3L)._3 == 4L, full(3L).toString)
   }
 
+  test("contaminationBloom is row-identical to exact contamination on real documents") {
+    val d = sources.Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val probes = Sampling.hashSample(d, col("doc_id"), 0.08)
+    val exact = graft.operators.Dedup.contamination(
+        d, col("doc_id"), col("text"), probes, col("text"), n = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val bloom = graft.operators.Dedup.contaminationBloom(
+        d, col("doc_id"), col("text"), probes, col("text"), n = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && bloom == exact,
+      s"bloom/exact diverge: ${(bloom -- exact).take(3)} vs ${(exact -- bloom).take(3)}")
+  }
+
+  test("BloomMightContain: no false negatives, bounded false positives, codegen-evaluated") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 1000L).foreach(i => bf.putLong(i * 7919L))
+    val keys = spark.range(20000).select((col("id") - 10000L).as("k"))
+    val hits = keys.filter(graft.functions.BloomMightContain.mightContain(col("k") * 7919L, bf))
+      .as[Long].collect().toSet
+    val members = (0L until 1000L).toSet
+    assert(members.subsetOf(hits), "bloom dropped a true member (false negative)")
+    assert(hits.size - members.size < 400,
+      s"fp count ${hits.size - members.size} far above 1% of 19000 trials")
+  }
+
   test("packSequences: offsets stay under budget and sequences are contiguous per shard") {
     val docs = spark.range(1000).select(
       col("id").as("doc_id"),
