@@ -132,6 +132,45 @@ object TextMetrics {
         "https?://[^\\s]+", "<URL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** Overlapping token-window chunking — the context-window splitter a
+    * training pipeline runs right before tokenization/packing: each
+    * document becomes ceil(n/stride) chunks of up to `chunkSize`
+    * tokens starting at 0, stride, 2·stride, … (< n), so consecutive
+    * chunks overlap by `chunkSize - stride` tokens and every token is
+    * covered. Trailing chunks may be short; documents with zero tokens
+    * emit nothing.
+    *
+    * Shape at scale: one projection materializes the token array, one
+    * generate (posexplode over a `sequence` of starts — start count is
+    * data-dependent, never collected), one projection slices — all
+    * codegen'd builtins, embarrassingly parallel, zero shuffle. The
+    * slice reads the generate's output ATTRIBUTE, not the token
+    * expression tree, so the document is tokenized exactly once (the
+    * interpreted-HOF re-evaluation trap, SURVEY §5).
+    *
+    * Returns (id, chunk_id, chunk_text, n_tokens).
+    */
+  def chunkTokens(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize]: stride=$stride chunkSize=$chunkSize")
+    df.select(id.as("id"), tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 1)
+      .select(col("id"), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col("id"), col("chunk_id").cast("int").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__n") - col("__start")).cast("long").as("n_tokens"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the corpus-statistics
     * primitive behind keyword extraction and topical filtering.
     *

@@ -220,6 +220,24 @@ object TextQueries {
           size(col("fps")).cast("long").as("n_fp"),
           size(array_distinct(col("fps"))).cast("long").as("n_distinct_fp"))
         .orderBy("doc_id")
+    },
+
+    // D22: overlapping token-window chunking (context-window splitter):
+    // 128-token chunks every 64 tokens; trailing chunks short, every
+    // token covered. DuckDB unrolls the same windows via range().
+    Q(
+      "q_text_chunk",
+      s"""WITH tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+         |s AS (SELECT doc_id, tk, len(tk) AS n FROM tk0 WHERE len(tk) >= 1),
+         |c AS (SELECT doc_id, n, tk, unnest(range(0, n, 64)) AS start FROM s)
+         |SELECT doc_id AS id, CAST(start // 64 AS INT) AS chunk_id,
+         |  array_to_string(tk[start + 1 : start + 128], ' ') AS chunk_text,
+         |  CAST(least(128, n - start) AS BIGINT) AS n_tokens
+         |FROM c ORDER BY id, chunk_id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.chunkTokens(table(s, dir, "documents"),
+          col("doc_id"), col("text"), chunkSize = 128, stride = 64)
+        .orderBy("id", "chunk_id")
     }
   )
 }

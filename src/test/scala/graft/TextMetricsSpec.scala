@@ -63,4 +63,28 @@ class TextMetricsSpec extends SparkSpec {
       .select("doc_id", "quality").as[(Long, Double)].collect().toMap
     assert(q(1L) > q(2L), s"expected doc 1 to outscore doc 2: $q")
   }
+
+  test("chunkTokens: full coverage, correct overlap, short tail, empty docs dropped") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "...")                            // zero tokens after normalization
+    ).toDF("id", "text")
+    val out = TextMetrics.chunkTokens(df, col("id"), col("text"), chunkSize = 4, stride = 2)
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 3 emits nothing
+    assert(!out.exists(_._1 == 3L))
+    // doc 1: starts 0,2,4,6,8 -> five chunks, last one short
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(d1.head._3 == "t0 t1 t2 t3" && d1(1)._3 == "t2 t3 t4 t5")
+    assert(d1.last._3 == "t8 t9" && d1.last._4 == 2L)
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    // every token index appears in some chunk (coverage)
+    val covered = d1.flatMap(c => c._3.split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+    // doc 2: 3 tokens -> starts 0,2 -> chunks of 3 and 1 tokens
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(_._4).toSeq == Seq(3L, 1L))
+  }
 }
