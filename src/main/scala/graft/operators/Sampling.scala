@@ -37,6 +37,32 @@ object Sampling {
     df.filter(hashBucket(key) < math.round(fraction * buckets))
   }
 
+  /** Deterministic stratified sampling: EXACTLY ceil(fraction × |group|)
+    * rows from every group (so no stratum is ever empty), chosen by
+    * hash-bucket order with the key as tiebreak — the same rows on
+    * every run/engine, and nested across fractions (a 5% stratified
+    * sample is a subset of the 25% one, per group).
+    *
+    * `hashSample` keeps a fraction only in expectation per stratum;
+    * this is the exact-quota form used for balanced eval sets and
+    * per-source corpus mixing. Cost: one shuffle on the group key
+    * shared by both window functions (rank + group count) — no second
+    * aggregation pass, no join, no driver participation.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+    val rk = row_number().over(w.orderBy(hashBucket(key).asc, key.asc))
+    val n = count(lit(1)).over(w)
+    df.withColumn("__rk", rk).withColumn("__n", n)
+      .filter(col("__rk") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rk", "__n")
+  }
+
   /** Deterministic train/val/test (or any) split assignment: `splits`
     * maps label → weight; weights are normalized and laid out as
     * contiguous bucket ranges, so every row gets exactly one label.

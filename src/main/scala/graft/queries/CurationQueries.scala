@@ -69,6 +69,28 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D18b: stratified sampling — exactly ceil(25% × |stratum|) docs
+    // per language, hash-bucket order with doc_id tiebreak; DuckDB
+    // replays the identical rank arithmetic.
+    Q(
+      "q_stratified_sample", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH s AS (
+           |  SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang ORDER BY $b, doc_id) AS rk,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM documents)
+           |SELECT doc_id, lang FROM s
+           |WHERE rk <= ceil(0.25 * n)
+           |ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      Sampling.stratifiedSample(
+          table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          group = col("lang"), key = col("doc_id"), fraction = 0.25)
+        .orderBy("doc_id")
+    },
+
     // D20: the curation pipeline END-TO-END — quality gate → language
     // gate → exact dedup (keep min-id winner) → deterministic split —
     // proving the operators compose into the real corpus-prep job, with

@@ -76,6 +76,32 @@ object Tables {
     }.toMap
   }
 
+  /** Raw-text corpus ingest — the shape LLM training corpora actually
+    * arrive in: directories of plain-text files. `wholeFile=false`
+    * (default) reads one record per line; `wholeFile=true` reads one
+    * record per FILE (the one-document-per-file layout). Each record
+    * carries its provenance as `source_file` — the lineage column every
+    * curation pipeline keys filtering/mixing decisions on. Splittable
+    * line mode scales to any file size; wholeFile is for corpora of
+    * many small documents (a file must fit in one task).
+    */
+  def loadTextCorpus(
+      spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame = {
+    val r = spark.read.option("wholetext", wholeFile.toString).text(path)
+    r.select(input_file_name().as("source_file"), col("value").as("text"))
+  }
+
+  /** ORC read/write — the other columnar format large lakes standardize
+    * on; built into Spark, same pushdown/pruning story as parquet.
+    */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** events with the ns-precision timestamp normalized to a µs
     * TimestampType column `ts` plus exact `ts_ns` (epoch nanos, long).
     * Parquet stores TIMESTAMP(NANOS) which Spark reads as long when

@@ -39,6 +39,22 @@ class CurationSpec extends SparkSpec {
     assert(s3.subsetOf(s1), "samples are not nested")
   }
 
+  test("stratifiedSample takes an exact nested quota from every group") {
+    val df = spark.range(3000).select(
+      col("id"), concat(lit("g"), pmod(col("id"), lit(7))).as("g"))
+    val s25 = Sampling.stratifiedSample(df, col("g"), col("id"), 0.25)
+      .as[(Long, String)].collect()
+    val sizes = df.groupBy("g").count().as[(String, Long)].collect().toMap
+    val got = s25.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    sizes.foreach { case (g, n) =>
+      assert(got(g) == math.ceil(0.25 * n).toLong, s"group $g: ${got(g)} of $n")
+    }
+    // nested: the 5% stratified sample is a subset of the 25% one
+    val s05 = Sampling.stratifiedSample(df, col("g"), col("id"), 0.05)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s05.subsetOf(s25.map(_._1).toSet), "stratified samples are not nested")
+  }
+
   test("contamination scores probe members 1.0 and disjoint docs 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -33,6 +33,34 @@ class TablesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || scan.contains("status"), scan)
   }
 
+  test("loadTextCorpus reads line and whole-file records with provenance") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus")
+    Files.write(dir.resolve("a.txt"), "first line\nsecond line\n".getBytes)
+    Files.write(dir.resolve("b.txt"), "only line of b\n".getBytes)
+    val lines = sources.Tables.loadTextCorpus(spark, dir.toString)
+      .as[(String, String)].collect()
+    assert(lines.length == 3)
+    assert(lines.filter(_._1.endsWith("a.txt")).map(_._2).toSet ==
+      Set("first line", "second line"))
+    val docs = sources.Tables.loadTextCorpus(spark, dir.toString, wholeFile = true)
+      .as[(String, String)].collect()
+    assert(docs.length == 2)
+    assert(docs.find(_._1.endsWith("a.txt")).get._2 == "first line\nsecond line\n")
+  }
+
+  test("ORC write/read round-trips with partition dirs") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val docs = sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    sources.Tables.writeOrc(docs, out, partitionBy = Seq("lang"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("lang=")), s"no partition dirs in ${dirs.toSeq}")
+    val back = sources.Tables.loadOrc(spark, out)
+    assert(back.count() == docs.count())
+    assert(back.columns.toSet == docs.columns.toSet)
+  }
+
   test("loadSheets reads a sheet-per-file workbook and round-trips through bindRows") {
     import spark.implicits._
     val wb = Files.createTempDirectory("graft_workbook").toString
