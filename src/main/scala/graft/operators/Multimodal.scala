@@ -138,6 +138,65 @@ object Multimodal {
       }(enc)
   }
 
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("media", BinaryType)))
+
+  /** Bit-deterministic nearest-neighbor resample: target pixel (x,y)
+    * reads source pixel (x·srcW/dstW, y·srcH/dstH) with integer math —
+    * no AWT rendering pipeline, whose interpolation can vary by JVM.
+    */
+  private def resizeNearest(
+      im: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, im.getRGB(x * im.getWidth / w, y * im.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Normalize every decodable image payload to `targetW`×`targetH`
+    * (the preprocessing step in front of any vision encoder) and
+    * re-encode as PNG — same partition-local batched kernel shape as
+    * `decodeFeatures`, zero shuffle. Undecodable payloads pass through
+    * unchanged with `decoded=false` and their declared dimensions, so
+    * one corrupt file quarantines instead of failing the task.
+    */
+  def resizeImages(
+      df: DataFrame, targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dimensions must be >= 1")
+    val enc = Encoders.row(resizedSchema)
+    df.select(col("doc_id"), col("media"), col("meta.width"), col("meta.height"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            val img =
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: Exception => None }
+            img match {
+              case Some(im) =>
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(resizeNearest(im, targetW, targetH), "png", bos)
+                Row(r.getLong(0), true, targetW, targetH, bos.toByteArray)
+              case None =>
+                Row(r.getLong(0), false, r.getInt(2), r.getInt(3), bytes)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for a (stub) video payload: every `stride`-th
     * chunk of `frameBytes` bytes becomes one "frame" row — the
     * explode-shaped op a video pipeline needs, expressed declaratively

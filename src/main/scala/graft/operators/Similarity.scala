@@ -83,14 +83,26 @@ object Similarity {
     * column names), NOT data on the driver; every per-row computation
     * stays distributed and codegen'd. Empty clusters keep their old
     * centroid. Returns the trained centroids.
+    *
+    * `trainFraction` < 1 trains on a deterministic hash-sample — the
+    * FAISS recipe at scale: a coarse quantizer needs only enough
+    * vectors per centroid to estimate means, so at 100 TB you train on
+    * a sliver and pay the full-corpus scan ONCE for assignment, not
+    * once per Lloyd round. The training set is localCheckpoint'd so the
+    * rounds iterate over materialized blocks, not a re-decoded parquet
+    * scan.
     */
   def trainIvfCentroids(
       corpus: DataFrame,
       id: Column,
       vec: Column,
       nCentroids: Int,
-      iters: Int = 5): Array[Array[Double]] = {
-    val base = corpus.select(id.as("id"), vec.as("v"))
+      iters: Int = 5,
+      trainFraction: Double = 1.0): Array[Array[Double]] = {
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0,1]")
+    val all = corpus.select(id.as("id"), vec.as("v"))
+    val base = (if (trainFraction < 1.0) Sampling.hashSample(all, col("id"), trainFraction)
+                else all).localCheckpoint()
     var centroids = base.orderBy(col("id").asc).limit(nCentroids)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -129,8 +141,10 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 5): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, corpusId, corpusVec, nCentroids, iters)
+      iters: Int = 5,
+      trainFraction: Double = 1.0): DataFrame = {
+    val centroids =
+      trainIvfCentroids(corpus, corpusId, corpusVec, nCentroids, iters, trainFraction)
     val c = corpus.select(corpusId.as("id"), corpusVec.as("v"))
       .withColumn("__scores", centroidScores(col("v"), centroids))
       .withColumn("cluster",

@@ -135,6 +135,14 @@ class DedupSpec extends SparkSpec {
     val top5 = ivf.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val hits = brute.count { case (qid, nn) => top5.getOrElse(qid, Set.empty).contains(nn) }
     assert(hits >= 7, s"IVF recall@5 of exact-NN too low: $hits/10")
+    // sample-trained quantizer (the 100 TB path: train on a sliver,
+    // assign the full corpus once) still serves a full top-k per query
+    val sampled = Similarity.ivfTopK(base, queries, col("vec_id"), col("v"),
+        col("vec_id"), col("v"), k = 5, nCentroids = 16, nProbe = 4,
+        trainFraction = 0.5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    assert(sampled.length == 50 && sampled.map(_._1).distinct.length == 10,
+      s"sample-trained IVF shape: ${sampled.length} rows")
   }
 
   test("embeddingCosineLSH recovers planted near-dups with no blocking label") {

@@ -71,6 +71,36 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.forall(r => r.getAs[Int]("width") >= 2 && r.getAs[Int]("width") <= 4))
   }
 
+  test("resizeImages downsamples with exact nearest-neighbor pixels; non-images pass through") {
+    // 4x4 PNG of 2x2 solid quadrants: NN-downsample to 2x2 must pick
+    // one exact quadrant color per target pixel
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val q = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, q((y / 2) * 2 + (x / 2)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes))
+      .toDF("doc_id", "media")
+      .withColumn("meta", struct(
+        lit("png").as("format"), lit(9).as("width"), lit(9).as("height"),
+        length(col("media")).cast("long").as("n_bytes")))
+    val out = Multimodal.resizeImages(df, targetW = 2, targetH = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getAs[Boolean]("decoded") && ok.getAs[Int]("width") == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ok.getAs[Array[Byte]]("media")))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    val got = for (y <- 0 until 2; x <- 0 until 2) yield back.getRGB(x, y) & 0xFFFFFF
+    assert(got == Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF), got.map(_.toHexString))
+    // non-image passes through unchanged, flagged, with declared dims
+    val bad = out(2L)
+    assert(!bad.getAs[Boolean]("decoded") && bad.getAs[Int]("width") == 9)
+    assert(new String(bad.getAs[Array[Byte]]("media")) == "not an image")
+  }
+
   test("sampleFrames emits strided fixed-size chunks") {
     val frames = Multimodal.sampleFrames(packed, frameBytes = 64, stride = 4)
     val byDoc = frames.groupBy("doc_id").agg(
