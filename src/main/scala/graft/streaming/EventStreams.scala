@@ -89,6 +89,26 @@ object EventStreams {
         col("r_ts") <= col("ts"))
   }
 
+  /** E5: stream-static enrichment — every streaming event joined to a
+    * static dimension table (user profiles, source registries, quality
+    * allowlists). The static side is broadcast, so the join is
+    * STATELESS: no watermark, no buffered state, each micro-batch pays
+    * one broadcast-hash probe — the scale-safe way to decorate a 100
+    * TB/day stream with reference data. Join types are restricted to
+    * the stream-side-preserving set (Spark cannot null-extend the
+    * static side of a stream-static join, and replicating the stream
+    * would be stateful).
+    */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "left"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"stream-static enrichment supports stream-preserving join types only, got $joinType")
+    events.join(broadcast(dim), Seq(key), joinType)
+  }
+
   /** E2: stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout. Emits one row per CLOSED session (append
     * mode); open sessions close `gapUs` after their last event once the

@@ -243,6 +243,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E5 enrich: stream-static broadcast join decorates events statelessly, matches batch") {
+    val evBatch = sources.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"event_id", $"event_type", $"value")
+    // static dimension: a per-user segment label
+    val dim = evBatch.select($"user_id").distinct()
+      .select($"user_id", concat(lit("seg"), pmod($"user_id", lit(5))).as("segment"))
+      .cache()
+    val ev = evBatch.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = EventStreams.enrich(df, dim, "user_id")
+      .select($"event_id", $"segment")
+      .writeStream.format("memory").queryName("e5_out").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("e5_out").as[(Long, String)].collect().toSet
+      val batch = evBatch.join(dim, Seq("user_id"))
+        .select($"event_id", $"segment").as[(Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"stream/batch enrichment divergence: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+    // stream-side-preserving join types only
+    intercept[IllegalArgumentException] {
+      EventStreams.enrich(spark.readStream.format("rate").load(), dim, "user_id", "right")
+    }
+  }
+
   test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
     val gapUs = 43200000000L // same 12h gap as the batch query
     // real sf0.001 events, µs-normalized exactly like the batch twin
