@@ -25,6 +25,12 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def intArg(e: Expression, what: String): Int = longArg(e, what).toInt
 
   // The kernels read raw ArrayData/UTF8String, so the SQL builders must
@@ -57,6 +63,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProduct(asDoubleArray(a), asDoubleArray(b))
         case _ => throw new IllegalArgumentException("dot_product(a, b)")
+      }),
+    ("unicode_normalize",
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => UnicodeNormalize(asString(text), "NFC")
+        case Seq(text, form) =>
+          val f = stringArg(form, "form").toUpperCase
+          if (!UnicodeNormalize.forms(f)) throw new IllegalArgumentException(
+            s"unicode_normalize form must be one of ${UnicodeNormalize.forms}, got $f")
+          UnicodeNormalize(asString(text), f)
+        case _ => throw new IllegalArgumentException("unicode_normalize(text[, form])")
       }))
 
   def registerAll(spark: SparkSession): Unit =

@@ -34,38 +34,55 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash + LSH near-duplicate pairs.
-    *
-    * Pipeline: word shingles → explode → xxhash64 → ONE hash aggregate
-    * computing all `numHashes` permutation minima as codegen'd `min`
-    * columns (the signature) → `bands` buckets per doc (xxhash64 of
-    * each signature slice) → bucket-local self-join for candidate
-    * pairs → exact signature agreement estimates Jaccard.
-    *
-    * Scale: the signature is built by explode + partial-aggregated
-    * groupBy — map-side combine reduces each doc to `numHashes` longs
-    * before the (only) shuffle, and everything on the hot path is
-    * whole-stage codegen (a per-row HOF form would run interpreted and
-    * re-evaluate the shingle tree per permutation — 64× slower). Work
-    * is O(shingles) + O(docs × bands) + bucket-local joins; never
-    * cartesian. `maxBucket` drops degenerate buckets (thousands of
-    * identical boilerplate docs) the way web-scale dedup drops
-    * ubiquitous shingles; AQE skew-join splitting covers the rest.
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b. Docs with
-    * fewer than `shingleSize` tokens have no shingles and cannot pair.
+  /** The content-fingerprint index of a corpus: one distinct md5 per
+    * document rendition. This is the table an incremental pipeline
+    * PERSISTS (and appends each accepted shard's fingerprints to) so
+    * arriving shards dedup against the whole corpus without reading it.
     */
-  def minHashLSH(
+  def fingerprintIndex(df: DataFrame, text: Column): DataFrame =
+    df.select(md5(text).as("fp")).distinct()
+
+  /** Incremental exact dedup — the shard-arrival pattern: rows of a
+    * NEW shard that survive (a) dedup within the shard (min-id winner,
+    * [[exactKeep]]) and (b) an anti-join against the EXISTING corpus
+    * fingerprint index ([[fingerprintIndex]], read back from storage).
+    *
+    * Scale shape: the corpus is never re-read — only its fingerprint
+    * index (16 bytes/doc) joins, and the anti-join shuffles the small
+    * shard plus the index on the fingerprint. Store the index bucketed
+    * by `fp` ([[graft.sources.Tables.writeBucketed]]) and the index
+    * side of every arrival is pre-shuffled too. Appending the surviving
+    * shard's fingerprints keeps the index current without rebuilds.
+    */
+  def exactIncremental(
+      shard: DataFrame,
+      text: Column,
+      id: Column,
+      corpusIndex: DataFrame,
+      corpusFp: Column): DataFrame =
+    exactKeep(shard, text, id)
+      .join(corpusIndex.select(corpusFp.as("__cfp")),
+        md5(text) === col("__cfp"), "left_anti")
+
+  /** MinHash signature table (id, sig: array<long> of length
+    * `numHashes`) — the PERSISTABLE dedup index: write it once per
+    * corpus build, and incremental shards compare against it without
+    * re-signing the corpus (see [[minHashLSHIncremental]]).
+    *
+    * Built by explode + ONE partial-aggregated hash aggregate of
+    * `numHashes` codegen'd `min` columns — map-side combine reduces
+    * each doc to `numHashes` longs before the (only) shuffle. A per-row
+    * HOF form would run interpreted and re-evaluate the shingle tree
+    * per permutation — 64× slower (SURVEY §5). Docs with fewer than
+    * `shingleSize` tokens have no shingles and no signature row.
+    */
+  def minHashSignatures(
       df: DataFrame,
       id: Column,
       text: Column,
       numHashes: Int = 64,
-      bands: Int = 16,
       shingleSize: Int = 5,
-      threshold: Double = 0.5,
-      maxBucket: Int = 200,
       seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val prime = minHashPrime
     val params = minHashParams(numHashes, seed)
     // one interpreted HOF pass per doc (tokenize+shingle), then
@@ -77,16 +94,64 @@ object Dedup {
     val minCols = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(prime))).as(s"__m$i")
     }
-    val sigs = exploded
+    exploded
       .groupBy("id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-    val bucketed = sigs.select(
+  }
+
+  /** LSH band buckets (id, bucket) from a signature table: `bands`
+    * buckets per doc, each the hash of one signature slice. Pure
+    * projection + generate — reading a stored signature index costs no
+    * shuffle at all.
+    */
+  def minHashBuckets(
+      sigs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
       }: _*)).as("bucket"))
+  }
+
+  /** Estimated Jaccard = fraction of agreeing signature positions,
+    * rounded 4 dp. Interpreted HOF — confined to the candidate-pair
+    * set, never the per-document path.
+    */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    round(
+      aggregate(
+        zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes,
+      4)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: [[minHashSignatures]] → [[minHashBuckets]] →
+    * bucket-local self-join for candidate pairs → exact signature
+    * agreement estimates Jaccard.
+    *
+    * Scale: work is O(shingles) + O(docs × bands) + bucket-local
+    * joins; never cartesian. `maxBucket` drops degenerate buckets
+    * (thousands of identical boilerplate docs) the way web-scale dedup
+    * drops ubiquitous shingles; AQE skew-join splitting covers the
+    * rest. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minHashLSH(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucket: Int = 200,
+      seed: Long = 42L): DataFrame = {
+    val sigs = minHashSignatures(df, id, text, numHashes, shingleSize, seed)
+    val bucketed = minHashBuckets(sigs, numHashes, bands)
     // degenerate-bucket cap in one pass: count window over the bucket
     // (same shape as the df-cap in ngramJaccard — no groupBy+semi-join)
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
@@ -97,18 +162,56 @@ object Dedup {
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val est = cand
+    cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        round(
-          aggregate(
-            zip_with(col("sig_a"), col("sig_b"),
-              (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v).cast("double") / numHashes,
-          4))
-    est.filter(col("est_jaccard") >= threshold)
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Incremental MinHash near-dup: pairs between a NEW shard and an
+    * EXISTING corpus signature index — the arrival pattern at 100 TB,
+    * where re-signing the whole corpus per shard is the difference
+    * between an hourly ingest job and a weekly rebuild.
+    *
+    * `corpusSigs` is a stored [[minHashSignatures]] table (id, sig),
+    * read back from parquet: the corpus side costs a projection +
+    * generate (no shingling, no aggregate). Only the (small) shard is
+    * signed; the candidate join is BIPARTITE shard-bucket ×
+    * corpus-bucket — bounded by the shard size × bands, independent of
+    * corpus size — and skips the corpus self-pairing entirely.
+    * `maxBucket` caps degenerate corpus buckets as in [[minHashLSH]].
+    * Returns (shard_id, corpus_id, est_jaccard). `numHashes`,
+    * `shingleSize` and `seed` must match the stored index.
+    */
+  def minHashLSHIncremental(
+      shard: DataFrame,
+      id: Column,
+      text: Column,
+      corpusSigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucket: Int = 200,
+      seed: Long = 42L): DataFrame = {
+    val shardSigs = minHashSignatures(shard, id, text, numHashes, shingleSize, seed)
+    val shardB = minHashBuckets(shardSigs, numHashes, bands)
+    val corpusB = minHashBuckets(corpusSigs.select(col("id"), col("sig")), numHashes, bands)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val corpusCapped = corpusB.withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val cand = shardB.as("x")
+      .join(corpusCapped.as("y"), col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("shard_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(shardSigs.select(col("id").as("shard_id"), col("sig").as("sig_a")), "shard_id")
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select("shard_id", "corpus_id", "est_jaccard")
   }
 
   /** SimHash near-duplicate pairs within a Hamming radius.

@@ -63,6 +63,34 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Deterministic data-mixture sampling — the per-source rate control
+    * behind training-data mixtures ("keep 100% of books, 25% of web,
+    * 5% of logs"): each row survives iff its hash bucket falls below
+    * its group's rate. Groups absent from `rates` get `defaultRate`.
+    *
+    * Pure codegen'd projection + filter (no shuffle, no RNG): the same
+    * rows survive on every run, engine, and cluster size, and because
+    * all rates share one bucket function the samples are NESTED — the
+    * 5% slice of a source is a subset of its 25% slice, so a mixture
+    * can be re-weighted without churning previously selected rows
+    * (incremental corpus rebuilds keep their history).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 0.0): DataFrame = {
+    require(rates.nonEmpty, "at least one (group, rate) required")
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val cut = rates.foldRight(lit(math.round(defaultRate * buckets))) {
+      case ((label, r), rest) =>
+        when(group === label, lit(math.round(r * buckets))).otherwise(rest)
+    }
+    df.filter(hashBucket(key) < cut)
+  }
+
   /** Deterministic train/val/test (or any) split assignment: `splits`
     * maps label → weight; weights are normalized and laid out as
     * contiguous bucket ranges, so every row gets exactly one label.

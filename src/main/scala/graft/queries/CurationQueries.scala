@@ -283,6 +283,29 @@ object CurationQueries {
         .orderBy("event_type", "quartile")
     },
 
+    // D18c: deterministic data-mixture sampling — per-source keep
+    // rates (100% / 50% / 25% / 10%, default 5%), pure integer bucket
+    // arithmetic replayed exactly by the oracle: row-identical
+    // mixtures on every run and engine.
+    Q(
+      "q_mixture_sample", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""SELECT doc_id, source FROM documents
+           |WHERE $b < CASE source
+           |  WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+           |  WHEN 'src2' THEN 250 WHEN 'src3' THEN 100
+           |  ELSE 50 END
+           |ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      Sampling.mixtureSample(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          group = col("source"), key = col("doc_id"),
+          rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+          defaultRate = 0.05)
+        .orderBy("doc_id")
+    },
+
     // D19: concat-then-chunk sequence packing under a 512-token budget,
     // sharded 8 ways (the window is partitioned by construction).
     Q(

@@ -326,6 +326,61 @@ object DedupQueries {
           queryId = col("vec_id"), queryVec = col("v"),
           k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    },
+
+    // D1c: incremental exact dedup — a new shard (fresh docs + copies
+    // of corpus docs + intra-shard duplicates) dedups against the
+    // existing corpus' fingerprint INDEX, never the corpus itself. The
+    // oracle replays both stages (within-shard min-id winner, then the
+    // index anti-join) from scratch.
+    Q(
+      "q_dedup_incremental",
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |shard AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id >= 300),
+        |k AS (SELECT min(doc_id) AS keep_id FROM shard GROUP BY md5(text)),
+        |surv AS (SELECT doc_id, text FROM shard
+        |         WHERE doc_id IN (SELECT keep_id FROM k))
+        |SELECT doc_id FROM surv
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") < 300)
+      val fresh = d.filter(col("doc_id") >= 300)
+      val shard = fresh
+        .unionByName(corpus.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .unionByName(fresh.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val index = Dedup.fingerprintIndex(corpus, col("text"))
+      Dedup.exactIncremental(shard, col("text"), col("doc_id"), index, col("fp"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // D2b: incremental MinHash — the shard's truncated renditions pair
+    // against the corpus' STORED signature index (no corpus re-sign,
+    // bipartite bucket join). Seeded hash family → rows-only; DedupSpec
+    // asserts planted recall and shard↔corpus orientation.
+    Q.rowsOnly("q_dedup_minhash_incr") { (s, dir) =>
+      val d = graft.operators.scaleOut(
+        table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
+      // the corpus signature index a real pipeline would read from
+      // parquet; built here from the same table
+      val corpusSigs = Dedup.minHashSignatures(d, col("id"), col("text"))
+      val shard = d.select(
+        (col("id") + 1000000).as("id"),
+        array_join(
+          flatten(transform(array(tokens(col("text"))), tk =>
+            slice(tk, lit(1), greatest(floor(size(tk) * 4 / 5), lit(1)).cast("int")))),
+          " ").as("text"))
+      Dedup.minHashLSHIncremental(shard, col("id"), col("text"), corpusSigs,
+          numHashes = 64, bands = 16, shingleSize = 5,
+          threshold = 0.5, maxBucket = 200)
+        .orderBy("shard_id", "corpus_id")
     }
   )
 }

@@ -238,6 +238,33 @@ object TextQueries {
       TextMetrics.chunkTokens(table(s, dir, "documents"),
           col("doc_id"), col("text"), chunkSize = 128, stride = 64)
         .orderBy("id", "chunk_id")
+    },
+
+    // D23: Unicode NFC normalization (custom codegen'd Expression over
+    // java.text.Normalizer) — the corpus is ASCII, so each doc is
+    // decorated with DECOMPOSED sequences (e + U+0301, n + U+0303);
+    // NFC must compose them (é, ñ): code-point count drops by exactly
+    // 2 and the md5 fingerprints must agree byte-for-byte with
+    // DuckDB's nfc_normalize.
+    Q(
+      "q_nfc_normalize", {
+        val deco = "text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'"
+        s"""SELECT doc_id,
+           |  length($deco) AS n_raw,
+           |  length(nfc_normalize($deco)) AS n_nfc,
+           |  md5(nfc_normalize($deco)) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      // DECOMPOSED combining marks (mirror the oracle's chr(769)/chr(771)),
+      // written as escapes so no encoding pass can silently compose them
+      val deco = concat(col("text"), lit(" cafe\u0301 nin\u0303o"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(deco).cast("long").as("n_raw"),
+          length(graft.functions.UnicodeNormalize.nfc(deco)).cast("long").as("n_nfc"),
+          md5(graft.functions.UnicodeNormalize.nfc(deco)).as("fp"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -34,6 +34,44 @@ object Tables {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** JSON ingest that QUARANTINES malformed records instead of failing
+    * the job (FAILFAST) or silently nulling them (default PERMISSIVE
+    * without a capture column). At 100 TB a handful of corrupt lines
+    * per shard is the norm, not the exception: good rows parse against
+    * the explicit schema, bad rows land whole in `corruptCol` with
+    * every schema field null — so the pipeline splits them with one
+    * `filter(col(corruptCol).isNull / isNotNull)` into the clean path
+    * and a quarantine sink for later inspection. The schema is explicit
+    * (inference would double-scan the corpus).
+    */
+  def loadJsonLenient(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** Range-sorted parquet layout: range-partition rows across
+    * `numFiles` files by `sortCols` and sort within each file. Each
+    * file then owns a disjoint key range, so parquet's per-file /
+    * per-row-group min-max statistics (zone maps) let readers skip
+    * everything outside a key predicate — on a 100 TB time- or
+    * id-keyed table that turns point/range lookups from full scans
+    * into a handful of file reads. The range exchange samples key
+    * quantiles, so skewed keys still split evenly across files.
+    */
+  def writeSorted(
+      df: DataFrame, path: String,
+      sortCols: Seq[org.apache.spark.sql.Column], numFiles: Int): Unit = {
+    require(sortCols.nonEmpty, "at least one sort column required")
+    df.repartitionByRange(numFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** All tables of a scale-factor dir, name → DataFrame. */
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, dir, n)).toMap

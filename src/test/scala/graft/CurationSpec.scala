@@ -98,6 +98,34 @@ class CurationSpec extends SparkSpec {
       s"fp count ${hits.size - members.size} far above 1% of 19000 trials")
   }
 
+  test("mixtureSample applies per-group rates, a default, and nests across rates") {
+    val df = spark.range(20000).select(
+      col("id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("src"))
+    val rates = Seq("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.1)
+    val out = Sampling.mixtureSample(df, col("src"), col("id"), rates,
+      defaultRate = 0.02).cache()
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // s0 keeps everything; others land near rate × 5000 (hash buckets
+    // are uniform but not exact per group)
+    assert(counts("s0") == 5000)
+    assert(math.abs(counts("s1") - 2500) < 250, s"s1: ${counts("s1")}")
+    assert(math.abs(counts("s2") - 500) < 120, s"s2: ${counts("s2")}")
+    assert(math.abs(counts.getOrElse("s3", 0L) - 100) < 60, s"s3 default: ${counts.get("s3")}")
+    // nested: shrinking a rate keeps a subset of the previous sample —
+    // re-weighting a mixture never churns already-selected rows
+    val shrunk = Sampling.mixtureSample(df, col("src"), col("id"),
+      Seq("s0" -> 1.0, "s1" -> 0.2, "s2" -> 0.1), defaultRate = 0.02)
+    val bigS1 = out.filter(col("src") === "s1").select("id").as[Long].collect().toSet
+    val smallS1 = shrunk.filter(col("src") === "s1").select("id").as[Long].collect().toSet
+    assert(smallS1.subsetOf(bigS1) && smallS1.nonEmpty)
+    // deterministic: a re-run selects the identical rows
+    val rerun = Sampling.mixtureSample(df, col("src"), col("id"), rates,
+      defaultRate = 0.02)
+    assert(rerun.select("id").as[Long].collect().toSet ==
+      out.select("id").as[Long].collect().toSet)
+  }
+
   test("packSequences: offsets stay under budget and sequences are contiguous per shard") {
     val docs = spark.range(1000).select(
       col("id").as("doc_id"),

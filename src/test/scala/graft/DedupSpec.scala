@@ -166,4 +166,57 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(pairs.forall { case (a, b) => buckets(a) == buckets(b) })
   }
+
+  test("exactIncremental: shard dedups within itself, then against the corpus index only") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val shard = Seq(
+      (10L, "delta"),          // fresh → survives
+      (11L, "delta"),          // intra-shard dup of 10 → dropped
+      (12L, "beta"),           // already in the corpus → dropped
+      (13L, "epsilon")         // fresh → survives
+    ).toDF("id", "text")
+    val index = graft.operators.Dedup.fingerprintIndex(corpus, col("text"))
+    val out = graft.operators.Dedup.exactIncremental(
+        shard, col("text"), col("id"), index, col("fp"))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(10L, 13L), s"survivors: $out")
+    // appending survivors' fingerprints keeps the index current: a
+    // re-arrival of "delta" in the next shard must now be dropped
+    val index2 = index.unionByName(
+      graft.operators.Dedup.fingerprintIndex(
+        shard.filter(col("id").isin(10L, 13L)), col("text")))
+    val next = Seq((20L, "delta"), (21L, "zeta")).toDF("id", "text")
+    val out2 = graft.operators.Dedup.exactIncremental(
+        next, col("text"), col("id"), index2, col("fp"))
+      .select("id").as[Long].collect().toSet
+    assert(out2 == Set(21L), s"second-shard survivors: $out2")
+  }
+
+  test("minHashLSHIncremental pairs a shard against the stored corpus signature index") {
+    // corpus signatures built once (the persistable index); the shard is
+    // a truncated rendition of every corpus doc and must pair with it
+    val corpusSigs = graft.operators.Dedup.minHashSignatures(
+      docs, col("id"), col("text"))
+    val shard = docs.select(
+      (col("id") + 1000000).as("id"),
+      array_join(
+        slice(graft.functions.tokens(col("text")), lit(1),
+          greatest(floor(size(graft.functions.tokens(col("text"))) * 4 / 5), lit(1)).cast("int")),
+        " ").as("text"))
+    val pairs = graft.operators.Dedup.minHashLSHIncremental(
+        shard, col("id"), col("text"), corpusSigs, threshold = 0.4)
+      .select("shard_id", "corpus_id").as[(Long, Long)].collect()
+    val planted = pairs.count { case (sId, cId) => sId == cId + 1000000 }
+    assert(planted >= 90, s"recovered only $planted/100 planted shard-corpus pairs")
+    // bipartite orientation: shard ids on the left, corpus ids on the right
+    assert(pairs.forall { case (sId, cId) => sId >= 1000000 && cId < 1000000 })
+    // and the incremental path must agree with batch minHashLSH run over
+    // corpus ∪ shard, restricted to cross pairs (same family, same seed)
+    val batch = graft.operators.Dedup.minHashLSH(
+        docs.unionByName(shard), col("id"), col("text"), threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .collect { case (a, b) if a < 1000000 && b >= 1000000 => (b, a) }
+      .toSet
+    assert(pairs.toSet == batch, "incremental pairs != batch cross pairs")
+  }
 }

@@ -55,4 +55,23 @@ class SqlFunctionsSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(viaSqlWin == viaColWin)
   }
+
+  test("unicode_normalize SQL name matches the Column API and rejects bad forms") {
+    // decomposed e + U+0301 must compose to é under NFC on both paths
+    val df = Seq((1L, "cafe\u0301"), (2L, "plain")).toDF("id", "text")
+    df.createOrReplaceTempView("t_nfc")
+    val viaSql = spark.sql(
+      "SELECT id, unicode_normalize(text) AS s, unicode_normalize(text, 'NFKC') AS k " +
+        "FROM t_nfc ORDER BY id").as[(Long, String, String)].collect().toSeq
+    val viaCol = df.select($"id",
+        graft.functions.UnicodeNormalize.nfc($"text").as("s"),
+        graft.functions.UnicodeNormalize.nfkc($"text").as("k"))
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head._2 == "caf\u00e9" && viaSql.head._2.length == 4)
+    val err = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+    assert(err.getMessage.contains("NFX") || err.getMessage.contains("form"))
+  }
 }

@@ -101,4 +101,48 @@ class TablesSpec extends SparkSpec {
     assert(back.select(region.columns.map(org.apache.spark.sql.functions.col): _*)
       .collect().toSet == region.collect().toSet)
   }
+
+  test("loadJsonLenient parses good rows and quarantines corrupt ones whole") {
+    val dir = Files.createTempDirectory("graft_lenient")
+    Files.write(dir.resolve("part.json"), java.util.Arrays.asList(
+      """{"id": 1, "name": "ok one"}""",
+      """{"id": 2 "name": "missing comma"}""",
+      """{"id": 3, "name": "ok two"}""",
+      """not json at all"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val df = sources.Tables.loadJsonLenient(spark, dir.toString, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // corrupt lines are captured verbatim for quarantine, fields null
+    val captured = bad.select("_corrupt_record").collect().map(_.getString(0)).toSet
+    assert(captured == Set("""{"id": 2 "name": "missing comma"}""", "not json at all"))
+    assert(bad.filter(col("id").isNotNull).count() == 0)
+  }
+
+  test("writeSorted lays out disjoint key ranges per file (zone-map skipping)") {
+    val out = Files.createTempDirectory("graft_sorted").toString
+    val orders = sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    sources.Tables.writeSorted(orders, out, Seq(col("o_orderkey")), numFiles = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // each file owns a contiguous range; ranges must not overlap — the
+    // property parquet min/max stats need for file/row-group skipping
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("o_orderkey"),
+          org.apache.spark.sql.functions.max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // nothing lost in the layout pass
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
 }

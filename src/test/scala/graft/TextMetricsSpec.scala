@@ -87,4 +87,36 @@ class TextMetricsSpec extends SparkSpec {
     val d2 = out.filter(_._1 == 2L)
     assert(d2.map(_._4).toSeq == Seq(3L, 1L))
   }
+
+  test("UnicodeNormalize composes, folds compatibility forms, and is idempotent") {
+    import spark.implicits._
+    import graft.functions.UnicodeNormalize.{nfc, nfkc}
+    // NFC: decomposed e+U+0301 composes; NFKC additionally folds the
+    // fi-ligature U+FB01 and fullwidth A U+FF21 to ASCII
+    val df = Seq(
+      (1L, "cafe\u0301"),
+      (2L, "\ufb01ne \uff21"),
+      (3L, "already plain"),
+      (4L, null.asInstanceOf[String])).toDF("id", "s")
+    val out = df.select($"id", nfc($"s").as("c"), nfkc($"s").as("k"))
+      .orderBy("id").as[(Long, String, String)].collect()
+    assert(out(0)._2 == "caf\u00e9" && out(0)._2.length == 4)
+    assert(out(0)._3 == "caf\u00e9")
+    assert(out(1)._2 == "\ufb01ne \uff21", "NFC must NOT fold compatibility chars")
+    assert(out(1)._3 == "fine A", "NFKC must fold ligature and fullwidth")
+    assert(out(2)._2 == "already plain" && out(2)._3 == "already plain")
+    assert(out(3)._2 == null && out(3)._3 == null)
+    // idempotent: normalizing twice changes nothing (the isNormalized
+    // fast path covers the second pass)
+    val twice = df.filter($"s".isNotNull)
+      .select(nfc(nfc($"s")).as("a"), nfc($"s").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(twice == 0)
+    // normalization makes the composed/decomposed renditions of the
+    // same visible text hash-equal — the dedup-relevant property
+    val fp = Seq(("cafe\u0301"), ("caf\u00e9")).toDF("s")
+      .select(org.apache.spark.sql.functions.md5(nfc($"s")).as("h"))
+      .as[String].collect().toSet
+    assert(fp.size == 1)
+  }
 }
