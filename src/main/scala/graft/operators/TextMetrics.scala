@@ -171,6 +171,33 @@ object TextMetrics {
         least(lit(chunkSize), col("__n") - col("__start")).cast("long").as("n_tokens"))
   }
 
+  /** Corpus-level heavy hitters: the `k` word n-grams present in the
+    * most documents — the boilerplate detector behind df-caps and
+    * shingle blocklists (headers, disclaimers, navigation chrome all
+    * surface here first on web corpora).
+    *
+    * Shape at scale: explode distinct-per-doc shingles →
+    * partial-aggregated groupBy(shingle) → `orderBy(...).limit(k)`,
+    * which Spark plans as TakeOrderedAndProject: each partition keeps
+    * its own top-k and only k-row heaps travel — no global sort, no
+    * single-partition window. Ties break on the shingle text so the
+    * result is deterministic. Returns (shingle, n_docs).
+    */
+  def topShingles(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      k: Int): DataFrame = {
+    val sh = graft.operators.scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        explode(array_distinct(graft.functions.shingles(tokens(col("__text")), n)))
+          .as("shingle"))
+    sh.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("shingle").asc)
+      .limit(k)
+  }
+
   /** Per-document top-k terms by TF-IDF — the corpus-statistics
     * primitive behind keyword extraction and topical filtering.
     *

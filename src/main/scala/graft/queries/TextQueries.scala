@@ -265,6 +265,29 @@ object TextQueries {
           length(graft.functions.UnicodeNormalize.nfc(deco)).cast("long").as("n_nfc"),
           md5(graft.functions.UnicodeNormalize.nfc(deco)).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // D24: corpus heavy hitters \u2014 the 20 bigrams present in the most
+    // documents (document frequency over distinct-per-doc shingles),
+    // deterministic tie on the shingle text. Spark plans the
+    // orderBy+limit as TakeOrderedAndProject (distributed top-k);
+    // DuckDB recomputes the frequency table from scratch.
+    Q(
+      "q_heavy_shingles",
+      s"""WITH tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+1], ' ') AS shingle
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |        FROM tk0 WHERE len(tk) >= 2))
+         |SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sh GROUP BY shingle
+         |ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.topShingles(table(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 2, k = 20)
+        // re-sort the 20-row result so the dumped row order is pinned
+        // regardless of how the limit's partitions coalesce
+        .orderBy(col("n_docs").desc, col("shingle").asc)
     }
   )
 }

@@ -109,6 +109,32 @@ object EventStreams {
     events.join(broadcast(dim), Seq(key), joinType)
   }
 
+  /** E6: streaming INCREMENTAL dedup — the streaming twin of batch
+    * `Dedup.exactIncremental`: arriving records drop (a) anything whose
+    * content fingerprint is already in the static corpus index (stream-
+    * static broadcast anti-join, STATELESS) and (b) repeats within the
+    * stream itself (`dropDuplicatesWithinWatermark`, state bounded by
+    * the watermark). Order matters at scale: the index probe runs
+    * first, so rows the corpus already owns never enter the dedup
+    * state store.
+    *
+    * `index` is the persisted fingerprint table (one `fp` md5 column,
+    * [[graft.operators.Dedup.fingerprintIndex]]); refresh it between
+    * restarts by appending each accepted micro-batch's fingerprints —
+    * within a run, intra-stream dedup covers the gap.
+    */
+  def dedupStreamAgainstIndex(
+      records: DataFrame,
+      textCol: String,
+      index: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    records
+      .withColumn("__fp", md5(col(textCol)))
+      .join(broadcast(index.select(col("fp"))),
+        col("__fp") === col("fp"), "left_anti")
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+
   /** E2: stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout. Emits one row per CLOSED session (append
     * mode); open sessions close `gapUs` after their last event once the

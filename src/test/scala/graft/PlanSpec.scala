@@ -175,4 +175,16 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("*("), s"$name has no whole-stage codegen spans:\n$plan")
     }
   }
+
+  test("topShingles plans a distributed top-k, not a global sort or window") {
+    val docs = sources.Tables.load(spark, sf, "documents")
+    val df = graft.operators.TextMetrics.topShingles(
+      docs, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), n = 2, k = 20)
+    val plan = run(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"heavy-hitter top-k not planned as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("WindowExec"), s"unexpected window in top-k plan:\n$plan")
+    assert(plan.contains("partial_"), s"doc-frequency count not map-side combined:\n$plan")
+  }
 }

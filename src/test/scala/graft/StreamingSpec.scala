@@ -272,6 +272,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E6 dedupStreamAgainstIndex: corpus-indexed payloads never enter, stream repeats drop") {
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .withColumn("payload", concat_ws("|", $"event_type", $"value"))
+    // the static corpus index already owns "click|1.0"
+    val index = Seq("click|1.0").toDF("t")
+      .select(md5($"t").as("fp"))
+    val q = EventStreams.dedupStreamAgainstIndex(df, "payload", index, "1 hour")
+      .writeStream.format("memory").queryName("e6_out").outputMode("append").start()
+    try {
+      val base = 1000000000000L
+      input.addData(
+        (tsOf(base), 1L, 1L, "click", 1.0),           // in corpus index → dropped
+        (tsOf(base + 1000000L), 1L, 2L, "view", 2.0), // fresh → kept
+        (tsOf(base + 2000000L), 1L, 3L, "view", 2.0)) // stream repeat → dropped
+      q.processAllAvailable()
+      input.addData(
+        (tsOf(base + 3000000L), 2L, 4L, "click", 1.0), // corpus dup again → dropped
+        (tsOf(base + 4000000L), 2L, 5L, "buy", 9.0))   // fresh → kept
+      q.processAllAvailable()
+      val kept = spark.table("e6_out").select("event_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
+  test("E6 stream == batch: dedupStreamAgainstIndex over real events matches Dedup.exactIncremental content") {
+    val payload = concat_ws("|", $"user_id", $"event_type", $"value")
+    val evBatch = sources.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"event_id", $"event_type", $"value")
+      .withColumn("payload", payload)
+    // corpus index = fingerprints of the 'view' events; the stream is
+    // the full table, so exactly the non-view content should survive
+    val index = graft.operators.Dedup.fingerprintIndex(
+      evBatch.filter($"event_type" === "view"), $"payload").cache()
+    val ev = evBatch.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .withColumn("payload", concat_ws("|", $"user_id", $"event_type", $"value"))
+    val q = EventStreams.dedupStreamAgainstIndex(df, "payload", index, "1 hour")
+      .writeStream.format("memory").queryName("e6_twin").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("e6_twin").select($"payload").as[String].collect()
+      assert(streamed.length == streamed.distinct.length,
+        "stream emitted a duplicate payload")
+      val batch = graft.operators.Dedup.exactIncremental(
+          evBatch, $"payload", $"event_id", index, $"fp")
+        .select($"payload").as[String].collect()
+      assert(batch.length == batch.distinct.length)
+      // content sets agree (which arrival survives differs by design)
+      assert(streamed.toSet == batch.toSet,
+        s"stream/batch divergence: stream=${streamed.length} batch=${batch.length}")
+    } finally q.stop()
+  }
+
   test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
     val gapUs = 43200000000L // same 12h gap as the batch query
     // real sf0.001 events, µs-normalized exactly like the batch twin
