@@ -198,6 +198,39 @@ object TextMetrics {
       .limit(k)
   }
 
+  /** Unigram language-model scoring — the statistical quality filter
+    * (CCNet-style: score each document by how "in-distribution" its
+    * tokens are for the corpus; outliers — boilerplate, gibberish,
+    * wrong-language text — score low). The "model" is the corpus' own
+    * add-one-smoothed unigram distribution:
+    * lp(term) = ln((count+1) / (n_total + vocab)); a document's score
+    * is the mean lp of its token instances.
+    *
+    * Shape at scale: one explode + partial-aggregated term count (the
+    * model — persist it to reuse across shards), a term-keyed join
+    * back (broadcastable for bounded vocabularies), one per-doc
+    * aggregate. Determinism: lp is rounded to 7 dp per TERM, then
+    * per-doc sums run over exact decimals — order-independent, so any
+    * engine/partitioning yields identical scores (the oracle replays
+    * them exactly). Returns (id, n_tokens, avg_logprob).
+    */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = graft.operators.scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), explode(tokens(col("__text"))).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val tot = tf.agg(sum(col("n")).as("n_total"), count(lit(1)).as("vocab"))
+    val lp = tf.crossJoin(broadcast(tot))
+      .withColumn("lp",
+        round(log((col("n") + 1).cast("double") / (col("n_total") + col("vocab"))), 7))
+      .select(col("term"), col("lp"))
+    toks.join(broadcast(lp), "term")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round((sum(col("lp").cast("decimal(18,7)")) / count(lit(1))).cast("double"), 4)
+          .as("avg_logprob"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the corpus-statistics
     * primitive behind keyword extraction and topical filtering.
     *

@@ -288,6 +288,31 @@ object TextQueries {
         // re-sort the 20-row result so the dumped row order is pinned
         // regardless of how the limit's partitions coalesce
         .orderBy(col("n_docs").desc, col("shingle").asc)
+    },
+
+    // D25: unigram LM quality score — per-term add-one-smoothed
+    // log-prob (rounded 7 dp), per-doc mean over EXACT decimal sums so
+    // partitioning/order can't perturb the value; DuckDB rebuilds the
+    // model and replays the identical arithmetic.
+    Q(
+      "q_unigram_logprob",
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${tkSql("text")}) AS term FROM documents),
+         |tf AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+         |tot AS (SELECT sum(n) AS n_total, count(*) AS vocab FROM tf),
+         |lp AS (
+         |  SELECT term,
+         |    CAST(round(ln((n + 1) * 1.0 / (n_total + vocab)), 7) AS DECIMAL(18,7)) AS lp
+         |  FROM tf CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(lp) / count(*) AS DOUBLE), 4) AS avg_logprob
+         |FROM t JOIN lp USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.unigramLogProb(table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 }

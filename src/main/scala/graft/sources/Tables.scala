@@ -54,6 +54,44 @@ object Tables {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
 
+  /** CSV twin of [[loadJsonLenient]]: malformed lines (wrong arity,
+    * uncastable fields) land whole in `corruptCol` instead of failing
+    * the job. Header + explicit schema (no inference double-scan).
+    */
+  def loadCsvLenient(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
+  /** Small-file compaction: rewrite a directory of many small parquet
+    * files into files of ≈ `targetMB` each. Streaming ingest and
+    * per-shard jobs leave thousands of KB-sized files behind; every
+    * later scan then pays one task + one open per file, and the
+    * NameNode/manifest pays the metadata. One coalesce-rewrite pass
+    * fixes the layout; file count comes from the actual on-disk bytes
+    * (never a plan-time guess). Writes to `outPath` — renaming over
+    * the input atomically is the object store's mv, kept outside the
+    * library.
+    */
+  def compact(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 512): Unit = {
+    require(targetMB > 0, "targetMB must be positive")
+    val df = spark.read.parquet(inPath)
+    val bytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
+    // coalesce, not repartition: compaction must not shuffle — it only
+    // merges existing splits into fewer write tasks
+    df.coalesce(nFiles).write.mode("overwrite").parquet(outPath)
+  }
+
   /** Range-sorted parquet layout: range-partition rows across
     * `numFiles` files by `sortCols` and sort within each file. Each
     * file then owns a disjoint key range, so parquet's per-file /

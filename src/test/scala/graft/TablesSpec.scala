@@ -122,6 +122,39 @@ class TablesSpec extends SparkSpec {
     assert(bad.filter(col("id").isNotNull).count() == 0)
   }
 
+  test("loadCsvLenient quarantines wrong-arity and uncastable lines") {
+    val dir = Files.createTempDirectory("graft_csv_lenient")
+    Files.write(dir.resolve("part.csv"), java.util.Arrays.asList(
+      "id,name,score",
+      "1,alice,2.5",
+      "2,bob,not_a_number",
+      "3,carol,9.0"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val df = sources.Tables.loadCsvLenient(spark, dir.toString, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(bad.count() == 1)
+    assert(bad.select("_corrupt_record").head().getString(0).contains("not_a_number"))
+  }
+
+  test("compact merges many small parquet files into size-targeted ones without losing rows") {
+    val in = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString
+    val li = sources.Tables.load(spark, sf, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 64, s"setup: expected 64 small files, got $smallFiles")
+    sources.Tables.compact(spark, in, out, targetMB = 512)
+    val compacted = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    // sf0.001 lineitem is far below one 512 MB target → exactly one file
+    assert(compacted == 1, s"expected 1 compacted file, got $compacted")
+    assert(spark.read.parquet(out).count() == li.count())
+  }
+
   test("writeSorted lays out disjoint key ranges per file (zone-map skipping)") {
     val out = Files.createTempDirectory("graft_sorted").toString
     val orders = sources.Tables.load(spark, sf, "orders")

@@ -88,6 +88,24 @@ class TextMetricsSpec extends SparkSpec {
     assert(d2.map(_._4).toSeq == Seq(3L, 1L))
   }
 
+  test("unigramLogProb scores in-distribution docs above out-of-distribution ones") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the rug"),
+      (2L, "the dog sat on the mat and the cat lay on the rug"),
+      (3L, "zqxv wvup kjhn qpoe mlkz")).toDF("id", "text")
+    val out = TextMetrics.unigramLogProb(df, col("id"), col("text"))
+      .select("id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2 share the corpus' common vocabulary; doc 3 is all
+    // singletons and must score strictly lower
+    assert(out(3L)._3 < out(1L)._3 && out(3L)._3 < out(2L)._3, s"got $out")
+    assert(out(1L)._2 == 13L)
+    // deterministic across re-runs (decimal sums are order-independent)
+    val rerun = TextMetrics.unigramLogProb(df, col("id"), col("text"))
+      .select("id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(out.forall { case (k, (_, _, v)) => rerun(k) == v })
+  }
+
   test("UnicodeNormalize composes, folds compatibility forms, and is idempotent") {
     import spark.implicits._
     import graft.functions.UnicodeNormalize.{nfc, nfkc}
