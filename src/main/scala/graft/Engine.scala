@@ -34,6 +34,10 @@ object Engine {
     // SQL names for the custom Catalyst expressions (simhash64,
     // winnow_fingerprint, dot_product) — same surface as the Column API.
     functions.GraftFunctions.registerAll(spark)
+    // Live-session twin of GraftExtensions' injectOptimizerRule.
+    if (!spark.experimental.extraOptimizations.contains(plans.CollapseUnicodeNormalize))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.CollapseUnicodeNormalize
     spark
   }
 }

@@ -5,12 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 import graft.functions.GraftFunctions
 
-/** Builder-time extension point: register graft's SQL functions into
-  * any session via `--conf spark.sql.extensions=graft.GraftExtensions`.
+/** Builder-time extension point: register graft's SQL functions and
+  * optimizer rules into any session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.CollapseUnicodeNormalize)
+  }
 }

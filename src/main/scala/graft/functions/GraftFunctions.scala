@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.Shims
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** SQL-name registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash64(tokens), ...")` works exactly like the
@@ -40,6 +40,7 @@ object GraftFunctions {
   // values instead of an analysis-time cast.
   private def asStringArray(e: Expression): Expression = Cast(e, ArrayType(StringType))
   private def asDoubleArray(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+  private def asLongArray(e: Expression): Expression = Cast(e, ArrayType(LongType))
   private def asString(e: Expression): Expression = Cast(e, StringType)
 
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -63,6 +64,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProduct(asDoubleArray(a), asDoubleArray(b))
         case _ => throw new IllegalArgumentException("dot_product(a, b)")
+      }),
+    ("array_agree_count",
+      new ExpressionInfo(classOf[ArrayAgreeCount].getName, "array_agree_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ArrayAgreeCount(asLongArray(a), asLongArray(b))
+        case _ => throw new IllegalArgumentException("array_agree_count(a, b)")
       }),
     ("unicode_normalize",
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),

@@ -118,14 +118,14 @@ object Dedup {
   }
 
   /** Estimated Jaccard = fraction of agreeing signature positions,
-    * rounded 4 dp. Interpreted HOF — confined to the candidate-pair
-    * set, never the per-document path.
+    * rounded 4 dp. Codegen'd `ArrayAgreeCount` Expression — stays in
+    * the candidate join's whole-stage-codegen span (the HOF form it
+    * replaced ran interpreted with per-element boxing).
     */
   private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
     round(
-      aggregate(
-        zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numHashes,
+      graft.functions.ArrayAgreeCount.arrayAgreeCount(sigA, sigB)
+        .cast("double") / numHashes,
       4)
 
   /** MinHash + LSH near-duplicate pairs.

@@ -56,6 +56,51 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSqlWin == viaColWin)
   }
 
+  test("array_agree_count matches the HOF fold and registers in SQL") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (Seq(5L, 5L), Seq(5L, 5L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    df.createOrReplaceTempView("t_agree")
+    val viaCol = df.select(
+      graft.functions.ArrayAgreeCount.arrayAgreeCount($"a", $"b").as("n"))
+      .as[Int].collect().toSeq
+    assert(viaCol == Seq(3, 2, 0))
+    // equals the interpreted HOF it replaced
+    val viaHof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("n")).as[Int].collect().toSeq
+    assert(viaCol == viaHof)
+    val viaSql = spark.sql(
+      "SELECT array_agree_count(a, b) AS n FROM t_agree").as[Int].collect().toSeq
+    assert(viaSql == viaCol)
+    // int-array args coerce like the Column wrapper casts
+    assert(spark.sql("SELECT array_agree_count(array(1, 2), array(1, 3)) AS n")
+      .as[Int].head() == 1)
+  }
+
+  test("CollapseUnicodeNormalize rule removes redundant nested normalizations") {
+    import graft.functions.UnicodeNormalize.{nfc, nfkc, normalize}
+    // non-foldable, non-local input: a LocalRelation projection would be
+    // evaluated away by ConvertToLocalRelation/ConstantFolding and hide
+    // the rewrite under test
+    val base = spark.range(1)
+    def s = concat(lit("cafe\u0301 "), $"id".cast("string"))
+    def nNormalizeNodes(c: org.apache.spark.sql.Column): Int = {
+      val plan = base.select(c.as("x")).queryExecution.optimizedPlan.toString
+      "unicode_normalize".r.findAllIn(plan).length
+    }
+    // idempotent same-form collapses to ONE node
+    assert(nNormalizeNodes(nfc(nfc(s))) == 1)
+    // NFKC absorbs an inner canonical NFC pass
+    assert(nNormalizeNodes(nfkc(nfc(s))) == 1)
+    // NFC after NFD is NOT redundant -- must keep both
+    assert(nNormalizeNodes(nfc(normalize(s, "NFD"))) == 2)
+    // and the rewrite preserves values
+    val out = base.select(nfkc(nfc(s)).as("x")).as[String].head()
+    assert(out == "caf\u00e9 0")
+  }
+
   test("unicode_normalize SQL name matches the Column API and rejects bad forms") {
     // decomposed e + U+0301 must compose to é under NFC on both paths
     val df = Seq((1L, "cafe\u0301"), (2L, "plain")).toDF("id", "text")
