@@ -290,6 +290,69 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("shingle").asc)
     },
 
+    // D26: per-source corpus report — the dashboard feed the reference
+    // exists to produce (rmd:33 'fazer agregações'), over the curation
+    // metrics: doc/token counts, exact-decimal mean quality, language
+    // and quality-gate pass counts per source. One scan, one partial-
+    // aggregated groupBy.
+    Q(
+      "q_source_report", {
+        val stop = inList(TextMetrics.langMarkers.flatMap(_._2).distinct)
+        val hitCols = TextMetrics.langMarkers.map { case (l, ms) =>
+          s"len(list_filter(tk, t -> t IN ${inList(ms)})) AS h_$l"
+        }.mkString(",\n    ")
+        val langs = TextMetrics.langMarkers.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        s"""WITH t AS (
+           |  SELECT source, text, ${tkSql("text")} AS tk FROM documents),
+           |m AS (
+           |  SELECT source,
+           |    len(tk) AS n_tokens,
+           |    CASE WHEN len(tk) > 0
+           |      THEN list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS mean_tok_len,
+           |    CASE WHEN len(text) > 0
+           |      THEN (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(tk) > 0
+           |      THEN len(list_filter(tk, t -> t IN $stop)) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS stop_ratio,
+           |    $hitCols
+           |  FROM t),
+           |b AS (SELECT *, $best AS best FROM m),
+           |q AS (
+           |  SELECT source, n_tokens,
+           |    CAST(round(CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 0.4 ELSE 0.0 END
+           |        + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+           |        + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END
+           |        + CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.1 ELSE 0.0 END, 4) AS DOUBLE) AS quality,
+           |    CASE WHEN best = 0 THEN 'und' $cases END AS lang_pred
+           |  FROM b)
+           |SELECT source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
+           |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+           |FROM q GROUP BY source ORDER BY source""".stripMargin
+      }
+    ) { (s, dir) =>
+      val scored = TextMetrics.withLangId(
+        TextMetrics.withQuality(
+          table(s, dir, "documents").select(col("source"), col("text")), col("text")),
+        col("text"))
+      scored.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("quality").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+            .as("avg_quality"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    },
+
     // D25: unigram LM quality score — per-term add-one-smoothed
     // log-prob (rounded 7 dp), per-doc mean over EXACT decimal sums so
     // partitioning/order can't perturb the value; DuckDB rebuilds the
