@@ -166,6 +166,47 @@ object TemporalQueries {
           aggs = Seq(dsum(col("value")).as("sum_value")))
         .select("user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_value")
         .orderBy("user_id", "session_id")
+    },
+
+    // C23: dense resampling — each user's history expanded to a
+    // contiguous 6-hour grid (its own min..max bucket), zero-filled
+    // counts/sums and a carried-forward (LOCF) sum in the gaps. DuckDB
+    // regenerates the grid with range() and replays the carry with
+    // last_value IGNORE NULLS.
+    Q(
+      "q_resample", {
+        val step = 21600000000L // 6h in µs
+        s"""WITH e AS (
+           |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value
+           |  FROM events WHERE user_id < 50),
+           |o AS (
+           |  SELECT user_id, ts_us - (ts_us % $step) AS bucket_us,
+           |    count(*) AS n_events,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           |  FROM e GROUP BY 1, 2),
+           |r AS (SELECT user_id, min(bucket_us) AS mn, max(bucket_us) AS mx
+           |      FROM o GROUP BY 1),
+           |g AS (SELECT user_id, unnest(range(mn, mx + $step, $step)) AS bucket_us
+           |      FROM r),
+           |j AS (
+           |  SELECT g.user_id, g.bucket_us,
+           |    coalesce(o.n_events, 0) AS n_events, o.sum_v
+           |  FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket_us = o.bucket_us)
+           |SELECT user_id, bucket_us, CAST(n_events AS BIGINT) AS n_events,
+           |  round(coalesce(sum_v, 0), 4) AS sum_value,
+           |  round(last_value(sum_v IGNORE NULLS) OVER (
+           |    PARTITION BY user_id ORDER BY bucket_us
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS carried_value
+           |FROM j ORDER BY user_id, bucket_us""".stripMargin
+      }
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.operators.Resample.dense(ev, col("user_id"), col("ts_us"),
+          col("value"), stepUs = 21600000000L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "bucket_us")
     }
   )
 }
