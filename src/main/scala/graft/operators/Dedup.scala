@@ -64,6 +64,39 @@ object Dedup {
       .join(corpusIndex.select(corpusFp.as("__cfp")),
         md5(text) === col("__cfp"), "left_anti")
 
+  /** [[exactIncremental]] with a Bloom pre-filter over the corpus
+    * index — identical output, different scale shape. A Bloom filter
+    * has no false negatives, so a shard row whose fingerprint the
+    * sketch does NOT contain is definitely new and bypasses the
+    * anti-join entirely; only the "might contain" rows (true dups +
+    * the fpp share) pay the join against the index. For the common
+    * arrival profile — most shard content is new — the per-arrival
+    * cost drops from joining the whole index to probing a bits-only
+    * broadcast sketch, with the join confirming a small remainder.
+    * The index is scanned once to build the sketch; persist the sketch
+    * alongside the index to amortize it across arrivals.
+    */
+  def exactIncrementalBloom(
+      shard: DataFrame,
+      text: Column,
+      id: Column,
+      corpusIndex: DataFrame,
+      corpusFp: Column,
+      fpp: Double = 0.01): DataFrame = {
+    val idx = corpusIndex.select(corpusFp.as("fp")).localCheckpoint()
+    val n = math.max(idx.count(), 1000L)
+    // the sketch keys on xxhash64 of the fp string (BloomFilter's long
+    // path); the probe hashes identically
+    val bloom = idx.select(xxhash64(col("fp")).as("h")).stat.bloomFilter("h", n, fpp)
+    val kept = exactKeep(shard, text, id)
+    val definitelyNew = kept.filter(
+      !graft.functions.BloomMightContain.mightContain(xxhash64(md5(text)), bloom))
+    val needConfirm = kept.filter(
+      graft.functions.BloomMightContain.mightContain(xxhash64(md5(text)), bloom))
+      .join(idx.select(col("fp").as("__cfp")), md5(text) === col("__cfp"), "left_anti")
+    definitelyNew.unionByName(needConfirm)
+  }
+
   /** MinHash signature table (id, sig: array<long> of length
     * `numHashes`) — the PERSISTABLE dedup index: write it once per
     * corpus build, and incremental shards compare against it without

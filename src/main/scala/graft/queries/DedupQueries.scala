@@ -361,6 +361,39 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // D1d: incremental exact dedup via Bloom pre-filter — EXACT same
+    // semantics (no false negatives; false positives removed by the
+    // confirm anti-join), so the oracle is the same two-stage replay;
+    // 250-doc corpus split keeps the query distinct from
+    // q_dedup_incremental.
+    Q(
+      "q_dedup_incremental_bloom",
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |shard AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id >= 250),
+        |k AS (SELECT min(doc_id) AS keep_id FROM shard GROUP BY md5(text)),
+        |surv AS (SELECT doc_id, text FROM shard
+        |         WHERE doc_id IN (SELECT keep_id FROM k))
+        |SELECT doc_id FROM surv
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") < 250)
+      val fresh = d.filter(col("doc_id") >= 250)
+      val shard = fresh
+        .unionByName(corpus.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .unionByName(fresh.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val index = Dedup.fingerprintIndex(corpus, col("text"))
+      Dedup.exactIncrementalBloom(shard, col("text"), col("doc_id"), index, col("fp"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // D2b: incremental MinHash — the shard's truncated renditions pair
     // against the corpus' STORED signature index (no corpus re-sign,
     // bipartite bucket join). Seeded hash family → rows-only; DedupSpec

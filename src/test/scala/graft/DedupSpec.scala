@@ -192,6 +192,29 @@ class DedupSpec extends SparkSpec {
     assert(out2 == Set(21L), s"second-shard survivors: $out2")
   }
 
+  test("exactIncrementalBloom is row-identical to exactIncremental on real documents") {
+    // corpus = even docs, shard = odd docs + planted copies of the
+    // corpus + intra-shard dups; the bloom path must keep EXACTLY the
+    // rows the exact path keeps (no false negatives by construction,
+    // false positives removed by the confirm join)
+    val d = docs
+    val corpus = d.filter(col("id") % 2 === 0)
+    val shard = d.filter(col("id") % 2 === 1)
+      .unionByName(corpus.select((col("id") + 1000000).as("id"), col("text")))
+      .unionByName(d.filter(col("id") % 2 === 1)
+        .select((col("id") + 2000000).as("id"), col("text")))
+    val index = graft.operators.Dedup.fingerprintIndex(corpus, col("text"))
+    val exact = graft.operators.Dedup.exactIncremental(
+      shard, col("text"), col("id"), index, col("fp"))
+      .select("id").as[Long].collect().toSet
+    val bloom = graft.operators.Dedup.exactIncrementalBloom(
+      shard, col("text"), col("id"), index, col("fp"), fpp = 0.05)
+      .select("id").as[Long].collect().toSet
+    assert(bloom == exact,
+      s"bloom path diverged: onlyBloom=${(bloom -- exact).take(5)} onlyExact=${(exact -- bloom).take(5)}")
+    assert(exact.nonEmpty && exact.forall(_ % 2 == 1))
+  }
+
   test("minHashLSHIncremental pairs a shard against the stored corpus signature index") {
     // corpus signatures built once (the persistable index); the shard is
     // a truncated rendition of every corpus doc and must pair with it
