@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   * bucket, zero-fills counts/sums, and carries the last observed sum
   * forward (LOCF) into empty buckets.
   *
-  * Scale shape: one partial-aggregated groupBy(key, bucket) over the
-  * events; the grid comes from a per-key `sequence` explode (generated
-  * from that aggregate — never a driver loop, never a cartesian with a
-  * calendar table); one left join back on (key, bucket); one
-  * key-partitioned window for the carry. Bucket arithmetic stays in
-  * integer µs (`ts - ts mod step`) — no float division of epoch
-  * numbers. Grid size is data-bounded per key (its own active span),
-  * so a key active for a week never pays a year of rows.
+  * Scale shape — ONE pass, no join: a partial-aggregated
+  * groupBy(key, bucket) over the events, a key-partitioned `lead`
+  * window, then each observed bucket EMITS its own row plus the gap
+  * rows up to the next observed bucket (`sequence` explode, so the
+  * grid is generated where the data already lives — never a driver
+  * loop, never a calendar cartesian, and the carry value is simply
+  * the generating row's sum, no second window). Bucket arithmetic
+  * stays in integer µs (`ts - ts mod step`) — no float division of
+  * epoch numbers. Grid size is data-bounded per key (its own active
+  * span), so a key active for a week never pays a year of rows.
+  * (An earlier grid-aggregate + left-join form computed the bucket
+  * aggregate twice — two full input scans at scale; this shape scans
+  * once, PlanSpec pins it.)
   */
 object Resample {
 
@@ -40,19 +45,19 @@ object Resample {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("__v").cast("decimal(18,2)")).cast("double").as("__sum"))
-    val grid = observed
-      .groupBy("key")
-      .agg(min(col("bucket_us")).as("__mn"), max(col("bucket_us")).as("__mx"))
-      .select(col("key"),
-        explode(sequence(col("__mn"), col("__mx"), step)).as("bucket_us"))
-    grid.join(observed, Seq("key", "bucket_us"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bucket_us")
+    observed
+      .withColumn("__next", lead(col("bucket_us"), 1).over(w))
+      .select(col("key"), col("n_events"), col("__sum"),
+        posexplode(
+          sequence(col("bucket_us"),
+            coalesce(col("__next") - step, col("bucket_us")), step))
+          .as(Seq("__pos", "bucket_us")))
       .select(
         col("key"), col("bucket_us"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        round(coalesce(col("__sum"), lit(0.0)), 4).as("sum_value"),
-        round(
-          graft.functions.fillDown(col("__sum"),
-            orderBy = Seq(col("bucket_us")), partitionBy = Seq(col("key"))),
-          4).as("carried_value"))
+        when(col("__pos") === 0, col("n_events")).otherwise(0L).as("n_events"),
+        when(col("__pos") === 0, round(col("__sum"), 4)).otherwise(0.0).as("sum_value"),
+        round(col("__sum"), 4).as("carried_value"))
   }
 }

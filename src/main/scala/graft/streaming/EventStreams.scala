@@ -135,6 +135,63 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
 
+  /** E7: streaming ingest with INDEX MAINTENANCE — the complete
+    * incremental-corpus loop as one streaming job. Each micro-batch:
+    * (1) re-reads the on-disk fingerprint index, (2) runs
+    * `Dedup.exactIncremental` against it (which also dedups within
+    * the batch), (3) appends the accepted rows to `outPath`, (4)
+    * appends their fingerprints to `indexPath`. Batch N+1 therefore
+    * rejects re-arrivals of batch N's content even arbitrarily later —
+    * unbounded dedup memory lives in the on-disk index where it
+    * belongs, not in the state store (contrast
+    * [[dedupStreamAgainstIndex]], whose intra-stream memory is
+    * watermark-bounded).
+    *
+    * Delivery: `foreachBatch` appends are at-least-once under retry
+    * (a crash between the two writes can replay a batch). Because the
+    * index append lands AFTER the data append, a replayed batch
+    * re-checks against the already-updated index and drops rows whose
+    * fingerprints were recorded; rows written to `outPath` before a
+    * crash that preceded the index append can duplicate — on a real
+    * lake the two appends sit in one table-format transaction
+    * (Iceberg/Delta commit), which is the documented seam here.
+    *
+    * Returns the started query (caller owns stop()).
+    */
+  def ingestDedupMaintained(
+      records: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.DataFrame
+    records.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val index =
+          try spark.read.parquet(indexPath)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              // bootstrap: no index yet
+              spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("fp",
+                    org.apache.spark.sql.types.StringType))))
+          }
+        // one computation feeds both appends
+        val accepted = graft.operators.Dedup.exactIncremental(
+          batch, col(textCol), col(idCol), index, col("fp")).localCheckpoint()
+        accepted.write.mode("append").parquet(outPath)
+        graft.operators.Dedup.fingerprintIndex(accepted, col(textCol))
+          .write.mode("append").parquet(indexPath)
+      }
+      .start()
+  }
+
   /** E2: stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout. Emits one row per CLOSED session (append
     * mode); open sessions close `gapUs` after their last event once the

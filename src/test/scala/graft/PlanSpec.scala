@@ -176,6 +176,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("resample scans the input once and plans no join (gap rows are generated in place)") {
+    val plan = planOf("q_resample")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"dense resampling must not re-scan the input for its grid:\n$plan")
+    assert(!plan.contains("Join"), s"single-pass resample must not join:\n$plan")
+  }
+
   test("topShingles plans a distributed top-k, not a global sort or window") {
     val docs = sources.Tables.load(spark, sf, "documents")
     val df = graft.operators.TextMetrics.topShingles(

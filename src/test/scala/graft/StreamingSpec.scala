@@ -329,6 +329,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E7 ingestDedupMaintained: the on-disk index rejects re-arrivals across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e7")
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .withColumn("payload", concat_ws("|", $"event_type", $"value"))
+    val q = EventStreams.ingestDedupMaintained(
+      df, "payload", "event_id", idx, out, ckpt)
+    try {
+      val base = 1000000000000L
+      // batch 1: A, B, and an intra-batch repeat of A
+      input.addData(
+        (tsOf(base), 1L, 1L, "a", 1.0),
+        (tsOf(base + 1), 1L, 2L, "b", 2.0),
+        (tsOf(base + 2), 1L, 3L, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE re-arrival of A (no watermark state could span
+      // this — only the index can) plus fresh C
+      input.addData(
+        (tsOf(base + 100), 2L, 4L, "a", 1.0),
+        (tsOf(base + 101), 2L, 5L, "c", 3.0))
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(out)
+        .select("event_id", "payload").as[(Long, String)].collect().toMap
+      assert(accepted.keySet == Set(1L, 2L, 5L), s"accepted: $accepted")
+      // the index accumulated exactly the three accepted fingerprints
+      val fps = spark.read.parquet(idx).select("fp").as[String].collect()
+      assert(fps.length == 3 && fps.distinct.length == 3)
+    } finally q.stop()
+  }
+
   test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
     val gapUs = 43200000000L // same 12h gap as the batch query
     // real sf0.001 events, µs-normalized exactly like the batch twin
