@@ -88,7 +88,11 @@ object Dedup {
     // the sketch keys on xxhash64 of the fp string (BloomFilter's long
     // path); the probe hashes identically
     val bloom = idx.select(xxhash64(col("fp")).as("h")).stat.bloomFilter("h", n, fpp)
-    val kept = exactKeep(shard, text, id)
+    // materialize the within-shard winners ONCE: the two complementary
+    // filters below would otherwise re-run the whole upstream shard
+    // pipeline + fingerprint window apiece (the very cost exactKeep's
+    // window form exists to avoid)
+    val kept = exactKeep(shard, text, id).localCheckpoint()
     val definitelyNew = kept.filter(
       !graft.functions.BloomMightContain.mightContain(xxhash64(md5(text)), bloom))
     val needConfirm = kept.filter(
@@ -450,6 +454,14 @@ object Dedup {
       labels = updated.select(col("id"), col("comp_new").as("comp"))
       i += 1
     }
+    // Fail LOUDLY on non-convergence: returning local-min labels would
+    // let clusterDuplicates keep several representatives of one cluster
+    // — duplicates silently surviving dedup. Near-dup components have
+    // tiny diameters, so hitting this means the pair list is not a
+    // near-dup graph (raise maxIter deliberately if that's intended).
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); component diameter exceeds maxIter")
     labels
   }
 

@@ -118,11 +118,33 @@ object Reshape {
     * single-partition window), then removed by its ordering key. The
     * ordering key must be unique on the header row, or ties are
     * dropped with it.
+    *
+    * `orderBy` takes plain VALUE columns; the row with the MINIMUM
+    * key tuple is promoted. Sort-direction wrappers (`col.desc`)
+    * would silently embed a non-evaluable SortOrder inside the min_by
+    * struct, so they are rejected loudly — to promote the maximum
+    * row, pass an inverted key (e.g. `-col("rn")`).
     */
   def promoteFirstRowToHeader(
       df: DataFrame,
       orderBy: Seq[Column]): DataFrame = {
     require(orderBy.nonEmpty, "promoteFirstRowToHeader: orderBy must be non-empty")
+    // col.desc/asc is a SortOrder node: in Spark 4 it reaches us as a
+    // lazy ColumnNodeExpression wrapping an internal SortOrder (the
+    // catalyst instanceof check never sees it), so inspect the node's
+    // rendered form. Non-evaluable inside the min_by struct = "not a
+    // value column" — reject loudly instead of promoting a wrong row.
+    val sortLike = orderBy.exists { c =>
+      scala.util.Try(org.apache.spark.sql.graftshim.Shims.toExpression(c)) match {
+        case scala.util.Success(e) =>
+          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder] ||
+            e.toString.contains("SortOrder(")
+        case scala.util.Failure(_) => true
+      }
+    }
+    require(!sortLike,
+      "promoteFirstRowToHeader: orderBy takes value columns, not col.asc/desc — " +
+        "the minimum key tuple is promoted; invert the key (e.g. -col) for max")
     val ordStruct = struct(orderBy: _*)
     val rowStruct = struct(df.columns.map(col): _*)
     val hdr = df

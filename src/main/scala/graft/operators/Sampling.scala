@@ -21,13 +21,26 @@ object Sampling {
 
   val buckets: Int = 1000
 
-  /** Per-mille bucket in [0, 1000) from an integer key. */
-  def hashBucket(key: Column): Column =
-    pmod(pmod(key.cast("long") * lit(2654435761L), lit(1000003L)), lit(buckets.toLong))
+  private val prime = 1000003L
+  private val mult = 2654435761L % prime // 427799; (k·A) mod p == ((k mod p)·(A mod p)) mod p
 
-  /** The same bucket as ANSI SQL over column name `key` (oracle twin). */
+  /** Per-mille bucket in [0, 1000) from an integer key — defined for
+    * the FULL long range: the key is reduced mod p before the
+    * multiply, so the product stays < p² ≈ 10¹² and can't overflow
+    * (the naive `key * A` form overflows for |key| > ~3.5e9 — which
+    * Spark 4's default ANSI mode turns into a job-killing
+    * ArithmeticException, and which the docstring's own advice of
+    * pre-hashing with xxhash64 would guarantee). pmod keeps negative
+    * keys in [0, p) exactly like the SQL twin below.
+    */
+  def hashBucket(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(prime)) * lit(mult), lit(prime)) % lit(buckets.toLong)
+
+  /** The same bucket as ANSI SQL over column name `key` (oracle twin);
+    * the `(x % p + p) % p` idiom mirrors pmod for negative keys.
+    */
   def hashBucketSql(key: String): String =
-    s"((($key * 2654435761) % 1000003) % ${buckets})"
+    s"(((($key % $prime + $prime) % $prime) * $mult) % $prime % ${buckets})"
 
   /** Deterministic `fraction` sample: keeps rows whose bucket falls
     * below fraction×1000. Same rows survive on every run and engine.

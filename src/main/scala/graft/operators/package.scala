@@ -12,16 +12,32 @@ package object operators {
     * when the source under-splits, and shuffles just the projected
     * kernel input (id + text), not the full table.
     *
-    * The decision reads `inputFiles` (leaf-relation file listing — no
-    * physical planning) instead of `df.rdd.getNumPartitions`, which
-    * would force a full non-AQE physical plan of the fragment just to
-    * count splits, planning every kernel input twice. Fragments with
-    * no file source (LocalRelation fixtures) count as 0 files and get
-    * spread — exactly the under-split case the guard exists for.
+    * The decision estimates the scan's SPLIT count from the leaf file
+    * listing: ceil(fileBytes / maxPartitionBytes) per file (splittable
+    * formats), summed. A bare file COUNT would mis-fire on one large
+    * parquet file — Spark already plans ~80 splits for a 10 GB file,
+    * and a count-based guard would shuffle it pointlessly (and cap
+    * parallelism below the native splits). No `df.rdd.getNumPartitions`
+    * either: that would force a full non-AQE physical plan of the
+    * fragment just to count splits, planning every kernel input twice.
+    * Fragments with no file source (LocalRelation fixtures) count as 0
+    * splits and get spread — exactly the under-split case the guard
+    * exists for.
     */
   def scaleOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = try df.inputFiles.length catch { case _: Exception => 0 }
-    if (nFiles >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estSplits =
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        df.inputFiles.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          math.max(1L, (len + maxPartitionBytes - 1) / maxPartitionBytes)
+        }.sum
+      } catch { case _: Exception => 0L }
+    if (estSplits >= target) df else df.repartition(target)
   }
 }

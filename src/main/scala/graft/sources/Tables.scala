@@ -43,6 +43,14 @@ object Tables {
     * `filter(col(corruptCol).isNull / isNotNull)` into the clean path
     * and a quarantine sink for later inspection. The schema is explicit
     * (inference would double-scan the corpus).
+    *
+    * Spark restriction: a query referencing ONLY the corrupt column
+    * over the raw scan is disallowed (`...queries from raw JSON/CSV
+    * files are disallowed when the referenced columns only include the
+    * internal corrupt record column`). `.cache()` the returned frame
+    * (or persist it to parquet) before splitting it into clean and
+    * quarantine branches — both branch queries then read the
+    * materialized rows instead of the raw scan.
     */
   def loadJsonLenient(
       spark: SparkSession, path: String,
@@ -57,6 +65,8 @@ object Tables {
   /** CSV twin of [[loadJsonLenient]]: malformed lines (wrong arity,
     * uncastable fields) land whole in `corruptCol` instead of failing
     * the job. Header + explicit schema (no inference double-scan).
+    * Same caveat: `.cache()` before splitting on the corrupt column
+    * (see [[loadJsonLenient]]).
     */
   def loadCsvLenient(
       spark: SparkSession, path: String,
@@ -84,8 +94,15 @@ object Tables {
       targetMB: Int = 512): Unit = {
     require(targetMB > 0, "targetMB must be positive")
     val df = spark.read.parquet(inPath)
-    val bytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    // sizes via the Hadoop FileSystem API so every scheme the scan can
+    // read (hdfs://, s3a://, file://) reports real lengths — a
+    // java.io.File probe would silently return 0 off the local disk
+    // and collapse the whole dataset into one file
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
     // coalesce, not repartition: compaction must not shuffle — it only
     // merges existing splits into fewer write tasks

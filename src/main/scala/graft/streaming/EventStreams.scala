@@ -134,6 +134,8 @@ object EventStreams {
         col("__fp") === col("fp"), "left_anti")
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
+      // internal helper column — callers get their own schema back
+      .drop("__fp")
 
   /** E7: streaming ingest with INDEX MAINTENANCE — the complete
     * incremental-corpus loop as one streaming job. Each micro-batch:

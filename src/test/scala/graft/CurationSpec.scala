@@ -98,6 +98,20 @@ class CurationSpec extends SparkSpec {
       s"fp count ${hits.size - members.size} far above 1% of 19000 trials")
   }
 
+  test("hashBucket is defined on the full long range (ANSI-safe) incl. negatives") {
+    // the docstring recommends pre-hashing adversarial keys with
+    // xxhash64 — full-range longs; the mod-first form must neither
+    // overflow (ANSI ArithmeticException) nor go negative
+    val out = spark.range(5000)
+      .select(Sampling.hashBucket(xxhash64(col("id"))).as("b"))
+      .agg(min("b"), max("b")).as[(Long, Long)].head()
+    assert(out._1 >= 0 && out._2 < 1000, s"bucket range violated: $out")
+    // extreme and negative keys
+    val edge = Seq(Long.MaxValue, Long.MinValue + 1, -1L, 0L).toDF("k")
+      .select(Sampling.hashBucket(col("k")).as("b")).as[Long].collect()
+    assert(edge.forall(b => b >= 0 && b < 1000), s"edge buckets: ${edge.toSeq}")
+  }
+
   test("mixtureSample applies per-group rates, a default, and nests across rates") {
     val df = spark.range(20000).select(
       col("id"),

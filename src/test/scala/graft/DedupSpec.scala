@@ -192,6 +192,23 @@ class DedupSpec extends SparkSpec {
     assert(out2 == Set(21L), s"second-shard survivors: $out2")
   }
 
+  test("connectedComponents fails loudly when the diameter exceeds maxIter") {
+    // a 7-node chain needs more than 2 min-label rounds; silent
+    // non-convergence would leave several "representatives" per
+    // cluster and let duplicates survive
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val err = intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(
+        chain, col("a"), col("b"), maxIter = 2).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // with enough rounds the same chain converges to one component
+    val ok = graft.operators.Dedup.connectedComponents(
+        chain, col("a"), col("b"), maxIter = 20)
+      .select("comp").as[Long].collect()
+    assert(ok.toSet == Set(1L))
+  }
+
   test("exactIncrementalBloom is row-identical to exactIncremental on real documents") {
     // corpus = even docs, shard = odd docs + planted copies of the
     // corpus + intra-shard dups; the bloom path must keep EXACTLY the

@@ -92,6 +92,17 @@ class ReshapeSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("0", "2024_1", "2024_2"))
     assert(out.count() == 2)
     assert(out.select("2024_1").as[String].collect().sorted.toSeq == Seq("10", "30"))
+    // sort-direction wrappers are rejected loudly (min_by can't honor
+    // them — silently promoting the wrong row would be worse); the
+    // documented max-row alternative is an inverted key
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Reshape.promoteFirstRowToHeader(
+        df, orderBy = Seq(org.apache.spark.sql.functions.col("rn").desc))
+    }
+    assert(err.getMessage.contains("value columns"))
+    val maxPromoted = graft.operators.Reshape.promoteFirstRowToHeader(
+      df, orderBy = Seq(-org.apache.spark.sql.functions.col("rn")))
+    assert(maxPromoted.columns.toSeq == Seq("2", "30", "40"))
   }
 
   test("bindRows aligns schemas with nulls") {
