@@ -56,7 +56,7 @@ object AsOf {
         payload.as("__rp")) ++
         rightOrder.map(c => col(c).as(s"__ro_$c")): _*)
     val l = left.select(
-      left.columns.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")): _*)
+      left.columns.toIndexedSeq.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows (__side=0) sort before left rows at equal ts, so
     // "at-or-before" is inclusive; rightOrder breaks ties among right
@@ -73,7 +73,7 @@ object AsOf {
     }
     val out = bounded.filter(col("__side") === 1)
     val rpCols = rightPayload.map(c => col("__match")(c).as(c))
-    out.select(left.columns.map(col) ++ rpCols: _*)
+    out.select(left.columns.toIndexedSeq.map(col) ++ rpCols: _*)
   }
 
   /** Forward as-of join: the EARLIEST right row at-or-after each left
@@ -96,6 +96,6 @@ object AsOf {
         rightPayload.filterNot(_ == rightTs) :+ rightTs,
         rightOrder, tolerance)
       .drop("__neg_l")
-      .select((left.columns ++ rightPayload).distinct.map(col): _*)
+      .select((left.columns.toIndexedSeq ++ rightPayload).distinct.map(col): _*)
   }
 }

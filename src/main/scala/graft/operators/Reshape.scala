@@ -146,7 +146,7 @@ object Reshape {
       "promoteFirstRowToHeader: orderBy takes value columns, not col.asc/desc — " +
         "the minimum key tuple is promoted; invert the key (e.g. -col) for max")
     val ordStruct = struct(orderBy: _*)
-    val rowStruct = struct(df.columns.map(col): _*)
+    val rowStruct = struct(df.columns.toIndexedSeq.map(col): _*)
     val hdr = df
       .agg(min_by(struct(rowStruct.as("row"), ordStruct.as("ord")), ordStruct).as("h"))
       .head().getStruct(0)
@@ -159,7 +159,7 @@ object Reshape {
     val isHeader = orderBy.zipWithIndex
       .map { case (c, i) => c <=> lit(headerOrd.get(i)) }
       .reduce(_ && _)
-    df.filter(!isHeader).select(renamed: _*)
+    df.filter(!isHeader).select(renamed.toIndexedSeq: _*)
   }
 
   /** Dynamic rename over regex-matched columns (rename_with +
@@ -179,13 +179,13 @@ object Reshape {
   def selectMatching(df: DataFrame, pattern: String, keep: Seq[String] = Nil): DataFrame = {
     val re = pattern.r
     val cols = df.columns.filter(c => keep.contains(c) || re.findFirstIn(c).isDefined)
-    df.select(cols.map(col): _*)
+    df.select(cols.toIndexedSeq.map(col): _*)
   }
 
   /** Drop columns whose name matches (select(-matches(...))). */
   def dropMatching(df: DataFrame, pattern: String): DataFrame = {
     val re = pattern.r
-    df.drop(df.columns.filter(c => re.findFirstIn(c).isDefined): _*)
+    df.drop(df.columns.toIndexedSeq.filter(c => re.findFirstIn(c).isDefined): _*)
   }
 
   /** Bulk cast across regex-matched columns (mutate(across(matches(),
