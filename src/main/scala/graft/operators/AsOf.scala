@@ -49,7 +49,14 @@ object AsOf {
       tolerance: Option[Column] = None): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val payload = struct((rightTs +: rightPayload).distinct.map(col): _*)
-    val r = right.select(
+    // SQL join semantics: a NULL key matches nothing. The window
+    // partitioning below would group null-key rows of BOTH sides into
+    // one partition and attach null-key right payloads to null-key
+    // left rows — drop null-key right rows instead (null-key left rows
+    // then sit in a partition with no right rows → null payload, which
+    // is what an equi-join oracle produces).
+    val rightKeyed = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    val r = rightKeyed.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),

@@ -128,10 +128,15 @@ object Multimodal {
           // Arrow batch; per-batch allocation stays bounded.
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]]("media")
-            decodeImage(bytes, dim) match {
+            // total function, incl. null payload/metadata: the
+            // quarantine contract is "flag, never crash the task"
+            val safeBytes = if (bytes == null) Array.empty[Byte] else bytes
+            val mw = if (r.isNullAt(2)) 0 else r.getInt(2)
+            val mh = if (r.isNullAt(3)) 0 else r.getInt(3)
+            decodeImage(safeBytes, dim) match {
               case Some((w, h, feats)) => Row(r.getLong(0), true, w, h, feats.toSeq)
               case None =>
-                Row(r.getLong(0), false, r.getInt(2), r.getInt(3), byteFold(bytes, dim).toSeq)
+                Row(r.getLong(0), false, mw, mh, byteFold(safeBytes, dim).toSeq)
             }
           }
         }

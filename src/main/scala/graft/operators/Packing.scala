@@ -37,7 +37,10 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = coalesce(sum(nTokens).over(w), lit(0L))
     df.withColumn("__cum", cum)
-      .withColumn("seq_id", floor(col("__cum") / budget))
+      // `div` (integer division), NOT floor(a / b): the double division
+      // loses exactness past 2^53 cumulative tokens — the same mantissa
+      // hazard Tables.events guards against for epoch-nanos
+      .withColumn("seq_id", expr(s"__cum div ${budget.toLong}"))
       .withColumn("tok_offset", pmod(col("__cum"), lit(budget.toLong)))
       .drop("__cum")
   }

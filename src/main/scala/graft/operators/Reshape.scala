@@ -150,6 +150,9 @@ object Reshape {
     val hdr = df
       .agg(min_by(struct(rowStruct.as("row"), ordStruct.as("ord")), ordStruct).as("h"))
       .head().getStruct(0)
+    require(hdr != null,
+      "promoteFirstRowToHeader: input has no rows — no header row to promote " +
+        "(an empty sheet reached header promotion)")
     val headerRow = hdr.getStruct(0)
     val headerOrd = hdr.getStruct(1)
     val renamed = df.columns.zipWithIndex.map { case (c, i) =>

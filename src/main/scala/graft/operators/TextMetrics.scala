@@ -215,15 +215,24 @@ object TextMetrics {
     * them exactly). Returns (id, n_tokens, avg_logprob).
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // one repartition by term materializes the tokenize+explode scan
+    // behind a single exchange read by BOTH the tf aggregation and the
+    // probe side of the join (ReusedExchange — same pattern as
+    // ngramJaccard's shingle exchange); without it the interpreted
+    // tokenization runs twice over the corpus
     val toks = graft.operators.scaleOut(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), explode(tokens(col("__text"))).as("term"))
+      .repartition(col("term"))
     val tf = toks.groupBy("term").agg(count(lit(1)).as("n"))
     val tot = tf.agg(sum(col("n")).as("n_total"), count(lit(1)).as("vocab"))
     val lp = tf.crossJoin(broadcast(tot))
       .withColumn("lp",
         round(log((col("n") + 1).cast("double") / (col("n_total") + col("vocab"))), 7))
       .select(col("term"), col("lp"))
-    toks.join(broadcast(lp), "term")
+    // term-keyed sort-merge join over the shared partitioning — NOT a
+    // broadcast: the vocabulary is corpus-derived and unbounded on a
+    // web corpus, so forcing it onto the driver would cap scale
+    toks.join(lp, "term")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_tokens"),

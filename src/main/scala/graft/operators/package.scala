@@ -29,14 +29,20 @@ package object operators {
     val target = spark.sparkContext.defaultParallelism
     val maxPartitionBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    // early exit: stop statting files the moment the estimate clears
+    // the target — on a 100k-file table this is a handful of driver
+    // RPCs, not 100k serial getFileStatus calls
     val estSplits =
       try {
         val conf = spark.sparkContext.hadoopConfiguration
-        df.inputFiles.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
+        val it = df.inputFiles.iterator
+        var est = 0L
+        while (est < target && it.hasNext) {
+          val p = new org.apache.hadoop.fs.Path(it.next())
           val len = p.getFileSystem(conf).getFileStatus(p).getLen
-          math.max(1L, (len + maxPartitionBytes - 1) / maxPartitionBytes)
-        }.sum
+          est += math.max(1L, (len + maxPartitionBytes - 1) / maxPartitionBytes)
+        }
+        est
       } catch { case _: Exception => 0L }
     if (estSplits >= target) df else df.repartition(target)
   }

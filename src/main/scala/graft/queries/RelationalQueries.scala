@@ -315,7 +315,11 @@ object RelationalQueries {
       val ok = table(s, dir, "orders").select($"o_custkey")
       val both = ok.intersect(ck.toDF("o_custkey"))
         .agg(count(lit(1)).as("n")).select(lit("both").as("src"), $"n")
-      val custOnly = ck.exceptAll(ok.toDF("c_custkey")).distinct()
+      // except (set semantics), not exceptAll().distinct(): with
+      // duplicate customer keys the latter would keep a key that
+      // appears MORE often in customer than orders — SQL EXCEPT drops
+      // any key present in orders at all
+      val custOnly = ck.except(ok.toDF("c_custkey"))
         .agg(count(lit(1)).as("n")).select(lit("cust_only").as("src"), $"n")
       both.unionByName(custOnly).orderBy($"src")
     },

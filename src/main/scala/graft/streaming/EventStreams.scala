@@ -232,14 +232,56 @@ object EventStreams {
           } else {
             // Micro-batches deliver rows unordered: sort the batch, then
             // fold it into (possibly several) gap-separated sessions.
+            // Late-but-within-watermark events BEFORE the open session:
+            //  - within gapUs of its start → merge BACKWARD (start
+            //    lowers), matching the batch twin;
+            //  - more than gapUs earlier → a disjoint EARLIER session:
+            //    the batch's too-early prefix folds into its own
+            //    gap-separated sessions, emitted closed immediately
+            //    (residual edge: a yet-later arrival can no longer
+            //    extend an already-emitted early session — bounded by
+            //    the watermark, same trade every streaming sessionizer
+            //    with append output makes).
             val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
             var closedSessions = List.empty[SessionOut]
             var cur = state.getOption
-            sorted.foreach { e =>
+            val (early, rest) = cur match {
+              case Some(st) => sorted.partition(_.ts_us < st.startUs - gapUs)
+              case None => (Seq.empty[Event], sorted)
+            }
+            if (early.nonEmpty) {
+              var e0 = Option.empty[SessionState]
+              early.foreach { e =>
+                e0 match {
+                  case Some(st) if e.ts_us - st.endUs <= gapUs =>
+                    e0 = Some(SessionState(st.startUs, math.max(st.endUs, e.ts_us),
+                      st.n + 1, st.sumV + e.value))
+                  case Some(st) =>
+                    closedSessions ::= close(uid, st)
+                    e0 = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+                  case None =>
+                    e0 = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+                }
+              }
+              // the LAST early session may end within gapUs of the open
+              // session's start — the batch twin would bridge them, so
+              // merge instead of closing
+              e0.foreach { st0 =>
+                cur match {
+                  case Some(st) if st.startUs - st0.endUs <= gapUs =>
+                    cur = Some(SessionState(
+                      math.min(st0.startUs, st.startUs),
+                      math.max(st0.endUs, st.endUs),
+                      st0.n + st.n, st0.sumV + st.sumV))
+                  case _ => closedSessions ::= close(uid, st0)
+                }
+              }
+            }
+            rest.foreach { e =>
               cur match {
                 case Some(st) if e.ts_us - st.endUs <= gapUs =>
-                  cur = Some(SessionState(st.startUs, math.max(st.endUs, e.ts_us),
-                    st.n + 1, st.sumV + e.value))
+                  cur = Some(SessionState(math.min(st.startUs, e.ts_us),
+                    math.max(st.endUs, e.ts_us), st.n + 1, st.sumV + e.value))
                 case Some(st) =>
                   closedSessions ::= close(uid, st)
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))

@@ -272,6 +272,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E2 sessionize merges late within-gap events backward and closes disjoint early ones") {
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val gapUs = 3600000000L // 1h
+    val q = EventStreams.sessionize(df, gapUs, "200 hours") // huge watermark: nothing is "too late"
+      .writeStream.format("memory").queryName("e2_late").outputMode("append").start()
+    try {
+      val base = 1000000000000L
+      val m30 = 1800000000L
+      // batch 1 opens a session at base
+      input.addData((tsOf(base), 1L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event 30min BEFORE the session start (within
+      // gap → must merge backward, lowering session_start_us) and one
+      // 10h before (disjoint → its own closed session)
+      input.addData(
+        (tsOf(base - m30), 1L, 2L, "click", 2.0),
+        (tsOf(base - 36000000000L), 1L, 3L, "click", 4.0))
+      q.processAllAvailable()
+      // close everything via watermark advance (delay is 200h, so the
+      // sentinels must sit far enough past it to move the watermark
+      // beyond the session timeout)
+      input.addData((tsOf(base + 400L * gapUs), -1L, -9L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData((tsOf(base + 800L * gapUs), -1L, -8L, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("e2_late").filter($"user_id" === 1L)
+        .select("session_start_us", "session_end_us", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(out.contains((base - 36000000000L, base - 36000000000L, 1L, 4.0)),
+        s"disjoint early session missing: $out")
+      assert(out.contains((base - m30, base, 2L, 3.0)),
+        s"backward merge missing: $out")
+    } finally q.stop()
+  }
+
   test("E6 dedupStreamAgainstIndex: corpus-indexed payloads never enter, stream repeats drop") {
     val input = mkStream()
     val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
