@@ -176,6 +176,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb reuses the term exchange (one tokenization pass feeds model and probe)") {
+    // ReusedExchange only materializes in the FINAL adaptive plan
+    val plan = run(SparkEntry.queries("q_unigram_logprob")(spark, sf))
+    assert(plan.contains("ReusedExchange"),
+      s"term exchange not shared between tf aggregate and join probe:\n$plan")
+  }
+
   test("resample scans the input once and plans no join (gap rows are generated in place)") {
     val plan = planOf("q_resample")
     assert("Scan parquet".r.findAllIn(plan).length == 1,
