@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench's ONE JSON line from stdout; sbt's
+// default logger prefixes forked output with "[info] ", which breaks
+// that parse (BENCH_r02/r03 recorded parsed:null). StdoutOutput passes
+// the forked process's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
