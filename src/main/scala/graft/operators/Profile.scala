@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data profiling — the "look at what arrived" step every ingest needs
+  * before wrangling (the reference eyeballs sheets by hand; at 100 TB
+  * the profile IS the eyeball).
+  *
+  * Both operators are single-aggregation-pass shapes: no per-column
+  * jobs, no driver-side loops over data — a profile of a 100 TB table
+  * is one scan.
+  */
+object Profile {
+
+  /** Long-format column profile: one row per column with
+    * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val);
+    * min/max rendered as strings so heterogeneous column types fit one
+    * frame.
+    *
+    * Shape at scale: ALL columns' aggregates run in ONE aggregate node
+    * over ONE scan; the wide single row then unpivots to long form via
+    * an inline array — no shuffle beyond the aggregation itself.
+    *
+    * `exactDistinct = false` (default) uses HLL++ `approx_count_distinct`
+    * — constant memory, one pass, the only sane default at scale.
+    * `true` uses exact `count(distinct)`: Spark plans k distinct
+    * aggregates as an Expand that replicates every input row k times —
+    * fine for verification at small SF, a deliberate opt-in cost at
+    * scale.
+    */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val nd =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"__${c}_nn"),
+        nd.as(s"__${c}_nd"),
+        min(col(c)).cast("string").as(s"__${c}_min"),
+        max(col(c)).cast("string").as(s"__${c}_max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__${c}_nn")).as("n_nulls"),
+        col(s"__${c}_nd").as("n_distinct"),
+        col(s"__${c}_min").as("min_val"),
+        col(s"__${c}_max").as("max_val"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Fixed-width histogram of a numeric column over [lo, hi): bin ids
+    * 0..nBins-1, out-of-range values clamped into the edge bins, nulls
+    * dropped. Returns (bin, bin_lo, n) for every NON-EMPTY bin.
+    *
+    * One partial-aggregated groupBy — map-side combine collapses each
+    * partition to ≤ nBins rows, so the shuffle is O(partitions·nBins)
+    * regardless of data size. Edges are caller-supplied (one pass);
+    * derive them from a prior `profile` call when unknown — two
+    * explicit passes beat a silent driver-side min/max collect.
+    */
+  def histogram(
+      df: DataFrame,
+      value: Column,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor((value - lo) / w).cast("int")))
+    df.filter(value.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * w, 4))
+      .select(col("bin"), col("bin_lo"), col("n"))
+  }
+}

@@ -132,6 +132,69 @@ object TextMetrics {
         "https?://[^\\s]+", "<URL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** HTML boilerplate stripping — the first pass over crawled corpora:
+    * drop script/style elements WITH their contents (code/CSS is not
+    * prose), drop every remaining tag, unescape the five standard
+    * entities, collapse runs of whitespace, trim. Pure codegen'd
+    * regexp_replace chain, embarrassingly parallel, zero shuffle;
+    * order (script/style → tags → entities → whitespace) is part of
+    * the contract — entities unescape AFTER tag removal so text like
+    * `&lt;p&gt;` survives as literal "<p>" rather than being eaten.
+    * `(?is)` = dot-matches-newline + case-insensitive, so multi-line
+    * and SCRIPT/Script elements strip too. Script and style strip in
+    * two separate passes (no backreference) so the SAME patterns run
+    * under DuckDB's RE2 in the oracle twin.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noScript, "(?s)<[^>]+>", " ")
+    val unescaped = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Per-group token-distribution Shannon entropy (nats) — the
+    * corpus-balance metric a mixture designer reads per source: low
+    * entropy = repetitive/boilerplate-dominated source, high entropy =
+    * diverse vocabulary. Also returns token and vocabulary counts.
+    *
+    * Shape at scale: one explode → one partial-aggregated
+    * (group, term) count → one partial-aggregated per-group sum —
+    * both shuffles keyed and map-side combined, no windows, no
+    * driver round-trips. Determinism follows the unigramLogProb
+    * contract: the per-term contribution n·ln(n) is rounded to 7 dp,
+    * summed over exact decimals (order-independent), and the final
+    * entropy H = ln(N) − Σ n·ln(n)/N is rounded to 4 dp — identical
+    * on any engine/partitioning.
+    */
+  def tokenEntropy(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val toks = df.select(group.as("grp"), explode(tokens(text)).as("term"))
+    val tf = toks.groupBy("grp", "term").agg(count(lit(1)).as("n"))
+    tf.groupBy("grp")
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(round(col("n") * log(col("n").cast("double")), 7)
+          .cast("decimal(28,7)")).as("__nlogn"))
+      .select(
+        col("grp"),
+        col("n_tokens"),
+        col("n_vocab"),
+        round(
+          log(col("n_tokens").cast("double")) -
+            (col("__nlogn").cast("double") / col("n_tokens")), 4)
+          .as("entropy"))
+  }
+
   /** Overlapping token-window chunking — the context-window splitter a
     * training pipeline runs right before tokenization/packing: each
     * document becomes ceil(n/stride) chunks of up to `chunkSize`

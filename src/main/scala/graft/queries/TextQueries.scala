@@ -376,6 +376,84 @@ object TextQueries {
           col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // D27: HTML boilerplate strip — documents get a deterministic HTML
+    // wrapper planted (tags, a script element, escaped entities), both
+    // engines strip it with the same RE2-safe regex chain; cleaned
+    // text must round-trip to the original except for the planted
+    // literal "<" entity text.
+    Q(
+      "q_text_strip_html",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;</script>' ||
+        |    '<style>p { color: red; }</style></head><body class="doc">' ||
+        |    '<h1>Doc ' || doc_id || '</h1><p>' || text ||
+        |    '</p><br/>&amp; more &lt;escaped&gt; &quot;text&quot;</body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(
+        |                    regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |                    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |                  '(?s)<[^>]+>', ' ', 'g'),
+        |                '&lt;', '<', 'g'),
+        |              '&gt;', '>', 'g'),
+        |            '&quot;', '"', 'g'),
+        |          '&#39;', '''', 'g'),
+        |        '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, substr(clean, 1, 60) AS clean_head,
+        |  CAST(len(clean) AS BIGINT) AS clean_len
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "<style>p { color: red; }</style></head><body class=\"doc\">" +
+            "<h1>Doc "),
+          col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><br/>&amp; more &lt;escaped&gt; &quot;text&quot;</body></html>"))
+          .as("html"))
+      planted
+        .select(col("doc_id"), TextMetrics.stripHtml(col("html")).as("clean"))
+        .select(col("doc_id"),
+          substring(col("clean"), 1, 60).as("clean_head"),
+          length(col("clean")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+
+    // D28: per-source token-distribution entropy — corpus-balance
+    // metric; per-term n·ln(n) rounded to 7 dp, exact decimal sums,
+    // H = ln(N) − Σ/N rounded to 4 dp (unigramLogProb's determinism
+    // contract).
+    Q(
+      "q_token_entropy",
+      s"""WITH t AS (
+         |  SELECT source, unnest(${tkSql("text")}) AS term FROM documents),
+         |tf AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_vocab,
+         |  round(ln(CAST(sum(n) AS DOUBLE)) -
+         |    CAST(sum(CAST(round(n * ln(CAST(n AS DOUBLE)), 7) AS DECIMAL(28,7))) AS DOUBLE)
+         |      / sum(n), 4) AS entropy
+         |FROM tf GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.tokenEntropy(table(s, dir, "documents"),
+          col("source"), col("text"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
     }
   )
 }

@@ -190,6 +190,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"single-pass resample must not join:\n$plan")
   }
 
+  // AQE's toString appends an "== Initial Plan ==" copy — count scans
+  // only in the final plan section
+  private def finalPlan(plan: String): String = plan.split("== Initial Plan ==")(0)
+
+  test("profile runs all column aggregates in one pass over one scan") {
+    val df = SparkEntry.queries("q_profile")(spark, sf)
+    val plan = finalPlan(run(df))
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"profile must scan the table exactly once:\n$plan")
+  }
+
+  test("histogram aggregates map-side (partial) on the bin id") {
+    val df = SparkEntry.queries("q_histogram")(spark, sf)
+    val plan = finalPlan(run(df))
+    assert(plan.contains("partial_"), s"histogram counts not map-side combined:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("topShingles plans a distributed top-k, not a global sort or window") {
     val docs = sources.Tables.load(spark, sf, "documents")
     val df = graft.operators.TextMetrics.topShingles(

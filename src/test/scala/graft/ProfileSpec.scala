@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profile, TextMetrics}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile counts rows, nulls, distincts and renders min/max per column") {
+    val df = Seq(
+      (Some(1), Some("a")),
+      (Some(2), None),
+      (Some(2), Some("b")),
+      (None, Some("b"))).toDF("x", "s")
+    val p = Profile.profile(df, Seq("x", "s"), exactDistinct = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("x") == ((4L, 1L, 2L, "1", "2")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("profile default (approx distinct) is exact at tiny cardinalities") {
+    val df = Seq(1, 2, 3, 3).toDF("v")
+    val Array(r) = Profile.profile(df, Seq("v")).collect()
+    assert(r.getLong(3) == 3L)
+  }
+
+  test("histogram clamps out-of-range values into edge bins and drops nulls") {
+    val df = Seq[Option[Double]](
+      Some(-5.0), Some(0.0), Some(4.9), Some(5.0), Some(9.9),
+      Some(25.0), None).toDF("v")
+    // [0,10) in 2 bins of width 5: -5 clamps to bin 0, 25 clamps to bin 1
+    val h = Profile.histogram(df, col("v"), lo = 0.0, hi = 10.0, nBins = 2)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(h(0) == ((0.0, 3L)))
+    assert(h(1) == ((5.0, 3L)))
+  }
+
+  test("stripHtml drops script/style with contents, tags, entities; keeps escaped text") {
+    val html = "<html><SCRIPT src='x'>var a = '<p>';</SCRIPT><style>p{}</style>" +
+      "<p class=\"k\">Hello &amp; &lt;world&gt;</p>\n <b>bye</b></html>"
+    val out = Seq(html).toDF("t")
+      .select(TextMetrics.stripHtml(col("t")).as("c")).as[String].head()
+    assert(out == "Hello & <world> bye")
+  }
+
+  test("tokenEntropy: uniform distribution gives ln(k), degenerate gives 0") {
+    val df = Seq(
+      ("u", "a b c d"),     // 4 distinct, uniform -> ln(4)
+      ("z", "x x x x")      // single token -> 0
+    ).toDF("src", "text")
+    val e = TextMetrics.tokenEntropy(df, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(e("u")._1 == 4L && e("u")._2 == 4L)
+    assert(math.abs(e("u")._3 - math.log(4.0)) < 1e-3)
+    assert(e("z") == ((4L, 1L, 0.0)))
+  }
+}
