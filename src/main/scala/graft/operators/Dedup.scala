@@ -474,6 +474,41 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("drop_id"), col("comp").as("keep_id"))
 
+  /** Line-level boilerplate removal (RefinedWeb/CCNet-style): drop
+    * every line whose NORMALIZED content appears in more than
+    * `maxDocFrac` of all documents — cookie banners, nav menus,
+    * copyright footers — while keeping genuinely shared prose (low
+    * document frequency) intact. Works on an exploded (id, lineNo,
+    * line) frame so the caller chooses the segmentation (physical
+    * lines, sentences, token windows).
+    *
+    * Shape at scale: line doc-frequency is one partial-aggregated
+    * groupBy on the md5 fingerprint (distinct per doc first, so a
+    * page repeating its own footer 50× counts once); the corpus doc
+    * count is a broadcast scalar; the boilerplate set — lines above
+    * the frequency cut — is tiny by construction (≤ segments/doc ÷
+    * maxDocFrac distinct lines can exceed the cut), so the final
+    * anti-join broadcasts. No window, no self-join, no driver data.
+    */
+  def dropBoilerplateLines(
+      lines: DataFrame,
+      id: Column,
+      lineNo: Column,
+      line: Column,
+      maxDocFrac: Double = 0.3): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1, "maxDocFrac must be in (0, 1]")
+    val l = lines.select(id.as("id"), lineNo.as("line_no"), line.as("line"))
+      .withColumn("__fp", normFingerprint(col("line")))
+    val nDocs = l.agg(countDistinct(col("id")).as("n_docs"))
+    val docFreq = l.select(col("__fp"), col("id")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("df"))
+    val boilerplate = docFreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .select(col("__fp"))
+    l.join(broadcast(boilerplate), Seq("__fp"), "left_anti")
+      .select(col("id"), col("line_no"), col("line"))
+  }
+
   /** Benchmark decontamination: per-document fraction of its distinct
     * word n-grams that occur ANYWHERE in the probe corpus (eval/test
     * sets) — the GPT-3-style overlap check that keeps benchmark text

@@ -48,4 +48,40 @@ object RangeJoin {
     l.join(r, col("__binl") === col("__binr") && point >= lo && point <= hi, joinType)
       .drop("__binl", "__binr")
   }
+
+  /** Interval-overlap join: pairs where `[llo, lhi]` and `[rlo, rhi]`
+    * overlap (closed intervals: `llo <= rhi AND rlo <= lhi`).
+    *
+    * Same binning idea as [[pointInInterval]], with BOTH sides
+    * replicated into the bins they span. A pair overlapping across k
+    * shared bins would match k times, so the join keeps only the
+    * CANONICAL bin — the bin containing the overlap's start
+    * `greatest(llo, rlo)`: exactly one bin per overlapping pair, hence
+    * exactly one output row, no post-dedup pass. Work is
+    * O(|L|·spansL + |R|·spansR + matches) through an ordinary shuffled
+    * equi-join — never a product. Inner only: bin replication breaks
+    * outer-join multiplicity on both sides.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      llo: Column,
+      lhi: Column,
+      rlo: Column,
+      rhi: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: Column, hi: Column, out: String): DataFrame =
+      df.withColumn("__b0", floor(lo / binWidth).cast("long"))
+        .withColumn("__b1", floor(hi / binWidth).cast("long"))
+        .withColumn(out, explode(sequence(col("__b0"), col("__b1"))))
+        .drop("__b0", "__b1")
+    val l = binned(left, llo, lhi, "__binl")
+    val r = binned(right, rlo, rhi, "__binr")
+    l.join(r,
+        col("__binl") === col("__binr") &&
+          llo <= rhi && rlo <= lhi &&
+          col("__binl") === floor(greatest(llo, rlo) / binWidth).cast("long"))
+      .drop("__binl", "__binr")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.tokens
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextMetrics}
 
 /** Near-duplicate detection and similarity search (SURVEY §2.D2-D7).
   *
@@ -18,6 +18,12 @@ import graft.operators.{Dedup, Similarity}
   * in DedupSpec.
   */
 object DedupQueries {
+
+  /** DuckDB expression for the shared tokenizer over column `c`
+    * (same contract as TextQueries.tkSql).
+    */
+  private[queries] def tkSql(c: String): String =
+    s"""list_filter(regexp_split_to_array(regexp_replace(lower($c), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0)"""
 
   /** documents ∪ word-truncated rendition (first 4/5 of the tokens,
     * id + 1000000) — the planted near-dup corpus.
@@ -414,6 +420,64 @@ object DedupQueries {
           numHashes = 64, bands = 16, shingleSize = 5,
           threshold = 0.5, maxBucket = 200)
         .orderBy("shard_id", "corpus_id")
+    },
+
+    // D29: line-level boilerplate removal — documents are segmented
+    // into 8-token "lines" plus one PLANTED boilerplate line per doc
+    // (the cookie-banner fixture, line_no = -1, present in 100% of
+    // docs); lines in > 50% of docs are dropped, so exactly the
+    // planted line disappears and every content line survives. Both
+    // engines reassemble the survivors in line order.
+    Q(
+      "q_dedup_lines",
+      s"""WITH tk0 AS (SELECT doc_id, ${DedupQueries.tkSql("text")} AS tk FROM documents),
+         |s AS (SELECT doc_id, tk, len(tk) AS n FROM tk0 WHERE len(tk) >= 1),
+         |seg AS (
+         |  SELECT doc_id, CAST(start // 8 AS INT) AS line_no,
+         |    array_to_string(tk[start + 1 : start + 8], ' ') AS line
+         |  FROM (SELECT doc_id, n, tk, unnest(range(0, n, 8)) AS start FROM s)),
+         |lines AS (
+         |  SELECT * FROM seg
+         |  UNION ALL
+         |  SELECT doc_id, -1 AS line_no,
+         |    'all rights reserved accept our cookie policy' AS line
+         |  FROM s),
+         |fp AS (
+         |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(line),
+         |    '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM lines),
+         |df AS (
+         |  SELECT f, count(*) AS dfreq
+         |  FROM (SELECT DISTINCT f, doc_id FROM fp) GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM lines),
+         |kept AS (
+         |  SELECT fp.doc_id, fp.line_no, fp.line
+         |  FROM fp JOIN df USING (f) CROSS JOIN nd
+         |  WHERE df.dfreq <= nd.n_docs * 0.5)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  md5(string_agg(line, ' | ' ORDER BY line_no)) AS clean_md5
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val seg = TextMetrics.chunkTokens(table(s, dir, "documents"),
+          col("doc_id"), col("text"), chunkSize = 8, stride = 8)
+        .select(col("id").as("doc_id"), col("chunk_id").as("line_no"),
+          col("chunk_text").as("line"))
+      val planted = table(s, dir, "documents")
+        .join(seg.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit(-1).as("line_no"),
+          lit("all rights reserved accept our cookie policy").as("line"))
+      val kept = Dedup.dropBoilerplateLines(
+        seg.unionByName(planted),
+        col("doc_id"), col("line_no"), col("line"), maxDocFrac = 0.5)
+      kept.groupBy("id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+              x => x.getField("line")),
+            " | ")).as("clean_md5"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 }

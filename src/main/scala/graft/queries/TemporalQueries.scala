@@ -207,6 +207,43 @@ object TemporalQueries {
           col("value"), stepUs = 21600000000L)
         .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "bucket_us")
+    },
+
+    // C26: interval-OVERLAP join (both sides are intervals, unlike
+    // C20's point-in-interval) — order activity windows × promo
+    // windows. The oracle states the plain two-sided inequality join;
+    // the Spark side must match it exactly through the dual-binned
+    // equi-join with the canonical-bin dedup (one output row per
+    // overlapping pair, no post-dedup, never a product).
+    Q(
+      "q_interval_overlap",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ((epoch(o_orderdate) // 86400) % 1200) AS lo,
+        |    ((epoch(o_orderdate) // 86400) % 1200) + (o_orderkey % 14) + 1 AS hi
+        |  FROM orders),
+        |p AS (
+        |  SELECT CAST(i AS INT) AS promo_id, i * 30 AS plo, i * 30 + 45 AS phi
+        |  FROM (SELECT unnest(range(0, 40)) AS i))
+        |SELECT promo_id, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM o JOIN p ON o.lo <= p.phi AND p.plo <= o.hi
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin
+    ) { (s, dir) =>
+      val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"),
+          (expr("unix_timestamp(cast(o_orderdate as timestamp)) div 86400") % 1200)
+            .as("lo"))
+        .withColumn("hi", col("lo") + (col("o_orderkey") % 14) + 1)
+      val p = s.range(0, 40).select(
+        col("id").cast("int").as("promo_id"),
+        (col("id") * 30).as("plo"),
+        (col("id") * 30 + 45).as("phi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          o, p, col("lo"), col("hi"), col("plo"), col("phi"), binWidth = 30.0)
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("promo_id")
     }
   )
 }

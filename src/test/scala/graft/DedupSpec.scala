@@ -259,4 +259,32 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(pairs.toSet == batch, "incremental pairs != batch cross pairs")
   }
+
+  test("dropBoilerplateLines drops high-df lines via NORMALIZED matching, keeps the rest") {
+    // the footer appears in 3/4 docs with varying case/punctuation;
+    // content lines are unique per doc
+    val lines = Seq(
+      (1L, 0, "unique prose one"), (1L, 1, "All Rights Reserved."),
+      (2L, 0, "unique prose two"), (2L, 1, "all   rights reserved"),
+      (3L, 0, "unique prose three"), (3L, 1, "ALL RIGHTS RESERVED!!"),
+      (4L, 0, "unique prose four")
+    ).toDF("id", "line_no", "line")
+    val kept = Dedup.dropBoilerplateLines(lines,
+        col("id"), col("line_no"), col("line"), maxDocFrac = 0.5)
+      .select("id", "line_no").as[(Long, Int)].collect().toSet
+    assert(kept === Set((1L, 0), (2L, 0), (3L, 0), (4L, 0)),
+      s"expected only content lines to survive, got $kept")
+  }
+
+  test("dropBoilerplateLines keeps lines at or below the frequency cut") {
+    // shared line in exactly half the docs — NOT above maxDocFrac=0.5
+    val lines = Seq(
+      (1L, 0, "shared fact"), (2L, 0, "shared fact"),
+      (3L, 0, "own text"), (4L, 0, "other text")
+    ).toDF("id", "line_no", "line")
+    val kept = Dedup.dropBoilerplateLines(lines,
+        col("id"), col("line_no"), col("line"), maxDocFrac = 0.5)
+      .count()
+    assert(kept === 4L, "df == cut must survive (strict inequality)")
+  }
 }

@@ -32,4 +32,31 @@ class RangeJoinSpec extends SparkSpec {
         col("p"), col("lo"), col("hi"), binWidth = 25.0, joinType = "full")
     }
   }
+
+  test("intervalOverlap matches the naive inequality join with no duplicate pairs") {
+    // deterministic fixture with spans well past binWidth so many pairs
+    // share several bins — the canonical-bin guard must emit each pair
+    // exactly once
+    val left = (0L until 60L).map(i => (i, (i * 7 % 97).toDouble, (i * 7 % 97 + i % 23 + 1).toDouble))
+      .toDF("lid", "llo", "lhi")
+    val right = (0L until 25L).map(j => (j, (j * 11 % 89).toDouble, (j * 11 % 89 + j % 31 + 2).toDouble))
+      .toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(left, right,
+        col("llo"), col("lhi"), col("rlo"), col("rhi"), binWidth = 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val want = left.crossJoin(right)
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet === want.toSet)
+  }
+
+  test("intervalOverlap handles touching endpoints (closed intervals)") {
+    val l = Seq((1L, 0.0, 10.0)).toDF("lid", "llo", "lhi")
+    val r = Seq((2L, 10.0, 20.0), (3L, 10.5, 20.0)).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(l, r,
+        col("llo"), col("lhi"), col("rlo"), col("rhi"), binWidth = 4.0)
+      .select("rid").as[Long].collect().toSet
+    assert(got === Set(2L), "endpoint touch [0,10]x[10,20] must match; [10.5,..] must not")
+  }
 }
