@@ -57,6 +57,30 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Join/groupBy key-skew diagnosis: the top-k heaviest keys with
+    * their share of all rows and their ratio to the mean key load —
+    * the number that tells you whether [[Skew.saltedJoin]] (ratio in
+    * the hundreds) or plain AQE (single digits) is the right tool,
+    * BEFORE the 4-hour shuffle stalls on one straggler partition.
+    *
+    * Shape at scale: one partial-aggregated groupBy(key), a broadcast
+    * scalar for the totals, and a `TakeOrderedAndProject` distributed
+    * top-k — no global sort, no window, nothing driver-side.
+    */
+  def keySkew(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("key"), col("n"),
+        round(col("n") / col("n_rows"), 6).as("share"),
+        round(col("n") * col("n_keys") / col("n_rows"), 4).as("ratio_to_mean"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topK)
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bin ids
     * 0..nBins-1, out-of-range values clamped into the edge bins, nulls
     * dropped. Returns (bin, bin_lo, n) for every NON-EMPTY bin.
