@@ -194,6 +194,52 @@ object EventStreams {
       .start()
   }
 
+  /** E8: streaming CDC apply — the streaming twin of batch
+    * `Merge.applyChanges`: each micro-batch of change records
+    * (payload + op + version columns) merges into an on-disk parquet
+    * snapshot, latest-wins. The loop per batch: read the snapshot
+    * (bootstrap: empty with the payload schema), apply the batch's
+    * changes, materialize (`localCheckpoint` — the overwrite below
+    * invalidates the files the plan would lazily re-read), overwrite.
+    *
+    * Delivery: `foreachBatch` replays under retry are IDEMPOTENT here
+    * — re-applying an identical change set to the already-merged
+    * snapshot is a fixpoint (latest-wins picks the same rows, deletes
+    * of absent keys no-op) — so at-least-once replay yields an
+    * effectively-exactly-once snapshot. Requirement: versions must be
+    * monotone per key ACROSS batches (the standard ordered-CDC-feed
+    * contract); the snapshot keeps no version history to reorder
+    * stragglers (within one batch, any order is fine). On a real lake
+    * the overwrite is a table-format transaction — same seam as
+    * [[ingestDedupMaintained]].
+    */
+  def applyChangesMaintained(
+      changes: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      opCol: String,
+      snapshotPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.DataFrame
+    changes.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val payload = batch.columns.filterNot(c => c == versionCol || c == opCol)
+        val snap =
+          try spark.read.parquet(snapshotPath)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              batch.select(payload.map(col): _*).limit(0)
+          }
+        val merged = graft.operators.Merge.applyChanges(
+          snap, batch, keys, col(versionCol), col(opCol)).localCheckpoint()
+        merged.write.mode("overwrite").parquet(snapshotPath)
+      }
+      .start()
+  }
+
   /** E2: stateful gap sessionization via flatMapGroupsWithState with
     * event-time timeout. Emits one row per CLOSED session (append
     * mode); open sessions close `gapUs` after their last event once the

@@ -396,6 +396,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E8 applyChangesMaintained: streamed CDC batches converge to the batch merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e8")
+    val (snap, ckpt) = (s"$dir/snapshot", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String, String, Int)](spark)
+    val df = input.toDF().toDF("k", "v", "op", "ver")
+    val q = EventStreams.applyChangesMaintained(
+      df, Seq("k"), "ver", "op", snap, ckpt)
+    try {
+      // batch 1: inserts + an intra-batch superseded update
+      input.addData((1L, "a", "I", 1), (2L, "b", "I", 1),
+        (1L, "a1", "U", 2), (1L, "a2", "U", 3))
+      q.processAllAvailable()
+      // batch 2: delete one, update the other, insert a third
+      input.addData((1L, "x", "D", 4), (2L, "b9", "U", 5), (3L, "c", "I", 1))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snap)
+        .select("k", "v").as[(Long, String)].collect().toSet
+      // the batch twin over ALL changes at once must agree
+      val all = Seq((1L, "a", "I", 1), (2L, "b", "I", 1), (1L, "a1", "U", 2),
+        (1L, "a2", "U", 3), (1L, "x", "D", 4), (2L, "b9", "U", 5), (3L, "c", "I", 1))
+        .toDF("k", "v", "op", "ver")
+      val want = operators.Merge.applyChanges(
+          all.select($"k", $"v").limit(0), all, Seq("k"), $"ver", $"op")
+        .as[(Long, String)].collect().toSet
+      assert(got === want && got === Set((2L, "b9"), (3L, "c")), s"got $got")
+    } finally q.stop()
+  }
+
   test("E2 stream == batch: sessionize over the real events table matches q_sessionize") {
     val gapUs = 43200000000L // same 12h gap as the batch query
     // real sf0.001 events, µs-normalized exactly like the batch twin
