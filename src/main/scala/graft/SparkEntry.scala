@@ -11,7 +11,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     RelationalQueries.all ++ WranglingQueries.all ++ TemporalQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ MultimodalQueries.all ++
-      CurationQueries.all ++ ProfileQueries.all ++ MergeQueries.all
+      CurationQueries.all ++ ProfileQueries.all ++ MergeQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
