@@ -57,6 +57,38 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Schema + content drift between two snapshots of "the same" table
+    * — the report an ingest pipeline renders when a new shard of an
+    * external feed arrives: columns added/removed, and how null counts
+    * and cardinalities moved on the columns both sides share.
+    *
+    * Shape at scale: one [[profile]] pass per side (one scan each —
+    * unavoidable: the two snapshots are different data), then a
+    * column-name full-outer join of two ≤ |columns|-row frames —
+    * driver-trivial. Returns one row per column name seen on either
+    * side: (col_name, status ∈ added/removed/common, nulls_before,
+    * nulls_after, distinct_before, distinct_after).
+    */
+  def schemaDrift(
+      before: DataFrame,
+      after: DataFrame,
+      exactDistinct: Boolean = false): DataFrame = {
+    val b = profile(before, before.columns.toSeq, exactDistinct)
+      .select(col("col_name"), col("n_nulls").as("nulls_before"),
+        col("n_distinct").as("distinct_before"))
+    val a = profile(after, after.columns.toSeq, exactDistinct)
+      .select(col("col_name"), col("n_nulls").as("nulls_after"),
+        col("n_distinct").as("distinct_after"))
+    b.join(a, Seq("col_name"), "full_outer")
+      .select(
+        col("col_name"),
+        when(col("nulls_before").isNull, "added")
+          .when(col("nulls_after").isNull, "removed")
+          .otherwise("common").as("status"),
+        col("nulls_before"), col("nulls_after"),
+        col("distinct_before"), col("distinct_after"))
+  }
+
   /** Join/groupBy key-skew diagnosis: the top-k heaviest keys with
     * their share of all rows and their ratio to the mean key load —
     * the number that tells you whether [[Skew.saltedJoin]] (ratio in

@@ -40,6 +40,48 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C31: schema-drift report — the "after" snapshot drops
+    // c_nationkey, adds c_tier, and nulls out every 7th name; the
+    // report must classify added/removed/common and track the
+    // null-count and cardinality movement.
+    Q(
+      "q_schema_drift", {
+        def side(tbl: String, cols: Seq[String]): String =
+          cols.map(c =>
+            s"""SELECT '$c' AS col_name,
+               |  CAST(count(*) - count($c) AS BIGINT) AS nulls,
+               |  CAST(count(DISTINCT $c) AS BIGINT) AS dist
+               |FROM $tbl""".stripMargin).mkString("", "\nUNION ALL\n", "")
+        val beforeCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        val afterCols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_tier")
+        s"""WITH aft AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS c_name,
+           |    c_acctbal, c_mktsegment,
+           |    CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS c_tier
+           |  FROM customer),
+           |pb AS (${side("customer", beforeCols)}),
+           |pa AS (${side("aft", afterCols)})
+           |SELECT coalesce(pb.col_name, pa.col_name) AS col_name,
+           |  CASE WHEN pb.col_name IS NULL THEN 'added'
+           |       WHEN pa.col_name IS NULL THEN 'removed'
+           |       ELSE 'common' END AS status,
+           |  pb.nulls AS nulls_before, pa.nulls AS nulls_after,
+           |  pb.dist AS distinct_before, pa.dist AS distinct_after
+           |FROM pb FULL JOIN pa ON pb.col_name = pa.col_name
+           |ORDER BY col_name""".stripMargin
+      }
+    ) { (s, dir) =>
+      val before = table(s, dir, "customer")
+      val after = before.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_name")).as("c_name"),
+        col("c_acctbal"), col("c_mktsegment"),
+        when(col("c_acctbal") >= 5000, "gold").otherwise("std").as("c_tier"))
+      Profile.schemaDrift(before, after, exactDistinct = true)
+        .orderBy("col_name")
+    },
+
     // C25: fixed-width histogram of extended price — map-side-combined
     // groupBy on the bin id, O(nBins) result regardless of input size.
     Q(

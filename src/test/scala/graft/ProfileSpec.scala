@@ -37,6 +37,19 @@ class ProfileSpec extends SparkSpec {
     assert(h(1) == ((5.0, 3L)))
   }
 
+  test("schemaDrift classifies added/removed/common and tracks null movement") {
+    val before = Seq((1, Some("a")), (2, Some("b"))).toDF("k", "dropme")
+    val after = Seq((1, Some("x")), (2, None)).toDF("k", "newcol")
+    val d = Profile.schemaDrift(before, after, exactDistinct = true)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(d("k") == (("common", Some(0L), Some(0L))))
+    assert(d("dropme") == (("removed", Some(0L), None)))
+    assert(d("newcol") == (("added", None, Some(1L))))
+  }
+
   test("stripHtml drops script/style with contents, tags, entities; keeps escaped text") {
     val html = "<html><SCRIPT src='x'>var a = '<p>';</SCRIPT><style>p{}</style>" +
       "<p class=\"k\">Hello &amp; &lt;world&gt;</p>\n <b>bye</b></html>"
