@@ -104,6 +104,18 @@ object Sampling {
     df.filter(hashBucket(key) < cut)
   }
 
+  /** Deterministic PER-ROW-weighted sampling — quality-weighted corpus
+    * selection ("keep a document with probability equal to its quality
+    * score"): each row survives iff its hash bucket falls below its
+    * OWN weight × 1000. Same guarantees as [[mixtureSample]] (no RNG,
+    * no shuffle, engine-portable, nested: raising a row's weight never
+    * evicts it), with the rate coming from a column instead of a
+    * per-group table. Weights outside [0,1] clamp.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(hashBucket(key) <
+      round(least(lit(1.0), greatest(lit(0.0), weight)) * buckets))
+
   /** Deterministic train/val/test (or any) split assignment: `splits`
     * maps label → weight; weights are normalized and laid out as
     * contiguous bucket ranges, so every row gets exactly one label.

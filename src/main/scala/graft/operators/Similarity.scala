@@ -201,4 +201,28 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** Per-group embedding centroids in LONG format (group, dim, mean_v)
+    * — the semantic summary behind topic drift monitoring, per-source
+    * cluster seeds, and label prototypes. Long format on purpose: no
+    * array reassembly, so the whole thing is one posexplode + one
+    * partial-aggregated groupBy(group, dim) — scales to any corpus and
+    * any dimensionality, and the caller can pivot a small result back
+    * to arrays if needed.
+    *
+    * Determinism follows the [[GraphOps.pageRank]] contract: each
+    * component is TRUNCATED at 7 dp (floor — repr-independent where
+    * round-half-up is not), summed over exact decimals, and the mean
+    * is truncated again. `dim` is 1-based (matching SQL subscripts).
+    */
+  def centroids(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    def t7(c: Column): Column = floor(c * 1e7) / 1e7
+    df.select(group.as("grp"), posexplode(vec).as(Seq("pos", "v")))
+      .groupBy(col("grp"), (col("pos") + 1).as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(t7(col("v").cast("double")).cast("decimal(28,7)")).as("s"))
+      .select(col("grp"), col("dim"),
+        t7(col("s").cast("double") / col("n")).as("mean_v"))
+  }
 }

@@ -303,6 +303,47 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** Zipf head coverage: for each k in `ks`, the fraction of all token
+    * INSTANCES covered by the k most frequent terms — the one-line
+    * answer to "how big must the vocabulary be" and a cheap
+    * boilerplate smell test (a tiny head covering most of the corpus =
+    * templated text).
+    *
+    * Shape at scale: one partial-aggregated term count, a distributed
+    * top-max(k) (`orderBy.limit` plans TakeOrderedAndProject — only
+    * max(ks) rows ever leave the executors), and arithmetic over a
+    * driver-trivial frame. Counts stay exact longs; the ratio is
+    * truncated at 6 dp (repr-independent, see GraphOps.pageRank).
+    */
+  def zipfCoverage(df: DataFrame, text: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val tf = df.select(explode(tokens(text)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = tf.agg(sum(col("n")).as("total"), count(lit(1)).as("vocab"))
+    // distributed top-max(k): TakeOrderedAndProject — only ks.max rows
+    // leave the executors. The rank over that BOUNDED frame is a
+    // windowless self-join count ("rows ahead or equal"), so no
+    // single-partition WindowExec appears anywhere, at any scale.
+    val top = tf.orderBy(col("n").desc, col("term").asc).limit(ks.max)
+    val ranked = top.select(col("term").as("ta"), col("n").as("na"))
+      .join(top.select(col("term").as("tb"), col("n").as("nb")),
+        col("nb") > col("na") ||
+          (col("nb") === col("na") && col("tb") <= col("ta")))
+      .groupBy(col("ta"), col("na"))
+      .agg(count(lit(1)).as("r"))
+    val kFrame = {
+      val s = df.sparkSession
+      import s.implicits._
+      ks.distinct.sorted.toDF("k")
+    }
+    kFrame.join(ranked, col("r") <= col("k"), "left")
+      .groupBy("k").agg(sum(col("na")).as("top_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("top_tokens"), col("total").as("total_tokens"),
+        col("vocab").as("n_vocab"),
+        (floor(col("top_tokens") / col("total") * 1e6) / 1e6).as("coverage"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the corpus-statistics
     * primitive behind keyword extraction and topical filtering.
     *

@@ -336,6 +336,25 @@ object CurationQueries {
         .select(col("doc_id"), col("shard"), col("n_toks"),
           col("seq_id").cast("long").as("seq_id"), col("tok_offset"))
         .orderBy("doc_id")
+    },
+
+    // D18d: per-ROW-weighted deterministic sampling — keep each doc
+    // with probability equal to its own (length-derived) quality
+    // weight; same hash-bucket family as the other sampling ops, so
+    // the sample is nested under re-weighting.
+    Q(
+      "q_weighted_sample", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""SELECT doc_id, n_chars
+           |FROM documents
+           |WHERE $b < round(least(1.0, greatest(0.0, n_chars / 400.0)) * 1000)
+           |ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      Sampling.weightedSample(table(s, dir, "documents"),
+          col("doc_id"), col("n_chars") / lit(400.0))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 }

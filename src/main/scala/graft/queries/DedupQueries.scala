@@ -422,6 +422,27 @@ object DedupQueries {
         .orderBy("shard_id", "corpus_id")
     },
 
+    // D32: per-label embedding centroids (long format) — 7-dp
+    // truncation + exact decimal sums (GraphOps.pageRank's
+    // determinism contract), 1-based dims matching SQL subscripts.
+    Q(
+      "q_embedding_centroid",
+      """WITH x AS (
+        |  SELECT label, CAST(i AS BIGINT) AS dim,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1e7) / 1e7 AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT label, dim,
+        |  floor(CAST(sum(CAST(v AS DECIMAL(28,7))) AS DOUBLE) / count(*) * 1e7) / 1e7
+        |    AS mean_v
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+    ) { (s, dir) =>
+      Similarity.centroids(table(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .select(col("grp").as("label"), col("dim").cast("long").as("dim"),
+          col("mean_v"))
+        .orderBy("label", "dim")
+    },
+
     // D29: line-level boilerplate removal — documents are segmented
     // into 8-token "lines" plus one PLANTED boilerplate line per doc
     // (the cookie-banner fixture, line_no = -1, present in 100% of

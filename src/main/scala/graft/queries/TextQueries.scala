@@ -378,6 +378,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D31: Zipf head coverage — fraction of token instances covered by
+    // the k most frequent terms; counts exact longs, ratio truncated
+    // at 6 dp (repr-independent).
+    Q(
+      "q_zipf_coverage",
+      s"""WITH t AS (
+         |  SELECT unnest(${tkSql("text")}) AS term FROM documents),
+         |tf AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+         |tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM tf),
+         |top AS (
+         |  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS r
+         |  FROM tf ORDER BY n DESC, term LIMIT 500),
+         |ks AS (SELECT unnest([10, 100, 500]) AS k),
+         |j AS (
+         |  SELECT ks.k, CAST(sum(top.n) AS BIGINT) AS top_tokens
+         |  FROM ks LEFT JOIN top ON top.r <= ks.k GROUP BY ks.k)
+         |SELECT k, top_tokens, total AS total_tokens, vocab AS n_vocab,
+         |  floor(top_tokens / total * 1e6) / 1e6 AS coverage
+         |FROM j CROSS JOIN tot ORDER BY k""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.zipfCoverage(table(s, dir, "documents"), col("text"),
+          ks = Seq(10, 100, 500))
+        .orderBy("k")
+    },
+
     // D27: HTML boilerplate strip — documents get a deterministic HTML
     // wrapper planted (tags, a script element, escaped entities), both
     // engines strip it with the same RE2-safe regex chain; cleaned

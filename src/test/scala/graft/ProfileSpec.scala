@@ -58,6 +58,40 @@ class ProfileSpec extends SparkSpec {
     assert(out == "Hello & <world> bye")
   }
 
+  test("weightedSample: weight 1 keeps everything, 0 nothing, nested under re-weighting") {
+    val df = spark.range(0, 1000).toDF("id")
+    import graft.operators.Sampling
+    assert(Sampling.weightedSample(df, col("id"), lit(1.0)).count() == 1000L)
+    assert(Sampling.weightedSample(df, col("id"), lit(0.0)).count() == 0L)
+    val lo = Sampling.weightedSample(df, col("id"), lit(0.2))
+      .as[Long].collect().toSet
+    val hi = Sampling.weightedSample(df, col("id"), lit(0.6))
+      .as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "raising the weight must never evict a row")
+  }
+
+  test("centroids: hand-checked per-group means, 1-based dims") {
+    import graft.operators.Similarity
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 0.0f))).toDF("g", "v")
+    val c = Similarity.centroids(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(c(("a", 1)) == 2.0 && c(("a", 2)) == 4.0)
+    assert(c(("b", 1)) == 10.0 && c(("b", 2)) == 0.0)
+  }
+
+  test("zipfCoverage: exact head fractions on a known distribution") {
+    import graft.operators.TextMetrics
+    // corpus: "x" 6 times, "y" 3, "z" 1 -> total 10
+    val df = Seq("x x x x x x y y y z").toDF("text")
+    val z = TextMetrics.zipfCoverage(df, col("text"), ks = Seq(1, 2, 3))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(z(1) == ((6L, 10L, 0.6)))
+    assert(z(2) == ((9L, 10L, 0.9)))
+    assert(z(3) == ((10L, 10L, 1.0)))
+  }
+
   test("tokenEntropy: uniform distribution gives ln(k), degenerate gives 0") {
     val df = Seq(
       ("u", "a b c d"),     // 4 distinct, uniform -> ln(4)
