@@ -489,6 +489,14 @@ object Dedup {
     * the frequency cut — is tiny by construction (≤ segments/doc ÷
     * maxDocFrac distinct lines can exceed the cut), so the final
     * anti-join broadcasts. No window, no self-join, no driver data.
+    *
+    * The fingerprinted lines frame feeds THREE consumers (doc count,
+    * doc frequency, the anti-join probe); it is persisted
+    * (memory-and-disk) so the segmentation + md5 run once per row,
+    * not three times — the same re-derivation trap ngramJaccard's
+    * shingle exchange avoids. Callers streaming petabytes can pass a
+    * pre-materialized lines table instead; the persist is then a
+    * no-op-sized overlay.
     */
   def dropBoilerplateLines(
       lines: DataFrame,
@@ -499,6 +507,7 @@ object Dedup {
     require(maxDocFrac > 0 && maxDocFrac <= 1, "maxDocFrac must be in (0, 1]")
     val l = lines.select(id.as("id"), lineNo.as("line_no"), line.as("line"))
       .withColumn("__fp", normFingerprint(col("line")))
+      .persist()
     val nDocs = l.agg(countDistinct(col("id")).as("n_docs"))
     val docFreq = l.select(col("__fp"), col("id")).distinct()
       .groupBy("__fp").agg(count(lit(1)).as("df"))

@@ -119,6 +119,14 @@ class PlanSpec extends SparkSpec {
     assert(windows >= 2, plan) // two logical windows...
   }
 
+  test("dropBoilerplateLines materializes the lines frame once for its three consumers") {
+    val df = SparkEntry.queries("q_dedup_lines")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TableCacheQueryStage") || plan.contains("InMemoryTableScan"),
+      s"fingerprinted lines not cached — segmentation would run 3x:\n$plan")
+  }
+
   test("ngramJaccard reuses the shingle exchange instead of rescanning") {
     val df = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
     df.collect()
