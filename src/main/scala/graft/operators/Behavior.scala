@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral/event analytics — the product-analytics endpoints the
+  * reference's "fazer agregações" stage feeds (funnel conversion,
+  * cohort retention) expressed as keyed aggregation chains: no
+  * windows over unbounded partitions, no sessionization dependency,
+  * no driver-side data.
+  */
+object Behavior {
+
+  /** Ordered funnel: for each step i, the users who performed
+    * `steps(i)` at-or-after their completion of step i-1, where
+    * completion time is the EARLIEST qualifying occurrence (the
+    * standard strictly-ordered funnel). Returns one row per step:
+    * (step, event_type, n_users, conversion) with conversion =
+    * n_users / step-1 users, truncated at 6 dp.
+    *
+    * Shape at scale: one filtered keyed aggregation per step plus an
+    * equi-join against the previous step's (user, time) frame — k-1
+    * keyed shuffles for a k-step funnel, each shrinking (funnels only
+    * narrow). Timestamps are compared as integer epoch values — no
+    * float, no timezone.
+    */
+  def funnel(
+      events: DataFrame,
+      user: Column,
+      tsNs: Column,
+      eventType: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(user.as("u"), tsNs.as("t"), eventType.as("et"))
+    var reached = e.filter(col("et") === steps.head)
+      .groupBy("u").agg(min(col("t")).as("t_r"))
+    var stepFrames = Vector((1, steps.head, reached))
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      reached = e.filter(col("et") === s)
+        .join(reached.select(col("u"), col("t_r").as("t_prev")), "u")
+        .filter(col("t") >= col("t_prev"))
+        .groupBy("u").agg(min(col("t")).as("t_r"))
+      stepFrames :+= ((i + 2, s, reached))
+    }
+    val counts = stepFrames.map { case (i, s, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(s).as("event_type"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = counts.filter(col("step") === 1)
+      .select(col("n_users").as("base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        (floor(col("n_users") / col("base") * 1e6) / 1e6).as("conversion"))
+  }
+
+  /** Cohort retention: users bucketed by their FIRST-ACTIVE period
+    * (cohort), counted in every later period they return. Periods are
+    * integer buckets of the epoch-microsecond timestamp (e.g. one
+    * week = 604800000000 µs), computed with exact integer arithmetic.
+    * Returns (cohort, week_offset, n_users).
+    *
+    * Shape at scale: distinct (user, period) — one keyed shuffle over
+    * heavily pre-combined data — a per-user min for the cohort, a
+    * keyed join back, and a partial-aggregated count. No windows.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      user: Column,
+      tsUs: Column,
+      bucketUs: Long = 604800000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    // exact integer division: (t - t mod b) / b is a whole number well
+    // under 2^53, so the double division is exact
+    val w = ((tsUs - pmod(tsUs, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val activity = events.select(user.as("u"), w.as("w")).distinct()
+    val cohorts = activity.groupBy("u").agg(min(col("w")).as("cohort"))
+    activity.join(cohorts, "u")
+      .groupBy(col("cohort"), (col("w") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

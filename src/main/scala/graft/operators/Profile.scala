@@ -57,6 +57,39 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Per-group boxplot statistics: exact interpolated quartiles plus
+    * the count of 1.5·IQR whisker outliers — the distribution summary
+    * behind data-quality dashboards and outlier triage.
+    *
+    * Two passes by construction (quartiles must exist before outliers
+    * can be classified): one exact-percentile aggregation, then a
+    * broadcast join of the tiny per-group quartile frame back onto the
+    * data for a partial-aggregated outlier count. Whisker bounds are
+    * computed from the RAW quartiles; only the REPORTED quartiles are
+    * truncated (4 dp, repr-independent — see GraphOps.pageRank).
+    */
+  def boxplot(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    val d = df.select(group.as("grp"), value.as("v"))
+    val q = d.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      percentile(col("v"), lit(0.25)).as("q1"),
+      percentile(col("v"), lit(0.5)).as("q2"),
+      percentile(col("v"), lit(0.75)).as("q3"))
+    val iqr = col("q3") - col("q1")
+    d.join(broadcast(q), "grp")
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        t4(first(col("q1"))).as("p25"),
+        t4(first(col("q2"))).as("p50"),
+        t4(first(col("q3"))).as("p75"),
+        sum(when(
+          col("v") < col("q1") - lit(1.5) * iqr ||
+            col("v") > col("q3") + lit(1.5) * iqr, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Schema + content drift between two snapshots of "the same" table
     * — the report an ingest pipeline renders when a new shard of an
     * external feed arrives: columns added/removed, and how null counts

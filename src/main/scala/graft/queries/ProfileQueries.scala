@@ -40,6 +40,33 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C34: per-group boxplot — exact interpolated quartiles + 1.5·IQR
+    // whisker outlier counts; whisker bounds from RAW quartiles, only
+    // reported quartiles truncated (4 dp).
+    Q(
+      "q_boxplot",
+      """WITH q AS (
+        |  SELECT event_type AS grp, count(*) AS n,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.5) AS q2,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT grp, CAST(q.n AS BIGINT) AS n,
+        |  floor(q1 * 1e4) / 1e4 AS p25,
+        |  floor(q2 * 1e4) / 1e4 AS p50,
+        |  floor(q3 * 1e4) / 1e4 AS p75,
+        |  CAST(sum(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+        |                  OR e.value > q3 + 1.5 * (q3 - q1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN q ON e.event_type = q.grp
+        |GROUP BY grp, q.n, q1, q2, q3
+        |ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      Profile.boxplot(graft.sources.Tables.events(s, dir),
+          col("event_type"), col("value"))
+        .orderBy("grp")
+    },
+
     // C31: schema-drift report — the "after" snapshot drops
     // c_nationkey, adds c_tier, and nulls out every 7th name; the
     // report must classify added/removed/common and track the

@@ -209,6 +209,60 @@ object TemporalQueries {
         .orderBy("user_id", "bucket_us")
     },
 
+    // C32: strictly-ordered funnel over event types — per user, each
+    // step's completion is the earliest occurrence at-or-after the
+    // previous step's completion; integer-epoch comparisons, 6-dp
+    // truncated conversion.
+    Q(
+      "q_funnel",
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t, event_type AS et FROM events),
+        |s1 AS (SELECT u, min(t) AS t_r FROM e WHERE et = 'signup' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.t) AS t_r FROM e
+        |       JOIN s1 ON e.u = s1.u AND e.t >= s1.t_r
+        |       WHERE et = 'view' GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.t) AS t_r FROM e
+        |       JOIN s2 ON e.u = s2.u AND e.t >= s2.t_r
+        |       WHERE et = 'click' GROUP BY e.u),
+        |s4 AS (SELECT e.u, min(e.t) AS t_r FROM e
+        |       JOIN s3 ON e.u = s3.u AND e.t >= s3.t_r
+        |       WHERE et = 'purchase' GROUP BY e.u),
+        |c AS (
+        |  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4),
+        |b AS (SELECT n_users AS base FROM c WHERE step = 1)
+        |SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+        |  floor(n_users / base * 1e6) / 1e6 AS conversion
+        |FROM c CROSS JOIN b ORDER BY step""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.operators.Behavior.funnel(ev, col("user_id"), col("ts_ns"),
+          col("event_type"), Seq("signup", "view", "click", "purchase"))
+        .orderBy("step")
+    },
+
+    // C33: weekly retention cohorts — users bucketed by first-active
+    // week, counted per week offset they return; exact integer
+    // week arithmetic.
+    Q(
+      "q_retention",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w
+        |  FROM events),
+        |c AS (SELECT u, min(w) AS cohort FROM a GROUP BY u)
+        |SELECT cohort, w - cohort AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (u)
+        |GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.operators.Behavior.retentionCohorts(ev, col("user_id"), col("ts_us"))
+        .orderBy("cohort", "week_offset")
+    },
+
     // C26: interval-OVERLAP join (both sides are intervals, unlike
     // C20's point-in-interval) — order activity windows × promo
     // windows. The oracle states the plain two-sided inequality join;

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Behavior, Profile}
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel requires steps in order: out-of-order completions don't count") {
+    // u1 does A->B in order; u2 does B before A (B must not count);
+    // u3 only A. Times are plain integers.
+    val ev = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"),
+      (2L, 10L, "B"), (2L, 20L, "A"),
+      (3L, 10L, "A")
+    ).toDF("u", "t", "et")
+    val f = Behavior.funnel(ev, col("u"), col("t"), col("et"), Seq("A", "B"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(f(1) == ((3L, 1.0)), f.toString)          // all three did A
+    assert(f(2) == ((1L, 0.333333)), f.toString)     // only u1 did B after A
+  }
+
+  test("funnel step at the same instant as the previous counts (at-or-after)") {
+    val ev = Seq((1L, 10L, "A"), (1L, 10L, "B")).toDF("u", "t", "et")
+    val f = Behavior.funnel(ev, col("u"), col("t"), col("et"), Seq("A", "B"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(f(2) == 1L)
+  }
+
+  test("retentionCohorts buckets by first-active period and counts returns") {
+    // bucket = 100 us. u1 active in w0,w2; u2 in w1; u3 in w0,w1
+    val ev = Seq(
+      (1L, 10L), (1L, 250L),
+      (2L, 150L),
+      (3L, 50L), (3L, 110L)
+    ).toDF("u", "ts")
+    val r = Behavior.retentionCohorts(ev, col("u"), col("ts"), bucketUs = 100L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r((0L, 0L)) == 2L)  // u1, u3 first in w0
+    assert(r((0L, 2L)) == 1L)  // u1 returns in w2
+    assert(r((0L, 1L)) == 1L)  // u3 returns in w1
+    assert(r((1L, 0L)) == 1L)  // u2 cohort w1
+  }
+
+  test("boxplot: quartiles and whisker outliers on a known distribution") {
+    // group g: 1..9 plus a wild outlier 100
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")
+    val Array(r) = Profile.boxplot(df, col("k"), col("v")).collect()
+    // n=10; quantile_cont: p25=3.25, p50=5.5, p75=7.75; iqr=4.5;
+    // upper whisker=14.5 -> only 100 is outside
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 3.25 && r.getDouble(3) == 5.5 && r.getDouble(4) == 7.75)
+    assert(r.getLong(5) == 1L)
+  }
+}
