@@ -57,6 +57,32 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Mergeable per-group distinct-count sketches (Datasketches HLL) —
+    * the incremental-statistics pattern at 100 TB: each arriving shard
+    * builds its own tiny binary sketch (this method), the sketches are
+    * PERSISTED like any other index table, and [[mergeSketches]]
+    * unions them into corpus-wide estimates WITHOUT re-reading a
+    * single shard. Register state is a per-bucket max, so building is
+    * insertion-order-independent — the same shard always yields the
+    * same sketch bytes.
+    */
+  def distinctSketch(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(hll_sketch_agg(value, lit(lgConfigK)).as("sketch"))
+
+  /** Union persisted HLL sketches (one or many per group) into a
+    * distinct-count estimate per group. Sketch union is associative
+    * and commutative, so shard arrival order never changes the answer.
+    */
+  def mergeSketches(sketches: DataFrame, group: Column, sketch: Column): DataFrame =
+    sketches.groupBy(group.as("grp"))
+      .agg(hll_sketch_estimate(hll_union_agg(sketch, allowDifferentLgConfigK = lit(false)))
+        .cast("long").as("approx_distinct"))
+
   /** Per-group boxplot statistics: exact interpolated quartiles plus
     * the count of 1.5·IQR whisker outliers — the distribution summary
     * behind data-quality dashboards and outlier triage.

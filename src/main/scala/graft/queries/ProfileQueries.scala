@@ -40,6 +40,22 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C35: mergeable HLL distinct sketches — per-shard sketch build,
+    // corpus-wide union WITHOUT re-reading shards. Sketch bytes are
+    // engine-specific → rows-only; ProfileSpec proves shard-merged ==
+    // whole-corpus estimate and bounds the error vs exact.
+    Q.rowsOnly("q_distinct_sketch") { (s, dir) =>
+      // per-(source, shard) sketches of content fingerprints — the
+      // frame a real pipeline persists — then merged per source
+      val perShard = table(s, dir, "documents")
+        .withColumn("shard", col("doc_id") % 4)
+        .groupBy(col("source"), col("shard"))
+        .agg(hll_sketch_agg(md5(col("text")), lit(12)).as("sketch"))
+      Profile.mergeSketches(perShard, col("source"), col("sketch"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+
     // C34: per-group boxplot — exact interpolated quartiles + 1.5·IQR
     // whisker outlier counts; whisker bounds from RAW quartiles, only
     // reported quartiles truncated (4 dp).

@@ -58,6 +58,27 @@ class ProfileSpec extends SparkSpec {
     assert(out == "Hello & <world> bye")
   }
 
+  test("HLL sketches: shard-merged estimate == whole-corpus estimate, within 5% of exact") {
+    val docs = sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"))
+    // shard → sketch → union must equal sketching the whole corpus
+    // (register-max state is associative), and land near exact
+    val perShard = docs.withColumn("shard", col("doc_id") % 4)
+      .groupBy(col("source"), col("shard"))
+      .agg(hll_sketch_agg(col("doc_id"), lit(12)).as("sketch"))
+    val merged = Profile.mergeSketches(perShard, col("source"), col("sketch"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Profile.distinctSketch(docs, col("source"), col("doc_id"))
+    val wholeEst = Profile.mergeSketches(whole, col("grp"), col("sketch"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("source").agg(countDistinct("doc_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == wholeEst, "sharded union must equal whole-corpus sketch")
+    for ((src, n) <- exact)
+      assert(math.abs(merged(src) - n).toDouble / n < 0.05,
+        s"$src: est ${merged(src)} vs exact $n")
+  }
+
   test("weightedSample: weight 1 keeps everything, 0 nothing, nested under re-weighting") {
     val df = spark.range(0, 1000).toDF("id")
     import graft.operators.Sampling
