@@ -135,6 +135,20 @@ class PlanSpec extends SparkSpec {
       s"no exchange reuse in jaccard plan:\n$plan")
   }
 
+  test("interval-overlap join never plans a product join") {
+    val df = SparkEntry.queries("q_interval_overlap")(spark, sf)
+    val plan = run(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"interval overlap degenerated to a product:\n$plan")
+  }
+
+  test("pageRank rounds are keyed joins, never products") {
+    val df = SparkEntry.queries("q_pagerank")(spark, sf)
+    val plan = run(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"pagerank planned a cartesian product:\n$plan")
+  }
+
   test("binned range join never plans a product join") {
     val df = SparkEntry.queries("q_range_join")(spark, sf)
     val plan = run(df)
