@@ -32,14 +32,21 @@ object Behavior {
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(user.as("u"), tsNs.as("t"), eventType.as("et"))
+    // each step's frame is read twice (next step's join + its own
+    // count) and its lineage nests every prior round — checkpoint per
+    // step like the other iterative operators (pageRank,
+    // connectedComponents), or a k-step funnel re-executes O(k²)
+    // join rounds
     var reached = e.filter(col("et") === steps.head)
       .groupBy("u").agg(min(col("t")).as("t_r"))
+      .localCheckpoint()
     var stepFrames = Vector((1, steps.head, reached))
     for ((s, i) <- steps.tail.zipWithIndex) {
       reached = e.filter(col("et") === s)
         .join(reached.select(col("u"), col("t_r").as("t_prev")), "u")
         .filter(col("t") >= col("t_prev"))
         .groupBy("u").agg(min(col("t")).as("t_r"))
+        .localCheckpoint()
       stepFrames :+= ((i + 2, s, reached))
     }
     val counts = stepFrames.map { case (i, s, df) =>
@@ -50,7 +57,11 @@ object Behavior {
       .select(col("n_users").as("base"))
     counts.crossJoin(broadcast(base))
       .select(col("step"), col("event_type"), col("n_users"),
-        (floor(col("n_users") / col("base") * 1e6) / 1e6).as("conversion"))
+        // an empty first step must yield 0.0 rows, not an ANSI
+        // divide-by-zero that kills the query
+        when(col("base") === 0, lit(0.0))
+          .otherwise(floor(col("n_users") / col("base") * 1e6) / 1e6)
+          .as("conversion"))
   }
 
   /** Cohort retention: users bucketed by their FIRST-ACTIVE period

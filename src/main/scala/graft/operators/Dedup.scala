@@ -494,8 +494,11 @@ object Dedup {
     * doc frequency, the anti-join probe); it is persisted
     * (memory-and-disk) so the segmentation + md5 run once per row,
     * not three times — the same re-derivation trap ngramJaccard's
-    * shingle exchange avoids. Callers streaming petabytes can pass a
-    * pre-materialized lines table instead; the persist is then a
+    * shingle exchange avoids. The cached copy lives until the session
+    * evicts it (Spark offers no safe point to unpersist inside the
+    * operator — the result's lineage still reads it); long-lived
+    * services should `spark.catalog.clearCache()` between jobs or
+    * pass a pre-materialized lines table, which makes the persist a
     * no-op-sized overlay.
     */
   def dropBoilerplateLines(

@@ -40,7 +40,14 @@ object Merge {
       op: Column): DataFrame = {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
     val payload = base.columns.toSeq
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.desc)
+    // deterministic tie-break on equal versions: delete beats insert
+    // beats update ('D' < 'I' < 'U' — delete-biased, matching the
+    // at-least-once-producer case where a same-version D/U pair must
+    // resolve the same way on every run and replay (E8 relies on the
+    // merge being a fixpoint). Feeds with unique versions per key are
+    // unaffected.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(version.desc, upper(op).asc)
     val latest = changes
       .withColumn("__op", upper(op))
       .withColumn("__rn", row_number().over(w))

@@ -167,7 +167,10 @@ object Profile {
       .select(
         col("key"), col("n"),
         round(col("n") / col("n_rows"), 6).as("share"),
-        round(col("n") * col("n_keys") / col("n_rows"), 4).as("ratio_to_mean"))
+        // divide FIRST: n * n_keys in long arithmetic overflows (and
+        // under ANSI mode throws) at exactly the table sizes this
+        // diagnosis targets — the hashBucket overflow class
+        round(col("n") / col("n_rows") * col("n_keys"), 4).as("ratio_to_mean"))
       .orderBy(col("n").desc, col("key").asc)
       .limit(topK)
   }
@@ -190,8 +193,11 @@ object Profile {
       nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
     val w = (hi - lo) / nBins
-    val bin = least(lit(nBins - 1),
-      greatest(lit(0), floor((value - lo) / w).cast("int")))
+    // clamp BEFORE the int cast: a rogue far-out value makes the raw
+    // long bin exceed Int range, and ANSI mode turns that cast into a
+    // query-killing overflow instead of the documented edge-bin clamp
+    val bin = least(lit((nBins - 1).toLong),
+      greatest(lit(0L), floor((value - lo) / w))).cast("int")
     df.filter(value.isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))

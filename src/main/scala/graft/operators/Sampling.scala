@@ -110,11 +110,16 @@ object Sampling {
     * OWN weight × 1000. Same guarantees as [[mixtureSample]] (no RNG,
     * no shuffle, engine-portable, nested: raising a row's weight never
     * evicts it), with the rate coming from a column instead of a
-    * per-group table. Weights outside [0,1] clamp.
+    * per-group table. Weights outside [0,1] clamp. The per-mille cut
+    * TRUNCATES (floor): unlike the sibling samplers, whose cuts are
+    * rounded DRIVER-side by math.round, this cut is evaluated per row
+    * in both engines, and Spark's round() half-ups the decimal repr
+    * where other engines round the binary value (SURVEY §6 r4);
+    * floor of the shared double is repr-independent.
     */
   def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.filter(hashBucket(key) <
-      round(least(lit(1.0), greatest(lit(0.0), weight)) * buckets))
+      floor(least(lit(1.0), greatest(lit(0.0), weight)) * buckets))
 
   /** Deterministic train/val/test (or any) split assignment: `splits`
     * maps label → weight; weights are normalized and laid out as

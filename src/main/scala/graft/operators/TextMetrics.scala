@@ -170,28 +170,33 @@ object TextMetrics {
     * Shape at scale: one explode → one partial-aggregated
     * (group, term) count → one partial-aggregated per-group sum —
     * both shuffles keyed and map-side combined, no windows, no
-    * driver round-trips. Determinism follows the unigramLogProb
-    * contract: the per-term contribution n·ln(n) is rounded to 7 dp,
-    * summed over exact decimals (order-independent), and the final
-    * entropy H = ln(N) − Σ n·ln(n)/N is rounded to 4 dp — identical
-    * on any engine/partitioning.
+    * driver round-trips. Determinism: the per-term contribution
+    * n·ln(n) is TRUNCATED at 7 dp (repr-independent, unlike round —
+    * see GraphOps.pageRank), summed over exact decimals
+    * (order-independent), and the final entropy
+    * H = ln(N) − Σ n·ln(n)/N is truncated at 4 dp — identical on any
+    * engine/partitioning.
     */
   def tokenEntropy(df: DataFrame, group: Column, text: Column): DataFrame = {
+    // truncation, not round(): the per-row 7/4-dp reductions must be
+    // repr-independent across engines (see GraphOps.pageRank)
+    def t7(c: Column): Column = floor(c * 1e7) / 1e7
+    def t4(c: Column): Column = floor(c * 1e4) / 1e4
     val toks = df.select(group.as("grp"), explode(tokens(text)).as("term"))
     val tf = toks.groupBy("grp", "term").agg(count(lit(1)).as("n"))
     tf.groupBy("grp")
       .agg(
         sum(col("n")).as("n_tokens"),
         count(lit(1)).as("n_vocab"),
-        sum(round(col("n") * log(col("n").cast("double")), 7)
+        sum(t7(col("n") * log(col("n").cast("double")))
           .cast("decimal(28,7)")).as("__nlogn"))
       .select(
         col("grp"),
         col("n_tokens"),
         col("n_vocab"),
-        round(
+        t4(
           log(col("n_tokens").cast("double")) -
-            (col("__nlogn").cast("double") / col("n_tokens")), 4)
+            (col("__nlogn").cast("double") / col("n_tokens")))
           .as("entropy"))
   }
 

@@ -12,10 +12,6 @@ import graft.operators.{Dedup, Packing, Sampling, TextMetrics}
   */
 object CurationQueries {
 
-  /** DuckDB expression for the shared tokenizer over column `c`. */
-  private def tkSql(c: String): String =
-    s"""list_filter(regexp_split_to_array(regexp_replace(lower($c), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0)"""
-
   val all: Seq[Q] = Seq(
 
     // D17: per-document top-3 TF-IDF terms. Smoothed idf; ties break
@@ -347,7 +343,7 @@ object CurationQueries {
         val b = Sampling.hashBucketSql("doc_id")
         s"""SELECT doc_id, n_chars
            |FROM documents
-           |WHERE $b < round(least(1.0, greatest(0.0, n_chars / 400.0)) * 1000)
+           |WHERE $b < floor(least(1.0, greatest(0.0, n_chars / 400.0)) * 1000)
            |ORDER BY doc_id""".stripMargin
       }
     ) { (s, dir) =>

@@ -19,12 +19,6 @@ import graft.operators.{Dedup, Similarity, TextMetrics}
   */
 object DedupQueries {
 
-  /** DuckDB expression for the shared tokenizer over column `c`
-    * (same contract as TextQueries.tkSql).
-    */
-  private[queries] def tkSql(c: String): String =
-    s"""list_filter(regexp_split_to_array(regexp_replace(lower($c), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0)"""
-
   /** documents ∪ word-truncated rendition (first 4/5 of the tokens,
     * id + 1000000) — the planted near-dup corpus.
     */
@@ -451,7 +445,7 @@ object DedupQueries {
     // engines reassemble the survivors in line order.
     Q(
       "q_dedup_lines",
-      s"""WITH tk0 AS (SELECT doc_id, ${DedupQueries.tkSql("text")} AS tk FROM documents),
+      s"""WITH tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
          |s AS (SELECT doc_id, tk, len(tk) AS n FROM tk0 WHERE len(tk) >= 1),
          |seg AS (
          |  SELECT doc_id, CAST(start // 8 AS INT) AS line_no,

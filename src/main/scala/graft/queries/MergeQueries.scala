@@ -33,7 +33,7 @@ object MergeQueries {
         |         c_mktsegment, 'I', 1
         |  FROM customer WHERE c_custkey % 10 = 2),
         |latest AS (
-        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY v DESC) AS rn
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY v DESC, op) AS rn
         |  FROM changes),
         |l1 AS (SELECT * FROM latest WHERE rn = 1)
         |SELECT c_custkey, c_name, c_nationkey,
@@ -98,7 +98,7 @@ object MergeQueries {
         |t AS (SELECT sum(n) AS n_rows, count(*) AS n_keys FROM c)
         |SELECT key, n,
         |  round(n / n_rows, 6) AS share,
-        |  round(n * n_keys / n_rows, 4) AS ratio_to_mean
+        |  round(n / n_rows * n_keys, 4) AS ratio_to_mean
         |FROM c CROSS JOIN t
         |ORDER BY n DESC, key LIMIT 10""".stripMargin
     ) { (s, dir) =>

@@ -130,8 +130,8 @@ object ProfileQueries {
     Q(
       "q_histogram",
       """SELECT
-        |  CAST(least(21, greatest(0, CAST(floor(l_extendedprice / 5000.0) AS INTEGER))) AS INTEGER) AS bin,
-        |  round(CAST(least(21, greatest(0, CAST(floor(l_extendedprice / 5000.0) AS INTEGER))) AS INTEGER) * 5000.0, 4) AS bin_lo,
+        |  CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS INTEGER) AS bin,
+        |  round(CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS INTEGER) * 5000.0, 4) AS bin_lo,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1, 2 ORDER BY bin""".stripMargin

@@ -15,10 +15,6 @@ import graft.operators.TextMetrics
   */
 object TextQueries {
 
-  /** DuckDB expression for the shared tokenizer over column `c`. */
-  private def tkSql(c: String): String =
-    s"""list_filter(regexp_split_to_array(regexp_replace(lower($c), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0)"""
-
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -459,9 +455,8 @@ object TextQueries {
     },
 
     // D28: per-source token-distribution entropy — corpus-balance
-    // metric; per-term n·ln(n) rounded to 7 dp, exact decimal sums,
-    // H = ln(N) − Σ/N rounded to 4 dp (unigramLogProb's determinism
-    // contract).
+    // metric; per-term n·ln(n) TRUNCATED at 7 dp (repr-independent),
+    // exact decimal sums, H = ln(N) − Σ/N truncated at 4 dp.
     Q(
       "q_token_entropy",
       s"""WITH t AS (
@@ -470,9 +465,9 @@ object TextQueries {
          |SELECT source,
          |  CAST(sum(n) AS BIGINT) AS n_tokens,
          |  CAST(count(*) AS BIGINT) AS n_vocab,
-         |  round(ln(CAST(sum(n) AS DOUBLE)) -
-         |    CAST(sum(CAST(round(n * ln(CAST(n AS DOUBLE)), 7) AS DECIMAL(28,7))) AS DOUBLE)
-         |      / sum(n), 4) AS entropy
+         |  floor((ln(CAST(sum(n) AS DOUBLE)) -
+         |    CAST(sum(CAST(floor(n * ln(CAST(n AS DOUBLE)) * 1e7) / 1e7 AS DECIMAL(28,7))) AS DOUBLE)
+         |      / sum(n)) * 1e4) / 1e4 AS entropy
          |FROM tf GROUP BY source ORDER BY source""".stripMargin
     ) { (s, dir) =>
       TextMetrics.tokenEntropy(table(s, dir, "documents"),

@@ -36,4 +36,13 @@ package object queries {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     sources.Tables.load(s, dir, name)
+
+  /** DuckDB expression for the shared tokenizer over column `c` — the
+    * cross-engine contract behind every text oracle (lower → strip
+    * non-letter/digit → split on whitespace → drop empties). ONE copy
+    * on purpose: an edit here must hit every text query's twin at
+    * once, never drift per file.
+    */
+  private[queries] def tkSql(c: String): String =
+    s"""list_filter(regexp_split_to_array(regexp_replace(lower($c), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0)"""
 }

@@ -16,6 +16,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Filesystem existence check through the session's Hadoop conf —
+    * distinguishes "no snapshot/index yet" (bootstrap) from "the path
+    * exists but can't be read" (corruption — must propagate).
+    */
+  private def pathExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** One event row. `ts` stays a Timestamp so the watermark-tagged
     * attribute survives into the stateful operator (required for
     * event-time timeout); `ts_us` carries the exact epoch-micros the
@@ -173,17 +183,18 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // bootstrap ONLY when the path genuinely doesn't exist — a
+        // catch of AnalysisException here would also swallow a
+        // corrupt/partial index dir and silently restart dedup from
+        // empty (re-admitting the whole corpus); those must propagate
         val index =
-          try spark.read.parquet(indexPath)
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              // bootstrap: no index yet
-              spark.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](),
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("fp",
-                    org.apache.spark.sql.types.StringType))))
-          }
+          if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+          else
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("fp",
+                  org.apache.spark.sql.types.StringType))))
         // one computation feeds both appends
         val accepted = graft.operators.Dedup.exactIncremental(
           batch, col(textCol), col(idCol), index, col("fp")).localCheckpoint()
@@ -227,12 +238,14 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val payload = batch.columns.filterNot(c => c == versionCol || c == opCol)
+        // bootstrap ONLY on a missing path: the overwrite below is not
+        // atomic on a plain filesystem, and a crash between its delete
+        // and write leaves a partial dir — reading THAT must fail
+        // loudly rather than be mistaken for first-batch bootstrap and
+        // silently reset the snapshot to the current batch
         val snap =
-          try spark.read.parquet(snapshotPath)
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              batch.select(payload.map(col): _*).limit(0)
-          }
+          if (pathExists(spark, snapshotPath)) spark.read.parquet(snapshotPath)
+          else batch.select(payload.map(col): _*).limit(0)
         val merged = graft.operators.Merge.applyChanges(
           snap, batch, keys, col(versionCol), col(opCol)).localCheckpoint()
         merged.write.mode("overwrite").parquet(snapshotPath)
