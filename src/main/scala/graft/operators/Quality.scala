@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints — the validation gate between
+  * ingest and everything downstream: assert shape invariants (no null
+  * keys, values in range, codes from a dictionary, keys unique,
+  * references resolvable) and get a violations REPORT, not a job
+  * failure, so one bad shard is triaged instead of killing a 100 TB
+  * run.
+  *
+  * Execution shape: all ROW-PREDICATE checks (notNull / inRange /
+  * acceptedValues / custom predicate) compile into ONE aggregation
+  * over ONE scan — adding a tenth check costs nothing extra.
+  * STRUCTURAL checks need their own shape and run separately:
+  * uniqueness is a partial-aggregated groupBy on the key, referential
+  * integrity an anti-join (broadcast when the parent is dim-sized).
+  * Report rows: (check, n_violations, passed).
+  */
+object Quality {
+
+  sealed trait Check { def name: String }
+
+  /** Column must never be null. */
+  final case class NotNull(col: String) extends Check {
+    def name: String = s"not_null($col)"
+  }
+
+  /** Non-null values must fall in [lo, hi]. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    def name: String = s"in_range($col, $lo, $hi)"
+  }
+
+  /** Non-null values must come from the dictionary. */
+  final case class AcceptedValues(col: String, values: Seq[String]) extends Check {
+    def name: String = s"accepted_values($col)"
+  }
+
+  /** Rows matching the predicate are violations. */
+  final case class Violates(label: String, predicate: Column) extends Check {
+    def name: String = s"violates($label)"
+  }
+
+  /** The key columns must identify rows uniquely. Violations = rows
+    * beyond the first per duplicated key.
+    */
+  final case class Unique(cols: Seq[String]) extends Check {
+    def name: String = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Every child key must exist in the parent (nulls are not
+    * violations — combine with [[NotNull]] to forbid them).
+    */
+  final case class ForeignKey(
+      col: String, parent: DataFrame, parentCol: String) extends Check {
+    def name: String = s"foreign_key($col)"
+  }
+
+  private def violationExpr(c: Check): Option[Column] = c match {
+    case NotNull(col0) => Some(when(col(col0).isNull, 1L).otherwise(0L))
+    case InRange(col0, lo, hi) =>
+      Some(when(col(col0).isNotNull &&
+        (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L))
+    case AcceptedValues(col0, vs) =>
+      Some(when(col(col0).isNotNull &&
+        !col(col0).isin(vs: _*), 1L).otherwise(0L))
+    case Violates(_, p) => Some(when(p, 1L).otherwise(0L))
+    case _ => None
+  }
+
+  /** Run every check, return one report row per check:
+    * (check, n_violations, passed), in the order given.
+    */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    val rowChecks = checks.flatMap(c => violationExpr(c).map(c.name -> _))
+    val rowReport: Option[DataFrame] =
+      if (rowChecks.isEmpty) None
+      else {
+        val aggs = rowChecks.zipWithIndex.map { case ((_, e), i) =>
+          sum(e).as(s"__v$i")
+        }
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        val rows = rowChecks.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(n).as("check"),
+            coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+        }
+        Some(wide.select(explode(array(rows: _*)).as("r")).select("r.*"))
+      }
+    val structural: Seq[DataFrame] = checks.collect {
+      case u @ Unique(cols0) =>
+        df.groupBy(cols0.map(col): _*).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("n_violations"))
+          .select(lit(u.name).as("check"), col("n_violations"))
+      case f @ ForeignKey(c, parent, pc) =>
+        df.filter(col(c).isNotNull)
+          .join(broadcast(parent.select(col(pc).as(c)).distinct()),
+            Seq(c), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(f.name).as("check"), col("n_violations"))
+    }
+    val all = (rowReport.toSeq ++ structural).reduce(_ unionByName _)
+    // preserve caller order for a stable, readable report
+    val order = checks.map(_.name).zipWithIndex.toMap
+    val orderCol = checks.map(c => (c.name, order(c.name))).foldRight(lit(-1)) {
+      case ((n, i), rest) => when(col("check") === n, lit(i)).otherwise(rest)
+    }
+    all.withColumn("__o", orderCol)
+      .orderBy("__o")
+      .select(col("check"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
+  }
+}

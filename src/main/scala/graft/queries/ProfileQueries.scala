@@ -40,6 +40,55 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C36: declarative data-quality gate — six constraint families
+    // over lineitem/orders in one report; row-predicate checks share
+    // one aggregation pass (PlanSpec pins it).
+    Q(
+      "q_quality_checks",
+      """WITH rc AS (
+        |  SELECT 'not_null(l_orderkey)' AS c,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        |    0 AS o
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity, 1.0, 50.0)',
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |          AND (l_quantity < 1.0 OR l_quantity > 50.0)
+        |        THEN 1 ELSE 0 END) AS BIGINT), 1
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'accepted_values(l_returnflag)',
+        |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |          AND l_returnflag NOT IN ('A', 'N', 'R')
+        |        THEN 1 ELSE 0 END) AS BIGINT), 2
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'violates(discount_gt_tax)',
+        |    CAST(sum(CASE WHEN l_discount > l_tax THEN 1 ELSE 0 END) AS BIGINT), 3
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(coalesce(sum(n - 1), 0) AS BIGINT), 4
+        |  FROM (SELECT count(*) AS n FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'foreign_key(l_orderkey)', CAST(count(*) AS BIGINT), 5
+        |  FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+        |  ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT c AS "check", v AS n_violations, v = 0 AS passed
+        |FROM rc ORDER BY o""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Quality
+      import graft.operators.Quality._
+      Quality.report(table(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1.0, 50.0),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Violates("discount_gt_tax", col("l_discount") > col("l_tax")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey", table(s, dir, "orders"), "o_orderkey")))
+    },
+
     // C35: mergeable HLL distinct sketches — per-shard sketch build,
     // corpus-wide union WITHOUT re-reading shards. Sketch bytes are
     // engine-specific → rows-only; ProfileSpec proves shard-merged ==

@@ -223,6 +223,15 @@ class PlanSpec extends SparkSpec {
       s"profile must scan the table exactly once:\n$plan")
   }
 
+  test("quality report: row-predicate checks share one scan; structural checks add their own") {
+    val df = SparkEntry.queries("q_quality_checks")(spark, sf)
+    val plan = finalPlan(run(df))
+    // 4 row-predicate checks + unique + foreign-key child = 3 lineitem
+    // scans and 1 orders scan — NOT one scan per row-predicate check
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 4, s"quality checks plan $scans scans (row checks not fused):\n$plan")
+  }
+
   test("histogram aggregates map-side (partial) on the bin id") {
     val df = SparkEntry.queries("q_histogram")(spark, sf)
     val plan = finalPlan(run(df))
