@@ -39,6 +39,50 @@ class MergeSpec extends SparkSpec {
       (1L, 30, None, true), (2L, 5, None, true)))
   }
 
+  test("applyChanges property: one-shot apply == version-split sequential apply == model") {
+    // the fixpoint/composition property E8's snapshot loop relies on,
+    // checked on randomized feeds against a driver-side reference model
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val baseRows = (0L to 5L).filter(_ => rnd.nextBoolean()).map(k => (k, s"b$k"))
+      val feed = (1 to 12).map { i =>
+        val k = rnd.nextInt(8).toLong
+        val op = Seq("I", "U", "D")(rnd.nextInt(3))
+        val ver = rnd.nextInt(4) + 1
+        (k, s"v$i", op, ver)
+      }
+      val base = baseRows.toDF("k", "v")
+      val changes = feed.toDF("k", "v", "op", "ver")
+
+      // driver-side reference model: per key, winner = max version,
+      // ties -> op-ascending (D < I < U wins... D first); D deletes
+      val model = {
+        val winners = feed.groupBy(_._1).map { case (k, cs) =>
+          val w = cs.minBy(c => (-c._4, c._3))
+          k -> w
+        }
+        val untouched = baseRows.filterNot(r => winners.contains(r._1))
+        (untouched ++ winners.values.collect {
+          case (k, v, op, _) if op != "D" => (k, v)
+        }).toSet
+      }
+
+      val oneShot = Merge.applyChanges(base, changes, Seq("k"), col("ver"), col("op"))
+        .as[(Long, String)].collect().toSet
+      assert(oneShot == model, s"one-shot != model for feed $feed base $baseRows")
+
+      // split on a version threshold -> monotone across batches
+      val lo = feed.filter(_._4 <= 2).toDF("k", "v", "op", "ver")
+      val hi = feed.filter(_._4 > 2).toDF("k", "v", "op", "ver")
+      val sequential = Merge.applyChanges(
+          Merge.applyChanges(base, lo, Seq("k"), col("ver"), col("op")),
+          hi, Seq("k"), col("ver"), col("op"))
+        .as[(Long, String)].collect().toSet
+      assert(sequential == oneShot,
+        s"sequential != one-shot for feed $feed base $baseRows")
+    }
+  }
+
   test("keySkew ranks heavy keys with exact share and ratio") {
     // 6 rows of 'hot', 1 each of 'c1'..'c2' -> 8 rows, 3 keys
     val df = (Seq.fill(6)("hot") ++ Seq("c1", "c2")).toDF("k")
