@@ -34,6 +34,31 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Time-windowed exact dedup — the batch analogue of streaming
+    * `dropDuplicatesWithinWatermark`: a row survives iff more than
+    * `windowUs` elapsed since the PREVIOUS row with the same content
+    * fingerprint (chained suppression: a burst of re-posts keeps only
+    * its first row; content re-appearing after a quiet gap is kept
+    * again — re-publication after the window is legitimate).
+    *
+    * One fingerprint-partitioned ordered window (lag) — a single
+    * keyed shuffle, no join, no state. `id` breaks timestamp ties
+    * deterministically.
+    */
+  def exactKeepWithin(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      tsUs: Column,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(text)).orderBy(tsUs.asc, id.asc)
+    df.withColumn("__prev_ts", lag(tsUs, 1).over(w))
+      .filter(col("__prev_ts").isNull || tsUs - col("__prev_ts") > windowUs)
+      .drop("__prev_ts")
+  }
+
   /** The content-fingerprint index of a corpus: one distinct md5 per
     * document rendition. This is the table an incremental pipeline
     * PERSISTS (and appends each accepted shard's fingerprints to) so

@@ -416,6 +416,34 @@ object DedupQueries {
         .orderBy("shard_id", "corpus_id")
     },
 
+    // D33: time-windowed exact dedup — per (user, event_type) content
+    // key, keep only burst-starting events (> 1h since the previous
+    // occurrence, chained); the batch analogue of
+    // dropDuplicatesWithinWatermark.
+    Q(
+      "q_dedup_within",
+      """WITH x AS (
+        |  SELECT event_id,
+        |    CAST(user_id AS VARCHAR) || '|' || event_type AS k,
+        |    epoch_us(ts) AS t
+        |  FROM events),
+        |y AS (
+        |  SELECT *, lag(t) OVER (PARTITION BY md5(k) ORDER BY t, event_id) AS prev
+        |  FROM x)
+        |SELECT event_id FROM y
+        |WHERE prev IS NULL OR t - prev > 3600000000
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("k",
+          concat(col("user_id").cast("string"), lit("|"), col("event_type")))
+      Dedup.exactKeepWithin(ev, col("k"), col("event_id"), col("ts_us"),
+          windowUs = 3600000000L)
+        .select("event_id")
+        .orderBy("event_id")
+    },
+
     // D32: per-label embedding centroids (long format) — 7-dp
     // truncation + exact decimal sums (GraphOps.pageRank's
     // determinism contract), 1-based dims matching SQL subscripts.

@@ -260,6 +260,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet == batch, "incremental pairs != batch cross pairs")
   }
 
+  test("exactKeepWithin: burst keeps its first row; re-publication after the window survives") {
+    // same content at t=0 (keep), 50 (suppressed), 90 (suppressed —
+    // chained: 40 from previous), 300 (keep: gap 210 > 100);
+    // different content always kept
+    val df = Seq(
+      (1L, 0L, "a"), (2L, 50L, "a"), (3L, 90L, "a"), (4L, 300L, "a"),
+      (5L, 60L, "b")
+    ).toDF("id", "t", "txt")
+    val kept = Dedup.exactKeepWithin(df, col("txt"), col("id"), col("t"), windowUs = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L), kept.toString)
+  }
+
   test("dropBoilerplateLines drops high-df lines via NORMALIZED matching, keeps the rest") {
     // the footer appears in 3/4 docs with varying case/punctuation;
     // content lines are unique per doc

@@ -51,6 +51,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSet === want.toSet)
   }
 
+  test("intervalOverlap property: random signed intervals match the naive join exactly") {
+    // negative coordinates exercise floor-toward-minus-infinity binning;
+    // fractional widths exercise non-integer bin boundaries
+    val rnd = new scala.util.Random(7)
+    for (binWidth <- Seq(3.0, 5.5, 10.0)) {
+      val left = (0L until 40L).map { i =>
+        val lo = rnd.nextDouble() * 100 - 50
+        (i, lo, lo + rnd.nextDouble() * 25)
+      }.toDF("lid", "llo", "lhi")
+      val right = (0L until 20L).map { j =>
+        val lo = rnd.nextDouble() * 100 - 50
+        (j, lo, lo + rnd.nextDouble() * 40)
+      }.toDF("rid", "rlo", "rhi")
+      val got = RangeJoin.intervalOverlap(left, right,
+          col("llo"), col("lhi"), col("rlo"), col("rhi"), binWidth)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      val want = left.crossJoin(right)
+        .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got.length == got.toSet.size, s"dup pairs at width $binWidth")
+      assert(got.toSet == want, s"mismatch at width $binWidth")
+    }
+  }
+
   test("intervalOverlap handles touching endpoints (closed intervals)") {
     val l = Seq((1L, 0.0, 10.0)).toDF("lid", "llo", "lhi")
     val r = Seq((2L, 10.0, 20.0), (3L, 10.5, 20.0)).toDF("rid", "rlo", "rhi")
