@@ -57,6 +57,44 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Per-group feature standardization — the ML-prep scaling step:
+    * z-score (`(x − mean) / stddev`) with the mean and sample-stddev
+    * computed over EXACT decimal sums (q_agg_stats' engine-portable
+    * formulas), the z value truncated at 4 dp (repr-independent).
+    * Degenerate groups (stddev 0, e.g. a constant column or a single
+    * row) scale to 0.0 rather than raising an ANSI divide-by-zero.
+    *
+    * Shape at scale: one partial-aggregated moments pass, a broadcast
+    * join of the tiny per-group moments frame, one codegen'd
+    * projection. Adds `z` to the frame. Values are reduced to 6-dp
+    * decimals for the order-independent sums; columns carrying more
+    * than 6 meaningful decimals should be pre-scaled.
+    */
+  def standardize(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    val d = df.withColumn("__g", group)
+    val m = d.groupBy("__g").agg(
+      count(value).as("__n"),
+      sum(value.cast("decimal(28,6)")).as("__s"),
+      sum((value.cast("decimal(28,6)") * value.cast("decimal(28,6)")))
+        .as("__ss"))
+    val mean = col("__s").cast("double") / col("__n")
+    // greatest(0, ·): the exact decimal sums make cancellation rare,
+    // but the double conversion can still leave a -1e-12 residue on a
+    // near-constant group — sqrt of that must be 0, not NaN
+    val variance = greatest(lit(0.0),
+      (col("__ss").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double") / col("__n")) /
+        (col("__n") - 1))
+    val moments = m.select(col("__g"), mean.as("__mean"),
+      when(col("__n") > 1, sqrt(variance)).otherwise(lit(0.0)).as("__std"))
+    d.join(broadcast(moments), Seq("__g"))
+      .withColumn("z",
+        when(col("__std") === 0.0 || value.isNull, lit(0.0))
+          .otherwise(t4((value - col("__mean")) / col("__std"))))
+      .drop("__g", "__mean", "__std")
+  }
+
   /** Mergeable per-group distinct-count sketches (Datasketches HLL) —
     * the incremental-statistics pattern at 100 TB: each arriving shard
     * builds its own tiny binary sketch (this method), the sketches are

@@ -40,6 +40,35 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C37: per-group z-score standardization — exact decimal moments
+    // (q_agg_stats' formulas), 4-dp truncated z, degenerate groups
+    // scale to 0.0 instead of an ANSI divide-by-zero.
+    Q(
+      "q_standardize",
+      """WITH m AS (
+        |  SELECT l_returnflag AS g, count(l_quantity) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(28,6))) AS s,
+        |    sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS ss
+        |  FROM lineitem GROUP BY 1),
+        |mo AS (
+        |  SELECT g, CAST(s AS DOUBLE) / n AS mean,
+        |    CASE WHEN n > 1
+        |      THEN sqrt(greatest(0.0,
+        |        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)))
+        |      ELSE 0.0 END AS std
+        |  FROM m)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN std = 0.0 OR l_quantity IS NULL THEN 0.0
+        |       ELSE floor((l_quantity - mean) / std * 1e4) / 1e4 END AS z
+        |FROM lineitem JOIN mo ON l_returnflag = mo.g
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Profile.standardize(table(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "z")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // C36: declarative data-quality gate — six constraint families
     // over lineitem/orders in one report; row-predicate checks share
     // one aggregation pass (PlanSpec pins it).

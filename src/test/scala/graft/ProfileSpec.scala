@@ -58,6 +58,19 @@ class ProfileSpec extends SparkSpec {
     assert(out == "Hello & <world> bye")
   }
 
+  test("standardize: hand-checked z-scores; constant and singleton groups scale to 0") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),  // mean 2, std 1 -> z = -1, 0, 1
+      ("c", 5.0), ("c", 5.0),              // constant -> std 0 -> z 0
+      ("s", 9.0)                           // singleton -> z 0
+    ).toDF("g", "v")
+    val z = Profile.standardize(df, col("g"), col("v"))
+      .select($"g", $"v", $"z").as[(String, Double, Double)].collect().toSet
+    assert(z === Set(
+      ("a", 1.0, -1.0), ("a", 2.0, 0.0), ("a", 3.0, 1.0),
+      ("c", 5.0, 0.0), ("c", 5.0, 0.0), ("s", 9.0, 0.0)), z.toString)
+  }
+
   test("HLL sketches: shard-merged estimate == whole-corpus estimate, within 5% of exact") {
     val docs = sources.Tables.load(spark, sf, "documents")
       .select(col("source"), col("doc_id"))
