@@ -64,6 +64,40 @@ object Behavior {
           .as("conversion"))
   }
 
+  /** Rolling active users (DAU/WAU/MAU family): for every period, the
+    * EXACT count of distinct users active within the trailing
+    * `windowPeriods` periods.
+    *
+    * COUNT(DISTINCT) OVER a sliding window doesn't exist in Spark
+    * (and would hold per-window user sets); instead each distinct
+    * (user, period) row EXPLODES into the `windowPeriods` target
+    * periods it contributes to, and one distinct + one
+    * partial-aggregated count finish the job — O(activity ×
+    * windowPeriods) rows through ordinary keyed shuffles, exact at
+    * any scale. Only periods with ≥1 contribution appear (with a
+    * window > 1, that includes up to windowPeriods−1 trailing periods
+    * after the last activity).
+    *
+    * Periods are integer buckets of epoch-µs, like
+    * [[retentionCohorts]]. Returns (period, n_active).
+    */
+  def rollingActiveUsers(
+      events: DataFrame,
+      user: Column,
+      tsUs: Column,
+      bucketUs: Long = 86400000000L,
+      windowPeriods: Int = 7): DataFrame = {
+    require(bucketUs > 0 && windowPeriods > 0,
+      "bucketUs and windowPeriods must be positive")
+    val w = ((tsUs - pmod(tsUs, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    events.select(user.as("u"), w.as("w")).distinct()
+      .withColumn("period",
+        explode(sequence(col("w"), col("w") + (windowPeriods - 1))))
+      .select("u", "period").distinct()
+      .groupBy("period")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Cohort retention: users bucketed by their FIRST-ACTIVE period
     * (cohort), counted in every later period they return. Periods are
     * integer buckets of the epoch-microsecond timestamp (e.g. one

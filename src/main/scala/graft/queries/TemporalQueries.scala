@@ -243,6 +243,28 @@ object TemporalQueries {
         .orderBy("step")
     },
 
+    // C38: rolling 7-day active users — exact sliding distinct via
+    // contribution-explode (no COUNT(DISTINCT) OVER, which Spark
+    // lacks and which would hold per-window state); oracle states the
+    // naive two-sided range join.
+    Q(
+      "q_active_users",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS w
+        |  FROM events),
+        |p AS (SELECT DISTINCT w + i AS period
+        |      FROM a, unnest(range(0, 7)) AS t(i))
+        |SELECT p.period, CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+        |FROM p JOIN a ON a.w BETWEEN p.period - 6 AND p.period
+        |GROUP BY p.period
+        |ORDER BY p.period""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.operators.Behavior.rollingActiveUsers(ev, col("user_id"),
+          col("ts_us"), bucketUs = 86400000000L, windowPeriods = 7)
+        .orderBy("period")
+    },
+
     // C33: weekly retention cohorts — users bucketed by first-active
     // week, counted per week offset they return; exact integer
     // week arithmetic.

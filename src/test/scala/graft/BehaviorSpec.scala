@@ -43,6 +43,17 @@ class BehaviorSpec extends SparkSpec {
     assert(r((1L, 0L)) == 1L)  // u2 cohort w1
   }
 
+  test("rollingActiveUsers: trailing-window distinct counts, exact") {
+    // bucket 10us, window 3. u1 active at w0 and w5; u2 at w1.
+    val ev = Seq((1L, 5L), (1L, 52L), (2L, 15L)).toDF("u", "ts")
+    val r = Behavior.rollingActiveUsers(ev, col("u"), col("ts"),
+        bucketUs = 10L, windowPeriods = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // w0: u1 -> periods 0,1,2 ; w1: u2 -> periods 1,2,3 ; w5: u1 -> 5,6,7
+    assert(r == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L), r.toString)
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")
