@@ -57,6 +57,48 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Pairwise Pearson correlations over numeric columns, ALL pairs in
+    * ONE aggregation pass over ONE scan (sums, squares and
+    * cross-products are just more aggregate expressions — adding a
+    * column costs k more aggregates, not another job). Rows with a
+    * null in ANY profiled column are dropped first (listwise
+    * deletion), so every pair sees the same n. Sums run over exact
+    * 6-dp decimals (order-independent); the correlation itself is
+    * derived in double and truncated at 4 dp (repr-independent).
+    * Degenerate pairs (a constant column) report 0.0 rather than
+    * NaN/divide-by-zero. Returns (col_a, col_b, n, corr) for each
+    * unordered pair, col_a < col_b alphabetically.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlations needs at least two columns")
+    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    def dec(c: String): Column = col(c).cast("decimal(18,6)")
+    val sorted = cols.sorted
+    val pairs = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (sorted(i), sorted(j))
+    val clean = df.na.drop(sorted)
+    val aggs =
+      sorted.flatMap(c => Seq(
+        sum(dec(c)).as(s"__s_$c"),
+        sum(dec(c) * dec(c)).as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"__sp_${a}__$b") }
+    val wide = clean.agg(count(lit(1)).as("__n"), aggs: _*)
+    def d(name: String): Column = col(name).cast("double")
+    val n = col("__n").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val cov = n * d(s"__sp_${a}__$b") - d(s"__s_$a") * d(s"__s_$b")
+      val va = n * d(s"__ss_$a") - d(s"__s_$a") * d(s"__s_$a")
+      val vb = n * d(s"__ss_$b") - d(s"__s_$b") * d(s"__s_$b")
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"),
+        when(col("__n") < 2 || va <= 0.0 || vb <= 0.0, lit(0.0))
+          .otherwise(t4(cov / sqrt(va * vb))).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
   /** Per-group feature standardization — the ML-prep scaling step:
     * z-score (`(x − mean) / stddev`) with the mean and sample-stddev
     * computed over EXACT decimal sums (q_agg_stats' engine-portable
@@ -75,8 +117,8 @@ object Profile {
     val d = df.withColumn("__g", group)
     val m = d.groupBy("__g").agg(
       count(value).as("__n"),
-      sum(value.cast("decimal(28,6)")).as("__s"),
-      sum((value.cast("decimal(28,6)") * value.cast("decimal(28,6)")))
+      sum(value.cast("decimal(18,6)")).as("__s"),
+      sum((value.cast("decimal(18,6)") * value.cast("decimal(18,6)")))
         .as("__ss"))
     val mean = col("__s").cast("double") / col("__n")
     // greatest(0, ·): the exact decimal sums make cancellation rare,

@@ -40,6 +40,57 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C39: one-pass Pearson correlation matrix — all pairs from one
+    // aggregation; the oracle replays the identical decimal-sum /
+    // double-derivation formula (not DuckDB's own corr(), whose
+    // internal accumulation differs).
+    Q(
+      "q_correlations", {
+        val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val pairs = for {
+          i <- cs.indices; j <- (i + 1) until cs.size
+        } yield (cs(i), cs(j))
+        // DECIMAL(19,6), not (18,6): width ≥ 19 forces DuckDB onto
+        // int128 physical storage, so the per-row square (raw 1e21 for
+        // a 1e5 price) multiplies exactly instead of overflowing the
+        // int64 it uses for width ≤ 18. Spark stays at decimal(18,6)
+        // (square → decimal(37,12), exact); both sides are exact, so
+        // the sums agree bit-for-bit.
+        def s(c: String) = s"sum(CAST($c AS DECIMAL(19,6)))"
+        def ss(c: String) = s"sum(CAST($c AS DECIMAL(19,6)) * CAST($c AS DECIMAL(19,6)))"
+        def sp(a: String, b: String) = s"sum(CAST($a AS DECIMAL(19,6)) * CAST($b AS DECIMAL(19,6)))"
+        val aggCols =
+          (cs.flatMap(c => Seq(s"${s(c)} AS s_$c", s"${ss(c)} AS ss_$c")) ++
+            pairs.map { case (a, b) => s"${sp(a, b)} AS sp_${a}__$b" })
+            .mkString(",\n    ")
+        val rows = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n < 2
+             |      OR CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) <= 0.0
+             |      OR CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) <= 0.0
+             |    THEN 0.0
+             |    ELSE floor((CAST(n AS DOUBLE) * CAST(sp_${a}__$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+             |      / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+             |           * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) * 1e4) / 1e4
+             |  END AS corr
+             |FROM w""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH c AS (
+           |  SELECT * FROM lineitem
+           |  WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+           |w AS (
+           |  SELECT count(*) AS n,
+           |    $aggCols
+           |  FROM c)
+           |$rows
+           |ORDER BY col_a, col_b""".stripMargin
+      }
+    ) { (s, dir) =>
+      Profile.correlations(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    },
+
     // C37: per-group z-score standardization — exact decimal moments
     // (q_agg_stats' formulas), 4-dp truncated z, degenerate groups
     // scale to 0.0 instead of an ANSI divide-by-zero.
@@ -47,8 +98,8 @@ object ProfileQueries {
       "q_standardize",
       """WITH m AS (
         |  SELECT l_returnflag AS g, count(l_quantity) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(28,6))) AS s,
-        |    sum(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS ss
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS ss
         |  FROM lineitem GROUP BY 1),
         |mo AS (
         |  SELECT g, CAST(s AS DOUBLE) / n AS mean,

@@ -58,6 +58,19 @@ class ProfileSpec extends SparkSpec {
     assert(out == "Hello & <world> bye")
   }
 
+  test("correlations: perfect +1/-1, constant column reports 0, one pass over all pairs") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 7.0),
+      (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0)).toDF("a", "b", "neg", "const")
+    val c = Profile.correlations(df, Seq("a", "b", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(c(("a", "b")) == 1.0, c.toString)          // b = 2a
+    assert(c(("a", "neg")) == -1.0, c.toString)       // neg = -a
+    assert(c(("a", "const")) == 0.0, c.toString)      // degenerate
+    assert(c.size == 6)
+  }
+
   test("standardize: hand-checked z-scores; constant and singleton groups scale to 0") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0),  // mean 2, std 1 -> z = -1, 0, 1
