@@ -64,6 +64,29 @@ object Behavior {
           .as("conversion"))
   }
 
+  /** New-vs-returning split per period: among the users active in a
+    * period, how many are there for the FIRST time and how many came
+    * back. Same integer-bucket periods as [[retentionCohorts]]; the
+    * same distinct + per-user-min + keyed-join shape, finished by one
+    * conditional partial-aggregated count. Returns
+    * (period, n_new, n_returning).
+    */
+  def newVsReturning(
+      events: DataFrame,
+      user: Column,
+      tsUs: Column,
+      bucketUs: Long = 604800000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val w = ((tsUs - pmod(tsUs, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val activity = events.select(user.as("u"), w.as("w")).distinct()
+    val cohorts = activity.groupBy("u").agg(min(col("w")).as("cohort"))
+    activity.join(cohorts, "u")
+      .groupBy(col("w").as("period"))
+      .agg(
+        sum(when(col("w") === col("cohort"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("w") > col("cohort"), 1L).otherwise(0L)).as("n_returning"))
+  }
+
   /** Rolling active users (DAU/WAU/MAU family): for every period, the
     * EXACT count of distinct users active within the trailing
     * `windowPeriods` periods.

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment statistics — the A/B readout endpoint: compare a metric
+  * between two groups with an unpooled two-sample z statistic, over
+  * the same exact-decimal moment machinery as [[Profile.standardize]].
+  */
+object Stats {
+
+  /** Welch-style two-sample z: `(meanA − meanB) / sqrt(vA/nA + vB/nB)`
+    * with sample variances from exact decimal sums. Returns ONE row:
+    * (n_a, mean_a, n_b, mean_b, z, significant) where `significant`
+    * is |z| > 1.96 (the two-sided 5% gate). Means are truncated at
+    * 4 dp for reporting; z is derived from the RAW moments and
+    * truncated at 4 dp. Degenerate inputs (a group missing, n < 2, or
+    * both variances 0) yield z = 0 and significant = false rather
+    * than an ANSI error.
+    *
+    * Shape at scale: one partial-aggregated conditional-moments pass
+    * over one scan (both groups in the same aggregate), one
+    * driver-trivial projection.
+    */
+  def twoSampleZ(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    def side(label: String, tag: String) = Seq(
+      sum(when(group === label, 1L).otherwise(0L)).as(s"__n_$tag"),
+      sum(when(group === label, dec(value)).otherwise(lit(null))).as(s"__s_$tag"),
+      sum(when(group === label, dec(value) * dec(value)).otherwise(lit(null)))
+        .as(s"__ss_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val m = df.filter(value.isNotNull).agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) = col(s"__s_$t").cast("double") / col(s"__n_$t")
+    def variance(t: String) = greatest(lit(0.0),
+      (col(s"__ss_$t").cast("double") -
+        col(s"__s_$t").cast("double") * col(s"__s_$t").cast("double") /
+          col(s"__n_$t")) /
+        (col(s"__n_$t") - 1))
+    val se = sqrt(variance("a") / col("__n_a") + variance("b") / col("__n_b"))
+    val degenerate =
+      col("__n_a") < 2 || col("__n_b") < 2
+    val z = when(degenerate || se === 0.0, lit(0.0))
+      .otherwise(t4((mean("a") - mean("b")) / se))
+    m.select(
+      col("__n_a").as("n_a"),
+      when(col("__n_a") > 0, t4(mean("a"))).otherwise(lit(0.0)).as("mean_a"),
+      col("__n_b").as("n_b"),
+      when(col("__n_b") > 0, t4(mean("b"))).otherwise(lit(0.0)).as("mean_b"),
+      z.as("z"),
+      (abs(z) > 1.96).as("significant"))
+  }
+}

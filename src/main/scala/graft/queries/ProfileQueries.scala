@@ -120,6 +120,42 @@ object ProfileQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // C41: two-sample z-test (A/B readout) — unpooled Welch-style z
+    // between click and view event values; one conditional-moments
+    // aggregation, mirrored double derivation, 4-dp truncation.
+    Q(
+      "q_two_sample_z",
+      """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        |  sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(19,6)) END) AS sa,
+        |  sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS ssa,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb,
+        |  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(19,6)) END) AS sb,
+        |  sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS ssb
+        |  FROM v),
+        |d AS (SELECT *,
+        |  CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |  sqrt(
+        |    greatest(0.0, (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1)) / na +
+        |    greatest(0.0, (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1)) / nb) AS se
+        |  FROM m),
+        |r AS (SELECT
+        |  CAST(na AS BIGINT) AS n_a,
+        |  CASE WHEN na > 0 THEN floor(ma * 1e4) / 1e4 ELSE 0.0 END AS mean_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN nb > 0 THEN floor(mb * 1e4) / 1e4 ELSE 0.0 END AS mean_b,
+        |  CASE WHEN na < 2 OR nb < 2 OR se = 0.0 THEN 0.0
+        |       ELSE floor((ma - mb) / se * 1e4) / 1e4 END AS z
+        |  FROM d)
+        |SELECT *, abs(z) > 1.96 AS significant FROM r""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.twoSampleZ(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"), groupA = "click", groupB = "view")
+    },
+
     // C36: declarative data-quality gate — six constraint families
     // over lineitem/orders in one report; row-predicate checks share
     // one aggregation pass (PlanSpec pins it).

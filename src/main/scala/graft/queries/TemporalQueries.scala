@@ -265,6 +265,25 @@ object TemporalQueries {
         .orderBy("period")
     },
 
+    // C40: new-vs-returning users per week — the growth-dashboard
+    // split derived from the same first-active cohort machinery.
+    Q(
+      "q_new_vs_returning",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w
+        |  FROM events),
+        |c AS (SELECT u, min(w) AS cohort FROM a GROUP BY u)
+        |SELECT w AS period,
+        |  CAST(sum(CASE WHEN w = cohort THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN w > cohort THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM a JOIN c USING (u)
+        |GROUP BY w ORDER BY period""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.operators.Behavior.newVsReturning(ev, col("user_id"), col("ts_us"))
+        .orderBy("period")
+    },
+
     // C33: weekly retention cohorts — users bucketed by first-active
     // week, counted per week offset they return; exact integer
     // week arithmetic.

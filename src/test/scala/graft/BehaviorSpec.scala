@@ -54,6 +54,27 @@ class BehaviorSpec extends SparkSpec {
       5L -> 1L, 6L -> 1L, 7L -> 1L), r.toString)
   }
 
+  test("newVsReturning: first period counts as new, later activity as returning") {
+    // bucket 10: u1 active w0,w1; u2 active w1 only
+    val ev = Seq((1L, 0L), (1L, 12L), (2L, 15L)).toDF("u", "ts")
+    val r = Behavior.newVsReturning(ev, col("u"), col("ts"), bucketUs = 10L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(0L -> ((1L, 0L)), 1L -> ((1L, 1L))), r.toString)
+  }
+
+  test("twoSampleZ: clearly separated groups are significant, identical groups are not") {
+    import graft.operators.Stats
+    val sep = (Seq.tabulate(20)(i => ("a", 10.0 + i % 3)) ++
+      Seq.tabulate(20)(i => ("b", 50.0 + i % 3))).toDF("g", "v")
+    val Array(s1) = Stats.twoSampleZ(sep, col("g"), col("v"), "a", "b").collect()
+    assert(s1.getBoolean(5), s1.toString)
+    assert(s1.getDouble(4) < -10, s1.toString) // a far below b
+    val same = (Seq.tabulate(20)(i => ("a", 10.0 + i % 3)) ++
+      Seq.tabulate(20)(i => ("b", 10.0 + i % 3))).toDF("g", "v")
+    val Array(s2) = Stats.twoSampleZ(same, col("g"), col("v"), "a", "b").collect()
+    assert(!s2.getBoolean(5) && s2.getDouble(4) == 0.0, s2.toString)
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")
