@@ -499,6 +499,40 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("drop_id"), col("comp").as("keep_id"))
 
+  /** Edit-distance (Levenshtein) near-dup pairs — the short-string
+    * family (titles, names, product labels) where token shingles are
+    * too coarse: pairs whose edit distance is ≤ `maxDist`, restricted
+    * to a caller-supplied blocking key so the pair join is block-local
+    * (same contract as [[embeddingCosine]]'s `block`). `levenshtein`
+    * is a codegen'd built-in with identical unit-cost semantics across
+    * engines.
+    *
+    * Blocking guidance: a single edit preserves the string's prefix OR
+    * suffix outside the edited zone, so running two passes (prefix
+    * block ∪ suffix block, distinct pairs) guarantees recall for
+    * single-edit pairs longer than twice the block length; heavily
+    * shared prefixes (ids, "Customer#…") should block on the SUFFIX.
+    * Work is O(Σ block²) — block on enough characters to keep blocks
+    * small, exactly like LSH bucket sizing.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      block: Column,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = df.select(id.as("id"), text.as("__t"), block.as("__blk"))
+    val a = d.select(col("id").as("id_a"), col("__t").as("__ta"), col("__blk"))
+    val b = d.select(col("id").as("id_b"), col("__t").as("__tb"), col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
   /** Line-level boilerplate removal (RefinedWeb/CCNet-style): drop
     * every line whose NORMALIZED content appears in more than
     * `maxDocFrac` of all documents — cookie banners, nav menus,

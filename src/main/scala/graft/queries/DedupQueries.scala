@@ -416,6 +416,38 @@ object DedupQueries {
         .orderBy("shard_id", "corpus_id")
     },
 
+    // D34: edit-distance near-dup — customer names plus a planted
+    // one-character substitution at position 6; names share the
+    // "Customer#" prefix, so blocking is on the LAST 4 characters
+    // (which the mid-string edit preserves). Both engines' levenshtein
+    // have identical unit costs.
+    Q(
+      "q_dedup_editdist",
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_name AS t FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    substr(c_name, 1, 5) || 'X' || substr(c_name, 7)
+        |  FROM customer),
+        |d AS (SELECT id, t, substr(t, length(t) - 3, 4) AS blk FROM u)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.t, b.t) <= 2
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val u = c.select(col("c_custkey").as("id"), col("c_name").as("t"))
+        .unionByName(c.select(
+          (col("c_custkey") + 1000000).as("id"),
+          concat(substring(col("c_name"), 1, 5), lit("X"),
+            substring(col("c_name"), 7, 1000000)).as("t")))
+      Dedup.editDistancePairs(u, col("id"), col("t"),
+          block = substring(col("t"), -4, 4), maxDist = 2)
+        .withColumn("dist", col("dist").cast("int"))
+        .orderBy("id_a", "id_b")
+    },
+
     // D33: time-windowed exact dedup — per (user, event_type) content
     // key, keep only burst-starting events (> 1h since the previous
     // occurrence, chained); the batch analogue of

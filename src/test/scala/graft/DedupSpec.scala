@@ -273,6 +273,20 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L), kept.toString)
   }
 
+  test("editDistancePairs: planted single edits found via suffix block, far strings not") {
+    val rows = Seq(
+      (1L, "data pipeline alpha"), (2L, "data pipeline alphA"),   // dist 1, edit at tail
+      (3L, "machine learning set"), (4L, "machine learning sXt"), // dist 1, edit near tail
+      (5L, "completely different")
+    ).toDF("id", "t")
+    // edits sit in the SUFFIX zone, so block on the PREFIX (the
+    // operator takes any caller-chosen block expression)
+    val pairs = Dedup.editDistancePairs(rows, col("id"), col("t"),
+        block = substring(col("t"), 1, 4), maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)), pairs.toString)
+  }
+
   test("dropBoilerplateLines drops high-df lines via NORMALIZED matching, keeps the rest") {
     // the footer appears in 3/4 docs with varying case/punctuation;
     // content lines are unique per doc
