@@ -98,11 +98,14 @@ object Tables {
     // read (hdfs://, s3a://, file://) reports real lengths — a
     // java.io.File probe would silently return 0 off the local disk
     // and collapse the whole dataset into one file
+    // ONE recursive listing RPC for the whole tree, not one
+    // getFileStatus round-trip per file: on the many-small-files
+    // input this function exists for, per-file stats would be
+    // thousands of serial driver→object-store calls before any work
     val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val root = new org.apache.hadoop.fs.Path(inPath)
+    val bytes = root.getFileSystem(conf)
+      .getContentSummary(root).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
     // coalesce, not repartition: compaction must not shuffle — it only
     // merges existing splits into fewer write tasks
@@ -151,10 +154,16 @@ object Tables {
     * Excel path is a documented one-line seam.
     */
   def loadSheets(spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    val fs = new java.io.File(dir)
-    require(fs.isDirectory, s"workbook dir not found: $dir")
-    fs.listFiles().toSeq.sortBy(_.getName).flatMap { f =>
-      val name = f.getName
+    // Hadoop FileSystem listing, not java.io.File: a workbook landed
+    // on hdfs:// or s3a:// exists even though the local-disk probe
+    // says it doesn't (same reasoning as compact's size scan)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(root) && hfs.getFileStatus(root).isDirectory,
+      s"workbook dir not found: $dir")
+    val sheets = hfs.listStatus(root).toSeq.map(_.getPath)
+      .sortBy(_.getName).flatMap { p =>
+      val name = p.getName
       val stem = name.replaceAll("\\.(parquet|csv|json)$", "")
       name match {
         case n if n.endsWith(".parquet") => Some(stem -> load(spark, dir, stem))
@@ -162,11 +171,17 @@ object Tables {
           // all-string like read_xls: no inference double-scan, no
           // premature typing before header promotion
           Some(stem -> spark.read.option("header", "true")
-            .option("inferSchema", "false").csv(f.getPath))
-        case n if n.endsWith(".json") => Some(stem -> spark.read.json(f.getPath))
+            .option("inferSchema", "false").csv(p.toString))
+        case n if n.endsWith(".json") => Some(stem -> spark.read.json(p.toString))
         case _ => None
       }
-    }.toMap
+    }
+    // two files with one stem (sheet.csv AND sheet.parquet) would
+    // silently shadow each other in the map — refuse instead
+    val dup = sheets.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"ambiguous workbook: multiple files for sheet(s) ${dup.mkString(", ")}")
+    sheets.toMap
   }
 
   /** Raw-text corpus ingest — the shape LLM training corpora actually
@@ -232,10 +247,13 @@ object Tables {
     */
   def writeBucketed(
       df: DataFrame, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int): Unit =
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "at least one bucket column required")
+    require(numBuckets > 0, "numBuckets must be positive")
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 }

@@ -80,7 +80,9 @@ object EventStreams {
     * evict buffered state once the watermark passes — without the time
     * bound a stream-stream join buffers forever (the classic unbounded-
     * state failure). Columns: left must have (ts, `key`), right
-    * (ts, `key`) — right's are renamed `r_ts`/key to avoid ambiguity.
+    * (ts, `key`) — EVERY right column is renamed with an `r_` prefix,
+    * so two same-shaped streams (the common case: one events table
+    * joined to itself) come back with unambiguous column names.
     */
   def intervalJoin(
       left: DataFrame,
@@ -89,10 +91,10 @@ object EventStreams {
       lookback: String = "1 hour",
       watermarkDelay: String = "2 hours"): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
-    val r = right
-      .withColumnRenamed("ts", "r_ts")
+    val r = right.columns.foldLeft(right) { (df, c) =>
+        df.withColumnRenamed(c, s"r_$c")
+      }
       .withWatermark("r_ts", watermarkDelay)
-      .withColumnRenamed(key, s"r_$key")
     l.join(r,
       col(key) === col(s"r_$key") &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
@@ -140,8 +142,12 @@ object EventStreams {
       watermarkDelay: String = "2 hours"): DataFrame =
     records
       .withColumn("__fp", md5(col(textCol)))
-      .join(broadcast(index.select(col("fp"))),
-        col("__fp") === col("fp"), "left_anti")
+      // rename the index column: joining on a bare `fp` would be an
+      // AMBIGUOUS_REFERENCE whenever the records frame itself carries
+      // an fp column (the repo's standard fingerprint column name —
+      // same pattern as Dedup.exactIncremental's __cfp)
+      .join(broadcast(index.select(col("fp").as("__idx_fp"))),
+        col("__fp") === col("__idx_fp"), "left_anti")
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
       // internal helper column — callers get their own schema back
@@ -177,7 +183,6 @@ object EventStreams {
       indexPath: String,
       outPath: String,
       checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.DataFrame
     records.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("append")
@@ -231,7 +236,6 @@ object EventStreams {
       opCol: String,
       snapshotPath: String,
       checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.DataFrame
     changes.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("append")
@@ -272,6 +276,12 @@ object EventStreams {
 
     val typed = events
       .withWatermark("ts", watermarkDelay)
+      // Event's Long/Double fields are primitives: one malformed row
+      // with a null key/ts/value (loadJsonLenient emits exactly such
+      // rows for corrupt records) would kill the whole query at
+      // deserialization — drop them here, they can't be sessionized
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
       .as[Event]
@@ -289,63 +299,34 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            // Micro-batches deliver rows unordered: sort the batch, then
-            // fold it into (possibly several) gap-separated sessions.
-            // Late-but-within-watermark events BEFORE the open session:
-            //  - within gapUs of its start → merge BACKWARD (start
-            //    lowers), matching the batch twin;
-            //  - more than gapUs earlier → a disjoint EARLIER session:
-            //    the batch's too-early prefix folds into its own
-            //    gap-separated sessions, emitted closed immediately
-            //    (residual edge: a yet-later arrival can no longer
-            //    extend an already-emitted early session — bounded by
-            //    the watermark, same trade every streaming sessionizer
-            //    with append output makes).
-            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            // Micro-batches deliver rows unordered. Treat the OPEN
+            // state session as one more interval and fold EVERYTHING
+            // (events = point intervals, state = its [start, end]
+            // span) in time order with gap chaining — exactly the
+            // batch twin's transitive merge, so within-gap chains that
+            // reach backward past the open session's start through
+            // intermediate events merge correctly (a plain
+            // early/late-of-the-old-start split mishandles those:
+            // events 85 ← 92 ← open-at-100 must form ONE session).
+            // Residual edge unchanged: an already-EMITTED session can
+            // never reopen (append output) — bounded by the watermark.
+            val items = (rows.toSeq.map(e =>
+                SessionState(e.ts_us, e.ts_us, 1L, e.value)) ++
+                state.getOption.toSeq)
+              .sortBy(it => (it.startUs, it.endUs))
             var closedSessions = List.empty[SessionOut]
-            var cur = state.getOption
-            val (early, rest) = cur match {
-              case Some(st) => sorted.partition(_.ts_us < st.startUs - gapUs)
-              case None => (Seq.empty[Event], sorted)
-            }
-            if (early.nonEmpty) {
-              var e0 = Option.empty[SessionState]
-              early.foreach { e =>
-                e0 match {
-                  case Some(st) if e.ts_us - st.endUs <= gapUs =>
-                    e0 = Some(SessionState(st.startUs, math.max(st.endUs, e.ts_us),
-                      st.n + 1, st.sumV + e.value))
-                  case Some(st) =>
-                    closedSessions ::= close(uid, st)
-                    e0 = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
-                  case None =>
-                    e0 = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
-                }
-              }
-              // the LAST early session may end within gapUs of the open
-              // session's start — the batch twin would bridge them, so
-              // merge instead of closing
-              e0.foreach { st0 =>
-                cur match {
-                  case Some(st) if st.startUs - st0.endUs <= gapUs =>
-                    cur = Some(SessionState(
-                      math.min(st0.startUs, st.startUs),
-                      math.max(st0.endUs, st.endUs),
-                      st0.n + st.n, st0.sumV + st.sumV))
-                  case _ => closedSessions ::= close(uid, st0)
-                }
-              }
-            }
-            rest.foreach { e =>
+            var cur = Option.empty[SessionState]
+            items.foreach { it =>
               cur match {
-                case Some(st) if e.ts_us - st.endUs <= gapUs =>
-                  cur = Some(SessionState(math.min(st.startUs, e.ts_us),
-                    math.max(st.endUs, e.ts_us), st.n + 1, st.sumV + e.value))
+                case Some(st) if it.startUs - st.endUs <= gapUs =>
+                  cur = Some(SessionState(st.startUs,
+                    math.max(st.endUs, it.endUs),
+                    st.n + it.n, st.sumV + it.sumV))
                 case Some(st) =>
                   closedSessions ::= close(uid, st)
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+                  cur = Some(it)
                 case None =>
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+                  cur = Some(it)
               }
             }
             cur.foreach { st =>

@@ -155,7 +155,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("ts"), col("user_id"), col("event_id").as("view_id"))
     val joined = EventStreams.intervalJoin(
       cdf, vdf, key = "user_id", lookback = "1 hour", watermarkDelay = "10 minutes")
-      .select(col("event_id"), col("view_id"))
+      .select(col("event_id"), col("r_view_id").as("view_id"))
     val q = joined.writeStream.format("memory").queryName("e4_out")
       .outputMode("append").start()
     try {
@@ -193,7 +193,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
     val q = EventStreams.intervalJoin(pdf, cdf, key = "user_id",
         lookback = "1 hour", watermarkDelay = "1 minute")
-      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .select(col("user_id"), col("purchase_id"), col("r_click_id").as("click_id"))
       .writeStream.format("memory").queryName("e4_twin").outputMode("append").start()
     try {
       purchases.addData(ev.filter(_._4 == "purchase").toSeq)
@@ -270,6 +270,36 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventStreams.enrich(spark.readStream.format("rate").load(), dim, "user_id", "right")
     }
+  }
+
+  test("E2 sessionize chains late events THROUGH each other into the open session") {
+    // regression: events at start-1.5g and start-0.75g arrive in one
+    // batch. Individually the first is beyond the gap from the open
+    // session, but it chains through the second (both gaps <= g) —
+    // the batch twin forms ONE session, so streaming must too.
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val gapUs = 3600000000L // 1h
+    val q = EventStreams.sessionize(df, gapUs, "200 hours")
+      .writeStream.format("memory").queryName("e2_chain").outputMode("append").start()
+    try {
+      val base = 2000000000000L
+      input.addData((tsOf(base), 7L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        (tsOf(base - gapUs * 3 / 2), 7L, 2L, "click", 2.0), // 1.5g before: bridges via the next
+        (tsOf(base - gapUs * 3 / 4), 7L, 3L, "click", 4.0)) // 0.75g before
+      q.processAllAvailable()
+      input.addData((tsOf(base + 400L * gapUs), -1L, -9L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData((tsOf(base + 800L * gapUs), -1L, -8L, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("e2_chain").filter($"user_id" === 7L)
+        .select("session_start_us", "session_end_us", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(out === Set((base - gapUs * 3 / 2, base, 3L, 7.0)),
+        s"chained late events must form ONE session with the open one: $out")
+    } finally q.stop()
   }
 
   test("E2 sessionize merges late within-gap events backward and closes disjoint early ones") {
