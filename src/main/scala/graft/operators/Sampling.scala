@@ -121,6 +121,57 @@ object Sampling {
     df.filter(hashBucket(key) <
       floor(least(lit(1.0), greatest(lit(0.0), weight)) * buckets))
 
+  /** Deterministic per-group row cap — domain capping ("keep at most
+    * N documents per domain/source"), the corpus-balancing step that
+    * stops a handful of mega-domains from dominating a training mix.
+    * Selection rule: the `maxRows` smallest (hashBucket(key), key)
+    * pairs per group survive — same rows on every run/engine, and
+    * NESTED like the other samplers (raising the cap only ever adds
+    * rows, so a rebuilt mixture keeps its history). `key` must be
+    * unique within a group (ids are).
+    *
+    * Scale shape: deliberately NOT one `row_number` window per group —
+    * on a mega-domain that serializes the whole group through a single
+    * task. Instead: (1) a map-side-combined (group, bucket) count —
+    * at most [[buckets]] rows per group no matter how big the group —
+    * plus a window over THAT tiny frame finds each group's exact
+    * threshold bucket and the residual quota inside it; (2) rows below
+    * the threshold bucket pass through a pure codegen'd filter, and
+    * only the boundary bucket's rows (~1/1000 of the group) pay a
+    * ranked window for the remainder. Costs one extra (linear) scan of
+    * the input; the threshold frame only contains groups that actually
+    * reach the cap, so it broadcasts.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      maxRows: Int): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("__g", group).withColumn("__b", hashBucket(key))
+    val counts = withB.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+    val cum = sum(col("__c"))
+      .over(w.partitionBy(col("__g")).orderBy(col("__b").asc))
+    // the first bucket where the running count reaches the cap, and
+    // how many of ITS rows still fit (groups under the cap produce no
+    // row here — the left join below keeps them whole)
+    val thresholds = counts.withColumn("__cum", cum)
+      .filter(col("__cum") >= maxRows && col("__cum") - col("__c") < maxRows)
+      .select(col("__g").as("__tg"), col("__b").as("__tb"),
+        (lit(maxRows.toLong) - (col("__cum") - col("__c"))).as("__r"))
+    val joined = withB.join(broadcast(thresholds),
+      col("__g") === col("__tg"), "left")
+    val below = joined.filter(col("__tb").isNull || col("__b") < col("__tb"))
+    val boundary = joined.filter(col("__b") === col("__tb"))
+      .withColumn("__rk", row_number()
+        .over(w.partitionBy(col("__g")).orderBy(key.asc)))
+      .filter(col("__rk") <= col("__r"))
+      .drop("__rk")
+    below.unionByName(boundary)
+      .drop("__g", "__b", "__tg", "__tb", "__r")
+  }
+
   /** Deterministic train/val/test (or any) split assignment: `splits`
     * maps label → weight; weights are normalized and laid out as
     * contiguous bucket ranges, so every row gets exactly one label.

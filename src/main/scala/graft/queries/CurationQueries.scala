@@ -334,6 +334,37 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D18e: per-group row cap (domain capping) — at most 40 docs per
+    // domain, where 17 of the 20 sources are lumped into one
+    // mega-domain so the cap actually bites (the small domains pass
+    // through whole, exercising the under-cap path). The oracle
+    // replays the selection rule directly: top-40 per domain by
+    // (hash bucket, doc_id) order.
+    Q(
+      "q_cap_per_group", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN source
+           |         ELSE 'web' END AS domain
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, domain,
+           |    row_number() OVER (PARTITION BY domain ORDER BY $b, doc_id) AS rk
+           |  FROM d)
+           |SELECT doc_id, domain FROM s WHERE rk <= 40
+           |ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("source").isin("src0", "src1", "src2"), col("source"))
+          .otherwise(lit("web")).as("domain"))
+      Sampling.capPerGroup(d, group = col("domain"), key = col("doc_id"),
+          maxRows = 40)
+        .orderBy("doc_id")
+    },
+
     // D18d: per-ROW-weighted deterministic sampling — keep each doc
     // with probability equal to its own (length-derived) quality
     // weight; same hash-bucket family as the other sampling ops, so

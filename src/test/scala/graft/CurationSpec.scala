@@ -55,6 +55,29 @@ class CurationSpec extends SparkSpec {
     assert(s05.subsetOf(s25.map(_._1).toSet), "stratified samples are not nested")
   }
 
+  test("capPerGroup keeps exactly the cap per big group, whole small groups, nested") {
+    // 4 groups: g0..g2 have 300 rows each, g3 has 40 (under every cap)
+    val df = spark.range(940).select(
+      col("id"),
+      when(col("id") < 900, concat(lit("g"), col("id") % 3))
+        .otherwise(lit("g3")).as("g"))
+    val c100 = Sampling.capPerGroup(df, col("g"), col("id"), maxRows = 100)
+      .as[(Long, String)].collect()
+    val got = c100.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(got == Map("g0" -> 100, "g1" -> 100, "g2" -> 100, "g3" -> 40), got.toString)
+    // the selection is exactly the naive rule: top-100 by (bucket, key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(Sampling.hashBucket(col("id")).asc, col("id").asc)
+    val naive = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100).select("id").as[Long].collect().toSet
+    assert(c100.map(_._1).toSet == naive, "two-phase cap != naive top-N rule")
+    // nested: the cap-30 selection is a subset of the cap-100 one
+    val c30 = Sampling.capPerGroup(df, col("g"), col("id"), maxRows = 30)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(c30.subsetOf(c100.map(_._1).toSet), "caps are not nested")
+    assert(c30.size == 4 * 30, s"cap 30 bites all four groups: ${c30.size}")
+  }
+
   test("contamination scores probe members 1.0 and disjoint docs 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
