@@ -16,7 +16,10 @@ object Behavior {
     * completion time is the EARLIEST qualifying occurrence (the
     * standard strictly-ordered funnel). Returns one row per step:
     * (step, event_type, n_users, conversion) with conversion =
-    * n_users / step-1 users, truncated at 6 dp.
+    * n_users / THE FIRST step's users (the funnel's entry population,
+    * so the column reads as "fraction of entrants still here" —
+    * step-over-step drop-off is the ratio of adjacent n_users),
+    * truncated at 6 dp.
     *
     * Shape at scale: one filtered keyed aggregation per step plus an
     * equi-join against the previous step's (user, time) frame — k-1

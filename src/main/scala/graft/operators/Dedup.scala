@@ -52,10 +52,19 @@ object Dedup {
       tsUs: Column,
       windowUs: Long): DataFrame = {
     require(windowUs > 0, "windowUs must be positive")
+    // Null timestamps: lag() returns null BOTH for "no previous row"
+    // and "previous row's ts was null", so raw nulls would make every
+    // successor of a null-ts duplicate survive. Map null ts to one
+    // sentinel instant in the far past instead: all null-ts renditions
+    // of a fingerprint collapse to a single survivor, and a real-ts
+    // row after them has an astronomically large gap (survives). The
+    // sentinel is MinValue/2, not MinValue, so the gap subtraction
+    // stays ANSI-overflow-safe for any physical epoch value.
+    val t = coalesce(tsUs.cast("long"), lit(Long.MinValue / 2))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(text)).orderBy(tsUs.asc, id.asc)
-    df.withColumn("__prev_ts", lag(tsUs, 1).over(w))
-      .filter(col("__prev_ts").isNull || tsUs - col("__prev_ts") > windowUs)
+      .partitionBy(md5(text)).orderBy(t.asc, id.asc)
+    df.withColumn("__prev_ts", lag(t, 1).over(w))
+      .filter(col("__prev_ts").isNull || t - col("__prev_ts") > windowUs)
       .drop("__prev_ts")
   }
 
@@ -527,10 +536,15 @@ object Dedup {
     val b = d.select(col("id").as("id_b"), col("__t").as("__tb"), col("__blk"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
+      // edit distance >= length difference: discard hopeless pairs
+      // BEFORE paying the O(len²) levenshtein kernel
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
-      .distinct()
+    // no distinct: each row carries exactly one block value, so a pair
+    // can only form once per call (the two-pass prefix∪suffix recipe
+    // dedups after ITS union, caller-side)
   }
 
   /** Line-level boilerplate removal (RefinedWeb/CCNet-style): drop

@@ -71,27 +71,32 @@ object Profile {
     */
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlations needs at least two columns")
-    def t4(c: Column): Column = floor(c * 1e4) / 1e4
-    def dec(c: String): Column = col(c).cast("decimal(18,6)")
+    require(cols.distinct.size == cols.size, "duplicate columns in cols")
+    def t4(c: Column): Column = Num.t4floor(c)
+    def dec(c: String): Column = Num.dec(col(c))
     val sorted = cols.sorted
+    // internal aggregate aliases are INDEX-based: name-based aliases
+    // like __sp_a__b collide when column names themselves contain
+    // "__" (e.g. (x, y__z) vs (x__y, z))
     val pairs = for {
       i <- sorted.indices; j <- (i + 1) until sorted.size
-    } yield (sorted(i), sorted(j))
+    } yield (i, j)
     val clean = df.na.drop(sorted)
     val aggs =
-      sorted.flatMap(c => Seq(
-        sum(dec(c)).as(s"__s_$c"),
-        sum(dec(c) * dec(c)).as(s"__ss_$c"))) ++
-      pairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"__sp_${a}__$b") }
+      sorted.indices.flatMap(i => Seq(
+        sum(dec(sorted(i))).as(s"__s_$i"),
+        sum(dec(sorted(i)) * dec(sorted(i))).as(s"__ss_$i"))) ++
+      pairs.map { case (i, j) =>
+        sum(dec(sorted(i)) * dec(sorted(j))).as(s"__sp_${i}_$j") }
     val wide = clean.agg(count(lit(1)).as("__n"), aggs: _*)
     def d(name: String): Column = col(name).cast("double")
     val n = col("__n").cast("double")
-    val rows = pairs.map { case (a, b) =>
-      val cov = n * d(s"__sp_${a}__$b") - d(s"__s_$a") * d(s"__s_$b")
-      val va = n * d(s"__ss_$a") - d(s"__s_$a") * d(s"__s_$a")
-      val vb = n * d(s"__ss_$b") - d(s"__s_$b") * d(s"__s_$b")
+    val rows = pairs.map { case (i, j) =>
+      val cov = n * d(s"__sp_${i}_$j") - d(s"__s_$i") * d(s"__s_$j")
+      val va = n * d(s"__ss_$i") - d(s"__s_$i") * d(s"__s_$i")
+      val vb = n * d(s"__ss_$j") - d(s"__s_$j") * d(s"__s_$j")
       struct(
-        lit(a).as("col_a"), lit(b).as("col_b"),
+        lit(sorted(i)).as("col_a"), lit(sorted(j)).as("col_b"),
         col("__n").as("n"),
         when(col("__n") < 2 || va <= 0.0 || vb <= 0.0, lit(0.0))
           .otherwise(t4(cov / sqrt(va * vb))).as("corr"))
@@ -113,7 +118,7 @@ object Profile {
     * than 6 meaningful decimals should be pre-scaled.
     */
   def standardize(df: DataFrame, group: Column, value: Column): DataFrame = {
-    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    def t4(c: Column): Column = Num.t4floor(c)
     val d = df.withColumn("__g", group)
     val m = d.groupBy("__g").agg(
       count(value).as("__n"),
@@ -128,13 +133,16 @@ object Profile {
       (col("__ss").cast("double") -
         col("__s").cast("double") * col("__s").cast("double") / col("__n")) /
         (col("__n") - 1))
-    val moments = m.select(col("__g"), mean.as("__mean"),
+    val moments = m.select(col("__g").as("__mg"), mean.as("__mean"),
       when(col("__n") > 1, sqrt(variance)).otherwise(lit(0.0)).as("__std"))
-    d.join(broadcast(moments), Seq("__g"))
+    // null-safe join: groupBy produced a moments row for the null
+    // group too, and a plain equi-join would silently drop every
+    // null-group input row instead of matching it
+    d.join(broadcast(moments), col("__g") <=> col("__mg"))
       .withColumn("z",
         when(col("__std") === 0.0 || value.isNull, lit(0.0))
           .otherwise(t4((value - col("__mean")) / col("__std"))))
-      .drop("__g", "__mean", "__std")
+      .drop("__g", "__mg", "__mean", "__std")
   }
 
   /** Mergeable per-group distinct-count sketches (Datasketches HLL) —
@@ -175,7 +183,7 @@ object Profile {
     * truncated (4 dp, repr-independent — see GraphOps.pageRank).
     */
   def boxplot(df: DataFrame, group: Column, value: Column): DataFrame = {
-    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    def t4(c: Column): Column = Num.t4floor(c)
     val d = df.select(group.as("grp"), value.as("v"))
     val q = d.groupBy("grp").agg(
       count(lit(1)).as("n"),

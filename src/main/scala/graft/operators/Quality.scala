@@ -51,9 +51,13 @@ object Quality {
 
   /** Every child key must exist in the parent (nulls are not
     * violations — combine with [[NotNull]] to forbid them).
+    * `broadcastParent` (default true) fits the usual dim-sized parent;
+    * set it false for a fact-sized parent so the anti-join shuffles
+    * instead of forcing a driver-side collect of billions of keys.
     */
   final case class ForeignKey(
-      col: String, parent: DataFrame, parentCol: String) extends Check {
+      col: String, parent: DataFrame, parentCol: String,
+      broadcastParent: Boolean = true) extends Check {
     def name: String = s"foreign_key($col)"
   }
 
@@ -93,10 +97,10 @@ object Quality {
         df.groupBy(cols0.map(col): _*).agg(count(lit(1)).as("__n"))
           .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("n_violations"))
           .select(lit(u.name).as("check"), col("n_violations"))
-      case f @ ForeignKey(c, parent, pc) =>
+      case f @ ForeignKey(c, parent, pc, bcast) =>
+        val keys = parent.select(col(pc).as(c)).distinct()
         df.filter(col(c).isNotNull)
-          .join(broadcast(parent.select(col(pc).as(c)).distinct()),
-            Seq(c), "left_anti")
+          .join(if (bcast) broadcast(keys) else keys, Seq(c), "left_anti")
           .agg(count(lit(1)).as("n_violations"))
           .select(lit(f.name).as("check"), col("n_violations"))
     }

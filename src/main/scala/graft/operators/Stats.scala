@@ -14,9 +14,14 @@ object Stats {
     * (n_a, mean_a, n_b, mean_b, z, significant) where `significant`
     * is |z| > 1.96 (the two-sided 5% gate). Means are truncated at
     * 4 dp for reporting; z is derived from the RAW moments and
-    * truncated at 4 dp. Degenerate inputs (a group missing, n < 2, or
+    * truncated at 4 dp TOWARD ZERO (sign·floor(|x|·1e4)/1e4, not a
+    * bare floor: floor truncates negatives AWAY from zero, so the
+    * same experiment could flip `significant` when the group labels —
+    * and hence z's sign — are swapped; toward-zero truncation keeps
+    * |z| > 1.96 symmetric and stays repr-independent across engines).
+    * Degenerate inputs (a group missing or empty input, n < 2, or
     * both variances 0) yield z = 0 and significant = false rather
-    * than an ANSI error.
+    * than an ANSI error or a NULL row.
     *
     * Shape at scale: one partial-aggregated conditional-moments pass
     * over one scan (both groups in the same aggregate), one
@@ -28,10 +33,13 @@ object Stats {
       value: Column,
       groupA: String,
       groupB: String): DataFrame = {
-    def t4(c: Column): Column = floor(c * 1e4) / 1e4
-    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    def t4(c: Column): Column = Num.t4zero(c)
+    def dec(c: Column): Column = Num.dec(c)
+    // coalesce: an EMPTY input aggregates every sum to NULL — the n's
+    // must come back 0 so the degenerate branch (not a NULL cascade)
+    // decides the output
     def side(label: String, tag: String) = Seq(
-      sum(when(group === label, 1L).otherwise(0L)).as(s"__n_$tag"),
+      coalesce(sum(when(group === label, 1L).otherwise(0L)), lit(0L)).as(s"__n_$tag"),
       sum(when(group === label, dec(value)).otherwise(lit(null))).as(s"__s_$tag"),
       sum(when(group === label, dec(value) * dec(value)).otherwise(lit(null)))
         .as(s"__ss_$tag"))

@@ -181,7 +181,7 @@ object TextMetrics {
     // truncation, not round(): the per-row 7/4-dp reductions must be
     // repr-independent across engines (see GraphOps.pageRank)
     def t7(c: Column): Column = floor(c * 1e7) / 1e7
-    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    def t4(c: Column): Column = Num.t4floor(c)
     val toks = df.select(group.as("grp"), explode(tokens(text)).as("term"))
     val tf = toks.groupBy("grp", "term").agg(count(lit(1)).as("n"))
     tf.groupBy("grp")

@@ -1,8 +1,37 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 package object operators {
+
+  /** ONE copy of the cross-engine numeric determinism contract
+    * (SURVEY §6 r4) shared by the statistical operators
+    * (Profile / Stats): the DuckDB oracles replay these formulas
+    * textually, so a change here must be deliberate and global —
+    * three hand-maintained copies were one silent divergence away
+    * from a hash mismatch.
+    */
+  private[operators] object Num {
+    /** 4-dp floor truncation — repr-independent where round() is not
+      * (Spark half-ups the shortest decimal repr of the double, other
+      * engines round the binary value). Use for signed REPORTING
+      * values where truncation direction carries no meaning.
+      */
+    def t4floor(c: Column): Column = floor(c * 1e4) / 1e4
+
+    /** 4-dp truncation TOWARD ZERO — for values feeding a symmetric
+      * |x| > threshold gate, where floor's away-from-zero truncation
+      * of negatives would make the verdict depend on sign. `+ 0.0`
+      * folds sign(-small)·0 = -0.0 back to +0.0 so both engines emit
+      * the identical zero.
+      */
+    def t4zero(c: Column): Column =
+      signum(c) * (floor(abs(c) * 1e4) / 1e4) + 0.0
+
+    /** Exact 6-dp decimal reduction for order-independent sums. */
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+  }
 
   /** Ensure a CPU-bound kernel stage has at least the cluster's
     * parallelism. Small inputs (a single parquet split, a compact doc

@@ -127,11 +127,11 @@ object ProfileQueries {
       "q_two_sample_z",
       """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |m AS (SELECT
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        |  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) AS na,
         |  sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(19,6)) END) AS sa,
         |  sum(CASE WHEN event_type = 'click'
         |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS ssa,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb,
+        |  coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS nb,
         |  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(19,6)) END) AS sb,
         |  sum(CASE WHEN event_type = 'view'
         |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS ssb
@@ -144,11 +144,13 @@ object ProfileQueries {
         |  FROM m),
         |r AS (SELECT
         |  CAST(na AS BIGINT) AS n_a,
-        |  CASE WHEN na > 0 THEN floor(ma * 1e4) / 1e4 ELSE 0.0 END AS mean_a,
+        |  CASE WHEN na > 0
+        |    THEN sign(ma) * (floor(abs(ma) * 1e4) / 1e4) + 0.0 ELSE 0.0 END AS mean_a,
         |  CAST(nb AS BIGINT) AS n_b,
-        |  CASE WHEN nb > 0 THEN floor(mb * 1e4) / 1e4 ELSE 0.0 END AS mean_b,
+        |  CASE WHEN nb > 0
+        |    THEN sign(mb) * (floor(abs(mb) * 1e4) / 1e4) + 0.0 ELSE 0.0 END AS mean_b,
         |  CASE WHEN na < 2 OR nb < 2 OR se = 0.0 THEN 0.0
-        |       ELSE floor((ma - mb) / se * 1e4) / 1e4 END AS z
+        |       ELSE sign(ma - mb) * (floor(abs(ma - mb) / se * 1e4) / 1e4) + 0.0 END AS z
         |  FROM d)
         |SELECT *, abs(z) > 1.96 AS significant FROM r""".stripMargin
     ) { (s, dir) =>

@@ -75,6 +75,24 @@ class BehaviorSpec extends SparkSpec {
     assert(!s2.getBoolean(5) && s2.getDouble(4) == 0.0, s2.toString)
   }
 
+  test("twoSampleZ: empty input yields zeros (not nulls); significance is sign-symmetric") {
+    import graft.operators.Stats
+    // empty input: every aggregate is NULL upstream — the contract says
+    // (0, 0.0, 0, 0.0, 0.0, false), not a NULL cascade
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    val Array(e) = Stats.twoSampleZ(empty, col("g"), col("v"), "a", "b").collect()
+    assert(e.getLong(0) == 0L && e.getLong(2) == 0L, e.toString)
+    assert(e.getDouble(4) == 0.0 && !e.getBoolean(5), e.toString)
+    // sign symmetry: swapping the group labels flips z's sign exactly
+    // (toward-zero truncation) and never flips `significant`
+    val sep = (Seq.tabulate(20)(i => ("a", 10.0 + i % 3)) ++
+      Seq.tabulate(20)(i => ("b", 50.0 + i % 3))).toDF("g", "v")
+    val Array(ab) = Stats.twoSampleZ(sep, col("g"), col("v"), "a", "b").collect()
+    val Array(ba) = Stats.twoSampleZ(sep, col("g"), col("v"), "b", "a").collect()
+    assert(ab.getDouble(4) == -ba.getDouble(4), s"$ab vs $ba")
+    assert(ab.getBoolean(5) == ba.getBoolean(5), s"$ab vs $ba")
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")

@@ -273,6 +273,19 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L), kept.toString)
   }
 
+  test("exactKeepWithin: null timestamps collapse to one survivor, not a free pass") {
+    // lag() is null both for "first row" and "previous ts was null" —
+    // the sentinel mapping must suppress null-ts duplicates after the
+    // first and keep real-ts rows (astronomical gap from the sentinel)
+    val df = Seq(
+      (1L, None, "a"), (2L, None, "a"), (3L, Some(100L), "a"),
+      (4L, None, "b")
+    ).toDF("id", "t", "txt")
+    val kept = Dedup.exactKeepWithin(df, col("txt"), col("id"), col("t"), windowUs = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L), kept.toString)
+  }
+
   test("editDistancePairs: planted single edits found via suffix block, far strings not") {
     val rows = Seq(
       (1L, "data pipeline alpha"), (2L, "data pipeline alphA"),   // dist 1, edit at tail

@@ -84,6 +84,28 @@ class ProfileSpec extends SparkSpec {
       ("c", 5.0, 0.0), ("c", 5.0, 0.0), ("s", 9.0, 0.0)), z.toString)
   }
 
+  test("standardize keeps null-group rows (null-safe moments join)") {
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0)  // the null group
+    ).toDF("g", "v")
+    val out = Profile.standardize(df, col("g"), col("v"))
+      .select($"v", $"z").as[(Double, Double)].collect().toSet
+    // null-group rows survive WITH their own group's z-scores
+    assert(out === Set(
+      (1.0, -0.7072), (3.0, 0.7071),
+      (10.0, -1.0), (20.0, 0.0), (30.0, 1.0)), out.toString)
+  }
+
+  test("correlations: columns whose names contain '__' don't collide aliases") {
+    val df = Seq((1.0, 2.0, 3.0, 4.0), (2.0, 3.0, 5.0, 8.0), (3.0, 5.0, 6.0, 16.0))
+      .toDF("x", "x__y", "y__z", "z")
+    // (x, y__z) and (x__y, z) would both alias __sp_x__y__z under
+    // name-based aliases — index-based aliases must keep all 6 pairs
+    val c = Profile.correlations(df, Seq("x", "x__y", "y__z", "z")).collect()
+    assert(c.length == 6, c.mkString(", "))
+  }
+
   test("HLL sketches: shard-merged estimate == whole-corpus estimate, within 5% of exact") {
     val docs = sources.Tables.load(spark, sf, "documents")
       .select(col("source"), col("doc_id"))
