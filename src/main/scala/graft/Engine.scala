@@ -38,6 +38,10 @@ object Engine {
     if (!spark.experimental.extraOptimizations.contains(plans.CollapseUnicodeNormalize))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.CollapseUnicodeNormalize
+    // Live-session twin of GraftExtensions' injectPlannerStrategy.
+    if (!spark.experimental.extraStrategies.contains(plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.AsOfJoinStrategy
     spark
   }
 }

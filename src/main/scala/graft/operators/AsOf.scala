@@ -83,6 +83,61 @@ object AsOf {
     out.select(left.columns.toIndexedSeq.map(col) ++ rpCols: _*)
   }
 
+  /** Backward as-of join through the custom PHYSICAL operator
+    * ([[graft.plans.AsOfJoinExec]]) — tier (c) of the extension
+    * ladder: both sides hash-co-partitioned on the keys and sorted,
+    * then one streaming merge per partition holding a single
+    * candidate row, instead of the union+window form's combined sort.
+    * Output and semantics are identical to [[joinBackward]] (the spec
+    * proves it row-for-row; the oracle proves it against DuckDB's
+    * native ASOF LEFT JOIN).
+    *
+    * Requirements beyond [[joinBackward]]: the ts columns must be
+    * LongType (integer event time), and the strategy must be
+    * registered ([[graft.Engine.session]] does; or
+    * `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def joinBackwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightOrder: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    import org.apache.spark.sql.graftshim.Shims
+    import org.apache.spark.sql.types.LongType
+    // SQL equi-join semantics: null-key (and null-ts) right rows match
+    // nothing — drop them before the merge, like joinBackward
+    val rCols = (keys ++ Seq(rightTs) ++ rightOrder ++ rightPayload).distinct
+    val r0 = (rightTs +: keys).foldLeft(right)((d, c) => d.filter(col(c).isNotNull))
+      .select(rCols.map(col): _*)
+    // fresh exprIds + collision-free names on the whole right side, so
+    // self-joins (left and right reading the same table) resolve
+    val r1 = r0.select(rCols.map(c => col(c).as(s"${c}__r")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r1.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val lTs = attr(lPlan, leftTs)
+    val rTs = attr(rPlan, s"${rightTs}__r")
+    require(lTs.dataType == LongType && rTs.dataType == LongType,
+      s"as-of exec requires LongType event times, got ${lTs.dataType}/${rTs.dataType}")
+    val node = graft.plans.AsOfJoin(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"${k}__r")),
+      lTs, rTs,
+      rightPayload.map(c => attr(rPlan, s"${c}__r")),
+      rightOrder.map(c => attr(rPlan, s"${c}__r")),
+      toleranceUs)
+    Shims.ofRows(left.sparkSession, node)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightPayload.map(c => col(s"${c}__r").as(c)): _*)
+  }
+
   /** Forward as-of join: the EARLIEST right row at-or-after each left
     * row's time. Implemented by time negation over the backward form,
     * so it inherits the same single-shuffle union plan. `tolerance`

@@ -51,6 +51,46 @@ object TemporalQueries {
         .orderBy("p_event")
     },
 
+    // C9c: the SAME backward as-of join through the custom PHYSICAL
+    // operator (AsOfJoinExec: co-partitioned streaming merge, tier (c)
+    // of the extension ladder) — hash-matched against DuckDB's native
+    // ASOF JOIN, with a 10-minute tolerance exercising the bound the
+    // window form can't push into a single merge pass. The tolerance
+    // NULLS OUT stale matches (left row survives), which DuckDB
+    // expresses as a post-ASOF CASE.
+    Q(
+      "q_asof_exec",
+      """WITH j AS (
+        |  SELECT p.event_id AS p_event, p.user_id,
+        |    epoch_us(p.ts) AS p_us,
+        |    c.event_id AS c_event,
+        |    epoch_us(c.ts) AS c_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT p_event, user_id, p_us,
+        |  CASE WHEN p_us - c_us <= 600000000 THEN c_event END AS c_event,
+        |  CASE WHEN p_us - c_us <= 600000000 THEN c_us END AS c_us
+        |FROM j
+        |ORDER BY p_event""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"), col("ts_us").as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event"), col("user_id"), col("ts_us").as("c_us"))
+      AsOf.joinBackwardExec(
+          purchases, clicks,
+          keys = Seq("user_id"),
+          leftTs = "p_us", rightTs = "c_us",
+          rightPayload = Seq("c_event", "c_us"),
+          rightOrder = Seq("c_event"),
+          toleranceUs = Some(600000000L))
+        .select("p_event", "user_id", "p_us", "c_event", "c_us")
+        .orderBy("p_event")
+    },
+
     // C9b: forward as-of — for each purchase, the user's EARLIEST error
     // event at-or-after it (the "what broke next" join).
     Q(

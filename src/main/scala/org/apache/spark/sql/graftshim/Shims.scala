@@ -17,6 +17,16 @@ object Shims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a custom LogicalPlan node as a DataFrame (the classic
+    * `Dataset.ofRows` is `private[sql]` in Spark 4 — same bridging
+    * pattern as the Column↔Expression pair above).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function into a LIVE session's registry (the
     * builder-time path is `graft.GraftExtensions` via
     * `spark.sql.extensions`; this covers sessions already built).
