@@ -62,6 +62,50 @@ object TextMetrics {
     tmp.withColumn("lang_pred", lang).withColumn("lang_hits", best).drop("__lm")
   }
 
+  /** Writing-system (script) inventory, ordered: ties on count break
+    * toward the EARLIER entry. Java regex spells Unicode scripts
+    * `\p{IsXxx}`; RE2-based engines (the DuckDB oracle) spell the same
+    * classes `\p{Xxx}` — the class CONTENTS are the Unicode script
+    * property both ways, so counts agree exactly. BMP scripts only
+    * (both engines count code points; supplementary-plane scripts
+    * would be safe too but are not needed here).
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "greek" -> "\\p{IsGreek}",
+    "han" -> "\\p{IsHan}",
+    "arabic" -> "\\p{IsArabic}",
+    "hebrew" -> "\\p{IsHebrew}",
+    "devanagari" -> "\\p{IsDevanagari}",
+    "hangul" -> "\\p{IsHangul}",
+    "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]")
+
+  /** Script detection — the multilingual-curation companion to
+    * [[withLangId]] (language markers only separate languages SHARING
+    * a script; script detection routes documents to the right
+    * language-ID family in the first place, and catches wrong-script
+    * contamination inside a monolingual corpus). Adds one `n_<script>`
+    * character count per [[scriptClasses]] entry and
+    * `dominant_script` (argmax, earlier entry wins ties, no script
+    * characters at all → "und").
+    *
+    * Shape at scale: a pure codegen'd projection — one regexp_replace
+    * per script class per row, no tokenization, no shuffle, no UDF.
+    */
+  def withScripts(df: DataFrame, text: Column): DataFrame = {
+    val counts = scriptClasses.map { case (n, re) =>
+      n -> (length(text) - length(regexp_replace(text, re, ""))).cast("long")
+    }
+    val tmp = counts.foldLeft(df) { case (d, (n, c)) => d.withColumn(s"n_$n", c) }
+    val cols = scriptClasses.map { case (n, _) => n -> col(s"n_$n") }
+    val best = cols.map(_._2).reduce(greatest(_, _))
+    val dominant = cols.foldRight(lit("und")) { case ((n, c), alt) =>
+      when(c === best && best > 0, lit(n)).otherwise(alt)
+    }
+    tmp.withColumn("dominant_script", dominant)
+  }
+
   /** Quality signals: token count, mean token length, punctuation
     * ratio, stopword ratio, uppercase ratio — the standard cheap
     * filters (Gopher/C4-style) — plus a [0,1] composite score.

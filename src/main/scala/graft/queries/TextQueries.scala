@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHashWinnow
-import graft.operators.TextMetrics
+import graft.operators.{Sampling, TextMetrics}
 
 /** Text-analysis queries (SURVEY §2.D8-D11) over `documents`.
   *
@@ -17,6 +17,12 @@ object TextQueries {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // planted foreign-script renditions for q_text_script — ONE literal
+  // each, interpolated into both the Spark plan and the SQL twin
+  private val plantRu = "привет мир это тестовый документ"
+  private val plantZh = "你好世界这是一个测试文档"
+  private val plantAr = "مرحبا بالعالم هذه وثيقة اختبار"
 
   val all: Seq[Q] = Seq(
 
@@ -45,6 +51,53 @@ object TextQueries {
     ) { (s, dir) =>
       TextMetrics.withLangId(table(s, dir, "documents"), col("text"))
         .select(col("doc_id"), col("lang_pred"), col("lang_hits").cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // D8b: writing-system detection — per-script character counts +
+    // dominant script, over a corpus with planted Cyrillic/Han/Arabic
+    // docs (hash-bucket selected). Java regex spells the classes
+    // \p{IsXxx}, RE2 (DuckDB) spells the SAME Unicode script property
+    // \p{Xxx} — counts agree exactly.
+    Q(
+      "q_text_script", {
+        val b = Sampling.hashBucketSql("doc_id")
+        val classesSql = TextMetrics.scriptClasses.map { case (n, re) =>
+          n -> re.replace("Is", "")
+        }
+        val countCols = classesSql.map { case (n, re) =>
+          s"CAST(length(t2) - length(regexp_replace(t2, '$re', '', 'g')) AS BIGINT) AS n_$n"
+        }.mkString(",\n          ")
+        val names = classesSql.map(_._1)
+        val best = names.map(n => s"n_$n").mkString("greatest(", ", ", ")")
+        val cases = names.map(n => s"WHEN n_$n = best THEN '$n'").mkString(" ")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN $b < 30 THEN '$plantRu'
+           |         WHEN $b < 60 THEN '$plantZh'
+           |         WHEN $b < 90 THEN '$plantAr'
+           |         ELSE text END AS t2
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |          $countCols
+           |  FROM d),
+           |b2 AS (SELECT *, $best AS best FROM c)
+           |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+           |  CASE WHEN best = 0 THEN 'und' $cases END AS dominant_script
+           |FROM b2 ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val bkt = Sampling.hashBucket(col("doc_id"))
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(bkt < 30, lit(plantRu))
+          .when(bkt < 60, lit(plantZh))
+          .when(bkt < 90, lit(plantAr))
+          .otherwise(col("text")).as("text"))
+      TextMetrics.withScripts(planted, col("text"))
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_han"), col("n_arabic"), col("dominant_script"))
         .orderBy("doc_id")
     },
 

@@ -55,6 +55,24 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("withScripts counts per-script characters and picks the dominant script") {
+    val df = Seq(
+      (1L, "hello world"),                 // latin only
+      (2L, "привет мир"),                  // cyrillic only
+      (3L, "hello мир 你好"),              // mixed: 10 latin? no — 5 latin, 3 cyr, 2 han
+      (4L, "12345 !!!"),                   // no script chars at all
+      (5L, "καλημέρα")                     // greek
+    ).toDF("id", "t")
+    val out = TextMetrics.withScripts(df, col("t"))
+      .select($"id", $"n_latin", $"n_cyrillic", $"n_han", $"dominant_script")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 10L, 0L, 0L, "latin")), out(1L).toString)
+    assert(out(2L) == ((2L, 0L, 9L, 0L, "cyrillic")), out(2L).toString)
+    assert(out(3L) == ((3L, 5L, 3L, 2L, "latin")), out(3L).toString)
+    assert(out(4L) == ((4L, 0L, 0L, 0L, "und")), out(4L).toString)
+    assert(out(5L)._5 == "greek", out(5L).toString)
+  }
+
   test("quality score rewards in-range token stats") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then it runs off"),
