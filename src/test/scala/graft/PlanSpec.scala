@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpec {
       s"asof degenerated to a product join:\n$plan")
   }
 
+  test("custom physical asof plans a streaming merge: no window, two co-partition exchanges") {
+    val df = SparkEntry.queries("q_asof_exec")(spark, sf)
+    val plan = run(df)
+    assert(plan.contains("AsOfJoin "), s"custom operator not planned:\n$plan")
+    assert(!plan.contains("Window"), s"exec asof must not need a window:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan(plan)).size
+    assert(exchanges == 2, s"expected exactly the two co-partition exchanges, got $exchanges:\n$plan")
+  }
+
   test("brute-force ANN broadcasts the query side, never the corpus") {
     val df = SparkEntry.queries("q_ann_topk")(spark, sf)
     val plan = run(df)
