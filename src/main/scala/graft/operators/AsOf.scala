@@ -54,8 +54,12 @@ object AsOf {
     // one partition and attach null-key right payloads to null-key
     // left rows — drop null-key right rows instead (null-key left rows
     // then sit in a partition with no right rows → null payload, which
-    // is what an equi-join oracle produces).
-    val rightKeyed = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    // is what an equi-join oracle produces). A NULL right ts likewise
+    // matches nothing (`NULL <= lt` is unknown) — without the filter
+    // the ascending sort would put null-ts rows FIRST and the window
+    // would attach them as minus-infinity matches, diverging from both
+    // the SQL answer and joinBackwardExec.
+    val rightKeyed = (rightTs +: keys).foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
     val r = rightKeyed.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
@@ -126,6 +130,15 @@ object AsOf {
     val rTs = attr(rPlan, s"${rightTs}__r")
     require(lTs.dataType == LongType && rTs.dataType == LongType,
       s"as-of exec requires LongType event times, got ${lTs.dataType}/${rTs.dataType}")
+    // the hand-built node bypasses analyzer type coercion: mismatched
+    // key types would hash-partition each side differently (murmur3 of
+    // Int 5 != Long 5 — co-location silently lost) and mis-read the
+    // right key bytes in the merge — fail loudly instead
+    keys.foreach { k =>
+      val (lk, rk) = (attr(lPlan, k), attr(rPlan, s"${k}__r"))
+      require(lk.dataType == rk.dataType,
+        s"as-of exec key '$k' types differ: ${lk.dataType} vs ${rk.dataType} — cast upstream")
+    }
     val node = graft.plans.AsOfJoin(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"${k}__r")),

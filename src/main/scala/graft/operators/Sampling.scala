@@ -128,7 +128,8 @@ object Sampling {
     * pairs per group survive — same rows on every run/engine, and
     * NESTED like the other samplers (raising the cap only ever adds
     * rows, so a rebuilt mixture keeps its history). `key` must be
-    * unique within a group (ids are).
+    * unique within a group and non-null (ids are; null-key rows are
+    * excluded like in every other sampler here).
     *
     * Scale shape: deliberately NOT one `row_number` window per group —
     * on a mega-domain that serializes the whole group through a single
@@ -149,7 +150,13 @@ object Sampling {
       maxRows: Int): DataFrame = {
     require(maxRows > 0, "maxRows must be positive")
     val w = org.apache.spark.sql.expressions.Window
-    val withB = df.withColumn("__g", group).withColumn("__b", hashBucket(key))
+    // null keys hash to a NULL bucket that satisfies neither phase-2
+    // filter but WOULD consume quota in the phase-1 counts (nulls sort
+    // first in the cum window) — exclude them up front, matching the
+    // other samplers where a null key never survives the bucket
+    // comparison
+    val withB = df.filter(key.isNotNull)
+      .withColumn("__g", group).withColumn("__b", hashBucket(key))
     val counts = withB.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
     val cum = sum(col("__c"))
       .over(w.partitionBy(col("__g")).orderBy(col("__b").asc))
@@ -160,8 +167,11 @@ object Sampling {
       .filter(col("__cum") >= maxRows && col("__cum") - col("__c") < maxRows)
       .select(col("__g").as("__tg"), col("__b").as("__tb"),
         (lit(maxRows.toLong) - (col("__cum") - col("__c"))).as("__r"))
+    // null-safe comparator: the NULL group is a group like any other —
+    // a plain === would never match its threshold row and the cap
+    // would silently not apply to it
     val joined = withB.join(broadcast(thresholds),
-      col("__g") === col("__tg"), "left")
+      col("__g") <=> col("__tg"), "left")
     val below = joined.filter(col("__tb").isNull || col("__b") < col("__tb"))
     val boundary = joined.filter(col("__b") === col("__tb"))
       .withColumn("__rk", row_number()

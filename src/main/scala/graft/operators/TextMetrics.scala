@@ -40,6 +40,20 @@ object TextMetrics {
   private def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit): _*)))
 
+  /** Shared argmax-label fold (withLangId / withScripts): the label of
+    * the largest count, ties breaking to the EARLIER entry (foldRight:
+    * each earlier when() shadows later ones), all-zero → `default`.
+    * Returns (label expr, best-count expr).
+    */
+  private def argmaxLabel(
+      counts: Seq[(String, Column)], default: String): (Column, Column) = {
+    val best = counts.map(_._2).reduce(greatest(_, _))
+    val label = counts.foldRight(lit(default)) { case ((n, c), alt) =>
+      when(c === best && best > 0, lit(n)).otherwise(alt)
+    }
+    (label, best)
+  }
+
   /** Language-ID heuristic: argmax of marker hits, earlier language
     * wins ties, zero hits → "und". One tokenization per row: all five
     * marker counts come out of a single struct lambda, and the struct
@@ -53,12 +67,7 @@ object TextMetrics {
     }
     val tmp = df.withColumn("__lm", hitStruct)
     val hits = langMarkers.map { case (l, _) => l -> col("__lm").getField(s"h_$l") }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    // foldRight means the FIRST matching language in list order wins:
-    // each earlier when() shadows later ones.
-    val lang = hits.foldRight(lit("und")) { case ((l, h), alt) =>
-      when(h === best && best > 0, lit(l)).otherwise(alt)
-    }
+    val (lang, best) = argmaxLabel(hits, "und")
     tmp.withColumn("lang_pred", lang).withColumn("lang_hits", best).drop("__lm")
   }
 
@@ -99,10 +108,7 @@ object TextMetrics {
     }
     val tmp = counts.foldLeft(df) { case (d, (n, c)) => d.withColumn(s"n_$n", c) }
     val cols = scriptClasses.map { case (n, _) => n -> col(s"n_$n") }
-    val best = cols.map(_._2).reduce(greatest(_, _))
-    val dominant = cols.foldRight(lit("und")) { case ((n, c), alt) =>
-      when(c === best && best > 0, lit(n)).otherwise(alt)
-    }
+    val (dominant, _) = argmaxLabel(cols, "und")
     tmp.withColumn("dominant_script", dominant)
   }
 

@@ -117,20 +117,40 @@ final case class AsOfJoinExec(
       val lTsProj = UnsafeProjection.create(Seq(lTsB), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rTsB), rOut)
       val payloadProj = UnsafeProjection.create(payloadB, rOut)
-      val resultProj = UnsafeProjection.create(outB, lOut ++ payloadB)
+      // bind the payload side NULLABLE (same as output): unmatched left
+      // rows read the all-null row below, and a projection bound to a
+      // non-nullable payload attribute would skip the null check —
+      // emitting 0 for primitives or NPE-ing on strings instead of NULL
+      // (SortMergeJoinExec widens its buffered side the same way)
+      val resultProj = UnsafeProjection.create(
+        outB, lOut ++ payloadB.map(_.withNullability(true)))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
       val nullPayload = new GenericInternalRow(payloadB.length)
 
       new Iterator[InternalRow] {
-        // the un-consumed head of the right side; sorter iterators
-        // re-point their row buffer only on next(), so holding the
-        // reference across left rows is safe — the candidate below is
-        // copied because the cursor DOES move past it
-        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        // the un-consumed head of the right side, with its key/ts
+        // hoisted out of the per-left-row loop (projected exactly once
+        // per cursor advance, not once per comparison): sorter
+        // iterators re-point their row buffer only on next(), and the
+        // key projection's buffer is re-pointed only by the next
+        // rKeyProj call — both happen solely inside advance(). The
+        // candidate is copied because the cursor DOES move past it.
+        private var rRow: InternalRow = null
+        private var rKey: UnsafeRow = null
+        private var rTs: Long = 0L
         private var candKey: UnsafeRow = null
         private var candTs: Long = 0L
         private var candPayload: UnsafeRow = null
+
+        private def advance(): Unit = {
+          rRow = if (rIter.hasNext) rIter.next() else null
+          if (rRow != null) {
+            rKey = rKeyProj(rRow)
+            rTs = rTsProj(rRow).getLong(0)
+          }
+        }
+        advance()
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -145,24 +165,26 @@ final case class AsOfJoinExec(
           // the latest match (right side is (keys, ts, order)-sorted)
           var advancing = !lTsNull
           while (advancing && rRow != null) {
-            val rKey = rKeyProj(rRow)
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) {
               // right key already below every remaining left key
               // (left is key-ascending too): discard
-              rRow = if (rIter.hasNext) rIter.next() else null
-            } else if (c == 0 && rTsProj(rRow).getLong(0) <= lTs) {
+              advance()
+            } else if (c == 0 && rTs <= lTs) {
               candKey = rKey.copy()
-              candTs = rTsProj(rRow).getLong(0)
+              candTs = rTs
               candPayload = payloadProj(rRow).copy()
-              rRow = if (rIter.hasNext) rIter.next() else null
+              advance()
             } else {
               advancing = false
             }
           }
+          // subtractExact: a pathological sentinel ts would wrap the
+          // gap negative and attach a stale match — fail loudly like
+          // the window form's ANSI arithmetic would
           val matched = !lTsNull && candKey != null &&
             keyOrd.compare(candKey, lKey) == 0 &&
-            tol.forall(t => lTs - candTs <= t)
+            tol.forall(t => java.lang.Math.subtractExact(lTs, candTs) <= t)
           resultProj(joined(l, if (matched) candPayload else nullPayload))
         }
       }

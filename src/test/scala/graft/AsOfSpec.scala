@@ -52,6 +52,35 @@ class AsOfSpec extends SparkSpec {
     assert(nOut == Set((Some(100L), "a"), (Some(100L), null), (None, null)), nOut.toString)
   }
 
+  test("unmatched rows null out NON-NULLABLE payload columns too (both forms)") {
+    // rt comes from a Seq-derived frame → nullable=false; an unmatched
+    // left row must still read NULL, not a silently-unboxed 0
+    for (form <- Seq("window", "exec")) {
+      val out = (if (form == "window")
+          AsOf.joinBackward(left, right, Seq("k"), "lt", "rt",
+            rightPayload = Seq("v", "rt"), rightOrder = Seq("rt"))
+        else
+          AsOf.joinBackwardExec(left, right, Seq("k"), "lt", "rt",
+            rightPayload = Seq("v", "rt"), rightOrder = Seq("rt")))
+        .select("k", "lt", "rt").as[(Long, Long, Option[Long])].collect().toSet
+      assert(out.contains((2L, 150L, None)),
+        s"$form: unmatched long payload must be null: $out")
+    }
+  }
+
+  test("null-ts right rows match nothing in BOTH forms (no minus-infinity match)") {
+    val rNull = Seq((Some(1L), Option.empty[Long], "x")).toDF("k", "rt", "v")
+    val l1 = Seq((1L, 100L)).toDF("k", "lt")
+    val w = AsOf.joinBackward(l1, rNull, Seq("k"), "lt", "rt",
+        rightPayload = Seq("v"), rightOrder = Seq("rt"))
+      .select("v").as[String].collect().toSeq
+    val e = AsOf.joinBackwardExec(l1, rNull, Seq("k"), "lt", "rt",
+        rightPayload = Seq("v"), rightOrder = Seq("rt"))
+      .select("v").as[String].collect().toSeq
+    assert(w == Seq(null) && e == Seq(null),
+      s"NULL <= lt is unknown, not a match: window=$w exec=$e")
+  }
+
   test("exec: plans AsOfJoinExec and agrees with the window form on a real self-join") {
     val ev = sources.Tables.events(spark, sf)
       .withColumn("ts_us", expr("ts_ns div 1000"))

@@ -78,6 +78,21 @@ class CurationSpec extends SparkSpec {
     assert(c30.size == 4 * 30, s"cap 30 bites all four groups: ${c30.size}")
   }
 
+  test("capPerGroup caps the NULL group and excludes null keys from quota") {
+    val df = spark.range(300).select(
+      when(col("id") < 200, lit(null).cast("string")).otherwise(lit("g"))
+        .as("g"),
+      when(col("id") === 299, lit(null).cast("long")).otherwise(col("id"))
+        .as("id"))
+    val out = Sampling.capPerGroup(df, col("g"), col("id"), maxRows = 50)
+      .as[(String, Option[Long])].collect()
+    val byG = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // null group (200 rows) capped at 50; 'g' group has 100 rows minus
+    // the one null-key row = 99 → capped at 50; null keys never appear
+    assert(byG == Map((null: String) -> 50, "g" -> 50), byG.toString)
+    assert(out.forall(_._2.nonEmpty), "null-key rows must be excluded")
+  }
+
   test("contamination scores probe members 1.0 and disjoint docs 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
