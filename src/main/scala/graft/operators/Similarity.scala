@@ -123,6 +123,75 @@ object Similarity {
     centroids
   }
 
+  /** The trained coarse quantizer as a PERSISTABLE frame
+    * ((cluster, centroid) rows) — store it next to the assignment
+    * table like any other index artifact ([[ivfAssign]];
+    * `Dedup.fingerprintIndex` is the same pattern for exact dedup).
+    */
+  def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cluster", "centroid")
+  }
+
+  /** Read a stored quantizer back ([[centroidsToDf]] round-trip). */
+  def centroidsFromDf(df: DataFrame): Array[Array[Double]] =
+    df.select(col("cluster"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Assign every corpus vector to its nearest coarse centroid —
+    * (id, v, cluster), THE inverted-file index table. At 100 TB this
+    * is the artifact you PERSIST (bucketed by cluster:
+    * `Tables.writeBucketed`) and probe many times; the full-corpus
+    * scan is paid once here, not per query batch.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(id.as("id"), vec.as("v"))
+      .withColumn("__scores", centroidScores(col("v"), centroids))
+      .withColumn("cluster",
+        expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
+      .drop("__scores")
+
+  /** Probe a STORED IVF index: each query ranks the centroids, visits
+    * its `nProbe` nearest clusters, and pays exact cosine only there —
+    * candidate work O(|corpus|·nProbe/nCentroids) per query, never
+    * cartesian; the probe frame broadcasts.
+    */
+  def ivfProbe(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      queries: DataFrame,
+      queryId: Column,
+      queryVec: Column,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__s").asc, col("cluster").asc)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("__scores", centroidScores(col("qv"), centroids))
+      .select(col("query_id"), col("qv"),
+        posexplode(col("__scores")).as(Seq("cluster", "__s")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_key").desc, col("id").asc)
+    index.join(broadcast(q), "cluster")
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("sim_key", round(col("cos_sim"), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** ANN top-k via IVF (inverted-file index): corpus vectors are
     * bucketed by nearest coarse centroid; each query probes its
     * `nProbe` nearest centroid buckets and pays exact cosine only
@@ -130,6 +199,11 @@ object Similarity {
     * expressed as two equi-joins — candidate work is
     * O(|corpus|·nProbe/nCentroids) per query, never cartesian, and the
     * bucket assignment reuses the codegen'd DotProduct kernel.
+    *
+    * One-shot composition of the index lifecycle
+    * ([[trainIvfCentroids]] → [[ivfAssign]] → [[ivfProbe]]); an
+    * incremental pipeline calls the phases itself and PERSISTS the
+    * quantizer + assignment between arrivals.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -145,29 +219,8 @@ object Similarity {
       trainFraction: Double = 1.0): DataFrame = {
     val centroids =
       trainIvfCentroids(corpus, corpusId, corpusVec, nCentroids, iters, trainFraction)
-    val c = corpus.select(corpusId.as("id"), corpusVec.as("v"))
-      .withColumn("__scores", centroidScores(col("v"), centroids))
-      .withColumn("cluster",
-        expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
-      .drop("__scores")
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__s").asc, col("cluster").asc)
-    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
-      .withColumn("__scores", centroidScores(col("qv"), centroids))
-      .select(col("query_id"), col("qv"),
-        posexplode(col("__scores")).as(Seq("cluster", "__s")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cluster"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_key").desc, col("id").asc)
-    c.join(broadcast(q), "cluster")
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("v"), col("qv")))
-      .withColumn("sim_key", round(col("cos_sim"), 6))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+    ivfProbe(ivfAssign(corpus, corpusId, corpusVec, centroids),
+      centroids, queries, queryId, queryVec, k, nProbe)
   }
 
   /** ANN top-k restricted to the query's hyperplane bucket. Recall is

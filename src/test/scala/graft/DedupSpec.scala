@@ -115,6 +115,30 @@ class DedupSpec extends SparkSpec {
     assert(drops == Set(2L, 3L, 4L, 11L, 21L, 22L))
   }
 
+  test("IVF index persists: stored centroids + assignment probe to the same answer") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = base.filter(col("vec_id") < 10)
+    val trained = Similarity.trainIvfCentroids(base, col("vec_id"), col("v"), 16)
+    // round-trip the quantizer AND the assignment table through parquet
+    // (the incremental lifecycle: train once, store, probe many)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.centroidsToDf(spark, trained).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    Similarity.ivfAssign(base, col("vec_id"), col("v"), trained)
+      .write.mode("overwrite").parquet(s"$dir/assign")
+    val restored = Similarity.centroidsFromDf(spark.read.parquet(s"$dir/centroids"))
+    assert(restored.map(_.toSeq).toSeq == trained.map(_.toSeq).toSeq,
+      "centroids round-trip changed values")
+    val stored = Similarity.ivfProbe(spark.read.parquet(s"$dir/assign"),
+        restored, queries, col("vec_id"), col("v"), k = 5, nProbe = 4)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val oneShot = Similarity.ivfTopK(base, queries, col("vec_id"), col("v"),
+        col("vec_id"), col("v"), k = 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(stored == oneShot, "stored-index probe != one-shot ivfTopK")
+  }
+
   test("ivfTopK: deterministic training, high recall vs brute force on probed buckets") {
     val base = sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
