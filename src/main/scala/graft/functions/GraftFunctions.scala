@@ -71,6 +71,20 @@ object GraftFunctions {
         case Seq(a, b) => ArrayAgreeCount(asLongArray(a), asLongArray(b))
         case _ => throw new IllegalArgumentException("array_agree_count(a, b)")
       }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => MinHashSignature(asStringArray(tokens))
+        case Seq(tokens, numHashes, shingleSize) =>
+          MinHashSignature(asStringArray(tokens),
+            intArg(numHashes, "numHashes"), intArg(shingleSize, "shingleSize"))
+        case Seq(tokens, numHashes, shingleSize, seed) =>
+          MinHashSignature(asStringArray(tokens),
+            intArg(numHashes, "numHashes"), intArg(shingleSize, "shingleSize"),
+            longArg(seed, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(tokens[, numHashes, shingleSize[, seed]])")
+      }),
     ("unicode_normalize",
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => args match {

@@ -140,12 +140,15 @@ object Dedup {
     * corpus build, and incremental shards compare against it without
     * re-signing the corpus (see [[minHashLSHIncremental]]).
     *
-    * Built by explode + ONE partial-aggregated hash aggregate of
-    * `numHashes` codegen'd `min` columns — map-side combine reduces
-    * each doc to `numHashes` longs before the (only) shuffle. A per-row
-    * HOF form would run interpreted and re-evaluate the shingle tree
-    * per permutation — 64× slower (SURVEY §5). Docs with fewer than
-    * `shingleSize` tokens have no shingles and no signature row.
+    * Signing is a PURE MAP: the codegen'd [[graft.functions.MinHashSignature]]
+    * Expression computes the whole signature in one pass over the
+    * token array — no shingle explode, no 64-min aggregate, no
+    * exchange. (The previous explode + partial-agg form — itself the
+    * fix for the 64×-interpreted-HOF per-row form, SURVEY §5 — still
+    * paid O(tokens) generated rows and an aggregate per doc; the
+    * kernel is pinned bit-identical to it in KernelPropsSpec.) Docs
+    * with fewer than `shingleSize` tokens have no shingles and no
+    * signature row, matching the explode form's semantics.
     */
   def minHashSignatures(
       df: DataFrame,
@@ -153,24 +156,12 @@ object Dedup {
       text: Column,
       numHashes: Int = 64,
       shingleSize: Int = 5,
-      seed: Long = 42L): DataFrame = {
-    val prime = minHashPrime
-    val params = minHashParams(numHashes, seed)
-    // one interpreted HOF pass per doc (tokenize+shingle), then
-    // everything below is codegen'd
-    val exploded = scaleOut(df.select(id.as("id"), text.as("__text")))
+      seed: Long = 42L): DataFrame =
+    scaleOut(df.select(id.as("id"), text.as("__text")))
       .select(col("id"),
-        explode(array_distinct(shingles(tokens(col("__text")), shingleSize))).as("s"))
-      .select(col("id"), pmod(xxhash64(col("s")), lit(prime)).as("h"))
-    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(prime))).as(s"__m$i")
-    }
-    exploded
-      .groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-  }
+        graft.functions.MinHashSignature.minhashSignature(
+          tokens(col("__text")), numHashes, shingleSize, seed).as("sig"))
+      .filter(size(col("sig")) > 0)
 
   /** LSH band buckets (id, bucket) from a signature table: `bands`
     * buckets per doc, each the hash of one signature slice. Pure

@@ -13,6 +13,32 @@ class DedupSpec extends SparkSpec {
   private lazy val docs = sources.Tables.load(spark, sf, "documents")
     .select(col("doc_id").as("id"), col("text")).limit(100).cache()
 
+  test("minHashSignatures (one-pass kernel) is bit-identical to the explode construction") {
+    // the retired explode + 64-min-aggregate form, rebuilt inline as the
+    // reference; real documents exercise unicode, punctuation, short docs
+    import graft.functions.{minHashPrime, minHashParams, shingles, tokens}
+    val numHashes = 64
+    val params = minHashParams(numHashes, 42L)
+    val exploded = docs
+      .select(col("id"),
+        explode(array_distinct(shingles(tokens(col("text")), 5))).as("s"))
+      .select(col("id"), pmod(xxhash64(col("s")), lit(minHashPrime)).as("h"))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(minHashPrime))).as(s"__m$i")
+    }
+    val reference = exploded.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val kernel = Dedup.minHashSignatures(docs, col("id"), col("text"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernel.keySet == reference.keySet,
+      s"doc coverage diverged: ${(kernel.keySet diff reference.keySet).take(3)} / ${(reference.keySet diff kernel.keySet).take(3)}")
+    val diverged = kernel.keys.filter(k => kernel(k) != reference(k))
+    assert(diverged.isEmpty, s"signatures diverged for docs ${diverged.take(3)}")
+  }
+
   test("minHashLSH recovers word-truncation near-dups with high recall") {
     val trunc = docs.select(
       (col("id") + 1000000).as("id"),

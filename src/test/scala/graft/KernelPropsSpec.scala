@@ -75,6 +75,47 @@ class KernelPropsSpec extends AnyFunSuite {
     }, "simhash order invariance")
   }
 
+  test("minhash_signature matches an independent reference implementation") {
+    // reference: the explode-form construction (shingle join, Spark's
+    // XxHash64Function, affine permutations over the shared family)
+    // written directly in Scala — two independent paths to the same math
+    val p = graft.functions.minHashPrime
+    val params = graft.functions.minHashParams(16, seed = 7L)
+    def reference(toks: List[String], n: Int): Seq[Long] = {
+      val sh = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      if (sh.isEmpty) Seq.empty
+      else {
+        val hs = sh.map(s => java.lang.Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            UTF8String.fromString(s), StringType, 42L), p))
+        params.map { case (a, b) => hs.map(h => (h * a + b) % p).min }
+      }
+    }
+    def kernel(toks: List[String], n: Int): Seq[Long] =
+      graft.functions.MinHashSignature(
+          Literal.create(toks, ArrayType(StringType)), 16, n, 7L)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    val gen = for {
+      n <- Gen.choose(1, 4)
+      toks <- Gen.listOf(word)
+    } yield (toks, n)
+    check(Prop.forAll(gen) { case (toks, n) =>
+      kernel(toks, n) == reference(toks, n)
+    }, "minhash signature reference equality")
+  }
+
+  test("minhash_signature: duplicate shingles cannot change the signature") {
+    check(Prop.forAll(Gen.nonEmptyListOf(word)) { toks =>
+      val once = graft.functions.MinHashSignature(
+          Literal.create(toks, ArrayType(StringType)), 8, 1, 7L)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val twice = graft.functions.MinHashSignature(
+          Literal.create(toks ++ toks, ArrayType(StringType)), 8, 1, 7L)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      once == twice
+    }, "minhash duplicate invariance")
+  }
+
   test("array_agree_count matches the reference count and is symmetric") {
     val arr = Gen.listOf(Gen.choose(0L, 8L)) // small domain -> frequent agreements
     check(Prop.forAll(arr, arr) { (a, b) =>
