@@ -667,4 +667,95 @@ object Dedup {
         round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 4)
           .as("contamination"))
   }
+
+  /** Blocked sorted-neighborhood candidate pairs — the classic
+    * entity-resolution blocking method (Hernández & Stolfo's
+    * merge/purge): rows are sorted by `sortKey` within each `block`,
+    * and each row pairs with its `window` predecessors in that order.
+    * Near-identical records cluster under a well-chosen key (e.g. a
+    * normalized prefix), so candidate count is ≤ window·n — linear,
+    * never quadratic — regardless of how many records share a key.
+    *
+    * Shape at scale: ONE keyed shuffle (the block) + sort; the running
+    * frame holds at most `window` (id, key) structs per row — O(w)
+    * state, no self-join, no inverted index. `block` must be non-empty
+    * partitioning (a constant block would be a global sort through one
+    * task — the single-partition-window landmine PlanSpec hunts); the
+    * standard multi-pass recipe (union pairs from 2-3 different
+    * sortKey/block choices) recovers pairs a single key order splits.
+    * Returns (id_a, key_a, id_b, key_b) with a preceding b in sort
+    * order; the caller applies the match predicate (levenshtein,
+    * jaccard, …) — candidates are block-bounded so even O(len²)
+    * kernels are safe here.
+    */
+  def sortedNeighborhood(
+      df: DataFrame,
+      id: Column,
+      sortKey: Column,
+      block: Column,
+      window: Int = 5): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("__blk").orderBy(col("__key"), col("id"))
+      .rowsBetween(-window, -1)
+    df.select(id.as("id"), sortKey.as("__key"), block.as("__blk"))
+      .withColumn("__prev",
+        collect_list(struct(col("id").as("id_a"), col("__key").as("key_a"))).over(frame))
+      // explode drops rows with no predecessors (each block's first row)
+      .select(explode(col("__prev")).as("__p"),
+        col("id").as("id_b"), col("__key").as("key_b"))
+      .select(col("__p.id_a"), col("__p.key_a"), col("id_b"), col("key_b"))
+  }
+
+  /** MinHash-LSH candidates CONFIRMED by exact n-gram Jaccard — the
+    * standard two-stage near-dup pipeline: LSH banding for recall
+    * (probabilistic, cheap, linear), an exact set-overlap pass for
+    * precision (expensive, but paid only on candidates). Banding
+    * collisions and signature-estimate noise (est_jaccard is a
+    * 64-sample estimate with ±1/8 quantization) are killed here
+    * instead of surviving into cluster formation.
+    *
+    * Shape at scale: candidates are materialized once
+    * (`localCheckpoint` — three consumers), only candidate DOCUMENTS
+    * are re-shingled (semi-join first: at web scale candidates are a
+    * vanishing fraction of the corpus), and the exact Jaccard is
+    * array_intersect/array_union over each pair's distinct shingle
+    * sets — work bounded by candidate count × document length, never
+    * corpus².
+    *
+    * Returns (id_a, id_b, est_jaccard, jaccard) with jaccard ≥
+    * `jaccardThreshold` (4-dp rounded, matching [[ngramJaccard]]).
+    */
+  def minHashLSHVerified(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      estThreshold: Double = 0.4,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = 200,
+      seed: Long = 42L): DataFrame = {
+    val base = df.select(id.as("id"), text.as("__text"))
+    val cand = minHashLSH(base, col("id"), col("__text"),
+      numHashes, bands, shingleSize, estThreshold, maxBucket, seed)
+      .localCheckpoint()
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id")))
+      .distinct()
+    val sh = scaleOut(base.join(candIds, Seq("id"), "left_semi"))
+      .select(col("id"),
+        array_distinct(shingles(tokens(col("__text")), shingleSize)).as("__sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("__sh").as("__shb")), "id_b")
+      // union is never empty: signatures (hence candidates) exist only
+      // for docs with >= 1 shingle
+      .withColumn("jaccard", round(
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))), 4))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
 }

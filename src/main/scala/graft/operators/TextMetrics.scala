@@ -428,4 +428,67 @@ object TextMetrics {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("term"), col("score"))
   }
+
+  /** Lower-cased host names of every URL in `text` (array<string>):
+    * the key web-curation dimension — per-domain quality priors,
+    * blocklists, and domain capping ([[Sampling.capPerGroup]]) all key
+    * on it. One codegen'd `regexp_extract_all` per row, no shuffle;
+    * the host is everything between `://` and the first `/`,
+    * whitespace, or quote (ports and userinfo intentionally kept —
+    * normalization beyond lowercasing is caller policy).
+    */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(lower(text), lit("""https?://([^/\s"']+)"""), lit(1))
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson/Spärck Jones probabilistic weighting) — the retrieval
+    * scorer behind targeted corpus slicing ("pull the docs about X")
+    * and retrieval-based decontamination.
+    *
+    * Shape at scale: one tokenize pass materialized once
+    * (`localCheckpoint` — the corpus stats aggregate and the term
+    * explode both read it); per-doc query-term occurrences are
+    * filtered INSIDE the token array before the explode, so generated
+    * rows are bounded by matches, not document length; the per-term
+    * document frequency is a ≤|terms|-row broadcast; corpus N/avgdl
+    * ride a broadcast scalar. No window, no self-join.
+    *
+    * Determinism contract: term weights truncated at 7 dp, summed as
+    * decimal(28,7), final score truncated at 4 dp (floor of a shared
+    * IEEE double is repr-independent — GraphOps.pageRank's contract);
+    * the arithmetic expression shape is mirrored literally by the
+    * oracle so both engines execute the same IEEE operation sequence.
+    * Docs containing no query term are omitted (score 0).
+    */
+  def bm25(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val t7 = (c: Column) => floor(c * 1e7) / 1e7
+    val base = scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), tokens(col("__text")).as("__tk"))
+      .select(col("id"), size(col("__tk")).as("dl"),
+        filter(col("__tk"), t => t.isInCollection(queryTerms)).as("__q"))
+      .localCheckpoint()
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base.select(col("id"), col("dl"), explode(col("__q")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__w", t7(
+        col("__idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl")))))
+      .groupBy("id")
+      .agg((floor(sum(col("__w").cast("decimal(28,7)")).cast("double") * 1e4) / 1e4)
+        .as("score"))
+  }
 }

@@ -553,6 +553,47 @@ object DedupQueries {
             " | ")).as("clean_md5"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // D37: blocked sorted-neighborhood candidate pairs (merge/purge) —
+    // rows sorted by a normalized 40-char prefix key within first-char
+    // blocks, each row paired with its 3 predecessors; the planted
+    // truncated rendition shares its original's prefix, so every
+    // planted pair is sort-adjacent. Fully SQL-expressible: the oracle
+    // replays the rank/window-distance construction with row_number.
+    Q(
+      "q_dedup_sorted",
+      s"""WITH $truncatedDocsSql,
+         |k AS (SELECT id, substr(array_to_string(tk, ' '), 1, 40) AS key FROM docs),
+         |r AS (
+         |  SELECT id, key, substr(key, 1, 1) AS blk,
+         |    row_number() OVER (PARTITION BY substr(key, 1, 1) ORDER BY key, id) AS rn
+         |  FROM k)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
+         |FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+         |WHERE levenshtein(a.key, b.key) <= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      val keyed = truncatedDocs(s, dir).select(col("id"),
+        substring(array_join(tokens(col("text")), " "), 1, 40).as("k"))
+      Dedup.sortedNeighborhood(keyed, col("id"), col("k"),
+          block = substring(col("k"), 1, 1), window = 3)
+        .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("int"))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // D38: two-stage near-dup — MinHash-LSH candidates confirmed by
+    // exact shingle-set Jaccard (recall stage + precision stage). The
+    // seeded hash family makes candidates non-portable → rows-only;
+    // DedupSpec proves the output equals candidates filtered by an
+    // independently computed exact Jaccard.
+    Q.rowsOnly("q_dedup_verified") { (s, dir) =>
+      Dedup.minHashLSHVerified(truncatedDocs(s, dir), col("id"), col("text"),
+          estThreshold = 0.4, jaccardThreshold = 0.5)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -278,6 +278,34 @@ object RelationalQueries {
         .orderBy($"nation", $"segment")
     },
 
+    // C13b: full CUBE — all four grouping sets in one pass (rollup's
+    // superset); grouping_id disambiguates the null-vs-_all_ levels.
+    Q(
+      "q_cube",
+      """SELECT coalesce(n_name, '_all_') AS nation,
+        |  coalesce(c_mktsegment, '_all_') AS segment,
+        |  CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS INT) AS lvl,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)
+        |ORDER BY lvl, nation, segment""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .cube($"n_name", $"c_mktsegment")
+        .agg(
+          (grouping($"n_name") * 2 + grouping($"c_mktsegment")).cast("int").as("lvl"),
+          count(lit(1)).as("n_cust"),
+          dsum($"c_acctbal").as("sum_bal"))
+        .select(
+          coalesce($"n_name", lit("_all_")).as("nation"),
+          coalesce($"c_mktsegment", lit("_all_")).as("segment"),
+          $"lvl", $"n_cust", $"sum_bal")
+        .orderBy($"lvl", $"nation", $"segment")
+    },
+
     // C17: outer join with null-extension semantics — customers
     // without orders survive with null aggregates.
     Q(

@@ -527,6 +527,78 @@ object TextQueries {
           col("source"), col("text"))
         .withColumnRenamed("grp", "source")
         .orderBy("source")
+    },
+
+    // D35: BM25 retrieval scoring against a fixed query-term set —
+    // per-term weights truncated 7 dp, decimal sums, 4-dp truncated
+    // score; the oracle mirrors the IEEE expression shape literally.
+    Q(
+      "q_bm25",
+      s"""WITH tk AS (
+         |  SELECT doc_id AS id, ${tkSql("text")} AS tk FROM documents),
+         |base AS (
+         |  SELECT id, len(tk) AS dl,
+         |    list_filter(tk, t -> t IN ('spark', 'join', 'vector')) AS q
+         |  FROM tk),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+         |tf AS (
+         |  SELECT id, dl, term, count(*) AS tf
+         |  FROM (SELECT id, dl, unnest(q) AS term FROM base)
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT id,
+         |    floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * (1.2 + 1.0)) /
+         |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+         |          (CAST(sum_dl AS DOUBLE) / n_docs))) * 1e7) / 1e7 AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+         |SELECT id,
+         |  floor(CAST(sum(CAST(w AS DECIMAL(28,7))) AS DOUBLE) * 1e4) / 1e4 AS score
+         |FROM w GROUP BY id ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.bm25(table(s, dir, "documents"), col("doc_id"), col("text"),
+          Seq("spark", "join", "vector"))
+        .orderBy("id")
+    },
+
+    // D36: URL domain extraction + per-domain aggregation — the
+    // dimension web curation keys on (blocklists, domain priors, and
+    // the capPerGroup feed). URLs are planted deterministically (the
+    // synthetic corpus has none), identically in both engines.
+    Q(
+      "q_domain_stats",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' see https://' || source || '.example.com/p/' ||
+        |        CAST(doc_id AS VARCHAR) || ' and http://mirror-' || source ||
+        |        '.example.org/x'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), 'https?://([^/\s"'']+)', 1)) AS h
+        |  FROM t),
+        |d AS (SELECT doc_id, h AS domain FROM u)
+        |SELECT domain,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" see https://"), col("source"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            lit(" and http://mirror-"), col("source"), lit(".example.org/x")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"),
+          explode(TextMetrics.urlDomains(col("text"))).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
     }
   )
 }

@@ -39,6 +39,53 @@ class DedupSpec extends SparkSpec {
     assert(diverged.isEmpty, s"signatures diverged for docs ${diverged.take(3)}")
   }
 
+  test("sortedNeighborhood pairs each row with exactly its w predecessors per block") {
+    val rows = Seq(
+      (1L, "a", "X"), (2L, "b", "X"), (3L, "c", "X"), (4L, "d", "X"),
+      (5L, "a", "Y"), // other block: must never pair with block X
+      (10L, "same", "Z"), (11L, "same", "Z")) // key tie: id breaks it
+      .toDF("id", "k", "blk")
+    val pairs = Dedup.sortedNeighborhood(rows, col("id"), col("k"), col("blk"), window = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set(
+      (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), // window-2 chain in X
+      (10L, 11L)), // tie ordered by id
+      s"got $pairs")
+  }
+
+  test("minHashLSHVerified = LSH candidates filtered by independent exact jaccard") {
+    import graft.functions.{shingles, tokens}
+    val trunc = docs.select(
+      (col("id") + 1000000).as("id"),
+      array_join(
+        flatten(transform(array(tokens(col("text"))), tk =>
+          slice(tk, lit(1), greatest(floor(size(tk) * 4 / 5), lit(1)).cast("int")))),
+        " ").as("text"))
+    val corpus = docs.unionByName(trunc)
+    val verified = Dedup.minHashLSHVerified(corpus, col("id"), col("text"),
+        estThreshold = 0.4, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // independent reference: candidates from the SAME seeded LSH,
+    // confirmed by a from-scratch exact jaccard over shingle sets
+    val cand = Dedup.minHashLSH(corpus, col("id"), col("text"), threshold = 0.4)
+      .select("id_a", "id_b")
+    val sh = corpus.select(col("id"),
+      array_distinct(shingles(tokens(col("text")), 5)).as("sh"))
+    val reference = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("j",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(round(col("j"), 4) >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == reference,
+      s"onlyVerified=${(verified -- reference).take(5)} onlyRef=${(reference -- verified).take(5)}")
+    // and the planted truncation pairs survive the precision stage
+    val planted = verified.count { case (a, b) => b == a + 1000000 }
+    assert(planted >= 90, s"only $planted/100 planted pairs survived verification")
+  }
+
   test("minHashLSH recovers word-truncation near-dups with high recall") {
     val trunc = docs.select(
       (col("id") + 1000000).as("id"),

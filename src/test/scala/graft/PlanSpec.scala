@@ -68,7 +68,7 @@ class PlanSpec extends SparkSpec {
   test("windows are partitioned - no global single-partition window anywhere") {
     for (name <- Seq("q_topn_per_group", "q_window_running", "q_sessionize",
         "q_asof_join", "q_epe_shape_b", "q_pack_sequences", "q_quantile_bucket",
-        "q_tfidf_topterms")) {
+        "q_tfidf_topterms", "q_dedup_sorted")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = globalWindows(df)
       assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")

@@ -21,6 +21,43 @@ class TextMetricsSpec extends SparkSpec {
       "no shared fingerprint for a shared 63-char substring")
   }
 
+  test("bm25 matches the hand-computed Robertson weights on a tiny corpus") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian")).toDF("id", "text")
+    val got = TextMetrics.bm25(df, col("id"), col("text"), Seq("apple", "banana"))
+      .as[(Long, Double)].collect().toMap
+    // reference: the same formula in plain Scala, identical truncation
+    val (k1, b) = (1.2, 0.75)
+    val nDocs = 3L; val avgdl = 8L.toDouble / 3L.toDouble
+    def idf(dfT: Long): Double = math.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5))
+    def w(dfT: Long, tf: Long, dl: Long): Double =
+      math.floor(idf(dfT) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * dl / avgdl)) * 1e7) / 1e7
+    def score(ws: Seq[Double]): Double =
+      // mirror the decimal(28,7) cast: half-up to 7 dp, exact sum
+      math.floor(
+        ws.map(BigDecimal(_).setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          * 1e4) / 1e4
+    val expected = Map(
+      1L -> score(Seq(w(1, 2, 3), w(2, 1, 3))), // apple tf=2, banana tf=1
+      2L -> score(Seq(w(2, 1, 2)))) // banana tf=1; doc 3 has no query term
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("urlDomains extracts lowercase hosts; non-URL text yields none") {
+    val df = Seq(
+      (1L, "visit https://Example.COM/page then http://a.b.org:8080/x ok"),
+      (2L, "no urls at all"),
+      (3L, "bare https://single.host")).toDF("id", "text")
+    val got = df.select(col("id"), TextMetrics.urlDomains(col("text")).as("d"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("example.com", "a.b.org:8080"))
+    assert(got(2L).isEmpty)
+    assert(got(3L) == Seq("single.host"))
+  }
+
   test("winnowing fingerprints are deterministic and non-empty on real docs") {
     val d = sources.Tables.load(spark, sf, "documents").limit(50)
     val twice = d.select(
