@@ -33,9 +33,22 @@ package object functions {
   /** str_to_title analogue (tratamento_epe.R:154). */
   def titleCase(c: Column): Column = initcap(lower(c))
 
-  /** Whitespace tokenization after lowercase + punctuation strip. */
+  /** Whitespace tokenization after lowercase + punctuation strip.
+    *
+    * No HOF: `\\s+` splitting can only produce empty tokens at the
+    * boundaries (interior whitespace runs are consumed whole), and
+    * `array_remove(…, "")` — a codegen'd built-in — drops exactly
+    * those. The previous `filter(..., len > 0)` form was semantically
+    * identical but ran INTERPRETED per token (Spark never
+    * code-generates HOF lambdas), an every-text-query tax; a
+    * trim-before-split form was tried and rejected because the
+    * `when(length…)` guard it needs re-evaluates the regex chain
+    * (subexpression elimination does not cross conditional branches).
+    * Pinned equivalent to the filter form in TextMetricsSpec.
+    */
   def tokens(text: Column): Column =
-    filter(split(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}\\s]", " "), "\\s+"), t => length(t) > 0)
+    array_remove(
+      split(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}\\s]", " "), "\\s+"), "")
 
   /** Sliding word n-grams ("shingles") over the token array; empty when
     * the document has fewer than n tokens.

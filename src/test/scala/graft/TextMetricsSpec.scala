@@ -21,6 +21,21 @@ class TextMetricsSpec extends SparkSpec {
       "no shared fingerprint for a shared 63-char substring")
   }
 
+  test("tokens (HOF-free form) equals the filter form on real docs and edge cases") {
+    import graft.functions.tokens
+    val filterForm = (c: org.apache.spark.sql.Column) =>
+      filter(split(regexp_replace(lower(c), "[^\\p{L}\\p{Nd}\\s]", " "), "\\s+"),
+        t => length(t) > 0)
+    val edge = Seq("", "   ", "!!!", " a  b ", "a", "--x--", "café olé!",
+      "\ttab\nnewline ", "vtab\fformfeed\r", "。中文字。").toDF("text")
+    val real = sources.Tables.load(spark, sf, "documents").select("text").limit(200)
+    for (d <- Seq(edge, real)) {
+      val diff = d.select(tokens(col("text")).as("a"), filterForm(col("text")).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0, "HOF-free tokens diverged from the filter form")
+    }
+  }
+
   test("bm25 matches the hand-computed Robertson weights on a tiny corpus") {
     val df = Seq(
       (1L, "apple banana apple"),
