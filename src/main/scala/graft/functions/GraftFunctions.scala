@@ -95,6 +95,12 @@ object GraftFunctions {
             s"unicode_normalize form must be one of ${UnicodeNormalize.forms}, got $f")
           UnicodeNormalize(asString(text), f)
         case _ => throw new IllegalArgumentException("unicode_normalize(text[, form])")
+      }),
+    ("deflate_len",
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => DeflateLen(asString(text))
+        case _ => throw new IllegalArgumentException("deflate_len(text)")
       }))
 
   def registerAll(spark: SparkSession): Unit =

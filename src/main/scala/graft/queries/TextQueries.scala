@@ -599,6 +599,67 @@ object TextQueries {
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("domain")
+    },
+
+    // D39: line-shape metrics (Gopher-family document filters over
+    // LINES: duplicate-line mass, bullet/ellipsis formatting). The
+    // synthetic corpus is single-line prose, so each doc gets a
+    // planted multi-line rendition — a duplicated bullet pair, a
+    // teaser line, and a whitespace-only line that must be dropped —
+    // identically in both engines.
+    Q(
+      "q_doc_shape",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || '- item ' || CAST(doc_id % 3 AS VARCHAR)
+        |         || chr(10) || '- item ' || CAST(doc_id % 3 AS VARCHAR)
+        |         || chr(10) || 'Read more...'
+        |         || chr(10) || '   ' AS text
+        |  FROM documents),
+        |l0 AS (
+        |  SELECT doc_id, trim(l) AS line
+        |  FROM d, unnest(string_split(text, chr(10))) AS u(l)),
+        |l AS (SELECT doc_id, line FROM l0 WHERE length(line) > 0),
+        |pl AS (
+        |  SELECT doc_id, line, count(*) AS cnt, length(line) AS chars,
+        |    CASE WHEN substr(line, 1, 1) IN ('-', '*', '•') THEN count(*) ELSE 0 END AS bullet_cnt,
+        |    CASE WHEN line LIKE '%...' OR line LIKE '%…' THEN count(*) ELSE 0 END AS ellipsis_cnt
+        |  FROM l GROUP BY doc_id, line)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_lines,
+        |  round((sum(cnt) - count(*)) * 1.0 / sum(cnt), 4) AS dup_line_ratio,
+        |  round(sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) * 1.0
+        |    / sum(cnt * chars), 4) AS dup_char_ratio,
+        |  round(sum(bullet_cnt) * 1.0 / sum(cnt), 4) AS bullet_ratio,
+        |  round(sum(ellipsis_cnt) * 1.0 / sum(cnt), 4) AS ellipsis_ratio
+        |FROM pl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          lit("\n- item "), (col("doc_id") % 3).cast("string"),
+          lit("\n- item "), (col("doc_id") % 3).cast("string"),
+          lit("\nRead more..."),
+          lit("\n   ")).as("text"))
+      TextMetrics.docShape(planted, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // D40: DEFLATE compression ratio — tokenization-free long-range
+    // repetition proxy. Half the corpus is planted with an 8× repeat
+    // of its own text (compresses hard); the compressed length is a
+    // JDK-zlib artifact, so rows-only + TextMetricsSpec bounds.
+    Q.rowsOnly("q_compress_ratio") { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat_ws(" ", (0 until 8).map(_ => col("text")): _*))
+          .otherwise(col("text")).as("text"))
+      TextMetrics.withCompressionRatio(d, col("text"))
+        .select(col("doc_id"), col("octet_len"), col("deflate_len"), col("compress_ratio"))
+        .orderBy("doc_id")
     }
   )
 }

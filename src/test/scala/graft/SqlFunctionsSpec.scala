@@ -119,4 +119,20 @@ class SqlFunctionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("NFX") || err.getMessage.contains("form"))
   }
+
+  test("deflate_len SQL name matches the Column API and coerces non-strings") {
+    val df = Seq((1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), (2L, "xyz")).toDF("id", "text")
+    df.createOrReplaceTempView("t_defl")
+    val viaSql = spark.sql("SELECT id, deflate_len(text) AS d FROM t_defl ORDER BY id")
+      .as[(Long, Int)].collect().toSeq
+    val viaCol = df.select($"id", graft.functions.DeflateLen.deflateLen($"text").as("d"))
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head._2 < 30, "a 30-char single-letter run must compress")
+    // int argument coerces to its decimal string form, like the wrappers
+    val viaSqlInt = spark.sql("SELECT deflate_len(1234567890) AS d").as[Int].head()
+    val viaColInt = spark.range(1)
+      .select(graft.functions.DeflateLen.deflateLen(lit("1234567890")).as("d")).as[Int].head()
+    assert(viaSqlInt == viaColInt)
+  }
 }

@@ -207,4 +207,46 @@ class TextMetricsSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(fp.size == 1)
   }
+
+  test("compressionRatio separates repetitive from incompressible text") {
+    // repetitive: one sentence repeated 50\u00d7; incompressible: md5 hex
+    // chains (no structure for DEFLATE to exploit); empty: ratio 1.0
+    val repeated = Seq.fill(50)("the same boilerplate sentence repeats forever").mkString(" ")
+    val junk = (0 until 50).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"seed$i".getBytes("UTF-8")).map("%02x".format(_)).mkString).mkString(" ")
+    val df = Seq((1L, repeated), (2L, junk), (3L, "")).toDF("id", "text")
+    val out = TextMetrics.withCompressionRatio(df, $"text")
+      .select($"id", $"octet_len", $"deflate_len", $"compress_ratio")
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0)._4 < 0.1, s"repeated text should compress hard, got ${out(0)._4}")
+    assert(out(1)._4 > 0.5, s"hex junk should resist compression, got ${out(1)._4}")
+    assert(out(2)._2 == 0L && out(2)._4 == 1.0, "empty doc contract")
+    // determinism: the kernel is a pure function of the bytes
+    val again = TextMetrics.withCompressionRatio(df, $"text")
+      .select($"deflate_len").as[Long].collect()
+    assert(again.toSeq == out.map(_._3).toSeq)
+  }
+
+  test("docShape: hand-computed line metrics, trimming, and empty-line drop") {
+    // doc 1: 4 kept lines (a, dup, dup, '- b ...') \u2014 dup pair + one
+    // bullet line that also ends with an ellipsis; whitespace-only
+    // line dropped; trailing spaces trimmed before comparison
+    val d1 = "alpha line\ndup line  \ndup line\n- b ...\n   \n"
+    // doc 2: all distinct, no formatting markers
+    val d2 = "one\ntwo\nthree"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = TextMetrics.docShape(df, $"doc_id", $"text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    val (_, n1, nd1, dupL1, dupC1, bul1, ell1) = out(0)
+    assert(n1 == 4 && nd1 == 3)
+    assert(dupL1 == 0.25) // 1 of 4 lines is a repeat
+    // dup chars: 2\u00d7len("dup line")=16 of 10+16+7=33 total line chars
+    assert(dupC1 == math.floor(16.0 / 33.0 * 10000) / 10000 ||
+      dupC1 == BigDecimal(16.0 / 33.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(bul1 == 0.25 && ell1 == 0.25)
+    val (_, n2, nd2, dupL2, dupC2, bul2, ell2) = out(1)
+    assert(n2 == 3 && nd2 == 3 && dupL2 == 0.0 && dupC2 == 0.0 && bul2 == 0.0 && ell2 == 0.0)
+  }
 }
