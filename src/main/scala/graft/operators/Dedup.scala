@@ -499,6 +499,43 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("drop_id"), col("comp").as("keep_id"))
 
+  /** Cluster-winner dedup with an explicit QUALITY policy: from a
+    * near-dup pair list and a per-doc score, drop every member of each
+    * connected component except its best-scoring doc (ties → smallest
+    * id). [[clusterDuplicates]] keeps the min-id member — fine for
+    * exact dups, but for NEAR-dups the members differ (truncations,
+    * boilerplate-injected copies), and production curation keeps the
+    * best rendition (longest, highest quality score, newest crawl),
+    * not an arbitrary one.
+    *
+    * Returns (drop_id, keep_id). Unpaired docs never appear (nothing
+    * to drop). Shape at scale: label propagation is [[connectedComponents]]'
+    * O(diameter) keyed joins; the score join and the ranking window
+    * both touch ONLY cluster members (a tiny fraction of the corpus),
+    * and the window partitions by component — never global.
+    */
+  def keepBestPerCluster(
+      pairs: DataFrame,
+      src: Column,
+      dst: Column,
+      scores: DataFrame,
+      scoreId: Column,
+      score: Column): DataFrame = {
+    val labels = connectedComponents(pairs, src, dst)
+    val q = scores.select(scoreId.cast("long").as("id"), score.as("__score"))
+    // left join: a member with no score row must still be DECIDED
+    // (dropping it from the result would silently keep a duplicate);
+    // desc ordering ranks nulls last, so it can only win a cluster
+    // where no member is scored
+    val member = labels.join(q, Seq("id"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+      .orderBy(col("__score").desc, col("id").asc)
+    member
+      .withColumn("keep_id", first(col("id")).over(w))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("drop_id"), col("keep_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs — the short-string
     * family (titles, names, product labels) where token shingles are
     * too coarse: pairs whose edit distance is ≤ `maxDist`, restricted

@@ -104,6 +104,54 @@ object Sampling {
     df.filter(hashBucket(key) < cut)
   }
 
+  /** Token-BUDGET mixture: derive each source's keep rate IN-PLAN so
+    * the sampled corpus hits a global token budget at target source
+    * proportions — the planning step in front of [[mixtureSample]]
+    * ("build me a 500 B-token mix at 60% books / 30% web / 10% code")
+    * without a driver-side pre-pass over the corpus.
+    *
+    * rate_s = min(1, budget·w_s / tokens_s), so each listed source
+    * contributes ≈ min(its whole mass, its budget share) in
+    * EXPECTATION (hash buckets are uniform; the spec pins the exact
+    * deterministic outcome). Sources not in `weights` are dropped —
+    * an explicit mixture is a whitelist. Weights are the target
+    * shares of the budget; they need not sum to 1.
+    *
+    * Shape at scale: one partial-aggregated groupBy producing a
+    * ≤|sources|-row frame, broadcast back, then the same codegen'd
+    * bucket filter as every other sampler — the corpus itself is
+    * never shuffled. Same nesting guarantee as [[mixtureSample]]:
+    * raising the budget (or a weight) only ever ADDS rows. The
+    * per-mille cut TRUNCATES (floor) like [[weightedSample]] — it is
+    * evaluated in-plan on both engines, where round() half-up is
+    * repr-dependent (SURVEY §6 r4).
+    */
+  def mixtureToBudget(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      tokenCount: Column,
+      weights: Seq[(String, Double)],
+      budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty, "at least one (group, weight) required")
+    require(weights.forall(_._2 >= 0), "weights must be >= 0")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val d = df.withColumn("__grp", group).withColumn("__tok", tokenCount.cast("long"))
+    val wCol = weights.foldRight(lit(null).cast("double")) {
+      case ((g, w), rest) => when(col("__grp") === g, lit(w)).otherwise(rest)
+    }
+    val cuts = d.groupBy("__grp").agg(sum(col("__tok")).as("__tot"))
+      .withColumn("__w", wCol)
+      .filter(col("__w").isNotNull)
+      .select(col("__grp"),
+        floor(least(lit(1.0),
+          lit(budgetTokens.toDouble) * col("__w") / col("__tot")) * lit(buckets))
+          .as("__cut"))
+    d.join(broadcast(cuts), Seq("__grp"))
+      .filter(hashBucket(key) < col("__cut"))
+      .drop("__grp", "__tok", "__cut")
+  }
+
   /** Deterministic PER-ROW-weighted sampling — quality-weighted corpus
     * selection ("keep a document with probability equal to its quality
     * score"): each row survives iff its hash bucket falls below its

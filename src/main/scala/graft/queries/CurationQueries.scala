@@ -302,6 +302,43 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D18f: token-BUDGET mixture — per-source keep rates derived
+    // in-plan (rate = min(1, budget·w/tokens)) so the sample hits a
+    // 2000-token budget at 60/30/10 target shares; unlisted sources
+    // drop. Both engines compute the identical double expression and
+    // TRUNCATE the per-mille cut.
+    Q(
+      "q_budget_mixture", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, len(${tkSql("text")}) AS n_toks
+           |  FROM documents),
+           |tot AS (SELECT source, sum(n_toks) AS tot FROM t GROUP BY source),
+           |cut AS (
+           |  SELECT source,
+           |    floor(least(CAST(1.0 AS DOUBLE),
+           |      CAST(2000 AS DOUBLE) * CASE source
+           |        WHEN 'src0' THEN CAST(0.6 AS DOUBLE)
+           |        WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+           |        WHEN 'src2' THEN CAST(0.1 AS DOUBLE) END / tot) * 1000) AS cut
+           |  FROM tot WHERE source IN ('src0', 'src1', 'src2'))
+           |SELECT t.doc_id, t.source, CAST(t.n_toks AS BIGINT) AS n_toks
+           |FROM t JOIN cut USING (source)
+           |WHERE $b < cut
+           |ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_toks"))
+      Sampling.mixtureToBudget(d,
+          group = col("source"), key = col("doc_id"), tokenCount = col("n_toks"),
+          weights = Seq("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+          budgetTokens = 2000L)
+        .select(col("doc_id"), col("source"), col("n_toks"))
+        .orderBy("doc_id")
+    },
+
     // D19: concat-then-chunk sequence packing under a 512-token budget,
     // sharded 8 ways (the window is partitioned by construction).
     Q(

@@ -178,6 +178,34 @@ class CurationSpec extends SparkSpec {
       out.select("id").as[Long].collect().toSet)
   }
 
+  test("mixtureToBudget: in-plan rates hit the budget shares, clamp, whitelist, and nest") {
+    import graft.operators.Sampling
+    // srcA: 10 rows × 10 tokens = 100; srcB same; srcC unlisted
+    val rows = for (src <- Seq("srcA", "srcB", "srcC"); i <- 0 until 10)
+      yield (src.hashCode.toLong * 100 + i, src, 10L)
+    val df = rows.toDF("id", "source", "n_toks")
+    // budget 50, w(A)=1.0 → rate 0.5 → cut 500; w(B)=0 → cut 0; C dropped
+    val out = Sampling.mixtureToBudget(df, $"source", $"id", $"n_toks",
+      Seq("srcA" -> 1.0, "srcB" -> 0.0), budgetTokens = 50L)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("srcB") && !bySrc.contains("srcC"))
+    val kept = bySrc.getOrElse("srcA", 0L)
+    // exactly the rows whose bucket < 500 — deterministic, roughly half
+    val expected = df.filter($"source" === "srcA")
+      .filter(Sampling.hashBucket($"id") < 500).count()
+    assert(kept == expected && kept > 0)
+    // clamp: budget ≥ total mass keeps EVERY row of the listed source
+    val all = Sampling.mixtureToBudget(df, $"source", $"id", $"n_toks",
+      Seq("srcA" -> 1.0), budgetTokens = 1000L)
+    assert(all.count() == 10)
+    // nesting: shrinking the budget never adds rows, only removes
+    val small = Sampling.mixtureToBudget(df, $"source", $"id", $"n_toks",
+      Seq("srcA" -> 1.0), budgetTokens = 20L)
+      .select("id").as[Long].collect().toSet
+    val big = out.filter($"source" === "srcA").select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
   test("packSequences: offsets stay under budget and sequences are contiguous per shard") {
     val docs = spark.range(1000).select(
       col("id").as("doc_id"),

@@ -413,6 +413,23 @@ class DedupSpec extends SparkSpec {
       s"expected only content lines to survive, got $kept")
   }
 
+  test("keepBestPerCluster keeps the best-scoring member; missing scores rank last") {
+    // chain cluster {1,2,3}: 2 and 3 tie on score, min id 2 wins;
+    // cluster {10,11}: 11 has no score row → 10 wins by default;
+    // 99 is unpaired → appears nowhere
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (99L, 1.0))
+      .toDF("id", "q")
+    val out = graft.operators.Dedup.keepBestPerCluster(
+        pairs, col("a"), col("b"), scores, col("id"), col("q"))
+      .orderBy("drop_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 2L), (11L, 10L)))
+    // contrast: the min-id policy would have kept 1, not 2
+    val minId = graft.operators.Dedup.clusterDuplicates(pairs, col("a"), col("b"))
+      .filter(col("keep_id") === 1L).count()
+    assert(minId == 2L)
+  }
+
   test("dropBoilerplateLines keeps lines at or below the frequency cut") {
     // shared line in exactly half the docs — NOT above maxDocFrac=0.5
     val lines = Seq(
