@@ -365,6 +365,78 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT-recall set-similarity self-join via prefix filtering — the
+    * PPJoin-family construction (Xiao et al., WWW'08; Chaudhuri et al.,
+    * ICDE'06 SSJoin): every pair with shingle-set Jaccard ≥ `threshold`
+    * is returned, with NO df cap and NO probabilistic recall caveat.
+    * [[ngramJaccard]] trades recall for cost (its df-capped index
+    * ignores common shingles entirely — both in candidates and in the
+    * intersection count); this is the exactness tier above it and the
+    * ground-truth generator for auditing the sketch tiers (MinHash /
+    * SimHash recall measurement needs a lossless baseline).
+    *
+    * Prefix theorem: order each doc's shingles by ascending document
+    * frequency (rarest first; ties by key). If J(A,B) ≥ t then
+    * |A∩B| ≥ ceil(t·max(|A|,|B|)), and two sets with overlap ≥ α must
+    * share a token among the first |X| − α + 1 of each — so scanning
+    * only the first |X| − ceil(t·|X|) + 1 postings of each doc loses
+    * nothing. Because prefixes hold each doc's RAREST shingles, the
+    * boilerplate buckets that force ngramJaccard's df cap never enter
+    * the candidate join at all: a shingle shared by a million docs
+    * participates only for the handful of docs where it is among the
+    * rarest — prefix filtering is the load-shedding, by construction
+    * instead of by cap.
+    *
+    * Shape at scale: one (id, shingle-hash) frame materialized once
+    * (`localCheckpoint` — five consumers) → tiny df aggregate joined
+    * back → per-doc ranking window (partitioned by id, never global)
+    * → candidate equi-join on prefix hashes with the Jaccard length
+    * bound (t·|A| ≤ |B| ∧ t·|B| ≤ |A|) pruning before verification →
+    * exact intersection count restricted to candidates. All joins are
+    * keyed shuffles on 8-byte hashes; nothing quadratic outside the
+    * (rare-token) prefix buckets.
+    */
+  def prefixFilterJaccard(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val base = scaleOut(df.select(id.cast("long").as("id"), text.as("__text")))
+      .select(col("id"), explode(array_distinct(shingles(tokens(col("__text")), n))).as("__s"))
+      .select(col("id"), xxhash64(col("__s")).as("sh"))
+      .localCheckpoint()
+    val sizes = base.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = base.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val pref = base.join(dfreq, "sh")
+      .withColumn("__pos", row_number().over(wId))
+      .join(sizes, "id")
+      .filter(col("__pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("sh"), col("n_sh"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id")
+          && col("b.n_sh") >= ceil(lit(threshold) * col("a.n_sh"))
+          && col("a.n_sh") >= ceil(lit(threshold) * col("b.n_sh")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(base.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Winnowing near-copy pairs: documents sharing at least `minShared`
     * winnowed fingerprints (custom Expression `RollingHashWinnow`).
     * The winnowing guarantee (Schleimer et al., SIGMOD'03) makes this

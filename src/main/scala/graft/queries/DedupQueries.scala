@@ -105,6 +105,48 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D4b: EXACT-recall prefix-filtered Jaccard join (PPJoin-family) —
+    // no df cap, provably every pair ≥ threshold. The oracle rebuilds
+    // the frequency-ordered prefixes on shingle STRINGS (its own tie
+    // order); exactness makes the tiebreak irrelevant: both engines
+    // must emit the identical verified pair set.
+    Q(
+      "q_dedup_prefix",
+      s"""WITH $truncatedDocsSql,
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+         |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+         |        FROM docs WHERE len(tk) >= 5)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |pref AS (
+         |  SELECT id, s FROM (
+         |    SELECT sh.id, sh.s, sizes.n_sh,
+         |      row_number() OVER (PARTITION BY sh.id ORDER BY d.df, sh.s) AS pos
+         |    FROM sh JOIN dfreq d USING (s) JOIN sizes USING (id))
+         |  WHERE pos <= n_sh - ceil(CAST(0.5 AS DOUBLE) * n_sh) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM pref a JOIN pref b ON a.s = b.s AND a.id < b.id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh x ON x.id = c.id_a
+         |  JOIN sh y ON y.id = c.id_b AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.id = id_a
+         |JOIN sizes nb ON nb.id = id_b
+         |WHERE round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.prefixFilterJaccard(truncatedDocs(s, dir), col("id"), col("text"),
+          n = 5, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // D5: blocked embedding-cosine near-dup. Planted rendition nudges
     // the first component by +0.1 (unit-norm corpus → cosine ≈ 0.995);
     // label blocking keeps the pair join block-local.

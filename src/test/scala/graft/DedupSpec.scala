@@ -413,6 +413,43 @@ class DedupSpec extends SparkSpec {
       s"expected only content lines to survive, got $kept")
   }
 
+  test("prefixFilterJaccard equals all-pairs exact jaccard; finds the pair the df-cap drops") {
+    // a boilerplate phrase shared by EVERY doc: its shingles have
+    // df = 27 > ngramJaccard's dfCap of 20
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs =
+      Seq((100L, boiler), (101L, boiler),                       // identical, common-only shingles
+        (200L, "one two three four five six seven eight nine ten"),
+        (201L, "one two three four five six seven eight nine zzz")) ++ // near pair
+        (1 to 23).map(i => (i.toLong, s"filler$i junk$i noise$i word$i extra$i $boiler"))
+    val df = docs.toDF("id", "text")
+    // brute force: replicate tokens -> 5-gram shingle sets in Scala
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("[^\\p{L}\\p{Nd}\\s]", " ")
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (i, t) => i -> shingleSet(t) }.toMap
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b)).toSet
+    val got = graft.operators.Dedup.prefixFilterJaccard(df, col("id"), col("text"),
+        n = 5, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"prefix join ${got.size} pairs != brute force ${expected.size}")
+    assert(got.contains((100L, 101L)), "common-shingle-only pair must be found")
+    // the df-capped tier structurally misses that pair — the exactness gap
+    val capped = graft.operators.Dedup.ngramJaccard(df, col("id"), col("text"),
+        n = 5, dfCap = 20, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((100L, 101L)))
+  }
+
   test("keepBestPerCluster keeps the best-scoring member; missing scores rank last") {
     // chain cluster {1,2,3}: 2 and 3 tie on score, min id 2 wins;
     // cluster {10,11}: 11 has no score row → 10 wins by default;
