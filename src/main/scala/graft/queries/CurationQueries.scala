@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Sampling, TextMetrics}
+import graft.operators.{Bpe, Dedup, Packing, Sampling, TextMetrics}
 
 /** Corpus-curation queries (SURVEY §2.D16-D19): corpus statistics
   * (TF-IDF), deterministic sampling / dataset splits, and sequence
@@ -300,6 +300,17 @@ object CurationQueries {
           rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
           defaultRate = 0.05)
         .orderBy("doc_id")
+    },
+
+    // D41: BPE vocabulary induction — the tokenizer-training pass.
+    // One corpus scan (word frequencies), then every merge round runs
+    // on the distinct-word table only. Iterative driver loop with a
+    // deterministic tiebreak → no SQL twin (rows-only); BpeSpec pins
+    // the textbook merge sequence.
+    Q.rowsOnly("q_bpe_merges") { (s, dir) =>
+      Bpe.train(table(s, dir, "documents").select(col("text")),
+          col("text"), numMerges = 30)
+        .orderBy("rank")
     },
 
     // D18f: token-BUDGET mixture — per-source keep rates derived

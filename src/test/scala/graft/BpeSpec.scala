@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns the classic merge sequence on the textbook corpus") {
+    // Sennrich et al.'s worked example: low*5, lower*2, newest*6,
+    // widest*3. Pair counts round 1: (e,s)=9, (s,t)=9, (t,</w>)=9 —
+    // lexicographic tiebreak picks (e,s); then (es,t)=9, (est,</w>)=9,
+    // then (l,o)=7 vs (o,w)=7 -> (l,o), then (lo,w)=7.
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).map(Tuple1(_)).toDF("text")
+    val merges = Bpe.train(docs, col("text"), numMerges = 5)
+      .orderBy("rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L)))
+  }
+
+  test("merge is greedy left-to-right and respects symbol boundaries") {
+    // "aaa" -> a a a </w>: merging (a,a) must produce aa a (one merge,
+    // not an overlapping chain), and must NOT touch the "aa" inside a
+    // longer symbol on later rounds
+    val docs = Seq.fill(4)("aaa").map(Tuple1(_)).toDF("text")
+    val merges = Bpe.train(docs, col("text"), numMerges = 3)
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+    // round 1: (a,a) counts PER OCCURRENCE (classic get_stats): twice
+    // per word × freq 4 = 8, beating (a,</w>)=4 — and the greedy
+    // left-to-right merge of "a a a" yields "aa a", never "a aa"
+    assert(merges.head == ((1, "a", "a", "aa", 8L)))
+    // whatever the tie order, after 3 rounds the word is one symbol:
+    // total merges = 3 and the last merged symbol spells a a a </w>
+    assert(merges.size == 3)
+    assert(merges.last._4.replace("</w>", "").forall(_ == 'a'))
+  }
+
+  test("train is deterministic and stops when no pair clears minPairFreq") {
+    val docs = Seq("unique words only here", "unique words only here")
+      .map(Tuple1(_)).toDF("text")
+    val a = Bpe.train(docs, col("text"), numMerges = 50)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val b = Bpe.train(docs, col("text"), numMerges = 50)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(a == b)
+    // 4 words fully collapse; once every word is a single symbol there
+    // are no adjacent pairs left and the loop must stop early
+    assert(a.nonEmpty && a.size < 50)
+  }
+}
