@@ -45,7 +45,19 @@ object Bpe {
       df: DataFrame,
       text: Column,
       numMerges: Int,
-      minPairFreq: Long = 2L): DataFrame = {
+      minPairFreq: Long = 2L): DataFrame =
+    trainModel(df, text, numMerges, minPairFreq)._1
+
+  /** [[train]] plus the LEXICON it induces: (merges, lexicon) where
+    * lexicon = (w, syms, freq) maps every training word to its final
+    * space-joined subword segmentation — the join table [[segment]]
+    * consumes. Persisting both is the whole tokenizer artifact.
+    */
+  def trainModel(
+      df: DataFrame,
+      text: Column,
+      numMerges: Int,
+      minPairFreq: Long = 2L): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = df.sparkSession
     // one corpus pass: word frequencies
@@ -54,6 +66,7 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("freq"))
     // "low" -> "l o w </w>": spaces delimit symbols from here on
     var words = wordFreq.select(
+        col("w"),
         concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" " + EndOfWord)).as("syms"),
         col("freq"))
       .localCheckpoint()
@@ -79,7 +92,7 @@ object Bpe {
         // greedy left-to-right merge: zero-width context guards keep
         // the shared delimiter space available to the NEXT match
         val pat = "(?<=^| )" + Pattern.quote(a) + " " + Pattern.quote(b) + "(?= |$)"
-        words = words.select(
+        words = words.select(col("w"),
           regexp_replace(col("syms"), pat, a + b).as("syms"), col("freq"))
         // truncate lineage every few rounds, not every round: a short
         // chain of pending regexp projections re-runs per pair count
@@ -92,6 +105,34 @@ object Bpe {
       }
     }
     import spark.implicits._
-    merges.result().toDF("rank", "left", "right", "merged", "freq")
+    (merges.result().toDF("rank", "left", "right", "merged", "freq"), words)
+  }
+
+  /** Segment a corpus with a trained lexicon: per-doc subword counts
+    * under the REAL learned tokenizer (vs the BPE-ish regex of
+    * `TextMetrics.withTokenCounts`) — the token accounting that
+    * budget planning ([[Sampling.mixtureToBudget]]) and sequence
+    * packing ([[Packing.packSequences]]) should run on.
+    *
+    * Each tokenized word left-joins the lexicon (a keyed join; AQE
+    * broadcasts it when it is small enough). Words unseen in training
+    * fall back to their character segmentation — length + 1 symbols,
+    * exactly what applying zero matching merges yields — and are
+    * counted in `n_oov_words` so the caller can monitor lexicon
+    * coverage drift between corpus snapshots.
+    */
+  def segment(df: DataFrame, id: Column, text: Column, lexicon: DataFrame): DataFrame = {
+    val lex = lexicon.select(col("w"), size(split(col("syms"), " ")).as("__n_sub"))
+    scaleOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(tokens(col("__t"))).as("w"))
+      .join(lex, Seq("w"), "left")
+      .select(col("id"),
+        coalesce(col("__n_sub"), length(col("w")) + 1).cast("long").as("n_sub"),
+        col("__n_sub").isNull.cast("long").as("oov"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("oov")).as("n_oov_words"))
   }
 }

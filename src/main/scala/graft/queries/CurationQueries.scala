@@ -313,6 +313,18 @@ object CurationQueries {
         .orderBy("rank")
     },
 
+    // D41b: trained-tokenizer corpus accounting — segment the corpus
+    // with the lexicon its own BPE run induced; per-doc subword / OOV
+    // counts are the honest token budget feed. rows-only (depends on
+    // the iterative training); BpeSpec pins segmentation + OOV math.
+    Q.rowsOnly("q_bpe_segment") { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val (_, lexicon) = Bpe.trainModel(d.select(col("text")), col("text"), numMerges = 10)
+      Bpe.segment(d, col("doc_id"), col("text"), lexicon)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D18f: token-BUDGET mixture — per-source keep rates derived
     // in-plan (rate = min(1, budget·w/tokens)) so the sample hits a
     // 2000-token budget at 60/30/10 target shares; unlisted sources

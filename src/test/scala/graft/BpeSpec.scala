@@ -44,6 +44,24 @@ class BpeSpec extends SparkSpec {
     assert(merges.last._4.replace("</w>", "").forall(_ == 'a'))
   }
 
+  test("trainModel lexicon segments seen words; segment counts OOV by char fallback") {
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).map(Tuple1(_)).toDF("text")
+    val (_, lexicon) = Bpe.trainModel(docs, col("text"), numMerges = 5)
+    // after es, est, est</w>, lo, low: "low" -> [low, </w>],
+    // "newest" -> [n, e, w, est</w>]
+    val segs = lexicon.select("w", "syms").as[(String, String)].collect().toMap
+    assert(segs("low") == "low </w>")
+    assert(segs("newest") == "n e w est</w>")
+    val corpus = Seq((1L, "low newest zzz")).toDF("id", "text")
+    val out = Bpe.segment(corpus, col("id"), col("text"), lexicon)
+      .as[(Long, Long, Long, Long)].head()
+    // 2 (low) + 4 (newest) + 4 ("zzz" OOV: 3 chars + </w>) = 10
+    assert(out == ((1L, 3L, 10L, 1L)))
+  }
+
   test("train is deterministic and stops when no pair clears minPairFreq") {
     val docs = Seq("unique words only here", "unique words only here")
       .map(Tuple1(_)).toDF("text")
