@@ -290,19 +290,44 @@ object Dedup {
       text: Column,
       maxDist: Int = 3,
       seed: Long = 42L): DataFrame = {
-    require(maxDist <= 3, "4-chunk blocking only guarantees recall for maxDist <= 3")
     val sigs = scaleOut(df.select(id.as("id"), text.as("__text")))
       .select(col("id"),
         graft.functions.SimHash64.simhash64(tokens(col("__text")), seed).as("sig"))
+    hammingPairs(sigs, maxDist, nChunks = 4)
+  }
+
+  /** Generic Hamming-radius self-pairing over 64-bit signatures —
+    * the blocking core shared by [[simHash]] (text) and
+    * [[imageNearDup]] (dHash).
+    *
+    * The signature is split into `nChunks` equal bit chunks; by
+    * pigeonhole, any pair within Hamming distance ≤ nChunks−1 differs
+    * in fewer chunks than exist, so it shares at least one EXACT
+    * chunk and the candidate join is chunk-bucket-local, never
+    * cartesian. More chunks buy a larger guaranteed radius at the
+    * cost of shorter (busier) buckets — 4×16-bit for classic SimHash
+    * radius 3, 8×8-bit for image dHash radius 7. Exact distance via
+    * codegen'd bit_count(xor) confirms every candidate.
+    *
+    * Input: (id, sig: long). Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingPairs(sigs: DataFrame, maxDist: Int, nChunks: Int): DataFrame = {
+    require(nChunks > 0 && 64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
+    require(maxDist <= nChunks - 1,
+      s"$nChunks-chunk blocking only guarantees recall for maxDist <= ${nChunks - 1}")
+    val chunkBits = 64 / nChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    // (chunk index, chunk value) as a two-column bucket key — no
+    // packed-long arithmetic, so 32-bit chunks can't overflow the key
     val bucketed = sigs.select(
       col("id"),
-      explode(array((0 until 4).map { c =>
-        (lit(c.toLong * (1L << 32)) + shiftright(col("sig"), 16 * c)
-          .bitwiseAND(lit(0xFFFFL))).as(s"b$c")
-      }: _*)).as("bucket"))
+      posexplode(array((0 until nChunks).map { c =>
+        shiftright(col("sig"), chunkBits * c).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "val")))
     val cand = bucketed.as("x")
       .join(bucketed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&
+          col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand
@@ -312,6 +337,26 @@ object Dedup {
         expr("bit_count(sig_a ^ sig_b)").cast("int"))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Near-duplicate IMAGE pairs via perceptual hash (dHash) — SURVEY
+    * §2.D42. Payloads are decoded partition-locally
+    * ([[Multimodal.perceptualHash]]: javax.imageio + 9×8 integer
+    * dHash); only genuinely decoded images enter Hamming pairing
+    * (an undecodable payload's byte-fold hash has no metric meaning —
+    * route those through exact dedup instead). 8×8-bit chunk blocking
+    * guarantees recall to radius 7; default threshold 6 is the usual
+    * dHash near-dup cut.
+    *
+    * Input needs (doc_id, media) — the [[Multimodal.pack]] shape.
+    * Output: (id_a, id_b, hamming).
+    */
+  def imageNearDup(df: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, "8-chunk blocking only guarantees recall for maxDist <= 7")
+    val sigs = Multimodal.perceptualHash(df)
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("phash").as("sig"))
+    hammingPairs(sigs, maxDist, nChunks = 8)
   }
 
   /** n-gram Jaccard near-duplicate pairs via a df-capped inverted

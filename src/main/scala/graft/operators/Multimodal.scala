@@ -202,6 +202,84 @@ object Multimodal {
       }(enc)
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("phash", LongType)))
+
+  /** 64-bit difference hash (dHash) of a decoded image: integer
+    * nearest-neighbor sample onto a 9×8 luminance grid, bit k set when
+    * grid(x,y) > grid(x+1,y). All-integer math (same contract as
+    * `resizeNearest`) keeps the hash bit-identical across JVMs; small
+    * photometric edits (brightness shift, re-encode, minor crops) move
+    * only a few bits, so near-duplicate images sit within a small
+    * Hamming distance — the image twin of SimHash over text.
+    */
+  private def dHash64(im: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val lum = new Array[Int](gw * gh)
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) {
+        val rgb = im.getRGB(x * im.getWidth / gw, y * im.getHeight / gh)
+        lum(y * gw + x) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      val row = k / 8; val colI = k % 8
+      if (lum(row * gw + colI) > lum(row * gw + colI + 1)) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** FNV-1a fold of raw bytes — the deterministic signature for
+    * payloads no codec accepts, so undecodable rows still dedup on
+    * exact byte equality instead of nulling out.
+    */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Perceptual hash per media payload — same partition-local batched
+    * kernel shape as `decodeFeatures` (zero shuffle, bounded batches).
+    * Decodable images get the 64-bit dHash (`decoded=true`); payloads
+    * no codec accepts get an exact byte-content FNV hash flagged
+    * `decoded=false`, so they can still exact-dedup but never enter
+    * Hamming near-dup pairing (a byte hash has no metric meaning).
+    */
+  def perceptualHash(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(phashSchema)
+    df.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            val safeBytes = if (bytes == null) Array.empty[Byte] else bytes
+            val img =
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(safeBytes)))
+              catch { case _: Exception => None }
+            img match {
+              case Some(im) => Row(r.getLong(0), true, dHash64(im))
+              case None     => Row(r.getLong(0), false, fnv64(safeBytes))
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for a (stub) video payload: every `stride`-th
     * chunk of `frameBytes` bytes becomes one "frame" row — the
     * explode-shaped op a video pipeline needs, expressed declaratively

@@ -43,6 +43,42 @@ object MultimodalQueries {
           round(element_at(col("features"), 4), 4).as("f_hist0"))
         .orderBy("doc_id")
     },
+    // D42: perceptual-hash image near-dup — deterministic gradient
+    // PNGs where id i and i+1000 are photometric near-twins (one
+    // perturbed pixel), plus text payloads that must stay out of
+    // Hamming pairing entirely. DuckDB has no PNG codec → rows-only;
+    // planted-recall exactness lives in MultimodalSpec/DedupSpec.
+    Q.rowsOnly("q_media_phash") { (s, dir) =>
+      def png(i: Long, perturb: Boolean): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 16; x <- 0 until 16) {
+          // dHash keys on gradient-sign STRUCTURE, so each id gets its
+          // own structure: a per-cell integer hash of (i, x, y), not a
+          // phase shift of one shared gradient (those all look alike)
+          val cell = (i * 2654435761L + x * 40503L + y * 2738L) & 0xFFFFFFFFL
+          val lum = ((cell ^ (cell >> 13)) & 0xFF).toInt
+          img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        }
+        if (perturb) {
+          val px = (i % 16).toInt; val py = ((i * 7) % 16).toInt
+          img.setRGB(px, py, img.getRGB(px, py) ^ 0x00282828)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows = (0L until 30L).flatMap(i =>
+        Seq((i, png(i, perturb = false)), (i + 1000L, png(i, perturb = true))))
+      import s.implicits._
+      val imgDf = rows.toDF("doc_id", "payload")
+      val txtDf = table(s, dir, "documents").limit(40)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          col("text").cast("binary").as("payload"))
+      val packed = Multimodal.pack(imgDf.unionByName(txtDf), col("doc_id"), col("payload"))
+      graft.operators.Dedup.imageNearDup(packed, maxDist = 6)
+        .orderBy("id_a", "id_b")
+    },
     Q(
       "q_binary_meta",
       """SELECT doc_id,

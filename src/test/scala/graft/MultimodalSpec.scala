@@ -101,6 +101,80 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(bad.getAs[Array[Byte]]("media")) == "not an image")
   }
 
+  private def testPng(seed: Int, brightnessShift: Int = 0, flipPixel: Boolean = false,
+      invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      // dHash sees luminance GRADIENT SIGNS, so "different content"
+      // means different structure, not a different seed: invert flips
+      // the horizontal gradient direction
+      val gx = if (invert) 15 - x else x
+      // values kept in [0, 200] so a +shift never clamps — a uniform
+      // brightness shift must leave every dHash gradient sign intact
+      val r = (seed * 37 + gx * 12) % 200 + brightnessShift
+      val g = (seed * 53 + y * 11) % 200 + brightnessShift
+      val b = (gx * y + seed) % 200 + brightnessShift
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    // (3,4) IS on the 9×8 dHash sample grid (src x ∈ {0,1,3,5,7,8,10,
+    // 12,14}, src y even) — a blown-out sampled pixel must flip at
+    // least the gradient sign against its right neighbor
+    if (flipPixel) img.setRGB(3, 4, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def packOf(rows: Seq[(Long, Array[Byte])]) =
+    Multimodal.pack(rows.toDF("doc_id", "payload"), col("doc_id"), col("payload"))
+
+  test("perceptualHash: dHash invariant under uniform brightness, moved by content") {
+    val df = packOf(Seq(
+      1L -> testPng(7), 2L -> testPng(7, brightnessShift = 40),
+      3L -> testPng(7, flipPixel = true), 4L -> testPng(7, invert = true),
+      5L -> "not an image".getBytes, 6L -> "not an image".getBytes))
+    val h = Multimodal.perceptualHash(df).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(h(1)._1 && h(2)._1 && h(3)._1 && h(4)._1)
+    // uniform brightness shift: every pairwise luminance gradient keeps
+    // its sign → identical dHash
+    assert(h(1)._2 == h(2)._2)
+    // one blown-out pixel: a few gradient signs flip, most survive
+    val d13 = java.lang.Long.bitCount(h(1)._2 ^ h(3)._2)
+    assert(d13 > 0 && d13 <= 6, s"single-pixel edit moved $d13 bits")
+    // different content: far in Hamming space
+    assert(java.lang.Long.bitCount(h(1)._2 ^ h(4)._2) > 6)
+    // undecodable: flagged, but equal bytes still get equal hashes
+    assert(!h(5)._1 && !h(6)._1 && h(5)._2 == h(6)._2)
+  }
+
+  test("imageNearDup recovers planted photometric twins, excludes text payloads") {
+    val rows = (0 until 10).flatMap { i =>
+      Seq((i.toLong, testPng(i)), (i + 100L, testPng(i, flipPixel = true)))
+    } ++ Seq((500L, "plain text".getBytes), (501L, "plain text".getBytes))
+    val pairs = graft.operators.Dedup.imageNearDup(packOf(rows), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 10)
+      assert(pairs.contains((i.toLong, i + 100L)), s"planted twin $i missing")
+    // identical text payloads share an FNV hash but must NOT be paired
+    assert(!pairs.exists(p => p._1 >= 500L || p._2 >= 500L))
+  }
+
+  test("hammingPairs pigeonhole: exact recall at radius nChunks-1, none past it") {
+    // adversarial spread: 7 flipped bits landing in 7 DIFFERENT 8-bit
+    // chunks — exactly one shared chunk left, the pigeonhole minimum
+    val base = 0x5A5A5A5A5A5A5A5AL
+    val spread7 = (0 until 7).foldLeft(base)((s, c) => s ^ (1L << (c * 8)))
+    val spread8 = spread7 ^ (1L << 56) // all 8 chunks differ
+    val sigs = Seq((1L, base), (2L, spread7), (3L, spread8))
+      .toDF("id", "sig")
+    val p7 = graft.operators.Dedup.hammingPairs(sigs, maxDist = 7, nChunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p7.contains((1L, 2L, 7)), "radius-7 pair must survive 8-chunk blocking")
+    assert(!p7.exists(p => p._1 == 1L && p._2 == 3L), "distance-8 pair must not pass")
+  }
+
   test("sampleFrames emits strided fixed-size chunks") {
     val frames = Multimodal.sampleFrames(packed, frameBytes = 64, stride = 4)
     val byDoc = frames.groupBy("doc_id").agg(
