@@ -554,6 +554,46 @@ object Dedup {
     embeddingCosine(df, id, vec,
       Similarity.hyperplaneBucket(vec, dim, nPlanes, seed), threshold)
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space with the
+    * IVF coarse quantizer ([[Similarity.trainIvfCentroids]]), run the
+    * exact cosine pair join ONLY within clusters, then keep one doc
+    * per semantic-duplicate component. Near-identical meanings that
+    * exact/MinHash dedup can't see (paraphrases, translations-in-
+    * effect, template rewrites) land in the same k-means cell and
+    * pair there.
+    *
+    * Scale shape: training touches a `trainFraction` hash-sample and
+    * the full corpus is scanned ONCE for assignment (the IVF story);
+    * the pair join is cluster-local — O(Σ|cell|²), controlled by
+    * `nCentroids` exactly like SemDeDup's k. Known recall caveat,
+    * inherited from the paper: a duplicate pair straddling a cell
+    * boundary is missed — raise nCentroids for cheaper cells but more
+    * boundaries, or use [[embeddingCosineLSH]] when multi-probe recall
+    * matters more than cluster locality.
+    *
+    * Returns the SURVIVING rows of `df` (anti-join on the drop list),
+    * so it composes like [[exactKeep]].
+    */
+  def semanticDedup(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      nCentroids: Int,
+      iters: Int = 5,
+      trainFraction: Double = 1.0): DataFrame = {
+    val vecs = df.select(id.as("id"), vec.as("v"))
+    val centroids = Similarity.trainIvfCentroids(
+      vecs, col("id"), col("v"), nCentroids, iters, trainFraction)
+    val assigned = Similarity.ivfAssign(vecs, col("id"), col("v"), centroids)
+    val pairs = embeddingCosine(
+      assigned, col("id"), col("v"), col("cluster"), threshold)
+    val drops = clusterDuplicates(pairs, col("id_a"), col("id_b"))
+    df.join(drops.select(col("drop_id").as(s"__drop")),
+      id.cast("long") === col("__drop"), "left_anti")
+  }
+
   /** Connected components over an undirected near-dup pair list —
     * the step that turns pairwise findings into KEEP-ONE-PER-CLUSTER
     * decisions (transitive closure: A≈B, B≈C ⇒ {A,B,C} is one
@@ -775,6 +815,40 @@ object Dedup {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 4)
           .as("contamination"))
+  }
+
+  /** EMBEDDING-level benchmark decontamination — the semantic tier
+    * above [[contamination]]: flag training docs whose embedding sits
+    * within `threshold` cosine of ANY probe (benchmark) embedding.
+    * Catches paraphrased/reworded benchmark leakage that n-gram
+    * overlap is structurally blind to; run both, union the flags.
+    *
+    * Bipartite seeded-hyperplane LSH (the [[embeddingCosineLSH]]
+    * blocking, two-sided): both sides bucket on the SAME planes
+    * compiled into the plan, the join is bucket-local (probes are
+    * benchmark-suite-sized → broadcastable), and only in-bucket
+    * candidates pay the exact codegen'd cosine. Returns one row per
+    * FLAGGED corpus doc: (id, n_probe_hits, max_cos).
+    */
+  def contaminationEmbedding(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      probes: DataFrame,
+      probeVec: Column,
+      threshold: Double,
+      dim: Int = 64,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cb = corpus.select(id.as("id"), vec.as("v"),
+      Similarity.hyperplaneBucket(vec, dim, nPlanes, seed).as("__bkt"))
+    val pb = probes.select(probeVec.as("pv"),
+      Similarity.hyperplaneBucket(probeVec, dim, nPlanes, seed).as("__bkt"))
+    cb.join(broadcast(pb), "__bkt")
+      .withColumn("cos_sim", round(cosine(col("v"), col("pv")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_probe_hits"), max(col("cos_sim")).as("max_cos"))
   }
 
   /** `contamination` with a Bloom pre-filter on the corpus side —

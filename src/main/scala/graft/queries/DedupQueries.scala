@@ -375,6 +375,62 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D47: reciprocal-rank fusion — hybrid retrieval merging the dense
+    // cosine top-10 with a freshness prior (highest vec_ids), exact
+    // integer contribution lanes so both engines sum identically.
+    Q(
+      "q_hybrid_rrf",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_cosine_similarity(qv, v) AS cs
+        |  FROM q, c WHERE c.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, vec_id) AS rank
+        |  FROM s),
+        |m AS (SELECT max(vec_id) AS mx FROM c),
+        |rec AS (
+        |  SELECT q.query_id, c.vec_id AS doc_id,
+        |    CAST(mx - c.vec_id + 1 AS INT) AS rank
+        |  FROM c, m, q WHERE c.vec_id > mx - 10),
+        |u AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    1000000000000 // (60 + rank) AS cc
+        |  FROM r WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT query_id, doc_id, 1000000000000 // (60 + rank) FROM rec),
+        |f AS (
+        |  SELECT query_id, doc_id, CAST(sum(cc) AS BIGINT) AS rrf_e12
+        |  FROM u GROUP BY 1, 2)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_e12 DESC, doc_id) AS INT) AS fused_rank,
+        |  doc_id, rrf_e12
+        |FROM f
+        |QUALIFY fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dense = Similarity.bruteForceTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          corpusId = col("vec_id"), corpusVec = col("v"),
+          queryId = col("vec_id"), queryVec = col("v"), k = 10)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val queryIds = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"))
+      val mx = e.agg(max(col("vec_id")).as("mx"))
+      val recent = e.crossJoin(broadcast(mx))
+        .filter(col("vec_id") > col("mx") - 10)
+        .select(col("vec_id").as("doc_id"),
+          (col("mx") - col("vec_id") + 1).cast("int").as("rank"))
+        .crossJoin(broadcast(queryIds))
+      Similarity.rrfFuse(Seq(dense, recent), k0 = 60, topK = 10)
+        .orderBy("query_id", "fused_rank")
+    },
+
     // D7: LSH ANN — the oracle embeds the SAME seeded hyperplane
     // constants (Similarity.hyperplanes) so DuckDB buckets identically
     // and the in-bucket top-k must agree value-for-value.
@@ -426,6 +482,23 @@ object DedupQueries {
           queryId = col("vec_id"), queryVec = col("v"),
           k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    },
+
+    // D43: SemDeDup semantic dedup — k-means cells block the cosine
+    // join; planted near-identical copies of corpus vectors (fresh ids
+    // +1000000) must be swallowed, leaving exactly the 500 originals.
+    // The k-means quantizer is an iterative driver-metadata artifact
+    // (q_ann_ivf precedent) → rows-only; planted-recall exactness and
+    // the min-id survivor policy are asserted in DedupSpec.
+    Q.rowsOnly("q_dedup_semantic") { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val pert = e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.05)), slice(col("v"), 2, 63)).as("v"))
+      Dedup.semanticDedup(e.unionByName(pert), col("vec_id"), col("v"),
+          threshold = 0.995, nCentroids = 16, iters = 3)
+        .select("vec_id").orderBy("vec_id")
     },
 
     // D1c: incremental exact dedup — a new shard (fresh docs + copies

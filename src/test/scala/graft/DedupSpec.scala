@@ -174,6 +174,20 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 3, s"planted near-identical vector found at rank 1 for only $hits/5 queries")
   }
 
+  test("rrfFuse: hand-computed fusion, presence in both lists beats either alone") {
+    // list A ranks: d1=1, d2=2, d3=3 ; list B ranks: d2=1, d4=2
+    val a = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((7L, 2L, 1), (7L, 4L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k0 = 60, topK = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    def lane(rank: Int) = 1000000000000L / (60 + rank)
+    // d2: both lists (rank 2 + rank 1) — must out-rank every single-list doc
+    assert(out.head == ((1, 2L, lane(2) + lane(1))), s"got ${out.head}")
+    assert(out.map(_._2).toSeq == Seq(2L, 1L, 4L, 3L))
+    assert(out.map(t => t._2 -> t._3).toMap ==
+      Map(2L -> (lane(2) + lane(1)), 1L -> lane(1), 4L -> lane(2), 3L -> lane(3)))
+  }
+
   test("connectedComponents computes transitive closure over a pair list") {
     // chain 1-2-3-4 (diameter 3, never directly paired end-to-end),
     // pair 10-11, and 20-21-22 sharing hub 20
@@ -240,6 +254,36 @@ class DedupSpec extends SparkSpec {
       .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
     assert(sampled.length == 50 && sampled.map(_._1).distinct.length == 10,
       s"sample-trained IVF shape: ${sampled.length} rows")
+  }
+
+  test("semanticDedup keeps one survivor per semantic group, singletons intact") {
+    // 4 orthogonal base directions in 8-dim; each group = 3 near-copies
+    // (cos ≈ 0.99999); ids INTERLEAVED so the lowest-id k-means init
+    // (ids 0..3) picks one vector per direction — each direction gets
+    // its own cell and copies co-assign
+    def vec(dir: Int, eps: Double): Seq[Double] = {
+      val v = Array.fill(8)(0.0); v(dir) = 1.0; v((dir + 4) % 8) = eps; v.toSeq
+    }
+    val groups = (0 until 4).flatMap { g =>
+      Seq((g.toLong, vec(g, 0.0)), (g + 100L, vec(g, 0.001)), (g + 200L, vec(g, 0.002)))
+    }
+    val singles = (4 until 8).map(d => (d + 1000L, vec(d, 0.0)))
+    val df = (groups ++ singles).toDF("id", "v")
+    val kept = Dedup.semanticDedup(df, col("id"), col("v"),
+        threshold = 0.999, nCentroids = 4, iters = 3)
+      .select("id").as[Long].collect().toSet
+    // min-id winner per group; every singleton untouched
+    assert(kept == Set(0L, 1L, 2L, 3L, 1004L, 1005L, 1006L, 1007L), s"got $kept")
+  }
+
+  test("semanticDedup with no duplicates is the identity") {
+    val df = (0 until 6).map(d => (d.toLong, {
+      val v = Array.fill(8)(0.0); v(d % 8) = 1.0; v.toSeq
+    })).toDF("id", "v")
+    val kept = Dedup.semanticDedup(df, col("id"), col("v"),
+        threshold = 0.999, nCentroids = 3, iters = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (0 until 6).map(_.toLong).toSet)
   }
 
   test("embeddingCosineLSH recovers planted near-dups with no blocking label") {
