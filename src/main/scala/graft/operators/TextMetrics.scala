@@ -358,6 +358,61 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** Interpolated BIGRAM language-model scoring — the next tier above
+    * [[unigramLogProb]] (KenLM-without-the-KenLM: corpus-trained
+    * bigram ML estimate, linearly interpolated with the add-one
+    * unigram as backoff so unseen bigrams never hit −∞):
+    * p(cur|prev) = λ·c(prev,cur)/c(prev) + (1−λ)·p_uni(cur).
+    * A document's score is the mean ln p over its bigram positions —
+    * sensitive to scrambled word ORDER where the unigram model is
+    * blind (bag-of-words gibberish scores in-distribution on unigrams
+    * but out-of-distribution here).
+    *
+    * Shape at scale: the corpus is tokenized ONCE and localCheckpoint'd
+    * (the bigram explode and the unigram term explode both read the
+    * materialized blocks — the bm25 pattern); the bigram/context/
+    * unigram tables are partial-aggregated counts (persist them as the
+    * model artifact); scoring is two keyed joins back. Determinism:
+    * per-bigram lp rounded to 7 dp, per-doc sums over exact decimals
+    * (unigramLogProb's contract). Docs with < 2 tokens have no bigram
+    * positions and drop out, exactly like token-less docs in the
+    * unigram scorer. Returns (id, n_bigrams, avg_logprob).
+    */
+  def bigramLogProb(
+      df: DataFrame, id: Column, text: Column, lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda in (0,1): pure ML would send unseen bigrams to -inf")
+    val tk = graft.operators.scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), tokens(col("__text")).as("tk"))
+      .localCheckpoint()
+    val toks = tk.select(col("id"), explode(col("tk")).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val tot = tf.agg(sum(col("n")).as("n_total"), count(lit(1)).as("vocab"))
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("id"),
+        element_at(col("tk"), col("i")).as("prev"),
+        element_at(col("tk"), col("i") + 1).as("cur"))
+    val cb = bi.groupBy("prev", "cur").agg(count(lit(1)).as("nb"))
+    val cp = bi.groupBy("prev").agg(count(lit(1)).as("np"))
+    // expression SHAPE is part of the cross-engine contract: both
+    // engines compute ((λ·nb)/np) + (((1−λ)·(n+1))/(n_total+vocab))
+    // over IEEE doubles, then round to 7 dp (the proven unigram shape)
+    val lp = cb.join(cp, "prev")
+      .join(tf.withColumnRenamed("term", "cur"), "cur")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(log(
+        lit(lambda) * col("nb") / col("np") +
+          lit(1 - lambda) * (col("n") + 1) / (col("n_total") + col("vocab"))), 7))
+      .select(col("prev"), col("cur"), col("lp"))
+    bi.join(lp, Seq("prev", "cur"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(col("lp").cast("decimal(18,7)")) / count(lit(1))).cast("double"), 4)
+          .as("avg_logprob"))
+  }
+
   /** Zipf head coverage: for each k in `ks`, the fraction of all token
     * INSTANCES covered by the k most frequent terms — the one-line
     * answer to "how big must the vocabulary be" and a cheap
@@ -439,6 +494,38 @@ object TextMetrics {
     */
   def urlDomains(text: Column): Column =
     regexp_extract_all(lower(text), lit("""https?://([^/\s"']+)"""), lit(1))
+
+  /** Domain-blocklist curation (the UT1/adult-blocklist gate every web
+    * corpus runs): drop documents whose text links to a blocked domain,
+    * with SUFFIX semantics — blocklist entry `example.com` blocks the
+    * exact host and every subdomain (`a.b.example.com`), the way
+    * blocklists are published. A multi-label host is expanded to its
+    * ≥2-label suffixes (plus single-label hosts matching whole), so
+    * TLD-only entries can never wipe a corpus by accident.
+    *
+    * Shape at scale: host extraction is one codegen'd regexp per row
+    * ([[urlDomains]]); the suffix explode is bounded by label count
+    * (hosts are ~3-5 labels); the blocklist (config-sized) broadcasts
+    * into a semi-join, and the final decision is one anti-join keyed
+    * on id — no shuffle of the corpus body. Returns surviving rows.
+    */
+  def dropBlockedDomains(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      blocklist: DataFrame,
+      domain: Column): DataFrame = {
+    val hosts = df.select(id.as("__id"),
+        explode(array_distinct(urlDomains(text))).as("host"))
+      .withColumn("parts", split(col("host"), "\\."))
+    val suffixes = hosts.select(col("__id"), col("parts"),
+        explode(sequence(lit(0), greatest(size(col("parts")) - 2, lit(0)))).as("i"))
+      .select(col("__id"),
+        array_join(slice(col("parts"), col("i") + 1, size(col("parts"))), ".").as("sfx"))
+    val blk = broadcast(blocklist.select(lower(domain).as("sfx")).distinct())
+    val blockedIds = suffixes.join(blk, "sfx").select(col("__id")).distinct()
+    df.join(blockedIds, id === col("__id"), "left_anti")
+  }
 
   /** DEFLATE compression ratio (compressed bytes / raw bytes) — the
     * tokenization-free repetition proxy from the Gopher/RefinedWeb

@@ -427,6 +427,85 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D46: domain-blocklist curation with suffix semantics — a
+    // registrable-domain entry blocks every subdomain; an exact-host
+    // entry blocks only that host. Both planted URL shapes exercised.
+    Q(
+      "q_blocklist_filter",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' https://' || source || '.pages.example.com/p/' ||
+        |        CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 5 = 0
+        |      THEN text || ' http://ads.tracker-net.org/x'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(lower(text),
+        |      'https?://([^/\s"'']+)', 1))) AS h
+        |  FROM t),
+        |p AS (SELECT doc_id, string_split(h, '.') AS parts FROM u),
+        |e AS (SELECT doc_id, parts,
+        |        unnest(range(0, greatest(len(parts) - 1, 1))) AS i FROM p),
+        |hit AS (
+        |  SELECT DISTINCT doc_id FROM e
+        |  WHERE array_to_string(parts[CAST(i + 1 AS INT):], '.')
+        |    IN ('tracker-net.org', 'src3.pages.example.com'))
+        |SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" https://"), col("source"),
+            lit(".pages.example.com/p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" http://ads.tracker-net.org/x")))
+          .otherwise(col("text")).as("text"))
+      import s.implicits._
+      val blocklist = Seq("tracker-net.org", "src3.pages.example.com").toDF("domain")
+      TextMetrics.dropBlockedDomains(planted, col("doc_id"), col("text"),
+          blocklist, col("domain"))
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // D44: interpolated bigram LM scoring — word-ORDER-sensitive
+    // quality signal one tier above the unigram model. The oracle
+    // trains the identical bigram + backoff model and replays the
+    // identical IEEE expression shape (explicit DOUBLE casts keep
+    // DuckDB's decimal literals out of the float path).
+    Q(
+      "q_bigram_logprob",
+      s"""WITH d AS (SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+         |t AS (SELECT doc_id, unnest(tk) AS term FROM d),
+         |tf AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+         |tot AS (SELECT sum(n) AS n_total, count(*) AS vocab FROM tf),
+         |bi AS (
+         |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |        FROM d WHERE len(tk) >= 2)),
+         |cb AS (SELECT prev, cur, count(*) AS nb FROM bi GROUP BY 1, 2),
+         |cp AS (SELECT prev, count(*) AS np FROM bi GROUP BY 1),
+         |lp AS (
+         |  SELECT cb.prev, cb.cur,
+         |    CAST(round(ln(CAST(0.75 AS DOUBLE) * nb / np +
+         |      CAST(0.25 AS DOUBLE) * (tf.n + 1) / (n_total + vocab)), 7)
+         |      AS DECIMAL(18,7)) AS lp
+         |  FROM cb JOIN cp USING (prev) JOIN tf ON tf.term = cb.cur
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) / count(*) AS DOUBLE), 4) AS avg_logprob
+         |FROM bi JOIN lp ON bi.prev = lp.prev AND bi.cur = lp.cur
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.bigramLogProb(table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D31: Zipf head coverage — fraction of token instances covered by
     // the k most frequent terms; counts exact longs, ratio truncated
     // at 6 dp (repr-independent).

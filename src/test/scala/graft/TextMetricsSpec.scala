@@ -176,6 +176,48 @@ class TextMetricsSpec extends SparkSpec {
     assert(out.forall { case (k, (_, _, v)) => rerun(k) == v })
   }
 
+  test("bigramLogProb penalizes scrambled word order that the unigram model cannot see") {
+    // same token MULTISET in every doc — unigram-identical by
+    // construction; only the bigram model can tell them apart
+    val natural = "the quick brown fox jumps over the lazy dog " * 4
+    val scrambled = "dog the over quick jumps lazy the brown fox " +
+      "fox the dog brown lazy over jumps quick the " +
+      "jumps dog the brown over fox the quick lazy " +
+      "lazy brown the fox quick dog over the jumps"
+    val df = Seq((1L, natural), (2L, natural), (3L, natural), (4L, scrambled))
+      .toDF("id", "text")
+    val out = TextMetrics.bigramLogProb(df, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every doc has 9*4 = 36 tokens -> 35 bigram positions
+    assert(out.values.forall(_._1 == 35L))
+    assert(out(1)._2 == out(2)._2, "identical docs must score identically")
+    assert(out(1)._2 > out(4)._2,
+      s"natural order ${out(1)._2} must beat scrambled ${out(4)._2}")
+  }
+
+  test("bigramLogProb drops docs with fewer than two tokens") {
+    val df = Seq((1L, "one"), (2L, ""), (3L, "two words here")).toDF("id", "text")
+    val ids = TextMetrics.bigramLogProb(df, col("id"), col("text"))
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(3L))
+  }
+
+  test("dropBlockedDomains: suffix blocks subdomains, exact host blocks only itself") {
+    val docs = Seq(
+      (1L, "link http://ads.bad-ads.com/x"),       // subdomain of blocked suffix
+      (2L, "link https://bad-ads.com/y"),          // exact blocked suffix
+      (3L, "link https://bad-ads.com.evil.io/z"),  // NOT a suffix match (labels differ)
+      (4L, "link https://cdn.example.net/ok"),     // exact-host entry blocks this host
+      (5L, "link https://www.cdn.example.net/ok"), // subdomain of that entry -> also blocked
+      (6L, "link https://example.net/ok"),         // parent of the exact-host entry survives
+      (7L, "no urls at all")).toDF("id", "text")
+    val blk = Seq("bad-ads.com", "cdn.example.net").toDF("domain")
+    val kept = TextMetrics.dropBlockedDomains(docs, col("id"), col("text"),
+        blk, col("domain"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 6L, 7L), s"got $kept")
+  }
+
   test("UnicodeNormalize composes, folds compatibility forms, and is idempotent") {
     import spark.implicits._
     import graft.functions.UnicodeNormalize.{nfc, nfkc}
