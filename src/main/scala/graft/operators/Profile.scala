@@ -13,6 +13,61 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Order-insensitive content digest of selected columns — the
+    * cross-snapshot equality check behind every migration/backfill
+    * sign-off ("did the rewrite produce the same table?"). Each row
+    * hashes to a 60-bit integer (md5 of a null-sentineled, \\u0001-
+    * joined value rendering — 15 hex chars so it fits a signed 64-bit
+    * lane in ANY engine), and the digest is the EXACT decimal sum of
+    * row hashes plus the row count: commutative, so partitioning and
+    * row order never matter, and duplicates don't cancel the way a
+    * XOR-fold digest silently would. One partial-aggregated scan, no
+    * shuffle beyond the single-row reduce. Two tables are content-
+    * equal iff (n_rows, digest) match.
+    */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "digest needs at least one column")
+    val rendered = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val rowHash = conv(substring(md5(rendered), 1, 15), 16, 10).cast("decimal(20,0)")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(rowHash).cast("decimal(38,0)").as("digest"))
+  }
+
+  /** Row-level reconciliation of two snapshots sharing a key — the
+    * drill-down when [[tableDigest]] says "not equal": full-outer join
+    * on the key, each row classified `equal` / `mismatch` /
+    * `only_left` / `only_right` by null-safe comparison of the value
+    * columns. One keyed shuffle per side (co-partitioned by the join),
+    * comparison is a codegen'd projection. Returns (key..., status);
+    * aggregate it for the report, filter it for the diff.
+    */
+  def reconcile(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && valueCols.nonEmpty, "keys and valueCols required")
+    val l = left.select((keys ++ valueCols).map(col): _*)
+    val r = right.select((keys ++ valueCols).map(col): _*)
+    val lAliased = l.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__l_$c")): _*)
+    val rAliased = r.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    // presence must come from the JOIN side, not value nullability: a
+    // row whose every value column is null still exists — use a
+    // sentinel presence flag per side
+    val joinedFlagged = lAliased.withColumn("__l", lit(1))
+      .join(rAliased.withColumn("__r", lit(1)), keys, "full_outer")
+    val allEqual = valueCols.map(c => col(s"__l_$c") <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    joinedFlagged.select(
+      keys.map(col) :+
+        when(col("__l").isNull, lit("only_right"))
+          .when(col("__r").isNull, lit("only_left"))
+          .when(allEqual, lit("equal"))
+          .otherwise(lit("mismatch")).as("status"): _*)
+  }
+
   /** Long-format column profile: one row per column with
     * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val);
     * min/max rendered as strings so heterogeneous column types fit one
@@ -202,6 +257,39 @@ object Profile {
           col("v") < col("q1") - lit(1.5) * iqr ||
             col("v") > col("q3") + lit(1.5) * iqr, 1L).otherwise(0L))
           .as("n_outliers"))
+  }
+
+  /** Per-group winsorization — the robust-statistics outlier
+    * treatment (clamp, don't drop): values below the group's `loQ`
+    * exact percentile rise to it, values above `hiQ` fall to it,
+    * everything else passes through. The standard prep before means /
+    * regressions over heavy-tailed metrics (prices, token counts,
+    * session lengths) where trimming would bias and raw tails dominate.
+    *
+    * Shape at scale: boxplot's two-pass shape — one exact-percentile
+    * aggregation producing a per-group bound frame (tiny by
+    * construction), broadcast back, clamp as a codegen'd projection.
+    * Null values stay null (both engines' greatest/least would
+    * otherwise absorb them to a bound). The clamped value is reported
+    * 4-dp-truncated (repr-independent); raw bounds drive the clamp.
+    * Returns the input columns plus `v_winsorized`.
+    */
+  def winsorize(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      loQ: Double = 0.05,
+      hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && loQ < hiQ && hiQ <= 1, "need 0 <= loQ < hiQ <= 1")
+    val d = df.withColumn("__grp", group)
+    val bounds = d.groupBy("__grp").agg(
+      percentile(value, lit(loQ)).as("__lo"),
+      percentile(value, lit(hiQ)).as("__hi"))
+    d.join(broadcast(bounds), "__grp")
+      .withColumn("v_winsorized",
+        when(value.isNull, lit(null))
+          .otherwise(Num.t4floor(least(greatest(value, col("__lo")), col("__hi")))))
+      .drop("__grp", "__lo", "__hi")
   }
 
   /** Schema + content drift between two snapshots of "the same" table

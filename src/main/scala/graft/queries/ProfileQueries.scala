@@ -40,6 +40,93 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C42: order-insensitive table digest — both engines render the
+    // same integer/string columns, md5 them, and sum the 60-bit hash
+    // lanes exactly; any row difference moves the digest. Doubles /
+    // timestamps are deliberately excluded: float STRING RENDERING is
+    // engine-specific, which is a caller contract documented on the
+    // operator (cast to decimal first).
+    Q(
+      "q_table_digest",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |    coalesce(l_returnflag, chr(2)),
+        |    coalesce(l_linestatus, chr(2)))), 1, 15) AS BIGINT)
+        |    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS digest
+        |FROM lineitem""".stripMargin
+    ) { (s, dir) =>
+      Profile.tableDigest(table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))
+    },
+
+    // C43: row-level snapshot reconciliation — left drops every %97
+    // key, right drops %89, perturbs %13 prices and adds fresh +10M
+    // keys; each key classifies equal/mismatch/only_left/only_right.
+    Q(
+      "q_reconcile",
+      """WITH l AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |r AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 41 = 0)
+        |SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.o_orderkey IS NULL THEN 'only_right'
+        |       WHEN r.o_orderkey IS NULL THEN 'only_left'
+        |       WHEN l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+        |        AND l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus
+        |         THEN 'equal'
+        |       ELSE 'mismatch' END AS status
+        |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val l = o.filter(col("o_orderkey") % 97 =!= 0)
+      val r = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 41 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+      Profile.reconcile(l, r, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+
+    // C44: per-group winsorization — exact-percentile clamp bounds
+    // (quantile_cont twin, the boxplot contract), clamp replayed with
+    // the identical least/greatest double arithmetic, 4-dp truncation.
+    Q(
+      "q_winsorize",
+      """WITH q AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey,
+        |  floor(least(greatest(o_totalprice, lo), hi) * 1e4) / 1e4
+        |    AS v_winsorized
+        |FROM orders JOIN q ON o_orderpriority = q.grp
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      Profile.winsorize(table(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .select("o_orderkey", "v_winsorized")
+        .orderBy("o_orderkey")
+    },
+
     // C39: one-pass Pearson correlation matrix — all pairs from one
     // aggregation; the oracle replays the identical decimal-sum /
     // double-derivation formula (not DuckDB's own corr(), whose

@@ -161,6 +161,50 @@ class ProfileSpec extends SparkSpec {
     assert(z(3) == ((10L, 10L, 1.0)))
   }
 
+  test("tableDigest: order-insensitive, duplicate-sensitive, null-distinct") {
+    import graft.operators.Profile
+    val base = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("k", "v")
+    def dig(df: org.apache.spark.sql.DataFrame) = {
+      val r = Profile.tableDigest(df, Seq("k", "v")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val d1 = dig(base)
+    // row order / partitioning never matters
+    assert(dig(base.orderBy(col("k").desc).repartition(7)) == d1)
+    // any value change moves it
+    assert(dig(base.withColumn("v", when(col("k") === 2, "B").otherwise(col("v")))) != d1)
+    // a DUPLICATED row changes the digest (XOR folds would cancel)
+    assert(dig(base.unionAll(base.limit(1))) != d1)
+    // null is distinct from any real value
+    assert(dig(base.na.fill("", Seq("v"))) != d1)
+  }
+
+  test("reconcile classifies equal/mismatch/only_left/only_right; all-null rows still count") {
+    import graft.operators.Profile
+    val l = Seq((1L, Some("x")), (2L, Some("y")), (3L, Some("z")), (5L, None: Option[String]))
+      .toDF("k", "v")
+    val r = Seq((1L, Some("x")), (2L, Some("Y")), (4L, Some("w")), (5L, None: Option[String]))
+      .toDF("k", "v")
+    val out = Profile.reconcile(l, r, Seq("k"), Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(out == Map(1L -> "equal", 2L -> "mismatch", 3L -> "only_left",
+      4L -> "only_right", 5L -> "equal"), s"got $out")
+  }
+
+  test("winsorize clamps to exact group percentiles; nulls stay null") {
+    import graft.operators.Profile
+    // group g: values 0..100 -> p05 = 5.0, p95 = 95.0 exactly
+    val rows = (0 to 100).map(i => ("g", Some(i.toDouble))) :+ (("g", None: Option[Double]))
+    val out = Profile.winsorize(rows.toDF("grp", "v"), col("grp"), col("v"))
+      .select("v", "v_winsorized").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getDouble(0)) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(0.0) == 5.0 && out(3.0) == 5.0)
+    assert(out(50.0) == 50.0)
+    assert(out(97.0) == 95.0 && out(100.0) == 95.0)
+    assert(out(null) == null)
+  }
+
   test("tokenEntropy: uniform distribution gives ln(k), degenerate gives 0") {
     val df = Seq(
       ("u", "a b c d"),     // 4 distinct, uniform -> ln(4)
