@@ -43,6 +43,35 @@ object Similarity {
         col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    * candidate lists — THE hybrid-retrieval merge (BM25 ⊕ dense cosine
+    * ⊕ freshness prior …): score(d) = Σ_lists 1/(k0 + rank_list(d)),
+    * docs absent from a list contribute nothing. Rank-based, so the
+    * lists' raw scores never need calibrating against each other.
+    *
+    * Every input must carry (query_id, doc_id, rank). Contributions
+    * are EXACT integer lanes — 10¹² DIV (k0+rank) — so the per-doc sum
+    * is order-independent and engine-portable (a double 1/(k0+r) sum
+    * would depend on reduction order). Shape at scale: one union, one
+    * keyed partial-aggregated groupBy, one per-query ranking window —
+    * candidate lists are top-k-bounded, so windows stay tiny. Returns
+    * (query_id, fused_rank, doc_id, rrf_e12), fused_rank ≤ topK.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 1 && topK >= 1, "k0 and topK must be positive")
+    val contribs = lists.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"1000000000000 div ($k0 + rank)").as("__c")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).as("rrf_e12"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e12").desc, col("doc_id").asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= topK)
+      .select("query_id", "fused_rank", "doc_id", "rrf_e12")
+  }
+
   /** Seeded random hyperplanes (row-major, plane i = planes(i)); the
     * same constants feed both the Spark plan and the generated oracle
     * SQL so the two engines bucket identically.

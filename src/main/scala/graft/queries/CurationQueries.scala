@@ -188,6 +188,42 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // D21c: EMBEDDING-level decontamination — semantically-perturbed
+    // probe copies of every 25th corpus vector must flag their source
+    // doc; the oracle replays the identical seeded hyperplane buckets
+    // (q_dedup_embedding_lsh pattern) and the exact cosine confirm.
+    Q(
+      "q_decontaminate_semantic", {
+        val planes = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = 8, seed = 42L)
+        def bucketExpr(v: String): String = planes.zipWithIndex.map { case (p, i) =>
+          val arr = p.mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product($v, $arr) > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", "\n      + ", ")")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |p AS (
+           |  SELECT list_concat([v[1] + 0.05], v[2:]) AS pv
+           |  FROM e WHERE vec_id % 25 = 0),
+           |cb AS (SELECT vec_id, v, ${bucketExpr("v")} AS bucket FROM e),
+           |pb AS (SELECT pv, ${bucketExpr("pv")} AS bucket FROM p),
+           |hits AS (
+           |  SELECT cb.vec_id AS id,
+           |    round(list_cosine_similarity(cb.v, pb.pv), 4) AS cs
+           |  FROM cb JOIN pb USING (bucket)
+           |  WHERE round(list_cosine_similarity(cb.v, pb.pv), 4) >= 0.99)
+           |SELECT id, CAST(count(*) AS BIGINT) AS n_probe_hits, max(cs) AS max_cos
+           |FROM hits GROUP BY id ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = e.filter(col("vec_id") % 25 === 0).select(
+        concat(array(element_at(col("v"), 1) + lit(0.05)), slice(col("v"), 2, 63)).as("pv"))
+      Dedup.contaminationEmbedding(e, col("vec_id"), col("v"),
+          probes, col("pv"), threshold = 0.99)
+        .orderBy("id")
+    },
+
     // D21b: decontamination via Bloom pre-filter — EXACT same semantics
     // (no false negatives + exact confirm-join), so the oracle is the
     // same bipartite overlap recomputed from scratch; the corpus side
