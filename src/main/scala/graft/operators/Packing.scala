@@ -44,4 +44,59 @@ object Packing {
       .withColumn("tok_offset", pmod(col("__cum"), lit(budget.toLong)))
       .drop("__cum")
   }
+
+  /** WHOLE-document bin packing, first-fit-decreasing — the packing
+    * mode for fine-tuning / eval batching where documents must NOT
+    * span sequences ([[packSequences]] is the pre-training
+    * concat-then-chunk mode that splits them). FFD's classic guarantee
+    * (≤ 11/9·OPT + 6/9 bins) comes from placing documents longest-
+    * first; a doc longer than the budget gets a bin of its own,
+    * flagged `oversize` (quarantine-by-flag, the Multimodal contract).
+    *
+    * Shape at scale: packing is per-`shard` exactly like
+    * [[packSequences]] (a global packing order would serialize the
+    * corpus through one task); each shard's docs are hash-routed to
+    * one partition and greedily placed by a partition-local kernel —
+    * state is one open-bin list per shard, bounded by shard size.
+    * Deterministic: (n_tokens desc, id asc) placement order.
+    * Output: (shard, id, n_tokens, bin_id, oversize).
+    */
+  def binPackFFD(
+      df: DataFrame,
+      shard: Column,
+      id: Column,
+      nTokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bin_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("oversize", org.apache.spark.sql.types.BooleanType)))
+    val prep = df
+      .select(shard.cast("string").as("shard"), id.cast("long").as("id"),
+        nTokens.cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("id").asc)
+    prep.mapPartitions { rows =>
+      // partitions hold whole shards (hash routing above); shards are
+      // contiguous after the sort, so one open-bin list suffices and
+      // resets at each shard boundary
+      var curShard: String = null
+      var remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.map { r =>
+        val sh = r.getString(0); val did = r.getLong(1); val n = r.getLong(2)
+        if (sh != curShard) { curShard = sh; remaining = scala.collection.mutable.ArrayBuffer.empty[Long] }
+        var i = 0
+        var placed = -1
+        while (placed < 0 && i < remaining.length) {
+          if (remaining(i) >= n) placed = i else i += 1
+        }
+        if (placed < 0) { remaining += (budget - n); placed = remaining.length - 1 }
+        else remaining(placed) -= n
+        org.apache.spark.sql.Row(sh, did, n, placed.toLong, n > budget)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -206,6 +206,46 @@ class CurationSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("binPackFFD: exact FFD placement, capacity respected, oversize quarantined") {
+    // budget 10, lengths 6,5,4,3,2 -> FFD: bin0=[6,4], bin1=[5,3,2]
+    val docs = Seq((1L, 6L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 2L), (6L, 15L))
+      .toDF("doc_id", "n")
+      .withColumn("shard", lit("s"))
+    val out = Packing.binPackFFD(docs, col("shard"), col("doc_id"), col("n"), budget = 10L)
+      .select("id", "bin_id", "oversize")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc6 (len 15) is placed FIRST (longest) into bin 0, flagged
+    // oversize; nothing else can ever join its negative-capacity bin
+    assert(out(6L) == ((0L, true)))
+    assert(out(1L) == ((1L, false)) && out(3L) == ((1L, false)), s"got $out")
+    assert(out(2L) == ((2L, false)) && out(4L) == ((2L, false)) && out(5L) == ((2L, false)))
+    // capacity check: no non-oversize bin exceeds the budget
+    val fill = out.toSeq.filterNot(_._2._2).groupBy(_._2._1)
+      .map { case (b, ds) => b -> ds.map(d => Map(1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 3L, 5L -> 2L)(d._1)).sum }
+    assert(fill.values.forall(_ <= 10L), s"bin overflow: $fill")
+  }
+
+  test("binPackFFD: shards pack independently; every doc appears exactly once") {
+    val docs = spark.range(500).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(4)).cast("string").as("shard"),
+      (pmod(col("id") * 37, lit(300)) + 1).as("n"))
+    val out = Packing.binPackFFD(docs, col("shard"), col("doc_id"), col("n"), budget = 512L)
+      .select("shard", "id", "n_tokens", "bin_id")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 500 && out.map(_._2).distinct.length == 500)
+    // per (shard, bin): total <= budget
+    out.groupBy(t => (t._1, t._4)).foreach { case (k, rows) =>
+      assert(rows.map(_._3).sum <= 512L, s"bin $k over budget")
+    }
+    // FFD efficiency: bins used <= 11/9 * lower bound + 1 per shard
+    out.groupBy(_._1).foreach { case (sh, rows) =>
+      val lower = math.ceil(rows.map(_._3).sum / 512.0)
+      val used = rows.map(_._4).distinct.length
+      assert(used <= math.ceil(11.0 / 9.0 * lower) + 1, s"shard $sh: $used bins vs lb $lower")
+    }
+  }
+
   test("packSequences: offsets stay under budget and sequences are contiguous per shard") {
     val docs = spark.range(1000).select(
       col("id").as("doc_id"),
