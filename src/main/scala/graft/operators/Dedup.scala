@@ -284,17 +284,42 @@ object Dedup {
     * join is chunk-local, never cartesian. Exact distance via
     * bit_count(xor).
     */
+  /** The persistable SimHash artifact: (id, sig) — store it like
+    * [[fingerprintIndex]] / [[minHashSignatures]] and new shards sign
+    * only themselves ([[simHashIncremental]]).
+    */
+  def simHashSignatures(
+      df: DataFrame, id: Column, text: Column, seed: Long = 42L): DataFrame =
+    scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        graft.functions.SimHash64.simhash64(tokens(col("__text")), seed).as("sig"))
+
   def simHash(
       df: DataFrame,
       id: Column,
       text: Column,
       maxDist: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val sigs = scaleOut(df.select(id.as("id"), text.as("__text")))
-      .select(col("id"),
-        graft.functions.SimHash64.simhash64(tokens(col("__text")), seed).as("sig"))
-    hammingPairs(sigs, maxDist, nChunks = 4)
-  }
+      seed: Long = 42L): DataFrame =
+    hammingPairs(simHashSignatures(df, id, text, seed), maxDist, nChunks = 4)
+
+  /** INCREMENTAL SimHash near-dup: a new shard against the STORED
+    * corpus signature index — the D2b shape for the SimHash tier.
+    * The shard signs only itself; the bipartite chunk-bucket join
+    * bounds work by shard size × chunks, independent of corpus size
+    * (the corpus side is the pre-signed index, pre-bucketable by
+    * chunk). Returns (shard_id, corpus_id, hamming).
+    */
+  def simHashIncremental(
+      shard: DataFrame,
+      id: Column,
+      text: Column,
+      corpusSigs: DataFrame,
+      maxDist: Int = 3,
+      seed: Long = 42L): DataFrame =
+    hammingPairsBipartite(
+      simHashSignatures(shard, id, text, seed),
+      corpusSigs.select(col("id"), col("sig")),
+      maxDist, nChunks = 4)
 
   /** Generic Hamming-radius self-pairing over 64-bit signatures —
     * the blocking core shared by [[simHash]] (text) and
@@ -315,15 +340,7 @@ object Dedup {
     require(nChunks > 0 && 64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
     require(maxDist <= nChunks - 1,
       s"$nChunks-chunk blocking only guarantees recall for maxDist <= ${nChunks - 1}")
-    val chunkBits = 64 / nChunks
-    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    // (chunk index, chunk value) as a two-column bucket key — no
-    // packed-long arithmetic, so 32-bit chunks can't overflow the key
-    val bucketed = sigs.select(
-      col("id"),
-      posexplode(array((0 until nChunks).map { c =>
-        shiftright(col("sig"), chunkBits * c).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("chunk", "val")))
+    val bucketed = chunkBuckets(sigs, nChunks)
     val cand = bucketed.as("x")
       .join(bucketed.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&
@@ -337,6 +354,44 @@ object Dedup {
         expr("bit_count(sig_a ^ sig_b)").cast("int"))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** (chunk index, chunk value) bucket rows for a 64-bit signature
+    * frame — two-column key, so 32-bit chunks can't overflow a packed
+    * long. Shared by the self- and bipartite Hamming joins.
+    */
+  private def chunkBuckets(sigs: DataFrame, nChunks: Int): DataFrame = {
+    val chunkBits = 64 / nChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    sigs.select(
+      col("id"),
+      posexplode(array((0 until nChunks).map { c =>
+        shiftright(col("sig"), chunkBits * c).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "val")))
+  }
+
+  /** Bipartite [[hammingPairs]]: every (left, right) pair within the
+    * Hamming radius, with the same pigeonhole recall guarantee — the
+    * shard-vs-stored-index shape ([[simHashIncremental]]). Both inputs
+    * are (id, sig) frames. Returns (shard_id, corpus_id, hamming).
+    */
+  def hammingPairsBipartite(
+      left: DataFrame, right: DataFrame, maxDist: Int, nChunks: Int): DataFrame = {
+    require(nChunks > 0 && 64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
+    require(maxDist <= nChunks - 1,
+      s"$nChunks-chunk blocking only guarantees recall for maxDist <= ${nChunks - 1}")
+    val cand = chunkBuckets(left, nChunks).as("x")
+      .join(chunkBuckets(right, nChunks).as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val"))
+      .select(col("x.id").as("shard_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(left.select(col("id").as("shard_id"), col("sig").as("sig_a")), "shard_id")
+      .join(right.select(col("id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+      .withColumn("hamming",
+        expr("bit_count(sig_a ^ sig_b)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("shard_id", "corpus_id", "hamming")
   }
 
   /** Near-duplicate IMAGE pairs via perceptual hash (dHash) — SURVEY
@@ -583,7 +638,10 @@ object Dedup {
       nCentroids: Int,
       iters: Int = 5,
       trainFraction: Double = 1.0): DataFrame = {
-    val vecs = df.select(id.as("id"), vec.as("v"))
+    // one materialization: training, assignment and the pair join all
+    // read the projected (id, v) blocks instead of re-deriving the
+    // input (often a union + perturbation/cast projection) per job
+    val vecs = df.select(id.as("id"), vec.as("v")).localCheckpoint()
     val centroids = Similarity.trainIvfCentroids(
       vecs, col("id"), col("v"), nCentroids, iters, trainFraction)
     val assigned = Similarity.ivfAssign(vecs, col("id"), col("v"), centroids)

