@@ -121,6 +121,40 @@ object EventStreams {
     events.join(broadcast(dim), Seq(key), joinType)
   }
 
+  /** E9: streaming CURATION gate — the batch quality + language gate
+    * (q_corpus_curate's first stage) applied UNCHANGED to a document
+    * stream: pure per-row projections, so it is stateless (no
+    * watermark, no state store) and the same call works on batch
+    * frames — which is exactly what the stream==batch spec proves.
+    *
+    * The domain blocklist folds into ONE codegen'd regexp over the
+    * row's extracted hosts rather than the batch operator's
+    * blocklist-frame join: a join against a stream-DERIVED exploded
+    * frame would be stream-stream; blocklists are config-sized by
+    * nature, so compiling them into the plan is the honest streaming
+    * shape (same suffix semantics as
+    * [[graft.operators.TextMetrics.dropBlockedDomains]]).
+    */
+  def curateStream(
+      docs: DataFrame,
+      textCol: String,
+      minQuality: Double = 0.5,
+      blockedDomains: Seq[String] = Nil): DataFrame = {
+    val text = col(textCol)
+    val scored = graft.operators.TextMetrics.withLangId(
+      graft.operators.TextMetrics.withQuality(docs, text), text)
+    val gated = scored
+      .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
+    if (blockedDomains.isEmpty) gated
+    else {
+      val pat = blockedDomains.map(d =>
+        java.util.regex.Pattern.quote(d.toLowerCase)).mkString("[ .](", "|", ") ")
+      val hosts = concat(lit(" "),
+        array_join(graft.operators.TextMetrics.urlDomains(text), " "), lit(" "))
+      gated.filter(!hosts.rlike(pat))
+    }
+  }
+
   /** E6: streaming INCREMENTAL dedup — the streaming twin of batch
     * `Dedup.exactIncremental`: arriving records drop (a) anything whose
     * content fingerprint is already in the static corpus index (stream-

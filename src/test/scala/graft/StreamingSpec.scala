@@ -485,4 +485,49 @@ class StreamingSpec extends SparkSpec {
         s"stream/batch divergence: onlyStream=${(streamed -- batch).take(5)} onlyBatch=${(batch -- streamed).take(5)}")
     } finally q.stop()
   }
+
+  test("E9 curateStream: stateless quality/lang/blocklist gate, stream == batch") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val rows = Seq(
+      (1L, good + " again and again with more words to pass the gate"),
+      (2L, "!!!! ???? .... ;;;; <<<>>>"),                        // quality gate
+      (3L, good + " see https://ads.tracker-net.org/x for more"), // blocklist gate
+      (4L, good + " with https://safe.example.com/page linked"))  // survives
+    val blocked = Seq("tracker-net.org")
+    val input = MemoryStream[(Long, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = EventStreams.curateStream(df, "text", minQuality = 0.5, blocked)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("e9_out").outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("e9_out").as[Long].collect().toSet
+      // the same call runs on a batch frame — identical survivors
+      val batch = EventStreams.curateStream(
+          rows.toDF("doc_id", "text"), "text", minQuality = 0.5, blocked)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed == Set(1L, 4L), s"got $streamed")
+    } finally q.stop()
+  }
+
+  test("E9 curateStream on real documents: stream == batch survivors") {
+    val d = sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val rows = d.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.curateStream(
+        input.toDF().toDF("doc_id", "text"), "text", minQuality = 0.5)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("e9b_out").outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("e9b_out").as[Long].collect().toSet
+      val batch = EventStreams.curateStream(d.toDF(), "text", minQuality = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
