@@ -329,6 +329,29 @@ object RelationalQueries {
         .orderBy($"c_mktsegment")
     },
 
+    // C45: rank-distribution windows — percent_rank / cume_dist per
+    // group with a deterministic tiebreak; both are exact integer
+    // ratios ((rank-1)/(n-1), rows_le/n) so the doubles agree bitwise.
+    Q(
+      "q_rank_dist",
+      """SELECT o_orderkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      table(s, dir, "orders").select(
+          $"o_orderkey",
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
     // C18: set operations — INTERSECT/EXCEPT of key sets.
     Q(
       "q_set_ops",
