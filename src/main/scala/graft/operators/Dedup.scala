@@ -875,6 +875,43 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Sketch-tier AUDIT: precision/recall/F1 of a candidate near-dup
+    * pair list against an exact ground truth — the completeness critic
+    * behind every recall-tier choice (run [[minHashLSH]] on an audit
+    * sample, score it against [[prefixFilterJaccard]]'s exact-recall
+    * list, and you know what the sketch is missing before committing
+    * the corpus to it).
+    *
+    * Pairs normalize to unordered (min, max) and dedup first, so
+    * orientation and repeats can't skew counts. One row out:
+    * (n_found, n_truth, n_hit, precision, recall, f1) — ratios 4-dp
+    * truncated, empty sides degrade to 0 instead of dividing by zero.
+    */
+  def auditPairs(found: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col("id_a"), col("id_b")).as("a"),
+      greatest(col("id_a"), col("id_b")).as("b")).distinct()
+    def t4(c: Column): Column = floor(c * 1e4) / 1e4
+    // one declarative plan (no driver-side counting): found left-joins
+    // truth to count hits, truth's size rides in on a 1-row cross join
+    val fh = norm(found)
+      .join(norm(truth).withColumn("__t", lit(1)), Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_hit"))
+    val th = norm(truth).agg(count(lit(1)).as("n_truth"))
+    val p = when(col("n_found") > 0,
+      t4(col("n_hit").cast("double") / col("n_found"))).otherwise(0.0)
+    val r = when(col("n_truth") > 0,
+      t4(col("n_hit").cast("double") / col("n_truth"))).otherwise(0.0)
+    fh.crossJoin(th)
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        t4(lit(2) * col("precision") * col("recall") /
+          (col("precision") + col("recall")))).otherwise(0.0))
+      .select("n_found", "n_truth", "n_hit", "precision", "recall", "f1")
+  }
+
   /** EMBEDDING-level benchmark decontamination — the semantic tier
     * above [[contamination]]: flag training docs whose embedding sits
     * within `threshold` cosine of ANY probe (benchmark) embedding.

@@ -788,6 +788,21 @@ object DedupQueries {
       Dedup.minHashLSHVerified(truncatedDocs(s, dir), col("id"), col("text"),
           estThreshold = 0.4, jaccardThreshold = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // D48: sketch-tier audit — MinHash-LSH candidates scored against
+    // prefixFilterJaccard's exact-recall ground truth at the same
+    // threshold: the one-row completeness report a recall-tier choice
+    // rests on. Seeded family -> rows-only; hand-computed P/R in
+    // DedupSpec.
+    Q.rowsOnly("q_dedup_audit") { (s, dir) =>
+      val d = truncatedDocs(s, dir).localCheckpoint()
+      val found = Dedup.minHashLSH(d, col("id"), col("text"),
+        numHashes = 64, bands = 16, shingleSize = 5,
+        threshold = 0.5, maxBucket = 200)
+      val truth = Dedup.prefixFilterJaccard(d, col("id"), col("text"),
+        n = 5, threshold = 0.5)
+      Dedup.auditPairs(found, truth)
     }
   )
 }

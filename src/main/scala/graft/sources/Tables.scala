@@ -202,6 +202,19 @@ object Tables {
   /** ORC read/write — the other columnar format large lakes standardize
     * on; built into Spark, same pushdown/pruning story as parquet.
     */
+  /** Schema-evolution read: parquet shards written over a schema's
+    * lifetime (columns added release by release) union into ONE frame
+    * — `mergeSchema` reconciles per-file footers, old shards surface
+    * the new columns as nulls. OFF by default in Spark because footer
+    * merging costs a pass over file metadata at planning time; turning
+    * it on per-read (here) instead of globally is the right scale
+    * habit. Incompatible type changes still fail loudly — evolution
+    * means ADDITIVE drift, not rewrites (that's [[graft.operators.Profile.schemaDrift]]'s
+    * department to detect).
+    */
+  def loadEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def loadOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

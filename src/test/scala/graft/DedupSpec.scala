@@ -373,6 +373,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.forall(_ % 2 == 1))
   }
 
+  test("auditPairs: hand-computed precision/recall, orientation/duplicate-proof, empty-safe") {
+    // truth: {1-2, 3-4, 5-6}; found: {2-1 (hit, reversed), 3-4 (hit,
+    // duplicated), 7-8 (false positive)} -> P=2/3, R=2/3
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val found = Seq((2L, 1L), (3L, 4L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = graft.operators.Dedup.auditPairs(found, truth).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.6666 && r.getDouble(4) == 0.6666)
+    assert(r.getDouble(5) == 0.6666, s"f1 ${r.getDouble(5)}")
+    // empty found: zero precision/recall, no divide-by-zero
+    val e = graft.operators.Dedup.auditPairs(
+      truth.limit(0), truth).head()
+    assert(e.getLong(0) == 0L && e.getDouble(3) == 0.0 && e.getDouble(5) == 0.0)
+  }
+
   test("simHashIncremental: shard-vs-index pairs equal the batch cross pairs") {
     val d = docs
     val corpus = d.filter(col("id") < 30)

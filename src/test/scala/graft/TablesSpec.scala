@@ -141,6 +141,24 @@ class TablesSpec extends SparkSpec {
     assert(bad.select("_corrupt_record").head().getString(0).contains("not_a_number"))
   }
 
+  test("loadEvolved merges additively-drifted parquet shards; old shards null new columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // release 1 shard: (id, x); release 2 shard adds column y
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "x", "y")
+      .write.mode("append").parquet(dir)
+    val merged = sources.Tables.loadEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("id", "x", "y"))
+    val rows = merged.select("id", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L), (4L, "d", 40L)))
+    // a plain read of the same dir may surface only one footer's schema
+    // — the reason the merge is explicit
+  }
+
   test("compact merges many small parquet files into size-targeted ones without losing rows") {
     val in = Files.createTempDirectory("graft_compact_in").toString
     val out = Files.createTempDirectory("graft_compact_out").toString
