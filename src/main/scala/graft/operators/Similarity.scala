@@ -284,6 +284,56 @@ object Similarity {
         col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** MULTI-PROBE hyperplane LSH top-k (Lv et al., VLDB'07): each query
+    * probes its own bucket PLUS every bucket at Hamming distance 1
+    * (one sign bit flipped) — the standard recall lever when a true
+    * neighbor sits just across one hyperplane. The corpus-side index
+    * is untouched (still exactly one bucket per corpus vector — the
+    * artifact you persist); only the broadcast query side fans out
+    * ×(nPlanes+1), so recall climbs toward brute force at ZERO extra
+    * corpus shuffle or storage. Exact cosine still ranks candidates;
+    * a vector found through two probes counts once (distinct before
+    * ranking).
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: Column,
+      corpusVec: Column,
+      queryId: Column,
+      queryVec: Column,
+      k: Int,
+      dim: Int = 64,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(corpusId.as("id"), corpusVec.as("v"),
+      hyperplaneBucket(corpusVec, dim, nPlanes, seed).as("bucket"))
+    val base = hyperplaneBucket(queryVec, dim, nPlanes, seed)
+    // probe set: the home bucket + one per flipped sign bit
+    val probeBuckets = array((base +: (0 until nPlanes).map(i =>
+      base.bitwiseXOR(lit(1L << i)))): _*)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
+      explode(probeBuckets).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_key").desc, col("id").asc)
+    // dedup multi-probe hits on the slim (query, id) pair BEFORE
+    // vectors attach — a candidate found via two probes pays one cosine
+    val cand = c.select(col("id"), col("bucket"))
+      .join(broadcast(q.select(col("query_id"), col("bucket"))), "bucket")
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct()
+    cand
+      .join(c.select(col("id"), col("v")), "id")
+      .join(broadcast(queries.select(queryId.as("query_id"), queryVec.as("qv"))),
+        "query_id")
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("sim_key", round(col("cos_sim"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Per-group embedding centroids in LONG format (group, dim, mean_v)
     * — the semantic summary behind topic drift monitoring, per-source
     * cluster seeds, and label prototypes. Long format on purpose: no

@@ -64,4 +64,51 @@ object Stats {
       z.as("z"),
       (abs(z) > 1.96).as("significant"))
   }
+
+  /** Rolling z-score anomaly flags — the metric-monitoring shape
+    * ("did this hour's event volume jump?"): each (key, bucket) value
+    * is scored against the TRAILING `lookback` buckets' mean and
+    * sample stddev; |z| > `zThresh` flags an anomaly. The baseline
+    * window excludes the current row (an anomaly must not dilute its
+    * own baseline), and rows with fewer than `minPeriods` trailing
+    * buckets are unflagged with z = 0 — no baseline, no verdict.
+    *
+    * Shape at scale: ONE key-partitioned ordered window carrying the
+    * trailing count/sum/sum-of-squares (exact decimals, so any
+    * engine/partitioning derives identical moments); z derives in
+    * double, truncated 4 dp TOWARD ZERO (twoSampleZ's symmetric-gate
+    * contract); degenerate baselines (std = 0) yield z = 0. Input
+    * buckets must be one row per (key, bucket).
+    */
+  def rollingZ(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      lookback: Int,
+      zThresh: Double = 3.0,
+      minPeriods: Int = 3): DataFrame = {
+    require(lookback >= minPeriods && minPeriods >= 2,
+      "need lookback >= minPeriods >= 2 trailing buckets for a stddev baseline")
+    def t4(c: Column): Column = Num.t4zero(c)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(bucket)
+      .rowsBetween(-lookback, -1)
+    val d = df.withColumn("__v", value.cast("double"))
+      .withColumn("__n", count(col("__v")).over(w))
+      .withColumn("__s", sum(Num.dec(col("__v"))).over(w))
+      .withColumn("__ss", sum(Num.dec(col("__v")) * Num.dec(col("__v"))).over(w))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance = greatest(lit(0.0),
+      (col("__ss").cast("double") - col("__s").cast("double") * col("__s").cast("double") / n)
+        / (n - 1))
+    val std = sqrt(variance)
+    val z = when(col("__n") < minPeriods || std === 0.0, lit(0.0))
+      .otherwise(t4((col("__v") - mean) / std))
+    d.withColumn("baseline_n", col("__n"))
+      .withColumn("z", z)
+      .withColumn("anomaly", abs(z) > zThresh && col("__n") >= minPeriods)
+      .drop("__v", "__n", "__s", "__ss")
+  }
 }

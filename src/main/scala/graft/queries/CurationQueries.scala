@@ -430,6 +430,21 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D19b: whole-document FFD bin packing under a 512-token budget —
+    // the fine-tuning/eval packing mode (docs never split). The greedy
+    // placement is inherently sequential per shard → no SQL twin;
+    // rows-only with exactness (capacity, FFD placement, oversize
+    // quarantine) asserted in CurationSpec.
+    Q.rowsOnly("q_pack_bins") { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_toks"))
+      Packing.binPackFFD(docs, col("shard"), col("doc_id"),
+          col("n_toks"), budget = 512L)
+        .orderBy("id")
+    },
+
     // D18e: per-group row cap (domain capping) — at most 40 docs per
     // domain, where 17 of the 20 sources are lumped into one
     // mega-domain so the cap actually bites (the small domains pass

@@ -390,6 +390,55 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D7c: MULTI-PROBE LSH ANN — queries probe their bucket plus every
+    // Hamming-1 neighbor bucket (one flipped sign bit); the corpus
+    // index stays one-bucket-per-vector. The oracle replays the SAME
+    // seeded planes AND the same probe fan-out, so the two engines see
+    // identical candidate sets and the top-k must agree exactly.
+    Q(
+      "q_ann_lsh_multiprobe", {
+        val nPlanes = 8
+        val planes = Similarity.hyperplanes(dim = 64, nPlanes = nPlanes, seed = 42L)
+        val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+          val arr = p.mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", "\n      + ", ")")
+        val probeList = ("bucket" +: (0 until nPlanes).map(i =>
+          s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+           |qp AS (
+           |  SELECT vec_id AS query_id, unnest($probeList) AS bucket
+           |  FROM b WHERE vec_id < 10),
+           |cand AS (
+           |  SELECT DISTINCT qp.query_id, c.vec_id
+           |  FROM b c JOIN qp USING (bucket) WHERE c.vec_id <> qp.query_id),
+           |s AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |    list_cosine_similarity(eq.v, ec.v) AS cs
+           |  FROM cand
+           |  JOIN e eq ON eq.vec_id = cand.query_id
+           |  JOIN e ec ON ec.vec_id = cand.vec_id),
+           |r AS (
+           |  SELECT query_id, vec_id, cs,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY round(cs, 6) DESC, vec_id) AS rank
+           |  FROM s)
+           |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 4) AS cos_sim
+           |FROM r WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.lshTopKMultiProbe(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          corpusId = col("vec_id"), corpusVec = col("v"),
+          queryId = col("vec_id"), queryVec = col("v"),
+          k = 10, dim = 64, nPlanes = 8, seed = 42L)
+        .orderBy("query_id", "rank")
+    },
+
     // D47: reciprocal-rank fusion — hybrid retrieval merging the dense
     // cosine top-10 with a freshness prior (highest vec_ids), exact
     // integer contribution lanes so both engines sum identically.

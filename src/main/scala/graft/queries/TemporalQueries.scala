@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Sessionize}
+import graft.operators.{AsOf, Sessionize, Stats}
 import graft.sources.Tables
 
 /** Temporal operators (SURVEY §2.C9-C10): as-of join and gap
@@ -346,6 +346,60 @@ object TemporalQueries {
 
     // C26: interval-OVERLAP join (both sides are intervals, unlike
     // C20's point-in-interval) — order activity windows × promo
+    // C47: rolling z-score anomaly flags over hourly per-type event
+    // volumes — each bucket scored against its trailing 24 buckets'
+    // exact-decimal moments; z truncated 4 dp toward zero (the
+    // twoSampleZ symmetric-gate contract), under-baselined rows
+    // unflagged with z=0. The oracle replays the identical window
+    // moments and derivation.
+    Q(
+      "q_rolling_anomaly",
+      """WITH b AS (
+        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket_s, n_events,
+        |    count(*) OVER tw AS bn,
+        |    sum(CAST(n_events AS DECIMAL(18,6))) OVER tw AS s,
+        |    sum(CAST(n_events AS DECIMAL(18,6)) * CAST(n_events AS DECIMAL(18,6))) OVER tw AS ss
+        |  FROM b
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_s
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |d AS (
+        |  SELECT event_type, bucket_s, n_events, bn,
+        |    CASE WHEN bn < 3 THEN 0.0 ELSE
+        |      sqrt(greatest(0.0,
+        |        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / bn)
+        |          / (bn - 1))) END AS std,
+        |    CASE WHEN bn < 3 THEN 0.0
+        |         ELSE CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / bn END AS dev
+        |  FROM w)
+        |SELECT event_type, bucket_s, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(bn AS BIGINT) AS baseline_n,
+        |  CASE WHEN bn < 3 OR std = 0.0 THEN 0.0
+        |       ELSE sign(dev / std) * (floor(abs(dev / std) * 1e4) / 1e4) + 0.0
+        |  END AS z,
+        |  (CASE WHEN bn < 3 OR std = 0.0 THEN 0.0
+        |        ELSE sign(dev / std) * (floor(abs(dev / std) * 1e4) / 1e4) + 0.0
+        |   END IS NOT NULL
+        |   AND abs(CASE WHEN bn < 3 OR std = 0.0 THEN 0.0
+        |        ELSE sign(dev / std) * (floor(abs(dev / std) * 1e4) / 1e4) + 0.0 END) > 3.0
+        |   AND bn >= 3) AS anomaly
+        |FROM d
+        |ORDER BY event_type, bucket_s""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.rollingZ(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"), lookback = 24, zThresh = 3.0)
+        .select(col("event_type"), col("bucket_s"), col("n_events"),
+          col("baseline_n"), col("z"), col("anomaly"))
+        .orderBy("event_type", "bucket_s")
+    },
+
     // windows. The oracle states the plain two-sided inequality join;
     // the Spark side must match it exactly through the dual-binned
     // equi-join with the canonical-bin dedup (one output row per

@@ -174,6 +174,27 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 3, s"planted near-identical vector found at rank 1 for only $hits/5 queries")
   }
 
+  test("lshTopKMultiProbe: superset of single-probe candidates, recall never lower") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.1)), slice(col("v"), 2, 63)).as("v"))
+    val e = base.unionByName(planted)
+    val q = base.filter(col("vec_id") < 20)
+    def rank1Hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+        .count { case (qid, rank, vid) => rank == 1 && vid == qid + 1000000 }
+    val single = rank1Hits(Similarity.lshTopK(e, q, col("vec_id"), col("v"),
+      col("vec_id"), col("v"), k = 5, dim = 64, nPlanes = 8))
+    val multi = rank1Hits(Similarity.lshTopKMultiProbe(e, q, col("vec_id"), col("v"),
+      col("vec_id"), col("v"), k = 5, dim = 64, nPlanes = 8))
+    // Hamming-1 probing can only ADD candidates: a planted twin split
+    // from its query by exactly one flipped sign bit is recovered
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi >= 18, s"multi-probe found only $multi/20 planted twins at rank 1")
+  }
+
   test("rrfFuse: hand-computed fusion, presence in both lists beats either alone") {
     // list A ranks: d1=1, d2=2, d3=3 ; list B ranks: d2=1, d4=2
     val a = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3)).toDF("query_id", "doc_id", "rank")
