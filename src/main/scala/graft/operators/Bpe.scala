@@ -135,4 +135,50 @@ object Bpe {
         sum(col("n_sub")).as("n_subwords"),
         sum(col("oov")).as("n_oov_words"))
   }
+
+  /** Encode a corpus to SUBWORD IDS under a trained lexicon — the
+    * model-feed step after [[segment]]'s accounting. Output is LONG
+    * format (doc, word_pos, sym_pos, sym_id), one row per subword
+    * occurrence, deliberately ([[Similarity.centroids]]' reasoning):
+    * no per-doc array reassembly, so the whole encode is explodes +
+    * keyed joins at any corpus size, and the sequence writer downstream
+    * orders by (id, word_pos, sym_pos) as it packs.
+    *
+    * The vocabulary is the lexicon's distinct symbol set with DENSE
+    * lexicographic ids — derived once and joined back (broadcastable:
+    * vocabularies are config-sized). A symbol outside the vocabulary
+    * (a character the training corpus never saw) encodes as `unk_id` =
+    * vocab size; `is_unk` marks it for coverage monitoring. OOV WORDS
+    * (absent from the lexicon) fall back to character segmentation,
+    * [[segment]]'s contract.
+    */
+  def encodeIds(
+      df: DataFrame, id: Column, text: Column, lexicon: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // vocab ids are MODEL METADATA (like the merge table and IVF
+    // centroids): vocab-bounded driver list, sorted for determinism
+    val vocab = lexicon
+      .select(explode(split(col("syms"), " ")).as("sym")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val unkId = vocab.length.toLong
+    val vocabDf = vocab.toSeq.zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("sym", "sym_id")
+    val lex = lexicon.select(col("w"), col("syms"))
+    val words = scaleOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), posexplode(tokens(col("__t"))).as(Seq("word_pos", "w")))
+    // OOV words -> character segmentation + end-of-word marker (what
+    // zero matching merges would leave)
+    val seg = words.join(lex, Seq("w"), "left")
+      .select(col("id"), col("word_pos"),
+        split(coalesce(col("syms"),
+          concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" " + EndOfWord))),
+          " ").as("__syms"))
+    seg.select(col("id"), col("word_pos"),
+        posexplode(col("__syms")).as(Seq("sym_pos", "sym")))
+      .join(broadcast(vocabDf), Seq("sym"), "left")
+      .select(col("id"), col("word_pos"), col("sym_pos"),
+        coalesce(col("sym_id"), lit(unkId)).as("sym_id"),
+        col("sym_id").isNull.as("is_unk"))
+  }
 }

@@ -250,4 +250,31 @@ object Sampling {
     }
     df.withColumn(splitCol, expr)
   }
+
+  /** Deterministic SOURCE-INTERLEAVED training order: within each
+    * shard, rows take positions round-robin across sources (the row
+    * ranked r in its source sorts at (r, source)), so no source ever
+    * clumps — a batch drawn from any contiguous span sees the mixture,
+    * not a run of one crawl. The cure for the sorted-by-source order
+    * a partitioned ingest naturally produces, without RNG (same
+    * hash-free determinism as [[splitAssign]]).
+    *
+    * Shape at scale: two SHARD-partitioned windows (never global —
+    * [[graft.operators.Packing.packSequences]]' contract); shards
+    * order independently, exactly like per-worker data loaders.
+    * Adds `train_pos` (1-based within shard).
+    */
+  def interleaveSources(
+      df: DataFrame,
+      shard: Column,
+      source: Column,
+      orderKey: Column): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard, source).orderBy(orderKey)
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(col("__src_rank"), source, orderKey)
+    df.withColumn("__src_rank", row_number().over(wSrc))
+      .withColumn("train_pos", row_number().over(wShard).cast("long"))
+      .drop("__src_rank")
+  }
 }

@@ -361,6 +361,44 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D41c: model-feed id encoding — the corpus encoded to dense
+    // subword ids under its own trained lexicon, LONG format (no
+    // per-doc array reassembly; the writer orders by id/word/sym as
+    // it packs). rows-only (iterative training upstream); exact ids
+    // on the textbook corpus pinned in BpeSpec.
+    Q.rowsOnly("q_bpe_ids") { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val (_, lexicon) = Bpe.trainModel(d.select(col("text")), col("text"), numMerges = 10)
+      Bpe.encodeIds(d.filter(col("doc_id") < 50), col("doc_id"), col("text"), lexicon)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "word_pos", "sym_pos")
+    },
+
+    // D49: deterministic source-interleaved training order — within
+    // each shard, positions go round-robin across sources so no batch
+    // span sees a single-crawl run; both engines replay the identical
+    // two-window construction.
+    Q(
+      "q_interleave",
+      """WITH r AS (
+        |  SELECT doc_id, doc_id % 4 AS shard, source,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id % 4, source ORDER BY doc_id) AS sr
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, source,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY sr, source, doc_id) AS BIGINT) AS train_pos
+        |FROM r
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Sampling.interleaveSources(
+          table(s, dir, "documents")
+            .select(col("doc_id"), pmod(col("doc_id"), lit(4L)).as("shard"), col("source")),
+          col("shard"), col("source"), col("doc_id"))
+        .select("doc_id", "shard", "source", "train_pos")
+        .orderBy("doc_id")
+    },
+
     // D18f: token-BUDGET mixture — per-source keep rates derived
     // in-plan (rate = min(1, budget·w/tokens)) so the sample hits a
     // 2000-token budget at 60/30/10 target shares; unlisted sources

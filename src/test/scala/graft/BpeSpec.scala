@@ -62,6 +62,38 @@ class BpeSpec extends SparkSpec {
     assert(out == ((1L, 3L, 10L, 1L)))
   }
 
+  test("encodeIds: dense lexicographic vocab, exact long-format ids, unk marking") {
+    // 5 merges on the textbook corpus leave "low" fully merged as
+    // symbols: low -> ["low", "</w>"]  (merges: es, est, est</w>, lo, low)
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).map(Tuple1(_)).toDF("text")
+    val (_, lexicon) = Bpe.trainModel(docs, col("text"), numMerges = 5)
+    // vocab = sorted distinct symbols of the lexicon
+    val vocab = lexicon.select(explode(split(col("syms"), " ")).as("s"))
+      .distinct().as[String].collect().sorted
+    val symId = vocab.zipWithIndex.toMap
+    val enc = Bpe.encodeIds(
+        Seq((1L, "low"), (2L, "low zzz")).toDF("id", "text"),
+        col("id"), col("text"), lexicon)
+      .orderBy("id", "word_pos", "sym_pos")
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    // doc 1: "low" -> lexicon syms, every id resolvable, none unk
+    val d1 = enc.filter(_._1 == 1L)
+    assert(d1.map(_._4) == lexicon.filter(col("w") === "low")
+      .select(split(col("syms"), " ")).as[Seq[String]].head()
+      .map(s => symId(s).toLong))
+    assert(d1.forall(!_._5))
+    // doc 2's "zzz" is OOV: char fallback z z z </w>; 'z' is not in
+    // the training alphabet -> unk id = |vocab|, flagged
+    val d2z = enc.filter(t => t._1 == 2L && t._2 == 1)
+    assert(d2z.length == 4)
+    assert(d2z.take(3).forall(t => t._4 == vocab.length.toLong && t._5))
+    // the fallback's "</w>" IS in the vocab -> real id, not unk
+    assert(d2z.last._4 == symId("</w>").toLong && !d2z.last._5)
+  }
+
   test("train is deterministic and stops when no pair clears minPairFreq") {
     val docs = Seq("unique words only here", "unique words only here")
       .map(Tuple1(_)).toDF("text")
