@@ -299,6 +299,53 @@ object EventStreams {
     * Input needs a TimestampType `ts` column (for the watermark) plus
     * the Event fields.
     */
+  case class PackIn(id: Long, shard: Long, order_key: Long, n_tokens: Long)
+  case class PackOut(
+      id: Long, shard: Long, n_tokens: Long, seq_id: Long, tok_offset: Long)
+
+  /** E10: STREAMING sequence packing — the stateful twin of
+    * [[graft.operators.Packing.packSequences]]: documents arriving on
+    * a stream take (shard-local) sequence ids under a token budget,
+    * with per-shard state = ONE long (the cumulative token count) —
+    * O(1) state per shard, no watermark needed (nothing is ever
+    * evicted; the counter is the whole history).
+    *
+    * Ordering contract: concat-then-chunk is order-DEFINED, so the
+    * stream must deliver each shard's docs in `order_key` order
+    * across batches (the shape of an append-only ingest with a
+    * monotonic id/arrival key — within a batch rows are sorted here,
+    * enforcing it per batch). That contract given, the assignment is
+    * IDENTICAL to the batch operator's — which is what the spec
+    * proves across multi-batch delivery.
+    *
+    * Input columns: (id, shard, order_key, n_tokens).
+    * Output: (id, shard, n_tokens, seq_id, tok_offset).
+    */
+  def packStream(docs: DataFrame, budget: Long): Dataset[PackOut] = {
+    require(budget > 0, "budget must be positive")
+    implicit val inEnc = Encoders.product[PackIn]
+    implicit val outEnc = Encoders.product[PackOut]
+    implicit val longEnc = Encoders.scalaLong
+    docs.select(col("id").cast("long"), col("shard").cast("long"),
+        col("order_key").cast("long"), col("n_tokens").cast("long"))
+      .as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[PackIn], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          // per-batch sort enforces the order contract within the
+          // batch; bounded by micro-batch size, not corpus size
+          val out = rows.toSeq.sortBy(_.order_key).map { r =>
+            val o = PackOut(r.id, shard, r.n_tokens, cum / budget, cum % budget)
+            cum += r.n_tokens
+            o
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   def sessionize(
       events: DataFrame,
       gapUs: Long = 43200000000L,

@@ -486,6 +486,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E10 packStream: per-shard token counters persist across batches, equals batch packer") {
+    val docs = (0L until 200L).map(i => (i, i % 4, i, (i * 37) % 300 + 1))
+    val input = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q = EventStreams.packStream(
+        input.toDF().toDF("id", "shard", "order_key", "n_tokens"), budget = 512L)
+      .writeStream.format("memory").queryName("e10_out").outputMode("append").start()
+    try {
+      // two batches split mid-stream: shard counters must carry over
+      input.addData(docs.take(120))
+      q.processAllAvailable()
+      input.addData(docs.drop(120))
+      q.processAllAvailable()
+      val streamed = spark.table("e10_out")
+        .select("id", "shard", "seq_id", "tok_offset")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Packing.packSequences(
+          docs.toDF("id", "shard", "order_key", "n_tokens"),
+          col("shard"), Seq(col("order_key")), col("n_tokens"), budget = 512)
+        .select("id", "shard", "seq_id", "tok_offset")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"onlyStream=${(streamed -- batch).take(5)} onlyBatch=${(batch -- streamed).take(5)}")
+      assert(streamed.size == 200)
+    } finally q.stop()
+  }
+
   test("E9 curateStream: stateless quality/lang/blocklist gate, stream == batch") {
     val good = "the quick brown fox jumps over the lazy dog and runs far away today"
     val rows = Seq(
