@@ -200,6 +200,77 @@ object Profile {
       .drop("__g", "__mg", "__mean", "__std")
   }
 
+  /** ROBUST per-group standardization — median/MAD instead of
+    * mean/stddev ([[standardize]]): a handful of extreme outliers
+    * moves the mean and inflates the stddev (masking the very rows
+    * you're scoring), while the median and the median absolute
+    * deviation ignore them — the outlier-scoring scaler that still
+    * works ON data containing outliers. z_robust =
+    * (x − median) / (1.4826·MAD), the normal-consistency constant, so
+    * thresholds carry over from the z-score world.
+    *
+    * Shape at scale: two exact-percentile passes by construction (the
+    * deviation needs the median first), each a tiny per-group frame
+    * broadcast back. Degenerate groups (MAD = 0) and null values
+    * score 0, 4-dp toward-zero truncation ([[Stats.twoSampleZ]]'s
+    * symmetric-gate contract). Adds `z_robust`.
+    */
+  def robustStandardize(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def t4(c: Column): Column = Num.t4zero(c)
+    val d = df.withColumn("__g", group)
+    val med = d.groupBy("__g").agg(percentile(value, lit(0.5)).as("__med"))
+    val withMed = d.join(broadcast(med.withColumnRenamed("__g", "__mg")),
+      col("__g") <=> col("__mg"))
+    val mad = withMed.groupBy("__g").agg(
+      percentile(abs(value - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad.withColumnRenamed("__g", "__ag")),
+        col("__g") <=> col("__ag"))
+      .withColumn("z_robust",
+        when(value.isNull || col("__mad") === 0.0 || col("__mad").isNull, lit(0.0))
+          .otherwise(t4((value - col("__med")) / (col("__mad") * 1.4826))))
+      .drop("__g", "__mg", "__ag", "__med", "__mad")
+  }
+
+  /** Population Stability Index between two snapshots of a metric —
+    * THE model-monitoring drift number ("has the serving distribution
+    * left the training distribution?"): both sides bin into the same
+    * fixed-width grid ([[histogram]]'s clamped bins), and
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i) over bin shares. Laplace-smoothed
+    * shares ((n_i + 0.5) / (N + 0.5·k)) keep empty bins finite — the
+    * usual convention, documented rather than silent. Rule of thumb:
+    * < 0.1 stable, 0.1-0.25 drifting, > 0.25 act.
+    *
+    * Shape at scale: one partial-aggregated bin count per side
+    * (O(nBins) results regardless of input), a bin-keyed outer join of
+    * two ≤ nBins-row frames, one sum — driver-trivial after the scans.
+    * Returns ONE row (n_before, n_after, psi), psi 6-dp truncated.
+    */
+  def psi(
+      before: DataFrame,
+      after: DataFrame,
+      value: Column,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    val hb = histogram(before, value, lo, hi, nBins).select(col("bin"), col("n").as("nb"))
+    val ha = histogram(after, value, lo, hi, nBins).select(col("bin"), col("n").as("na"))
+    val joined = hb.join(ha, Seq("bin"), "full_outer")
+      .select(coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("na"), lit(0L)).as("na"))
+    val tot = joined.agg(sum(col("nb")).as("tb"), sum(col("na")).as("ta"))
+    val k = lit(nBins.toDouble)
+    val p = (col("nb") + 0.5) / (col("tb") + lit(0.5) * k)
+    val q = (col("na") + 0.5) / (col("ta") + lit(0.5) * k)
+    // per-bin terms truncate at 9 dp and sum over EXACT decimals: a
+    // raw double sum would depend on which partition adds first, and
+    // 6-dp floor sits one ulp away from flipping on a bad day
+    joined.crossJoin(broadcast(tot))
+      .select(col("tb"), col("ta"),
+        (floor(((p - q) * log(p / q)) * 1e9) / 1e9).cast("decimal(28,9)").as("__term"))
+      .groupBy("tb", "ta")
+      .agg((floor(sum(col("__term")).cast("double") * 1e6) / 1e6).as("psi"))
+      .select(col("tb").as("n_before"), col("ta").as("n_after"), col("psi"))
+  }
+
   /** Mergeable per-group distinct-count sketches (Datasketches HLL) —
     * the incremental-statistics pattern at 100 TB: each arriving shard
     * builds its own tiny binary sketch (this method), the sketches are

@@ -127,6 +127,82 @@ object ProfileQueries {
         .orderBy("o_orderkey")
     },
 
+    // C48: robust (median/MAD) standardization — outlier scoring that
+    // works on data containing outliers; exact percentiles are the
+    // proven cross-engine surface (boxplot/winsorize), the z
+    // derivation replays with explicit DOUBLE casts and toward-zero
+    // truncation.
+    Q(
+      "q_robust_z",
+      """WITH med AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+        |  FROM orders JOIN med ON o_orderpriority = med.grp GROUP BY 1)
+        |SELECT o_orderkey,
+        |  CASE WHEN mad.mad = 0.0 THEN 0.0 ELSE
+        |    sign((o_totalprice - med) / (mad.mad * CAST(1.4826 AS DOUBLE))) *
+        |    (floor(abs((o_totalprice - med) / (mad.mad * CAST(1.4826 AS DOUBLE))) * 1e4) / 1e4)
+        |    + 0.0 END AS z_robust
+        |FROM orders
+        |JOIN med ON o_orderpriority = med.grp
+        |JOIN mad ON o_orderpriority = mad.grp
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      Profile.robustStandardize(table(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .select("o_orderkey", "z_robust")
+        .orderBy("o_orderkey")
+    },
+
+    // C49: Population Stability Index — the model-monitoring drift
+    // number between two snapshots over a shared fixed-width grid;
+    // Laplace-smoothed shares, exact integer bin counts, identical
+    // IEEE formula both engines, 6-dp truncation.
+    Q(
+      "q_psi",
+      """WITH pre AS (SELECT o_totalprice AS v FROM orders),
+        |post AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * CAST(1.15 AS DOUBLE)
+        |              ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |hb AS (
+        |  SELECT CAST(least(19, greatest(0, floor((v - 0.0) / CAST(30000.0 AS DOUBLE)))) AS INT) AS bin,
+        |    count(*) AS nb
+        |  FROM pre GROUP BY 1),
+        |ha AS (
+        |  SELECT CAST(least(19, greatest(0, floor((v - 0.0) / CAST(30000.0 AS DOUBLE)))) AS INT) AS bin,
+        |    count(*) AS na
+        |  FROM post GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(nb, 0) AS nb, coalesce(na, 0) AS na
+        |  FROM hb FULL OUTER JOIN ha USING (bin)),
+        |t AS (SELECT sum(nb) AS tb, sum(na) AS ta FROM j),
+        |terms AS (
+        |  SELECT tb, ta,
+        |    CAST(floor(
+        |      ((nb + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * 20.0)
+        |        - (na + CAST(0.5 AS DOUBLE)) / (ta + CAST(0.5 AS DOUBLE) * 20.0))
+        |      * ln(((nb + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * 20.0))
+        |        / ((na + CAST(0.5 AS DOUBLE)) / (ta + CAST(0.5 AS DOUBLE) * 20.0)))
+        |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS term
+        |  FROM j CROSS JOIN t)
+        |SELECT CAST(tb AS BIGINT) AS n_before, CAST(ta AS BIGINT) AS n_after,
+        |  floor(CAST(sum(term) AS DOUBLE) * 1e6) / 1e6 AS psi
+        |FROM terms
+        |GROUP BY tb, ta""".stripMargin
+    ) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val post = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 1.15)
+          .otherwise(col("o_totalprice")).as("v"))
+      Profile.psi(o.select(col("o_totalprice").as("v")), post,
+        col("v"), lo = 0.0, hi = 600000.0, nBins = 20)
+    },
+
     // C39: one-pass Pearson correlation matrix — all pairs from one
     // aggregation; the oracle replays the identical decimal-sum /
     // double-derivation formula (not DuckDB's own corr(), whose

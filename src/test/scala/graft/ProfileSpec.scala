@@ -205,6 +205,39 @@ class ProfileSpec extends SparkSpec {
     assert(out(null) == null)
   }
 
+  test("robustStandardize: MAD scoring flags the outlier classic z masks") {
+    import graft.operators.Profile
+    // 9 values near 10 plus one wild outlier: median 10, MAD 1 ->
+    // z_robust(1000) huge; the outlier can't inflate its own yardstick
+    val vals = Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val out = Profile.robustStandardize(df, col("grp"), col("v"))
+      .select("id", "z_robust").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(9L) > 100.0, s"outlier z_robust ${out(9L)}")
+    // inliers stay small
+    assert((0L to 8L).forall(i => math.abs(out(i)) < 3.0), s"got $out")
+    // classic standardize, for contrast: the outlier inflates stddev so
+    // much its own z stays small — the masking robust scoring avoids
+    val classic = Profile.standardize(df, col("grp"), col("v"))
+      .filter(col("id") === 9L).select("z").head().getDouble(0)
+    assert(classic < 3.0, s"classic z $classic unexpectedly large")
+  }
+
+  test("psi: identical snapshots read ~0, a hard shift clears the 0.25 action line") {
+    import graft.operators.Profile
+    val base = (0 until 1000).map(i => Tuple1((i % 100).toDouble)).toDF("v")
+    val same = Profile.psi(base, base, col("v"), lo = 0, hi = 100, nBins = 10)
+      .head().getDouble(2)
+    assert(math.abs(same) < 1e-9, s"identical snapshots psi $same")
+    val shifted = (0 until 1000).map(i => Tuple1((i % 100).toDouble / 2))
+      .toDF("v")
+    val drift = Profile.psi(base, shifted, col("v"), lo = 0, hi = 100, nBins = 10)
+      .head().getDouble(2)
+    assert(drift > 0.25, s"hard shift psi $drift")
+  }
+
   test("tokenEntropy: uniform distribution gives ln(k), degenerate gives 0") {
     val df = Seq(
       ("u", "a b c d"),     // 4 distinct, uniform -> ln(4)
