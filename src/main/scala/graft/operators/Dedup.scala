@@ -276,14 +276,6 @@ object Dedup {
       .select("shard_id", "corpus_id", "est_jaccard")
   }
 
-  /** SimHash near-duplicate pairs within a Hamming radius.
-    *
-    * 64-bit SimHash signature (custom Catalyst Expression) blocked on
-    * four 16-bit chunks: by pigeonhole, any pair within Hamming
-    * distance ≤ 3 shares at least one exact chunk, so the candidate
-    * join is chunk-local, never cartesian. Exact distance via
-    * bit_count(xor).
-    */
   /** The persistable SimHash artifact: (id, sig) — store it like
     * [[fingerprintIndex]] / [[minHashSignatures]] and new shards sign
     * only themselves ([[simHashIncremental]]).
@@ -294,6 +286,14 @@ object Dedup {
       .select(col("id"),
         graft.functions.SimHash64.simhash64(tokens(col("__text")), seed).as("sig"))
 
+  /** SimHash near-duplicate pairs within a Hamming radius.
+    *
+    * 64-bit SimHash signature (custom Catalyst Expression) blocked on
+    * four 16-bit chunks ([[hammingPairs]]): by pigeonhole, any pair
+    * within Hamming distance ≤ 3 shares at least one exact chunk, so
+    * the candidate join is chunk-local, never cartesian. Exact
+    * distance via bit_count(xor).
+    */
   def simHash(
       df: DataFrame,
       id: Column,

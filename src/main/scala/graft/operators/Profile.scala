@@ -16,8 +16,8 @@ object Profile {
   /** Order-insensitive content digest of selected columns — the
     * cross-snapshot equality check behind every migration/backfill
     * sign-off ("did the rewrite produce the same table?"). Each row
-    * hashes to a 60-bit integer (md5 of a null-sentineled, \\u0001-
-    * joined value rendering — 15 hex chars so it fits a signed 64-bit
+    * hashes to a 60-bit integer (md5 of a length-prefixed field
+    * rendering — 15 hex chars so it fits a signed 64-bit
     * lane in ANY engine), and the digest is the EXACT decimal sum of
     * row hashes plus the row count: commutative, so partitioning and
     * row order never matter, and duplicates don't cancel the way a
@@ -27,8 +27,18 @@ object Profile {
     */
   def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "digest needs at least one column")
+    // LENGTH-PREFIXED field rendering ("3:abc", null -> "n"): a bare
+    // delimiter join is injectable — ("ab","c") and ("a","bc") with a
+    // delimiter-bearing value would render identically — and any
+    // null-sentinel STRING collides with a real value equal to it;
+    // length prefixes pin every field boundary unambiguously, in any
+    // engine
     val rendered = concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      cols.map { c =>
+        when(col(c).isNull, lit("n")).otherwise(
+          concat(length(col(c).cast("string")).cast("string"), lit(":"),
+            col(c).cast("string")))
+      }: _*)
     val rowHash = conv(substring(md5(rendered), 1, 15), 16, 10).cast("decimal(20,0)")
     df.agg(
       count(lit(1)).as("n_rows"),
@@ -254,8 +264,18 @@ object Profile {
       nBins: Int): DataFrame = {
     val hb = histogram(before, value, lo, hi, nBins).select(col("bin"), col("n").as("nb"))
     val ha = histogram(after, value, lo, hi, nBins).select(col("bin"), col("n").as("na"))
-    val joined = hb.join(ha, Seq("bin"), "full_outer")
+    // join onto the COMPLETE grid: histogram omits empty bins, but a
+    // bin empty on both sides still carries a nonzero smoothed term
+    // when the totals differ — dropping it would understate the
+    // documented sum over all k bins. localCheckpoint: the <=nBins-row
+    // frame feeds the totals AND the final sum; without it both
+    // snapshot scans would run twice.
+    val grid = before.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val joined = grid
+      .join(hb, Seq("bin"), "left").join(ha, Seq("bin"), "left")
       .select(coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("na"), lit(0L)).as("na"))
+      .localCheckpoint()
     val tot = joined.agg(sum(col("nb")).as("tb"), sum(col("na")).as("ta"))
     val k = lit(nBins.toDouble)
     val p = (col("nb") + 0.5) / (col("tb") + lit(0.5) * k)
@@ -356,11 +376,16 @@ object Profile {
     val bounds = d.groupBy("__grp").agg(
       percentile(value, lit(loQ)).as("__lo"),
       percentile(value, lit(hiQ)).as("__hi"))
-    d.join(broadcast(bounds), "__grp")
+    // null-safe join (standardize's contract): groupBy produced a
+    // bounds row for the null group too, and a plain equi-join would
+    // silently drop every null-group input row — in an operator whose
+    // whole point is "clamp, don't drop"
+    d.join(broadcast(bounds.withColumnRenamed("__grp", "__bg")),
+        col("__grp") <=> col("__bg"))
       .withColumn("v_winsorized",
         when(value.isNull, lit(null))
           .otherwise(Num.t4floor(least(greatest(value, col("__lo")), col("__hi")))))
-      .drop("__grp", "__lo", "__hi")
+      .drop("__grp", "__bg", "__lo", "__hi")
   }
 
   /** Schema + content drift between two snapshots of "the same" table

@@ -104,7 +104,10 @@ object Stats {
       (col("__ss").cast("double") - col("__s").cast("double") * col("__s").cast("double") / n)
         / (n - 1))
     val std = sqrt(variance)
-    val z = when(col("__n") < minPeriods || std === 0.0, lit(0.0))
+    // null values score 0 like every sibling scaler (standardize /
+    // robustStandardize): a null z would poison `anomaly` into
+    // three-valued logic and NPE primitive collectors
+    val z = when(col("__v").isNull || col("__n") < minPeriods || std === 0.0, lit(0.0))
       .otherwise(t4((col("__v") - mean) / std))
     d.withColumn("baseline_n", col("__n"))
       .withColumn("z", z)

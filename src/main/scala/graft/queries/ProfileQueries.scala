@@ -50,12 +50,12 @@ object ProfileQueries {
       "q_table_digest",
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
-        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
-        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
-        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
-        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
-        |    coalesce(l_returnflag, chr(2)),
-        |    coalesce(l_linestatus, chr(2)))), 1, 15) AS BIGINT)
+        |    CASE WHEN l_orderkey IS NULL THEN 'n' ELSE length(CAST(l_orderkey AS VARCHAR)) || ':' || CAST(l_orderkey AS VARCHAR) END,
+        |    CASE WHEN l_partkey IS NULL THEN 'n' ELSE length(CAST(l_partkey AS VARCHAR)) || ':' || CAST(l_partkey AS VARCHAR) END,
+        |    CASE WHEN l_suppkey IS NULL THEN 'n' ELSE length(CAST(l_suppkey AS VARCHAR)) || ':' || CAST(l_suppkey AS VARCHAR) END,
+        |    CASE WHEN l_linenumber IS NULL THEN 'n' ELSE length(CAST(l_linenumber AS VARCHAR)) || ':' || CAST(l_linenumber AS VARCHAR) END,
+        |    CASE WHEN l_returnflag IS NULL THEN 'n' ELSE length(l_returnflag) || ':' || l_returnflag END,
+        |    CASE WHEN l_linestatus IS NULL THEN 'n' ELSE length(l_linestatus) || ':' || l_linestatus END)), 1, 15) AS BIGINT)
         |    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS digest
         |FROM lineitem""".stripMargin
     ) { (s, dir) =>
@@ -177,9 +177,10 @@ object ProfileQueries {
         |  SELECT CAST(least(19, greatest(0, floor((v - 0.0) / CAST(30000.0 AS DOUBLE)))) AS INT) AS bin,
         |    count(*) AS na
         |  FROM post GROUP BY 1),
+        |grid AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS bin),
         |j AS (
         |  SELECT coalesce(nb, 0) AS nb, coalesce(na, 0) AS na
-        |  FROM hb FULL OUTER JOIN ha USING (bin)),
+        |  FROM grid LEFT JOIN hb USING (bin) LEFT JOIN ha USING (bin)),
         |t AS (SELECT sum(nb) AS tb, sum(na) AS ta FROM j),
         |terms AS (
         |  SELECT tb, ta,

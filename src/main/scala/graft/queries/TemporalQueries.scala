@@ -344,8 +344,6 @@ object TemporalQueries {
         .orderBy("cohort", "week_offset")
     },
 
-    // C26: interval-OVERLAP join (both sides are intervals, unlike
-    // C20's point-in-interval) — order activity windows × promo
     // C47: rolling z-score anomaly flags over hourly per-type event
     // volumes — each bucket scored against its trailing 24 buckets'
     // exact-decimal moments; z truncated 4 dp toward zero (the
@@ -400,6 +398,8 @@ object TemporalQueries {
         .orderBy("event_type", "bucket_s")
     },
 
+    // C26: interval-OVERLAP join (both sides are intervals, unlike
+    // C20's point-in-interval) — order activity windows × promo
     // windows. The oracle states the plain two-sided inequality join;
     // the Spark side must match it exactly through the dual-binned
     // equi-join with the canonical-bin dedup (one output row per

@@ -199,9 +199,6 @@ object Tables {
     r.select(input_file_name().as("source_file"), col("value").as("text"))
   }
 
-  /** ORC read/write — the other columnar format large lakes standardize
-    * on; built into Spark, same pushdown/pruning story as parquet.
-    */
   /** Schema-evolution read: parquet shards written over a schema's
     * lifetime (columns added release by release) union into ONE frame
     * — `mergeSchema` reconciles per-file footers, old shards surface
@@ -215,6 +212,9 @@ object Tables {
   def loadEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** ORC read/write — the other columnar format large lakes standardize
+    * on; built into Spark, same pushdown/pruning story as parquet.
+    */
   def loadOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -147,8 +147,14 @@ object EventStreams {
       .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
     if (blockedDomains.isEmpty) gated
     else {
-      val pat = blockedDomains.map(d =>
-        java.util.regex.Pattern.quote(d.toLowerCase)).mkString("[ .](", "|", ") ")
+      // dropBlockedDomains' exact semantics, compiled: a >=2-label
+      // entry matches as a dot-suffix or whole host ("[ .]d "), a
+      // single-label entry matches the WHOLE host only (" d ") — so a
+      // TLD-only entry can't wipe the corpus here either
+      val pat = blockedDomains.map { d =>
+        val q = java.util.regex.Pattern.quote(d.toLowerCase)
+        if (d.contains(".")) s"[ .]$q " else s" $q "
+      }.mkString("|")
       val hosts = concat(lit(" "),
         array_join(graft.operators.TextMetrics.urlDomains(text), " "), lit(" "))
       gated.filter(!hosts.rlike(pat))

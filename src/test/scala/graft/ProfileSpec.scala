@@ -195,6 +195,10 @@ class ProfileSpec extends SparkSpec {
     import graft.operators.Profile
     // group g: values 0..100 -> p05 = 5.0, p95 = 95.0 exactly
     val rows = (0 to 100).map(i => ("g", Some(i.toDouble))) :+ (("g", None: Option[Double]))
+    // a NULL-group row must survive the bounds join (clamp, don't drop)
+    val withNullGrp = rows.toDF("grp", "v").unionByName(
+      Seq((None: Option[String], Some(42.0))).toDF("grp", "v"))
+    assert(Profile.winsorize(withNullGrp, col("grp"), col("v")).count() == 103)
     val out = Profile.winsorize(rows.toDF("grp", "v"), col("grp"), col("v"))
       .select("v", "v_winsorized").collect()
       .map(r => (if (r.isNullAt(0)) null else r.getDouble(0)) ->

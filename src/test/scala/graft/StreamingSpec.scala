@@ -538,6 +538,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E9 blocklist: a TLD-only entry matches whole hosts only, never as a suffix") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val rows = Seq(
+      (1L, good + " via https://safe.example.com/a"), // .com SUFFIX: must survive
+      (2L, good + " via http://com/b"))               // whole host "com": blocked
+    // curateStream runs identically on batch frames — assert there
+    val kept = EventStreams.curateStream(
+        rows.toDF("doc_id", "text"), "text", minQuality = 0.5, Seq("com"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"got $kept")
+  }
+
   test("E9 curateStream on real documents: stream == batch survivors") {
     val d = sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(200)
