@@ -291,6 +291,63 @@ object Profile {
       .select(col("tb").as("n_before"), col("ta").as("n_after"), col("psi"))
   }
 
+  /** PER-GROUP [[psi]] — drift monitored per source/domain/language
+    * rather than corpus-wide, so one shifted crawl can't hide inside
+    * a stable aggregate (nor drag a drift alarm over every healthy
+    * source). Same contract as psi (shared clamped grid, Laplace
+    * smoothing over the COMPLETE grid, 9-dp decimal term sums, 6-dp
+    * truncated psi); a group present on only one side still reports a
+    * row — there `n_after = 0` (or `n_before = 0`) IS the alarm, not
+    * the psi value: an empty side smooths to the uniform distribution,
+    * so its psi measures only the populated side's divergence from
+    * uniform (≈ 0 if that side is itself uniform). Gate on the counts
+    * first, the score second. Returns (grp, n_before, n_after, psi).
+    *
+    * Shape at scale: one (group, bin) partial-aggregated count per
+    * side — O(groups·nBins) results regardless of input — and the
+    * term/sum arithmetic runs on that small frame.
+    */
+  def psiByGroup(
+      before: DataFrame,
+      after: DataFrame,
+      group: Column,
+      value: Column,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    def binned(df: DataFrame, alias: String) = {
+      val bin = least(lit((nBins - 1).toLong),
+        greatest(lit(0L), floor((value - lo) / w))).cast("int")
+      df.filter(value.isNotNull)
+        .groupBy(group.as("grp"), bin.as("bin"))
+        .agg(count(lit(1)).as(alias))
+    }
+    val hb = binned(before, "nb")
+    val ha = binned(after, "na")
+    // complete grid: every group seen on either side × every bin
+    val groups = hb.select(col("grp")).unionByName(ha.select(col("grp"))).distinct()
+    val grid = groups.crossJoin(
+      before.sparkSession.range(nBins).select(col("id").cast("int").as("bin")))
+    val joined = grid
+      .join(hb, Seq("grp", "bin"), "left").join(ha, Seq("grp", "bin"), "left")
+      .select(col("grp"),
+        coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("na"), lit(0L)).as("na"))
+      .localCheckpoint()
+    val tot = joined.groupBy("grp")
+      .agg(sum(col("nb")).as("tb"), sum(col("na")).as("ta"))
+    val k = lit(nBins.toDouble)
+    val p = (col("nb") + 0.5) / (col("tb") + lit(0.5) * k)
+    val q = (col("na") + 0.5) / (col("ta") + lit(0.5) * k)
+    joined.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("tb"), col("ta"),
+        (floor(((p - q) * log(p / q)) * 1e9) / 1e9).cast("decimal(28,9)").as("__term"))
+      .groupBy("grp", "tb", "ta")
+      .agg((floor(sum(col("__term")).cast("double") * 1e6) / 1e6).as("psi"))
+      .select(col("grp"), col("tb").as("n_before"), col("ta").as("n_after"), col("psi"))
+  }
+
   /** Mergeable per-group distinct-count sketches (Datasketches HLL) —
     * the incremental-statistics pattern at 100 TB: each arriving shard
     * builds its own tiny binary sketch (this method), the sketches are

@@ -204,6 +204,63 @@ object ProfileQueries {
         col("v"), lo = 0.0, hi = 600000.0, nBins = 20)
     },
 
+    // C49b: per-SOURCE PSI — drift localized to the crawl that moved:
+    // src3 vanishes from the after-snapshot (maximal drift), src5's
+    // lengths double (large drift), every other source reads ~0.
+    Q(
+      "q_psi_by_source",
+      """WITH pre AS (
+        |  SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |post AS (
+        |  SELECT source AS grp,
+        |    CASE WHEN source = 'src5' THEN CAST(n_chars * 2 AS DOUBLE)
+        |         ELSE CAST(n_chars AS DOUBLE) END AS v
+        |  FROM documents WHERE source <> 'src3'),
+        |hb AS (
+        |  SELECT grp, CAST(least(15, greatest(0,
+        |    floor((v - 0.0) / CAST(50.0 AS DOUBLE)))) AS INT) AS bin,
+        |    count(*) AS nb
+        |  FROM pre GROUP BY 1, 2),
+        |ha AS (
+        |  SELECT grp, CAST(least(15, greatest(0,
+        |    floor((v - 0.0) / CAST(50.0 AS DOUBLE)))) AS INT) AS bin,
+        |    count(*) AS na
+        |  FROM post GROUP BY 1, 2),
+        |groups AS (
+        |  SELECT DISTINCT grp FROM (
+        |    SELECT grp FROM hb UNION ALL SELECT grp FROM ha)),
+        |grid AS (
+        |  SELECT grp, CAST(unnest(range(0, 16)) AS INT) AS bin FROM groups),
+        |j AS (
+        |  SELECT grp, bin, coalesce(nb, 0) AS nb, coalesce(na, 0) AS na
+        |  FROM grid LEFT JOIN hb USING (grp, bin) LEFT JOIN ha USING (grp, bin)),
+        |t AS (SELECT grp, sum(nb) AS tb, sum(na) AS ta FROM j GROUP BY 1),
+        |terms AS (
+        |  SELECT j.grp, tb, ta,
+        |    CAST(floor(
+        |      ((nb + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * 16.0)
+        |        - (na + CAST(0.5 AS DOUBLE)) / (ta + CAST(0.5 AS DOUBLE) * 16.0))
+        |      * ln(((nb + CAST(0.5 AS DOUBLE)) / (tb + CAST(0.5 AS DOUBLE) * 16.0))
+        |        / ((na + CAST(0.5 AS DOUBLE)) / (ta + CAST(0.5 AS DOUBLE) * 16.0)))
+        |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS term
+        |  FROM j JOIN t USING (grp))
+        |SELECT grp, CAST(tb AS BIGINT) AS n_before, CAST(ta AS BIGINT) AS n_after,
+        |  floor(CAST(sum(term) AS DOUBLE) * 1e6) / 1e6 AS psi
+        |FROM terms
+        |GROUP BY grp, tb, ta
+        |ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val pre = d.select(col("source"), col("n_chars").cast("double").as("v"))
+      val post = d.filter(col("source") =!= "src3")
+        .select(col("source"),
+          when(col("source") === "src5", (col("n_chars") * 2).cast("double"))
+            .otherwise(col("n_chars").cast("double")).as("v"))
+      Profile.psiByGroup(pre, post, col("source"), col("v"),
+          lo = 0.0, hi = 800.0, nBins = 16)
+        .orderBy("grp")
+    },
+
     // C39: one-pass Pearson correlation matrix — all pairs from one
     // aggregation; the oracle replays the identical decimal-sum /
     // double-derivation formula (not DuckDB's own corr(), whose

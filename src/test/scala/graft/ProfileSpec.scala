@@ -242,6 +242,25 @@ class ProfileSpec extends SparkSpec {
     assert(drift > 0.25, s"hard shift psi $drift")
   }
 
+  test("psiByGroup: drift localizes to the group that moved; one-sided groups report") {
+    import graft.operators.Profile
+    val pre = (0 until 300).map(i => (s"s${i % 3}", (i % 100).toDouble)).toDF("grp", "v")
+    // s0 unchanged, s1 shifted hard, s2 missing entirely from `after`
+    val post = (0 until 300).map(i => (s"s${i % 3}", (i % 100).toDouble))
+      .filter(_._1 != "s2")
+      .map { case (g, v) => (g, if (g == "s1") v / 2 else v) }
+      .toDF("grp", "v")
+    val out = Profile.psiByGroup(pre, post, col("grp"), col("v"),
+        lo = 0, hi = 100, nBins = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(math.abs(out("s0")._2) < 1e-9, s"stable group drifted: ${out("s0")}")
+    assert(out("s1")._2 > 0.25, s"shifted group under-reported: ${out("s1")}")
+    // a vanished group's ALARM is n_after = 0 (an empty side smooths to
+    // uniform, so its psi only measures the before-side's shape — the
+    // operator doc gates on counts first, score second)
+    assert(out("s2")._1 == 0L, s"vanished group: ${out("s2")}")
+  }
+
   test("tokenEntropy: uniform distribution gives ln(k), degenerate gives 0") {
     val df = Seq(
       ("u", "a b c d"),     // 4 distinct, uniform -> ln(4)
