@@ -71,4 +71,17 @@ object UnicodeNormalize {
 
   def nfc(text: Column): Column = normalize(text, "NFC")
   def nfkc(text: Column): Column = normalize(text, "NFKC")
+
+  /** Accent/diacritic folding — the classic normalization for
+    * accent-bearing corpora (the reference's domain is Portuguese:
+    * "ação" and "acao" must dedup/join as one key): NFD decomposition
+    * splits every accented letter into base + combining marks, and one
+    * codegen'd regexp drops the marks (\p{M}). Case is preserved;
+    * non-decomposable letterforms (ø, ł) pass through — this is accent
+    * REMOVAL, not transliteration. Matches DuckDB's `strip_accents` on
+    * decomposable text, which is what the oracle pins.
+    */
+  def stripAccents(text: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      normalize(text, "NFD"), "\\p{M}", "")
 }

@@ -294,6 +294,25 @@ object TextQueries {
     // decorated with DECOMPOSED sequences (e + U+0301, n + U+0303);
     // NFC must compose them (é, ñ): code-point count drops by exactly
     // 2 and the md5 fingerprints must agree byte-for-byte with
+    // B21: accent/diacritic folding — the Portuguese-corpus
+    // normalization the reference's domain runs on (ação == acao as a
+    // join/dedup key): NFD + drop combining marks vs DuckDB's native
+    // strip_accents, byte-identical on decomposable text.
+    Q(
+      "q_strip_accents",
+      """SELECT doc_id,
+        |  strip_accents(text || ' ação café coração àéõü ELÉTRICA') AS folded,
+        |  md5(strip_accents(text || ' ação café coração àéõü ELÉTRICA')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = concat(col("text"), lit(" ação café coração àéõü ELÉTRICA"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.UnicodeNormalize.stripAccents(planted).as("folded"),
+          md5(graft.functions.UnicodeNormalize.stripAccents(planted)).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // DuckDB's nfc_normalize.
     Q(
       "q_nfc_normalize", {

@@ -218,6 +218,20 @@ class TextMetricsSpec extends SparkSpec {
     assert(kept == Set(3L, 6L, 7L), s"got $kept")
   }
 
+  test("stripAccents folds diacritics, preserves case, leaves non-decomposables alone") {
+    import graft.functions.UnicodeNormalize.stripAccents
+    val out = Seq(
+      (1L, "ação ELÉTRICA café"),
+      (2L, "cafe\u0301"), // ALREADY-decomposed combining-mark input
+      (3L, "høj łódź"))         // ø and ł do not decompose: accent removal, not transliteration
+      .toDF("id", "t")
+      .select($"id", stripAccents($"t").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "acao ELETRICA cafe")
+    assert(out(2L) == "cafe")
+    assert(out(3L) == "høj łodz")
+  }
+
   test("UnicodeNormalize composes, folds compatibility forms, and is idempotent") {
     import spark.implicits._
     import graft.functions.UnicodeNormalize.{nfc, nfkc}
