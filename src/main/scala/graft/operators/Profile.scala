@@ -24,6 +24,13 @@ object Profile {
     * XOR-fold digest silently would. One partial-aggregated scan, no
     * shuffle beyond the single-row reduce. Two tables are content-
     * equal iff (n_rows, digest) match.
+    *
+    * The digest is RETURNED AS A DECIMAL STRING, not DECIMAL(38,0):
+    * int128-class output types serialize differently across engines
+    * (Arrow decimal128 vs engine-native renderings) even when values
+    * agree, which broke cross-engine comparison in round 4. A plain
+    * base-10 string of the same exact integer is portable everywhere
+    * and still supports the only operation a digest needs: equality.
     */
   def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "digest needs at least one column")
@@ -42,7 +49,7 @@ object Profile {
     val rowHash = conv(substring(md5(rendered), 1, 15), 16, 10).cast("decimal(20,0)")
     df.agg(
       count(lit(1)).as("n_rows"),
-      sum(rowHash).cast("decimal(38,0)").as("digest"))
+      sum(rowHash).cast("decimal(38,0)").cast("string").as("digest"))
   }
 
   /** Row-level reconciliation of two snapshots sharing a key — the

@@ -45,18 +45,21 @@ object ProfileQueries {
     // lanes exactly; any row difference moves the digest. Doubles /
     // timestamps are deliberately excluded: float STRING RENDERING is
     // engine-specific, which is a caller contract documented on the
-    // operator (cast to decimal first).
+    // operator (cast to decimal first). The digest travels as a
+    // decimal STRING on both sides: int128-width output types
+    // (DECIMAL(38,0) / HUGEINT) serialize differently per engine even
+    // when values agree (the r4 driver hash-fail).
     Q(
       "q_table_digest",
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
+        |  CAST(CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
         |    CASE WHEN l_orderkey IS NULL THEN 'n' ELSE length(CAST(l_orderkey AS VARCHAR)) || ':' || CAST(l_orderkey AS VARCHAR) END,
         |    CASE WHEN l_partkey IS NULL THEN 'n' ELSE length(CAST(l_partkey AS VARCHAR)) || ':' || CAST(l_partkey AS VARCHAR) END,
         |    CASE WHEN l_suppkey IS NULL THEN 'n' ELSE length(CAST(l_suppkey AS VARCHAR)) || ':' || CAST(l_suppkey AS VARCHAR) END,
         |    CASE WHEN l_linenumber IS NULL THEN 'n' ELSE length(CAST(l_linenumber AS VARCHAR)) || ':' || CAST(l_linenumber AS VARCHAR) END,
         |    CASE WHEN l_returnflag IS NULL THEN 'n' ELSE length(l_returnflag) || ':' || l_returnflag END,
         |    CASE WHEN l_linestatus IS NULL THEN 'n' ELSE length(l_linestatus) || ':' || l_linestatus END)), 1, 15) AS BIGINT)
-        |    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS digest
+        |    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS VARCHAR) AS digest
         |FROM lineitem""".stripMargin
     ) { (s, dir) =>
       Profile.tableDigest(table(s, dir, "lineitem"),
@@ -519,7 +522,7 @@ object ProfileQueries {
       "q_histogram",
       """SELECT
         |  CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS INTEGER) AS bin,
-        |  round(CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS INTEGER) * 5000.0, 4) AS bin_lo,
+        |  CAST(round(CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS INTEGER) * 5000.0, 4) AS DOUBLE) AS bin_lo,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1, 2 ORDER BY bin""".stripMargin

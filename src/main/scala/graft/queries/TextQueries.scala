@@ -541,7 +541,8 @@ object TextQueries {
          |j AS (
          |  SELECT ks.k, CAST(sum(top.n) AS BIGINT) AS top_tokens
          |  FROM ks LEFT JOIN top ON top.r <= ks.k GROUP BY ks.k)
-         |SELECT k, top_tokens, total AS total_tokens, vocab AS n_vocab,
+         |SELECT k, top_tokens, CAST(total AS BIGINT) AS total_tokens,
+         |  vocab AS n_vocab,
          |  floor(top_tokens / total * 1e6) / 1e6 AS coverage
          |FROM j CROSS JOIN tot ORDER BY k""".stripMargin
     ) { (s, dir) =>

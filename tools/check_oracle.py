@@ -8,6 +8,12 @@ runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 same sfDir tables, sorts columns by name, and compares values exactly
 (floats exact too, so rounding-contract violations surface here before
 the driver sees them).
+
+Also compares RESULT TYPES per column (DuckDB's view of the Spark
+parquet vs the oracle relation): the driver's hasher is type-tagged, so
+a value-identical result with an int128-class type skew (HUGEINT vs
+BIGINT, r4's q_zipf_coverage) still hash-fails at the driver. Catch it
+here first.
 """
 import json
 import math
@@ -40,9 +46,11 @@ def main(sf_dir, out_dir):
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got_rel.columns)
+            got_types = dict(zip(got_rel.columns, map(str, got_rel.types)))
             got = got_rel.select(", ".join(f'"{c}"' for c in got_cols)).fetchall()
             exp_rel = con.sql(sql)
             exp_cols = sorted(exp_rel.columns)
+            exp_types = dict(zip(exp_rel.columns, map(str, exp_rel.types)))
             exp = exp_rel.select(", ".join(f'"{c}"' for c in exp_cols)).fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
@@ -51,6 +59,14 @@ def main(sf_dir, out_dir):
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
+            continue
+        type_skew = [(c, got_types[c], exp_types[c]) for c in got_cols
+                     if got_types[c] != exp_types[c]]
+        if type_skew:
+            n_fail += 1
+            detail = ", ".join(f"{c}: spark={g} oracle={e}"
+                               for c, g, e in type_skew)
+            print(f"FAIL {name}: type skew ({detail})")
             continue
         g = [tuple(norm(v) for v in row) for row in got]
         e = [tuple(norm(v) for v in row) for row in exp]
