@@ -35,13 +35,26 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) }
+        .mkString("{", ",", "}")
     // failed queries stay visible as -1 in `queries` but must not
     // SUBTRACT from the headline total (a failing round would otherwise
     // report a better-looking number than a passing one)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout: a JSON line
+    // carrying all ~137 per-query times loses its head and parses as
+    // null (the r2-r4 artifact truncation). So the full record goes to
+    // a FILE and the printed line stays compact — headline total, the
+    // 15 slowest queries (the ones a perf reader needs), any failures,
+    // and the detail path — comfortably inside the capture window.
+    val detailPath = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json")).getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":${jmap(failed ++ slowest)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
