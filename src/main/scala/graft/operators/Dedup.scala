@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 
 import graft.functions._
 
@@ -503,7 +504,10 @@ object Dedup {
       n: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val base = scaleOut(df.select(id.cast("long").as("id"), text.as("__text")))
+    val projected = df.select(id.as("id"), text.as("__text"))
+    requireIntegralId(projected.schema("id").dataType,
+      "prefixFilterJaccard", "map ids through a long surrogate first")
+    val base = scaleOut(projected.select(col("id").cast("long").as("id"), col("__text")))
       .select(col("id"), explode(array_distinct(shingles(tokens(col("__text")), n))).as("__s"))
       .select(col("id"), xxhash64(col("__s")).as("sh"))
       .localCheckpoint()
@@ -642,6 +646,12 @@ object Dedup {
     // read the projected (id, v) blocks instead of re-deriving the
     // input (often a union + perturbation/cast projection) per job
     val vecs = df.select(id.as("id"), vec.as("v")).localCheckpoint()
+    // fail FAST on non-integral ids: the cluster pipeline labels nodes
+    // with long ids (connectedComponents), and a string/UUID id would
+    // cast to null — the anti-join below would then match nothing and
+    // silently return the corpus fully undeduped
+    requireIntegralId(vecs.schema("id").dataType,
+      "semanticDedup", "map ids through a long surrogate first")
     val centroids = Similarity.trainIvfCentroids(
       vecs, col("id"), col("v"), nCentroids, iters, trainFraction)
     val assigned = Similarity.ivfAssign(vecs, col("id"), col("v"), centroids)
@@ -668,12 +678,25 @@ object Dedup {
     * driver sees only one convergence counter per round, never data.
     * Returns (id, component) with component = min id in the cluster.
     */
+  /** Non-integral node ids (string/UUID) cast to null and would make
+    * every cluster operator silently wrong (labels never propagate,
+    * anti-joins never match) — refuse them loudly instead.
+    */
+  private[graft] def requireIntegralId(
+      dt: org.apache.spark.sql.types.DataType, op: String, hint: String): Unit =
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integral (long-castable) id column, got $dt — $hint")
+
   def connectedComponents(
       pairs: DataFrame,
       src: Column,
       dst: Column,
       maxIter: Int = 20): DataFrame = {
-    val e0 = pairs.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+    val raw = pairs.select(src.as("a"), dst.as("b"))
+    raw.schema.fields.foreach(f => requireIntegralId(f.dataType,
+      "connectedComponents",
+      "assign long surrogates (e.g. monotonically_increasing_id or a hash-free dense rank) before clustering"))
+    val e0 = raw.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
@@ -737,7 +760,10 @@ object Dedup {
       scoreId: Column,
       score: Column): DataFrame = {
     val labels = connectedComponents(pairs, src, dst)
-    val q = scores.select(scoreId.cast("long").as("id"), score.as("__score"))
+    val qRaw = scores.select(scoreId.as("id"), score.as("__score"))
+    requireIntegralId(qRaw.schema("id").dataType,
+      "keepBestPerCluster", "score ids must match the cluster id space")
+    val q = qRaw.select(col("id").cast("long").as("id"), col("__score"))
     // left join: a member with no score row must still be DECIDED
     // (dropping it from the result would silently keep a duplicate);
     // desc ordering ranks nulls last, so it can only win a cluster
@@ -922,8 +948,25 @@ object Dedup {
     * blocking, two-sided): both sides bucket on the SAME planes
     * compiled into the plan, the join is bucket-local (probes are
     * benchmark-suite-sized → broadcastable), and only in-bucket
-    * candidates pay the exact codegen'd cosine. Returns one row per
-    * FLAGGED corpus doc: (id, n_probe_hits, max_cos).
+    * candidates pay the exact codegen'd cosine.
+    *
+    * The PROBE side multi-probes: each probe fans out to its home
+    * bucket plus every Hamming-1 neighbor (one sign bit flipped — the
+    * [[Similarity.lshTopKMultiProbe]] pattern), because a single-bucket
+    * match requires all nPlanes sign bits to agree, which at nPlanes=8
+    * and θ≈cos⁻¹(0.99) still misses ~30% of true near-matches — an
+    * unacceptable silent false-negative rate for a decontamination
+    * gate. Fanning out only the broadcast probe side costs zero corpus
+    * shuffle. Residual caveat: a contaminated pair whose buckets differ
+    * in ≥2 sign bits is still missed (probability (θ/π)² per plane
+    * pair, ≈0.4% at the numbers above); for a NO-false-negative
+    * guarantee use [[contaminationBloom]]'s n-gram tier alongside —
+    * the documented "run both, union the flags" contract.
+    *
+    * Returns one row per FLAGGED corpus doc: (id, n_probe_hits,
+    * max_cos). A (doc, probe) pair can match through at most one
+    * probe bucket (home and flipped buckets are pairwise distinct), so
+    * multi-probing never double-counts a hit.
     */
   def contaminationEmbedding(
       corpus: DataFrame,
@@ -937,8 +980,11 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val cb = corpus.select(id.as("id"), vec.as("v"),
       Similarity.hyperplaneBucket(vec, dim, nPlanes, seed).as("__bkt"))
+    val base = Similarity.hyperplaneBucket(probeVec, dim, nPlanes, seed)
+    val probeBuckets = array((base +: (0 until nPlanes).map(i =>
+      base.bitwiseXOR(lit(1L << i)))): _*)
     val pb = probes.select(probeVec.as("pv"),
-      Similarity.hyperplaneBucket(probeVec, dim, nPlanes, seed).as("__bkt"))
+      explode(probeBuckets).as("__bkt"))
     cb.join(broadcast(pb), "__bkt")
       .withColumn("cos_sim", round(cosine(col("v"), col("pv")), 4))
       .filter(col("cos_sim") >= threshold)

@@ -333,12 +333,20 @@ object Profile {
     }
     val hb = binned(before, "nb")
     val ha = binned(after, "na")
-    // complete grid: every group seen on either side × every bin
+    // complete grid: every group seen on either side × every bin.
+    // All grp joins below are NULL-SAFE (<=>): groupBy treats null as
+    // a real group, so a plain equi-join would silently drop it from
+    // the report — the exact "one source vanishes from the monitor"
+    // failure this operator exists to catch. EqualNullSafe is still an
+    // equi-join key for the planner (hash-partitionable, no product).
     val groups = hb.select(col("grp")).unionByName(ha.select(col("grp"))).distinct()
     val grid = groups.crossJoin(
       before.sparkSession.range(nBins).select(col("id").cast("int").as("bin")))
-    val joined = grid
-      .join(hb, Seq("grp", "bin"), "left").join(ha, Seq("grp", "bin"), "left")
+    val withB = grid.join(hb.withColumnsRenamed(Map("grp" -> "__bg", "bin" -> "__bb")),
+        col("grp") <=> col("__bg") && col("bin") === col("__bb"), "left")
+      .select(col("grp"), col("bin"), col("nb"))
+    val joined = withB.join(ha.withColumnsRenamed(Map("grp" -> "__ag", "bin" -> "__ab")),
+        col("grp") <=> col("__ag") && col("bin") === col("__ab"), "left")
       .select(col("grp"),
         coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("na"), lit(0L)).as("na"))
       .localCheckpoint()
@@ -347,7 +355,8 @@ object Profile {
     val k = lit(nBins.toDouble)
     val p = (col("nb") + 0.5) / (col("tb") + lit(0.5) * k)
     val q = (col("na") + 0.5) / (col("ta") + lit(0.5) * k)
-    joined.join(broadcast(tot), Seq("grp"))
+    joined.join(broadcast(tot.withColumnRenamed("grp", "__tg")),
+        col("grp") <=> col("__tg"))
       .select(col("grp"), col("tb"), col("ta"),
         (floor(((p - q) * log(p / q)) * 1e9) / 1e9).cast("decimal(28,9)").as("__term"))
       .groupBy("grp", "tb", "ta")

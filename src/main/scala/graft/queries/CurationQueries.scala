@@ -191,7 +191,8 @@ object CurationQueries {
     // D21c: EMBEDDING-level decontamination — semantically-perturbed
     // probe copies of every 25th corpus vector must flag their source
     // doc; the oracle replays the identical seeded hyperplane buckets
-    // (q_dedup_embedding_lsh pattern) and the exact cosine confirm.
+    // (q_dedup_embedding_lsh pattern) INCLUDING the probe-side
+    // Hamming-1 multi-probe fanout, and the exact cosine confirm.
     Q(
       "q_decontaminate_semantic", {
         val planes = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = 8, seed = 42L)
@@ -205,7 +206,10 @@ object CurationQueries {
            |  SELECT list_concat([v[1] + 0.05], v[2:]) AS pv
            |  FROM e WHERE vec_id % 25 = 0),
            |cb AS (SELECT vec_id, v, ${bucketExpr("v")} AS bucket FROM e),
-           |pb AS (SELECT pv, ${bucketExpr("pv")} AS bucket FROM p),
+           |pb0 AS (SELECT pv, ${bucketExpr("pv")} AS b FROM p),
+           |pb AS (SELECT pv, unnest(${
+             (Seq("b") ++ (0 until 8).map(i => s"xor(b, ${1L << i})"))
+               .mkString("[", ", ", "]")}) AS bucket FROM pb0),
            |hits AS (
            |  SELECT cb.vec_id AS id,
            |    round(list_cosine_similarity(cb.v, pb.pv), 4) AS cs

@@ -289,11 +289,6 @@ object TextQueries {
         .orderBy("id", "chunk_id")
     },
 
-    // D23: Unicode NFC normalization (custom codegen'd Expression over
-    // java.text.Normalizer) — the corpus is ASCII, so each doc is
-    // decorated with DECOMPOSED sequences (e + U+0301, n + U+0303);
-    // NFC must compose them (é, ñ): code-point count drops by exactly
-    // 2 and the md5 fingerprints must agree byte-for-byte with
     // B21: accent/diacritic folding — the Portuguese-corpus
     // normalization the reference's domain runs on (ação == acao as a
     // join/dedup key): NFD + drop combining marks vs DuckDB's native
@@ -313,6 +308,11 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D23: Unicode NFC normalization (custom codegen'd Expression over
+    // java.text.Normalizer) — the corpus is ASCII, so each doc is
+    // decorated with DECOMPOSED sequences (e + U+0301, n + U+0303);
+    // NFC must compose them (é, ñ): code-point count drops by exactly
+    // 2 and the md5 fingerprints must agree byte-for-byte with
     // DuckDB's nfc_normalize.
     Q(
       "q_nfc_normalize", {

@@ -569,6 +569,60 @@ class DedupSpec extends SparkSpec {
     assert(minId == 2L)
   }
 
+  test("contaminationEmbedding multi-probe catches a pair straddling ONE hyperplane") {
+    // construct a corpus/probe pair with cosine ~1 whose buckets differ
+    // in exactly one sign bit: project a direction onto plane 0, then
+    // nudge ±ε along plane 0's normal. Single-bucket blocking is
+    // structurally blind to this pair; Hamming-1 multi-probe must not be.
+    val dim = 8; val nPlanes = 4; val seed = 42L
+    val planes = Similarity.hyperplanes(dim, nPlanes, seed)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // pick a deterministic base direction whose dots with planes 1..3
+    // are far from zero, so only bit 0 is unstable near the boundary
+    val u = (0 until 16).map { c =>
+      (0 until dim).map(i => math.cos(c + i * 0.7) + 0.1).toSeq
+    }.find { cand =>
+      val p0 = planes(0).toSeq
+      val onPlane = cand.zip(p0).map { case (x, p) => x - dot(cand, p0) / dot(p0, p0) * p }
+      planes.drop(1).forall(p => math.abs(dot(onPlane, p.toSeq)) > 0.05)
+    }.get
+    val p0 = planes(0).toSeq
+    val onPlane = u.zip(p0).map { case (x, p) => x - dot(u, p0) / dot(p0, p0) * p }
+    val eps = 1e-7
+    val vPlus = onPlane.zip(p0).map { case (x, p) => x + eps * p }
+    val vMinus = onPlane.zip(p0).map { case (x, p) => x - eps * p }
+    // prove the pair actually straddles plane 0 (buckets differ in bit 0)
+    def bucket(v: Seq[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (dot(v, p.toSeq) > 0) 1L << i else 0L }.sum
+    assert((bucket(vPlus) ^ bucket(vMinus)) == 1L,
+      s"test setup: buckets ${bucket(vPlus)} / ${bucket(vMinus)} must differ in bit 0 only")
+    val corpus = Seq((1L, vPlus)).toDF("id", "v")
+    val probes = Seq(Tuple1(vMinus)).toDF("pv")
+    val flagged = Dedup.contaminationEmbedding(corpus, col("id"), col("v"),
+        probes, col("pv"), threshold = 0.99, dim = dim, nPlanes = nPlanes, seed = seed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L), "straddling pair missed despite multi-probe")
+    // a (doc, probe) pair matches through at most one probe bucket —
+    // never double-counted
+    assert(flagged(1L) == 1L, s"hit count: ${flagged(1L)}")
+  }
+
+  test("cluster operators refuse non-integral ids loudly") {
+    val strPairs = Seq(("a", "b")).toDF("x", "y")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(strPairs, col("x"), col("y"))
+    }
+    assert(err.getMessage.contains("integral"))
+    val strVecs = Seq(("a", Seq(1.0, 0.0))).toDF("id", "v")
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(strVecs, col("id"), col("v"),
+        threshold = 0.99, nCentroids = 1)
+    }
+    assert(err2.getMessage.contains("integral"))
+  }
+
   test("dropBoilerplateLines keeps lines at or below the frequency cut") {
     // shared line in exactly half the docs — NOT above maxDocFrac=0.5
     val lines = Seq(

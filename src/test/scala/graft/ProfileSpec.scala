@@ -261,6 +261,26 @@ class ProfileSpec extends SparkSpec {
     assert(out("s2")._1 == 0L, s"vanished group: ${out("s2")}")
   }
 
+  test("psiByGroup: a NULL group is a real group, not a dropped row") {
+    import graft.operators.Profile
+    // null-keyed rows (unattributed source) shift hard; named group is
+    // stable — the null group must still report, with the drift
+    val pre = (0 until 200).map(i =>
+      (if (i % 2 == 0) None else Some("a"), (i % 100).toDouble)).toDF("grp", "v")
+    val post = (0 until 200).map(i =>
+      (if (i % 2 == 0) None else Some("a"),
+        if (i % 2 == 0) (i % 100).toDouble / 2 else (i % 100).toDouble)).toDF("grp", "v")
+    val rows = Profile.psiByGroup(pre, post, col("grp"), col("v"),
+        lo = 0, hi = 100, nBins = 10)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.contains(null), s"null group vanished: ${rows.keySet}")
+    assert(rows(null)._1 == 100L && rows(null)._2 == 100L, s"null group counts: ${rows(null)}")
+    assert(rows(null)._3 > 0.25, s"null group drift under-reported: ${rows(null)}")
+    assert(math.abs(rows("a")._3) < 1e-9, s"stable group drifted: ${rows("a")}")
+  }
+
   test("tokenEntropy: uniform distribution gives ln(k), degenerate gives 0") {
     val df = Seq(
       ("u", "a b c d"),     // 4 distinct, uniform -> ln(4)
