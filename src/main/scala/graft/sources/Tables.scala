@@ -134,24 +134,23 @@ object Tables {
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, dir, n)).toMap
 
-  /** Workbook ingest: every "sheet" under `dir` as name → DataFrame —
+  /** Workbook ingest: every "sheet" of `path` as name → DataFrame —
     * the Spark analogue of the reference's only real source, a
     * multi-sheet Excel workbook read sheet-by-sheet
     * (tratamento_epe.R:57-72, `excel_sheets(...) |> map(read_xls)`).
     *
-    * A workbook here is a directory with one file (or parquet/csv dir)
-    * per sheet: `dir/<sheet>.parquet`, `dir/<sheet>.csv`, or
-    * `dir/<sheet>.json`; the sheet name is the file stem. CSV sheets
-    * are read header-first with all-string columns, exactly what
-    * `read_xls` hands R — downstream wrangling owns the casts
-    * (Reshape.castMatching, promoteFirstRowToHeader).
-    *
-    * Real `.xls`/`.xlsx` needs the public `spark-excel` data source
-    * (com.crealytics:spark-excel), which plugs in here unchanged:
-    * `spark.read.format("excel").option("dataAddress", s"'$sheet'!A1")`
-    * per sheet name. It is not bundled (no external deps in this
-    * build), so the workbook layout is the in-repo equivalent and the
-    * Excel path is a documented one-line seam.
+    * Two layouts:
+    *  - a real `.xls` FILE: parsed by [[XlsReader]] (MS-CFB + BIFF8,
+    *    no external deps). Header-first all-string columns, exactly
+    *    what `read_xls` hands R — downstream wrangling owns the casts
+    *    (Reshape.castMatching, promoteFirstRowToHeader). The workbook
+    *    is a driver-side landing artifact (as in the reference: one
+    *    small file fetched monthly); anything at scale lands as
+    *    parquet/csv.
+    *  - a DIRECTORY with one file per sheet: `dir/<sheet>.parquet`,
+    *    `dir/<sheet>.csv`, or `dir/<sheet>.json`; the sheet name is
+    *    the file stem. CSV sheets read header-first all-string like
+    *    the `.xls` path.
     */
   def loadSheets(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     // Hadoop FileSystem listing, not java.io.File: a workbook landed
@@ -159,7 +158,18 @@ object Tables {
     // says it doesn't (same reasoning as compact's size scan)
     val root = new org.apache.hadoop.fs.Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(hfs.exists(root) && hfs.getFileStatus(root).isDirectory,
+    require(hfs.exists(root), s"workbook not found: $dir")
+    if (hfs.getFileStatus(root).isFile) {
+      require(dir.toLowerCase.endsWith(".xls"),
+        s"workbook file must be .xls (xlsx/ods not supported): $dir")
+      val bytes = new Array[Byte](hfs.getFileStatus(root).getLen.toInt)
+      val in = hfs.open(root)
+      try in.readFully(0, bytes) finally in.close()
+      return XlsReader.sheets(bytes).map { case (name, grid) =>
+        name -> gridToDf(spark, grid)
+      }.toMap
+    }
+    require(hfs.getFileStatus(root).isDirectory,
       s"workbook dir not found: $dir")
     val sheets = hfs.listStatus(root).toSeq.map(_.getPath)
       .sortBy(_.getName).flatMap { p =>
@@ -182,6 +192,84 @@ object Tables {
     require(dup.isEmpty,
       s"ambiguous workbook: multiple files for sheet(s) ${dup.mkString(", ")}")
     sheets.toMap
+  }
+
+  /** A parsed sheet grid → header-first all-string DataFrame (the
+    * `read_xls` contract the csv sheet path also follows). Blank
+    * header cells become `_c<i>`; duplicate header names get a
+    * positional suffix so column lookup stays unambiguous.
+    */
+  private def gridToDf(spark: SparkSession, grid: Vector[Vector[String]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val width = if (grid.isEmpty) 0 else grid.head.length
+    val rawNames = if (grid.isEmpty) Vector.empty[String] else grid.head
+    val named = rawNames.zipWithIndex.map {
+      case (n, i) if n == null || n.trim.isEmpty => s"_c$i"
+      case (n, _) => n
+    }
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val cols = named.map { n =>
+      val k = seen.getOrElse(n, 0)
+      seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
+    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    val rows = grid.drop(1).map(r => Row.fromSeq(r.padTo(width, null)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(4, rows.size))), schema)
+  }
+
+  /** Fetch a remote artifact into a local landing directory — the
+    * reference pipeline's first step (tratamento_epe.R:39-47,
+    * `download.file(url, destfile)` of the monthly EPE workbook),
+    * feeding [[loadSheets]]/[[load]]. Plain `java.net` over the JDK
+    * HttpClient — no new dependencies; `file://` URLs work for tests
+    * and for lake-local copies.
+    *
+    * Idempotent by content: the download lands in a temp file first,
+    * its SHA-256 is computed, and the temp file is atomically renamed
+    * into place only if the target is absent or its recorded checksum
+    * (`<name>.sha256` sidecar) differs — a crashed or repeated fetch
+    * can never leave a half-written workbook where the pipeline will
+    * read it (the same write-audit-publish shape the streaming sinks
+    * use). Returns the landed path.
+    *
+    * Scale note: landing artifacts are driver-sized (a workbook, a
+    * blocklist, a vocab). Corpus-scale data belongs on distributed
+    * storage read by `spark.read` directly, never through this.
+    */
+  def fetch(url: String, landingDir: String, fileName: String = null): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = Option(fileName).getOrElse(
+      url.substring(url.lastIndexOf('/') + 1) match {
+        case "" => "download"
+        case n => n
+      })
+    val dir = Paths.get(landingDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(name)
+    val sidecar = dir.resolve(name + ".sha256")
+    val tmp = Files.createTempFile(dir, s".$name.", ".part")
+    try {
+      val in = java.net.URI.create(url).toURL.openStream()
+      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      val sha = digest.digest(Files.readAllBytes(tmp))
+        .map(b => f"$b%02x").mkString
+      val already = Files.exists(target) && Files.exists(sidecar) &&
+        new String(Files.readAllBytes(sidecar)).trim == sha
+      if (!already) {
+        // checksum sidecar FIRST, then the atomic payload publish: a
+        // crash between the two re-downloads next run (sidecar/payload
+        // mismatch) instead of trusting a stale pair
+        Files.write(sidecar, sha.getBytes)
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      target.toString
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Raw-text corpus ingest — the shape LLM training corpora actually

@@ -83,6 +83,40 @@ class TablesSpec extends SparkSpec {
     assert(bound.filter(col("flag").isNull).count() == 3)
   }
 
+  test("fetch lands a remote artifact once, idempotently, and feeds loadSheets") {
+    // the reference pipeline from byte zero: download.file(url) -> read
+    // sheets (tratamento_epe.R:39-47,57-66). file:// plays the remote.
+    import XlsTestWriter._
+    val wbBytes = cfb(workbook(
+      sst(Seq(("ano", false), ("2024", false))),
+      Seq(("dados", false, cat(labelSst(0, 0, 0), labelSst(1, 0, 1))))))
+    val srcDir = Files.createTempDirectory("graft_remote")
+    Files.write(srcDir.resolve("epe.xls"), wbBytes)
+    val url = srcDir.resolve("epe.xls").toUri.toString
+    val landing = Files.createTempDirectory("graft_landing").toString
+
+    val p1 = sources.Tables.fetch(url, landing)
+    assert(p1.endsWith("epe.xls"))
+    assert(Files.readAllBytes(java.nio.file.Paths.get(p1)).toSeq == wbBytes.toSeq)
+    val mtime1 = Files.getLastModifiedTime(java.nio.file.Paths.get(p1))
+    // second fetch of identical content must not republish the payload
+    Thread.sleep(20)
+    val p2 = sources.Tables.fetch(url, landing)
+    assert(p2 == p1)
+    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(p1)) == mtime1,
+      "idempotent re-fetch republished the artifact")
+    // content change at the source -> re-publish
+    Files.write(srcDir.resolve("epe.xls"), wbBytes ++ Array[Byte](0))
+    sources.Tables.fetch(url, landing)
+    assert(Files.readAllBytes(java.nio.file.Paths.get(p1)).length == wbBytes.length + 1)
+
+    // and the landed workbook reads end-to-end
+    Files.write(srcDir.resolve("epe.xls"), wbBytes)
+    val again = sources.Tables.fetch(url, landing)
+    val sheets = sources.Tables.loadSheets(spark, again)
+    assert(sheets("dados").head().getString(0) == "2024")
+  }
+
   test("writeCsv/loadCsv round-trips with an explicit schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = sources.Tables.load(spark, sf, "nation")
