@@ -16,16 +16,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Filesystem existence check through the session's Hadoop conf —
-    * distinguishes "no snapshot/index yet" (bootstrap) from "the path
-    * exists but can't be read" (corruption — must propagate).
-    */
-  private def pathExists(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** One event row. `ts` stays a Timestamp so the watermark-tagged
     * attribute survives into the stateful operator (required for
     * event-time timeout); `ts_us` carries the exact epoch-micros the
@@ -205,14 +195,15 @@ object EventStreams {
     * [[dedupStreamAgainstIndex]], whose intra-stream memory is
     * watermark-bounded).
     *
-    * Delivery: `foreachBatch` appends are at-least-once under retry
-    * (a crash between the two writes can replay a batch). Because the
-    * index append lands AFTER the data append, a replayed batch
-    * re-checks against the already-updated index and drops rows whose
-    * fingerprints were recorded; rows written to `outPath` before a
-    * crash that preceded the index append can duplicate — on a real
-    * lake the two appends sit in one table-format transaction
-    * (Iceberg/Delta commit), which is the documented seam here.
+    * Delivery: each batch lands in its OWN `batch_id=<N>` directory on
+    * both sides, written with overwrite — a `foreachBatch` replay of
+    * batch N rewrites exactly the same two directories with the same
+    * deterministic content instead of appending duplicates, so
+    * at-least-once replay yields exactly-once output. A crash mid-write
+    * leaves only an uncommitted `_temporary` dir (invisible to parquet
+    * readers of the root); the replay overwrites it. On a real lake the
+    * two writes sit in one table-format transaction (Iceberg/Delta
+    * commit), which stays the documented seam for multi-writer setups.
     *
     * Returns the started query (caller owns stop()).
     */
@@ -226,26 +217,35 @@ object EventStreams {
     records.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // bootstrap ONLY when the path genuinely doesn't exist — a
-        // catch of AnalysisException here would also swallow a
-        // corrupt/partial index dir and silently restart dedup from
-        // empty (re-admitting the whole corpus); those must propagate
+        // bootstrap when no batch directory has COMMITTED yet (the
+        // _SUCCESS marker is the committer's audit); a root that exists
+        // with only a crashed write's _temporary leftovers is still
+        // bootstrap, but a root with committed batches that fails to
+        // READ is corruption and must propagate — a silent empty-index
+        // restart would re-admit the whole corpus
+        val rootP = new org.apache.hadoop.fs.Path(indexPath)
+        val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasCommitted = hfs.exists(rootP) &&
+          hfs.globStatus(new org.apache.hadoop.fs.Path(indexPath, "batch_id=*/_SUCCESS"))
+            .nonEmpty
         val index =
-          if (pathExists(spark, indexPath)) spark.read.parquet(indexPath)
+          if (hasCommitted) spark.read.parquet(indexPath)
           else
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("fp",
                   org.apache.spark.sql.types.StringType))))
-        // one computation feeds both appends
+        // one computation feeds both writes; per-batch directories with
+        // overwrite make a replayed batch rewrite its own output
+        // instead of duplicating it
         val accepted = graft.operators.Dedup.exactIncremental(
           batch, col(textCol), col(idCol), index, col("fp")).localCheckpoint()
-        accepted.write.mode("append").parquet(outPath)
+        accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.operators.Dedup.fingerprintIndex(accepted, col(textCol))
-          .write.mode("append").parquet(indexPath)
+          .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
       }
       .start()
   }
@@ -265,9 +265,15 @@ object EventStreams {
     * effectively-exactly-once snapshot. Requirement: versions must be
     * monotone per key ACROSS batches (the standard ordered-CDC-feed
     * contract); the snapshot keeps no version history to reorder
-    * stragglers (within one batch, any order is fine). On a real lake
-    * the overwrite is a table-format transaction — same seam as
-    * [[ingestDedupMaintained]].
+    * stragglers (within one batch, any order is fine).
+    *
+    * The snapshot publishes through [[SnapshotStore]] (write-audit-
+    * publish: immutable version dirs + atomic pointer flip), so a
+    * crash mid-write can never leave a half-overwritten snapshot where
+    * the next batch — or a downstream reader — would see it; read the
+    * live state with `SnapshotStore.read(spark, snapshotPath)`. A real
+    * lake's table-format transaction remains the multi-writer seam,
+    * as in [[ingestDedupMaintained]].
     */
   def applyChangesMaintained(
       changes: DataFrame,
@@ -279,20 +285,18 @@ object EventStreams {
     changes.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val payload = batch.columns.filterNot(c => c == versionCol || c == opCol)
-        // bootstrap ONLY on a missing path: the overwrite below is not
-        // atomic on a plain filesystem, and a crash between its delete
-        // and write leaves a partial dir — reading THAT must fail
-        // loudly rather than be mistaken for first-batch bootstrap and
-        // silently reset the snapshot to the current batch
-        val snap =
-          if (pathExists(spark, snapshotPath)) spark.read.parquet(snapshotPath)
-          else batch.select(payload.map(col): _*).limit(0)
+        // SnapshotStore.read resolves the last PUBLISHED version — a
+        // crashed write's orphan dir (no _SUCCESS, pointer untouched)
+        // is never mistaken for live state, and first-batch bootstrap
+        // is the None case, explicitly
+        val snap = SnapshotStore.read(spark, snapshotPath)
+          .getOrElse(batch.select(payload.map(col): _*).limit(0))
         val merged = graft.operators.Merge.applyChanges(
           snap, batch, keys, col(versionCol), col(opCol)).localCheckpoint()
-        merged.write.mode("overwrite").parquet(snapshotPath)
+        SnapshotStore.publish(merged, snapshotPath, batchId)
       }
       .start()
   }

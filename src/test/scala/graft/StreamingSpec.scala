@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, SnapshotStore}
 
 /** MemoryStream checks for the Structured Streaming surface (E1/E2). */
 class StreamingSpec extends SparkSpec {
@@ -395,6 +395,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SnapshotStore: a crashed write can never surface as live state") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/snap"
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    SnapshotStore.publish(v0, root, 0L)
+    def live(): Set[(Long, String)] =
+      SnapshotStore.read(spark, root).get.as[(Long, String)].collect().toSet
+
+    // crash INJECTION 1: a writer died mid-write — orphan version dir
+    // with data files but no _SUCCESS audit, pointer untouched
+    val orphan = new java.io.File(s"$root/v7")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // garbage a naive reader would choke on
+    assert(live() == Set((1L, "a"), (2L, "b")), "orphan write leaked into live state")
+
+    // crash INJECTION 2: died at the pointer-swap instant (_CURRENT
+    // deleted, rename never happened) — newest AUDITED version wins,
+    // the unaudited orphan still doesn't
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_CURRENT"))
+    assert(live() == Set((1L, "a"), (2L, "b")), "pointer-gap recovery picked wrong version")
+
+    // next publish flips the pointer and GCs the orphan
+    SnapshotStore.publish(Seq((1L, "a2")).toDF("k", "v"), root, 1L)
+    assert(live() == Set((1L, "a2")))
+    assert(!orphan.exists(), "unaudited orphan survived GC")
+    // the audited predecessor is retained for in-flight readers...
+    assert(new java.io.File(s"$root/v0").exists())
+    SnapshotStore.publish(Seq((1L, "a3")).toDF("k", "v"), root, 2L)
+    // ...and ages out one publish later
+    assert(!new java.io.File(s"$root/v0").exists() &&
+      new java.io.File(s"$root/v1").exists())
+  }
+
+  test("E8 survives a mid-stream crash artifact between batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e8crash")
+    val (snap, ckpt) = (s"$dir/snapshot", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String, String, Int)](spark)
+    val q = EventStreams.applyChangesMaintained(
+      input.toDF().toDF("k", "v", "op", "ver"), Seq("k"), "ver", "op", snap, ckpt)
+    try {
+      input.addData((1L, "a", "I", 1), (2L, "b", "I", 1))
+      q.processAllAvailable()
+      // a parallel writer crashed mid-write: unaudited orphan appears
+      // between batches
+      val orphan = new java.io.File(s"$snap/v50")
+      orphan.mkdirs()
+      java.nio.file.Files.write(orphan.toPath.resolve("part-x.parquet"), Array[Byte](0))
+      input.addData((2L, "b2", "U", 2), (3L, "c", "I", 1))
+      q.processAllAvailable()
+      val got = SnapshotStore.read(spark, snap).get
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")), s"got $got")
+    } finally q.stop()
+  }
+
   test("E7 ingestDedupMaintained: the on-disk index rejects re-arrivals across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e7")
     val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
@@ -441,7 +496,7 @@ class StreamingSpec extends SparkSpec {
       // batch 2: delete one, update the other, insert a third
       input.addData((1L, "x", "D", 4), (2L, "b9", "U", 5), (3L, "c", "I", 1))
       q.processAllAvailable()
-      val got = spark.read.parquet(snap)
+      val got = SnapshotStore.read(spark, snap).get
         .select("k", "v").as[(Long, String)].collect().toSet
       // the batch twin over ALL changes at once must agree
       val all = Seq((1L, "a", "I", 1), (2L, "b", "I", 1), (1L, "a1", "U", 2),
