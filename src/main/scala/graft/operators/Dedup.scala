@@ -662,6 +662,15 @@ object Dedup {
       id.cast("long") === col("__drop"), "left_anti")
   }
 
+  /** Non-integral node ids (string/UUID) cast to null and would make
+    * every cluster operator silently wrong (labels never propagate,
+    * anti-joins never match) — refuse them loudly instead.
+    */
+  private[graft] def requireIntegralId(
+      dt: org.apache.spark.sql.types.DataType, op: String, hint: String): Unit =
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integral (long-castable) id column, got $dt — $hint")
+
   /** Connected components over an undirected near-dup pair list —
     * the step that turns pairwise findings into KEEP-ONE-PER-CLUSTER
     * decisions (transitive closure: A≈B, B≈C ⇒ {A,B,C} is one
@@ -677,16 +686,12 @@ object Dedup {
     * renditions of one document), so rounds stay single-digit; the
     * driver sees only one convergence counter per round, never data.
     * Returns (id, component) with component = min id in the cluster.
+    *
+    * For graphs whose components are NOT shallow (long chains, social
+    * graphs), O(diameter) rounds is the wrong complexity class — use
+    * [[connectedComponentsStar]] (O(log n) rounds) behind the same
+    * contract.
     */
-  /** Non-integral node ids (string/UUID) cast to null and would make
-    * every cluster operator silently wrong (labels never propagate,
-    * anti-joins never match) — refuse them loudly instead.
-    */
-  private[graft] def requireIntegralId(
-      dt: org.apache.spark.sql.types.DataType, op: String, hint: String): Unit =
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$op requires an integral (long-castable) id column, got $dt — $hint")
-
   def connectedComponents(
       pairs: DataFrame,
       src: Column,
@@ -726,6 +731,76 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still changing); component diameter exceeds maxIter")
     labels
+  }
+
+  /** [[connectedComponents]] for DEEP graphs: the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), which converges in
+    * O(log n) ROUNDS regardless of component diameter — the escape
+    * hatch when the pair list is a long-chain or social-graph shape
+    * rather than a shallow near-dup cluster.
+    *
+    * Each round is two keyed join+aggregate passes over the edge list
+    * (same shuffle shape as one min-label round — no cartesian work,
+    * `localCheckpoint` truncating lineage per round):
+    *  - large-star: every node attaches its strictly-LARGER neighbors
+    *    to the minimum of its neighborhood (incl. itself) — long
+    *    tails fold toward minima without growing any star's depth;
+    *  - small-star: every node attaches its smaller-or-equal
+    *    neighbors (and itself) to that minimum — stars flatten.
+    * Fixpoint (edge set unchanged) means every surviving edge points
+    * directly at its component's min id. Same return contract as
+    * [[connectedComponents]]: (id, comp), loud throw on non-
+    * convergence within maxIter.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      src: Column,
+      dst: Column,
+      maxIter: Int = 35): DataFrame = {
+    val raw = pairs.select(src.as("a"), dst.as("b"))
+    raw.schema.fields.foreach(f => requireIntegralId(f.dataType,
+      "connectedComponentsStar",
+      "assign long surrogates (e.g. monotonically_increasing_id or a hash-free dense rank) before clustering"))
+    // canonical directed edges: u (larger) -> v (smaller); self-loops out
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var edges = canon(raw.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))).localCheckpoint()
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the SYMMETRIC neighborhood: strictly-larger
+      // neighbors re-attach to the neighborhood min
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mAll = nbrs.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val afterLarge = canon(nbrs.filter(col("v") > col("u"))
+        .join(mAll, "u")
+        .select(col("v").as("a"), col("m").as("b")))
+      // small-star CONSUMES large-star's output (the alternation is
+      // sequential, not a union): smaller-or-equal neighbors and the
+      // node itself re-attach to the min
+      val mSmall = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = afterLarge.join(mSmall, "u")
+      val next = canon(
+        withM.select(col("v").as("a"), col("m").as("b"))
+          .unionByName(withM.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      // fixpoint test: same count + empty difference (cheap jobs on
+      // the shrinking edge list)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
   }
 
   /** Cluster-level dedup decision from a pair list: every node of each

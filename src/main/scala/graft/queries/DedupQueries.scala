@@ -242,6 +242,54 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // D16c: the SAME transitive closure through the alternating
+    // large-star/small-star algorithm (O(log n) rounds — the deep-
+    // graph escape hatch). Identical contract, so it must hit the
+    // identical oracle the min-label variant hits.
+    Q(
+      "q_dedup_clusters_star", {
+        val rounds = (1 to 8).map { i =>
+          s"""l$i AS MATERIALIZED (
+             |  SELECT l.id,
+             |    least(l.comp, coalesce((SELECT min(l2.comp)
+             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
+             |      WHERE e.a = l.id), l.comp)) AS comp
+             |  FROM l${i - 1} l)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $truncatedDocsSql,
+           |sh AS (
+           |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM docs WHERE len(tk) >= 5)),
+           |rare AS (
+           |  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+           |idx AS (SELECT id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+           |  FROM idx a JOIN idx b ON a.s = b.s AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM inter
+           |  JOIN sizes na ON na.id = id_a
+           |  JOIN sizes nb ON nb.id = id_b
+           |  WHERE round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+           |sym AS MATERIALIZED (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS comp FROM sym),
+           |$rounds
+           |SELECT id, comp FROM l8 ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val pairs = Dedup.ngramJaccard(truncatedDocs(s, dir), col("id"), col("text"),
+        n = 5, dfCap = 20, threshold = 0.5)
+      Dedup.connectedComponentsStar(pairs, col("id_a"), col("id_b"))
+        .orderBy("id")
+    },
+
     // D16b: cluster-winner dedup under a QUALITY policy — same pair
     // list and propagation as q_dedup_clusters, but each cluster keeps
     // its best-scoring member (pseudo-score id % 7 — deterministic and

@@ -354,6 +354,28 @@ class DedupSpec extends SparkSpec {
     assert(out2 == Set(21L), s"second-shard survivors: $out2")
   }
 
+  test("connectedComponentsStar: 10k-node path graph in O(log n) rounds, agrees with min-label CC") {
+    // a 10,000-node chain has diameter 9,999 — min-label propagation
+    // would need ~10k rounds; the alternating star algorithm must
+    // finish inside 15
+    val chain = spark.range(0, 9999).selectExpr("id as a", "id + 1 as b")
+    val cc = graft.operators.Dedup.connectedComponentsStar(
+      chain, col("a"), col("b"), maxIter = 15)
+    assert(cc.count() == 10000)
+    assert(cc.filter(col("comp") =!= 0L).count() == 0,
+      "every chain node must label to the component min")
+
+    // agreement with the min-label variant on a multi-component graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("a", "b")
+    val star = graft.operators.Dedup.connectedComponentsStar(pairs, col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    val label = graft.operators.Dedup.connectedComponents(pairs, col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(star == label, s"star $star != min-label $label")
+  }
+
   test("connectedComponents fails loudly when the diameter exceeds maxIter") {
     // a 7-node chain needs more than 2 min-label rounds; silent
     // non-convergence would leave several "representatives" per
