@@ -140,13 +140,14 @@ object Tables {
     * (tratamento_epe.R:57-72, `excel_sheets(...) |> map(read_xls)`).
     *
     * Two layouts:
-    *  - a real `.xls` FILE: parsed by [[XlsReader]] (MS-CFB + BIFF8,
-    *    no external deps). Header-first all-string columns, exactly
-    *    what `read_xls` hands R — downstream wrangling owns the casts
-    *    (Reshape.castMatching, promoteFirstRowToHeader). The workbook
-    *    is a driver-side landing artifact (as in the reference: one
-    *    small file fetched monthly); anything at scale lands as
-    *    parquet/csv.
+    *  - a real workbook FILE: `.xls` parses through [[XlsReader]]
+    *    (MS-CFB + BIFF8), `.xlsx` through [[XlsxReader]] (ZIP +
+    *    SpreadsheetML) — no external deps either way. Header-first
+    *    all-string columns, exactly what `read_xls` hands R —
+    *    downstream wrangling owns the casts (Reshape.castMatching,
+    *    promoteFirstRowToHeader). A workbook is a driver-side landing
+    *    artifact (as in the reference: one small file fetched
+    *    monthly); anything at scale lands as parquet/csv.
     *  - a DIRECTORY with one file per sheet: `dir/<sheet>.parquet`,
     *    `dir/<sheet>.csv`, or `dir/<sheet>.json`; the sheet name is
     *    the file stem. CSV sheets read header-first all-string like
@@ -160,12 +161,16 @@ object Tables {
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(hfs.exists(root), s"workbook not found: $dir")
     if (hfs.getFileStatus(root).isFile) {
-      require(dir.toLowerCase.endsWith(".xls"),
-        s"workbook file must be .xls (xlsx/ods not supported): $dir")
+      val lower = dir.toLowerCase
+      require(lower.endsWith(".xls") || lower.endsWith(".xlsx"),
+        s"workbook file must be .xls or .xlsx (ods not supported): $dir")
       val bytes = new Array[Byte](hfs.getFileStatus(root).getLen.toInt)
       val in = hfs.open(root)
       try in.readFully(0, bytes) finally in.close()
-      return XlsReader.sheets(bytes).map { case (name, grid) =>
+      val parsed =
+        if (lower.endsWith(".xlsx")) XlsxReader.sheets(bytes)
+        else XlsReader.sheets(bytes)
+      return parsed.map { case (name, grid) =>
         name -> gridToDf(spark, grid)
       }.toMap
     }
