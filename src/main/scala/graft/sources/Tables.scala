@@ -200,13 +200,19 @@ object Tables {
   }
 
   /** A parsed sheet grid → header-first all-string DataFrame (the
-    * `read_xls` contract the csv sheet path also follows). Blank
-    * header cells become `_c<i>`; duplicate header names get a
+    * `read_xls` contract the csv sheet path also follows), plus a
+    * leading `_sheet_row` INT column carrying the 1-based DATA-row
+    * position within the sheet. Spark frames are unordered, but the
+    * reference's Shape-A wrangling (slice(-1:-3), fill-down) is
+    * defined BY sheet row order — the explicit column is the only
+    * scale-correct way to keep that contract (it feeds
+    * `Reshape.sliceRows`/`fillDownCols` ordering specs directly).
+    * Blank header cells become `_c<i>`; duplicate header names get a
     * positional suffix so column lookup stays unambiguous.
     */
   private def gridToDf(spark: SparkSession, grid: Vector[Vector[String]]): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, IntegerType}
     val width = if (grid.isEmpty) 0 else grid.head.length
     val rawNames = if (grid.isEmpty) Vector.empty[String] else grid.head
     val named = rawNames.zipWithIndex.map {
@@ -219,8 +225,12 @@ object Tables {
       seen(n) = k + 1
       if (k == 0) n else s"${n}_$k"
     }
-    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
-    val rows = grid.drop(1).map(r => Row.fromSeq(r.padTo(width, null)))
+    val schema = StructType(
+      StructField("_sheet_row", IntegerType, nullable = false) +:
+        cols.map(c => StructField(c, StringType, nullable = true)))
+    val rows = grid.drop(1).zipWithIndex.map { case (r, i) =>
+      Row.fromSeq((i + 1) +: r.padTo(width, null))
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, math.min(4, rows.size))), schema)
   }

@@ -114,7 +114,7 @@ class TablesSpec extends SparkSpec {
     Files.write(srcDir.resolve("epe.xls"), wbBytes)
     val again = sources.Tables.fetch(url, landing)
     val sheets = sources.Tables.loadSheets(spark, again)
-    assert(sheets("dados").head().getString(0) == "2024")
+    assert(sheets("dados").head().getString(1) == "2024")
   }
 
   test("writeCsv/loadCsv round-trips with an explicit schema") {

@@ -258,22 +258,23 @@ class XlsSpec extends SparkSpec {
     assert(sheets.keySet == Set("CONSUMIDORES TOTAIS", "Consumação", "resumo"))
 
     val s1 = sheets("CONSUMIDORES TOTAIS")
-    assert(s1.columns.toSeq == Seq("ANO", "REGIAO", "CONSUMO", "FLAG"))
+    assert(s1.columns.toSeq == Seq("_sheet_row", "ANO", "REGIAO", "CONSUMO", "FLAG"))
     assert(s1.count() == 80)
     val r1 = s1.filter(col("CONSUMO") === "3").head()
-    assert(r1.getString(0) == "2004" && r1.getString(1) == "NORTE" &&
-      r1.getString(3) == "TRUE")
+    assert(r1.getString(1) == "2004" && r1.getString(2) == "NORTE" &&
+      r1.getString(4) == "TRUE")
+    assert(r1.getInt(0) == 2, "_sheet_row carries the 1-based data-row position")
     // integral doubles render without a trailing .0; non-integral keep it
     assert(s1.filter(col("CONSUMO") === "4.5").count() == 1)
 
     val s2 = sheets("Consumação")
-    val rows2 = s2.collect().map(_.toSeq)
+    val rows2 = s2.orderBy("_sheet_row").collect().map(_.toSeq.drop(1))
     assert(rows2(0) == Seq("42", "1.23", "2.5"))
     assert(rows2(1) == Seq("7", "8", "9"))
     assert(rows2(2) == Seq("inline", "7.5", "Consumação ação café"))
 
-    assert(sheets("resumo").columns.toSeq == Seq("CONSUMO"))
-    assert(sheets("resumo").head().getString(0) == "3.25")
+    assert(sheets("resumo").columns.toSeq == Seq("_sheet_row", "CONSUMO"))
+    assert(sheets("resumo").head().getString(1) == "3.25")
   }
 
   test("a small .xls lands in the CFB mini-stream and still reads") {
@@ -284,8 +285,8 @@ class XlsSpec extends SparkSpec {
     assert(wb.length < 4096, "fixture must exercise the mini-stream path")
     val sheets = Tables.loadSheets(spark, writeXls(cfb(wb)))
     val df = sheets("mini")
-    assert(df.columns.toSeq == Seq("k", "v"))
-    assert(df.head().toSeq == Seq("x", "99"))
+    assert(df.columns.toSeq == Seq("_sheet_row", "k", "v"))
+    assert(df.head().toSeq == Seq(1, "x", "99"))
   }
 
   test("SST strings spanning CONTINUE records decode with re-flagged encoding") {
@@ -298,13 +299,13 @@ class XlsSpec extends SparkSpec {
       sstWithContinue(Seq(("h", false), (longAscii, false)), contUtf16 = false),
       Seq(("s", false, cat(labelSst(0, 0, 0), labelSst(1, 0, 1)))))
     val df1 = Tables.loadSheets(spark, writeXls(cfb(wb1)))("s")
-    assert(df1.head().getString(0) == longAscii)
+    assert(df1.head().getString(1) == longAscii)
 
     val wb2 = workbook(
       sstWithContinue(Seq(("h", false), (utf16Head, true)), contUtf16 = false),
       Seq(("s", false, cat(labelSst(0, 0, 0), labelSst(1, 0, 1)))))
     val df2 = Tables.loadSheets(spark, writeXls(cfb(wb2)))("s")
-    assert(df2.head().getString(0) == utf16Head)
+    assert(df2.head().getString(1) == utf16Head)
   }
 
   test("a non-xls file is refused loudly, not misparsed") {

@@ -75,9 +75,9 @@ class XlsxSpec extends SparkSpec {
     assert(sheets.keySet == Set("dados", "Consumação"))
 
     val s1 = sheets("dados")
-    assert(s1.columns.toSeq == Seq("ano", "consumo", "ação café"),
+    assert(s1.columns.toSeq == Seq("_sheet_row", "ano", "consumo", "ação café"),
       "rich-run shared string must concatenate")
-    val rows = s1.collect().map(_.toSeq)
+    val rows = s1.orderBy("_sheet_row").collect().map(_.toSeq.drop(1))
     assert(rows(0) == Seq("2024", "42", "TRUE"))
     assert(rows(1) == Seq("2024", "3.14", "solto"),
       "r-less cells advance sequentially; inline strings pass through")
