@@ -413,6 +413,42 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC'20): language-ID each document, score it with the
+    * unigram LM, and split EACH LANGUAGE into `nBuckets` quality
+    * tiers by LM score — the standard head/middle/tail partitioning
+    * a web-corpus curation pipeline keeps/samples/drops by. Bucket 1
+    * holds the most in-distribution documents of its language;
+    * per-language bucketing is the point (a well-formed Portuguese
+    * doc must not be ranked against English perplexities).
+    *
+    * Composes [[withLangId]] (per-row projection, one text scan) +
+    * [[unigramLogProb]] (one tokenize/explode pass, term-keyed
+    * aggregation) + a LANGUAGE-partitioned ntile window (languages
+    * are bounded, so no global window; rounded score + id tiebreak
+    * keeps the ordering deterministic and engine-portable). CCNet
+    * trains its LM on a trusted corpus; here the corpus itself is the
+    * model (documented choice — pass scores from a trusted-corpus LM
+    * through the same bucketing if you have one). Docs with zero
+    * tokens carry no score and are excluded, as in unigramLogProb.
+    * Returns (id, lang, n_tokens, avg_logprob, bucket).
+    */
+  def perplexityBuckets(
+      df: DataFrame, id: Column, text: Column, nBuckets: Int = 4): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val langs = withLangId(df.select(id.as("id"), text.as("__text")), col("__text"))
+      .select(col("id"), col("lang_pred").as("lang"))
+    val scored = unigramLogProb(df, id, text)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("id"))
+    scored.join(langs, "id")
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("int"))
+      .select(col("id"), col("lang"), col("n_tokens"),
+        col("avg_logprob"), col("bucket"))
+  }
+
   /** Zipf head coverage: for each k in `ks`, the fraction of all token
     * INSTANCES covered by the k most frequent terms — the one-line
     * answer to "how big must the vocabulary be" and a cheap

@@ -446,6 +446,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D25b: CCNet-style perplexity bucketing — langid + unigram LM
+    // score + per-LANGUAGE ntile quality tiers (the head/middle/tail
+    // partitioning web-corpus curation keeps/samples/drops by). The
+    // oracle replays all three stages; ordering uses the ROUNDED score
+    // + doc_id tiebreak on both sides so bucket boundaries are
+    // engine-portable.
+    Q(
+      "q_perplexity_buckets", {
+        val hitCols = TextMetrics.langMarkers.map { case (l, ms) =>
+          s"len(list_filter(tk, t -> t IN ${inList(ms)})) AS h_$l"
+        }.mkString(",\n          ")
+        val langs = TextMetrics.langMarkers.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        s"""WITH tk0 AS (
+           |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+           |h AS (SELECT doc_id, $hitCols FROM tk0),
+           |b AS (SELECT *, $best AS best FROM h),
+           |langid AS (
+           |  SELECT doc_id,
+           |    CASE WHEN best = 0 THEN 'und' $cases END AS lang
+           |  FROM b),
+           |t AS (SELECT doc_id, unnest(tk) AS term FROM tk0),
+           |tf AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+           |tot AS (SELECT sum(n) AS n_total, count(*) AS vocab FROM tf),
+           |lp AS (
+           |  SELECT term,
+           |    CAST(round(ln((n + 1) * 1.0 / (n_total + vocab)), 7) AS DECIMAL(18,7)) AS lp
+           |  FROM tf CROSS JOIN tot),
+           |scored AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    round(CAST(sum(lp) / count(*) AS DOUBLE), 4) AS avg_logprob
+           |  FROM t JOIN lp USING (term)
+           |  GROUP BY doc_id)
+           |SELECT s.doc_id, lang, n_tokens, avg_logprob,
+           |  CAST(ntile(4) OVER (PARTITION BY lang
+           |    ORDER BY avg_logprob DESC, s.doc_id) AS INT) AS bucket
+           |FROM scored s JOIN langid USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      TextMetrics.perplexityBuckets(table(s, dir, "documents"),
+          col("doc_id"), col("text"), nBuckets = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D46: domain-blocklist curation with suffix semantics — a
     // registrable-domain entry blocks every subdomain; an exact-host
     // entry blocks only that host. Both planted URL shapes exercised.

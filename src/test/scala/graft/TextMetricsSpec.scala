@@ -176,6 +176,31 @@ class TextMetricsSpec extends SparkSpec {
     assert(out.forall { case (k, (_, _, v)) => rerun(k) == v })
   }
 
+  test("perplexityBuckets: gibberish lands in its language's worst tier, per-language split") {
+    // two languages, 4 docs each: three in-distribution, one gibberish
+    // per language; with nBuckets=2 each language halves independently
+    // and the gibberish doc must sit in its OWN language's bucket 2
+    val en = "the cat and the dog sat in the house for a day"
+    val es = "el perro y la casa de los gatos con una mesa"
+    val df = Seq(
+      (1L, en), (2L, en + " and it is that"), (3L, en + " of the cat"),
+      (4L, "the zqxv wvup kjhn qpoe mlkz vvqq jjxx"), // en markers + gibberish
+      (11L, es), (12L, es + " que las por"), (13L, es + " de la casa"),
+      (14L, "el zzz qqq vvv www xxx yyy uuu")).toDF("id", "text")
+    val out = TextMetrics.perplexityBuckets(df, col("id"), col("text"), nBuckets = 2)
+      .select("id", "lang", "bucket").as[(Long, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(4L)._2 == "en" && out(14L)._2 == "es", s"langid: $out")
+    assert(out(4L)._3 == 2, s"en gibberish must be in the worst en tier: ${out(4L)}")
+    assert(out(14L)._3 == 2, s"es gibberish must be in the worst es tier: ${out(14L)}")
+    assert(out(1L)._3 == 1 && out(11L)._3 == 1,
+      s"clean docs lead their language: ${out(1L)} ${out(11L)}")
+    // per-language quotas: each language splits 2/2 with nBuckets=2
+    val byLang = out.values.groupBy(_._2).view.mapValues(_.map(_._3).toSeq.sorted)
+    assert(byLang("en") == Seq(1, 1, 2, 2) && byLang("es") == Seq(1, 1, 2, 2),
+      s"per-language ntile quotas: $byLang")
+  }
+
   test("bigramLogProb penalizes scrambled word order that the unigram model cannot see") {
     // same token MULTISET in every doc — unigram-identical by
     // construction; only the bigram model can tell them apart
