@@ -938,6 +938,73 @@ object Dedup {
       .select(col("id"), col("line_no"), col("line"))
   }
 
+  /** SUBSTRING-level exact dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22): document-level dedup
+    * misses the boilerplate tail / license block / templated intro
+    * that repeats across otherwise-distinct pages. This operator finds
+    * every token `k`-gram that occurs more than once ANYWHERE in the
+    * corpus (across documents or repeated inside one), keeps its FIRST
+    * occurrence — the minimal (id, start), so one canonical copy of
+    * every repeated passage survives — and strips the token positions
+    * covered by every OTHER occurrence. A repeated run longer than k
+    * is covered by overlapping loser k-grams, so the whole run
+    * disappears from the later copies, exactly as in the
+    * suffix-array formulation (this is its join-friendly restatement:
+    * a duplicated suffix-array interval of length ≥ k is witnessed by
+    * its duplicated k-gram prefixes).
+    *
+    * Shape at scale: one tokenize pass (localCheckpoint'd for its two
+    * consumers), one shingle-partitioned window (count + first-
+    * occurrence rank — never global; partition size = occurrences of
+    * one shingle), position expansion (×k) paid ONLY on loser spans —
+    * a small corpus fraction by construction — then an anti-join and
+    * one per-doc rebuild aggregate. The window keys on the raw shingle
+    * STRING so an oracle can replay winner selection exactly; at
+    * production scale key on `xxhash64(shingle)` instead (8-byte
+    * shuffle rows; the collision-merge risk is the standard
+    * fingerprinting trade made by [[ngramJaccard]]).
+    *
+    * Returns every input doc: (id, n_tokens, n_dup_tokens, dup_ratio,
+    * cleaned_text) — docs with no duplicated span carry their text
+    * rebuilt verbatim (single-space normalized, as tokenized), fully-
+    * duplicated docs come back empty, token-less docs report 0/0.0/"".
+    */
+  def dedupSpans(df: DataFrame, id: Column, text: Column, k: Int = 10): DataFrame = {
+    require(k >= 2, "k must be >= 2: unigram spans would strip every repeated word")
+    val tk = graft.operators.scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), tokens(col("__text")).as("tk"))
+      .localCheckpoint()
+    val spans = tk.filter(size(col("tk")) >= k)
+      .select(col("id"), posexplode(shingles(col("tk"), k)).as(Seq("start", "shingle")))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val wOrd = wAll.orderBy(col("id").asc, col("start").asc)
+    val losers = spans
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("cnt") >= 2 && col("rn") >= 2)
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val tkpos = tk.select(col("id"), posexplode(col("tk")).as(Seq("pos", "term")))
+    val rebuilt = tkpos.join(losers, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            s => s.getField("term")), " ").as("cleaned"))
+    tk.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tokens"),
+        when(col("n_tokens") === 0, lit(0d))
+          .otherwise(round(
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double") /
+              col("n_tokens"), 4))
+          .as("dup_ratio"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+  }
+
   /** Benchmark decontamination: per-document fraction of its distinct
     * word n-grams that occur ANYWHERE in the probe corpus (eval/test
     * sets) — the GPT-3-style overlap check that keeps benchmark text

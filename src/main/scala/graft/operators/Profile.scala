@@ -493,6 +493,46 @@ object Profile {
         col("distinct_before"), col("distinct_after"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney, IJUFKS'02; Machanavajjhala
+    * et al., TKDD'07): group rows by their QUASI-IDENTIFIER combination
+    * and report, per equivalence class, its size, the number of
+    * distinct sensitive values it carries, and whether it meets the
+    * k-anonymity (size ≥ k) and l-diversity (≥ l distinct sensitive
+    * values) thresholds. The pre-release privacy gate for any dataset
+    * carrying person-level rows: a class below k means those rows are
+    * re-identifiable by joining the quasi-IDs against an external
+    * table; a class below l means membership alone leaks the sensitive
+    * value even when k holds.
+    *
+    * `quasi` columns must be pre-aliased (`col("x").as("x")`) — the
+    * output carries them under those names. A null quasi value forms
+    * its own class (groupBy semantics — identical in any SQL engine);
+    * null sensitive values count as one distinct value via
+    * count(DISTINCT), so an all-null class reports 0.
+    *
+    * Shape at scale: ONE groupBy over the quasi columns —
+    * count(DISTINCT sensitive) plans as the standard two-phase expand
+    * /partial-agg, no window, no self-join, nothing driver-side.
+    * Returns (quasi…, class_size, n_sensitive, k_anonymous, l_diverse)
+    * — one row per equivalence class; the dataset passes k-anonymity
+    * iff no row has k_anonymous = false.
+    */
+  def kAnonymity(
+      df: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+      k: Int,
+      l: Int = 2): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, "k and l must be >= 1")
+    df.groupBy(quasi: _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
   /** Join/groupBy key-skew diagnosis: the top-k heaviest keys with
     * their share of all rows and their ratio to the mean key load —
     * the number that tells you whether [[Skew.saltedJoin]] (ratio in

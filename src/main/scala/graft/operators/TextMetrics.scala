@@ -449,6 +449,71 @@ object TextMetrics {
         col("avg_logprob"), col("bucket"))
   }
 
+  /** DSIR importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score
+    * every document by how much more likely its tokens are under a
+    * TARGET distribution (a trusted/in-domain subset, `isTarget`)
+    * than under the raw-corpus distribution —
+    * w(doc) = mean over tokens of [ln p_tgt(t) − ln p_raw(t)], both
+    * add-one-smoothed over the shared vocabulary. Positive means
+    * "more target-like than the corpus average"; resample/keep by
+    * weight (compose with [[graft.operators.Sampling.weightedSample]]
+    * or threshold at 0) to tilt a 100 TB crawl toward a domain
+    * without training a classifier.
+    *
+    * `hashBuckets = Some(b)` switches term features to hashed n-gram
+    * buckets (`xxhash64 mod b`) — DSIR's actual trick for unbounded
+    * web vocabularies: the model artifact becomes a fixed b-row
+    * table (broadcastable), at the cost of collision noise. Default
+    * keeps exact terms so the oracle can replay the math.
+    *
+    * Shape at scale: ONE tokenize+explode pass behind a term-keyed
+    * repartition read by both the count aggregation and the scoring
+    * join (the unigramLogProb exchange-reuse pattern); the model is
+    * one (feat, n_tgt, n_raw) table — persist it and score future
+    * shards without re-reading the corpus. Determinism: each ln is
+    * rounded to 7 dp BEFORE the subtraction (two engine-identical
+    * doubles subtract to an engine-identical double), per-doc sums
+    * run over exact decimals. Token-less docs drop out as in
+    * unigramLogProb. Returns (id, n_tokens, avg_log_ratio, selected).
+    */
+  def dsirWeights(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      hashBuckets: Option[Int] = None): DataFrame = {
+    hashBuckets.foreach(b => require(b > 0, "hashBuckets must be positive"))
+    val feat = hashBuckets match {
+      case Some(b) => pmod(xxhash64(col("__term")), lit(b.toLong)).cast("string")
+      case None    => col("__term")
+    }
+    val toks = graft.operators.scaleOut(
+        df.select(id.as("id"), isTarget.cast("boolean").as("__tgt"), text.as("__text")))
+      .select(col("id"), col("__tgt"), explode(tokens(col("__text"))).as("__term"))
+      .select(col("id"), col("__tgt"), feat.as("feat"))
+      .repartition(col("feat"))
+    val tf = toks.groupBy("feat").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = tf.agg(
+      sum(col("n_raw")).as("raw_total"),
+      sum(col("n_tgt")).as("tgt_total"),
+      count(lit(1)).as("vocab"))
+    val lr = tf.crossJoin(broadcast(tot))
+      .withColumn("lr",
+        (round(log((col("n_tgt") + 1).cast("double") / (col("tgt_total") + col("vocab"))), 7) -
+          round(log((col("n_raw") + 1).cast("double") / (col("raw_total") + col("vocab"))), 7))
+          .cast("decimal(18,7)"))
+      .select(col("feat"), col("lr"))
+    toks.join(lr, "feat")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round((sum(col("lr")) / count(lit(1))).cast("double"), 4).as("avg_log_ratio"))
+      .withColumn("selected", col("avg_log_ratio") > 0d)
+  }
+
   /** Zipf head coverage: for each k in `ks`, the fraction of all token
     * INSTANCES covered by the k most frequent terms — the one-line
     * answer to "how big must the vocabulary be" and a cheap
@@ -530,6 +595,41 @@ object TextMetrics {
     */
   def urlDomains(text: Column): Column =
     regexp_extract_all(lower(text), lit("""https?://([^/\s"']+)"""), lit(1))
+
+  /** URL canonicalization — the normalization pass BEFORE URL-keyed
+    * dedup of a web crawl (the same page arrives as `HTTPS://WWW.…/`,
+    * `…:443/…?utm_source=…`, `…/#fragment`, and a dozen other
+    * renditions; naïve string dedup keeps them all): lowercase scheme
+    * and host, drop the fragment, strip the scheme's default port
+    * (:80/:443), trim trailing slashes off the path, drop tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`, `msclkid`, `ref`), and
+    * sort the surviving query parameters so parameter ORDER stops
+    * mattering. Path case, non-default ports, and parameter VALUES are
+    * preserved — they distinguish real resources. A string that does
+    * not parse as an absolute URL comes back trimmed but otherwise
+    * untouched (flag-not-crash: curation decides what to do with it).
+    *
+    * Pure per-row regex/array kernels (codegen'd, no shuffle, no UDF)
+    * so it runs inside any scan projection; dedup is then
+    * `groupBy(canonicalizeUrl(url))` — one standard aggregate.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(q, "&"),
+      p => !p.rlike("^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)") && p =!= ""))
+    val canonQ = array_join(kept, "&")
+    when(scheme === "" || hostPort === "", trim(url))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
+  }
 
   /** Domain-blocklist curation (the UT1/adult-blocklist gate every web
     * corpus runs): drop documents whose text links to a blocked domain,

@@ -846,6 +846,74 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // D51: substring-level exact dedup (Lee et al., ACL'22) — every
+    // token 10-gram occurring more than once corpus-wide keeps only
+    // its first (id, start) occurrence; later copies lose the covered
+    // positions. Planted renditions: doc_id % 3 = 0 docs share a
+    // 13-token boilerplate tail (cross-doc dup — the first such doc
+    // keeps it), % 3 = 1 docs repeat their own text (within-doc dup —
+    // the second copy is stripped). Both engines rebuild the survivor
+    // text in position order.
+    Q(
+      "q_dedup_spans", {
+        val boiler =
+          "this content is provided by the example corporation all rights reserved worldwide"
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN text || ' $boiler'
+           |         WHEN doc_id % 3 = 1 THEN text || ' ' || text
+           |         ELSE text END AS text
+           |  FROM documents),
+           |tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM d),
+           |sp AS (
+           |  SELECT doc_id, tk, unnest(range(0, len(tk) - 9)) AS start
+           |  FROM tk0 WHERE len(tk) >= 10),
+           |sh AS (
+           |  SELECT doc_id, start,
+           |    array_to_string(tk[start + 1 : start + 10], ' ') AS shingle
+           |  FROM sp),
+           |w AS (
+           |  SELECT doc_id, start,
+           |    count(*) OVER (PARTITION BY shingle) AS cnt,
+           |    row_number() OVER (PARTITION BY shingle ORDER BY doc_id, start) AS rn
+           |  FROM sh),
+           |lose AS (
+           |  SELECT DISTINCT doc_id, pos FROM (
+           |    SELECT doc_id, unnest(range(start, start + 10)) AS pos
+           |    FROM w WHERE cnt >= 2 AND rn >= 2)),
+           |tp AS (
+           |  SELECT doc_id, pos, tk[pos + 1] AS term FROM (
+           |    SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM tk0)),
+           |kept AS (
+           |  SELECT t.doc_id, t.pos, t.term
+           |  FROM tp t LEFT JOIN lose l ON t.doc_id = l.doc_id AND t.pos = l.pos
+           |  WHERE l.doc_id IS NULL),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |    string_agg(term, ' ' ORDER BY pos) AS cleaned
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_dup_tokens,
+           |  round(CASE WHEN len(tk) = 0 THEN 0.0
+           |    ELSE (len(tk) - coalesce(n_kept, 0)) * 1.0 / len(tk) END, 4)
+           |    AS dup_ratio,
+           |  coalesce(cleaned, '') AS cleaned_text
+           |FROM tk0 t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val boiler =
+        "this content is provided by the example corporation all rights reserved worldwide"
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + boiler)))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSpans(planted, col("doc_id"), col("text"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D37: blocked sorted-neighborhood candidate pairs (merge/purge) —
     // rows sorted by a normalized 40-char prefix key within first-char
     // blocks, each row paired with its 3 predecessors; the planted

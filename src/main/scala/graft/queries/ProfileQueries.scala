@@ -516,6 +516,27 @@ object ProfileQueries {
         .orderBy("col_name")
     },
 
+    // C50: k-anonymity / l-diversity audit — equivalence classes over
+    // the (nation, segment) quasi-identifiers with account balance as
+    // the sensitive attribute; class size and distinct-sensitive
+    // counts drive the two privacy flags. Thresholds sit inside the
+    // class-size distribution so both flag values occur.
+    Q(
+      "q_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+        |  (count(*) >= 12) AS k_anonymous,
+        |  (count(DISTINCT c_acctbal) >= 10) AS l_diverse
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      Profile.kAnonymity(table(s, dir, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")), col("c_acctbal"),
+          k = 12, l = 10)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // C25: fixed-width histogram of extended price — map-side-combined
     // groupBy on the bin id, O(nBins) result regardless of input size.
     Q(

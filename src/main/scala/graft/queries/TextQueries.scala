@@ -493,6 +493,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D50: DSIR importance weighting — per-doc mean log-ratio of a
+    // target (source = src0) unigram distribution vs the raw corpus,
+    // add-one smoothed over the shared vocab; selected = more
+    // target-like than the corpus average. Each ln is rounded to 7 dp
+    // BEFORE subtraction so both engines subtract identical doubles.
+    Q(
+      "q_dsir_weights",
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, (source = 'src0') AS tgt, ${tkSql("text")} AS tk
+         |  FROM documents),
+         |t AS (SELECT doc_id, tgt, unnest(tk) AS feat FROM tk0),
+         |tf AS (
+         |  SELECT feat, count(*) AS n_raw,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+         |  FROM t GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(n_raw) AS raw_total, sum(n_tgt) AS tgt_total,
+         |    count(*) AS vocab
+         |  FROM tf),
+         |lr AS (
+         |  SELECT feat,
+         |    CAST(round(ln((n_tgt + 1) * 1.0 / (tgt_total + vocab)), 7) -
+         |         round(ln((n_raw + 1) * 1.0 / (raw_total + vocab)), 7)
+         |      AS DECIMAL(18,7)) AS lr
+         |  FROM tf CROSS JOIN tot),
+         |scored AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(CAST(sum(lr) / count(*) AS DOUBLE), 4) AS avg_log_ratio
+         |  FROM t JOIN lr USING (feat)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, avg_log_ratio,
+         |  (avg_log_ratio > 0) AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.dsirWeights(table(s, dir, "documents"),
+          col("doc_id"), col("text"), col("source") === "src0")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D46: domain-blocklist curation with suffix semantics — a
     // registrable-domain entry blocks every subdomain; an exact-host
     // entry blocks only that host. Both planted URL shapes exercised.
@@ -745,6 +785,79 @@ object TextQueries {
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("domain")
+    },
+
+    // D52: URL canonicalization — five planted renditions per logical
+    // page (case-mangled host, default ports, tracking params,
+    // fragments, param order, trailing slash); canonical-URL grouping
+    // must merge the four example.com variants of each gid into ONE
+    // row and all mirror variants into one. Both engines replay the
+    // identical regex/sort normalization.
+    Q(
+      "q_url_canonical",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://WWW.Example.COM/path/p' ||
+        |        CAST(doc_id // 5 AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://www.example.com:443/path/p' ||
+        |        CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'https://www.example.com/path/p' ||
+        |        CAST(doc_id // 5 AS VARCHAR) || '/?b=2&a=1&gclid=zz'
+        |      WHEN 3 THEN 'https://www.example.com/path/p' ||
+        |        CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2&utm_campaign=y&fbclid=q'
+        |      ELSE 'HTTP://Mirror.example.ORG:80/x/y/?ref=home' END AS url
+        |  FROM documents),
+        |u0 AS (
+        |  SELECT doc_id, trim(url) AS orig,
+        |    regexp_replace(trim(url), '#.*$', '') AS u
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, orig,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+        |      AS hostport,
+        |    regexp_replace(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS q
+        |  FROM u0),
+        |c AS (
+        |  SELECT doc_id, orig, scheme, hostport, path,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)')
+        |        AND len(x) > 0)), '&'), '') AS cq
+        |  FROM p),
+        |canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' OR hostport = '' THEN orig
+        |         ELSE scheme || '://' || host || path ||
+        |           CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS url
+        |  FROM c)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM canon GROUP BY url ORDER BY url""".stripMargin
+    ) { (s, dir) =>
+      val gid = floor(col("doc_id") / 5).cast("long").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://WWW.Example.COM/path/p"), gid,
+            lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://www.example.com:443/path/p"), gid, lit("?a=1&b=2")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://www.example.com/path/p"), gid,
+            lit("/?b=2&a=1&gclid=zz")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://www.example.com/path/p"), gid,
+            lit("?a=1&b=2&utm_campaign=y&fbclid=q")))
+        .otherwise(lit("HTTP://Mirror.example.ORG:80/x/y/?ref=home"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextMetrics.canonicalizeUrl(url).as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("url")
     },
 
     // D39: line-shape metrics (Gopher-family document filters over

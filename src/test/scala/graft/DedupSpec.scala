@@ -537,6 +537,41 @@ class DedupSpec extends SparkSpec {
       s"expected only content lines to survive, got $kept")
   }
 
+  test("dedupSpans keeps the first occurrence of every repeated k-gram, strips the rest") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),            // first everywhere: intact
+      (2L, "p q r c d e f s t u"),        // shares "c d e f" with doc 1
+      (3L, "x y z w x y z w"),            // repeats its OWN text
+      (4L, "m n o p2 q2 r2"),             // unique: intact, ratio 0
+      (5L, "a b c d e f g h"),            // exact copy of doc 1: emptied
+      (6L, "hi")                          // shorter than k: intact
+    ).toDF("id", "text")
+    val out = Dedup.dedupSpans(df, col("id"), col("text"), k = 4)
+      .select("id", "n_tokens", "n_dup_tokens", "dup_ratio", "cleaned_text")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 8L, 0L, 0.0, "a b c d e f g h")), s"${out(1L)}")
+    assert(out(2L) === ((2L, 10L, 4L, 0.4, "p q r s t u")), s"${out(2L)}")
+    assert(out(3L) === ((3L, 8L, 4L, 0.5, "x y z w")), s"${out(3L)}")
+    assert(out(4L) === ((4L, 6L, 0L, 0.0, "m n o p2 q2 r2")), s"${out(4L)}")
+    assert(out(5L) === ((5L, 8L, 8L, 1.0, "")), s"full duplicate must empty: ${out(5L)}")
+    assert(out(6L) === ((6L, 1L, 0L, 0.0, "hi")), s"${out(6L)}")
+  }
+
+  test("dedupSpans removes a long repeated run entirely from the later copy via overlapping k-grams") {
+    // a 10-token boilerplate inside two otherwise-distinct docs: the
+    // run is longer than k=4, so only overlapping k-grams witness it —
+    // the whole run must still vanish from doc 11 and survive in doc 10
+    val run = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (10L, s"alpha $run omega"),
+      (11L, s"beta gamma $run delta")).toDF("id", "text")
+    val out = Dedup.dedupSpans(df, col("id"), col("text"), k = 4)
+      .select("id", "cleaned_text").as[(Long, String)].collect().toMap
+    assert(out(10L) === s"alpha $run omega", s"first copy intact: ${out(10L)}")
+    assert(out(11L) === "beta gamma delta", s"later copy stripped: ${out(11L)}")
+  }
+
   test("prefixFilterJaccard equals all-pairs exact jaccard; finds the pair the df-cap drops") {
     // a boilerplate phrase shared by EVERY doc: its shingles have
     // df = 27 > ngramJaccard's dfCap of 20

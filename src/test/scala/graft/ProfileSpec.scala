@@ -20,6 +20,27 @@ class ProfileSpec extends SparkSpec {
     assert(p("s") == ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("kAnonymity flags small classes and low sensitive diversity; null quasi forms its own class") {
+    val rows = Seq(
+      // class (10, "a"): 3 members, all same sensitive value
+      (Some(10), "a", 100.0), (Some(10), "a", 100.0), (Some(10), "a", 100.0),
+      // class (10, "b"): 2 members, 2 sensitive values
+      (Some(10), "b", 1.0), (Some(10), "b", 2.0),
+      // class (null, "a"): 1 member
+      (None, "a", 5.0)).toDF("nat", "seg", "bal")
+    val out = Profile.kAnonymity(rows,
+        Seq(col("nat").as("nat"), col("seg").as("seg")), col("bal"), k = 3, l = 2)
+      .select("nat", "seg", "class_size", "n_sensitive", "k_anonymous", "l_diverse")
+      .collect().map(r => (Option(r.get(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out((Some(10), "a")) === ((3L, 1L, true, false)),
+      s"size-3 single-value class: ${out((Some(10), "a"))}")
+    assert(out((Some(10), "b")) === ((2L, 2L, false, true)),
+      s"small diverse class: ${out((Some(10), "b"))}")
+    assert(out((None, "a")) === ((1L, 1L, false, false)),
+      s"null quasi class: ${out((None, "a"))}")
+  }
+
   test("profile default (approx distinct) is exact at tiny cardinalities") {
     val df = Seq(1, 2, 3, 3).toDF("v")
     val Array(r) = Profile.profile(df, Seq("v")).collect()

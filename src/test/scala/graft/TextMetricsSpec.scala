@@ -201,6 +201,58 @@ class TextMetricsSpec extends SparkSpec {
       s"per-language ntile quotas: $byLang")
   }
 
+  test("dsirWeights: target-like docs score positive, off-distribution docs negative; hashed variant agrees") {
+    // target = docs 1-3 (clean English); raw pool adds doc 4 (same
+    // distribution, should be pulled UP) and docs 5-6 (gibberish,
+    // should be pushed DOWN below zero)
+    val en = "the cat and the dog sat in the house for a day"
+    val df = Seq(
+      (1L, en, true), (2L, en + " and it is that", true), (3L, en + " of the cat", true),
+      (4L, "the dog and the cat sat in a house", false),
+      (5L, "zqxv wvup kjhn qpoe mlkz vvqq jjxx", false),
+      (6L, "qq ww ee rr tt yy uu ii oo pp", false)).toDF("id", "text", "tgt")
+    val out = TextMetrics.dsirWeights(df, col("id"), col("text"), col("tgt"))
+      .select("id", "avg_log_ratio", "selected").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(4L)._3, s"in-distribution non-target doc must be selected: ${out(4L)}")
+    assert(!out(5L)._3 && !out(6L)._3, s"gibberish must not be selected: ${out(5L)} ${out(6L)}")
+    assert(out(4L)._2 > out(5L)._2, "target-like must outrank gibberish")
+    // hashed features (b large enough that collisions are unlikely on
+    // this vocab) preserve the separation
+    val hashed = TextMetrics.dsirWeights(df, col("id"), col("text"), col("tgt"),
+        hashBuckets = Some(1 << 20))
+      .select("id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(hashed(4L) && !hashed(5L) && !hashed(6L), s"hashed variant separation: $hashed")
+  }
+
+  test("canonicalizeUrl merges renditions, keeps real distinctions, passes through non-URLs") {
+    val cases = Seq(
+      // renditions of one page → one canonical form
+      "https://WWW.Example.COM/path/?utm_source=x&b=2&a=1#frag" ->
+        "https://www.example.com/path?a=1&b=2",
+      "https://www.example.com:443/path?a=1&b=2" ->
+        "https://www.example.com/path?a=1&b=2",
+      "https://www.example.com/path?b=2&a=1&gclid=zz&fbclid=q&msclkid=m&ref=r" ->
+        "https://www.example.com/path?a=1&b=2",
+      "HTTP://Host.ORG:80/x/y/" -> "http://host.org/x/y",
+      // distinctions that must SURVIVE
+      "https://host.org:8443/x" -> "https://host.org:8443/x",   // non-default port
+      "https://host.org/X" -> "https://host.org/X",             // path case
+      "https://host.org/x?a=1" -> "https://host.org/x?a=1",     // param value
+      "https://host.org/x?a=2" -> "https://host.org/x?a=2",
+      // utm param value containing '=' still dropped; 'refresh' is NOT 'ref'
+      "https://host.org/x?utm_a=b=c&refresh=1" -> "https://host.org/x?refresh=1",
+      // not absolute URLs → trimmed pass-through
+      "  not a url  " -> "not a url",
+      "relative/path?utm_source=x" -> "relative/path?utm_source=x")
+    val out = cases.map(_._1).toDF("url")
+      .select(TextMetrics.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got === want, s"expected $want, got $got")
+    }
+  }
+
   test("bigramLogProb penalizes scrambled word order that the unigram model cannot see") {
     // same token MULTISET in every doc — unigram-identical by
     // construction; only the bigram model can tell them apart
