@@ -68,7 +68,8 @@ class PlanSpec extends SparkSpec {
   test("windows are partitioned - no global single-partition window anywhere") {
     for (name <- Seq("q_topn_per_group", "q_window_running", "q_sessionize",
         "q_asof_join", "q_epe_shape_b", "q_pack_sequences", "q_quantile_bucket",
-        "q_tfidf_topterms", "q_dedup_sorted")) {
+        "q_tfidf_topterms", "q_dedup_sorted", "q_dedup_spans",
+        "q_perplexity_buckets")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = globalWindows(df)
       assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")
@@ -212,6 +213,12 @@ class PlanSpec extends SparkSpec {
     val plan = run(SparkEntry.queries("q_unigram_logprob")(spark, sf))
     assert(plan.contains("ReusedExchange"),
       s"term exchange not shared between tf aggregate and join probe:\n$plan")
+  }
+
+  test("dsirWeights reuses the feature exchange (one tokenization pass feeds model and probe)") {
+    val plan = run(SparkEntry.queries("q_dsir_weights")(spark, sf))
+    assert(plan.contains("ReusedExchange"),
+      s"feature exchange not shared between count aggregate and scoring join:\n$plan")
   }
 
   test("resample scans the input once and plans no join (gap rows are generated in place)") {
