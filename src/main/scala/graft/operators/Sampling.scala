@@ -169,6 +169,56 @@ object Sampling {
     df.filter(hashBucket(key) <
       floor(least(lit(1.0), greatest(lit(0.0), weight)) * buckets))
 
+  /** TEMPERATURE-based mixture sampling (the mT5/XLM-R multilingual
+    * recipe, Xue et al. NAACL'21 §3.1): sample group g with
+    * probability ∝ n_g^alpha, so alpha = 1 reproduces natural
+    * proportions and alpha → 0 flattens toward uniform — the standard
+    * way to keep head languages/sources from drowning the tail
+    * without hand-tuning per-group rates ([[mixtureSample]] is the
+    * hand-tuned sibling). Per-group keep rate:
+    * min(1, targetRows · n_g^alpha / Σ n^alpha / n_g), realized by
+    * the same hash-bucket cut as [[weightedSample]] — RNG-free,
+    * nested, engine-portable.
+    *
+    * Determinism: n_g^alpha is TRUNCATED at 7 dp and the denominator
+    * sums those truncations over exact decimals (the psi contract —
+    * a plain double sum's value depends on partition order); all
+    * downstream arithmetic is IEEE mul/div on engine-identical
+    * doubles, and the per-mille cut floors (repr-independent).
+    * alpha = 0.5 (the common choice) computes via sqrt, which IEEE
+    * requires correctly rounded — bit-identical in any engine; other
+    * alphas use pow, whose last ulp is libm-specific (deterministic
+    * per engine, oracle parity not guaranteed at rate boundaries).
+    *
+    * Shape at scale: one partial-aggregated group count, a broadcast
+    * rate table (group cardinality = sources/languages — config-
+    * sized), one per-row filter. No shuffle of the data itself.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      targetRows: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]: 1 = natural, ->0 = uniform")
+    require(targetRows > 0, "targetRows must be positive")
+    val d = df.withColumn("__grp", group).withColumn("__key", key)
+    val nD = col("__n").cast("double")
+    val powN = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val w = d.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(powN * 1e7) / 1e7)
+    val tot = w.agg(
+      sum(col("__w").cast("decimal(28,7)")).cast("double").as("__wsum"))
+    val rates = w.crossJoin(broadcast(tot))
+      .select(col("__grp"),
+        least(lit(1.0),
+          lit(targetRows.toDouble) * col("__w") / col("__wsum") / col("__n"))
+          .as("__rate"))
+    d.join(broadcast(rates), "__grp")
+      .filter(hashBucket(col("__key")) < floor(col("__rate") * buckets))
+      .drop("__grp", "__key", "__rate")
+  }
+
   /** Deterministic per-group row cap — domain capping ("keep at most
     * N documents per domain/source"), the corpus-balancing step that
     * stops a handful of mega-domains from dominating a training mix.

@@ -514,6 +514,48 @@ object TextMetrics {
       .withColumn("selected", col("avg_log_ratio") > 0d)
   }
 
+  /** Linear text-classifier APPLY (the fastText-style quality gate:
+    * score = sigmoid(bias + Σ w(token)) over a bag-of-words weight
+    * table — how production pipelines run a trained quality/toxicity/
+    * domain classifier over a 100 TB corpus; training happens offline,
+    * this is the distributed inference pass). Out-of-vocabulary tokens
+    * contribute 0; `weights` is any (term, weight) frame — the model
+    * artifact, persisted like the unigram LM's term table (wrap it in
+    * `broadcast(...)` caller-side when the vocabulary is small).
+    *
+    * Determinism: weights and bias TRUNCATE at 7 dp and the per-doc
+    * sum runs over exact decimals (order-independent); the decision
+    * flag compares the exact-decimal logit against 0 — equivalent to
+    * score ≥ 0.5 but immune to sigmoid's libm ulp skew — and the
+    * reported score rounds the shared-double sigmoid to 4 dp. Docs
+    * with zero tokens drop out (unigramLogProb's contract).
+    * Returns (id, n_tokens, n_hits, score, positive).
+    */
+  def linearTextScore(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      weights: DataFrame,
+      term: Column,
+      weight: Column,
+      bias: Double = 0.0): DataFrame = {
+    val w = weights.select(term.as("term"),
+      (floor(weight * 1e7) / 1e7).cast("decimal(18,7)").as("__w"))
+    val biasDec = lit(math.floor(bias * 1e7) / 1e7).cast("decimal(18,7)")
+    val toks = graft.operators.scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), explode(tokens(col("__text"))).as("term"))
+    toks.join(w, Seq("term"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("__w")).as("n_hits"),
+        sum(coalesce(col("__w"), lit(0).cast("decimal(18,7)"))).as("__zsum"))
+      .withColumn("__z", col("__zsum") + biasDec)
+      .select(col("id"), col("n_tokens"), col("n_hits"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__z").cast("double"))), 4).as("score"),
+        (col("__z") >= 0).as("positive"))
+  }
+
   /** Zipf head coverage: for each k in `ks`, the fraction of all token
     * INSTANCES covered by the k most frequent terms — the one-line
     * answer to "how big must the vocabulary be" and a cheap

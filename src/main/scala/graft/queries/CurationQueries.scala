@@ -535,6 +535,52 @@ object CurationQueries {
           col("doc_id"), col("n_chars") / lit(400.0))
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // D53: temperature-based mixture sampling (mT5-style n^alpha
+    // reweighting) — planted 60/30/10 group skew; at alpha = 0.5 the
+    // sqrt weights tilt keep-rates toward the tail group. The oracle
+    // replays the truncated-sqrt weights, exact-decimal denominator,
+    // and per-mille hash cut; per-group before/after counts must
+    // match exactly.
+    Q(
+      "q_temperature_mixture", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+           |         WHEN doc_id % 10 < 9 THEN 'mid'
+           |         ELSE 'small' END AS grp
+           |  FROM documents),
+           |c AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
+           |w AS (
+           |  SELECT grp, n, floor(sqrt(CAST(n AS DOUBLE)) * 1e7) / 1e7 AS w
+           |  FROM c),
+           |tot AS (
+           |  SELECT CAST(sum(CAST(w AS DECIMAL(28,7))) AS DOUBLE) AS wsum FROM w),
+           |r AS (
+           |  SELECT grp, n, least(1.0, 250.0 * w / wsum / n) AS rate
+           |  FROM w CROSS JOIN tot),
+           |sel AS (
+           |  SELECT d.doc_id, d.grp FROM d JOIN r USING (grp)
+           |  WHERE $b < floor(rate * 1000)),
+           |a AS (SELECT grp, count(*) AS n_after FROM sel GROUP BY 1)
+           |SELECT c.grp, CAST(c.n AS BIGINT) AS n_before,
+           |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+           |FROM c LEFT JOIN a USING (grp) ORDER BY grp""".stripMargin
+      }
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 < 6, "big")
+          .when(col("doc_id") % 10 < 9, "mid")
+          .otherwise("small").as("grp"))
+      val sel = Sampling.temperatureMixture(planted, col("grp"), col("doc_id"),
+        targetRows = 250, alpha = 0.5)
+      planted.groupBy("grp").agg(count(lit(1)).as("n_before"))
+        .join(sel.groupBy("grp").agg(count(lit(1)).as("n_after")), Seq("grp"), "left")
+        .select(col("grp"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("grp")
     }
   )
 }

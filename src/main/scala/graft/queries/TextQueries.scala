@@ -533,6 +533,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D54: linear text-classifier apply — sigmoid(bias + Σ w(token))
+    // over a planted 5-term weight table (the fastText-style quality
+    // gate's inference pass). Weights/bias truncate at 7 dp, the logit
+    // sums exact decimals, and the decision flag compares the exact
+    // logit to 0 so sigmoid's libm ulp can never flip it.
+    Q(
+      "q_text_classify",
+      s"""WITH wt(term, wgt) AS (VALUES
+         |    ('spark', 2.5), ('window', 1.5), ('table', 0.8),
+         |    ('slow', -2.0), ('scan', -0.6)),
+         |wtt AS (
+         |  SELECT term, CAST(floor(wgt * 1e7) / 1e7 AS DECIMAL(18,7)) AS w
+         |  FROM wt),
+         |tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+         |t AS (SELECT doc_id, unnest(tk) AS term FROM tk0),
+         |j AS (SELECT t.doc_id, w FROM t LEFT JOIN wtt USING (term)),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(w) AS BIGINT) AS n_hits,
+         |    sum(coalesce(w, CAST(0 AS DECIMAL(18,7)))) +
+         |      CAST(floor(-0.5 * 1e7) / 1e7 AS DECIMAL(18,7)) AS z
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_hits,
+         |  round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 4) AS score,
+         |  (z >= 0) AS positive
+         |FROM g ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Seq("spark" -> 2.5, "window" -> 1.5, "table" -> 0.8,
+        "slow" -> -2.0, "scan" -> -0.6).toDF("term", "weight")
+      TextMetrics.linearTextScore(table(s, dir, "documents"),
+          col("doc_id"), col("text"), broadcast(w), col("term"), col("weight"),
+          bias = -0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D46: domain-blocklist curation with suffix semantics — a
     // registrable-domain entry blocks every subdomain; an exact-host
     // entry blocks only that host. Both planted URL shapes exercised.

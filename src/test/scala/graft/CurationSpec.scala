@@ -150,6 +150,36 @@ class CurationSpec extends SparkSpec {
     assert(edge.forall(b => b >= 0 && b < 1000), s"edge buckets: ${edge.toSeq}")
   }
 
+  test("temperatureMixture tilts keep-rates toward the tail group and nests across targets") {
+    // 900/100 skew, alpha=0.5: w = (30, 10), rates = T·w/40/n →
+    // at T=200: big 200·30/40/900 = 16.6%, small 200·10/40/100 = 50%
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") < 900, "big").otherwise("small").as("grp"))
+    val out = Sampling.temperatureMixture(df, col("grp"), col("id"), targetRows = 200)
+    val by = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rBig = by("big") / 900.0
+    val rSmall = by("small") / 100.0
+    assert(rSmall > 2 * rBig, s"tail group must be upsampled: big=$rBig small=$rSmall")
+    assert(math.abs(rBig - 0.1666) < 0.05 && math.abs(rSmall - 0.5) < 0.1,
+      s"realized rates near analytic ones: big=$rBig small=$rSmall")
+    val total = by.values.sum
+    assert(math.abs(total - 200L) <= 30, s"total near target: $total")
+    // alpha = 1 is natural sampling: both groups keep ~T/N = 20%
+    val nat = Sampling.temperatureMixture(df, col("grp"), col("id"),
+        targetRows = 200, alpha = 1.0)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(nat("big") / 900.0 - 0.2) < 0.05 &&
+      math.abs(nat("small") / 100.0 - 0.2) < 0.1,
+      s"alpha=1 must reproduce natural proportions: $nat")
+    // nesting: a smaller target selects a subset of a larger one
+    val small = Sampling.temperatureMixture(df, col("grp"), col("id"), targetRows = 100)
+      .select("id").as[Long].collect().toSet
+    val big = out.select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "raising targetRows must never evict a row")
+  }
+
   test("mixtureSample applies per-group rates, a default, and nests across rates") {
     val df = spark.range(20000).select(
       col("id"),

@@ -225,6 +225,27 @@ class TextMetricsSpec extends SparkSpec {
     assert(hashed(4L) && !hashed(5L) && !hashed(6L), s"hashed variant separation: $hashed")
   }
 
+  test("linearTextScore: hand-computed logits, OOV contributes zero, exact-decimal decision flag") {
+    val w = Seq("spark" -> 2.5, "window" -> 1.5, "slow" -> -2.0).toDF("term", "weight")
+    val docs = Seq(
+      (1L, "good spark window"),   // z = -0.5 + 2.5 + 1.5 = 3.5
+      (2L, "slow slow spark"),     // z = -0.5 - 2.0 - 2.0 + 2.5 = -2.0
+      (3L, "nothing matches here") // z = -0.5, all OOV
+    ).toDF("id", "text")
+    val out = TextMetrics.linearTextScore(docs, col("id"), col("text"),
+        w, col("term"), col("weight"), bias = -0.5)
+      .select("id", "n_tokens", "n_hits", "score", "positive")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    assert(out(1L)._2 == 3 && out(1L)._3 == 2 && out(1L)._5, s"${out(1L)}")
+    assert(math.abs(out(1L)._4 - sig(3.5)) < 1e-4, s"${out(1L)}")
+    assert(out(2L)._3 == 3 && !out(2L)._5, s"${out(2L)}")
+    assert(math.abs(out(2L)._4 - sig(-2.0)) < 1e-4, s"${out(2L)}")
+    assert(out(3L)._3 == 0 && !out(3L)._5, s"OOV-only doc scores the bias: ${out(3L)}")
+    assert(math.abs(out(3L)._4 - sig(-0.5)) < 1e-4, s"${out(3L)}")
+  }
+
   test("canonicalizeUrl merges renditions, keeps real distinctions, passes through non-URLs") {
     val cases = Seq(
       // renditions of one page → one canonical form
