@@ -250,6 +250,80 @@ object EventStreams {
       .start()
   }
 
+  /** E11: streaming NEAR-dup ingest with signature-index maintenance —
+    * the near-dup tier of [[ingestDedupMaintained]] (E7 rejects only
+    * byte-identical content; a crawl stream re-delivers boilerplate-
+    * perturbed copies that only MinHash can see). Each micro-batch:
+    * (1) re-reads the on-disk signature index
+    * (`Dedup.minHashSignatures` layout), (2) drops batch docs whose
+    * estimated Jaccard against any INDEXED doc clears `threshold`
+    * (`Dedup.minHashLSHIncremental` — bipartite, bounded by batch
+    * size × bands, the corpus is never re-signed), (3) resolves
+    * WITHIN-batch near-dup clusters to their min-id winner
+    * (`Dedup.minHashLSH` + `clusterDuplicates` — batch-sized work),
+    * (4) lands accepted rows and their signatures in per-batch
+    * `batch_id=<N>` dirs with overwrite. The seeded hash family makes
+    * a replayed batch byte-identical, so at-least-once replay yields
+    * exactly-once output (E7's delivery contract); bootstrap keys off
+    * committed `_SUCCESS` markers, and a committed-but-unreadable
+    * index propagates the error rather than silently re-admitting
+    * near-dups of the whole corpus. Ids must be integral
+    * (clusterDuplicates' contract). Table-format transactions remain
+    * the multi-writer seam.
+    */
+  def ingestNearDedupMaintained(
+      records: DataFrame,
+      textCol: String,
+      idCol: String,
+      sigPath: String,
+      outPath: String,
+      checkpointPath: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val rootP = new org.apache.hadoop.fs.Path(sigPath)
+        val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasCommitted = hfs.exists(rootP) &&
+          hfs.globStatus(new org.apache.hadoop.fs.Path(sigPath, "batch_id=*/_SUCCESS"))
+            .nonEmpty
+        val index =
+          if (hasCommitted) spark.read.parquet(sigPath)
+          else
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("sig",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.LongType, containsNull = false)))))
+        val hits = graft.operators.Dedup.minHashLSHIncremental(
+            batch, col(idCol), col(textCol), index,
+            numHashes, bands, shingleSize, threshold)
+          .select(col("shard_id").as("__drop")).distinct()
+        val survivors = batch.join(hits, col(idCol) === col("__drop"), "left_anti")
+        val pairs = graft.operators.Dedup.minHashLSH(
+          survivors, col(idCol), col(textCol),
+          numHashes, bands, shingleSize, threshold)
+        val drops = graft.operators.Dedup.clusterDuplicates(
+          pairs, col("id_a"), col("id_b"))
+        val accepted = survivors
+          .join(drops, col(idCol) === col("drop_id"), "left_anti")
+          .localCheckpoint()
+        accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        graft.operators.Dedup.minHashSignatures(
+            accepted, col(idCol), col(textCol), numHashes, shingleSize)
+          .write.mode("overwrite").parquet(s"$sigPath/batch_id=$batchId")
+      }
+      .start()
+  }
+
   /** E8: streaming CDC apply — the streaming twin of batch
     * `Merge.applyChanges`: each micro-batch of change records
     * (payload + op + version columns) merges into an on-disk parquet

@@ -481,6 +481,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E11 ingestNearDedupMaintained: the signature index rejects PERTURBED re-arrivals across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e11")
+    val (sig, out, ckpt) = (s"$dir/sigs", s"$dir/out", s"$dir/ckpt")
+    val a = ("the quick brown fox jumps over the lazy dog while rain falls " +
+      "on the quiet village and the river bends through green fields toward " +
+      "the old stone bridge where children play every summer afternoon")
+    val b = "completely different content about spark partitions shuffles and " +
+      "broadcast joins executed across many workers in a large cluster deployment"
+    val c = "a third unrelated document describing tokenizer vocabularies merge " +
+      "rules and subword segmentation applied to multilingual training corpora"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.ingestNearDedupMaintained(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", sig, out, ckpt)
+    try {
+      // batch 1: A, B, and an IN-BATCH near-dup of A (one word changed)
+      input.addData((1L, a), (2L, b), (3L, a.replace("summer", "winter")))
+      q.processAllAvailable()
+      // batch 2: a LATE perturbed re-arrival of A (exact dedup would
+      // miss it; only the signature index can reject it) plus fresh C
+      input.addData((4L, a.replace("children", "tourists")), (5L, c))
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(accepted == Set(1L, 2L, 5L), s"accepted: $accepted")
+      // the index holds exactly the accepted docs' signatures
+      val ids = spark.read.parquet(sig).select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 5L), s"index ids: ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("E8 applyChangesMaintained: streamed CDC batches converge to the batch merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e8")
     val (snap, ckpt) = (s"$dir/snapshot", s"$dir/ckpt")
