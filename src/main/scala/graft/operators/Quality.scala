@@ -115,4 +115,58 @@ object Quality {
       .select(col("check"), col("n_violations"),
         (col("n_violations") === 0).as("passed"))
   }
+
+  /** Curation attrition report — the observability twin of a filter
+    * cascade (reference pipeline's implicit drop steps,
+    * `tratamento_epe.R:70-104`, made explicit and countable): given
+    * ordered stages of keep-PREDICATES, report per stage how many docs
+    * entered, survived, and were dropped, plus the cumulative survival
+    * rate. Before committing a 100 TB corpus run, this is the report
+    * that catches "the language gate just silently ate 40% of the
+    * corpus".
+    *
+    * Execution shape: ALL stages evaluate in ONE partial-aggregated
+    * scan — each row contributes one cumulative-AND survival flag per
+    * stage (a row is in stage i's input iff it passed stages 1..i-1),
+    * the aggregate is k+1 sums, and the per-stage rows explode from
+    * that single aggregate row. Adding a tenth stage costs nothing
+    * extra; no second scan, no join. A null predicate value counts as
+    * a drop (a gate that cannot evaluate must not pass the doc).
+    *
+    * Stage predicates that need non-row-local context (e.g. "is the
+    * exact-dedup winner") are the caller's job to materialize as a
+    * column first (window/join), then reference here — see
+    * `q_curation_attrition`.
+    */
+  def attrition(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage required")
+    val cum = stages
+      .scanLeft(lit(true)) { case (in, (_, keep)) =>
+        in && coalesce(keep, lit(false))
+      }
+      .tail // cum(i) = survived stages 0..i
+    val aggs = count(lit(1)).as("__in0") +:
+      cum.zipWithIndex.map { case (c, i) =>
+        sum(c.cast("long")).as(s"__s$i")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      val docsIn =
+        if (i == 0) col("__in0") else coalesce(col(s"__s${i - 1}"), lit(0L))
+      val docsOut = coalesce(col(s"__s$i"), lit(0L))
+      struct(
+        lit(i + 1).as("stage_idx"),
+        lit(name).as("stage"),
+        docsIn.as("docs_in"),
+        docsOut.as("docs_out"),
+        (docsIn - docsOut).as("dropped"),
+        when(docsIn === 0, 0.0)
+          .otherwise(round((docsIn - docsOut) * lit(1.0) / docsIn, 4))
+          .as("drop_rate"),
+        when(col("__in0") === 0, 0.0)
+          .otherwise(round(docsOut * lit(1.0) / col("__in0"), 4))
+          .as("survival_rate"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

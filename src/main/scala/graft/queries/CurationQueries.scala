@@ -155,6 +155,96 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D55: curation ATTRITION report — the same cascade as
+    // q_corpus_curate, but reporting per-stage entered/survived/dropped
+    // counts instead of the survivor rows: the observability step that
+    // catches "a gate silently ate 40% of the corpus" before a 100 TB
+    // run commits. All three stage flags evaluate in ONE scan
+    // (Quality.attrition); the dedup-winner flag is a partitioned
+    // window over the prior survivors, materialized before the
+    // aggregate. The oracle replays flags, window, and cascade sums.
+    Q(
+      "q_curation_attrition", {
+        val stop = TextMetrics.langMarkers.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        val hitCols = TextMetrics.langMarkers.map { case (l, ms) =>
+          val in = ms.map(w => s"'$w'").mkString("(", ", ", ")")
+          s"len(list_filter(tk, t -> t IN $in)) AS h_$l"
+        }.mkString(",\n    ")
+        val langs = TextMetrics.langMarkers.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents),
+           |t AS (SELECT doc_id, text, ${tkSql("text")} AS tk FROM docs),
+           |m AS (
+           |  SELECT doc_id, text,
+           |    len(tk) AS n_tokens,
+           |    CASE WHEN len(tk) > 0
+           |      THEN list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS mean_tok_len,
+           |    CASE WHEN len(text) > 0
+           |      THEN (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(tk) > 0
+           |      THEN len(list_filter(tk, t -> t IN $stop)) * 1.0 / len(tk)
+           |      ELSE 0.0 END AS stop_ratio,
+           |    $hitCols
+           |  FROM t),
+           |q AS (
+           |  SELECT doc_id, text,
+           |    CAST(round(CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 0.4 ELSE 0.0 END
+           |        + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+           |        + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END
+           |        + CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.1 ELSE 0.0 END, 4) AS DOUBLE) AS quality,
+           |    $best AS best,
+           |    CASE WHEN $best = 0 THEN 'und' $cases END AS lang_pred
+           |  FROM m),
+           |w AS (
+           |  SELECT *, doc_id = min(CASE WHEN quality >= 0.5 AND lang_pred <> 'und'
+           |                              THEN doc_id END) OVER (PARTITION BY text) AS is_winner
+           |  FROM q),
+           |f AS (
+           |  SELECT count(*) AS n0,
+           |    sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS s1,
+           |    sum(CASE WHEN quality >= 0.5 AND lang_pred <> 'und' THEN 1 ELSE 0 END) AS s2,
+           |    sum(CASE WHEN quality >= 0.5 AND lang_pred <> 'und'
+           |             AND coalesce(is_winner, false) THEN 1 ELSE 0 END) AS s3
+           |  FROM w),
+           |st AS (
+           |  SELECT 1 AS stage_idx, 'quality_gate' AS stage, n0 AS docs_in, s1 AS docs_out, n0 AS total FROM f
+           |  UNION ALL
+           |  SELECT 2, 'lang_gate', s1, s2, n0 FROM f
+           |  UNION ALL
+           |  SELECT 3, 'exact_dedup', s2, s3, n0 FROM f)
+           |SELECT stage_idx, stage,
+           |  CAST(docs_in AS BIGINT) AS docs_in,
+           |  CAST(docs_out AS BIGINT) AS docs_out,
+           |  CAST(docs_in - docs_out AS BIGINT) AS dropped,
+           |  CASE WHEN docs_in = 0 THEN 0.0
+           |       ELSE round((docs_in - docs_out) * 1.0 / docs_in, 4) END AS drop_rate,
+           |  CASE WHEN total = 0 THEN 0.0
+           |       ELSE round(docs_out * 1.0 / total, 4) END AS survival_rate
+           |FROM st ORDER BY stage_idx""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val scored = TextMetrics.withLangId(
+        TextMetrics.withQuality(d.unionByName(planted), col("text")), col("text"))
+      val prior = col("quality") >= 0.5 && col("lang_pred") =!= "und"
+      val byText = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      val staged = scored.withColumn("is_winner",
+        col("doc_id") === min(when(prior, col("doc_id"))).over(byText))
+      graft.operators.Quality.attrition(staged, Seq(
+          "quality_gate" -> (col("quality") >= 0.5),
+          "lang_gate" -> (col("lang_pred") =!= "und"),
+          "exact_dedup" -> col("is_winner")))
+        .orderBy("stage_idx")
+    },
+
     // D21: benchmark decontamination — every doc scored by the fraction
     // of its 5-gram shingles found in a deterministic 5% "benchmark"
     // probe set. Probe docs themselves must score 1.0; the oracle

@@ -51,4 +51,40 @@ class QualitySpec extends SparkSpec {
       .collect()
     assert(r.forall(x => x.getLong(1) == 0L && x.getBoolean(2)))
   }
+
+  test("attrition counts the cascade cumulatively; null predicate = drop") {
+    // 10 docs: stage1 keeps 6 (one via-null drop), stage2 keeps 4 of those,
+    // stage3 keeps 3 of those. Rows failing an EARLIER stage must not
+    // count against a later one even when the later predicate is true.
+    val df = Seq(
+      (1, Some(true), true, true),   // survives all
+      (2, Some(true), true, true),   // survives all
+      (3, Some(true), true, true),   // survives all
+      (4, Some(true), true, false),  // dropped at 3
+      (5, Some(true), false, true),  // dropped at 2
+      (6, Some(true), false, true),  // dropped at 2
+      (7, Some(false), true, true),  // dropped at 1 (p2/p3 true but unseen)
+      (8, Some(false), true, true),
+      (9, Some(false), true, true),
+      (10, None, true, true)         // null gate = dropped at 1
+    ).toDF("id", "p1", "p2", "p3")
+    val r = Quality.attrition(df, Seq(
+        "one" -> col("p1"), "two" -> col("p2"), "three" -> col("p3")))
+      .orderBy("stage_idx").collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getDouble(5), x.getDouble(6)))
+    assert(r.toSeq == Seq(
+      ("one", 10L, 6L, 4L, 0.4, 0.6),
+      ("two", 6L, 4L, 2L, 0.3333, 0.4),
+      ("three", 4L, 3L, 1L, 0.25, 0.3)))
+  }
+
+  test("attrition on an empty frame reports zero rows per stage, no nulls") {
+    val df = Seq.empty[(Int, Boolean)].toDF("id", "p")
+    val r = Quality.attrition(df, Seq("only" -> col("p"))).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert((x.getLong(2), x.getLong(3), x.getLong(4)) == ((0L, 0L, 0L)))
+    assert((x.getDouble(5), x.getDouble(6)) == ((0.0, 0.0)))
+  }
 }
