@@ -357,4 +357,168 @@ object Similarity {
       .select(col("grp"), col("dim"),
         t7(col("s").cast("double") / col("n")).as("mean_v"))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid: "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 2011) — the embedding
+  // COMPRESSION tier under IVF/LSH: dim doubles (512 B at dim=64)
+  // become m byte-sized codes (8 B at m=8), an instant 64× memory cut
+  // for a billion-vector index, searched via asymmetric distance
+  // computation (ADC: the query stays exact, each corpus vector is
+  // looked up through a per-query m×k distance table).
+  // ---------------------------------------------------------------
+
+  /** Per-subspace k-means codebooks: the vector splits into `m`
+    * contiguous subvectors, each subspace trains its own `k`-word
+    * codebook. ALL subspaces train in the same jobs (the sliced frame
+    * carries a `sub` tag; assignment CASEs on it), so a round costs
+    * one scan regardless of m. Codebooks are m×k×(dim/m) = k×dim
+    * doubles — driver metadata, exactly [[trainIvfCentroids]]'s
+    * contract (and its seeded lowest-id init + Lloyd rounds + empty-
+    * cluster handling). Returns codebooks(sub)(code)(component).
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      dim: Int,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 5,
+      trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(k >= 1, "k must be >= 1")
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0,1]")
+    val d = dim / m
+    val all = corpus.select(id.as("id"), vec.as("v"))
+    val base = (if (trainFraction < 1.0) Sampling.hashSample(all, col("id"), trainFraction)
+                else all)
+    // one sliced frame feeds every round: (id, sub, sv)
+    val sliced = base.select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col("v"), s * d + 1, d).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .localCheckpoint()
+    // seeded init: the k lowest-id vectors, sliced per subspace
+    val seedRows = base.orderBy(col("id").asc).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      seedRows.map(_.slice(s * d, s * d + d))
+    }
+    for (_ <- 1 to iters) {
+      val scores = (1 until m).foldLeft(
+          when(col("sub") === 0, centroidScores(col("sv"), books(0)))) {
+        (acc, s) => acc.when(col("sub") === s, centroidScores(col("sv"), books(s)))
+      }
+      val means = sliced.withColumn("__scores", scores)
+        .withColumn("code",
+          expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (sc, rows) =>
+          sc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      books = Array.tabulate(m) { s =>
+        Array.tabulate(k) { c => means.getOrElse((s, c), books(s)(c)) }
+      }
+    }
+    books
+  }
+
+  /** Trained codebooks as a PERSISTABLE frame ((sub, code, codeword)
+    * rows) — the [[centroidsToDf]] pattern for the PQ artifact.
+    */
+  def pqCodebooksToDf(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, s) =>
+      b.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+    }.toSeq.toDF("sub", "code", "codeword")
+  }
+
+  /** Read stored codebooks back ([[pqCodebooksToDf]] round-trip). */
+  def pqCodebooksFromDf(df: DataFrame): Array[Array[Array[Double]]] =
+    df.select(col("sub"), col("code"), col("codeword"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+
+  /** Encode every vector to its m nearest-codeword indices — (id,
+    * codes: array<int>), the 100 TB-persistable compressed index
+    * (m bytes/vector of information; persist next to the IVF
+    * assignment like any index artifact). Pure codegen'd projection:
+    * m argmins over k codegen'd dot products each, no shuffle, no
+    * data on the driver.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val d = books(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val scores = centroidScores(slice(vec, s * d + 1, d), books(s))
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    corpus.select(id.as("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k over a [[pqEncode]]'d corpus: each (small, broadcast)
+    * query precomputes its m×k table of exact subvector→codeword
+    * squared distances, then every corpus row's distance is m array
+    * LOOKUPS + adds (a fixed codegen'd element_at chain — no dot
+    * products on the corpus side, the entire PQ speed story). The
+    * lookup-table build runs interpreted HOFs on the QUERY side only
+    * (probe-sized by the [[bruteForceTopK]] broadcast contract).
+    *
+    * Approximation contract (the paper's): distances are quantized —
+    * recall vs exact search degrades as m shrinks; rank by
+    * round(dist, 6) with id tiebreak for engine-reproducible order.
+    * Returns (query_id, rank, vec_id, adc_dist).
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      queries: DataFrame,
+      queryId: Column,
+      queryVec: Column,
+      books: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val m = books.length
+    val nCodes = books(0).length
+    val d = books(0)(0).length
+    // flat literal codeword table: entry (s*k + c) holds codeword c of
+    // subspace s; the per-query LUT indexes it the same way
+    val flat = array(books.flatMap(_.map(w => array(w.map(lit): _*))): _*)
+    val lut = transform(
+      sequence(lit(0), lit(m * nCodes - 1)),
+      i => {
+        val sub = (i / nCodes).cast("int")
+        val word = element_at(flat, i + 1)
+        aggregate(
+          sequence(lit(0), lit(d - 1)),
+          lit(0.0),
+          (acc, p) => {
+            val diff = element_at(queryVec, sub * d + p + 1) - element_at(word, p + 1)
+            acc + diff * diff
+          })
+      })
+    val q = queries.select(queryId.as("query_id"), lut.as("__lut"))
+    val dist = (0 until m).map(s =>
+        element_at(col("__lut"), lit(s * nCodes) + element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_key").asc, col("id").asc)
+    encoded.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_dist", dist)
+      .withColumn("dist_key", round(col("adc_dist"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("id").as("vec_id"), round(col("adc_dist"), 4).as("adc_dist"))
+  }
 }

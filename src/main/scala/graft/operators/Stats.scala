@@ -114,4 +114,54 @@ object Stats {
       .withColumn("anomaly", abs(z) > zThresh && col("__n") >= minPeriods)
       .drop("__v", "__n", "__s", "__ss")
   }
+
+  /** Classifier threshold sweep — the calibration report behind "where
+    * do we set the quality-gate cut?": for each candidate threshold t,
+    * the confusion counts of the rule `score >= t` against a boolean
+    * label, plus precision/recall/F1. Run it on a labeled holdout
+    * before committing a gate threshold to a 100 TB curation pass
+    * (the decision [[graft.operators.Classify.trainLogistic]] +
+    * `linearTextScore` feed into).
+    *
+    * ONE partial-aggregated scan evaluates every threshold
+    * (`Quality.attrition`'s shape: 4·k conditional sums in a single
+    * aggregate row, per-threshold rows exploded from it) — sweeping 50
+    * thresholds costs the same scan as sweeping 3. Rows with a null
+    * score or label are excluded (a gate can't act on them either
+    * way); counts are exact longs, the ratios round at 4 dp with the
+    * 0/0 → 0.0 convention shared with `Dedup.auditPairs`.
+    */
+  def prCurve(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold required")
+    val y = label.cast("boolean")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      val pos = score >= t
+      Seq(
+        sum(when(pos && y, 1L).otherwise(0L)).as(s"__tp$i"),
+        sum(when(pos && !y, 1L).otherwise(0L)).as(s"__fp$i"),
+        sum(when(!pos && y, 1L).otherwise(0L)).as(s"__fn$i"),
+        sum(when(!pos && !y, 1L).otherwise(0L)).as(s"__tn$i"))
+    }
+    val wide = df.filter(score.isNotNull && label.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def t4(c: Column): Column = round(c, 4)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      val tp = coalesce(col(s"__tp$i"), lit(0L))
+      val fp = coalesce(col(s"__fp$i"), lit(0L))
+      val fn = coalesce(col(s"__fn$i"), lit(0L))
+      val tn = coalesce(col(s"__tn$i"), lit(0L))
+      val p = when(tp + fp === 0, 0.0).otherwise(t4(tp * lit(1.0) / (tp + fp)))
+      val r = when(tp + fn === 0, 0.0).otherwise(t4(tp * lit(1.0) / (tp + fn)))
+      struct(
+        lit(t).as("threshold"),
+        tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"),
+        p.as("precision"), r.as("recall"),
+        when(p + r === 0, 0.0).otherwise(t4(lit(2.0) * p * r / (p + r))).as("f1"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

@@ -596,6 +596,25 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D57: product-quantization ANN (Jégou et al., TPAMI'11) — train
+    // per-subspace codebooks (m=8, k=16 → 8 B/vector, a 64× memory
+    // cut), encode the corpus, search by asymmetric distance (per-query
+    // LUT, corpus side pays m lookups + adds, zero dot products).
+    // Codebook training is the same iterative driver-metadata artifact
+    // as q_ann_ivf → rows-only; DedupSpec pins exact quantization on
+    // clustered data, codebook persistence round-trip, and planted-twin
+    // recall on real embeddings.
+    Q.rowsOnly("q_ann_pq") { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val books = Similarity.trainPqCodebooks(
+        e, col("vec_id"), col("v"), dim = 64, m = 8, k = 16, iters = 3)
+      Similarity.pqTopK(
+          Similarity.pqEncode(e, col("vec_id"), col("v"), books),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("v"), books, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // D43: SemDeDup semantic dedup — k-means cells block the cosine
     // join; planted near-identical copies of corpus vectors (fresh ids
     // +1000000) are swallowed wherever base and copy co-assign (a few

@@ -382,6 +382,56 @@ object ProfileQueries {
         col("event_type"), col("value"), groupA = "click", groupB = "view")
     },
 
+    // D58: classifier threshold sweep (PR curve) — confusion counts +
+    // precision/recall/F1 of `score >= t` per candidate cut, ALL
+    // thresholds in ONE aggregate scan (the attrition shape). Score =
+    // capped token-length ratio, label = mentions 'data' — synthetic
+    // but fully replayable; both engines round p/r at 4 dp and derive
+    // F1 from the ROUNDED pair, so 0/0 lanes and ties agree exactly.
+    Q(
+      "q_pr_curve", {
+        val ths = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+        val sums = ths.zipWithIndex.map { case (t, i) =>
+          s"""    sum(CASE WHEN score >= $t AND y THEN 1 ELSE 0 END) AS tp$i,
+             |    sum(CASE WHEN score >= $t AND NOT y THEN 1 ELSE 0 END) AS fp$i,
+             |    sum(CASE WHEN score < $t AND y THEN 1 ELSE 0 END) AS fn$i,
+             |    sum(CASE WHEN score < $t AND NOT y THEN 1 ELSE 0 END) AS tn$i""".stripMargin
+        }.mkString(",\n")
+        val rows = ths.zipWithIndex.map { case (t, i) =>
+          s"""  SELECT CAST($t AS DOUBLE) AS threshold,
+             |    CAST(tp$i AS BIGINT) AS tp, CAST(fp$i AS BIGINT) AS fp,
+             |    CAST(fn$i AS BIGINT) AS fn, CAST(tn$i AS BIGINT) AS tn,
+             |    CASE WHEN tp$i + fp$i = 0 THEN 0.0
+             |         ELSE round(tp$i * 1.0 / (tp$i + fp$i), 4) END AS precision,
+             |    CASE WHEN tp$i + fn$i = 0 THEN 0.0
+             |         ELSE round(tp$i * 1.0 / (tp$i + fn$i), 4) END AS recall
+             |  FROM f""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH s AS (
+           |  SELECT least(1.0, len(${tkSql("text")}) / 400.0) AS score,
+           |    contains(lower(text), 'data') AS y
+           |  FROM documents),
+           |f AS (
+           |  SELECT
+           |$sums
+           |  FROM s),
+           |st AS (
+           |$rows)
+           |SELECT threshold, tp, fp, fn, tn, precision, recall,
+           |  CASE WHEN precision + recall = 0 THEN 0.0
+           |       ELSE round(2.0 * precision * recall / (precision + recall), 4) END AS f1
+           |FROM st ORDER BY threshold""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        least(lit(1.0), size(graft.functions.tokens(col("text"))) / lit(400.0))
+          .as("score"),
+        lower(col("text")).contains("data").as("y"))
+      graft.operators.Stats.prCurve(d, col("score"), col("y"),
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        .orderBy("threshold")
+    },
+
     // C36: declarative data-quality gate — six constraint families
     // over lineitem/orders in one report; row-predicate checks share
     // one aggregation pass (PlanSpec pins it).

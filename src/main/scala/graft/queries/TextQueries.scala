@@ -570,6 +570,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D56: logistic-regression TRAINING (the missing half of D54's
+    // gate loop): even/odd doc ids get opposing planted markers, the
+    // model trains as a weight TABLE (nothing model-sized on the
+    // driver), and the learned marker/bias rows come back. Iterative
+    // join+agg rounds → no SQL twin (rows-only); ClassifySpec pins
+    // sign recovery, end-to-end separation via linearTextScore, and
+    // run-to-run determinism.
+    Q.rowsOnly("q_train_classifier") { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("doc_id") % 2 === 0).as("y"))
+        .select(col("doc_id"), col("y"),
+          when(col("y"), concat(col("text"), lit(" flubwort flubwort pristine")))
+            .otherwise(concat(col("text"), lit(" grotwort grotwort shoddy")))
+            .as("text"))
+      graft.operators.Classify.trainLogistic(
+          d, col("doc_id"), col("text"), col("y"),
+          iters = 8, learningRate = 1.0)
+        .filter(col("term").isin(
+          graft.operators.Classify.BiasTerm,
+          "flubwort", "pristine", "grotwort", "shoddy"))
+        .select(col("term"), round(col("weight"), 6).as("weight"))
+        .orderBy("term")
+    },
+
     // D46: domain-blocklist curation with suffix semantics — a
     // registrable-domain entry blocks every subdomain; an exact-host
     // entry blocks only that host. Both planted URL shapes exercised.

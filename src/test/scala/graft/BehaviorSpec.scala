@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Behavior, Profile}
+import graft.operators.{Behavior, Profile, Stats}
 
 class BehaviorSpec extends SparkSpec {
   import spark.implicits._
@@ -102,5 +102,34 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getLong(1) == 10L)
     assert(r.getDouble(2) == 3.25 && r.getDouble(3) == 5.5 && r.getDouble(4) == 7.75)
     assert(r.getLong(5) == 1L)
+  }
+
+  test("prCurve: hand-computed confusion counts at every threshold, one row per cut") {
+    // scores: positives at .9 .6 .4, negatives at .8 .3 .1; null score row excluded
+    val df = Seq(
+      (Some(0.9), Some(true)), (Some(0.6), Some(true)), (Some(0.4), Some(true)),
+      (Some(0.8), Some(false)), (Some(0.3), Some(false)), (Some(0.1), Some(false)),
+      (None, Some(true)), (Some(0.5), None)
+    ).toDF("score", "y")
+    val r = Stats.prCurve(df, col("score"), col("y"), Seq(0.5, 0.85))
+      .orderBy("threshold").collect()
+      .map(x => (x.getDouble(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6), x.getDouble(7)))
+    // t=0.5: pred+ = {.9+,.6+,.8-} -> tp=2 fp=1 fn=1 tn=2; p=.6667 r=.6667
+    assert(r(0) == ((0.5, 2L, 1L, 1L, 2L, 0.6667, 0.6667, 0.6667)))
+    // t=0.85: pred+ = {.9+} -> tp=1 fp=0 fn=2 tn=3; p=1.0 r=.3333
+    assert(r(1)._1 == 0.85)
+    assert((r(1)._2, r(1)._3, r(1)._4, r(1)._5) == ((1L, 0L, 2L, 3L)))
+    assert((r(1)._6, r(1)._7) == ((1.0, 0.3333)))
+    assert(r(1)._8 == math.floor(2.0 * 1.0 * 0.3333 / 1.3333 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("prCurve: empty/degenerate frames report zero rows, 0/0 ratios are 0.0") {
+    val empty = Seq.empty[(Option[Double], Option[Boolean])].toDF("score", "y")
+    val r = Stats.prCurve(empty, col("score"), col("y"), Seq(0.5)).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)) == ((0L, 0L, 0L, 0L)))
+    assert((x.getDouble(5), x.getDouble(6), x.getDouble(7)) == ((0.0, 0.0, 0.0)))
   }
 }

@@ -691,4 +691,68 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(kept === 4L, "df == cut must survive (strict inequality)")
   }
+
+  test("PQ: clustered data quantizes exactly; ADC finds same-pattern rows at distance 0") {
+    // 4 distinct dim-16 patterns tiled 50x: with k=4 codewords per
+    // subspace the trained codebooks must reproduce every subvector
+    // exactly, so codes collapse to 4 distinct arrays and ADC distance
+    // within a pattern is exactly 0.
+    val patterns = Array(
+      Array.tabulate(16)(i => 1.0 + i * 0.5),
+      Array.tabulate(16)(i => -2.0 + i * 0.25),
+      Array.tabulate(16)(i => 5.0 - i * 0.75),
+      Array.tabulate(16)(i => math.pow(-1, i) * (i + 1.0)))
+    val rows = (0L until 200L).map(id => (id, patterns((id % 4).toInt).toSeq))
+    val df = rows.toDF("vec_id", "v")
+    val books = Similarity.trainPqCodebooks(
+      df, col("vec_id"), col("v"), dim = 16, m = 4, k = 4, iters = 3)
+    val enc = Similarity.pqEncode(df, col("vec_id"), col("v"), books)
+    val codes = enc.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 200)
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 4)))
+    // one code array per pattern, shared by all its copies
+    assert(codes.values.toSet.size == 4)
+    assert((0L until 200L).forall(id => codes(id) == codes(id % 4)))
+    val q = df.filter(col("vec_id") === 0)
+    val top = Similarity.pqTopK(enc, q, col("vec_id"), col("v"), books, k = 10)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    // ranks fill with pattern-0 rows (ids 4,8,12,... by tiebreak), all at 0
+    assert(top.length == 10)
+    assert(top.forall { case (vid, d) => vid % 4 == 0 && d == 0.0 })
+    assert(top.map(_._1).toSeq == (1L to 10L).map(_ * 4).toSeq)
+  }
+
+  test("PQ: codebooks round-trip through the persistable frame") {
+    val df = (0L until 64L).map(id =>
+      (id, Array.tabulate(16)(i => math.sin(id * 16.0 + i)).toSeq)).toDF("vec_id", "v")
+    val books = Similarity.trainPqCodebooks(
+      df, col("vec_id"), col("v"), dim = 16, m = 4, k = 8, iters = 2)
+    val back = Similarity.pqCodebooksFromDf(
+      Similarity.pqCodebooksToDf(spark, books))
+    assert(back.length == books.length)
+    assert(books.indices.forall(s =>
+      books(s).indices.forall(c => books(s)(c).toSeq == back(s)(c).toSeq)))
+  }
+
+  test("PQ ADC recovers planted near-identical twins on real embeddings") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.01)), slice(col("v"), 2, 63)).as("v"))
+    val e = base.unionByName(planted)
+    val books = Similarity.trainPqCodebooks(
+      e, col("vec_id"), col("v"), dim = 64, m = 8, k = 16, iters = 3)
+    val enc = Similarity.pqEncode(e, col("vec_id"), col("v"), books)
+    val q = base.filter(col("vec_id") < 20)
+    val top = Similarity.pqTopK(enc, q, col("vec_id"), col("v"), books, k = 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    // a twin quantizes to (almost always) the query's own codes, so its
+    // ADC distance is the floor; id tiebreak can only demote it below
+    // a base vector sharing the exact same codes — rare by construction
+    val hits = top.count { case (qid, rank, vid) => rank == 1 && vid == qid + 1000000 }
+    assert(hits >= 15, s"planted twin at rank 1 for only $hits/20 queries")
+    // compression really happened: 8 int codes per vector
+    assert(enc.select(size(col("codes"))).distinct().as[Int].collect().toSeq == Seq(8))
+  }
 }
