@@ -164,4 +164,234 @@ object Stats {
     }
     wide.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Exact ROC AUC — the threshold-free companion to [[prCurve]],
+    * computed by the Mann-Whitney rank-sum identity: AUC = P(score of
+    * a random positive > score of a random negative), ties counting
+    * half. The model-selection readout for a curation gate ("which
+    * quality classifier do we run over the 100 TB corpus?").
+    *
+    * NOT a global per-row rank (a single-partition window over the
+    * corpus — the scale-killer PlanSpec hunts): scores quantize to
+    * `dp` decimals, one partial-aggregated groupBy(score) collapses
+    * the corpus to ≤ 10^dp+1 distinct-score rows, and the ordered
+    * cumulative pass runs over THAT bounded frame only. AUC =
+    * Σ np·(2·cumneg + nn) / (2·NP·NN) in exact integer arithmetic
+    * (decimal lanes — the pair counts overflow long at corpus scale),
+    * divided once at the end and truncated 6 dp (floor: AUC ≥ 0, so
+    * floor == toward-zero; repr-independent). Null score/label rows
+    * are excluded; a side with no rows yields the uninformative 0.5.
+    *
+    * Returns ONE row: (n, n_pos, n_neg, auc).
+    */
+  def auc(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      dp: Int = 6): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]: the quantization bounds the ordered pass")
+    val y = label.cast("boolean")
+    val g = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(round(score.cast("double"), dp).as("__s"))
+      .agg(
+        sum(when(y, 1L).otherwise(0L)).as("__np"),
+        sum(when(!y, 1L).otherwise(0L)).as("__nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s")).rowsBetween(Long.MinValue, -1)
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val contrib = g
+      .withColumn("__cumneg", coalesce(sum(col("__nn")).over(w), lit(0L)))
+      .select(
+        (big(col("__np")) * (big(col("__cumneg")) * 2 + big(col("__nn"))))
+          .cast("decimal(38,0)").as("__num2"),
+        col("__np"), col("__nn"))
+    val m = contrib.agg(
+      sum(col("__num2")).as("__num2"),
+      coalesce(sum(col("__np")), lit(0L)).as("__np"),
+      coalesce(sum(col("__nn")), lit(0L)).as("__nn"))
+    val denom = lit(2.0) * col("__np").cast("double") * col("__nn").cast("double")
+    m.select(
+      (col("__np") + col("__nn")).as("n"),
+      col("__np").as("n_pos"),
+      col("__nn").as("n_neg"),
+      when(col("__np") === 0 || col("__nn") === 0, 0.5)
+        .otherwise(floor(col("__num2").cast("double") / denom * 1e6) / 1e6)
+        .as("auc"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test — "did this month's score
+    * distribution shift?" as a single supremum statistic, the
+    * distribution-free companion to [[Profile.psi]]'s binned drift
+    * report. D = max over x of |F_a(x) − F_b(x)|.
+    *
+    * Same bounded-ordered-pass shape as [[auc]]: values quantize to
+    * `dp` decimals, one partial-aggregated groupBy(value) collapses
+    * both samples into one ≤ 10^dp-row frame (per-side counts as
+    * conditional sums), and the cumulative window runs over that
+    * frame. The supremum compares EXACT INTEGER numerators
+    * (|cumA·NB − cumB·NA| in decimal lanes — products overflow long
+    * at corpus scale), so the argmax is engine-independent; the one
+    * division at the end truncates 6 dp. `significant` applies the
+    * large-sample 5% rejection bound D > 1.358·sqrt((NA+NB)/(NA·NB)).
+    * Null values are excluded; an empty side yields D = 0,
+    * significant = false.
+    *
+    * Returns ONE row: (n_a, n_b, d, d_crit, significant).
+    */
+  def ksTest(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      groupA: String,
+      groupB: String,
+      dp: Int = 4): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]: the quantization bounds the ordered pass")
+    val v = round(value.cast("double"), dp)
+    val g = df.filter(value.isNotNull && (group === groupA || group === groupB))
+      .groupBy(v.as("__v"))
+      .agg(
+        sum(when(group === groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(group === groupB, 1L).otherwise(0L)).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v")).rowsBetween(Long.MinValue, 0)
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val cum = g
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+    // the numerator needs both totals, which the per-row frame doesn't
+    // have yet — broadcast the 1-row totals back onto the bounded
+    // frame; the aggregates are groupBy-less so even an EMPTY input
+    // yields exactly one (degenerate-zero) output row, twoSampleZ's
+    // contract
+    val tot = g.agg(
+      coalesce(sum(col("__na")), lit(0L)).as("__ta"),
+      coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
+    val supNum = cum.crossJoin(broadcast(tot))
+      .agg(max(abs(big(col("__ca")) * big(col("__tb"))
+        - big(col("__cb")) * big(col("__ta"))).cast("decimal(38,0)")).as("__sup"))
+    val ta = col("__ta").cast("double")
+    val tb = col("__tb").cast("double")
+    val degenerate = col("__ta") === 0 || col("__tb") === 0 || col("__sup").isNull
+    val one = tot.crossJoin(supNum).select(
+      col("__ta").as("n_a"), col("__tb").as("n_b"),
+      when(degenerate, 0.0)
+        .otherwise(floor(col("__sup").cast("double") / (ta * tb) * 1e6) / 1e6)
+        .as("d"),
+      when(degenerate, 0.0)
+        .otherwise(floor(lit(1.358) * sqrt((ta + tb) / (ta * tb)) * 1e6) / 1e6)
+        .as("d_crit"))
+    one.select(col("n_a"), col("n_b"), col("d"), col("d_crit"),
+      (col("d") > col("d_crit") && col("d_crit") > 0).as("significant"))
+  }
+
+  /** Chi-squared test of independence between two categorical columns
+    * — "does language depend on source?" for a corpus dashboard, or
+    * any contingency check before stratifying a sample on two keys.
+    *
+    * One partial-aggregated groupBy(a, b) collapses the corpus to the
+    * ≤ r·c-cell contingency frame; margins come from windows OVER THAT
+    * BOUNDED FRAME (never the corpus). Expected counts derive in
+    * double with a fixed operation order (rowTot·colTot then /N — the
+    * oracle replays it textually); each cell's (obs−exp)²/exp
+    * truncates at 7 dp into an exact decimal so the final sum is
+    * order-independent. Null categories count as real levels (they
+    * ARE a level operationally — the null-safe groupBy keeps them).
+    *
+    * Returns ONE row: (n, n_cells, dof, chi2, cramers_v) — chi2 and
+    * Cramér's V truncated 4 dp; dof = (r−1)(c−1); a degenerate table
+    * (single row or column level) yields chi2 = 0, v = 0.
+    */
+  def chiSquared(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // 4 consumers below; never rescan the corpus
+    // margins keep null as a real level: groupBy does, and the
+    // null-safe (<=>) joins below do — collect_set/count(DISTINCT)
+    // would silently drop it (the psiByGroup lesson)
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__rt"))
+    val rb = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__ct"))
+    val g = cells
+      .join(broadcast(ra.withColumnRenamed("__a", "__ka")),
+        col("__a") <=> col("__ka"))
+      .join(broadcast(rb.withColumnRenamed("__b", "__kb")),
+        col("__b") <=> col("__kb"))
+    // groupBy-less aggregates: one row each even on EMPTY input
+    // (twoSampleZ's degenerate contract), crossJoined back together
+    val tot = cells.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__tot"),
+      count(lit(1)).as("n_cells"))
+    val nr = ra.agg(count(lit(1)).as("__r"))
+    val nc = rb.agg(count(lit(1)).as("__c"))
+    val exp = col("__rt").cast("double") * col("__ct").cast("double") /
+      col("__tot").cast("double")
+    val term = (col("__n").cast("double") - exp) * (col("__n").cast("double") - exp) / exp
+    val chiSum = g.crossJoin(broadcast(tot.select(col("__tot"))))
+      .select((floor(term * 1e7) / 1e7).cast("decimal(20,7)").as("__t7"))
+      .agg(sum(col("__t7")).as("__chi2"))
+    val m = tot.crossJoin(nr).crossJoin(nc).crossJoin(chiSum)
+    // (0−1)·(0−1) = 1 on an empty table — pin dof to 0 there
+    val dof = when(col("__r") === 0 || col("__c") === 0, lit(0L))
+      .otherwise((col("__r") - 1) * (col("__c") - 1))
+    val degenerate = dof === 0 || col("__chi2").isNull
+    val mink = least(col("__r") - 1, col("__c") - 1).cast("double")
+    m.select(
+      col("__tot").as("n"),
+      col("n_cells").as("n_cells"),
+      dof.as("dof"),
+      when(degenerate, 0.0)
+        .otherwise(floor(col("__chi2").cast("double") * 1e4) / 1e4).as("chi2"),
+      when(degenerate, 0.0)
+        .otherwise(floor(
+          sqrt(col("__chi2").cast("double") / (col("__tot").cast("double") * mink)) * 1e4)
+          / 1e4).as("cramers_v"))
+  }
+
+  /** Calibration / reliability report for a [0, 1]-scored classifier:
+    * `nBins` equal-width score bins, each reporting its count, mean
+    * predicted score, empirical positive rate, and |gap|; every row
+    * also carries the global expected calibration error (ECE =
+    * Σ n_b/N·gap_b) so the one frame is the whole readout. A model
+    * can have great AUC and still be badly calibrated — and a
+    * curation gate that thresholds on "score ≥ 0.9" is trusting
+    * calibration, not ranking.
+    *
+    * One partial-aggregated groupBy(bin) pass (scores clamp into
+    * [0, nBins−1], so out-of-range scores land in the edge bins
+    * rather than vanish); mean score and positive rate derive from
+    * exact decimal sums and truncate 4 dp (identical doubles both
+    * engines → identical gap); ECE sums n·gap in exact decimals over
+    * the ≤ nBins-row frame and truncates 4 dp. Null score/label rows
+    * are excluded.
+    *
+    * Returns (bin, n, mean_score, frac_pos, gap, ece) ordered by bin.
+    */
+  def calibration(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val y = label.cast("boolean")
+    val s = score.cast("double")
+    val bin = greatest(lit(0), least(lit(nBins - 1), floor(s * nBins).cast("int")))
+    val g = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Num.dec(s)).as("__ssum"),
+        sum(when(y, 1L).otherwise(0L)).as("__pos"))
+    val meanScore = Num.t4floor(col("__ssum").cast("double") / col("n"))
+    val fracPos = Num.t4floor(col("__pos").cast("double") / col("n"))
+    val withGap = g.select(
+      col("bin"), col("n"),
+      meanScore.as("mean_score"), fracPos.as("frac_pos"),
+      abs(meanScore - fracPos).as("gap"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    withGap
+      .withColumn("ece", Num.t4floor(
+        sum(Num.dec(col("gap")) * col("n")).over(all).cast("double") /
+          sum(col("n")).over(all)))
+      .orderBy("bin")
+  }
 }

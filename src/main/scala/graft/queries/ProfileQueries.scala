@@ -432,6 +432,161 @@ object ProfileQueries {
         .orderBy("threshold")
     },
 
+    // D59: exact ROC AUC by the Mann-Whitney rank-sum identity over a
+    // quantized-score grouped frame — NO per-row global rank window;
+    // the ordered pass runs over <= 10^6+1 distinct-score rows. The
+    // pair-count arithmetic stays in exact integers (decimal lanes)
+    // until one final division, truncated 6 dp. Same scored frame as
+    // q_pr_curve; score = k/400 quantizes losslessly at 6 dp.
+    Q(
+      "q_auc",
+      s"""WITH sc AS (
+         |  SELECT least(1.0, len(${tkSql("text")}) / 400.0) AS score,
+         |    contains(lower(text), 'data') AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT round(score, 6) AS s,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn
+         |  FROM sc GROUP BY 1),
+         |c AS (
+         |  SELECT np, nn,
+         |    coalesce(sum(nn) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         |  FROM g)
+         |SELECT CAST(sum(np) + sum(nn) AS BIGINT) AS n,
+         |  CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN 0.5
+         |       ELSE floor(CAST(sum(np * (2 * cumneg + nn)) AS DOUBLE)
+         |         / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)) * 1e6) / 1e6
+         |  END AS auc
+         |FROM c""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        least(lit(1.0), size(graft.functions.tokens(col("text"))) / lit(400.0))
+          .as("score"),
+        lower(col("text")).contains("data").as("y"))
+      graft.operators.Stats.auc(d, col("score"), col("y"))
+    },
+
+    // D60: calibration / reliability bins + ECE over the same scored
+    // frame — one groupBy(bin) pass; means/rates from exact decimal
+    // sums, 4-dp floor truncation both engines, ECE via a window over
+    // the <= nBins-row frame.
+    Q(
+      "q_calibration",
+      s"""WITH sc AS (
+         |  SELECT least(1.0, len(${tkSql("text")}) / 400.0) AS score,
+         |    contains(lower(text), 'data') AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT CAST(greatest(0, least(9, CAST(floor(score * 10) AS INT))) AS INT) AS bin,
+         |    count(*) AS n,
+         |    sum(CAST(score AS DECIMAL(18,6))) AS ssum,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+         |  FROM sc GROUP BY 1),
+         |w AS (
+         |  SELECT bin, CAST(n AS BIGINT) AS n,
+         |    floor(CAST(ssum AS DOUBLE) / n * 1e4) / 1e4 AS mean_score,
+         |    floor(CAST(pos AS DOUBLE) / n * 1e4) / 1e4 AS frac_pos
+         |  FROM g)
+         |SELECT bin, n, mean_score, frac_pos,
+         |  abs(mean_score - frac_pos) AS gap,
+         |  floor(CAST(sum(CAST(abs(mean_score - frac_pos) AS DECIMAL(18,6)) * n) OVER ()
+         |      AS DOUBLE)
+         |    / CAST(sum(n) OVER () AS DOUBLE) * 1e4) / 1e4 AS ece
+         |FROM w ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        least(lit(1.0), size(graft.functions.tokens(col("text"))) / lit(400.0))
+          .as("score"),
+        lower(col("text")).contains("data").as("y"))
+      graft.operators.Stats.calibration(d, col("score"), col("y"), nBins = 10)
+    },
+
+    // C51: chi-squared independence of two categoricals — contingency
+    // cells from one partial-agg pass, margins by null-safe joins over
+    // the bounded cell frame, per-cell terms truncated 7 dp into exact
+    // decimals (order-independent sum), chi2/Cramér's V truncated 4 dp.
+    Q(
+      "q_chi_squared",
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n) AS rt FROM cells GROUP BY 1),
+        |rb AS (SELECT b, sum(n) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot, count(*) AS n_cells FROM cells),
+        |nr AS (SELECT count(*) AS r FROM ra),
+        |nc AS (SELECT count(*) AS c FROM rb),
+        |terms AS (
+        |  SELECT floor(
+        |    (CAST(cells.n AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    * (CAST(cells.n AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    * 1e7) / 1e7 AS t7
+        |  FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t),
+        |x AS (SELECT sum(CAST(t7 AS DECIMAL(20,7))) AS chi2 FROM terms)
+        |SELECT CAST(tot AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  CASE WHEN (r - 1) * (c - 1) = 0 OR chi2 IS NULL THEN 0.0
+        |       ELSE floor(CAST(chi2 AS DOUBLE) * 1e4) / 1e4 END AS chi2,
+        |  CASE WHEN (r - 1) * (c - 1) = 0 OR chi2 IS NULL THEN 0.0
+        |       ELSE floor(sqrt(CAST(chi2 AS DOUBLE)
+        |         / (CAST(tot AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e4) / 1e4
+        |  END AS cramers_v
+        |FROM t CROSS JOIN nr CROSS JOIN nc CROSS JOIN x""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.chiSquared(
+        table(s, dir, "lineitem"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // C52: two-sample Kolmogorov-Smirnov — D as an exact-integer
+    // supremum over the grouped distinct-value frame (quantized 4 dp;
+    // prices are 2 dp so quantization is lossless), one division at
+    // the end. Open vs finished orders on o_totalprice.
+    Q(
+      "q_ks_test",
+      """WITH g AS (
+        |  SELECT round(CAST(o_totalprice AS DOUBLE), 4) AS v,
+        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nb
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O', 'F')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM g),
+        |t AS (SELECT coalesce(sum(na), 0) AS ta, coalesce(sum(nb), 0) AS tb FROM g),
+        |s AS (SELECT max(abs(ca * tb - cb * ta)) AS sup FROM c CROSS JOIN t)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  CASE WHEN ta = 0 OR tb = 0 OR sup IS NULL THEN 0.0
+        |       ELSE floor(CAST(sup AS DOUBLE)
+        |         / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) * 1e6) / 1e6 END AS d,
+        |  CASE WHEN ta = 0 OR tb = 0 OR sup IS NULL THEN 0.0
+        |       ELSE floor(1.358 * sqrt((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+        |         / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) * 1e6) / 1e6 END AS d_crit,
+        |  (CASE WHEN ta = 0 OR tb = 0 OR sup IS NULL THEN 0.0
+        |        ELSE floor(CAST(sup AS DOUBLE)
+        |          / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) * 1e6) / 1e6 END)
+        |  > (CASE WHEN ta = 0 OR tb = 0 OR sup IS NULL THEN 0.0
+        |          ELSE floor(1.358 * sqrt((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+        |            / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) * 1e6) / 1e6 END)
+        |  AND (CASE WHEN ta = 0 OR tb = 0 OR sup IS NULL THEN 0.0
+        |            ELSE floor(1.358 * sqrt((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+        |              / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) * 1e6) / 1e6 END) > 0
+        |  AS significant
+        |FROM t CROSS JOIN s""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.ksTest(
+        table(s, dir, "orders"), col("o_orderstatus"), col("o_totalprice"),
+        groupA = "O", groupB = "F")
+    },
+
     // C36: declarative data-quality gate — six constraint families
     // over lineitem/orders in one report; row-predicate checks share
     // one aggregation pass (PlanSpec pins it).

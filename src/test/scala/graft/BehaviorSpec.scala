@@ -132,4 +132,93 @@ class BehaviorSpec extends SparkSpec {
     assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)) == ((0L, 0L, 0L, 0L)))
     assert((x.getDouble(5), x.getDouble(6), x.getDouble(7)) == ((0.0, 0.0, 0.0)))
   }
+
+  test("auc: hand-computed rank-sum with ties, perfect and inverted rankings") {
+    // pos at .9 .7 .4, neg at .7 .3: pairs = 3*2 = 6
+    // (.9 beats both) = 2, (.7 vs .7 tie = .5, .7 > .3) = 1.5, (.4 > .3) = 1
+    // AUC = 4.5/6 = 0.75
+    val df = Seq((0.9, true), (0.7, true), (0.4, true), (0.7, false), (0.3, false))
+      .toDF("score", "y")
+    val r = Stats.auc(df, col("score"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.75)
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)).toDF("score", "y")
+    assert(Stats.auc(perfect, col("score"), col("y")).collect().head.getDouble(3) == 1.0)
+    val inverted = Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)).toDF("score", "y")
+    assert(Stats.auc(inverted, col("score"), col("y")).collect().head.getDouble(3) == 0.0)
+    // one-sided input: uninformative 0.5
+    val onlyPos = Seq((0.9, true), (0.1, true)).toDF("score", "y")
+    val d = Stats.auc(onlyPos, col("score"), col("y")).collect().head
+    assert(d.getLong(2) == 0L && d.getDouble(3) == 0.5)
+  }
+
+  test("ksTest: hand-computed supremum; identical samples give D=0") {
+    // A = {1,2,3}, B = {3,4,5}: at v=2 |2/3 - 0| = 2/3 is the sup
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0), ("b", 5.0))
+      .toDF("g", "v")
+    val r = Stats.ksTest(df, col("g"), col("v"), "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) == math.floor(2.0 / 3.0 * 1e6) / 1e6)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val s = Stats.ksTest(same, col("g"), col("v"), "a", "b").collect().head
+    assert(s.getDouble(2) == 0.0 && !s.getBoolean(4))
+    // clearly shifted large samples reject
+    val big = ((1 to 500).map(i => ("a", i / 100.0)) ++
+      (1 to 500).map(i => ("b", 3.0 + i / 100.0))).toDF("g", "v")
+    assert(Stats.ksTest(big, col("g"), col("v"), "a", "b").collect().head.getBoolean(4))
+    // empty input: one degenerate row
+    val e = Stats.ksTest(same.filter(col("g") === "zzz"), col("g"), col("v"), "a", "b")
+      .collect().head
+    assert((e.getLong(0), e.getLong(1), e.getDouble(2)) == ((0L, 0L, 0.0)))
+  }
+
+  test("chiSquared: 2x2 fixture matches the textbook formula; independence gives ~0") {
+    // | 30 10 | 10 30 |: chi2 = n(ad-bc)^2 / (r1 r2 c1 c2) = 80*640000/2560000 = 20
+    val rows = Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))
+    val r = Stats.chiSquared(rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((80L, 4L, 1L)))
+    assert(math.abs(r.getDouble(3) - 20.0) < 1e-5)
+    // cramers v for 2x2 = sqrt(chi2/n) = 0.5
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-4)
+    // perfectly independent layout: every cell = expected -> chi2 = 0
+    val ind = Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(20)(("y", "v"))
+    assert(Stats.chiSquared(ind.toDF("a", "b"), col("a"), col("b"))
+      .collect().head.getDouble(3) == 0.0)
+    // single-level column: dof 0, chi2 0
+    val one = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val o = Stats.chiSquared(one, col("a"), col("b")).collect().head
+    assert(o.getLong(2) == 0L && o.getDouble(3) == 0.0)
+    // null is a real level, not a dropped row
+    val withNull = Seq((Some("x"), "u"), (None, "v"), (None, "u"), (Some("x"), "v"))
+      .toDF("a", "b")
+    assert(Stats.chiSquared(withNull, col("a"), col("b")).collect().head.getLong(0) == 4L)
+  }
+
+  test("calibration: hand-computed bins, clamping, and ECE") {
+    // bin 0: scores .05 (neg), bin 9: 1.2 clamps in, .95 (both pos)
+    val df = Seq((0.05, false), (0.95, true), (1.2, true), (-0.1, false))
+      .toDF("score", "y")
+    val r = Stats.calibration(df, col("score"), col("y"), nBins = 10)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r.length == 2)
+    // bin 0: n=2 (.05 and clamped -0.1), mean=floor(-.05/2*1e4)/1e4... -0.025 -> t4floor
+    val b0 = r(0); val b9 = r(1)
+    assert(b0._1 == 0 && b0._2 == 2L && b0._4 == 0.0)
+    assert(b9._1 == 9 && b9._2 == 2L && b9._4 == 1.0)
+    // bin 9 mean: the exact-decimal sum 2.150000 casts to double and
+    // halves BEFORE the 4-dp floor — replicate that op order exactly
+    // (floor(2.15/2*1e4) lands on 10750.0; floor(1.075*1e4) does not:
+    // the contract is determinism of one op sequence, not decimal
+    // niceness)
+    val mean9 = math.floor(2.15 / 2 * 1e4) / 1e4
+    assert(b9._3 == mean9 && math.abs(b9._5 - (mean9 - 1.0)) < 1e-12)
+    // ece identical on every row; the operator rounds each gap into a
+    // 6-dp DECIMAL before the weighted sum (0.074999... -> 0.075000),
+    // so the exact-decimal numerator is 2*0.075 + 2*0.025 = 0.200000
+    assert(b0._6 == b9._6)
+    assert(b0._6 == math.floor(0.2 / 4 * 1e4) / 1e4)
+  }
 }
