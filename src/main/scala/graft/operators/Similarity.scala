@@ -487,13 +487,31 @@ object Similarity {
       queryVec: Column,
       books: Array[Array[Array[Double]]],
       k: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), pqLut(queryVec, books).as("__lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_key").asc, col("id").asc)
+    encoded.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDist(books))
+      .withColumn("dist_key", round(col("adc_dist"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("id").as("vec_id"), round(col("adc_dist"), 4).as("adc_dist"))
+  }
+
+  /** Per-query m×k lookup table of exact subvector→codeword squared
+    * distances — interpreted HOFs, legal on the (broadcast) probe side
+    * only. Entry s·k + c holds ‖query_sub_s − codeword_c‖².
+    */
+  private def pqLut(queryVec: Column, books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
     val nCodes = books(0).length
     val d = books(0)(0).length
     // flat literal codeword table: entry (s*k + c) holds codeword c of
     // subspace s; the per-query LUT indexes it the same way
     val flat = array(books.flatMap(_.map(w => array(w.map(lit): _*))): _*)
-    val lut = transform(
+    transform(
       sequence(lit(0), lit(m * nCodes - 1)),
       i => {
         val sub = (i / nCodes).cast("int")
@@ -506,15 +524,108 @@ object Similarity {
             acc + diff * diff
           })
       })
-    val q = queries.select(queryId.as("query_id"), lut.as("__lut"))
-    val dist = (0 until m).map(s =>
+  }
+
+  /** Corpus-side ADC distance: m `element_at` lookups into `__lut` by
+    * the row's `codes`, summed — a fixed codegen'd chain, zero dot
+    * products.
+    */
+  private def adcDist(books: Array[Array[Array[Double]]]): Column = {
+    val nCodes = books(0).length
+    books.indices.map(s =>
         element_at(col("__lut"), lit(s * nCodes) + element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ: the paper's full composition (IVFADC) — coarse IVF cells
+  // route the search, PQ codes of the RESIDUAL (vector − its cell
+  // centroid) carry the geometry. Residuals are what make the m×k
+  // codebook budget go far: vectors near one centroid share a small
+  // displacement ball, so the same codebook resolves much finer
+  // structure than it would on raw vectors spread across all cells.
+  // ---------------------------------------------------------------
+
+  /** Residual frame (id, cluster, v = vec − centroid(cluster)) for a
+    * trained coarse quantizer — the input to residual codebook
+    * training and encoding. Pure codegen'd projection (centroid
+    * lookup from a literal array by cluster index).
+    */
+  def ivfResiduals(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    ivfAssign(corpus, id, vec, centroids)
+      .select(col("id"), col("cluster"),
+        zip_with(col("v"), element_at(centLit, col("cluster") + 1),
+          (a, b) => a - b).as("v"))
+  }
+
+  /** Build the IVF-PQ index frame: (id, cluster, codes) — the cell
+    * assignment plus the PQ codes of the residual. `cluster` routes
+    * the probe join, `codes` are m small ints (the 100 TB artifact:
+    * ~1 byte/subspace/vector + a cell id). Persist like any index
+    * table; the codebooks and centroids are driver-metadata artifacts
+    * ([[pqCodebooksToDf]] / [[centroidsToDf]]).
+    */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val resid = ivfResiduals(corpus, id, vec, centroids)
+    val m = books.length
+    val d = books(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val scores = centroidScores(slice(col("v"), s * d + 1, d), books(s))
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    resid.select(col("id"), col("cluster"), array(codeCols: _*).as("codes"))
+  }
+
+  /** IVF-PQ search (IVFADC): each query ranks the coarse centroids,
+    * visits its `nProbe` nearest cells, and scores ONLY those cells'
+    * rows by ADC — with a DISTINCT lookup table per (query, cell),
+    * built from the query's residual against THAT cell's centroid
+    * (the residual geometry is cell-relative). Probe fan-out is
+    * nProbe rows per query on the broadcast side; the corpus join
+    * stays an equi-join on `cluster` — candidate work
+    * O(|corpus|·nProbe/nCells) per query, never cartesian, and each
+    * candidate row pays m array lookups.
+    *
+    * Returns (query_id, rank, vec_id, adc_dist) — approximate
+    * distances (two quantizations deep); rank by round 6 dp with id
+    * tiebreak, the engine-reproducible contract.
+    */
+  def ivfPqTopK(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      queries: DataFrame,
+      queryId: Column,
+      queryVec: Column,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__s").asc, col("cluster").asc)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("__scores", centroidScores(col("qv"), centroids))
+      .select(col("query_id"), col("qv"),
+        posexplode(col("__scores")).as(Seq("cluster", "__s")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("cluster"),
+        pqLut(
+          zip_with(col("qv"), element_at(centLit, col("cluster") + 1), (a, b) => a - b),
+          books).as("__lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist_key").asc, col("id").asc)
-    encoded.crossJoin(broadcast(q))
+    index.join(broadcast(q), "cluster")
       .filter(col("id") =!= col("query_id"))
-      .withColumn("adc_dist", dist)
+      .withColumn("adc_dist", adcDist(books))
       .withColumn("dist_key", round(col("adc_dist"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -615,6 +615,26 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D57b: IVF-PQ (IVFADC, Jégou et al. TPAMI'11 §V) — coarse cells
+    // route the probe, PQ codes of the RESIDUAL carry geometry; each
+    // (query, probed cell) builds its own LUT from the cell-relative
+    // residual. Same rows-only rationale as q_ann_ivf/q_ann_pq
+    // (iterative driver-metadata training); DedupSpec pins exact
+    // recovery on clustered data and planted-twin recall.
+    Q.rowsOnly("q_ann_ivfpq") { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = Similarity.trainIvfCentroids(
+        e, col("vec_id"), col("v"), nCentroids = 8, iters = 3)
+      val books = Similarity.trainPqCodebooks(
+        Similarity.ivfResiduals(e, col("vec_id"), col("v"), centroids),
+        col("id"), col("v"), dim = 64, m = 8, k = 16, iters = 3)
+      val index = Similarity.ivfPqIndex(e, col("vec_id"), col("v"), centroids, books)
+      Similarity.ivfPqTopK(index, centroids, books,
+          e.filter(col("vec_id") < 10), col("vec_id"), col("v"), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // D43: SemDeDup semantic dedup — k-means cells block the cosine
     // join; planted near-identical copies of corpus vectors (fresh ids
     // +1000000) are swallowed wherever base and copy co-assign (a few

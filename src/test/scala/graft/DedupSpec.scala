@@ -734,6 +734,60 @@ class DedupSpec extends SparkSpec {
       books(s).indices.forall(c => books(s)(c).toSeq == back(s)(c).toSeq)))
   }
 
+  test("IVF-PQ: clustered data routes + quantizes exactly; residuals collapse to zero") {
+    // 4 patterns tiled 50x; 4 coarse cells recover the patterns, so
+    // every residual is the zero vector, every cell's codes are one
+    // array, and in-cell ADC distance is exactly 0
+    val patterns = Array(
+      Array.tabulate(16)(i => 1.0 + i * 0.5),
+      Array.tabulate(16)(i => -2.0 + i * 0.25),
+      Array.tabulate(16)(i => 5.0 - i * 0.75),
+      Array.tabulate(16)(i => math.pow(-1, i) * (i + 1.0)))
+    val rows = (0L until 200L).map(id => (id, patterns((id % 4).toInt).toSeq))
+    val df = rows.toDF("vec_id", "v")
+    val centroids = Similarity.trainIvfCentroids(
+      df, col("vec_id"), col("v"), nCentroids = 4, iters = 3)
+    val resid = Similarity.ivfResiduals(df, col("vec_id"), col("v"), centroids)
+    // every residual component is 0 (pattern == centroid exactly)
+    val maxAbs = resid.select(max(aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x))))).collect().head.getDouble(0)
+    assert(maxAbs == 0.0)
+    val books = Similarity.trainPqCodebooks(
+      resid, col("id"), col("v"), dim = 16, m = 4, k = 4, iters = 2)
+    val index = Similarity.ivfPqIndex(df, col("vec_id"), col("v"), centroids, books)
+    val top = Similarity.ivfPqTopK(index, centroids, books,
+        df.filter(col("vec_id") === 1), col("vec_id"), col("v"), k = 10, nProbe = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(top.length == 10)
+    assert(top.forall { case (vid, d) => vid % 4 == 1 && d == 0.0 })
+  }
+
+  test("IVF-PQ recovers planted twins on real embeddings; more probes never hurt") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.01)), slice(col("v"), 2, 63)).as("v"))
+    val e = base.unionByName(planted).localCheckpoint()
+    val centroids = Similarity.trainIvfCentroids(
+      e, col("vec_id"), col("v"), nCentroids = 8, iters = 3)
+    val books = Similarity.trainPqCodebooks(
+      Similarity.ivfResiduals(e, col("vec_id"), col("v"), centroids),
+      col("id"), col("v"), dim = 64, m = 8, k = 16, iters = 3)
+    val index = Similarity.ivfPqIndex(e, col("vec_id"), col("v"), centroids, books)
+      .localCheckpoint()
+    val q = base.filter(col("vec_id") < 20)
+    def rank1Hits(nProbe: Int): Int =
+      Similarity.ivfPqTopK(index, centroids, books, q, col("vec_id"), col("v"),
+          k = 5, nProbe = nProbe)
+        .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+        .count { case (qid, rank, vid) => rank == 1 && vid == qid + 1000000 }
+    val h2 = rank1Hits(2)
+    assert(h2 >= 14, s"planted twin at rank 1 for only $h2/20 queries at nProbe=2")
+    // widening the probe can only add candidates
+    assert(rank1Hits(8) >= h2)
+  }
+
   test("PQ ADC recovers planted near-identical twins on real embeddings") {
     val base = sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
