@@ -314,6 +314,98 @@ object Sampling {
     * order independently, exactly like per-worker data loaders.
     * Adds `train_pos` (1-based within shard).
     */
+  /** Epoch/repetition plan for a DATA-CONSTRAINED mixture (Muennighoff
+    * et al., "Scaling Data-Constrained Language Models", NeurIPS'23):
+    * when budget·w_s EXCEEDS a source's token mass, the source must
+    * repeat — and repeating pays off up to ~4 epochs, after which
+    * marginal value decays to ~zero. This is [[mixtureToBudget]]'s
+    * upsampling counterpart: that operator derives keep-RATES ≤ 1;
+    * this one derives EPOCHS, capped at `maxEpochs`, and reports the
+    * deficit the cap leaves unfilled (the "you don't have enough
+    * books" alarm, surfaced BEFORE a 100 TB materialization).
+    *
+    * One partial-aggregated groupBy to a ≤|sources|-row frame; epochs
+    * = min(maxEpochs, target/have) truncated 4 dp (floor — in-plan,
+    * repr-independent); target = floor(budget·w) and planned =
+    * floor(epochs·have) as exact longs; `capped` compares exact longs
+    * (target > floor(maxEpochs·have)). Sources not in `weights` are
+    * dropped — an explicit mixture is a whitelist.
+    *
+    * Returns (source, have_tokens, target_tokens, epochs,
+    * planned_tokens, deficit_tokens, capped).
+    */
+  def epochPlan(
+      df: DataFrame,
+      group: Column,
+      tokenCount: Column,
+      weights: Seq[(String, Double)],
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty, "at least one (group, weight) required")
+    require(weights.forall(_._2 >= 0), "weights must be >= 0")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val wCol = weights.foldRight(lit(null).cast("double")) {
+      case ((g, w), rest) => when(col("source") === g, lit(w)).otherwise(rest)
+    }
+    val tot = df.select(group.as("source"), tokenCount.cast("long").as("__tok"))
+      .groupBy("source").agg(sum(col("__tok")).as("have_tokens"))
+      .withColumn("__w", wCol)
+      .filter(col("__w").isNotNull && col("have_tokens") > 0)
+    val target = floor(lit(budgetTokens.toDouble) * col("__w")).cast("long")
+    val epochs = floor(least(lit(maxEpochs),
+      col("target_tokens").cast("double") / col("have_tokens").cast("double")) * 1e4) / 1e4
+    tot.withColumn("target_tokens", target)
+      .withColumn("epochs", epochs)
+      .withColumn("planned_tokens",
+        floor(col("epochs") * col("have_tokens").cast("double")).cast("long"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("planned_tokens")))
+      .withColumn("capped", col("target_tokens") >
+        floor(lit(maxEpochs) * col("have_tokens").cast("double")).cast("long"))
+      .select("source", "have_tokens", "target_tokens", "epochs",
+        "planned_tokens", "deficit_tokens", "capped")
+  }
+
+  /** Materialize an [[epochPlan]]: each surviving row repeats
+    * floor(epochs) times, plus one more copy iff its hash bucket
+    * falls under the fractional remainder's per-mille cut — so a
+    * source planned at 2.3 epochs emits every doc twice and a
+    * deterministic 30% of docs a third time, and a source planned at
+    * 0.3 epochs degrades to exactly [[mixtureSample]]'s behavior
+    * (full copies = 0, fractional cut selects). The output carries an
+    * `epoch` column (1-based copy index) so downstream shuffling /
+    * curriculum ordering can treat repeats as distinct training rows.
+    *
+    * Deterministic end to end (plan math + hash cut — no RNG), nested
+    * (raising budget/weights only adds copies), and the corpus is
+    * never shuffled: the ≤|sources| plan broadcasts onto a codegen'd
+    * explode. At 100 TB the repeats are materialized BY THE SCAN
+    * (explode in the projection), not stored.
+    */
+  def epochize(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      tokenCount: Column,
+      weights: Seq[(String, Double)],
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val plan = epochPlan(df, group, tokenCount, weights, budgetTokens, maxEpochs)
+      .select(col("source").as("__src"), col("epochs").as("__e"))
+    val full = floor(col("__e")).cast("int")
+    val fracCut = floor((col("__e") - floor(col("__e"))) * buckets)
+    val copies = full + when(hashBucket(key) < fracCut, 1).otherwise(0)
+    df.join(broadcast(plan), group === col("__src"))
+      .withColumn("__copies", copies)
+      .withColumn("epoch",
+        explode(when(col("__copies") >= 1, sequence(lit(1), col("__copies")))
+          // Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty
+          // — guard to an empty array so zero-copy rows drop
+          .otherwise(array().cast("array<int>"))))
+      .drop("__src", "__e", "__copies")
+  }
+
   def interleaveSources(
       df: DataFrame,
       shard: Column,

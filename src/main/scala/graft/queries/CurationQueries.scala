@@ -530,6 +530,106 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D61: data-constrained epoch plan (Muennighoff et al. NeurIPS'23)
+    // — when budget·w exceeds a source's mass the source REPEATS, up
+    // to 4 epochs, and the unfillable deficit is reported. Budget =
+    // 2× the three-source mass so all three regimes appear: src0
+    // (w=.7) caps at 4 epochs with a deficit, src1 (w=.25) repeats
+    // ~1.5×, src2 (w=.05) downsamples.
+    Q(
+      "q_epoch_plan",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(${tkSql("text")}) AS n_toks
+         |  FROM documents),
+         |f AS (SELECT source, n_toks FROM t WHERE source IN ('src0', 'src1', 'src2')),
+         |bud AS (SELECT 2 * sum(n_toks) AS budget FROM f),
+         |tot AS (SELECT source, sum(n_toks) AS have FROM f GROUP BY source),
+         |p AS (
+         |  SELECT source, CAST(have AS BIGINT) AS have_tokens,
+         |    CAST(floor(CAST(budget AS DOUBLE) * CASE source
+         |      WHEN 'src0' THEN CAST(0.7 AS DOUBLE)
+         |      WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+         |      WHEN 'src2' THEN CAST(0.05 AS DOUBLE) END) AS BIGINT) AS target_tokens,
+         |    CAST(floor(CAST(4.0 AS DOUBLE) * CAST(have AS DOUBLE)) AS BIGINT) AS cap_tokens
+         |  FROM tot CROSS JOIN bud),
+         |p2 AS (
+         |  SELECT source, have_tokens, target_tokens, cap_tokens,
+         |    floor(least(CAST(4.0 AS DOUBLE),
+         |      CAST(target_tokens AS DOUBLE) / CAST(have_tokens AS DOUBLE)) * 1e4) / 1e4
+         |      AS epochs
+         |  FROM p),
+         |p3 AS (
+         |  SELECT source, have_tokens, target_tokens, epochs,
+         |    CAST(floor(epochs * CAST(have_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens,
+         |    cap_tokens
+         |  FROM p2)
+         |SELECT source, have_tokens, target_tokens, epochs, planned_tokens,
+         |  greatest(CAST(0 AS BIGINT), target_tokens - planned_tokens) AS deficit_tokens,
+         |  target_tokens > cap_tokens AS capped
+         |FROM p3 ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          size(graft.functions.tokens(col("text"))).cast("long").as("n_toks"))
+        .filter(col("source").isin("src0", "src1", "src2"))
+      val budget = 2L * d.agg(sum("n_toks")).collect()(0).getLong(0)
+      Sampling.epochPlan(d, col("source"), col("n_toks"),
+          Seq("src0" -> 0.7, "src1" -> 0.25, "src2" -> 0.05),
+          budgetTokens = budget)
+        .orderBy("source")
+    },
+
+    // D61b: epoch materialization — floor(epochs) full copies plus a
+    // deterministic hash-cut extra for the fractional remainder; the
+    // epoch index survives as a column. Same plan math as
+    // q_epoch_plan, replayed through generate_series.
+    Q(
+      "q_epochize", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, len(${tkSql("text")}) AS n_toks
+           |  FROM documents),
+           |f AS (SELECT source, n_toks FROM t WHERE source IN ('src0', 'src1', 'src2')),
+           |bud AS (SELECT 2 * sum(n_toks) AS budget FROM f),
+           |tot AS (SELECT source, sum(n_toks) AS have FROM f GROUP BY source),
+           |p AS (
+           |  SELECT source, have,
+           |    CAST(floor(CAST(budget AS DOUBLE) * CASE source
+           |      WHEN 'src0' THEN CAST(0.7 AS DOUBLE)
+           |      WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+           |      WHEN 'src2' THEN CAST(0.05 AS DOUBLE) END) AS BIGINT) AS target
+           |  FROM tot CROSS JOIN bud),
+           |p2 AS (
+           |  SELECT source,
+           |    floor(least(CAST(4.0 AS DOUBLE),
+           |      CAST(target AS DOUBLE) / CAST(have AS DOUBLE)) * 1e4) / 1e4 AS epochs
+           |  FROM p),
+           |c AS (
+           |  SELECT t.doc_id, t.source,
+           |    CAST(floor(epochs) AS INT)
+           |      + CASE WHEN $b < floor((epochs - floor(epochs)) * 1000)
+           |             THEN 1 ELSE 0 END AS copies
+           |  FROM t JOIN p2 USING (source)),
+           |e AS (
+           |  SELECT doc_id, source,
+           |    unnest(generate_series(1, copies)) AS epoch
+           |  FROM c)
+           |SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+           |FROM e ORDER BY doc_id, epoch""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          size(graft.functions.tokens(col("text"))).cast("long").as("n_toks"))
+        .filter(col("source").isin("src0", "src1", "src2"))
+      val budget = 2L * d.agg(sum("n_toks")).collect()(0).getLong(0)
+      Sampling.epochize(d, col("source"), col("doc_id"), col("n_toks"),
+          Seq("src0" -> 0.7, "src1" -> 0.25, "src2" -> 0.05),
+          budgetTokens = budget)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+
     // D19: concat-then-chunk sequence packing under a 512-token budget,
     // sharded 8 ways (the window is partitioned by construction).
     Q(

@@ -298,4 +298,50 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("epochPlan: hand-computed targets, cap, and deficit") {
+    // A: 10 docs x 10 tokens = 100; B: same. budget 300, w = .9/.1,
+    // maxEpochs 2: A target 270 -> capped at 2.0 epochs, planned 200,
+    // deficit 70; B target 30 -> 0.3 epochs, planned 30, no deficit
+    val d = ((0 until 10).map(i => (s"a$i", "A", 10L)) ++
+      (0 until 10).map(i => (s"b$i", "B", 10L))).toDF("id", "src", "tok")
+    val plan = Sampling.epochPlan(d, col("src"), col("tok"),
+        Seq("A" -> 0.9, "B" -> 0.1), budgetTokens = 300L, maxEpochs = 2.0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(plan.length == 2)
+    assert(plan(0) == (("A", 100L, 270L, 2.0, 200L, 70L, true)))
+    assert(plan(1) == (("B", 100L, 30L, 0.3, 30L, 0L, false)))
+    // unlisted source drops; zero-mass source drops
+    val d2 = d.unionByName(Seq(("c0", "C", 5L)).toDF("id", "src", "tok"))
+    assert(Sampling.epochPlan(d2, col("src"), col("tok"),
+      Seq("A" -> 1.0), 300L).count() == 1L)
+  }
+
+  test("epochize: full copies + deterministic fractional extras, nested under budget") {
+    val d = ((0L until 10L).map(i => (i, "A", 10L)) ++
+      (10L until 20L).map(i => (i, "B", 10L))).toDF("id", "src", "tok")
+    // A at 2.0 epochs exactly: every A row twice, epochs 1 and 2
+    val out = Sampling.epochize(d, col("src"), col("id"), col("tok"),
+        Seq("A" -> 0.9, "B" -> 0.1), budgetTokens = 300L, maxEpochs = 2.0)
+      .select(col("id"), col("src"), col("epoch"))
+      .as[(Long, String, Int)].collect()
+    val aRows = out.filter(_._2 == "A")
+    assert(aRows.length == 20)
+    assert((0L until 10L).forall(i =>
+      aRows.filter(_._1 == i).map(_._3).sorted.toSeq == Seq(1, 2)))
+    // B at 0.3 epochs: exactly the rows whose bucket < 300, once each
+    val bKept = out.filter(_._2 == "B").map(_._1).toSet
+    val expB = (10L until 20L).filter { i =>
+      (((i % 1000003L + 1000003L) % 1000003L) * 427799L % 1000003L % 1000L) < 300L
+    }.toSet
+    assert(bKept == expB)
+    assert(out.filter(_._2 == "B").forall(_._3 == 1))
+    // nesting: doubling the budget only ADDS (id, epoch) pairs
+    val big = Sampling.epochize(d, col("src"), col("id"), col("tok"),
+        Seq("A" -> 0.9, "B" -> 0.1), budgetTokens = 600L, maxEpochs = 4.0)
+      .select(col("id"), col("epoch")).as[(Long, Int)].collect().toSet
+    assert(out.map(r => (r._1, r._3)).toSet.subsetOf(big))
+  }
 }
