@@ -212,6 +212,106 @@ object TextMetrics {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** Sentence segmentation — one row per non-empty sentence with its
+    * position. The splitter is a single RE2-safe extraction
+    * (`[^.!?]+[.!?]*`: a run of non-terminators plus its trailing
+    * terminators), so the SAME pattern runs under the DuckDB oracle;
+    * entries that trim to empty (inter-terminator whitespace) drop,
+    * leaving gaps in `sent_pos` — position is an ORDER key, not a
+    * dense index (renumbering would cost a per-doc window; ordering
+    * doesn't). Pure codegen'd projection + posexplode: no shuffle, no
+    * window, no HOF.
+    */
+  def splitSentences(df: DataFrame, id: Column, text: Column): DataFrame =
+    scaleOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"),
+        posexplode(regexp_extract_all(col("__t"), lit("[^.!?]+[.!?]*"), lit(0)))
+          .as(Seq("sent_pos", "__raw")))
+      .select(col("id"), col("sent_pos"), trim(col("__raw")).as("sentence"))
+      .where(length(col("sentence")) > 0)
+
+  /** Flesch reading-ease readability per document — the classic
+    * curation gate companion to [[withQuality]] (a corpus of 8-word
+    * headline fragments and a corpus of 60-word legalese sentences
+    * both "pass length checks"; readability separates them).
+    *
+    * Approximations are explicit contract: sentences = non-empty
+    * `[^.!?]+` runs (counted WITHOUT materializing them:
+    * `[^.!?\s][^.!?]*` matches exactly the runs containing a
+    * non-space char); words = the shared tokenizer; syllables =
+    * vowel-group runs `[aeiouy]+` over the lowered text (the standard
+    * cheap estimator). flesch = 206.835 − 1.015·w/s − 84.6·syl/w on
+    * exact-long ratios, truncated 4 dp TOWARD ZERO (it goes negative
+    * on dense text — twoSampleZ's sign-symmetric contract); docs with
+    * zero sentences or words report 0.0 ratios and flesch 0.0 rather
+    * than an ANSI divide error. Pure codegen'd projection.
+    */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val nSent = size(regexp_extract_all(text, lit("[^.!?\\s][^.!?]*"), lit(0))).cast("long")
+    val nWords = size(tokens(text)).cast("long")
+    val nSyl = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+    val d = df.select(id.as("id"), nSent.as("n_sentences"), nWords.as("n_words"),
+      nSyl.as("n_syllables"))
+    val degenerate = col("n_sentences") === 0 || col("n_words") === 0
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    d.select(col("id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+      when(degenerate, 0.0).otherwise(Num.t4floor(wps)).as("words_per_sentence"),
+      when(degenerate, 0.0).otherwise(Num.t4floor(spw)).as("syllables_per_word"),
+      when(degenerate, 0.0)
+        .otherwise(Num.t4zero(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
+        .as("flesch"))
+  }
+
+  /** UTF-8-decoded-as-Latin-1 artifact pairs ("mojibake"): the
+    * double-encoding survivors that plague crawled corpora (Ã© for é,
+    * â€™ for a right quote). Public so oracle twins can be GENERATED
+    * from the same table — one source of truth for both engines.
+    * Longest patterns first: every 3-char `â€x` artifact must rewrite
+    * before any 2-char `Ãx` pass could see its tail.
+    */
+  val mojibakeMap: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€”" -> "—", "â€“" -> "–", "â€¦" -> "…",
+    "Ã¡" -> "á", "Ã¢" -> "â", "Ã£" -> "ã", "Ã©" -> "é", "Ãª" -> "ê",
+    "Ã­" -> "í", "Ã³" -> "ó", "Ã´" -> "ô", "Ãµ" -> "õ", "Ãº" -> "ú",
+    "Ã§" -> "ç", "Ã±" -> "ñ")
+
+  /** Repair [[mojibakeMap]] artifacts — a chained literal `replace`
+    * (codegen'd, shuffle-free; order = the map's, part of the
+    * contract). Deliberately a FIXED public mapping, not a charset
+    * transcode: the common artifacts repair deterministically in any
+    * engine, and text without artifacts passes through untouched.
+    */
+  def fixMojibake(text: Column): Column =
+    mojibakeMap.foldLeft(text) { case (c, (bad, good)) =>
+      call_function("replace", c, lit(bad), lit(good))
+    }
+
+  /** Artifact occurrence count — the detection score for a "needs
+    * re-crawl/re-decode" gate. Computed as Σ over the map of
+    * (len − len(after literal removal)) / len(pattern): O(|map|)
+    * codegen'd passes, no regex class subtleties, exactly replayable.
+    */
+  def mojibakeHits(text: Column): Column =
+    mojibakeMap.map { case (bad, _) =>
+      (length(text) - length(call_function("replace", text, lit(bad), lit("")))) /
+        lit(bad.length)
+    }.reduce(_ + _).cast("long")
+
+  /** Control-character hygiene: CRLF/CR normalize to LF, C0 controls
+    * (except TAB/LF) and DEL strip, runs of 3+ newlines collapse to a
+    * paragraph break. The standard pre-tokenization scrub; pure
+    * codegen'd regexp chain, order (normalize → strip → collapse) is
+    * part of the contract.
+    */
+  def cleanControlChars(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "\\r\\n?", "\n"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\n{3,}", "\n\n")
+
   /** Per-group token-distribution Shannon entropy (nats) — the
     * corpus-balance metric a mixture designer reads per source: low
     * entropy = repetitive/boilerplate-dominated source, high entropy =

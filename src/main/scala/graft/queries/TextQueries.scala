@@ -594,6 +594,130 @@ object TextQueries {
         .orderBy("term")
     },
 
+    // D62: sentence segmentation — one RE2-safe extraction pattern
+    // shared verbatim by both engines; empties drop, positions keep
+    // gaps (order key, not dense index).
+    Q(
+      "q_sentences",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(
+        |      text || '. Planted second! A third?? ! Done...',
+        |      '[^.!?]+[.!?]*') AS l
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |  FROM t)
+        |SELECT doc_id AS id, CAST(i - 1 AS INT) AS sent_pos,
+        |  trim(l[i]) AS sentence
+        |FROM u
+        |WHERE length(trim(l[i])) > 0
+        |ORDER BY id, sent_pos""".stripMargin
+    ) { (s, dir) =>
+      // terminators planted: the synthetic docs are mostly single-run
+      TextMetrics.splitSentences(
+          table(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), lit(". Planted second! A third?? ! Done...")).as("text")),
+          col("doc_id"), col("text"))
+        .orderBy("id", "sent_pos")
+    },
+
+    // D63: Flesch reading-ease readability — explicit-approximation
+    // contract (regex sentence/syllable estimators, shared tokenizer),
+    // exact-long counts, ratios truncated 4 dp, flesch toward-zero
+    // (it goes negative on dense text).
+    Q(
+      "q_readability",
+      s"""WITH m AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(regexp_extract_all(text, '[^.!?\\s][^.!?]*')) AS BIGINT)
+         |      AS n_sentences,
+         |    CAST(len(${tkSql("text")}) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |      AS n_syllables
+         |  FROM documents)
+         |SELECT id, n_sentences, n_words, n_syllables,
+         |  CASE WHEN n_sentences = 0 OR n_words = 0 THEN 0.0
+         |       ELSE floor(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) * 1e4)
+         |         / 1e4 END AS words_per_sentence,
+         |  CASE WHEN n_sentences = 0 OR n_words = 0 THEN 0.0
+         |       ELSE floor(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4)
+         |         / 1e4 END AS syllables_per_word,
+         |  CASE WHEN n_sentences = 0 OR n_words = 0 THEN 0.0
+         |       ELSE sign(206.835
+         |           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         |         * (floor(abs(206.835
+         |           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         |           * 1e4) / 1e4) + 0.0 END AS flesch
+         |FROM m ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.readability(
+          table(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("id")
+    },
+
+    // D64: mojibake repair + detection — the fix chain AND the oracle
+    // SQL are both GENERATED from TextMetrics.mojibakeMap (one source
+    // of truth); every artifact planted once per doc, so hits
+    // exercises every mapping and the fixed text md5-matches.
+    Q(
+      "q_fix_mojibake", {
+        val m = TextMetrics.mojibakeMap
+        val plant = m.map(_._1).mkString(" ")
+        val fixed = m.foldLeft("t") { case (acc, (b, g)) => s"replace($acc, '$b', '$g')" }
+        val hits = m.map { case (b, _) =>
+          s"(length(t) - length(replace(t, '$b', ''))) / ${b.length}"
+        }.mkString("\n    + ")
+        s"""WITH p AS (
+           |  SELECT doc_id, text || ' $plant' AS t FROM documents)
+           |SELECT doc_id,
+           |  CAST($hits AS BIGINT) AS n_artifacts,
+           |  md5($fixed) AS fixed_md5
+           |FROM p ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val planted = concat(col("text"),
+        lit(" " + TextMetrics.mojibakeMap.map(_._1).mkString(" ")))
+      table(s, dir, "documents").select(
+          col("doc_id"),
+          TextMetrics.mojibakeHits(planted).as("n_artifacts"),
+          md5(TextMetrics.fixMojibake(planted)).as("fixed_md5"))
+        .orderBy("doc_id")
+    },
+
+    // D65: control-character hygiene — planted NUL/BEL/CR/newline-runs
+    // normalize identically in both engines (CRLF→LF, C0/DEL strip,
+    // 3+ newlines collapse), compared by md5 + length.
+    Q(
+      "q_clean_control",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || chr(7) || ' x' || chr(13) || chr(10) || 'y'
+        |      || chr(13) || chr(10) || chr(10) || chr(10) || chr(10) || 'z' AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '\r\n?', chr(10), 'g'),
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g') AS cleaned
+        |  FROM p)
+        |SELECT doc_id, CAST(length(cleaned) AS BIGINT) AS n_chars,
+        |  md5(cleaned) AS cleaned_md5
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = concat(col("text"), lit("\u0007 x\r\ny\r\n\n\n\nz"))
+      val cleaned = TextMetrics.cleanControlChars(planted)
+      table(s, dir, "documents").select(
+          col("doc_id"),
+          length(cleaned).cast("long").as("n_chars"),
+          md5(cleaned).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+
     // D46: domain-blocklist curation with suffix semantics — a
     // registrable-domain entry blocks every subdomain; an exact-host
     // entry blocks only that host. Both planted URL shapes exercised.

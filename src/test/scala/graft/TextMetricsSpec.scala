@@ -403,4 +403,59 @@ class TextMetricsSpec extends SparkSpec {
     val (_, n2, nd2, dupL2, dupC2, bul2, ell2) = out(1)
     assert(n2 == 3 && nd2 == 3 && dupL2 == 0.0 && dupC2 == 0.0 && bul2 == 0.0 && ell2 == 0.0)
   }
+
+  test("splitSentences: terminator-aware splits, empties drop, positions order") {
+    val df = Seq(
+      (1L, "Hello world. How are you?! Fine..."),
+      (2L, "no terminator here"),
+      (3L, "! ! leading")).toDF("doc_id", "text")
+    val out = TextMetrics.splitSentences(df, $"doc_id", $"text")
+      .orderBy("id", "sent_pos")
+      .as[(Long, Int, String)].collect()
+    val d1 = out.filter(_._1 == 1L).map(_._3).toSeq
+    assert(d1 == Seq("Hello world.", "How are you?!", "Fine..."))
+    // positions strictly increase (gaps allowed)
+    val p1 = out.filter(_._1 == 1L).map(_._2).toSeq
+    assert(p1 == p1.sorted && p1.distinct == p1)
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("no terminator here"))
+    // "! ! leading": the whitespace run before the second '!' carries
+    // that terminator -> a punctuation-only "!" row survives (only
+    // entries that trim to EMPTY drop); the leading bare '!' has no
+    // non-terminator run at all and emits nothing
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("!", "leading"))
+  }
+
+  test("readability: hand-computed Flesch; degenerate text reports zeros") {
+    // 2 sentences, 6 words, 6 vowel groups: wps=3, spw=1,
+    // flesch = 206.835 - 3.045 - 84.6 = 119.19
+    val df = Seq((1L, "The cat sat. The dog ran."), (2L, ""), (3L, "...")).toDF("doc_id", "text")
+    val out = TextMetrics.readability(df, $"doc_id", $"text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    val r1 = out(0)
+    assert((r1._2, r1._3, r1._4) == ((2L, 6L, 6L)))
+    assert(r1._5 == 3.0 && r1._6 == 1.0)
+    assert(math.abs(r1._7 - 119.19) < 1e-4)
+    // empty + punctuation-only docs: all zeros, no divide error
+    assert(out.drop(1).forall(r => r._5 == 0.0 && r._6 == 0.0 && r._7 == 0.0))
+  }
+
+  test("mojibake: artifacts repair and count; clean text passes untouched") {
+    val df = Seq((1L, "CafÃ© â€” donâ€™t say â€œno"), (2L, "plain ascii, café fine"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextMetrics.fixMojibake($"text").as("fixed"),
+        TextMetrics.mojibakeHits($"text").as("hits"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0)._2 == "Café — don’t say “no")
+    assert(out(0)._3 == 4L)
+    assert(out(1)._2 == "plain ascii, café fine" && out(1)._3 == 0L)
+  }
+
+  test("cleanControlChars: CRLF/CR normalize, C0 strip, newline runs collapse") {
+    val df = Seq((1L, "\u0000a\u0007b\r\nc\rd\n\n\n\ne\tf")).toDF("doc_id", "text")
+    val out = df.select(TextMetrics.cleanControlChars($"text")).as[String].collect().head
+    // NUL/BEL stripped, TAB kept, CRLF and bare CR -> LF, 4 LFs -> 2
+    assert(out == "ab\nc\nd\n\ne\tf")
+  }
 }
