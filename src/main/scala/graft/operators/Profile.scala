@@ -390,6 +390,71 @@ object Profile {
       .agg(hll_sketch_estimate(hll_union_agg(sketch, allowDifferentLgConfigK = lit(false)))
         .cast("long").as("approx_distinct"))
 
+  /** Mergeable Count-Min frequency sketch (Cormode & Muthukrishnan,
+    * J. Algorithms 2005) — the FREQUENCY companion to [[distinctSketch]]
+    * 's cardinality tier: each shard builds a ≤ depth·width-row count
+    * table in one partial-aggregated pass, the tables PERSIST like any
+    * index artifact, [[cmsMerge]] adds them cell-wise (exact
+    * mergeability — the counts are plain sums), and [[cmsEstimate]]
+    * answers "roughly how often does term X occur corpus-wide?"
+    * without re-reading a shard. Guarantees: estimates NEVER
+    * undercount; overcount ≤ 2N/width with probability ≥ 1−2^−depth.
+    *
+    * The per-row depth-fold is a codegen'd explode of `depth` seeded
+    * xxhash64 buckets — no UDF, no shuffle beyond the one keyed
+    * partial agg. Seeded-hash artifact ⇒ rows-only at the oracle
+    * (the HLL/MinHash precedent); the spec pins exact mergeability
+    * and the no-undercount bound instead.
+    */
+  def countMinSketch(
+      df: DataFrame,
+      key: Column,
+      width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    require(width >= 2, "width must be >= 2")
+    require(depth >= 1 && depth <= 16, "depth in [1, 16]")
+    df.select(key.as("__k")).where(col("__k").isNotNull)
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("d"),
+          pmod(xxhash64(col("__k"), lit(i)), lit(width.toLong)).cast("int")
+            .as("b"))): _*)).as("e"))
+      .groupBy(col("e.d").as("depth"), col("e.b").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of persisted CMS tables (same width/depth — the
+    * caller's contract, as with HLL's lgConfigK). Exactly equals the
+    * sketch of the concatenated shards: CMS cells are plain counts.
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("depth", "bucket").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-query a CMS: min over the depth rows of the key's bucket
+    * counts (an absent cell is 0). The probe explodes each key to its
+    * `depth` (depth, bucket) coordinates and left-joins the BROADCAST
+    * sketch — probe cost O(|keys|·depth), corpus untouched. `width`
+    * and `depth` must match the build.
+    */
+  def cmsEstimate(
+      keys: DataFrame,
+      key: Column,
+      sketch: DataFrame,
+      width: Int = 1024,
+      depth: Int = 4): DataFrame =
+    keys.select(key.as("term")).where(col("term").isNotNull)
+      .select(col("term"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("d"),
+          pmod(xxhash64(col("term"), lit(i)), lit(width.toLong)).cast("int")
+            .as("b"))): _*)).as("e"))
+      .join(broadcast(sketch.withColumnsRenamed(
+        Map("depth" -> "__d", "bucket" -> "__b"))),
+        col("e.d") === col("__d") && col("e.b") === col("__b"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
   /** Per-group boxplot statistics: exact interpolated quartiles plus
     * the count of 1.5·IQR whisker outliers — the distribution summary
     * behind data-quality dashboards and outlier triage.

@@ -62,13 +62,66 @@ object TextMetrics {
     * getFields read the materialized struct instead of re-running it.
     */
   def withLangId(df: DataFrame, text: Column): DataFrame = {
-    val hitStruct = overTokens(text) { tk =>
-      struct(langMarkers.map { case (l, ms) => markerHits(tk, ms).as(s"h_$l") }: _*)
-    }
-    val tmp = df.withColumn("__lm", hitStruct)
+    val tmp = df.withColumn("__lm", langHitStruct(text))
     val hits = langMarkers.map { case (l, _) => l -> col("__lm").getField(s"h_$l") }
     val (lang, best) = argmaxLabel(hits, "und")
     tmp.withColumn("lang_pred", lang).withColumn("lang_hits", best).drop("__lm")
+  }
+
+  /** One-tokenization marker-hit struct for an arbitrary text column
+    * (shared by [[withLangId]] and [[langConsistency]]).
+    */
+  private def langHitStruct(text: Column): Column =
+    overTokens(text) { tk =>
+      struct(langMarkers.map { case (l, ms) => markerHits(tk, ms).as(s"h_$l") }: _*)
+    }
+
+  /** Per-document language CONSISTENCY check — the "concatenated
+    * crawl page" detector: language-ID the first and second character
+    * halves independently and flag disagreement. A page whose head is
+    * English and tail is Spanish is two documents glued together (or
+    * boilerplate contamination) — a per-doc aggregate langid averages
+    * that away; the split sees it. Pure codegen'd projection (two
+    * half-tokenizations), no shuffle.
+    *
+    * Returns (id, lang_head, lang_tail, consistent) where
+    * `consistent` = labels agree (two undecided halves agree too —
+    * gate on lang_head != 'und' if decidedness matters).
+    */
+  def langConsistency(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val half = (length(text) / lit(2)).cast("int")
+    val head = text.substr(lit(1), half)
+    val tail = text.substr(half + lit(1), length(text))
+    val tmp = df.select(id.as("id"),
+      langHitStruct(head).as("__h"), langHitStruct(tail).as("__t"))
+    def label(s: String) = argmaxLabel(
+      langMarkers.map { case (l, _) => l -> col(s).getField(s"h_$l") }, "und")._1
+    tmp.select(col("id"),
+        label("__h").as("lang_head"), label("__t").as("lang_tail"))
+      .withColumn("consistent", col("lang_head") === col("lang_tail"))
+  }
+
+  /** Per-group tokenizer fertility — the tokenizer-fairness dashboard
+    * ("how many BPE-ish tokens does a character of each language
+    * cost?"): chars / whitespace tokens / BPE-regex tokens per group
+    * with 4-dp floor ratios. One partial-aggregated pass; the token
+    * counters are [[withTokenCounts]]'s codegen'd regexes.
+    */
+  def tokenizerFertility(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val g = df.groupBy(group.as("grp")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(text)).cast("long").as("n_chars"),
+      sum(size(tokens(text))).cast("long").as("n_ws_tokens"),
+      sum(size(regexp_extract_all(lower(text),
+        lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))).cast("long").as("n_bpe_tokens"))
+    g.select(col("grp"), col("n_docs"), col("n_chars"),
+      col("n_ws_tokens"), col("n_bpe_tokens"),
+      when(col("n_bpe_tokens") === 0, 0.0)
+        .otherwise(Num.t4floor(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"))).as("chars_per_bpe_token"),
+      when(col("n_ws_tokens") === 0, 0.0)
+        .otherwise(Num.t4floor(col("n_bpe_tokens").cast("double") /
+          col("n_ws_tokens").cast("double"))).as("bpe_per_ws_token"))
   }
 
   /** Writing-system (script) inventory, ordered: ties on count break

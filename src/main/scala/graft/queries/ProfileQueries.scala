@@ -652,6 +652,24 @@ object ProfileQueries {
         .orderBy("source")
     },
 
+    // C53: Count-Min frequency sketch — build over corpus tokens (one
+    // pass), point-query the exact top-20 heavy terms through the
+    // sketch, report exact vs estimate side by side. Seeded-hash
+    // artifact -> rows-only (HLL/MinHash precedent); DedupSpec-style
+    // bounds (never undercounts, exact mergeability) live in
+    // ProfileSpec.
+    Q.rowsOnly("q_cms_heavy") { (s, dir) =>
+      val toks = table(s, dir, "documents")
+        .select(explode(graft.functions.tokens(col("text"))).as("term"))
+      val sketch = Profile.countMinSketch(toks, col("term"), width = 2048, depth = 4)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term").asc).limit(20)
+      Profile.cmsEstimate(top, col("term"), sketch, width = 2048, depth = 4)
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("term").asc)
+    },
+
     // C34: per-group boxplot — exact interpolated quartiles + 1.5·IQR
     // whisker outlier counts; whisker bounds from RAW quartiles, only
     // reported quartiles truncated (4 dp).

@@ -155,6 +155,80 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D66: per-language tokenizer fertility — chars per BPE-ish token
+    // and BPE-per-word by language, the tokenizer-fairness dashboard.
+    Q(
+      "q_tokenizer_fertility",
+      s"""WITH g AS (
+         |  SELECT lang AS grp, count(*) AS n_docs,
+         |    sum(length(text)) AS n_chars,
+         |    sum(len(${tkSql("text")})) AS n_ws_tokens,
+         |    sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')))
+         |      AS n_bpe_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT grp, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+         |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+         |  CASE WHEN n_bpe_tokens = 0 THEN 0.0
+         |       ELSE floor(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) * 1e4)
+         |         / 1e4 END AS chars_per_bpe_token,
+         |  CASE WHEN n_ws_tokens = 0 THEN 0.0
+         |       ELSE floor(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE) * 1e4)
+         |         / 1e4 END AS bpe_per_ws_token
+         |FROM g ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.tokenizerFertility(
+          table(s, dir, "documents"), col("lang"), col("text"))
+        .orderBy("grp")
+    },
+
+    // D67: per-doc language consistency — head/tail halves language-ID
+    // independently; docs with a planted Spanish tail (every 7th) must
+    // flag inconsistent wherever the tail half's markers win.
+    Q(
+      "q_lang_consistency", {
+        val langs = TextMetrics.langMarkers.map(_._1)
+        def hitCols(tag: String) = TextMetrics.langMarkers.map { case (l, ms) =>
+          s"len(list_filter(${tag}tk, t -> t IN ${inList(ms)})) AS ${tag}h_$l"
+        }.mkString(",\n    ")
+        def bestOf(tag: String) = langs.map(l => s"${tag}h_$l").mkString("greatest(", ", ", ")")
+        def caseOf(tag: String) =
+          s"CASE WHEN ${tag}best = 0 THEN 'und' " +
+            langs.map(l => s"WHEN ${tag}h_$l = ${tag}best THEN '$l'").mkString(" ") + " END"
+        val es = Seq.fill(8)("el perro y la casa de los gatos con una que").mkString(" ", " ", "")
+        s"""WITH p AS (
+           |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '$es' ELSE text END AS t
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |    substr(t, 1, CAST(length(t) // 2 AS INT)) AS head,
+           |    substr(t, CAST(length(t) // 2 AS INT) + 1, length(t)) AS tail
+           |  FROM p),
+           |k AS (
+           |  SELECT doc_id, ${tkSql("head")} AS htk, ${tkSql("tail")} AS ttk FROM s),
+           |h AS (
+           |  SELECT doc_id,
+           |    ${hitCols("h")},
+           |    ${hitCols("t")}
+           |  FROM k),
+           |b AS (SELECT *, ${bestOf("h")} AS hbest, ${bestOf("t")} AS tbest FROM h),
+           |o AS (
+           |  SELECT doc_id AS id, ${caseOf("h")} AS lang_head, ${caseOf("t")} AS lang_tail
+           |  FROM b)
+           |SELECT id, lang_head, lang_tail, lang_head = lang_tail AS consistent
+           |FROM o ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val es = Seq.fill(8)("el perro y la casa de los gatos con una que")
+        .mkString(" ", " ", "")
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(es)))
+          .otherwise(col("text")).as("text"))
+      TextMetrics.langConsistency(planted, col("doc_id"), col("text"))
+        .orderBy("id")
+    },
+
     // D11a: normalized-content fingerprint. Each document gets a noisy
     // rendition (upper-case + trailing punctuation) planted alongside
     // it; normalization must collapse both to the same md5, so every

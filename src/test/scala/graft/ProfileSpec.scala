@@ -313,4 +313,32 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(e("u")._3 - math.log(4.0)) < 1e-3)
     assert(e("z") == ((4L, 1L, 0.0)))
   }
+
+  test("countMinSketch: never undercounts, exact on light load, merge == whole") {
+    // 100 distinct keys with known counts (key i appears i+1 times)
+    val rows = (0 until 100).flatMap(i => Seq.fill(i + 1)(s"k$i"))
+    val df = rows.toDF("k")
+    val sketch = Profile.countMinSketch(df, $"k", width = 2048, depth = 4)
+      .localCheckpoint()
+    val keys = (0 until 100).map(i => s"k$i").toDF("k")
+    val est = Profile.cmsEstimate(keys, $"k", sketch, width = 2048, depth = 4)
+      .as[(String, Long)].collect().toMap
+    val truth = (0 until 100).map(i => s"k$i" -> (i + 1L)).toMap
+    // CMS never undercounts
+    assert(truth.forall { case (k, n) => est(k) >= n })
+    // 100 keys in 2048x4 cells: collisions essentially absent -> exact
+    assert(truth.count { case (k, n) => est(k) == n } >= 95)
+    // absent key estimates (near) zero under light load
+    val miss = Profile.cmsEstimate(Seq("nope").toDF("k"), $"k", sketch, 2048, 4)
+      .as[(String, Long)].collect().head._2
+    assert(miss <= 2L)
+    // mergeability is EXACT: sketch(a ++ b) == merge(sketch(a), sketch(b))
+    val (a, b) = (rows.take(2000).toDF("k"), rows.drop(2000).toDF("k"))
+    val merged = Profile.cmsMerge(Seq(
+        Profile.countMinSketch(a, $"k", 2048, 4),
+        Profile.countMinSketch(b, $"k", 2048, 4)))
+      .as[(Int, Int, Long)].collect().toSet
+    val whole = sketch.as[(Int, Int, Long)].collect().toSet
+    assert(merged == whole)
+  }
 }

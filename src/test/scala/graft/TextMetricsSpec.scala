@@ -452,6 +452,36 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1)._2 == "plain ascii, café fine" && out(1)._3 == 0L)
   }
 
+  test("langConsistency: glued bilingual page flags, monolingual page passes") {
+    val en = "the cat and the dog of the house is that it for the and of"
+    val es = "el perro y la casa de los gatos con una que de la y el mas"
+    val df = Seq(
+      (1L, en + " " + en),   // uniform english
+      (2L, en + " " + es),   // english head, spanish tail
+      (3L, "xyz qqq")).toDF("doc_id", "text")
+    val out = TextMetrics.langConsistency(df, $"doc_id", $"text")
+      .orderBy("id").as[(Long, String, String, Boolean)].collect()
+    assert(out(0) == ((1L, "en", "en", true)))
+    assert(out(1)._2 == "en" && out(1)._3 == "es" && !out(1)._4)
+    assert(out(2) == ((3L, "und", "und", true)))
+  }
+
+  test("tokenizerFertility: hand-computed per-group ratios") {
+    val df = Seq(
+      ("a", "ab cd"),     // 5 chars, 2 ws tokens, bpe: ab|cd = 2
+      ("a", "x, y"),      // 4 chars, 2 ws tokens (x y), bpe: x|,|y = 3
+      ("b", "")).toDF("g", "text")
+    val out = TextMetrics.tokenizerFertility(df, $"g", $"text")
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out(0)._1 == "a")
+    assert((out(0)._2, out(0)._3, out(0)._4, out(0)._5) == ((2L, 9L, 4L, 5L)))
+    assert(out(0)._6 == math.floor(9.0 / 5.0 * 1e4) / 1e4)
+    assert(out(0)._7 == math.floor(5.0 / 4.0 * 1e4) / 1e4)
+    // empty-text group: zero tokens -> 0.0 ratios, no divide error
+    assert(out(1) == (("b", 1L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("cleanControlChars: CRLF/CR normalize, C0 strip, newline runs collapse") {
     val df = Seq((1L, "\u0000a\u0007b\r\nc\rd\n\n\n\ne\tf")).toDF("doc_id", "text")
     val out = df.select(TextMetrics.cleanControlChars($"text")).as[String].collect().head
