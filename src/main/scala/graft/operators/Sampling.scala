@@ -314,6 +314,37 @@ object Sampling {
     * order independently, exactly like per-worker data loaders.
     * Adds `train_pos` (1-based within shard).
     */
+  /** First-come token-budget ADMISSION: within each shard, walk docs
+    * in `orderKey` order and admit while the tokens admitted so far
+    * are under `budget` — the "fill a 10 B-token bucket, then close
+    * the tap" gate (distinct from [[mixtureToBudget]], which thins
+    * probabilistically: admission is exact, ordered, and
+    * arrival-faithful — the right semantics when the stream is
+    * already curated and the budget is a hard stop). The straddling
+    * doc is admitted (tokens_before < budget decides; budgets are
+    * soft by one doc — the standard packing convention).
+    *
+    * One keyed-window cumulative sum, partitioned by shard — never
+    * global; `tokens_before` survives as a column (= the exclusive
+    * cumsum), so downstream packing can reuse it. Streaming twin:
+    * [[graft.streaming.EventStreams.admitStream]] (identical
+    * assignment across micro-batches — the spec proves it).
+    */
+  def admitToBudget(
+      df: DataFrame,
+      shard: Column,
+      orderKey: Column,
+      tokenCount: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(orderKey)
+      .rowsBetween(Long.MinValue, -1)
+    df.withColumn("tokens_before",
+        coalesce(sum(tokenCount.cast("long")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+  }
+
   /** Epoch/repetition plan for a DATA-CONSTRAINED mixture (Muennighoff
     * et al., "Scaling Data-Constrained Language Models", NeurIPS'23):
     * when budget·w_s EXCEEDS a source's token mass, the source must

@@ -530,6 +530,36 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D68: first-come token-budget admission — exact ordered gate
+    // (distinct from the probabilistic mixture thinning): per-shard
+    // exclusive cumsum, admit while tokens_before < budget; the
+    // straddling doc is admitted. Streaming twin: E12.
+    Q(
+      "q_admit_budget",
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, len(${tkSql("text")}) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_toks,
+         |    coalesce(sum(n_toks) OVER (
+         |      PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(tb AS BIGINT) AS tokens_before
+         |FROM c WHERE tb < 2000 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_toks"))
+      Sampling.admitToBudget(docs, col("shard"), col("doc_id"),
+          col("n_toks"), budget = 2000L)
+        .select(col("doc_id"), col("shard"), col("n_toks"), col("tokens_before"))
+        .orderBy("doc_id")
+    },
+
     // D61: data-constrained epoch plan (Muennighoff et al. NeurIPS'23)
     // — when budget·w exceeds a source's mass the source REPEATS, up
     // to 4 epochs, and the unfillable deficit is reported. Budget =

@@ -430,6 +430,52 @@ object EventStreams {
       }
   }
 
+  case class AdmitOut(id: Long, shard: Long, n_tokens: Long, tokens_before: Long)
+
+  /** E12: STREAMING first-come token-budget admission — the stateful
+    * twin of [[graft.operators.Sampling.admitToBudget]]: docs arrive,
+    * each shard's bucket fills in `order_key` order, and once a
+    * shard's admitted tokens reach the budget the tap CLOSES — later
+    * batches' rows for that shard emit nothing, forever (state = ONE
+    * long per shard, the admitted-token count; no watermark — the
+    * counter never expires). The straddling doc is admitted
+    * (tokens_before < budget), the batch operator's convention.
+    *
+    * Same ordering contract as [[packStream]]: per-shard delivery in
+    * `order_key` order across batches (append-only ingest shape);
+    * within a batch rows are sorted here. Given that, the admitted
+    * set is IDENTICAL to the batch operator's on the union of all
+    * batches — which is what the spec proves.
+    */
+  def admitStream(docs: DataFrame, budget: Long): Dataset[AdmitOut] = {
+    require(budget > 0, "budget must be positive")
+    implicit val inEnc = Encoders.product[PackIn]
+    implicit val outEnc = Encoders.product[AdmitOut]
+    implicit val longEnc = Encoders.scalaLong
+    docs.select(col("id").cast("long"), col("shard").cast("long"),
+        col("order_key").cast("long"), col("n_tokens").cast("long"))
+      .as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, AdmitOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[PackIn], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[AdmitOut]
+          // per-batch sort enforces the order contract within the
+          // batch; bounded by micro-batch size
+          rows.toSeq.sortBy(_.order_key).foreach { r =>
+            if (cum < budget) {
+              out += AdmitOut(r.id, shard, r.n_tokens, cum)
+              cum += r.n_tokens
+            }
+            // over-budget rows fall through unemitted; cum stays put,
+            // so the shard's tap remains closed for every later batch
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+  }
+
   def sessionize(
       events: DataFrame,
       gapUs: Long = 43200000000L,

@@ -597,6 +597,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E12 admitStream: budget tap closes across batches, equals batch admission") {
+    val docs = (0L until 200L).map(i => (i, i % 4, i, (i * 37) % 300 + 1))
+    val input = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q = EventStreams.admitStream(
+        input.toDF().toDF("id", "shard", "order_key", "n_tokens"), budget = 2000L)
+      .writeStream.format("memory").queryName("e12_out").outputMode("append").start()
+    try {
+      // three batches: the budget must fill mid-stream and STAY closed
+      input.addData(docs.take(80))
+      q.processAllAvailable()
+      input.addData(docs.slice(80, 160))
+      q.processAllAvailable()
+      input.addData(docs.drop(160))
+      q.processAllAvailable()
+      val streamed = spark.table("e12_out")
+        .select("id", "shard", "n_tokens", "tokens_before")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Sampling.admitToBudget(
+          docs.toDF("id", "shard", "order_key", "n_tokens"),
+          col("shard"), col("order_key"), col("n_tokens"), budget = 2000L)
+        .select("id", "shard", "n_tokens", "tokens_before")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"onlyStream=${(streamed -- batch).take(5)} onlyBatch=${(batch -- streamed).take(5)}")
+      // the budget genuinely closed: not everything was admitted
+      assert(streamed.size < 200 && streamed.nonEmpty)
+      // per shard, admitted tokens_before all under budget and the tap
+      // admitted a straddling doc at most once
+      streamed.groupBy(_._2).foreach { case (_, rows) =>
+        assert(rows.forall(_._4 < 2000L))
+      }
+    } finally q.stop()
+  }
+
   test("E9 curateStream: stateless quality/lang/blocklist gate, stream == batch") {
     val good = "the quick brown fox jumps over the lazy dog and runs far away today"
     val rows = Seq(
