@@ -203,6 +203,57 @@ object Dedup {
     * drops ubiquitous shingles; AQE skew-join splitting covers the
     * rest. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
+  /** LSH banding-parameter planner — answers "how should I split my
+    * `nPerms` MinHash permutations into bands?" BEFORE a 100 TB
+    * signing pass commits to one S-curve. For every factorization
+    * b·r = nPerms it reports the curve p(s) = 1 − (1 − s^r)^b as
+    * three decision numbers: `s50` (the similarity where collision
+    * probability crosses 1/2 — the curve's effective threshold),
+    * `fp_area` (∫₀^t p, expected collision mass BELOW the target
+    * threshold — wasted verification work) and `fn_area`
+    * (∫ₜ¹ (1−p), miss mass ABOVE it — silent under-deduping), by
+    * midpoint rule; `recommended` marks the factorization minimizing
+    * fp_area + fn_area (ties → fewer bands). Feed the winner straight
+    * into [[minHashLSH]](bands = …).
+    *
+    * Driver-sized planning math (≤ σ(nPerms) rows × a fixed grid —
+    * the IVF-centroid metadata contract), returned as a frame so the
+    * report lands next to the audit tables; no corpus is touched.
+    * Rows-only at the oracle: libm `pow` is not bit-contracted across
+    * engines (the seeded-hash precedent); the spec pins hand-computed
+    * curve points, the fp/fn trade direction, and the recommendation.
+    */
+  def lshPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      nPerms: Int = 64,
+      threshold: Double = 0.5,
+      gridPoints: Int = 1000): DataFrame = {
+    require(nPerms >= 1, "nPerms must be >= 1")
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    require(gridPoints >= 100, "gridPoints >= 100 for a stable integral")
+    import spark.implicits._
+    def t6(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val rows = (1 to nPerms).filter(nPerms % _ == 0).map { b =>
+      val r = nPerms / b
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < gridPoints) {
+        val s = (i + 0.5) / gridPoints
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p / gridPoints else fn += (1.0 - p) / gridPoints
+        i += 1
+      }
+      val s50 = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      (b, r, t6(s50), t6(fp), t6(fn), t6(fp + fn))
+    }
+    val bestCost = rows.map(_._6).min
+    val bestB = rows.filter(_._6 == bestCost).map(_._1).min
+    rows.map { case (b, r, s50, fp, fn, cost) =>
+      (b, r, s50, fp, fn, cost, b == bestB)
+    }.toDF("bands", "rows_per_band", "s50", "fp_area", "fn_area", "cost", "recommended")
+  }
+
   def minHashLSH(
       df: DataFrame,
       id: Column,

@@ -221,6 +221,51 @@ object Similarity {
         col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k corpus vectors whose cosine lies in
+    * [simLo, simHi) — similar enough to be informative negatives,
+    * below the near-duplicate band that would poison training with
+    * false negatives (the twin/positive itself sits ABOVE simHi and
+    * is excluded by construction, as are self-matches).
+    *
+    * Routing is [[ivfProbe]]'s: nProbe nearest cells per query, exact
+    * cosine only there, probe side broadcast — candidate work
+    * O(|corpus|·nProbe/nCells) per query. Rank DESCENDING on the
+    * 6-dp rounded similarity with id tiebreak (the reproducible-order
+    * contract). Returns (query_id, rank, vec_id, cos_sim).
+    */
+  def ivfHardNegatives(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      queries: DataFrame,
+      queryId: Column,
+      queryVec: Column,
+      simLo: Double,
+      simHi: Double,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(simLo < simHi, "need simLo < simHi")
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__s").asc, col("cluster").asc)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("__scores", centroidScores(col("qv"), centroids))
+      .select(col("query_id"), col("qv"),
+        posexplode(col("__scores")).as(Seq("cluster", "__s")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_key").desc, col("id").asc)
+    index.join(broadcast(q), "cluster")
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("sim_key", round(col("cos_sim"), 6))
+      .filter(col("sim_key") >= simLo && col("sim_key") < simHi)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** ANN top-k via IVF (inverted-file index): corpus vectors are
     * bucketed by nearest coarse centroid; each query probes its
     * `nProbe` nearest centroid buckets and pays exact cosine only

@@ -635,6 +635,31 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D69: hard-negative mining — per query, top-5 corpus vectors
+    // with cosine in [0.3, 0.9): informative negatives below the
+    // near-dup band (the planted-twin spec proves twins are excluded).
+    // IVF-routed; rows-only (iterative centroid training).
+    Q.rowsOnly("q_hard_negatives") { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = Similarity.trainIvfCentroids(
+        e, col("vec_id"), col("v"), nCentroids = 8, iters = 3)
+      val index = Similarity.ivfAssign(e, col("vec_id"), col("v"), centroids)
+      Similarity.ivfHardNegatives(index, centroids,
+          e.filter(col("vec_id") < 10), col("vec_id"), col("v"),
+          simLo = 0.3, simHi = 0.9, k = 5, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // D70: LSH banding planner — the S-curve decision table for 64
+    // permutations at threshold 0.5 (the shipped minHashLSH config);
+    // driver-sized planning math, rows-only (libm pow is not
+    // bit-contracted across engines).
+    Q.rowsOnly("q_lsh_plan") { (s, _) =>
+      Dedup.lshPlan(s, nPerms = 64, threshold = 0.5)
+        .orderBy("bands")
+    },
+
     // D43: SemDeDup semantic dedup — k-means cells block the cosine
     // join; planted near-identical copies of corpus vectors (fresh ids
     // +1000000) are swallowed wherever base and copy co-assign (a few

@@ -788,6 +788,52 @@ class DedupSpec extends SparkSpec {
     assert(rank1Hits(8) >= h2)
   }
 
+  test("ivfHardNegatives: band excludes planted twins and self, sims within band") {
+    val base = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.001)), slice(col("v"), 2, 63)).as("v"))
+    val e = base.unionByName(planted).localCheckpoint()
+    val centroids = Similarity.trainIvfCentroids(
+      e, col("vec_id"), col("v"), nCentroids = 8, iters = 3)
+    val index = Similarity.ivfAssign(e, col("vec_id"), col("v"), centroids)
+    val q = base.filter(col("vec_id") < 10)
+    val negs = Similarity.ivfHardNegatives(index, centroids, q,
+        col("vec_id"), col("v"), simLo = 0.3, simHi = 0.9, k = 5, nProbe = 8)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(negs.nonEmpty)
+    // no self-matches, no near-identical twins (their cosine ~ 1 > 0.9)
+    assert(negs.forall { case (qid, _, vid, _) => vid != qid && vid != qid + 1000000 })
+    // every returned similarity inside the requested band
+    assert(negs.forall { case (_, _, _, s) => s >= 0.3 - 1e-4 && s < 0.9 + 1e-4 })
+    // per query at most k, ranks dense from 1
+    negs.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 5 && rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("lshPlan: hand-computed curve areas, trade direction, recommendation") {
+    val plan = Dedup.lshPlan(spark, nPerms = 64, threshold = 0.5)
+      .as[(Int, Int, Double, Double, Double, Double, Boolean)].collect()
+      .sortBy(_._1)
+    // all factorizations of 64, b*r == 64
+    assert(plan.map(_._1).toSeq == Seq(1, 2, 4, 8, 16, 32, 64))
+    assert(plan.forall(p => p._1 * p._2 == 64))
+    // many bands, short rows -> permissive curve: high fp, low fn;
+    // one band of 64 rows -> strict: low fp, high fn
+    val byB = plan.map(p => p._1 -> p).toMap
+    assert(byB(64)._4 > byB(1)._4) // fp grows with bands
+    assert(byB(64)._5 < byB(1)._5) // fn shrinks with bands
+    // s50 hand-check for b=16, r=4: (1 - 0.5^(1/16))^(1/4)
+    val s50 = math.floor(math.pow(1 - math.pow(0.5, 1.0 / 16), 0.25) * 1e6) / 1e6
+    assert(byB(16)._3 == s50)
+    // exactly one recommended row, and it minimizes cost
+    val rec = plan.filter(_._7)
+    assert(rec.length == 1)
+    assert(rec.head._6 == plan.map(_._6).min)
+  }
+
   test("PQ ADC recovers planted near-identical twins on real embeddings") {
     val base = sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
