@@ -314,6 +314,48 @@ object Sampling {
     * order independently, exactly like per-worker data loaders.
     * Adds `train_pos` (1-based within shard).
     */
+  /** Deterministic global shuffle into training shards — the "write
+    * the corpus in random order" step before materializing
+    * webdataset/TFRecord-style shards: every row gets a pseudorandom
+    * scramble key (a SECOND Knuth hash, decoupled from the sampling
+    * bucket so sharding never correlates with sample membership), its
+    * shard = scramble mod nShards, and a dense 1-based `position`
+    * within the shard in scramble order. Same row → same (shard,
+    * position) on every run, engine, and cluster size; no RNG.
+    *
+    * One keyed window per shard (position), partitioned by the shard
+    * key — never global. The per-shard manifest (row/token counts a
+    * loader reads first) is one partial-agg groupBy away and ships in
+    * the oracle twin.
+    */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val scramble = shuffleScramble(key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__scr"), key)
+    df.withColumn("__scr", scramble)
+      .withColumn("shard", (col("__scr") % nShards).cast("int"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__scr")
+  }
+
+  // second multiplier (xxhash PRIME2 reduced mod p). NOT any number
+  // coprime to p: a multiplier congruent to a small value mod p (the
+  // first attempt, 999983 ≡ −20) makes scramble = −20k for sequential
+  // keys, and scramble mod nShards then hits only a few residues —
+  // sequential ids landed in 3 of 8 shards
+  private val mult2 = 2246822519L % prime // 815781
+
+  /** The scramble hash as a Column (and [[shuffleScrambleSql]] as its
+    * SQL twin) — `(key mod p)·A₂ mod p`, full-long-range safe like
+    * [[hashBucket]].
+    */
+  def shuffleScramble(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(prime)) * lit(mult2), lit(prime))
+
+  def shuffleScrambleSql(key: String): String =
+    s"(((($key % $prime + $prime) % $prime) * $mult2) % $prime)"
+
   /** First-come token-budget ADMISSION: within each shard, walk docs
     * in `orderKey` order and admit while the tokens admitted so far
     * are under `budget` — the "fill a 10 B-token bucket, then close

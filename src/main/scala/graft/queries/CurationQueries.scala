@@ -530,6 +530,50 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D71: deterministic shuffle-sharding — the pre-write global
+    // shuffle: scramble hash (second Knuth multiplier, decoupled from
+    // the sampling bucket), shard = scramble mod 8, dense per-shard
+    // position in scramble order. Same (shard, position) on every
+    // run/engine.
+    Q(
+      "q_shuffle_shards", {
+        val scr = Sampling.shuffleScrambleSql("doc_id")
+        s"""WITH t AS (SELECT doc_id, $scr AS scr FROM documents),
+           |s AS (SELECT doc_id, CAST(scr % 8 AS INT) AS shard, scr FROM t)
+           |SELECT doc_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY scr, doc_id) AS BIGINT)
+           |    AS position
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      Sampling.shuffleShards(
+          table(s, dir, "documents").select(col("doc_id")), col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("position"))
+        .orderBy("doc_id")
+    },
+
+    // D71b: shard manifest — the loader-facing size table (rows +
+    // tokens per shard) a training job reads before opening shards.
+    Q(
+      "q_shard_manifest", {
+        val scr = Sampling.shuffleScrambleSql("doc_id")
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST($scr % 8 AS INT) AS shard,
+           |    len(${tkSql("text")}) AS n_toks
+           |  FROM documents)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+           |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+      }
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_toks"))
+      Sampling.shuffleShards(docs, col("doc_id"), nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy("shard")
+    },
+
     // D68: first-come token-budget admission — exact ordered gate
     // (distinct from the probabilistic mixture thinning): per-shard
     // exclusive cumsum, admit while tokens_before < budget; the

@@ -476,6 +476,73 @@ object EventStreams {
       }
   }
 
+  case class RzIn(key: Long, bucket: Long, value: Double)
+  case class RzOut(
+      key: Long, bucket: Long, value: Double,
+      baseline_n: Long, z: Double, anomaly: Boolean)
+
+  /** E13: STREAMING rolling z-score anomaly monitor — the stateful
+    * twin of [[graft.operators.Stats.rollingZ]]: per metric key, each
+    * arriving (bucket, value) scores against the TRAILING `lookback`
+    * buckets' mean/stddev held in state (a bounded vector of the last
+    * `lookback` values — O(lookback) per key, no watermark: the
+    * window slides by count, not time). The moment math REPLICATES
+    * the batch operator digit for digit — per-value 6-dp HALF_UP
+    * decimal reduction, exact decimal sums, the same double division
+    * sequence, 4-dp toward-zero truncation — so multi-batch streaming
+    * output equals the batch frame exactly (the spec's claim).
+    *
+    * Ordering contract: per-key delivery in bucket order across
+    * batches ([[packStream]]'s append-only shape); within a batch
+    * rows are sorted here. One row per (key, bucket), the batch
+    * operator's contract.
+    */
+  def rollingZStream(
+      df: DataFrame,
+      lookback: Int,
+      zThresh: Double = 3.0,
+      minPeriods: Int = 3): Dataset[RzOut] = {
+    require(lookback >= minPeriods && minPeriods >= 2,
+      "need lookback >= minPeriods >= 2 trailing buckets for a stddev baseline")
+    implicit val inEnc = Encoders.product[RzIn]
+    implicit val outEnc = Encoders.product[RzOut]
+    implicit val stEnc = Encoders.kryo[Vector[Double]]
+    implicit val longEnc = Encoders.scalaLong
+    def dec(v: Double): BigDecimal =
+      BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def t4zero(x: Double): Double =
+      math.signum(x) * (math.floor(math.abs(x) * 1e4) / 1e4) + 0.0
+    df.select(col("key").cast("long"), col("bucket").cast("long"),
+        col("value").cast("double"))
+      .as[RzIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Vector[Double], RzOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[RzIn], state: GroupState[Vector[Double]]) =>
+          var window = state.getOption.getOrElse(Vector.empty[Double])
+          val out = rows.toSeq.sortBy(_.bucket).map { r =>
+            val n = window.length
+            val z =
+              if (n < minPeriods) 0.0
+              else {
+                val s = window.map(dec).sum
+                val ss = window.map(v => dec(v) * dec(v)).sum
+                val mean = s.toDouble / n
+                val variance = math.max(0.0,
+                  (ss.toDouble - s.toDouble * s.toDouble / n) / (n - 1))
+                val std = math.sqrt(variance)
+                if (std == 0.0) 0.0 else t4zero((r.value - mean) / std)
+              }
+            val o = RzOut(key, r.bucket, r.value, n.toLong, z,
+              math.abs(z) > zThresh && n >= minPeriods)
+            window = (window :+ r.value).takeRight(lookback)
+            o
+          }
+          state.update(window)
+          out.iterator
+      }
+  }
+
   def sessionize(
       events: DataFrame,
       gapUs: Long = 43200000000L,

@@ -299,6 +299,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards: deterministic, dense per-shard positions, balanced, decorrelated") {
+    val df = (0L until 1000L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val a = Sampling.shuffleShards(df, col("id"), nShards = 8)
+      .select(col("id"), col("shard"), col("position"))
+      .as[(Long, Int, Long)].collect()
+    val b = Sampling.shuffleShards(df, col("id"), nShards = 8)
+      .select(col("id"), col("shard"), col("position"))
+      .as[(Long, Int, Long)].collect()
+    assert(a.toSet == b.toSet, "not deterministic")
+    // positions dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // sequential ids spread over ALL shards, roughly evenly (the
+    // mult2 ≡ -20 regression planted 1000 ids into 3 shards)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 8).toSet, s"shards hit: ${sizes.keySet}")
+    assert(sizes.values.forall(n => n > 80 && n < 170), s"imbalanced: $sizes")
+    // shard order is not id order: within a shard, consecutive
+    // positions are not consecutive ids
+    val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0.sliding(2).count(p => p(1) == p(0) + 8) < shard0.length / 4)
+  }
+
   test("epochPlan: hand-computed targets, cap, and deficit") {
     // A: 10 docs x 10 tokens = 100; B: same. budget 300, w = .9/.1,
     // maxEpochs 2: A target 270 -> capped at 2.0 epochs, planned 200,

@@ -597,6 +597,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E13 rollingZStream: trailing baselines persist across batches, equals batch rollingZ") {
+    // two metric keys, 40 buckets, a planted 100x spike at bucket 25
+    val rows = for (k <- 0L to 1L; b <- 0L until 40L) yield
+      (k, b, if (b == 25 && k == 0) 500.0 else 4.0 + (b % 5) * 0.25 + k)
+    val input = MemoryStream[(Long, Long, Double)](spark)
+    val q = EventStreams.rollingZStream(
+        input.toDF().toDF("key", "bucket", "value"),
+        lookback = 10, zThresh = 3.0, minPeriods = 3)
+      .writeStream.format("memory").queryName("e13_out").outputMode("append").start()
+    try {
+      // three batches split mid-window: baselines must carry over
+      input.addData(rows.filter(_._2 < 15))
+      q.processAllAvailable()
+      input.addData(rows.filter(r => r._2 >= 15 && r._2 < 28))
+      q.processAllAvailable()
+      input.addData(rows.filter(_._2 >= 28))
+      q.processAllAvailable()
+      val streamed = spark.table("e13_out")
+        .select("key", "bucket", "value", "baseline_n", "z", "anomaly")
+        .as[(Long, Long, Double, Long, Double, Boolean)].collect().toSet
+      val batch = graft.operators.Stats.rollingZ(
+          rows.toDF("key", "bucket", "value"),
+          col("key"), col("bucket"), col("value"),
+          lookback = 10, zThresh = 3.0, minPeriods = 3)
+        .select(col("key"), col("bucket"), col("value"),
+          col("baseline_n"), col("z"), col("anomaly"))
+        .as[(Long, Long, Double, Long, Double, Boolean)].collect().toSet
+      assert(streamed == batch,
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+      // the spike flagged, and only on its own key
+      val flagged = streamed.filter(_._6)
+      assert(flagged.exists(r => r._1 == 0L && r._2 == 25L))
+      assert(flagged.forall(_._1 == 0L))
+    } finally q.stop()
+  }
+
   test("E12 admitStream: budget tap closes across batches, equals batch admission") {
     val docs = (0L until 200L).map(i => (i, i % 4, i, (i * 37) % 300 + 1))
     val input = MemoryStream[(Long, Long, Long, Long)](spark)
