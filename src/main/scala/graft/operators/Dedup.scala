@@ -203,6 +203,39 @@ object Dedup {
     * drops ubiquitous shingles; AQE skew-join splitting covers the
     * rest. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
+  /** Cross-source contamination matrix — "which sources copy from
+    * each other?": for every source pair, the number of normalized
+    * content fingerprints present in BOTH (mirror pairs collapse to
+    * src_a < src_b). The mixture-design observability step: two
+    * sources sharing half their fingerprints should not both get full
+    * mixture weight.
+    *
+    * Shape at scale: fingerprint once, collapse to the DISTINCT
+    * (fp, source) frame (partial agg), drop fingerprints in more than
+    * `maxSources` sources (ubiquitous boilerplate — the maxBucket
+    * guard: a fingerprint in 1000 sources would emit 500k pairs), then
+    * a fingerprint-keyed self-join bounded by maxSources² per group.
+    * Never cartesian; one partial-agg count at the end.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      source: Column,
+      text: Column,
+      maxSources: Int = 50): DataFrame = {
+    val fps = df.select(source.as("src"), normFingerprint(text).as("__fp"))
+      .distinct()
+    val bounded = fps.withColumn("__ns",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp"))))
+      .filter(col("__ns") <= maxSources)
+      .drop("__ns")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** LSH banding-parameter planner — answers "how should I split my
     * `nPerms` MinHash permutations into bands?" BEFORE a 100 TB
     * signing pass commits to one S-curve. For every factorization

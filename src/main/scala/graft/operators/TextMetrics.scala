@@ -365,6 +365,90 @@ object TextMetrics {
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "\\n{3,}", "\n\n")
 
+  /** Degenerate-repetition (looping) detector — catches "the the the
+    * the" and looping phrases that slip past whole-doc repetition
+    * ratios (D9b) because the rest of the document is diverse: per
+    * doc, the count of immediate token repeats (token == previous
+    * token) and the LONGEST run of one token, via the standard
+    * gaps-and-islands (pos − rank-within-token = run id). Docs with
+    * no tokens report zeros.
+    *
+    * Two keyed (per-doc) window passes over the exploded token frame
+    * — partitions bounded by document length, never global; one
+    * tokenize.
+    */
+  def tokenLoops(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = scaleOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), posexplode(tokens(col("__t"))).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val byTok = Window.partitionBy(col("id"), col("tok")).orderBy(col("pos"))
+    val runs = toks
+      .withColumn("__rep",
+        when(col("tok") === lag(col("tok"), 1).over(byPos), 1L).otherwise(0L))
+      .withColumn("__grp", col("pos") - row_number().over(byTok))
+    val perRun = runs.groupBy("id", "tok", "__grp")
+      .agg(count(lit(1)).as("__run"), sum(col("__rep")).as("__reps"))
+    val out = perRun.groupBy("id")
+      .agg(max(col("__run")).as("max_token_run"),
+        sum(col("__reps")).as("n_immediate_repeats"))
+    // docs that tokenize to nothing still report a row of zeros
+    df.select(id.as("id")).distinct()
+      .join(out, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("max_token_run"), lit(0L)).as("max_token_run"),
+        coalesce(col("n_immediate_repeats"), lit(0L)).as("n_immediate_repeats"))
+  }
+
+  /** Shared PII patterns ([[redact]]'s, public so report twins can be
+    * generated from one source of truth).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[\\p{L}\\p{Nd}._%+-]+@[\\p{L}\\p{Nd}.-]+\\.[\\p{L}]{2,}",
+    "url" -> "https?://[^\\s]+",
+    "long_digits" -> "[0-9]{6,}")
+
+  /** Per-source PII scorecard — the observability half of [[redact]]:
+    * how much of each kind of PII does each source carry, BEFORE
+    * committing a redaction pass (and after, to prove it worked). One
+    * partial-aggregated pass; per-type occurrence counts plus the
+    * docs-with-any count.
+    */
+  def piiReport(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val counts = piiPatterns.map { case (name, p) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).cast("long").as(s"__$name")
+    }
+    val d = df.select(source.as("source") +: counts: _*)
+    val anyPii = piiPatterns.map { case (n, _) => col(s"__$n") > 0 }.reduce(_ || _)
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(when(anyPii, 1L).otherwise(0L)).as("docs_with_pii")) ++
+      piiPatterns.map { case (n, _) => sum(col(s"__$n")).as(s"n_$n") }
+    d.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Coarse document-format router: json / html / markdown / code /
+    * prose by ordered regex cues (first match wins — the order IS the
+    * contract; a JSON blob full of braces must not land in "code").
+    * Pure codegen'd CASE over count/anchor regexes, shared verbatim
+    * with the oracle. The routing step in front of format-specific
+    * pipelines (stripHtml for html, fence extraction for markdown…).
+    */
+  def detectFormat(text: Column): Column = {
+    val t = trim(text)
+    val htmlTags = size(regexp_extract_all(lower(text),
+      lit("</?(html|head|body|div|span|p|a|table|li|ul|br|h[1-6])[ >]"), lit(0)))
+    val mdCues = size(regexp_extract_all(text,
+      lit("(?m)^#{1,6} |^- |^\\* |^```|\\[[^\\]]+\\]\\([^)]+\\)"), lit(0)))
+    val codeCues = size(regexp_extract_all(text,
+      lit("[{};]|=>|\\breturn\\b|\\bdef\\b|\\bvoid\\b|\\bimport\\b"), lit(0)))
+    when(t.rlike("^[\\[{]") && t.rlike("[\\]}]$"), "json")
+      .when(htmlTags >= 2, "html")
+      .when(mdCues >= 2, "markdown")
+      .when(codeCues >= 8, "code")
+      .otherwise("prose")
+  }
+
   /** Per-group token-distribution Shannon entropy (nats) — the
     * corpus-balance metric a mixture designer reads per source: low
     * entropy = repetitive/boilerplate-dominated source, high entropy =

@@ -635,6 +635,39 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D75: cross-source contamination matrix — every 7th doc's text
+    // is mirrored into a synthetic 'mirror' source (7 is coprime with
+    // the 20-source round-robin, so every source gets mirrored docs);
+    // pairs collapse src_a < src_b; ubiquitous-fingerprint guard
+    // replayed.
+    Q(
+      "q_source_overlap",
+      """WITH u AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT DISTINCT source AS src,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
+        |  FROM u),
+        |b AS (
+        |  SELECT src, f FROM (
+        |    SELECT src, f, count(*) OVER (PARTITION BY f) AS ns FROM fp)
+        |  WHERE ns <= 50)
+        |SELECT a.src AS src_a, b2.src AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_fps
+        |FROM b a JOIN b b2 ON a.f = b2.f AND a.src < b2.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val u = docs.select(col("source"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(lit("mirror").as("source"), col("text")))
+      Dedup.sourceOverlap(u, col("source"), col("text"), maxSources = 50)
+        .orderBy("src_a", "src_b")
+    },
+
     // D69: hard-negative mining — per query, top-5 corpus vectors
     // with cosine in [0.3, 0.9): informative negatives below the
     // near-dup band (the planted-twin spec proves twins are excluded).

@@ -155,6 +155,127 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D72: degenerate-repetition (looping) detector — planted
+    // "loop loop loop loop" tails on every 5th doc must dominate
+    // max_token_run; gaps-and-islands replayed identically.
+    Q(
+      "q_token_loops",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' loop loop loop loop'
+         |         ELSE text END AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, ${tkSql("t")} AS l FROM p),
+         |e AS (
+         |  SELECT doc_id, unnest(l) AS tok,
+         |    unnest(generate_series(1, len(l))) AS pos
+         |  FROM tk),
+         |r AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |         THEN 1 ELSE 0 END AS rep,
+         |    pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+         |  FROM e),
+         |runs AS (
+         |  SELECT doc_id, tok, grp, count(*) AS run, sum(rep) AS reps
+         |  FROM r GROUP BY 1, 2, 3),
+         |o AS (
+         |  SELECT doc_id, max(run) AS mx, sum(reps) AS reps FROM runs GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(mx, 0) AS BIGINT) AS max_token_run,
+         |  CAST(coalesce(reps, 0) AS BIGINT) AS n_immediate_repeats
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN o USING (doc_id) ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" loop loop loop loop")))
+          .otherwise(col("text")).as("text"))
+      TextMetrics.tokenLoops(planted, col("doc_id"), col("text"))
+        .orderBy("id")
+    },
+
+    // D73: per-source PII scorecard — planted email/URL/digit-run on
+    // every 3rd doc; per-type occurrence counts + docs-with-any, the
+    // before/after report around a redact pass. Oracle generated from
+    // the SAME piiPatterns table.
+    Q(
+      "q_pii_report", {
+        val pii = " contact bob.smith+x@mail.example.org see https://ex.org/a id 1234567"
+        val cnts = TextMetrics.piiPatterns.map { case (n, p) =>
+          s"len(regexp_extract_all(t, '$p')) AS c_$n"
+        }.mkString(",\n    ")
+        val anyC = TextMetrics.piiPatterns.map { case (n, _) => s"c_$n > 0" }.mkString(" OR ")
+        val sums = TextMetrics.piiPatterns.map { case (n, _) =>
+          s"CAST(sum(c_$n) AS BIGINT) AS n_$n"
+        }.mkString(", ")
+        s"""WITH p AS (
+           |  SELECT source,
+           |    CASE WHEN doc_id % 3 = 0 THEN text || '$pii' ELSE text END AS t
+           |  FROM documents),
+           |c AS (
+           |  SELECT source,
+           |    $cnts
+           |  FROM p)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN $anyC THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           |  $sums
+           |FROM c GROUP BY source ORDER BY source""".stripMargin
+      }
+    ) { (s, dir) =>
+      val pii = " contact bob.smith+x@mail.example.org see https://ex.org/a id 1234567"
+      val planted = table(s, dir, "documents").select(col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(pii)))
+          .otherwise(col("text")).as("text"))
+      TextMetrics.piiReport(planted, col("source"), col("text"))
+        .orderBy("source")
+    },
+
+    // D74: document-format router — json/html/markdown/code wrappers
+    // planted by doc_id residue; ordered CASE shared verbatim.
+    Q(
+      "q_format_detect",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '{"body": "' || text || '"}'
+        |      WHEN 1 THEN '<html><body><p>' || text || '</p></body></html>'
+        |      WHEN 2 THEN '# Title' || chr(10) || '- item one' || chr(10) || '- item two'
+        |        || chr(10) || text
+        |      WHEN 3 THEN 'def f() { return 1; } import x; def g() { return 2; } ' || text
+        |      ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(trim(t), '^[\[{]') AND regexp_matches(trim(t), '[\]}]$')
+        |       THEN 'json'
+        |       WHEN len(regexp_extract_all(lower(t),
+        |         '</?(html|head|body|div|span|p|a|table|li|ul|br|h[1-6])[ >]')) >= 2
+        |       THEN 'html'
+        |       WHEN len(regexp_extract_all(t,
+        |         '(?m)^#{1,6} |^- |^\* |^```|\[[^\]]+\]\([^)]+\)')) >= 2
+        |       THEN 'markdown'
+        |       WHEN len(regexp_extract_all(t,
+        |         '[{};]|=>|\breturn\b|\bdef\b|\bvoid\b|\bimport\b')) >= 8
+        |       THEN 'code'
+        |       ELSE 'prose' END AS format
+        |FROM p ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("{\"body\": \""), col("text"), lit("\"}")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit("# Title\n- item one\n- item two\n"), col("text")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit("def f() { return 1; } import x; def g() { return 2; } "),
+              col("text")))
+          .otherwise(col("text")).as("t"))
+      planted.select(col("doc_id"),
+          TextMetrics.detectFormat(col("t")).as("format"))
+        .orderBy("doc_id")
+    },
+
     // D66: per-language tokenizer fertility — chars per BPE-ish token
     // and BPE-per-word by language, the tokenizer-fairness dashboard.
     Q(

@@ -452,6 +452,33 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1)._2 == "plain ascii, café fine" && out(1)._3 == 0L)
   }
 
+  test("tokenLoops: hand-computed runs and repeat counts; empty doc reports zeros") {
+    val df = Seq(
+      (1L, "a b b b c c a"),   // runs: b*3, c*2 -> max 3, repeats 2+1=3
+      (2L, "x y z"),           // no repeats
+      (3L, "...")).toDF("doc_id", "text")
+    val out = TextMetrics.tokenLoops(df, $"doc_id", $"text")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 3L, 3L)))
+    assert(out(1) == ((2L, 1L, 0L)))
+    assert(out(2) == ((3L, 0L, 0L)))
+  }
+
+  test("detectFormat: priority order routes ambiguous docs deterministically") {
+    val df = Seq(
+      (1L, """{"a": 1, "b": [2, 3]}"""),
+      (2L, "<html><body><p>hi</p></body></html>"),
+      (3L, "# Title\n- one\n- two\nplain after"),
+      (4L, "def f() { return 1; } def g() { return 2; } import os; x = {};"),
+      (5L, "just an ordinary paragraph of prose"),
+      // json wins over code despite braces (priority contract)
+      (6L, """{"code": "def f() { return 1; } { } ; ; ; ;"}""")).toDF("id", "t")
+    val out = df.select($"id", TextMetrics.detectFormat($"t").as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "json" && out(2L) == "html" && out(3L) == "markdown")
+    assert(out(4L) == "code" && out(5L) == "prose" && out(6L) == "json")
+  }
+
   test("langConsistency: glued bilingual page flags, monolingual page passes") {
     val en = "the cat and the dog of the house is that it for the and of"
     val es = "el perro y la casa de los gatos con una que de la y el mas"
