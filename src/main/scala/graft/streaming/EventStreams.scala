@@ -476,6 +476,47 @@ object EventStreams {
       }
   }
 
+  /** E14: streaming Count-Min sketch maintenance — the frequency
+    * monitor over an unbounded token stream: each micro-batch builds
+    * its own CMS ([[graft.operators.Profile.countMinSketch]] — one
+    * partial-agg pass over the batch), merges it CELL-WISE into the
+    * persisted snapshot ([[graft.operators.Profile.cmsMerge]] — exact:
+    * cells are plain sums), and publishes through [[SnapshotStore]]
+    * (write-audit-publish, so a crash mid-write never half-merges).
+    * Because the merge is exact, N batches yield BYTE-IDENTICAL cells
+    * to one batch over their union — the spec's claim — and the
+    * snapshot answers [[graft.operators.Profile.cmsEstimate]] point
+    * queries at any moment without touching the stream's history.
+    *
+    * Delivery: foreachBatch replays are NOT idempotent for a merge
+    * (re-adding a batch double-counts) — the checkpoint's batch
+    * tracking provides effectively-once per epoch; a stricter lake
+    * would stamp batch ids into the snapshot (documented seam, as in
+    * E7/E8).
+    */
+  def cmsMaintained(
+      keys: DataFrame,
+      keyCol: String,
+      snapshotPath: String,
+      checkpointPath: String,
+      width: Int = 1024,
+      depth: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    keys.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchSketch = graft.operators.Profile.countMinSketch(
+          batch, col(keyCol), width, depth)
+        val merged = SnapshotStore.read(spark, snapshotPath) match {
+          case Some(prev) => graft.operators.Profile.cmsMerge(Seq(prev, batchSketch))
+          case None => batchSketch
+        }
+        SnapshotStore.publish(merged.localCheckpoint(), snapshotPath, batchId)
+      }
+      .start()
+  }
+
   case class RzIn(key: Long, bucket: Long, value: Double)
   case class RzOut(
       key: Long, bucket: Long, value: Double,

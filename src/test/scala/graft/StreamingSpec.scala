@@ -597,6 +597,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E14 cmsMaintained: merged snapshot cells equal one-shot sketch of the union") {
+    val dir = java.nio.file.Files.createTempDirectory("e14").toString
+    val words = (0 until 3000).map(i => s"w${i % 300}")
+    val input = MemoryStream[String](spark)
+    val q = EventStreams.cmsMaintained(
+      input.toDF().toDF("term"), "term",
+      s"$dir/snap", s"$dir/ckpt", width = 512, depth = 4)
+    try {
+      input.addData(words.take(1000))
+      q.processAllAvailable()
+      input.addData(words.slice(1000, 2200))
+      q.processAllAvailable()
+      input.addData(words.drop(2200))
+      q.processAllAvailable()
+      val snap = streaming.SnapshotStore.read(spark, s"$dir/snap").get
+        .as[(Int, Int, Long)].collect().toSet
+      val oneShot = graft.operators.Profile.countMinSketch(
+          words.toDF("term"), col("term"), width = 512, depth = 4)
+        .as[(Int, Int, Long)].collect().toSet
+      assert(snap == oneShot, "streamed merge diverged from one-shot sketch")
+      // and the snapshot answers point queries: every estimate >= truth
+      val est = graft.operators.Profile.cmsEstimate(
+          (0 until 300).map(i => s"w$i").toDF("k"), col("k"),
+          streaming.SnapshotStore.read(spark, s"$dir/snap").get, 512, 4)
+        .as[(String, Long)].collect().toMap
+      assert((0 until 300).forall(i => est(s"w$i") >= 10L))
+    } finally q.stop()
+  }
+
   test("E13 rollingZStream: trailing baselines persist across batches, equals batch rollingZ") {
     // two metric keys, 40 buckets, a planted 100x spike at bucket 25
     val rows = for (k <- 0L to 1L; b <- 0L until 40L) yield

@@ -230,4 +230,18 @@ class TablesSpec extends SparkSpec {
     // nothing lost in the layout pass
     assert(spark.read.parquet(out).count() == orders.count())
   }
+
+  test("loadTextCorpus reads gzip-compressed files transparently (A5)") {
+    val dir = java.nio.file.Files.createTempDirectory("gzcorpus")
+    val plain = Seq("alpha one", "beta two", "gamma three")
+    val gz = dir.resolve("part-0.txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    try out.write(plain.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // plus one uncompressed sibling — mixed directories read fine
+    java.nio.file.Files.writeString(dir.resolve("part-1.txt"), "delta four")
+    val got = sources.Tables.loadTextCorpus(spark, dir.toString)
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(got == (plain :+ "delta four").toSet)
+  }
 }
