@@ -203,6 +203,72 @@ object Dedup {
     * drops ubiquitous shingles; AQE skew-join splitting covers the
     * rest. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
+  /** Marginal-novelty scoring — "how much NEW content does this
+    * source/shard actually add?", the value-of-data measurement
+    * behind mixture and acquisition decisions (a source that is 95%
+    * n-gram-covered by what you already train on is worth its other
+    * 5%): per candidate doc, the fraction of its distinct token
+    * `n`-grams NOT present in the reference corpus, plus per-doc
+    * counts. Related to decontamination (same shingle join) but
+    * inverted: overlap is MEASURED, not dropped.
+    *
+    * Shape at scale: both sides shingle once; the reference collapses
+    * to its DISTINCT shingle set (partial agg); one left-anti-style
+    * LEFT join on the shingle key (hash-partitioned, never cartesian)
+    * feeds a per-doc partial-agg count. Ratio = exact longs, 4-dp
+    * floor.
+    */
+  def marginalNovelty(
+      candidates: DataFrame,
+      candId: Column,
+      candText: Column,
+      reference: DataFrame,
+      refText: Column,
+      n: Int = 8): DataFrame = {
+    val cand = scaleOut(candidates.select(candId.as("id"), candText.as("__t")))
+      .select(col("id"),
+        explode(graft.functions.shingles(graft.functions.tokens(col("__t")), n)).as("s"))
+      .distinct()
+    val ref = scaleOut(reference.select(refText.as("__t")))
+      .select(
+        explode(graft.functions.shingles(graft.functions.tokens(col("__t")), n)).as("s"))
+      .distinct()
+    cand.join(ref.withColumn("__hit", lit(1)), Seq("s"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_shingles"), col("n_novel"),
+        (floor(col("n_novel").cast("double") / col("n_shingles").cast("double") * 1e4)
+          / 1e4).as("novelty"))
+  }
+
+  /** Leakage-proof split assignment — deterministic train/val/test
+    * splits where near-duplicate documents can NEVER straddle a
+    * split boundary (the classic eval-contamination bug: doc A trains,
+    * its 0.95-Jaccard twin B evaluates): documents are first clustered
+    * over the given near-dup `pairs` ([[connectedComponents]] — the
+    * O(diameter) form; near-dup graphs are shallow), then the split
+    * hash is taken on the CLUSTER id, so a whole cluster moves as one
+    * unit. Singleton docs hash on their own id (their component label
+    * is itself). Returns the input plus (cluster, split).
+    */
+  def splitByCluster(
+      df: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      idA: Column,
+      idB: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB)
+    val withComp = df.join(
+        comp.withColumnsRenamed(Map("id" -> "__cid", "comp" -> "cluster")),
+        id === col("__cid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), id.cast("long")))
+      .drop("__cid")
+    graft.operators.Sampling.splitAssign(withComp, col("cluster"), weights)
+  }
+
   /** Cross-source contamination matrix — "which sources copy from
     * each other?": for every source pair, the number of normalized
     * content fingerprints present in BOTH (mirror pairs collapse to

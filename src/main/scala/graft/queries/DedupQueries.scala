@@ -635,6 +635,60 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D76: marginal-novelty scoring — candidates = docs 250+, plus
+    // exact copies of reference docs (novelty must be 0 for those);
+    // reference = docs < 250. Per-doc distinct 8-gram coverage
+    // replayed exactly.
+    Q(
+      "q_novelty",
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+         |cand0 AS (
+         |  SELECT doc_id AS id, tk FROM tk WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, tk FROM tk WHERE doc_id < 50),
+         |csh AS (
+         |  SELECT DISTINCT id, array_to_string(tk[i:i+7], ' ') AS s
+         |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 6)) AS i
+         |        FROM cand0 WHERE len(tk) >= 8)),
+         |rsh AS (
+         |  SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS s
+         |  FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
+         |        FROM tk WHERE doc_id < 250 AND len(tk) >= 8)),
+         |j AS (
+         |  SELECT c.id, r.s IS NOT NULL AS hit
+         |  FROM csh c LEFT JOIN rsh r ON c.s = r.s)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  floor(CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 1e4) / 1e4 AS novelty
+         |FROM j GROUP BY id ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val cand = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("id"), col("text")))
+      Dedup.marginalNovelty(cand, col("id"), col("text"),
+          docs.filter(col("doc_id") < 250), col("text"), n = 8)
+        .orderBy("id")
+    },
+
+    // D77: leakage-proof cluster-aware splits — near-dup pairs from
+    // the exact prefix-filter tier cluster first, the split hash runs
+    // on the CLUSTER id, so a doc and its 0.8-Jaccard twin can never
+    // straddle train/test. Iterative CC -> rows-only; the spec proves
+    // the no-straddle invariant.
+    Q.rowsOnly("q_split_by_cluster") { (s, dir) =>
+      val docs = truncatedDocs(s, dir)
+      val pairs = Dedup.prefixFilterJaccard(docs, col("id"), col("text"),
+        n = 5, threshold = 0.5)
+      Dedup.splitByCluster(docs.select(col("id")), col("id"),
+          pairs, col("id_a"), col("id_b"),
+          weights = Seq("train" -> 0.9, "test" -> 0.1))
+        .orderBy("id")
+    },
+
     // D75: cross-source contamination matrix — every 7th doc's text
     // is mirrored into a synthetic 'mirror' source (7 is coprime with
     // the 20-source round-robin, so every source gets mirrored docs);

@@ -302,6 +302,47 @@ object Tables {
     r.select(input_file_name().as("source_file"), col("value").as("text"))
   }
 
+  /** A12: manifest-driven INCREMENTAL file ingest — the batch
+    * equivalent of a streaming file source: each call lists the data
+    * directory, diffs against the persisted manifest of
+    * already-processed file paths, reads ONLY the new files, and
+    * publishes the updated manifest through
+    * [[graft.streaming.SnapshotStore]] (write-audit-publish — a crash
+    * between read and manifest update re-processes the batch rather
+    * than losing it; downstream writes should be idempotent per path,
+    * the E7 contract). Returns None when nothing is new.
+    *
+    * The manifest holds file PATHS (+ sizes) — driver-metadata-sized
+    * at any corpus scale (one row per file, not per record), and the
+    * listing is one FileSystem RPC per call.
+    */
+  def ingestNewFiles(
+      spark: SparkSession,
+      dataDir: String,
+      manifestDir: String,
+      format: String = "parquet"): Option[DataFrame] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) return None
+    val present = hfs.listStatus(root).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+    val seen: Set[String] =
+      graft.streaming.SnapshotStore.read(spark, manifestDir) match {
+        case Some(m) => m.select("path").collect().map(_.getString(0)).toSet
+        case None => Set.empty
+      }
+    val fresh = present.filterNot { case (p, _) => seen(p) }
+    if (fresh.isEmpty) return None
+    val df = spark.read.format(format).load(fresh.map(_._1): _*)
+    val manifest = present.toDF("path", "bytes")
+    graft.streaming.SnapshotStore.publish(
+      manifest.coalesce(1), manifestDir, System.currentTimeMillis())
+    Some(df)
+  }
+
   /** Schema-evolution read: parquet shards written over a schema's
     * lifetime (columns added release by release) union into ONE frame
     * — `mergeSchema` reconciles per-file footers, old shards surface

@@ -788,6 +788,47 @@ class DedupSpec extends SparkSpec {
     assert(rank1Hits(8) >= h2)
   }
 
+  test("marginalNovelty: copies score 0, disjoint text scores 1, mixtures in between") {
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("id", "text")
+    val cand = Seq(
+      // exact copy of ref doc 1 -> novelty 0
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // fully disjoint -> novelty 1
+      (11L, "red orange yellow green blue indigo violet pink brown black"),
+      // half ref-1's text + half fresh: some 8-grams covered, some not
+      (12L, "alpha beta gamma delta epsilon zeta eta theta fresh words here now")
+    ).toDF("id", "text")
+    val out = Dedup.marginalNovelty(cand, col("id"), col("text"),
+        ref, col("text"), n = 8)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((10L, 3L, 0L, 0.0)))
+    assert(out(1)._1 == 11L && out(1)._4 == 1.0)
+    assert(out(2)._1 == 12L && out(2)._4 > 0.0 && out(2)._4 < 1.0)
+  }
+
+  test("splitByCluster: near-dup pairs never straddle a split; fractions near weights") {
+    // 100 docs; pairs chain (3k, 3k+1) -> 2-doc clusters
+    val docs = (0L until 100L).toDF("id")
+    val pairs = (0L until 99L by 3L).map(k => (k, k + 1)).toDF("id_a", "id_b")
+    val out = Dedup.splitByCluster(docs, col("id"), pairs,
+        col("id_a"), col("id_b"), Seq("train" -> 0.8, "test" -> 0.2))
+      .select(col("id"), col("cluster"), col("split"))
+      .as[(Long, Long, String)].collect()
+    val split = out.map(r => r._1 -> r._3).toMap
+    (0L until 99L by 3L).foreach { k =>
+      assert(split(k) == split(k + 1), s"pair ($k, ${k + 1}) straddles splits")
+    }
+    // both splits populated, in rough proportion
+    val n = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(n("train") > 60 && n("test") > 5)
+    // paired docs share a cluster label; singletons label themselves
+    val cl = out.map(r => r._1 -> r._2).toMap
+    assert((0L until 99L by 3L).forall(k => cl(k) == cl(k + 1)))
+    assert(cl(2L) == 2L)
+  }
+
   test("ivfHardNegatives: band excludes planted twins and self, sims within band") {
     val base = sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -231,6 +231,35 @@ class TablesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == orders.count())
   }
 
+  test("ingestNewFiles: only unseen files read; rerun is a no-op; new file picked up") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc").toString
+    val man = s"$dir/manifest"
+    val data = s"$dir/data"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$data/f1")
+    // flatten: ingest reads top-level files, so move part files up
+    val hfs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def promote(sub: String, name: String): Unit = {
+      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$data/$sub/part-*")).head
+      hfs.rename(part.getPath, new org.apache.hadoop.fs.Path(s"$data/$name"))
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$data/$sub"), true)
+    }
+    promote("f1", "f1.parquet")
+    val first = sources.Tables.ingestNewFiles(spark, data, man)
+    assert(first.map(_.count()) == Some(2L))
+    // rerun with nothing new
+    assert(sources.Tables.ingestNewFiles(spark, data, man).isEmpty)
+    // a new file arrives: only IT is read
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$data/f2")
+    promote("f2", "f2.parquet")
+    val second = sources.Tables.ingestNewFiles(spark, data, man)
+    assert(second.map(_.select("id").collect().map(_.getLong(0)).toSeq) == Some(Seq(3L)))
+    assert(sources.Tables.ingestNewFiles(spark, data, man).isEmpty)
+  }
+
   test("loadTextCorpus reads gzip-compressed files transparently (A5)") {
     val dir = java.nio.file.Files.createTempDirectory("gzcorpus")
     val plain = Seq("alpha one", "beta two", "gamma three")
