@@ -346,6 +346,64 @@ object Stats {
           / 1e4).as("cramers_v"))
   }
 
+  /** Classical seasonal decomposition (additive, moving-average
+    * detrend) of a regular per-key series — "is Tuesday's dip seasonal
+    * or a real drop?" for event-volume dashboards: value = trend
+    * (centered `period`-point moving average, full windows only) +
+    * seasonal (per-phase mean of the detrended series, centered so
+    * the components sum back) + residual. `period` must be odd (the
+    * classical centered-MA simplification; use 25 for hourly/daily
+    * with a day's smoothing, 7 for daily/weekly).
+    *
+    * Shape at scale: one key-partitioned ordered window (trend), one
+    * (key, phase) partial agg broadcast back (seasonal), never a
+    * global window. Determinism: moving-average and phase means from
+    * exact 6-dp decimal sums; trend/seasonal report 4-dp floor;
+    * residual = value − trend − seasonal on the TRUNCATED components
+    * (toward-zero), so every column replays identically. Edge rows
+    * without a full MA window report null trend/residual but still
+    * carry their seasonal (flag-not-drop).
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "period must be odd and >= 3")
+    val h = period / 2
+    // window refs must use the RENAMED columns, not the caller's
+    // expressions (which point at pre-select attribute names)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket")).rowsBetween(-h, h)
+    val d = df.select(key.as("key"), bucket.cast("long").as("bucket"),
+        value.cast("double").as("value"))
+      .withColumn("__n", count(col("value")).over(w))
+      .withColumn("__s", sum(Num.dec(col("value"))).over(w))
+      .withColumn("trend",
+        when(col("__n") === period,
+          Num.t4floor(col("__s").cast("double") / period)))
+      .withColumn("__detr", col("value") - col("trend"))
+      .withColumn("__phase", pmod(col("bucket"), lit(period.toLong)))
+    val seasonal = d.filter(col("__detr").isNotNull)
+      .groupBy(col("key").as("__sk"), col("__phase").as("__sp"))
+      .agg((sum(Num.dec(col("__detr"))).cast("double") /
+        count(lit(1))).as("__praw"))
+    val grand = seasonal.groupBy(col("__sk").as("__gk"))
+      .agg((sum(Num.dec(col("__praw"))).cast("double") /
+        count(lit(1))).as("__gmean"))
+    d.join(broadcast(seasonal),
+        col("key") === col("__sk") && col("__phase") === col("__sp"), "left")
+      .join(broadcast(grand), col("key") === col("__gk"), "left")
+      .withColumn("seasonal",
+        Num.t4zero(coalesce(col("__praw"), lit(0.0)) - coalesce(col("__gmean"), lit(0.0))))
+      .withColumn("residual",
+        when(col("trend").isNotNull,
+          Num.t4zero(col("value") - col("trend") - col("seasonal"))))
+      .select(col("key"), col("bucket"), col("value"),
+        col("trend"), col("seasonal"), col("residual"))
+  }
+
   /** Calibration / reliability report for a [0, 1]-scored classifier:
     * `nBins` equal-width score bins, each reporting its count, mean
     * predicted score, empirical positive rate, and |gap|; every row

@@ -652,6 +652,61 @@ object ProfileQueries {
         .orderBy("source")
     },
 
+    // C54: classical seasonal decomposition — hourly event counts per
+    // event_type, period 25 (odd, ~daily smoothing): trend = centered
+    // 25-point MA (full windows only), seasonal = centered per-phase
+    // mean of the detrended series, residual = the rest. All three
+    // replay from exact decimal sums + floor truncation.
+    Q(
+      "q_seasonal",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT key, bucket, value,
+        |    count(value) OVER w AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) OVER w AS s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (
+        |  SELECT key, bucket, value,
+        |    CASE WHEN n = 25 THEN floor(CAST(s AS DOUBLE) / 25 * 1e4) / 1e4 END AS trend,
+        |    ((bucket % 25) + 25) % 25 AS phase
+        |  FROM t),
+        |se AS (
+        |  SELECT key AS sk, phase AS sp,
+        |    CAST(sum(CAST(value - trend AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS praw
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT sk AS gk,
+        |    CAST(sum(CAST(praw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS gmean
+        |  FROM se GROUP BY 1),
+        |o AS (
+        |  SELECT tr.key, tr.bucket, tr.value, tr.trend,
+        |    sign(coalesce(praw, 0.0) - coalesce(gmean, 0.0))
+        |      * (floor(abs(coalesce(praw, 0.0) - coalesce(gmean, 0.0)) * 1e4) / 1e4)
+        |      + 0.0 AS seasonal
+        |  FROM tr
+        |  LEFT JOIN se ON tr.key = se.sk AND tr.phase = se.sp
+        |  LEFT JOIN gr ON tr.key = gr.gk)
+        |SELECT key, CAST(bucket AS BIGINT) AS bucket, value, trend, seasonal,
+        |  CASE WHEN trend IS NOT NULL THEN
+        |    sign(value - trend - seasonal)
+        |      * (floor(abs(value - trend - seasonal) * 1e4) / 1e4) + 0.0 END AS residual
+        |FROM o ORDER BY key, bucket""".stripMargin
+    ) { (s, dir) =>
+      val b = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.Stats.seasonalDecompose(
+          b, col("key"), col("bucket"), col("value"), period = 25)
+        .orderBy("key", "bucket")
+    },
+
     // C53: Count-Min frequency sketch — build over corpus tokens (one
     // pass), point-query the exact top-20 heavy terms through the
     // sketch, report exact vs estimate side by side. Seeded-hash

@@ -196,6 +196,28 @@ class BehaviorSpec extends SparkSpec {
     assert(Stats.chiSquared(withNull, col("a"), col("b")).collect().head.getLong(0) == 4L)
   }
 
+  test("seasonalDecompose: recovers planted linear trend + zero-sum seasonal pattern") {
+    // value = 100 + 0.1*b + eff(b % 5); a centered 5-window covers each
+    // phase exactly once, so MA = 100 + 0.1*b and detrended = eff
+    val eff = Array(5.0, -5.0, 0.0, 2.0, -2.0)
+    val rows = (0L until 50L).map(b => (1L, b, 100.0 + 0.1 * b + eff((b % 5).toInt)))
+    val out = Stats.seasonalDecompose(rows.toDF("k", "b", "v"),
+        col("k"), col("b"), col("v"), period = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4), Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(out.length == 50)
+    // edge rows (first/last 2) have no full window: null trend/residual
+    assert(out.take(2).forall(r => r._2.isEmpty && r._4.isEmpty))
+    assert(out.takeRight(2).forall(r => r._2.isEmpty && r._4.isEmpty))
+    // interior: trend ~ 100 + 0.1*b, seasonal ~ eff(phase), residual ~ 0
+    out.drop(2).dropRight(2).foreach { case (b, t, s, r) =>
+      assert(math.abs(t.get - (100.0 + 0.1 * b)) < 1e-3, s"trend at $b: ${t.get}")
+      assert(math.abs(s - eff((b % 5).toInt)) < 1e-3, s"seasonal at $b: $s")
+      assert(math.abs(r.get) < 1e-2, s"residual at $b: ${r.get}")
+    }
+  }
+
   test("calibration: hand-computed bins, clamping, and ECE") {
     // bin 0: scores .05 (neg), bin 9: 1.2 clamps in, .95 (both pos)
     val df = Seq((0.05, false), (0.95, true), (1.2, true), (-0.1, false))
