@@ -69,10 +69,38 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_topn_per_group", "q_window_running", "q_sessionize",
         "q_asof_join", "q_epe_shape_b", "q_pack_sequences", "q_quantile_bucket",
         "q_tfidf_topterms", "q_dedup_sorted", "q_dedup_spans",
-        "q_perplexity_buckets")) {
+        "q_perplexity_buckets", "q_admit_budget", "q_shuffle_shards",
+        "q_token_loops", "q_seasonal")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = globalWindows(df)
       assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")
+    }
+  }
+
+  test("bounded-frame ordered passes: every global window sits above an aggregate") {
+    // q_auc / q_ks_test / q_calibration DO plan a global window — by
+    // design, over a frame ALREADY COLLAPSED by groupBy to a bounded
+    // size (<= 10^dp distinct scores / nBins rows). The invariant to
+    // pin is that the window's subtree contains that aggregation —
+    // a global window directly over row-level data is the scale bug.
+    for (name <- Seq("q_auc", "q_ks_test", "q_calibration")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val windows = allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name: expected the bounded ordered pass")
+      windows.foreach { w =>
+        val subtree = allNodes(w.child)
+        val hasAgg = subtree.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]) ||
+          subtree.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]) ||
+          subtree.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+        assert(hasAgg,
+          s"$name: global window runs over NON-aggregated (unbounded) input:\n$w")
+      }
     }
   }
 
