@@ -479,6 +479,39 @@ object Sampling {
       .drop("__src", "__e", "__copies")
   }
 
+  /** Curriculum training order — easy-first (or any
+    * difficulty-staged) ordering without a global sort: `nStages`
+    * difficulty stages from EXACT global percentile cutoffs (one
+    * aggregate; k−1 doubles of driver metadata — the IVF-centroid
+    * contract), then within each shard rows order by (stage,
+    * scramble, key) via ONE keyed window — stages progress
+    * easy→hard, and WITHIN a stage the order is the deterministic
+    * shuffle ([[shuffleScramble]]), so a batch drawn from one stage
+    * still sees a mixture. Exact `percentile` keeps the oracle
+    * replayable (boxplot's convention); swap `approx_percentile` in
+    * at corpus scale where a ±ε stage boundary is irrelevant.
+    *
+    * Returns the input + (stage, train_pos).
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      key: Column,
+      difficulty: Column,
+      shard: Column,
+      nStages: Int): DataFrame = {
+    require(nStages >= 2, "nStages must be >= 2")
+    val probs = (1 until nStages).map(i => lit(i.toDouble / nStages))
+    val cuts = df.agg(percentile(difficulty, array(probs: _*)).as("c"))
+      .collect().head.getSeq[Double](0)
+    val stage = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(difficulty > c, 1).otherwise(0)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(col("stage"), shuffleScramble(key), key)
+    df.withColumn("stage", stage)
+      .withColumn("train_pos", row_number().over(w).cast("long"))
+  }
+
   def interleaveSources(
       df: DataFrame,
       shard: Column,

@@ -530,6 +530,43 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D78: curriculum ordering — 3 difficulty stages (token count,
+    // short-first) from exact global percentile cutoffs, shuffled
+    // within stage, positioned per shard. DuckDB quantile_cont ==
+    // Spark percentile exactly (the boxplot contract).
+    Q(
+      "q_curriculum", {
+        val scr = Sampling.shuffleScrambleSql("doc_id")
+        s"""WITH d AS (
+           |  SELECT doc_id, doc_id % 4 AS shard,
+           |    CAST(len(${tkSql("text")}) AS DOUBLE) AS diff
+           |  FROM documents),
+           |c AS (
+           |  SELECT quantile_cont(diff, 1.0/3) AS c1,
+           |    quantile_cont(diff, 2.0/3) AS c2
+           |  FROM d),
+           |s AS (
+           |  SELECT doc_id, shard, diff,
+           |    1 + (CASE WHEN diff > c1 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN diff > c2 THEN 1 ELSE 0 END) AS stage
+           |  FROM d CROSS JOIN c)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           |  CAST(stage AS INT) AS stage,
+           |  CAST(row_number() OVER (
+           |    PARTITION BY shard ORDER BY stage, $scr, doc_id) AS BIGINT) AS train_pos
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(4L)).as("shard"),
+        size(graft.functions.tokens(col("text"))).cast("double").as("diff"))
+      Sampling.curriculumOrder(d, col("doc_id"), col("diff"), col("shard"), nStages = 3)
+        .select(col("doc_id"), col("shard"), col("stage").cast("int").as("stage"),
+          col("train_pos"))
+        .orderBy("doc_id")
+    },
+
     // D71: deterministic shuffle-sharding — the pre-write global
     // shuffle: scramble hash (second Knuth multiplier, decoupled from
     // the sampling bucket), shard = scramble mod 8, dense per-shard

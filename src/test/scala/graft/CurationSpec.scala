@@ -299,6 +299,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curriculumOrder: stages partition by difficulty, positions follow stage order") {
+    // difficulties 1..90: stage 1 = 1..30, 2 = 31..60, 3 = 61..90
+    val d = (1L to 90L).map(i => (i, i % 3, i.toDouble)).toDF("id", "shard", "diff")
+    val out = Sampling.curriculumOrder(d, col("id"), col("diff"), col("shard"), nStages = 3)
+      .select(col("id"), col("shard"), col("stage"), col("train_pos"))
+      .as[(Long, Long, Int, Long)].collect()
+    val stageOf = out.map(r => r._1 -> r._3).toMap
+    assert((1L to 30L).forall(stageOf(_) == 1))
+    assert((31L to 60L).forall(stageOf(_) == 2))
+    assert((61L to 90L).forall(stageOf(_) == 3))
+    // within each shard: positions dense from 1, stage non-decreasing
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._4)
+      assert(ordered.map(_._4).toSeq == (1L to rows.length).toSeq)
+      assert(ordered.map(_._3).toSeq == ordered.map(_._3).sorted.toSeq,
+        "positions do not respect stage order")
+    }
+    // within a stage, order is scrambled (not plain id order)
+    val s1 = out.filter(r => r._2 == 0 && r._3 == 1).sortBy(_._4).map(_._1)
+    assert(s1.length > 5 && s1.toSeq != s1.sorted.toSeq)
+  }
+
   test("shuffleShards: deterministic, dense per-shard positions, balanced, decorrelated") {
     val df = (0L until 1000L).map(i => (i, s"d$i")).toDF("id", "payload")
     val a = Sampling.shuffleShards(df, col("id"), nShards = 8)
