@@ -271,13 +271,28 @@ object Profile {
       nBins: Int): DataFrame = {
     val hb = histogram(before, value, lo, hi, nBins).select(col("bin"), col("n").as("nb"))
     val ha = histogram(after, value, lo, hi, nBins).select(col("bin"), col("n").as("na"))
+    psiFromCounts(before.sparkSession, hb, ha, nBins)
+  }
+
+  /** The PSI core over ALREADY-BINNED counts — (bin, nb) vs (bin, na)
+    * frames with the same `nBins` grid. Factored out so streaming
+    * monitors ([[graft.streaming.EventStreams.psiDriftStream]]) can
+    * score finalized windowed counts against a persisted baseline
+    * histogram without re-scanning raw data. Smoothing/truncation
+    * contract identical to [[psi]] (whose docstring owns it).
+    */
+  def psiFromCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      hb: DataFrame,
+      ha: DataFrame,
+      nBins: Int): DataFrame = {
     // join onto the COMPLETE grid: histogram omits empty bins, but a
     // bin empty on both sides still carries a nonzero smoothed term
     // when the totals differ — dropping it would understate the
     // documented sum over all k bins. localCheckpoint: the <=nBins-row
     // frame feeds the totals AND the final sum; without it both
     // snapshot scans would run twice.
-    val grid = before.sparkSession.range(nBins)
+    val grid = spark.range(nBins)
       .select(col("id").cast("int").as("bin"))
     val joined = grid
       .join(hb, Seq("bin"), "left").join(ha, Seq("bin"), "left")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -513,6 +513,60 @@ object EventStreams {
           case None => batchSketch
         }
         SnapshotStore.publish(merged.localCheckpoint(), snapshotPath, batchId)
+      }
+      .start()
+  }
+
+  /** E15: streaming PSI drift monitor — per event-time window, the
+    * population-stability index of the window's value distribution
+    * against a PERSISTED baseline histogram: a watermarked windowed
+    * (window, bin) count (the E1 shape, with [[graft.operators.Profile.histogram]]'s
+    * exact clamped-bin expression) feeds `foreachBatch`, which scores
+    * each FINALIZED window's counts through
+    * [[graft.operators.Profile.psiFromCounts]] — identical smoothing
+    * and truncation to the batch operator, which is what the spec
+    * proves — and appends (window_start_ns, n_before, n_after, psi)
+    * to per-batch output dirs (E7's replay-idempotent overwrite
+    * layout). Append mode = one verdict per window, emitted once its
+    * watermark closes; the baseline never rescans.
+    */
+  def psiDriftStream(
+      events: DataFrame,
+      value: Column,
+      baseline: DataFrame,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      windowDuration: String,
+      watermarkDelay: String,
+      outPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = (hi - lo) / nBins
+    val bin = least(lit((nBins - 1).toLong),
+      greatest(lit(0L), floor((value - lo) / w))).cast("int")
+    val base = baseline.select(col("bin"), col("n").as("nb")).localCheckpoint()
+    events.withWatermark("ts", watermarkDelay)
+      .filter(value.isNotNull)
+      .groupBy(window(col("ts"), windowDuration), bin.as("bin"))
+      .agg(count(lit(1)).as("na"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("bin"), col("na"))
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val windows = batch.select("window_start_us").distinct()
+          .collect().map(_.getLong(0))
+        val out = windows.map { ws =>
+          graft.operators.Profile.psiFromCounts(spark, base,
+              batch.filter(col("window_start_us") === ws).select("bin", "na"),
+              nBins)
+            .withColumn("window_start_us", lit(ws))
+        }.reduceOption(_ unionByName _)
+        out.foreach(_.select(col("window_start_us"), col("n_before"),
+            col("n_after"), col("psi"))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId"))
       }
       .start()
   }

@@ -597,6 +597,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E15 psiDriftStream: per-window PSI equals the batch operator against the baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("e15").toString
+    val h = 3600000000L // one hour in micros
+    // baseline: uniform over [0, 10)
+    val baseVals = (0 until 200).map(i => (i % 10) + 0.5)
+    val baseline = graft.operators.Profile.histogram(
+      baseVals.toDF("v"), col("v"), lo = 0.0, hi = 10.0, nBins = 10)
+    // window 0: matches baseline (low psi); window 1: all mass in one
+    // bin (high psi)
+    val w0 = (0 until 100).map(i => (tsOf(i.toLong), (i % 10) + 0.5))
+    val w1 = (0 until 100).map(i => (tsOf(h + i), 2.5))
+    val input = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val q = EventStreams.psiDriftStream(
+      input.toDF().toDF("ts", "value"), col("value"), baseline,
+      lo = 0.0, hi = 10.0, nBins = 10,
+      windowDuration = "1 hour", watermarkDelay = "1 minute",
+      outPath = s"$dir/out", checkpointPath = s"$dir/ckpt")
+    try {
+      input.addData(w0 ++ w1)
+      q.processAllAvailable()
+      // flush: advance the watermark far past both windows
+      input.addData((tsOf(10L * h), 0.5))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select("window_start_us", "n_after", "psi")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(got.length == 2, s"expected 2 closed windows, got ${got.toSeq}")
+      // batch twins: same values through the batch psi operator
+      val psi0 = graft.operators.Profile.psi(baseVals.toDF("v"),
+          w0.map(_._2).toDF("v"), col("v"), 0.0, 10.0, 10)
+        .select("psi").as[Double].collect().head
+      val psi1 = graft.operators.Profile.psi(baseVals.toDF("v"),
+          w1.map(_._2).toDF("v"), col("v"), 0.0, 10.0, 10)
+        .select("psi").as[Double].collect().head
+      assert(got(0) == ((0L, 100L, psi0)), s"window 0: ${got(0)} vs psi $psi0")
+      assert(got(1) == ((h, 100L, psi1)), s"window 1: ${got(1)} vs psi $psi1")
+      // and the shifted window reads as actionable drift
+      assert(psi1 > 0.25 && psi0 < 0.1)
+    } finally q.stop()
+  }
+
   test("E14 cmsMaintained: merged snapshot cells equal one-shot sketch of the union") {
     val dir = java.nio.file.Files.createTempDirectory("e14").toString
     val words = (0 until 3000).map(i => s"w${i % 300}")
