@@ -346,6 +346,55 @@ object Stats {
           / 1e4).as("cramers_v"))
   }
 
+  /** Per-key ordinary-least-squares trend fit — "is this metric
+    * drifting?" as a slope with goodness-of-fit, the regression
+    * companion to [[rollingZ]]'s point alarms and
+    * [[seasonalDecompose]]'s decomposition: per key, slope/intercept
+    * of y over x and R², from ONE partial-aggregated moments pass
+    * (Σx, Σy, Σxy, Σx², Σy² in exact decimals — order-independent),
+    * derived in double with a fixed operation order. Degenerate keys
+    * (n < 2 or zero x-variance) report slope/intercept/r2 = 0 with
+    * their counts intact. Slope/intercept truncate 6 dp toward zero
+    * (signed, fine-grained); R² truncates 4 dp (floor; it is
+    * clamped to [0, 1] first).
+    */
+  def trendFit(
+      df: DataFrame,
+      key: Column,
+      x: Column,
+      y: Column): DataFrame = {
+    def dec(c: Column): Column = Num.dec(c)
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(x)).as("__sx"),
+        sum(dec(y)).as("__sy"),
+        sum(dec(x) * dec(y)).as("__sxy"),
+        sum(dec(x) * dec(x)).as("__sxx"),
+        sum(dec(y) * dec(y)).as("__syy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    val degenerate = col("n") < 2 || varX === 0.0
+    val slope = cov / varX
+    val intercept = (sy - slope * sx) / n
+    def t6zero(c: Column): Column =
+      signum(c) * (floor(abs(c) * 1e6) / 1e6) + 0.0
+    val r2 = when(varY === 0.0, 0.0)
+      .otherwise(least(lit(1.0), greatest(lit(0.0), cov * cov / (varX * varY))))
+    m.select(col("key"), col("n"),
+      when(degenerate, 0.0).otherwise(t6zero(slope)).as("slope"),
+      when(degenerate, 0.0).otherwise(t6zero(intercept)).as("intercept"),
+      when(degenerate, 0.0).otherwise(floor(r2 * 1e4) / 1e4).as("r2"))
+  }
+
   /** Classical seasonal decomposition (additive, moving-average
     * detrend) of a regular per-key series — "is Tuesday's dip seasonal
     * or a real drop?" for event-volume dashboards: value = trend

@@ -365,6 +365,54 @@ object TextMetrics {
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "\\n{3,}", "\n\n")
 
+  /** Stopword list for the [[gopherGate]] stop-hit rule (public: the
+    * oracle twin replays it).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
+
+  /** Gopher-style composite quality gate (Rae et al. 2021, §A1.1 —
+    * the published row-local rule bundle, minus the line-shape rules
+    * which live in [[docShape]] to compose on top): per doc, one
+    * boolean per rule plus the conjunction —
+    *  - `r_word_count`: 50 ≤ words ≤ 100 000
+    *  - `r_mean_word_len`: mean token length in [3, 10]
+    *  - `r_symbol_ratio`: ('#' + '…'-as-'...') per word ≤ 0.1
+    *  - `r_alpha_words`: ≥ 80% of tokens contain a letter
+    *  - `r_stop_hits`: ≥ 2 [[gopherStopwords]] occurrences
+    * Reporting the PER-RULE flags (not just the verdict) is the
+    * operator's point: feed them to `Quality.attrition` to see which
+    * rule eats the corpus. One tokenization per row (the withQuality
+    * struct discipline), otherwise pure codegen'd counts.
+    */
+  def gopherGate(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tkStruct = overTokens(text) { tk =>
+      struct(
+        size(tk).as("n"),
+        length(array_join(tk, "")).as("chars"),
+        size(filter(tk, t => t.rlike("\\p{L}"))).as("alpha"),
+        size(filter(tk, t => t.isin(gopherStopwords.map(lit): _*))).as("stop"))
+    }
+    val tmp = df.select(id.as("id"), text.as("__t")).withColumn("__g", tkStruct)
+    val n = col("__g").getField("n")
+    val meanLen = col("__g").getField("chars").cast("double") / n
+    val hashes = length(col("__t")) -
+      length(call_function("replace", col("__t"), lit("#"), lit("")))
+    val ellipses = (length(col("__t")) -
+      length(call_function("replace", col("__t"), lit("..."), lit("")))) / lit(3)
+    val symbolRatio = (hashes + ellipses).cast("double") / n
+    val alphaFrac = col("__g").getField("alpha").cast("double") / n
+    val r1 = n >= 50 && n <= 100000
+    val r2 = n > 0 && meanLen >= 3.0 && meanLen <= 10.0
+    val r3 = n > 0 && symbolRatio <= 0.1
+    val r4 = n > 0 && alphaFrac >= 0.8
+    val r5 = col("__g").getField("stop") >= 2
+    tmp.select(col("id"), n.cast("long").as("n_words"),
+      r1.as("r_word_count"), r2.as("r_mean_word_len"), r3.as("r_symbol_ratio"),
+      r4.as("r_alpha_words"), r5.as("r_stop_hits"),
+      (r1 && r2 && r3 && r4 && r5).as("pass"))
+  }
+
   /** Degenerate-repetition (looping) detector — catches "the the the
     * the" and looping phrases that slip past whole-doc repetition
     * ratios (D9b) because the rest of the document is diverse: per

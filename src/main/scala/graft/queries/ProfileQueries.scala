@@ -652,6 +652,50 @@ object ProfileQueries {
         .orderBy("source")
     },
 
+    // C55: per-key OLS trend fit — slope/intercept/R² of hourly event
+    // volume per event_type from one exact-decimal moments pass; both
+    // engines replay the identical double derivation order.
+    Q(
+      "q_trend_fit", {
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val varX = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+        val varY = s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+        val cov = s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+        val slope = s"($cov / $varX)"
+        val icept = s"((${d("sy")} - $slope * ${d("sx")}) / ${d("n")})"
+        val r2 = s"least(1.0, greatest(0.0, $cov * $cov / ($varX * $varY)))"
+        def t6z(e: String) = s"sign($e) * (floor(abs($e) * 1e6) / 1e6) + 0.0"
+        val degen = s"n < 2 OR $varX = 0.0"
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    epoch_ns(ts) // 3600000000000 AS x,
+           |    CAST(count(*) AS DOUBLE) AS y
+           |  FROM events GROUP BY 1, 2),
+           |m AS (
+           |  SELECT key, count(*) AS n,
+           |    sum(CAST(x AS DECIMAL(18,6))) AS sx,
+           |    sum(CAST(y AS DECIMAL(18,6))) AS sy,
+           |    sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS sxy,
+           |    sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
+           |    sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS syy
+           |  FROM b GROUP BY 1)
+           |SELECT key, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN $degen THEN 0.0 ELSE ${t6z(slope)} END AS slope,
+           |  CASE WHEN $degen THEN 0.0 ELSE ${t6z(icept)} END AS intercept,
+           |  CASE WHEN $degen THEN 0.0
+           |       WHEN $varY = 0.0 THEN 0.0
+           |       ELSE floor($r2 * 1e4) / 1e4 END AS r2
+           |FROM m ORDER BY key""".stripMargin
+      }
+    ) { (s, dir) =>
+      val b = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("x"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      graft.operators.Stats.trendFit(b, col("key"), col("x"), col("y"))
+        .orderBy("key")
+    },
+
     // C54: classical seasonal decomposition — hourly event counts per
     // event_type, period 25 (odd, ~daily smoothing): trend = centered
     // 25-point MA (full windows only), seasonal = centered per-phase

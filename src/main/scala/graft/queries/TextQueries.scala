@@ -155,6 +155,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D79: Gopher composite quality gate — the published row-local
+    // rule bundle with per-rule flags; stop list and thresholds
+    // replayed from the shared constants.
+    Q(
+      "q_gopher_gate", {
+        val stops = TextMetrics.gopherStopwords.map(s => s"'$s'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id AS id, text, ${tkSql("text")} AS tk FROM documents),
+           |m AS (
+           |  SELECT id, len(tk) AS n,
+           |    CAST(length(array_to_string(tk, '')) AS DOUBLE) AS chars,
+           |    len(list_filter(tk, x -> regexp_matches(x, '\\p{L}'))) AS alpha,
+           |    len(list_filter(tk, x -> x IN ($stops))) AS stop,
+           |    length(text) - length(replace(text, '#', '')) AS hashes,
+           |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+           |  FROM t),
+           |r AS (
+           |  SELECT id, n,
+           |    n >= 50 AND n <= 100000 AS r1,
+           |    n > 0 AND chars / n >= 3.0 AND chars / n <= 10.0 AS r2,
+           |    n > 0 AND CAST(hashes + ellipses AS DOUBLE) / n <= 0.1 AS r3,
+           |    n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8 AS r4,
+           |    stop >= 2 AS r5
+           |  FROM m)
+           |SELECT id, CAST(n AS BIGINT) AS n_words,
+           |  r1 AS r_word_count, r2 AS r_mean_word_len, r3 AS r_symbol_ratio,
+           |  r4 AS r_alpha_words, r5 AS r_stop_hits,
+           |  r1 AND r2 AND r3 AND r4 AND r5 AS pass
+           |FROM r ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      TextMetrics.gopherGate(table(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("id")
+    },
+
     // D72: degenerate-repetition (looping) detector — planted
     // "loop loop loop loop" tails on every 5th doc must dominate
     // max_token_run; gaps-and-islands replayed identically.
