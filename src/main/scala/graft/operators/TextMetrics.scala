@@ -386,7 +386,9 @@ object TextMetrics {
     * struct discipline), otherwise pure codegen'd counts.
     */
   def gopherGate(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tkStruct = overTokens(text) { tk =>
+    // tokenize the RENAMED column — the caller's `text` expression no
+    // longer resolves after the projection below
+    val tkStruct = overTokens(col("__t")) { tk =>
       struct(
         size(tk).as("n"),
         length(array_join(tk, "")).as("chars"),
