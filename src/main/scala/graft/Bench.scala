@@ -28,9 +28,12 @@ object Bench {
         // intermediates (cluster propagation, IVF k-means, incremental
         // indexes); in one long-lived JVM those blocks otherwise pile
         // up and tax every LATER query with GC pressure — r03 measured
-        // q_epe_shape_b at 9.0 s mid-suite vs 1.0 s isolated
+        // q_epe_shape_b at 9.0 s mid-suite vs 1.0 s isolated. blocking =
+        // true: an async unpersist races the next timed query and
+        // contaminates its measurement (r7 judge measured up to 12×
+        // inflation on q_cms_heavy from exactly this line)
         spark.sqlContext.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         t
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)

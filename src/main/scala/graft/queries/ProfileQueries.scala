@@ -673,11 +673,11 @@ object ProfileQueries {
            |  FROM events GROUP BY 1, 2),
            |m AS (
            |  SELECT key, count(*) AS n,
-           |    sum(CAST(x AS DECIMAL(18,6))) AS sx,
-           |    sum(CAST(y AS DECIMAL(18,6))) AS sy,
-           |    sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS sxy,
-           |    sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
-           |    sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS syy
+           |    sum(CAST(x AS DECIMAL(38,6))) AS sx,
+           |    sum(CAST(y AS DECIMAL(38,6))) AS sy,
+           |    sum(CAST(x AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6))) AS sxy,
+           |    sum(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6))) AS sxx,
+           |    sum(CAST(y AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6))) AS syy
            |  FROM b GROUP BY 1)
            |SELECT key, CAST(n AS BIGINT) AS n,
            |  CASE WHEN $degen THEN 0.0 ELSE ${t6z(slope)} END AS slope,

@@ -367,22 +367,41 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
-  /** events with the ns-precision timestamp normalized to a µs
-    * TimestampType column `ts` plus exact `ts_ns` (epoch nanos, long).
-    * Parquet stores TIMESTAMP(NANOS) which Spark reads as long when
-    * `spark.sql.legacy.parquet.nanosAsLong` is set.
+  /** events with the timestamp normalized to a µs TimestampType column
+    * `ts` plus exact `ts_ns` (epoch nanos, long), whatever legal parquet
+    * encoding the file arrived in:
+    *
+    *   - int64 nanos (TIMESTAMP(NANOS) read as long under
+    *     `spark.sql.legacy.parquet.nanosAsLong`),
+    *   - TIMESTAMP (isAdjustedToUTC=true → TimestampType),
+    *   - TIMESTAMP_NTZ (isAdjustedToUTC=false → TimestampNTZType).
+    *
+    * The NTZ arm reinterprets wall-clock micros as UTC instants — exact
+    * because [[graft.Engine]] pins the session timezone to UTC, so the
+    * cast adds a zero offset. Downstream window()/watermark code always
+    * sees one type (plain TIMESTAMP). Any other encoding fails loudly
+    * rather than corrupting timestamps silently.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // `div` (integer division), NOT `/`: epoch-nanos exceed a
         // double's 53-bit mantissa, so `/ 1000` would round the
         // microsecond off by ±1 for most rows.
         raw
           .withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        val asUtc = raw.withColumn("ts", col("ts").cast(TimestampType))
+        asUtc.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported timestamp encoding $other " +
+            "(expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
   }
 

@@ -341,4 +341,30 @@ class ProfileSpec extends SparkSpec {
     val whole = sketch.as[(Int, Int, Long)].collect().toSet
     assert(merged == whole)
   }
+
+  test("trendFit: hand-computed OLS slope/intercept/R²; degenerate and flat keys report zeros") {
+    val pts = Seq(
+      // perfect ascending line y = 2x + 1
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0),
+      // flat series: slope 0, intercept 4, varY = 0 -> r2 reports 0
+      ("b", 0.0, 4.0), ("b", 1.0, 4.0), ("b", 2.0, 4.0),
+      // single point: degenerate (n < 2) -> all zeros
+      ("c", 7.0, 9.0),
+      // repeated x: varX = 0 -> degenerate -> all zeros
+      ("d", 5.0, 1.0), ("d", 5.0, 2.0),
+      // imperfect fit: slope 1/2, intercept 1/6 (6-dp floor), r2 3/4
+      ("e", 0.0, 0.0), ("e", 1.0, 1.0), ("e", 2.0, 1.0),
+      // perfect descending line y = -2x + 5: toward-zero truncation of negatives
+      ("f", 0.0, 5.0), ("f", 1.0, 3.0), ("f", 2.0, 1.0)
+    ).toDF("k", "x", "y")
+    val out = operators.Stats.trendFit(pts, $"k", $"x", $"y")
+      .orderBy("key")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out(0) == (("a", 3L, 2.0, 1.0, 1.0)))
+    assert(out(1) == (("b", 3L, 0.0, 4.0, 0.0)))
+    assert(out(2) == (("c", 1L, 0.0, 0.0, 0.0)))
+    assert(out(3) == (("d", 2L, 0.0, 0.0, 0.0)))
+    assert(out(4) == (("e", 3L, 0.5, math.floor(1.0 / 6.0 * 1e6) / 1e6, 0.75)))
+    assert(out(5) == (("f", 3L, -2.0, 5.0, 1.0)))
+  }
 }

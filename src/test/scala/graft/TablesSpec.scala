@@ -260,6 +260,45 @@ class TablesSpec extends SparkSpec {
     assert(sources.Tables.ingestNewFiles(spark, data, man).isEmpty)
   }
 
+  test("events yields identical ts/ts_ns for int64-ns, TIMESTAMP, and TIMESTAMP_NTZ parquet") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // epoch micros spanning pre/post-2000 and a non-zero sub-second part
+    val micros = Seq(946684800000001L, 1700000000000000L, 1700000123456789L)
+
+    val longDir = Files.createTempDirectory("graft_ev_long").toString
+    micros.map(u => (u * 1000L, "click")).toDF("ts", "kind")
+      .write.parquet(s"$longDir/events.parquet")
+
+    val tsDir = Files.createTempDirectory("graft_ev_ts").toString
+    micros.toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"), lit("click").as("kind"))
+      .write.parquet(s"$tsDir/events.parquet")
+
+    val ntzDir = Files.createTempDirectory("graft_ev_ntz").toString
+    micros.toDF("us")
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        lit("click").as("kind"))
+      .write.parquet(s"$ntzDir/events.parquet")
+
+    // the NTZ fixture really is NTZ on disk (isAdjustedToUTC=false) —
+    // otherwise this test silently stops covering the arm that broke r7
+    assert(spark.read.parquet(s"$ntzDir/events.parquet")
+      .schema("ts").dataType.typeName == "timestamp_ntz")
+
+    val expected = micros.map(_ * 1000L).toSet
+    for (dir <- Seq(longDir, tsDir, ntzDir)) {
+      val ev = sources.Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType, s"$dir: ts type")
+      assert(ev.schema("ts_ns").dataType == LongType, s"$dir: ts_ns type")
+      assert(ev.select("ts_ns").collect().map(_.getLong(0)).toSet == expected,
+        s"$dir: ts_ns values")
+      // µs-precision ts agrees with ts_ns exactly in every encoding
+      assert(ev.filter(unix_micros(col("ts")) * 1000L =!= expr("ts_ns div 1000") * 1000L)
+        .count() == 0, s"$dir: ts vs ts_ns drift")
+    }
+  }
+
   test("loadTextCorpus reads gzip-compressed files transparently (A5)") {
     val dir = java.nio.file.Files.createTempDirectory("gzcorpus")
     val plain = Seq("alpha one", "beta two", "gamma three")

@@ -509,6 +509,34 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1) == (("b", 1L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("gopherGate: each rule fails in isolation, per-rule flags and verdict hand-checked") {
+    // text passed as a COMPUTED expression over a column NOT named __t:
+    // pins the r5 regression where the caller's expression was resolved
+    // against the post-projection frame (where only id/__t exist).
+    val sent = "the water runs down from mountain and into valley streams "
+    val docs = Seq(
+      (1, sent * 6),                                      // all rules pass
+      (2, sent),                                          // 10 words: r_word_count fails
+      (3, "the and " + "aa " * 58),                       // mean len 122/60≈2.03: r_mean_word_len fails
+      (4, "the and " + "water " * 53 + "# " * 7),         // 7 hashes / 55 words > 0.1: r_symbol_ratio fails
+      (5, "the and " + "water " * 45 + "12345 " * 15),    // 47/62 alpha < 0.8: r_alpha_words fails
+      (6, "water " * 60),                                 // 0 stop hits: r_stop_hits fails
+      (7, "the and " + "water " * 53 + "... " * 7)        // 7 ellipses / 55 words > 0.1: r_symbol_ratio fails
+    ).toDF("docid", "body")
+    val out = TextMetrics.gopherGate(docs, $"docid", concat($"body", lit("")))
+      .orderBy("id")
+      .as[(Int, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    //               id  n_words  words  meanLen symbol alpha  stop   pass
+    assert(out(0) == ((1, 60L,    true,  true,   true,  true,  true,  true)))
+    assert(out(1) == ((2, 10L,    false, true,   true,  true,  true,  false)))
+    assert(out(2) == ((3, 60L,    true,  false,  true,  true,  true,  false)))
+    assert(out(3) == ((4, 55L,    true,  true,   false, true,  true,  false)))
+    assert(out(4) == ((5, 62L,    true,  true,   true,  false, true,  false)))
+    assert(out(5) == ((6, 60L,    true,  true,   true,  true,  false, false)))
+    assert(out(6) == ((7, 55L,    true,  true,   false, true,  true,  false)))
+  }
+
   test("cleanControlChars: CRLF/CR normalize, C0 strip, newline runs collapse") {
     val df = Seq((1L, "\u0000a\u0007b\r\nc\rd\n\n\n\ne\tf")).toDF("doc_id", "text")
     val out = df.select(TextMetrics.cleanControlChars($"text")).as[String].collect().head
