@@ -1193,6 +1193,127 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Positions of doc n-grams that occur in the probe corpus: one row
+    * per (id, start) whose k-gram [start, start+n) matched. Shared
+    * candidate stage of [[contaminationSpans]] / [[maskContamination]]:
+    * positioned shingles (NOT distinct — every occurrence matters for
+    * span geometry), 8-byte hashes, probe collapses to a distinct
+    * shingle set (benchmark-suite-sized, broadcastable), one semi-join.
+    */
+  private def contaminationHits(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      probes: DataFrame,
+      probeText: Column,
+      n: Int): (DataFrame, DataFrame) = {
+    val tk = scaleOut(docs.select(id.as("id"), text.as("__text")))
+      .select(col("id"), tokens(col("__text")).as("tk"))
+      .localCheckpoint()
+    val docSh = tk.filter(size(col("tk")) >= n)
+      .select(col("id"), posexplode(shingles(col("tk"), n)).as(Seq("start", "s")))
+      .select(col("id"), col("start"), xxhash64(col("s")).as("sh"))
+    val probeSh = scaleOut(probes.select(probeText.as("__text")))
+      .select(explode(array_distinct(shingles(tokens(col("__text")), n))).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+    (tk, docSh.join(probeSh, Seq("sh"), "left_semi").select(col("id"), col("start")))
+  }
+
+  /** SPAN-level benchmark decontamination (mask, don't drop): the
+    * surgical counterpart to [[contamination]]'s doc-level score — for
+    * each document, the merged token intervals covered by n-grams that
+    * occur anywhere in the probe (eval/test) corpus, so a pipeline can
+    * excise exactly the leaked benchmark text and keep the rest of the
+    * document. Dropping whole docs at a contamination threshold throws
+    * away good tokens (a 10k-token page with one embedded eval question
+    * loses 10k tokens); reporting spans keeps the cut loss-proportional.
+    *
+    * Adjacent/overlapping hit n-grams merge into one span (standard
+    * gaps-and-islands on the ordered starts — fixed n-gram length means
+    * ordered starts have ordered ends, so `start > lag(start) + n`
+    * detects every gap). One row per (id, span): [span_start, span_end)
+    * token interval, its width, and how many hit n-grams support it.
+    *
+    * Shape at scale: bipartite like [[contamination]] (no self-join);
+    * the only window is keyed by doc id over HIT positions (bounded by
+    * doc length, usually far smaller); work is O(corpus shingles +
+    * probe shingles + hits).
+    */
+  def contaminationSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      probes: DataFrame,
+      probeText: Column,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, "n must be >= 2: unigram spans would flag every shared word")
+    val (_, hits) = contaminationHits(docs, id, text, probes, probeText, n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+    val isl = hits
+      .withColumn("__prev", lag(col("start"), 1).over(w))
+      .withColumn("__ni",
+        when(col("__prev").isNull || col("start") > col("__prev") + n, 1L)
+          .otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__ni")).over(w.rowsBetween(Long.MinValue, 0)))
+    isl.groupBy(col("id"), col("__isl"))
+      .agg(
+        min(col("start")).as("__lo"),
+        max(col("start")).as("__hi"),
+        count(lit(1)).as("n_gram_hits"))
+      .select(col("id"),
+        col("__lo").cast("long").as("span_start"),
+        (col("__hi") + n).cast("long").as("span_end"),
+        (col("__hi") + n - col("__lo")).cast("long").as("span_tokens"),
+        col("n_gram_hits"))
+  }
+
+  /** Masked rebuild over [[contaminationSpans]]' verdict: every token
+    * position covered by a probe-matching n-gram is excised and the
+    * document re-assembled from the survivors — [[dedupSpans]]' rebuild
+    * shape pointed at benchmark overlap instead of duplication. Returns
+    * every input doc (zero-hit docs pass through unchanged) with
+    * (n_tokens, n_masked, masked_ratio, cleaned_text).
+    *
+    * The ×n position expansion is paid only on HIT n-grams; the rebuild
+    * aggregate is per-doc (collect_list bounded by doc length — the
+    * same bound the tokenizer already imposes).
+    */
+  def maskContamination(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      probes: DataFrame,
+      probeText: Column,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, "n must be >= 2: unigram spans would strip every shared word")
+    val (tk, hits) = contaminationHits(docs, id, text, probes, probeText, n)
+    val lose = hits
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val tkpos = tk.select(col("id"), posexplode(col("tk")).as(Seq("pos", "term")))
+    val rebuilt = tkpos.join(lose, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            s => s.getField("term")), " ").as("__cleaned"))
+    tk.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_masked"),
+        when(col("n_tokens") === 0, lit(0d))
+          .otherwise(round(
+            (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).cast("double") /
+              col("n_tokens"), 4))
+          .as("masked_ratio"),
+        coalesce(col("__cleaned"), lit("")).as("cleaned_text"))
+  }
+
   /** Sketch-tier AUDIT: precision/recall/F1 of a candidate near-dup
     * pair list against an exact ground truth — the completeness critic
     * behind every recall-tier choice (run [[minHashLSH]] on an audit

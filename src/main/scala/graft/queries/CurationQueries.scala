@@ -12,6 +12,13 @@ import graft.operators.{Bpe, Dedup, Packing, Sampling, TextMetrics}
   */
 object CurationQueries {
 
+  /** Planted "leaked eval question" for the span-decontamination
+    * queries — appended to every 7th doc so partial contamination has
+    * a known geometry (no quotes: it rides inside oracle SQL literals).
+    */
+  private val evalQuestion =
+    "which year did the treaty of westphalia end the thirty years war"
+
   val all: Seq[Q] = Seq(
 
     // D17: per-document top-3 TF-IDF terms. Smoothed idf; ties break
@@ -349,6 +356,111 @@ object CurationQueries {
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val probes = Sampling.hashSample(d, col("doc_id"), 0.08)
       Dedup.contaminationBloom(d, col("doc_id"), col("text"), probes, col("text"), n = 5)
+        .orderBy("id")
+    },
+
+    // D21d: SPAN-level decontamination — merged token intervals covered
+    // by probe 5-grams (mask-don't-drop); an eval question planted at
+    // the TAIL of every 7th doc must surface as a partial span (the
+    // operator's point: the rest of those docs is clean), while the 4%
+    // probe-slice docs flag whole-doc; the oracle replays the planting,
+    // positioned shingles, semi-join, and gaps-and-islands merge.
+    Q(
+      "q_decontaminate_spans", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' $evalQuestion'
+           |         ELSE text END AS text
+           |  FROM documents),
+           |tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM d),
+           |sh AS (
+           |  SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM tk0 WHERE len(tk) >= 5)),
+           |rawtk AS (
+           |  SELECT ${tkSql("text")} AS tk FROM documents WHERE $b < 40),
+           |probe AS (
+           |  SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM rawtk WHERE len(tk) >= 5)
+           |  UNION
+           |  SELECT DISTINCT array_to_string(ptk[i:i+4], ' ') AS s
+           |  FROM (SELECT ptk, unnest(range(1, len(ptk) - 3)) AS i
+           |        FROM (SELECT ${tkSql(s"'$evalQuestion'")} AS ptk))),
+           |hits AS (SELECT doc_id, start FROM sh WHERE s IN (SELECT s FROM probe)),
+           |o AS (
+           |  SELECT doc_id, start,
+           |    CASE WHEN lag(start) OVER w IS NULL
+           |           OR start > lag(start) OVER w + 5 THEN 1 ELSE 0 END AS ni
+           |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+           |isl AS (
+           |  SELECT doc_id, start,
+           |    sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+           |      ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM o)
+           |SELECT doc_id AS id, CAST(min(start) AS BIGINT) AS span_start,
+           |  CAST(max(start) + 5 AS BIGINT) AS span_end,
+           |  CAST(max(start) + 5 - min(start) AS BIGINT) AS span_tokens,
+           |  CAST(count(*) AS BIGINT) AS n_gram_hits
+           |FROM isl GROUP BY doc_id, island
+           |ORDER BY id, span_start""".stripMargin
+      }
+    ) { (s, dir) =>
+      import s.implicits._
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = base.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + evalQuestion)))
+          .otherwise(col("text")).as("text"))
+      val probes = Sampling.hashSample(base, col("doc_id"), 0.04)
+        .select(col("text"))
+        .unionByName(Seq(evalQuestion).toDF("text"))
+      Dedup.contaminationSpans(d, col("doc_id"), col("text"), probes, col("text"), n = 5)
+        .orderBy("id", "span_start")
+    },
+
+    // D21e: masked decontamination rebuild — contaminated positions
+    // excised, document re-assembled from survivors (q_dedup_spans'
+    // rebuild oracle pointed at benchmark overlap).
+    Q(
+      "q_decontaminate_mask", {
+        val b = Sampling.hashBucketSql("doc_id")
+        s"""WITH tk0 AS (
+           |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+           |sh AS (
+           |  SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM tk0 WHERE len(tk) >= 5)),
+           |probe AS (
+           |  SELECT DISTINCT s FROM sh
+           |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE $b < 30)),
+           |hits AS (SELECT doc_id, start FROM sh WHERE s IN (SELECT s FROM probe)),
+           |lose AS (
+           |  SELECT DISTINCT doc_id, pos FROM (
+           |    SELECT doc_id, unnest(range(start, start + 5)) AS pos FROM hits)),
+           |tp AS (
+           |  SELECT doc_id, pos, tk[pos + 1] AS term FROM (
+           |    SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM tk0)),
+           |kept AS (
+           |  SELECT t.doc_id, t.pos, t.term
+           |  FROM tp t LEFT JOIN lose l ON t.doc_id = l.doc_id AND t.pos = l.pos
+           |  WHERE l.doc_id IS NULL),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |    string_agg(term, ' ' ORDER BY pos) AS cleaned
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id AS id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_masked,
+           |  round(CASE WHEN len(tk) = 0 THEN 0.0
+           |    ELSE (len(tk) - coalesce(n_kept, 0)) * 1.0 / len(tk) END, 4)
+           |    AS masked_ratio,
+           |  coalesce(cleaned, '') AS cleaned_text
+           |FROM tk0 t LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = Sampling.hashSample(d, col("doc_id"), 0.03)
+      Dedup.maskContamination(d, col("doc_id"), col("text"), probes, col("text"), n = 5)
         .orderBy("id")
     },
 

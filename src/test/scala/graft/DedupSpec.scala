@@ -896,4 +896,48 @@ class DedupSpec extends SparkSpec {
     // compression really happened: 8 int codes per vector
     assert(enc.select(size(col("codes"))).distinct().as[Int].collect().toSeq == Seq(8))
   }
+
+  test("contaminationSpans: hand-computed intervals; overlapping and adjacent hits merge, gaps split") {
+    val probes = Seq("alpha beta gamma delta epsilon zeta").toDF("ptext")
+    val cs = Seq(
+      // single embedded probe 5-gram: hit at start 2 only -> span [2, 7)
+      (1L, "x1 x2 alpha beta gamma delta epsilon x3 x4"),
+      // probe verbatim (hits 0, 1) then a re-quote at 6: 6 <= 1+5 so ALL
+      // three hits chain into ONE span covering the whole doc
+      (2L, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon"),
+      // clean doc: no span rows at all
+      (3L, "zeta eta theta iota kappa lambda"),
+      // two hits with a real gap (8 > 2+5): two separate spans
+      (4L, "mu nu alpha beta gamma delta epsilon nu alpha beta gamma delta epsilon"),
+      // too short to shingle: no span rows
+      (5L, "alpha beta")).toDF("id", "text")
+    val out = Dedup.contaminationSpans(cs, col("id"), col("text"),
+        probes, col("ptext"), n = 5)
+      .orderBy("id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 7L, 5L, 1L),
+      (2L, 0L, 11L, 11L, 3L),
+      (4L, 2L, 7L, 5L, 1L),
+      (4L, 8L, 13L, 5L, 1L)))
+  }
+
+  test("maskContamination: covered positions excised, clean and empty docs pass through") {
+    val probes = Seq("alpha beta gamma delta epsilon zeta").toDF("ptext")
+    val cs = Seq(
+      (1L, "x1 x2 alpha beta gamma delta epsilon x3 x4"),
+      (2L, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa lambda"),
+      (4L, "mu nu alpha beta gamma delta epsilon nu alpha beta gamma delta epsilon"),
+      (5L, "")).toDF("id", "text")
+    val out = Dedup.maskContamination(cs, col("id"), col("text"),
+        probes, col("ptext"), n = 5)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(out(0) == ((1L, 9L, 5L, math.rint(5.0 / 9.0 * 1e4) / 1e4, "x1 x2 x3 x4")))
+    assert(out(1) == ((2L, 11L, 11L, 1.0, "")))
+    assert(out(2) == ((3L, 6L, 0L, 0.0, "zeta eta theta iota kappa lambda")))
+    assert(out(3) == ((4L, 13L, 10L, math.rint(10.0 / 13.0 * 1e4) / 1e4, "mu nu nu")))
+    assert(out(4) == ((5L, 0L, 0L, 0.0, "")))
+  }
 }
