@@ -1420,6 +1420,27 @@ object Dedup {
     * assumption — the reason a bloom pre-filter wins in the first
     * place.
     */
+  /** Probe-side Bloom sketch alone — the distilled, shippable artifact
+    * of [[contaminationBloom]]'s pre-filter: build once from the
+    * benchmark suite, then gate arriving shards ANYWHERE (the
+    * streaming tier [[graft.streaming.EventStreams.decontaminateStream]],
+    * or a plain filter in front of a batch confirm-join) without
+    * re-reading the probes. Driver metadata by the same contract as
+    * IVF centroids: kilobytes-to-MB for benchmark-suite-sized sets.
+    */
+  def probeBloom(
+      probes: DataFrame,
+      probeText: Column,
+      n: Int = 5,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val probeSh = scaleOut(probes.select(probeText.as("__text")))
+      .select(explode(array_distinct(shingles(tokens(col("__text")), n))).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+    val nProbe = math.max(probeSh.count(), 1000L)
+    probeSh.stat.bloomFilter("sh", nProbe, fpp)
+  }
+
   def contaminationBloom(
       docs: DataFrame,
       id: Column,

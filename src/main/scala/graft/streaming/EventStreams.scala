@@ -151,6 +151,54 @@ object EventStreams {
     }
   }
 
+  /** E16: streaming decontamination gate — the shard-arrival twin of
+    * batch [[graft.operators.Dedup.contaminationBloom]]: arriving docs
+    * score against the benchmark suite with NO state store and NO
+    * shuffle. The probe's distinct shingle set is compiled into a
+    * Bloom sketch once ([[graft.operators.Dedup.probeBloom]] — driver
+    * metadata, ~1.2 MB per 1M shingles at 1% fpp) and probed
+    * row-locally, so the gate composes with any downstream stateful
+    * stage and a restart carries no contamination state to rebuild.
+    *
+    * The estimate only OVERCOUNTS (Bloom has no false negatives): a
+    * doc whose true contamination exceeds the threshold is ALWAYS
+    * flagged; clean docs flag at ≤ fpp per shingle. Flag-not-drop:
+    * every row flows on with (n_shingles, n_flagged,
+    * contamination_est, flagged) so a downstream exact confirm — or
+    * the batch contaminationBloom run over the accepted corpus — makes
+    * the final call.
+    *
+    * The per-shingle probe is an interpreted HOF lambda over the
+    * row's own shingle array (bound as a lambda var: ONE evaluation
+    * per row) — bounded by doc length, the stream-side tier where that
+    * cost is acceptable; the batch tier keeps contaminationBloom's
+    * codegen'd explode. Runs identically on batch frames (the
+    * stream==batch proof in StreamingSpec).
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      textCol: String,
+      probeBloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 5,
+      maxContamination: Double = 0.05): DataFrame = {
+    import graft.functions._
+    val sh = array_distinct(shingles(tokens(col(textCol)), n))
+    val g = get(transform(array(sh), arr => struct(
+      size(arr).as("n"),
+      size(filter(arr, s =>
+        BloomMightContain.mightContain(xxhash64(s), probeBloom))).as("hit"))),
+      lit(0))
+    docs.withColumn("__g", g)
+      .withColumn("n_shingles", col("__g").getField("n").cast("long"))
+      .withColumn("n_flagged", col("__g").getField("hit").cast("long"))
+      .withColumn("contamination_est",
+        when(col("n_shingles") > 0,
+          round(col("n_flagged").cast("double") / col("n_shingles"), 4))
+          .otherwise(0.0))
+      .withColumn("flagged", col("contamination_est") > maxContamination)
+      .drop("__g")
+  }
+
   /** E6: streaming INCREMENTAL dedup — the streaming twin of batch
     * `Dedup.exactIncremental`: arriving records drop (a) anything whose
     * content fingerprint is already in the static corpus index (stream-

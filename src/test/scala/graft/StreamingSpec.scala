@@ -793,4 +793,65 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("E16 decontaminateStream: planted leak always flags (no false negatives), clean passes, stream == batch") {
+    val eval = "which year did the treaty of westphalia end the thirty years war"
+    val clean = "the quick brown fox jumps over the lazy dog today"
+    val bloom = graft.operators.Dedup.probeBloom(
+      Seq(eval).toDF("text"), col("text"), n = 5)
+    val rows = Seq(
+      (1L, eval),                    // verbatim leak: 8/8 grams, est 1.0
+      (2L, clean + " " + eval),      // tail leak: 8/18 grams, est 0.4444
+      (3L, clean + " again"),        // clean: 0 hits
+      (4L, "too short"))             // under n tokens: no shingles, est 0
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "text", bloom, n = 5)
+      .select("doc_id", "n_shingles", "n_flagged", "contamination_est", "flagged")
+      .writeStream.format("memory").queryName("e16_out").outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("e16_out")
+        .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      // Bloom NEVER false-negatives: every contaminated gram counts
+      assert(streamed(0) == ((1L, 8L, 8L, 1.0, true)))
+      assert(streamed(1) == ((2L, 18L, 8L, math.rint(8.0 / 18.0 * 1e4) / 1e4, true)))
+      // clean / degenerate docs flow through un-flagged, not dropped
+      assert(streamed(2) == ((3L, 7L, 0L, 0.0, false)))
+      assert(streamed(3) == ((4L, 0L, 0L, 0.0, false)))
+      // identical code path on a batch frame: exact agreement
+      val batch = EventStreams.decontaminateStream(
+          rows.toDF("doc_id", "text"), "text", bloom, n = 5)
+        .select("doc_id", "n_shingles", "n_flagged", "contamination_est", "flagged")
+        .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("E16 decontaminateStream on real documents: stream == batch, flags bounded by bloom overcount") {
+    val d = sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200).cache()
+    val probes = d.filter(col("doc_id") % 10 === 0).select(col("text"))
+    val bloom = graft.operators.Dedup.probeBloom(probes, col("text"), n = 5)
+    val rows = d.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "text", bloom, n = 5)
+      .filter(col("flagged")).select("doc_id")
+      .writeStream.format("memory").queryName("e16b_out").outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("e16b_out").as[Long].collect().toSet
+      val batch = EventStreams.decontaminateStream(
+          d.toDF(), "text", bloom, n = 5)
+        .filter(col("flagged")).select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      // every probe-member doc is fully contaminated -> must be flagged
+      val probeIds = d.filter(col("doc_id") % 10 === 0)
+        .select("doc_id").as[Long].collect().toSet
+      assert(probeIds.subsetOf(streamed), "a probe member escaped the gate")
+    } finally q.stop()
+  }
 }
