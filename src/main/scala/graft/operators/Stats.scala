@@ -115,6 +115,73 @@ object Stats {
       .drop("__v", "__n", "__s", "__ss")
   }
 
+  /** Level-shift changepoint scan (two-window edge filter) — WHEN did
+    * a series move to a new level, the time-localization companion to
+    * [[Profile.psi]]'s "did the distribution drift" and [[rollingZ]]'s
+    * "is this one point anomalous": each (key, bucket) compares the
+    * TRAILING `width` buckets' mean against the LEADING `width`
+    * buckets' mean (current row starts the leading window — the
+    * candidate first point of the new level), normalized by the
+    * trailing window's sample stddev (the pre-change regime is the
+    * baseline; the post window carries the new level's own variance).
+    * Rows without FULL windows on both sides report zeros un-flagged —
+    * no baseline, no verdict. A true step flags a few consecutive
+    * buckets (the filter has width `width`); keep the max-|z| bucket
+    * per run for a point estimate.
+    *
+    * Shape at scale: ONE key-partitioned ordered window carrying five
+    * running moments (exact decimal sums — identical on any
+    * engine/partitioning); doubles derive once at the end, 4-dp
+    * toward-zero ([[rollingZ]]'s contract). A flat-baseline step
+    * (std = 0, shift ≠ 0) is infinitely significant: flagged with the
+    * z sentinel 0 rather than dividing by zero.
+    */
+  def levelShift(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      width: Int,
+      zThresh: Double = 4.0): DataFrame = {
+    require(width >= 2, "width >= 2: a stddev baseline needs at least two points")
+    def t4(c: Column): Column = Num.t4zero(c)
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(bucket)
+    val wPre = base.rowsBetween(-width, -1)
+    val wPost = base.rowsBetween(0, width - 1)
+    val d = df.withColumn("__v", value.cast("double"))
+      .withColumn("__np", count(col("__v")).over(wPre))
+      .withColumn("__sp", sum(Num.dec(col("__v"))).over(wPre))
+      .withColumn("__ssp", sum(Num.dec(col("__v")) * Num.dec(col("__v"))).over(wPre))
+      .withColumn("__nq", count(col("__v")).over(wPost))
+      .withColumn("__sq", sum(Num.dec(col("__v"))).over(wPost))
+    // ANSI guard: edge rows have empty windows (np/nq = 0) — their
+    // derived values are never reported (the `full` gate below zeroes
+    // them), but the division itself must not throw
+    val np = greatest(col("__np").cast("double"), lit(1.0))
+    val nq = greatest(col("__nq").cast("double"), lit(1.0))
+    val pre = col("__sp").cast("double") / np
+    val post = col("__sq").cast("double") / nq
+    val variance = greatest(lit(0.0),
+      (col("__ssp").cast("double") -
+        col("__sp").cast("double") * col("__sp").cast("double") / np) /
+        greatest(np - 1, lit(1.0)))
+    val std = sqrt(variance)
+    val shift = post - pre
+    val full = col("__np") === width && col("__nq") === width
+    val z = when(full && std > 0.0, t4(shift / std)).otherwise(lit(0.0))
+    val changepoint = full &&
+      ((std > 0.0 && abs(z) > zThresh) || (std === 0.0 && shift =!= 0.0))
+    d.withColumn("n_pre", col("__np"))
+      .withColumn("n_post", col("__nq"))
+      .withColumn("pre_mean", when(full, t4(pre)).otherwise(lit(0.0)))
+      .withColumn("post_mean", when(full, t4(post)).otherwise(lit(0.0)))
+      .withColumn("shift", when(full, t4(shift)).otherwise(lit(0.0)))
+      .withColumn("shift_z", z)
+      .withColumn("changepoint", changepoint)
+      .drop("__v", "__np", "__sp", "__ssp", "__nq", "__sq")
+  }
+
   /** Classifier threshold sweep — the calibration report behind "where
     * do we set the quality-gate cut?": for each candidate threshold t,
     * the confusion counts of the rule `score >= t` against a boolean

@@ -344,6 +344,62 @@ object TemporalQueries {
         .orderBy("cohort", "week_offset")
     },
 
+    // C56: level-shift changepoint scan over hourly per-type event
+    // volumes — trailing-vs-leading 12-bucket means normalized by the
+    // trailing sample stddev; only full-window rows report non-zero,
+    // flat-baseline steps flag with the z=0 sentinel. The oracle
+    // replays the five window moments and the identical double
+    // derivation order.
+    Q(
+      "q_level_shift", {
+        def t4z(e: String) = s"sign($e) * (floor(abs($e) * 1e4) / 1e4) + 0.0"
+        val z = t4z("(post - pre) / sd")
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    epoch_ns(ts) // 3600000000000 AS bucket,
+           |    CAST(count(*) AS DOUBLE) AS value
+           |  FROM events GROUP BY 1, 2),
+           |m AS (
+           |  SELECT key, bucket, value,
+           |    count(value) OVER wp AS np,
+           |    sum(CAST(value AS DECIMAL(18,6))) OVER wp AS sp,
+           |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER wp AS ssp,
+           |    count(value) OVER wq AS nq,
+           |    sum(CAST(value AS DECIMAL(18,6))) OVER wq AS sq
+           |  FROM b
+           |  WINDOW wp AS (PARTITION BY key ORDER BY bucket
+           |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+           |    wq AS (PARTITION BY key ORDER BY bucket
+           |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING)),
+           |d AS (
+           |  SELECT key, bucket, value, np, nq,
+           |    CAST(sp AS DOUBLE) / np AS pre,
+           |    CAST(sq AS DOUBLE) / nq AS post,
+           |    sqrt(greatest(0.0,
+           |      (CAST(ssp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / np)
+           |        / (np - 1))) AS sd,
+           |    (np = 12 AND nq = 12) AS fullw
+           |  FROM m)
+           |SELECT key, CAST(bucket AS BIGINT) AS bucket, value,
+           |  CAST(np AS BIGINT) AS n_pre, CAST(nq AS BIGINT) AS n_post,
+           |  CASE WHEN fullw THEN ${t4z("pre")} ELSE 0.0 END AS pre_mean,
+           |  CASE WHEN fullw THEN ${t4z("post")} ELSE 0.0 END AS post_mean,
+           |  CASE WHEN fullw THEN ${t4z("post - pre")} ELSE 0.0 END AS shift,
+           |  CASE WHEN fullw AND sd > 0.0 THEN $z ELSE 0.0 END AS shift_z,
+           |  (fullw AND ((sd > 0.0 AND abs(CASE WHEN sd > 0.0 THEN $z ELSE 0.0 END) > 4.0)
+           |    OR (sd = 0.0 AND post - pre <> 0.0))) AS changepoint
+           |FROM d ORDER BY key, bucket""".stripMargin
+      }
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      Stats.levelShift(buckets, col("key"), col("bucket"), col("value"),
+          width = 12, zThresh = 4.0)
+        .orderBy("key", "bucket")
+    },
+
     // C47: rolling z-score anomaly flags over hourly per-type event
     // volumes — each bucket scored against its trailing 24 buckets'
     // exact-decimal moments; z truncated 4 dp toward zero (the

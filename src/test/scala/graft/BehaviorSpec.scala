@@ -243,4 +243,41 @@ class BehaviorSpec extends SparkSpec {
     assert(b0._6 == b9._6)
     assert(b0._6 == math.floor(0.2 / 4 * 1e4) / 1e4)
   }
+
+  test("levelShift: hand-computed step flags; flat-baseline sentinel; edges report zeros") {
+    import graft.operators.Stats
+    // key "t": 1,2,3 then 10,11,12 — at the step bucket pre = 2, sd = 1,
+    // post = 11, shift = 9, z = 9 (> 2). key "s": flat 10s then flat
+    // 20s — sd = 0, shift != 0 -> flagged with the z = 0 sentinel.
+    val rows =
+      Seq.tabulate(6)(i => ("t", i.toLong, if (i < 3) 1.0 + i else 7.0 + i)) ++
+      Seq.tabulate(8)(i => ("s", i.toLong, if (i < 4) 10.0 else 20.0))
+    val out = Stats.levelShift(rows.toDF("k", "bucket", "v"),
+        col("k"), col("bucket"), col("v"), width = 3, zThresh = 2.0)
+      .select("k", "bucket", "pre_mean", "post_mean", "shift", "shift_z", "changepoint")
+      .as[(String, Long, Double, Double, Double, Double, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    val s = out.filter(_._1 == "s")
+    val t = out.filter(_._1 == "t")
+    // t: only bucket 3 has full windows ([0,2] / [3,5])
+    assert(t(3) == (("t", 3L, 2.0, 11.0, 9.0, 9.0, true)), t(3).toString)
+    // every edge row (no full window pair) reports zeros, un-flagged
+    (t.take(3) ++ t.drop(4)).foreach { r =>
+      assert((r._3, r._4, r._5, r._6, r._7) == ((0.0, 0.0, 0.0, 0.0, false)), r.toString)
+    }
+    // s: buckets 3,4,5 have full windows; bucket 4 is the step (pre
+    // window [1,3] all 10s -> sd 0, post [4,6] all 20s): flagged, z=0
+    assert(s(4) == (("s", 4L, 10.0, 20.0, 10.0, 0.0, true)), s(4).toString)
+    // bucket 3: pre all-10 flat, post mixed (10,20,20): flagged too
+    // (sd = 0, shift = 20/3 - 10 != 0) — the filter has width 3
+    assert(s(3)._7 && s(3)._6 == 0.0, s(3).toString)
+    // bucket 5: pre (10,10,20) has sd > 0 -> a real z, NOT the
+    // sentinel, and it stays under threshold (z ≈ 1.15): un-flagged.
+    // Replicate the operator's exact double path: moments from exact
+    // sums, then pre = s/n, var = (ss - s²/n)/(n-1)
+    val sd = math.sqrt((600.0 - 1600.0 / 3.0) / 2.0)
+    val zRaw = (20.0 - 40.0 / 3.0) / sd
+    val zExp = math.signum(zRaw) * math.floor(math.abs(zRaw) * 1e4) / 1e4
+    assert(s(5)._6 == zExp && !s(5)._7, s"${s(5)} vs $zExp")
+  }
 }

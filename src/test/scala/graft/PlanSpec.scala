@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpec {
         "q_asof_join", "q_epe_shape_b", "q_pack_sequences", "q_quantile_bucket",
         "q_tfidf_topterms", "q_dedup_sorted", "q_dedup_spans",
         "q_perplexity_buckets", "q_admit_budget", "q_shuffle_shards",
-        "q_token_loops", "q_seasonal")) {
+        "q_token_loops", "q_seasonal", "q_decontaminate_spans")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = globalWindows(df)
       assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")
@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
       s"no exchange reuse in jaccard plan:\n$plan")
+  }
+
+  test("span decontamination is a semi-join over hashed shingles, never a product") {
+    val df = SparkEntry.queries("q_decontaminate_spans")(spark, sf)
+    val plan = run(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"span decontamination degenerated to a product:\n$plan")
+    assert(plan.contains("LeftSemi"), s"probe match is not a semi-join:\n$plan")
   }
 
   test("interval-overlap join never plans a product join") {
