@@ -149,4 +149,72 @@ object Behavior {
       .groupBy(col("cohort"), (col("w") - col("cohort")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Multi-touch attribution — which channel gets credit for each
+    * conversion's value, the credit-assignment layer above the raw
+    * interval-attribution pair list (C22): every conversion's value is
+    * split across the same user's qualifying touches in the preceding
+    * `lookbackUs` window under three standard models at once — linear
+    * (value / n touches), first-touch (all to the earliest), and
+    * last-touch (all to the latest) — then rolled up per channel.
+    * Ties on touch timestamp break by touch id, so first/last are
+    * engine-independent.
+    *
+    * Shape at scale: the pair join is the C22 interval shape (equi-join
+    * on user + two-sided time bound — work bounded by touches within
+    * the lookback, never user×user); rank/count run in ONE
+    * conversion-keyed window (bounded by touches per conversion); each
+    * per-touch credit truncates at 7 dp toward zero into exact decimal
+    * lanes BEFORE the channel rollup, so the sums are
+    * partition-order-independent (the PSI/pagerank contract). Final
+    * credits cast back to double.
+    *
+    * Returns one row per channel: (channel, n_touches, n_conversions,
+    * credit_linear, credit_first, credit_last). Conversions with no
+    * qualifying touch are absent by construction (nothing to credit) —
+    * count them with `funnel`/C22 if the gap matters.
+    */
+  def attributionCredit(
+      events: DataFrame,
+      user: Column,
+      id: Column,
+      tsUs: Column,
+      eventType: Column,
+      value: Column,
+      conversionType: String,
+      touchTypes: Seq[String],
+      lookbackUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "at least one touch type")
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val e = events.select(user.as("u"), id.as("id"), tsUs.as("ts"),
+      eventType.as("t"), value.as("v"))
+    val conv = e.filter(col("t") === conversionType)
+      .select(col("u"), col("id").as("conv_id"), col("ts").as("cts"),
+        col("v").cast("double").as("cv"))
+    val touch = e.filter(col("t").isin(touchTypes: _*))
+      .select(col("u"), col("id").as("touch_id"), col("ts").as("tts"),
+        col("t").as("channel"))
+    val pairs = conv.join(touch, Seq("u"))
+      .filter(col("tts") >= col("cts") - lookbackUs && col("tts") <= col("cts"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+    val ranked = pairs
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("tts").asc, col("touch_id").asc)))
+      .withColumn("__n", count(lit(1)).over(w))
+    def d7(c: Column): Column =
+      (signum(c) * (floor(abs(c) * 1e7) / 1e7)).cast("decimal(28,7)")
+    val zero = lit(BigDecimal(0)).cast("decimal(28,7)")
+    ranked
+      .select(col("channel"), col("conv_id"),
+        d7(col("cv") / col("__n")).as("__lin"),
+        when(col("__rn") === 1, d7(col("cv"))).otherwise(zero).as("__first"),
+        when(col("__rn") === col("__n"), d7(col("cv"))).otherwise(zero).as("__last"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(col("__lin")).cast("double").as("credit_linear"),
+        sum(col("__first")).cast("double").as("credit_first"),
+        sum(col("__last")).cast("double").as("credit_last"))
+  }
 }

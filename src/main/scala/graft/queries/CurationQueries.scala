@@ -493,6 +493,62 @@ object CurationQueries {
         .orderBy("user_id", "purchase_id", "click_id")
     },
 
+    // C57: multi-touch attribution — C22's pair list promoted to
+    // credit assignment: each purchase's value split across the
+    // preceding hour's click/view touches under linear, first-touch,
+    // and last-touch models in one pass; per-touch credits truncate
+    // 7 dp into exact decimal lanes before the channel rollup so both
+    // engines sum identical amounts in any order.
+    Q(
+      "q_attribution_credit", {
+        def d7(e: String) =
+          s"CAST(sign($e) * (floor(abs($e) * 1e7) / 1e7) AS DECIMAL(28,7))"
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+           |  FROM events),
+           |conv AS (
+           |  SELECT user_id, event_id AS conv_id, ts_us AS cts,
+           |    CAST(value AS DOUBLE) AS cv
+           |  FROM e WHERE event_type = 'purchase'),
+           |touch AS (
+           |  SELECT user_id, event_id AS touch_id, ts_us AS tts,
+           |    event_type AS channel
+           |  FROM e WHERE event_type IN ('click', 'view')),
+           |pairs AS (
+           |  SELECT c.conv_id, c.cv, t.channel, t.touch_id, t.tts
+           |  FROM conv c JOIN touch t
+           |    ON c.user_id = t.user_id
+           |   AND t.tts >= c.cts - 3600000000 AND t.tts <= c.cts),
+           |r AS (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY conv_id ORDER BY tts, touch_id) AS rn,
+           |    count(*) OVER (PARTITION BY conv_id) AS n
+           |  FROM pairs),
+           |cr AS (
+           |  SELECT channel, conv_id,
+           |    ${d7("cv / n")} AS lin,
+           |    CASE WHEN rn = 1 THEN ${d7("cv")}
+           |         ELSE CAST(0 AS DECIMAL(28,7)) END AS fi,
+           |    CASE WHEN rn = n THEN ${d7("cv")}
+           |         ELSE CAST(0 AS DECIMAL(28,7)) END AS la
+           |  FROM r)
+           |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           |  CAST(sum(lin) AS DOUBLE) AS credit_linear,
+           |  CAST(sum(fi) AS DOUBLE) AS credit_first,
+           |  CAST(sum(la) AS DOUBLE) AS credit_last
+           |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
+      }
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+      graft.operators.Behavior.attributionCredit(ev,
+          col("user_id"), col("event_id"), expr("ts_ns div 1000"),
+          col("event_type"), col("value"),
+          conversionType = "purchase", touchTypes = Seq("click", "view"),
+          lookbackUs = 3600000000L)
+        .orderBy("channel")
+    },
+
     // C21: quantile bucketing — ntile quartiles per event type with a
     // deterministic tiebreak, the binning step behind stratified
     // quality thresholds.

@@ -244,6 +244,32 @@ class BehaviorSpec extends SparkSpec {
     assert(b0._6 == math.floor(0.2 / 4 * 1e4) / 1e4)
   }
 
+  test("attributionCredit: linear/first/last hand-computed; window excludes, ties break by id, creditless conversions absent") {
+    // u1: P1 v=30 with touches click(950) view(960) click(990); the
+    //     click at 850 is outside the 100us lookback of ts 1000
+    // u2: P2 v=12 with ONE view exactly AT the conversion ts (boundary in)
+    // u3: conversion with no touches -> contributes nothing
+    // u4: P3 v=10 with two clicks at the SAME ts -> id tiebreak
+    val ev = Seq(
+      (1L, 100L, 1000L, "purchase", 30.0), (1L, 1L, 950L, "click", 0.0),
+      (1L, 2L, 960L, "view", 0.0), (1L, 3L, 990L, "click", 0.0),
+      (1L, 4L, 850L, "click", 0.0),
+      (2L, 101L, 2000L, "purchase", 12.0), (2L, 5L, 2000L, "view", 0.0),
+      (3L, 103L, 5000L, "purchase", 9.0),
+      (4L, 102L, 3000L, "purchase", 10.0), (4L, 6L, 2950L, "click", 0.0),
+      (4L, 7L, 2950L, "click", 0.0)
+    ).toDF("u", "id", "ts", "t", "v")
+    val out = Behavior.attributionCredit(ev, col("u"), col("id"), col("ts"),
+        col("t"), col("v"), "purchase", Seq("click", "view"), lookbackUs = 100L)
+      .orderBy("channel")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    // click: P1 linear 10+10, P3 linear 5+5 = 30; first = P1's 30 + P3's
+    // 10 (id 6 wins the tie) = 40; last = P1's 30 + P3's 10 (id 7) = 40
+    assert(out(0) == (("click", 4L, 2L, 30.0, 40.0, 40.0)), out(0).toString)
+    // view: P1's middle touch (linear only) + P2's sole touch (all three)
+    assert(out(1) == (("view", 2L, 2L, 22.0, 12.0, 12.0)), out(1).toString)
+  }
+
   test("levelShift: hand-computed step flags; flat-baseline sentinel; edges report zeros") {
     import graft.operators.Stats
     // key "t": 1,2,3 then 10,11,12 — at the step bucket pre = 2, sd = 1,
