@@ -686,6 +686,83 @@ object EventStreams {
       }
   }
 
+  case class LsOut(
+      key: Long, bucket: Long, value: Double,
+      pre_mean: Double, post_mean: Double, shift: Double,
+      shift_z: Double, changepoint: Boolean)
+
+  /** E17: STREAMING level-shift changepoint monitor — the stateful twin
+    * of [[graft.operators.Stats.levelShift]], closing the monitoring
+    * triad (E15 distribution drift, E13 point anomalies, this one
+    * level moves). A verdict for bucket t needs the LEADING window
+    * [t, t+width−1], so the monitor holds the last 2·width (bucket,
+    * value) pairs per key — O(width) state, no watermark (count-sliding
+    * like E13) — and emits each bucket's verdict exactly once, `width`
+    * buckets after it arrives, as soon as its leading window completes.
+    * Edge buckets (the batch operator's zero-unflagged rows) never
+    * complete a window pair and are never emitted: streamed output ==
+    * the batch frame filtered to full-window rows, EXACTLY (the spec's
+    * claim — same 6-dp HALF_UP decimal reduction, same double division
+    * sequence, same 4-dp toward-zero truncation).
+    *
+    * Ordering contract: per-key delivery in bucket order across
+    * batches ([[rollingZStream]]'s shape); within a batch rows sort
+    * here.
+    */
+  def levelShiftStream(
+      df: DataFrame,
+      width: Int,
+      zThresh: Double = 4.0): Dataset[LsOut] = {
+    require(width >= 2, "width >= 2: a stddev baseline needs at least two points")
+    implicit val inEnc = Encoders.product[RzIn]
+    implicit val outEnc = Encoders.product[LsOut]
+    implicit val stEnc = Encoders.kryo[Vector[(Long, Double)]]
+    implicit val longEnc = Encoders.scalaLong
+    def dec(v: Double): BigDecimal =
+      BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def t4zero(x: Double): Double =
+      math.signum(x) * (math.floor(math.abs(x) * 1e4) / 1e4) + 0.0
+    df.select(col("key").cast("long"), col("bucket").cast("long"),
+        col("value").cast("double"))
+      .as[RzIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Vector[(Long, Double)], LsOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[RzIn],
+            state: GroupState[Vector[(Long, Double)]]) =>
+          var buf = state.getOption.getOrElse(Vector.empty[(Long, Double)])
+          val out = Vector.newBuilder[LsOut]
+          rows.toSeq.sortBy(_.bucket).foreach { r =>
+            buf = buf :+ (r.bucket -> r.value)
+            if (buf.length == 2 * width) {
+              // entries [0, w) are the pre window, entry w the candidate,
+              // [w, 2w) its just-completed post window
+              val pre = buf.take(width).map(_._2)
+              val post = buf.drop(width).map(_._2)
+              val (tb, tv) = buf(width)
+              val sp = pre.map(dec).sum
+              val ssp = pre.map(v => dec(v) * dec(v)).sum
+              val sq = post.map(dec).sum
+              val preMean = sp.toDouble / width
+              val postMean = sq.toDouble / width
+              val variance = math.max(0.0,
+                (ssp.toDouble - sp.toDouble * sp.toDouble / width) / (width - 1))
+              val std = math.sqrt(variance)
+              val shift = postMean - preMean
+              val z = if (std > 0.0) t4zero(shift / std) else 0.0
+              val changepoint =
+                (std > 0.0 && math.abs(z) > zThresh) ||
+                (std == 0.0 && shift != 0.0)
+              out += LsOut(key, tb, tv, t4zero(preMean), t4zero(postMean),
+                t4zero(shift), z, changepoint)
+              buf = buf.drop(1)
+            }
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+
   def sessionize(
       events: DataFrame,
       gapUs: Long = 43200000000L,

@@ -703,6 +703,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E17 levelShiftStream: verdicts lag the leading window, survive batch splits, equal batch full rows") {
+    // key 0: a level step 10 -> 20 at bucket 20 (flat baseline -> the
+    // z=0 sentinel path); key 1: noisy ramp-free series, no flags
+    val rows = for (k <- 0L to 1L; b <- 0L until 40L) yield
+      (k, b, if (k == 0) { if (b < 20) 10.0 else 20.0 }
+             else 4.0 + (b % 5) * 0.25)
+    val input = MemoryStream[(Long, Long, Double)](spark)
+    val q = EventStreams.levelShiftStream(
+        input.toDF().toDF("key", "bucket", "value"), width = 6, zThresh = 4.0)
+      .writeStream.format("memory").queryName("e17_out").outputMode("append").start()
+    try {
+      // splits land mid-buffer: the 2*width state must carry over
+      input.addData(rows.filter(_._2 < 13))
+      q.processAllAvailable()
+      input.addData(rows.filter(r => r._2 >= 13 && r._2 < 27))
+      q.processAllAvailable()
+      input.addData(rows.filter(_._2 >= 27))
+      q.processAllAvailable()
+      val streamed = spark.table("e17_out")
+        .as[(Long, Long, Double, Double, Double, Double, Double, Boolean)]
+        .collect().toSet
+      // batch twin restricted to full-window rows — the only verdicts a
+      // stream can ever emit (edges never complete a window pair)
+      val batch = graft.operators.Stats.levelShift(
+          rows.toDF("key", "bucket", "value"),
+          col("key"), col("bucket"), col("value"), width = 6, zThresh = 4.0)
+        .filter(col("n_pre") === 6 && col("n_post") === 6)
+        .select(col("key"), col("bucket"), col("value"), col("pre_mean"),
+          col("post_mean"), col("shift"), col("shift_z"), col("changepoint"))
+        .as[(Long, Long, Double, Double, Double, Double, Double, Boolean)]
+        .collect().toSet
+      assert(streamed == batch,
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+      // the step flags at bucket 20 on key 0 via the flat-baseline
+      // sentinel (sd = 0, z = 0), and never on the stable key
+      val flagged = streamed.filter(_._8)
+      assert(flagged.exists(r => r._1 == 0L && r._2 == 20L && r._7 == 0.0))
+      assert(flagged.forall(_._1 == 0L))
+    } finally q.stop()
+  }
+
   test("E12 admitStream: budget tap closes across batches, equals batch admission") {
     val docs = (0L until 200L).map(i => (i, i % 4, i, (i * 37) % 300 + 1))
     val input = MemoryStream[(Long, Long, Long, Long)](spark)
