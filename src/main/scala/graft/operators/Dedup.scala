@@ -616,6 +616,58 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** DIRECTIONAL n-gram containment pairs (asymmetric Jaccard) — the
+    * quote detector symmetric similarity can't be: a 300-word article
+    * quoted wholesale inside a 10k-word aggregation page has Jaccard
+    * ≈ 0.03 (invisible to [[ngramJaccard]]/[[minHashLSH]] at any sane
+    * threshold) but containment |A∩B|/|A| ≈ 1. Candidates come from
+    * the SAME df-capped inverted index as [[ngramJaccard]] (shared
+    * exchange discipline, 8-byte hashed shingles, ubiquitous shingles
+    * dropped); each unordered candidate pair then scores BOTH
+    * directions against the full distinct-shingle set sizes, emitting
+    * one row per direction clearing `threshold`:
+    * (id_inner, id_outer, n_inner, n_outer, containment) — inner is
+    * the (mostly-)contained side. An exact duplicate pair emits both
+    * directions at 1.0.
+    *
+    * Same recall caveat as ngramJaccard: intersections count only
+    * df-capped shingles while sizes are uncapped, so containment is
+    * an UNDERestimate for docs built of boilerplate — the df cap is
+    * the price of never joining a quadratic bucket.
+    */
+  def ngramContainment(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 5,
+      dfCap: Int = 20,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), explode(array_distinct(shingles(tokens(col("__text")), n))).as("__s"))
+      .select(col("id"), xxhash64(col("__s")).as("sh"))
+      .repartition(col("sh"))
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val indexed = sh.withColumn("__df", count(lit(1)).over(wSh))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap).drop("__df")
+    val inter = indexed.as("a")
+      .join(indexed.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val scored = inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val ab = scored.select(
+      col("id_a").as("id_inner"), col("id_b").as("id_outer"),
+      col("n_a").as("n_inner"), col("n_b").as("n_outer"),
+      round(col("n_inter").cast("double") / col("n_a"), 4).as("containment"))
+    val ba = scored.select(
+      col("id_b").as("id_inner"), col("id_a").as("id_outer"),
+      col("n_b").as("n_inner"), col("n_a").as("n_outer"),
+      round(col("n_inter").cast("double") / col("n_b"), 4).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
+  }
+
   /** EXACT-recall set-similarity self-join via prefix filtering — the
     * PPJoin-family construction (Xiao et al., WWW'08; Chaudhuri et al.,
     * ICDE'06 SSJoin): every pair with shingle-set Jaccard ≥ `threshold`

@@ -120,6 +120,49 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D4c: DIRECTIONAL containment (asymmetric Jaccard) over the same
+    // planted 80%-truncation workload — every truncated copy is
+    // CONTAINED in its source near 1.0 while the source-in-copy
+    // direction reads ~0.8; the oracle replays both directions of the
+    // df-capped index.
+    Q(
+      "q_dedup_containment",
+      s"""WITH $truncatedDocsSql,
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+         |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+         |        FROM docs WHERE len(tk) >= 5)),
+         |rare AS (
+         |  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+         |idx AS (SELECT id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM idx a JOIN idx b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |scored AS (
+         |  SELECT id_a, id_b, n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
+         |  FROM inter
+         |  JOIN sizes na ON na.id = id_a
+         |  JOIN sizes nb ON nb.id = id_b),
+         |dirs AS (
+         |  SELECT id_a AS id_inner, id_b AS id_outer,
+         |    n_a AS n_inner, n_b AS n_outer,
+         |    round(n_inter * 1.0 / n_a, 4) AS containment
+         |  FROM scored
+         |  UNION ALL
+         |  SELECT id_b, id_a, n_b, n_a, round(n_inter * 1.0 / n_b, 4)
+         |  FROM scored)
+         |SELECT id_inner, id_outer, CAST(n_inner AS BIGINT) AS n_inner,
+         |  CAST(n_outer AS BIGINT) AS n_outer, containment
+         |FROM dirs WHERE containment >= 0.7
+         |ORDER BY id_inner, id_outer""".stripMargin
+    ) { (s, dir) =>
+      Dedup.ngramContainment(truncatedDocs(s, dir), col("id"), col("text"),
+          n = 5, dfCap = 20, threshold = 0.7)
+        .orderBy("id_inner", "id_outer")
+    },
+
     // D4b: EXACT-recall prefix-filtered Jaccard join (PPJoin-family) —
     // no df cap, provably every pair ≥ threshold. The oracle rebuilds
     // the frequency-ordered prefixes on shingle STRINGS (its own tie

@@ -897,6 +897,33 @@ class DedupSpec extends SparkSpec {
     assert(enc.select(size(col("codes"))).distinct().as[Int].collect().toSeq == Seq(8))
   }
 
+  test("ngramContainment: directional, hand-computed; quote-in-article visible where Jaccard is blind") {
+    // A: 20 unique tokens (16 5-grams). B: A's first 10 tokens + 2 new
+    // (8 grams, 6 shared). D: exact copy of A. C: unrelated.
+    def toks(pre: String, n: Int) = (1 to n).map(i => f"$pre$i%02d").mkString(" ")
+    val a = toks("t", 20)
+    val b = toks("t", 10) + " " + toks("u", 2)
+    val c = toks("z", 20)
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, a)).toDF("id", "text")
+    val out = Dedup.ngramContainment(docs, col("id"), col("text"),
+        n = 5, dfCap = 20, threshold = 0.7)
+      .orderBy("id_inner", "id_outer")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // B-in-A and B-in-D: 6/8 = 0.75; the A/D duplicate pair: both
+    // directions at 1.0; reverse directions (6/16) and C: below cut
+    assert(out == Seq(
+      (1L, 4L, 16L, 16L, 1.0),
+      (2L, 1L, 8L, 16L, 0.75),
+      (2L, 4L, 8L, 16L, 0.75),
+      (4L, 1L, 16L, 16L, 1.0)))
+    // the same pair under symmetric Jaccard: 6 / (16 + 8 - 6) = 0.33 —
+    // invisible at the same 0.7 cut (the operator's reason to exist)
+    val jac = Dedup.ngramJaccard(docs, col("id"), col("text"),
+        n = 5, dfCap = 20, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(jac == Seq((1L, 4L, 1.0)), jac.toString)
+  }
+
   test("contaminationSpans: hand-computed intervals; overlapping and adjacent hits merge, gaps split") {
     val probes = Seq("alpha beta gamma delta epsilon zeta").toDF("ptext")
     val cs = Seq(
