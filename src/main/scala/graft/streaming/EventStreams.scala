@@ -686,6 +686,57 @@ object EventStreams {
       }
   }
 
+  case class FunnelIn(user_id: Long, ts_us: Long, event_type: String)
+  case class FunnelOut(user_id: Long, step: Int, event_type: String, ts_us: Long)
+
+  /** E18: STREAMING funnel — the stateful twin of
+    * [[graft.operators.Behavior.funnel]]: per user, a one-(step,
+    * timestamp) state machine advances when the NEXT step's event type
+    * arrives at-or-after the time the previous step was reached, and
+    * emits one row per advancement (the live "user u just reached
+    * checkout" feed; group by step downstream for live conversion
+    * counts). The greedy time-ordered advance computes exactly the
+    * batch operator's earliest-reach chain — min t of step-i events ≥
+    * the step-(i−1) reach time — so streamed per-step membership ==
+    * batch n_users (the spec's claim). Consecutive REPEATED step types
+    * advance through one event, matching batch's min-over-t ≥ t_prev
+    * semantics where the same event satisfies both filters.
+    *
+    * O(1) state per user (a step index + a timestamp), no watermark —
+    * the funnel never un-advances, so there is nothing to evict;
+    * ordering contract as [[rollingZStream]] (per-key delivery in ts
+    * order across batches; within a batch rows sort here).
+    */
+  def funnelStream(
+      events: DataFrame,
+      steps: Seq[String]): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    implicit val inEnc = Encoders.product[FunnelIn]
+    implicit val outEnc = Encoders.product[FunnelOut]
+    implicit val stEnc = Encoders.product[(Int, Long)]
+    implicit val longEnc = Encoders.scalaLong
+    events.select(col("user_id").cast("long"), col("ts_us").cast("long"),
+        col("event_type").cast("string"))
+      .as[FunnelIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long), FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelIn], state: GroupState[(Int, Long)]) =>
+          var (step, tReached) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = Vector.newBuilder[FunnelOut]
+          rows.toSeq.sortBy(_.ts_us).foreach { r =>
+            while (step < steps.length && r.event_type == steps(step) &&
+                r.ts_us >= tReached) {
+              step += 1
+              tReached = r.ts_us
+              out += FunnelOut(uid, step, r.event_type, r.ts_us)
+            }
+          }
+          state.update((step, tReached))
+          out.result().iterator
+      }
+  }
+
   case class LsOut(
       key: Long, bucket: Long, value: Double,
       pre_mean: Double, post_mean: Double, shift: Double,

@@ -744,6 +744,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E18 funnelStream: greedy per-user state machine equals batch earliest-reach funnel") {
+    // u1 completes all 3 steps (purchase arrives in the LAST batch);
+    // u2's click precedes signup -> stops at step 1 despite a purchase;
+    // u3 advances two steps through a SAME-ts signup+click pair;
+    // u4 never signs up -> no emissions at all
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 5L, "click"), (2L, 10L, "signup"), (2L, 15L, "purchase"),
+      (3L, 10L, "signup"), (3L, 10L, "click"),
+      (4L, 10L, "click"), (4L, 20L, "purchase"))
+    val steps = Seq("signup", "click", "purchase")
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q = EventStreams.funnelStream(
+        input.toDF().toDF("user_id", "ts_us", "event_type"), steps)
+      .writeStream.format("memory").queryName("e18_out").outputMode("append").start()
+    try {
+      // split mid-journey: u1's purchase and u2's tail arrive later
+      input.addData(ev.filter(_._2 < 15))
+      q.processAllAvailable()
+      input.addData(ev.filter(_._2 >= 15))
+      q.processAllAvailable()
+      val streamed = spark.table("e18_out")
+        .as[(Long, Int, String, Long)].collect().toSet
+      assert(streamed == Set(
+        (1L, 1, "signup", 10L), (1L, 2, "click", 20L), (1L, 3, "purchase", 30L),
+        (2L, 1, "signup", 10L),
+        (3L, 1, "signup", 10L), (3L, 2, "click", 10L)), streamed.toString)
+      // per-step membership == the batch funnel's n_users exactly
+      val batchCounts = graft.operators.Behavior.funnel(
+          ev.toDF("user_id", "ts_us", "event_type"),
+          col("user_id"), col("ts_us"), col("event_type"), steps)
+        .select("step", "n_users").as[(Int, Long)].collect().toMap
+      val streamCounts = streamed.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(steps.indices.forall(i =>
+        batchCounts(i + 1) == streamCounts.getOrElse(i + 1, 0L)),
+        s"stream $streamCounts != batch $batchCounts")
+    } finally q.stop()
+  }
+
+  test("E18 funnelStream: consecutive repeated step types advance through one event, == batch") {
+    // funnel (signup, click, click): u1's single qualifying click must
+    // satisfy BOTH click steps at the same timestamp, as batch's
+    // min-over-(t >= t_prev) does
+    val ev = Seq((1L, 10L, "signup"), (1L, 20L, "click"),
+      (2L, 10L, "signup"))
+    val steps = Seq("signup", "click", "click")
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q = EventStreams.funnelStream(
+        input.toDF().toDF("user_id", "ts_us", "event_type"), steps)
+      .writeStream.format("memory").queryName("e18b_out").outputMode("append").start()
+    try {
+      input.addData(ev)
+      q.processAllAvailable()
+      val streamed = spark.table("e18b_out")
+        .as[(Long, Int, String, Long)].collect().toSet
+      assert(streamed == Set(
+        (1L, 1, "signup", 10L), (1L, 2, "click", 20L), (1L, 3, "click", 20L),
+        (2L, 1, "signup", 10L)), streamed.toString)
+      val batchCounts = graft.operators.Behavior.funnel(
+          ev.toDF("user_id", "ts_us", "event_type"),
+          col("user_id"), col("ts_us"), col("event_type"), steps)
+        .select("step", "n_users").as[(Int, Long)].collect().toMap
+      assert(batchCounts == Map(1 -> 2L, 2 -> 1L, 3 -> 1L), batchCounts.toString)
+    } finally q.stop()
+  }
+
   test("E12 admitStream: budget tap closes across batches, equals batch admission") {
     val docs = (0L until 200L).map(i => (i, i % 4, i, (i * 37) % 300 + 1))
     val input = MemoryStream[(Long, Long, Long, Long)](spark)
