@@ -810,6 +810,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E18 stream == batch: funnelStream over real events matches q_funnel per-step counts") {
+    val steps = Seq("signup", "view", "click", "purchase")
+    // feed raw epoch-nanos as the stream's time axis — the state
+    // machine only compares/sorts, and batch q_funnel chains on ts_ns,
+    // so sub-µs ties resolve identically on both sides
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns").as("ts_us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q = EventStreams.funnelStream(
+        input.toDF().toDF("user_id", "ts_us", "event_type"), steps)
+      .writeStream.format("memory").queryName("e18c_out").outputMode("append").start()
+    try {
+      // two batches split by timestamp: journeys straddle the boundary
+      val cut = ev.map(_._2).sorted.apply(ev.length / 2)
+      input.addData(ev.filter(_._2 < cut).toSeq)
+      q.processAllAvailable()
+      input.addData(ev.filter(_._2 >= cut).toSeq)
+      q.processAllAvailable()
+      val streamCounts = spark.table("e18c_out")
+        .groupBy("step").agg(countDistinct("user_id").as("n"))
+        .as[(Int, Long)].collect().toMap
+      val batch = SparkEntry.queries("q_funnel")(spark, sf)
+        .select("step", "n_users").as[(Int, Long)].collect().toMap
+      assert(steps.indices.forall(i =>
+        batch(i + 1) == streamCounts.getOrElse(i + 1, 0L)),
+        s"stream $streamCounts != batch $batch")
+      assert(streamCounts.getOrElse(1, 0L) > 0)
+    } finally q.stop()
+  }
+
   test("E12 admitStream: budget tap closes across batches, equals batch admission") {
     val docs = (0L until 200L).map(i => (i, i % 4, i, (i * 37) % 300 + 1))
     val input = MemoryStream[(Long, Long, Long, Long)](spark)
