@@ -70,7 +70,8 @@ class PlanSpec extends SparkSpec {
         "q_asof_join", "q_epe_shape_b", "q_pack_sequences", "q_quantile_bucket",
         "q_tfidf_topterms", "q_dedup_sorted", "q_dedup_spans",
         "q_perplexity_buckets", "q_admit_budget", "q_shuffle_shards",
-        "q_token_loops", "q_seasonal", "q_decontaminate_spans")) {
+        "q_token_loops", "q_seasonal", "q_decontaminate_spans",
+        "q_level_shift", "q_attribution_credit")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = globalWindows(df)
       assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")
@@ -162,6 +163,16 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
       s"no exchange reuse in jaccard plan:\n$plan")
+  }
+
+  test("levelShift computes all five window moments in one keyed exchange") {
+    val df = SparkEntry.queries("q_level_shift")(spark, sf)
+    val plan = run(df)
+    // trailing and leading frames share (key, bucket) partitioning —
+    // Spark must not re-exchange between them; one shuffle for the
+    // hourly aggregate, one for the window partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan(plan)).size
+    assert(exchanges <= 2, s"levelShift shuffles $exchanges times:\n$plan")
   }
 
   test("span decontamination is a semi-join over hashed shingles, never a product") {
