@@ -294,4 +294,138 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("frame"),
         length(col("frame")).as("frame_bytes"))
   }
+
+  /** Minimal RIFF/WAVE PCM encoder (mono-or-interleaved 16-bit) — the
+    * fixture/sink half of [[audioFeatures]]: deterministic bytes, no
+    * codec dependency. `interleaved` holds channel-interleaved frames.
+    */
+  def wavPcm16(rate: Int, channels: Int, interleaved: Array[Short]): Array[Byte] = {
+    require(rate > 0 && channels >= 1, "positive rate, >=1 channel")
+    require(interleaved.length % channels == 0, "partial trailing frame")
+    val dataLen = interleaved.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    interleaved.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE PCM payload into (sampleRate, channels, bits,
+    * mono-mixed samples in [-1, 1]); None for anything that is not
+    * uncompressed 8/16-bit PCM (the quarantine contract routes those
+    * to `decoded = false`, never a task crash).
+    */
+  private def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def s16(i: Int) = u16(i).toShort.toInt
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (bytes.length < 44) return None
+    if (new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = u32(pos + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      val body = pos + 8
+      if (id == "fmt " && body + 16 <= bytes.length) {
+        if (u16(body) != 1) return None // PCM only
+        fmt = Some((u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+      } else if (id == "data") {
+        data = Some((body, math.min(size.toInt, bytes.length - body)))
+      }
+      pos = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((off, len)))
+          if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>
+        val bytesPer = bits / 8
+        val frames = len / (ch * bytesPer)
+        val mono = new Array[Double](frames)
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val i = off + (f * ch + c) * bytesPer
+            acc += (if (bits == 8) (u8(i) - 128) / 128.0 else s16(i) / 32768.0)
+            c += 1
+          }
+          mono(f) = acc / ch
+          f += 1
+        }
+        Some((rate, ch, bits, mono))
+      case _ => None
+    }
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_us", LongType),
+    StructField("rms", DoubleType),
+    StructField("zero_cross_rate", DoubleType),
+    StructField("peak", DoubleType)))
+
+  /** REAL audio decode + feature extraction — the audio sibling of
+    * [[decodeFeatures]], and deliberately codec-free: RIFF/WAVE PCM
+    * parses in pure JVM integer math (no native audio libs exist in
+    * the runtime, and none are needed for the dominant archival
+    * format), so the kernel is bit-deterministic across executors.
+    * Per payload: header metadata plus the row-local summary features
+    * curation filters on — RMS energy, zero-crossing rate (the
+    * silence/noise discriminator), and peak amplitude — over the
+    * mono-mixed stream. Non-WAV / compressed payloads report
+    * `decoded = false` with zeros (flag, never crash).
+    *
+    * Same batched `mapPartitions` shape as the image kernel: bounded
+    * memory, zero shuffle; duration uses integer µs arithmetic
+    * (frames · 1e6 / rate) so it replays exactly.
+    */
+  def audioFeatures(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(audioSchema)
+    df.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            val safe = if (bytes == null) Array.empty[Byte] else bytes
+            decodeWav(safe) match {
+              case Some((rate, ch, bits, mono)) =>
+                val n = mono.length
+                var sumSq = 0.0
+                var peak = 0.0
+                var crossings = 0L
+                var i = 0
+                while (i < n) {
+                  val x = mono(i)
+                  sumSq += x * x
+                  if (math.abs(x) > peak) peak = math.abs(x)
+                  if (i > 0 && ((x >= 0) != (mono(i - 1) >= 0))) crossings += 1
+                  i += 1
+                }
+                val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+                val zcr = if (n <= 1) 0.0 else crossings.toDouble / (n - 1)
+                Row(r.getLong(0), true, rate, ch, bits, n.toLong,
+                  n.toLong * 1000000L / rate, rms, zcr, peak)
+              case None =>
+                Row(r.getLong(0), false, 0, 0, 0, 0L, 0L, 0.0, 0.0, 0.0)
+            }
+          }
+        }
+      }(enc)
+  }
 }

@@ -43,6 +43,34 @@ object MultimodalQueries {
           round(element_at(col("features"), 4), 4).as("f_hist0"))
         .orderBy("doc_id")
     },
+    // D12d: REAL audio decode through the pure-JVM WAV kernel — a
+    // deterministic corpus of id-keyed square waves (amplitude, period,
+    // and rate all vary by id) plus text payloads that must take the
+    // decoded=false fallback. DuckDB has no audio codec → rows-only;
+    // hand-computed exactness lives in MultimodalSpec.
+    Q.rowsOnly("q_media_audio") { (s, dir) =>
+      val wavs = (0L until 40L).map { i =>
+        val amp = (500 + i * 37).toShort
+        val period = 1 + (i % 4).toInt
+        val samples = Array.tabulate(64) { j =>
+          (if ((j / period) % 2 == 0) amp else (-amp).toShort): Short
+        }
+        (i, Multimodal.wavPcm16(8000 + i.toInt * 100, 1, samples))
+      }
+      import s.implicits._
+      val wavDf = wavs.toDF("doc_id", "media")
+      val txtDf = table(s, dir, "documents").limit(20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").cast("binary").as("media"))
+      Multimodal.audioFeatures(wavDf.unionByName(txtDf))
+        .select(col("doc_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("duration_us"),
+          round(col("rms"), 6).as("rms"),
+          round(col("zero_cross_rate"), 6).as("zcr"),
+          round(col("peak"), 6).as("peak"))
+        .orderBy("doc_id")
+    },
+
     // D42: perceptual-hash image near-dup — deterministic gradient
     // PNGs where id i and i+1000 are photometric near-twins (one
     // perturbed pixel), plus text payloads that must stay out of

@@ -185,4 +185,52 @@ class MultimodalSpec extends SparkSpec {
     // stride respected
     assert(frames.select("frame_idx").as[Int].collect().forall(_ % 4 == 0))
   }
+
+  test("audioFeatures: hand-computed PCM features; stereo mixdown, 8-bit, and garbage fallback") {
+    // mono 16-bit, 8 frames of alternating ±1000 at 8000 Hz
+    val monoWav = Multimodal.wavPcm16(8000, 1,
+      Array.tabulate(8)(i => (if (i % 2 == 0) 1000 else -1000).toShort))
+    // stereo 16-bit: mono mix = [0, +2000, 0, -2000] / 32768
+    val stereoWav = Multimodal.wavPcm16(8000, 2,
+      Array[Short](1000, -1000, 1000, 3000, -1000, 1000, -1000, -3000))
+    // 8-bit mono hand-assembled: samples [128, 255, 0, 128] at 4000 Hz
+    // -> normalized [0, 127/128, -1, 0]
+    val pcm8 = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(4000).putInt(4000).putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(4)
+      Seq(128, 255, 0, 128).foreach(v => bb.put(v.toByte))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, monoWav), (2L, stereoWav), (3L, pcm8),
+      (4L, "definitely not audio bytes at all".getBytes("UTF-8")),
+      (5L, monoWav.take(20))) // truncated header
+    val out = Multimodal.audioFeatures(rows.toDF("doc_id", "media"))
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Int, Int, Int, Long, Long, Double, Double, Double)]
+      .collect()
+    val a16 = 1000.0 / 32768.0
+    assert(out(0) == ((1L, true, 8000, 1, 16, 8L, 1000L, a16, 1.0, a16)),
+      out(0).toString)
+    val m = 2000.0 / 32768.0
+    val stereoRms = math.sqrt((m * m + m * m) / 4)
+    assert(out(1) == ((2L, true, 8000, 2, 16, 4L, 500L, stereoRms, 1.0 / 3, m)),
+      out(1).toString)
+    val x255 = 127.0 / 128.0
+    val rms8 = math.sqrt((x255 * x255 + 1.0) / 4)
+    assert(out(2) == ((3L, true, 4000, 1, 8, 4L, 1000L, rms8, 2.0 / 3, 1.0)),
+      out(2).toString)
+    assert(out(3) == ((4L, false, 0, 0, 0, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(4) == ((5L, false, 0, 0, 0, 0L, 0L, 0.0, 0.0, 0.0)))
+    // the encoder round-trips through the decoder byte-exactly
+    val again = Multimodal.audioFeatures(Seq((9L, monoWav)).toDF("doc_id", "media"))
+      .as[(Long, Boolean, Int, Int, Int, Long, Long, Double, Double, Double)]
+      .head()
+    assert(again == out(0).copy(_1 = 9L))
+  }
 }
