@@ -565,6 +565,24 @@ object Dedup {
     hammingPairs(sigs, maxDist, nChunks = 8)
   }
 
+  /** Audio near-duplicate pairs over the energy-envelope fingerprint —
+    * [[imageNearDup]]'s shape pointed at the WAV kernel: payloads
+    * fingerprint to 64-bit envelope signatures
+    * ([[Multimodal.audioFingerprint]]), undecodable/short payloads are
+    * excluded up front, and candidates come from the same 8×8-bit
+    * chunk blocking (guaranteed recall to radius 7, bucket-local join,
+    * exact bit_count confirm).
+    *
+    * Input needs (doc_id, media). Output: (id_a, id_b, hamming).
+    */
+  def audioNearDup(df: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, "8-chunk blocking only guarantees recall for maxDist <= 7")
+    val sigs = Multimodal.audioFingerprint(df)
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("sig"))
+    hammingPairs(sigs, maxDist, nChunks = 8)
+  }
+
   /** n-gram Jaccard near-duplicate pairs via a df-capped inverted
     * index.
     *

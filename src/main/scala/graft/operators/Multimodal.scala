@@ -380,6 +380,59 @@ object Multimodal {
     StructField("zero_cross_rate", DoubleType),
     StructField("peak", DoubleType)))
 
+  /** 64-bit energy-envelope fingerprint — the audio analogue of the
+    * image dHash: the mono-mixed stream splits into 65 equal windows,
+    * each reduces to its RMS energy, and bit i records whether window
+    * i+1 is louder than window i. Like dHash it keys on envelope
+    * STRUCTURE (the rise/fall shape), so it survives uniform gain
+    * changes and re-encoding amplitude wobble while distinct material
+    * diverges — the cheap codec-free near-dup signature tier; content
+    * fingerprinting with spectral landmarks is the heavier tier above
+    * it. Payloads shorter than 65 frames or undecodable report
+    * `decoded = false` (their envelope carries no structure to hash).
+    *
+    * Output: (doc_id, decoded, sig) — feed [[graft.operators.Dedup.hammingPairs]]
+    * (8×8-bit chunks, radius ≤ 7) exactly like the image tier.
+    */
+  def audioFingerprint(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("sig", LongType)))
+    val enc = Encoders.row(schema)
+    df.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            val safe = if (bytes == null) Array.empty[Byte] else bytes
+            decodeWav(safe) match {
+              case Some((_, _, _, mono)) if mono.length >= 65 =>
+                val env = new Array[Double](65)
+                var w = 0
+                while (w < 65) {
+                  val lo = (mono.length.toLong * w / 65).toInt
+                  val hi = (mono.length.toLong * (w + 1) / 65).toInt
+                  var sumSq = 0.0
+                  var i = lo
+                  while (i < hi) { sumSq += mono(i) * mono(i); i += 1 }
+                  env(w) = if (hi > lo) math.sqrt(sumSq / (hi - lo)) else 0.0
+                  w += 1
+                }
+                var sig = 0L
+                var b = 0
+                while (b < 64) {
+                  if (env(b + 1) > env(b)) sig |= (1L << b)
+                  b += 1
+                }
+                Row(r.getLong(0), true, sig)
+              case _ => Row(r.getLong(0), false, 0L)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** REAL audio decode + feature extraction — the audio sibling of
     * [[decodeFeatures]], and deliberately codec-free: RIFF/WAVE PCM
     * parses in pure JVM integer math (no native audio libs exist in

@@ -71,6 +71,32 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // D42b: audio near-dup over the energy-envelope fingerprint — id i
+    // and i+1000 are gain/wobble twins (one envelope window nudged),
+    // text payloads stay out of pairing entirely. No DuckDB audio
+    // codec → rows-only; planted exactness in MultimodalSpec.
+    Q.rowsOnly("q_media_audio_neardup") { (s, dir) =>
+      def wave(i: Long, tweak: Boolean): Array[Short] =
+        Array.tabulate(650) { j =>
+          val w = j / 10
+          val amp = 500 + ((w * (2654435761L + i * 9176L)) & 0x7FF).toInt +
+            (if (tweak && w == (i % 65).toInt) 3 else 0)
+          (if (j % 2 == 0) amp else -amp).toShort
+        }
+      val wavs = (0L until 25L).flatMap { i =>
+        Seq((i, Multimodal.wavPcm16(8000, 1, wave(i, tweak = false))),
+          (i + 1000L, Multimodal.wavPcm16(8000, 1, wave(i, tweak = true))))
+      }
+      import s.implicits._
+      val wavDf = wavs.toDF("doc_id", "media")
+      val txtDf = table(s, dir, "documents").limit(20)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          col("text").cast("binary").as("media"))
+      graft.operators.Dedup.audioNearDup(
+          wavDf.unionByName(txtDf), maxDist = 6)
+        .orderBy("id_a", "id_b")
+    },
+
     // D42: perceptual-hash image near-dup — deterministic gradient
     // PNGs where id i and i+1000 are photometric near-twins (one
     // perturbed pixel), plus text payloads that must stay out of

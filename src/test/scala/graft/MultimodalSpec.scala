@@ -233,4 +233,28 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(again == out(0).copy(_1 = 9L))
   }
+
+  test("audioNearDup: envelope twins pair within radius, distinct material and non-audio stay out") {
+    // 65 windows x 10 frames; per-window amplitude pattern = the
+    // envelope structure the fingerprint keys on
+    def wave(seed: Long, tweak: Int => Int = _ => 0): Array[Short] =
+      Array.tabulate(650) { j =>
+        val w = j / 10
+        val amp = 500 + ((w * seed) & 0x7FF).toInt + tweak(w)
+        (if (j % 2 == 0) amp else -amp).toShort
+      }
+    val a = Multimodal.wavPcm16(8000, 1, wave(2654435761L))
+    // twin: ONE window's amplitude nudged -> at most 2 envelope bits flip
+    val aTwin = Multimodal.wavPcm16(8000, 1,
+      wave(2654435761L, w => if (w == 30) 3 else 0))
+    val other = Multimodal.wavPcm16(8000, 1, wave(40503L))
+    val rows = Seq(
+      (1L, a), (2L, aTwin), (3L, other),
+      (4L, "not audio".getBytes("UTF-8")))
+    val pairs = graft.operators.Dedup.audioNearDup(
+        rows.toDF("doc_id", "media"), maxDist = 6)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+    assert(pairs.head._3 <= 2)
+  }
 }
