@@ -845,11 +845,17 @@ object Dedup {
     * Scale shape: training touches a `trainFraction` hash-sample and
     * the full corpus is scanned ONCE for assignment (the IVF story);
     * the pair join is cluster-local — O(Σ|cell|²), controlled by
-    * `nCentroids` exactly like SemDeDup's k. Known recall caveat,
-    * inherited from the paper: a duplicate pair straddling a cell
-    * boundary is missed — raise nCentroids for cheaper cells but more
-    * boundaries, or use [[embeddingCosineLSH]] when multi-probe recall
-    * matters more than cluster locality.
+    * `nCentroids` exactly like SemDeDup's k. THE k MUST GROW WITH THE
+    * CORPUS: at fixed k, cells grow linearly and the within-cell join
+    * quadratically (measured 38× cost for 30× data at k=16 — the
+    * hidden superlinear term a 10× spot-bench missed). Pass
+    * `nCentroids <= 0` for the auto policy k = max(16, ⌈n/200⌉):
+    * bounded ~200-vector cells make the pair join linear in corpus
+    * size, the paper's constant-cluster-size regime. Known recall
+    * caveat, inherited from the paper: a duplicate pair straddling a
+    * cell boundary is missed — more cells mean more boundaries, or
+    * use [[embeddingCosineLSH]] when multi-probe recall matters more
+    * than cluster locality.
     *
     * Returns the SURVIVING rows of `df` (anti-join on the drop list),
     * so it composes like [[exactKeep]].
@@ -859,7 +865,7 @@ object Dedup {
       id: Column,
       vec: Column,
       threshold: Double,
-      nCentroids: Int,
+      nCentroids: Int = 0,
       iters: Int = 5,
       trainFraction: Double = 1.0): DataFrame = {
     // one materialization: training, assignment and the pair join all
@@ -872,8 +878,13 @@ object Dedup {
     // silently return the corpus fully undeduped
     requireIntegralId(vecs.schema("id").dataType,
       "semanticDedup", "map ids through a long surrogate first")
+    // auto-k: one count over the checkpointed projection (driver gets
+    // a single long) keeps cells ~200 vectors at ANY corpus size
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.ceil(vecs.count() / 200.0).toInt)
     val centroids = Similarity.trainIvfCentroids(
-      vecs, col("id"), col("v"), nCentroids, iters, trainFraction)
+      vecs, col("id"), col("v"), k, iters, trainFraction)
     val assigned = Similarity.ivfAssign(vecs, col("id"), col("v"), centroids)
     val pairs = embeddingCosine(
       assigned, col("id"), col("v"), col("cluster"), threshold)

@@ -104,6 +104,43 @@ object Similarity {
       lit(c.map(x => x * x).sum) - dot(vec, array(c.map(lit): _*)) * 2d
     }: _*)
 
+  /** Nearest-centroid assignment over an (id, v) frame, scale-adaptive
+    * in k. Small k compiles the k distance expressions into the plan
+    * (one codegen'd projection, zero extra rows). Large k CANNOT — a
+    * k-wide array of dim-element literal trees blows past whole-stage
+    * codegen's limits and the argmin falls back to interpreted
+    * per-row evaluation (measured: 86k vectors × k=432 took ~90 s
+    * where the exploded form takes seconds). The large-k path carries
+    * the centroids as ONE nested-array literal, posexplodes k rows per
+    * vector INSIDE the partition, computes each distance with the
+    * codegen'd dot kernel, and folds the argmin back with a
+    * partial-aggregated min-over-struct — the shuffle carries one row
+    * per vector, never n×k. Both paths compute the identical IEEE
+    * distance (‖c‖² − 2·v·c) with the identical lowest-cluster
+    * tiebreak, so assignments are bit-equal regardless of path.
+    */
+  private def assignClusters(
+      vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    if (centroids.length <= 64) {
+      vecs.withColumn("__scores", centroidScores(col("v"), centroids))
+        .withColumn("cluster",
+          expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
+        .drop("__scores")
+    } else {
+      val cents = typedLit(centroids.map(_.toSeq).toSeq)
+      val norms = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
+      vecs
+        .select(col("id"), col("v"), posexplode(cents).as(Seq("__k", "__cent")))
+        .withColumn("__d",
+          element_at(norms, col("__k") + 1) - dot(col("v"), col("__cent")) * 2d)
+        .groupBy("id")
+        .agg(
+          first(col("v")).as("v"),
+          min(struct(col("__d").as("d"), col("__k").as("k"))).as("__m"))
+        .select(col("id"), col("v"),
+          col("__m").getField("k").cast("int").as("cluster"))
+    }
+
   /** Deterministic k-means coarse quantizer for IVF: seeded init (the
     * `nCentroids` lowest-id vectors), `iters` Lloyd rounds where the
     * assignment is a distributed argmin over broadcast centroid
@@ -136,9 +173,7 @@ object Similarity {
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val scored = base.withColumn("__scores", centroidScores(col("v"), centroids))
-      val assigned = scored.withColumn("cluster",
-        expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
+      val assigned = assignClusters(base, centroids)
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
@@ -182,11 +217,7 @@ object Similarity {
       id: Column,
       vec: Column,
       centroids: Array[Array[Double]]): DataFrame =
-    corpus.select(id.as("id"), vec.as("v"))
-      .withColumn("__scores", centroidScores(col("v"), centroids))
-      .withColumn("cluster",
-        expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
-      .drop("__scores")
+    assignClusters(corpus.select(id.as("id"), vec.as("v")), centroids)
 
   /** Probe a STORED IVF index: each query ranks the centroids, visits
     * its `nProbe` nearest clusters, and pays exact cosine only there —

@@ -807,9 +807,12 @@ object DedupQueries {
       // near-identical copies co-assign under ANY centroid set (their
       // score vectors are essentially identical), so the quantizer can
       // train cheap: 2 Lloyd rounds on a 25% hash sample — the knobs a
-      // 100 TB run would use (FAISS trains coarse quantizers on slivers)
+      // 100 TB run would use (FAISS trains coarse quantizers on
+      // slivers). nCentroids = 0 → auto k = ⌈n/200⌉: bounded cells
+      // keep the within-cell pair join LINEAR in corpus size (fixed
+      // k=16 measured 38× cost at 30× data)
       Dedup.semanticDedup(e.unionByName(pert), col("vec_id"), col("v"),
-          threshold = 0.995, nCentroids = 16, iters = 2, trainFraction = 0.25)
+          threshold = 0.995, nCentroids = 0, iters = 2, trainFraction = 0.25)
         .select("vec_id").orderBy("vec_id")
     },
 
