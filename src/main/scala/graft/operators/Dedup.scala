@@ -375,9 +375,18 @@ object Dedup {
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // shuffle_hash hints: signature frames GROW WITH THE CORPUS (n
+    // rows × a 64-long array each) — never a dim, so a DRIVER
+    // broadcast is wrong at scale even when the compressed-size
+    // estimate clears the threshold (measured at a 30× replica: AQE
+    // broadcast a sig frame from a fits-the-threshold estimate and
+    // the driver-side hash-relation build, several × the compressed
+    // bytes, OOM'd the query). Shuffled-hash keeps the hash build but
+    // distributes it per-partition on executors — no sort tax (SMJ
+    // measured ~40% slower here), no driver build.
     cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")).hint("shuffle_hash"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")).hint("shuffle_hash"), "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -419,9 +428,11 @@ object Dedup {
       .join(corpusCapped.as("y"), col("x.bucket") === col("y.bucket"))
       .select(col("x.id").as("shard_id"), col("y.id").as("corpus_id"))
       .distinct()
+    // shuffle_hash on the signature attaches: corpus-sized array
+    // frames must never DRIVER-broadcast (see minHashLSH)
     cand
-      .join(shardSigs.select(col("id").as("shard_id"), col("sig").as("sig_a")), "shard_id")
-      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+      .join(shardSigs.select(col("id").as("shard_id"), col("sig").as("sig_a")).hint("shuffle_hash"), "shard_id")
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")).hint("shuffle_hash"), "corpus_id")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("shard_id", "corpus_id", "est_jaccard")
@@ -747,9 +758,13 @@ object Dedup {
           && col("a.n_sh") >= ceil(lit(threshold) * col("b.n_sh")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // shuffle_hash: the posting frame (n docs × ~hundreds of shingle
+    // rows) and the candidate pair list both grow with the corpus —
+    // fact-fact joins, a driver broadcast is never right (see
+    // minHashLSH)
     val inter = cand
-      .join(base.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .join(base.select(col("id").as("id_a"), col("sh")).hint("shuffle_hash"), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh")).hint("shuffle_hash"), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
@@ -1413,9 +1428,15 @@ object Dedup {
       greatest(col("id_a"), col("id_b")).as("b")).distinct()
     def t4(c: Column): Column = floor(c * 1e4) / 1e4
     // one declarative plan (no driver-side counting): found left-joins
-    // truth to count hits, truth's size rides in on a 1-row cross join
+    // truth to count hits, truth's size rides in on a 1-row cross join.
+    // merge hint: BOTH sides are pair lists that grow with the corpus
+    // — fact-fact by construction, so a broadcast is never right here
+    // even when the size estimate clears the threshold (measured: at a
+    // 30× replica AQE picked broadcast from a fits-the-threshold
+    // runtime estimate and the driver-side build OOM'd the query)
     val fh = norm(found)
-      .join(norm(truth).withColumn("__t", lit(1)), Seq("a", "b"), "left")
+      .join(norm(truth).withColumn("__t", lit(1)).hint("merge"),
+        Seq("a", "b"), "left")
       .agg(count(lit(1)).as("n_found"),
         coalesce(sum(col("__t")), lit(0L)).as("n_hit"))
     val th = norm(truth).agg(count(lit(1)).as("n_truth"))
