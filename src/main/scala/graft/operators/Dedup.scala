@@ -836,6 +836,16 @@ object Dedup {
     * probability ≈ (1 − θ/π)^nPlanes (θ = angle between them), so for
     * dedup-grade thresholds (cos ≥ 0.99 ⇒ θ ≤ 0.15 rad) recall stays
     * high even at 8 planes while buckets shrink the join ~2^nPlanes×.
+    *
+    * THE PLANE COUNT MUST GROW WITH THE CORPUS: at fixed nPlanes the
+    * 2^nPlanes bucket set is constant, buckets grow linearly and the
+    * block-local join quadratically (the 30× registry sweep measured
+    * 24× cost for 30× data at 8 planes — the same hidden-superlinear
+    * class as fixed SemDeDup k). Pass `nPlanes <= 0` for the auto
+    * policy ⌈log₂(n/100)⌉ clamped to [8, 24]: ~100-vector buckets at
+    * any corpus size, each added plane costing a ~(1 − θ/π) factor of
+    * recall that stays mild at dedup-grade thresholds. Oracle-checked
+    * callers keep an explicit count (the SQL twin bakes the planes in).
     */
   def embeddingCosineLSH(
       df: DataFrame,
@@ -844,9 +854,17 @@ object Dedup {
       threshold: Double,
       dim: Int = 64,
       nPlanes: Int = 8,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L): DataFrame = {
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = math.max(df.count(), 1L)
+        math.min(24, math.max(8,
+          math.ceil(math.log(n / 100.0) / math.log(2.0)).toInt))
+      }
     embeddingCosine(df, id, vec,
-      Similarity.hyperplaneBucket(vec, dim, nPlanes, seed), threshold)
+      Similarity.hyperplaneBucket(vec, dim, planes, seed), threshold)
+  }
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space with the

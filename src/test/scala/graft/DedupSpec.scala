@@ -924,6 +924,21 @@ class DedupSpec extends SparkSpec {
     assert(jac == Seq((1L, 4L, 1.0)), jac.toString)
   }
 
+  test("embeddingCosineLSH auto plane count: clamps to 8 on small corpora, equals the explicit-8 pairs") {
+    val e = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val twins = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("v"))
+    val corpus = e.unionByName(twins)
+    def pairs(nPlanes: Int) =
+      Dedup.embeddingCosineLSH(corpus, col("vec_id"), col("v"),
+          threshold = 0.999, nPlanes = nPlanes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = pairs(0)    // n ~ 2200 -> ceil(log2(22)) = 5 -> clamped to 8
+    assert(auto == pairs(8))
+    assert(auto.nonEmpty)
+  }
+
   test("contaminationSpans: hand-computed intervals; overlapping and adjacent hits merge, gaps split") {
     val probes = Seq("alpha beta gamma delta epsilon zeta").toDF("ptext")
     val cs = Seq(
