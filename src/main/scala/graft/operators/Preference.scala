@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.normFingerprint
+
+/** Preference / reward-data operators — the RLHF-side companion to
+  * [[Chat]]: assemble and validate chosen/rejected pairs, rate
+  * contenders from pairwise outcomes (Bradley-Terry), and report
+  * win rates with uncertainty. All shapes are partial-aggregable
+  * groupBys, key-partitioned windows, or per-round equi-join + agg
+  * (the [[GraphOps.pageRank]] iterative discipline) — nothing
+  * all-pairs, nothing driver-sized.
+  */
+object Preference {
+
+  /** Per-group preference pair assembly + validation: within each
+    * prompt group, `chosen` = highest-reward sample, `rejected` =
+    * lowest (ties break to the smaller / larger sample id
+    * respectively, so a fully-tied group still yields a DISTINCT
+    * pair when it has ≥ 2 samples). Validation flags are reported
+    * per rule (Gopher-gate discipline):
+    *
+    *   - `n_samples >= 2` (a singleton can't form a pair),
+    *   - `distinct_response`: chosen/rejected responses differ under
+    *     the normalized fingerprint (byte-different but
+    *     content-identical responses are NOT a learnable pair),
+    *   - `reward_gap >= minGap`: the margin a DPO/RM trainer needs.
+    *
+    * Shape: two row_number windows over the SAME group partitioning
+    * (one exchange, two in-partition sorts) + a groupBy that reuses
+    * it — one shuffle total, no collect_list.
+    */
+  def pairsFromGroups(df: DataFrame, groupKey: Column, sampleId: Column,
+      response: Column, reward: Column, minGap: Double = 0.0): DataFrame = {
+    val t = df.select(groupKey.as("group_key"), sampleId.as("sample_id"),
+      response.as("response"), reward.cast("double").as("reward"))
+    val hi = Window.partitionBy("group_key")
+      .orderBy(col("reward").desc, col("sample_id").asc)
+    val lo = Window.partitionBy("group_key")
+      .orderBy(col("reward").asc, col("sample_id").desc)
+    t.withColumn("rn_hi", row_number().over(hi))
+      .withColumn("rn_lo", row_number().over(lo))
+      .groupBy("group_key")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        max(when(col("rn_hi") === 1, col("sample_id"))).as("chosen_id"),
+        max(when(col("rn_hi") === 1, col("reward"))).as("chosen_reward"),
+        max(when(col("rn_hi") === 1, normFingerprint(col("response")))).as("__c_fp"),
+        max(when(col("rn_lo") === 1, col("sample_id"))).as("rejected_id"),
+        max(when(col("rn_lo") === 1, col("reward"))).as("rejected_reward"),
+        max(when(col("rn_lo") === 1, normFingerprint(col("response")))).as("__r_fp"))
+      .withColumn("reward_gap", col("chosen_reward") - col("rejected_reward"))
+      .withColumn("distinct_response", col("__c_fp") =!= col("__r_fp"))
+      .withColumn("valid",
+        col("n_samples") >= 2 && col("distinct_response") &&
+          col("reward_gap") >= minGap)
+      .drop("__c_fp", "__r_fp")
+  }
+
+  /** Bradley-Terry strength ratings from pairwise game outcomes,
+    * fixed-iteration MM algorithm (Hunter '04): per round
+    *
+    *   w_i ← (W_i + 0.5) / Σ_j n_ij / (w_i + w_j)
+    *
+    * then normalized to mean 1 (Σw = K). The +0.5 win smoothing keeps
+    * never-winners strictly positive (a zero rating would divide a
+    * later pair denominator by zero — flag-not-crash is not available
+    * mid-iteration). Per round: ONE equi-join of the symmetric pair-
+    * count frame against the ratings + one partial-aggregated groupBy
+    * — the [[GraphOps.pageRank]] shape, with the same determinism
+    * contract: per-pair terms TRUNCATED at 7 dp, summed over exact
+    * decimals, each round's rating truncated at 7 dp (floor of an
+    * identical IEEE double is repr-independent; round() is not).
+    * `localCheckpoint` truncates iteration lineage.
+    */
+  def bradleyTerry(games: DataFrame, winner: Column, loser: Column,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    def t7(c: Column): Column = floor(c * 1e7) / 1e7
+    val g = games.select(winner.cast("long").as("w"), loser.cast("long").as("l"))
+      .localCheckpoint()
+    val players = g.select(col("w").as("player"))
+      .unionByName(g.select(col("l").as("player")))
+      .distinct()
+      .localCheckpoint()
+    val k = players.agg(count(lit(1)).as("cnt"))
+    val wins = g.groupBy(col("w").as("player")).agg(count(lit(1)).as("wins"))
+    val base = players.join(wins, Seq("player"), "left")
+      .select(col("player"),
+        (coalesce(col("wins"), lit(0L)) + lit(0.5)).as("wsm"))
+      .localCheckpoint()
+    val pairs = g
+      .select(least(col("w"), col("l")).as("a"), greatest(col("w"), col("l")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val e = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .unionByName(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+      .localCheckpoint()
+    var r = players.select(col("player"), lit(1.0).as("r"))
+    for (_ <- 1 to iterations) {
+      val ri = r.select(col("player").as("i"), col("r").as("ri"))
+      val rj = r.select(col("player").as("j"), col("r").as("rj"))
+      val den = e.join(ri, "i").join(rj, "j")
+        .groupBy(col("i").as("player"))
+        .agg(sum(t7(col("n") / (col("ri") + col("rj"))).cast("decimal(28,7)"))
+          .as("den"))
+      val raw = base.join(den, "player")
+        .select(col("player"), t7(col("wsm") / col("den").cast("double")).as("r"))
+      val tot = raw.agg(sum(col("r").cast("decimal(28,7)")).as("s"))
+      r = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(k))
+        .select(col("player"),
+          t7(col("r") * col("cnt") / col("s").cast("double")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("player"), col("r").as("rating"))
+  }
+
+  /** Per-player win rate with the Wilson-score 95% LOWER bound — the
+    * ranking statistic that doesn't promote a 2/2 contender over a
+    * 95/100 one. One unionByName + one partial-aggregable groupBy;
+    * 4-dp floor on the derived doubles (shared truncation contract).
+    */
+  def winRates(games: DataFrame, winner: Column, loser: Column,
+      z: Double = 1.96): DataFrame = {
+    val pw = games.select(winner.cast("long").as("player"), lit(1L).as("win"))
+    val pl = games.select(loser.cast("long").as("player"), lit(0L).as("win"))
+    val per = pw.unionByName(pl).groupBy("player")
+      .agg(count(lit(1)).as("n_games"), sum(col("win")).as("n_wins"))
+    val n = col("n_games").cast("double")
+    val p = col("n_wins").cast("double") / n
+    val z2 = z * z
+    val center = p + lit(z2) / (n * lit(2.0))
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (n * n * lit(4.0)))
+    val wilsonLo = (center - margin) / (lit(1.0) + lit(z2) / n)
+    per.select(col("player"), col("n_games"), col("n_wins"),
+      Num.t4floor(p).as("win_rate"), Num.t4floor(wilsonLo).as("wilson_lo"))
+  }
+}

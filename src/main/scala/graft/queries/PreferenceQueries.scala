@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Preference
+
+/** Preference / reward-data queries (SURVEY §2.D85-D87).
+  *
+  * The testdata has no preference tables, so both engines derive the
+  * same deterministic frames from `documents`:
+  *
+  *   - PAIRS: prompt group = `doc_id % 50`, reward = `n_chars`;
+  *     docs with `doc_id % 25 = 24` share one planted response body,
+  *     so two groups fail the distinct-response rule.
+  *   - GAMES: contender = `((doc_id * 48271) % 97) % 16` (a
+  *     multiplicative scramble — NOT `doc_id % 16`, which would pit
+  *     only adjacent contenders); each even/odd doc pair plays one
+  *     game, longer text wins, ties go to the smaller contender id,
+  *     same-contender pairings are skipped.
+  */
+object PreferenceQueries {
+
+  private val plantedResponse = "duplicate response body."
+
+  /** One Bradley-Terry MM round in DuckDB, CTEs `prev` → `cur`
+    * (+ scratch `d$n`/`raw$n`/`tot$n`): mirrors
+    * [[Preference.bradleyTerry]]'s truncation contract exactly —
+    * 7-dp floor per pair term, exact-decimal sums, 7-dp floor per
+    * round, mean-1 renormalization.
+    */
+  private def btIter(prev: String, cur: String, n: Int): String =
+    s"""d$n AS (
+       |  SELECT e.i AS player,
+       |    sum(CAST(floor(e.n / (ri.r + rj.r) * 1e7) / 1e7 AS DECIMAL(28,7))) AS den
+       |  FROM e
+       |  JOIN $prev ri ON e.i = ri.player
+       |  JOIN $prev rj ON e.j = rj.player
+       |  GROUP BY 1),
+       |raw$n AS (
+       |  SELECT b.player,
+       |    floor(b.wsm / CAST(d.den AS DOUBLE) * 1e7) / 1e7 AS r
+       |  FROM base b JOIN d$n d ON b.player = d.player),
+       |tot$n AS (SELECT sum(CAST(r AS DECIMAL(28,7))) AS s FROM raw$n),
+       |$cur AS (
+       |  SELECT raw$n.player,
+       |    floor(raw$n.r * k.cnt / CAST(t.s AS DOUBLE) * 1e7) / 1e7 AS r
+       |  FROM raw$n CROSS JOIN k CROSS JOIN tot$n t)""".stripMargin
+
+  /** Shared GAMES derivation (CTE `g` with winner/loser columns). */
+  private val gamesSql: String =
+    """WITH pa AS (
+      |  SELECT doc_id, n_chars, ((doc_id * 48271) % 97) % 16 AS c
+      |  FROM documents),
+      |g AS (
+      |  SELECT
+      |    CASE WHEN a.n_chars > b.n_chars THEN a.c
+      |         WHEN b.n_chars > a.n_chars THEN b.c
+      |         WHEN a.c < b.c THEN a.c ELSE b.c END AS winner,
+      |    CASE WHEN a.n_chars > b.n_chars THEN b.c
+      |         WHEN b.n_chars > a.n_chars THEN a.c
+      |         WHEN a.c < b.c THEN b.c ELSE a.c END AS loser
+      |  FROM pa a JOIN pa b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0 AND a.c <> b.c)""".stripMargin
+
+  private def gamesOf(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      ((col("doc_id") * 48271) % 97 % 16).as("c"))
+    val a = d.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("aid"), col("n_chars").as("an"), col("c").as("ac"))
+    val b = d.select((col("doc_id") - 1).as("aid"),
+      col("n_chars").as("bn"), col("c").as("bc"))
+    a.join(b, "aid").where(col("ac") =!= col("bc"))
+      .select(
+        when(col("an") > col("bn"), col("ac"))
+          .when(col("bn") > col("an"), col("bc"))
+          .when(col("ac") < col("bc"), col("ac")).otherwise(col("bc")).as("winner"),
+        when(col("an") > col("bn"), col("bc"))
+          .when(col("bn") > col("an"), col("ac"))
+          .when(col("ac") < col("bc"), col("bc")).otherwise(col("ac")).as("loser"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // D85: preference pair assembly + per-rule validation.
+    Q(
+      "q_pref_pairs",
+      s"""WITH t AS (
+         |  SELECT doc_id % 50 AS group_key, doc_id AS sample_id,
+         |    CASE WHEN doc_id % 25 = 24 THEN '$plantedResponse' ELSE text END
+         |      AS response,
+         |    CAST(n_chars AS DOUBLE) AS reward
+         |  FROM documents),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY group_key
+         |      ORDER BY reward DESC, sample_id ASC) AS rn_hi,
+         |    row_number() OVER (PARTITION BY group_key
+         |      ORDER BY reward ASC, sample_id DESC) AS rn_lo
+         |  FROM t),
+         |a AS (
+         |  SELECT group_key, CAST(count(*) AS BIGINT) AS n_samples,
+         |    max(CASE WHEN rn_hi = 1 THEN sample_id END) AS chosen_id,
+         |    max(CASE WHEN rn_hi = 1 THEN reward END) AS chosen_reward,
+         |    max(CASE WHEN rn_hi = 1 THEN md5(trim(regexp_replace(regexp_replace(
+         |      lower(response), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+         |      END) AS cfp,
+         |    max(CASE WHEN rn_lo = 1 THEN sample_id END) AS rejected_id,
+         |    max(CASE WHEN rn_lo = 1 THEN reward END) AS rejected_reward,
+         |    max(CASE WHEN rn_lo = 1 THEN md5(trim(regexp_replace(regexp_replace(
+         |      lower(response), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+         |      END) AS rfp
+         |  FROM rk GROUP BY group_key)
+         |SELECT group_key, n_samples, chosen_id, chosen_reward,
+         |  rejected_id, rejected_reward,
+         |  chosen_reward - rejected_reward AS reward_gap,
+         |  cfp <> rfp AS distinct_response,
+         |  n_samples >= 2 AND cfp <> rfp
+         |    AND chosen_reward - rejected_reward >= CAST(10.0 AS DOUBLE) AS valid
+         |FROM a ORDER BY group_key""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        (col("doc_id") % 50).as("gk"), col("doc_id").as("sid"),
+        when(col("doc_id") % 25 === 24, lit(plantedResponse))
+          .otherwise(col("text")).as("resp"),
+        col("n_chars").as("rew"))
+      Preference.pairsFromGroups(docs, col("gk"), col("sid"), col("resp"),
+          col("rew"), minGap = 10.0)
+        .select("group_key", "n_samples", "chosen_id", "chosen_reward",
+          "rejected_id", "rejected_reward", "reward_gap", "distinct_response",
+          "valid")
+        .orderBy("group_key")
+    },
+
+    // D86: Bradley-Terry ratings, 3 MM rounds, oracle-unrolled.
+    Q(
+      "q_bradley_terry",
+      s"""$gamesSql,
+         |players AS (SELECT winner AS player FROM g UNION SELECT loser FROM g),
+         |k AS (SELECT count(*) AS cnt FROM players),
+         |w AS (SELECT winner AS player, count(*) AS wins FROM g GROUP BY 1),
+         |base AS (
+         |  SELECT p.player,
+         |    coalesce(w.wins, 0) + CAST(0.5 AS DOUBLE) AS wsm
+         |  FROM players p LEFT JOIN w ON p.player = w.player),
+         |pr AS (
+         |  SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+         |    count(*) AS n
+         |  FROM g GROUP BY 1, 2),
+         |e AS (
+         |  SELECT a AS i, b AS j, n FROM pr
+         |  UNION ALL SELECT b, a, n FROM pr),
+         |r0 AS (SELECT player, CAST(1.0 AS DOUBLE) AS r FROM players),
+         |${btIter("r0", "it1", 1)},
+         |${btIter("it1", "it2", 2)},
+         |${btIter("it2", "it3", 3)}
+         |SELECT player, r AS rating FROM it3 ORDER BY player""".stripMargin
+    ) { (s, dir) =>
+      Preference.bradleyTerry(gamesOf(s, dir), col("winner"), col("loser"),
+          iterations = 3)
+        .orderBy("player")
+    },
+
+    // D87: per-contender win rate + Wilson 95% lower bound.
+    Q(
+      "q_win_rates",
+      s"""$gamesSql,
+         |s AS (
+         |  SELECT winner AS player, 1 AS win FROM g
+         |  UNION ALL SELECT loser, 0 FROM g),
+         |a AS (
+         |  SELECT player, CAST(count(*) AS BIGINT) AS n_games,
+         |    CAST(sum(win) AS BIGINT) AS n_wins
+         |  FROM s GROUP BY 1),
+         |c AS (
+         |  SELECT player, n_games, n_wins,
+         |    CAST(n_wins AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+         |    CAST(n_games AS DOUBLE) AS n,
+         |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+         |  FROM a)
+         |SELECT player, n_games, n_wins,
+         |  floor(p * 1e4) / 1e4 AS win_rate,
+         |  floor(
+         |    (p + z2 / (n * CAST(2.0 AS DOUBLE))
+         |      - CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n
+         |          + z2 / (n * n * CAST(4.0 AS DOUBLE))))
+         |    / (CAST(1.0 AS DOUBLE) + z2 / n) * 1e4) / 1e4 AS wilson_lo
+         |FROM c ORDER BY player""".stripMargin
+    ) { (s, dir) =>
+      Preference.winRates(gamesOf(s, dir), col("winner"), col("loser"))
+        .orderBy("player")
+    }
+  )
+}
