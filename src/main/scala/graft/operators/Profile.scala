@@ -405,6 +405,42 @@ object Profile {
       .agg(hll_sketch_estimate(hll_union_agg(sketch, allowDifferentLgConfigK = lit(false)))
         .cast("long").as("approx_distinct"))
 
+  /** Mergeable per-group QUANTILE sketches (KLL — see
+    * [[graft.functions.KllQuantileSketch]]) — the third member of the
+    * sketch triad next to [[distinctSketch]] (cardinality) and
+    * [[countMinSketch]] (frequency): each shard builds a few-KB binary
+    * sketch of a numeric column in one partial-aggregated pass,
+    * persists it, and [[quantileMerge]] answers corpus-wide
+    * percentiles without re-reading a shard — the scale story
+    * `percentile_approx` (one-shot, nothing persistable) cannot tell.
+    */
+  def quantileSketch(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      k: Int = 200): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.KllQuantileSketch.kllSketch(value, k).as("sketch"))
+
+  /** Union persisted KLL sketches per group and read off quantile
+    * estimates (plus the exact absorbed count n carried in the sketch
+    * header). Merge is associative/commutative — shard arrival order
+    * never changes the estimate class or its error bound.
+    */
+  def quantileMerge(
+      sketches: DataFrame,
+      group: Column,
+      sketch: Column,
+      ranks: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      k: Int = 200): DataFrame = {
+    import graft.functions.KllQuantileSketch._
+    val merged = sketches.groupBy(group.as("grp"))
+      .agg(kllMerge(sketch, k).as("__m"))
+    val qCols = ranks.map(r =>
+      kllQuantile(col("__m"), r).as(s"p${(r * 100).round}"))
+    merged.select(col("grp") +: kllCount(col("__m")).as("n") +: qCols: _*)
+  }
+
   /** Mergeable Count-Min frequency sketch (Cormode & Muthukrishnan,
     * J. Algorithms 2005) — the FREQUENCY companion to [[distinctSketch]]
     * 's cardinality tier: each shard builds a ≤ depth·width-row count

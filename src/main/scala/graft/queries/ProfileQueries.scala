@@ -652,6 +652,21 @@ object ProfileQueries {
         .orderBy("source")
     },
 
+    // C58: mergeable KLL quantile sketches — per-(source, shard)
+    // sketches of document length, merged per source into p50/p90/p99.
+    // Sketch bytes are engine-specific (and compaction is coin-flip
+    // randomized) → rows-only; ProfileSpec pins sub-k exactness, the
+    // rank-error envelope, and shard-merge == direct-build class.
+    Q.rowsOnly("q_quantile_sketch") { (s, dir) =>
+      val perShard = table(s, dir, "documents")
+        .withColumn("shard", col("doc_id") % 4)
+        .groupBy(col("source"), col("shard"))
+        .agg(graft.functions.KllQuantileSketch.kllSketch(col("n_chars")).as("sketch"))
+      Profile.quantileMerge(perShard, col("source"), col("sketch"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+
     // C55: per-key OLS trend fit — slope/intercept/R² of hourly event
     // volume per event_type from one exact-decimal moments pass; both
     // engines replay the identical double derivation order.

@@ -148,6 +148,47 @@ class ProfileSpec extends SparkSpec {
         s"$src: est ${merged(src)} vs exact $n")
   }
 
+  test("KLL sketches: exact below k, absorbed n exact, empty sketch yields null quantile") {
+    import spark.implicits._
+    import graft.functions.KllQuantileSketch._
+    // n = 100 < k = 200: every value retained, quantiles EXACT
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val sk = df.groupBy("g").agg(kllSketch(col("v"), 200).as("s"))
+    val out = sk.select(kllCount(col("s")).as("n"),
+      kllQuantile(col("s"), 0.5).as("p50"),
+      kllQuantile(col("s"), 1.0).as("p100")).head()
+    assert(out.getLong(0) == 100L)
+    assert(out.getDouble(1) == 50.0) // INCLUSIVE criterion: rank .5 → 50th value
+    assert(out.getDouble(2) == 100.0)
+    val empty = df.where(col("v") < 0).groupBy("g").agg(kllSketch(col("v")).as("s"))
+      .select(kllQuantile(col("s"), 0.5))
+    assert(empty.collect().isEmpty || empty.head().isNullAt(0))
+  }
+
+  test("KLL sketches: shard-merge estimates land within the rank-error envelope") {
+    import spark.implicits._
+    // 40k lognormal-ish values across 8 shards; k=200 → ~1.65% rank
+    // error w.h.p.; assert a generous 4% rank envelope vs exact.
+    val n = 40000
+    val df = (1 to n).map { i =>
+      val u = ((i.toLong * 2654435761L) % 1000003L).toDouble / 1000003.0
+      (i % 8, math.exp(4.0 * u)) // deterministic, heavy-tailed
+    }.toDF("shard", "v")
+    val perShard = Profile.quantileSketch(df, col("shard"), col("v"))
+      .withColumn("g", lit(1))
+    val est = Profile.quantileMerge(perShard, col("g"), col("sketch"),
+      ranks = Seq(0.5, 0.9, 0.99)).head()
+    assert(est.getAs[Long]("n") == n.toLong)
+    val sorted = df.select("v").as[Double].collect().sorted
+    for ((r, cName) <- Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+      val v = est.getAs[Double](cName)
+      // the estimate's true rank must be within ±4% of the target rank
+      val trueRank = sorted.count(_ <= v).toDouble / n
+      assert(math.abs(trueRank - r) < 0.04,
+        s"$cName: est $v has true rank $trueRank, want ~$r")
+    }
+  }
+
   test("weightedSample: weight 1 keeps everything, 0 nothing, nested under re-weighting") {
     val df = spark.range(0, 1000).toDF("id")
     import graft.operators.Sampling
