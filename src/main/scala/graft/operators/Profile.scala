@@ -441,6 +441,18 @@ object Profile {
     merged.select(col("grp") +: kllCount(col("__m")).as("n") +: qCols: _*)
   }
 
+  /** Union per-group KLL sketch FRAMES into one sketch frame (grp,
+    * sketch) — the shard/snapshot merge that keeps the result IN
+    * sketch form (for persistence); [[quantileMerge]] is the
+    * estimate-reading tier above it.
+    */
+  def quantileSketchUnion(sketches: Seq[DataFrame], k: Int = 200): DataFrame = {
+    require(sketches.nonEmpty, "at least one sketch frame")
+    sketches.reduce(_ unionByName _)
+      .groupBy("grp")
+      .agg(graft.functions.KllQuantileSketch.kllMerge(col("sketch"), k).as("sketch"))
+  }
+
   /** Mergeable Count-Min frequency sketch (Cormode & Muthukrishnan,
     * J. Algorithms 2005) — the FREQUENCY companion to [[distinctSketch]]
     * 's cardinality tier: each shard builds a ≤ depth·width-row count

@@ -565,6 +565,49 @@ object EventStreams {
       .start()
   }
 
+  /** E20: streaming KLL quantile-sketch maintenance — the QUANTILE
+    * member of the streaming sketch pair next to E14's Count-Min
+    * frequency tier: each micro-batch builds per-group KLL sketches
+    * ([[graft.operators.Profile.quantileSketch]] — one partial-agg
+    * pass over the batch), unions them into the persisted snapshot
+    * ([[graft.operators.Profile.quantileSketchUnion]] — associative/
+    * commutative library merge), and publishes through
+    * [[SnapshotStore]] (write-audit-publish). The snapshot answers
+    * "live p99 latency per key" via
+    * [[graft.operators.Profile.quantileMerge]] at any moment without
+    * touching stream history; below k absorbed values per group the
+    * estimates are EXACT and batch-split-invariant (the spec's
+    * claim), above it the published rank envelope holds.
+    *
+    * Delivery: same effectively-once-per-epoch contract as E14
+    * (foreachBatch replay of a merge double-counts; the checkpoint's
+    * batch tracking guards it, batch-id stamping is the documented
+    * stricter seam).
+    */
+  def kllMaintained(
+      values: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      snapshotPath: String,
+      checkpointPath: String,
+      k: Int = 200): org.apache.spark.sql.streaming.StreamingQuery = {
+    values.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchSketch = graft.operators.Profile.quantileSketch(
+          batch, col(groupCol), col(valueCol), k)
+        val merged = SnapshotStore.read(spark, snapshotPath) match {
+          case Some(prev) =>
+            graft.operators.Profile.quantileSketchUnion(Seq(prev, batchSketch), k)
+          case None => batchSketch
+        }
+        SnapshotStore.publish(merged.localCheckpoint(), snapshotPath, batchId)
+      }
+      .start()
+  }
+
   /** E15: streaming PSI drift monitor — per event-time window, the
     * population-stability index of the window's value distribution
     * against a PERSISTED baseline histogram: a watermarked windowed

@@ -667,6 +667,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E20 kllMaintained: sub-k snapshot quantiles equal one-shot and are split-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("e20").toString
+    // 150 values per key < k = 200: sketches stay exact, so the
+    // streamed 3-batch merge must match a one-shot build EXACTLY
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 150)
+      yield (g, if (g == "a") i.toDouble else i * 10.0)
+    val input = MemoryStream[(String, Double)](spark)
+    val q = EventStreams.kllMaintained(
+      input.toDF().toDF("g", "v"), "g", "v", s"$dir/snap", s"$dir/ckpt", k = 200)
+    try {
+      input.addData(rows.take(100))
+      q.processAllAvailable()
+      input.addData(rows.slice(100, 220))
+      q.processAllAvailable()
+      input.addData(rows.drop(220))
+      q.processAllAvailable()
+      val snap = streaming.SnapshotStore.read(spark, s"$dir/snap").get
+      val streamed = graft.operators.Profile.quantileMerge(
+          snap, col("grp"), col("sketch"), ranks = Seq(0.5, 0.9))
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("p50"), r.getAs[Double]("p90")))).toMap
+      val oneShot = graft.operators.Profile.quantileMerge(
+          graft.operators.Profile.quantileSketch(
+            rows.toDF("g", "v"), col("g"), col("v")),
+          col("grp"), col("sketch"), ranks = Seq(0.5, 0.9))
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("p50"), r.getAs[Double]("p90")))).toMap
+      assert(streamed == oneShot, s"streamed $streamed vs one-shot $oneShot")
+      assert(streamed("a") == ((150L, 75.0, 135.0)))
+      assert(streamed("b") == ((150L, 750.0, 1350.0)))
+    } finally q.stop()
+  }
+
   test("E13 rollingZStream: trailing baselines persist across batches, equals batch rollingZ") {
     // two metric keys, 40 buckets, a planted 100x spike at bucket 25
     val rows = for (k <- 0L to 1L; b <- 0L until 40L) yield
