@@ -117,6 +117,77 @@ object Preference {
     r.select(col("player"), col("r").as("rating"))
   }
 
+  /** Group-relative advantage normalization (the GRPO estimator,
+    * Shao et al. '24): per prompt group, advantage = (r − mean_g) /
+    * (std_g + ε) — the per-sample training signal computed WITHOUT a
+    * learned value baseline, whole-group statistics standing in for
+    * it. Distinct from the generic z-score ([[Stats.standardize]]) in
+    * its RL contract: POPULATION std (the group IS the rollout
+    * population, not a sample), an ε floor instead of a degenerate-
+    * flag (a tied group yields advantage 0/ε = 0 for every member —
+    * the "no signal" outcome trainers expect), and singleton groups
+    * report 0 rather than dropping the sample.
+    *
+    * Determinism: moments from exact decimal sums, the double
+    * derivation replayed textually by the oracle, 4-dp toward-zero
+    * truncation (sign-symmetric — advantages feed a symmetric
+    * objective). ONE partial-aggregable groupBy + an equi-join of the
+    * group-sized stats frame back to samples (AQE broadcasts it).
+    */
+  def groupAdvantage(df: DataFrame, groupKey: Column, sampleId: Column,
+      reward: Column, eps: Double = 1e-4): DataFrame = {
+    val t = df.select(groupKey.as("group_key"), sampleId.as("sample_id"),
+      reward.cast("double").as("reward"))
+    val stats = t.groupBy("group_key")
+      .agg(count(lit(1)).as("group_n"),
+        sum(Num.dec(col("reward"))).as("__s"),
+        sum(Num.dec(col("reward")) * Num.dec(col("reward"))).as("__ss"))
+      .select(col("group_key"), col("group_n"),
+        (col("__s").cast("double") / col("group_n")).as("group_mean"),
+        sqrt(greatest(lit(0.0),
+          (col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") / col("group_n"))
+            / col("group_n"))).as("group_std"))
+    t.join(stats, "group_key")
+      .select(col("group_key"), col("sample_id"), col("reward"),
+        col("group_n"), Num.t4zero(col("group_mean")).as("group_mean"),
+        Num.t4zero(col("group_std")).as("group_std"),
+        Num.t4zero((col("reward") - col("group_mean")) / (col("group_std") + eps))
+          .as("advantage"))
+  }
+
+  /** Best-of-N distillation with acceptance attrition (rejection
+    * sampling / RFT-style dataset synthesis): per prompt group, count
+    * candidates, count those clearing the absolute reward bar, keep
+    * the best accepted one (ties to the smaller id), and report the
+    * accept rate — plus the `starved` flag for groups where NOTHING
+    * cleared the bar (the signal that the generator needs more
+    * samples or the bar is wrong; silently dropping those groups is
+    * how a distilled set quietly loses its hard prompts). ONE
+    * partial-aggregable groupBy: max_by over a null-for-rejected
+    * struct implements "best accepted" without a second pass.
+    */
+  def bestOfN(df: DataFrame, groupKey: Column, sampleId: Column,
+      reward: Column, minReward: Double): DataFrame = {
+    val t = df.select(groupKey.as("group_key"), sampleId.as("sample_id"),
+      reward.cast("double").as("reward"))
+    val accepted = col("reward") >= minReward
+    t.groupBy("group_key")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(accepted, 1L)), lit(0L)).as("n_accepted"),
+        // max over (reward, -id) structs of ACCEPTED rows only: nulls
+        // sort below any value, so a starved group yields null
+        max(when(accepted, struct(col("reward"), (-col("sample_id")).as("negid"))))
+          .as("__best"))
+      .select(col("group_key"), col("n_candidates"), col("n_accepted"),
+        (-col("__best.negid")).as("kept_id"),
+        col("__best.reward").as("kept_reward"),
+        Num.t4floor(col("n_accepted").cast("double") / col("n_candidates"))
+          .as("accept_rate"),
+        col("__best").isNull.as("starved"))
+  }
+
   /** Per-player win rate with the Wilson-score 95% LOWER bound — the
     * ranking statistic that doesn't promote a 2/2 contender over a
     * 95/100 one. One unionByName + one partial-aggregable groupBy;

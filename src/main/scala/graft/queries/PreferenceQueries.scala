@@ -161,6 +161,73 @@ object PreferenceQueries {
         .orderBy("player")
     },
 
+    // D88: GRPO group-relative advantage normalization.
+    Q(
+      "q_group_advantage", {
+        def t4z(e: String) = s"sign($e) * (floor(abs($e) * 1e4) / 1e4) + 0.0"
+        s"""WITH t AS (
+           |  SELECT doc_id % 50 AS group_key, doc_id AS sample_id,
+           |    CAST(n_chars AS DOUBLE) AS reward
+           |  FROM documents),
+           |s AS (
+           |  SELECT group_key, CAST(count(*) AS BIGINT) AS group_n,
+           |    CAST(sum(CAST(reward AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+           |    CAST(sum(CAST(reward AS DECIMAL(18,6)) * CAST(reward AS DECIMAL(18,6)))
+           |      AS DOUBLE) AS ss
+           |  FROM t GROUP BY 1),
+           |m AS (
+           |  SELECT group_key, group_n, sm / group_n AS mu,
+           |    sqrt(greatest(CAST(0.0 AS DOUBLE),
+           |      (ss - sm * sm / group_n) / group_n)) AS sd
+           |  FROM s)
+           |SELECT t.group_key, t.sample_id, t.reward, m.group_n,
+           |  ${t4z("m.mu")} AS group_mean,
+           |  ${t4z("m.sd")} AS group_std,
+           |  ${t4z("(t.reward - m.mu) / (m.sd + CAST(0.0001 AS DOUBLE))")} AS advantage
+           |FROM t JOIN m ON t.group_key = m.group_key
+           |ORDER BY t.group_key, t.sample_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        (col("doc_id") % 50).as("gk"), col("doc_id").as("sid"),
+        col("n_chars").as("rew"))
+      Preference.groupAdvantage(docs, col("gk"), col("sid"), col("rew"))
+        .orderBy("group_key", "sample_id")
+    },
+
+    // D89: best-of-N distillation with acceptance attrition; the bar
+    // at 450 chars leaves some groups starved on purpose.
+    Q(
+      "q_best_of_n",
+      """WITH t AS (
+        |  SELECT doc_id % 50 AS group_key, doc_id AS sample_id,
+        |    CAST(n_chars AS DOUBLE) AS reward
+        |  FROM documents),
+        |a AS (
+        |  SELECT group_key, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(coalesce(count(*) FILTER (WHERE reward >= CAST(450.0 AS DOUBLE)), 0)
+        |      AS BIGINT) AS n_accepted
+        |  FROM t GROUP BY 1),
+        |b AS (
+        |  SELECT group_key, sample_id AS kept_id, reward AS kept_reward,
+        |    row_number() OVER (PARTITION BY group_key
+        |      ORDER BY reward DESC, sample_id ASC) AS rn
+        |  FROM t WHERE reward >= CAST(450.0 AS DOUBLE))
+        |SELECT a.group_key, a.n_candidates, a.n_accepted,
+        |  b.kept_id, b.kept_reward,
+        |  floor(CAST(a.n_accepted AS DOUBLE) / a.n_candidates * 1e4) / 1e4
+        |    AS accept_rate,
+        |  b.kept_id IS NULL AS starved
+        |FROM a LEFT JOIN b ON a.group_key = b.group_key AND b.rn = 1
+        |ORDER BY a.group_key""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        (col("doc_id") % 50).as("gk"), col("doc_id").as("sid"),
+        col("n_chars").as("rew"))
+      Preference.bestOfN(docs, col("gk"), col("sid"), col("rew"), minReward = 450.0)
+        .orderBy("group_key")
+    },
+
     // D87: per-contender win rate + Wilson 95% lower bound.
     Q(
       "q_win_rates",

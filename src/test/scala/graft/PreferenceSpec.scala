@@ -93,6 +93,48 @@ class PreferenceSpec extends SparkSpec {
     assert(out(0).getAs[Double]("rating") > out(1).getAs[Double]("rating"))
   }
 
+  test("groupAdvantage: GRPO normalization with tied and singleton groups") {
+    val rollouts = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (1L, 4L, 40.0),
+      (2L, 5L, 7.0), (2L, 6L, 7.0), (2L, 7L, 7.0), // fully tied
+      (3L, 8L, 99.0) // singleton
+    ).toDF("g", "id", "r")
+    val out = Preference.groupAdvantage(rollouts, col("g"), col("id"), col("r"))
+      .orderBy("group_key", "sample_id").collect()
+    // group 1: mean 25, pop std sqrt(125) ≈ 11.1803; adv of r=10:
+    val sd = math.sqrt(125.0)
+    val exp = (10.0 - 25.0) / (sd + 1e-4)
+    def t4z(x: Double) = math.signum(x) * (math.floor(math.abs(x) * 1e4) / 1e4) + 0.0
+    assert(out(0).getAs[Double]("advantage") == t4z(exp))
+    assert(out(0).getAs[Double]("group_mean") == 25.0)
+    assert(out(0).getAs[Double]("group_std") == t4z(sd))
+    // advantages within a group are symmetric here: a(10) == -a(40)
+    assert(out(0).getAs[Double]("advantage") == -out(3).getAs[Double]("advantage"))
+    // tied group: every advantage exactly 0 (no-signal outcome)
+    (4 to 6).foreach(i => assert(out(i).getAs[Double]("advantage") == 0.0))
+    // singleton: std 0, advantage 0, sample kept
+    assert(out(7).getAs[Double]("advantage") == 0.0)
+    assert(out(7).getAs[Long]("group_n") == 1L)
+  }
+
+  test("bestOfN: keeps the best accepted sample and flags starved groups") {
+    val rollouts = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 9.0), (1L, 3L, 9.0), (1L, 4L, 2.0), // tie at 9
+      (2L, 5L, 1.0), (2L, 6L, 3.0) // nothing clears the bar
+    ).toDF("g", "id", "r")
+    val out = Preference.bestOfN(rollouts, col("g"), col("id"), col("r"),
+      minReward = 4.0).orderBy("group_key").collect()
+    assert(out(0).getAs[Long]("n_candidates") == 4L)
+    assert(out(0).getAs[Long]("n_accepted") == 3L)
+    assert(out(0).getAs[Long]("kept_id") == 2L) // tie at 9.0 → smaller id
+    assert(out(0).getAs[Double]("kept_reward") == 9.0)
+    assert(out(0).getAs[Double]("accept_rate") == 0.75)
+    assert(!out(0).getAs[Boolean]("starved"))
+    assert(out(1).getAs[Long]("n_accepted") == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("kept_id")))
+    assert(out(1).getAs[Boolean]("starved"))
+  }
+
   test("winRates: Wilson lower bound ranks 95/100 above 2/2") {
     val sure = (1 to 95).map(_ => (10L, 20L)) ++ (1 to 5).map(_ => (20L, 10L))
     val lucky = Seq((30L, 40L), (30L, 40L))
