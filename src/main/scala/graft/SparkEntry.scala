@@ -12,7 +12,8 @@ object SparkEntry {
     RelationalQueries.all ++ WranglingQueries.all ++ TemporalQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ MultimodalQueries.all ++
       CurationQueries.all ++ ProfileQueries.all ++ MergeQueries.all ++
-      GraphQueries.all ++ ChatQueries.all ++ PreferenceQueries.all
+      GraphQueries.all ++ ChatQueries.all ++ PreferenceQueries.all ++
+      EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

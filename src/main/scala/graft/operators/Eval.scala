@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation & annotation analytics — the measurement side of
+  * the training-data loop next to [[Preference]]: estimate pass@k from
+  * sampled rollouts, aggregate self-consistency votes, compare two
+  * systems on paired items, and score inter-annotator agreement on
+  * human labels. Every operator is ONE partial-aggregable groupBy (or
+  * a two-level aggregate whose second stage runs on an already-
+  * collapsed bounded frame) — nothing all-pairs, nothing driver-sized,
+  * nothing windowed without a partition key.
+  *
+  * Reference behavior baseline: the reference pipeline
+  * (`tratamento_epe.R`) has no eval surface at all — these operators
+  * exist for the 100 TB training-pipeline mandate, with the same
+  * cross-engine determinism contract as the Stats/Profile families.
+  */
+object Eval {
+
+  /** Unbiased pass@k estimator (Chen et al. '21, HumanEval): per
+    * problem, from `n` sampled attempts of which `c` are correct,
+    *
+    *   pass@k = 1 − C(n−c, k) / C(n, k)
+    *          = 1 − Π_{i=0}^{k−1} (n−c−i) / (n−i)
+    *
+    * computed on EXACT INTEGER product lanes (numerator and
+    * denominator as BIGINTs, ONE double division at the end) so both
+    * engines derive the identical double — a per-factor double product
+    * would be association-order-dependent. The k-term product is
+    * unrolled at plan-build time (k is a config constant), so the
+    * whole estimator is one codegen'd projection over a partial-agg
+    * groupBy.
+    *
+    * Contracts: `n − c < k` short-circuits to 1.0 exactly (some
+    * failure draw is impossible); undersampled problems (`n < k`)
+    * report NULL + the `undersampled` flag — the estimator is
+    * undefined there and a silent clamp would overstate coverage.
+    * Integer lanes bound n by k·log2(n) < 63: n ≤ ~55k samples per
+    * problem at k=4 — far above any real rollout budget; the require
+    * guards the k side.
+    */
+  def passAtK(df: DataFrame, problemKey: Column, correct: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    val t = df.select(problemKey.as("problem_key"),
+      correct.cast("boolean").as("__ok"))
+    val agg = t.groupBy("problem_key")
+      .agg(count(lit(1)).as("n_samples"),
+        coalesce(sum(when(col("__ok"), 1L)), lit(0L)).as("n_correct"))
+    val n = col("n_samples")
+    val f = n - col("n_correct") // failures
+    val num = (0 until k).map(i => f - lit(i.toLong)).reduce(_ * _)
+    val den = (0 until k).map(i => n - lit(i.toLong)).reduce(_ * _)
+    agg.select(col("problem_key"), col("n_samples"), col("n_correct"),
+      when(n < k, lit(null).cast("double"))
+        .when(f < k, lit(1.0))
+        .otherwise(Num.t4floor(lit(1.0) - num.cast("double") / den.cast("double")))
+        .as(s"pass_at_$k"),
+      (n < k).as("undersampled"))
+  }
+
+  /** Self-consistency aggregation (Wang et al. '23): per problem, the
+    * modal answer across sampled chains — ties break (count desc,
+    * answer asc) via ONE min-over-struct with a negated count lane, so
+    * the winner is deterministic without a ranking window. Reports the
+    * vote count, agreement ratio (votes/n — the confidence signal that
+    * decides whether the consensus is usable), and answer-space size.
+    *
+    * Shape: groupBy(problem, answer) partial-agg count (map-side
+    * combine collapses repeated votes BEFORE the shuffle — the frame
+    * that shuffles is bounded by distinct answers per problem, not
+    * samples), then one groupBy(problem) over the collapsed frame.
+    * NULL answers (an unparseable chain) count toward `n_samples` but
+    * never toward a consensus: they are aggregated as abstentions and
+    * excluded from the vote by the null-last struct ordering.
+    */
+  def majorityVote(df: DataFrame, problemKey: Column,
+      answer: Column): DataFrame = {
+    val t = df.select(problemKey.as("problem_key"),
+      answer.cast("string").as("answer"))
+    val votes = t.groupBy("problem_key", "answer")
+      .agg(count(lit(1)).as("__cnt"))
+    votes.groupBy("problem_key")
+      .agg(
+        sum(col("__cnt")).as("n_samples"),
+        coalesce(sum(when(col("answer").isNotNull, col("__cnt"))), lit(0L))
+          .as("n_voted"),
+        count(col("answer")).as("n_distinct_answers"),
+        // min over (-count, answer): most votes first, then the
+        // lexicographically smallest answer; null answers sort null-last
+        // under min and never win over a real vote
+        min(when(col("answer").isNotNull,
+          struct((-col("__cnt")).as("negc"), col("answer")))).as("__top"))
+      .select(col("problem_key"), col("n_samples"), col("n_voted"),
+        col("n_distinct_answers"),
+        col("__top.answer").as("consensus"),
+        (-col("__top.negc")).as("consensus_votes"),
+        when(col("n_voted") > 0,
+          Num.t4floor((-col("__top.negc")).cast("double") / col("n_voted")))
+          .as("agreement"))
+  }
+
+  /** McNemar paired-system comparison (continuity-corrected): two
+    * systems scored on the SAME items — the eval that asks "did B
+    * actually beat A" instead of comparing two marginal accuracies
+    * whose difference may live entirely in noise. Only the DISCORDANT
+    * pairs carry signal:
+    *
+    *   b = A-only-correct, c = B-only-correct,
+    *   χ² = (|b − c| − 1)² / (b + c)
+    *
+    * Exact integer counts from ONE groupBy-less aggregate (partial-agg
+    * conditional sums; one row out), one double division, 4-dp floor;
+    * b + c = 0 (no disagreements) reports χ² = 0 un-`significant` —
+    * flag-not-crash on the degenerate case. `significant` compares to
+    * the χ²(1) 5% critical value 3.8415. Items where either side's
+    * verdict is NULL are counted out (`n_skipped`) rather than
+    * silently coerced — a missing grade is not a wrong answer.
+    */
+  def mcnemar(df: DataFrame, correctA: Column, correctB: Column): DataFrame = {
+    val t = df.select(correctA.cast("boolean").as("__a"),
+      correctB.cast("boolean").as("__b"))
+    val graded = col("__a").isNotNull && col("__b").isNotNull
+    val agg = t.agg(
+      coalesce(sum(when(graded, 1L)), lit(0L)).as("n_items"),
+      coalesce(sum(when(!graded, 1L)), lit(0L)).as("n_skipped"),
+      coalesce(sum(when(graded && col("__a") && col("__b"), 1L)), lit(0L))
+        .as("both_correct"),
+      coalesce(sum(when(graded && !col("__a") && !col("__b"), 1L)), lit(0L))
+        .as("neither_correct"),
+      coalesce(sum(when(graded && col("__a") && !col("__b"), 1L)), lit(0L))
+        .as("a_only"),
+      coalesce(sum(when(graded && !col("__a") && col("__b"), 1L)), lit(0L))
+        .as("b_only"))
+    val disc = col("a_only") + col("b_only")
+    val diff = abs(col("a_only") - col("b_only"))
+    // (|b−c|−1)² as an exact integer lane; continuity correction can
+    // only apply when there IS at least one discordant pair, and
+    // |b−c|=0 with disc>0 still yields (−1)²=1 — the standard form
+    val num = (diff - lit(1L)) * (diff - lit(1L))
+    val chi2 = when(disc === 0, lit(0.0))
+      .otherwise(Num.t4floor(num.cast("double") / disc.cast("double")))
+    agg.select(col("n_items"), col("n_skipped"), col("both_correct"),
+      col("neither_correct"), col("a_only"), col("b_only"),
+      when(col("n_items") > 0,
+        Num.t4floor((col("both_correct") + col("a_only")).cast("double") /
+          col("n_items"))).as("acc_a"),
+      when(col("n_items") > 0,
+        Num.t4floor((col("both_correct") + col("b_only")).cast("double") /
+          col("n_items"))).as("acc_b"),
+      chi2.as("chi2"),
+      (disc > 0 && chi2 > 3.8415).as("significant"))
+  }
+
+  /** Cohen's kappa inter-annotator agreement on categorical labels —
+    * the go/no-go statistic for a human-labeled RM/SFT batch (raw
+    * percent agreement rewards annotators for majority-class
+    * collusion; kappa subtracts the chance floor):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_e = Σ_k row_k · col_k / n²
+    *
+    * ONE partial-agg pass to the bounded r·c contingency frame; both
+    * margins by partial-agg groupBys OVER that frame joined back
+    * null-safely ([[Stats.chiSquared]]'s discipline — NULL is a real
+    * label level, a missing annotation forms its own class rather
+    * than dropping the row, so coverage gaps surface as disagreement).
+    * p_e's products sum over exact integer lanes (row_k·col_k as
+    * BIGINT, one division by n² at the end) — order-independent where
+    * a per-class double sum is not. κ is 4-dp TOWARD-ZERO (it can be
+    * negative — worse-than-chance must not truncate away from zero
+    * and flip a comparison). Degenerate p_e = 1 (both annotators
+    * constant) reports κ = 0 + `degenerate` flag.
+    */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val t = df.select(labelA.cast("string").as("__la"),
+      labelB.cast("string").as("__lb"))
+    val cells = t.groupBy("__la", "__lb").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // three consumers: margins × 2 + diagonal
+    val rows = cells.groupBy("__la").agg(sum(col("cnt")).as("row_n"))
+    val cols = cells.groupBy("__lb").agg(sum(col("cnt")).as("col_n"))
+    val chance = rows.join(cols, rows("__la") <=> cols("__lb"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("pe_num"))
+    val totals = cells.agg(
+      sum(col("cnt")).as("n_items"),
+      coalesce(sum(when(col("__la") <=> col("__lb"), col("cnt"))), lit(0L))
+        .as("n_agree"))
+    val j = totals.crossJoin(broadcast(chance))
+    val n = col("n_items").cast("double")
+    val po = col("n_agree").cast("double") / n
+    val pe = col("pe_num").cast("double") / (n * n)
+    j.select(col("n_items"), col("n_agree"),
+      Num.t4floor(po).as("p_observed"),
+      Num.t4floor(pe).as("p_expected"),
+      when(col("pe_num") === col("n_items") * col("n_items"), lit(0.0))
+        .otherwise(Num.t4zero((po - pe) / (lit(1.0) - pe))).as("kappa"),
+      (col("pe_num") === col("n_items") * col("n_items")).as("degenerate"))
+  }
+}

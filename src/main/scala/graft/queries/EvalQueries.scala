@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+
+/** Model-eval & annotation analytics queries (SURVEY §2.D90-D93).
+  *
+  * The testdata has no eval tables, so both engines derive the same
+  * deterministic frames from `documents`:
+  *
+  *   - ROLLOUTS: problem group = `doc_id % 40`; "correct" =
+  *     `n_chars % 7 = 0` (~14% pass), answers = `n_chars % 10` with
+  *     `doc_id % 17 = 0` rows abstaining (NULL answer).
+  *   - PAIRED GRADES: system A correct = `n_chars % 7 = 0`, system B
+  *     correct = `n_chars % 5 = 0`; `doc_id % 31 = 0` rows ungraded
+  *     by A, `doc_id % 37 = 0` by B (exercises the skip path).
+  *   - ANNOTATIONS: labelA = `n_chars % 3`, labelB =
+  *     `(n_chars + doc_id) % 3`; `doc_id % 23 = 0` rows unlabeled by
+  *     A (NULL is a real label class).
+  */
+object EvalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // D90: unbiased pass@k (k = 4) per problem from sampled attempts.
+    Q(
+      "q_pass_at_k",
+      """WITH t AS (
+        |  SELECT doc_id % 40 AS problem_key, (n_chars % 7 = 0) AS ok
+        |  FROM documents),
+        |a AS (
+        |  SELECT problem_key, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(coalesce(sum(CASE WHEN ok THEN 1 END), 0) AS BIGINT)
+        |      AS n_correct
+        |  FROM t GROUP BY 1)
+        |SELECT problem_key, n_samples, n_correct,
+        |  CASE
+        |    WHEN n_samples < 4 THEN NULL
+        |    WHEN n_samples - n_correct < 4 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE floor((CAST(1.0 AS DOUBLE)
+        |      - CAST((n_samples - n_correct) * (n_samples - n_correct - 1)
+        |             * (n_samples - n_correct - 2) * (n_samples - n_correct - 3)
+        |          AS DOUBLE)
+        |        / CAST(n_samples * (n_samples - 1) * (n_samples - 2)
+        |             * (n_samples - 3) AS DOUBLE)) * 1e4) / 1e4
+        |  END AS pass_at_4,
+        |  n_samples < 4 AS undersampled
+        |FROM a ORDER BY problem_key""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        (col("doc_id") % 40).as("pk"), (col("n_chars") % 7 === 0).as("ok"))
+      Eval.passAtK(docs, col("pk"), col("ok"), k = 4).orderBy("problem_key")
+    },
+
+    // D91: self-consistency majority vote with abstentions.
+    Q(
+      "q_majority_vote",
+      """WITH t AS (
+        |  SELECT doc_id % 40 AS problem_key,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL
+        |         ELSE CAST(n_chars % 10 AS VARCHAR) END AS answer
+        |  FROM documents),
+        |v AS (
+        |  SELECT problem_key, answer, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY 1, 2),
+        |top AS (
+        |  SELECT problem_key, answer AS consensus, cnt AS consensus_votes,
+        |    row_number() OVER (PARTITION BY problem_key
+        |      ORDER BY cnt DESC, answer ASC) AS rn
+        |  FROM v WHERE answer IS NOT NULL),
+        |a AS (
+        |  SELECT problem_key, CAST(sum(cnt) AS BIGINT) AS n_samples,
+        |    CAST(coalesce(sum(cnt) FILTER (WHERE answer IS NOT NULL), 0)
+        |      AS BIGINT) AS n_voted,
+        |    CAST(count(answer) AS BIGINT) AS n_distinct_answers
+        |  FROM v GROUP BY 1)
+        |SELECT a.problem_key, a.n_samples, a.n_voted, a.n_distinct_answers,
+        |  w.consensus, w.consensus_votes,
+        |  CASE WHEN a.n_voted > 0 THEN
+        |    floor(CAST(w.consensus_votes AS DOUBLE) / a.n_voted * 1e4) / 1e4
+        |  END AS agreement
+        |FROM a LEFT JOIN (SELECT * FROM top WHERE rn = 1) w
+        |  ON a.problem_key = w.problem_key
+        |ORDER BY a.problem_key""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        (col("doc_id") % 40).as("pk"),
+        when(col("doc_id") % 17 === 0, lit(null))
+          .otherwise((col("n_chars") % 10).cast("string")).as("ans"))
+      Eval.majorityVote(docs, col("pk"), col("ans")).orderBy("problem_key")
+    },
+
+    // D92: McNemar paired comparison of two graders on the same items.
+    Q(
+      "q_mcnemar",
+      """WITH t AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 31 = 0 THEN NULL
+        |         ELSE (n_chars % 7 = 0) END AS a,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |         ELSE (n_chars % 5 = 0) END AS b
+        |  FROM documents),
+        |g AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+        |      THEN 1 END), 0) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN a IS NULL OR b IS NULL
+        |      THEN 1 END), 0) AS BIGINT) AS n_skipped,
+        |    CAST(coalesce(sum(CASE WHEN a AND b THEN 1 END), 0) AS BIGINT)
+        |      AS both_correct,
+        |    CAST(coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 END), 0)
+        |      AS BIGINT) AS neither_correct,
+        |    CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 END), 0) AS BIGINT)
+        |      AS a_only,
+        |    CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 END), 0) AS BIGINT)
+        |      AS b_only
+        |  FROM t),
+        |c AS (
+        |  SELECT *,
+        |    a_only + b_only AS disc,
+        |    CASE WHEN a_only + b_only = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE floor(CAST((abs(a_only - b_only) - 1)
+        |          * (abs(a_only - b_only) - 1) AS DOUBLE)
+        |        / CAST(a_only + b_only AS DOUBLE) * 1e4) / 1e4
+        |    END AS chi2
+        |  FROM g)
+        |SELECT n_items, n_skipped, both_correct, neither_correct,
+        |  a_only, b_only,
+        |  CASE WHEN n_items > 0 THEN
+        |    floor(CAST(both_correct + a_only AS DOUBLE) / n_items * 1e4) / 1e4
+        |  END AS acc_a,
+        |  CASE WHEN n_items > 0 THEN
+        |    floor(CAST(both_correct + b_only AS DOUBLE) / n_items * 1e4) / 1e4
+        |  END AS acc_b,
+        |  chi2,
+        |  disc > 0 AND chi2 > CAST(3.8415 AS DOUBLE) AS significant
+        |FROM c""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        when(col("doc_id") % 31 === 0, lit(null))
+          .otherwise(col("n_chars") % 7 === 0).as("a"),
+        when(col("doc_id") % 37 === 0, lit(null))
+          .otherwise(col("n_chars") % 5 === 0).as("b"))
+      Eval.mcnemar(docs, col("a"), col("b"))
+    },
+
+    // D93: Cohen's kappa between two deterministic annotators; NULL
+    // (unlabeled by A) is a real class.
+    Q(
+      "q_cohen_kappa",
+      """WITH t AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 23 = 0 THEN NULL
+        |         ELSE CAST(n_chars % 3 AS VARCHAR) END AS la,
+        |    CAST((n_chars + doc_id) % 3 AS VARCHAR) AS lb
+        |  FROM documents),
+        |cells AS (
+        |  SELECT la, lb, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT la, CAST(sum(cnt) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+        |c AS (SELECT lb, CAST(sum(cnt) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+        |pe AS (
+        |  SELECT CAST(coalesce(sum(r.row_n * c.col_n), 0) AS BIGINT) AS pe_num
+        |  FROM r JOIN c ON r.la IS NOT DISTINCT FROM c.lb),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN la IS NOT DISTINCT FROM lb
+        |      THEN cnt END), 0) AS BIGINT) AS n_agree
+        |  FROM cells)
+        |SELECT n_items, n_agree,
+        |  floor(CAST(n_agree AS DOUBLE) / n_items * 1e4) / 1e4 AS p_observed,
+        |  floor(CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE)
+        |    * CAST(n_items AS DOUBLE)) * 1e4) / 1e4 AS p_expected,
+        |  CASE WHEN pe_num = n_items * n_items THEN CAST(0.0 AS DOUBLE)
+        |    ELSE sign((CAST(n_agree AS DOUBLE) / n_items
+        |        - CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE)
+        |            * CAST(n_items AS DOUBLE)))
+        |      / (CAST(1.0 AS DOUBLE) - CAST(pe_num AS DOUBLE)
+        |          / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE))))
+        |      * (floor(abs((CAST(n_agree AS DOUBLE) / n_items
+        |        - CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE)
+        |            * CAST(n_items AS DOUBLE)))
+        |      / (CAST(1.0 AS DOUBLE) - CAST(pe_num AS DOUBLE)
+        |          / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE))))
+        |        * 1e4) / 1e4) + 0.0
+        |  END AS kappa,
+        |  pe_num = n_items * n_items AS degenerate
+        |FROM tot CROSS JOIN pe""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        when(col("doc_id") % 23 === 0, lit(null))
+          .otherwise((col("n_chars") % 3).cast("string")).as("la"),
+        ((col("n_chars") + col("doc_id")) % 3).cast("string").as("lb"))
+      Eval.cohenKappa(docs, col("la"), col("lb"))
+    }
+  )
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+
+/** SURVEY §2.D90-D93: pass@k estimation, self-consistency majority
+  * vote, McNemar paired comparison, Cohen's kappa agreement.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("passAtK matches the closed form, short-circuits, and flags undersampling") {
+    val df = Seq(
+      // problem 1: n=5, c=2 → pass@2 = 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
+      (1L, true), (1L, true), (1L, false), (1L, false), (1L, false),
+      // problem 2: n=4, c=3 → failures 1 < k=2 → exactly 1.0
+      (2L, true), (2L, true), (2L, true), (2L, false),
+      // problem 3: n=3, c=0 → pass@2 = 1 - C(3,2)/C(3,2) = 0.0
+      (3L, false), (3L, false), (3L, false),
+      // problem 4: n=1 < k → undefined, flagged
+      (4L, true)
+    ).toDF("p", "ok")
+    val out = Eval.passAtK(df, col("p"), col("ok"), k = 2)
+      .orderBy("problem_key").collect()
+    assert(out(0).getAs[Double]("pass_at_2") == 0.7)
+    assert(!out(0).getAs[Boolean]("undersampled"))
+    assert(out(1).getAs[Double]("pass_at_2") == 1.0)
+    assert(out(2).getAs[Double]("pass_at_2") == 0.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("pass_at_2")))
+    assert(out(3).getAs[Boolean]("undersampled"))
+  }
+
+  test("passAtK at k=1 equals the plain accuracy ratio") {
+    val df = Seq((1L, true), (1L, false), (1L, false), (1L, false))
+      .toDF("p", "ok")
+    val out = Eval.passAtK(df, col("p"), col("ok"), k = 1).collect()
+    // 1 - C(3,1)/C(4,1) = 1 - 3/4 = 0.25
+    assert(out(0).getAs[Double]("pass_at_1") == 0.25)
+  }
+
+  test("majorityVote picks the modal answer with count-then-answer tie-break; abstentions never win") {
+    val df = Seq(
+      // problem 1: b×2, a×1 → consensus b, agreement 2/3
+      (1L, Some("b")), (1L, Some("b")), (1L, Some("a")),
+      // problem 2: a×2, b×2 tie → lexicographically smaller a wins
+      (2L, Some("a")), (2L, Some("a")), (2L, Some("b")), (2L, Some("b")),
+      // problem 3: one vote + two abstentions → consensus z over nulls,
+      // agreement 1/1 (abstentions excluded from the denominator)
+      (3L, Some("z")), (3L, None), (3L, None),
+      // problem 4: all abstained → no consensus
+      (4L, None), (4L, None)
+    ).toDF("p", "ans")
+    val out = Eval.majorityVote(df, col("p"), col("ans"))
+      .orderBy("problem_key").collect()
+    assert(out(0).getAs[String]("consensus") == "b")
+    assert(out(0).getAs[Long]("consensus_votes") == 2L)
+    assert(out(0).getAs[Double]("agreement") == 0.6666)
+    assert(out(1).getAs[String]("consensus") == "a")
+    assert(out(2).getAs[String]("consensus") == "z")
+    assert(out(2).getAs[Long]("n_samples") == 3L)
+    assert(out(2).getAs[Long]("n_voted") == 1L)
+    assert(out(2).getAs[Double]("agreement") == 1.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("consensus")))
+    assert(out(3).getAs[Long]("n_voted") == 0L)
+    assert(out(3).isNullAt(out(3).fieldIndex("agreement")))
+  }
+
+  test("mcnemar counts the 2x2 exactly, applies continuity correction, skips ungraded") {
+    // both=3, neither=2, a_only=6, b_only=1, one row ungraded each side
+    val rows =
+      Seq.fill(3)((Some(true), Some(true))) ++
+        Seq.fill(2)((Some(false), Some(false))) ++
+        Seq.fill(6)((Some(true), Some(false))) ++
+        Seq((Some(false), Some(true))) ++
+        Seq((None: Option[Boolean], Some(true)), (Some(true), None: Option[Boolean]))
+    val out = Eval.mcnemar(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(out.getAs[Long]("n_items") == 12L)
+    assert(out.getAs[Long]("n_skipped") == 2L)
+    assert(out.getAs[Long]("a_only") == 6L)
+    assert(out.getAs[Long]("b_only") == 1L)
+    // chi2 = (|6-1|-1)^2 / 7 = 16/7 = 2.2857
+    assert(out.getAs[Double]("chi2") == 2.2857)
+    assert(!out.getAs[Boolean]("significant"))
+    // acc_a = 9/12 = 0.75, acc_b = 4/12 = 0.3333
+    assert(out.getAs[Double]("acc_a") == 0.75)
+    assert(out.getAs[Double]("acc_b") == 0.3333)
+  }
+
+  test("mcnemar with zero discordant pairs reports chi2 = 0, not significant") {
+    val df = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    val out = Eval.mcnemar(df, col("a"), col("b")).collect()(0)
+    assert(out.getAs[Double]("chi2") == 0.0)
+    assert(!out.getAs[Boolean]("significant"))
+  }
+
+  test("mcnemar flags a lopsided disagreement as significant") {
+    // a_only=20, b_only=2 → chi2 = (18-1)^2/22 = 289/22 = 13.1363 > 3.8415
+    val rows = Seq.fill(20)((true, false)) ++ Seq.fill(2)((false, true))
+    val out = Eval.mcnemar(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(out.getAs[Double]("chi2") == 13.1363)
+    assert(out.getAs[Boolean]("significant"))
+  }
+
+  test("cohenKappa matches the textbook 2x2 hand computation") {
+    // Classic: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no (n=50)
+    // po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 1250/2500 = 0.5
+    // kappa = 0.2/0.5 = 0.4 — but 0.7 is inexact in binary
+    // (35/50 → 0.699999…96), so the IEEE quotient is 0.39999…
+    // and 4-dp toward-zero truncation reports 0.3999 in BOTH engines
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Eval.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(out.getAs[Long]("n_items") == 50L)
+    assert(out.getAs[Long]("n_agree") == 35L)
+    assert(out.getAs[Double]("p_observed") == 0.7)
+    assert(out.getAs[Double]("p_expected") == 0.5)
+    assert(out.getAs[Double]("kappa") == 0.3999)
+    assert(!out.getAs[Boolean]("degenerate"))
+  }
+
+  test("cohenKappa treats NULL as a real label class and handles worse-than-chance") {
+    // A: (x, x, null, null), B: (x, y, x, null)
+    // agree: row1 (x,x) + row4 (null,null) = 2; po = 0.5
+    // rows: x→2, null→2; cols: x→2, y→1, null→1
+    // pe_num = x:2*2 + null:2*1 = 6 → pe = 6/16 = 0.375
+    // kappa = (0.5-0.375)/0.625 = 0.2
+    val df = Seq((Some("x"), Some("x")), (Some("x"), Some("y")),
+      (None: Option[String], Some("x")), (None: Option[String], None: Option[String]))
+      .toDF("a", "b")
+    val out = Eval.cohenKappa(df, col("a"), col("b")).collect()(0)
+    assert(out.getAs[Long]("n_agree") == 2L)
+    assert(out.getAs[Double]("p_expected") == 0.375)
+    assert(out.getAs[Double]("kappa") == 0.2)
+
+    // Perfect systematic disagreement on a 2-label space: po=0, pe=0.5,
+    // kappa = -1 exactly (toward-zero truncation must keep the sign)
+    val anti = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")).toDF("a", "b")
+    val out2 = Eval.cohenKappa(anti, col("a"), col("b")).collect()(0)
+    assert(out2.getAs[Double]("kappa") == -1.0)
+  }
+
+  test("cohenKappa degenerate constant annotators report kappa 0 with the flag") {
+    val df = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    val out = Eval.cohenKappa(df, col("a"), col("b")).collect()(0)
+    assert(out.getAs[Double]("kappa") == 0.0)
+    assert(out.getAs[Boolean]("degenerate"))
+  }
+}
