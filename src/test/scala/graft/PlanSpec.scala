@@ -78,6 +78,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("registry-wide audit: every global window sits above an aggregate") {
+    // The hand-picked list above pins NO-global-window for queries
+    // where even a bounded one would be a bug; this sweep holds the
+    // weaker invariant EVERYWHERE: a global window is legal only over
+    // a frame already collapsed by aggregation (the q_auc pattern —
+    // bounded by distinct scores/bins, not corpus rows). Planning
+    // only, no execution: window partition specs are fixed before AQE.
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    for (q <- SparkEntry.registry) {
+      val df = q.spark(spark, sf)
+      val bad = allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec
+          if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
+      }.filterNot { w =>
+        val st = allNodes(w.child)
+        st.exists(_.isInstanceOf[HashAggregateExec]) ||
+          st.exists(_.isInstanceOf[ObjectHashAggregateExec]) ||
+          st.exists(_.isInstanceOf[SortAggregateExec])
+      }
+      assert(bad.isEmpty,
+        s"${q.name}: global window over non-aggregated input:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("bounded-frame ordered passes: every global window sits above an aggregate") {
     // q_auc / q_ks_test / q_calibration DO plan a global window — by
     // design, over a frame ALREADY COLLAPSED by groupBy to a bounded
