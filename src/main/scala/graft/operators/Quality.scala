@@ -116,6 +116,58 @@ object Quality {
         (col("n_violations") === 0).as("passed"))
   }
 
+  /** C4 heuristic filter suite (Raffel et al. '20 §2.2) — the
+    * published web-corpus cleaning baseline, reported flag-not-drop:
+    *
+    * Line rules (applied per line, survivors rejoined into
+    * `clean_text` in original order):
+    *   - ends in a terminal punctuation mark (`.` `!` `?` `"`),
+    *   - has at least `minWordsPerLine` whitespace words,
+    *   - does not contain the word "javascript" (case-insensitive).
+    * Page rules (flags on the whole document):
+    *   - `has_lorem`: "lorem ipsum" anywhere,
+    *   - `has_brace`: a curly bracket anywhere (code page proxy),
+    *   - `has_bad_word`: any `badWords` entry as a whole word,
+    *   - sentence floor: `n_sentences` (terminal `.!?` marks in the
+    *     RETAINED text — the deterministic stand-in for a sentence
+    *     splitter, counted identically in both engines) must reach
+    *     `minSentences`.
+    * `kept` = the conjunction of the page rules. The caller filters;
+    * dropping here would hide WHICH rule fired from the attrition
+    * report ([[attrition]] composes directly on the flags).
+    *
+    * Execution shape: pure per-row projections — lines live and die
+    * inside the row's own split array (HOF filter, no explode, no
+    * shuffle, no window), the bad-word list is config-sized and
+    * compiled into one word-boundary regex ([[graft.operators.TextMetrics]]
+    * blocklist discipline). At 100 TB this is a map-only pass.
+    */
+  def c4Filter(df: DataFrame, id: Column, text: Column,
+      badWords: Seq[String] = Nil,
+      minWordsPerLine: Int = 3, minSentences: Int = 5): DataFrame = {
+    val keepLine = (l: Column) =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= minWordsPerLine &&
+        !lower(l).contains("javascript")
+    val badRe = badWords.map(java.util.regex.Pattern.quote).mkString("|")
+    df.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__lines", split(col("__text"), "\n"))
+      .withColumn("__kept", filter(col("__lines"), keepLine))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .select(col("doc_id"), col("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        length(regexp_replace(col("clean_text"), "[^.!?]", ""))
+          .cast("long").as("n_sentences"),
+        lower(col("__text")).contains("lorem ipsum").as("has_lorem"),
+        col("__text").contains("{").as("has_brace"),
+        (if (badWords.isEmpty) lit(false)
+         else lower(col("__text")).rlike(s"\\b($badRe)\\b")).as("has_bad_word"))
+      .withColumn("kept",
+        col("n_sentences") >= minSentences && !col("has_lorem") &&
+          !col("has_brace") && !col("has_bad_word"))
+  }
+
   /** Curation attrition report — the observability twin of a filter
     * cascade (reference pipeline's implicit drop steps,
     * `tratamento_epe.R:70-104`, made explicit and countable): given

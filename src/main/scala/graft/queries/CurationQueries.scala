@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Packing, Sampling, TextMetrics}
+import graft.operators.{Bpe, Dedup, Packing, Quality, Sampling, TextMetrics}
 
 /** Corpus-curation queries (SURVEY §2.D16-D19): corpus statistics
   * (TF-IDF), deterministic sampling / dataset splits, and sequence
@@ -1050,6 +1050,83 @@ object CurationQueries {
         .select(col("grp"), col("n_before"),
           coalesce(col("n_after"), lit(0L)).as("n_after"))
         .orderBy("grp")
+    },
+
+    // D94: C4 heuristic filter suite over a planted multi-line page
+    // per document (documents are single-line; both engines build the
+    // identical rendition). Cycles plant each rule's trigger: %11 a
+    // javascript line, %13 lorem ipsum, %17 a curly brace, %19 the
+    // bad word — and the dropped-line rules fire on every page (one
+    // 2-word line, one line with no terminal punctuation).
+    Q(
+      "q_c4_filter",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      substr(text, 1, 80) || '.',
+        |      'too short',
+        |      substr(text, 81, 60),
+        |      CASE WHEN doc_id % 11 = 0
+        |        THEN 'please enable JavaScript to view this page.'
+        |        ELSE 'a perfectly fine sentence with enough words here.' END,
+        |      CASE WHEN doc_id % 13 = 0
+        |        THEN 'lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+        |        ELSE 'another good line that ends with a question mark?' END,
+        |      CASE WHEN doc_id % 17 = 0
+        |        THEN 'function f() { return 1; }'
+        |        ELSE 'closing thought with words and punctuation!' END,
+        |      CASE WHEN doc_id % 19 = 0
+        |        THEN 'this line contains a naughtyword in plain sight.'
+        |        ELSE 'final line to push the sentence count up.' END) AS page
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, page,
+        |    string_split(page, chr(10)) AS lines,
+        |    list_filter(string_split(page, chr(10)), l ->
+        |      regexp_matches(rtrim(l), '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |            w -> len(w) > 0)) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept_lines
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, page,
+        |    array_to_string(kept_lines, chr(10)) AS clean_text,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept_lines) AS BIGINT) AS n_kept_lines
+        |  FROM f)
+        |SELECT doc_id, clean_text, n_lines, n_kept_lines,
+        |  CAST(len(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS BIGINT)
+        |    AS n_sentences,
+        |  contains(lower(page), 'lorem ipsum') AS has_lorem,
+        |  contains(page, '{') AS has_brace,
+        |  regexp_matches(lower(page), '\b(naughtyword)\b') AS has_bad_word,
+        |  CAST(len(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS BIGINT) >= 5
+        |    AND NOT contains(lower(page), 'lorem ipsum')
+        |    AND NOT contains(page, '{')
+        |    AND NOT regexp_matches(lower(page), '\b(naughtyword)\b') AS kept
+        |FROM g ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val page = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 80), lit(".")),
+          lit("too short"),
+          substring(col("text"), 81, 60),
+          when(col("doc_id") % 11 === 0,
+            lit("please enable JavaScript to view this page."))
+            .otherwise(lit("a perfectly fine sentence with enough words here.")),
+          when(col("doc_id") % 13 === 0,
+            lit("lorem ipsum dolor sit amet, consectetur adipiscing elit."))
+            .otherwise(lit("another good line that ends with a question mark?")),
+          when(col("doc_id") % 17 === 0,
+            lit("function f() { return 1; }"))
+            .otherwise(lit("closing thought with words and punctuation!")),
+          when(col("doc_id") % 19 === 0,
+            lit("this line contains a naughtyword in plain sight."))
+            .otherwise(lit("final line to push the sentence count up.")))
+          .as("page"))
+      Quality.c4Filter(page, col("doc_id"), col("page"),
+          badWords = Seq("naughtyword"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -87,4 +87,71 @@ class QualitySpec extends SparkSpec {
     assert((x.getLong(2), x.getLong(3), x.getLong(4)) == ((0L, 0L, 0L)))
     assert((x.getDouble(5), x.getDouble(6)) == ((0.0, 0.0)))
   }
+
+  test("c4Filter applies each line rule and page rule independently") {
+    val page = Seq(
+      // doc 1: 5 good sentences + 2 droppable lines → kept
+      (1L, Seq(
+        "the first line is a full sentence.",
+        "no",                                     // 2 words → dropped
+        "this line has words but no ending",      // no punct → dropped
+        "a second proper sentence right here!",
+        "does a question count as a sentence?",
+        "the fourth full sentence appears now.",
+        "and the fifth one closes the page.").mkString("\n")),
+      // doc 2: javascript line dropped → only 4 sentences → not kept
+      (2L, Seq(
+        "the first line is a full sentence.",
+        "please enable javascript to continue reading.",
+        "a second proper sentence right here!",
+        "does a question count as a sentence?",
+        "the fourth full sentence appears now.").mkString("\n")),
+      // doc 3: lorem ipsum page flag
+      (3L, Seq(
+        "one full sentence sits here quietly.",
+        "two full sentences sit here quietly.",
+        "three full sentences sit here quietly.",
+        "four full sentences sit here quietly.",
+        "lorem ipsum dolor sit amet indeed it does.").mkString("\n")),
+      // doc 4: curly brace page flag
+      (4L, "var x = { a: 1 };\n" + Seq.fill(5)(
+        "an otherwise perfectly acceptable sentence.").mkString("\n")),
+      // doc 5: bad word page flag (whole-word match)
+      (5L, Seq.fill(4)("an otherwise perfectly acceptable sentence.")
+        .mkString("\n") + "\nthe naughtyword appears in this line sadly."),
+      // doc 6: bad word only as a SUBSTRING → must NOT flag
+      (6L, Seq.fill(5)("the naughtywordish term is a different word.")
+        .mkString("\n"))
+    ).toDF("id", "page")
+    val out = Quality.c4Filter(page, col("id"), col("page"),
+      badWords = Seq("naughtyword")).orderBy("doc_id").collect()
+
+    assert(out(0).getAs[Boolean]("kept"))
+    assert(out(0).getAs[Long]("n_lines") == 7L)
+    assert(out(0).getAs[Long]("n_kept_lines") == 5L)
+    assert(out(0).getAs[Long]("n_sentences") == 5L)
+    assert(!out(0).getAs[String]("clean_text").contains("no ending"))
+
+    assert(!out(1).getAs[Boolean]("kept")) // js line gone → 4 sentences
+    assert(out(1).getAs[Long]("n_kept_lines") == 4L)
+    assert(!out(1).getAs[String]("clean_text").toLowerCase.contains("javascript"))
+
+    assert(out(2).getAs[Boolean]("has_lorem") && !out(2).getAs[Boolean]("kept"))
+    assert(out(3).getAs[Boolean]("has_brace") && !out(3).getAs[Boolean]("kept"))
+    assert(out(4).getAs[Boolean]("has_bad_word") && !out(4).getAs[Boolean]("kept"))
+    assert(!out(5).getAs[Boolean]("has_bad_word"))
+    assert(out(5).getAs[Boolean]("kept"))
+  }
+
+  test("c4Filter keeps a trailing-quote sentence and an empty page yields empty clean_text") {
+    val page = Seq(
+      (1L, "\"a quoted sentence still ends properly.\""),
+      (2L, "")).toDF("id", "page")
+    val out = Quality.c4Filter(page, col("id"), col("page"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_kept_lines") == 1L)
+    assert(out(1).getAs[Long]("n_kept_lines") == 0L)
+    assert(out(1).getAs[String]("clean_text") == "")
+    assert(!out(1).getAs[Boolean]("kept"))
+  }
 }
