@@ -17,6 +17,44 @@ import graft.functions._
   */
 object Similarity {
 
+  /** Symmetric per-vector int8 quantization with a distortion audit —
+    * the STORAGE tier under the ANN family: a 100 TB float32 embedding
+    * store shrinks 4× (`array<tinyint>` + one double scale per
+    * vector), and int8 is what vector indexes serve from in practice.
+    * scale = max|x| / 127; q_i = trunc-toward-zero(x_i / scale)
+    * (truncation, not round-half — repr-independent, the engine's
+    * float contract); dequantized x̂_i = q_i · scale. The audit column
+    * `cos_distortion` = cosine(x, x̂) (round 4, [[graft.functions.cosine]]'s
+    * codegen'd kernel) reports per-vector what the compression cost —
+    * the number a recall-budget decision needs BEFORE the index is
+    * built, next to [[Dedup]]'s PQ tiers (8 B/vector) as the
+    * mild-compression rung. Zero vectors flag `degenerate` (all-zero
+    * code, distortion 0 by convention) instead of dividing by zero.
+    *
+    * Shape: pure per-row projections — no shuffle, no explode; the
+    * clamp before the byte cast keeps ANSI mode crash-free against
+    * last-ulp division noise.
+    */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = df.select(id.as("vec_id"),
+      transform(vec, x => x.cast("double")).as("__v"))
+    v.withColumn("__mx", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("scale", col("__mx") / 127.0)
+      .withColumn("degenerate", col("__mx") === 0.0)
+      .withColumn("qvec",
+        when(col("degenerate"),
+          transform(col("__v"), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col("__v"), x =>
+            least(greatest(x / col("scale"), lit(-127.0)), lit(127.0))
+              .cast("tinyint"))))
+      .withColumn("cos_distortion",
+        when(col("degenerate"), lit(0.0))
+          .otherwise(round(cosine(col("__v"),
+            transform(col("qvec"), q => q.cast("double") * col("scale"))), 4)))
+      .select(col("vec_id"), col("qvec"), col("scale"),
+        col("cos_distortion"), col("degenerate"))
+  }
+
   /** Exact top-k by cosine: every query (broadcast) against every
     * corpus row. Ranking uses round(sim, 6) with id tiebreak so the
     * ordering is reproducible across engines.

@@ -1165,6 +1165,36 @@ object DedupQueries {
       val truth = Dedup.prefixFilterJaccard(d, col("id"), col("text"),
         n = 5, threshold = 0.5)
       Dedup.auditPairs(found, truth)
+    },
+
+    // D95: int8 embedding quantization + per-vector distortion audit.
+    Q(
+      "q_embed_int8",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx
+        |  FROM e),
+        |s AS (
+        |  SELECT vec_id, v, mx, mx / 127.0 AS scale, mx = 0.0 AS degenerate,
+        |    CASE WHEN mx = 0.0
+        |      THEN list_transform(v, x -> CAST(0 AS TINYINT))
+        |      ELSE list_transform(v, x -> CAST(trunc(
+        |        least(greatest(x / (mx / 127.0), -127.0), 127.0)) AS TINYINT))
+        |    END AS qvec
+        |  FROM m)
+        |SELECT vec_id, qvec, scale,
+        |  CASE WHEN degenerate THEN CAST(0.0 AS DOUBLE)
+        |    ELSE round(list_cosine_similarity(v,
+        |      list_transform(qvec, q -> q * scale)), 4)
+        |  END AS cos_distortion,
+        |  degenerate
+        |FROM s ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      Similarity.quantizeInt8(e, col("vec_id"), col("embedding"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -982,4 +982,42 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 13L, 10L, math.rint(10.0 / 13.0 * 1e4) / 1e4, "mu nu nu")))
     assert(out(4) == ((5L, 0L, 0L, 0.0, "")))
   }
+
+  test("quantizeInt8 hits +/-127 at the extremes, truncates toward zero, flags zero vectors") {
+    val vs = Seq(
+      (1L, Seq(2.0f, -1.0f, 0.5f, 0.0f)),   // scale = 2/127
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),    // degenerate
+      (3L, Seq(-3.0f, 3.0f, 1.0f, -1.0f))   // negative max: |−3| drives scale
+    ).toDF("id", "v")
+    val out = Similarity.quantizeInt8(vs, col("id"), col("v"))
+      .orderBy("vec_id").collect()
+
+    val q1 = out(0).getAs[scala.collection.Seq[Byte]]("qvec")
+    assert(q1(0) == 127)                   // the max element maps to exactly 127
+    assert(q1(1) == -63)                   // -1/(2/127) = -63.5 → toward zero
+    assert(q1(2) == 31)                    // 0.5/(2/127) = 31.75 → 31
+    assert(q1(3) == 0)
+    assert(out(0).getAs[Double]("scale") == 2.0 / 127.0)
+    assert(!out(0).getAs[Boolean]("degenerate"))
+    assert(out(0).getAs[Double]("cos_distortion") > 0.999)
+
+    assert(out(1).getAs[Boolean]("degenerate"))
+    assert(out(1).getAs[scala.collection.Seq[Byte]]("qvec").forall(_ == 0))
+    assert(out(1).getAs[Double]("cos_distortion") == 0.0)
+
+    val q3 = out(2).getAs[scala.collection.Seq[Byte]]("qvec")
+    assert(q3(0) == -127 && q3(1) == 127)
+    // 1/(3/127) = 42.33 → 42 both signs (toward zero, sign-symmetric)
+    assert(q3(2) == 42 && q3(3) == -42)
+  }
+
+  test("quantizeInt8 distortion stays tiny on unit-scale random-ish vectors") {
+    val vs = (1L to 50L).map { i =>
+      (i, (0 until 64).map(j => (((i * 31 + j * 17) % 101) - 50) / 50.0f))
+    }.toDF("id", "v")
+    val out = Similarity.quantizeInt8(vs, col("id"), col("v")).collect()
+    // int8 on 64-dim vectors: cosine(x, x̂) ≥ 0.9995 in practice
+    assert(out.forall(_.getAs[Double]("cos_distortion") >= 0.999))
+    assert(out.forall(!_.getAs[Boolean]("degenerate")))
+  }
 }
