@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment statistics — the A/B readout endpoint: compare a metric
@@ -425,6 +426,50 @@ object Stats {
     * (signed, fine-grained); R² truncates 4 dp (floor; it is
     * clamped to [0, 1] first).
     */
+  /** Benjamini-Hochberg step-up FDR control — the multiple-testing
+    * companion to the per-group test family ([[twoSampleZ]], [[ksTest]],
+    * [[graft.operators.Profile.psiByGroup]]): running one drift test
+    * per domain over 10k domains at α=0.05 "finds" ~500 drifts in pure
+    * noise; BH caps the expected FALSE-DISCOVERY fraction at `q`
+    * instead.
+    *
+    *   sort p ascending; k* = max{ i : p_(i) ≤ q·i/m };
+    *   discoveries = ranks 1..k*  (STEP-UP: a rank below k* is
+    *   discovered even when its own p misses its own threshold).
+    *
+    * Input contract: one row per HYPOTHESIS — a frame bounded by the
+    * testing design (domains, sources, features), not the corpus; the
+    * global rank window is legal exactly because the caller aggregated
+    * first (registry-audit class: global window above an aggregate).
+    * NULL p-values (a test that could not run) rank last via a
+    * sentinel, are never discoverable, and are flagged `untested` —
+    * excluding them from `m` would silently relax every threshold.
+    * Determinism: (p, key) rank tiebreak; the threshold q·i/m and the
+    * comparison replay textually in both engines; k* is a 1-row
+    * aggregate broadcast back (no second ordered pass).
+    */
+  def benjaminiHochberg(
+      df: DataFrame,
+      key: Column,
+      pValue: Column,
+      q: Double = 0.05): DataFrame = {
+    val t = df.select(key.as("key"), pValue.cast("double").as("p_value"))
+    val w = Window.orderBy(coalesce(col("p_value"), lit(2.0)).asc, col("key").asc)
+    val m = t.agg(count(lit(1)).as("m"))
+    val ranked = t.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("bh_threshold", lit(q) * col("rank") / col("m"))
+      .withColumn("__c",
+        col("p_value").isNotNull && col("p_value") <= col("bh_threshold"))
+    val kStar = ranked.agg(
+      coalesce(max(when(col("__c"), col("rank"))), lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("key"), col("p_value"), col("rank"), col("m"),
+        col("bh_threshold"),
+        (col("rank") <= col("__k")).as("discovery"),
+        col("p_value").isNull.as("untested"))
+  }
+
   def trendFit(
       df: DataFrame,
       key: Column,

@@ -888,6 +888,59 @@ object ProfileQueries {
       Profile.histogram(table(s, dir, "lineitem"),
           col("l_extendedprice"), lo = 0.0, hi = 110000.0, nBins = 22)
         .orderBy("bin")
+    },
+
+    // C59: Benjamini-Hochberg step-up FDR over one hypothesis per
+    // doc-group. Derivation: per-group base p = min scrambled hash
+    // (uniform-ish), %7 groups scaled into the discovery range, %13
+    // groups untested (NULL p). The window ranks an ALREADY AGGREGATED
+    // 80-row frame — the legal global-window class.
+    Q(
+      "q_bh_fdr",
+      """WITH h AS (
+        |  SELECT doc_id % 80 AS g, (doc_id * 7919) % 997 AS hv
+        |  FROM documents),
+        |a AS (
+        |  SELECT g, min(hv) / CAST(996.0 AS DOUBLE) AS base FROM h GROUP BY 1),
+        |t AS (
+        |  SELECT g AS key,
+        |    CASE WHEN g % 13 = 0 THEN NULL
+        |         WHEN g % 7 = 0 THEN base * CAST(0.001 AS DOUBLE)
+        |         ELSE base END AS p_value
+        |  FROM a),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM t),
+        |r AS (
+        |  SELECT t.key, t.p_value, mm.m,
+        |    CAST(row_number() OVER (
+        |      ORDER BY coalesce(t.p_value, CAST(2.0 AS DOUBLE)) ASC, t.key ASC)
+        |      AS BIGINT) AS rank
+        |  FROM t CROSS JOIN mm),
+        |c AS (
+        |  SELECT *,
+        |    CAST(0.05 AS DOUBLE) * rank / m AS bh_threshold,
+        |    p_value IS NOT NULL
+        |      AND p_value <= CAST(0.05 AS DOUBLE) * rank / m AS disc
+        |  FROM r),
+        |k AS (
+        |  SELECT CAST(coalesce(max(CASE WHEN disc THEN rank END), 0) AS BIGINT)
+        |    AS kstar
+        |  FROM c)
+        |SELECT c.key, c.p_value, c.rank, c.m, c.bh_threshold,
+        |  c.rank <= k.kstar AS discovery,
+        |  c.p_value IS NULL AS untested
+        |FROM c CROSS JOIN k ORDER BY c.key""".stripMargin
+    ) { (s, dir) =>
+      val h = table(s, dir, "documents").select(
+        (col("doc_id") % 80).as("g"),
+        ((col("doc_id") * 7919) % 997).as("hv"))
+      val hyp = h.groupBy("g").agg((min(col("hv")) / lit(996.0)).as("base"))
+        .select(col("g").as("key"),
+          when(col("g") % 13 === 0, lit(null).cast("double"))
+            .when(col("g") % 7 === 0, col("base") * lit(0.001))
+            .otherwise(col("base")).as("p"))
+      graft.operators.Stats.benjaminiHochberg(hyp, col("key"), col("p"),
+          q = 0.05)
+        .orderBy("key")
     }
   )
 }

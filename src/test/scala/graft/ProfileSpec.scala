@@ -408,4 +408,46 @@ class ProfileSpec extends SparkSpec {
     assert(out(4) == (("e", 3L, 0.5, math.floor(1.0 / 6.0 * 1e6) / 1e6, 0.75)))
     assert(out(5) == (("f", 3L, -2.0, 5.0, 1.0)))
   }
+
+  test("benjaminiHochberg: textbook step-down at q=0.05, ranks and thresholds exact") {
+    import graft.operators.Stats
+    // sorted p: .005 .01 .03 .04 .2 vs thresholds .01 .02 .03 .04 .05
+    // → every one of the first four passes its own bar, k* = 4
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005), ("e", 0.2))
+      .toDF("k", "p")
+    val out = Stats.benjaminiHochberg(df, col("k"), col("p"), q = 0.05)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("d", "a", "c", "b", "e"))
+    assert(out.map(_.getAs[Boolean]("discovery")).toSeq ==
+      Seq(true, true, true, true, false))
+    assert(out(0).getAs[Double]("bh_threshold") == 0.05 * 1 / 5)
+    assert(out.forall(_.getAs[Long]("m") == 5L))
+  }
+
+  test("benjaminiHochberg step-up: a rank that misses its own bar is still discovered below k*") {
+    import graft.operators.Stats
+    // sorted p: .004 .035 .045 vs thresholds .0166 .0333 .05 —
+    // rank 2 fails ITS bar but rank 3 passes, so all 3 are discoveries
+    val df = Seq(("x", 0.035), ("y", 0.004), ("z", 0.045)).toDF("k", "p")
+    val out = Stats.benjaminiHochberg(df, col("k"), col("p"), q = 0.05)
+      .orderBy("rank").collect()
+    assert(out.forall(_.getAs[Boolean]("discovery")))
+  }
+
+  test("benjaminiHochberg: nulls rank last, count toward m, never discover; empty-safe") {
+    import graft.operators.Stats
+    val df = Seq(("a", Some(0.001)), ("b", None), ("c", Some(0.9)))
+      .toDF("k", "p")
+    val out = Stats.benjaminiHochberg(df, col("k"), col("p"), q = 0.05)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("a", "c", "b"))
+    assert(out.forall(_.getAs[Long]("m") == 3L)) // null still in m
+    assert(out(0).getAs[Boolean]("discovery"))   // .001 <= .05/3
+    assert(!out(2).getAs[Boolean]("discovery"))
+    assert(out(2).getAs[Boolean]("untested"))
+
+    val none = Stats.benjaminiHochberg(
+      Seq(("a", 0.9)).toDF("k", "p"), col("k"), col("p")).collect()
+    assert(none.length == 1 && !none(0).getAs[Boolean]("discovery"))
+  }
 }
