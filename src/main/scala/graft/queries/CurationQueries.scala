@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Packing, Quality, Sampling, TextMetrics}
+import graft.operators.{Bpe, Dedup, Packing, Quality, Sampling, TextMetrics, Unigram}
 
 /** Corpus-curation queries (SURVEY §2.D16-D19): corpus statistics
   * (TF-IDF), deterministic sampling / dataset splits, and sequence
@@ -1127,6 +1127,24 @@ object CurationQueries {
       Quality.c4Filter(page, col("doc_id"), col("page"),
           badWords = Seq("naughtyword"))
         .orderBy("doc_id")
+    },
+
+    // D96: unigram-LM (SentencePiece-style) tokenizer training —
+    // rows-only (iterative EM, the q_bpe_merges precedent); exactness
+    // pinned by UnigramSpec's textbook corpus + determinism proof.
+    Q.rowsOnly("q_unigram_train") { (s, dir) =>
+      Unigram.train(table(s, dir, "documents"), col("text"),
+          vocabSize = 80, seedSize = 400, maxPieceLen = 6)
+        .orderBy("piece")
+    },
+
+    // D96b: per-doc accounting under the trained unigram tokenizer.
+    Q.rowsOnly("q_unigram_segment") { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val model = Unigram.train(docs, col("text"),
+        vocabSize = 80, seedSize = 400, maxPieceLen = 6)
+      Unigram.segmentCounts(docs, col("doc_id"), col("text"), model)
+        .orderBy("id")
     }
   )
 }
