@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the [[graft.operators.Eval]] family (SURVEY
+  * §2.E21): rollout verdicts arrive as a stream (a sampling fleet
+  * writes one row per chain as it finishes), and the consensus board
+  * stays CURRENT per problem instead of re-aggregating the rollout
+  * table per refresh.
+  */
+object EvalStreams {
+
+  case class VoteIn(problem_key: Long, answer: Option[String])
+
+  /** Per-problem vote state: the histogram of answers seen so far —
+    * bounded by the problem's distinct-answer space (an eval answer
+    * domain, not a corpus), plus the two totals.
+    */
+  case class MvState(nSamples: Long, nVoted: Long, counts: Map[String, Long])
+
+  case class MvOut(
+      problem_key: Long, n_samples: Long, n_voted: Long,
+      n_distinct_answers: Long, consensus: Option[String],
+      consensus_votes: Option[Long], agreement: Option[Double])
+
+  /** E21: streaming self-consistency majority vote — the stateful twin
+    * of [[graft.operators.Eval.majorityVote]]. Each micro-batch that
+    * touches a problem emits ONE row with the problem's CURRENT
+    * consensus, so the last emitted row per problem equals the batch
+    * operator's row exactly once all chains have arrived (the
+    * E19/D81 delivery contract, proven across batch splits in the
+    * spec). Tie-break, abstention handling (NULL answers count toward
+    * `n_samples`, never toward the vote or the agreement denominator),
+    * and the 4-dp-floor agreement replay batch digit for digit.
+    *
+    * State per problem is the answer HISTOGRAM — bounded by the
+    * answer domain (numeric finals, option letters), not by chains:
+    * 10k chains over 40 distinct answers hold 40 map entries. No
+    * watermark (a consensus never un-counts; wrap with a TTL timeout
+    * for state GC once an eval round closes).
+    */
+  def majorityVoteStream(votes: DataFrame): Dataset[MvOut] = {
+    implicit val inEnc = Encoders.product[VoteIn]
+    implicit val outEnc = Encoders.product[MvOut]
+    implicit val stEnc = Encoders.product[MvState]
+    implicit val longEnc = Encoders.scalaLong
+    votes.select(col("problem_key").cast("long"),
+        col("answer").cast("string"))
+      .as[VoteIn]
+      .groupByKey(_.problem_key)
+      .flatMapGroupsWithState[MvState, MvOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pk: Long, rows: Iterator[VoteIn], state: GroupState[MvState]) =>
+          var st = state.getOption.getOrElse(MvState(0L, 0L, Map.empty))
+          rows.foreach { r =>
+            st = r.answer match {
+              case Some(a) => MvState(st.nSamples + 1, st.nVoted + 1,
+                st.counts.updated(a, st.counts.getOrElse(a, 0L) + 1L))
+              case None => MvState(st.nSamples + 1, st.nVoted, st.counts)
+            }
+          }
+          state.update(st)
+          if (st.nSamples == 0L) Iterator.empty
+          else if (st.counts.isEmpty)
+            Iterator.single(MvOut(pk, st.nSamples, 0L, 0L, None, None, None))
+          else {
+            // (count desc, answer asc) — the batch min-over-struct rule
+            val (ans, cnt) = st.counts.minBy { case (a, c) => (-c, a) }
+            // batch t4floor replayed: floor((votes / voted) * 1e4) / 1e4
+            val agree = math.floor(cnt.toDouble / st.nVoted * 1e4) / 1e4
+            Iterator.single(MvOut(pk, st.nSamples, st.nVoted,
+              st.counts.size.toLong, Some(ans), Some(cnt), Some(agree)))
+          }
+      }
+  }
+}

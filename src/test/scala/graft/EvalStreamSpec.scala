@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+import graft.streaming.EvalStreams
+
+/** E21: streaming majority vote == batch Eval.majorityVote, proven
+  * across micro-batch splits including a consensus lead change and a
+  * tie resolved by the lexicographic rule.
+  */
+class EvalStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("n_samples", "n_voted", "n_distinct_answers",
+    "consensus", "consensus_votes", "agreement")
+
+  private def lastPerProblem(table: String): Map[Long, Row] =
+    spark.table(table).collect()
+      .groupBy(_.getAs[Long]("problem_key"))
+      .map { case (k, rows) => k -> rows.maxBy(_.getAs[Long]("n_samples")) }
+
+  private def batchRows(df: org.apache.spark.sql.DataFrame): Map[Long, Row] =
+    Eval.majorityVote(df, col("problem_key"), col("answer"))
+      .collect().map(r => r.getAs[Long]("problem_key") -> r).toMap
+
+  private def assertSame(streamed: Map[Long, Row], batch: Map[Long, Row]): Unit = {
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (pk, s) =>
+      val b = batch(pk)
+      cols.foreach { c =>
+        assert(s.getAs[Any](c) == b.getAs[Any](c),
+          s"problem $pk col $c: stream=${s.getAs[Any](c)} batch=${b.getAs[Any](c)}")
+      }
+    }
+  }
+
+  test("E21 stream == batch across a lead change, a tie, and abstentions") {
+    val input = MemoryStream[(Long, Option[String])](spark)
+    val df = input.toDF().toDF("problem_key", "answer")
+    val q = EvalStreams.majorityVoteStream(df)
+      .writeStream.format("memory").queryName("e21_out").outputMode("append").start()
+    try {
+      // batch 1: problem 1 leads with b; problem 2 all abstained so far
+      input.addData((1L, Some("b")), (1L, Some("b")), (1L, Some("a")),
+        (2L, None), (2L, None))
+      q.processAllAvailable()
+      val mid = lastPerProblem("e21_out")
+      assert(mid(1L).getAs[String]("consensus") == "b")
+      assert(mid(2L).isNullAt(mid(2L).fieldIndex("consensus")))
+
+      // batch 2: problem 1's lead flips to a; problem 2 gets one vote
+      input.addData((1L, Some("a")), (1L, Some("a")), (2L, Some("z")))
+      q.processAllAvailable()
+      assert(lastPerProblem("e21_out")(1L).getAs[String]("consensus") == "a")
+
+      // batch 3: back to a 3-3 tie — lexicographic rule keeps a; one
+      // more abstention on problem 1 grows n_samples only
+      input.addData((1L, Some("b")), (1L, None))
+      q.processAllAvailable()
+
+      val all = Seq(
+        (1L, Some("b")), (1L, Some("b")), (1L, Some("a")),
+        (2L, None: Option[String]), (2L, None: Option[String]),
+        (1L, Some("a")), (1L, Some("a")), (2L, Some("z")),
+        (1L, Some("b")), (1L, None: Option[String])
+      ).toDF("problem_key", "answer")
+      assertSame(lastPerProblem("e21_out"), batchRows(all))
+      val p1 = lastPerProblem("e21_out")(1L)
+      assert(p1.getAs[String]("consensus") == "a")
+      assert(p1.getAs[Long]("n_samples") == 7L)
+      assert(p1.getAs[Long]("n_voted") == 6L)
+      assert(p1.getAs[Double]("agreement") == 0.5)
+    } finally q.stop()
+  }
+
+  test("E21 stream == batch on real documents split across batches") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select((col("doc_id") % 40).as("problem_key"),
+        when(col("doc_id") % 17 === 0, lit(null))
+          .otherwise((col("n_chars") % 10).cast("string")).as("answer"))
+      .cache()
+    val rows = docs.as[(Long, Option[String])].collect()
+    val input = MemoryStream[(Long, Option[String])](spark)
+    val df = input.toDF().toDF("problem_key", "answer")
+    val q = EvalStreams.majorityVoteStream(df)
+      .writeStream.format("memory").queryName("e21_docs").outputMode("append").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      assertSame(lastPerProblem("e21_docs"), batchRows(docs))
+    } finally {
+      q.stop()
+      docs.unpersist()
+    }
+  }
+}
