@@ -525,4 +525,129 @@ object Sampling {
       .withColumn("train_pos", row_number().over(wShard).cast("long"))
       .drop("__src_rank")
   }
+
+  /** UniMax token allocation (Chung et al. ICLR'23): distribute a
+    * token budget UNIFORMLY across groups, capped at `maxEpochs`
+    * epochs of each group's own tokens — the fairness-first mixture
+    * (vs [[epochPlan]]'s caller-chosen weights and
+    * [[temperatureMixture]]'s power law): no group is over-repeated
+    * past its cap, and budget freed by small groups saturating
+    * WATER-FILLS into the rest.
+    *
+    * Closed form instead of the iterative redistribution loop: with
+    * caps sorted ascending (rank i of k, ties (cap, group) —
+    * deterministic), group i SATURATES iff
+    * cap_i ≤ λ_i = (B − cumcap_{i−1}) / (k − i + 1), and every
+    * unsaturated group receives the waterline λ* = λ at the FIRST
+    * unsaturated rank (a 1-row aggregate broadcast back). B ≥ Σcap
+    * degenerates to all-saturated; a tiny B to uniform B/k. Shape:
+    * one partial-agg groupBy to the ≤|groups| frame, one window over
+    * that AGGREGATED frame (registry-audit class), one broadcast
+    * join — the corpus is touched once.
+    *
+    * Output per group: (group, n_tokens, cap_tokens, alloc_tokens,
+    * epochs, saturated); alloc/epochs 4-dp floor, derivation replayed
+    * textually by the oracle. Compose with [[epochize]] (epochs
+    * column in, copies out) to materialize.
+    */
+  def unimaxAllocation(
+      df: DataFrame,
+      group: Column,
+      tokenCount: Column,
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val tot = df.select(group.as("group"), tokenCount.cast("long").as("__tok"))
+      .groupBy("group").agg(sum(col("__tok")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cap_tokens", col("n_tokens").cast("double") * maxEpochs)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap_tokens").asc, col("group").asc)
+    val k = tot.agg(count(lit(1)).as("k"))
+    val ranked = tot.crossJoin(broadcast(k))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cumprev",
+        coalesce(sum(col("cap_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0.0)))
+      .withColumn("__lambda",
+        (lit(budgetTokens.toDouble) - col("__cumprev")) /
+          (col("k") - col("__rn") + 1).cast("double"))
+      .withColumn("saturated", col("cap_tokens") <= col("__lambda"))
+    // λ at the FIRST unsaturated rank — λ of later ranks is computed
+    // against a cumprev that includes unsaturated caps and is garbage
+    val waterline = ranked.agg(
+        min(when(!col("saturated"), struct(col("__rn"), col("__lambda"))))
+          .as("__s"))
+      .select(col("__s.__lambda").as("__wl"))
+    ranked.crossJoin(broadcast(waterline))
+      .withColumn("alloc_tokens",
+        floor(when(col("saturated"), col("cap_tokens"))
+          .otherwise(col("__wl")) * 1e4) / 1e4)
+      .withColumn("epochs",
+        floor(when(col("saturated"), col("cap_tokens"))
+          .otherwise(col("__wl")) / col("n_tokens").cast("double") * 1e4) / 1e4)
+      .select("group", "n_tokens", "cap_tokens", "alloc_tokens", "epochs",
+        "saturated")
+  }
+
+  /** DoReMi domain-weight estimation (Xie et al. '23), the data-side
+    * half: given per-(domain, step) EXCESS LOSSES from the proxy-vs-
+    * reference run, replay the exponentiated-gradient trajectory
+    *
+    *   α_t = softmax(log α_{t−1} + η · excess_t)      (per step)
+    *   ŵ   = mean_t α_t                               (the output)
+    *
+    * exactly — the returned ŵ is DoReMi's final domain mixture, fed
+    * into [[epochPlan]]/[[mixtureToBudget]] as weights. Shapes: the
+    * cumulative logit is ONE domain-partitioned ordered window over
+    * the (domain, step) frame (bounded by domains × steps — training
+    * telemetry, not corpus); the per-step softmax normalizer is a
+    * step-keyed partial-agg groupBy joined back (AQE-broadcast); the
+    * final mean is one more groupBy. Missing (domain, step) cells
+    * contribute zero excess (the domain wasn't sampled that step) via
+    * the complete-grid cross of distinct domains × steps — dropping
+    * them would silently renormalize against a shrunken domain set.
+    *
+    * Numerics: excess losses quantize to 6-dp decimals before the
+    * cumulative sum (order-independent), logits stabilize against the
+    * per-step MAX before exp; exp/softmax doubles are NOT
+    * bit-contracted cross-engine (libm), so the operator is rows-only
+    * at the driver gate — exactness is spec-pinned on hand-computed
+    * trajectories. 4-dp floor on reported weights.
+    */
+  def doremiWeights(
+      losses: DataFrame,
+      domain: Column,
+      step: Column,
+      excessLoss: Column,
+      eta: Double = 1.0): DataFrame = {
+    require(eta > 0, "eta must be positive")
+    val t = losses.select(domain.as("domain"), step.cast("long").as("step"),
+      excessLoss.cast("double").as("__x"))
+    // complete grid: every domain at every step (missing cell = 0)
+    val domains = t.select("domain").distinct()
+    val steps = t.select("step").distinct()
+    val grid = domains.crossJoin(steps)
+      .join(t, Seq("domain", "step"), "left")
+      .withColumn("__x6",
+        (coalesce(col("__x"), lit(0.0)) * 1e6).cast("decimal(24,0)"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("step")
+    val logit = (sum(col("__x6")).over(wCum).cast("double") / 1e6) * eta
+    val withLogit = grid.withColumn("__logit", logit)
+    val perStep = withLogit.groupBy("step")
+      .agg(max(col("__logit")).as("__mx"))
+    val expd = withLogit.join(perStep, Seq("step"))
+      .withColumn("__e", exp(col("__logit") - col("__mx")))
+    val norm = expd.groupBy("step")
+      .agg(sum(col("__e")).as("__z"), count(lit(1)).as("__k"))
+    expd.join(norm, Seq("step"))
+      .withColumn("__alpha", col("__e") / col("__z"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_steps"),
+        (floor(avg(col("__alpha")) * 1e4) / 1e4).as("weight"),
+        (floor(max(col("__alpha")) * 1e4) / 1e4).as("peak_weight"))
+  }
 }

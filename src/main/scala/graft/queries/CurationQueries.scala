@@ -1145,6 +1145,64 @@ object CurationQueries {
         vocabSize = 80, seedSize = 400, maxPieceLen = 6)
       Unigram.segmentCounts(docs, col("doc_id"), col("text"), model)
         .orderBy("id")
+    },
+
+    // D97: UniMax epoch-capped uniform token allocation; at sf0.01 the
+    // budget sits below Σcap so the small sources saturate and the
+    // rest share the waterline (the mixed regime the math exists for).
+    Q(
+      "q_unimax",
+      """WITH t AS (
+        |  SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+        |c AS (
+        |  SELECT grp, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) * 1.0 AS cap_tokens
+        |  FROM t),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c),
+        |r AS (
+        |  SELECT c.grp, c.n_tokens, c.cap_tokens, k.k,
+        |    CAST(row_number() OVER (ORDER BY c.cap_tokens ASC, c.grp ASC)
+        |      AS BIGINT) AS rn,
+        |    coalesce(sum(c.cap_tokens) OVER (
+        |      ORDER BY c.cap_tokens ASC, c.grp ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0.0 AS DOUBLE)) AS cumprev
+        |  FROM c CROSS JOIN k),
+        |s AS (
+        |  SELECT *,
+        |    (CAST(140000.0 AS DOUBLE) - cumprev) / CAST(k - rn + 1 AS DOUBLE)
+        |      AS lambda,
+        |    cap_tokens <= (CAST(140000.0 AS DOUBLE) - cumprev)
+        |      / CAST(k - rn + 1 AS DOUBLE) AS saturated
+        |  FROM r),
+        |wl AS (
+        |  SELECT min_by(lambda, rn) FILTER (WHERE NOT saturated) AS wl FROM s)
+        |SELECT s.grp AS "group", s.n_tokens, s.cap_tokens,
+        |  floor((CASE WHEN s.saturated THEN s.cap_tokens ELSE wl.wl END)
+        |    * 1e4) / 1e4 AS alloc_tokens,
+        |  floor((CASE WHEN s.saturated THEN s.cap_tokens ELSE wl.wl END)
+        |    / CAST(s.n_tokens AS DOUBLE) * 1e4) / 1e4 AS epochs,
+        |  s.saturated
+        |FROM s CROSS JOIN wl ORDER BY "group"""".stripMargin
+    ) { (s, dir) =>
+      Sampling.unimaxAllocation(table(s, dir, "documents"),
+          col("source"), col("n_chars"), budgetTokens = 140000L,
+          maxEpochs = 1.0)
+        .orderBy("group")
+    },
+
+    // D98: DoReMi domain-weight estimation over per-(source, step)
+    // excess losses derived from document stats — rows-only (softmax
+    // exp is not bit-contracted cross-engine); trajectory exactness is
+    // CurationSpec's hand-computed proof.
+    Q.rowsOnly("q_doremi") { (s, dir) =>
+      val losses = table(s, dir, "documents")
+        .groupBy(col("source").as("domain"), (col("doc_id") % 5).as("step"))
+        .agg((avg(col("n_chars")) / 1000.0 - 0.25).as("excess"))
+      Sampling.doremiWeights(losses, col("domain"), col("step"),
+          col("excess"), eta = 1.0)
+        .orderBy("domain")
     }
   )
 }

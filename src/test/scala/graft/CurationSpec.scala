@@ -390,4 +390,68 @@ class CurationSpec extends SparkSpec {
       .select(col("id"), col("epoch")).as[(Long, Int)].collect().toSet
     assert(out.map(r => (r._1, r._3)).toSet.subsetOf(big))
   }
+
+  test("unimaxAllocation water-fills: small groups saturate, the rest share the waterline") {
+    // caps at 1 epoch: A=2, B=5, C=10; budget 12 → A sat 2, B sat 5
+    // (exactly at the line), C gets λ*=5
+    val d = Seq(("A", 2L), ("B", 5L), ("C", 10L)).toDF("g", "tok")
+    val out = Sampling.unimaxAllocation(d, col("g"), col("tok"),
+        budgetTokens = 12L, maxEpochs = 1.0)
+      .orderBy("group").collect()
+    assert(out.map(r => (r.getAs[String]("group"),
+      r.getAs[Double]("alloc_tokens"), r.getAs[Boolean]("saturated"))).toSeq ==
+      Seq(("A", 2.0, true), ("B", 5.0, true), ("C", 5.0, false)))
+    assert(out(2).getAs[Double]("epochs") == 0.5)
+    // allocations exhaust the budget exactly
+    assert(out.map(_.getAs[Double]("alloc_tokens")).sum == 12.0)
+  }
+
+  test("unimaxAllocation degenerates to all-saturated and to uniform") {
+    val d = Seq(("A", 2L), ("B", 5L)).toDF("g", "tok")
+    // budget ≥ Σcap at 2 epochs (14): everything saturates at its cap
+    val sat = Sampling.unimaxAllocation(d, col("g"), col("tok"),
+        budgetTokens = 100L, maxEpochs = 2.0)
+      .orderBy("group").collect()
+    assert(sat.map(_.getAs[Double]("alloc_tokens")).toSeq == Seq(4.0, 10.0))
+    assert(sat.forall(_.getAs[Boolean]("saturated")))
+    assert(sat.map(_.getAs[Double]("epochs")).toSeq == Seq(2.0, 2.0))
+    // tiny budget: nobody saturates, uniform B/k
+    val uni = Sampling.unimaxAllocation(d, col("g"), col("tok"),
+        budgetTokens = 2L, maxEpochs = 2.0)
+      .orderBy("group").collect()
+    assert(uni.map(_.getAs[Double]("alloc_tokens")).toSeq == Seq(1.0, 1.0))
+    assert(uni.forall(!_.getAs[Boolean]("saturated")))
+  }
+
+  test("doremiWeights replays the exponentiated-gradient trajectory by hand") {
+    // two domains, two steps, eta = 1:
+    // step 1: logits (0.5, 0.1) → α = softmax = (e^.5, e^.1)/Z1
+    // step 2: cum logits (0.5+0.3, 0.1+0.7) = (0.8, 0.8) → α = (.5, .5)
+    val d = Seq(("a", 1L, 0.5), ("b", 1L, 0.1),
+      ("a", 2L, 0.3), ("b", 2L, 0.7)).toDF("dom", "st", "x")
+    val out = Sampling.doremiWeights(d, col("dom"), col("st"), col("x"))
+      .orderBy("domain").collect()
+    val z1 = math.exp(0.0) + math.exp(-0.4) // stabilized against max .5
+    val a1 = math.exp(0.0) / z1
+    val wa = math.floor((a1 + 0.5) / 2 * 1e4) / 1e4
+    val wb = math.floor(((1 - a1) + 0.5) / 2 * 1e4) / 1e4
+    assert(out(0).getAs[Double]("weight") == wa)
+    assert(out(1).getAs[Double]("weight") == wb)
+    assert(out.forall(_.getAs[Long]("n_steps") == 2L))
+  }
+
+  test("doremiWeights: a missing (domain, step) cell counts as zero excess, not a dropped domain") {
+    // domain b absent at step 2 — grid completion keeps it normalized
+    val d = Seq(("a", 1L, 0.0), ("b", 1L, 0.0), ("a", 2L, 1.0))
+      .toDF("dom", "st", "x")
+    val out = Sampling.doremiWeights(d, col("dom"), col("st"), col("x"))
+      .orderBy("domain").collect()
+    // step1 α=(.5,.5); step2 logits (1,0) → αa = e/(e+1)
+    val a2 = math.exp(1.0 - 1.0) / (math.exp(0.0) + math.exp(-1.0))
+    assert(out(0).getAs[Double]("weight") ==
+      math.floor((0.5 + a2) / 2 * 1e4) / 1e4)
+    // weights still sum to ~1 (two domains)
+    val s = out.map(_.getAs[Double]("weight")).sum
+    assert(s > 0.999 && s <= 1.0)
+  }
 }
