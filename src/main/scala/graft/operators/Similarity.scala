@@ -55,6 +55,146 @@ object Similarity {
         col("cos_distortion"), col("degenerate"))
   }
 
+  /** Dimensionality of the vector column, read from one row — driver
+    * metadata, same class as reading a schema.
+    */
+  private def dimOf(df: DataFrame, vec: Column): Int = {
+    val r = df.select(size(vec).as("d")).filter(col("d") > 0).limit(1).collect()
+    require(r.nonEmpty, "no non-empty vectors")
+    r(0).getInt(0)
+  }
+
+  /** Top principal component of an embedding column by distributed
+    * POWER ITERATION — no d×d covariance matrix is ever materialized
+    * (at d=4096 that is 16M doubles; at 100 TB of vectors the only
+    * viable shape is matvec-by-scan): each round computes
+    * w ← normalize(Σ_i c_i (c_i · w)) over CENTERED vectors in ONE
+    * scan, as d codegen'd sum(element·dot) aggregate lanes (no
+    * explode, no shuffle beyond the 1-row aggregate); w lives on the
+    * driver (IVF-centroid contract, d doubles). Start vector is the
+    * deterministic uniform direction — RNG-free, so reruns are
+    * identical; the degenerate case (data orthogonal to the seed)
+    * would need an adversarially centered corpus and is documented
+    * rather than randomized away.
+    *
+    * Returns (component_pos, loading, eigenvalue_share): the unit
+    * component and the share of total variance it explains —
+    * eigenvalue from the Rayleigh quotient, total variance from the
+    * same centered pass. Sign convention: the largest-|loading|
+    * coordinate is made positive (eigenvectors are sign-ambiguous;
+    * pinning it makes retrains comparable).
+    */
+  def principalComponent(
+      df: DataFrame, vec: Column, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    val d = dimOf(df, vec)
+    val v = df.select(transform(vec, x => x.cast("double")).as("__v"))
+      .filter(size(col("__v")) === d)
+      .localCheckpoint() // consumed once per round + twice for moments
+    // component-wise mean: d avg lanes in one pass
+    val meanRow = v.agg(
+      avg(element_at(col("__v"), 1)).as("m0"),
+      (2 to d).map(i => avg(element_at(col("__v"), i)).as(s"m${i - 1}")): _*)
+      .collect()(0)
+    val mean = Array.tabulate(d)(i => meanRow.getDouble(i))
+    def centered = {
+      val mLit = array(mean.map(lit): _*)
+      v.select(zip_with(col("__v"), mLit, (a, b) => a - b).as("__c"))
+    }
+    val c = centered.localCheckpoint()
+    var w = Array.fill(d)(1.0 / math.sqrt(d))
+    var eigen = 0.0
+    for (_ <- 1 to rounds) {
+      val wLit = array(w.map(lit): _*)
+      val dotW = graft.functions.dot(col("__c"), wLit)
+      val sums = c.select(col("__c"), dotW.as("__dw"))
+        .agg(
+          sum(element_at(col("__c"), 1) * col("__dw")).as("s0"),
+          (2 to d).map(i =>
+            sum(element_at(col("__c"), i) * col("__dw")).as(s"s${i - 1}")): _*)
+        .collect()(0)
+      val s = Array.tabulate(d)(i => sums.getDouble(i))
+      val norm = math.sqrt(s.map(x => x * x).sum)
+      eigen = s.zip(w).map { case (a, b) => a * b }.sum // Rayleigh numerator
+      if (norm > 0) w = s.map(_ / norm)
+    }
+    // sign pin: largest-|loading| coordinate positive
+    val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
+    if (w(pivot) < 0) w = w.map(-_)
+    val totals = c.agg(
+      sum(graft.functions.dot(col("__c"), col("__c"))).as("ss"),
+      count(lit(1)).as("n")).collect()(0)
+    val totalVar = totals.getDouble(0)
+    val share =
+      if (totalVar > 0) math.floor(eigen / totalVar * 1e4) / 1e4 else 0.0
+    import spark.implicits._
+    w.zipWithIndex.map { case (x, i) =>
+      (i, math.floor(x * 1e6) / 1e6 + 0.0, share)
+    }.toSeq.toDF("component_pos", "loading", "eigenvalue_share")
+  }
+
+  /** All-but-the-top embedding debiasing (Mu & Viswanath ICLR'18):
+    * subtract the corpus mean, then project out the top
+    * `nComponents` principal directions — the cheap post-process that
+    * measurably improves cosine-similarity quality on anisotropic
+    * embedding spaces (frequency direction dominates). Components come
+    * from [[principalComponent]] power iteration with DEFLATION
+    * (each found direction is projected out of the working vectors
+    * before the next runs); all directions are driver metadata
+    * compiled into one codegen'd projection over one final scan —
+    * vectors are never shuffled.
+    *
+    * Output: (id, vec_debiased array<double>, removed_share 4-dp — the
+    * per-vector fraction of squared norm the mean+projections removed;
+    * 1.0 for a vector entirely inside the removed subspace).
+    */
+  def removeTopComponents(
+      df: DataFrame, id: Column, vec: Column,
+      nComponents: Int = 1, rounds: Int = 8): DataFrame = {
+    require(nComponents >= 1, "nComponents must be >= 1")
+    val d = dimOf(df, vec)
+    val base = df.select(id.as("id"),
+      transform(vec, x => x.cast("double")).as("__v"))
+      .filter(size(col("__v")) === d)
+    val meanRow = base.agg(
+      avg(element_at(col("__v"), 1)).as("m0"),
+      (2 to d).map(i => avg(element_at(col("__v"), i)).as(s"m${i - 1}")): _*)
+      .collect()(0)
+    val mean = Array.tabulate(d)(i => meanRow.getDouble(i))
+    val mLit = array(mean.map(lit): _*)
+    var work = base.select(col("id"),
+      zip_with(col("__v"), mLit, (a, b) => a - b).as("__c"))
+      .localCheckpoint()
+    for (_ <- 1 to nComponents) {
+      val u = principalComponent(
+        work.select(col("__c")), col("__c"), rounds)
+        .orderBy("component_pos").collect().map(_.getDouble(1))
+      val uLit = array(u.map(lit): _*)
+      // bind the projection ONCE as a column before the zip_with — a
+      // dot inside the lambda re-evaluates per ELEMENT (the shingles
+      // O(len²) trap)
+      work = work
+        .select(col("id"), col("__c"),
+          graft.functions.dot(col("__c"), uLit).as("__p"))
+        .select(col("id"),
+          zip_with(col("__c"), uLit, (a, b) => a - b * col("__p")).as("__c"))
+        .localCheckpoint()
+    }
+    // removed_share against the ORIGINAL (uncentered) squared norm;
+    // negative means centering GREW this vector's norm (a vector far
+    // from the mean) — reported, not clamped
+    val orig = base.select(col("id"), col("__v"))
+    orig.join(work, Seq("id"))
+      .select(col("id"), col("__c"),
+        graft.functions.dot(col("__c"), col("__c")).as("__nc"),
+        graft.functions.dot(col("__v"), col("__v")).as("__nv"))
+      .select(col("id"), col("__c").as("vec_debiased"),
+        (floor((lit(1.0) - col("__nc") /
+          when(col("__nv") === 0.0, lit(1.0)).otherwise(col("__nv")))
+          * 1e4) / 1e4).as("removed_share"))
+  }
+
   /** Exact top-k by cosine: every query (broadcast) against every
     * corpus row. Ranking uses round(sim, 6) with id tiebreak so the
     * ordering is reproducible across engines.

@@ -1195,6 +1195,23 @@ object DedupQueries {
       val e = table(s, dir, "embeddings")
       Similarity.quantizeInt8(e, col("vec_id"), col("embedding"))
         .orderBy("vec_id")
+    },
+
+    // D99: top principal component by distributed power iteration —
+    // rows-only (iterative matvec, the IVF/k-means precedent).
+    Q.rowsOnly("q_embed_pc") { (s, dir) =>
+      Similarity.principalComponent(table(s, dir, "embeddings"),
+          col("embedding"), rounds = 8)
+        .orderBy("component_pos")
+    },
+
+    // D99b: ABTT debiasing — mean + top component projected out;
+    // reports the per-vector removed norm share.
+    Q.rowsOnly("q_embed_abtt") { (s, dir) =>
+      Similarity.removeTopComponents(table(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), nComponents = 1, rounds = 8)
+        .select(col("id"), col("removed_share"))
+        .orderBy("id")
     }
   )
 }

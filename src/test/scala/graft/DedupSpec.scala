@@ -1011,6 +1011,39 @@ class DedupSpec extends SparkSpec {
     assert(q3(2) == 42 && q3(3) == -42)
   }
 
+  test("principalComponent recovers a planted dominant direction with a pinned sign") {
+    // spread along e1 (±10) dwarfs the e2 jitter (±0.5)
+    val vs = (1 to 40).map { i =>
+      val t = if (i % 2 == 0) 10.0f else -10.0f
+      val j = (((i * 13) % 7) - 3) / 6.0f
+      (i.toLong, Seq(t, j))
+    }.toDF("id", "v")
+    val pc = Similarity.principalComponent(vs, col("v"), rounds = 10)
+      .orderBy("component_pos").collect()
+    assert(math.abs(pc(0).getDouble(1)) > 0.999, pc.mkString(","))
+    assert(math.abs(pc(1).getDouble(1)) < 0.05)
+    // sign pin: the dominant loading is positive
+    assert(pc(0).getDouble(1) > 0)
+    assert(pc(0).getDouble(2) > 0.99) // eigenvalue share
+  }
+
+  test("removeTopComponents projects out the dominant direction (ABTT)") {
+    val vs = (1 to 40).map { i =>
+      val t = if (i % 2 == 0) 10.0f else -10.0f
+      val j = (((i * 13) % 7) - 3) / 6.0f
+      (i.toLong, Seq(t, j))
+    }.toDF("id", "v")
+    val out = Similarity.removeTopComponents(vs, col("id"), col("v"),
+      nComponents = 1, rounds = 10).collect()
+    out.foreach { r =>
+      val c = r.getAs[scala.collection.Seq[Double]]("vec_debiased")
+      assert(math.abs(c(0)) < 0.1,
+        s"dominant direction survives: $c")
+      // ±10 first components: nearly all squared norm was removed
+      assert(r.getAs[Double]("removed_share") > 0.95)
+    }
+  }
+
   test("quantizeInt8 distortion stays tiny on unit-scale random-ish vectors") {
     val vs = (1L to 50L).map { i =>
       (i, (0 until 64).map(j => (((i * 31 + j * 17) % 101) - 50) / 50.0f))
