@@ -349,6 +349,16 @@ object WranglingQueries {
          |ORDER BY selector, ano, mes""".stripMargin
     ) { (s, dir) =>
       EpeWideToLong.run(table(s, dir, "orders"))
+    },
+
+    // A13: small-file compaction planning over the REAL sf-dir file
+    // manifest — rows-only (file sizes are environment state, one row
+    // per file); FFD placement exactness is TablesSpec's hand case.
+    Q.rowsOnly("q_compaction_plan") { (s, dir) =>
+      val mf = graft.sources.Tables.fileManifest(s, dir)
+      graft.sources.Tables.compactionPlan(mf, col("path"), col("bytes"),
+          col("dir"), targetBytes = 512L << 10)
+        .orderBy("dir", "bin_id", "path")
     }
   )
 

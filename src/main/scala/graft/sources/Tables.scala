@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table loader / writer over a scale-factor directory of parquet files.
@@ -341,6 +341,60 @@ object Tables {
     graft.streaming.SnapshotStore.publish(
       manifest.coalesce(1), manifestDir, System.currentTimeMillis())
     Some(df)
+  }
+
+  /** A13: small-file COMPACTION planning — the lake-maintenance twin
+    * of [[ingestNewFiles]]'s manifest: streaming/incremental ingest
+    * leaves thousands of KB-sized files per partition dir, and every
+    * later scan pays a task per file. Given a (path, bytes, dir)
+    * manifest (file-level metadata — driver/manifest-sized at any
+    * corpus scale), plan which files merge into which output file
+    * under `targetBytes`: first-fit-decreasing per directory via
+    * [[graft.operators.Packing.binPackFFD]] (compaction IS bin
+    * packing; dirs pack independently exactly like shards), files
+    * larger than the target get a bin of their own flagged
+    * `oversize` (left in place, the quarantine-by-flag contract).
+    * Output: (dir, path, bytes, bin_id, oversize, n_files_in_bin) —
+    * an executor per bin then streams its files into one writer; the
+    * plan itself never touches data.
+    */
+  def compactionPlan(
+      manifest: DataFrame,
+      path: Column,
+      bytes: Column,
+      dir: Column,
+      targetBytes: Long): DataFrame = {
+    val m = manifest.select(path.as("path"), bytes.cast("long").as("bytes"),
+      dir.as("dir"), xxhash64(path).as("__fid"))
+    val planned = graft.operators.Packing.binPackFFD(
+      m, col("dir"), col("__fid"), col("bytes"), targetBytes)
+      .select(col("shard").as("dir"), col("id").as("__fid"),
+        col("bin_id"), col("oversize"))
+    val perBin = planned.groupBy("dir", "bin_id")
+      .agg(count(lit(1)).as("n_files_in_bin"))
+    m.join(planned.select("__fid", "bin_id", "oversize"), Seq("__fid"))
+      .join(perBin, Seq("dir", "bin_id"))
+      .select(col("dir"), col("path"), col("bytes"), col("bin_id"),
+        col("oversize"), col("n_files_in_bin"))
+  }
+
+  /** List a directory's data files as a (path, bytes, dir) manifest
+    * frame — one FileSystem RPC, driver-metadata-sized ([[ingestNewFiles]]
+    * contract); hidden/metadata files excluded.
+    */
+  def fileManifest(spark: SparkSession, dataDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    val it = hfs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        files += ((s.getPath.toString, s.getLen, s.getPath.getParent.toString))
+    }
+    files.toSeq.toDF("path", "bytes", "dir")
   }
 
   /** Schema-evolution read: parquet shards written over a schema's

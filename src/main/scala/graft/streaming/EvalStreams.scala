@@ -25,6 +25,57 @@ object EvalStreams {
       n_distinct_answers: Long, consensus: Option[String],
       consensus_votes: Option[Long], agreement: Option[Double])
 
+  case class GradeIn(problem_key: Long, correct: Boolean)
+
+  case class PkState(n: Long, c: Long)
+
+  case class PkOut(
+      problem_key: Long, n_samples: Long, n_correct: Long,
+      pass_at_k: Option[Double], undersampled: Boolean)
+
+  /** E22: streaming pass@k — the stateful twin of
+    * [[graft.operators.Eval.passAtK]]: graded rollouts stream in, the
+    * per-problem estimate stays CURRENT. State is TWO longs per
+    * problem (attempts, correct); each touching micro-batch emits the
+    * problem's current row, last emission == batch digit for digit
+    * (the same integer product lanes, single double division, 4-dp
+    * floor; n−c < k short-circuits to exactly 1.0, n < k reports
+    * NULL + `undersampled`). No watermark — counts never un-count.
+    */
+  def passAtKStream(grades: DataFrame, k: Int): Dataset[PkOut] = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    implicit val inEnc = Encoders.product[GradeIn]
+    implicit val outEnc = Encoders.product[PkOut]
+    implicit val stEnc = Encoders.product[PkState]
+    implicit val longEnc = Encoders.scalaLong
+    grades.select(col("problem_key").cast("long"),
+        col("correct").cast("boolean"))
+      .as[GradeIn]
+      .groupByKey(_.problem_key)
+      .flatMapGroupsWithState[PkState, PkOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pk: Long, rows: Iterator[GradeIn], state: GroupState[PkState]) =>
+          var st = state.getOption.getOrElse(PkState(0L, 0L))
+          rows.foreach { r =>
+            st = PkState(st.n + 1, st.c + (if (r.correct) 1L else 0L))
+          }
+          state.update(st)
+          if (st.n == 0L) Iterator.empty
+          else {
+            val f = st.n - st.c
+            val pk4 =
+              if (st.n < k) None
+              else if (f < k) Some(1.0)
+              else {
+                val num = (0 until k).map(i => f - i).product
+                val den = (0 until k).map(i => st.n - i).product
+                Some(math.floor((1.0 - num.toDouble / den.toDouble) * 1e4) / 1e4)
+              }
+            Iterator.single(PkOut(pk, st.n, st.c, pk4, st.n < k))
+          }
+      }
+  }
+
   /** E21: streaming self-consistency majority vote — the stateful twin
     * of [[graft.operators.Eval.majorityVote]]. Each micro-batch that
     * touches a problem emits ONE row with the problem's CURRENT

@@ -76,6 +76,48 @@ class EvalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E22 stream == batch pass@k across batch splits, incl. short-circuit and undersampled") {
+    val input = MemoryStream[(Long, Boolean)](spark)
+    val df = input.toDF().toDF("problem_key", "correct")
+    val q = EvalStreams.passAtKStream(df, k = 2)
+      .writeStream.format("memory").queryName("e22_out").outputMode("append").start()
+    try {
+      // batch 1: problem 1 at n=3 (1 correct); problem 2 undersampled (n=1)
+      input.addData((1L, true), (1L, false), (1L, false), (2L, true))
+      q.processAllAvailable()
+      val mid = spark.table("e22_out").collect()
+        .groupBy(_.getAs[Long]("problem_key"))
+        .map { case (k0, rs) => k0 -> rs.maxBy(_.getAs[Long]("n_samples")) }
+      assert(mid(2L).getAs[Boolean]("undersampled"))
+      assert(mid(2L).isNullAt(mid(2L).fieldIndex("pass_at_k")))
+
+      // batch 2: problem 1 grows to n=5 c=2; problem 2 to n=4 c=3
+      // (failures 1 < k → exactly 1.0)
+      input.addData((1L, true), (1L, false),
+        (2L, true), (2L, true), (2L, false))
+      q.processAllAvailable()
+
+      val all = Seq((1L, true), (1L, false), (1L, false), (2L, true),
+        (1L, true), (1L, false), (2L, true), (2L, true), (2L, false))
+        .toDF("problem_key", "correct")
+      val batch = graft.operators.Eval.passAtK(all, col("problem_key"),
+        col("correct"), k = 2)
+        .collect().map(r => r.getAs[Long]("problem_key") -> r).toMap
+      val last = spark.table("e22_out").collect()
+        .groupBy(_.getAs[Long]("problem_key"))
+        .map { case (k0, rs) => k0 -> rs.maxBy(_.getAs[Long]("n_samples")) }
+      last.foreach { case (pk, s) =>
+        val b = batch(pk)
+        assert(s.getAs[Long]("n_samples") == b.getAs[Long]("n_samples"))
+        assert(s.getAs[Long]("n_correct") == b.getAs[Long]("n_correct"))
+        assert(s.getAs[Any]("pass_at_k") == b.getAs[Any]("pass_at_2"),
+          s"problem $pk: stream=${s.getAs[Any]("pass_at_k")} batch=${b.getAs[Any]("pass_at_2")}")
+        assert(s.getAs[Boolean]("undersampled") == b.getAs[Boolean]("undersampled"))
+      }
+      assert(last(2L).getAs[Double]("pass_at_k") == 1.0) // short-circuit
+    } finally q.stop()
+  }
+
   test("E21 stream == batch on real documents split across batches") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select((col("doc_id") % 40).as("problem_key"),

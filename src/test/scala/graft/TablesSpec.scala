@@ -312,4 +312,34 @@ class TablesSpec extends SparkSpec {
       .select("text").collect().map(_.getString(0)).toSet
     assert(got == (plain :+ "delta four").toSet)
   }
+
+  test("compactionPlan packs small files per dir under the target and quarantines oversize (A13)") {
+    import spark.implicits._
+    val manifest = Seq(
+      // dir a: 6+5+4+3 under target 10 → FFD: [6,4] and [5,3]
+      ("a/f6", 6L, "a"), ("a/f5", 5L, "a"), ("a/f4", 4L, "a"), ("a/f3", 3L, "a"),
+      // dir b: one oversize file + one small one
+      ("b/f12", 12L, "b"), ("b/f2", 2L, "b")
+    ).toDF("path", "bytes", "dir")
+    val plan = sources.Tables.compactionPlan(manifest, col("path"),
+      col("bytes"), col("dir"), targetBytes = 10L).collect()
+    val byPath = plan.map(r => r.getAs[String]("path") -> r).toMap
+    // dir a bins: f6 with f4, f5 with f3
+    assert(byPath("a/f6").getAs[Long]("bin_id") == byPath("a/f4").getAs[Long]("bin_id"))
+    assert(byPath("a/f5").getAs[Long]("bin_id") == byPath("a/f3").getAs[Long]("bin_id"))
+    assert(byPath("a/f6").getAs[Long]("bin_id") != byPath("a/f5").getAs[Long]("bin_id"))
+    assert(byPath("a/f6").getAs[Long]("n_files_in_bin") == 2L)
+    // oversize quarantined alone, flagged; the small file packs separately
+    assert(byPath("b/f12").getAs[Boolean]("oversize"))
+    assert(byPath("b/f12").getAs[Long]("n_files_in_bin") == 1L)
+    assert(!byPath("b/f2").getAs[Boolean]("oversize"))
+    assert(byPath("b/f12").getAs[Long]("bin_id") != byPath("b/f2").getAs[Long]("bin_id"))
+  }
+
+  test("fileManifest lists real data files with sizes and parent dirs") {
+    val mf = sources.Tables.fileManifest(spark, sf).collect()
+    assert(mf.length >= 10) // one parquet per table
+    assert(mf.forall(_.getAs[Long]("bytes") > 0))
+    assert(mf.exists(_.getAs[String]("path").endsWith("documents.parquet")))
+  }
 }
