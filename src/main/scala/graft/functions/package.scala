@@ -72,6 +72,45 @@ package object functions {
   def normFingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}\\s]", " "), "\\s+", " ")))
 
+  // ---- Z-order (Morton) interleaving ----
+
+  /** Clamp a numeric column onto the integer grid [0, 2^bits) for
+    * [[zOrderValue]]: floor-scale from [lo, hi), out-of-range values
+    * clamp to the edge cells (a point outside the declared range
+    * still sorts to the nearest corner rather than corrupting the
+    * interleave). Fixed caller-declared ranges, NOT data-dependent
+    * min/max — layout must be stable across corpus snapshots or every
+    * incremental write reshuffles.
+    */
+  def zGridCoord(x: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(hi > lo, "hi must exceed lo")
+    require(bits >= 1 && bits <= 31, "bits in [1, 31]")
+    val cells = (1L << bits).toDouble
+    least(greatest(floor((x - lo) / (hi - lo) * cells), lit(0.0)),
+      lit(cells - 1)).cast("long")
+  }
+
+  /** Z-order (Morton) value of k grid coordinates, each in
+    * [0, 2^bits): bit j of column i lands at position j·k + i — the
+    * bit-interleave that makes points close in EVERY dimension close
+    * in the one-dimensional sort order. Range-partition + sort by
+    * this value before a columnar write and the per-file min/max
+    * stats are tight on ALL k columns at once, so a predicate on any
+    * of them prunes files (the OPTIMIZE ZORDER story, as one
+    * codegen'd integer expression — the bit lanes are disjoint, so
+    * the combining `+` is bitwise OR and every term is exact).
+    */
+  def zOrderValue(coords: Seq[Column], bits: Int): Column = {
+    require(coords.nonEmpty, "at least one coordinate")
+    val k = coords.size
+    require(k * bits <= 62, s"k*bits = ${k * bits} exceeds a signed long")
+    val lanes = for {
+      (c, i) <- coords.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * k + i)
+    lanes.reduce(_ + _)
+  }
+
   // ---- vector kernels ----
 
   /** Dot product of two array<double>/array<float> columns — a

@@ -451,6 +451,34 @@ object RelationalQueries {
           .as("selector"))
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
         .orderBy($"selector")
+    },
+
+    // A14: Z-order (Morton) interleave on (l_partkey, l_suppkey) —
+    // the layout value writeZOrdered clusters by; exact integer bit
+    // lanes, replayed bit by bit in DuckDB.
+    Q(
+      "q_zorder", {
+        def gridSql(c: String, hi: Double, bits: Int): String =
+          s"CAST(least(greatest(floor(($c - 0.0) / $hi * ${1L << bits}), 0.0), ${(1L << bits) - 1}.0) AS BIGINT)"
+        val bits = 8
+        val lanes = for {
+          (g, i) <- Seq(gridSql("l_partkey", 30000.0, bits),
+            gridSql("l_suppkey", 3000.0, bits)).zipWithIndex
+          j <- 0 until bits
+        } yield s"((($g >> $j) & 1) << ${j * 2 + i})"
+        s"""SELECT l_orderkey, l_linenumber,
+           |  ${lanes.mkString("\n|  + ")} AS zval
+           |FROM lineitem
+           |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+      }
+    ) { (s, dir) =>
+      import graft.functions.{zGridCoord, zOrderValue}
+      Tables.load(s, dir, "lineitem").select(
+          $"l_orderkey", $"l_linenumber",
+          zOrderValue(Seq(
+            zGridCoord($"l_partkey", 0.0, 30000.0, 8),
+            zGridCoord($"l_suppkey", 0.0, 3000.0, 8)), 8).as("zval"))
+        .orderBy($"zval", $"l_orderkey", $"l_linenumber")
     }
   )
 

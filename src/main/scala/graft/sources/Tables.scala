@@ -397,6 +397,35 @@ object Tables {
     files.toSeq.toDF("path", "bytes", "dir")
   }
 
+  /** A14: Z-ORDERED write — multi-dimensional data clustering for
+    * scan pruning ([[graft.functions.zOrderValue]] has the math):
+    * range-partition the frame by the interleaved value (balanced
+    * output files via Spark's range sampler), sort within partitions,
+    * drop the scratch column, write parquet. Every output file then
+    * carries tight min/max footer stats on ALL z-dimensions, so a
+    * filter on ANY of them prunes files at planning time — the
+    * layout-side complement to the C1 pushdown story, and the reason
+    * a 100 TB fact table can serve point-ish queries on two keys
+    * without two copies of the data.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      dims: Seq[(Column, Double, Double)],
+      bits: Int = 16,
+      numFiles: Int = 0): Unit = {
+    val z = graft.functions.zOrderValue(
+      dims.map { case (c, lo, hi) => graft.functions.zGridCoord(c, lo, hi, bits) },
+      bits)
+    val withZ = df.withColumn("__z", z)
+    val parts = if (numFiles > 0) numFiles
+      else df.sparkSession.sparkContext.defaultParallelism
+    withZ.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Schema-evolution read: parquet shards written over a schema's
     * lifetime (columns added release by release) union into ONE frame
     * — `mergeSchema` reconciles per-file footers, old shards surface

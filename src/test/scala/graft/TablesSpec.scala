@@ -336,6 +336,48 @@ class TablesSpec extends SparkSpec {
     assert(byPath("b/f12").getAs[Long]("bin_id") != byPath("b/f2").getAs[Long]("bin_id"))
   }
 
+  test("zOrderValue interleaves bits exactly and zGridCoord clamps to edge cells (A14)") {
+    import graft.functions.{zGridCoord, zOrderValue}
+    import spark.implicits._
+    val r = Seq((3L, 2L)).toDF("a", "b")
+      .select(zOrderValue(Seq(col("a"), col("b")), 2).as("z"))
+      .collect()(0).getLong(0)
+    // a=0b11 at even positions (0,2), b=0b10 at odd (1,3): 1+4+8 = 13
+    assert(r == 13L)
+    val g = Seq((-5.0, 0.5, 99.0)).toDF("lo", "mid", "hi")
+      .select(
+        zGridCoord(col("lo"), 0.0, 1.0, 4).as("l"),
+        zGridCoord(col("mid"), 0.0, 1.0, 4).as("m"),
+        zGridCoord(col("hi"), 0.0, 1.0, 4).as("h"))
+      .collect()(0)
+    assert(g.getLong(0) == 0L && g.getLong(1) == 8L && g.getLong(2) == 15L)
+  }
+
+  test("writeZOrdered clusters BOTH dimensions into tight per-file ranges (A14)") {
+    import spark.implicits._
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, (i % 64).toDouble, (i / 64).toDouble) // full 64x64 grid
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    sources.Tables.writeZOrdered(df, dir,
+      Seq((col("x"), 0.0, 64.0), (col("y"), 0.0, 64.0)), bits = 6,
+      numFiles = 16)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("rx"),
+        (max(col("y")) - min(col("y"))).as("ry"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    assert(perFile.length > 4)
+    // a row-id sort would leave y spanning the FULL 0-63 range in every
+    // file; z-order bounds both dimensions well below it
+    val avgRx = perFile.map(_.getAs[Double]("rx")).sum / perFile.length
+    val avgRy = perFile.map(_.getAs[Double]("ry")).sum / perFile.length
+    assert(avgRx < 40.0, s"x ranges not clustered: $avgRx")
+    assert(avgRy < 40.0, s"y ranges not clustered: $avgRy")
+  }
+
   test("fileManifest lists real data files with sizes and parent dirs") {
     val mf = sources.Tables.fileManifest(spark, sf).collect()
     assert(mf.length >= 10) // one parquet per table
