@@ -37,9 +37,12 @@ object Eval {
     * failure draw is impossible); undersampled problems (`n < k`)
     * report NULL + the `undersampled` flag — the estimator is
     * undefined there and a silent clamp would overstate coverage.
-    * Integer lanes bound n by k·log2(n) < 63: n ≤ ~55k samples per
-    * problem at k=4 — far above any real rollout budget; the require
-    * guards the k side.
+    * Integer lanes need k·log2(n) < 63, so past n = ⌊2^(63/k)⌋
+    * (~55k at k=4, 234 at k=8) the plan switches to the per-factor
+    * DOUBLE ratio product — ~1-ulp-accurate, and 4-dp truncation
+    * makes the switch invisible in the reported value; without the
+    * guard the BIGINT lanes would WRAP silently in Spark and error
+    * in ANSI engines (caught in review, spec-pinned).
     */
   def passAtK(df: DataFrame, problemKey: Column, correct: Column,
       k: Int): DataFrame = {
@@ -53,13 +56,26 @@ object Eval {
     val f = n - col("n_correct") // failures
     val num = (0 until k).map(i => f - lit(i.toLong)).reduce(_ * _)
     val den = (0 until k).map(i => n - lit(i.toLong)).reduce(_ * _)
+    val nMaxExact = exactLaneBound(k)
+    val ratio = (0 until k)
+      .map(i => (f - lit(i.toLong)).cast("double") /
+        (n - lit(i.toLong)).cast("double"))
+      .reduce(_ * _)
     agg.select(col("problem_key"), col("n_samples"), col("n_correct"),
       when(n < k, lit(null).cast("double"))
         .when(f < k, lit(1.0))
-        .otherwise(Num.t4floor(lit(1.0) - num.cast("double") / den.cast("double")))
+        .when(n <= nMaxExact,
+          Num.t4floor(lit(1.0) - num.cast("double") / den.cast("double")))
+        .otherwise(Num.t4floor(lit(1.0) - ratio))
         .as(s"pass_at_$k"),
       (n < k).as("undersampled"))
   }
+
+  /** Largest n whose k-term falling-factorial product fits a signed
+    * long: ⌊2^(63/k)⌋, shared by the batch and streaming estimators.
+    */
+  private[graft] def exactLaneBound(k: Int): Long =
+    math.pow(2.0, 63.0 / k).toLong - 1
 
   /** Self-consistency aggregation (Wang et al. '23): per problem, the
     * modal answer across sampled chains — ties break (count desc,

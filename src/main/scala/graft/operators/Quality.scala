@@ -149,7 +149,13 @@ object Quality {
       rtrim(l).rlike("[.!?\"]$") &&
         size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= minWordsPerLine &&
         !lower(l).contains("javascript")
-    val badRe = badWords.map(java.util.regex.Pattern.quote).mkString("|")
+    // whole-word = non-letter/digit (or edge) on BOTH sides, as
+    // consuming context — \b fails on symbol-edged blocklist entries
+    // ('$'→' ' is non-word→non-word, no boundary), and RE2-class
+    // engines have no lookbehind to fake it with; entries lowercase
+    // to match the lowercased text
+    val badRe = badWords.map(_.toLowerCase)
+      .map(java.util.regex.Pattern.quote).mkString("|")
     df.select(id.as("doc_id"), text.as("__text"))
       .withColumn("__lines", split(col("__text"), "\n"))
       .withColumn("__kept", filter(col("__lines"), keepLine))
@@ -162,7 +168,9 @@ object Quality {
         lower(col("__text")).contains("lorem ipsum").as("has_lorem"),
         col("__text").contains("{").as("has_brace"),
         (if (badWords.isEmpty) lit(false)
-         else lower(col("__text")).rlike(s"\\b($badRe)\\b")).as("has_bad_word"))
+         else lower(col("__text")).rlike(
+           s"(^|[^\\p{L}\\p{Nd}])($badRe)([^\\p{L}\\p{Nd}]|$$)"))
+          .as("has_bad_word"))
       .withColumn("kept",
         col("n_sentences") >= minSentences && !col("has_lorem") &&
           !col("has_brace") && !col("has_bad_word"))

@@ -583,11 +583,11 @@ object Sampling {
       .select(col("__s.__lambda").as("__wl"))
     ranked.crossJoin(broadcast(waterline))
       .withColumn("alloc_tokens",
-        floor(when(col("saturated"), col("cap_tokens"))
-          .otherwise(col("__wl")) * 1e4) / 1e4)
+        Num.t4floor(when(col("saturated"), col("cap_tokens"))
+          .otherwise(col("__wl"))))
       .withColumn("epochs",
-        floor(when(col("saturated"), col("cap_tokens"))
-          .otherwise(col("__wl")) / col("n_tokens").cast("double") * 1e4) / 1e4)
+        Num.t4floor(when(col("saturated"), col("cap_tokens"))
+          .otherwise(col("__wl")) / col("n_tokens").cast("double")))
       .select("group", "n_tokens", "cap_tokens", "alloc_tokens", "epochs",
         "saturated")
   }
@@ -624,8 +624,15 @@ object Sampling {
       excessLoss: Column,
       eta: Double = 1.0): DataFrame = {
     require(eta > 0, "eta must be positive")
+    // pre-aggregate to ONE row per (domain, step): finer-grained
+    // telemetry (several loss rows per cell) would otherwise duplicate
+    // through the grid left-join and silently double-count into every
+    // later step's logit (caught in review); SUM is the merge —
+    // excess losses over a step's minibatches add
     val t = losses.select(domain.as("domain"), step.cast("long").as("step"),
-      excessLoss.cast("double").as("__x"))
+        excessLoss.cast("double").as("__x"))
+      .groupBy("domain", "step")
+      .agg(sum(col("__x")).as("__x"))
     // complete grid: every domain at every step (missing cell = 0)
     val domains = t.select("domain").distinct()
     val steps = t.select("step").distinct()
@@ -647,7 +654,7 @@ object Sampling {
       .withColumn("__alpha", col("__e") / col("__z"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_steps"),
-        (floor(avg(col("__alpha")) * 1e4) / 1e4).as("weight"),
-        (floor(max(col("__alpha")) * 1e4) / 1e4).as("peak_weight"))
+        Num.t4floor(avg(col("__alpha"))).as("weight"),
+        Num.t4floor(max(col("__alpha"))).as("peak_weight"))
   }
 }

@@ -84,25 +84,23 @@ object Similarity {
     * coordinate is made positive (eigenvectors are sign-ambiguous;
     * pinning it makes retrains comparable).
     */
-  def principalComponent(
-      df: DataFrame, vec: Column, rounds: Int = 8): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
-    val spark = df.sparkSession
-    val d = dimOf(df, vec)
-    val v = df.select(transform(vec, x => x.cast("double")).as("__v"))
-      .filter(size(col("__v")) === d)
-      .localCheckpoint() // consumed once per round + twice for moments
-    // component-wise mean: d avg lanes in one pass
-    val meanRow = v.agg(
-      avg(element_at(col("__v"), 1)).as("m0"),
-      (2 to d).map(i => avg(element_at(col("__v"), i)).as(s"m${i - 1}")): _*)
+  /** Component-wise mean as d avg lanes in one pass — driver metadata. */
+  private def meanOf(v: DataFrame, vCol: String, d: Int): Array[Double] = {
+    val row = v.agg(
+      avg(element_at(col(vCol), 1)).as("m0"),
+      (2 to d).map(i => avg(element_at(col(vCol), i)).as(s"m${i - 1}")): _*)
       .collect()(0)
-    val mean = Array.tabulate(d)(i => meanRow.getDouble(i))
-    def centered = {
-      val mLit = array(mean.map(lit): _*)
-      v.select(zip_with(col("__v"), mLit, (a, b) => a - b).as("__c"))
-    }
-    val c = centered.localCheckpoint()
+    Array.tabulate(d)(i => row.getDouble(i))
+  }
+
+  /** Power-iteration core over an ALREADY-CENTERED `__c` frame:
+    * returns (sign-pinned unit component, Rayleigh eigenvalue).
+    * Factored out so [[removeTopComponents]]' deflation rounds reuse
+    * it without re-computing a (zero) mean and materializing another
+    * centered replica per round.
+    */
+  private def powerIterate(
+      c: DataFrame, d: Int, rounds: Int): (Array[Double], Double) = {
     var w = Array.fill(d)(1.0 / math.sqrt(d))
     var eigen = 0.0
     for (_ <- 1 to rounds) {
@@ -121,7 +119,21 @@ object Similarity {
     }
     // sign pin: largest-|loading| coordinate positive
     val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
-    if (w(pivot) < 0) w = w.map(-_)
+    (if (w(pivot) < 0) w.map(-_) else w, eigen)
+  }
+
+  def principalComponent(
+      df: DataFrame, vec: Column, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    val d = dimOf(df, vec)
+    val v = df.select(transform(vec, x => x.cast("double")).as("__v"))
+      .filter(size(col("__v")) === d)
+    val mean = meanOf(v, "__v", d)
+    val mLit = array(mean.map(lit): _*)
+    val c = v.select(zip_with(col("__v"), mLit, (a, b) => a - b).as("__c"))
+      .localCheckpoint() // consumed once per round + once for moments
+    val (w, eigen) = powerIterate(c, d, rounds)
     val totals = c.agg(
       sum(graft.functions.dot(col("__c"), col("__c"))).as("ss"),
       count(lit(1)).as("n")).collect()(0)
@@ -157,19 +169,15 @@ object Similarity {
     val base = df.select(id.as("id"),
       transform(vec, x => x.cast("double")).as("__v"))
       .filter(size(col("__v")) === d)
-    val meanRow = base.agg(
-      avg(element_at(col("__v"), 1)).as("m0"),
-      (2 to d).map(i => avg(element_at(col("__v"), i)).as(s"m${i - 1}")): _*)
-      .collect()(0)
-    val mean = Array.tabulate(d)(i => meanRow.getDouble(i))
+    val mean = meanOf(base, "__v", d)
     val mLit = array(mean.map(lit): _*)
     var work = base.select(col("id"),
       zip_with(col("__v"), mLit, (a, b) => a - b).as("__c"))
       .localCheckpoint()
     for (_ <- 1 to nComponents) {
-      val u = principalComponent(
-        work.select(col("__c")), col("__c"), rounds)
-        .orderBy("component_pos").collect().map(_.getDouble(1))
+      // deflated frames stay centered, so the core runs directly —
+      // no redundant mean pass or extra centered replica per round
+      val (u, _) = powerIterate(work.select(col("__c")), d, rounds)
       val uLit = array(u.map(lit): _*)
       // bind the projection ONCE as a column before the zip_with — a
       // dot inside the lambda re-evaluates per ELEMENT (the shingles

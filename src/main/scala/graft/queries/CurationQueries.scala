@@ -1099,11 +1099,13 @@ object CurationQueries {
         |    AS n_sentences,
         |  contains(lower(page), 'lorem ipsum') AS has_lorem,
         |  contains(page, '{') AS has_brace,
-        |  regexp_matches(lower(page), '\b(naughtyword)\b') AS has_bad_word,
+        |  regexp_matches(lower(page),
+        |    '(^|[^\p{L}\p{Nd}])(naughtyword)([^\p{L}\p{Nd}]|$)') AS has_bad_word,
         |  CAST(len(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS BIGINT) >= 5
         |    AND NOT contains(lower(page), 'lorem ipsum')
         |    AND NOT contains(page, '{')
-        |    AND NOT regexp_matches(lower(page), '\b(naughtyword)\b') AS kept
+        |    AND NOT regexp_matches(lower(page),
+        |      '(^|[^\p{L}\p{Nd}])(naughtyword)([^\p{L}\p{Nd}]|$)') AS kept
         |FROM g ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val page = table(s, dir, "documents").select(col("doc_id"),

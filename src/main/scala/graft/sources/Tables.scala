@@ -380,18 +380,32 @@ object Tables {
 
   /** List a directory's data files as a (path, bytes, dir) manifest
     * frame — one FileSystem RPC, driver-metadata-sized ([[ingestNewFiles]]
-    * contract); hidden/metadata files excluded.
+    * contract). Hidden/metadata entries are excluded at EVERY path
+    * component below the root, not just the leaf name — a recursive
+    * listing otherwise surfaces `_temporary/.../part-*.parquet` from
+    * an in-flight or crashed write, and a compaction plan built on it
+    * would merge uncommitted data into live files (caught in review).
     */
   def fileManifest(spark: SparkSession, dataDir: String): DataFrame = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      var ok = true
+      while (ok && cur != null && cur.toUri.getPath.stripSuffix("/") != rootUri) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) ok = false
+        cur = cur.getParent
+      }
+      ok
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
     val it = hfs.listFiles(root, true)
     while (it.hasNext) {
       val s = it.next()
-      val name = s.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
+      if (visible(s.getPath))
         files += ((s.getPath.toString, s.getLen, s.getPath.getParent.toString))
     }
     files.toSeq.toDF("path", "bytes", "dir")

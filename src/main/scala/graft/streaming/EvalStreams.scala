@@ -25,7 +25,25 @@ object EvalStreams {
       n_distinct_answers: Long, consensus: Option[String],
       consensus_votes: Option[Long], agreement: Option[Double])
 
-  case class GradeIn(problem_key: Long, correct: Boolean)
+  /** Unsigned lexicographic order on UTF-8 bytes — Spark's binary
+    * string comparison, which JVM `String.compareTo` (UTF-16 code
+    * units) disagrees with for supplementary-plane characters.
+    */
+  private[graft] val utf8Ordering: Ordering[String] =
+    (x: String, y: String) => {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var r = 0
+      while (r == 0 && i < n) {
+        r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+    }
+
+  case class GradeIn(problem_key: Long, correct: Option[Boolean])
 
   case class PkState(n: Long, c: Long)
 
@@ -40,7 +58,14 @@ object EvalStreams {
     * problem's current row, last emission == batch digit for digit
     * (the same integer product lanes, single double division, 4-dp
     * floor; n−c < k short-circuits to exactly 1.0, n < k reports
-    * NULL + `undersampled`). No watermark — counts never un-count.
+    * NULL + `undersampled`). A NULL verdict counts toward `n_samples`
+    * and not `n_correct` — the batch aggregate's semantics — instead
+    * of killing the query on a non-nullable encoder field (caught in
+    * review). NULL problem keys are dropped: streaming state needs an
+    * addressable key (batch reports them as one NULL-keyed row — the
+    * one documented divergence). No watermark — counts never
+    * un-count. Past the exact-lane bound ⌊2^(63/k)⌋ the product
+    * switches to double ratios exactly like batch.
     */
   def passAtKStream(grades: DataFrame, k: Int): Dataset[PkOut] = {
     require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
@@ -48,8 +73,10 @@ object EvalStreams {
     implicit val outEnc = Encoders.product[PkOut]
     implicit val stEnc = Encoders.product[PkState]
     implicit val longEnc = Encoders.scalaLong
+    val nMaxExact = graft.operators.Eval.exactLaneBound(k)
     grades.select(col("problem_key").cast("long"),
         col("correct").cast("boolean"))
+      .filter(col("problem_key").isNotNull)
       .as[GradeIn]
       .groupByKey(_.problem_key)
       .flatMapGroupsWithState[PkState, PkOut](
@@ -57,7 +84,7 @@ object EvalStreams {
         (pk: Long, rows: Iterator[GradeIn], state: GroupState[PkState]) =>
           var st = state.getOption.getOrElse(PkState(0L, 0L))
           rows.foreach { r =>
-            st = PkState(st.n + 1, st.c + (if (r.correct) 1L else 0L))
+            st = PkState(st.n + 1, st.c + (if (r.correct.contains(true)) 1L else 0L))
           }
           state.update(st)
           if (st.n == 0L) Iterator.empty
@@ -66,10 +93,14 @@ object EvalStreams {
             val pk4 =
               if (st.n < k) None
               else if (f < k) Some(1.0)
-              else {
+              else if (st.n <= nMaxExact) {
                 val num = (0 until k).map(i => f - i).product
                 val den = (0 until k).map(i => st.n - i).product
                 Some(math.floor((1.0 - num.toDouble / den.toDouble) * 1e4) / 1e4)
+              } else {
+                val ratio = (0 until k)
+                  .map(i => (f - i).toDouble / (st.n - i).toDouble).product
+                Some(math.floor((1.0 - ratio) * 1e4) / 1e4)
               }
             Iterator.single(PkOut(pk, st.n, st.c, pk4, st.n < k))
           }
@@ -90,7 +121,12 @@ object EvalStreams {
     * answer domain (numeric finals, option letters), not by chains:
     * 10k chains over 40 distinct answers hold 40 map entries. No
     * watermark (a consensus never un-counts; wrap with a TTL timeout
-    * for state GC once an eval round closes).
+    * for state GC once an eval round closes). NULL problem keys are
+    * dropped (streaming state needs an addressable key — the E22
+    * contract); the answer tie-break compares UTF-8 BYTES, not JVM
+    * UTF-16 code units, because that is the order Spark's
+    * min-over-struct uses in batch — the two disagree on
+    * supplementary-plane answers (caught in review).
     */
   def majorityVoteStream(votes: DataFrame): Dataset[MvOut] = {
     implicit val inEnc = Encoders.product[VoteIn]
@@ -99,6 +135,7 @@ object EvalStreams {
     implicit val longEnc = Encoders.scalaLong
     votes.select(col("problem_key").cast("long"),
         col("answer").cast("string"))
+      .filter(col("problem_key").isNotNull)
       .as[VoteIn]
       .groupByKey(_.problem_key)
       .flatMapGroupsWithState[MvState, MvOut](
@@ -117,8 +154,10 @@ object EvalStreams {
           else if (st.counts.isEmpty)
             Iterator.single(MvOut(pk, st.nSamples, 0L, 0L, None, None, None))
           else {
-            // (count desc, answer asc) — the batch min-over-struct rule
-            val (ans, cnt) = st.counts.minBy { case (a, c) => (-c, a) }
+            // (count desc, answer asc in UTF-8 byte order) — the batch
+            // min-over-struct rule
+            val (ans, cnt) = st.counts.minBy { case (a, c) => (-c, a) }(
+              Ordering.Tuple2(Ordering.Long, utf8Ordering))
             // batch t4floor replayed: floor((votes / voted) * 1e4) / 1e4
             val agree = math.floor(cnt.toDouble / st.nVoted * 1e4) / 1e4
             Iterator.single(MvOut(pk, st.nSamples, st.nVoted,

@@ -31,6 +31,22 @@ class EvalSpec extends SparkSpec {
     assert(out(3).getAs[Boolean]("undersampled"))
   }
 
+  test("passAtK past the exact-lane bound switches to double ratios instead of overflowing") {
+    // k=8, n=300: the falling-factorial BIGINT product would exceed
+    // 2^63 (300^8 ≈ 6.6e19) and wrap; the guard switches to the
+    // per-factor ratio product
+    val rows = (1 to 300).map(i => (1L, i <= 150))
+    val out = Eval.passAtK(rows.toDF("p", "ok"), col("p"), col("ok"), k = 8)
+      .collect()(0)
+    val expected = {
+      val r = (0 until 8).map(i => (150.0 - i) / (300.0 - i)).product
+      math.floor((1.0 - r) * 1e4) / 1e4
+    }
+    val got = out.getAs[Double]("pass_at_8")
+    assert(got == expected, s"got $got expected $expected")
+    assert(got > 0.99 && got <= 1.0)
+  }
+
   test("passAtK at k=1 equals the plain accuracy ratio") {
     val df = Seq((1L, true), (1L, false), (1L, false), (1L, false))
       .toDF("p", "ok")

@@ -118,6 +118,40 @@ class EvalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("utf8Ordering matches Spark's binary string order on supplementary-plane answers") {
+    // ﬁ (U+FB01, 3 UTF-8 bytes EF AC 81) vs 𝟙 (U+1D7D9, 4 bytes F0 9D 9F 99):
+    // UTF-8 bytes put ﬁ first; UTF-16 code units put the surrogate first
+    val fi = "ﬁ"
+    val one = "𝟙"
+    assert(graft.streaming.EvalStreams.utf8Ordering.compare(fi, one) < 0)
+    assert(fi.compareTo(one) > 0) // the JVM order the kernel must NOT use
+    // agree with Spark's min-over-struct on the same pair
+    val sparkMin = Seq((1L, fi), (1L, one)).toDF("k", "a")
+      .groupBy("k").agg(min(struct(lit(0L).as("z"), col("a"))).as("s"))
+      .collect()(0).getAs[org.apache.spark.sql.Row]("s").getString(1)
+    assert(sparkMin == fi)
+  }
+
+  test("E22 passAtKStream tolerates NULL verdicts like batch instead of dying") {
+    val input = MemoryStream[(Long, Option[Boolean])](spark)
+    val df = input.toDF().toDF("problem_key", "correct")
+    val q = EvalStreams.passAtKStream(df, k = 2)
+      .writeStream.format("memory").queryName("e22_null").outputMode("append").start()
+    try {
+      input.addData((1L, Some(true)), (1L, None), (1L, Some(false)))
+      q.processAllAvailable()
+      val rows = spark.table("e22_null").collect()
+      val last = rows.maxBy(_.getAs[Long]("n_samples"))
+      assert(last.getAs[Long]("n_samples") == 3L) // null counted in n
+      assert(last.getAs[Long]("n_correct") == 1L) // but not in c
+      val batch = graft.operators.Eval.passAtK(
+        Seq((1L, Some(true)), (1L, None: Option[Boolean]), (1L, Some(false)))
+          .toDF("problem_key", "correct"),
+        col("problem_key"), col("correct"), k = 2).collect()(0)
+      assert(last.getAs[Double]("pass_at_k") == batch.getAs[Double]("pass_at_2"))
+    } finally q.stop()
+  }
+
   test("E21 stream == batch on real documents split across batches") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select((col("doc_id") % 40).as("problem_key"),

@@ -83,8 +83,12 @@ class PlanSpec extends SparkSpec {
     // where even a bounded one would be a bug; this sweep holds the
     // weaker invariant EVERYWHERE: a global window is legal only over
     // a frame already collapsed by aggregation (the q_auc pattern —
-    // bounded by distinct scores/bins, not corpus rows). Planning
-    // only, no execution: window partition specs are fixed before AQE.
+    // bounded by distinct scores/bins, not corpus rows). The audited
+    // query never EXECUTES (window partition specs are fixed before
+    // AQE), but BUILDING a handful of registry entries runs real
+    // driver-metadata jobs (BPE/unigram/IVF training, power
+    // iteration, percentile cuts) — that is those operators'
+    // documented collect-as-config shape, not this test's choice.
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     for (q <- SparkEntry.registry) {
       val df = q.spark(spark, sf)

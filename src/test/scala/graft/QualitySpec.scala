@@ -143,6 +143,18 @@ class QualitySpec extends SparkSpec {
     assert(out(5).getAs[Boolean]("kept"))
   }
 
+  test("c4Filter bad-word matching survives symbol-edged and uppercase-configured entries") {
+    val page = Seq(
+      (1L, "check this a$$ right here in plain text."),
+      (2L, "the word class is entirely innocent here.") // 'a$$' not present
+    ).toDF("id", "page")
+    // symbol-edged entry (\b would never fire) + uppercase config
+    val out = Quality.c4Filter(page, col("id"), col("page"),
+      badWords = Seq("A$$"), minSentences = 1).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("has_bad_word"))
+    assert(!out(1).getAs[Boolean]("has_bad_word"))
+  }
+
   test("c4Filter keeps a trailing-quote sentence and an empty page yields empty clean_text") {
     val page = Seq(
       (1L, "\"a quoted sentence still ends properly.\""),

@@ -384,4 +384,20 @@ class TablesSpec extends SparkSpec {
     assert(mf.forall(_.getAs[Long]("bytes") > 0))
     assert(mf.exists(_.getAs[String]("path").endsWith("documents.parquet")))
   }
+
+  test("fileManifest excludes files under hidden dirs at ANY depth (in-flight _temporary)") {
+    val dir = java.nio.file.Files.createTempDirectory("mfhidden")
+    java.nio.file.Files.writeString(dir.resolve("good.parquet"), "x")
+    val tmp = dir.resolve("_temporary").resolve("0")
+    java.nio.file.Files.createDirectories(tmp)
+    // leaf name looks perfectly committed — only the ancestor is hidden
+    java.nio.file.Files.writeString(tmp.resolve("part-00000.parquet"), "y")
+    val hid = dir.resolve(".stage")
+    java.nio.file.Files.createDirectories(hid)
+    java.nio.file.Files.writeString(hid.resolve("part-00001.parquet"), "z")
+    val got = sources.Tables.fileManifest(spark, dir.toString)
+      .collect().map(_.getAs[String]("path"))
+    assert(got.length == 1 && got(0).endsWith("good.parquet"),
+      got.mkString(","))
+  }
 }
