@@ -477,6 +477,52 @@ object TextMetrics {
     d.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Luhn checksum validity of a digit string — the mod-10 check every
+    * real payment-card number passes. Position parity from the RIGHT
+    * decides doubling, so the whole check is a pure map+sum (no fold
+    * state): contribution = d at even positions, 2d−9·[d≥5] at odd —
+    * one codegen-friendly `aggregate` over a generated index array.
+    * Empty/non-digit input reports false rather than erroring.
+    */
+  def luhnValid(digits: Column): Column = {
+    val L = length(digits)
+    val total = aggregate(
+      transform(sequence(lit(1), L), i => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        when((L - i) % 2 === 0, d)
+          .otherwise(when(d < 5, d * 2).otherwise(d * 2 - 9))
+      }),
+      lit(0), (acc, x) => acc + x)
+    // sequence(1, 0) would generate DESCENDING [1,0] — guard short input
+    when(L < 1 || !digits.rlike("^[0-9]+$"), lit(false))
+      .otherwise(total % 10 === 0)
+  }
+
+  /** D73b: Luhn-validated card-number scorecard — the precision tier
+    * over [[piiReport]]'s `long_digits` recall tier: a 16-digit order
+    * id and a real PAN look identical to a length regex, and redacting
+    * on length alone mangles harmless ids corpus-wide. Per source:
+    * candidate runs (13-19 digits — the PAN length range), how many
+    * pass Luhn, and how many docs carry a validated number. One
+    * partial-aggregated pass, extraction + checksum fully codegen'd;
+    * runs longer than 19 digits greedy-match their first 19 (and
+    * essentially never checksum — documented, lookbehind-free so the
+    * regex stays portable to RE2-class engines).
+    */
+  def ccLuhnReport(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val runs = regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0))
+    val d = df.select(source.as("source"), runs.as("__runs"))
+      .withColumn("__valid",
+        size(filter(col("__runs"), r => luhnValid(r))).cast("long"))
+      .withColumn("__cand", size(col("__runs")).cast("long"))
+    d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__cand")).as("n_candidates"),
+      sum(col("__valid")).as("n_luhn_valid"),
+      coalesce(sum(when(col("__valid") > 0, 1L)), lit(0L))
+        .as("docs_with_valid_cc"))
+  }
+
   /** Coarse document-format router: json / html / markdown / code /
     * prose by ordered regex cues (first match wins — the order IS the
     * contract; a JSON blob full of braces must not land in "code").

@@ -1334,6 +1334,50 @@ object TextQueries {
       TextMetrics.withCompressionRatio(d, col("text"))
         .select(col("doc_id"), col("octet_len"), col("deflate_len"), col("compress_ratio"))
         .orderBy("doc_id")
+    },
+
+    // D73b: Luhn-validated card-number scorecard — a VALID test PAN
+    // planted on the 31-cycle, a same-length checksum-FAILING run on
+    // the 37-cycle: length alone can't tell them apart, Luhn can.
+    Q(
+      "q_cc_luhn",
+      """WITH t AS (
+        |  SELECT source,
+        |    text
+        |      || CASE WHEN doc_id % 31 = 0
+        |           THEN ' card 4111111111111111 ok' ELSE '' END
+        |      || CASE WHEN doc_id % 37 = 0
+        |           THEN ' num 4111111111111112 bad' ELSE '' END AS txt
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, regexp_extract_all(txt, '[0-9]{13,19}') AS runs
+        |  FROM t),
+        |v AS (
+        |  SELECT source, len(runs) AS cand,
+        |    len(list_filter(runs, run ->
+        |      list_sum(list_transform(range(1, len(run) + 1), i ->
+        |        CASE WHEN (len(run) - i) % 2 = 0
+        |               THEN CAST(substr(run, i, 1) AS INTEGER)
+        |             WHEN CAST(substr(run, i, 1) AS INTEGER) < 5
+        |               THEN 2 * CAST(substr(run, i, 1) AS INTEGER)
+        |             ELSE 2 * CAST(substr(run, i, 1) AS INTEGER) - 9
+        |        END)) % 10 = 0)) AS valid
+        |  FROM r)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(cand) AS BIGINT) AS n_candidates,
+        |  CAST(sum(valid) AS BIGINT) AS n_luhn_valid,
+        |  CAST(coalesce(sum(CASE WHEN valid > 0 THEN 1 END), 0) AS BIGINT)
+        |    AS docs_with_valid_cc
+        |FROM v GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 31 === 0, lit(" card 4111111111111111 ok"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 37 === 0, lit(" num 4111111111111112 bad"))
+            .otherwise(lit(""))).as("txt"))
+      TextMetrics.ccLuhnReport(planted, col("source"), col("txt"))
+        .orderBy("source")
     }
   )
 }

@@ -543,4 +543,35 @@ class TextMetricsSpec extends SparkSpec {
     // NUL/BEL stripped, TAB kept, CRLF and bare CR -> LF, 4 LFs -> 2
     assert(out == "ab\nc\nd\n\ne\tf")
   }
+
+  test("luhnValid accepts real test PANs, rejects off-by-one and junk (D73b)") {
+    val cases = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),  // checksum off by one
+      ("5500005555555559", true),   // 16-digit test MC
+      ("79927398713", true),        // the canonical Luhn example
+      ("79927398714", false),
+      ("", false),
+      ("4111x11111111111", false)   // non-digit input guarded
+    ).toDF("s", "want")
+    val got = cases.select(col("want"),
+      TextMetrics.luhnValid(col("s")).as("got")).collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("ccLuhnReport separates valid PANs from same-length invalid runs") {
+    val docs = Seq(
+      ("a", "pay with 4111111111111111 today"),        // valid
+      ("a", "order 4111111111111112 reference"),       // 16 digits, invalid
+      ("a", "no digits at all"),
+      ("b", "two cards 4111111111111111 and 5500005555555559 here")
+    ).toDF("src", "text")
+    val out = TextMetrics.ccLuhnReport(docs, col("src"), col("text"))
+      .orderBy("source").collect()
+    assert(out(0).getAs[Long]("n_candidates") == 2L)
+    assert(out(0).getAs[Long]("n_luhn_valid") == 1L)
+    assert(out(0).getAs[Long]("docs_with_valid_cc") == 1L)
+    assert(out(1).getAs[Long]("n_luhn_valid") == 2L)
+    assert(out(1).getAs[Long]("docs_with_valid_cc") == 1L)
+  }
 }
