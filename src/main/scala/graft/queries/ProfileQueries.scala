@@ -890,6 +890,29 @@ object ProfileQueries {
         .orderBy("bin")
     },
 
+    // C60: mergeable frequent-items (Misra-Gries family) sketch —
+    // rows-only (sketch internals engine-specific, the q_cms_heavy
+    // precedent); per-source sketches union into corpus-wide top
+    // tokens WITHOUT re-reading a shard, reported next to the exact
+    // counts so the estimate quality is visible in the output.
+    Q.rowsOnly("q_freq_sketch") { (s, dir) =>
+      import graft.functions.FreqItemsSketch._
+      import graft.functions.tokens
+      val toks = table(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint()
+      val merged = toks.groupBy("source")
+        .agg(freqSketch(col("tok"), 256).as("sk"))
+        .agg(freqMerge(col("sk"), 256).as("m"))
+      val top = merged
+        .select(explode(freqTopItems(col("m"), 20)).as("r")).select("r.*")
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      top.join(exact, top("item") === exact("tok"), "left")
+        .select(col("item"), col("estimate"), col("lower_bound"),
+          col("upper_bound"), col("exact_n"))
+        .orderBy(col("estimate").desc, col("item"))
+    },
+
     // C59: Benjamini-Hochberg step-up FDR over one hypothesis per
     // doc-group. Derivation: per-group base p = min scrambled hash
     // (uniform-ish), %7 groups scaled into the discovery range, %13

@@ -31,4 +31,45 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a - e) / math.max(e, 1.0) <= 0.1, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("freqSketch under capacity is EXACT and shard-merge == whole-stream (C60)") {
+    import graft.functions.FreqItemsSketch._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 20 distinct items, capacity 64 → zero purges, everything exact
+    val rows = (1 to 400).map(i => (i % 4, s"item${i % 20}")).toDF("shard", "it")
+    val whole = rows.agg(freqSketch(col("it"), 64).as("s"))
+      .select(explode(freqTopItems(col("s"), 25)).as("r")).select("r.*")
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("estimate")).toMap
+    assert(whole.size == 20)
+    assert(whole.values.forall(_ == 20L)) // 400/20 exact
+    // per-shard sketches merged == the whole-stream sketch's answers
+    val merged = rows.groupBy("shard").agg(freqSketch(col("it"), 64).as("s"))
+      .agg(freqMerge(col("s"), 64).as("m"))
+      .select(explode(freqTopItems(col("m"), 25)).as("r")).select("r.*")
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("estimate")).toMap
+    assert(merged == whole)
+  }
+
+  test("freqSketch never misses a true heavy hitter and bounds bracket truth (C60)") {
+    import graft.functions.FreqItemsSketch._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3000 distinct light items force purges at capacity 64; one item
+    // carries 20% of the stream
+    val heavy = Seq.fill(1500)("the-heavy-one")
+    val light = (1 to 6000).map(i => s"light$i")
+    val rows = (heavy ++ light).toDF("it")
+    val out = rows.agg(freqSketch(col("it"), 64).as("s"))
+      .select(explode(freqTopItems(col("s"), 5)).as("r")).select("r.*")
+      .collect()
+    val top = out.head
+    assert(top.getAs[String]("item") == "the-heavy-one")
+    assert(top.getAs[Long]("lower_bound") <= 1500L)
+    assert(top.getAs[Long]("upper_bound") >= 1500L)
+    // point estimate never undercounts below lb and brackets truth
+    val est = rows.agg(freqSketch(col("it"), 64).as("s"))
+      .select(freqEstimate(col("s"), lit("the-heavy-one"))).collect()(0).getLong(0)
+    assert(est >= 1500L - (7500L / 64) && est >= 1500L * 9 / 10)
+  }
 }
