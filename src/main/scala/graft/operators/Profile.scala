@@ -453,6 +453,42 @@ object Profile {
       .agg(graft.functions.KllQuantileSketch.kllMerge(col("sketch"), k).as("sketch"))
   }
 
+  /** Per-group frequent-items sketches ([[graft.functions.FreqItemsSketch]]
+    * — the TOP-K member of the sketch quartet): one partial-agg pass
+    * to a (grp, sketch) frame, persistable like any index artifact.
+    */
+  def freqSketchTable(
+      df: DataFrame,
+      group: Column,
+      item: Column,
+      maxMapSize: Int = 1024): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.FreqItemsSketch.freqSketch(item, maxMapSize)
+        .as("sketch"))
+
+  /** Union per-group frequent-items sketch FRAMES into one sketch
+    * frame (grp, sketch) — [[quantileSketchUnion]]'s shape for the
+    * top-k sketch; [[freqTop]] is the reading tier above it.
+    */
+  def freqSketchUnion(
+      sketches: Seq[DataFrame], maxMapSize: Int = 1024): DataFrame = {
+    require(sketches.nonEmpty, "at least one sketch frame")
+    sketches.reduce(_ unionByName _)
+      .groupBy("grp")
+      .agg(graft.functions.FreqItemsSketch.freqMerge(col("sketch"), maxMapSize)
+        .as("sketch"))
+  }
+
+  /** Read the top heavy hitters per group off a sketch frame, LONG
+    * format: (grp, rank, item, estimate, lower_bound, upper_bound).
+    */
+  def freqTop(sketches: DataFrame, maxItems: Int): DataFrame =
+    sketches.select(col("grp"),
+        posexplode(graft.functions.FreqItemsSketch.freqTopItems(
+          col("sketch"), maxItems)).as(Seq("rank", "r")))
+      .select(col("grp"), col("rank"), col("r.item"), col("r.estimate"),
+        col("r.lower_bound"), col("r.upper_bound"))
+
   /** Mergeable Count-Min frequency sketch (Cormode & Muthukrishnan,
     * J. Algorithms 2005) — the FREQUENCY companion to [[distinctSketch]]
     * 's cardinality tier: each shard builds a ≤ depth·width-row count

@@ -608,6 +608,42 @@ object EventStreams {
       .start()
   }
 
+  /** E23: streaming frequent-items sketch maintenance — the TOP-K
+    * member of the streaming sketch family next to E14 (Count-Min)
+    * and E20 (KLL): per micro-batch, one partial-agg sketch build
+    * ([[graft.operators.Profile.freqSketchTable]]) unions into the
+    * SnapshotStore-published table via write-audit-publish; the
+    * snapshot answers live per-group top domains/tokens at any moment
+    * without stream history. Under-capacity sketches merge EXACTLY
+    * (spec-pinned, the E14/E20 batch-split-invariance contract); past
+    * capacity the library's error bounds apply with the
+    * NO_FALSE_NEGATIVES read guarantee intact.
+    */
+  def freqMaintained(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      snapshotPath: String,
+      checkpointPath: String,
+      maxMapSize: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery = {
+    items.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchSketch = graft.operators.Profile.freqSketchTable(
+          batch, col(groupCol), col(itemCol), maxMapSize)
+        val merged = SnapshotStore.read(spark, snapshotPath) match {
+          case Some(prev) =>
+            graft.operators.Profile.freqSketchUnion(
+              Seq(prev, batchSketch), maxMapSize)
+          case None => batchSketch
+        }
+        SnapshotStore.publish(merged.localCheckpoint(), snapshotPath, batchId)
+      }
+      .start()
+  }
+
   /** E15: streaming PSI drift monitor — per event-time window, the
     * population-stability index of the window's value distribution
     * against a PERSISTED baseline histogram: a watermarked windowed

@@ -700,6 +700,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E23 freqMaintained: under-capacity snapshot top-k equals one-shot and is split-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("e23").toString
+    // 30 distinct items per group, capacity 64: no purges anywhere, so
+    // the streamed 3-batch union must read EXACTLY like one-shot
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 300)
+      yield (g, s"$g-item${i % (if (g == "a") 30 else 10)}")
+    val input = MemoryStream[(String, String)](spark)
+    val q = EventStreams.freqMaintained(
+      input.toDF().toDF("g", "it"), "g", "it",
+      s"$dir/snap", s"$dir/ckpt", maxMapSize = 64)
+    try {
+      input.addData(rows.take(200))
+      q.processAllAvailable()
+      input.addData(rows.slice(200, 450))
+      q.processAllAvailable()
+      input.addData(rows.drop(450))
+      q.processAllAvailable()
+      def reading(frame: org.apache.spark.sql.DataFrame) =
+        graft.operators.Profile.freqTop(frame, maxItems = 40)
+          .collect()
+          .map(r => (r.getAs[String]("grp"), r.getAs[String]("item")) ->
+            r.getAs[Long]("estimate")).toMap
+      val snap = streaming.SnapshotStore.read(spark, s"$dir/snap").get
+      val streamed = reading(snap)
+      val oneShot = reading(graft.operators.Profile.freqSketchTable(
+        rows.toDF("g", "it"), col("g"), col("it"), maxMapSize = 64))
+      assert(streamed == oneShot, s"streamed $streamed vs one-shot $oneShot")
+      // exact under capacity: group b's 10 items carry 30 each
+      assert((0 until 10).forall(i => streamed(("b", s"b-item$i")) == 30L))
+      assert(streamed.count(_._1._1 == "a") == 30)
+    } finally q.stop()
+  }
+
   test("E13 rollingZStream: trailing baselines persist across batches, equals batch rollingZ") {
     // two metric keys, 40 buckets, a planted 100x spike at bucket 25
     val rows = for (k <- 0L to 1L; b <- 0L until 40L) yield
