@@ -625,6 +625,47 @@ object Profile {
       .drop("__grp", "__bg", "__lo", "__hi")
   }
 
+  /** C61: per-group TRIMMED mean — [[winsorize]]'s sibling with drop
+    * instead of clamp semantics: values strictly OUTSIDE the exact
+    * [loQ, hiQ] percentile bounds are excluded from the mean — the
+    * robust aggregate for noisy reward/rater scores, where a handful
+    * of pathological judgments should not move a group's estimate and
+    * clamping would still let them vote at the boundary value. Same
+    * two-pass shape: exact percentile bounds per group broadcast back
+    * (null-safe — a null group still aggregates), one conditional
+    * partial-agg mean over exact decimal sums, 4-dp floor. Reports
+    * (group, n, n_trimmed, mean_raw, mean_trimmed) so the trim's
+    * effect is visible, not silent.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      loQ: Double = 0.05,
+      hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && loQ < hiQ && hiQ <= 1, "need 0 <= loQ < hiQ <= 1")
+    val d = df.select(group.as("grp"), value.cast("double").as("__v"))
+    val bounds = d.groupBy("grp").agg(
+      percentile(col("__v"), lit(loQ)).as("__lo"),
+      percentile(col("__v"), lit(hiQ)).as("__hi"))
+    val in = col("__v").isNotNull &&
+      col("__v") >= col("__lo") && col("__v") <= col("__hi")
+    d.join(broadcast(bounds.withColumnRenamed("grp", "__bg")),
+        col("grp") <=> col("__bg"))
+      .groupBy("grp")
+      .agg(
+        count(col("__v")).as("n"),
+        coalesce(sum(when(!in && col("__v").isNotNull, 1L)), lit(0L))
+          .as("n_trimmed"),
+        (sum(Num.dec(col("__v"))).cast("double") / count(col("__v")))
+          .as("__mraw"),
+        (sum(when(in, Num.dec(col("__v")))).cast("double") /
+          sum(when(in, 1L))).as("__mtrim"))
+      .select(col("grp"), col("n"), col("n_trimmed"),
+        Num.t4floor(col("__mraw")).as("mean_raw"),
+        Num.t4floor(col("__mtrim")).as("mean_trimmed"))
+  }
+
   /** Schema + content drift between two snapshots of "the same" table
     * — the report an ingest pipeline renders when a new shard of an
     * external feed arrives: columns added/removed, and how null counts

@@ -130,6 +130,33 @@ object ProfileQueries {
         .orderBy("o_orderkey")
     },
 
+    // C61: per-group trimmed mean — winsorize's drop-not-clamp sibling.
+    Q(
+      "q_trimmed_mean",
+      """WITH q AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT q.grp, o_totalprice AS v,
+        |    o_totalprice >= q.lo AND o_totalprice <= q.hi AS keep
+        |  FROM orders JOIN q ON o_orderpriority = q.grp)
+        |SELECT grp, CAST(count(v) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN NOT keep AND v IS NOT NULL
+        |    THEN 1 END), 0) AS BIGINT) AS n_trimmed,
+        |  floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(v)
+        |    * 1e4) / 1e4 AS mean_raw,
+        |  floor(CAST(sum(CASE WHEN keep THEN CAST(v AS DECIMAL(18,6)) END)
+        |      AS DOUBLE) / sum(CASE WHEN keep THEN 1 END) * 1e4) / 1e4
+        |    AS mean_trimmed
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      Profile.trimmedMean(table(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("grp")
+    },
+
     // C48: robust (median/MAD) standardization — outlier scoring that
     // works on data containing outliers; exact percentiles are the
     // proven cross-engine surface (boxplot/winsorize), the z

@@ -409,6 +409,27 @@ class ProfileSpec extends SparkSpec {
     assert(out(5) == (("f", 3L, -2.0, 5.0, 1.0)))
   }
 
+  test("trimmedMean drops outliers winsorize would clamp; null-safe on groups and values") {
+    import graft.operators.Profile
+    // group g: 1..10 plus a 1000 outlier; trim [0.1, 0.9] cuts the
+    // extremes OUT of the mean instead of voting them at the boundary
+    val rows = ((1 to 10).map(i => (Some("g"), Some(i.toDouble))) :+
+      ((Some("g"), Some(1000.0))) :+
+      ((None: Option[String], Some(7.0))) :+      // null group still aggregates
+      ((Some("g"), None: Option[Double]))          // null value ignored
+      ).toDF("grp", "v")
+    val out = Profile.trimmedMean(rows, col("grp"), col("v"),
+      loQ = 0.1, hiQ = 0.9).orderBy(col("grp").asc_nulls_first).collect()
+    val nullG = out(0)
+    assert(nullG.isNullAt(0) && nullG.getAs[Long]("n") == 1L)
+    assert(nullG.getAs[Double]("mean_trimmed") == 7.0)
+    val g = out(1)
+    assert(g.getAs[Long]("n") == 11L)
+    assert(g.getAs[Long]("n_trimmed") == 2L) // the 1 and the 1000
+    assert(g.getAs[Double]("mean_trimmed") < 10.0) // outlier really gone
+    assert(g.getAs[Double]("mean_raw") > 90.0)     // raw mean poisoned
+  }
+
   test("benjaminiHochberg: textbook step-down at q=0.05, ranks and thresholds exact") {
     import graft.operators.Stats
     // sorted p: .005 .01 .03 .04 .2 vs thresholds .01 .02 .03 .04 .05
