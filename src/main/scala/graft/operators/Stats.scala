@@ -287,6 +287,66 @@ object Stats {
         .as("auc"))
   }
 
+  /** C62: Spearman rank correlation (tie-corrected) — "do two judges
+    * RANK the same way", the agreement statistic Pearson ([[graft.operators.Profile]]
+    * correlations) cannot give when score scales are miscalibrated:
+    * a reward model drifting from a rubric grader shows up here first.
+    *
+    * ρ = Pearson on average ranks. The ranks come from [[auc]]'s
+    * bounded-ordered-pass discipline — NEVER a global window over
+    * rows: per side, scores quantize to `dp` decimals, ONE
+    * partial-agg groupBy collapses to a ≤10^dp-row value frame, the
+    * cumulative window runs over that frame, and tie groups get the
+    * midrank. DOUBLED ranks (2·cum + cnt + 1) keep everything in
+    * exact integer lanes — halves never touch a double; rows join
+    * their rank via two bounded value-map joins (AQE-broadcast). The
+    * final Pearson runs over exact decimal(38) sums of integer
+    * products (Σr², Σr_a·r_b bounded by 4n³ — decimal(38) holds
+    * through ~10^11 rows; the corpus-scale contract) with ONE double
+    * derivation at the end, 4-dp toward-zero (ρ is signed).
+    * Degenerate inputs (n < 2 or a constant side) report 0 + flag.
+    */
+  def spearman(
+      df: DataFrame,
+      a: Column,
+      b: Column,
+      dp: Int = 6): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]")
+    val t = df.filter(a.isNotNull && b.isNotNull)
+      .select(round(a.cast("double"), dp).as("__a"),
+        round(b.cast("double"), dp).as("__b"))
+    def rankMap(vCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(vCol)).rowsBetween(Long.MinValue, -1)
+      t.groupBy(vCol).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        // doubled midrank: 2·(cum + (cnt+1)/2) stays integral
+        .select(col(vCol), (col("__cum") * 2 + col("__cnt") + 1).as(s"__r$vCol"))
+    }
+    val ranked = t
+      .join(rankMap("__a"), Seq("__a"))
+      .join(rankMap("__b"), Seq("__b"))
+    // 19-digit factors ([[ksTest]]'s lanes): a 38×38 product would
+    // overflow the decimal space in both engines
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(big(col("__r__a"))).as("__sa"),
+      sum(big(col("__r__b"))).as("__sb"),
+      sum(big(col("__r__a")) * big(col("__r__a"))).as("__saa"),
+      sum(big(col("__r__b")) * big(col("__r__b"))).as("__sbb"),
+      sum(big(col("__r__a")) * big(col("__r__b"))).as("__sab"))
+    val n = col("n").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val cov = n * d(col("__sab")) - d(col("__sa")) * d(col("__sb"))
+    val varA = n * d(col("__saa")) - d(col("__sa")) * d(col("__sa"))
+    val varB = n * d(col("__sbb")) - d(col("__sb")) * d(col("__sb"))
+    m.select(col("n"),
+      when(col("n") < 2 || varA <= 0.0 || varB <= 0.0, lit(0.0))
+        .otherwise(Num.t4zero(cov / sqrt(varA * varB))).as("rho"),
+      (col("n") < 2 || varA <= 0.0 || varB <= 0.0).as("degenerate"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov test — "did this month's score
     * distribution shift?" as a single supremum statistic, the
     * distribution-free companion to [[Profile.psi]]'s binned drift

@@ -917,6 +917,64 @@ object ProfileQueries {
         .orderBy("bin")
     },
 
+    // C62: Spearman rank correlation between two derived judge scores
+    // — a monotone transform plus bounded noise keeps ρ high but < 1
+    // and plants plenty of ties (the midrank path).
+    Q(
+      "q_spearman",
+      """WITH t AS (
+        |  SELECT round(CAST(n_chars AS DOUBLE), 6) AS a,
+        |    round(CAST(n_chars + (doc_id % 7) * 10 AS DOUBLE), 6) AS b
+        |  FROM documents),
+        |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |ra AS (
+        |  SELECT a,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS rx
+        |  FROM ca),
+        |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |rb AS (
+        |  SELECT b,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS ry
+        |  FROM cb),
+        |j AS (
+        |  SELECT ra.rx, rb.ry FROM t
+        |  JOIN ra ON t.a = ra.a JOIN rb ON t.b = rb.b),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx AS DECIMAL(19,0))) AS sa,
+        |    sum(CAST(ry AS DECIMAL(19,0))) AS sb,
+        |    sum(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0))) AS saa,
+        |    sum(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS sbb,
+        |    sum(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS sab
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN n < 2
+        |      OR n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) <= 0.0
+        |      OR n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) <= 0.0
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE sign((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |        / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |          * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+        |      * (floor(abs((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |        / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |          * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+        |        * 1e4) / 1e4) + 0.0
+        |  END AS rho,
+        |  n < 2
+        |    OR n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) <= 0.0
+        |    OR n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) <= 0.0
+        |    AS degenerate
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      graft.operators.Stats.spearman(d,
+        col("n_chars"), col("n_chars") + (col("doc_id") % 7) * 10)
+    },
+
     // C60: mergeable frequent-items (Misra-Gries family) sketch —
     // rows-only (sketch internals engine-specific, the q_cms_heavy
     // precedent); per-source sketches union into corpus-wide top

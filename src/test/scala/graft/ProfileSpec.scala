@@ -430,6 +430,39 @@ class ProfileSpec extends SparkSpec {
     assert(g.getAs[Double]("mean_raw") > 90.0)     // raw mean poisoned
   }
 
+  test("spearman: ±1 on monotone data, exact midranks on ties, invariant to monotone transforms") {
+    import graft.operators.Stats
+    val up = Seq((1.0, 10.0), (2.0, 40.0), (3.0, 90.0)).toDF("a", "b")
+    assert(Stats.spearman(up, col("a"), col("b")).collect()(0)
+      .getAs[Double]("rho") == 1.0)
+    val down = Seq((1.0, 90.0), (2.0, 40.0), (3.0, 10.0)).toDF("a", "b")
+    assert(Stats.spearman(down, col("a"), col("b")).collect()(0)
+      .getAs[Double]("rho") == -1.0)
+    // ties: a = (1,1,2) midranks (1.5,1.5,3) vs b = (3,5,9) →
+    // Pearson on ranks = 1.5/sqrt(1.5*2) = 0.8660…
+    val tied = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 9.0)).toDF("a", "b")
+    assert(Stats.spearman(tied, col("a"), col("b")).collect()(0)
+      .getAs[Double]("rho") == 0.866)
+    // rank-based: cubing one side changes Pearson, not Spearman
+    val base = (1 to 20).map(i => (i.toDouble, (i % 7) * 10.0 + i))
+    val r1 = Stats.spearman(base.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0).getAs[Double]("rho")
+    val r2 = Stats.spearman(
+      base.map { case (a, b) => (a * a * a, b) }.toDF("a", "b"),
+      col("a"), col("b")).collect()(0).getAs[Double]("rho")
+    assert(r1 == r2)
+  }
+
+  test("spearman: constant side and tiny n flag degenerate with rho 0") {
+    import graft.operators.Stats
+    val const = Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0)).toDF("a", "b")
+    val out = Stats.spearman(const, col("a"), col("b")).collect()(0)
+    assert(out.getAs[Double]("rho") == 0.0 && out.getAs[Boolean]("degenerate"))
+    val one = Stats.spearman(Seq((1.0, 2.0)).toDF("a", "b"),
+      col("a"), col("b")).collect()(0)
+    assert(one.getAs[Boolean]("degenerate"))
+  }
+
   test("benjaminiHochberg: textbook step-down at q=0.05, ranks and thresholds exact") {
     import graft.operators.Stats
     // sorted p: .005 .01 .03 .04 .2 vs thresholds .01 .02 .03 .04 .05
