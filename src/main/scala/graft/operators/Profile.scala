@@ -625,6 +625,40 @@ object Profile {
       .drop("__grp", "__bg", "__lo", "__hi")
   }
 
+  /** C63: Gini concentration over group masses — "how concentrated is
+    * the corpus over domains/sources" as one number in [0, 1): 0 =
+    * perfectly uniform, →1 = one group owns everything. The curation
+    * observability stat behind every mixture decision ([[graft.operators.Sampling]]'s
+    * temperature/UniMax planners exist precisely to push this DOWN).
+    * One partial-agg pass to the ≤|groups| mass frame, one window over
+    * that AGGREGATED frame (registry-audit class), exact integer
+    * Σi·w_i lanes, the standard discrete form
+    * G = 2Σi·w_i/(kΣw) − (k+1)/k derived once in double, 4-dp floor.
+    */
+  def gini(df: DataFrame, group: Column, mass: Column = lit(1L)): DataFrame = {
+    val counts = df.groupBy(group.as("grp"))
+      .agg(sum(mass.cast("long")).as("__w"))
+      .filter(col("__w") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__w").asc, col("grp").asc)
+    val ranked = counts.withColumn("__i", row_number().over(w).cast("long"))
+    val m = ranked.agg(
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(col("__w")), lit(0L)).as("total"),
+      // cast BEFORE multiplying: a long·long product overflows at
+      // (groups × heaviest-mass) ≥ 2^63
+      coalesce(sum((col("__i").cast("decimal(19,0)") *
+          col("__w").cast("decimal(19,0)")).cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("__iw"))
+    val k = col("n_groups").cast("double")
+    m.select(col("n_groups"), col("total"),
+      when(col("n_groups") < 1 || col("total") === 0, lit(0.0))
+        .otherwise(Num.t4floor(
+          lit(2.0) * col("__iw").cast("double") /
+            (k * col("total").cast("double")) - (k + 1.0) / k))
+        .as("gini"))
+  }
+
   /** C61: per-group TRIMMED mean — [[winsorize]]'s sibling with drop
     * instead of clamp semantics: values strictly OUTSIDE the exact
     * [loQ, hiQ] percentile bounds are excluded from the mean — the

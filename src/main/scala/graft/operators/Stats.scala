@@ -347,6 +347,66 @@ object Stats {
       (col("n") < 2 || varA <= 0.0 || varB <= 0.0).as("degenerate"))
   }
 
+  /** C64: Mann-Whitney U test (tie-corrected normal approximation) —
+    * the nonparametric "is group A's metric stochastically larger"
+    * verdict on top of [[auc]]'s machinery (U = AUC·n_a·n_b with ties
+    * half-credited; the two are the same statistic in different
+    * clothes, and this form reports the TEST — U, z, verdict — where
+    * auc reports the ranking quality number). Same bounded value
+    * frame; 2U accumulates in exact decimal lanes (integral —
+    * half-credits never touch a double), the tie correction
+    * Σ(t³−t) in decimal(38) lanes from the same frame, ONE double
+    * derivation: z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12·((n+1) −
+    * Σ(t³−t)/(n(n−1)))), 4-dp toward-zero (sign carries direction),
+    * `significant` at |z| > 1.96. Empty sides or an all-tied corpus
+    * (variance 0) report z = 0 + `degenerate`.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      value: Column,
+      inGroupA: Column,
+      dp: Int = 6): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]")
+    val a = inGroupA.cast("boolean")
+    val g = df.filter(value.isNotNull && inGroupA.isNotNull)
+      .groupBy(round(value.cast("double"), dp).as("__v"))
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("__na"),
+        sum(when(!a, 1L).otherwise(0L)).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v")).rowsBetween(Long.MinValue, -1)
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    // 13-digit factors for the CUBE: 19³ would blow past the decimal
+    // space at the type level; a tie group ≤ 10^13 rows is the bound
+    def b13(c: Column): Column = c.cast("decimal(13,0)")
+    val t = col("__na") + col("__nb")
+    val contrib = g
+      .withColumn("__cumb", coalesce(sum(col("__nb")).over(w), lit(0L)))
+      .select(
+        (big(col("__na")) * (big(col("__cumb")) * 2 + big(col("__nb"))))
+          .cast("decimal(38,0)").as("__u2"),
+        (b13(t) * b13(t) * b13(t) - b13(t)).cast("decimal(38,0)").as("__tc"),
+        col("__na"), col("__nb"))
+    val m = contrib.agg(
+      coalesce(sum(col("__u2")), lit(0L).cast("decimal(38,0)")).as("__u2"),
+      coalesce(sum(col("__tc")), lit(0L).cast("decimal(38,0)")).as("__tc"),
+      coalesce(sum(col("__na")), lit(0L)).as("__na"),
+      coalesce(sum(col("__nb")), lit(0L)).as("__nb"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val n = na + nb
+    val u = col("__u2").cast("double") / 2.0
+    val varU = na * nb / 12.0 *
+      ((n + 1.0) - col("__tc").cast("double") / (n * (n - 1.0)))
+    val degenerate = col("__na") === 0 || col("__nb") === 0 || varU <= 0.0
+    val z = when(degenerate, lit(0.0))
+      .otherwise(Num.t4zero((u - na * nb / 2.0) / sqrt(varU)))
+    m.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      u.as("u"), z.as("z"),
+      (!degenerate && abs(z) > 1.96).as("significant"),
+      degenerate.as("degenerate"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov test — "did this month's score
     * distribution shift?" as a single supremum statistic, the
     * distribution-free companion to [[Profile.psi]]'s binned drift

@@ -917,6 +917,97 @@ object ProfileQueries {
         .orderBy("bin")
     },
 
+    // C64: Mann-Whitney U test on the q_auc scored frame — same value
+    // machinery, reported as a TEST (U, tie-corrected z, verdict).
+    Q(
+      "q_mann_whitney",
+      s"""WITH sc AS (
+         |  SELECT least(1.0, len(${tkSql("text")}) / 400.0) AS v,
+         |    contains(lower(text), 'data') AS a
+         |  FROM documents),
+         |g AS (
+         |  SELECT round(v, 6) AS s,
+         |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+         |  FROM sc GROUP BY 1),
+         |c AS (
+         |  SELECT na, nb, na + nb AS t,
+         |    coalesce(sum(nb) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM g),
+         |m AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CAST(na AS DECIMAL(19,0))
+         |      * (CAST(cumb AS DECIMAL(19,0)) * 2
+         |         + CAST(nb AS DECIMAL(19,0)))), 0) AS DECIMAL(38,0)) AS u2,
+         |    CAST(coalesce(sum(CAST(t AS DECIMAL(13,0))
+         |      * CAST(t AS DECIMAL(13,0)) * CAST(t AS DECIMAL(13,0))
+         |      - CAST(t AS DECIMAL(13,0))), 0) AS DECIMAL(38,0)) AS tc,
+         |    CAST(coalesce(sum(na), 0) AS BIGINT) AS na,
+         |    CAST(coalesce(sum(nb), 0) AS BIGINT) AS nb
+         |  FROM c),
+         |d AS (
+         |  SELECT na, nb, u2, tc,
+         |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+         |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n,
+         |    CAST(u2 AS DOUBLE) / 2.0 AS u
+         |  FROM m),
+         |e AS (
+         |  SELECT *,
+         |    nad * nbd / 12.0 * ((n + 1.0) - CAST(tc AS DOUBLE) / (n * (n - 1.0)))
+         |      AS varu
+         |  FROM d)
+         |SELECT na AS n_a, nb AS n_b, u,
+         |  CASE WHEN na = 0 OR nb = 0 OR varu <= 0.0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE sign((u - nad * nbd / 2.0) / sqrt(varu))
+         |      * (floor(abs((u - nad * nbd / 2.0) / sqrt(varu)) * 1e4) / 1e4)
+         |      + 0.0
+         |  END AS z,
+         |  NOT (na = 0 OR nb = 0 OR varu <= 0.0)
+         |    AND abs(CASE WHEN na = 0 OR nb = 0 OR varu <= 0.0
+         |        THEN CAST(0.0 AS DOUBLE)
+         |      ELSE sign((u - nad * nbd / 2.0) / sqrt(varu))
+         |        * (floor(abs((u - nad * nbd / 2.0) / sqrt(varu)) * 1e4) / 1e4)
+         |        + 0.0 END) > 1.96 AS significant,
+         |  na = 0 OR nb = 0 OR varu <= 0.0 AS degenerate
+         |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        least(lit(1.0), size(graft.functions.tokens(col("text"))) / lit(400.0))
+          .as("v"),
+        lower(col("text")).contains("data").as("a"))
+      graft.operators.Stats.mannWhitney(d, col("v"), col("a"))
+    },
+
+    // C63: Gini concentration of document mass over sources — the
+    // corpus-balance number the mixture planners exist to push down.
+    Q(
+      "q_gini",
+      """WITH c AS (
+        |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1 HAVING count(*) > 0),
+        |r AS (
+        |  SELECT grp, w,
+        |    CAST(row_number() OVER (ORDER BY w ASC, grp ASC) AS BIGINT) AS i
+        |  FROM c),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(w) AS BIGINT) AS total,
+        |    CAST(coalesce(sum(CAST(i AS DECIMAL(19,0))
+        |      * CAST(w AS DECIMAL(19,0))), 0) AS DECIMAL(38,0)) AS iw
+        |  FROM r)
+        |SELECT n_groups, total,
+        |  CASE WHEN n_groups < 1 OR total = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE floor((2.0 * CAST(iw AS DOUBLE)
+        |        / (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE))
+        |      - (CAST(n_groups AS DOUBLE) + 1.0) / CAST(n_groups AS DOUBLE))
+        |      * 1e4) / 1e4
+        |  END AS gini
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      Profile.gini(table(s, dir, "documents"), col("source"))
+    },
+
     // C62: Spearman rank correlation between two derived judge scores
     // — a monotone transform plus bounded noise keeps ρ high but < 1
     // and plants plenty of ties (the midrank path).

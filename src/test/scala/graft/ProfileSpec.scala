@@ -430,6 +430,41 @@ class ProfileSpec extends SparkSpec {
     assert(g.getAs[Double]("mean_raw") > 90.0)     // raw mean poisoned
   }
 
+  test("mannWhitney: exact U with half-credit ties, directional z, degenerate on all-tied") {
+    import graft.operators.Stats
+    // A = (1,2,3) all below B = (4,5,6): U (B-below-A pairs) = 0
+    val sep = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false)).toDF("v", "a")
+    val s1 = Stats.mannWhitney(sep, col("v"), col("a")).collect()(0)
+    assert(s1.getAs[Double]("u") == 0.0)
+    assert(s1.getAs[Double]("z") < 0) // A stochastically smaller
+    // one tie: A=(1,2), B=(2,3) → U = 0.5 exactly (half credit)
+    val tied = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a")
+    assert(Stats.mannWhitney(tied, col("v"), col("a")).collect()(0)
+      .getAs[Double]("u") == 0.5)
+    // everything tied: variance 0 → degenerate, z 0, not significant
+    val allTied = Seq((7.0, true), (7.0, true), (7.0, false), (7.0, false))
+      .toDF("v", "a")
+    val s3 = Stats.mannWhitney(allTied, col("v"), col("a")).collect()(0)
+    assert(s3.getAs[Boolean]("degenerate") && s3.getAs[Double]("z") == 0.0)
+    assert(!s3.getAs[Boolean]("significant"))
+  }
+
+  test("gini: 0 on uniform masses, hand value on skew, 0 on a single group") {
+    import graft.operators.Profile
+    val uniform = Seq("a", "a", "b", "b", "c", "c").toDF("g")
+    assert(Profile.gini(uniform, col("g")).collect()(0)
+      .getAs[Double]("gini") == 0.0)
+    // masses (1,1,8): G = 2·27/(3·10) − 4/3 = 0.4666…
+    val skew = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(8)("c")).toDF("g")
+    assert(Profile.gini(skew, col("g")).collect()(0)
+      .getAs[Double]("gini") == 0.4666)
+    val single = Seq("x", "x", "x").toDF("g")
+    assert(Profile.gini(single, col("g")).collect()(0)
+      .getAs[Double]("gini") == 0.0)
+  }
+
   test("spearman: ±1 on monotone data, exact midranks on ties, invariant to monotone transforms") {
     import graft.operators.Stats
     val up = Seq((1.0, 10.0), (2.0, 40.0), (3.0, 90.0)).toDF("a", "b")
