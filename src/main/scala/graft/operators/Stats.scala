@@ -347,6 +347,66 @@ object Stats {
       (col("n") < 2 || varA <= 0.0 || varB <= 0.0).as("degenerate"))
   }
 
+  /** C65: sample autocorrelation function per key — the "what period
+    * does this series actually have" probe BEFORE committing a
+    * [[seasonalDecompose]] period or reading a [[levelShift]] window:
+    * r_l = Σ c_t·c_{t+l} / Σ c_t² over mean-centered values, lags
+    * 1..maxLag. Input contract: ONE row per (key, bucket) on a DENSE
+    * grid ([[Resample.dense]]'s output — lag is ROW-based, so a hole
+    * would silently misalign every lag past it; same contract as
+    * seasonalDecompose).
+    *
+    * Determinism: centered values quantize ONCE to 6-dp decimals
+    * (the levelShift/rollingZ reduction), every product and sum after
+    * that is exact integer-decimal arithmetic — the quantization
+    * units cancel in the ratio; ONE key-partitioned ordered window
+    * carries all maxLag lag columns, one explode stacks them to
+    * (key, lag) rows, one partial-agg groupBy sums. 4-dp toward-zero
+    * (autocorrelation is signed). Flat series (zero variance) report
+    * 0 + `degenerate`.
+    */
+  def autocorrelation(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 200, "maxLag in [1, 200]")
+    val t = df.select(key.as("key"), bucket.cast("long").as("bucket"),
+        value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val mu = t.groupBy("key").agg(
+      (sum(Num.dec(col("__v"))).cast("double") / count(lit(1))).as("__mu"))
+    val c = t.join(mu, Seq("key"))
+      .withColumn("__c6",
+        ((col("__v") - col("__mu")) * 1e6).cast("decimal(18,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bucket")
+    // window lags as plain columns FIRST — a window expression inside
+    // the explode generator is rejected by the planner
+    val lagged = (1 to maxLag).foldLeft(c) { (acc, l) =>
+      acc.withColumn(s"__p$l",
+        (col("__c6") * lag(col("__c6"), l).over(w)).cast("decimal(38,0)"))
+    }
+    val lagStructs = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"), col(s"__p$l").as("prod"))
+    }
+    val den = c.groupBy("key").agg(
+      sum((col("__c6") * col("__c6")).cast("decimal(38,0)")).as("__den"))
+    lagged.select(col("key"), explode(array(lagStructs: _*)).as("r"))
+      .select(col("key"), col("r.lag").as("lag"), col("r.prod").as("__p"))
+      .groupBy("key", "lag")
+      .agg(count(col("__p")).as("n_pairs"),
+        coalesce(sum(col("__p")), lit(0L).cast("decimal(38,0)")).as("__num"))
+      .join(den, Seq("key"))
+      .select(col("key"), col("lag"), col("n_pairs"),
+        when(col("__den").cast("double") <= 0.0, lit(0.0))
+          .otherwise(Num.t4zero(
+            col("__num").cast("double") / col("__den").cast("double")))
+          .as("acf"),
+        (col("__den").cast("double") <= 0.0).as("degenerate"))
+  }
+
   /** C64: Mann-Whitney U test (tie-corrected normal approximation) —
     * the nonparametric "is group A's metric stochastically larger"
     * verdict on top of [[auc]]'s machinery (U = AUC·n_a·n_b with ties

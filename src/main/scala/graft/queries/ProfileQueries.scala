@@ -917,6 +917,73 @@ object ProfileQueries {
         .orderBy("bin")
     },
 
+    // C65: autocorrelation of hourly event volumes per type, lags
+    // 1..3, over a zero-filled dense grid (the ACF row-lag contract).
+    Q(
+      "q_acf", {
+        def lagSel(l: Int): String =
+          s"""SELECT key, $l AS lag,
+             |  CAST(c6 * lag(c6, $l) OVER (PARTITION BY key ORDER BY bucket)
+             |    AS DECIMAL(38,0)) AS p
+             |FROM c""".stripMargin
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    epoch_ns(ts) // 3600000000000 AS bucket,
+           |    CAST(count(*) AS DOUBLE) AS value
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+           |  FROM b GROUP BY 1),
+           |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM sp),
+           |d AS (
+           |  SELECT g.key, g.bucket, coalesce(b.value, 0.0) AS value
+           |  FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket),
+           |mu AS (
+           |  SELECT key,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT d.key, d.bucket,
+           |    CAST((d.value - mu.mu) * 1e6 AS DECIMAL(18,0)) AS c6
+           |  FROM d JOIN mu ON d.key = mu.key),
+           |den AS (
+           |  SELECT key, sum(CAST(c6 * c6 AS DECIMAL(38,0))) AS dn
+           |  FROM c GROUP BY 1),
+           |l AS (
+           |  ${lagSel(1)}
+           |  UNION ALL
+           |  ${lagSel(2)}
+           |  UNION ALL
+           |  ${lagSel(3)}),
+           |a AS (
+           |  SELECT key, lag, CAST(count(p) AS BIGINT) AS n_pairs,
+           |    coalesce(sum(p), 0) AS num
+           |  FROM l GROUP BY 1, 2)
+           |SELECT a.key, a.lag, a.n_pairs,
+           |  CASE WHEN CAST(den.dn AS DOUBLE) <= 0.0 THEN CAST(0.0 AS DOUBLE)
+           |    ELSE sign(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |      * (floor(abs(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |        * 1e4) / 1e4) + 0.0
+           |  END AS acf,
+           |  CAST(den.dn AS DOUBLE) <= 0.0 AS degenerate
+           |FROM a JOIN den ON a.key = den.key
+           |ORDER BY a.key, a.lag""".stripMargin
+      }
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val span = counts.groupBy("key")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val dense = span
+        .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        .join(counts, Seq("key", "bucket"), "left")
+        .withColumn("value", coalesce(col("value"), lit(0.0)))
+      graft.operators.Stats.autocorrelation(dense, col("key"), col("bucket"),
+          col("value"), maxLag = 3)
+        .orderBy("key", "lag")
+    },
+
     // C64: Mann-Whitney U test on the q_auc scored frame — same value
     // machinery, reported as a TEST (U, tie-corrected z, verdict).
     Q(

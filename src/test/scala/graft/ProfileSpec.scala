@@ -430,6 +430,31 @@ class ProfileSpec extends SparkSpec {
     assert(g.getAs[Double]("mean_raw") > 90.0)     // raw mean poisoned
   }
 
+  test("autocorrelation finds a planted period, signs alternation, flags flat series") {
+    import graft.operators.Stats
+    // key p: period-4 pattern over 80 buckets → ACF peaks at lag 4;
+    // key a: alternating ±1 → lag 1 strongly negative, lag 2 positive;
+    // key f: flat → degenerate
+    val rows =
+      (0L until 80L).map(b => ("p", b, Seq(10.0, 2.0, 5.0, 1.0)((b % 4).toInt))) ++
+      (0L until 80L).map(b => ("a", b, if (b % 2 == 0) 1.0 else -1.0)) ++
+      (0L until 80L).map(b => ("f", b, 3.0))
+    val out = Stats.autocorrelation(rows.toDF("k", "b", "v"),
+        col("k"), col("b"), col("v"), maxLag = 4)
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Int]("lag")) -> r).toMap
+    assert(out(("p", 4)).getAs[Double]("acf") > 0.9)
+    assert(out(("p", 4)).getAs[Double]("acf") >
+      out(("p", 1)).getAs[Double]("acf"))
+    assert(out(("a", 1)).getAs[Double]("acf") < -0.9)
+    assert(out(("a", 2)).getAs[Double]("acf") > 0.9)
+    (1 to 4).foreach { l =>
+      val f = out(("f", l))
+      assert(f.getAs[Boolean]("degenerate") && f.getAs[Double]("acf") == 0.0)
+    }
+    assert(out(("p", 1)).getAs[Long]("n_pairs") == 79L)
+  }
+
   test("mannWhitney: exact U with half-credit ties, directional z, degenerate on all-tied") {
     import graft.operators.Stats
     // A = (1,2,3) all below B = (4,5,6): U (B-below-A pairs) = 0
