@@ -295,6 +295,55 @@ object Multimodal {
         length(col("frame")).as("frame_bytes"))
   }
 
+  /** D100: scene-change detection over a sampled frame stream — the
+    * boundary detector a video-curation pipeline needs before
+    * per-scene dedup/captioning: consecutive frames' feature vectors
+    * ([[decodeFeatures]]' kernel — real decode when a codec accepts
+    * the bytes, deterministic byteFold otherwise) compare by
+    * mean-absolute distance under ONE video-keyed ordered window;
+    * `scene_change` flags distances above `threshold`. A video's first
+    * frame has no predecessor: NULL distance, never flagged.
+    *
+    * Plumbing: frames ride through the batched decode kernel under a
+    * composite id (video·10⁶ + frame) so the kernel stays unchanged —
+    * bounded by the documented 10⁶-frames-per-video contract; the
+    * distance is a 16-lane fold, evaluated once per row.
+    */
+  def sceneChanges(
+      df: DataFrame,
+      id: Column,
+      media: Column,
+      frameBytes: Int = 64,
+      stride: Int = 4,
+      dim: Int = 16,
+      threshold: Double = 0.1): DataFrame = {
+    val frames = sampleFrames(
+      df.select(id.cast("long").as("doc_id"), media.as("media")),
+      frameBytes, stride)
+    val keyed = frames.select(
+      (col("doc_id") * 1000000L + col("frame_idx")).as("doc_id"),
+      col("frame").as("media"),
+      struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("meta"))
+    val feats = decodeFeatures(keyed, dim)
+      .select(expr("doc_id div 1000000").as("video_id"),
+        pmod(col("doc_id"), lit(1000000L)).cast("int").as("frame_idx"),
+        col("features"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("video_id").orderBy("frame_idx")
+    val dist = aggregate(
+      zip_with(col("features"), col("__prev"),
+        (a, b) => abs(a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x) / dim
+    feats.withColumn("__prev", lag(col("features"), 1).over(w))
+      .withColumn("frame_dist",
+        when(col("__prev").isNull, lit(null).cast("double"))
+          .otherwise(floor(dist * 1e4) / 1e4))
+      .select(col("video_id"), col("frame_idx"), col("frame_dist"),
+        (col("frame_dist").isNotNull && col("frame_dist") > threshold)
+          .as("scene_change"))
+  }
+
   /** Minimal RIFF/WAVE PCM encoder (mono-or-interleaved 16-bit) — the
     * fixture/sink half of [[audioFeatures]]: deterministic bytes, no
     * codec dependency. `interleaved` holds channel-interleaved frames.

@@ -176,6 +176,17 @@ object MultimodalQueries {
           col("frame_bytes").cast("int").as("frame_bytes"),
           col("frame").cast("string").as("frame_str"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // D100: scene-change detection over the sampled frame stream —
+    // rows-only (decode-kernel features, the q_media_decode class);
+    // boundary exactness is MultimodalSpec's planted-cut proof.
+    Q.rowsOnly("q_media_scenes") { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.operators.Multimodal.sceneChanges(docs, col("doc_id"),
+          col("text").cast("binary"), frameBytes = 64, stride = 1,
+          threshold = 0.1)
+        .orderBy("video_id", "frame_idx")
     }
   )
 }

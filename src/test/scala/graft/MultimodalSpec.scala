@@ -257,4 +257,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
     assert(pairs.head._3 <= 2)
   }
+
+  test("sceneChanges flags exactly the content boundary; uniform video stays quiet (D100)") {
+    // video 1: 4 frames of 'a' bytes then 4 of 'z' — one hard cut;
+    // video 2: uniform — no cuts
+    val vids = Seq(
+      (1L, "a" * 256 + "z" * 256),
+      (2L, "m" * 512)).toDF("id", "payload")
+    val out = Multimodal.sceneChanges(vids, col("id"),
+        col("payload").cast("binary"), frameBytes = 64, stride = 1,
+        threshold = 0.1)
+      .orderBy("video_id", "frame_idx").collect()
+    val v1 = out.filter(_.getAs[Long]("video_id") == 1L)
+    assert(v1.length == 8)
+    assert(v1(0).isNullAt(v1(0).fieldIndex("frame_dist"))) // no predecessor
+    assert(!v1(0).getAs[Boolean]("scene_change"))
+    val cuts = v1.filter(_.getAs[Boolean]("scene_change"))
+      .map(_.getAs[Int]("frame_idx")).toSeq
+    assert(cuts == Seq(4), s"cuts at $cuts")
+    val v2 = out.filter(_.getAs[Long]("video_id") == 2L)
+    assert(v2.forall(!_.getAs[Boolean]("scene_change")))
+    // within-scene distances are exactly zero (identical frames)
+    assert(v1(2).getAs[Double]("frame_dist") == 0.0)
+  }
 }
