@@ -407,6 +407,61 @@ object Stats {
         (col("__den").cast("double") <= 0.0).as("degenerate"))
   }
 
+  /** C66: cross-correlation between two series per key — "does the
+    * error rate LEAD the latency" as numbers: r_l = Σ cx_t·cy_{t+l} /
+    * √(Σcx²·Σcy²) for l ∈ [−maxLag, maxLag]; a peak at POSITIVE l
+    * means y follows x by l buckets (x leads). [[autocorrelation]]'s
+    * machinery verbatim — same dense-grid row-lag contract, same
+    * once-quantized 6-dp decimals with exact products (units cancel),
+    * lead/lag columns materialized before the explode, one partial-agg
+    * groupBy; either side flat → 0 + `degenerate`.
+    */
+  def crossCorrelation(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      x: Column,
+      y: Column,
+      maxLag: Int = 12): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 200, "maxLag in [1, 200]")
+    val t = df.select(key.as("key"), bucket.cast("long").as("bucket"),
+        x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val mu = t.groupBy("key").agg(
+      (sum(Num.dec(col("__x"))).cast("double") / count(lit(1))).as("__mx"),
+      (sum(Num.dec(col("__y"))).cast("double") / count(lit(1))).as("__my"))
+    val c = t.join(mu, Seq("key"))
+      .withColumn("__cx6", ((col("__x") - col("__mx")) * 1e6).cast("decimal(18,0)"))
+      .withColumn("__cy6", ((col("__y") - col("__my")) * 1e6).cast("decimal(18,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bucket")
+    val lags = (-maxLag to maxLag)
+    val lagged = lags.foldLeft(c) { (acc, l) =>
+      acc.withColumn(s"__p$l",
+        (col("__cx6") * lag(col("__cy6"), -l).over(w)).cast("decimal(38,0)"))
+    }
+    val lagStructs = lags.map { l =>
+      struct(lit(l).as("lag"), col(s"__p$l").as("prod"))
+    }
+    val den = c.groupBy("key").agg(
+      sum((col("__cx6") * col("__cx6")).cast("decimal(38,0)")).as("__dx"),
+      sum((col("__cy6") * col("__cy6")).cast("decimal(38,0)")).as("__dy"))
+    lagged.select(col("key"), explode(array(lagStructs: _*)).as("r"))
+      .select(col("key"), col("r.lag").as("lag"), col("r.prod").as("__p"))
+      .groupBy("key", "lag")
+      .agg(count(col("__p")).as("n_pairs"),
+        coalesce(sum(col("__p")), lit(0L).cast("decimal(38,0)")).as("__num"))
+      .join(den, Seq("key"))
+      .select(col("key"), col("lag"), col("n_pairs"),
+        when(col("__dx").cast("double") <= 0.0 ||
+            col("__dy").cast("double") <= 0.0, lit(0.0))
+          .otherwise(Num.t4zero(col("__num").cast("double") /
+            sqrt(col("__dx").cast("double") * col("__dy").cast("double"))))
+          .as("xcorr"),
+        (col("__dx").cast("double") <= 0.0 ||
+          col("__dy").cast("double") <= 0.0).as("degenerate"))
+  }
+
   /** C64: Mann-Whitney U test (tie-corrected normal approximation) —
     * the nonparametric "is group A's metric stochastically larger"
     * verdict on top of [[auc]]'s machinery (U = AUC·n_a·n_b with ties

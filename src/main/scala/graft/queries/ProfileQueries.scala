@@ -984,6 +984,84 @@ object ProfileQueries {
         .orderBy("key", "lag")
     },
 
+    // C66: cross-correlation of hourly event count vs value mass per
+    // type, lags -2..2 on the shared zero-filled grid.
+    Q(
+      "q_xcorr", {
+        def shifted(l: Int): String =
+          if (l < 0) s"lag(cy6, ${-l}) OVER (PARTITION BY key ORDER BY bucket)"
+          else if (l == 0) "cy6"
+          else s"lead(cy6, $l) OVER (PARTITION BY key ORDER BY bucket)"
+        def lagSel(l: Int): String =
+          s"""SELECT key, $l AS lag,
+             |  CAST(cx6 * (${shifted(l)}) AS DECIMAL(38,0)) AS p
+             |FROM c""".stripMargin
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    epoch_ns(ts) // 3600000000000 AS bucket,
+           |    CAST(count(*) AS DOUBLE) AS x,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+           |  FROM b GROUP BY 1),
+           |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM sp),
+           |d AS (
+           |  SELECT g.key, g.bucket, coalesce(b.x, 0.0) AS x,
+           |    coalesce(b.y, 0.0) AS y
+           |  FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket),
+           |mu AS (
+           |  SELECT key,
+           |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mx,
+           |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS my
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT d.key, d.bucket,
+           |    CAST((d.x - mu.mx) * 1e6 AS DECIMAL(18,0)) AS cx6,
+           |    CAST((d.y - mu.my) * 1e6 AS DECIMAL(18,0)) AS cy6
+           |  FROM d JOIN mu ON d.key = mu.key),
+           |den AS (
+           |  SELECT key,
+           |    sum(CAST(cx6 * cx6 AS DECIMAL(38,0))) AS dx,
+           |    sum(CAST(cy6 * cy6 AS DECIMAL(38,0))) AS dy
+           |  FROM c GROUP BY 1),
+           |l AS (
+           |  ${(-2 to 2).map(lagSel).mkString("\n|  UNION ALL\n|  ")}),
+           |a AS (
+           |  SELECT key, lag, CAST(count(p) AS BIGINT) AS n_pairs,
+           |    coalesce(sum(p), 0) AS num
+           |  FROM l GROUP BY 1, 2)
+           |SELECT a.key, a.lag, a.n_pairs,
+           |  CASE WHEN CAST(den.dx AS DOUBLE) <= 0.0
+           |      OR CAST(den.dy AS DOUBLE) <= 0.0 THEN CAST(0.0 AS DOUBLE)
+           |    ELSE sign(CAST(a.num AS DOUBLE)
+           |        / sqrt(CAST(den.dx AS DOUBLE) * CAST(den.dy AS DOUBLE)))
+           |      * (floor(abs(CAST(a.num AS DOUBLE)
+           |        / sqrt(CAST(den.dx AS DOUBLE) * CAST(den.dy AS DOUBLE)))
+           |        * 1e4) / 1e4) + 0.0
+           |  END AS xcorr,
+           |  CAST(den.dx AS DOUBLE) <= 0.0 OR CAST(den.dy AS DOUBLE) <= 0.0
+           |    AS degenerate
+           |FROM a JOIN den ON a.key = den.key
+           |ORDER BY a.key, a.lag""".stripMargin
+      }
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("x"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+      val span = counts.groupBy("key")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val dense = span
+        .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        .join(counts, Seq("key", "bucket"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0.0)))
+        .withColumn("y", coalesce(col("y"), lit(0.0)))
+      graft.operators.Stats.crossCorrelation(dense, col("key"), col("bucket"),
+          col("x"), col("y"), maxLag = 2)
+        .orderBy("key", "lag")
+    },
+
     // C64: Mann-Whitney U test on the q_auc scored frame — same value
     // machinery, reported as a TEST (U, tie-corrected z, verdict).
     Q(

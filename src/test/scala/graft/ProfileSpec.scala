@@ -455,6 +455,24 @@ class ProfileSpec extends SparkSpec {
     assert(out(("p", 1)).getAs[Long]("n_pairs") == 79L)
   }
 
+  test("crossCorrelation peaks at the planted lead and flags a flat side") {
+    import graft.operators.Stats
+    // y follows x by exactly 2 buckets → the peak sits at lag +2
+    def x(b: Long) = Seq(9.0, 1.0, 4.0, 7.0, 2.0)((b % 5).toInt)
+    val rows = (0L until 60L).map(b => ("k", b, x(b), x(math.max(0L, b - 2))))
+    val out = Stats.crossCorrelation(rows.toDF("k", "b", "x", "y"),
+        col("k"), col("b"), col("x"), col("y"), maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("xcorr")).toMap
+    assert(out(2) > 0.9, s"lag-2 corr ${out(2)}")
+    assert(out.filter(_._1 != 2).values.forall(_ < out(2)))
+
+    val flat = (0L until 20L).map(b => ("k", b, x(b), 5.0))
+    val d = Stats.crossCorrelation(flat.toDF("k", "b", "x", "y"),
+      col("k"), col("b"), col("x"), col("y"), maxLag = 2).collect()
+    assert(d.forall(_.getAs[Boolean]("degenerate")))
+    assert(d.forall(_.getAs[Double]("xcorr") == 0.0))
+  }
+
   test("mannWhitney: exact U with half-credit ties, directional z, degenerate on all-tied") {
     import graft.operators.Stats
     // A = (1,2,3) all below B = (4,5,6): U (B-below-A pairs) = 0
