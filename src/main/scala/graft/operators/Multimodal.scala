@@ -309,14 +309,19 @@ object Multimodal {
     * bounded by the documented 10⁶-frames-per-video contract; the
     * distance is a 16-lane fold, evaluated once per row.
     */
-  def sceneChanges(
+  /** Sampled frames with their feature vectors — the shared front half
+    * of [[sceneChanges]] and its streaming twin
+    * ([[graft.streaming.EventStreams]] E24): (video_id, frame_idx,
+    * features). Frames ride the batched decode kernel under a
+    * composite video·10⁶+frame id so the kernel stays unchanged.
+    */
+  def frameFeatures(
       df: DataFrame,
       id: Column,
       media: Column,
       frameBytes: Int = 64,
       stride: Int = 4,
-      dim: Int = 16,
-      threshold: Double = 0.1): DataFrame = {
+      dim: Int = 16): DataFrame = {
     val frames = sampleFrames(
       df.select(id.cast("long").as("doc_id"), media.as("media")),
       frameBytes, stride)
@@ -325,10 +330,21 @@ object Multimodal {
       col("frame").as("media"),
       struct(lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height")).as("meta"))
-    val feats = decodeFeatures(keyed, dim)
+    decodeFeatures(keyed, dim)
       .select(expr("doc_id div 1000000").as("video_id"),
         pmod(col("doc_id"), lit(1000000L)).cast("int").as("frame_idx"),
         col("features"))
+  }
+
+  def sceneChanges(
+      df: DataFrame,
+      id: Column,
+      media: Column,
+      frameBytes: Int = 64,
+      stride: Int = 4,
+      dim: Int = 16,
+      threshold: Double = 0.1): DataFrame = {
+    val feats = frameFeatures(df, id, media, frameBytes, stride, dim)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("video_id").orderBy("frame_idx")
     val dist = aggregate(

@@ -608,6 +608,68 @@ object EventStreams {
       .start()
   }
 
+  case class FrameIn(video_id: Long, frame_idx: Int, features: Seq[Float])
+
+  case class SceneState(lastIdx: Int, lastFeatures: Seq[Float])
+
+  case class SceneOut(
+      video_id: Long, frame_idx: Int, frame_dist: Option[Double],
+      scene_change: Boolean)
+
+  /** E24: streaming scene-change detection — the stateful twin of
+    * [[graft.operators.Multimodal.sceneChanges]] for a live frame
+    * ingest: per video, state is ONE frame's feature vector (dim
+    * floats — O(dim), not the frames), each arriving frame scores
+    * against its predecessor and the state advances; the mean-absolute
+    * distance replays batch digit for digit (index-ascending fold,
+    * one division, 4-dp floor), so streamed verdicts == the batch
+    * frame over the same frames (spec-proven across a batch split
+    * INSIDE a scene and at the cut). Feature extraction runs upstream
+    * ([[graft.operators.Multimodal.frameFeatures]] — stateless, the
+    * curateStream class). Ordering contract as funnelStream: per-key
+    * frame_idx order ACROSS batches; within a batch rows sort here.
+    * No watermark — a verdict never un-happens; TTL wrap for GC.
+    */
+  def sceneChangeStream(
+      frames: DataFrame, dim: Int = 16,
+      threshold: Double = 0.1): Dataset[SceneOut] = {
+    implicit val inEnc = Encoders.product[FrameIn]
+    implicit val outEnc = Encoders.product[SceneOut]
+    implicit val stEnc = Encoders.product[SceneState]
+    implicit val longEnc = Encoders.scalaLong
+    frames.select(col("video_id").cast("long"),
+        col("frame_idx").cast("int"), col("features"))
+      .filter(col("video_id").isNotNull)
+      .as[FrameIn]
+      .groupByKey(_.video_id)
+      .flatMapGroupsWithState[SceneState, SceneOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (vid: Long, rows: Iterator[FrameIn], state: GroupState[SceneState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SceneOut]
+          rows.toSeq.sortBy(_.frame_idx).foreach { r =>
+            if (st == null) {
+              out += SceneOut(vid, r.frame_idx, None, scene_change = false)
+            } else {
+              // batch kernel replayed: index-ascending abs-diff fold,
+              // one division by dim, 4-dp floor
+              var s = 0.0
+              var i = 0
+              val n = math.min(st.lastFeatures.length, r.features.length)
+              while (i < n) {
+                s += math.abs(st.lastFeatures(i).toDouble - r.features(i).toDouble)
+                i += 1
+              }
+              val dist = math.floor(s / dim * 1e4) / 1e4
+              out += SceneOut(vid, r.frame_idx, Some(dist), dist > threshold)
+            }
+            st = SceneState(r.frame_idx, r.features)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** E23: streaming frequent-items sketch maintenance — the TOP-K
     * member of the streaming sketch family next to E14 (Count-Min)
     * and E20 (KLL): per micro-batch, one partial-agg sketch build

@@ -280,4 +280,41 @@ class MultimodalSpec extends SparkSpec {
     // within-scene distances are exactly zero (identical frames)
     assert(v1(2).getAs[Double]("frame_dist") == 0.0)
   }
+
+  test("E24 sceneChangeStream == batch sceneChanges across a split inside a scene and at the cut") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val vids = Seq(
+      (1L, "a" * 256 + "z" * 256),
+      (2L, "m" * 512)).toDF("id", "payload")
+    val feats = Multimodal.frameFeatures(vids, col("id"),
+        col("payload").cast("binary"), frameBytes = 64, stride = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("video_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[scala.collection.Seq[Float]]("features").toSeq))
+    val input = MemoryStream[(Long, Int, Seq[Float])](spark)
+    val q = graft.streaming.EventStreams.sceneChangeStream(
+        input.toDF().toDF("video_id", "frame_idx", "features"),
+        threshold = 0.1)
+      .writeStream.format("memory").queryName("e24_out").outputMode("append").start()
+    try {
+      // batch 1 ends mid-scene for video 2 and right BEFORE the cut
+      // for video 1 — the cross-batch state carry is the proof
+      input.addData(feats.filter(f => f._2 < 4).toSeq)
+      q.processAllAvailable()
+      input.addData(feats.filter(f => f._2 >= 4).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("e24_out").collect()
+        .map(r => (r.getAs[Long]("video_id"), r.getAs[Int]("frame_idx")) ->
+          ((r.getAs[Any]("frame_dist"), r.getAs[Boolean]("scene_change")))).toMap
+      val batch = Multimodal.sceneChanges(vids, col("id"),
+          col("payload").cast("binary"), frameBytes = 64, stride = 1,
+          threshold = 0.1)
+        .collect()
+        .map(r => (r.getAs[Long]("video_id"), r.getAs[Int]("frame_idx")) ->
+          ((r.getAs[Any]("frame_dist"), r.getAs[Boolean]("scene_change")))).toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // the cut itself arrived in batch 2 against batch-1 state
+      assert(streamed((1L, 4))._2)
+    } finally q.stop()
+  }
 }
