@@ -101,9 +101,8 @@ object Similarity {
     */
   private def powerIterate(
       c: DataFrame, d: Int, rounds: Int): (Array[Double], Double) = {
-    var w = Array.fill(d)(1.0 / math.sqrt(d))
-    var eigen = 0.0
-    for (_ <- 1 to rounds) {
+    // one matvec pass: s = Σ_i c_i (c_i · w), as d codegen'd sum lanes
+    def matvec(w: Array[Double]): Array[Double] = {
       val wLit = array(w.map(lit): _*)
       val dotW = graft.functions.dot(col("__c"), wLit)
       val sums = c.select(col("__c"), dotW.as("__dw"))
@@ -112,12 +111,20 @@ object Similarity {
           (2 to d).map(i =>
             sum(element_at(col("__c"), i) * col("__dw")).as(s"s${i - 1}")): _*)
         .collect()(0)
-      val s = Array.tabulate(d)(i => sums.getDouble(i))
+      Array.tabulate(d)(i => sums.getDouble(i))
+    }
+    var w = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 1 to rounds) {
+      val s = matvec(w)
       val norm = math.sqrt(s.map(x => x * x).sum)
-      eigen = s.zip(w).map { case (a, b) => a * b }.sum // Rayleigh numerator
       if (norm > 0) w = s.map(_ / norm)
     }
-    // sign pin: largest-|loading| coordinate positive
+    // Rayleigh eigenvalue of the RETURNED iterate (one extra matvec):
+    // computing it from the in-loop s would pair w_old's quotient with
+    // the updated w — one iteration stale, visible at low `rounds`
+    val eigen = matvec(w).zip(w).map { case (a, b) => a * b }.sum
+    // sign pin: largest-|loading| coordinate positive (eigen is
+    // sign-invariant, so pinning after is safe)
     val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
     (if (w(pivot) < 0) w.map(-_) else w, eigen)
   }

@@ -688,21 +688,30 @@ object Stats {
       key: Column,
       pValue: Column,
       q: Double = 0.05): DataFrame = {
+    // a p-value outside [0, 1] (or NaN) is an invalid test result, not
+    // a small one: it is treated exactly like NULL — ranks last, never
+    // discoverable, flagged `untested` — rather than trusted by the
+    // sentinel ordering (a raw p > 2 would sort AFTER the sentinel and
+    // break nulls-rank-last; a p in (1, 2] would consume a rank and
+    // silently distort every threshold). The raw value still surfaces
+    // in the p_value output column so the caller can see what arrived.
     val t = df.select(key.as("key"), pValue.cast("double").as("p_value"))
-    val w = Window.orderBy(coalesce(col("p_value"), lit(2.0)).asc, col("key").asc)
+      .withColumn("__pv",
+        when(col("p_value") >= 0.0 && col("p_value") <= 1.0, col("p_value")))
+    val w = Window.orderBy(coalesce(col("__pv"), lit(2.0)).asc, col("key").asc)
     val m = t.agg(count(lit(1)).as("m"))
     val ranked = t.crossJoin(broadcast(m))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("bh_threshold", lit(q) * col("rank") / col("m"))
       .withColumn("__c",
-        col("p_value").isNotNull && col("p_value") <= col("bh_threshold"))
+        col("__pv").isNotNull && col("__pv") <= col("bh_threshold"))
     val kStar = ranked.agg(
       coalesce(max(when(col("__c"), col("rank"))), lit(0L)).as("__k"))
     ranked.crossJoin(broadcast(kStar))
       .select(col("key"), col("p_value"), col("rank"), col("m"),
         col("bh_threshold"),
         (col("rank") <= col("__k")).as("discovery"),
-        col("p_value").isNull.as("untested"))
+        col("__pv").isNull.as("untested"))
   }
 
   def trendFit(

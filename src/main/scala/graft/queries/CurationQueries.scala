@@ -943,10 +943,45 @@ object CurationQueries {
 
     // D19b: whole-document FFD bin packing under a 512-token budget —
     // the fine-tuning/eval packing mode (docs never split). The greedy
-    // placement is inherently sequential per shard → no SQL twin;
-    // rows-only with exactness (capacity, FFD placement, oversize
-    // quarantine) asserted in CurationSpec.
-    Q.rowsOnly("q_pack_bins") { (s, dir) =>
+    // placement is sequential per shard, but DETERMINISTIC — the
+    // oracle replays it exactly with a recursive CTE that steps
+    // through each shard's (n_tokens desc, id asc) placement order
+    // carrying the open-bin remaining-capacity LIST as state: first
+    // bin with remaining >= n takes the doc, otherwise a new bin
+    // opens at budget - n (negative for oversize docs, exactly like
+    // the kernel, so nothing ever lands in an oversize bin).
+    Q(
+      "q_pack_bins",
+      // NULLIF guards list_position's not-found value (0, not NULL, in
+      // DuckDB 1.0) — without it the not-found case would slice with a
+      // NEGATIVE index and the state list would double every step
+      s"""WITH RECURSIVE tkn AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS VARCHAR) AS shard,
+         |    CAST(len(${tkSql("text")}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |items AS (
+         |  SELECT shard, doc_id AS id, n_toks AS n_tokens,
+         |    row_number() OVER (PARTITION BY shard ORDER BY n_toks DESC, doc_id ASC) AS rn
+         |  FROM tkn),
+         |ffd AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS id,
+         |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
+         |    CAST([] AS BIGINT[]) AS bins
+         |  FROM (SELECT DISTINCT shard FROM items)
+         |  UNION ALL
+         |  SELECT shard, rn, id, n_tokens,
+         |    CAST(coalesce(pos, len(bins) + 1) - 1 AS BIGINT) AS bin_id,
+         |    CASE WHEN pos IS NULL THEN list_append(bins, 512 - n_tokens)
+         |      ELSE bins[1:pos - 1] || [bins[pos] - n_tokens] || bins[pos + 1:]
+         |    END AS bins
+         |  FROM (
+         |    SELECT i.shard, i.rn, i.id, i.n_tokens, f.bins,
+         |      NULLIF(list_position(
+         |        list_transform(f.bins, b -> b >= i.n_tokens), true), 0) AS pos
+         |    FROM ffd f JOIN items i ON i.shard = f.shard AND i.rn = f.rn + 1))
+         |SELECT shard, id, n_tokens, bin_id, n_tokens > 512 AS oversize
+         |FROM ffd WHERE rn > 0 ORDER BY id""".stripMargin
+    ) { (s, dir) =>
       val docs = table(s, dir, "documents").select(
         col("doc_id"),
         pmod(col("doc_id"), lit(8L)).as("shard"),

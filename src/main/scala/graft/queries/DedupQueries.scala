@@ -720,9 +720,65 @@ object DedupQueries {
     // D77: leakage-proof cluster-aware splits — near-dup pairs from
     // the exact prefix-filter tier cluster first, the split hash runs
     // on the CLUSTER id, so a doc and its 0.8-Jaccard twin can never
-    // straddle train/test. Iterative CC -> rows-only; the spec proves
-    // the no-straddle invariant.
-    Q.rowsOnly("q_split_by_cluster") { (s, dir) =>
+    // straddle train/test. Oracle = the q_dedup_prefix pair chain
+    // feeding the q_dedup_clusters propagation unroll, with the
+    // hashBucketSql split rule on the cluster id (weights 0.9/0.1 →
+    // bucket cut at 900); the spec additionally proves the
+    // no-straddle invariant.
+    Q(
+      "q_split_by_cluster", {
+        val rounds = (1 to 8).map { i =>
+          s"""l$i AS MATERIALIZED (
+             |  SELECT l.id,
+             |    least(l.comp, coalesce((SELECT min(l2.comp)
+             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
+             |      WHERE e.a = l.id), l.comp)) AS comp
+             |  FROM l${i - 1} l)""".stripMargin
+        }.mkString(",\n")
+        val b = graft.operators.Sampling.hashBucketSql("cluster")
+        s"""WITH $truncatedDocsSql,
+           |sh AS (
+           |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM docs WHERE len(tk) >= 5)),
+           |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+           |pref AS (
+           |  SELECT id, s FROM (
+           |    SELECT sh.id, sh.s, sizes.n_sh,
+           |      row_number() OVER (PARTITION BY sh.id ORDER BY d.df, sh.s) AS pos
+           |    FROM sh JOIN dfreq d USING (s) JOIN sizes USING (id))
+           |  WHERE pos <= n_sh - ceil(CAST(0.5 AS DOUBLE) * n_sh) + 1),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM pref a JOIN pref b ON a.s = b.s AND a.id < b.id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN sh x ON x.id = c.id_a
+           |  JOIN sh y ON y.id = c.id_b AND y.s = x.s
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM inter
+           |  JOIN sizes na ON na.id = id_a
+           |  JOIN sizes nb ON nb.id = id_b
+           |  WHERE round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+           |sym AS MATERIALIZED (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS comp FROM sym),
+           |$rounds,
+           |wc AS (
+           |  SELECT d.id, coalesce(l.comp, d.id) AS cluster
+           |  FROM (SELECT DISTINCT id FROM docs) d
+           |  LEFT JOIN l8 l ON l.id = d.id)
+           |SELECT id, cluster,
+           |  CASE WHEN $b < 900 THEN 'train' ELSE 'test' END AS split
+           |FROM wc ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
       val docs = truncatedDocs(s, dir)
       val pairs = Dedup.prefixFilterJaccard(docs, col("id"), col("text"),
         n = 5, threshold = 0.5)
@@ -1168,6 +1224,10 @@ object DedupQueries {
     },
 
     // D95: int8 embedding quantization + per-vector distortion audit.
+    // The query projects the codes as a comma-joined string (qvec_csv):
+    // the oracle harness hash-sorts frames with pandas, which cannot
+    // lexsort a raw array<tinyint> column; the operator itself keeps
+    // the array form.
     Q(
       "q_embed_int8",
       """WITH e AS (
@@ -1184,7 +1244,7 @@ object DedupQueries {
         |        least(greatest(x / (mx / 127.0), -127.0), 127.0)) AS TINYINT))
         |    END AS qvec
         |  FROM m)
-        |SELECT vec_id, qvec, scale,
+        |SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv, scale,
         |  CASE WHEN degenerate THEN CAST(0.0 AS DOUBLE)
         |    ELSE round(list_cosine_similarity(v,
         |      list_transform(qvec, q -> q * scale)), 4)
@@ -1194,6 +1254,9 @@ object DedupQueries {
     ) { (s, dir) =>
       val e = table(s, dir, "embeddings")
       Similarity.quantizeInt8(e, col("vec_id"), col("embedding"))
+        .withColumn("qvec_csv", array_join(col("qvec"), ","))
+        .select(col("vec_id"), col("qvec_csv"), col("scale"),
+          col("cos_distortion"), col("degenerate"))
         .orderBy("vec_id")
     },
 

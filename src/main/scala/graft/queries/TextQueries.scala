@@ -803,11 +803,60 @@ object TextQueries {
     // D56: logistic-regression TRAINING (the missing half of D54's
     // gate loop): even/odd doc ids get opposing planted markers, the
     // model trains as a weight TABLE (nothing model-sized on the
-    // driver), and the learned marker/bias rows come back. Iterative
-    // join+agg rounds → no SQL twin (rows-only); ClassifySpec pins
-    // sign recovery, end-to-end separation via linearTextScore, and
-    // run-to-run determinism.
-    Q.rowsOnly("q_train_classifier") { (s, dir) =>
+    // driver), and the learned marker/bias rows come back. The oracle
+    // UNROLLS all 8 full-batch GD rounds in CTEs (the q_bradley_terry
+    // precedent): the 7-dp residual / 10-dp weight rounding contract
+    // exists precisely so both engines' decimal lanes agree exactly;
+    // the only cross-engine float surface is exp() inside the sigmoid,
+    // rounded to 7 dp before re-entering exact arithmetic.
+    Q(
+      "q_train_classifier", {
+        val bias = "chr(0) || 'bias'"
+        def gd(prev: Int, i: Int) =
+          s"""res$i AS MATERIALIZED (
+             |  SELECT d.id, d.y,
+             |    CAST(round(1.0 / (1.0 + exp(-CAST(sum(w.w * d.cnt) AS DOUBLE))) - d.y, 7)
+             |      AS DECIMAL(11,7)) AS r
+             |  FROM docterm d JOIN w$prev w USING (term)
+             |  GROUP BY d.id, d.y),
+             |grad$i AS MATERIALIZED (
+             |  SELECT d.term, sum(r.r * d.cnt) AS g
+             |  FROM docterm d JOIN res$i r ON r.id = d.id
+             |  GROUP BY d.term),
+             |w$i AS MATERIALIZED (
+             |  SELECT w.term,
+             |    CAST(round(CAST(w.w AS DOUBLE) * 1.0
+             |        - (1.0 / (SELECT n FROM nn)) * CAST(coalesce(g.g, 0) AS DOUBLE), 10)
+             |      AS DECIMAL(20,10)) AS w
+             |  FROM w$prev w LEFT JOIN grad$i g USING (term))""".stripMargin
+        val rounds = (1 to 8).map(i => gd(i - 1, i)).mkString(",\n")
+        s"""WITH lab AS (
+           |  SELECT doc_id AS id,
+           |    CAST(doc_id % 2 = 0 AS DOUBLE) AS y,
+           |    CASE WHEN doc_id % 2 = 0
+           |      THEN text || ' flubwort flubwort pristine'
+           |      ELSE text || ' grotwort grotwort shoddy' END AS t
+           |  FROM documents),
+           |tk AS (SELECT id, y, ${tkSql("t")} AS tk FROM lab),
+           |cnts AS (
+           |  SELECT id, y, term, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT id, y, unnest(tk) AS term FROM tk)
+           |  GROUP BY 1, 2, 3),
+           |docterm AS MATERIALIZED (
+           |  SELECT * FROM cnts
+           |  UNION ALL
+           |  SELECT DISTINCT id, y, $bias AS term, CAST(1 AS BIGINT) AS cnt
+           |  FROM cnts),
+           |nn AS (SELECT count(*) AS n FROM docterm WHERE term = $bias),
+           |w0 AS MATERIALIZED (
+           |  SELECT DISTINCT term, CAST(0 AS DECIMAL(20,10)) AS w FROM docterm),
+           |$rounds
+           |SELECT term, round(CAST(w AS DOUBLE), 6) AS weight
+           |FROM w8
+           |WHERE term IN ($bias, 'flubwort', 'pristine', 'grotwort', 'shoddy')
+           |ORDER BY term""".stripMargin
+      }
+    ) { (s, dir) =>
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), (col("doc_id") % 2 === 0).as("y"))
         .select(col("doc_id"), col("y"),

@@ -351,10 +351,70 @@ object WranglingQueries {
       EpeWideToLong.run(table(s, dir, "orders"))
     },
 
-    // A13: small-file compaction planning over the REAL sf-dir file
-    // manifest — rows-only (file sizes are environment state, one row
-    // per file); FFD placement exactness is TablesSpec's hand case.
-    Q.rowsOnly("q_compaction_plan") { (s, dir) =>
+    // A13: small-file compaction planning, oracle-replayed end to end
+    // (FFD placement + join-back + per-bin counts) on a DETERMINISTIC
+    // synthetic manifest derived from `documents` (one "file" per doc,
+    // bytes = n_chars·37 so the 16 KiB target yields multi-file bins
+    // AND oversize singles; dir = source, so 20 dirs pack
+    // independently). The collision-free row_number-over-path file id
+    // makes the (bytes desc, id asc) placement order portable, which
+    // is what lets the recursive CTE replay it exactly (q_pack_bins'
+    // NULLIF note applies).
+    Q(
+      "q_compaction_plan",
+      s"""WITH RECURSIVE m AS (
+         |  SELECT source || '/doc-' || doc_id || '.parquet' AS path,
+         |    CAST(n_chars * 37 AS BIGINT) AS bytes, source AS dir
+         |  FROM documents),
+         |f AS (
+         |  SELECT path, bytes, dir,
+         |    CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS fid
+         |  FROM m),
+         |items AS (
+         |  SELECT dir, fid, bytes,
+         |    row_number() OVER (PARTITION BY dir ORDER BY bytes DESC, fid ASC) AS rn
+         |  FROM f),
+         |ffd AS (
+         |  SELECT dir, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS fid,
+         |    CAST(NULL AS BIGINT) AS bin_id,
+         |    CAST([] AS BIGINT[]) AS bins
+         |  FROM (SELECT DISTINCT dir FROM items)
+         |  UNION ALL
+         |  SELECT dir, rn, fid,
+         |    CAST(coalesce(pos, len(bins) + 1) - 1 AS BIGINT) AS bin_id,
+         |    CASE WHEN pos IS NULL THEN list_append(bins, 16384 - bytes)
+         |      ELSE bins[1:pos - 1] || [bins[pos] - bytes] || bins[pos + 1:]
+         |    END AS bins
+         |  FROM (
+         |    SELECT i.dir, i.rn, i.fid, i.bytes, x.bins,
+         |      NULLIF(list_position(
+         |        list_transform(x.bins, b -> b >= i.bytes), true), 0) AS pos
+         |    FROM ffd x JOIN items i ON i.dir = x.dir AND i.rn = x.rn + 1)),
+         |plan AS (SELECT dir, fid, bin_id FROM ffd WHERE rn > 0),
+         |perbin AS (
+         |  SELECT dir, bin_id, CAST(count(*) AS BIGINT) AS n_files_in_bin
+         |  FROM plan GROUP BY 1, 2)
+         |SELECT f.dir, f.path, f.bytes, p.bin_id,
+         |  f.bytes > 16384 AS oversize, pb.n_files_in_bin
+         |FROM f
+         |JOIN plan p ON p.fid = f.fid
+         |JOIN perbin pb ON pb.dir = f.dir AND pb.bin_id = p.bin_id
+         |ORDER BY f.dir, p.bin_id, f.path""".stripMargin
+    ) { (s, dir) =>
+      val mf = table(s, dir, "documents").select(
+        concat(col("source"), lit("/doc-"), col("doc_id"), lit(".parquet")).as("path"),
+        (col("n_chars") * 37L).cast("long").as("bytes"),
+        col("source").as("dir"))
+      graft.sources.Tables.compactionPlan(mf, col("path"), col("bytes"),
+          col("dir"), targetBytes = 16384L)
+        .orderBy("dir", "bin_id", "path")
+    },
+
+    // A13 (environment half): the same planner over the REAL sf-dir
+    // file manifest — rows-only by nature (file sizes are environment
+    // state, one row per live data file); the synthetic-manifest twin
+    // above carries the hash-exactness burden.
+    Q.rowsOnly("q_compaction_fs") { (s, dir) =>
       val mf = graft.sources.Tables.fileManifest(s, dir)
       graft.sources.Tables.compactionPlan(mf, col("path"), col("bytes"),
           col("dir"), targetBytes = 512L << 10)

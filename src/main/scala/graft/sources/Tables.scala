@@ -364,8 +364,15 @@ object Tables {
       bytes: Column,
       dir: Column,
       targetBytes: Long): DataFrame = {
+    // collision-FREE file id: row_number over path (a 64-bit path
+    // hash would silently cross-assign two colliding files between
+    // bins). The global window is legal here for the registry-audit
+    // reason above: the input is file-level METADATA — manifest-sized
+    // at any corpus scale — never row data.
     val m = manifest.select(path.as("path"), bytes.cast("long").as("bytes"),
-      dir.as("dir"), xxhash64(path).as("__fid"))
+        dir.as("dir"))
+      .withColumn("__fid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("path"))).cast("long"))
     val planned = graft.operators.Packing.binPackFFD(
       m, col("dir"), col("__fid"), col("bytes"), targetBytes)
       .select(col("shard").as("dir"), col("id").as("__fid"),
@@ -390,11 +397,16 @@ object Tables {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dataDir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootUri = root.toUri.getPath.stripSuffix("/")
+    // qualify the root BEFORE comparing: listFiles returns fully-
+    // qualified paths, so an unqualified (e.g. relative) root string
+    // would never match and the hidden-ancestor walk would inspect
+    // ancestors ABOVE the root — data living under a dotted dir
+    // (~/.cache/data) would silently empty the manifest
+    val qroot = hfs.makeQualified(root)
     def visible(p: org.apache.hadoop.fs.Path): Boolean = {
       var cur = p
       var ok = true
-      while (ok && cur != null && cur.toUri.getPath.stripSuffix("/") != rootUri) {
+      while (ok && cur != null && cur != qroot) {
         val n = cur.getName
         if (n.startsWith("_") || n.startsWith(".")) ok = false
         cur = cur.getParent

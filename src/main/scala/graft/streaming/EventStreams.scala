@@ -652,11 +652,18 @@ object EventStreams {
               out += SceneOut(vid, r.frame_idx, None, scene_change = false)
             } else {
               // batch kernel replayed: index-ascending abs-diff fold,
-              // one division by dim, 4-dp floor
+              // one division by dim, 4-dp floor. The batch twin's
+              // features are length-dim by construction; here they
+              // arrive from the stream, so a wrong-dimension array
+              // must fail LOUDLY — a silent min-length fold divided
+              // by the dim param would mis-scale every distance and
+              // quietly diverge from the batch verdicts
+              require(r.features.length == dim && st.lastFeatures.length == dim,
+                s"sceneChangeStream: feature dim ${r.features.length} != configured dim $dim " +
+                  s"(video $vid frame ${r.frame_idx}) — pass dim= matching the feature extractor")
               var s = 0.0
               var i = 0
-              val n = math.min(st.lastFeatures.length, r.features.length)
-              while (i < n) {
+              while (i < dim) {
                 s += math.abs(st.lastFeatures(i).toDouble - r.features(i).toDouble)
                 i += 1
               }
