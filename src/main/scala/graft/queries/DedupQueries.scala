@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.tokens
-import graft.operators.{Dedup, Similarity, TextMetrics}
+import graft.operators.{Dedup, Sampling, Similarity, TextMetrics}
 
 /** Near-duplicate detection and similarity search (SURVEY §2.D2-D7).
   *
@@ -1211,10 +1211,18 @@ object DedupQueries {
     // D48: sketch-tier audit — MinHash-LSH candidates scored against
     // prefixFilterJaccard's exact-recall ground truth at the same
     // threshold: the one-row completeness report a recall-tier choice
-    // rests on. Seeded family -> rows-only; hand-computed P/R in
+    // rests on. Both tiers run on a deterministic hash-cut AUDIT
+    // SAMPLE (half the corpus), exactly the discipline the operator
+    // doc mandates at scale — the exact truth tier is quadratic-ish
+    // in candidate mass and must never see the full frame. The cut
+    // keys on the BASE doc id (id % 1000000) so a doc and its planted
+    // rendition land on the same side and within-sample P/R stays
+    // meaningful. Seeded family -> rows-only; hand-computed P/R in
     // DedupSpec.
     Q.rowsOnly("q_dedup_audit") { (s, dir) =>
-      val d = truncatedDocs(s, dir).localCheckpoint()
+      val d = Sampling.hashSample(truncatedDocs(s, dir),
+          pmod(col("id"), lit(1000000L)), fraction = 0.5)
+        .localCheckpoint()
       val found = Dedup.minHashLSH(d, col("id"), col("text"),
         numHashes = 64, bands = 16, shingleSize = 5,
         threshold = 0.5, maxBucket = 200)

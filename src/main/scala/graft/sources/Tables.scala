@@ -235,6 +235,51 @@ object Tables {
       spark.sparkContext.parallelize(rows, math.max(1, math.min(4, rows.size))), schema)
   }
 
+  /** Workbook EXPORT — the inverse of [[loadSheets]], closing the
+    * reference's one remaining surface (tratamento_epe.rmd:359
+    * discusses `write.xlsx` next to the csv export): each frame lands
+    * as one sheet, header row first, every value rendered through
+    * `CAST(AS STRING)` (the same all-string contract the reader
+    * hands back, so `writeXlsx → loadSheets` round-trips cell for
+    * cell modulo the reader's `_sheet_row` bookkeeping column).
+    *
+    * Scale contract ([[fetch]]'s): a workbook is a DRIVER-SIDE
+    * artifact for humans — rows collect to the driver, guarded by
+    * `maxRows` via `limit(maxRows + 1)` so an accidentally-huge frame
+    * fails LOUDLY before it can OOM the driver (corpus-scale exports
+    * belong in parquet/csv sinks). Row order inside a sheet is the
+    * frame's order — callers wanting a stable sheet `orderBy` first,
+    * exactly as with any collect-to-artifact. Publish is temp-file +
+    * rename on the TARGET filesystem (hdfs:// works), so a crashed
+    * export never leaves a half-written workbook at the path.
+    */
+  def writeXlsx(
+      spark: SparkSession,
+      path: String,
+      sheets: Seq[(String, DataFrame)],
+      maxRows: Int = 65536): String = {
+    val grids: Seq[(String, Seq[Seq[String]])] = sheets.map { case (name, df) =>
+      val cols = df.columns.toSeq
+      val rows = df.select(cols.map(c => col(c).cast("string")): _*)
+        .limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"sheet '$name' exceeds maxRows=$maxRows — a workbook is a " +
+          "driver-side artifact; land frames that size as parquet/csv")
+      name -> (cols +: rows.toSeq.map(r => cols.indices.map(r.getString)))
+    }
+    val bytes = XlsxWriter.write(grids)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val hfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = Option(target.getParent).getOrElse(new org.apache.hadoop.fs.Path("."))
+    hfs.mkdirs(parent)
+    val tmp = new org.apache.hadoop.fs.Path(parent, s".${target.getName}.part")
+    val out = hfs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (hfs.exists(target)) hfs.delete(target, false)
+    require(hfs.rename(tmp, target), s"publish rename failed: $tmp -> $target")
+    path
+  }
+
   /** Fetch a remote artifact into a local landing directory — the
     * reference pipeline's first step (tratamento_epe.R:39-47,
     * `download.file(url, destfile)` of the monthly EPE workbook),
