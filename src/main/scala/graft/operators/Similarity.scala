@@ -901,4 +901,107 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("id").as("vec_id"), round(col("adc_dist"), 4).as("adc_dist"))
   }
+
+  /** Johnson-Lindenstrauss RANDOM PROJECTION — the dimensionality
+    * rung of the compression ladder next to [[quantizeInt8]] (fewer
+    * bytes per component) and PQ (codes): dim components become
+    * `outDim` by projecting onto seeded Gaussian directions scaled by
+    * 1/√outDim, preserving norms and pairwise distances in
+    * expectation (JL lemma) — the standard pre-step before an ANN
+    * index at d=4096, where 64 projected dims retain neighbor
+    * structure at 1/64 the scan bytes.
+    *
+    * Shape at scale: the `outDim × dim` plane matrix is seeded
+    * LITERALS compiled into the plan ([[hyperplaneBucket]]'s
+    * contract) — no driver data movement, one codegen'd [[graft.functions.dot]]
+    * per output component, a map-only pass. Components round to 6 dp
+    * (portable), `norm_ratio` = ‖proj‖/‖v‖ (4 dp, NULL for the zero
+    * vector) is the per-row distortion audit — the quantizeInt8
+    * `cos_distortion` twin for the dimensionality axis.
+    */
+  def randomProjection(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dim: Int,
+      outDim: Int,
+      seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && outDim <= dim, "1 <= outDim <= dim")
+    val planes = hyperplanes(dim = dim, nPlanes = outDim, seed = seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = df.select(id.as("vec_id"),
+      transform(vec, x => x.cast("double")).as("__v"))
+    val proj = array(planes.map(p =>
+      round(dot(col("__v"), array(p.map(lit): _*)) * scale, 6)): _*)
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0), (a, x) => a + x * x))
+    v.withColumn("proj", proj)
+      .withColumn("norm_ratio",
+        when(norm(col("__v")) > 0.0,
+          round(norm(col("proj")) / norm(col("__v")), 4)))
+      .select(col("vec_id"), col("proj"), col("norm_ratio"))
+  }
+
+  /** MMR (maximal marginal relevance) diversified top-k — the
+    * SELECTION step after retrieval: from each query's candidate
+    * list, greedily keep items maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected, so the k
+    * survivors are relevant AND mutually diverse (near-duplicate
+    * candidates collapse to one representative — the retrieval-time
+    * face of the dedup family).
+    *
+    * Candidates are the BOUNDED per-query output of a retrieval tier
+    * ([[lshTopK]] / IVF / brute top-N) — never a corpus
+    * (registry-audit class: the caller retrieved first). The greedy
+    * loop runs as k-1 DISTRIBUTED rounds — all queries advance
+    * together: anti-join the selected set, one bounded join to the
+    * per-query selected vectors for max-sim (≤ N×k rows per query),
+    * one window pick — so cost is k plans of candidate-frame size,
+    * independent of corpus scale, with a localCheckpoint lineage cut
+    * per round (pageRank contract).
+    *
+    * Determinism: cosine rounds to 6 dp before the max; ties break on
+    * doc_id ascending; score surfaces rounded 6. Rank 1 is pure
+    * λ·relevance (empty selected set ⇒ the penalty term is zero).
+    * Queries with fewer than k candidates return all of them.
+    */
+  def mmrSelect(
+      candidates: DataFrame,
+      queryId: Column,
+      docId: Column,
+      relevance: Column,
+      vec: Column,
+      k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0 && lambda <= 1, "lambda in [0,1]")
+    val cand = candidates.select(queryId.as("query_id"), docId.as("doc_id"),
+        relevance.cast("double").as("rel"),
+        transform(vec, x => x.cast("double")).as("__v"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__score").desc, col("doc_id").asc)
+    var selected = cand
+      .withColumn("__score", lit(lambda) * col("rel"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("query_id"), col("doc_id"), col("rel"), col("__v"),
+        lit(1).as("mmr_rank"), round(col("__score"), 6).as("mmr_score"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val remaining = cand.join(
+        selected.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")
+      val maxSim = remaining
+        .join(selected.select(col("query_id"), col("__v").as("__sv")), Seq("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(max(round(cosine(col("__v"), col("__sv")), 6)).as("__msim"))
+      val pick = remaining.join(maxSim, Seq("query_id", "doc_id"))
+        .withColumn("__score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__msim"))
+        .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+        .select(col("query_id"), col("doc_id"), col("rel"), col("__v"),
+          lit(r).as("mmr_rank"), round(col("__score"), 6).as("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("mmr_rank"), col("doc_id"),
+      col("rel"), col("mmr_score"))
+  }
 }

@@ -857,4 +857,85 @@ object Stats {
           sum(col("n")).over(all)))
       .orderBy("bin")
   }
+
+  /** Isotonic calibration by pool-adjacent-violators (PAV) — the FIT
+    * half of [[calibration]]'s diagnostic: given scores in [0, 1] and
+    * binary outcomes, learn the best monotone (nondecreasing) mapping
+    * score → P(y) in the least-squares sense. The standard
+    * recalibration for quality/toxicity classifier scores before they
+    * gate a corpus (a gate at "p ≥ 0.8" is meaningless if 0.8 means
+    * 0.5 empirically).
+    *
+    * Shape at scale: stage 1 buckets scores into `buckets` fixed-width
+    * bins and partial-aggregates (n, n_pos) — the corpus-sized pass,
+    * one exchange to a ≤ `buckets`-row frame. Stage 2 runs PAV on that
+    * BOUNDED frame in a single-partition kernel (registry-audit class:
+    * the aggregate came first; PAV itself is inherently sequential —
+    * each pool merge depends on every earlier one). Pool comparisons
+    * use exact integer cross-multiplication (BigInt, overflow-proof),
+    * so pooling is repr-independent and replayable: merge on STRICT
+    * violation (prev rate > cur rate); equal-rate neighbors stay
+    * separate pools (the canonical form both engines agree on).
+    *
+    * Output, one row per non-empty bucket: (bucket, score_lo, n,
+    * n_pos, pool_start, pool_n, pool_pos, calibrated) where
+    * `calibrated` = pool_pos/pool_n rounded 6 dp — nondecreasing in
+    * bucket by construction. Scores outside [0, 1] (or NULL/NaN) are
+    * excluded — clamp upstream if they are meaningful.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      buckets: Int = 100): DataFrame = {
+    require(buckets >= 2 && buckets <= 100000, "buckets in [2, 100000]")
+    val agg = df.select(score.cast("double").as("__s"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__s") >= 0.0 && col("__s") <= 1.0)
+      .withColumn("__b",
+        least(floor(col("__s") * buckets), lit((buckets - 1).toLong)).cast("int"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pool_start", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("pool_n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pool_pos", org.apache.spark.sql.types.LongType)))
+    val pooled = agg.repartition(1).sortWithinPartitions("__b")
+      .mapPartitions { rows =>
+        final class Pool(var sy: Long, var n: Long) {
+          val members = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        }
+        val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+        rows.foreach { r =>
+          val bkt = r.getInt(0); val n = r.getLong(1); val sy = r.getLong(2)
+          val p = new Pool(sy, n); p.members += ((bkt, n, sy))
+          stack += p
+          // strict violation: prev rate > cur rate, compared exactly
+          while (stack.length >= 2 && {
+            val prev = stack(stack.length - 2); val cur = stack.last
+            BigInt(prev.sy) * cur.n > BigInt(cur.sy) * prev.n
+          }) {
+            val top = stack.remove(stack.length - 1)
+            val p2 = stack.last
+            p2.sy += top.sy; p2.n += top.n; p2.members ++= top.members
+          }
+        }
+        stack.iterator.flatMap { p =>
+          val start = p.members.head._1
+          p.members.iterator.map { case (bkt, n, sy) =>
+            org.apache.spark.sql.Row(bkt, n, sy, start, p.n, p.sy)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+    pooled
+      .withColumn("score_lo", col("bucket").cast("double") / buckets)
+      .withColumn("calibrated",
+        round(col("pool_pos").cast("double") / col("pool_n"), 6))
+      .select(col("bucket"), col("score_lo"), col("n"), col("n_pos"),
+        col("pool_start"), col("pool_n"), col("pool_pos"), col("calibrated"))
+  }
 }

@@ -1276,6 +1276,114 @@ object DedupQueries {
         .orderBy("component_pos")
     },
 
+    // D101: Johnson-Lindenstrauss random projection 64 → 8 dims with a
+    // per-vector norm-distortion audit. The seeded Gaussian planes are
+    // literals shared by both engines (q_ann_lsh contract), components
+    // round to 6 dp, and the norm fold replays left-associatively, so
+    // every value must match exactly.
+    Q(
+      "q_embed_jl", {
+        val planes = Similarity.hyperplanes(dim = 64, nPlanes = 8, seed = 42L)
+        val scale = 1.0 / math.sqrt(8.0)
+        val pCols = planes.zipWithIndex.map { case (p, i) =>
+          s"round(list_dot_product(v, ${p.mkString("[", ", ", "]")}) * $scale, 6) AS p${i + 1}"
+        }.mkString(",\n        |    ")
+        val sumP = (1 to 8).map(i => s"p$i * p$i").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |p AS (
+           |  SELECT vec_id, v,
+           |    $pCols
+           |  FROM e)
+           |SELECT vec_id, ${(1 to 8).map(i => s"p$i").mkString(", ")},
+           |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+           |    THEN round(sqrt($sumP) / sqrt(list_dot_product(v, v)), 4)
+           |  END AS norm_ratio
+           |FROM p ORDER BY vec_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val p = Similarity.randomProjection(table(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), dim = 64, outDim = 8)
+      p.select(col("vec_id") +:
+          (1 to 8).map(i => element_at(col("proj"), i).as(s"p$i")) :+
+          col("norm_ratio"): _*)
+        .orderBy("vec_id")
+    },
+
+    // D102: MMR diversified selection over each query's brute-force
+    // top-12 — greedy λ·rel − (1−λ)·max-sim re-ranking to a diverse
+    // top-4. The oracle unrolls the 3 greedy rounds (anti-join the
+    // selected set, max rounded cosine to it, window pick) — the
+    // q_bradley_terry unroll precedent on the retrieval side.
+    Q(
+      "q_mmr", {
+        val lam = 0.7
+        val oneMinus = s"${1.0 - lam}" // IEEE 1−0.7, NOT the literal 0.3
+        def step(t: Int) =
+          s"""rem$t AS (
+             |  SELECT c.* FROM cand c
+             |  WHERE NOT EXISTS (SELECT 1 FROM all${t - 1} s
+             |    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+             |ms$t AS (
+             |  SELECT r.query_id, r.doc_id,
+             |    max(round(list_cosine_similarity(r.v, s.v), 6)) AS msim
+             |  FROM rem$t r JOIN all${t - 1} s ON s.query_id = r.query_id
+             |  GROUP BY 1, 2),
+             |a$t AS (
+             |  SELECT r.query_id, r.doc_id, r.rel, r.v,
+             |    $lam * r.rel - $oneMinus * m.msim AS score
+             |  FROM rem$t r JOIN ms$t m
+             |    ON m.query_id = r.query_id AND m.doc_id = r.doc_id),
+             |sel$t AS (
+             |  SELECT query_id, doc_id, rel, v, $t AS mmr_rank,
+             |    round(score, 6) AS mmr_score
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS rn FROM a$t)
+             |  WHERE rn = 1),
+             |all$t AS (
+             |  SELECT query_id, doc_id, v FROM all${t - 1}
+             |  UNION ALL SELECT query_id, doc_id, v FROM sel$t)""".stripMargin
+        val steps = (2 to 4).map(step).mkString(",\n")
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+           |s AS (
+           |  SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, v) AS cs
+           |  FROM q, c WHERE c.vec_id <> q.query_id),
+           |r AS (
+           |  SELECT query_id, vec_id, cs,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, vec_id) AS rank
+           |  FROM s),
+           |cand AS (
+           |  SELECT r.query_id, r.vec_id AS doc_id, round(r.cs, 4) AS rel, c2.v
+           |  FROM r JOIN c c2 ON c2.vec_id = r.vec_id WHERE r.rank <= 12),
+           |a1 AS (SELECT query_id, doc_id, rel, v, $lam * rel AS score FROM cand),
+           |sel1 AS (
+           |  SELECT query_id, doc_id, rel, v, 1 AS mmr_rank,
+           |    round(score, 6) AS mmr_score
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id) AS rn FROM a1)
+           |  WHERE rn = 1),
+           |all1 AS (SELECT query_id, doc_id, v FROM sel1),
+           |$steps
+           |SELECT query_id, mmr_rank, doc_id, rel, mmr_score
+           |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+           |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4)
+           |ORDER BY query_id, mmr_rank""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val topk = Similarity.bruteForceTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        corpusId = col("vec_id"), corpusVec = col("v"),
+        queryId = col("vec_id"), queryVec = col("v"), k = 12)
+      val cand = topk.join(e, Seq("vec_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("cos_sim").as("rel"), col("v"))
+      Similarity.mmrSelect(cand, col("query_id"), col("doc_id"),
+          col("rel"), col("v"), k = 4, lambda = 0.7)
+        .orderBy("query_id", "mmr_rank")
+    },
+
     // D99b: ABTT debiasing — mean + top component projected out;
     // reports the per-vector removed norm share.
     Q.rowsOnly("q_embed_abtt") { (s, dir) =>

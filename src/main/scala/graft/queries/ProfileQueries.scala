@@ -532,6 +532,73 @@ object ProfileQueries {
       graft.operators.Stats.calibration(d, col("score"), col("y"), nBins = 10)
     },
 
+    // C67: isotonic calibration by pool-adjacent-violators — the FIT
+    // half of D60's diagnostic. Scores/labels derive from integer
+    // hashes of doc_id (exact in both engines); empirical bucket rates
+    // are noisy-increasing, so PAV genuinely pools. The oracle replays
+    // the sequential pool-merge loop with a recursive CTE carrying the
+    // pool stack as three parallel lists — one action (merge or
+    // consume) per step, exact integer cross-multiply violation test,
+    // the q_pack_bins recursion precedent.
+    Q(
+      "q_isotonic",
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, (doc_id * 37) % 101 AS si FROM documents),
+        |sc AS (
+        |  SELECT CAST(si AS DOUBLE) / 100.0 AS s,
+        |    ((doc_id * 53 + 11) % 100) * 100 < si * 70 + 1500 AS y
+        |  FROM src),
+        |g AS (
+        |  SELECT CAST(least(floor(s * 20), 19) AS INT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |arrs AS (
+        |  SELECT list(bucket ORDER BY bucket) AS ib,
+        |    list(n ORDER BY bucket) AS inn,
+        |    list(n_pos ORDER BY bucket) AS isy
+        |  FROM g),
+        |pav AS (
+        |  SELECT 0 AS step, ib, inn, isy,
+        |    CAST([] AS INTEGER[]) AS plo, CAST([] AS BIGINT[]) AS pn,
+        |    CAST([] AS BIGINT[]) AS psy, 0 AS idx
+        |  FROM arrs
+        |  UNION ALL
+        |  SELECT step + 1, ib, inn, isy,
+        |    CASE WHEN viol THEN plo[1:len(plo) - 1]
+        |         ELSE list_append(plo, ib[idx + 1]) END,
+        |    CASE WHEN viol THEN pn[1:len(pn) - 2] || [pn[-2] + pn[-1]]
+        |         ELSE list_append(pn, inn[idx + 1]) END,
+        |    CASE WHEN viol THEN psy[1:len(psy) - 2] || [psy[-2] + psy[-1]]
+        |         ELSE list_append(psy, isy[idx + 1]) END,
+        |    CASE WHEN viol THEN idx ELSE idx + 1 END
+        |  FROM (
+        |    SELECT p.*,
+        |      len(p.psy) >= 2 AND p.psy[-2] * p.pn[-1] > p.psy[-1] * p.pn[-2] AS viol
+        |    FROM pav p)
+        |  WHERE viol OR idx < len(ib)),
+        |fin AS (SELECT * FROM pav ORDER BY step DESC LIMIT 1),
+        |pools0 AS (
+        |  SELECT unnest(range(1, len(plo) + 1)) AS j, plo, pn, psy FROM fin),
+        |pools AS (
+        |  SELECT plo[j] AS pool_start, pn[j] AS pool_n, psy[j] AS pool_pos,
+        |    CASE WHEN j < len(plo) THEN plo[j + 1] ELSE 2147483647 END AS nxt
+        |  FROM pools0)
+        |SELECT g.bucket, g.bucket / 20.0 AS score_lo, g.n, g.n_pos,
+        |  p.pool_start, p.pool_n, p.pool_pos,
+        |  round(CAST(p.pool_pos AS DOUBLE) / p.pool_n, 6) AS calibrated
+        |FROM g JOIN pools p ON g.bucket >= p.pool_start AND g.bucket < p.nxt
+        |ORDER BY g.bucket""".stripMargin
+    ) { (s, dir) =>
+      val si = pmod(col("doc_id") * 37, lit(101L))
+      val d = table(s, dir, "documents").select(
+        (si.cast("double") / 100.0).as("score"),
+        (pmod(col("doc_id") * 53 + 11, lit(100L)) * 100 < si * 70 + 1500).as("y"))
+      graft.operators.Stats.isotonicCalibration(d, col("score"), col("y"),
+          buckets = 20)
+        .orderBy("bucket")
+    },
+
     // C51: chi-squared independence of two categoricals — contingency
     // cells from one partial-agg pass, margins by null-safe joins over
     // the bounded cell frame, per-cell terms truncated 7 dp into exact

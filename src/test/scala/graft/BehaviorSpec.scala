@@ -306,4 +306,51 @@ class BehaviorSpec extends SparkSpec {
     val zExp = math.signum(zRaw) * math.floor(math.abs(zRaw) * 1e4) / 1e4
     assert(s(5)._6 == zExp && !s(5)._7, s"${s(5)} vs $zExp")
   }
+
+  test("isotonicCalibration: hand-computed PAV pooling, cascade, equal rates, range guard") {
+    import spark.implicits._
+    def rows(spec: (Double, Int, Int)*): Seq[(Double, Boolean)] =
+      spec.flatMap { case (s, pos, neg) =>
+        Seq.fill(pos)((s, true)) ++ Seq.fill(neg)((s, false)) }
+    // buckets (width 1/4): rates 0.25, 0.75, 0.25, 1.0 — buckets 1+2
+    // violate and pool to 0.5; 0 and 3 stand alone
+    val df = rows((0.1, 1, 3), (0.3, 3, 1), (0.6, 1, 3), (0.9, 2, 0)).toDF("s", "y")
+    val r = Stats.isotonicCalibration(df, col("s"), col("y"), buckets = 4)
+      .orderBy("bucket")
+      .select("bucket", "score_lo", "n", "n_pos", "pool_start", "pool_n",
+        "pool_pos", "calibrated")
+      .as[(Int, Double, Long, Long, Int, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      (0, 0.0, 4L, 1L, 0, 4L, 1L, 0.25),
+      (1, 0.25, 4L, 3L, 1, 8L, 4L, 0.5),
+      (2, 0.5, 4L, 1L, 1, 8L, 4L, 0.5),
+      (3, 0.75, 2L, 2L, 3, 2L, 2L, 1.0)))
+    // full cascade: strictly decreasing rates pool into ONE pool
+    val casc = rows((0.1, 2, 0), (0.3, 1, 1), (0.6, 0, 2)).toDF("s", "y")
+    val rc = Stats.isotonicCalibration(casc, col("s"), col("y"), buckets = 4)
+      .select("pool_start", "calibrated").distinct()
+      .as[(Int, Double)].collect()
+    assert(rc.toSeq == Seq((0, 0.5)), s"cascade: ${rc.toSeq}")
+    // EQUAL adjacent rates stay separate pools (strict-violation form)
+    val eq = rows((0.1, 1, 1), (0.3, 2, 2)).toDF("s", "y")
+    val re = Stats.isotonicCalibration(eq, col("s"), col("y"), buckets = 4)
+      .orderBy("bucket").select("bucket", "pool_start", "calibrated")
+      .as[(Int, Int, Double)].collect()
+    assert(re.toSeq == Seq((0, 0, 0.5), (1, 1, 0.5)))
+    // out-of-range / NULL scores are excluded; score 1.0 lands in the
+    // top bucket (clamped, not dropped)
+    val guard = Seq((1.5, true), (-0.2, true), (1.0, true), (0.99, false))
+      .toDF("s", "y")
+    val rg = Stats.isotonicCalibration(guard, col("s"), col("y"), buckets = 4)
+      .select("bucket", "n", "n_pos").as[(Int, Long, Long)].collect()
+    assert(rg.toSeq == Seq((3, 2L, 1L)))
+    // monotonicity property on a noisy synthetic slope
+    val noisy = (0 until 400).map { i =>
+      val s = (i % 101) / 100.0
+      (s, ((i * 53 + 11) % 100) < s * 70 + 15) }.toDF("s", "y")
+    val cal = Stats.isotonicCalibration(noisy, col("s"), col("y"), buckets = 20)
+      .orderBy("bucket").select("calibrated").as[Double].collect()
+    assert(cal.zip(cal.tail).forall { case (a, b) => a <= b },
+      s"not monotone: ${cal.toSeq}")
+  }
 }

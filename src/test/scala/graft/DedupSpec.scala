@@ -1053,4 +1053,83 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("cos_distortion") >= 0.999))
     assert(out.forall(!_.getAs[Boolean]("degenerate")))
   }
+
+  test("randomProjection: shape, determinism, JL norm preservation, zero vector") {
+    import spark.implicits._
+    val e = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val p = Similarity.randomProjection(e, col("vec_id"), col("embedding"),
+      dim = 64, outDim = 16)
+    val rows = p.collect()
+    assert(rows.forall(_.getAs[scala.collection.Seq[Double]]("proj").length == 16))
+    // JL promise on the unit-norm corpus: every ratio in a sane band,
+    // and the MEAN ratio near 1 (Gaussian planes, scale 1/sqrt(16))
+    val ratios = rows.map(_.getAs[Double]("norm_ratio"))
+    assert(ratios.forall(r => r > 0.2 && r < 2.5), s"ratio out of band")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15, s"mean norm ratio $mean drifted")
+    // determinism: same seed → identical; different seed → different
+    val again = Similarity.randomProjection(e, col("vec_id"), col("embedding"),
+      dim = 64, outDim = 16).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    val other = Similarity.randomProjection(e, col("vec_id"), col("embedding"),
+      dim = 64, outDim = 16, seed = 7L).collect()
+    assert(rows.map(_.toSeq).toSet != other.map(_.toSeq).toSet)
+    // zero vector: all-zero codes, NULL ratio
+    val z = Seq((1L, Array.fill(4)(0.0))).toDF("id", "v")
+    val zr = Similarity.randomProjection(z, col("id"), col("v"),
+      dim = 4, outDim = 2).collect().head
+    assert(zr.getAs[scala.collection.Seq[Double]]("proj").forall(_ == 0.0))
+    assert(zr.isNullAt(zr.fieldIndex("norm_ratio")))
+    // linearity (projection is linear up to the 6-dp component round):
+    // proj(2a) == 2·proj(a) within rounding slack
+    val a = Seq((1L, Array(0.5, -0.25, 1.0, 0.0))).toDF("id", "v")
+    val a2 = Seq((1L, Array(1.0, -0.5, 2.0, 0.0))).toDF("id", "v")
+    val pa = Similarity.randomProjection(a, col("id"), col("v"), 4, 3)
+      .collect().head.getAs[scala.collection.Seq[Double]]("proj")
+    val pa2 = Similarity.randomProjection(a2, col("id"), col("v"), 4, 3)
+      .collect().head.getAs[scala.collection.Seq[Double]]("proj")
+    pa.zip(pa2).foreach { case (x, x2) =>
+      assert(math.abs(x2 - 2 * x) < 5e-6, s"$x2 vs ${2 * x}") }
+  }
+
+  test("mmrSelect: near-duplicate displaced by a diverse pick, short groups, ties, determinism") {
+    import spark.implicits._
+    // A(1) and B(2) are identical vectors; C(3) is orthogonal. With
+    // λ=0.5 the redundant B scores 0.5·0.98 − 0.5·1 < 0, so rank 2
+    // must be the diverse C despite its much lower relevance.
+    val cand = Seq(
+      (1L, 1L, 0.99, Array(1.0, 0.0)),
+      (1L, 2L, 0.98, Array(1.0, 0.0)),
+      (1L, 3L, 0.50, Array(0.0, 1.0)),
+      // query 2 has a single candidate: k=2 must return just it
+      (2L, 9L, 0.40, Array(1.0, 1.0)))
+      .toDF("qid", "did", "rel", "v")
+    val out = Similarity.mmrSelect(cand, col("qid"), col("did"),
+        col("rel"), col("v"), k = 2, lambda = 0.5)
+      .orderBy("query_id", "mmr_rank")
+      .select("query_id", "mmr_rank", "doc_id").as[(Long, Int, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1, 1L), (1L, 2, 3L), (2L, 1, 9L)))
+    // rank-1 tie on rel breaks on doc_id ascending
+    val tie = Seq(
+      (1L, 5L, 0.9, Array(1.0, 0.0)), (1L, 4L, 0.9, Array(0.0, 1.0)))
+      .toDF("qid", "did", "rel", "v")
+    val t = Similarity.mmrSelect(tie, col("qid"), col("did"),
+        col("rel"), col("v"), k = 1, lambda = 0.7)
+      .select("doc_id").as[Long].collect()
+    assert(t.toSeq == Seq(4L))
+    // determinism on the real corpus slice
+    val e = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val topk = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+      col("vec_id"), col("v"), col("vec_id"), col("v"), k = 8)
+    val c2 = topk.join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("did"),
+        col("cos_sim").as("rel"), col("v"))
+    def run() = Similarity.mmrSelect(c2, col("query_id"), col("did"),
+        col("rel"), col("v"), k = 3)
+      .select("query_id", "mmr_rank", "doc_id", "mmr_score")
+      .collect().map(_.toSeq).toSet
+    assert(run() == run())
+  }
 }
