@@ -217,4 +217,40 @@ object Behavior {
         sum(col("__first")).cast("double").as("credit_first"),
         sum(col("__last")).cast("double").as("credit_last"))
   }
+
+  /** First-order Markov TRANSITION MATRIX over each user's
+    * time-ordered event stream — "after a click, what happens next?":
+    * for every (from_event, to_event) pair, the transition count and
+    * conditional probability P(to | from). The behavioral summary
+    * under funnel design ([[funnel]] checks ONE path; this surfaces
+    * ALL paths and their mass, including the error loops you didn't
+    * think to ask about).
+    *
+    * Shape at scale: ONE keyed window per user (lead by timestamp,
+    * `tiebreak` for same-instant events — the sessionize partitioning
+    * contract, never global), then a partial-aggregated count to the
+    * |event types|² grid, which is config-sized; the probability
+    * normalization is a window over that bounded grid
+    * (registry-audit class: window above an aggregate). Probabilities
+    * round 4 dp.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      event: Column,
+      tiebreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t").asc, col("__tb").asc)
+    val grid = df.select(user.as("__u"), ts.as("__t"), tiebreak.as("__tb"),
+        event.as("from_event"))
+      .withColumn("to_event", lead(col("from_event"), 1).over(w))
+      .filter(col("to_event").isNotNull)
+      .groupBy("from_event", "to_event")
+      .agg(count(lit(1)).as("n"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("from_event")
+    grid.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wf), 4))
+      .select(col("from_event"), col("to_event"), col("n"), col("p"))
+  }
 }

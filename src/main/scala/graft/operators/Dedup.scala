@@ -269,6 +269,52 @@ object Dedup {
     graft.operators.Sampling.splitAssign(withComp, col("cluster"), weights)
   }
 
+  /** ENTITY RESOLUTION — fuzzy record dedup for structured tables
+    * (customers, suppliers, product catalogs): records block on an
+    * exact key (region, zip prefix, name length band — the caller's
+    * choice), pairs within a block match when `levenshtein(name) ≤
+    * maxDist`, matches cluster transitively ([[connectedComponents]]),
+    * and the min-id member of each cluster is its canonical
+    * representative. The structured-data face of the document dedup
+    * family: same block-then-pair-then-cluster shape, edit distance
+    * where documents use Jaccard.
+    *
+    * Shape at scale: the pair join is BLOCK-LOCAL (never cartesian);
+    * blocks above `maxBlock` are dropped from pairing entirely and
+    * their members surface as singletons (the LSH maxBucket
+    * quarantine — a degenerate blocking key like NULL-zip would
+    * otherwise quadratically explode one partition). Levenshtein runs
+    * inside the join as a codegen'd builtin. Returns one row per
+    * input record: (id, cluster, is_rep) — is_rep marks the canonical
+    * record (cluster == own id, the min-label CC invariant).
+    */
+  def entityResolve(
+      df: DataFrame,
+      id: Column,
+      name: Column,
+      block: Column,
+      maxDist: Int = 1,
+      maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val base = df.select(id.cast("long").as("id"), name.as("__n"),
+      block.as("__blk"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("__blk")
+    val capped = base
+      .withColumn("__bn", count(lit(1)).over(wB))
+      .filter(col("__bn") <= maxBlock && col("__bn") >= 2).drop("__bn")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id")
+          && levenshtein(col("a.__n"), col("b.__n")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val comp = connectedComponents(pairs, col("id_a"), col("id_b"))
+      .withColumnsRenamed(Map("id" -> "__cid", "comp" -> "cluster"))
+    base.join(comp, col("id") === col("__cid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_rep"))
+  }
+
   /** Cross-source contamination matrix — "which sources copy from
     * each other?": for every source pair, the number of normalized
     * content fingerprints present in BOTH (mirror pairs collapse to

@@ -213,4 +213,88 @@ object Eval {
         .otherwise(Num.t4zero((po - pe) / (lit(1.0) - pe))).as("kappa"),
       (col("pe_num") === col("n_items") * col("n_items")).as("degenerate"))
   }
+
+  /** Poisson-bucket cumulative cuts for the bootstrap weights: a
+    * per-mille bucket below cut(w) draws weight w. floor(1000·CDF of
+    * Poisson(1)) — shared verbatim with the SQL twin.
+    */
+  private[graft] val poissonCuts: Seq[Int] = Seq(367, 735, 919, 981, 996, 999)
+
+  /** SEEDED BOOTSTRAP confidence intervals for per-group metric means
+    * — the error bars every eval table should carry ("48% vs 51%" is
+    * noise at n=200, a headline at n=20000). Poisson bootstrap: each
+    * of `b` resamples draws every row with an independent
+    * Poisson(1)-distributed weight, so resampling is a single
+    * EMBARRASSINGLY-PARALLEL pass (explode b indices per row — no
+    * per-resample shuffle of the data, the resample index rides the
+    * groupBy key) and, because the weight comes from the portable
+    * integer hash ([[Sampling.hashBucket]] on id·1009+r, Poisson
+    * inverse-CDF on the per-mille bucket), the same rows draw the
+    * same weights on every run, engine, and cluster size. No RNG.
+    *
+    * Input contract: one row per EVAL ITEM (id must be unique per
+    * group; the frame is eval-sized — the explode multiplies rows by
+    * `b`). Per (group, resample): weighted mean over exact decimal
+    * value lanes; empty resamples (all weights zero — tiny groups)
+    * are excluded and reported via n_resamples. CI bounds are the
+    * rank-based percentiles of the resample means: rank
+    * ceil(α/2·B_eff) and ceil((1−α/2)·B_eff) in (mean, resample)
+    * order — deterministic, no interpolation.
+    *
+    * Output: (group, n, point_mean, ci_lo, ci_hi, n_resamples),
+    * means rounded 6 dp.
+    */
+  def bootstrapCI(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      value: Column,
+      b: Int = 200,
+      level: Double = 0.95): DataFrame = {
+    require(b >= 10 && b <= 10000, "b in [10, 10000]")
+    require(level > 0 && level < 1, "level in (0,1)")
+    val alpha = 1.0 - level
+    val base = df.select(group.as("grp"), id.cast("long").as("__id"),
+      value.cast("double").as("__v"))
+    // values pre-round to 6 dp BEFORE the decimal cast: the cast of an
+    // exactly-6-dp double is faithful in both engines, where a direct
+    // double->decimal cast of an arbitrary double would expose the
+    // engines' differing cast-rounding on boundary values
+    val vLane = Num.dec(round(col("__v"), 6))
+    val point = base.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      round(sum(vLane).cast("double") / count(lit(1)), 6)
+        .as("point_mean"))
+    // one row per (item, resample): weight from the portable hash
+    val bucket = Sampling.hashBucket(col("__id") * 1009L + col("__r"))
+    val weight = poissonCuts.zipWithIndex.foldRight(lit(poissonCuts.size)) {
+      case ((cut, w), rest) => when(bucket <= cut, lit(w)).otherwise(rest)
+    }
+    val resamples = base
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", weight)
+      .groupBy("grp", "__r")
+      .agg(sum(col("__w")).as("__sw"),
+        sum(vLane * col("__w")).as("__swv"))
+      .filter(col("__sw") > 0)
+      .select(col("grp"), col("__r"),
+        round(col("__swv").cast("double") / col("__sw"), 6).as("__m"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("__m").asc, col("__r").asc)
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val ranked = resamples
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__beff", count(lit(1)).over(wGrp))
+      .withColumn("__lo_rk",
+        greatest(lit(1L), ceil(lit(alpha / 2) * col("__beff"))))
+      .withColumn("__hi_rk", ceil(lit(1.0 - alpha / 2) * col("__beff")))
+    val ci = ranked.groupBy("grp").agg(
+      max(when(col("__rk") === col("__lo_rk"), col("__m"))).as("ci_lo"),
+      max(when(col("__rk") === col("__hi_rk"), col("__m"))).as("ci_hi"),
+      max(col("__beff")).as("n_resamples"))
+    point.join(ci, Seq("grp"), "left")
+      .select(col("grp").as("group_key"), col("n"), col("point_mean"),
+        col("ci_lo"), col("ci_hi"),
+        coalesce(col("n_resamples"), lit(0L)).as("n_resamples"))
+  }
 }

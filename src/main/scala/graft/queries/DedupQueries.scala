@@ -788,6 +788,71 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // C68: entity resolution on `customer` — names get a decorrelating
+    // pseudorandom tag (custkey·7919 mod 1e5, injective over the key
+    // range, so any two ORIGINALS differ in ≥2 edit positions and
+    // maxDist=1 admits exactly the planted pairs); the planted twin
+    // drops one character at a key-dependent position (distance
+    // exactly 1). Blocks on nationkey; components are pairs (diameter
+    // 1), so the 8-round CC unroll is exact.
+    Q(
+      "q_entity_resolve", {
+        val rounds = (1 to 8).map { i =>
+          s"""l$i AS MATERIALIZED (
+             |  SELECT l.id,
+             |    least(l.comp, coalesce((SELECT min(l2.comp)
+             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
+             |      WHERE e.a = l.id), l.comp)) AS comp
+             |  FROM l${i - 1} l)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c0 AS (
+           |  SELECT c_custkey AS id,
+           |    c_name || '-' || (c_custkey * 7919) % 100000 AS nm,
+           |    c_nationkey AS blk
+           |  FROM customer),
+           |t AS (
+           |  SELECT id0 + 1000000 AS id,
+           |    substr(nm, 1, p - 1) || substr(nm, p + 1) AS nm, blk
+           |  FROM (SELECT id AS id0, CAST((id % 10) + 5 AS INT) AS p, nm, blk
+           |        FROM c0)),
+           |u AS (SELECT * FROM c0 UNION ALL SELECT * FROM t),
+           |bn AS (SELECT blk, count(*) AS bcnt FROM u GROUP BY 1),
+           |cap AS (
+           |  SELECT u.id, u.nm, u.blk FROM u JOIN bn USING (blk)
+           |  WHERE bn.bcnt <= 10000 AND bn.bcnt >= 2),
+           |pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b
+           |  FROM cap a JOIN cap b
+           |    ON a.blk = b.blk AND a.id < b.id
+           |   AND levenshtein(a.nm, b.nm) <= 1),
+           |sym AS MATERIALIZED (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS comp FROM sym),
+           |$rounds,
+           |wc AS (
+           |  SELECT u.id, coalesce(l.comp, u.id) AS cluster
+           |  FROM u LEFT JOIN l8 l ON l.id = u.id)
+           |SELECT id, cluster, id = cluster AS is_rep
+           |FROM wc ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val c0 = table(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        concat(col("c_name"), lit("-"),
+          pmod(col("c_custkey") * 7919L, lit(100000L))).as("nm"),
+        col("c_nationkey").as("blk"))
+      val p = (pmod(col("id"), lit(10L)) + 5).cast("int")
+      val typo = c0.select(
+        (col("id") + 1000000L).as("id"),
+        concat(col("nm").substr(lit(1), p - 1),
+          col("nm").substr(p + 1, lit(1000))).as("nm"),
+        col("blk"))
+      Dedup.entityResolve(c0.unionByName(typo), col("id"), col("nm"),
+          col("blk"), maxDist = 1)
+        .orderBy("id")
+    },
+
     // D75: cross-source contamination matrix — every 7th doc's text
     // is mirrored into a synthetic 'mirror' source (7 is coprime with
     // the 20-source round-robin, so every source gets mirrored docs);

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Eval
+import graft.operators.{Eval, Sampling}
 
 /** Model-eval & annotation analytics queries (SURVEY §2.D90-D93).
   *
@@ -192,6 +192,64 @@ object EvalQueries {
           .otherwise((col("n_chars") % 3).cast("string")).as("la"),
         ((col("n_chars") + col("doc_id")) % 3).cast("string").as("lb"))
       Eval.cohenKappa(docs, col("la"), col("lb"))
+    },
+
+    // D103: seeded Poisson-bootstrap CIs for per-type event-value
+    // means — B=200 resamples, weights from the portable hash +
+    // Poisson(1) inverse-CDF cuts, rank-based percentile bounds. The
+    // oracle replays hash, cuts, decimal mean lanes, and the rank
+    // formula verbatim; α/2 interpolates as the IEEE value Spark
+    // computes (NOT the decimal literal 0.025 — they differ in the
+    // last ulp and sit exactly on a ceil boundary at B=200).
+    Q(
+      "q_bootstrap_ci", {
+        val alpha = 1.0 - 0.95
+        val b = Sampling.hashBucketSql("(id * 1009 + r)")
+        val cuts = Eval.poissonCuts
+        val wExpr = cuts.zipWithIndex
+          .map { case (c, w) => s"WHEN bkt <= $c THEN $w" }
+          .mkString("CASE ", " ", s" ELSE ${cuts.size} END")
+        s"""WITH e AS (
+           |  SELECT event_type AS grp, event_id AS id, value AS v FROM events),
+           |pt AS (
+           |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           |      / count(*), 6) AS point_mean
+           |  FROM e GROUP BY 1),
+           |x AS (
+           |  SELECT grp, id, v, unnest(range(0, 200)) AS r FROM e),
+           |wt AS (
+           |  SELECT grp, r, v, $wExpr AS w
+           |  FROM (SELECT grp, id, v, r, $b AS bkt FROM x)),
+           |m AS (
+           |  SELECT grp, r,
+           |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)) * w) AS DOUBLE)
+           |      / sum(w), 6) AS m
+           |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+           |rk AS (
+           |  SELECT grp, r, m,
+           |    row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rk,
+           |    count(*) OVER (PARTITION BY grp) AS beff
+           |  FROM m),
+           |ci AS (
+           |  SELECT grp,
+           |    max(CASE WHEN rk = greatest(1, CAST(ceil(${alpha / 2} * beff) AS BIGINT))
+           |        THEN m END) AS ci_lo,
+           |    max(CASE WHEN rk = CAST(ceil(${1.0 - alpha / 2} * beff) AS BIGINT)
+           |        THEN m END) AS ci_hi,
+           |    CAST(max(beff) AS BIGINT) AS n_resamples
+           |  FROM rk GROUP BY 1)
+           |SELECT pt.grp AS group_key, pt.n, pt.point_mean,
+           |  ci.ci_lo, ci.ci_hi, coalesce(ci.n_resamples, 0) AS n_resamples
+           |FROM pt LEFT JOIN ci ON ci.grp = pt.grp
+           |ORDER BY group_key""".stripMargin
+      }
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      Eval.bootstrapCI(ev, col("event_type"), col("event_id"), col("value"),
+          b = 200, level = 0.95)
+        .orderBy("group_key")
     }
   )
 }

@@ -283,6 +283,33 @@ object TemporalQueries {
         .orderBy("step")
     },
 
+    // C69: first-order Markov transition matrix over per-user event
+    // streams — one lead window keyed by user (event_id tiebreak for
+    // same-instant events), counts to the bounded |types|² grid,
+    // P(to|from) normalized by a window over that grid.
+    Q(
+      "q_transition",
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS eid,
+        |    event_type AS et
+        |  FROM events),
+        |l AS (
+        |  SELECT et AS from_event,
+        |    lead(et) OVER (PARTITION BY u ORDER BY t, eid) AS to_event
+        |  FROM e),
+        |g AS (
+        |  SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE to_event IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_event, to_event, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_event), 4) AS p
+        |FROM g ORDER BY from_event, to_event""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.operators.Behavior.transitionMatrix(ev, col("user_id"),
+          col("ts_ns"), col("event_type"), tiebreak = col("event_id"))
+        .orderBy("from_event", "to_event")
+    },
+
     // C38: rolling 7-day active users — exact sliding distinct via
     // contribution-explode (no COUNT(DISTINCT) OVER, which Spark
     // lacks and which would hold per-window state); oracle states the

@@ -307,6 +307,27 @@ class BehaviorSpec extends SparkSpec {
     assert(s(5)._6 == zExp && !s(5)._7, s"${s(5)} vs $zExp")
   }
 
+  test("transitionMatrix: hand-computed counts, per-user ordering, same-ts tiebreak") {
+    import spark.implicits._
+    // u1: A->B->A->C; u2: B->B; u3: two same-ts events ordered by id
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"), (1L, 3L, 30L, "A"), (1L, 4L, 40L, "C"),
+      (2L, 5L, 10L, "B"), (2L, 6L, 20L, "B"),
+      (3L, 7L, 50L, "X"), (3L, 8L, 50L, "Y"))
+      .toDF("u", "eid", "t", "et")
+    val r = Behavior.transitionMatrix(ev, col("u"), col("t"), col("et"),
+        tiebreak = col("eid"))
+      .orderBy("from_event", "to_event")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5),
+      ("B", "A", 1L, 0.5), ("B", "B", 1L, 0.5),
+      ("X", "Y", 1L, 1.0)))
+    // no cross-user transition leaked: u2's last B never pairs with
+    // u3's X (would appear as B->X)
+    assert(!r.exists(t => t._1 == "B" && t._2 == "X"))
+  }
+
   test("isotonicCalibration: hand-computed PAV pooling, cascade, equal rates, range guard") {
     import spark.implicits._
     def rows(spec: (Double, Int, Int)*): Seq[(Double, Boolean)] =

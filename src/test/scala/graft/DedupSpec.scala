@@ -1093,6 +1093,33 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(x2 - 2 * x) < 5e-6, s"$x2 vs ${2 * x}") }
   }
 
+  test("entityResolve: fuzzy match within blocks, block isolation, cap, transitivity") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha", 10), (2L, "alphx", 10), (3L, "beta", 10),
+      (4L, "alpha", 20)) // identical name, DIFFERENT block: no match
+      .toDF("id", "nm", "blk")
+    val r = Dedup.entityResolve(recs, col("id"), col("nm"), col("blk"),
+        maxDist = 1)
+      .orderBy("id").as[(Long, Long, Boolean)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 4L, true)))
+    // transitivity: aaaa~aaab~aabb chain clusters all three even
+    // though the endpoints are 2 edits apart
+    val chain = Seq((1L, "aaaa", 1), (2L, "aaab", 1), (3L, "aabb", 1))
+      .toDF("id", "nm", "blk")
+    val rc = Dedup.entityResolve(chain, col("id"), col("nm"), col("blk"),
+        maxDist = 1)
+      .select("cluster").distinct().as[Long].collect()
+    assert(rc.toSeq == Seq(1L))
+    // maxBlock quarantine: an over-cap block pairs nothing; everyone
+    // surfaces as their own singleton
+    val big = Dedup.entityResolve(chain, col("id"), col("nm"), col("blk"),
+        maxDist = 1, maxBlock = 2)
+      .orderBy("id").as[(Long, Long, Boolean)].collect()
+    assert(big.toSeq == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+  }
+
   test("mmrSelect: near-duplicate displaced by a diverse pick, short groups, ties, determinism") {
     import spark.implicits._
     // A(1) and B(2) are identical vectors; C(3) is orthogonal. With

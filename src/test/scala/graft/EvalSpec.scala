@@ -162,4 +162,38 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Double]("kappa") == 0.0)
     assert(out.getAs[Boolean]("degenerate"))
   }
+
+  test("bootstrapCI: determinism, point mean, bound ordering, constant collapse, tiny group") {
+    import spark.implicits._
+    val df = (0 until 300).map { i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, (i % 13).toDouble) }
+      .toDF("g", "id", "v")
+    def run() = Eval.bootstrapCI(df, col("g"), col("id"), col("v"), b = 100)
+      .orderBy("group_key").collect().map(_.toSeq)
+    val r = run()
+    assert(r.sameElements(run()), "bootstrap must be RNG-free")
+    val a = run().head
+    // point mean is the plain group mean (150 evens mod 13), 6-dp
+    val vs = (0 until 300).filter(_ % 2 == 0).map(_ % 13)
+    val exp = BigDecimal(vs.sum.toDouble / vs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a(2) == exp, s"${a(2)} vs $exp")
+    // bounds bracket sanely and resamples are full
+    assert(a.asInstanceOf[Seq[Any]](3).asInstanceOf[Double] <=
+      a(4).asInstanceOf[Double])
+    assert(a(5) == 100L)
+    // constant values: every resample mean collapses to the constant
+    val const = (0 until 50).map(i => ("c", i.toLong, 7.25)).toDF("g", "id", "v")
+    val rc = Eval.bootstrapCI(const, col("g"), col("id"), col("v"), b = 50)
+      .collect()(0)
+    assert(rc.getAs[Double]("ci_lo") == 7.25 && rc.getAs[Double]("ci_hi") == 7.25)
+    // single-row group: ~37% of resamples draw weight 0 and are
+    // excluded; the survivors' mean is the lone value
+    val one = Seq(("z", 1L, 3.5)).toDF("g", "id", "v")
+    val ro = Eval.bootstrapCI(one, col("g"), col("id"), col("v"), b = 200)
+      .collect()(0)
+    assert(ro.getAs[Long]("n_resamples") > 0 &&
+      ro.getAs[Long]("n_resamples") < 200)
+    assert(ro.getAs[Double]("ci_lo") == 3.5 && ro.getAs[Double]("ci_hi") == 3.5)
+  }
 }
