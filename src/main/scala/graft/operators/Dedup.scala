@@ -315,6 +315,54 @@ object Dedup {
         (col("id") === col("cluster")).as("is_rep"))
   }
 
+  /** INCREMENTAL entity resolution — a NEW shard of records against a
+    * STORED resolved table (the [[minHashLSHIncremental]] arrival
+    * pattern for structured data): only the shard pays blocking +
+    * levenshtein, the join is BIPARTITE shard-block × corpus-block
+    * (bounded by shard size × maxBlock, independent of corpus size),
+    * and each shard record adopts the MINIMUM matched cluster or
+    * founds its own (cluster = own id, `matched` = false). Within-
+    * shard duplicates are deliberately out of scope — run
+    * [[entityResolve]] on the shard first, exactly as the MinHash
+    * incremental skips corpus self-pairing; the two compose.
+    *
+    * `resolved` is the stored table: one row per canonical-ized record
+    * with its name, blocking key, and cluster id (what
+    * [[entityResolve]]'s output joined back to the records persists).
+    */
+  def entityResolveIncremental(
+      shard: DataFrame,
+      id: Column,
+      name: Column,
+      block: Column,
+      resolved: DataFrame,
+      resolvedId: Column,
+      resolvedName: Column,
+      resolvedBlock: Column,
+      resolvedCluster: Column,
+      maxDist: Int = 1,
+      maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val sh = shard.select(id.cast("long").as("id"), name.as("__n"),
+      block.as("__blk"))
+    val corpus = resolved.select(resolvedId.cast("long").as("__cid"),
+      resolvedName.as("__cn"), resolvedBlock.as("__cblk"),
+      resolvedCluster.cast("long").as("__ccl"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("__cblk")
+    val corpusCapped = corpus
+      .withColumn("__bn", count(lit(1)).over(wB))
+      .filter(col("__bn") <= maxBlock).drop("__bn")
+    val matches = sh
+      .join(corpusCapped,
+        col("__blk") === col("__cblk")
+          && levenshtein(col("__n"), col("__cn")) <= maxDist)
+      .groupBy("id").agg(min(col("__ccl")).as("__match"))
+    sh.join(matches, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__match"), col("id")).as("cluster"),
+        col("__match").isNotNull.as("matched"))
+  }
+
   /** Cross-source contamination matrix — "which sources copy from
     * each other?": for every source pair, the number of normalized
     * content fingerprints present in BOTH (mirror pairs collapse to

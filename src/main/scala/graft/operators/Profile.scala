@@ -828,4 +828,56 @@ object Profile {
       .withColumn("bin_lo", round(lit(lo) + col("bin") * w, 4))
       .select(col("bin"), col("bin_lo"), col("n"))
   }
+
+  /** QUANTILE NORMALIZATION onto a reference group — harmonize
+    * per-source score distributions before cross-source gates: a
+    * quality score of 0.6 from crawl A and 0.6 from crawl B rarely
+    * mean the same thing; mapping every group's empirical distribution
+    * onto one reference group's makes "keep the top 30%" mean the top
+    * 30% EVERYWHERE. Each row's within-group rank becomes a
+    * percentile, which indexes into the reference group's sorted
+    * values.
+    *
+    * Determinism is PURE INTEGER: rank by (value, id) per group, the
+    * mapped reference rank is `(r−1)·(n_ref−1) div (n−1) + 1` (exact
+    * integer division — no float percentile to disagree on);
+    * single-row groups map to the reference median rank.
+    *
+    * Shape at scale: one rank window per GROUP (keyed, never global),
+    * the reference group's (rank, value) frame joins back by equi-rank
+    * — distributed, reference-group-sized build side; the reference
+    * row count rides in as a 1-row broadcast. NULL values are
+    * excluded (rank semantics would be engine-dependent).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      value: Column,
+      referenceGroup: String): DataFrame = {
+    val t = df.select(group.cast("string").as("group_key"), id.as("id"),
+        value.cast("double").as("value"))
+      .filter(col("value").isNotNull)
+    // loud failure on a missing/empty reference group: a silent nref=0
+    // would map every rank negative and the equi-rank join would
+    // return an EMPTY frame that looks like success downstream
+    require(t.filter(col("group_key") === referenceGroup).limit(1).count() > 0,
+      s"quantileNormalize: reference group '$referenceGroup' has no rows")
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_key").orderBy(col("value").asc, col("id").asc)
+    val ranked = t
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("group_key")))
+    val ref = ranked.filter(col("group_key") === referenceGroup)
+      .select(col("__r").as("__ref_r"), col("value").as("normalized"))
+    val refN = ref.agg(count(lit(1)).as("__nref"))
+    ranked.crossJoin(broadcast(refN))
+      .withColumn("__ref_r",
+        when(col("__n") > 1,
+          expr("(__r - 1) * (__nref - 1) div (__n - 1)") + 1L)
+          .otherwise(expr("(__nref - 1) div 2") + 1L))
+      .join(ref, Seq("__ref_r"))
+      .select(col("group_key"), col("id"), col("value"), col("normalized"))
+  }
 }

@@ -862,6 +862,59 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // C68b: INCREMENTAL entity resolution — the typo renditions arrive
+    // as a new shard against the stored resolved originals (every
+    // original is its own cluster: the injective tag keeps originals
+    // ≥2 edits apart). Bipartite join only — no CC needed, so the
+    // oracle is one levenshtein join + min-cluster + coalesce.
+    Q(
+      "q_entity_resolve_incr",
+      """WITH c0 AS (
+        |  SELECT c_custkey AS id,
+        |    c_name || '-' || (c_custkey * 7919) % 100000 AS nm,
+        |    c_nationkey AS blk
+        |  FROM customer),
+        |t AS (
+        |  SELECT id0 + 1000000 AS id,
+        |    substr(nm, 1, p - 1) || substr(nm, p + 1) AS nm, blk
+        |  FROM (SELECT id AS id0, CAST((id % 10) + 5 AS INT) AS p, nm, blk
+        |        FROM c0)),
+        |corpus AS (
+        |  SELECT id AS cid, nm AS cn, blk || '|' || right(nm, 6) AS cbk,
+        |    id AS ccl
+        |  FROM c0),
+        |shard AS (
+        |  SELECT id, nm, blk || '|' || right(nm, 6) AS bk FROM t),
+        |m AS (
+        |  SELECT s.id, min(c.ccl) AS mcl
+        |  FROM shard s JOIN corpus c
+        |    ON s.bk = c.cbk AND levenshtein(s.nm, c.cn) <= 1
+        |  GROUP BY 1)
+        |SELECT s.id, coalesce(m.mcl, s.id) AS cluster,
+        |  m.mcl IS NOT NULL AS matched
+        |FROM shard s LEFT JOIN m ON m.id = s.id
+        |ORDER BY s.id""".stripMargin
+    ) { (s, dir) =>
+      val c0 = table(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        concat(col("c_name"), lit("-"),
+          pmod(col("c_custkey") * 7919L, lit(100000L))).as("nm"),
+        col("c_nationkey").as("blk"))
+      val p = (pmod(col("id"), lit(10L)) + 5).cast("int")
+      val typo = c0.select(
+        (col("id") + 1000000L).as("id"),
+        concat(col("nm").substr(lit(1), p - 1),
+          col("nm").substr(p + 1, lit(1000))).as("nm"),
+        col("blk"))
+      val bkey = concat(col("blk"), lit("|"), expr("right(nm, 6)"))
+      val resolved = c0.select(col("id"), col("nm"), bkey.as("bk"),
+        col("id").as("cluster"))
+      Dedup.entityResolveIncremental(typo, col("id"), col("nm"), bkey,
+          resolved, col("id"), col("nm"), col("bk"), col("cluster"),
+          maxDist = 1)
+        .orderBy("id")
+    },
+
     // D75: cross-source contamination matrix — every 7th doc's text
     // is mirrored into a synthetic 'mirror' source (7 is coprime with
     // the 20-source round-robin, so every source gets mirrored docs);

@@ -599,6 +599,41 @@ object ProfileQueries {
         .orderBy("bucket")
     },
 
+    // C71: quantile normalization of per-source n_chars distributions
+    // onto src0's — pure integer rank mapping ((r−1)(n_ref−1) div
+    // (n−1)), so both engines must agree exactly; the equi-rank join
+    // pulls the reference value.
+    Q(
+      "q_quantile_norm",
+      """WITH t AS (
+        |  SELECT source AS group_key, doc_id AS id,
+        |    CAST(n_chars AS DOUBLE) AS value
+        |  FROM documents),
+        |rk AS (
+        |  SELECT group_key, id, value,
+        |    CAST(row_number() OVER (PARTITION BY group_key
+        |      ORDER BY value, id) AS BIGINT) AS r,
+        |    count(*) OVER (PARTITION BY group_key) AS n
+        |  FROM t),
+        |ref AS (
+        |  SELECT r AS ref_r, value AS normalized FROM rk
+        |  WHERE group_key = 'src0'),
+        |nr AS (SELECT count(*) AS nref FROM ref),
+        |m AS (
+        |  SELECT group_key, id, value,
+        |    CASE WHEN n > 1 THEN (r - 1) * (nref - 1) // (n - 1) + 1
+        |         ELSE (nref - 1) // 2 + 1 END AS ref_r
+        |  FROM rk CROSS JOIN nr)
+        |SELECT group_key, id, value, ref.normalized
+        |FROM m JOIN ref USING (ref_r)
+        |ORDER BY group_key, id""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Profile.quantileNormalize(
+          table(s, dir, "documents"), col("source"), col("doc_id"),
+          col("n_chars"), referenceGroup = "src0")
+        .orderBy("group_key", "id")
+    },
+
     // C51: chi-squared independence of two categoricals — contingency
     // cells from one partial-agg pass, margins by null-safe joins over
     // the bounded cell frame, per-cell terms truncated 7 dp into exact

@@ -98,6 +98,36 @@ object RelationalQueries {
         .orderBy($"r_name", $"n_name")
     },
 
+    // D14: salted join on a PLANTED hot key (~40% of lineitem rows
+    // collapse onto supplier 1) — the oracle is the equivalent PLAIN
+    // join: salting must be bit-invisible in results, it only
+    // rebalances the shuffle (the hot key's rows scatter over 8 salt
+    // buckets; the dim side replicates 8×). Aggregated per nation so
+    // the result is the join's full mass, not a sample.
+    Q(
+      "q_salted_join",
+      """WITH li AS (
+        |  SELECT CASE WHEN l_linenumber >= 4 THEN 1 ELSE l_suppkey END AS k,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM li JOIN supplier ON s_suppkey = k
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+    ) { (s, dir) =>
+      val li = table(s, dir, "lineitem").select(
+        when($"l_linenumber" >= 4, lit(1L)).otherwise($"l_suppkey").as("k"),
+        $"l_orderkey", $"l_linenumber", $"l_quantity")
+      val sup = table(s, dir, "supplier")
+        .select($"s_suppkey".as("k"), $"s_nationkey")
+      graft.operators.Skew.saltedJoin(li, sup, Seq("k"),
+          bigSaltBy = $"l_orderkey" * 8 + $"l_linenumber", saltBuckets = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+        .orderBy($"s_nationkey")
+    },
+
     // C4: semi + anti join (EXISTS / NOT EXISTS) in one result.
     Q(
       "q_semi_anti",

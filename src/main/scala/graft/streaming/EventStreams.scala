@@ -677,6 +677,50 @@ object EventStreams {
       }
   }
 
+  case class TransIn(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+
+  case class TransState(lastTs: Long, lastEid: Long, lastEt: String)
+
+  case class TransOut(user_id: Long, from_event: String, to_event: String)
+
+  /** E25: streaming transition-pair extraction — the stateful twin of
+    * [[graft.operators.Behavior.transitionMatrix]]'s lead window for a
+    * live event ingest: per user, state is ONE event (O(1) — the
+    * sceneChangeStream contract), each arriving event emits its
+    * (previous → current) transition and advances the state, so the
+    * emitted pair multiset equals the batch lead window's over the
+    * same events (spec-proven across a batch split mid-stream). The
+    * MATRIX is a downstream counting aggregate over the pairs —
+    * update-mode streaming agg or a batch groupBy over the sink,
+    * either way the same bounded |types|² grid. Ordering contract as
+    * funnelStream/sceneChangeStream: per-key (ts, event_id) order
+    * ACROSS batches; within a batch rows sort here. No watermark — a
+    * transition never un-happens.
+    */
+  def transitionPairStream(events: DataFrame): Dataset[TransOut] = {
+    implicit val inEnc = Encoders.product[TransIn]
+    implicit val outEnc = Encoders.product[TransOut]
+    implicit val stEnc = Encoders.product[TransState]
+    implicit val longEnc = Encoders.scalaLong
+    events.select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .filter(col("user_id").isNotNull)
+      .as[TransIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[TransIn], state: GroupState[TransState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+          rows.toSeq.sortBy(r => (r.ts_ns, r.event_id)).foreach { r =>
+            if (st != null) out += TransOut(uid, st.lastEt, r.event_type)
+            st = TransState(r.ts_ns, r.event_id, r.event_type)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** E23: streaming frequent-items sketch maintenance — the TOP-K
     * member of the streaming sketch family next to E14 (Count-Min)
     * and E20 (KLL): per micro-batch, one partial-agg sketch build

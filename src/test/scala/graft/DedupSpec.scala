@@ -1120,6 +1120,24 @@ class DedupSpec extends SparkSpec {
     assert(big.toSeq == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
   }
 
+  test("entityResolveIncremental: min matched cluster, founders, block isolation") {
+    import spark.implicits._
+    val resolved = Seq(
+      (1L, "alpha", "b1", 1L), (2L, "beta", "b1", 2L), (3L, "alphz", "b1", 3L))
+      .toDF("id", "nm", "bk", "cl")
+    val shard = Seq(
+      (10L, "alphx", "b1"), // matches alpha (cl 1) AND alphz (cl 3) -> min 1
+      (11L, "gamma", "b1"), // no match -> founds cluster 11
+      (12L, "alpha", "b2")) // identical name, different block -> founder
+      .toDF("id", "nm", "blk")
+    val r = Dedup.entityResolveIncremental(shard, col("id"), col("nm"),
+        col("blk"), resolved, col("id"), col("nm"), col("bk"), col("cl"),
+        maxDist = 1)
+      .orderBy("id").as[(Long, Long, Boolean)].collect()
+    assert(r.toSeq == Seq(
+      (10L, 1L, true), (11L, 11L, false), (12L, 12L, false)))
+  }
+
   test("mmrSelect: near-duplicate displaced by a diverse pick, short groups, ties, determinism") {
     import spark.implicits._
     // A(1) and B(2) are identical vectors; C(3) is orthogonal. With

@@ -582,4 +582,33 @@ class ProfileSpec extends SparkSpec {
       Seq(("a", 0.9)).toDF("k", "p"), col("k"), col("p")).collect()
     assert(none.length == 1 && !none(0).getAs[Boolean]("discovery"))
   }
+
+  test("quantileNormalize: hand-mapped ranks, identity on the reference, singleton median, loud missing ref") {
+    import spark.implicits._
+    val df = Seq(
+      ("ref", 1L, 10.0), ("ref", 2L, 20.0), ("ref", 3L, 30.0), ("ref", 4L, 40.0),
+      ("g", 10L, 5.0), ("g", 11L, 100.0), // ranks 1,2 of n=2 -> ref 10, 40
+      ("solo", 20L, 7.0)) // singleton -> ref median rank 2 -> 20
+      .toDF("src", "id", "v")
+    val r = Profile.quantileNormalize(df, col("src"), col("id"), col("v"), "ref")
+      .orderBy("group_key", "id")
+      .select("group_key", "id", "normalized")
+      .as[(String, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("g", 10L, 10.0), ("g", 11L, 40.0),
+      ("ref", 1L, 10.0), ("ref", 2L, 20.0), ("ref", 3L, 30.0), ("ref", 4L, 40.0),
+      ("solo", 20L, 20.0)),
+      s"got ${r.toSeq}")
+    // the reference normalizes to ITSELF (identity) — asserted above
+    // rank by (value, id): equal values break ties deterministically
+    val tie = Seq(("ref", 1L, 1.0), ("ref", 2L, 2.0),
+      ("g", 9L, 5.0), ("g", 8L, 5.0)).toDF("src", "id", "v")
+    val rt = Profile.quantileNormalize(tie, col("src"), col("id"), col("v"), "ref")
+      .filter(col("group_key") === "g").orderBy("id")
+      .select("id", "normalized").as[(Long, Double)].collect()
+    assert(rt.toSeq == Seq((8L, 1.0), (9L, 2.0)))
+    intercept[IllegalArgumentException] {
+      Profile.quantileNormalize(df, col("src"), col("id"), col("v"), "nope")
+    }
+  }
 }

@@ -1058,4 +1058,38 @@ class StreamingSpec extends SparkSpec {
       assert(probeIds.subsetOf(streamed), "a probe member escaped the gate")
     } finally q.stop()
   }
+
+  test("E25 transitionPairStream: pair multiset equals the batch lead window across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // u1: A->B->A->C split 2+2 (the A->A carry crosses the batch
+    // boundary); u2: same-ts pair ordered by event_id; u3 single event
+    // emits nothing
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "A"), (1L, 40L, 4L, "C"),
+      (2L, 50L, 6L, "Y"), (2L, 50L, 5L, "X"),
+      (3L, 60L, 7L, "Z"))
+    val input = MemoryStream[(Long, Long, Long, String)](spark)
+    val q = graft.streaming.EventStreams.transitionPairStream(
+        input.toDF().toDF("user_id", "ts_ns", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("e25_out").outputMode("append").start()
+    try {
+      input.addData(ev.take(2))
+      q.processAllAvailable()
+      input.addData(ev.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("e25_out")
+        .groupBy("from_event", "to_event").count()
+        .as[(String, String, Long)].collect().toSet
+      val batch = graft.operators.Behavior.transitionMatrix(
+          ev.toDF("user_id", "ts_ns", "event_id", "event_type"),
+          col("user_id"), col("ts_ns"), col("event_type"),
+          tiebreak = col("event_id"))
+        .select("from_event", "to_event", "n").as[(String, String, Long)]
+        .collect().toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // the cross-batch B->A carry and the same-ts X->Y tiebreak
+      assert(streamed.contains(("B", "A", 1L)))
+      assert(streamed.contains(("X", "Y", 1L)))
+    } finally q.stop()
+  }
 }
