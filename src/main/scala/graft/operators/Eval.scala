@@ -214,6 +214,82 @@ object Eval {
       (col("pe_num") === col("n_items") * col("n_items")).as("degenerate"))
   }
 
+  /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
+    * values are computed ONCE here in Scala and interpolated as
+    * literals into both the Spark plan and the SQL twin, because the
+    * engines' log2 implementations differ in the last ulp and a
+    * per-row transcendental would poison the hash contract.
+    */
+  private[graft] def ndcgDiscount(i: Int): Double =
+    BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Ideal DCG at list length m (≤ k): exact decimal prefix sums of
+    * the rounded discounts.
+    */
+  private[graft] def idcgAt(m: Int): Double =
+    (1 to m).map(i => BigDecimal(ndcgDiscount(i))).sum.toDouble
+
+  /** RETRIEVAL QUALITY against a gold relevance set — the measurement
+    * half of the ANN family (D6-D7c build indexes; this says whether
+    * what they return is any good): per query, hits/precision/recall
+    * at k, MRR (reciprocal rank of the first relevant result), and
+    * binary-gain nDCG@k. The metrics that decide an index config
+    * BEFORE the corpus commits to it, next to [[graft.operators.Dedup.auditPairs]]'
+    * P/R for the dedup tier.
+    *
+    * Shape at scale: results pre-filtered to rank ≤ k, ONE left join
+    * to the gold pair set (both frames are query-bounded — k rows and
+    * gold-set rows per query), partial-agg per query. Discounts and
+    * ideal-DCG values are config-sized literals (see [[ndcgDiscount]]);
+    * DCG sums run over exact 7-dp decimals, so every reported value
+    * is engine-portable. Queries with an empty gold set report
+    * recall/ndcg 0 (flagged via n_gold = 0), not NULL crashes.
+    */
+  def retrievalMetrics(
+      results: DataFrame,
+      queryId: Column,
+      docId: Column,
+      rank: Column,
+      gold: DataFrame,
+      goldQueryId: Column,
+      goldDocId: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k in [1, 100]")
+    val r = results.select(queryId.as("query_id"), docId.as("__d"),
+        rank.cast("int").as("__rk"))
+      .filter(col("__rk") >= 1 && col("__rk") <= k)
+    val g = gold.select(goldQueryId.as("query_id"), goldDocId.as("__d"))
+      .distinct()
+    val nGold = g.groupBy("query_id").agg(count(lit(1)).as("n_gold"))
+    val disc = (1 to k).foldRight(lit(null).cast("decimal(11,7)")) {
+      case (i, rest) => when(col("__rk") === i,
+        lit(BigDecimal(ndcgDiscount(i))).cast("decimal(11,7)")).otherwise(rest)
+    }
+    val joined = r.join(g.withColumn("__rel", lit(1)), Seq("query_id", "__d"), "left")
+    val perQ = joined.groupBy("query_id").agg(
+      coalesce(sum(col("__rel")), lit(0L)).as("hits"),
+      min(when(col("__rel") === 1, col("__rk"))).as("__first"),
+      sum(when(col("__rel") === 1, disc)).as("__dcg"))
+    // ideal DCG for min(k, n_gold) as a literal lookup — n_gold can
+    // exceed k, where the ideal list is k long
+    val idcg = (1 to k).foldRight(lit(0.0)) { case (m, rest) =>
+      when(least(col("n_gold"), lit(k.toLong)) === m, lit(idcgAt(m))).otherwise(rest)
+    }
+    perQ.join(nGold, Seq("query_id"), "left")
+      .withColumn("n_gold", coalesce(col("n_gold"), lit(0L)))
+      .select(col("query_id"), col("n_gold"), col("hits"),
+        round(col("hits").cast("double") / k, 4).as(s"precision_at_$k"),
+        when(col("n_gold") === 0, lit(0.0))
+          .otherwise(round(col("hits").cast("double") / col("n_gold"), 4))
+          .as(s"recall_at_$k"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__first"), 4)).as("mrr"),
+        when(col("n_gold") === 0 || col("__dcg").isNull, lit(0.0))
+          .otherwise(round(col("__dcg").cast("double") / idcg, 4))
+          .as(s"ndcg_at_$k"))
+  }
+
   /** Poisson-bucket cumulative cuts for the bootstrap weights: a
     * per-mille bucket below cut(w) draws weight w. floor(1000·CDF of
     * Poisson(1)) — shared verbatim with the SQL twin.

@@ -938,4 +938,83 @@ object Stats {
       .select(col("bucket"), col("score_lo"), col("n"), col("n_pos"),
         col("pool_start"), col("pool_n"), col("pool_pos"), col("calibrated"))
   }
+
+  /** Bootstrap LIFT interval — [[twoSampleZ]]'s companion that answers
+    * the question the z-test dodges: not "is the difference
+    * significant" but "how big is it, with what error bars". Each of
+    * `b` Poisson resamples ([[graft.operators.Eval.bootstrapCI]]'s
+    * RNG-free machinery — same portable hash, same inverse-CDF cuts)
+    * re-draws BOTH arms and takes the difference of means; the CI is
+    * the rank-based percentile band of those differences, and
+    * `p_positive` is the fraction of resamples where treatment beat
+    * control — the readout a launch decision actually consumes.
+    *
+    * One row out. Shape: explode b per row, ONE groupBy on the
+    * resample index with conditional sums per arm (no per-arm
+    * shuffle), rank window over the ≤ b-row frame. Resamples where
+    * either arm drew empty are excluded (reported via n_resamples).
+    * Value lanes pre-round 6 dp into exact decimals (the bootstrapCI
+    * contract).
+    */
+  def bootstrapLift(
+      df: DataFrame,
+      treat: Column,
+      id: Column,
+      value: Column,
+      b: Int = 200,
+      level: Double = 0.95): DataFrame = {
+    require(b >= 10 && b <= 10000, "b in [10, 10000]")
+    require(level > 0 && level < 1, "level in (0,1)")
+    val alpha = 1.0 - level
+    val base = df.select(treat.cast("boolean").as("__t"),
+        id.cast("long").as("__id"), value.cast("double").as("__v"))
+      .filter(col("__t").isNotNull)
+    val vLane = Num.dec(round(col("__v"), 6))
+    val point = base.agg(
+      coalesce(sum(when(col("__t"), 1L)), lit(0L)).as("n_treat"),
+      coalesce(sum(when(!col("__t"), 1L)), lit(0L)).as("n_control"),
+      round(sum(when(col("__t"), vLane)).cast("double")
+        / sum(when(col("__t"), 1L)), 6).as("mean_treat"),
+      round(sum(when(!col("__t"), vLane)).cast("double")
+        / sum(when(!col("__t"), 1L)), 6).as("mean_control"))
+      .withColumn("lift", round(col("mean_treat") - col("mean_control"), 6))
+    val bucket = graft.operators.Sampling.hashBucket(
+      col("__id") * 1009L + col("__r"))
+    val cuts = graft.operators.Eval.poissonCuts
+    val weight = cuts.zipWithIndex.foldRight(lit(cuts.size)) {
+      case ((cut, w), rest) => when(bucket <= cut, lit(w)).otherwise(rest)
+    }
+    val diffs = base
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", weight)
+      .groupBy("__r")
+      .agg(
+        sum(when(col("__t"), col("__w"))).as("__wt"),
+        sum(when(col("__t"), vLane * col("__w"))).as("__wvt"),
+        sum(when(!col("__t"), col("__w"))).as("__wc"),
+        sum(when(!col("__t"), vLane * col("__w"))).as("__wvc"))
+      .filter(col("__wt") > 0 && col("__wc") > 0)
+      .select(col("__r"),
+        round(col("__wvt").cast("double") / col("__wt")
+          - col("__wvc").cast("double") / col("__wc"), 6).as("__d"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("__d").asc, col("__r").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val ranked = diffs
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__beff", count(lit(1)).over(wAll))
+      .withColumn("__lo_rk",
+        greatest(lit(1L), ceil(lit(alpha / 2) * col("__beff"))))
+      .withColumn("__hi_rk", ceil(lit(1.0 - alpha / 2) * col("__beff")))
+    val ci = ranked.agg(
+      max(when(col("__rk") === col("__lo_rk"), col("__d"))).as("ci_lo"),
+      max(when(col("__rk") === col("__hi_rk"), col("__d"))).as("ci_hi"),
+      round(coalesce(sum(when(col("__d") > 0, 1L)), lit(0L)).cast("double")
+        / max(col("__beff")), 4).as("p_positive"),
+      coalesce(max(col("__beff")), lit(0L)).as("n_resamples"))
+    point.crossJoin(ci)
+      .select(col("n_treat"), col("n_control"), col("mean_treat"),
+        col("mean_control"), col("lift"), col("ci_lo"), col("ci_hi"),
+        col("p_positive"), col("n_resamples"))
+  }
 }

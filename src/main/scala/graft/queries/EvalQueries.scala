@@ -194,6 +194,81 @@ object EvalQueries {
       Eval.cohenKappa(docs, col("la"), col("lb"))
     },
 
+    // D104: retrieval quality vs a label-match gold set — brute top-10
+    // per query scored against "same label as the query" relevance:
+    // hits/P/R@10, MRR, binary nDCG@10. Discounts and ideal-DCG are
+    // Scala-computed literals shared by both engines (log2 ulp
+    // differences would poison the hash), DCG sums run in exact 7-dp
+    // decimals.
+    Q(
+      "q_retrieval_metrics", {
+        val k = 10
+        val discCase = (1 to k).map(i =>
+          s"WHEN rank = $i THEN CAST(${Eval.ndcgDiscount(i)} AS DECIMAL(11,7))")
+          .mkString("CASE ", " ", " END")
+        val idcgCase = (1 to k).map(m => s"WHEN $m THEN ${Eval.idcgAt(m)}")
+          .mkString("CASE least(ng.n_gold, 10) ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+        s"""WITH c AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+           |q AS (
+           |  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+           |  FROM c WHERE vec_id < 10),
+           |s AS (
+           |  SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, v) AS cs
+           |  FROM q, c WHERE c.vec_id <> q.query_id),
+           |r AS (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY round(cs, 6) DESC, vec_id) AS rank
+           |  FROM s),
+           |res AS (SELECT query_id, vec_id AS d, rank FROM r WHERE rank <= 10),
+           |g AS (
+           |  SELECT DISTINCT q.query_id, c.vec_id AS d
+           |  FROM q JOIN c ON c.label = q.qlabel AND c.vec_id <> q.query_id),
+           |ng AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold
+           |       FROM g GROUP BY 1),
+           |j AS (
+           |  SELECT res.query_id, res.rank, g.d IS NOT NULL AS rel
+           |  FROM res LEFT JOIN g
+           |    ON g.query_id = res.query_id AND g.d = res.d),
+           |pq AS (
+           |  SELECT query_id,
+           |    CAST(coalesce(sum(CASE WHEN rel THEN 1 END), 0) AS BIGINT) AS hits,
+           |    min(CASE WHEN rel THEN rank END) AS first_rel,
+           |    sum(CASE WHEN rel THEN $discCase END) AS dcg
+           |  FROM j GROUP BY 1)
+           |SELECT pq.query_id, coalesce(ng.n_gold, 0) AS n_gold, pq.hits,
+           |  round(CAST(pq.hits AS DOUBLE) / 10, 4) AS precision_at_10,
+           |  CASE WHEN coalesce(ng.n_gold, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+           |    ELSE round(CAST(pq.hits AS DOUBLE) / ng.n_gold, 4)
+           |  END AS recall_at_10,
+           |  CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
+           |    ELSE round(1.0 / first_rel, 4) END AS mrr,
+           |  CASE WHEN coalesce(ng.n_gold, 0) = 0 OR dcg IS NULL
+           |    THEN CAST(0.0 AS DOUBLE)
+           |    ELSE round(CAST(dcg AS DOUBLE) / ($idcgCase), 4)
+           |  END AS ndcg_at_10
+           |FROM pq LEFT JOIN ng USING (query_id)
+           |ORDER BY pq.query_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      val q = e.filter(col("vec_id") < 10)
+      val results = graft.operators.Similarity.bruteForceTopK(
+        corpus = e, queries = q,
+        corpusId = col("vec_id"), corpusVec = col("v"),
+        queryId = col("vec_id"), queryVec = col("v"), k = 10)
+      val gold = q.select(col("vec_id").as("qid"), col("label").as("ql"))
+        .join(e.select(col("vec_id").as("did"), col("label")),
+          col("label") === col("ql") && col("did") =!= col("qid"))
+        .select(col("qid"), col("did"))
+      Eval.retrievalMetrics(results, col("query_id"), col("vec_id"),
+          col("rank"), gold, col("qid"), col("did"), k = 10)
+        .orderBy("query_id")
+    },
+
     // D103: seeded Poisson-bootstrap CIs for per-type event-value
     // means — B=200 resamples, weights from the portable hash +
     // Poisson(1) inverse-CDF cuts, rank-based percentile bounds. The

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Profile
+import graft.operators.{Profile, Sampling}
 
 /** Profiling queries (SURVEY §2.C24-C25): the "look at what arrived"
   * surface — long-format column profiles and fixed-width histograms,
@@ -369,6 +369,71 @@ object ProfileQueries {
           col("l_returnflag"), col("l_quantity"))
         .select("l_orderkey", "l_linenumber", "z")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // C41b: bootstrap lift interval — the effect-size companion to
+    // C41's z-test on the same events: purchase values, treatment =
+    // even user_id. Both arms re-draw per resample with the
+    // D103 Poisson-hash weights; diff-of-means CI + P(lift > 0).
+    Q(
+      "q_bootstrap_lift", {
+        val alpha = 1.0 - 0.95
+        val bkt = Sampling.hashBucketSql("(id * 1009 + r)")
+        val cuts = graft.operators.Eval.poissonCuts
+        val wExpr = cuts.zipWithIndex
+          .map { case (c, w) => s"WHEN bkt <= $c THEN $w" }
+          .mkString("CASE ", " ", s" ELSE ${cuts.size} END")
+        s"""WITH e AS (
+           |  SELECT user_id % 2 = 0 AS t, event_id AS id, value AS v
+           |  FROM events WHERE event_type = 'purchase'),
+           |pt AS (
+           |  SELECT
+           |    CAST(coalesce(sum(CASE WHEN t THEN 1 END), 0) AS BIGINT) AS n_treat,
+           |    CAST(coalesce(sum(CASE WHEN NOT t THEN 1 END), 0) AS BIGINT) AS n_control,
+           |    round(CAST(sum(CASE WHEN t THEN CAST(round(v, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+           |      / sum(CASE WHEN t THEN 1 END), 6) AS mean_treat,
+           |    round(CAST(sum(CASE WHEN NOT t THEN CAST(round(v, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+           |      / sum(CASE WHEN NOT t THEN 1 END), 6) AS mean_control
+           |  FROM e),
+           |x AS (SELECT t, id, v, unnest(range(0, 200)) AS r FROM e),
+           |wt AS (
+           |  SELECT t, r, v, $wExpr AS w
+           |  FROM (SELECT t, id, v, r, $bkt AS bkt FROM x)),
+           |d AS (
+           |  SELECT r,
+           |    round(CAST(sum(CASE WHEN t THEN CAST(round(v, 6) AS DECIMAL(18,6)) * w END) AS DOUBLE)
+           |        / sum(CASE WHEN t THEN w END)
+           |      - CAST(sum(CASE WHEN NOT t THEN CAST(round(v, 6) AS DECIMAL(18,6)) * w END) AS DOUBLE)
+           |        / sum(CASE WHEN NOT t THEN w END), 6) AS d
+           |  FROM wt GROUP BY 1
+           |  HAVING sum(CASE WHEN t THEN w END) > 0
+           |     AND sum(CASE WHEN NOT t THEN w END) > 0),
+           |rk AS (
+           |  SELECT r, d, row_number() OVER (ORDER BY d, r) AS rk,
+           |    count(*) OVER () AS beff
+           |  FROM d),
+           |ci AS (
+           |  SELECT
+           |    max(CASE WHEN rk = greatest(1, CAST(ceil(${alpha / 2} * beff) AS BIGINT))
+           |        THEN d END) AS ci_lo,
+           |    max(CASE WHEN rk = CAST(ceil(${1.0 - alpha / 2} * beff) AS BIGINT)
+           |        THEN d END) AS ci_hi,
+           |    round(CAST(coalesce(sum(CASE WHEN d > 0 THEN 1 END), 0) AS DOUBLE)
+           |      / max(beff), 4) AS p_positive,
+           |    CAST(coalesce(max(beff), 0) AS BIGINT) AS n_resamples
+           |  FROM rk)
+           |SELECT pt.n_treat, pt.n_control, pt.mean_treat, pt.mean_control,
+           |  round(pt.mean_treat - pt.mean_control, 6) AS lift,
+           |  ci.ci_lo, ci.ci_hi, ci.p_positive, ci.n_resamples
+           |FROM pt CROSS JOIN ci""".stripMargin
+      }
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2 === 0).as("t"), col("event_id"),
+          col("value"))
+      graft.operators.Stats.bootstrapLift(ev, col("t"), col("event_id"),
+        col("value"), b = 200, level = 0.95)
     },
 
     // C41: two-sample z-test (A/B readout) — unpooled Welch-style z

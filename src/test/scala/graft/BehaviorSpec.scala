@@ -307,6 +307,35 @@ class BehaviorSpec extends SparkSpec {
     assert(s(5)._6 == zExp && !s(5)._7, s"${s(5)} vs $zExp")
   }
 
+  test("bootstrapLift: planted shift detected with a positive CI, determinism, exact point means") {
+    import spark.implicits._
+    // treatment = control + 10 exactly: lift 10, every resample diff
+    // near 10, so the CI must sit strictly above zero
+    val df = (0 until 200).map { i =>
+      val v = (i % 17).toDouble
+      if (i % 2 == 0) (true, i.toLong, v + 10.0) else (false, i.toLong, v) }
+      .toDF("t", "id", "v")
+    def run() = Stats.bootstrapLift(df, col("t"), col("id"), col("v"), b = 100)
+      .collect()(0)
+    val r = run()
+    assert(r.toSeq == run().toSeq, "bootstrap lift must be RNG-free")
+    assert(r.getAs[Long]("n_treat") == 100L && r.getAs[Long]("n_control") == 100L)
+    // both arms hold the same multiset of (i % 17) values, shifted
+    val base = (0 until 200).filter(_ % 2 == 1).map(_ % 17)
+    val mc = BigDecimal(base.sum.toDouble / base.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val treatVals = (0 until 200).filter(_ % 2 == 0).map(i => (i % 17) + 10)
+    val mt = BigDecimal(treatVals.sum.toDouble / treatVals.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("mean_control") == mc)
+    assert(r.getAs[Double]("mean_treat") == mt)
+    assert(r.getAs[Double]("ci_lo") > 5.0 && r.getAs[Double]("ci_hi") < 15.0,
+      s"CI ${r.getAs[Double]("ci_lo")}..${r.getAs[Double]("ci_hi")} should bracket ~10")
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("p_positive") == 1.0)
+    assert(r.getAs[Long]("n_resamples") == 100L)
+  }
+
   test("transitionMatrix: hand-computed counts, per-user ordering, same-ts tiebreak") {
     import spark.implicits._
     // u1: A->B->A->C; u2: B->B; u3: two same-ts events ordered by id

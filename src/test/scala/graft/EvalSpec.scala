@@ -163,6 +163,33 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Boolean]("degenerate"))
   }
 
+  test("retrievalMetrics: hand-computed hits/MRR/nDCG, no-hit, empty gold, perfect list") {
+    import spark.implicits._
+    val res = Seq(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3), // b relevant at rank 2
+      (2L, "a", 1), (2L, "b", 2), (2L, "c", 3), // nothing relevant
+      (3L, "a", 1), (3L, "b", 2), (3L, "c", 3), // empty gold set
+      (4L, "p", 1), (4L, "q", 2), (4L, "r", 3)) // top-2 = the whole gold set
+      .toDF("qid", "did", "rank")
+    val gold = Seq(
+      (1L, "b"), (1L, "x"), (1L, "y"),
+      (2L, "z"),
+      (4L, "p"), (4L, "q"))
+      .toDF("gq", "gd")
+    val r = Eval.retrievalMetrics(res, col("qid"), col("did"), col("rank"),
+        gold, col("gq"), col("gd"), k = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    val d2 = Eval.ndcgDiscount(2)
+    val ndcg1 = BigDecimal(d2 / Eval.idcgAt(3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0) == ((1L, 3L, 1L, 0.3333, 0.3333, 0.5, ndcg1)), s"${r(0)}")
+    assert(r(1) == ((2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    assert(r(2) == ((3L, 0L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // perfect top-2 against a 2-item gold: recall 1, mrr 1, ndcg 1
+    assert(r(3) == ((4L, 2L, 2L, 0.6667, 1.0, 1.0, 1.0)), s"${r(3)}")
+  }
+
   test("bootstrapCI: determinism, point mean, bound ordering, constant collapse, tiny group") {
     import spark.implicits._
     val df = (0 until 300).map { i =>
