@@ -858,6 +858,72 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Murphy decomposition of the Brier score — WHERE a probabilistic
+    * classifier's error lives, not just how big it is:
+    *
+    *   brier ≈ reliability − resolution + uncertainty
+    *
+    * reliability (miscalibration, lower better) = Σ nₖ/N·(s̄ₖ − ȳₖ)²,
+    * resolution (discrimination, higher better) = Σ nₖ/N·(ȳₖ − ȳ)²,
+    * uncertainty (task noise floor) = ȳ(1 − ȳ). The diagnostic that
+    * says whether to RE-CALIBRATE ([[isotonicCalibration]] fixes
+    * reliability) or RE-TRAIN (nothing fixes resolution). The empirical
+    * brier = mean (s − y)² reports alongside (the ≈ is exact only for
+    * bin-constant forecasts — the binned gap is visible, not hidden).
+    *
+    * One corpus-sized pass: per-bin (n, Σs, n_pos, Σ(s−y)²-terms) with
+    * scores pre-rounded 6 dp and per-row squares truncated 7 dp into
+    * exact decimals (order-independent sums); everything after runs on
+    * the ≤ nBins frame via one global-window pass (bounded, the ece
+    * contract). Output ONE row, 4-dp floors. Scores clamp into the
+    * edge bins ([[calibration]]'s contract).
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val y = label.cast("boolean")
+    val s6 = round(score.cast("double"), 6)
+    val bin = greatest(lit(0), least(lit(nBins - 1), floor(s6 * nBins).cast("int")))
+    val sqTerm = (floor(
+      (s6 - y.cast("int")) * (s6 - y.cast("int")) * 1e7) / 1e7)
+      .cast("decimal(28,7)")
+    val g = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Num.dec(s6)).as("__ssum"),
+        sum(when(y, 1L).otherwise(0L)).as("__pos"),
+        sum(sqTerm).as("__sq"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val t = g
+      .withColumn("__N", sum(col("n")).over(all))
+      .withColumn("__posAll", sum(col("__pos")).over(all))
+      .withColumn("__sqAll", sum(col("__sq")).over(all))
+      .withColumn("__ybar", col("__posAll").cast("double") / col("__N"))
+      .withColumn("__sk", col("__ssum").cast("double") / col("n"))
+      .withColumn("__yk", col("__pos").cast("double") / col("n"))
+      .withColumn("__rel", (floor(
+        (col("__sk") - col("__yk")) * (col("__sk") - col("__yk"))
+          * col("n") * 1e7) / 1e7).cast("decimal(28,7)"))
+      .withColumn("__res", (floor(
+        (col("__yk") - col("__ybar")) * (col("__yk") - col("__ybar"))
+          * col("n") * 1e7) / 1e7).cast("decimal(28,7)"))
+    t.agg(
+      max(col("__N")).as("n"),
+      Num.t4floor(max(col("__sqAll")).cast("double") / max(col("__N")))
+        .as("brier"),
+      Num.t4floor(sum(col("__rel")).cast("double") / max(col("__N")))
+        .as("reliability"),
+      Num.t4floor(sum(col("__res")).cast("double") / max(col("__N")))
+        .as("resolution"),
+      Num.t4floor(max(col("__ybar")) * (lit(1.0) - max(col("__ybar"))))
+        .as("uncertainty"))
+  }
+
   /** Isotonic calibration by pool-adjacent-violators (PAV) — the FIT
     * half of [[calibration]]'s diagnostic: given scores in [0, 1] and
     * binary outcomes, learn the best monotone (nondecreasing) mapping

@@ -1160,4 +1160,75 @@ object TextMetrics {
       .agg((floor(sum(col("__w").cast("decimal(28,7)")).cast("double") * 1e4) / 1e4)
         .as("score"))
   }
+
+  /** Pairwise Jensen-Shannon divergence between SOURCE unigram
+    * distributions — the DISTRIBUTIONAL complement to
+    * [[graft.operators.Dedup.sourceOverlap]]'s fingerprint matrix:
+    * overlap finds sources that COPY each other; JSD finds sources
+    * that merely sound alike (two news crawls with zero shared pages
+    * still shouldn't both get full mixture weight). Symmetric, bounded
+    * [0, 1] in bits, defined even with disjoint vocabularies.
+    *
+    * Identity used: terms present in only ONE side contribute exactly
+    * p/2, so
+    *
+    *   JSD(P,Q) = (1 − Σ_shared p)/2 + (1 − Σ_shared q)/2
+    *            + Σ_shared [p/2·log2(2p/(p+q)) + q/2·log2(2q/(p+q))]
+    *
+    * and only the SHARED-vocabulary join is ever materialized — the
+    * per-term pair fan-out is bounded by sources² (config-sized), and
+    * the exclusive masses fall out of the shared sums for free.
+    *
+    * Shape at scale: tokenize once, (source, term) partial-agg counts,
+    * per-source totals as a broadcast-joined bounded frame, ONE
+    * term-keyed self-join (source_a < source_b), partial-agg per pair.
+    * Probabilities and per-term contributions truncate 7 dp into exact
+    * decimals (order-independent sums); log2 = ln/ln 2 with the ln-2
+    * constant fixed here (the unigramLogProb ln contract). Output per
+    * source pair: (src_a, src_b, n_shared_terms, jsd) — jsd 4-dp floor.
+    */
+  def sourceDivergence(
+      df: DataFrame,
+      source: Column,
+      text: Column): DataFrame = {
+    def t7(c: Column): Column = floor(c * 1e7) / 1e7
+    val ln2 = math.log(2.0)
+    val tk = graft.operators.scaleOut(
+        df.select(source.as("src"), text.as("__text")))
+      .select(col("src"), explode(tokens(col("__text"))).as("term"))
+    val cnt = tk.groupBy("src", "term").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("src").agg(sum(col("n")).as("__tot"))
+    val p = cnt.join(broadcast(tot), "src")
+      .select(col("src"), col("term"),
+        t7(col("n").cast("double") / col("__tot")).as("p"))
+    val pairTerm = p.as("a")
+      .join(p.as("b"), col("a.term") === col("b.term")
+        && col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    val m = col("pa") + col("pb")
+    val js = col("pa") / 2 * (log(lit(2.0) * col("pa") / m) / ln2) +
+      col("pb") / 2 * (log(lit(2.0) * col("pb") / m) / ln2)
+    val shared = pairTerm
+      .withColumn("__js", t7(js).cast("decimal(20,7)"))
+      .withColumn("__pa", col("pa").cast("decimal(20,7)"))
+      .withColumn("__pb", col("pb").cast("decimal(20,7)"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        (floor(
+          ((lit(1.0) - sum(col("__pa")).cast("double")) / 2 +
+            (lit(1.0) - sum(col("__pb")).cast("double")) / 2 +
+            sum(col("__js")).cast("double")) * 1e4) / 1e4).as("jsd"))
+    // grid completion (bounded: sources² — the sourceOverlap class):
+    // a pair with NO shared vocabulary has JSD exactly 1 and would
+    // otherwise be silently ABSENT — the most-divergent pairs are the
+    // ones a mixture designer most needs to see
+    val allPairs = tot.select(col("src").as("src_a"))
+      .crossJoin(tot.select(col("src").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    allPairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        coalesce(col("jsd"), lit(1.0)).as("jsd"))
+  }
 }

@@ -597,6 +597,60 @@ object ProfileQueries {
       graft.operators.Stats.calibration(d, col("score"), col("y"), nBins = 10)
     },
 
+    // C72: Murphy decomposition of the Brier score over the same
+    // scored frame as q_calibration — reliability/resolution/
+    // uncertainty plus the empirical brier, every term truncated into
+    // exact decimals before the bounded-bin rollup.
+    Q(
+      "q_brier",
+      s"""WITH sc AS (
+         |  SELECT round(least(1.0, len(${tkSql("text")}) / 400.0), 6) AS s,
+         |    contains(lower(text), 'data') AS y
+         |  FROM documents),
+         |rows_ AS (
+         |  SELECT s, y,
+         |    CAST(greatest(0, least(9, CAST(floor(s * 10) AS INT))) AS INT) AS bin,
+         |    CAST(floor((s - CAST(y AS INT)) * (s - CAST(y AS INT)) * 1e7) / 1e7
+         |      AS DECIMAL(28,7)) AS sq
+         |  FROM sc),
+         |g AS (
+         |  SELECT bin, count(*) AS n,
+         |    sum(CAST(s AS DECIMAL(18,6))) AS ssum,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         |    sum(sq) AS sq
+         |  FROM rows_ GROUP BY 1),
+         |t AS (
+         |  SELECT g.*, sum(n) OVER () AS nn, sum(pos) OVER () AS posall,
+         |    sum(sq) OVER () AS sqall
+         |  FROM g),
+         |t2 AS (
+         |  SELECT t.*,
+         |    CAST(posall AS DOUBLE) / nn AS ybar,
+         |    CAST(ssum AS DOUBLE) / n AS sk,
+         |    CAST(pos AS DOUBLE) / n AS yk
+         |  FROM t),
+         |t3 AS (
+         |  SELECT t2.*,
+         |    CAST(floor((sk - yk) * (sk - yk) * n * 1e7) / 1e7
+         |      AS DECIMAL(28,7)) AS rel,
+         |    CAST(floor((yk - ybar) * (yk - ybar) * n * 1e7) / 1e7
+         |      AS DECIMAL(28,7)) AS res
+         |  FROM t2)
+         |SELECT CAST(max(nn) AS BIGINT) AS n,
+         |  floor(CAST(max(sqall) AS DOUBLE) / max(nn) * 1e4) / 1e4 AS brier,
+         |  floor(CAST(sum(rel) AS DOUBLE) / max(nn) * 1e4) / 1e4 AS reliability,
+         |  floor(CAST(sum(res) AS DOUBLE) / max(nn) * 1e4) / 1e4 AS resolution,
+         |  floor(max(ybar) * (1.0 - max(ybar)) * 1e4) / 1e4 AS uncertainty
+         |FROM t3""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        least(lit(1.0), size(graft.functions.tokens(col("text"))) / lit(400.0))
+          .as("score"),
+        lower(col("text")).contains("data").as("y"))
+      graft.operators.Stats.brierDecomposition(d, col("score"), col("y"),
+        nBins = 10)
+    },
+
     // C67: isotonic calibration by pool-adjacent-violators — the FIT
     // half of D60's diagnostic. Scores/labels derive from integer
     // hashes of doc_id (exact in both engines); empirical bucket rates

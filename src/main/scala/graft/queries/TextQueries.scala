@@ -588,6 +588,56 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("shingle").asc)
     },
 
+    // D105: pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the distributional complement to
+    // q_source_overlap's fingerprint matrix. Shared-vocabulary join
+    // only (exclusive masses fall out of the shared sums); ln2
+    // interpolated as the one Scala constant; 7-dp decimal term sums.
+    Q(
+      "q_source_jsd", {
+        val ln2 = math.log(2.0)
+        s"""WITH tk AS (
+           |  SELECT source AS src, unnest(${tkSql("text")}) AS term
+           |  FROM documents),
+           |cnt AS (SELECT src, term, count(*) AS n FROM tk GROUP BY 1, 2),
+           |tot AS (SELECT src, sum(n) AS tot FROM cnt GROUP BY 1),
+           |p AS (
+           |  SELECT cnt.src, cnt.term,
+           |    floor(CAST(cnt.n AS DOUBLE) / tot.tot * 1e7) / 1e7 AS p
+           |  FROM cnt JOIN tot USING (src)),
+           |pt AS (
+           |  SELECT a.src AS src_a, b.src AS src_b, a.p AS pa, b.p AS pb
+           |  FROM p a JOIN p b ON a.term = b.term AND a.src < b.src),
+           |terms AS (
+           |  SELECT src_a, src_b,
+           |    CAST(floor((pa / 2 * (ln(2.0 * pa / (pa + pb)) / $ln2)
+           |      + pb / 2 * (ln(2.0 * pb / (pa + pb)) / $ln2)) * 1e7) / 1e7
+           |      AS DECIMAL(20,7)) AS js,
+           |    CAST(pa AS DECIMAL(20,7)) AS pa7,
+           |    CAST(pb AS DECIMAL(20,7)) AS pb7
+           |  FROM pt),
+           |shared AS (
+           |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_terms,
+           |    floor(((1.0 - CAST(sum(pa7) AS DOUBLE)) / 2
+           |      + (1.0 - CAST(sum(pb7) AS DOUBLE)) / 2
+           |      + CAST(sum(js) AS DOUBLE)) * 1e4) / 1e4 AS jsd
+           |  FROM terms GROUP BY 1, 2),
+           |ap AS (
+           |  SELECT a.src AS src_a, b.src AS src_b
+           |  FROM tot a, tot b WHERE a.src < b.src)
+           |SELECT ap.src_a, ap.src_b,
+           |  coalesce(s.n_shared_terms, 0) AS n_shared_terms,
+           |  coalesce(s.jsd, CAST(1.0 AS DOUBLE)) AS jsd
+           |FROM ap LEFT JOIN shared s
+           |  ON s.src_a = ap.src_a AND s.src_b = ap.src_b
+           |ORDER BY ap.src_a, ap.src_b""".stripMargin
+      }
+    ) { (s, dir) =>
+      TextMetrics.sourceDivergence(table(s, dir, "documents"),
+          col("source"), col("text"))
+        .orderBy("src_a", "src_b")
+    },
+
     // D26: per-source corpus report — the dashboard feed the reference
     // exists to produce (rmd:33 'fazer agregações'), over the curation
     // metrics: doc/token counts, exact-decimal mean quality, language

@@ -368,7 +368,7 @@ object WranglingQueries {
          |  FROM documents),
          |f AS (
          |  SELECT path, bytes, dir,
-         |    CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS fid
+         |    CAST(row_number() OVER (PARTITION BY dir ORDER BY path) AS BIGINT) AS fid
          |  FROM m),
          |items AS (
          |  SELECT dir, fid, bytes,
@@ -397,7 +397,7 @@ object WranglingQueries {
          |SELECT f.dir, f.path, f.bytes, p.bin_id,
          |  f.bytes > 16384 AS oversize, pb.n_files_in_bin
          |FROM f
-         |JOIN plan p ON p.fid = f.fid
+         |JOIN plan p ON p.dir = f.dir AND p.fid = f.fid
          |JOIN perbin pb ON pb.dir = f.dir AND pb.bin_id = p.bin_id
          |ORDER BY f.dir, p.bin_id, f.path""".stripMargin
     ) { (s, dir) =>

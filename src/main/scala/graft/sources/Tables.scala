@@ -409,22 +409,26 @@ object Tables {
       bytes: Column,
       dir: Column,
       targetBytes: Long): DataFrame = {
-    // collision-FREE file id: row_number over path (a 64-bit path
-    // hash would silently cross-assign two colliding files between
-    // bins). The global window is legal here for the registry-audit
-    // reason above: the input is file-level METADATA — manifest-sized
-    // at any corpus scale — never row data.
+    // collision-FREE file id: row_number over path WITHIN the pack dir
+    // (a 64-bit path hash would silently cross-assign two colliding
+    // files between bins). Keyed by dir on purpose: packing and the
+    // join-back are both dir-local, so per-dir ids are all the
+    // uniqueness needed and the window stays keyed (registry-audit
+    // contract) — within a dir, per-dir rank order on path equals
+    // global rank order, so FFD ties place identically.
     val m = manifest.select(path.as("path"), bytes.cast("long").as("bytes"),
-        dir.as("dir"))
+        dir.cast("string").as("dir"))
       .withColumn("__fid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("path"))).cast("long"))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dir")).orderBy(col("path"))).cast("long"))
     val planned = graft.operators.Packing.binPackFFD(
       m, col("dir"), col("__fid"), col("bytes"), targetBytes)
       .select(col("shard").as("dir"), col("id").as("__fid"),
         col("bin_id"), col("oversize"))
     val perBin = planned.groupBy("dir", "bin_id")
       .agg(count(lit(1)).as("n_files_in_bin"))
-    m.join(planned.select("__fid", "bin_id", "oversize"), Seq("__fid"))
+    m.join(planned.select("dir", "__fid", "bin_id", "oversize"),
+        Seq("dir", "__fid"))
       .join(perBin, Seq("dir", "bin_id"))
       .select(col("dir"), col("path"), col("bytes"), col("bin_id"),
         col("oversize"), col("n_files_in_bin"))

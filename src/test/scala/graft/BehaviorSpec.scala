@@ -307,6 +307,39 @@ class BehaviorSpec extends SparkSpec {
     assert(s(5)._6 == zExp && !s(5)._7, s"${s(5)} vs $zExp")
   }
 
+  test("brierDecomposition: hand-computed Murphy terms; identity holds for bin-constant forecasts") {
+    import spark.implicits._
+    // two bins at s=0.2 (1 of 4 positive) and s=0.8 (3 of 4 positive)
+    val rows = Seq.fill(1)((0.2, true)) ++ Seq.fill(3)((0.2, false)) ++
+      Seq.fill(3)((0.8, true)) ++ Seq.fill(1)((0.8, false))
+    val r = Stats.brierDecomposition(rows.toDF("s", "y"), col("s"), col("y"),
+      nBins = 2).collect()(0)
+    assert(r.getAs[Long]("n") == 8L)
+    // replicate the per-row float ops exactly (floors are part of the
+    // contract, not noise)
+    def t7(x: Double) = math.floor(x * 1e7) / 1e7
+    val sq = rows.map { case (s, y) =>
+      BigDecimal(t7((s - (if (y) 1 else 0)) * (s - (if (y) 1 else 0)))) }.sum
+    val expBrier = math.floor(sq.toDouble / 8 * 1e4) / 1e4
+    assert(r.getAs[Double]("brier") == expBrier, s"${r.getAs[Double]("brier")} vs $expBrier")
+    // (0.2-as-double − 0.25)² lands a hair BELOW 0.0025, so the 7-dp
+    // floor truncates bin 0's term down — the contract is the op
+    // sequence, not decimal niceness (the q_calibration precedent)
+    assert(r.getAs[Double]("reliability") == 0.0024)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    // Murphy identity (exact for bin-constant forecasts, up to floors):
+    // brier ≈ rel − res + unc
+    val ident = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    assert(math.abs(ident - r.getAs[Double]("brier")) < 2e-4, s"$ident")
+    // degenerate: constant perfect forecasts — everything 0 except n
+    val perfect = Seq((1.0, true), (1.0, true), (0.0, false)).toDF("s", "y")
+    val rp = Stats.brierDecomposition(perfect, col("s"), col("y"), nBins = 2)
+      .collect()(0)
+    assert(rp.getAs[Double]("brier") == 0.0 && rp.getAs[Double]("reliability") == 0.0)
+  }
+
   test("bootstrapLift: planted shift detected with a positive CI, determinism, exact point means") {
     import spark.implicits._
     // treatment = control + 10 exactly: lift 10, every resample diff

@@ -574,4 +574,28 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_luhn_valid") == 2L)
     assert(out(1).getAs[Long]("docs_with_valid_cc") == 1L)
   }
+
+  test("sourceDivergence: half-overlap = 1/2 exactly, identical ~0, disjoint = 1, full grid") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x x y y"), ("b", "x x z z"), // share x at p=1/2 -> JSD 1/2
+      ("c", "x x y y"), // identical to a -> JSD ~0
+      ("d", "q q r r")) // disjoint from a -> completion row, JSD 1
+      .toDF("src", "text")
+    val r = TextMetrics.sourceDivergence(docs, col("src"), col("text"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getAs[Long]("n_shared_terms"), x.getAs[Double]("jsd")))).toMap
+    assert(r.size == 6, "4 sources -> 6 pairs, absent ones completed")
+    // a vs b: shared term x with p=q=1/2 contributes 0; exclusive
+    // masses are 1/2 each side -> JSD exactly 0.5 (p=0.5 is float-exact)
+    assert(r(("a", "b")) == ((1L, 0.5)), s"${r(("a", "b"))}")
+    // identical distributions: zero divergence up to 7-dp truncation
+    assert(r(("a", "c"))._1 == 2L && r(("a", "c"))._2 <= 0.0001,
+      s"${r(("a", "c"))}")
+    // disjoint vocabularies: completed pair at the JSD ceiling
+    assert(r(("a", "d"))  == ((0L, 1.0)))
+    // all values in [0, 1]
+    assert(r.values.forall { case (_, j) => j >= 0.0 && j <= 1.0 })
+  }
 }
