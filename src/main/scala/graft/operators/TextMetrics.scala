@@ -1231,4 +1231,46 @@ object TextMetrics {
         coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
         coalesce(col("jsd"), lit(1.0)).as("jsd"))
   }
+
+  /** Distinct-n-gram DIVERSITY ratios per group — the generation-
+    * diversity metric (distinct-1/2/3) turned on corpora: a templated
+    * or machine-degenerate source repeats its n-grams, so
+    * distinct/total collapses toward 0 as n grows, where natural text
+    * stays high at n = 2, 3. Catches what per-doc repetition scores
+    * (D9b) can't: a source whose DOCUMENTS are individually clean but
+    * collectively near-identical.
+    *
+    * Shape at scale: tokenize ONCE (localCheckpoint — the bm25
+    * discipline), then per n one explode with multiplicity and one
+    * partial-agg count + exact distinct per (group, n) — maxN keyed
+    * shuffles over heavily pre-combined frames, never all-pairs.
+    * Output: (group_key, n, n_total, n_distinct, distinct_ratio)
+    * ratio 4-dp floor; groups with no n-grams at some n (every doc
+    * shorter than n tokens) simply have no row at that n.
+    */
+  def distinctNgramRatios(
+      df: DataFrame,
+      group: Column,
+      text: Column,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
+    val tk = graft.operators.scaleOut(
+        df.select(group.as("group_key"), text.as("__text")))
+      .select(col("group_key"), tokens(col("__text")).as("tk"))
+      .localCheckpoint()
+    (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) tk.select(col("group_key"), explode(col("tk")).as("g"))
+        else tk.filter(size(col("tk")) >= n)
+          .select(col("group_key"),
+            explode(graft.functions.shingles(col("tk"), n)).as("g"))
+      grams.groupBy("group_key").agg(
+        lit(n).as("n"),
+        count(lit(1)).as("n_total"),
+        countDistinct(col("g")).as("n_distinct"))
+    }.reduce(_ unionByName _)
+      .select(col("group_key"), col("n"), col("n_total"), col("n_distinct"),
+        (floor(col("n_distinct").cast("double") / col("n_total") * 1e4) / 1e4)
+          .as("distinct_ratio"))
+  }
 }

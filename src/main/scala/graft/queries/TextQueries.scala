@@ -588,6 +588,41 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("shingle").asc)
     },
 
+    // D106: distinct-n diversity ratios per source — distinct/total
+    // n-grams at n = 1..3, the templated-source detector; counts are
+    // exact integers, ratio 4-dp floor.
+    Q(
+      "q_distinct_ngrams",
+      s"""WITH tk0 AS (
+         |  SELECT source AS group_key, ${tkSql("text")} AS tk FROM documents),
+         |g1 AS (
+         |  SELECT group_key, 1 AS n, CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+         |  FROM (SELECT group_key, unnest(tk) AS g FROM tk0) GROUP BY 1),
+         |g2 AS (
+         |  SELECT group_key, 2 AS n, CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+         |  FROM (SELECT group_key, array_to_string(tk[i:i+1], ' ') AS g
+         |        FROM (SELECT group_key, tk, unnest(range(1, len(tk))) AS i
+         |              FROM tk0 WHERE len(tk) >= 2)) GROUP BY 1),
+         |g3 AS (
+         |  SELECT group_key, 3 AS n, CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+         |  FROM (SELECT group_key, array_to_string(tk[i:i+2], ' ') AS g
+         |        FROM (SELECT group_key, tk, unnest(range(1, len(tk) - 1)) AS i
+         |              FROM tk0 WHERE len(tk) >= 3)) GROUP BY 1),
+         |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |      UNION ALL SELECT * FROM g3)
+         |SELECT group_key, n, n_total, n_distinct,
+         |  floor(CAST(n_distinct AS DOUBLE) / n_total * 1e4) / 1e4
+         |    AS distinct_ratio
+         |FROM u ORDER BY group_key, n""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.distinctNgramRatios(table(s, dir, "documents"),
+          col("source"), col("text"), maxN = 3)
+        .orderBy("group_key", "n")
+    },
+
     // D105: pairwise Jensen-Shannon divergence between source unigram
     // distributions — the distributional complement to
     // q_source_overlap's fingerprint matrix. Shared-vocabulary join

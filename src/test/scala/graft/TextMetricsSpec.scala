@@ -575,6 +575,23 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("docs_with_valid_cc") == 1L)
   }
 
+  test("distinctNgramRatios: hand-counted ratios, short docs drop higher n, template collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      ("t", "a b a b"), ("t", "a b a b"), // templated: repeats collapse
+      ("n", "u v w x"), // all-distinct natural text
+      ("s", "z")) // single token: no bigram/trigram rows
+      .toDF("src", "text")
+    val r = TextMetrics.distinctNgramRatios(docs, col("src"), col("text"), maxN = 3)
+      .orderBy("group_key", "n")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("n", 1, 4L, 4L, 1.0), ("n", 2, 3L, 3L, 1.0), ("n", 3, 2L, 2L, 1.0),
+      ("s", 1, 1L, 1L, 1.0),
+      ("t", 1, 8L, 2L, 0.25), ("t", 2, 6L, 2L, 0.3333), ("t", 3, 4L, 2L, 0.5)),
+      s"got ${r.toSeq}")
+  }
+
   test("sourceDivergence: half-overlap = 1/2 exactly, identical ~0, disjoint = 1, full grid") {
     import spark.implicits._
     val docs = Seq(
