@@ -341,4 +341,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"), s"unexpected window in top-k plan:\n$plan")
     assert(plan.contains("partial_"), s"doc-frequency count not map-side combined:\n$plan")
   }
+
+  test("entity resolution plans block-local equi-joins, never a product") {
+    // both the batch and incremental tiers: the levenshtein predicate
+    // must ride an equi-join on the blocking key, not a nested loop
+    for (name <- Seq("q_entity_resolve", "q_entity_resolve_incr")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a product join:\n$plan")
+    }
+  }
+
+  test("salted join stays an equi-join on key+salt, no product, small side exploded not looped") {
+    val plan = planOf("q_salted_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salting must not degrade the join to a product:\n$plan")
+    assert(plan.contains("partial_"), s"post-join agg not map-side combined:\n$plan")
+  }
+
+  test("bootstrap resampling explodes in place: no product, partial aggregation on the resample key") {
+    for (name <- Seq("q_bootstrap_ci", "q_bootstrap_lift")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(plan.contains("Generate explode") || plan.contains("explode"),
+        s"$name lost the in-place resample explode:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$name resample means not map-side combined:\n$plan")
+    }
+  }
+
+  test("quantile normalization: keyed rank windows only; the reference count is a broadcast") {
+    val df = SparkEntry.queries("q_quantile_norm")(spark, sf)
+    val bad = globalWindows(df)
+    assert(bad.isEmpty, s"q_quantile_norm has a global window: ${bad.mkString("\n")}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"reference count should ride a broadcast:\n$plan")
+  }
 }
