@@ -1232,6 +1232,53 @@ object TextMetrics {
         coalesce(col("jsd"), lit(1.0)).as("jsd"))
   }
 
+  /** Top-k PMI COLLOCATIONS — the phrase detector: bigrams whose
+    * joint probability beats independence,
+    * pmi = ln(n_ab·N_uni²/(N_bi·n_a·n_b)), the classic
+    * word2phrase/tokenizer-vocab preprocessing step (a corpus's "new
+    * york"s should enter the vocab as units) and a templated-
+    * boilerplate tell (a collocation at huge counts is a template).
+    *
+    * Shape at scale: ONE tokenize pass (localCheckpoint) feeds both
+    * the bigram and unigram partial-agg counts; totals ride in as
+    * 1-row broadcasts; `minCount` prunes the long tail BEFORE the
+    * top-k (rare pairs have unstable, inflated PMI — the standard
+    * guard); the top-k itself is a distributed
+    * TakeOrderedAndProject (orderBy+limit — never a global window).
+    * PMI computes with one ln on an exact integer ratio argument and
+    * rounds 7 dp (the unigramLogProb ln contract); ties break
+    * (prev, cur).
+    */
+  def pmiBigrams(
+      df: DataFrame,
+      text: Column,
+      minCount: Long = 5,
+      k: Int = 100): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val tk = graft.operators.scaleOut(df.select(text.as("__text")))
+      .select(tokens(col("__text")).as("tk"))
+      .localCheckpoint()
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val totU = uni.agg(sum(col("n")).as("__nu"))
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(element_at(col("tk"), col("i")).as("prev"),
+        element_at(col("tk"), col("i") + 1).as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("n_pair"))
+    val totB = bi.agg(sum(col("n_pair")).as("__nb"))
+    bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("prev"), col("n").as("__na")), "prev")
+      .join(uni.select(col("w").as("cur"), col("n").as("__nc")), "cur")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .withColumn("pmi", round(log(
+        col("n_pair").cast("double") * col("__nu") * col("__nu") /
+          (col("__nb").cast("double") * col("__na") * col("__nc"))), 7))
+      .select(col("prev"), col("cur"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("prev").asc, col("cur").asc)
+      .limit(k)
+  }
+
   /** Distinct-n-gram DIVERSITY ratios per group — the generation-
     * diversity metric (distinct-1/2/3) turned on corpora: a templated
     * or machine-degenerate source repeats its n-grams, so

@@ -588,6 +588,39 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("shingle").asc)
     },
 
+    // D107: top-50 PMI collocations over the corpus — bigrams beating
+    // independence (min pair count 5 prunes unstable tails); one ln on
+    // an exact integer ratio, 7-dp round, (prev, cur) tiebreaks.
+    Q(
+      "q_pmi_bigrams",
+      s"""WITH tk0 AS (SELECT ${tkSql("text")} AS tk FROM documents),
+         |uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(tk) AS w FROM tk0) GROUP BY 1),
+         |tu AS (SELECT sum(n) AS nu FROM uni),
+         |bi AS (
+         |  SELECT tk[i] AS prev, tk[i + 1] AS cur,
+         |    CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+         |        FROM tk0 WHERE len(tk) >= 2)
+         |  GROUP BY 1, 2),
+         |tb AS (SELECT sum(n_pair) AS nb FROM bi),
+         |s AS (
+         |  SELECT bi.prev, bi.cur, bi.n_pair,
+         |    round(ln(CAST(bi.n_pair AS DOUBLE) * tu.nu * tu.nu
+         |      / (CAST(tb.nb AS DOUBLE) * a.n * c.n)), 7) AS pmi
+         |  FROM bi
+         |  JOIN uni a ON a.w = bi.prev
+         |  JOIN uni c ON c.w = bi.cur
+         |  CROSS JOIN tu CROSS JOIN tb
+         |  WHERE bi.n_pair >= 5)
+         |SELECT prev, cur, n_pair, pmi
+         |FROM s ORDER BY pmi DESC, prev, cur LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.pmiBigrams(table(s, dir, "documents"), col("text"),
+        minCount = 5, k = 50)
+    },
+
     // D106: distinct-n diversity ratios per source — distinct/total
     // n-grams at n = 1..3, the templated-source detector; counts are
     // exact integers, ratio 4-dp floor.

@@ -575,6 +575,25 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("docs_with_valid_cc") == 1L)
   }
 
+  test("pmiBigrams: hand-computed PMI, minCount prune, tie order, k cap") {
+    import spark.implicits._
+    val docs = Seq("new york new york", "new york city", "dog").toDF("text")
+    val r = TextMetrics.pmiBigrams(docs, col("text"), minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    // uni: new 3, york 3, city 1, dog 1 (Nu=8); bigrams Nb=5 with
+    // (new,york)=3; everything else below minCount
+    assert(r.length == 1)
+    val exp = BigDecimal(math.log(3.0 * 8 * 8 / (5.0 * 3 * 3)))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0) == (("new", "york", 3L, exp)), s"${r(0)} vs $exp")
+    // symmetric corpus: equal PMI everywhere, ties break (prev, cur),
+    // k caps the list
+    val sym = Seq("a b", "a b", "c d", "c d").toDF("text")
+    val rs = TextMetrics.pmiBigrams(sym, col("text"), minCount = 2, k = 1)
+      .as[(String, String, Long, Double)].collect()
+    assert(rs.length == 1 && rs(0)._1 == "a" && rs(0)._2 == "b")
+  }
+
   test("distinctNgramRatios: hand-counted ratios, short docs drop higher n, template collapse") {
     import spark.implicits._
     val docs = Seq(
