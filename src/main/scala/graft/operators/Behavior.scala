@@ -218,6 +218,46 @@ object Behavior {
         sum(col("__last")).cast("double").as("credit_last"))
   }
 
+  /** INTER-ARRIVAL profile per key — the traffic-model summary
+    * (capacity planning, rate-limit design, bot detection: a scripted
+    * client's gaps cluster unnaturally tight): per key, consecutive
+    * event gaps in the caller's integer time unit, with count, mean,
+    * and EXACT rank-based p50/p90 (no sketch, no interpolation — the
+    * gap at rank ceil(q·n) in (gap, tiebreak) order).
+    *
+    * Shape at scale: one keyed lag window for the gaps, one keyed
+    * rank window over the gap frame, conditional-agg percentile picks
+    * — keys partition everything (the sessionize contract, never
+    * global). Mean from exact integer sums, rounded 4 dp.
+    */
+  def interArrival(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column): DataFrame = {
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__t").asc, col("__tb").asc)
+    val gaps = df.select(key.as("__k"), ts.cast("long").as("__t"),
+        tiebreak.as("__tb"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(wSeq))
+      .filter(col("__gap").isNotNull)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__gap").asc, col("__tb").asc)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+    gaps
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .groupBy(col("__k").as("key"))
+      .agg(
+        max(col("__n")).as("n_gaps"),
+        round(sum(col("__gap")).cast("double") / max(col("__n")), 4)
+          .as("mean_gap"),
+        max(when(col("__rk") === ceil(lit(0.5) * col("__n")), col("__gap")))
+          .as("p50_gap"),
+        max(when(col("__rk") === ceil(lit(0.9) * col("__n")), col("__gap")))
+          .as("p90_gap"))
+  }
+
   /** First-order Markov TRANSITION MATRIX over each user's
     * time-ordered event stream — "after a click, what happens next?":
     * for every (from_event, to_event) pair, the transition count and

@@ -283,6 +283,35 @@ object TemporalQueries {
         .orderBy("step")
     },
 
+    // C73: inter-arrival profile per event type — gaps in µs between
+    // consecutive events of a type, exact rank-based p50/p90, integer
+    // arithmetic throughout (mean 4-dp round).
+    Q(
+      "q_interarrival",
+      """WITH e AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS t, event_id AS eid
+        |  FROM events),
+        |g AS (
+        |  SELECT k, eid, t - lag(t) OVER (PARTITION BY k ORDER BY t, eid) AS gap
+        |  FROM e),
+        |g2 AS (SELECT k, eid, gap FROM g WHERE gap IS NOT NULL),
+        |rk AS (
+        |  SELECT k, gap,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY gap, eid) AS BIGINT) AS rk,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM g2)
+        |SELECT k AS key, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  round(CAST(sum(gap) AS DOUBLE) / max(n), 4) AS mean_gap,
+        |  max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN gap END) AS p50_gap,
+        |  max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN gap END) AS p90_gap
+        |FROM rk GROUP BY k ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.operators.Behavior.interArrival(ev, col("event_type"),
+          col("ts_us"), tiebreak = col("event_id"))
+        .orderBy("key")
+    },
+
     // C69: first-order Markov transition matrix over per-user event
     // streams — one lead window keyed by user (event_id tiebreak for
     // same-instant events), counts to the bounded |types|² grid,

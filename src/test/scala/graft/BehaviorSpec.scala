@@ -307,6 +307,22 @@ class BehaviorSpec extends SparkSpec {
     assert(s(5)._6 == zExp && !s(5)._7, s"${s(5)} vs $zExp")
   }
 
+  test("interArrival: hand-computed gaps and exact percentiles; single-event keys drop") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 45L, 3L), ("a", 100L, 4L),
+      ("b", 5L, 5L), // one event: no gap, no row
+      ("c", 7L, 6L), ("c", 7L, 7L)) // same-instant pair: gap 0 counts
+      .toDF("k", "t", "eid")
+    val r = Behavior.interArrival(ev, col("k"), col("t"), col("eid"))
+      .orderBy("key").as[(String, Long, Double, Long, Long)].collect()
+    // a: gaps 10,25,55 -> mean 30, p50 = rank ceil(1.5)=2 -> 25,
+    //    p90 = rank ceil(2.7)=3 -> 55
+    assert(r.toSeq == Seq(
+      ("a", 3L, 30.0, 25L, 55L),
+      ("c", 1L, 0.0, 0L, 0L)), s"got ${r.toSeq}")
+  }
+
   test("brierDecomposition: hand-computed Murphy terms; identity holds for bin-constant forecasts") {
     import spark.implicits._
     // two bins at s=0.2 (1 of 4 positive) and s=0.8 (3 of 4 positive)
