@@ -657,4 +657,37 @@ object Sampling {
         Num.t4floor(avg(col("__alpha"))).as("weight"),
         Num.t4floor(max(col("__alpha"))).as("peak_weight"))
   }
+
+  /** EFFECTIVE SAMPLE SIZE of an importance-weighted corpus slice —
+    * the diagnostic every weighting scheme (DSIR D50, DoReMi D98,
+    * temperature mixing D53) should report before training on its
+    * weights: ess = (Σw)²/Σw² collapses toward 1 when a few rows
+    * carry all the mass (the weighted corpus is effectively tiny no
+    * matter its row count), and `ess_ratio` = ess/n says what
+    * fraction of the data is really contributing. One partial-agg
+    * pass per group over 6-dp-prerounded decimal weight lanes (exact,
+    * order-independent); ratios 4-dp floor. Non-positive/NULL weights
+    * are excluded and reported (`n_dropped`) — a negative weight is a
+    * bug upstream, not a sample.
+    */
+  def effectiveSampleSize(
+      df: DataFrame,
+      group: Column,
+      weight: Column): DataFrame = {
+    val w6 = round(col("__w"), 6).cast("decimal(24,6)")
+    df.select(group.as("group_key"), weight.cast("double").as("__w"))
+      .groupBy("group_key")
+      .agg(
+        coalesce(sum(when(col("__w") > 0, 1L)), lit(0L)).as("n"),
+        coalesce(sum(when(col("__w").isNull || !(col("__w") > 0), 1L)), lit(0L))
+          .as("n_dropped"),
+        sum(when(col("__w") > 0, w6)).as("__sw"),
+        sum(when(col("__w") > 0, w6 * w6)).as("__sww"))
+      .select(col("group_key"), col("n"), col("n_dropped"),
+        (floor(col("__sw").cast("double") * col("__sw").cast("double")
+          / col("__sww").cast("double") * 1e4) / 1e4).as("ess"),
+        (floor(col("__sw").cast("double") * col("__sw").cast("double")
+          / col("__sww").cast("double") / col("n") * 1e4) / 1e4)
+          .as("ess_ratio"))
+  }
 }

@@ -1005,6 +1005,54 @@ object Stats {
         col("pool_start"), col("pool_n"), col("pool_pos"), col("calibrated"))
   }
 
+  /** Mutual information between two categoricals (bits) — the
+    * feature-selection / leakage metric next to [[chiSquared]]'s
+    * yes-no: chi² says WHETHER source and label are dependent, MI says
+    * HOW MANY BITS one carries about the other ("does `source` leak
+    * the eval split?" wants a magnitude, not a p-value). Reports the
+    * marginal entropies alongside and the normalized
+    * NMI = MI/√(H(a)·H(b)) ∈ [0, 1] — comparable across tables.
+    *
+    * Shape at scale: one partial-agg pass to the bounded contingency
+    * cells (the chiSquared contract), margins by joins over that
+    * bounded frame, per-cell/per-margin terms truncated 7 dp into
+    * exact decimal sums; log2 = ln/ln 2 with the constant fixed here
+    * (the unigramLogProb ln contract). Degenerate single-valued
+    * columns report MI = 0 with NMI = 0 (not a divide-by-zero).
+    */
+  def mutualInformation(
+      df: DataFrame,
+      a: Column,
+      b: Column): DataFrame = {
+    def t7(c: Column): Column = floor(c * 1e7) / 1e7
+    val ln2 = math.log(2.0)
+    val cells = df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy("a").agg(sum(col("n")).as("na"))
+    val rb = cells.groupBy("b").agg(sum(col("n")).as("nb"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    def entropy(m: DataFrame, cnt: String): Column =
+      sum(t7((-(col(cnt).cast("double") / col("nn")))
+        * log(col(cnt).cast("double") / col("nn")) / ln2).cast("decimal(20,7)"))
+    val ha = ra.crossJoin(broadcast(tot)).agg(entropy(ra, "na").as("__h")).withColumnRenamed("__h", "ha")
+    val hb = rb.crossJoin(broadcast(tot)).agg(entropy(rb, "nb").as("__h")).withColumnRenamed("__h", "hb")
+    val miTerm = t7(col("n").cast("double") / col("nn")
+      * log(col("n").cast("double") * col("nn")
+        / (col("na").cast("double") * col("nb"))) / ln2)
+      .cast("decimal(20,7)")
+    val mi = cells.join(ra, "a").join(rb, "b").crossJoin(broadcast(tot))
+      .agg(sum(miTerm).as("mi_sum"), max(col("nn")).as("n"))
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(col("n"),
+        (floor(col("mi_sum").cast("double") * 1e4) / 1e4).as("mi"),
+        (floor(col("ha").cast("double") * 1e4) / 1e4).as("h_a"),
+        (floor(col("hb").cast("double") * 1e4) / 1e4).as("h_b"),
+        when(col("ha") > 0 && col("hb") > 0,
+          floor(col("mi_sum").cast("double")
+            / sqrt(col("ha").cast("double") * col("hb").cast("double")) * 1e4) / 1e4)
+          .otherwise(lit(0.0)).as("nmi"))
+  }
+
   /** Bootstrap LIFT interval — [[twoSampleZ]]'s companion that answers
     * the question the z-test dodges: not "is the difference
     * significant" but "how big is it, with what error bars". Each of

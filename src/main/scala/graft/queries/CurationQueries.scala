@@ -1022,6 +1022,44 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D50b: effective sample size of importance weights per source —
+    // every 97th doc carries a 1000× outlier weight (ESS collapses in
+    // its group), every 89th a negative weight (excluded + reported);
+    // weights are 3-dp decimals by construction (n_chars/1000), so the
+    // 6-dp pre-round never sits on a cross-engine tie; 4-dp floors.
+    Q(
+      "q_ess",
+      """WITH w AS (
+        |  SELECT source AS group_key,
+        |    CASE WHEN doc_id % 89 = 0 THEN -1.0
+        |         WHEN doc_id % 97 = 0 THEN 1000.0
+        |         ELSE CAST(n_chars AS DOUBLE) / 1000 END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT group_key,
+        |    CAST(coalesce(sum(CASE WHEN w > 0 THEN 1 END), 0) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN w IS NULL OR NOT (w > 0) THEN 1 END), 0)
+        |      AS BIGINT) AS n_dropped,
+        |    sum(CASE WHEN w > 0 THEN CAST(round(w, 6) AS DECIMAL(24,6)) END) AS sw,
+        |    sum(CASE WHEN w > 0 THEN CAST(round(w, 6) AS DECIMAL(24,6))
+        |      * CAST(round(w, 6) AS DECIMAL(24,6)) END) AS sww
+        |  FROM w GROUP BY 1)
+        |SELECT group_key, n, n_dropped,
+        |  floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |    / CAST(sww AS DOUBLE) * 1e4) / 1e4 AS ess,
+        |  floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |    / CAST(sww AS DOUBLE) / n * 1e4) / 1e4 AS ess_ratio
+        |FROM g ORDER BY group_key""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        col("source"),
+        when(col("doc_id") % 89 === 0, lit(-1.0))
+          .when(col("doc_id") % 97 === 0, lit(1000.0))
+          .otherwise(col("n_chars").cast("double") / 1000).as("w"))
+      Sampling.effectiveSampleSize(d, col("source"), col("w"))
+        .orderBy("group_key")
+    },
+
     // D18d: per-ROW-weighted deterministic sampling — keep each doc
     // with probability equal to its own (length-derived) quality
     // weight; same hash-bucket family as the other sampling ops, so

@@ -753,6 +753,52 @@ object ProfileQueries {
         .orderBy("group_key", "id")
     },
 
+    // C74: mutual information between source and language — the
+    // how-many-bits companion to C51's chi-squared yes/no; per-cell
+    // and per-margin terms truncated 7 dp into exact decimal sums,
+    // ln2 interpolated once.
+    Q(
+      "q_mutual_info", {
+        val ln2 = math.log(2.0)
+        s"""WITH cells AS (
+           |  SELECT CAST(source AS VARCHAR) AS a, CAST(lang AS VARCHAR) AS b,
+           |    count(*) AS n
+           |  FROM documents GROUP BY 1, 2),
+           |ra AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+           |rb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
+           |tot AS (SELECT sum(n) AS nn FROM cells),
+           |ha AS (
+           |  SELECT sum(CAST(floor((-(CAST(na AS DOUBLE) / nn))
+           |    * ln(CAST(na AS DOUBLE) / nn) / $ln2 * 1e7) / 1e7
+           |    AS DECIMAL(20,7))) AS ha
+           |  FROM ra CROSS JOIN tot),
+           |hb AS (
+           |  SELECT sum(CAST(floor((-(CAST(nb AS DOUBLE) / nn))
+           |    * ln(CAST(nb AS DOUBLE) / nn) / $ln2 * 1e7) / 1e7
+           |    AS DECIMAL(20,7))) AS hb
+           |  FROM rb CROSS JOIN tot),
+           |mi AS (
+           |  SELECT sum(CAST(floor(CAST(cells.n AS DOUBLE) / nn
+           |      * ln(CAST(cells.n AS DOUBLE) * nn
+           |        / (CAST(na AS DOUBLE) * nb)) / $ln2 * 1e7) / 1e7
+           |      AS DECIMAL(20,7))) AS mi_sum,
+           |    CAST(max(nn) AS BIGINT) AS n
+           |  FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)
+           |SELECT mi.n,
+           |  floor(CAST(mi_sum AS DOUBLE) * 1e4) / 1e4 AS mi,
+           |  floor(CAST(ha AS DOUBLE) * 1e4) / 1e4 AS h_a,
+           |  floor(CAST(hb AS DOUBLE) * 1e4) / 1e4 AS h_b,
+           |  CASE WHEN ha > 0 AND hb > 0 THEN
+           |    floor(CAST(mi_sum AS DOUBLE)
+           |      / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)) * 1e4) / 1e4
+           |  ELSE CAST(0.0 AS DOUBLE) END AS nmi
+           |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+      }
+    ) { (s, dir) =>
+      graft.operators.Stats.mutualInformation(
+        table(s, dir, "documents"), col("source"), col("lang"))
+    },
+
     // C51: chi-squared independence of two categoricals — contingency
     // cells from one partial-agg pass, margins by null-safe joins over
     // the bounded cell frame, per-cell terms truncated 7 dp into exact

@@ -677,6 +677,49 @@ object EventStreams {
       }
   }
 
+  case class GapIn(key: String, t: Long, tb: Long)
+
+  case class GapState(lastT: Long, lastTb: Long)
+
+  case class GapOut(key: String, tiebreak: Long, gap: Long)
+
+  /** E26: streaming inter-arrival gap extraction — the stateful twin
+    * of [[graft.operators.Behavior.interArrival]]'s lag window for a
+    * live ingest: per key, state is ONE timestamp (O(1)); each
+    * arriving event emits its gap to the predecessor and advances, so
+    * the emitted gap multiset equals the batch lag window's over the
+    * same events (spec-proven across a batch split). The percentile
+    * PROFILE stays a batch/periodic aggregate over the emitted gaps —
+    * exact rank percentiles are not incrementally maintainable, the
+    * sketch tier (E20 KLL) is the streaming-quantile answer when an
+    * approximation is acceptable. Ordering contract as
+    * transitionPairStream: per-key (t, tiebreak) order ACROSS batches;
+    * within a batch rows sort here.
+    */
+  def interArrivalStream(events: DataFrame): Dataset[GapOut] = {
+    implicit val inEnc = Encoders.product[GapIn]
+    implicit val outEnc = Encoders.product[GapOut]
+    implicit val stEnc = Encoders.product[GapState]
+    implicit val strEnc = Encoders.STRING
+    events.select(col("key").cast("string"), col("t").cast("long"),
+        col("tb").cast("long"))
+      .filter(col("key").isNotNull)
+      .as[GapIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[GapIn], state: GroupState[GapState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+          rows.toSeq.sortBy(r => (r.t, r.tb)).foreach { r =>
+            if (st != null) out += GapOut(k, r.tb, r.t - st.lastT)
+            st = GapState(r.t, r.tb)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class TransIn(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
 
   case class TransState(lastTs: Long, lastEid: Long, lastEt: String)

@@ -454,4 +454,44 @@ class CurationSpec extends SparkSpec {
     val s = out.map(_.getAs[Double]("weight")).sum
     assert(s > 0.999 && s <= 1.0)
   }
+
+  test("effectiveSampleSize: hand-computed ess, outlier collapse, non-positive exclusion") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq(
+      ("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 1.0), // uniform: ess = n
+      ("h", 3.0), ("h", 1.0), // (4)²/10 = 1.6
+      ("d", 1.0), ("d", -5.0), ("d", 0.0)) // ≤0 dropped, reported
+      .toDF("src", "w")
+    val r = Sampling.effectiveSampleSize(df, col("src"), col("w"))
+      .orderBy("group_key")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("d", 1L, 2L, 1.0, 1.0),
+      ("g", 4L, 0L, 4.0, 1.0),
+      ("h", 2L, 0L, 1.6, 0.8)), s"got ${r.toSeq}")
+    // one huge weight: ess collapses toward 1 no matter the row count
+    val skew = (("k", 1000.0) +: Seq.fill(99)(("k", 1.0))).toDF("src", "w")
+    val rs = Sampling.effectiveSampleSize(skew, col("src"), col("w"))
+      .as[(String, Long, Long, Double, Double)].collect()(0)
+    assert(rs._2 == 100L && rs._4 < 1.3, s"ess should collapse: $rs")
+  }
+
+  test("mutualInformation: perfect dependence = 1 bit, independence = 0, degenerate margins safe") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val dep = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y"))).toDF("a", "b")
+    val rd = Stats.mutualInformation(dep, col("a"), col("b")).collect()(0)
+    assert(rd.getAs[Long]("n") == 10L)
+    assert(rd.getAs[Double]("mi") == 1.0 && rd.getAs[Double]("nmi") == 1.0)
+    assert(rd.getAs[Double]("h_a") == 1.0 && rd.getAs[Double]("h_b") == 1.0)
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val ri = Stats.mutualInformation(ind, col("a"), col("b")).collect()(0)
+    assert(ri.getAs[Double]("mi") == 0.0 && ri.getAs[Double]("nmi") == 0.0)
+    // single-valued side: zero entropy must NOT divide by zero
+    val deg = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val rg = Stats.mutualInformation(deg, col("a"), col("b")).collect()(0)
+    assert(rg.getAs[Double]("h_a") == 0.0 && rg.getAs[Double]("nmi") == 0.0)
+    assert(rg.getAs[Double]("mi") == 0.0)
+  }
 }

@@ -1059,6 +1059,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E26 interArrivalStream: gap multiset equals the batch lag window across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Seq(
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 45L, 3L), ("a", 100L, 4L),
+      ("c", 7L, 6L), ("c", 7L, 7L)) // same-instant pair: gap 0
+    val input = MemoryStream[(String, Long, Long)](spark)
+    val q = graft.streaming.EventStreams.interArrivalStream(
+        input.toDF().toDF("key", "t", "tb"))
+      .writeStream.format("memory").queryName("e26_out").outputMode("append").start()
+    try {
+      input.addData(ev.take(2)) // a's 10->20 gap inside batch 1
+      q.processAllAvailable()
+      input.addData(ev.drop(2)) // 20->45 carries ACROSS the boundary
+      q.processAllAvailable()
+      val streamed = spark.table("e26_out")
+        .select("key", "gap").as[(String, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val batch = graft.operators.Behavior.interArrival(
+          ev.toDF("k", "t", "eid"), col("k"), col("t"), col("eid"))
+      // batch emits the profile; recompute its raw gaps for the
+      // multiset comparison with the same lag window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("t"), col("eid"))
+      val batchGaps = ev.toDF("k", "t", "eid")
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .select("k", "gap").as[(String, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed == batchGaps, s"streamed $streamed vs batch $batchGaps")
+      assert(streamed(("a", 25L)) == 1, "the cross-batch 20->45 gap must appear")
+      // and the batch PROFILE over the streamed gaps agrees with the
+      // batch operator end-to-end
+      assert(batch.filter(col("key") === "a").select("p90_gap")
+        .as[Long].collect().head == 55L)
+    } finally q.stop()
+  }
+
   test("E25 transitionPairStream: pair multiset equals the batch lead window across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // u1: A->B->A->C split 2+2 (the A->A carry crosses the batch
