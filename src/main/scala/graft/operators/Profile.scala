@@ -849,6 +849,45 @@ object Profile {
     * row count rides in as a 1-row broadcast. NULL values are
     * excluded (rank semantics would be engine-dependent).
     */
+  /** Functional-dependency DISCOVERY over a candidate column list —
+    * the classic profiling step behind key inference, denormalization
+    * checks, and silent-corruption alarms (`order_id → customer_id`
+    * should hold; the day it stops, an upstream join went wrong): for
+    * every ordered pair (det, dep), `det → dep` holds iff every det
+    * value maps to exactly one dep value, i.e.
+    * countDistinct(det) == countDistinct(det, dep). Reports both
+    * counts and the violation margin so a NEAR-dependency (one bad
+    * row) is distinguishable from no relationship at all.
+    *
+    * Shape at scale: all k·(k−1) pairs evaluate in ONE aggregate pass
+    * — 2-level exact distincts per pair, Spark's expand handles the
+    * multi-distinct rewrite; `cols` is a config-sized candidate list
+    * (single digits — FD discovery over hundreds of columns is a
+    * different algorithm), never data. NULLs count as a value (a det
+    * group of NULLs mapping to two deps is still a violation).
+    */
+  def functionalDependencies(
+      df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      "2..8 candidate columns (pairs grow quadratically)")
+    require(cols.distinct.size == cols.size, "duplicate candidate column")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val aggs =
+      cols.map(c => countDistinct(struct(col(c))).as(s"__d_$c")) ++
+        pairs.map { case (a, b) =>
+          countDistinct(struct(col(a), col(b))).as(s"__d_${a}__$b") }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("determinant"), lit(b).as("dependent"),
+        col(s"__d_$a").as("n_det_values"),
+        col(s"__d_${a}__$b").as("n_pair_values"),
+        (col(s"__d_${a}__$b") - col(s"__d_$a")).as("n_violations"),
+        (col(s"__d_${a}__$b") === col(s"__d_$a")).as("holds"))
+    }
+    m.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   def quantileNormalize(
       df: DataFrame,
       group: Column,

@@ -753,6 +753,38 @@ object ProfileQueries {
         .orderBy("group_key", "id")
     },
 
+    // C75: functional-dependency discovery over customer's candidate
+    // columns — custkey determines everything (it's the key), the
+    // low-cardinality pair violates both ways; all six pairs in one
+    // aggregate pass (no NULLs in these columns, so the oracle's
+    // plain DISTINCT equals the operator's null-safe struct wrap).
+    Q(
+      "q_fd_discovery", {
+        val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+        val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+        val aggs = (cols.map(c => s"count(DISTINCT $c) AS d_$c") ++
+          pairs.map { case (a, b) =>
+            s"count(DISTINCT ($a, $b)) AS d_${a}__$b" }).mkString(",\n    ")
+        val rows = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS determinant, '$b' AS dependent,
+             |  CAST(d_$a AS BIGINT) AS n_det_values,
+             |  CAST(d_${a}__$b AS BIGINT) AS n_pair_values,
+             |  CAST(d_${a}__$b - d_$a AS BIGINT) AS n_violations,
+             |  d_${a}__$b = d_$a AS holds
+             |FROM m""".stripMargin }.mkString("\nUNION ALL\n")
+        s"""WITH m AS (
+           |  SELECT $aggs
+           |  FROM customer)
+           |$rows
+           |ORDER BY determinant, dependent""".stripMargin
+      }
+    ) { (s, dir) =>
+      graft.operators.Profile.functionalDependencies(
+          table(s, dir, "customer"),
+          Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+        .orderBy("determinant", "dependent")
+    },
+
     // C74: mutual information between source and language — the
     // how-many-bits companion to C51's chi-squared yes/no; per-cell
     // and per-margin terms truncated 7 dp into exact decimal sums,

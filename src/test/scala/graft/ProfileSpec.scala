@@ -583,6 +583,28 @@ class ProfileSpec extends SparkSpec {
     assert(none.length == 1 && !none(0).getAs[Boolean]("discovery"))
   }
 
+  test("functionalDependencies: violations counted, NULL is a det value, key holds both ways") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), "a"), (Some(1), "a"), // 1 -> a consistently
+      (Some(2), "b"), (Some(2), "c"), // 2 -> {b, c}: violation
+      (None, "x"), (None, "y")) // NULL det maps to two deps: violation
+      .toDF("k", "v")
+    val r = Profile.functionalDependencies(df, Seq("k", "v"))
+      .orderBy("determinant")
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    // k: distinct {1, 2, NULL} = 3; (k,v) pairs = 5 -> 2 violations
+    assert(r(0) == (("k", "v", 3L, 5L, 2L, false)), s"${r(0)}")
+    // v -> k: every value maps to one key -> holds
+    assert(r(1) == (("v", "k", 5L, 5L, 0L, true)), s"${r(1)}")
+    intercept[IllegalArgumentException] {
+      Profile.functionalDependencies(df, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.functionalDependencies(df, Seq("k", "k"))
+    }
+  }
+
   test("quantileNormalize: hand-mapped ranks, identity on the reference, singleton median, loud missing ref") {
     import spark.implicits._
     val df = Seq(
