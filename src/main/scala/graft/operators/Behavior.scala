@@ -218,6 +218,43 @@ object Behavior {
         sum(col("__last")).cast("double").as("credit_last"))
   }
 
+  /** TOP-K event PATHS — [[transitionMatrix]]'s depth-`len` extension:
+    * the most common runs of `len` consecutive events across all
+    * users ("signup→view→click dominates; error→error→error is #4"
+    * is a narrative no edge matrix shows). Each user's stream yields
+    * its sliding windows of length `len`; paths count globally and
+    * the top k return.
+    *
+    * Shape at scale: one keyed window with len−1 leads (ONE WindowExec
+    * pass — same-spec window functions coalesce), partial-agg path
+    * counts, then a distributed TakeOrderedAndProject (orderBy+limit,
+    * never a global window). Ties break on the path string.
+    */
+  def topPaths(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      event: Column,
+      tiebreak: Column,
+      len: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(len >= 2 && len <= 6, "len in [2, 6]")
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t").asc, col("__tb").asc)
+    val base = df.select(user.as("__u"), ts.as("__t"), tiebreak.as("__tb"),
+      event.as("__e0"))
+    val withLeads = (1 until len).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"__e$i", lead(col("__e0"), i).over(w))
+    }
+    withLeads
+      .filter((1 until len).map(i => col(s"__e$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(">", (0 until len).map(i => col(s"__e$i")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** INTER-ARRIVAL profile per key — the traffic-model summary
     * (capacity planning, rate-limit design, bot detection: a scripted
     * client's gaps cluster unnaturally tight): per key, consecutive

@@ -1232,6 +1232,43 @@ object TextMetrics {
         coalesce(col("jsd"), lit(1.0)).as("jsd"))
   }
 
+  /** VOCABULARY GROWTH over an ordered bucket axis — the crawl-drift
+    * monitor: per bucket (ingest day, shard index, snapshot), how many
+    * distinct terms were used, how many were NEVER seen in any earlier
+    * bucket, their ratio, and the cumulative vocabulary. A healthy
+    * corpus's new-term rate decays Heaps-style; a spike means the
+    * crawl changed (new language, new spam family, an encoding bug
+    * minting garbage tokens).
+    *
+    * Shape at scale: tokenize once, collapse to DISTINCT (term,
+    * bucket) (partial agg), per-term first bucket (one keyed agg),
+    * per-bucket counts, and ONE ordered window for the cumulative sum
+    * over the bucket-sized frame (global window above an aggregate —
+    * the registry-audit-legal class). Ratio 4-dp floor.
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      bucket: Column,
+      text: Column): DataFrame = {
+    val tb = graft.operators.scaleOut(
+        df.select(bucket.cast("long").as("bucket"), text.as("__text")))
+      .select(col("bucket"), explode(tokens(col("__text"))).as("term"))
+      .distinct()
+    val first = tb.groupBy("term").agg(min(col("bucket")).as("__first"))
+    val used = tb.groupBy("bucket").agg(count(lit(1)).as("n_terms_used"))
+    val fresh = first.groupBy(col("__first").as("bucket"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, 0)
+    used.join(fresh, Seq("bucket"), "left")
+      .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
+      .withColumn("new_ratio",
+        floor(col("n_new_terms").cast("double") / col("n_terms_used") * 1e4) / 1e4)
+      .withColumn("cum_vocab", sum(col("n_new_terms")).over(wCum))
+      .select(col("bucket"), col("n_terms_used"), col("n_new_terms"),
+        col("new_ratio"), col("cum_vocab"))
+  }
+
   /** Top-k PMI COLLOCATIONS — the phrase detector: bigrams whose
     * joint probability beats independence,
     * pmi = ln(n_ab·N_uni²/(N_bi·n_a·n_b)), the classic

@@ -283,6 +283,31 @@ object TemporalQueries {
         .orderBy("step")
     },
 
+    // C76: top-20 depth-3 event paths — the transition matrix's
+    // narrative extension; two leads in one keyed window, global path
+    // counts, distributed top-k.
+    Q(
+      "q_top_paths",
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS eid,
+        |    event_type AS e0
+        |  FROM events),
+        |l AS (
+        |  SELECT e0,
+        |    lead(e0, 1) OVER (PARTITION BY u ORDER BY t, eid) AS e1,
+        |    lead(e0, 2) OVER (PARTITION BY u ORDER BY t, eid) AS e2
+        |  FROM e),
+        |p AS (
+        |  SELECT e0 || '>' || e1 || '>' || e2 AS path
+        |  FROM l WHERE e1 IS NOT NULL AND e2 IS NOT NULL)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.operators.Behavior.topPaths(ev, col("user_id"), col("ts_ns"),
+        col("event_type"), tiebreak = col("event_id"), len = 3, k = 20)
+    },
+
     // C73: inter-arrival profile per event type — gaps in µs between
     // consecutive events of a type, exact rank-based p50/p90, integer
     // arithmetic throughout (mean 4-dp round).

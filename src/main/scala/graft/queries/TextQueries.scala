@@ -588,6 +588,36 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("shingle").asc)
     },
 
+    // D108: vocabulary growth over ingest-order buckets (50 docs per
+    // bucket) — new-term counts/rates and cumulative vocab; exact
+    // distinct arithmetic, one bounded ordered pass for the cumsum.
+    Q(
+      "q_vocab_growth",
+      s"""WITH tb AS (
+         |  SELECT DISTINCT bucket, term FROM (
+         |    SELECT doc_id // 50 AS bucket, unnest(${tkSql("text")}) AS term
+         |    FROM documents)),
+         |fr AS (SELECT term, min(bucket) AS fb FROM tb GROUP BY 1),
+         |used AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms_used
+         |  FROM tb GROUP BY 1),
+         |fresh AS (
+         |  SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new_terms
+         |  FROM fr GROUP BY 1)
+         |SELECT u.bucket, u.n_terms_used,
+         |  coalesce(f.n_new_terms, 0) AS n_new_terms,
+         |  floor(CAST(coalesce(f.n_new_terms, 0) AS DOUBLE)
+         |    / u.n_terms_used * 1e4) / 1e4 AS new_ratio,
+         |  CAST(sum(coalesce(f.n_new_terms, 0)) OVER (
+         |    ORDER BY u.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |FROM used u LEFT JOIN fresh f ON f.bucket = u.bucket
+         |ORDER BY u.bucket""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.vocabGrowth(table(s, dir, "documents"),
+          expr("doc_id div 50"), col("text"))
+        .orderBy("bucket")
+    },
+
     // D107: top-50 PMI collocations over the corpus — bigrams beating
     // independence (min pair count 5 prunes unstable tails); one ln on
     // an exact integer ratio, 7-dp round, (prev, cur) tiebreaks.

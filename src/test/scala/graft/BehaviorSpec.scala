@@ -307,6 +307,22 @@ class BehaviorSpec extends SparkSpec {
     assert(s(5)._6 == zExp && !s(5)._7, s"${s(5)} vs $zExp")
   }
 
+  test("topPaths: sliding windows per user, global counts, tie order, k cap") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "C"), (1L, 40L, 4L, "D"),
+      (2L, 10L, 5L, "A"), (2L, 20L, 6L, "B"), (2L, 30L, 7L, "C"))
+      .toDF("u", "t", "eid", "et")
+    val r = Behavior.topPaths(ev, col("u"), col("t"), col("et"),
+        tiebreak = col("eid"), len = 3, k = 10)
+      .as[(String, Long)].collect()
+    assert(r.toSeq == Seq(("A>B>C", 2L), ("B>C>D", 1L)), s"got ${r.toSeq}")
+    // k caps; count ties break on path ascending
+    val r1 = Behavior.topPaths(ev, col("u"), col("t"), col("et"),
+      tiebreak = col("eid"), len = 2, k = 2).as[(String, Long)].collect()
+    assert(r1.toSeq == Seq(("A>B", 2L), ("B>C", 2L)), s"got ${r1.toSeq}")
+  }
+
   test("interArrival: hand-computed gaps and exact percentiles; single-event keys drop") {
     import spark.implicits._
     val ev = Seq(

@@ -575,6 +575,22 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("docs_with_valid_cc") == 1L)
   }
 
+  test("vocabGrowth: first-seen attribution, zero-new buckets, cumulative vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x y"), (0L, "x"), // bucket 0: vocab {x, y}, both new
+      (1L, "y z"), // bucket 1: {y, z}, only z new
+      (2L, "x")) // bucket 2: {x}, nothing new
+      .toDF("b", "text")
+    val r = TextMetrics.vocabGrowth(docs, col("b"), col("text"))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(r.toSeq == Seq(
+      (0L, 2L, 2L, 1.0, 2L),
+      (1L, 2L, 1L, 0.5, 3L),
+      (2L, 1L, 0L, 0.0, 3L)), s"got ${r.toSeq}")
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount prune, tie order, k cap") {
     import spark.implicits._
     val docs = Seq("new york new york", "new york city", "dog").toDF("text")
