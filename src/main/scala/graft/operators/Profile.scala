@@ -849,6 +849,60 @@ object Profile {
     * row count rides in as a 1-row broadcast. NULL values are
     * excluded (rank semantics would be engine-dependent).
     */
+  /** BENFORD first-digit audit over a positive integral column — the
+    * fabricated-data / corruption tell for naturally-spanning
+    * magnitudes (amounts, populations, file sizes): organic data's
+    * leading digits follow log10(1+1/d); hand-typed, unit-confused,
+    * or truncated-upstream values don't. One partial-agg pass to the
+    * 9-digit frame; the first digit derives from the INTEGER's string
+    * form (both engines render integers identically — a log10-based
+    * derivation would ride float ulps), expected shares are Scala
+    * literals shared with the SQL twin, and the chi² distance uses
+    * the exact-decimal term lanes (the chiSquared contract, 4-dp
+    * floor). Non-positive/NULL rows are excluded and reported.
+    */
+  def benford(
+      df: DataFrame,
+      value: Column): DataFrame = {
+    def t7(c: Column): Column = floor(c * 1e7) / 1e7
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val v = df.select(value.cast("long").as("__v"))
+    val digits = v.filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val totals = v.agg(
+      coalesce(sum(when(col("__v") > 0, 1L)), lit(0L)).as("__n_ok"),
+      coalesce(sum(when(col("__v").isNull || !(col("__v") > 0), 1L)), lit(0L))
+        .as("n_excluded"))
+    // complete the 1..9 grid (an absent digit at n=0 is itself a
+    // finding) — bounded completion, the sourceDivergence class
+    val grid = digits.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val expCol = (1 to 9).foldRight(lit(0.0)) { case (d, rest) =>
+      when(col("digit") === d, lit(expected(d))).otherwise(rest)
+    }
+    grid.join(digits, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("p_observed",
+        when(col("__n_ok") > 0,
+          floor(col("n").cast("double") / col("__n_ok") * 1e4) / 1e4)
+          .otherwise(lit(0.0)))
+      .withColumn("p_expected", floor(expCol * 1e4) / 1e4)
+      .withColumn("__chiterm", t7(
+        when(col("__n_ok") > 0,
+          (col("n").cast("double") - expCol * col("__n_ok"))
+            * (col("n").cast("double") - expCol * col("__n_ok"))
+            / (expCol * col("__n_ok"))).otherwise(lit(0.0)))
+        .cast("decimal(28,7)"))
+      .withColumn("chi2", floor(
+        sum(col("__chiterm")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)).cast("double") * 1e4) / 1e4)
+      .select(col("digit"), col("n"), col("p_observed"), col("p_expected"),
+        col("chi2"), col("n_excluded"))
+  }
+
   /** Functional-dependency DISCOVERY over a candidate column list —
     * the classic profiling step behind key inference, denormalization
     * checks, and silent-corruption alarms (`order_id → customer_id`

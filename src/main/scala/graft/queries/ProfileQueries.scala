@@ -753,6 +753,53 @@ object ProfileQueries {
         .orderBy("group_key", "id")
     },
 
+    // C77: Benford first-digit audit on lineitem prices — floor before
+    // the long cast (Spark truncates a double→long cast, DuckDB
+    // rounds; floor makes them agree), digits from the integer's
+    // string form, expected shares as shared Scala literals.
+    Q(
+      "q_benford", {
+        val exp = (1 to 9).map(d =>
+          s"WHEN digit = $d THEN ${math.log10(1.0 + 1.0 / d)}")
+          .mkString("CASE ", " ", " ELSE 0.0 END")
+        s"""WITH v AS (
+           |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem),
+           |t AS (
+           |  SELECT CAST(coalesce(sum(CASE WHEN v > 0 THEN 1 END), 0) AS BIGINT) AS n_ok,
+           |    CAST(coalesce(sum(CASE WHEN v IS NULL OR NOT (v > 0) THEN 1 END), 0)
+           |      AS BIGINT) AS n_excluded
+           |  FROM v),
+           |d AS (
+           |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM v WHERE v > 0 GROUP BY 1),
+           |g AS (SELECT unnest(range(1, 10)) AS dg),
+           |j AS (
+           |  SELECT CAST(g.dg AS INT) AS digit, coalesce(d.n, 0) AS n
+           |  FROM g LEFT JOIN d ON d.digit = g.dg),
+           |e AS (SELECT j.digit, j.n, $exp AS pe, t.n_ok, t.n_excluded
+           |      FROM j CROSS JOIN t),
+           |c AS (
+           |  SELECT *, CAST(floor(CASE WHEN n_ok > 0
+           |    THEN (CAST(n AS DOUBLE) - pe * n_ok) * (CAST(n AS DOUBLE) - pe * n_ok)
+           |      / (pe * n_ok)
+           |    ELSE 0.0 END * 1e7) / 1e7 AS DECIMAL(28,7)) AS ct
+           |  FROM e)
+           |SELECT digit, n,
+           |  CASE WHEN n_ok > 0
+           |    THEN floor(CAST(n AS DOUBLE) / n_ok * 1e4) / 1e4
+           |    ELSE CAST(0.0 AS DOUBLE) END AS p_observed,
+           |  floor(pe * 1e4) / 1e4 AS p_expected,
+           |  floor(CAST(sum(ct) OVER () AS DOUBLE) * 1e4) / 1e4 AS chi2,
+           |  n_excluded
+           |FROM c ORDER BY digit""".stripMargin
+      }
+    ) { (s, dir) =>
+      graft.operators.Profile.benford(table(s, dir, "lineitem"),
+          floor(col("l_extendedprice")))
+        .orderBy("digit")
+    },
+
     // C75: functional-dependency discovery over customer's candidate
     // columns — custkey determines everything (it's the key), the
     // low-cardinality pair violates both ways; all six pairs in one

@@ -677,6 +677,46 @@ object EventStreams {
       }
   }
 
+  case class TermIn(term: String, bucket: Long)
+
+  case class SeenState(seen: Boolean)
+
+  case class FirstSeen(term: String, bucket: Long)
+
+  /** E27: streaming vocabulary first-seen extraction — the stateful
+    * twin of [[graft.operators.TextMetrics.vocabGrowth]]'s min-bucket
+    * attribution: keyed
+    * by TERM, a term's first arrival emits (term, bucket) exactly
+    * once; the per-bucket new-term counts / growth curve stay a
+    * downstream counting aggregate over the emissions. State is one
+    * boolean per DISTINCT TERM — bounded by the vocabulary, not the
+    * corpus (the broadcast-sketch class, not the row class); wire a
+    * TTL for genuinely unbounded vocabularies. Tokenization runs
+    * upstream, stateless (curateStream class). Ordering contract:
+    * per-term bucket order ACROSS batches; within a batch the
+    * earliest bucket wins here.
+    */
+  def vocabFirstSeenStream(terms: DataFrame): Dataset[FirstSeen] = {
+    implicit val inEnc = Encoders.product[TermIn]
+    implicit val outEnc = Encoders.product[FirstSeen]
+    implicit val stEnc = Encoders.product[SeenState]
+    implicit val strEnc = Encoders.STRING
+    terms.select(col("term").cast("string"), col("bucket").cast("long"))
+      .filter(col("term").isNotNull)
+      .as[TermIn]
+      .groupByKey(_.term)
+      .flatMapGroupsWithState[SeenState, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (term: String, rows: Iterator[TermIn], state: GroupState[SeenState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_.bucket)
+            state.update(SeenState(true))
+            Iterator.single(FirstSeen(term, first.bucket))
+          }
+      }
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

@@ -583,6 +583,31 @@ class ProfileSpec extends SparkSpec {
     assert(none.length == 1 && !none(0).getAs[Boolean]("discovery"))
   }
 
+  test("benford: digit extraction, grid completion, exclusions, chi2 replication") {
+    import spark.implicits._
+    // digits: 1×3 (1, 12, 190), 2×1 (25), 9×1 (900); zero/negative/null excluded
+    val df = Seq[Option[Long]](Some(1L), Some(12L), Some(190L), Some(25L),
+      Some(900L), Some(0L), Some(-7L), None).toDF("v")
+    val r = Profile.benford(df, col("v")).orderBy("digit").collect()
+    assert(r.length == 9, "grid completes all nine digits")
+    val byDigit = r.map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(byDigit(1) == 3L && byDigit(2) == 1L && byDigit(9) == 1L)
+    assert(byDigit(5) == 0L, "absent digit surfaces at n=0")
+    assert(r.head.getAs[Long]("n_excluded") == 3L)
+    assert(r.head.getAs[Double]("p_observed") == 0.6)
+    // chi2 identical on every row; replicate the op sequence exactly
+    def t7(x: Double) = math.floor(x * 1e7) / 1e7
+    val exp = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val ns = (1 to 9).map(d => byDigit(d).toDouble)
+    val chi = (1 to 9).map { d =>
+      val e = exp(d) * 5
+      BigDecimal(t7((ns(d - 1) - e) * (ns(d - 1) - e) / e))
+    }.sum
+    val expChi = math.floor(chi.toDouble * 1e4) / 1e4
+    assert(r.forall(_.getAs[Double]("chi2") == expChi),
+      s"${r.head.getAs[Double]("chi2")} vs $expChi")
+  }
+
   test("functionalDependencies: violations counted, NULL is a det value, key holds both ways") {
     import spark.implicits._
     val df = Seq(

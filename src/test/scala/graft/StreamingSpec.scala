@@ -1059,6 +1059,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E27 vocabFirstSeenStream: first-seen attribution equals batch vocabGrowth across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // bucket 0: {x, y}; bucket 1: {y, z}; bucket 2: {x} — the batch
+    // split lands mid-bucket-1 so y's re-arrival crosses state
+    val terms = Seq(
+      ("x", 0L), ("y", 0L), ("x", 0L),
+      ("y", 1L), ("z", 1L),
+      ("x", 2L))
+    val input = MemoryStream[(String, Long)](spark)
+    val q = graft.streaming.EventStreams.vocabFirstSeenStream(
+        input.toDF().toDF("term", "bucket"))
+      .writeStream.format("memory").queryName("e27_out").outputMode("append").start()
+    try {
+      input.addData(terms.take(4)) // y arrives again in bucket 1 here
+      q.processAllAvailable()
+      input.addData(terms.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("e27_out")
+        .as[(String, Long)].collect().toSet
+      assert(streamed == Set(("x", 0L), ("y", 0L), ("z", 1L)),
+        s"got $streamed")
+      // downstream count per bucket == batch vocabGrowth's n_new_terms
+      val newPerBucket = spark.table("e27_out")
+        .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+      val docs = Seq((0L, "x y x"), (1L, "y z"), (2L, "x")).toDF("b", "text")
+      val batch = graft.operators.TextMetrics.vocabGrowth(docs, col("b"), col("text"))
+        .select("bucket", "n_new_terms").as[(Long, Long)].collect()
+        .filter(_._2 > 0).toMap
+      assert(newPerBucket == batch, s"$newPerBucket vs $batch")
+    } finally q.stop()
+  }
+
   test("E26 interArrivalStream: gap multiset equals the batch lag window across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ev = Seq(
