@@ -1232,6 +1232,50 @@ object TextMetrics {
         coalesce(col("jsd"), lit(1.0)).as("jsd"))
   }
 
+  /** BINARY-BLOB contamination stats — the "data URI / key dump /
+    * minified payload pasted into a web page" detector: long unbroken
+    * runs of base64-alphabet or hex characters are almost never
+    * natural language, waste tokenizer budget catastrophically (a
+    * 1 KB blob is ~700 junk BPE tokens), and sometimes ARE leaked
+    * secrets. Per doc: run counts, longest run, and the fraction of
+    * characters living inside runs; `flagged` gates on either a
+    * dominant ratio or one huge run. Pure per-row regex projections
+    * (map-only at any scale, the C4-filter class); thresholds are
+    * config, flag-not-drop.
+    */
+  def binaryBlobStats(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      minB64Run: Int = 40,
+      minHexRun: Int = 32,
+      ratioThreshold: Double = 0.3,
+      hugeRun: Int = 200): DataFrame = {
+    require(minB64Run >= 8 && minHexRun >= 8, "run minimums >= 8")
+    // group 0 = the whole match: Spark's regexp_extract_all defaults
+    // to group 1 and errors on group-less patterns
+    val b64 = regexp_extract_all(col("__t"),
+      lit(s"[A-Za-z0-9+/=]{$minB64Run,}"), lit(0))
+    val hex = regexp_extract_all(col("__t"),
+      lit(s"[0-9a-fA-F]{$minHexRun,}"), lit(0))
+    df.select(id.as("id"), text.as("__t"))
+      .withColumn("__b64", b64)
+      .withColumn("__hex", hex)
+      .select(col("id"),
+        size(col("__b64")).cast("long").as("n_b64_runs"),
+        coalesce(array_max(transform(col("__b64"), s => length(s))), lit(0))
+          .cast("long").as("max_b64_len"),
+        size(col("__hex")).cast("long").as("n_hex_runs"),
+        when(length(col("__t")) > 0,
+          floor(aggregate(transform(col("__b64"), s => length(s)),
+            lit(0), (a, x) => a + x).cast("double")
+            / length(col("__t")) * 1e4) / 1e4)
+          .otherwise(lit(0.0)).as("b64_char_ratio"))
+      .withColumn("flagged",
+        col("b64_char_ratio") > ratioThreshold
+          || col("max_b64_len") >= hugeRun)
+  }
+
   /** VOCABULARY GROWTH over an ordered bucket axis — the crawl-drift
     * monitor: per bucket (ingest day, shard index, snapshot), how many
     * distinct terms were used, how many were NEVER seen in any earlier

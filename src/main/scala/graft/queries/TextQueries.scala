@@ -588,6 +588,50 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("shingle").asc)
     },
 
+    // D109: binary-blob contamination — every 13th doc gets a 123-char
+    // base64 payload, every 17th a 64-char hex digest; run extraction,
+    // lengths, ratio, and the flag replay in both engines (the planted
+    // blob uses only [A-Za-z0-9+/] so both regexes see identical runs).
+    Q(
+      "q_binary_blobs",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' ' ||
+        |      repeat('QmFzZTY0IQ==', 10) || 'A/+'
+        |    WHEN doc_id % 17 = 0 THEN text || ' ' || repeat('deadbeef', 8)
+        |    ELSE text END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id AS id, t,
+        |    regexp_extract_all(t, '[A-Za-z0-9+/=]{40,}') AS b64,
+        |    regexp_extract_all(t, '[0-9a-fA-F]{32,}') AS hex
+        |  FROM d)
+        |SELECT id,
+        |  CAST(len(b64) AS BIGINT) AS n_b64_runs,
+        |  CAST(coalesce(list_max(list_transform(b64, s -> length(s))), 0)
+        |    AS BIGINT) AS max_b64_len,
+        |  CAST(len(hex) AS BIGINT) AS n_hex_runs,
+        |  CASE WHEN length(t) > 0 THEN
+        |    floor(CAST(coalesce(list_sum(list_transform(b64, s -> length(s))), 0) AS DOUBLE)
+        |      / length(t) * 1e4) / 1e4
+        |  ELSE CAST(0.0 AS DOUBLE) END AS b64_char_ratio,
+        |  b64_char_ratio > 0.3 OR max_b64_len >= 120 AS flagged
+        |FROM r ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" "),
+            concat_ws("", (1 to 10).map(_ => lit("QmFzZTY0IQ==")): _*),
+            lit("A/+")))
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" "),
+              concat_ws("", (1 to 8).map(_ => lit("deadbeef")): _*)))
+          .otherwise(col("text")).as("t"))
+      TextMetrics.binaryBlobStats(d, col("doc_id"), col("t"),
+          hugeRun = 120)
+        .orderBy("id")
+    },
+
     // D108: vocabulary growth over ingest-order buckets (50 docs per
     // bucket) — new-term counts/rates and cumulative vocab; exact
     // distinct arithmetic, one bounded ordered pass for the cumsum.

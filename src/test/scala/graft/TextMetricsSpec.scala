@@ -575,6 +575,28 @@ class TextMetricsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("docs_with_valid_cc") == 1L)
   }
 
+  test("binaryBlobStats: run thresholds, ratio flag, huge-run flag, empty text") {
+    import spark.implicits._
+    val blob45 = "A" * 45
+    val hex36 = "deadbeef" * 4 + "beef" // 36 hex chars
+    val docs = Seq(
+      (1L, s"${"prose " * 30}$blob45 and more"), // one run, ratio 45/229 < 0.3
+      (2L, s"short AAAA run only, plus $hex36"), // hex counts, b64 doesn't (36 < 40)
+      (3L, blob45 + blob45), // 90 chars of blob in a 90-char doc: ratio 1 -> flagged
+      (4L, ""), // empty: zeros, ratio 0
+      (5L, "just prose here")) // clean
+      .toDF("id", "t")
+    val r = TextMetrics.binaryBlobStats(docs, col("id"), col("t"),
+        hugeRun = 80)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+    assert(r(0)._2 == 1L && r(0)._3 == 45L && !r(0)._6, s"${r(0)}")
+    assert(r(1)._2 == 0L && r(1)._4 == 1L && !r(1)._6, s"${r(1)}")
+    assert(r(2)._2 == 1L && r(2)._3 == 90L && r(2)._5 == 1.0 && r(2)._6, s"${r(2)}")
+    assert(r(3) == ((4L, 0L, 0L, 0L, 0.0, false)), s"${r(3)}")
+    assert(r(4) == ((5L, 0L, 0L, 0L, 0.0, false)), s"${r(4)}")
+  }
+
   test("vocabGrowth: first-seen attribution, zero-new buckets, cumulative vocab") {
     import spark.implicits._
     val docs = Seq(
