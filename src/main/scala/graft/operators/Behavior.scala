@@ -248,7 +248,10 @@ object Behavior {
       acc.withColumn(s"__e$i", lead(col("__e0"), i).over(w))
     }
     withLeads
-      .filter((1 until len).map(i => col(s"__e$i").isNotNull).reduce(_ && _))
+      // __e0 included: a NULL event would otherwise produce a
+      // TRUNCATED path via concat_ws (skips nulls) and conflate it
+      // with genuine shorter paths (caught in review)
+      .filter((0 until len).map(i => col(s"__e$i").isNotNull).reduce(_ && _))
       .select(concat_ws(">", (0 until len).map(i => col(s"__e$i")): _*).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path").asc)

@@ -276,8 +276,13 @@ object Eval {
     val idcg = (1 to k).foldRight(lit(0.0)) { case (m, rest) =>
       when(least(col("n_gold"), lit(k.toLong)) === m, lit(idcgAt(m))).otherwise(rest)
     }
-    perQ.join(nGold, Seq("query_id"), "left")
+    // FULL outer against the gold side: a query with gold entries but
+    // NO retrieved rows (the tier returned nothing, or nothing within
+    // rank <= k) must surface as an all-zero row — silently dropping
+    // it would inflate every macro-averaged metric (caught in review)
+    perQ.join(nGold, Seq("query_id"), "full")
       .withColumn("n_gold", coalesce(col("n_gold"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .select(col("query_id"), col("n_gold"), col("hits"),
         round(col("hits").cast("double") / k, 4).as(s"precision_at_$k"),
         when(col("n_gold") === 0, lit(0.0))
@@ -330,8 +335,12 @@ object Eval {
     require(b >= 10 && b <= 10000, "b in [10, 10000]")
     require(level > 0 && level < 1, "level in (0,1)")
     val alpha = 1.0 - level
+    // NULL values are EXCLUDED, not zero-counted: a null row in n and
+    // in the resample weight denominators would bias every mean low
+    // (caught in review -- the effectiveSampleSize exclusion contract)
     val base = df.select(group.as("grp"), id.cast("long").as("__id"),
       value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
     // values pre-round to 6 dp BEFORE the decimal cast: the cast of an
     // exactly-6-dp double is faithful in both engines, where a direct
     // double->decimal cast of an arbitrary double would expose the
@@ -342,7 +351,10 @@ object Eval {
       round(sum(vLane).cast("double") / count(lit(1)), 6)
         .as("point_mean"))
     // one row per (item, resample): weight from the portable hash
-    val bucket = Sampling.hashBucket(col("__id") * 1009L + col("__r"))
+    // stride 10007 > max b: with stride < b, resample r's weights would
+    // be resample (r - stride)'s shifted by one contiguous id -- near-
+    // duplicate resamples and over-tight CIs (caught in review)
+    val bucket = Sampling.hashBucket(col("__id") * 10007L + col("__r"))
     val weight = poissonCuts.zipWithIndex.foldRight(lit(poissonCuts.size)) {
       case ((cut, w), rest) => when(bucket <= cut, lit(w)).otherwise(rest)
     }

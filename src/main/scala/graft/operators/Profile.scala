@@ -829,26 +829,6 @@ object Profile {
       .select(col("bin"), col("bin_lo"), col("n"))
   }
 
-  /** QUANTILE NORMALIZATION onto a reference group — harmonize
-    * per-source score distributions before cross-source gates: a
-    * quality score of 0.6 from crawl A and 0.6 from crawl B rarely
-    * mean the same thing; mapping every group's empirical distribution
-    * onto one reference group's makes "keep the top 30%" mean the top
-    * 30% EVERYWHERE. Each row's within-group rank becomes a
-    * percentile, which indexes into the reference group's sorted
-    * values.
-    *
-    * Determinism is PURE INTEGER: rank by (value, id) per group, the
-    * mapped reference rank is `(r−1)·(n_ref−1) div (n−1) + 1` (exact
-    * integer division — no float percentile to disagree on);
-    * single-row groups map to the reference median rank.
-    *
-    * Shape at scale: one rank window per GROUP (keyed, never global),
-    * the reference group's (rank, value) frame joins back by equi-rank
-    * — distributed, reference-group-sized build side; the reference
-    * row count rides in as a 1-row broadcast. NULL values are
-    * excluded (rank semantics would be engine-dependent).
-    */
   /** BENFORD first-digit audit over a positive integral column — the
     * fabricated-data / corruption tell for naturally-spanning
     * magnitudes (amounts, populations, file sizes): organic data's
@@ -942,6 +922,26 @@ object Profile {
     m.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** QUANTILE NORMALIZATION onto a reference group — harmonize
+    * per-source score distributions before cross-source gates: a
+    * quality score of 0.6 from crawl A and 0.6 from crawl B rarely
+    * mean the same thing; mapping every group's empirical distribution
+    * onto one reference group's makes "keep the top 30%" mean the top
+    * 30% EVERYWHERE. Each row's within-group rank becomes a
+    * percentile, which indexes into the reference group's sorted
+    * values.
+    *
+    * Determinism is PURE INTEGER: rank by (value, id) per group, the
+    * mapped reference rank is `(r−1)·(n_ref−1) div (n−1) + 1` (exact
+    * integer division — no float percentile to disagree on);
+    * single-row groups map to the reference median rank.
+    *
+    * Shape at scale: one rank window per GROUP (keyed, never global),
+    * the reference group's (rank, value) frame joins back by equi-rank
+    * — distributed, reference-group-sized build side; the reference
+    * row count rides in as a 1-row broadcast. NULL values are
+    * excluded (rank semantics would be engine-dependent).
+    */
   def quantileNormalize(
       df: DataFrame,
       group: Column,
@@ -951,9 +951,13 @@ object Profile {
     val t = df.select(group.cast("string").as("group_key"), id.as("id"),
         value.cast("double").as("value"))
       .filter(col("value").isNotNull)
-    // loud failure on a missing/empty reference group: a silent nref=0
-    // would map every rank negative and the equi-rank join would
-    // return an EMPTY frame that looks like success downstream
+    // loud failure on a missing/empty reference group: a silent
+    // nref = 0 would map every rank negative and the equi-rank join
+    // would come back EMPTY looking like success. The check is EAGER
+    // by necessity — a lazy raise_error column gets pruned with the
+    // whole subtree when AQE turns the empty-build-side join into an
+    // empty relation — but cheap: filter + limit(1) short-circuits at
+    // the first matching row rather than scanning the input.
     require(t.filter(col("group_key") === referenceGroup).limit(1).count() > 0,
       s"quantileNormalize: reference group '$referenceGroup' has no rows")
     val wg = org.apache.spark.sql.expressions.Window

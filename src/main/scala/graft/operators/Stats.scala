@@ -1082,7 +1082,7 @@ object Stats {
     val alpha = 1.0 - level
     val base = df.select(treat.cast("boolean").as("__t"),
         id.cast("long").as("__id"), value.cast("double").as("__v"))
-      .filter(col("__t").isNotNull)
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
     val vLane = Num.dec(round(col("__v"), 6))
     val point = base.agg(
       coalesce(sum(when(col("__t"), 1L)), lit(0L)).as("n_treat"),
@@ -1092,8 +1092,9 @@ object Stats {
       round(sum(when(!col("__t"), vLane)).cast("double")
         / sum(when(!col("__t"), 1L)), 6).as("mean_control"))
       .withColumn("lift", round(col("mean_treat") - col("mean_control"), 6))
+    // stride 10007 > max b (bootstrapCI's shifted-resample note)
     val bucket = graft.operators.Sampling.hashBucket(
-      col("__id") * 1009L + col("__r"))
+      col("__id") * 10007L + col("__r"))
     val cuts = graft.operators.Eval.poissonCuts
     val weight = cuts.zipWithIndex.foldRight(lit(cuts.size)) {
       case ((cut, w), rest) => when(bucket <= cut, lit(w)).otherwise(rest)

@@ -1258,22 +1258,34 @@ object TextMetrics {
       lit(s"[A-Za-z0-9+/=]{$minB64Run,}"), lit(0))
     val hex = regexp_extract_all(col("__t"),
       lit(s"[0-9a-fA-F]{$minHexRun,}"), lit(0))
-    df.select(id.as("id"), text.as("__t"))
+    // coalesce: NULL text is an empty doc, not legacy size(NULL) = -1
+    // run counts (caught in review)
+    def ratio(runs: org.apache.spark.sql.Column) =
+      when(length(col("__t")) > 0,
+        floor(aggregate(transform(runs, s => length(s)),
+          lit(0), (a, x) => a + x).cast("double")
+          / length(col("__t")) * 1e4) / 1e4)
+        .otherwise(lit(0.0))
+    df.select(id.as("id"), coalesce(text, lit("")).as("__t"))
       .withColumn("__b64", b64)
       .withColumn("__hex", hex)
       .select(col("id"),
         size(col("__b64")).cast("long").as("n_b64_runs"),
         coalesce(array_max(transform(col("__b64"), s => length(s))), lit(0))
           .cast("long").as("max_b64_len"),
+        ratio(col("__b64")).as("b64_char_ratio"),
         size(col("__hex")).cast("long").as("n_hex_runs"),
-        when(length(col("__t")) > 0,
-          floor(aggregate(transform(col("__b64"), s => length(s)),
-            lit(0), (a, x) => a + x).cast("double")
-            / length(col("__t")) * 1e4) / 1e4)
-          .otherwise(lit(0.0)).as("b64_char_ratio"))
+        coalesce(array_max(transform(col("__hex"), s => length(s))), lit(0))
+          .cast("long").as("max_hex_len"),
+        // hex gets its OWN ratio: any hex run >= minB64Run is also a
+        // b64 run, so a document made of SHORT hex runs (a broken-up
+        // digest dump) is invisible to the b64 ratio — caught in review
+        ratio(col("__hex")).as("hex_char_ratio"))
       .withColumn("flagged",
         col("b64_char_ratio") > ratioThreshold
-          || col("max_b64_len") >= hugeRun)
+          || col("hex_char_ratio") > ratioThreshold
+          || col("max_b64_len") >= hugeRun
+          || col("max_hex_len") >= hugeRun)
   }
 
   /** VOCABULARY GROWTH over an ordered bucket axis — the crawl-drift

@@ -50,6 +50,22 @@ object DedupQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000, tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS BIGINT), 1)] FROM tk0)""".stripMargin
 
+  /** The min-label connected-components propagation unroll shared by
+    * every CC-backed oracle (clusters, star twin, splits, entity
+    * resolution): `rounds` iterations over a `sym` edge CTE and an
+    * `l0` seed. ONE definition on purpose — five drifting copies of
+    * this template is how oracles silently diverge (review).
+    */
+  private def ccUnrollSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.id,
+         |    least(l.comp, coalesce((SELECT min(l2.comp)
+         |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
+         |      WHERE e.a = l.id), l.comp)) AS comp
+         |  FROM l${i - 1} l)""".stripMargin
+    }.mkString(",\n")
+
   val all: Seq[Q] = Seq(
 
     // D2: MinHash + LSH near-dup pairs on the planted corpus. The
@@ -243,14 +259,7 @@ object DedupQueries {
         // MATERIALIZED: each round references the previous one twice;
         // inlined CTEs would re-evaluate the whole chain per reference
         // (exponential in rounds)
-        val rounds = (1 to 8).map { i =>
-          s"""l$i AS MATERIALIZED (
-             |  SELECT l.id,
-             |    least(l.comp, coalesce((SELECT min(l2.comp)
-             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
-             |      WHERE e.a = l.id), l.comp)) AS comp
-             |  FROM l${i - 1} l)""".stripMargin
-        }.mkString(",\n")
+        val rounds = ccUnrollSql(8)
         s"""WITH $truncatedDocsSql,
            |sh AS (
            |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
@@ -291,14 +300,7 @@ object DedupQueries {
     // identical oracle the min-label variant hits.
     Q(
       "q_dedup_clusters_star", {
-        val rounds = (1 to 8).map { i =>
-          s"""l$i AS MATERIALIZED (
-             |  SELECT l.id,
-             |    least(l.comp, coalesce((SELECT min(l2.comp)
-             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
-             |      WHERE e.a = l.id), l.comp)) AS comp
-             |  FROM l${i - 1} l)""".stripMargin
-        }.mkString(",\n")
+        val rounds = ccUnrollSql(8)
         s"""WITH $truncatedDocsSql,
            |sh AS (
            |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
@@ -340,14 +342,7 @@ object DedupQueries {
     // oracle unrolls the propagation then replays the ranking window.
     Q(
       "q_dedup_best", {
-        val rounds = (1 to 8).map { i =>
-          s"""l$i AS MATERIALIZED (
-             |  SELECT l.id,
-             |    least(l.comp, coalesce((SELECT min(l2.comp)
-             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
-             |      WHERE e.a = l.id), l.comp)) AS comp
-             |  FROM l${i - 1} l)""".stripMargin
-        }.mkString(",\n")
+        val rounds = ccUnrollSql(8)
         s"""WITH $truncatedDocsSql,
            |sh AS (
            |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
@@ -727,14 +722,7 @@ object DedupQueries {
     // no-straddle invariant.
     Q(
       "q_split_by_cluster", {
-        val rounds = (1 to 8).map { i =>
-          s"""l$i AS MATERIALIZED (
-             |  SELECT l.id,
-             |    least(l.comp, coalesce((SELECT min(l2.comp)
-             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
-             |      WHERE e.a = l.id), l.comp)) AS comp
-             |  FROM l${i - 1} l)""".stripMargin
-        }.mkString(",\n")
+        val rounds = ccUnrollSql(8)
         val b = graft.operators.Sampling.hashBucketSql("cluster")
         s"""WITH $truncatedDocsSql,
            |sh AS (
@@ -805,14 +793,7 @@ object DedupQueries {
     // is exact.
     Q(
       "q_entity_resolve", {
-        val rounds = (1 to 8).map { i =>
-          s"""l$i AS MATERIALIZED (
-             |  SELECT l.id,
-             |    least(l.comp, coalesce((SELECT min(l2.comp)
-             |      FROM sym e JOIN l${i - 1} l2 ON l2.id = e.b
-             |      WHERE e.a = l.id), l.comp)) AS comp
-             |  FROM l${i - 1} l)""".stripMargin
-        }.mkString(",\n")
+        val rounds = ccUnrollSql(8)
         s"""WITH c0 AS (
            |  SELECT c_custkey AS id,
            |    c_name || '-' || (c_custkey * 7919) % 100000 AS nm,

@@ -237,10 +237,11 @@ object EvalQueries {
            |    min(CASE WHEN rel THEN rank END) AS first_rel,
            |    sum(CASE WHEN rel THEN $discCase END) AS dcg
            |  FROM j GROUP BY 1)
-           |SELECT pq.query_id, coalesce(ng.n_gold, 0) AS n_gold, pq.hits,
-           |  round(CAST(pq.hits AS DOUBLE) / 10, 4) AS precision_at_10,
+           |SELECT query_id, coalesce(ng.n_gold, 0) AS n_gold,
+           |  coalesce(pq.hits, 0) AS hits,
+           |  round(CAST(coalesce(pq.hits, 0) AS DOUBLE) / 10, 4) AS precision_at_10,
            |  CASE WHEN coalesce(ng.n_gold, 0) = 0 THEN CAST(0.0 AS DOUBLE)
-           |    ELSE round(CAST(pq.hits AS DOUBLE) / ng.n_gold, 4)
+           |    ELSE round(CAST(coalesce(pq.hits, 0) AS DOUBLE) / ng.n_gold, 4)
            |  END AS recall_at_10,
            |  CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
            |    ELSE round(1.0 / first_rel, 4) END AS mrr,
@@ -248,8 +249,8 @@ object EvalQueries {
            |    THEN CAST(0.0 AS DOUBLE)
            |    ELSE round(CAST(dcg AS DOUBLE) / ($idcgCase), 4)
            |  END AS ndcg_at_10
-           |FROM pq LEFT JOIN ng USING (query_id)
-           |ORDER BY pq.query_id""".stripMargin
+           |FROM pq FULL JOIN ng USING (query_id)
+           |ORDER BY query_id""".stripMargin
       }
     ) { (s, dir) =>
       val e = table(s, dir, "embeddings").select(
@@ -279,13 +280,14 @@ object EvalQueries {
     Q(
       "q_bootstrap_ci", {
         val alpha = 1.0 - 0.95
-        val b = Sampling.hashBucketSql("(id * 1009 + r)")
+        val b = Sampling.hashBucketSql("(id * 10007 + r)")
         val cuts = Eval.poissonCuts
         val wExpr = cuts.zipWithIndex
           .map { case (c, w) => s"WHEN bkt <= $c THEN $w" }
           .mkString("CASE ", " ", s" ELSE ${cuts.size} END")
         s"""WITH e AS (
-           |  SELECT event_type AS grp, event_id AS id, value AS v FROM events),
+           |  SELECT event_type AS grp, event_id AS id, value AS v FROM events
+        |  WHERE value IS NOT NULL),
            |pt AS (
            |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
            |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)

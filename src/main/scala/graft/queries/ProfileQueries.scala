@@ -378,14 +378,14 @@ object ProfileQueries {
     Q(
       "q_bootstrap_lift", {
         val alpha = 1.0 - 0.95
-        val bkt = Sampling.hashBucketSql("(id * 1009 + r)")
+        val bkt = Sampling.hashBucketSql("(id * 10007 + r)")
         val cuts = graft.operators.Eval.poissonCuts
         val wExpr = cuts.zipWithIndex
           .map { case (c, w) => s"WHEN bkt <= $c THEN $w" }
           .mkString("CASE ", " ", s" ELSE ${cuts.size} END")
         s"""WITH e AS (
            |  SELECT user_id % 2 = 0 AS t, event_id AS id, value AS v
-           |  FROM events WHERE event_type = 'purchase'),
+           |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
            |pt AS (
            |  SELECT
            |    CAST(coalesce(sum(CASE WHEN t THEN 1 END), 0) AS BIGINT) AS n_treat,

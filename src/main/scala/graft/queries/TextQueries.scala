@@ -610,12 +610,19 @@ object TextQueries {
         |  CAST(len(b64) AS BIGINT) AS n_b64_runs,
         |  CAST(coalesce(list_max(list_transform(b64, s -> length(s))), 0)
         |    AS BIGINT) AS max_b64_len,
-        |  CAST(len(hex) AS BIGINT) AS n_hex_runs,
         |  CASE WHEN length(t) > 0 THEN
         |    floor(CAST(coalesce(list_sum(list_transform(b64, s -> length(s))), 0) AS DOUBLE)
         |      / length(t) * 1e4) / 1e4
         |  ELSE CAST(0.0 AS DOUBLE) END AS b64_char_ratio,
-        |  b64_char_ratio > 0.3 OR max_b64_len >= 120 AS flagged
+        |  CAST(len(hex) AS BIGINT) AS n_hex_runs,
+        |  CAST(coalesce(list_max(list_transform(hex, s -> length(s))), 0)
+        |    AS BIGINT) AS max_hex_len,
+        |  CASE WHEN length(t) > 0 THEN
+        |    floor(CAST(coalesce(list_sum(list_transform(hex, s -> length(s))), 0) AS DOUBLE)
+        |      / length(t) * 1e4) / 1e4
+        |  ELSE CAST(0.0 AS DOUBLE) END AS hex_char_ratio,
+        |  b64_char_ratio > 0.3 OR hex_char_ratio > 0.3
+        |    OR max_b64_len >= 120 OR max_hex_len >= 120 AS flagged
         |FROM r ORDER BY id""".stripMargin
     ) { (s, dir) =>
       val d = table(s, dir, "documents").select(col("doc_id"),

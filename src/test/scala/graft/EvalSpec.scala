@@ -174,7 +174,8 @@ class EvalSpec extends SparkSpec {
     val gold = Seq(
       (1L, "b"), (1L, "x"), (1L, "y"),
       (2L, "z"),
-      (4L, "p"), (4L, "q"))
+      (4L, "p"), (4L, "q"),
+      (5L, "m"), (5L, "n")) // query 5 has gold but NO results at all
       .toDF("gq", "gd")
     val r = Eval.retrievalMetrics(res, col("qid"), col("did"), col("rank"),
         gold, col("gq"), col("gd"), k = 3)
@@ -188,6 +189,11 @@ class EvalSpec extends SparkSpec {
     assert(r(2) == ((3L, 0L, 0L, 0.0, 0.0, 0.0, 0.0)))
     // perfect top-2 against a 2-item gold: recall 1, mrr 1, ndcg 1
     assert(r(3) == ((4L, 2L, 2L, 0.6667, 1.0, 1.0, 1.0)), s"${r(3)}")
+    // a query the retrieval tier returned NOTHING for must still
+    // surface as an all-zero row (silently absent would inflate
+    // macro averages — review)
+    assert(r.length == 5)
+    assert(r(4) == ((5L, 2L, 0L, 0.0, 0.0, 0.0, 0.0)), s"${r(4)}")
   }
 
   test("bootstrapCI: determinism, point mean, bound ordering, constant collapse, tiny group") {

@@ -654,8 +654,9 @@ class ProfileSpec extends SparkSpec {
       .filter(col("group_key") === "g").orderBy("id")
       .select("id", "normalized").as[(Long, Double)].collect()
     assert(rt.toSeq == Seq((8L, 1.0), (9L, 2.0)))
-    intercept[IllegalArgumentException] {
+    val err = intercept[IllegalArgumentException] {
       Profile.quantileNormalize(df, col("src"), col("id"), col("v"), "nope")
     }
+    assert(err.getMessage.contains("quantileNormalize"), err.getMessage)
   }
 }

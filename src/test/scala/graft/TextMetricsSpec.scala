@@ -581,7 +581,7 @@ class TextMetricsSpec extends SparkSpec {
     val hex36 = "deadbeef" * 4 + "beef" // 36 hex chars
     val docs = Seq(
       (1L, s"${"prose " * 30}$blob45 and more"), // one run, ratio 45/229 < 0.3
-      (2L, s"short AAAA run only, plus $hex36"), // hex counts, b64 doesn't (36 < 40)
+      (2L, s"${"prose " * 25}short AAAA run, plus $hex36"), // hex counts, b64 doesn't (36 < 40); ratio 36/186 < 0.3
       (3L, blob45 + blob45), // 90 chars of blob in a 90-char doc: ratio 1 -> flagged
       (4L, ""), // empty: zeros, ratio 0
       (5L, "just prose here")) // clean
@@ -589,12 +589,24 @@ class TextMetricsSpec extends SparkSpec {
     val r = TextMetrics.binaryBlobStats(docs, col("id"), col("t"),
         hugeRun = 80)
       .orderBy("id")
-      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
-    assert(r(0)._2 == 1L && r(0)._3 == 45L && !r(0)._6, s"${r(0)}")
-    assert(r(1)._2 == 0L && r(1)._4 == 1L && !r(1)._6, s"${r(1)}")
-    assert(r(2)._2 == 1L && r(2)._3 == 90L && r(2)._5 == 1.0 && r(2)._6, s"${r(2)}")
-    assert(r(3) == ((4L, 0L, 0L, 0L, 0.0, false)), s"${r(3)}")
-    assert(r(4) == ((5L, 0L, 0L, 0L, 0.0, false)), s"${r(4)}")
+      .as[(Long, Long, Long, Double, Long, Long, Double, Boolean)].collect()
+    assert(r(0)._2 == 1L && r(0)._3 == 45L && !r(0)._8, s"${r(0)}")
+    assert(r(1)._2 == 0L && r(1)._5 == 1L && r(1)._6 == 36L && !r(1)._8, s"${r(1)}")
+    assert(r(2)._2 == 1L && r(2)._3 == 90L && r(2)._4 == 1.0 && r(2)._8, s"${r(2)}")
+    assert(r(3) == ((4L, 0L, 0L, 0.0, 0L, 0L, 0.0, false)), s"${r(3)}")
+    assert(r(4) == ((5L, 0L, 0L, 0.0, 0L, 0L, 0.0, false)), s"${r(4)}")
+    // a digest dump of SHORT hex runs (< minB64Run, so invisible to
+    // the b64 ratio) flags through the hex ratio
+    val hexDump = Seq((9L, ("cafe0123" * 4 + " ") * 3 + "ok")).toDF("id", "t")
+    val rh = TextMetrics.binaryBlobStats(hexDump, col("id"), col("t"))
+      .as[(Long, Long, Long, Double, Long, Long, Double, Boolean)].collect()(0)
+    assert(rh._2 == 0L && rh._5 == 3L && rh._6 == 32L && rh._7 > 0.3 && rh._8,
+      s"$rh")
+    // NULL text reads as empty, never -1 run counts
+    val nulls = Seq((10L, null.asInstanceOf[String])).toDF("id", "t")
+    val rn = TextMetrics.binaryBlobStats(nulls, col("id"), col("t"))
+      .as[(Long, Long, Long, Double, Long, Long, Double, Boolean)].collect()(0)
+    assert(rn == ((10L, 0L, 0L, 0.0, 0L, 0L, 0.0, false)), s"$rn")
   }
 
   test("vocabGrowth: first-seen attribution, zero-new buckets, cumulative vocab") {
