@@ -1269,8 +1269,8 @@ object ProfileQueries {
       "q_acf", {
         def lagSel(l: Int): String =
           s"""SELECT key, $l AS lag,
-             |  CAST(c6 * lag(c6, $l) OVER (PARTITION BY key ORDER BY bucket)
-             |    AS DECIMAL(38,0)) AS p
+             |  CAST(c6 AS DECIMAL(38,0))
+             |    * lag(c6, $l) OVER (PARTITION BY key ORDER BY bucket) AS p
              |FROM c""".stripMargin
         s"""WITH b AS (
            |  SELECT event_type AS key,
@@ -1292,7 +1292,7 @@ object ProfileQueries {
            |    CAST((d.value - mu.mu) * 1e6 AS DECIMAL(18,0)) AS c6
            |  FROM d JOIN mu ON d.key = mu.key),
            |den AS (
-           |  SELECT key, sum(CAST(c6 * c6 AS DECIMAL(38,0))) AS dn
+           |  SELECT key, sum(CAST(c6 AS DECIMAL(38,0)) * c6) AS dn
            |  FROM c GROUP BY 1),
            |l AS (
            |  ${lagSel(1)}
@@ -1340,7 +1340,7 @@ object ProfileQueries {
           else s"lead(cy6, $l) OVER (PARTITION BY key ORDER BY bucket)"
         def lagSel(l: Int): String =
           s"""SELECT key, $l AS lag,
-             |  CAST(cx6 * (${shifted(l)}) AS DECIMAL(38,0)) AS p
+             |  CAST(cx6 AS DECIMAL(38,0)) * (${shifted(l)}) AS p
              |FROM c""".stripMargin
         s"""WITH b AS (
            |  SELECT event_type AS key,
@@ -1367,8 +1367,8 @@ object ProfileQueries {
            |  FROM d JOIN mu ON d.key = mu.key),
            |den AS (
            |  SELECT key,
-           |    sum(CAST(cx6 * cx6 AS DECIMAL(38,0))) AS dx,
-           |    sum(CAST(cy6 * cy6 AS DECIMAL(38,0))) AS dy
+           |    sum(CAST(cx6 AS DECIMAL(38,0)) * cx6) AS dx,
+           |    sum(CAST(cy6 AS DECIMAL(38,0)) * cy6) AS dy
            |  FROM c GROUP BY 1),
            |l AS (
            |  ${(-2 to 2).map(lagSel).mkString("\n|  UNION ALL\n|  ")}),
