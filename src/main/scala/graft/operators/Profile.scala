@@ -846,7 +846,11 @@ object Profile {
       value: Column): DataFrame = {
     def t7(c: Column): Column = floor(c * 1e7) / 1e7
     val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
-    val v = df.select(value.cast("long").as("__v"))
+    // floor() before the long cast: Spark truncates double→long while
+    // DuckDB rounds — flooring first makes a raw double column give
+    // identical digit counts on both engines (engine-portable; a
+    // no-op for already-integral columns, so no precision loss there)
+    val v = df.select(floor(value).cast("long").as("__v"))
     val digits = v.filter(col("__v") > 0)
       .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))

@@ -955,9 +955,11 @@ object Stats {
       label: Column,
       buckets: Int = 100): DataFrame = {
     require(buckets >= 2 && buckets <= 100000, "buckets in [2, 100000]")
+    // NULL labels are excluded, not counted as negatives — the same
+    // contract as [[calibration]] / [[brierDecomposition]]
     val agg = df.select(score.cast("double").as("__s"),
         label.cast("boolean").as("__y"))
-      .filter(col("__s") >= 0.0 && col("__s") <= 1.0)
+      .filter(col("__s") >= 0.0 && col("__s") <= 1.0 && col("__y").isNotNull)
       .withColumn("__b",
         least(floor(col("__s") * buckets), lit((buckets - 1).toLong)).cast("int"))
       .groupBy("__b")
@@ -1040,7 +1042,13 @@ object Stats {
       * log(col("n").cast("double") * col("nn")
         / (col("na").cast("double") * col("nb"))) / ln2)
       .cast("decimal(20,7)")
-    val mi = cells.join(ra, "a").join(rb, "b").crossJoin(broadcast(tot))
+    // null-safe margin joins: NULL is a real level (the chiSquared /
+    // psiByGroup lesson) — a plain equi-join would drop NULL cells
+    // from the MI sum while nn / h_a / h_b still count them
+    val mi = cells
+      .join(broadcast(ra.withColumnRenamed("a", "__ka")), col("a") <=> col("__ka"))
+      .join(broadcast(rb.withColumnRenamed("b", "__kb")), col("b") <=> col("__kb"))
+      .crossJoin(broadcast(tot))
       .agg(sum(miTerm).as("mi_sum"), max(col("nn")).as("n"))
     mi.crossJoin(ha).crossJoin(hb)
       .select(col("n"),

@@ -862,7 +862,10 @@ object ProfileQueries {
            |        / (CAST(na AS DOUBLE) * nb)) / $ln2 * 1e7) / 1e7
            |      AS DECIMAL(20,7))) AS mi_sum,
            |    CAST(max(nn) AS BIGINT) AS n
-           |  FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)
+           |  FROM cells
+           |    JOIN ra ON cells.a IS NOT DISTINCT FROM ra.a
+           |    JOIN rb ON cells.b IS NOT DISTINCT FROM rb.b
+           |    CROSS JOIN tot)
            |SELECT mi.n,
            |  floor(CAST(mi_sum AS DOUBLE) * 1e4) / 1e4 AS mi,
            |  floor(CAST(ha AS DOUBLE) * 1e4) / 1e4 AS h_a,

@@ -299,7 +299,7 @@ object TemporalQueries {
         |  FROM e),
         |p AS (
         |  SELECT e0 || '>' || e1 || '>' || e2 AS path
-        |  FROM l WHERE e1 IS NOT NULL AND e2 IS NOT NULL)
+        |  FROM l WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL)
         |SELECT path, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
     ) { (s, dir) =>

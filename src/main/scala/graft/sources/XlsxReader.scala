@@ -53,6 +53,33 @@ object XlsxReader {
     found
   }
 
+  /** Decode SpreadsheetML `_xHHHH_` escapes in cell text — the spec's
+    * channel for chars illegal in XML 1.0 (control chars). Exactly
+    * four hex digits between `_x` and `_`; anything else passes
+    * through verbatim. `_x005F_` decodes to `_`, which is how a
+    * literal `_xHHHH_` in the original text survives the round-trip
+    * ([[XlsxWriter]] writes the matching escapes).
+    */
+  private[graft] def decodeEscapes(s: String): String = {
+    if (!s.contains("_x")) s
+    else {
+      def hex(c: Char): Boolean =
+        (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (i + 6 < s.length && s.charAt(i) == '_' && s.charAt(i + 1) == 'x' &&
+            s.charAt(i + 6) == '_' &&
+            hex(s.charAt(i + 2)) && hex(s.charAt(i + 3)) &&
+            hex(s.charAt(i + 4)) && hex(s.charAt(i + 5))) {
+          b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+          i += 7
+        } else { b.append(s.charAt(i)); i += 1 }
+      }
+      b.toString
+    }
+  }
+
   /** `A1` → 0-based column index. */
   private[graft] def colOf(ref: String): Int = {
     var c = 0
@@ -84,7 +111,7 @@ object XlsxReader {
           sb.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
-            case "si" => inSi = false; out += sb.toString
+            case "si" => inSi = false; out += decodeEscapes(sb.toString)
             case "t" => inT = false
             case _ => ()
           }
@@ -121,7 +148,7 @@ object XlsxReader {
         case "s" => sst.lift(value.toString.trim.toInt).getOrElse("")
         case "b" => if (value.toString.trim == "1") "TRUE" else "FALSE"
         case "e" => null
-        case "str" | "inlineStr" => value.toString
+        case "str" | "inlineStr" => decodeEscapes(value.toString)
         case _ => renderNum(value.toString.trim)
       }
       if (s != null && value.nonEmpty) {

@@ -28,20 +28,34 @@ object XlsxWriter {
   val MaxRows: Int = 1 << 20
 
   private def xmlEscape(s: String): String = {
-    val b = new StringBuilder(s.length + 8)
-    s.foreach {
+    // SpreadsheetML escape discipline: a literal `_x` in cell text is
+    // written `_x005F_x` FIRST, so the `_xHHHH_` sequences emitted for
+    // control chars below are unambiguous and [[XlsxReader]] (and
+    // Excel) can decode both back losslessly
+    val esc = s.replace("_x", "_x005F_x")
+    val b = new StringBuilder(esc.length + 8)
+    esc.foreach {
       case '&' => b.append("&amp;")
       case '<' => b.append("&lt;")
       case '>' => b.append("&gt;")
       case '"' => b.append("&quot;")
-      // control chars below 0x20 (except \t \n \r) are illegal in XML
-      // 1.0 — a stray NUL in a cell would corrupt the whole part
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+      // control chars below 0x20 (except \t \n) are illegal in XML
+      // 1.0 — a stray NUL in a cell would corrupt the whole part. \r
+      // is legal but XML parsers normalize it to \n in text content,
+      // so it must ride the escape channel to survive the round-trip
+      case c if c < ' ' && c != '\t' && c != '\n' =>
         b.append(f"_x${c.toInt}%04X_")
       case c => b.append(c)
     }
     b.toString
   }
+
+  // sheet-name attributes take plain XML escaping only: the reader
+  // returns attribute values verbatim, and _xHHHH_ decoding is a cell
+  // -text convention — escaping names would break the name round-trip
+  private def attrEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
 
   /** 0-based column index → `A1`-style column letters (colOf inverse). */
   private[graft] def colName(i: Int): String = {
@@ -106,7 +120,7 @@ object XlsxWriter {
         "</Relationships>"
     val workbook = {
       val defs = sheets.zipWithIndex.map { case ((name, _), i) =>
-        s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        s"""<sheet name="${attrEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
       }.mkString
       "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
         "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +

@@ -459,6 +459,19 @@ class BehaviorSpec extends SparkSpec {
     val rg = Stats.isotonicCalibration(guard, col("s"), col("y"), buckets = 4)
       .select("bucket", "n", "n_pos").as[(Int, Long, Long)].collect()
     assert(rg.toSeq == Seq((3, 2L, 1L)))
+    // NULL labels are EXCLUDED, not counted as negatives (the
+    // calibration/brierDecomposition contract): with three NULL-label
+    // rows in the same bucket, n and the pooled rate must match the
+    // two-labeled-row frame exactly
+    val withNulls = Seq((0.1, java.lang.Boolean.TRUE),
+      (0.1, java.lang.Boolean.FALSE), (0.1, null: java.lang.Boolean),
+      (0.1, null: java.lang.Boolean), (0.1, null: java.lang.Boolean))
+      .toDF("s", "y")
+    val rn = Stats.isotonicCalibration(withNulls, col("s"), col("y"), buckets = 4)
+      .select("bucket", "n", "n_pos", "calibrated")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rn.toSeq == Seq((0, 2L, 1L, 0.5)),
+      s"NULL labels must be excluded, not counted as negatives: ${rn.toSeq}")
     // monotonicity property on a noisy synthetic slope
     val noisy = (0 until 400).map { i =>
       val s = (i % 101) / 100.0

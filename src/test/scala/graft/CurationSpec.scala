@@ -494,4 +494,20 @@ class CurationSpec extends SparkSpec {
     assert(rg.getAs[Double]("h_a") == 0.0 && rg.getAs[Double]("nmi") == 0.0)
     assert(rg.getAs[Double]("mi") == 0.0)
   }
+
+  test("mutualInformation: NULL is a real level — null-safe margin joins keep its cells in the MI sum") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // perfectly dependent, but one level of each column is NULL: with
+    // plain equi-joins the NULL cells drop from the MI sum (while nn
+    // and the entropies still count them) and MI understates; with
+    // null-safe joins this is exactly 1 bit, same as the x/y twin
+    val dep = (Seq.fill(5)((null: String, null: String)) ++
+      Seq.fill(5)(("y", "y")))
+      .toDF("a", "b")
+    val r = Stats.mutualInformation(dep, col("a"), col("b")).collect()(0)
+    assert(r.getAs[Long]("n") == 10L, s"got $r")
+    assert(r.getAs[Double]("mi") == 1.0 && r.getAs[Double]("nmi") == 1.0,
+      s"NULL-level cells must stay in the MI sum: $r")
+  }
 }

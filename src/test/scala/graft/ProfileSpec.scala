@@ -606,6 +606,15 @@ class ProfileSpec extends SparkSpec {
     val expChi = math.floor(chi.toDouble * 1e4) / 1e4
     assert(r.forall(_.getAs[Double]("chi2") == expChi),
       s"${r.head.getAs[Double]("chi2")} vs $expChi")
+    // raw DOUBLE column: the operator floors before the long cast, so
+    // 19.7 counts as first-digit 1 (truncation semantics) on every
+    // engine — Spark's double→long cast truncates but DuckDB ROUNDS,
+    // which without the floor made 19.7 count as digit 2 there
+    val dd = Seq(19.7, 0.4, 2.9).toDF("v")
+    val rd = Profile.benford(dd, col("v")).orderBy("digit").collect()
+    val byD = rd.map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(byD(1) == 1L && byD(2) == 1L && byD(3) == 0L, s"${byD}")
+    assert(rd.head.getAs[Long]("n_excluded") == 1L, "0.4 floors to 0: excluded")
   }
 
   test("functionalDependencies: violations counted, NULL is a det value, key holds both ways") {

@@ -27,6 +27,88 @@ class XlsxWriterSpec extends SparkSpec {
     assert(back(1)._2.map(_.toSeq) == g2.map(_.toSeq))
   }
 
+  test("control chars and literal _xHHHH_ text round-trip via the SpreadsheetML escape channel") {
+    // control chars below 0x20 are illegal in XML 1.0 and must ride
+    // the _xHHHH_ channel; \r is legal but parser-normalized to \n,
+    // so it rides too; literal `_x0041_`-style TEXT must come back as
+    // text (the _x005F_ escape on write), not decode to 'A'
+    val g: Seq[Seq[String]] = Seq(
+      Seq("nul\u0000mid", "\u0001", "end\u001f"),
+      Seq("cr\rlf\ncrlf\r\n", "tab\tok", "_x0041_ stays text"),
+      Seq("_x", "_x005F_", "plain _ underscore"))
+    val back = XlsxReader.sheets(XlsxWriter.write(Seq("esc" -> g)))
+    assert(back.head._2.map(_.toSeq) == g.map(_.toSeq),
+      s"escape round-trip broke: ${back.head._2}")
+  }
+
+  test("fuzz: random unicode grids round-trip write -> read cell for cell") {
+    // deterministic generator (seeded): astral-plane chars, control
+    // chars, XML-special chars, _x-escape lookalikes, 255-char cells,
+    // ragged rows. Empty/null cells skip on write and surface as null
+    // on read (the dense-grid convention); trailing all-null rows and
+    // columns drop entirely — the expectation below applies that
+    // normalization before comparing.
+    val rnd = new scala.util.Random(42)
+    val alphabets: IndexedSeq[String] = IndexedSeq(
+      "abcXYZ09 ", "&<>\"'", "_x005F_", "_x0041_", "_x",
+      "\u00e7\u00e3\u00e9\u00df\u4e2d\u6587",
+      "\ud83d\ude00\ud83c\udf55", // astral plane (surrogate pairs)
+      "\u0000\u0001\u0007\u001f", "\t\n\r", "  ")
+    def repairSurrogates(s: String): String = {
+      // a split surrogate pair is invalid UTF-16 — no text encoding
+      // can carry it, so the generator repairs rather than emits it
+      val chars = s.toCharArray
+      var i = 0
+      while (i < chars.length) {
+        if (Character.isHighSurrogate(chars(i)) &&
+            (i + 1 >= chars.length || !Character.isLowSurrogate(chars(i + 1))))
+          chars(i) = 'H'
+        else if (Character.isLowSurrogate(chars(i)) &&
+            (i == 0 || !Character.isHighSurrogate(chars(i - 1))))
+          chars(i) = 'L'
+        i += 1
+      }
+      new String(chars)
+    }
+    def cell(): String =
+      if (rnd.nextInt(10) == 0) null
+      else {
+        val len = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(5)
+          case 1 => 255 // the long-cell class
+          case _ => rnd.nextInt(30)
+        }
+        val b = new StringBuilder
+        while (b.length < len) {
+          val a = alphabets(rnd.nextInt(alphabets.size))
+          b.append(a.charAt(rnd.nextInt(a.length)))
+        }
+        repairSurrogates(b.toString)
+      }
+    for (trial <- 0 until 25) {
+      val nRows = 1 + rnd.nextInt(8)
+      val grid: Seq[Seq[String]] =
+        (0 until nRows).map(_ => (0 to rnd.nextInt(6)).map(_ => cell()))
+      val nCols = grid.map(_.size).max
+      val dense = grid.map(r =>
+        (0 until nCols).map(c => r.lift(c) match {
+          case Some(v) if v != null && v.nonEmpty => v
+          case _ => null
+        }))
+      val lastRow = dense.lastIndexWhere(_.exists(_ != null))
+      val expected =
+        if (lastRow < 0) Vector.empty
+        else {
+          val lastCol = (0 until nCols)
+            .lastIndexWhere(c => dense.exists(_(c) != null))
+          dense.take(lastRow + 1).map(_.take(lastCol + 1).toVector).toVector
+        }
+      val back = XlsxReader.sheets(XlsxWriter.write(Seq("f" -> grid)))
+      assert(back.head._2 == expected,
+        s"trial $trial: wrote $grid\nexpected $expected\ngot ${back.head._2}")
+    }
+  }
+
   test("identical grids produce identical bytes (pinned zip timestamps)") {
     val g = Seq("s" -> Seq(Seq("a", "b"), Seq("1", "2")))
     assert(XlsxWriter.write(g).sameElements(XlsxWriter.write(g)))
