@@ -19,6 +19,77 @@ object CurationQueries {
   private val evalQuestion =
     "which year did the treaty of westphalia end the thirty years war"
 
+  /** Recursive-CTE replay of [[Bpe.trainModel]]'s greedy merge loop —
+    * the q_pack_bins state-carrying precedent scaled up: the state is
+    * the whole distinct-word table as a list of (w, syms, freq)
+    * structs in ONE row per round. Each round a correlated subquery
+    * unnests the carried words, explodes adjacent symbol pairs via
+    * generate_series, and picks the top pair (freq desc, then left/
+    * right asc — the kernel's exact tiebreak). The merge applies with
+    * the DOUBLE-SPACE trick: RE2 (DuckDB's regex) has no lookarounds,
+    * so every delimiter is doubled first, giving each token a private
+    * space on both sides; a plain non-overlapping replace() of
+    * ' a  b ' → ' ab ' then consumes only private spaces, which is
+    * exactly what the kernel's zero-width guards achieve, and a
+    * whitespace collapse restores single delimiters. Recursion stops
+    * when no pair reaches minPairFreq = 2 (top IS NULL), the kernel's
+    * exhaustion arm. Ends with `lexicon AS (w, syms)` — the final
+    * segmentation table, plus `bpe` still in scope for the merge list.
+    */
+  private def bpeLexiconCte(numMerges: Int): String =
+    s"""WITH RECURSIVE wf AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(${tkSql("text")}) AS w FROM documents) GROUP BY w),
+       |init AS (
+       |  SELECT list(struct_pack(
+       |    w := w,
+       |    syms := trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>',
+       |    freq := freq)) AS words
+       |  FROM wf),
+       |bpe AS (
+       |  SELECT 0 AS r,
+       |    CAST([] AS STRUCT(rank BIGINT, lft VARCHAR, rgt VARCHAR, pf BIGINT)[]) AS merges,
+       |    words
+       |  FROM init
+       |  UNION ALL
+       |  SELECT r + 1,
+       |    list_append(merges,
+       |      {'rank': r + 1, 'lft': top.a, 'rgt': top.b, 'pf': CAST(top.pf AS BIGINT)}),
+       |    list_transform(words, x -> struct_pack(
+       |      w := x.w,
+       |      syms := trim(regexp_replace(
+       |        replace('  ' || replace(x.syms, ' ', '  ') || '  ',
+       |          ' ' || top.a || '  ' || top.b || ' ',
+       |          ' ' || top.a || top.b || ' '),
+       |        ' +', ' ', 'g')),
+       |      freq := x.freq))
+       |  FROM (
+       |    SELECT r, merges, words,
+       |      (SELECT {'a': a, 'b': b, 'pf': pf} FROM (
+       |         SELECT ss[i] AS a, ss[i + 1] AS b, sum(freq) AS pf
+       |         FROM (SELECT string_split(u.x.syms, ' ') AS ss, u.x.freq AS freq
+       |               FROM unnest(bpe.words) AS u(x)),
+       |              unnest(generate_series(1, len(ss) - 1)) AS g(i)
+       |         GROUP BY 1, 2
+       |         HAVING sum(freq) >= 2
+       |         ORDER BY pf DESC, a ASC, b ASC
+       |         LIMIT 1)) AS top
+       |    FROM bpe WHERE r < $numMerges)
+       |  WHERE top IS NOT NULL),
+       |lexicon AS (
+       |  SELECT u.x.w AS w, u.x.syms AS syms
+       |  FROM (SELECT words FROM bpe WHERE r = (SELECT max(r) FROM bpe)),
+       |    unnest(words) AS u(x))""".stripMargin
+
+  /** The q_bpe_merges oracle: 30-round replay, merge list unnested. */
+  private def bpeMergesOracle: String =
+    s"""${bpeLexiconCte(30)}
+       |SELECT CAST(m.rank AS INT) AS rank, m.lft AS "left", m.rgt AS "right",
+       |  m.lft || m.rgt AS merged, CAST(m.pf AS BIGINT) AS freq
+       |FROM (SELECT unnest(merges) AS m
+       |      FROM bpe WHERE r = (SELECT max(r) FROM bpe))
+       |ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // D17: per-document top-3 TF-IDF terms. Smoothed idf; ties break
@@ -602,10 +673,19 @@ object CurationQueries {
 
     // D41: BPE vocabulary induction — the tokenizer-training pass.
     // One corpus scan (word frequencies), then every merge round runs
-    // on the distinct-word table only. Iterative driver loop with a
-    // deterministic tiebreak → no SQL twin (rows-only); BpeSpec pins
-    // the textbook merge sequence.
-    Q.rowsOnly("q_bpe_merges") { (s, dir) =>
+    // on the distinct-word table only. The greedy loop is exact
+    // integer arithmetic with a deterministic tiebreak, so the oracle
+    // replays ALL 30 rounds with a recursive CTE carrying the
+    // distinct-word table as list state (the q_pack_bins FFD
+    // precedent): per round a correlated subquery unnests the carried
+    // words, explodes adjacent symbol pairs, and picks the top pair
+    // (freq desc, left asc, right asc); the merge applies via the
+    // double-space trick — RE2 has no lookarounds, so doubling every
+    // delimiter gives each token a private space on each side and
+    // plain left-to-right replace() of ' a  b ' reproduces the
+    // kernel's zero-width-guarded regex exactly (proven equivalent on
+    // the shared-delimiter 'a a a a' ladder in BpeSpec).
+    Q("q_bpe_merges", bpeMergesOracle) { (s, dir) =>
       Bpe.train(table(s, dir, "documents").select(col("text")),
           col("text"), numMerges = 30)
         .orderBy("rank")
@@ -613,9 +693,25 @@ object CurationQueries {
 
     // D41b: trained-tokenizer corpus accounting — segment the corpus
     // with the lexicon its own BPE run induced; per-doc subword / OOV
-    // counts are the honest token budget feed. rows-only (depends on
-    // the iterative training); BpeSpec pins segmentation + OOV math.
-    Q.rowsOnly("q_bpe_segment") { (s, dir) =>
+    // counts are the honest token budget feed. Oracle: replay the
+    // 10-round training (bpeLexiconCte), then left-join each
+    // tokenized word to the carried lexicon; unseen words fall back
+    // to character segmentation (len + 1 symbols).
+    Q(
+      "q_bpe_segment",
+      s"""${bpeLexiconCte(10)},
+         |dw AS (
+         |  SELECT doc_id, unnest(${tkSql("text")}) AS w FROM documents),
+         |j AS (
+         |  SELECT doc_id,
+         |    coalesce(len(string_split(l.syms, ' ')), length(dw.w) + 1) AS n_sub,
+         |    CASE WHEN l.w IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM dw LEFT JOIN lexicon l ON dw.w = l.w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov_words
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
       val d = table(s, dir, "documents")
       val (_, lexicon) = Bpe.trainModel(d.select(col("text")), col("text"), numMerges = 10)
       Bpe.segment(d, col("doc_id"), col("text"), lexicon)
@@ -626,9 +722,34 @@ object CurationQueries {
     // D41c: model-feed id encoding — the corpus encoded to dense
     // subword ids under its own trained lexicon, LONG format (no
     // per-doc array reassembly; the writer orders by id/word/sym as
-    // it packs). rows-only (iterative training upstream); exact ids
-    // on the textbook corpus pinned in BpeSpec.
-    Q.rowsOnly("q_bpe_ids") { (s, dir) =>
+    // it packs). Oracle: the same 10-round lexicon replay, vocab =
+    // distinct symbols with dense lexicographic row_number ids, words
+    // positioned by generate_series over the token array.
+    Q(
+      "q_bpe_ids",
+      s"""${bpeLexiconCte(10)},
+         |vocab AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS sym_id
+         |  FROM (SELECT DISTINCT unnest(string_split(syms, ' ')) AS sym FROM lexicon)),
+         |unk AS (SELECT count(*) AS unk_id FROM vocab),
+         |dw AS (
+         |  SELECT doc_id, tk[i] AS w, CAST(i - 1 AS INT) AS word_pos
+         |  FROM (SELECT doc_id, ${tkSql("text")} AS tk FROM documents WHERE doc_id < 50),
+         |    unnest(generate_series(1, len(tk))) AS g(i)),
+         |seg AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(coalesce(l.syms,
+         |      trim(regexp_replace(dw.w, '(.)', '\\1 ', 'g')) || ' </w>'), ' ') AS symlist
+         |  FROM dw LEFT JOIN lexicon l ON dw.w = l.w),
+         |ex AS (
+         |  SELECT doc_id, word_pos, CAST(i - 1 AS INT) AS sym_pos, symlist[i] AS sym
+         |  FROM seg, unnest(generate_series(1, len(symlist))) AS g(i))
+         |SELECT doc_id, word_pos, sym_pos,
+         |  CAST(coalesce(v.sym_id, unk_id) AS BIGINT) AS sym_id,
+         |  v.sym_id IS NULL AS is_unk
+         |FROM ex LEFT JOIN vocab v ON ex.sym = v.sym CROSS JOIN unk
+         |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+    ) { (s, dir) =>
       val d = table(s, dir, "documents")
       val (_, lexicon) = Bpe.trainModel(d.select(col("text")), col("text"), numMerges = 10)
       Bpe.encodeIds(d.filter(col("doc_id") < 50), col("doc_id"), col("text"), lexicon)

@@ -94,6 +94,39 @@ class BpeSpec extends SparkSpec {
     assert(d2z.last._4 == symId("</w>").toLong && !d2z.last._5)
   }
 
+  test("oracle's double-space replace reproduces the guarded-regex merge on shared-delimiter ladders") {
+    // the q_bpe_merges oracle can't use the kernel's zero-width guards
+    // (RE2 has no lookarounds); it doubles delimiters so plain
+    // replace() consumes only private spaces. Pin the equivalence on
+    // the adversarial shapes: runs of the same symbol (shared
+    // delimiters), pair at start/end, merged-symbol adjacency.
+    def kernel(syms: String, a: String, b: String): String = {
+      val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+        java.util.regex.Pattern.quote(b) + "(?= |$)"
+      syms.replaceAll(pat, a + b)
+    }
+    def oracle(syms: String, a: String, b: String): String = {
+      val doubled = "  " + syms.replace(" ", "  ") + "  "
+      val replaced = doubled.replace(s" $a  $b ", s" $a$b ")
+      replaced.replaceAll(" +", " ").trim
+    }
+    val cases = Seq(
+      ("a a a a", "a", "a"), // shared delimiters: greedy pairs -> "aa aa"
+      ("a a a", "a", "a"), // odd run -> "aa a"
+      ("x a a a y", "a", "a"),
+      ("l o w </w>", "o", "w"),
+      ("o w o w o w", "o", "w"), // every pair matches back-to-back
+      ("a b a b", "b", "a"), // interior only: "a ba b"
+      ("ab b ab b", "ab", "b"), // multi-char symbols
+      ("a ab b", "a", "b"), // 'a b' never matches across 'ab'
+      ("e r </w>", "e", "r"),
+      ("x y", "y", "x")) // no match at all
+    for ((s, a, b) <- cases)
+      assert(kernel(s, a, b) == oracle(s, a, b),
+        s"'$s' merge ($a,$b): kernel='${kernel(s, a, b)}' oracle='${oracle(s, a, b)}'")
+    assert(kernel("a a a a", "a", "a") == "aa aa") // and the value itself
+  }
+
   test("train is deterministic and stops when no pair clears minPairFreq") {
     val docs = Seq("unique words only here", "unique words only here")
       .map(Tuple1(_)).toDF("text")
