@@ -130,12 +130,20 @@ object Unigram {
   /** Smoothed log-probs from exact integer counts: (c + 0.5) /
     * (total + 0.5·V) — the [[Preference.bradleyTerry]] +0.5 discipline
     * keeps zero-count pieces finite until pruning removes them.
+    *
+    * Truncated to the 7-dp floor grid (the decimal-lane idiom): the
+    * ratio itself is one correctly-rounded IEEE division (identical
+    * bits on every engine), but ln() is libm-dependent at the last
+    * ulp — the floor grid absorbs that, making the model (and every
+    * downstream Viterbi comparison, which is then pure IEEE double
+    * addition in a fixed order) engine-portable. This is what lets
+    * the q_unigram_train oracle replay training bit-for-bit in DuckDB.
     */
   private def logProbs(counts: Map[String, Long]): Map[String, Double] = {
     val total = counts.values.sum.toDouble
     val v = counts.size
     counts.map { case (p, c) =>
-      p -> math.log((c + 0.5) / (total + 0.5 * v))
+      p -> math.floor(math.log((c + 0.5) / (total + 0.5 * v)) * 1e7) / 1e7
     }
   }
 

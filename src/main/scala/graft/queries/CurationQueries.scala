@@ -81,6 +81,203 @@ object CurationQueries {
        |  FROM (SELECT words FROM bpe WHERE r = (SELECT max(r) FROM bpe)),
        |    unnest(words) AS u(x))""".stripMargin
 
+  /** Recursive-CTE replay of [[Unigram.train]]'s Viterbi-EM loop —
+    * the q_train_classifier round-unroll pattern plus a per-round
+    * lattice-DP recursion. Replayable at all because the kernel's
+    * model is engine-portable by construction: piece counts are exact
+    * integers, log-probs are floored onto the 7-dp grid (absorbing
+    * the libm ln() last-ulp divergence), and the Viterbi DP is then
+    * pure IEEE double addition in a fixed association order with
+    * pinned tie-breaks (max score, smallest split point, strict-><
+    * unk fallback) — so both engines take bit-identical paths.
+    *
+    * Structure per EM pass: model as a one-row MAP CTE; a DP
+    * recursion advances every distinct word in lockstep over
+    * character positions carrying (best[], back[], unk[]) lists; a
+    * backtrace recursion walks the pointers into pieces; a partial
+    * agg re-counts. Prune rounds are GUARDED (complementary WHERE on
+    * the carried size vs the floor), so the unroll count only needs
+    * to be an upper bound — extra rounds pass state through
+    * untouched, exactly like the kernel's loop exit. Seed ≤ 400 and
+    * pruneFactor 0.75 bound the true round count at 6; 7 are
+    * generated. State CTEs are MATERIALIZED — without it DuckDB
+    * inlines each round's chain into the next and the plan grows
+    * exponentially.
+    */
+  private def unigramTrainCtes(
+      rounds: Int = 7,
+      vocabSize: Int = 80,
+      seedSize: Int = 400,
+      maxLen: Int = 6): (String, String) = {
+    def lpSql(cnts: String): String =
+      s"""MATERIALIZED (
+         |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp
+         |  FROM (
+         |    SELECT piece,
+         |      floor(ln((CAST(cnt AS DOUBLE) + 0.5) /
+         |        (CAST((SELECT sum(cnt) FROM $cnts) AS DOUBLE)
+         |          + 0.5 * (SELECT count(*) FROM $cnts))) * 1e7) / 1e7 AS lp
+         |    FROM $cnts))""".stripMargin
+    def vitSql(name: String, model: String): String =
+      s"""$name AS (
+         |  SELECT w, freq, length(w) AS n, 0 AS i,
+         |    [CAST(0.0 AS DOUBLE)] AS best, CAST([] AS INT[]) AS back,
+         |    CAST([] AS BOOLEAN[]) AS unk
+         |  FROM words
+         |  UNION ALL
+         |  SELECT w, freq, n, i + 1,
+         |    list_append(best, CASE WHEN usefb THEN best[i + 1] + (-1000.0) ELSE cb.s END),
+         |    list_append(back, CASE WHEN usefb THEN i ELSE cb.j END),
+         |    list_append(unk, usefb)
+         |  FROM (
+         |    SELECT w, freq, n, i, best, back, unk, cb,
+         |      (cb.s IS NULL OR best[i + 1] + (-1000.0) > cb.s) AS usefb
+         |    FROM (
+         |      SELECT v.w, v.freq, v.n, v.i, v.best, v.back, v.unk,
+         |        (SELECT {'s': s, 'j': j} FROM (
+         |           SELECT v.best[j + 1] + map_extract(m.mp, v.w[j + 1:v.i + 1])[1] AS s,
+         |             j
+         |           FROM unnest(generate_series(greatest(0, v.i + 1 - $maxLen), v.i)) AS g(j))
+         |         WHERE s IS NOT NULL ORDER BY s DESC, j ASC LIMIT 1) AS cb
+         |      FROM $name v, $model m WHERE v.i < v.n)))""".stripMargin
+    def btSql(name: String, vit: String): String =
+      s"""$name AS (
+         |  SELECT w, freq, back, unk, n AS p, CAST(NULL AS VARCHAR) AS piece, false AS punk
+         |  FROM $vit WHERE i = n
+         |  UNION ALL
+         |  SELECT w, freq, back, unk, back[p] AS p,
+         |    w[back[p] + 1:p] AS piece, unk[p] AS punk
+         |  FROM $name WHERE p > 0)""".stripMargin
+    def emcSql(name: String, bt: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $bt WHERE piece IS NOT NULL AND NOT punk GROUP BY piece)""".stripMargin
+    val parts = Seq.newBuilder[String]
+    parts += s"""words AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(${tkSql("text")}) AS w FROM documents) GROUP BY w)""".stripMargin
+    parts += s"""cand AS MATERIALIZED (
+       |  SELECT piece, sum(freq) AS cnt FROM (
+       |    SELECT w[i + 1:i + l] AS piece, freq
+       |    FROM words, unnest(generate_series(0, length(w) - 1)) AS a(i),
+       |         unnest(generate_series(1, $maxLen)) AS b(l)
+       |    WHERE i + l <= length(w))
+       |  GROUP BY piece)""".stripMargin
+    parts += "nsing AS MATERIALIZED (SELECT count(*) AS ns FROM cand WHERE length(piece) = 1)"
+    parts += s"""seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM cand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+       |    FROM cand WHERE length(piece) > 1)
+       |  WHERE rk <= $seedSize - (SELECT ns FROM nsing))""".stripMargin
+    parts += s"m_seed AS ${lpSql("seed")}"
+    parts += vitSql("vit0", "m_seed")
+    parts += btSql("bt0", "vit0")
+    parts += emcSql("emc0", "bt0")
+    parts += s"""c0 AS MATERIALIZED (
+       |  SELECT s.piece, coalesce(e.cnt, 0) AS cnt
+       |  FROM seed s LEFT JOIN emc0 e USING (piece))""".stripMargin
+    var prev = "c0"
+    for (r <- 1 to rounds) {
+      parts += s"""fl$r AS MATERIALIZED (SELECT greatest($vocabSize, (SELECT ns FROM nsing)) AS fs,
+         |  (SELECT count(*) FROM $prev) AS sz)""".stripMargin
+      parts += s"""pr$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM $prev WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+         |    FROM $prev WHERE length(piece) > 1)
+         |  WHERE rk <= greatest((SELECT fs FROM fl$r),
+         |      CAST((SELECT sz FROM fl$r) * 0.75 AS INT)) - (SELECT ns FROM nsing))""".stripMargin
+      parts += s"m$r AS ${lpSql(s"pr$r")}"
+      parts += vitSql(s"vit$r", s"m$r")
+      parts += btSql(s"bt$r", s"vit$r")
+      parts += emcSql(s"emc$r", s"bt$r")
+      parts += s"""c$r AS MATERIALIZED (
+         |  SELECT p.piece, coalesce(e.cnt, 0) AS cnt
+         |  FROM pr$r p LEFT JOIN emc$r e USING (piece)
+         |  WHERE (SELECT sz FROM fl$r) > (SELECT fs FROM fl$r)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM $prev
+         |  WHERE (SELECT sz FROM fl$r) <= (SELECT fs FROM fl$r))""".stripMargin
+      prev = s"c$r"
+    }
+    ("WITH RECURSIVE\n" + parts.result().mkString(",\n"), prev)
+  }
+
+  /** The q_unigram_train oracle: final counts + grid log-probs. */
+  private def unigramTrainOracle: String = {
+    val (ctes, fin) = unigramTrainCtes()
+    s"""$ctes
+       |SELECT piece,
+       |  floor(ln((CAST(cnt AS DOUBLE) + 0.5) /
+       |    (CAST((SELECT sum(cnt) FROM $fin) AS DOUBLE)
+       |      + 0.5 * (SELECT count(*) FROM $fin))) * 1e7) / 1e7 AS log_prob,
+       |  CAST(cnt AS BIGINT) AS piece_count
+       |FROM $fin ORDER BY piece""".stripMargin
+  }
+
+  /** The q_unigram_segment oracle: one more Viterbi pass under the
+    * FINAL model (the kernel recomputes log-probs from the returned
+    * counts, which differ from the last EM pass's model), then
+    * per-document accounting over the word occurrences.
+    */
+  private def unigramSegmentOracle: String = {
+    val (ctes, fin) = unigramTrainCtes()
+    s"""$ctes,
+       |m_fin AS (
+       |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp
+       |  FROM (
+       |    SELECT piece,
+       |      floor(ln((CAST(cnt AS DOUBLE) + 0.5) /
+       |        (CAST((SELECT sum(cnt) FROM $fin) AS DOUBLE)
+       |          + 0.5 * (SELECT count(*) FROM $fin))) * 1e7) / 1e7 AS lp
+       |    FROM $fin)),
+       |vitf AS (
+       |  SELECT w, freq, length(w) AS n, 0 AS i,
+       |    [CAST(0.0 AS DOUBLE)] AS best, CAST([] AS INT[]) AS back,
+       |    CAST([] AS BOOLEAN[]) AS unk
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, freq, n, i + 1,
+       |    list_append(best, CASE WHEN usefb THEN best[i + 1] + (-1000.0) ELSE cb.s END),
+       |    list_append(back, CASE WHEN usefb THEN i ELSE cb.j END),
+       |    list_append(unk, usefb)
+       |  FROM (
+       |    SELECT w, freq, n, i, best, back, unk, cb,
+       |      (cb.s IS NULL OR best[i + 1] + (-1000.0) > cb.s) AS usefb
+       |    FROM (
+       |      SELECT v.w, v.freq, v.n, v.i, v.best, v.back, v.unk,
+       |        (SELECT {'s': s, 'j': j} FROM (
+       |           SELECT v.best[j + 1] + map_extract(m.mp, v.w[j + 1:v.i + 1])[1] AS s,
+       |             j
+       |           FROM unnest(generate_series(greatest(0, v.i + 1 - 6), v.i)) AS g(j))
+       |         WHERE s IS NOT NULL ORDER BY s DESC, j ASC LIMIT 1) AS cb
+       |      FROM vitf v, m_fin m WHERE v.i < v.n))),
+       |btf AS (
+       |  SELECT w, freq, back, unk, n AS p, CAST(NULL AS VARCHAR) AS piece, false AS punk
+       |  FROM vitf WHERE i = n
+       |  UNION ALL
+       |  SELECT w, freq, back, unk, back[p] AS p,
+       |    w[back[p] + 1:p] AS piece, unk[p] AS punk
+       |  FROM btf WHERE p > 0),
+       |wcounts AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS INT) AS np,
+       |    CAST(sum(CASE WHEN punk THEN 1 ELSE 0 END) AS INT) AS nu
+       |  FROM btf WHERE piece IS NOT NULL GROUP BY w),
+       |occ AS (
+       |  SELECT doc_id AS id, unnest(${tkSql("text")}) AS w FROM documents)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(nu) AS BIGINT) AS n_unk_pieces,
+       |  floor(CAST(sum(np) AS DOUBLE) / count(*) * 1e4) / 1e4 AS pieces_per_word
+       |FROM occ JOIN wcounts USING (w)
+       |GROUP BY id ORDER BY id""".stripMargin
+  }
+
   /** The q_bpe_merges oracle: 30-round replay, merge list unnested. */
   private def bpeMergesOracle: String =
     s"""${bpeLexiconCte(30)}
@@ -1325,17 +1522,21 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
-    // D96: unigram-LM (SentencePiece-style) tokenizer training —
-    // rows-only (iterative EM, the q_bpe_merges precedent); exactness
-    // pinned by UnigramSpec's textbook corpus + determinism proof.
-    Q.rowsOnly("q_unigram_train") { (s, dir) =>
+    // D96: unigram-LM (SentencePiece-style) tokenizer training — the
+    // oracle replays the full Viterbi-EM loop (unigramTrainCtes):
+    // grid-floored log-probs make every DP comparison pure IEEE
+    // arithmetic, so the replay is bit-exact; exactness also pinned
+    // by UnigramSpec's textbook corpus + determinism proof.
+    Q("q_unigram_train", unigramTrainOracle) { (s, dir) =>
       Unigram.train(table(s, dir, "documents"), col("text"),
           vocabSize = 80, seedSize = 400, maxPieceLen = 6)
         .orderBy("piece")
     },
 
     // D96b: per-doc accounting under the trained unigram tokenizer.
-    Q.rowsOnly("q_unigram_segment") { (s, dir) =>
+    // Oracle: the training replay plus one final-model Viterbi pass
+    // and per-doc aggregation (pieces_per_word on the 4-dp floor).
+    Q("q_unigram_segment", unigramSegmentOracle) { (s, dir) =>
       val docs = table(s, dir, "documents")
       val model = Unigram.train(docs, col("text"),
         vocabSize = 80, seedSize = 400, maxPieceLen = 6)
