@@ -612,6 +612,24 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Brute-force all-pairs Hamming ≤ maxDist — the AUDIT-ONLY exact
+    * tier for [[hammingPairs]]' pigeonhole blocking: every pair pays
+    * bit_count, no blocking, no df caps, so its output is ground
+    * truth by construction and [[auditPairs]] against it measures the
+    * blocked tier's real P/R. Deliberately quadratic (the one
+    * documented product-join class, like the exact tier in the
+    * q_dedup_audit discipline): callers MUST pass a bounded audit
+    * sample — a hash-cut of the signature frame — never the corpus.
+    * Input: (id, sig: long). Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingPairsBrute(sigs: DataFrame, maxDist: Int): DataFrame =
+    sigs.select(col("id").as("id_a"), col("sig").as("__sa"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")),
+        col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(__sa ^ __sb)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+
   /** (chunk index, chunk value) bucket rows for a 64-bit signature
     * frame — two-column key, so 32-bit chunks can't overflow a packed
     * long. Shared by the self- and bipartite Hamming joins.

@@ -1339,6 +1339,55 @@ object DedupQueries {
       Dedup.auditPairs(found, truth)
     },
 
+    // D3 audit: the SimHash tier scored two ways on a deterministic
+    // quarter hash-cut (base-id keyed, the q_dedup_audit discipline —
+    // tighter than the MinHash audit's half because the brute truth
+    // tier is quadratic in the sample). Row 1: blocked candidates vs
+    // BRUTE all-pairs Hamming at the same radius — the pigeonhole
+    // guarantee as measured fact, P = R = 1.0 expected (DedupSpec
+    // asserts the floor). Row 2: the same candidates vs exact 5-gram
+    // Jaccard ≥ 0.7 — what hd ≤ 3 is worth as a NEAR-IDENTICAL-text
+    // detector, the honest cross-metric recall number the planted
+    // twins alone can't give. Seeded hash family → rows-only.
+    Q.rowsOnly("q_audit_simhash") { (s, dir) =>
+      val d = Sampling.hashSample(truncatedDocs(s, dir),
+          pmod(col("id"), lit(1000000L)), fraction = 0.25)
+        .localCheckpoint()
+      val sigs = Dedup.simHashSignatures(d, col("id"), col("text"))
+        .localCheckpoint()
+      val found = Dedup.hammingPairs(sigs, maxDist = 3, nChunks = 4)
+      val truthHam = Dedup.hammingPairsBrute(sigs, maxDist = 3)
+      val truthJac = Dedup.prefixFilterJaccard(d, col("id"), col("text"),
+        n = 5, threshold = 0.7)
+      Dedup.auditPairs(found, truthHam)
+        .withColumn("tier", lit("simhash_vs_brute_hamming"))
+        .unionByName(Dedup.auditPairs(found, truthJac)
+          .withColumn("tier", lit("simhash_vs_jaccard07")))
+        .select("tier", "n_found", "n_truth", "n_hit",
+          "precision", "recall", "f1")
+        .orderBy("tier")
+    },
+
+    // D11c audit: the winnowing tier vs exact 5-gram Jaccard ≥ 0.7 on
+    // the same quarter hash-cut. Winnowing's guarantee is structural
+    // (any shared run ≥ w + k − 1 chars forces a shared fingerprint),
+    // so recall against near-identical truth should be ~1 while
+    // precision reports how much the 2-shared-fingerprint cut
+    // over-pairs — the number a dfCap/minShared tuning decision needs.
+    // Seeded rolling-hash family → rows-only; DedupSpec floors recall.
+    Q.rowsOnly("q_audit_winnow") { (s, dir) =>
+      val d = Sampling.hashSample(truncatedDocs(s, dir),
+          pmod(col("id"), lit(1000000L)), fraction = 0.25)
+        .localCheckpoint()
+      val found = Dedup.winnowPairs(d, col("id"), col("text"))
+      val truth = Dedup.prefixFilterJaccard(d, col("id"), col("text"),
+        n = 5, threshold = 0.7)
+      Dedup.auditPairs(found, truth)
+        .withColumn("tier", lit("winnow_vs_jaccard07"))
+        .select("tier", "n_found", "n_truth", "n_hit",
+          "precision", "recall", "f1")
+    },
+
     // D95: int8 embedding quantization + per-vector distortion audit.
     // The query projects the codes as a comma-joined string (qvec_csv):
     // the oracle harness hash-sorts frames with pandas, which cannot

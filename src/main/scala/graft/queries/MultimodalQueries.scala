@@ -13,6 +13,68 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries {
 
+  /** The q_media_phash corpus: deterministic per-cell-hash PNGs where
+    * id i and i+1000 are photometric near-twins (one perturbed pixel),
+    * plus text payloads that must stay out of Hamming pairing. ONE
+    * builder shared by the near-dup query and its Hamming audit —
+    * never a drifting copy.
+    */
+  private def phashCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    def png(i: Long, perturb: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        // dHash keys on gradient-sign STRUCTURE, so each id gets its
+        // own structure: a per-cell integer hash of (i, x, y), not a
+        // phase shift of one shared gradient (those all look alike)
+        val cell = (i * 2654435761L + x * 40503L + y * 2738L) & 0xFFFFFFFFL
+        val lum = ((cell ^ (cell >> 13)) & 0xFF).toInt
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      }
+      if (perturb) {
+        val px = (i % 16).toInt; val py = ((i * 7) % 16).toInt
+        img.setRGB(px, py, img.getRGB(px, py) ^ 0x00282828)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = (0L until 30L).flatMap(i =>
+      Seq((i, png(i, perturb = false)), (i + 1000L, png(i, perturb = true))))
+    import s.implicits._
+    val imgDf = rows.toDF("doc_id", "payload")
+    val txtDf = table(s, dir, "documents").limit(40)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        col("text").cast("binary").as("payload"))
+    Multimodal.pack(imgDf.unionByName(txtDf), col("doc_id"), col("payload"))
+  }
+
+  /** The q_media_audio_neardup corpus: id i and i+1000 are gain/wobble
+    * square-wave twins (one envelope window nudged), plus text
+    * payloads. Shared by the near-dup query and its Hamming audit.
+    */
+  private def audioNearDupCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    def wave(i: Long, tweak: Boolean): Array[Short] =
+      Array.tabulate(650) { j =>
+        val w = j / 10
+        val amp = 500 + ((w * (2654435761L + i * 9176L)) & 0x7FF).toInt +
+          (if (tweak && w == (i % 65).toInt) 3 else 0)
+        (if (j % 2 == 0) amp else -amp).toShort
+      }
+    val wavs = (0L until 25L).flatMap { i =>
+      Seq((i, Multimodal.wavPcm16(8000, 1, wave(i, tweak = false))),
+        (i + 1000L, Multimodal.wavPcm16(8000, 1, wave(i, tweak = true))))
+    }
+    import s.implicits._
+    val wavDf = wavs.toDF("doc_id", "media")
+    val txtDf = table(s, dir, "documents").limit(20)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        col("text").cast("binary").as("media"))
+    wavDf.unionByName(txtDf)
+  }
+
   val all: Seq[Q] = Seq(
 
     // D12: real image decode through the partition-local kernel — a
@@ -76,25 +138,41 @@ object MultimodalQueries {
     // text payloads stay out of pairing entirely. No DuckDB audio
     // codec → rows-only; planted exactness in MultimodalSpec.
     Q.rowsOnly("q_media_audio_neardup") { (s, dir) =>
-      def wave(i: Long, tweak: Boolean): Array[Short] =
-        Array.tabulate(650) { j =>
-          val w = j / 10
-          val amp = 500 + ((w * (2654435761L + i * 9176L)) & 0x7FF).toInt +
-            (if (tweak && w == (i % 65).toInt) 3 else 0)
-          (if (j % 2 == 0) amp else -amp).toShort
-        }
-      val wavs = (0L until 25L).flatMap { i =>
-        Seq((i, Multimodal.wavPcm16(8000, 1, wave(i, tweak = false))),
-          (i + 1000L, Multimodal.wavPcm16(8000, 1, wave(i, tweak = true))))
-      }
-      import s.implicits._
-      val wavDf = wavs.toDF("doc_id", "media")
-      val txtDf = table(s, dir, "documents").limit(20)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          col("text").cast("binary").as("media"))
       graft.operators.Dedup.audioNearDup(
-          wavDf.unionByName(txtDf), maxDist = 6)
+          audioNearDupCorpus(s, dir), maxDist = 6)
         .orderBy("id_a", "id_b")
+    },
+
+    // D42/D42b audit: the two Hamming media tiers scored against
+    // BRUTE all-pairs Hamming over their own decoded signatures — the
+    // 8×8-bit pigeonhole blocking measured as fact rather than argued
+    // from the chunk arithmetic (P = R = 1.0 expected; DedupSpec
+    // asserts the floor, MultimodalSpec keeps the planted-twin view).
+    // The corpora are the near-dup queries' own builders (shared
+    // helpers, never drifting copies) — audit-sized by construction,
+    // which is what makes the quadratic truth tier safe. Codec bytes
+    // → rows-only.
+    Q.rowsOnly("q_audit_media_hamming") { (s, dir) =>
+      import graft.operators.Dedup
+      val imgSigs = Multimodal.perceptualHash(phashCorpus(s, dir))
+        .filter(col("decoded"))
+        .select(col("doc_id").as("id"), col("phash").as("sig"))
+        .localCheckpoint()
+      val audSigs = Multimodal.audioFingerprint(audioNearDupCorpus(s, dir))
+        .filter(col("decoded"))
+        .select(col("doc_id").as("id"), col("sig"))
+        .localCheckpoint()
+      Dedup.auditPairs(
+          Dedup.hammingPairs(imgSigs, maxDist = 6, nChunks = 8),
+          Dedup.hammingPairsBrute(imgSigs, maxDist = 6))
+        .withColumn("tier", lit("dhash_vs_brute_hamming"))
+        .unionByName(Dedup.auditPairs(
+            Dedup.hammingPairs(audSigs, maxDist = 6, nChunks = 8),
+            Dedup.hammingPairsBrute(audSigs, maxDist = 6))
+          .withColumn("tier", lit("audio_vs_brute_hamming")))
+        .select("tier", "n_found", "n_truth", "n_hit",
+          "precision", "recall", "f1")
+        .orderBy("tier")
     },
 
     // D42: perceptual-hash image near-dup — deterministic gradient
@@ -103,34 +181,7 @@ object MultimodalQueries {
     // Hamming pairing entirely. DuckDB has no PNG codec → rows-only;
     // planted-recall exactness lives in MultimodalSpec/DedupSpec.
     Q.rowsOnly("q_media_phash") { (s, dir) =>
-      def png(i: Long, perturb: Boolean): Array[Byte] = {
-        val img = new java.awt.image.BufferedImage(16, 16,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until 16; x <- 0 until 16) {
-          // dHash keys on gradient-sign STRUCTURE, so each id gets its
-          // own structure: a per-cell integer hash of (i, x, y), not a
-          // phase shift of one shared gradient (those all look alike)
-          val cell = (i * 2654435761L + x * 40503L + y * 2738L) & 0xFFFFFFFFL
-          val lum = ((cell ^ (cell >> 13)) & 0xFF).toInt
-          img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
-        }
-        if (perturb) {
-          val px = (i % 16).toInt; val py = ((i * 7) % 16).toInt
-          img.setRGB(px, py, img.getRGB(px, py) ^ 0x00282828)
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        bos.toByteArray
-      }
-      val rows = (0L until 30L).flatMap(i =>
-        Seq((i, png(i, perturb = false)), (i + 1000L, png(i, perturb = true))))
-      import s.implicits._
-      val imgDf = rows.toDF("doc_id", "payload")
-      val txtDf = table(s, dir, "documents").limit(40)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          col("text").cast("binary").as("payload"))
-      val packed = Multimodal.pack(imgDf.unionByName(txtDf), col("doc_id"), col("payload"))
-      graft.operators.Dedup.imageNearDup(packed, maxDist = 6)
+      graft.operators.Dedup.imageNearDup(phashCorpus(s, dir), maxDist = 6)
         .orderBy("id_a", "id_b")
     },
     Q(

@@ -431,6 +431,29 @@ class DedupSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getDouble(3) == 0.0 && e.getDouble(5) == 0.0)
   }
 
+  test("sketch-tier audits: pigeonhole tiers exactly match brute Hamming; winnow recall vs Jaccard truth is 1.0") {
+    // the registered audit queries on the sf0.001 fixture: the
+    // structural claims become measured floors, not arguments
+    val sim = SparkEntry.queries("q_audit_simhash")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    assert(sim("simhash_vs_brute_hamming") == ((1.0, 1.0)),
+      s"4x16 chunk blocking must equal brute Hamming at radius 3: $sim")
+    val win = SparkEntry.queries("q_audit_winnow")(spark, sf).head()
+    // the substring guarantee (any shared run >= w+k-1 chars forces a
+    // shared fingerprint) is weakened only by the dfCap dropping
+    // boilerplate fingerprints — measured 0.99 at sf0.001; floor 0.95
+    assert(win.getAs[Double]("recall") >= 0.95,
+      s"winnow recall collapsed vs Jaccard>=0.7 truth: $win")
+    assert(win.getAs[Long]("n_truth") > 0, s"degenerate audit (no truth pairs): $win")
+    val med = SparkEntry.queries("q_audit_media_hamming")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    assert(med("dhash_vs_brute_hamming") == ((1.0, 1.0)) &&
+      med("audio_vs_brute_hamming") == ((1.0, 1.0)),
+      s"8x8 chunk blocking must equal brute Hamming at radius 6: $med")
+  }
+
   test("simHashIncremental: shard-vs-index pairs equal the batch cross pairs") {
     val d = docs
     val corpus = d.filter(col("id") < 30)
