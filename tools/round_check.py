@@ -19,6 +19,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 
@@ -27,6 +28,78 @@ def latest_correctness(root):
     if not cands:
         return None
     return max(cands, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+
+
+def last_two_benches(root):
+    cands = glob.glob(os.path.join(root, "BENCH_r*.json"))
+    cands.sort(key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    return cands[-2:] if len(cands) >= 2 else []
+
+
+def classify_bench_drift(root, sf_dir="/root/testdata/sf0.1"):
+    """Automate the drift adjudication a judge used to do by hand
+    (the r9 q_dedup_containment case): any query whose latest BENCH
+    time is > 2x its prior-round time AND above a 1 s floor is
+    re-benched in ISOLATION (SPARK_GRAFT_ONLY, its own JVM). Noise
+    verdict when the isolated time lands at or below
+    max(1.7x prior, 0.6x latest): the first arm absorbs cold-JIT
+    single-query overhead (the r9 case re-benched at 1.2-1.7x prior
+    across runners for identical code), the second recognizes an
+    in-run number inflated by harness order. Only a drift that
+    REPRODUCES in isolation is a real regression.
+    Writes BENCH_DRIFT.json with every (prior, latest, isolated)
+    triple so the record survives the round.
+    """
+    pair = last_two_benches(root)
+    if len(pair) < 2:
+        return []
+
+    def qmap(path):
+        d = json.load(open(path))
+        # the driver wraps Bench's JSON line under "parsed"
+        return d.get("parsed", d).get("queries", {}) or {}
+
+    prev = qmap(pair[0])
+    cur = qmap(pair[1])
+    suspects = sorted(
+        q for q, t in cur.items()
+        if t is not None and t > 1.0 and prev.get(q) is not None
+        and prev[q] > 0 and t > 2.0 * prev[q])
+    if not suspects:
+        return []
+    print(f"bench drift: {len(suspects)} suspect(s) vs {os.path.basename(pair[0])} "
+          f"— re-benching each in isolation")
+    record, problems = {}, []
+    for q in suspects:
+        # SPARK_GRAFT_BENCH_OUT: keep the isolated probe from
+        # clobbering the round's real bench_detail.json
+        env = dict(os.environ,
+                   SPARK_GRAFT_ONLY=q, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_BENCH_OUT=f"/tmp/bench_drift_{q}.json")
+        try:
+            out = subprocess.run(
+                ["sbt", "-batch", "runMain graft.Bench"],
+                cwd=root, env=env, capture_output=True, text=True,
+                timeout=1200).stdout
+            line = next(l for l in out.splitlines() if '"metric"' in l)
+            iso = json.loads(re.sub(r"^\[info\] ", "", line))["queries"][q]
+        except Exception as e:  # noqa: BLE001 — any failure is a finding
+            iso = -1.0
+            problems.append(f"{q}: isolated re-bench failed ({e})")
+        verdict = ("noise"
+                   if 0 <= iso <= max(1.7 * prev[q], 0.6 * cur[q])
+                   else "regression")
+        record[q] = {"prior": prev[q], "latest": cur[q],
+                     "isolated": iso, "verdict": verdict}
+        print(f"  {q}: prior {prev[q]:.2f}s -> latest {cur[q]:.2f}s, "
+              f"isolated {iso:.2f}s => {verdict}")
+        if verdict == "regression":
+            problems.append(
+                f"{q}: bench regression reproduces in isolation "
+                f"({prev[q]:.2f}s -> {iso:.2f}s)")
+    with open(os.path.join(root, "BENCH_DRIFT.json"), "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    return problems
 
 
 def main():
@@ -62,6 +135,11 @@ def main():
               f"{len(failed)} failed")
     else:
         problems.append(f"no bench detail at {bpath}")
+
+    # drift classification is advisory-by-default noise triage, but a
+    # regression that reproduces in isolation is a real problem
+    if os.environ.get("SKIP_DRIFT_CHECK") != "1":
+        problems.extend(classify_bench_drift(root))
 
     if problems:
         print(f"\nROUND RED — {len(problems)} problem(s):")
