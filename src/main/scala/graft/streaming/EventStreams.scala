@@ -804,6 +804,77 @@ object EventStreams {
       }
   }
 
+  case class AttrIn(
+      user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String, value: Double)
+
+  case class AttrTouch(id: Long, ts: Long, channel: String)
+
+  case class AttrState(touches: List[AttrTouch])
+
+  case class AttrPair(
+      conv_id: Long, touch_id: Long, channel: String,
+      tts: Long, cts: Long, cv: Double)
+
+  /** E28: streaming attribution touch-pair extraction — the stateful
+    * twin of [[graft.operators.Behavior.attributionCredit]]'s
+    * conversion×touch join for a live ingest. Per user, state is the
+    * touch buffer WITHIN THE LOOKBACK of the newest event (O(lookback
+    * occupancy), evicted as time advances — never the full history);
+    * each arriving conversion emits one pair row per in-window touch,
+    * so the emitted pair multiset equals the batch join's over the
+    * same events (spec-proven across a batch split). The credit
+    * SPLITS (linear / first / last) are a downstream aggregate over
+    * the pairs — rank and touch count per conversion are fully
+    * determined at emit time because every in-window touch precedes
+    * its conversion, the same reason the batch window works.
+    *
+    * An event whose type is BOTH a touch type and the conversion type
+    * self-pairs (tts = cts), exactly as the batch join does. Ordering
+    * contract as [[transitionPairStream]]: per-user (ts, event_id)
+    * order ACROSS batches; within a batch rows sort here. No
+    * watermark — state is bounded by eviction, not time-out.
+    */
+  def attributionPairStream(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      lookbackUs: Long): Dataset[AttrPair] = {
+    require(touchTypes.nonEmpty, "at least one touch type")
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val touchSet = touchTypes.toSet
+    implicit val inEnc = Encoders.product[AttrIn]
+    implicit val outEnc = Encoders.product[AttrPair]
+    implicit val stEnc = Encoders.product[AttrState]
+    implicit val longEnc = Encoders.scalaLong
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_us").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .filter(col("user_id").isNotNull)
+      .as[AttrIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[AttrIn], state: GroupState[AttrState]) =>
+          var touches = state.getOption.map(_.touches).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrPair]
+          rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+            // evict first: anything older than the lookback from the
+            // newest event can never pair again (per-key ts order)
+            touches = touches.filter(_.ts >= r.ts_us - lookbackUs)
+            // touch before conversion: a dual-typed event self-pairs
+            if (touchSet(r.event_type))
+              touches = AttrTouch(r.event_id, r.ts_us, r.event_type) :: touches
+            if (r.event_type == conversionType)
+              touches.foreach { t =>
+                out += AttrPair(r.event_id, t.id, t.channel, t.ts, r.ts_us, r.value)
+              }
+          }
+          state.update(AttrState(touches))
+          out.iterator
+      }
+  }
+
   /** E23: streaming frequent-items sketch maintenance — the TOP-K
     * member of the streaming sketch family next to E14 (Count-Min)
     * and E20 (KLL): per micro-batch, one partial-agg sketch build

@@ -1161,4 +1161,62 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains(("X", "Y", 1L)))
     } finally q.stop()
   }
+
+  test("E28 attributionPairStream: pair multiset equals the batch join across a batch split; credits reconcile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the BehaviorSpec fixture: boundary-inclusive touch, out-of-window
+    // touch, creditless conversion, same-ts id tiebreak — and the
+    // batch split lands BETWEEN u1's touches and u1's conversion, so
+    // the pairing crosses the boundary through carried state
+    val ev = Seq(
+      (1L, 1L, 950L, "click", 0.0), (1L, 2L, 960L, "view", 0.0),
+      (1L, 3L, 990L, "click", 0.0), (1L, 4L, 850L, "click", 0.0),
+      // -- batch split here --
+      (1L, 100L, 1000L, "purchase", 30.0),
+      (2L, 5L, 2000L, "view", 0.0), (2L, 101L, 2000L, "purchase", 12.0),
+      (3L, 103L, 5000L, "purchase", 9.0),
+      (4L, 6L, 2950L, "click", 0.0), (4L, 7L, 2950L, "click", 0.0),
+      (4L, 102L, 3000L, "purchase", 10.0))
+    val input = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val q = graft.streaming.EventStreams.attributionPairStream(
+        input.toDF().toDF("user_id", "event_id", "ts_us", "event_type", "value"),
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackUs = 100L)
+      .writeStream.format("memory").queryName("e28_out").outputMode("append").start()
+    try {
+      input.addData(ev.take(4))
+      q.processAllAvailable()
+      input.addData(ev.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("e28_out")
+        .select("conv_id", "touch_id", "channel", "tts", "cts", "cv")
+        .as[(Long, Long, String, Long, Long, Double)].collect().toSet
+      // batch twin of the internal conversion×touch join
+      val df = ev.toDF("u", "id", "ts", "t", "v")
+      val conv = df.filter(col("t") === "purchase")
+        .select(col("u"), col("id").as("conv_id"), col("ts").as("cts"),
+          col("v").as("cv"))
+      val touch = df.filter(col("t").isin("click", "view"))
+        .select(col("u"), col("id").as("touch_id"), col("ts").as("tts"),
+          col("t").as("channel"))
+      val batchPairs = conv.join(touch, Seq("u"))
+        .filter(col("tts") >= col("cts") - 100L && col("tts") <= col("cts"))
+        .select("conv_id", "touch_id", "channel", "tts", "cts", "cv")
+        .as[(Long, Long, String, Long, Long, Double)].collect().toSet
+      assert(streamed == batchPairs, s"streamed $streamed vs batch $batchPairs")
+      // the out-of-window touch (id 4) never pairs; the boundary touch does
+      assert(!streamed.exists(_._2 == 4L))
+      assert(streamed.exists(p => p._2 == 5L && p._4 == p._5))
+      // downstream credit aggregate over the emitted pairs reconciles
+      // with attributionCredit (linear split; hand numbers from
+      // BehaviorSpec: click 30.0, view 22.0)
+      val lin = spark.table("e28_out")
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("conv_id")))
+        .groupBy("channel")
+        .agg(sum(col("cv") / col("__n")).as("credit_linear"))
+        .as[(String, Double)].collect().toMap
+      assert(lin("click") == 30.0 && lin("view") == 22.0, lin.toString)
+    } finally q.stop()
+  }
 }
