@@ -85,12 +85,26 @@ object Similarity {
     * pinning it makes retrains comparable).
     */
   /** Component-wise mean as d avg lanes in one pass — driver metadata. */
+  /** Per-row 7-dp floor into INTEGER micro-units — the lane type for
+    * every distributed sum in the power-iteration family. Integer
+    * sums are order-independent AND engine-portable with no
+    * decimal→double cast ambiguity: the sum stays < 2^53 at any
+    * realistic corpus (1e7-scaled unit-ish components), so
+    * `.toDouble / 1e7` is exact-then-correctly-rounded on both
+    * engines. This is what makes q_embed_pc / q_embed_abtt exactly
+    * replayable in SQL.
+    */
+  private def lane7(c: Column): Column =
+    floor(c * 1e7).cast("long")
+
   private def meanOf(v: DataFrame, vCol: String, d: Int): Array[Double] = {
     val row = v.agg(
-      avg(element_at(col(vCol), 1)).as("m0"),
-      (2 to d).map(i => avg(element_at(col(vCol), i)).as(s"m${i - 1}")): _*)
+      sum(lane7(element_at(col(vCol), 1))).as("m0"),
+      ((2 to d).map(i => sum(lane7(element_at(col(vCol), i))).as(s"m${i - 1}")) :+
+        count(lit(1)).as("__n")): _*)
       .collect()(0)
-    Array.tabulate(d)(i => row.getDouble(i))
+    val n = row.getLong(d)
+    Array.tabulate(d)(i => row.getLong(i).toDouble / 1e7 / n)
   }
 
   /** Power-iteration core over an ALREADY-CENTERED `__c` frame:
@@ -102,16 +116,19 @@ object Similarity {
   private def powerIterate(
       c: DataFrame, d: Int, rounds: Int): (Array[Double], Double) = {
     // one matvec pass: s = Σ_i c_i (c_i · w), as d codegen'd sum lanes
+    // on the integer micro-unit contract (lane7): order-independent
+    // and bit-replayable — the dot itself is a row-local left fold,
+    // identical on any engine with a left-fold dot
     def matvec(w: Array[Double]): Array[Double] = {
       val wLit = array(w.map(lit): _*)
       val dotW = graft.functions.dot(col("__c"), wLit)
       val sums = c.select(col("__c"), dotW.as("__dw"))
         .agg(
-          sum(element_at(col("__c"), 1) * col("__dw")).as("s0"),
+          sum(lane7(element_at(col("__c"), 1) * col("__dw"))).as("s0"),
           (2 to d).map(i =>
-            sum(element_at(col("__c"), i) * col("__dw")).as(s"s${i - 1}")): _*)
+            sum(lane7(element_at(col("__c"), i) * col("__dw"))).as(s"s${i - 1}")): _*)
         .collect()(0)
-      Array.tabulate(d)(i => sums.getDouble(i))
+      Array.tabulate(d)(i => sums.getLong(i).toDouble / 1e7)
     }
     var w = Array.fill(d)(1.0 / math.sqrt(d))
     for (_ <- 1 to rounds) {
@@ -142,9 +159,9 @@ object Similarity {
       .localCheckpoint() // consumed once per round + once for moments
     val (w, eigen) = powerIterate(c, d, rounds)
     val totals = c.agg(
-      sum(graft.functions.dot(col("__c"), col("__c"))).as("ss"),
+      sum(lane7(graft.functions.dot(col("__c"), col("__c")))).as("ss"),
       count(lit(1)).as("n")).collect()(0)
-    val totalVar = totals.getDouble(0)
+    val totalVar = totals.getLong(0).toDouble / 1e7
     val share =
       if (totalVar > 0) math.floor(eigen / totalVar * 1e4) / 1e4 else 0.0
     import spark.implicits._

@@ -50,6 +50,94 @@ object DedupQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000, tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS BIGINT), 1)] FROM tk0)""".stripMargin
 
+  /** CTE chain replaying [[graft.operators.Similarity]]'s power
+    * iteration over the embeddings table — the q_embed_pc /
+    * q_embed_abtt oracle core. Replayable at all because the kernel's
+    * distributed sums ride INTEGER micro-unit lanes (per-row 7-dp
+    * floor into longs: order-independent, no decimal→double cast
+    * ambiguity, `.toDouble / 1e7` exact-then-correctly-rounded) and
+    * everything else is row-local or driver-scalar IEEE arithmetic in
+    * a fixed association order (the dot is a left fold on both
+    * engines; norm/eigen sums are written out left-associatively
+    * here to mirror the kernel's Array.sum). Ends with the carried
+    * `w$rounds` holding the UNSIGNED iterate, plus `c` (centered
+    * vectors), `mean`, and the id-carrying `e` in scope.
+    */
+  private def powerIterationCtes(d: Int, rounds: Int): String = {
+    def lanes(term: Int => String): String =
+      (1 to d).map(i =>
+        s"CAST(sum(CAST(floor((${term(i)}) * 1e7) AS BIGINT)) AS BIGINT) AS s$i")
+        .mkString(", ")
+    def unlane: String =
+      (1 to d).map(i => s"CAST(s$i AS DOUBLE) / 1e7").mkString("[", ", ", "]")
+    val parts = Seq.newBuilder[String]
+    parts += s"""e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE len(embedding) = $d)""".stripMargin
+    parts += s"""msum AS MATERIALIZED (
+       |  SELECT ${lanes(i => s"v[$i]")}, count(*) AS n FROM e)""".stripMargin
+    parts += s"""mean AS MATERIALIZED (
+       |  SELECT ${(1 to d).map(i => s"CAST(s$i AS DOUBLE) / 1e7 / n").mkString("[", ", ", "]")} AS m
+       |  FROM msum)""".stripMargin
+    parts += s"""c AS MATERIALIZED (
+       |  SELECT id, v, ${(1 to d).map(i => s"v[$i] - m[$i]").mkString("[", ", ", "]")} AS c
+       |  FROM e, mean)""".stripMargin
+    parts += s"""w0 AS MATERIALIZED (SELECT ${
+      Seq.fill(d)(s"CAST(${1.0 / math.sqrt(d.toDouble)} AS DOUBLE)").mkString("[", ", ", "]")} AS w)"""
+    val norm = (1 to d).map(i => s"s[$i] * s[$i]").mkString(" + ")
+    for (r <- 1 to rounds) {
+      parts += s"""mv$r AS MATERIALIZED (
+         |  SELECT ${lanes(i => s"c[$i] * list_dot_product(c, w)")}
+         |  FROM c, w${r - 1})""".stripMargin
+      parts += s"""w$r AS MATERIALIZED (
+         |  SELECT CASE WHEN sqrt($norm) > 0
+         |    THEN list_transform(s, x -> x / sqrt($norm))
+         |    ELSE (SELECT w FROM w${r - 1}) END AS w
+         |  FROM (SELECT $unlane AS s FROM mv$r))""".stripMargin
+    }
+    parts += s"""mvE AS MATERIALIZED (
+       |  SELECT ${lanes(i => s"c[$i] * list_dot_product(c, w)")}
+       |  FROM c, w$rounds)""".stripMargin
+    parts += s"""eig AS MATERIALIZED (
+       |  SELECT (${(1 to d).map(i => s"s[$i] * w[$i]").mkString(" + ")}) AS eigen
+       |  FROM (SELECT $unlane AS s FROM mvE), w$rounds)""".stripMargin
+    parts += s"""piv AS MATERIALIZED (
+       |  SELECT CASE WHEN w[pi] < 0 THEN -1.0 ELSE 1.0 END AS sgn
+       |  FROM w$rounds, (SELECT i AS pi FROM w$rounds, unnest(generate_series(1, $d)) AS g(i)
+       |                  ORDER BY abs(w[i]) DESC, i ASC LIMIT 1))""".stripMargin
+    "WITH " + parts.result().mkString(",\n")
+  }
+
+  /** The q_embed_pc oracle: sign-pinned loadings + eigenvalue share. */
+  private def embedPcOracle(d: Int = 64, rounds: Int = 8): String =
+    s"""${powerIterationCtes(d, rounds)},
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(floor(list_dot_product(c, c) * 1e7) AS BIGINT)) AS DOUBLE)
+       |    / 1e7 AS tv
+       |  FROM c)
+       |SELECT CAST(i - 1 AS INT) AS component_pos,
+       |  floor(sgn * w[i] * 1e6) / 1e6 + 0.0 AS loading,
+       |  CASE WHEN tv > 0 THEN floor(eigen / tv * 1e4) / 1e4 ELSE 0.0 END AS eigenvalue_share
+       |FROM w$rounds, piv, eig, tot, unnest(generate_series(1, $d)) AS g(i)
+       |ORDER BY component_pos""".stripMargin
+
+  /** The q_embed_abtt oracle: project the pinned direction out of
+    * every centered vector, removed_share vs the original norm.
+    */
+  private def embedAbttOracle(d: Int = 64, rounds: Int = 8): String =
+    s"""${powerIterationCtes(d, rounds)},
+       |u AS MATERIALIZED (
+       |  SELECT list_transform(w, x -> sgn * x) AS u FROM w$rounds, piv)
+       |SELECT id,
+       |  floor((1.0 - list_dot_product(cp, cp) /
+       |    (CASE WHEN list_dot_product(v, v) = 0.0 THEN 1.0
+       |          ELSE list_dot_product(v, v) END))
+       |    * 1e4) / 1e4 AS removed_share
+       |FROM (
+       |  SELECT id, v, ${(1 to d).map(i => s"c[$i] - u[$i] * p").mkString("[", ", ", "]")} AS cp
+       |  FROM (SELECT id, v, c, u, list_dot_product(c, u) AS p FROM c, u))
+       |ORDER BY id""".stripMargin
+
   /** The min-label connected-components propagation unroll shared by
     * every CC-backed oracle (clusters, star twin, splits, entity
     * resolution): `rounds` iterations over a `sym` edge CTE and an
@@ -1426,8 +1514,11 @@ object DedupQueries {
     },
 
     // D99: top principal component by distributed power iteration —
-    // rows-only (iterative matvec, the IVF/k-means precedent).
-    Q.rowsOnly("q_embed_pc") { (s, dir) =>
+    // EXACT oracle (powerIterationCtes): the kernel's sums ride
+    // integer micro-unit lanes, so all 8 matvec rounds replay
+    // bit-for-bit; norm/eigen written left-associatively to mirror
+    // the driver's Array.sum folds.
+    Q("q_embed_pc", embedPcOracle()) { (s, dir) =>
       Similarity.principalComponent(table(s, dir, "embeddings"),
           col("embedding"), rounds = 8)
         .orderBy("component_pos")
@@ -1542,8 +1633,10 @@ object DedupQueries {
     },
 
     // D99b: ABTT debiasing — mean + top component projected out;
-    // reports the per-vector removed norm share.
-    Q.rowsOnly("q_embed_abtt") { (s, dir) =>
+    // reports the per-vector removed norm share. EXACT oracle: the
+    // power-iteration replay plus a row-local projection (left-fold
+    // dots, 4-dp floor).
+    Q("q_embed_abtt", embedAbttOracle()) { (s, dir) =>
       Similarity.removeTopComponents(table(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), nComponents = 1, rounds = 8)
         .select(col("id"), col("removed_share"))
