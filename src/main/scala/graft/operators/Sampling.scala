@@ -629,32 +629,46 @@ object Sampling {
     // through the grid left-join and silently double-count into every
     // later step's logit (caught in review); SUM is the merge —
     // excess losses over a step's minibatches add
+    // per-ROW 6-dp micro-unit quantization before the merge sum:
+    // exact integer-decimal addition is order-independent (a raw
+    // double sum would drift with partitioning) and replays in SQL
     val t = losses.select(domain.as("domain"), step.cast("long").as("step"),
         excessLoss.cast("double").as("__x"))
       .groupBy("domain", "step")
-      .agg(sum(col("__x")).as("__x"))
+      .agg(sum((col("__x") * 1e6).cast("decimal(24,0)")).as("__x6"))
     // complete grid: every domain at every step (missing cell = 0)
     val domains = t.select("domain").distinct()
     val steps = t.select("step").distinct()
     val grid = domains.crossJoin(steps)
       .join(t, Seq("domain", "step"), "left")
       .withColumn("__x6",
-        (coalesce(col("__x"), lit(0.0)) * 1e6).cast("decimal(24,0)"))
+        coalesce(col("__x6"), lit(0).cast("decimal(24,0)")))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("domain").orderBy("step")
     val logit = (sum(col("__x6")).over(wCum).cast("double") / 1e6) * eta
     val withLogit = grid.withColumn("__logit", logit)
     val perStep = withLogit.groupBy("step")
       .agg(max(col("__logit")).as("__mx"))
+    // softmax terms floor onto the 7-dp grid as INTEGER micro-units
+    // (the power-iteration lane7 contract): libm exp() is not
+    // bit-contracted cross-engine, but floor7 absorbs its last-ulp
+    // variance, and every sum after (__z7, the weight mean) is exact
+    // integer arithmetic — order-independent AND what lets the
+    // q_doremi oracle replay the whole trajectory in SQL. The max
+    // term always contributes e^0 = 1, so __z7 is never zero.
     val expd = withLogit.join(perStep, Seq("step"))
-      .withColumn("__e", exp(col("__logit") - col("__mx")))
+      .withColumn("__e7",
+        floor(exp(col("__logit") - col("__mx")) * 1e7).cast("long"))
     val norm = expd.groupBy("step")
-      .agg(sum(col("__e")).as("__z"), count(lit(1)).as("__k"))
+      .agg(sum(col("__e7")).as("__z7"), count(lit(1)).as("__k"))
     expd.join(norm, Seq("step"))
-      .withColumn("__alpha", col("__e") / col("__z"))
+      .withColumn("__alpha",
+        col("__e7").cast("double") / col("__z7").cast("double"))
+      .withColumn("__a7", floor(col("__alpha") * 1e7).cast("long"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_steps"),
-        Num.t4floor(avg(col("__alpha"))).as("weight"),
+        Num.t4floor(sum(col("__a7")).cast("double") / 1e7 / count(lit(1)))
+          .as("weight"),
         Num.t4floor(max(col("__alpha"))).as("peak_weight"))
   }
 

@@ -1590,10 +1590,46 @@ object CurationQueries {
     },
 
     // D98: DoReMi domain-weight estimation over per-(source, step)
-    // excess losses derived from document stats — rows-only (softmax
-    // exp is not bit-contracted cross-engine); trajectory exactness is
-    // CurationSpec's hand-computed proof.
-    Q.rowsOnly("q_doremi") { (s, dir) =>
+    // excess losses derived from document stats. EXACT oracle since
+    // the kernel's softmax terms floor onto 7-dp integer lanes
+    // (absorbing libm exp's last-ulp variance — the unigram ln
+    // precedent) and every sum after is exact integer arithmetic:
+    // the trajectory replays step for step. The n_chars average is
+    // integer-valued double sums (exact below 2^53 regardless of
+    // order), and the cell quantization mirrors Spark's HALF_UP
+    // decimal cast with DuckDB's round().
+    Q(
+      "q_doremi",
+      """WITH t AS (
+        |  SELECT source AS domain, doc_id % 5 AS step,
+        |    CAST(round((avg(n_chars) / 1000.0 - 0.25) * 1e6) AS BIGINT) AS x6
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.domain, s.step, coalesce(t.x6, 0) AS x6
+        |  FROM (SELECT DISTINCT domain FROM t) d
+        |  CROSS JOIN (SELECT DISTINCT step FROM t) s
+        |  LEFT JOIN t USING (domain, step)),
+        |lg AS (
+        |  SELECT domain, step,
+        |    CAST(sum(x6) OVER (PARTITION BY domain ORDER BY step) AS DOUBLE)
+        |      / 1e6 * 1.0 AS logit
+        |  FROM grid),
+        |mx AS (SELECT step, max(logit) AS mx FROM lg GROUP BY step),
+        |ex AS (
+        |  SELECT domain, step,
+        |    CAST(floor(exp(logit - mx) * 1e7) AS BIGINT) AS e7
+        |  FROM lg JOIN mx USING (step)),
+        |z AS (SELECT step, sum(e7) AS z7 FROM ex GROUP BY step),
+        |al AS (
+        |  SELECT domain, step,
+        |    CAST(e7 AS DOUBLE) / CAST(z7 AS DOUBLE) AS alpha
+        |  FROM ex JOIN z USING (step))
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_steps,
+        |  floor(CAST(sum(CAST(floor(alpha * 1e7) AS BIGINT)) AS DOUBLE)
+        |    / 1e7 / count(*) * 1e4) / 1e4 AS weight,
+        |  floor(max(alpha) * 1e4) / 1e4 AS peak_weight
+        |FROM al GROUP BY domain ORDER BY domain""".stripMargin
+    ) { (s, dir) =>
       val losses = table(s, dir, "documents")
         .groupBy(col("source").as("domain"), (col("doc_id") % 5).as("step"))
         .agg((avg(col("n_chars")) / 1000.0 - 0.25).as("excess"))

@@ -431,12 +431,17 @@ class CurationSpec extends SparkSpec {
       ("a", 2L, 0.3), ("b", 2L, 0.7)).toDF("dom", "st", "x")
     val out = Sampling.doremiWeights(d, col("dom"), col("st"), col("x"))
       .orderBy("domain").collect()
-    val z1 = math.exp(0.0) + math.exp(-0.4) // stabilized against max .5
-    val a1 = math.exp(0.0) / z1
-    val wa = math.floor((a1 + 0.5) / 2 * 1e4) / 1e4
-    val wb = math.floor(((1 - a1) + 0.5) / 2 * 1e4) / 1e4
-    assert(out(0).getAs[Double]("weight") == wa)
-    assert(out(1).getAs[Double]("weight") == wb)
+    // replicate the kernel's integer-lane softmax: e-terms floor onto
+    // the 7-dp grid (micro-units), alphas re-floor before the mean
+    def e7(x: Double) = math.floor(math.exp(x) * 1e7)
+    def a7(a: Double) = math.floor(a * 1e7)
+    val z1 = e7(0.0) + e7(-0.4) // stabilized against max .5
+    val a1 = e7(0.0) / z1
+    val b1 = e7(-0.4) / z1
+    val wa = math.floor((a7(a1) + a7(0.5)) / 1e7 / 2 * 1e4) / 1e4
+    val wb = math.floor((a7(b1) + a7(0.5)) / 1e7 / 2 * 1e4) / 1e4
+    assert(out(0).getAs[Double]("weight") == wa, out(0).toString)
+    assert(out(1).getAs[Double]("weight") == wb, out(1).toString)
     assert(out.forall(_.getAs[Long]("n_steps") == 2L))
   }
 
@@ -446,10 +451,13 @@ class CurationSpec extends SparkSpec {
       .toDF("dom", "st", "x")
     val out = Sampling.doremiWeights(d, col("dom"), col("st"), col("x"))
       .orderBy("domain").collect()
-    // step1 α=(.5,.5); step2 logits (1,0) → αa = e/(e+1)
-    val a2 = math.exp(1.0 - 1.0) / (math.exp(0.0) + math.exp(-1.0))
+    // step1 α=(.5,.5); step2 logits (1,0) → αa = e/(e+1), on the
+    // kernel's 7-dp integer lanes
+    def e7(x: Double) = math.floor(math.exp(x) * 1e7)
+    def a7(a: Double) = math.floor(a * 1e7)
+    val a2 = e7(0.0) / (e7(0.0) + e7(-1.0))
     assert(out(0).getAs[Double]("weight") ==
-      math.floor((0.5 + a2) / 2 * 1e4) / 1e4)
+      math.floor((a7(0.5) + a7(a2)) / 1e7 / 2 * 1e4) / 1e4)
     // weights still sum to ~1 (two domains)
     val s = out.map(_.getAs[Double]("weight")).sum
     assert(s > 0.999 && s <= 1.0)
