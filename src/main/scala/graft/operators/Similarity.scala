@@ -384,13 +384,19 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
       val assigned = assignClusters(base, centroids)
+      // re-estimation on the integer micro-unit lanes (lane7): the
+      // mean is an exact integer sum / 1e7 / n — order-independent
+      // and bit-replayable, which is what lets q_ann_ivf's oracle
+      // replay every Lloyd round in SQL
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster", "pos")
+        .agg(sum(lane7(col("x"))).as("s"), count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          c -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / 1e7 / r.getLong(3)).toArray
         }
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }

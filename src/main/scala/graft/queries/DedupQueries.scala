@@ -138,6 +138,85 @@ object DedupQueries {
        |  FROM (SELECT id, v, c, u, list_dot_product(c, u) AS p FROM c, u))
        |ORDER BY id""".stripMargin
 
+  /** CTE chain replaying [[graft.operators.Similarity.trainIvfCentroids]]
+    * + the final assignment over an `e (id, v)` CTE the caller
+    * provides — the IVF-family oracle core. Replayable because the
+    * Lloyd re-estimation rides the integer micro-unit lanes (exact
+    * sums / 1e7 / n) and the assignment distance ‖c‖² − 2·v·c is
+    * row-local left-fold arithmetic with the first-min-index
+    * tiebreak, identical IEEE on both engines. Rounds unroll
+    * statically (no recursion — k is a TABLE, so auto-k callers work
+    * unchanged); empty clusters keep their previous centroid via the
+    * left join. Ends with `idx (id, v, cluster)` and `cen$iters` in
+    * scope.
+    */
+  private def ivfLloydCtes(iters: Int, d: Int, k: Int): String = {
+    def assign(name: String, cen: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT id, v, cluster FROM (
+         |    SELECT id, v, cluster,
+         |      row_number() OVER (PARTITION BY id ORDER BY d ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT e.id, e.v, c.cluster,
+         |        list_dot_product(c.cen, c.cen) - list_dot_product(e.v, c.cen) * 2.0 AS d
+         |      FROM e, $cen c))
+         |  WHERE rn = 1)""".stripMargin
+    val parts = Seq.newBuilder[String]
+    parts += s"""cen0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster, v AS cen
+       |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $k))""".stripMargin
+    var prev = "cen0"
+    for (r <- 1 to iters) {
+      parts += assign(s"asg$r", prev)
+      parts += s"""mean$r AS MATERIALIZED (
+         |  SELECT cluster, list(m ORDER BY pos) AS cen FROM (
+         |    SELECT cluster, pos,
+         |      CAST(sum(CAST(floor(x * 1e7) AS BIGINT)) AS DOUBLE) / 1e7 / count(*) AS m
+         |    FROM (SELECT cluster, i AS pos, v[i] AS x
+         |          FROM asg$r, unnest(generate_series(1, $d)) AS g(i))
+         |    GROUP BY cluster, pos)
+         |  GROUP BY cluster)""".stripMargin
+      parts += s"""cen$r AS MATERIALIZED (
+         |  SELECT c.cluster, coalesce(m.cen, c.cen) AS cen
+         |  FROM $prev c LEFT JOIN mean$r m USING (cluster))""".stripMargin
+      prev = s"cen$r"
+    }
+    parts += assign("idx", prev)
+    parts.result().mkString(",\n")
+  }
+
+  /** Row-local cosine with the kernel's zero-norm guard, as SQL. */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0.0
+       |  THEN 0.0
+       |  ELSE list_dot_product($a, $b) /
+       |    (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
+
+  /** The q_ann_ivf oracle: 5 Lloyd rounds + nProbe=4 probing + top-5. */
+  private def annIvfOracle: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${ivfLloydCtes(iters = 5, d = 64, k = 16)},
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, qv, cluster FROM (
+       |    SELECT q.id AS query_id, q.v AS qv, c.cluster,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_dot_product(c.cen, c.cen) - list_dot_product(q.v, c.cen) * 2.0 ASC,
+       |        c.cluster ASC) AS pr
+       |    FROM (SELECT id, v FROM e WHERE id < 10) q, cen5 c)
+       |  WHERE pr <= 4)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos_sim, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, i.id AS vec_id,
+       |    ${cosSql("i.v", "qv")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      round(${cosSql("i.v", "qv")}, 6) DESC, i.id ASC) AS rank
+       |  FROM idx i JOIN probe USING (cluster)
+       |  WHERE i.id != query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** The min-label connected-components propagation unroll shared by
     * every CC-backed oracle (clusters, star twin, splits, entity
     * resolution): `rounds` iterations over a `sym` edge CTE and an
@@ -708,10 +787,12 @@ object DedupQueries {
     },
 
     // D7b: ANN via IVF (FAISS-style inverted file) — deterministic
-    // seeded k-means coarse quantizer, nProbe bucket probing. The
-    // Lloyd iterations aren't portable SQL → rows-only; SimilaritySpec
-    // measures recall against the exact brute-force oracle.
-    Q.rowsOnly("q_ann_ivf") { (s, dir) =>
+    // seeded k-means coarse quantizer, nProbe bucket probing. EXACT
+    // oracle (ivfLloydCtes): Lloyd re-estimation rides integer
+    // micro-unit lanes, assignment distance is row-local left-fold
+    // IEEE with a first-min tiebreak, so all 5 rounds + the probe
+    // replay bit-for-bit; recall-vs-brute specs unchanged.
+    Q("q_ann_ivf", annIvfOracle) { (s, dir) =>
       val e = table(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       Similarity.ivfTopK(
