@@ -150,8 +150,9 @@ object DedupQueries {
     * left join. Ends with `idx (id, v, cluster)` and `cen$iters` in
     * scope.
     */
-  private def ivfLloydCtes(iters: Int, d: Int, k: Int): String = {
-    def assign(name: String, cen: String): String =
+  private def ivfLloydCtes(
+      iters: Int, d: Int, kExpr: String, train: String = "e"): String = {
+    def assign(name: String, cen: String, over: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT id, v, cluster FROM (
          |    SELECT id, v, cluster,
@@ -159,15 +160,16 @@ object DedupQueries {
          |    FROM (
          |      SELECT e.id, e.v, c.cluster,
          |        list_dot_product(c.cen, c.cen) - list_dot_product(e.v, c.cen) * 2.0 AS d
-         |      FROM e, $cen c))
+         |      FROM $over e, $cen c))
          |  WHERE rn = 1)""".stripMargin
     val parts = Seq.newBuilder[String]
     parts += s"""cen0 AS MATERIALIZED (
-       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster, v AS cen
-       |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $k))""".stripMargin
+       |  SELECT CAST(rn - 1 AS INT) AS cluster, v AS cen
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM $train)
+       |  WHERE rn <= ($kExpr))""".stripMargin
     var prev = "cen0"
     for (r <- 1 to iters) {
-      parts += assign(s"asg$r", prev)
+      parts += assign(s"asg$r", prev, train)
       parts += s"""mean$r AS MATERIALIZED (
          |  SELECT cluster, list(m ORDER BY pos) AS cen FROM (
          |    SELECT cluster, pos,
@@ -181,7 +183,7 @@ object DedupQueries {
          |  FROM $prev c LEFT JOIN mean$r m USING (cluster))""".stripMargin
       prev = s"cen$r"
     }
-    parts += assign("idx", prev)
+    parts += assign("idx", prev, "e") // final index: the FULL corpus
     parts.result().mkString(",\n")
   }
 
@@ -197,7 +199,7 @@ object DedupQueries {
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |${ivfLloydCtes(iters = 5, d = 64, k = 16)},
+       |${ivfLloydCtes(iters = 5, d = 64, kExpr = "16")},
        |probe AS MATERIALIZED (
        |  SELECT query_id, qv, cluster FROM (
        |    SELECT q.id AS query_id, q.v AS qv, c.cluster,
@@ -216,6 +218,45 @@ object DedupQueries {
        |  WHERE i.id != query_id)
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** The q_dedup_semantic oracle: the full SemDeDup chain replayed —
+    * perturbed-twin corpus, 25% hash-sample training (the portable
+    * bucket formula), auto-k = max(16, ceil(n/200)), 2 Lloyd rounds
+    * on the integer lanes, full-corpus assignment, within-cluster
+    * cosine pairs at 0.995 (4-dp round, the kernel's), min-label CC
+    * (ccUnrollSql — planted diameters are 1), min-id survivor
+    * anti-join.
+    */
+  private def dedupSemanticOracle: String = {
+    val bucket = Sampling.hashBucketSql("id")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
+       |      list_transform(embedding[2:64], x -> CAST(x AS DOUBLE))
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |ts AS MATERIALIZED (
+       |  SELECT id, v FROM e WHERE $bucket < 250),
+       |kk AS MATERIALIZED (
+       |  SELECT greatest(16, CAST(ceil(count(*) / 200.0) AS INT)) AS k FROM e),
+       |${ivfLloydCtes(iters = 2, d = 64, kExpr = "SELECT k FROM kk", train = "ts")},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.995),
+       |sym AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS comp FROM sym),
+       |${ccUnrollSql(8)},
+       |drops AS (SELECT id AS drop_id FROM l8 WHERE id != comp)
+       |SELECT id AS vec_id FROM e
+       |WHERE id NOT IN (SELECT drop_id FROM drops)
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** The min-label connected-components propagation unroll shared by
     * every CC-backed oracle (clusters, star twin, splits, entity
@@ -1128,10 +1169,12 @@ object DedupQueries {
     // +1000000) are swallowed wherever base and copy co-assign (a few
     // straddle a cell boundary at larger SFs — the paper's documented
     // recall caveat; deterministic either way). The k-means quantizer
-    // is an iterative driver-metadata artifact (q_ann_ivf precedent)
-    // → rows-only; planted-recall exactness and the min-id survivor
-    // policy are asserted in DedupSpec.
-    Q.rowsOnly("q_dedup_semantic") { (s, dir) =>
+    // is an iterative driver-metadata artifact, EXACT-replayed since
+    // r10 (the q_ann_ivf Lloyd CTEs on the sampled training frame +
+    // within-cluster cosine pairs + the shared CC unroll); planted-
+    // recall exactness and the min-id survivor policy stay asserted
+    // in DedupSpec.
+    Q("q_dedup_semantic", dedupSemanticOracle) { (s, dir) =>
       val e = table(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val pert = e.filter(col("vec_id") % 5 === 0).select(
