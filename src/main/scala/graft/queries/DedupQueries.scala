@@ -219,6 +219,37 @@ object DedupQueries {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The q_hard_negatives oracle: the Lloyd replay (3 rounds, k=8)
+    * plus the banded probe — identical to the q_ann_ivf probe but
+    * with the [simLo, simHi) filter on the 6-dp sim key.
+    */
+  private def hardNegativesOracle: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${ivfLloydCtes(iters = 3, d = 64, kExpr = "8")},
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, qv, cluster FROM (
+       |    SELECT q.id AS query_id, q.v AS qv, c.cluster,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_dot_product(c.cen, c.cen) - list_dot_product(q.v, c.cen) * 2.0 ASC,
+       |        c.cluster ASC) AS pr
+       |    FROM (SELECT id, v FROM e WHERE id < 10) q, cen3 c)
+       |  WHERE pr <= 4)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos_sim, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      round(cos_sim, 6) DESC, vec_id ASC) AS rank
+       |  FROM (
+       |    SELECT query_id, i.id AS vec_id,
+       |      ${cosSql("i.v", "qv")} AS cos_sim
+       |    FROM idx i JOIN probe USING (cluster)
+       |    WHERE i.id != query_id)
+       |  WHERE round(cos_sim, 6) >= 0.3 AND round(cos_sim, 6) < 0.9)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** The q_dedup_semantic oracle: the full SemDeDup chain replayed —
     * perturbed-twin corpus, 25% hash-sample training (the portable
     * bucket formula), auto-k = max(16, ceil(n/200)), 2 Lloyd rounds
@@ -1142,8 +1173,9 @@ object DedupQueries {
     // D69: hard-negative mining — per query, top-5 corpus vectors
     // with cosine in [0.3, 0.9): informative negatives below the
     // near-dup band (the planted-twin spec proves twins are excluded).
-    // IVF-routed; rows-only (iterative centroid training).
-    Q.rowsOnly("q_hard_negatives") { (s, dir) =>
+    // IVF-routed; EXACT oracle since the Lloyd trainer replays
+    // (integer lanes) — the probe adds only the banded sim filter.
+    Q("q_hard_negatives", hardNegativesOracle) { (s, dir) =>
       val e = table(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val centroids = Similarity.trainIvfCentroids(
