@@ -701,15 +701,19 @@ object Similarity {
           when(col("sub") === 0, centroidScores(col("sv"), books(0)))) {
         (acc, s) => acc.when(col("sub") === s, centroidScores(col("sv"), books(s)))
       }
+      // re-estimation on the integer micro-unit lanes (the Lloyd
+      // contract) — order-independent and bit-replayable in SQL
       val means = sliced.withColumn("__scores", scores)
         .withColumn("code",
           expr("array_position(__scores, array_min(__scores))").cast("int") - 1)
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("mu"))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(lane7(col("x"))).as("s"), count(lit(1)).as("n"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (sc, rows) =>
-          sc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          sc -> rows.sortBy(_.getInt(2))
+            .map(r => r.getLong(3).toDouble / 1e7 / r.getLong(4)).toArray
         }
       books = Array.tabulate(m) { s =>
         Array.tabulate(k) { c => means.getOrElse((s, c), books(s)(c)) }

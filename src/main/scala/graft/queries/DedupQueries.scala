@@ -219,6 +219,150 @@ object DedupQueries {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** CTE chain replaying [[graft.operators.Similarity.trainPqCodebooks]]
+    * over a 64-dim `(id, v)` source CTE — the PQ-family oracle core,
+    * the Lloyd template per subspace: sliced subvectors, seeded
+    * codebooks (k lowest-id vectors sliced), `iters` rounds of
+    * argmin assignment + integer-lane re-estimation. Ends with `sl`
+    * and the final `bk$iters` codebook table in scope.
+    */
+  private def pqCtes(iters: Int, m: Int, subd: Int, src: String): String = {
+    val k = 16
+    val parts = Seq.newBuilder[String]
+    parts += s"""sl AS MATERIALIZED (
+       |  SELECT id, s AS sub, v[s * $subd + 1 : s * $subd + $subd] AS sv
+       |  FROM $src, unnest(generate_series(0, ${m - 1})) AS g(s))""".stripMargin
+    parts += s"""bk0 AS MATERIALIZED (
+       |  SELECT s AS sub, CAST(rn - 1 AS INT) AS code,
+       |    v[s * $subd + 1 : s * $subd + $subd] AS cw
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM $src) x,
+       |    unnest(generate_series(0, ${m - 1})) AS g(s)
+       |  WHERE rn <= $k)""".stripMargin
+    var prev = "bk0"
+    for (r <- 1 to iters) {
+      parts += s"""cd$r AS MATERIALIZED (
+         |  SELECT id, sub, sv, code FROM (
+         |    SELECT id, sub, sv, code,
+         |      row_number() OVER (PARTITION BY id, sub ORDER BY d ASC, code ASC) AS rn
+         |    FROM (
+         |      SELECT sl.id, sl.sub, sl.sv, b.code,
+         |        list_dot_product(b.cw, b.cw) - list_dot_product(sl.sv, b.cw) * 2.0 AS d
+         |      FROM sl JOIN $prev b USING (sub)))
+         |  WHERE rn = 1)""".stripMargin
+      parts += s"""mn$r AS MATERIALIZED (
+         |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
+         |    SELECT sub, code, pos,
+         |      CAST(sum(CAST(floor(x * 1e7) AS BIGINT)) AS DOUBLE) / 1e7 / count(*) AS m
+         |    FROM (SELECT sub, code, i AS pos, sv[i] AS x
+         |          FROM cd$r, unnest(generate_series(1, $subd)) AS g(i))
+         |    GROUP BY sub, code, pos)
+         |  GROUP BY sub, code)""".stripMargin
+      parts += s"""bk$r AS MATERIALIZED (
+         |  SELECT b.sub, b.code, coalesce(m.cw, b.cw) AS cw
+         |  FROM $prev b LEFT JOIN mn$r m USING (sub, code))""".stripMargin
+      prev = s"bk$r"
+    }
+    parts.result().mkString(",\n")
+  }
+
+  /** Subvector→codeword squared distance as the kernel's LEFT-FOLD
+    * chain (the pqLut `aggregate` order — t1 + t2 + … is the same
+    * IEEE association since the fold's 0.0 seed is an exact
+    * identity over the non-negative squares).
+    */
+  private def pqLutChain(qcol: String, subd: Int): String =
+    (1 to subd).map(p =>
+      s"($qcol[sub * $subd + $p] - cw[$p]) * ($qcol[sub * $subd + $p] - cw[$p])")
+      .mkString(" + ")
+
+  /** ADC sum as adcDist's left fold over the sub-ordered LUT list. */
+  private def adcChain(m: Int): String =
+    (1 to m).map(s => s"l[$s]").mkString(" + ")
+
+  /** PQ encode-under-final-books CTE body (the argmin projection). */
+  private def pqEncodeSql(bk: String): String =
+    s"""SELECT id, sub, code FROM (
+       |    SELECT sl.id, sl.sub, b.code,
+       |      row_number() OVER (PARTITION BY sl.id, sl.sub ORDER BY
+       |        list_dot_product(b.cw, b.cw) - list_dot_product(sl.sv, b.cw) * 2.0 ASC,
+       |        b.code ASC) AS rn
+       |    FROM sl JOIN $bk b USING (sub))
+       |  WHERE rn = 1""".stripMargin
+
+  /** The q_ann_pq oracle: 3 codebook rounds, full-corpus encode,
+    * per-query LUT, left-fold ADC, top-5.
+    */
+  private def annPqOracle: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${pqCtes(iters = 3, m = 8, subd = 8, src = "e")},
+       |enc AS MATERIALIZED (
+       |  ${pqEncodeSql("bk3")}),
+       |lut AS MATERIALIZED (
+       |  SELECT query_id, sub, code, ${pqLutChain("qv", 8)} AS ld
+       |  FROM (SELECT id AS query_id, v AS qv FROM e WHERE id < 10), bk3),
+       |adc AS MATERIALIZED (
+       |  SELECT query_id, id, ${adcChain(8)} AS adc_dist FROM (
+       |    SELECT l.query_id, enc.id, list(l.ld ORDER BY l.sub) AS l
+       |    FROM enc JOIN lut l USING (sub, code)
+       |    WHERE enc.id != l.query_id
+       |    GROUP BY l.query_id, enc.id))
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(adc_dist, 4) AS adc_dist
+       |FROM (
+       |  SELECT query_id, id AS vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      round(adc_dist, 6) ASC, id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The q_ann_ivfpq oracle (IVFADC): coarse Lloyd replay (3 rounds,
+    * k=8), cell-relative residuals, residual codebook replay, the
+    * nProbe=2 probe with a per-(query, cell) residual LUT, left-fold
+    * ADC over the probed cells' members.
+    */
+  private def annIvfPqOracle: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${ivfLloydCtes(iters = 3, d = 64, kExpr = "8")},
+       |resid AS MATERIALIZED (
+       |  SELECT i.id, i.cluster,
+       |    list_transform(generate_series(1, 64), p -> i.v[p] - c.cen[p]) AS v
+       |  FROM idx i JOIN cen3 c USING (cluster)),
+       |${pqCtes(iters = 3, m = 8, subd = 8, src = "resid")},
+       |pidx AS MATERIALIZED (
+       |  SELECT r.id, r.cluster, enc.sub, enc.code
+       |  FROM resid r JOIN (
+       |    ${pqEncodeSql("bk3")}) enc USING (id)),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cluster, qr FROM (
+       |    SELECT q.id AS query_id, c.cluster,
+       |      list_transform(generate_series(1, 64), p -> q.v[p] - c.cen[p]) AS qr,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_dot_product(c.cen, c.cen) - list_dot_product(q.v, c.cen) * 2.0 ASC,
+       |        c.cluster ASC) AS pr
+       |    FROM (SELECT id, v FROM e WHERE id < 10) q, cen3 c)
+       |  WHERE pr <= 2),
+       |lut AS MATERIALIZED (
+       |  SELECT query_id, cluster, sub, code, ${pqLutChain("qr", 8)} AS ld
+       |  FROM probe, bk3),
+       |adc AS MATERIALIZED (
+       |  SELECT query_id, id, ${adcChain(8)} AS adc_dist FROM (
+       |    SELECT l.query_id, p.id, list(l.ld ORDER BY l.sub) AS l
+       |    FROM pidx p JOIN lut l USING (cluster, sub, code)
+       |    WHERE p.id != l.query_id
+       |    GROUP BY l.query_id, p.id))
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(adc_dist, 4) AS adc_dist
+       |FROM (
+       |  SELECT query_id, id AS vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      round(adc_dist, 6) ASC, id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** The q_hard_negatives oracle: the Lloyd replay (3 rounds, k=8)
     * plus the banded probe — identical to the q_ann_ivf probe but
     * with the [simLo, simHi) filter on the 6-dp sim key.
@@ -879,11 +1023,11 @@ object DedupQueries {
     // per-subspace codebooks (m=8, k=16 → 8 B/vector, a 64× memory
     // cut), encode the corpus, search by asymmetric distance (per-query
     // LUT, corpus side pays m lookups + adds, zero dot products).
-    // Codebook training is the same iterative driver-metadata artifact
-    // as q_ann_ivf → rows-only; DedupSpec pins exact quantization on
-    // clustered data, codebook persistence round-trip, and planted-twin
-    // recall on real embeddings.
-    Q.rowsOnly("q_ann_pq") { (s, dir) =>
+    // Codebook training replays exactly (pqCtes — the Lloyd template
+    // per subspace on integer lanes), and the ADC sum mirrors
+    // adcDist's left fold; DedupSpec keeps the exact-quantization /
+    // round-trip / planted-twin specs.
+    Q("q_ann_pq", annPqOracle) { (s, dir) =>
       val e = table(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val books = Similarity.trainPqCodebooks(
@@ -897,10 +1041,11 @@ object DedupQueries {
     // D57b: IVF-PQ (IVFADC, Jégou et al. TPAMI'11 §V) — coarse cells
     // route the probe, PQ codes of the RESIDUAL carry geometry; each
     // (query, probed cell) builds its own LUT from the cell-relative
-    // residual. Same rows-only rationale as q_ann_ivf/q_ann_pq
-    // (iterative driver-metadata training); DedupSpec pins exact
-    // recovery on clustered data and planted-twin recall.
-    Q.rowsOnly("q_ann_ivfpq") { (s, dir) =>
+    // residual. EXACT oracle: coarse Lloyd + residual codebooks both
+    // replay on integer lanes, the per-(query, cell) residual LUT and
+    // left-fold ADC mirror the kernel; DedupSpec pins exact recovery
+    // on clustered data and planted-twin recall.
+    Q("q_ann_ivfpq", annIvfPqOracle) { (s, dir) =>
       val e = table(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val centroids = Similarity.trainIvfCentroids(
