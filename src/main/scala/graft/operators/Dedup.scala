@@ -428,15 +428,24 @@ object Dedup {
     def t6(x: Double): Double = math.floor(x * 1e6) / 1e6
     val rows = (1 to nPerms).filter(nPerms % _ == 0).map { b =>
       val r = nPerms / b
-      var fp = 0.0
-      var fn = 0.0
+      // integral terms floor onto the 9-dp grid as integer
+      // micro-units (the lane7 family): libm pow is not
+      // bit-contracted cross-engine, but the floor grid absorbs its
+      // last-ulp variance and the accumulation becomes exact integer
+      // addition — which is what lets the q_lsh_plan oracle replay
+      // the S-curve integral in SQL
+      var fp9 = 0L
+      var fn9 = 0L
       var i = 0
       while (i < gridPoints) {
         val s = (i + 0.5) / gridPoints
         val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
-        if (s < threshold) fp += p / gridPoints else fn += (1.0 - p) / gridPoints
+        if (s < threshold) fp9 += math.floor(p * 1e9).toLong
+        else fn9 += math.floor((1.0 - p) * 1e9).toLong
         i += 1
       }
+      val fp = fp9.toDouble / 1e9 / gridPoints
+      val fn = fn9.toDouble / 1e9 / gridPoints
       val s50 = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
       (b, r, t6(s50), t6(fp), t6(fn), t6(fp + fn))
     }

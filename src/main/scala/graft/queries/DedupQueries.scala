@@ -363,6 +363,44 @@ object DedupQueries {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The q_lsh_plan oracle: the S-curve integral replayed on the
+    * 9-dp integer lanes, one row per divisor band count.
+    */
+  private def lshPlanOracle: String = {
+    val nPerms = 64
+    val divisors = (1 to nPerms).filter(nPerms % _ == 0)
+    s"""WITH g AS (
+       |  SELECT (i + 0.5) / 1000.0 AS s
+       |  FROM unnest(generate_series(0, 999)) AS t(i)),
+       |br AS (
+       |  SELECT CAST(b AS INT) AS b, CAST($nPerms // b AS INT) AS r
+       |  FROM unnest(${divisors.mkString("[", ", ", "]")}) AS t(b)),
+       |terms AS (
+       |  SELECT b, r, s, 1.0 - pow(1.0 - pow(s, r), b) AS p FROM br, g),
+       |agg AS (
+       |  SELECT b, r,
+       |    CAST(sum(CASE WHEN s < 0.5
+       |      THEN CAST(floor(p * 1e9) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |      / 1e9 / 1000 AS fpv,
+       |    CAST(sum(CASE WHEN s >= 0.5
+       |      THEN CAST(floor((1.0 - p) * 1e9) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |      / 1e9 / 1000 AS fnv
+       |  FROM terms GROUP BY b, r),
+       |pl AS (
+       |  SELECT b AS bands, r AS rows_per_band,
+       |    floor(pow(1.0 - pow(0.5, 1.0 / b), 1.0 / r) * 1e6) / 1e6 AS s50,
+       |    floor(fpv * 1e6) / 1e6 AS fp_area,
+       |    floor(fnv * 1e6) / 1e6 AS fn_area,
+       |    floor((fpv + fnv) * 1e6) / 1e6 AS cost
+       |  FROM agg),
+       |best AS (
+       |  SELECT min(bands) AS bb FROM pl
+       |  WHERE cost = (SELECT min(cost) FROM pl))
+       |SELECT bands, rows_per_band, s50, fp_area, fn_area, cost,
+       |  bands = bb AS recommended
+       |FROM pl, best ORDER BY bands""".stripMargin
+  }
+
   /** The q_hard_negatives oracle: the Lloyd replay (3 rounds, k=8)
     * plus the banded probe — identical to the q_ann_ivf probe but
     * with the [simLo, simHi) filter on the 6-dp sim key.
@@ -1333,10 +1371,10 @@ object DedupQueries {
     },
 
     // D70: LSH banding planner — the S-curve decision table for 64
-    // permutations at threshold 0.5 (the shipped minHashLSH config);
-    // driver-sized planning math, rows-only (libm pow is not
-    // bit-contracted across engines).
-    Q.rowsOnly("q_lsh_plan") { (s, _) =>
+    // permutations at threshold 0.5 (the shipped minHashLSH config).
+    // EXACT oracle: the integral terms floor onto 9-dp integer lanes
+    // (absorbing libm pow variance), so the grid sum replays in SQL.
+    Q("q_lsh_plan", lshPlanOracle) { (s, _) =>
       Dedup.lshPlan(s, nPerms = 64, threshold = 0.5)
         .orderBy("bands")
     },
