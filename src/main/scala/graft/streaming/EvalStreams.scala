@@ -165,4 +165,83 @@ object EvalStreams {
           }
       }
   }
+
+  case class RetIn(query_id: Long, doc_id: Long, rank: Int)
+
+  /** Per-query retrieval state: hit count, first relevant rank (0 =
+    * none yet), DCG as exact 7-dp integer micro-units (the discounts
+    * are 7-dp decimals, so the sum is exact integer addition — the
+    * batch operator's decimal lanes).
+    */
+  case class RetState(hits: Long, first: Int, dcg7: Long)
+
+  case class RetOut(
+      query_id: Long, n_gold: Long, hits: Long,
+      precision_at_k: Double, recall_at_k: Double,
+      mrr: Double, ndcg_at_k: Double)
+
+  /** E29: streaming retrieval metrics — the stateful twin of
+    * [[graft.operators.Eval.retrievalMetrics]]: ranked results stream
+    * in (a serving tier logs one row per returned doc), the
+    * per-query scoreboard stays CURRENT. The gold relevance set is
+    * DRIVER METADATA (benchmark-suite-sized, the broadcast contract —
+    * same reasoning as the E16 decontamination Bloom): a
+    * query_id → relevant-doc-set map compiled into the stream.
+    *
+    * State is (hits, first-relevant rank, dcg) — three numbers per
+    * query; each touching micro-batch emits the query's current row,
+    * and the LAST emission equals the batch operator digit for digit
+    * (same 7-dp discount decimals, same 4-dp HALF_UP rounds, same
+    * idcg lookup at min(k, n_gold)). Duplicate (doc, rank) rows count
+    * twice, exactly as the batch join does. One documented
+    * divergence, the E22 NULL-key precedent: gold queries the stream
+    * NEVER touches can't emit (no state to key) — the batch
+    * operator's full join surfaces them as all-zero rows; reconcile
+    * with one batch pass when completeness matters. No watermark —
+    * results never un-rank.
+    */
+  def retrievalMetricsStream(
+      results: DataFrame,
+      gold: Map[Long, Set[Long]],
+      k: Int): Dataset[RetOut] = {
+    require(k >= 1 && k <= 100, "k in [1, 100]")
+    implicit val inEnc = Encoders.product[RetIn]
+    implicit val outEnc = Encoders.product[RetOut]
+    implicit val stEnc = Encoders.product[RetState]
+    implicit val longEnc = Encoders.scalaLong
+    val disc7: Array[Long] = (1 to k).map(i =>
+      math.round(graft.operators.Eval.ndcgDiscount(i) * 1e7)).toArray
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    results.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("rank").cast("int"))
+      .filter(col("query_id").isNotNull &&
+        col("rank") >= 1 && col("rank") <= k)
+      .as[RetIn]
+      .groupByKey(_.query_id)
+      .flatMapGroupsWithState[RetState, RetOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (q: Long, rows: Iterator[RetIn], state: GroupState[RetState]) =>
+          val rel = gold.getOrElse(q, Set.empty)
+          var st = state.getOption.getOrElse(RetState(0L, 0, 0L))
+          rows.foreach { r =>
+            if (rel.contains(r.doc_id)) {
+              st = RetState(st.hits + 1,
+                if (st.first == 0 || r.rank < st.first) r.rank else st.first,
+                st.dcg7 + disc7(r.rank - 1))
+            }
+          }
+          state.update(st)
+          val nGold = rel.size.toLong
+          val recall =
+            if (nGold == 0) 0.0 else r4(st.hits.toDouble / nGold)
+          val ndcg =
+            if (nGold == 0 || st.hits == 0) 0.0
+            else r4(st.dcg7.toDouble / 1e7 /
+              graft.operators.Eval.idcgAt(math.min(k.toLong, nGold).toInt))
+          val mrr = if (st.first == 0) 0.0 else r4(1.0 / st.first)
+          Iterator.single(RetOut(q, nGold, st.hits,
+            r4(st.hits.toDouble / k), recall, mrr, ndcg))
+      }
+  }
 }

@@ -152,6 +152,60 @@ class EvalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E29 stream == batch retrieval metrics across a batch split; gold-only divergence documented") {
+    // gold: q1 -> {10, 11, 12}; q2 -> {20}; q3 -> {30} (never
+    // retrieved — the documented stream divergence); q4 absent from
+    // gold but retrieved. k = 3. q1's relevant docs straddle the
+    // batch split so hits/first/dcg carry through state; rank 4 rows
+    // must not count; a duplicated (q2, 20, rank 1) counts twice,
+    // mirroring the batch join.
+    val gold = Map(1L -> Set(10L, 11L, 12L), 2L -> Set(20L), 3L -> Set(30L))
+    val goldDf = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    val results = Seq(
+      (1L, 10L, 1), (1L, 99L, 2),
+      // -- split --
+      (1L, 11L, 3), (1L, 12L, 4), // rank 4: beyond k, never counts
+      (2L, 20L, 1), (2L, 20L, 1), // duplicate row counts twice
+      (4L, 40L, 1))
+    val input = MemoryStream[(Long, Long, Int)](spark)
+    val q = EvalStreams.retrievalMetricsStream(
+        input.toDF().toDF("query_id", "doc_id", "rank"), gold, k = 3)
+      .writeStream.format("memory").queryName("e29_out").outputMode("append").start()
+    try {
+      input.addData(results.take(2)); q.processAllAvailable()
+      input.addData(results.drop(2)); q.processAllAvailable()
+      // last emission per query
+      val streamed = spark.table("e29_out").collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (k2, rows) => k2 -> rows.last }
+      val batch = Eval.retrievalMetrics(
+          results.toDF("query_id", "doc_id", "rank"),
+          col("query_id"), col("doc_id"), col("rank"),
+          goldDf, col("query_id"), col("doc_id"), k = 3)
+        .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+      // every touched query matches batch digit for digit
+      for (qid <- streamed.keySet) {
+        val s = streamed(qid); val b = batch(qid)
+        assert(s.getAs[Long]("n_gold") == b.getAs[Long]("n_gold"), s"$qid n_gold")
+        assert(s.getAs[Long]("hits") == b.getAs[Long]("hits"), s"$qid hits")
+        assert(s.getAs[Double]("precision_at_k") == b.getAs[Double]("precision_at_3"), s"$qid p")
+        assert(s.getAs[Double]("recall_at_k") == b.getAs[Double]("recall_at_3"), s"$qid r")
+        assert(s.getAs[Double]("mrr") == b.getAs[Double]("mrr"), s"$qid mrr")
+        assert(s.getAs[Double]("ndcg_at_k") == b.getAs[Double]("ndcg_at_3"), s"$qid ndcg")
+      }
+      // hand checks: q1 hits 2 (ranks 1, 3), q2 hits 2 via the dup
+      assert(streamed(1L).getAs[Long]("hits") == 2L)
+      assert(streamed(1L).getAs[Double]("mrr") == 1.0)
+      assert(streamed(2L).getAs[Long]("hits") == 2L)
+      assert(streamed(4L).getAs[Long]("n_gold") == 0L &&
+        streamed(4L).getAs[Double]("ndcg_at_k") == 0.0)
+      // the documented divergence: untouched gold query 3 is absent
+      // from the stream, present (all-zero) in batch
+      assert(!streamed.contains(3L) && batch.contains(3L))
+    } finally q.stop()
+  }
+
   test("E21 stream == batch on real documents split across batches") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select((col("doc_id") % 40).as("problem_key"),
