@@ -1777,8 +1777,15 @@ object DedupQueries {
     // detector, the honest cross-metric recall number the planted
     // twins alone can't give. Seeded hash family → rows-only.
     Q.rowsOnly("q_audit_simhash") { (s, dir) =>
-      val d = Sampling.hashSample(truncatedDocs(s, dir),
-          pmod(col("id"), lit(1000000L)), fraction = 0.25)
+      // fraction-based cut FIRST (base-id keyed so planted pairs stay
+      // together), then an ABSOLUTE row cap via distributed top-N in
+      // (bucket, id) order: the brute truth tier is quadratic in the
+      // sample, so a fraction alone would be a hidden quadratic term
+      // at corpus scale — the cap makes the audit cost a CONSTANT at
+      // any SF (TakeOrderedAndProject, never a global window)
+      val base = pmod(col("id"), lit(1000000L))
+      val d = Sampling.hashSample(truncatedDocs(s, dir), base, fraction = 0.25)
+        .orderBy(Sampling.hashBucket(base), col("id")).limit(4000)
         .localCheckpoint()
       val sigs = Dedup.simHashSignatures(d, col("id"), col("text"))
         .localCheckpoint()
