@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 
 /** Planted-duplicate exactness for the seeded-hash dedup/ANN operators
   * (the ones without a portable DuckDB twin).
@@ -1032,6 +1032,32 @@ class DedupSpec extends SparkSpec {
     assert(q3(0) == -127 && q3(1) == 127)
     // 1/(3/127) = 42.33 → 42 both signs (toward zero, sign-symmetric)
     assert(q3(2) == 42 && q3(3) == -42)
+  }
+
+  test("integer-lane trainers are partition-invariant: 1 vs 32 partitions, bit for bit") {
+    // THE claim behind every exact replay oracle shipped this round:
+    // distributed sums ride integer micro-unit lanes, so the result
+    // cannot depend on partitioning or merge order. Prove it on the
+    // three trainer families with adversarial (irrational-ish) values.
+    val vs = (1L to 200L).map { i =>
+      (i, Seq.tabulate(8)(d =>
+        math.sin(i * 0.7 + d * 1.3) * 3.0 + math.cos(i * d * 0.01)))
+    }.toDF("id", "v")
+    def pc(parts: Int) =
+      Similarity.principalComponent(vs.repartition(parts), col("v"), rounds = 6)
+        .orderBy("component_pos").collect().map(_.toSeq).toSeq
+    assert(pc(1) == pc(32), "principalComponent drifted with partitioning")
+    def cents(parts: Int) =
+      Similarity.trainIvfCentroids(vs.repartition(parts),
+        col("id"), col("v"), nCentroids = 4, iters = 3).map(_.toSeq).toSeq
+    assert(cents(1) == cents(32), "Lloyd centroids drifted with partitioning")
+    val losses = (1L to 60L).map(i =>
+      (s"d${i % 5}", i % 4, math.sin(i.toDouble) * 0.3)).toDF("dom", "st", "x")
+    def dw(parts: Int) =
+      Sampling.doremiWeights(losses.repartition(parts),
+        col("dom"), col("st"), col("x")).orderBy("domain")
+        .collect().map(_.toSeq).toSeq
+    assert(dw(1) == dw(32), "doremi weights drifted with partitioning")
   }
 
   test("principalComponent recovers a planted dominant direction with a pinned sign") {
