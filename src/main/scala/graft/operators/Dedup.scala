@@ -1191,9 +1191,20 @@ object Dedup {
   /** Cluster-level dedup decision from a pair list: every node of each
     * connected component except the min-id representative, i.e. the
     * rows to DROP. Composes with any pair generator above.
+    *
+    * Routes through [[connectedComponentsStar]] (O(log n) rounds
+    * regardless of component diameter), not the min-label variant:
+    * the 100× probe manufactured CHAIN components (each replica of a
+    * vector within cosine threshold of its neighbors but not of
+    * distant replicas — the crawl-snapshot-drift shape) with
+    * diameter ~50, where min-label propagation needs one sequential
+    * round per diameter step and blows past its round cap. Both
+    * algorithms return identical (id, comp-min) labels (the D16/D16c
+    * shared-oracle proof), so callers and replay oracles see no
+    * difference — only the round count changes.
     */
   def clusterDuplicates(pairs: DataFrame, src: Column, dst: Column): DataFrame =
-    connectedComponents(pairs, src, dst)
+    connectedComponentsStar(pairs, src, dst)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("drop_id"), col("comp").as("keep_id"))
 
