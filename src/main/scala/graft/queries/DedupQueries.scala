@@ -487,12 +487,54 @@ object DedupQueries {
          |  FROM l${i - 1} l)""".stripMargin
     }.mkString(",\n")
 
+  /** Shared CTE prefix for the MinHash oracles: the truncated corpus,
+    * its 5-shingles, the [[XxSql]] xxhash64 replay, the affine
+    * permutation signatures (params inlined from the engine's own
+    * generator), and the 16 band buckets — everything through
+    * `bkt`(id, b, sig, bucket). Exactly `Dedup.minHashSignatures` +
+    * `minHashBuckets` semantics, replayed in DuckDB.
+    */
+  private def minHashOracleSql(tail: String): String =
+    s"""WITH RECURSIVE
+       |$truncatedDocsSql,
+       |dsh AS (SELECT id, unnest(list_transform(range(1, len(tk)-3), i -> array_to_string(tk[i:i+4], ' '))) AS s
+       |        FROM docs WHERE len(tk) >= 5),
+       |shd AS (SELECT DISTINCT s FROM dsh),
+       |${XxSql.xxh64Ctes("shd")},
+       |hm AS (SELECT s, ((h % 2147483647) + 2147483647) % 2147483647 AS hm FROM hsx),
+       |prm(j, a, b) AS (VALUES ${XxSql.minHashParamsValues(64)}),
+       |sigj AS (SELECT d.id, p.j, min((t.hm * p.a + p.b) % 2147483647) AS v
+       |         FROM dsh d JOIN hm t ON d.s = t.s CROSS JOIN prm p GROUP BY d.id, p.j),
+       |sigl AS (SELECT id, list(v ORDER BY j) AS sig FROM sigj GROUP BY id),
+       |hib(b, h0) AS (VALUES ${XxSql.bandSeedValues(16)}),
+       |bk0 AS (SELECT id, b, sig, h0 AS h FROM sigl CROSS JOIN hib),
+       |${XxSql.bandBucketCtes("bk0", "bkt", 4)},
+       |$tail""".stripMargin
+
+  /** est_jaccard = round(agree/64, 4) HALF_UP on integer lanes:
+    * floor(agree·10⁴/64 + ½) = (agree·625 + 2) // 4, then /10⁴ —
+    * engine-portable (DuckDB's round() half-rounds differently).
+    */
+  private val estJaccardSql =
+    "(list_sum(list_transform(range(1, 65), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))*625 + 2) // 4"
+
   val all: Seq[Q] = Seq(
 
-    // D2: MinHash + LSH near-dup pairs on the planted corpus. The
-    // seeded affine hash family is not portably SQL-expressible →
-    // rows-only; DedupSpec asserts the planted pairs are recovered.
-    Q.rowsOnly("q_dedup_minhash") { (s, dir) =>
+    // D2: MinHash + LSH near-dup pairs on the planted corpus. EXACT
+    // oracle: the seeded family replays in DuckDB via the XxSql
+    // xxhash64 reimplementation (byte lists + wrapping HUGEINT
+    // arithmetic), the engine-generated permutation params inlined.
+    Q("q_dedup_minhash",
+      minHashOracleSql(
+        """cap AS (SELECT id, bucket FROM (
+          |          SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS nn FROM bkt)
+          |        WHERE nn BETWEEN 2 AND 200),
+          |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          |         FROM cap x JOIN cap y ON x.bucket = y.bucket AND x.id < y.id),
+          |est AS (SELECT c.id_a, c.id_b, """.stripMargin + estJaccardSql + """ AS e4
+          |        FROM cand c JOIN sigl sa ON c.id_a = sa.id JOIN sigl sb ON c.id_b = sb.id)
+          |SELECT id_a, id_b, e4 / 10000.0 AS est_jaccard FROM est
+          |WHERE e4 >= 5000 ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
       Dedup.minHashLSH(truncatedDocs(s, dir), col("id"), col("text"),
           numHashes = 64, bands = 16, shingleSize = 5,
           threshold = 0.5, maxBucket = 200)
@@ -1477,7 +1519,19 @@ object DedupQueries {
     // against the corpus' STORED signature index (no corpus re-sign,
     // bipartite bucket join). Seeded hash family → rows-only; DedupSpec
     // asserts planted recall and shard↔corpus orientation.
-    Q.rowsOnly("q_dedup_minhash_incr") { (s, dir) =>
+    Q("q_dedup_minhash_incr",
+      minHashOracleSql(
+        """corpb AS (SELECT id, bucket FROM (
+          |            SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS nn
+          |            FROM (SELECT id, bucket FROM bkt WHERE id < 1000000))
+          |          WHERE nn <= 200),
+          |shrdb AS (SELECT id, bucket FROM bkt WHERE id >= 1000000),
+          |cand AS (SELECT DISTINCT x.id AS shard_id, y.id AS corpus_id
+          |         FROM shrdb x JOIN corpb y ON x.bucket = y.bucket),
+          |est AS (SELECT c.shard_id, c.corpus_id, """.stripMargin + estJaccardSql + """ AS e4
+          |        FROM cand c JOIN sigl sa ON c.shard_id = sa.id JOIN sigl sb ON c.corpus_id = sb.id)
+          |SELECT shard_id, corpus_id, e4 / 10000.0 AS est_jaccard FROM est
+          |WHERE e4 >= 5000 ORDER BY shard_id, corpus_id""".stripMargin)) { (s, dir) =>
       val d = graft.operators.scaleOut(
         table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
       // the corpus signature index a real pipeline would read from
