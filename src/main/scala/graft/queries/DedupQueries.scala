@@ -518,6 +518,29 @@ object DedupQueries {
   private val estJaccardSql =
     "(list_sum(list_transform(range(1, 65), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))*625 + 2) // 4"
 
+  /** SimHash signature replay: Charikar bit votes over per-token
+    * xxhash64 ([[XxSql]]) — each token occurrence votes its 64 bits,
+    * bit kept when the tally is positive, token-less docs sign 0
+    * (exactly `functions.SimHash64`). `docsCte` must end in
+    * `docs`(id, tk); emits `sigs`(id, sig BIGINT). The pair tails are
+    * brute all-pairs Hamming: `hammingPairs`' 4×16-bit pigeonhole
+    * blocking is recall-LOSSLESS at maxDist ≤ 3 and has no bucket
+    * cap, so blocked output == brute output by construction.
+    */
+  private def simHashSigSql(docsCte: String): String =
+    s"""WITH RECURSIVE
+       |$docsCte,
+       |dtk AS (SELECT id, unnest(tk) AS s FROM docs),
+       |shd AS (SELECT DISTINCT s FROM dtk),
+       |${XxSql.xxh64Ctes("shd")},
+       |sxu AS (SELECT s, (CASE WHEN h < 0 THEN h::HUGEINT + 18446744073709551616 ELSE h::HUGEINT END) AS u FROM hsx),
+       |bits(bb, p2) AS (VALUES ${(0 until 64).map(b => s"($b,${BigInt(1) << b}::HUGEINT)").mkString(",")}),
+       |votes AS (SELECT d.id, b.bb, b.p2, SUM(((t.u // b.p2) % 2)::BIGINT) AS setcnt, COUNT(*) AS tot
+       |          FROM dtk d JOIN sxu t ON d.s = t.s CROSS JOIN bits b GROUP BY d.id, b.bb, b.p2),
+       |sigu AS (SELECT id, SUM(CASE WHEN 2*setcnt > tot THEN p2 ELSE 0::HUGEINT END) AS su FROM votes GROUP BY id),
+       |sigs AS (SELECT d.id, COALESCE((CASE WHEN s.su >= 9223372036854775808 THEN s.su - 18446744073709551616 ELSE s.su END)::BIGINT, 0) AS sig
+       |         FROM (SELECT id FROM docs) d LEFT JOIN sigu s ON d.id = s.id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // D2: MinHash + LSH near-dup pairs on the planted corpus. EXACT
@@ -543,7 +566,23 @@ object DedupQueries {
 
     // D3: SimHash near-dup pairs (custom Catalyst Expression) — the
     // perturbation appends one token, keeping Hamming distance small.
-    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
+    // EXACT oracle: per-token xxhash64 replay + bit votes; appending
+    // " zzz" tokenizes to list_append(tk, 'zzz') because tokenization
+    // splits on whitespace after the punctuation strip.
+    Q("q_dedup_simhash",
+      simHashSigSql(
+        """tk0 AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+'), t -> len(t) > 0) AS tk
+          |  FROM documents),
+          |docs AS (
+          |  SELECT doc_id AS id, tk FROM tk0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, list_append(tk, 'zzz') FROM tk0)""".stripMargin) +
+        """
+          |SELECT x.id AS id_a, y.id AS id_b, bit_count(xor(x.sig, y.sig))::INTEGER AS hamming
+          |FROM sigs x JOIN sigs y ON x.id < y.id
+          |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val d = graft.operators.scaleOut(
         table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
       val pert = d.select(
@@ -555,9 +594,24 @@ object DedupQueries {
 
     // D3b: INCREMENTAL SimHash — a shard (fresh docs + one-token
     // perturbations of corpus docs) pairs against the STORED corpus
-    // signature index; the corpus is never re-signed. Seeded hash
-    // family → rows-only; shard==batch-cross-pair equality in DedupSpec.
-    Q.rowsOnly("q_dedup_simhash_incr") { (s, dir) =>
+    // signature index; the corpus is never re-signed. EXACT oracle:
+    // same signature replay, bipartite shard × corpus brute Hamming
+    // (the chunk blocking is lossless at maxDist 3, uncapped).
+    Q("q_dedup_simhash_incr",
+      simHashSigSql(
+        """tk0 AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+'), t -> len(t) > 0) AS tk
+          |  FROM documents),
+          |docs AS (
+          |  SELECT doc_id AS id, tk FROM tk0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, list_append(tk, 'zzz') FROM tk0 WHERE doc_id < 300)""".stripMargin) +
+        """
+          |SELECT x.id AS shard_id, y.id AS corpus_id, bit_count(xor(x.sig, y.sig))::INTEGER AS hamming
+          |FROM (SELECT * FROM sigs WHERE id >= 300) x
+          |JOIN (SELECT * FROM sigs WHERE id < 300) y ON true
+          |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+          |ORDER BY shard_id, corpus_id""".stripMargin) { (s, dir) =>
       val d = table(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
       val corpus = d.filter(col("id") < 300)
       val shard = d.filter(col("id") >= 300).unionByName(
