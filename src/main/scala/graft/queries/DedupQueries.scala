@@ -942,7 +942,23 @@ object DedupQueries {
     // the full original text behind a new prefix, so the winnowing
     // guarantee forces shared fingerprints. Wraparound hashes aren't
     // DuckDB-expressible → rows-only; exactness in TextMetricsSpec.
-    Q.rowsOnly("q_dedup_winnow") { (s, dir) =>
+    // EXACT oracle: the rolling-hash winnow replays positionally in
+    // DuckDB (XxSql.winnowFpCtes), then the df-capped inverted index
+    // and the shared-fingerprint count replay declaratively.
+    Q("q_dedup_winnow",
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, text AS s FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'prefixed rendition ' || text FROM documents),
+         |${XxSql.winnowFpCtes("docs")},
+         |fps AS (SELECT DISTINCT id, h AS fp FROM wfp),
+         |idx AS (SELECT id, fp FROM (
+         |          SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps)
+         |        WHERE df BETWEEN 2 AND 20)
+         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS n_shared
+         |FROM idx a JOIN idx b ON a.fp = b.fp AND a.id < b.id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val d = graft.operators.scaleOut(
         table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
       val pert = d.select(

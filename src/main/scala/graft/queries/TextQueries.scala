@@ -489,7 +489,17 @@ object TextQueries {
     // wraparound rolling hash is not expressible in DuckDB's checked
     // BIGINT arithmetic → rows-only here; exactness is covered by the
     // planted shared-substring spec in TextMetricsSpec.
-    Q.rowsOnly("q_fingerprint_winnow") { (s, dir) =>
+    // EXACT oracle since r10: XxSql.winnowFpCtes replays the rolling
+    // k-gram hash + rightmost-min window selection positionally.
+    Q("q_fingerprint_winnow",
+      s"""WITH docs AS (SELECT doc_id AS id, text AS s FROM documents),
+         |${XxSql.winnowFpCtes("docs")},
+         |agg AS (SELECT id, COUNT(*)::BIGINT AS n_fp, COUNT(DISTINCT h)::BIGINT AS n_distinct_fp
+         |        FROM wfp GROUP BY id)
+         |SELECT d.doc_id, COALESCE(a.n_fp, 0)::BIGINT AS n_fp,
+         |       COALESCE(a.n_distinct_fp, 0)::BIGINT AS n_distinct_fp
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       table(s, dir, "documents")
         .select(
           col("doc_id"),

@@ -202,6 +202,43 @@ object XxSql {
   def bandSeedValues(bands: Int = 16): String =
     (0 until bands).map(b => s"($b,${hashIntConst(b)}::HUGEINT)").mkString(",")
 
+  /** Winnowing fingerprint replay (`functions.RollingHashWinnow`): the
+    * polynomial k-gram hash is position-local (h(p) = Σ c[p+j]·B^(k-1-j)
+    * mod 2^64 — the kernel's rolling form is just the O(n) evaluation of
+    * the same polynomial), so no recursion is needed; window selection
+    * is rightmost-minimum per w-window on SIGNED comparisons, deduped
+    * by position (the kernel's "emit when the position advances" —
+    * selected positions are provably non-decreasing, so distinct
+    * positions in position order IS the emitted sequence). The kernel
+    * hashes UTF-16 code units (Java chars), so code points ≥ 0x10000
+    * split into surrogate pairs before hashing. `inp`(id, s) →
+    * `{pre}wfp`(id, p, h).
+    */
+  def winnowFpCtes(inp: String, pre: String = "", k: Int = 8, w: Int = 16): String = {
+    val base = BigInt(1000003)
+    val terms = (0 until k).map { j =>
+      mulc(s"cs[p+${j + 1}]::HUGEINT", base.modPow(BigInt(k - 1 - j), Two64))
+    }.mkString("(", " + ", s") % $M64")
+    s"""${pre}wchr AS (SELECT id, flatten(list_transform(
+       |    list_transform(range(1, len(s)+1), i -> unicode(substr(s, i, 1))),
+       |    cp -> CASE WHEN cp < 65536 THEN [cp]
+       |          ELSE [55296 + (cp-65536)//1024, 56320 + (cp-65536)%1024] END)) AS cs FROM $inp),
+       |${pre}wkg AS (SELECT id, p,
+       |    (CASE WHEN u >= 9223372036854775808 THEN u - $M64 ELSE u END)::BIGINT AS h
+       |  FROM (SELECT id, p, $terms AS u
+       |        FROM (SELECT id, cs, unnest(range(0, greatest(len(cs)-${k - 1}, 0))) AS p FROM ${pre}wchr))),
+       |${pre}wgrid AS (SELECT id, unnest(range(0, greatest(mm - $w, 0) + 1)) AS start
+       |  FROM (SELECT id, greatest(len(cs)-${k - 1}, 0) AS mm FROM ${pre}wchr) WHERE mm > 0),
+       |${pre}wmin AS (SELECT g.id, g.start, min(t.h) AS mn
+       |  FROM ${pre}wgrid g JOIN ${pre}wkg t ON t.id = g.id AND t.p >= g.start AND t.p < g.start + $w
+       |  GROUP BY g.id, g.start),
+       |${pre}wpos AS (SELECT t.id, m.start, max(t.p) AS p
+       |  FROM ${pre}wmin m JOIN ${pre}wkg t ON t.id = m.id AND t.p >= m.start AND t.p < m.start + $w AND t.h = m.mn
+       |  GROUP BY t.id, m.start),
+       |${pre}wsel AS (SELECT DISTINCT id, p FROM ${pre}wpos),
+       |${pre}wfp AS (SELECT s.id, s.p, t.h FROM ${pre}wsel s JOIN ${pre}wkg t ON t.id = s.id AND t.p = s.p)""".stripMargin
+  }
+
   /** Band-bucket chain over a signature list column: emits CTEs turning
     * `{src}`(id, sig, b, h) — h pre-seeded with hashInt(b, 42) — into
     * `{out}`(id, b, sig, bucket) by hashing the band's `rowsPerBand`
