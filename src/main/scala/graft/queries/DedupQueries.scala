@@ -494,9 +494,9 @@ object DedupQueries {
     * `bkt`(id, b, sig, bucket). Exactly `Dedup.minHashSignatures` +
     * `minHashBuckets` semantics, replayed in DuckDB.
     */
-  private def minHashOracleSql(tail: String): String =
+  private def minHashOracleSql(tail: String, docsSql: String = truncatedDocsSql): String =
     s"""WITH RECURSIVE
-       |$truncatedDocsSql,
+       |$docsSql,
        |dsh AS (SELECT id, unnest(list_transform(range(1, len(tk)-3), i -> array_to_string(tk[i:i+4], ' '))) AS s
        |        FROM docs WHERE len(tk) >= 5),
        |shd AS (SELECT DISTINCT s FROM dsh),
@@ -517,6 +517,83 @@ object DedupQueries {
     */
   private val estJaccardSql =
     "(list_sum(list_transform(range(1, 65), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))*625 + 2) // 4"
+
+  /** Audit-sample corpus: the truncated-docs corpus carrying BOTH the
+    * token list and the winnowable STRING form (raw text for base ids,
+    * space-joined sliced tokens for renditions — exactly what
+    * `truncatedDocs` feeds the operators), hash-cut on the base id via
+    * the engine's own `Sampling.hashBucketSql` twin, optionally capped
+    * by the audits' deterministic (bucket, id) top-N. Ends in
+    * `docs`(id, tk, s).
+    */
+  private def sampledTruncDocsSql(fracBuckets: Int, cap: Option[Int]): String = {
+    val bucketExpr = graft.operators.Sampling.hashBucketSql("(id % 1000000)")
+    val capSql = cap.map(n => s" ORDER BY $bucketExpr, id LIMIT $n").getOrElse("")
+    s"""tk1 AS (
+       |  SELECT doc_id, text, list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |docsall AS (
+       |  SELECT doc_id AS id, tk, text AS s FROM tk1
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, tkt, array_to_string(tkt, ' ')
+       |  FROM (SELECT doc_id, tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS BIGINT), 1)] AS tkt FROM tk1)),
+       |docs AS (SELECT id, tk, s FROM docsall WHERE $bucketExpr < $fracBuckets$capSql)""".stripMargin
+  }
+
+  /** `Dedup.prefixFilterJaccard` truth-tier replay over `docs`(id, tk):
+    * emits `{pre}pairs`(id_a, id_b) — the q_dedup_prefix oracle chain
+    * with prefixed CTE names so it composes next to a found tier.
+    */
+  private def prefixJaccardCtes(threshold: Double, pre: String): String =
+    s"""${pre}sh AS (
+       |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+       |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+       |        FROM docs WHERE len(tk) >= 5)),
+       |${pre}sizes AS (SELECT id, count(*) AS n_sh FROM ${pre}sh GROUP BY id),
+       |${pre}dfreq AS (SELECT s, count(*) AS df FROM ${pre}sh GROUP BY s),
+       |${pre}pref AS (
+       |  SELECT id, s FROM (
+       |    SELECT t.id, t.s, z.n_sh,
+       |      row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.s) AS pos
+       |    FROM ${pre}sh t JOIN ${pre}dfreq d USING (s) JOIN ${pre}sizes z USING (id))
+       |  WHERE pos <= n_sh - ceil(CAST($threshold AS DOUBLE) * n_sh) + 1),
+       |${pre}cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM ${pre}pref a JOIN ${pre}pref b ON a.s = b.s AND a.id < b.id),
+       |${pre}inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM ${pre}cand c
+       |  JOIN ${pre}sh x ON x.id = c.id_a
+       |  JOIN ${pre}sh y ON y.id = c.id_b AND y.s = x.s
+       |  GROUP BY 1, 2),
+       |${pre}pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM ${pre}inter
+       |  JOIN ${pre}sizes na ON na.id = id_a
+       |  JOIN ${pre}sizes nb ON nb.id = id_b
+       |  WHERE round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) >= $threshold)""".stripMargin
+
+  /** `Dedup.auditPairs` replay: orientation-normalized distinct pairs,
+    * left-join hit count, 4-dp TRUNCATED P/R/F1 with the kernel's
+    * exact double association order. Emits `{pre}row`(n_found,
+    * n_truth, n_hit, precision, recall, f1) from pair CTEs
+    * `found`/`truth` (columns id_a, id_b).
+    */
+  private def auditRowCtes(found: String, truth: String, pre: String): String =
+    s"""${pre}fn AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM $found),
+       |${pre}tn AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM $truth),
+       |${pre}fh AS (SELECT COUNT(*)::BIGINT AS n_found, COALESCE(SUM(t.__t), 0)::BIGINT AS n_hit
+       |        FROM ${pre}fn f LEFT JOIN (SELECT a, b, 1 AS __t FROM ${pre}tn) t USING (a, b)),
+       |${pre}th AS (SELECT COUNT(*)::BIGINT AS n_truth FROM ${pre}tn),
+       |${pre}pr AS (SELECT n_found, n_truth, n_hit,
+       |    CASE WHEN n_found > 0 THEN floor(n_hit::DOUBLE / n_found * 1e4) / 1e4 ELSE 0.0 END AS "precision",
+       |    CASE WHEN n_truth > 0 THEN floor(n_hit::DOUBLE / n_truth * 1e4) / 1e4 ELSE 0.0 END AS recall
+       |  FROM ${pre}fh CROSS JOIN ${pre}th),
+       |${pre}row AS (SELECT n_found, n_truth, n_hit, "precision", recall,
+       |    CASE WHEN "precision" + recall > 0
+       |      THEN floor((2 * "precision") * recall / ("precision" + recall) * 1e4) / 1e4
+       |      ELSE 0.0 END AS f1
+       |  FROM ${pre}pr)""".stripMargin
 
   /** SimHash signature replay: Charikar bit votes over per-token
     * xxhash64 ([[XxSql]]) — each token occurrence votes its 64 bits,
@@ -1858,10 +1935,33 @@ object DedupQueries {
 
     // D38: two-stage near-dup — MinHash-LSH candidates confirmed by
     // exact shingle-set Jaccard (recall stage + precision stage). The
-    // seeded hash family makes candidates non-portable → rows-only;
-    // DedupSpec proves the output equals candidates filtered by an
-    // independently computed exact Jaccard.
-    Q.rowsOnly("q_dedup_verified") { (s, dir) =>
+    // EXACT oracle since r10: the XxSql replay generates the est-tier
+    // candidates, the exact-Jaccard confirm recomputes shingle overlap
+    // declaratively (LEFT JOIN so zero-overlap candidates read 0).
+    Q("q_dedup_verified",
+      minHashOracleSql(
+        """cap AS (SELECT id, bucket FROM (
+          |          SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS nn FROM bkt)
+          |        WHERE nn BETWEEN 2 AND 200),
+          |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          |         FROM cap x JOIN cap y ON x.bucket = y.bucket AND x.id < y.id),
+          |est AS (SELECT c.id_a, c.id_b, """.stripMargin + estJaccardSql + """ AS e4
+          |        FROM cand c JOIN sigl sa ON c.id_a = sa.id JOIN sigl sb ON c.id_b = sb.id),
+          |cpairs AS (SELECT id_a, id_b, e4 / 10000.0 AS est_jaccard FROM est WHERE e4 >= 4000),
+          |vsh AS (SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+          |        FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+          |              FROM docs WHERE len(tk) >= 5)),
+          |vsizes AS (SELECT id, count(*) AS n_sh FROM vsh GROUP BY id),
+          |vint AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+          |         FROM cpairs p JOIN vsh x ON x.id = p.id_a
+          |         JOIN vsh y ON y.id = p.id_b AND y.s = x.s GROUP BY 1, 2)
+          |SELECT p.id_a, p.id_b, p.est_jaccard,
+          |  round(COALESCE(i.n_inter, 0) * 1.0 / (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 4) AS jaccard
+          |FROM cpairs p
+          |LEFT JOIN vint i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          |JOIN vsizes na ON na.id = p.id_a JOIN vsizes nb ON nb.id = p.id_b
+          |WHERE round(COALESCE(i.n_inter, 0) * 1.0 / (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 4) >= 0.5
+          |ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
       Dedup.minHashLSHVerified(truncatedDocs(s, dir), col("id"), col("text"),
           estThreshold = 0.4, jaccardThreshold = 0.5)
         .orderBy("id_a", "id_b")
@@ -1876,9 +1976,23 @@ object DedupQueries {
     // in candidate mass and must never see the full frame. The cut
     // keys on the BASE doc id (id % 1000000) so a doc and its planted
     // rendition land on the same side and within-sample P/R stays
-    // meaningful. Seeded family -> rows-only; hand-computed P/R in
-    // DedupSpec.
-    Q.rowsOnly("q_dedup_audit") { (s, dir) =>
+    // meaningful. EXACT oracle since r10: the XxSql replay generates
+    // the found tier, the q_dedup_prefix chain the truth tier, and
+    // auditRowCtes the truncated P/R/F1 arithmetic.
+    Q("q_dedup_audit",
+      minHashOracleSql(
+        """cap AS (SELECT id, bucket FROM (
+          |          SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS nn FROM bkt)
+          |        WHERE nn BETWEEN 2 AND 200),
+          |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          |         FROM cap x JOIN cap y ON x.bucket = y.bucket AND x.id < y.id),
+          |est AS (SELECT c.id_a, c.id_b, """.stripMargin + estJaccardSql + """ AS e4
+          |        FROM cand c JOIN sigl sa ON c.id_a = sa.id JOIN sigl sb ON c.id_b = sb.id),
+          |found AS (SELECT id_a, id_b FROM est WHERE e4 >= 5000),
+          |""".stripMargin + prefixJaccardCtes(0.5, "pj") + ",\n" +
+          auditRowCtes("found", "pjpairs", "ad") + "\n" +
+          """SELECT n_found, n_truth, n_hit, "precision", recall, f1 FROM adrow""",
+        docsSql = sampledTruncDocsSql(500, None))) { (s, dir) =>
       val d = Sampling.hashSample(truncatedDocs(s, dir),
           pmod(col("id"), lit(1000000L)), fraction = 0.5)
         .localCheckpoint()
@@ -1899,8 +2013,22 @@ object DedupQueries {
     // asserts the floor). Row 2: the same candidates vs exact 5-gram
     // Jaccard ≥ 0.7 — what hd ≤ 3 is worth as a NEAR-IDENTICAL-text
     // detector, the honest cross-metric recall number the planted
-    // twins alone can't give. Seeded hash family → rows-only.
-    Q.rowsOnly("q_audit_simhash") { (s, dir) =>
+    // twins alone can't give. EXACT oracle since r10: the simhash
+    // replay signs the capped sample; tier 1's truth is the brute
+    // Hamming set, which EQUALS the blocked found set (pigeonhole is
+    // lossless at radius 3), so both tiers replay from one pair CTE.
+    Q("q_audit_simhash",
+      simHashSigSql(sampledTruncDocsSql(250, Some(4000))) + ",\n" +
+        """found AS (SELECT x.id AS id_a, y.id AS id_b
+          |          FROM sigs x JOIN sigs y ON x.id < y.id
+          |          WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+          |""".stripMargin + prefixJaccardCtes(0.7, "pj") + ",\n" +
+        auditRowCtes("found", "found", "h") + ",\n" +
+        auditRowCtes("found", "pjpairs", "j") + "\n" +
+        """SELECT 'simhash_vs_brute_hamming' AS tier, n_found, n_truth, n_hit, "precision", recall, f1 FROM hrow
+          |UNION ALL
+          |SELECT 'simhash_vs_jaccard07' AS tier, n_found, n_truth, n_hit, "precision", recall, f1 FROM jrow
+          |ORDER BY tier""".stripMargin) { (s, dir) =>
       // fraction-based cut FIRST (base-id keyed so planted pairs stay
       // together), then an ABSOLUTE row cap via distributed top-N in
       // (bucket, id) order: the brute truth tier is quadratic in the
@@ -1932,8 +2060,23 @@ object DedupQueries {
     // so recall against near-identical truth should be ~1 while
     // precision reports how much the 2-shared-fingerprint cut
     // over-pairs — the number a dfCap/minShared tuning decision needs.
-    // Seeded rolling-hash family → rows-only; DedupSpec floors recall.
-    Q.rowsOnly("q_audit_winnow") { (s, dir) =>
+    // EXACT oracle since r10: winnowFpCtes replays the fingerprints
+    // over the sampled corpus strings (raw text for base ids, joined
+    // tokens for renditions), the df-capped index the found tier.
+    Q("q_audit_winnow",
+      s"""WITH RECURSIVE
+         |${sampledTruncDocsSql(250, None)},
+         |${XxSql.winnowFpCtes("(SELECT id, s FROM docs)")},
+         |wfps AS (SELECT DISTINCT id, h AS fp FROM wfp),
+         |widx AS (SELECT id, fp FROM (
+         |           SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM wfps)
+         |         WHERE df BETWEEN 2 AND 20),
+         |found AS (SELECT a.id AS id_a, b.id AS id_b
+         |          FROM widx a JOIN widx b ON a.fp = b.fp AND a.id < b.id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |${prefixJaccardCtes(0.7, "pj")},
+         |${auditRowCtes("found", "pjpairs", "ad")}
+         |SELECT 'winnow_vs_jaccard07' AS tier, n_found, n_truth, n_hit, "precision", recall, f1 FROM adrow""".stripMargin) { (s, dir) =>
       val d = Sampling.hashSample(truncatedDocs(s, dir),
           pmod(col("id"), lit(1000000L)), fraction = 0.25)
         .localCheckpoint()
