@@ -352,7 +352,17 @@ object Similarity {
     }
 
   /** Deterministic k-means coarse quantizer for IVF: seeded init (the
-    * `nCentroids` lowest-id vectors), `iters` Lloyd rounds where the
+    * `nCentroids` DISTINCT vectors with the lowest `xxhash64(min id)`
+    * — id order correlates with ingest/layout order, so a lowest-id
+    * seed draws every centroid from one physical slab of the corpus
+    * and the quantizer degenerates exactly when the corpus is large;
+    * the hash order is geometry-decorrelated yet deterministic and
+    * replays in SQL, and seeding from the DISTINCT-vector pool keyed
+    * by min id means duplicate rows can never spend two seeds on one
+    * point — two identical centroids would stay identical through
+    * every Lloyd round. Corpora with fewer than `nCentroids` distinct
+    * vectors train that many centroids, the honest maximum of
+    * nonempty cells), `iters` Lloyd rounds where the
     * assignment is a distributed argmin over broadcast centroid
     * literals and the re-estimation is one posexplode + groupBy(avg).
     * Centroids are k×dim doubles — driver metadata by definition (like
@@ -379,7 +389,8 @@ object Similarity {
     val all = corpus.select(id.as("id"), vec.as("v"))
     val base = (if (trainFraction < 1.0) Sampling.hashSample(all, col("id"), trainFraction)
                 else all).localCheckpoint()
-    var centroids = base.orderBy(col("id").asc).limit(nCentroids)
+    var centroids = base.groupBy(col("v")).agg(min(col("id")).as("id"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc).limit(nCentroids)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
@@ -666,7 +677,7 @@ object Similarity {
     * carries a `sub` tag; assignment CASEs on it), so a round costs
     * one scan regardless of m. Codebooks are m×k×(dim/m) = k×dim
     * doubles — driver metadata, exactly [[trainIvfCentroids]]'s
-    * contract (and its seeded lowest-id init + Lloyd rounds + empty-
+    * contract (and its hash-ordered seeded init + Lloyd rounds + empty-
     * cluster handling). Returns codebooks(sub)(code)(component).
     */
   def trainPqCodebooks(
@@ -690,8 +701,12 @@ object Similarity {
         struct(lit(s).as("sub"), slice(col("v"), s * d + 1, d).as("sv"))): _*)).as("e"))
       .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
       .localCheckpoint()
-    // seeded init: the k lowest-id vectors, sliced per subspace
-    val seedRows = base.orderBy(col("id").asc).limit(k)
+    // seeded init: the k distinct vectors with the lowest
+    // xxhash64(min id), sliced per subspace (hash-ordered over the
+    // distinct pool for the same geometry-decorrelation and
+    // no-duplicate-seed reasons as trainIvfCentroids)
+    val seedRows = base.groupBy(col("v")).agg(min(col("id")).as("id"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
       seedRows.map(_.slice(s * d, s * d + d))
@@ -716,7 +731,7 @@ object Similarity {
             .map(r => r.getLong(3).toDouble / 1e7 / r.getLong(4)).toArray
         }
       books = Array.tabulate(m) { s =>
-        Array.tabulate(k) { c => means.getOrElse((s, c), books(s)(c)) }
+        Array.tabulate(books(s).length) { c => means.getOrElse((s, c), books(s)(c)) }
       }
     }
     books

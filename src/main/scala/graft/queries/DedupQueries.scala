@@ -163,9 +163,18 @@ object DedupQueries {
          |      FROM $over e, $cen c))
          |  WHERE rn = 1)""".stripMargin
     val parts = Seq.newBuilder[String]
-    parts += s"""cen0 AS MATERIALIZED (
+    // seed replay: distinct-vector pool keyed by min id, ordered by
+    // SIGNED xxhash64(id) asc — chain the staged hashLong CTEs from
+    // the fixed seed 42, re-sign the HUGEINT
+    parts += s"""ivd AS (SELECT v, min(id) AS id FROM $train GROUP BY v),
+       |ivh0 AS (SELECT id, v, 42::HUGEINT AS h FROM ivd),
+       |${XxSql.hashLongCtes("ivh", "ivh0", "id", Seq("id", "v"), "ivhh")},
+       |ivhs AS (SELECT id, v,
+       |  CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS hs
+       |  FROM ivhh),
+       |cen0 AS MATERIALIZED (
        |  SELECT CAST(rn - 1 AS INT) AS cluster, v AS cen
-       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM $train)
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY hs, id) AS rn FROM ivhs)
        |  WHERE rn <= ($kExpr))""".stripMargin
     var prev = "cen0"
     for (r <- 1 to iters) {
@@ -222,7 +231,8 @@ object DedupQueries {
   /** CTE chain replaying [[graft.operators.Similarity.trainPqCodebooks]]
     * over a 64-dim `(id, v)` source CTE — the PQ-family oracle core,
     * the Lloyd template per subspace: sliced subvectors, seeded
-    * codebooks (k lowest-id vectors sliced), `iters` rounds of
+    * codebooks (the k distinct vectors with lowest xxhash64(min id),
+    * sliced), `iters` rounds of
     * argmin assignment + integer-lane re-estimation. Ends with `sl`
     * and the final `bk$iters` codebook table in scope.
     */
@@ -232,10 +242,16 @@ object DedupQueries {
     parts += s"""sl AS MATERIALIZED (
        |  SELECT id, s AS sub, v[s * $subd + 1 : s * $subd + $subd] AS sv
        |  FROM $src, unnest(generate_series(0, ${m - 1})) AS g(s))""".stripMargin
-    parts += s"""bk0 AS MATERIALIZED (
+    parts += s"""pqd AS (SELECT v, min(id) AS id FROM $src GROUP BY v),
+       |pqh0 AS (SELECT id, v, 42::HUGEINT AS h FROM pqd),
+       |${XxSql.hashLongCtes("pqh", "pqh0", "id", Seq("id", "v"), "pqhh")},
+       |pqhs AS (SELECT id, v,
+       |  CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS hs
+       |  FROM pqhh),
+       |bk0 AS MATERIALIZED (
        |  SELECT s AS sub, CAST(rn - 1 AS INT) AS code,
        |    v[s * $subd + 1 : s * $subd + $subd] AS cw
-       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM $src) x,
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY hs, id) AS rn FROM pqhs) x,
        |    unnest(generate_series(0, ${m - 1})) AS g(s)
        |  WHERE rn <= $k)""".stripMargin
     var prev = "bk0"
