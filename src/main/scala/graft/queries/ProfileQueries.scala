@@ -1144,11 +1144,38 @@ object ProfileQueries {
 
     // C53: Count-Min frequency sketch — build over corpus tokens (one
     // pass), point-query the exact top-20 heavy terms through the
-    // sketch, report exact vs estimate side by side. Seeded-hash
-    // artifact -> rows-only (HLL/MinHash precedent); DedupSpec-style
-    // bounds (never undercounts, exact mergeability) live in
-    // ProfileSpec.
-    Q.rowsOnly("q_cms_heavy") { (s, dir) =>
+    // sketch, report exact vs estimate side by side. EXACT oracle
+    // since r10: the cell hash is xxhash64(term, depth) — the string
+    // replay chained through the variable-seed hashInt stage — and
+    // bucket = unsigned % 2048 (== Spark's signed pmod because
+    // 2^64 ≡ 0 mod 2048); cells are plain counts, the estimate a min
+    // over the term's 4 cells. Mergeability/no-undercount bounds stay
+    // in ProfileSpec.
+    Q("q_cms_heavy",
+      s"""WITH RECURSIVE
+         |tok AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(
+         |    regexp_replace(lower(text), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'),
+         |    t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |tcnt AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM tok GROUP BY term),
+         |shd AS (SELECT DISTINCT term AS s FROM tok),
+         |${XxSql.xxh64Ctes("shd")},
+         |hu AS (SELECT s, CASE WHEN h < 0 THEN h::HUGEINT + 18446744073709551616
+         |                      ELSE h::HUGEINT END AS h FROM hsx),
+         |hd0 AS (SELECT s, d, h FROM hu CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d)),
+         |${XxSql.hashIntVarCtes("ci", "hd0", "d", Seq("s", "d"), "cih")},
+         |bkt AS (SELECT s, d, (h % 2048)::INT AS b FROM cih),
+         |cells AS (SELECT d, b, sum(exact_cnt)::BIGINT AS cnt
+         |          FROM bkt JOIN tcnt ON tcnt.term = bkt.s GROUP BY d, b),
+         |top AS (SELECT term, exact_cnt FROM tcnt
+         |        ORDER BY exact_cnt DESC, term ASC LIMIT 20)
+         |SELECT t.term, t.exact_cnt, min(c.cnt) AS cms_est
+         |FROM top t
+         |JOIN bkt ON bkt.s = t.term
+         |JOIN cells c ON c.d = bkt.d AND c.b = bkt.b
+         |GROUP BY t.term, t.exact_cnt
+         |ORDER BY exact_cnt DESC, term ASC""".stripMargin) { (s, dir) =>
       val toks = table(s, dir, "documents")
         .select(explode(graft.functions.tokens(col("text"))).as("term"))
       val sketch = Profile.countMinSketch(toks, col("term"), width = 2048, depth = 4)

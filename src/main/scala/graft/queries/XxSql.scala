@@ -119,6 +119,24 @@ object XxSql {
        |${fmixCtes(pre, s"${pre}b", keep, out)}""".stripMargin
   }
 
+  /** Staged hashInt(i, h) chain with a VARIABLE incoming state —
+    * Spark's multi-arg `xxhash64(str, intCol)` hashes the string from
+    * seed 42 then chains the int through this step. Emits
+    * `{pre}a..{pre}b` + fmix CTEs ending `{out}`; `iexpr` a
+    * NON-NEGATIVE INT expression (the & 0xFFFFFFFF reinterpretation
+    * is the identity there), `h` the incoming unsigned HUGEINT
+    * column, `keep` columns carried through.
+    */
+  def hashIntVarCtes(pre: String, src: String, iexpr: String, keep: Seq[String], out: String): String = {
+    val k = keep.mkString(", ")
+    val sep = if (keep.isEmpty) "" else ", "
+    val uv = s"(($iexpr)::HUGEINT)"
+    val t0 = add64("h", ((P5 + 4) % Two64).toString)
+    s"""${pre}a AS (SELECT $k$sep${xor64(t0, mulc(uv, P1))} AS h FROM $src),
+       |${pre}b AS (SELECT $k$sep${add64(mulc(rotl64("h", 23), P2), P3.toString)} AS h FROM ${pre}a),
+       |${fmixCtes(pre, s"${pre}b", keep, out)}""".stripMargin
+  }
+
   // lane seeds for Spark's fixed default seed 42
   private val V10 = (42 + P1 + P2) % Two64
   private val V20 = (42 + P2) % Two64
