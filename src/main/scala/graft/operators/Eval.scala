@@ -214,6 +214,73 @@ object Eval {
       (col("pe_num") === col("n_items") * col("n_items")).as("degenerate"))
   }
 
+  /** Fleiss' kappa multi-rater agreement (Fleiss '71, the n-rater
+    * generalization of [[cohenKappa]]) over one row per RATING
+    * (item, category): the rater-pool QA number when annotation jobs
+    * fan past two raters. Uses the varying-n generalization — items
+    * keep their own rating count n_i — so partially-labelled batches
+    * score without a fixed-panel precondition; items with fewer than
+    * 2 ratings can't express agreement and are EXCLUDED (reported via
+    * n_items; the category marginals count only retained items, so
+    * P̄ and P̄_e describe the same population).
+    *
+    *   P_i  = (Σ_j n_ij² − n_i) / (n_i (n_i − 1))
+    *   P̄   = mean_i P_i          P̄_e = Σ_j c_j² / N²
+    *   κ    = (P̄ − P̄_e) / (1 − P̄_e)
+    *
+    * Determinism: every input to a cross-partition sum is exact —
+    * n_ij counts, c_j² on decimal(38,0) lanes (no 64-bit wrap at
+    * corpus scale), and P_i truncated to a 7-dp decimal before the
+    * mean (the gradient-residual idiom) so the item sum is
+    * order-independent. All-one-category batches make P̄_e = 1; the
+    * kappa denominator vanishes, so the row reports 0 + `degenerate`
+    * (cohenKappa's convention), as does an empty input.
+    *
+    * Shape at scale: two partial-agg groupBys over the (item,
+    * category) count table plus three 1-row aggregates — nothing
+    * all-pairs, nothing driver-sized.
+    */
+  def fleissKappa(df: DataFrame, item: Column, category: Column): DataFrame = {
+    val t = df.select(item.cast("string").as("__i"),
+        category.cast("string").as("__c"))
+      .where(col("__i").isNotNull && col("__c").isNotNull)
+    val cells = t.groupBy("__i", "__c").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // two consumers: per-item stats + marginals
+    val items = cells.groupBy("__i").agg(
+        sum(col("nij")).as("ni"),
+        sum(col("nij") * col("nij")).as("ssq"))
+      .where(col("ni") >= 2)
+      .localCheckpoint() // two consumers: P̄ + the retained-item filter
+    val pbar = items.select(
+        ((col("ssq") - col("ni")).cast("double") /
+          (col("ni") * (col("ni") - lit(1L))).cast("double")).as("pi"))
+      .select((floor(col("pi") * 1e7) / 1e7).cast("decimal(18,7)").as("pid"))
+      .agg(coalesce(sum(col("pid")), lit(0).cast("decimal(18,7)")).as("pnum"),
+        count(lit(1)).as("n_items"))
+    val chance = cells.join(items.select("__i"), "__i")
+      .groupBy("__c").agg(sum(col("nij")).as("cj"))
+      .agg(
+        coalesce(sum(col("cj").cast("decimal(38,0)") *
+          col("cj").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .as("csq"),
+        coalesce(sum(col("cj")), lit(0L)).as("n_ratings"),
+        count(lit(1)).as("n_categories"))
+    val j = pbar.crossJoin(broadcast(chance))
+    val nn = col("n_ratings").cast("double")
+    val pb = col("pnum").cast("double") / col("n_items").cast("double")
+    val pe = col("csq").cast("double") / (nn * nn)
+    val degenerate = col("n_items") === 0 ||
+      col("csq").cast("double") === nn * nn
+    j.select(col("n_items"), col("n_ratings"), col("n_categories"),
+      when(col("n_items") === 0, lit(0.0)).otherwise(Num.t4floor(pb))
+        .as("p_bar"),
+      when(col("n_items") === 0, lit(0.0)).otherwise(Num.t4floor(pe))
+        .as("p_expected"),
+      when(degenerate, lit(0.0)).otherwise(Num.t4zero((pb - pe) / (lit(1.0) - pe)))
+        .as("kappa"),
+      degenerate.as("degenerate"))
+  }
+
   /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
     * values are computed ONCE here in Scala and interpolated as
     * literals into both the Spark plan and the SQL twin, because the

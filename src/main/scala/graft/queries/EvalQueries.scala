@@ -194,6 +194,73 @@ object EvalQueries {
       Eval.cohenKappa(docs, col("la"), col("lb"))
     },
 
+    // D110: Fleiss' kappa over a synthetic rater pool — ~97 items,
+    // each rated by its doc_id-residue cohort, category = n_chars % 4,
+    // every 41st rating unlabeled (dropped). The oracle replays the
+    // exact lanes: integer n_ij/c_j² arithmetic, P_i truncated to a
+    // 7-dp decimal before the order-independent mean, 4-dp reporting.
+    Q(
+      "q_fleiss_kappa",
+      """WITH r AS (
+        |  SELECT CAST(doc_id % 97 AS VARCHAR) AS i,
+        |    CASE WHEN doc_id % 41 = 0 THEN NULL
+        |         ELSE CAST(n_chars % 4 AS VARCHAR) END AS c
+        |  FROM documents),
+        |rr AS (SELECT i, c FROM r WHERE i IS NOT NULL AND c IS NOT NULL),
+        |cells AS (SELECT i, c, CAST(count(*) AS BIGINT) AS nij
+        |          FROM rr GROUP BY 1, 2),
+        |items AS (
+        |  SELECT i, CAST(sum(nij) AS BIGINT) AS ni,
+        |    CAST(sum(nij * nij) AS BIGINT) AS ssq
+        |  FROM cells GROUP BY 1 HAVING CAST(sum(nij) AS BIGINT) >= 2),
+        |pb AS (
+        |  SELECT coalesce(sum(CAST(floor(
+        |      CAST(ssq - ni AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE) * 1e7)
+        |      / 1e7 AS DECIMAL(18,7))), CAST(0 AS DECIMAL(18,7))) AS pnum,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM items),
+        |cat AS (SELECT c, CAST(sum(nij) AS BIGINT) AS cj
+        |        FROM cells JOIN items USING (i) GROUP BY c),
+        |ch AS (
+        |  SELECT coalesce(sum(CAST(cj AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0))),
+        |      CAST(0 AS DECIMAL(38,0))) AS csq,
+        |    CAST(coalesce(sum(cj), 0) AS BIGINT) AS n_ratings,
+        |    CAST(count(*) AS BIGINT) AS n_categories
+        |  FROM cat)
+        |SELECT n_items, n_ratings, n_categories,
+        |  CASE WHEN n_items = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE floor(CAST(pnum AS DOUBLE) / CAST(n_items AS DOUBLE) * 1e4) / 1e4
+        |  END AS p_bar,
+        |  CASE WHEN n_items = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE floor(CAST(csq AS DOUBLE)
+        |      / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)) * 1e4) / 1e4
+        |  END AS p_expected,
+        |  CASE WHEN n_items = 0 OR CAST(csq AS DOUBLE)
+        |      = CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE sign((CAST(pnum AS DOUBLE) / CAST(n_items AS DOUBLE)
+        |        - CAST(csq AS DOUBLE)
+        |          / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)))
+        |      / (CAST(1.0 AS DOUBLE) - CAST(csq AS DOUBLE)
+        |          / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE))))
+        |      * (floor(abs((CAST(pnum AS DOUBLE) / CAST(n_items AS DOUBLE)
+        |        - CAST(csq AS DOUBLE)
+        |          / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)))
+        |      / (CAST(1.0 AS DOUBLE) - CAST(csq AS DOUBLE)
+        |          / (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE))))
+        |        * 1e4) / 1e4) + 0.0
+        |  END AS kappa,
+        |  (n_items = 0 OR CAST(csq AS DOUBLE)
+        |    = CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)) AS degenerate
+        |FROM pb CROSS JOIN ch""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(97L)).as("it"),
+        when(col("doc_id") % 41 === 0, lit(null))
+          .otherwise((col("n_chars") % 4).cast("string")).as("cat"))
+      Eval.fleissKappa(docs, col("it"), col("cat"))
+    },
+
     // D104: retrieval quality vs a label-match gold set — brute top-10
     // per query scored against "same label as the query" relevance:
     // hits/P/R@10, MRR, binary nDCG@10. Discounts and ideal-DCG are

@@ -163,6 +163,52 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Boolean]("degenerate"))
   }
 
+  test("fleissKappa hand computation with varying n and a singleton exclusion") {
+    // A: [x,x,x] P=1; B: [x,y] P=0; C: [y,y,y,x] P=(10-4)/12=0.5;
+    // D: [x] excluded (n<2). P̄ = 1.5/3 = 0.5.
+    // Marginals over retained: x=5, y=4, N=9 → P̄_e = 41/81.
+    // κ = (0.5 − 41/81)/(1 − 41/81) = (−1/162)·(81/40) = −0.0125 exact.
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y"), ("C", "y"), ("C", "x"),
+      ("D", "x")
+    ).toDF("item", "cat")
+    val out = Eval.fleissKappa(df, col("item"), col("cat")).collect()(0)
+    assert(out.getAs[Long]("n_items") == 3L)
+    assert(out.getAs[Long]("n_ratings") == 9L)
+    assert(out.getAs[Long]("n_categories") == 2L)
+    assert(out.getAs[Double]("p_bar") == 0.5)
+    assert(out.getAs[Double]("p_expected") == 0.5061) // floor(41/81 ·1e4)
+    assert(out.getAs[Double]("kappa") == -0.0125)
+    assert(!out.getAs[Boolean]("degenerate"))
+  }
+
+  test("fleissKappa perfect agreement, degenerate single category, empty input") {
+    // unanimous items over 2 categories: P̄=1, P̄_e=0.5, κ=1
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("item", "cat")
+    val p = Eval.fleissKappa(perfect, col("item"), col("cat")).collect()(0)
+    assert(p.getAs[Double]("kappa") == 1.0)
+    assert(!p.getAs[Boolean]("degenerate"))
+
+    // one category everywhere: P̄_e = 1 → κ reports 0 + flag
+    val mono = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+      .toDF("item", "cat")
+    val m = Eval.fleissKappa(mono, col("item"), col("cat")).collect()(0)
+    assert(m.getAs[Double]("p_bar") == 1.0)
+    assert(m.getAs[Double]("kappa") == 0.0)
+    assert(m.getAs[Boolean]("degenerate"))
+
+    // NULL categories drop; all-singleton input leaves zero items
+    val empty = Seq(("A", Option.empty[String]), ("B", Some("x")))
+      .toDF("item", "cat")
+    val e = Eval.fleissKappa(empty, col("item"), col("cat")).collect()(0)
+    assert(e.getAs[Long]("n_items") == 0L)
+    assert(e.getAs[Double]("kappa") == 0.0)
+    assert(e.getAs[Boolean]("degenerate"))
+  }
+
   test("retrievalMetrics: hand-computed hits/MRR/nDCG, no-hit, empty gold, perfect list") {
     import spark.implicits._
     val res = Seq(
