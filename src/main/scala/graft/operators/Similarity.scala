@@ -446,6 +446,78 @@ object Similarity {
       centroids: Array[Array[Double]]): DataFrame =
     assignClusters(corpus.select(id.as("id"), vec.as("v")), centroids)
 
+  /** Cluster-quality diagnostics for a trained quantizer — the
+    * measurement half of the IVF family (as [[Eval.retrievalMetrics]]
+    * is to the ANN probes): per nonempty cluster, the SIMPLIFIED
+    * silhouette (a = distance to own centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) — the O(n·k) form;
+    * classic silhouette's all-pairs a/b is quadratic per cluster and
+    * can never run at corpus scale) and the Davies-Bouldin ratio
+    * R_i = max_{j≠i} (σ_i + σ_j) / d(c_i, c_j) with σ = mean member
+    * distance to centroid. The numbers that decide k / re-train
+    * cadence BEFORE an index config commits to the corpus.
+    *
+    * Shape at scale: one posexplode to k rows per vector (k is
+    * config-sized), partial-agg min per (id, cluster), partial-agg
+    * sums per cluster, then a k×k broadcast self-join — nothing
+    * corpus-quadratic. Determinism: distances are row-local IEEE
+    * (sqrt is correctly rounded; the max(0, ·) guard folds −ε
+    * rounding residue so no NaN leaks), s and a truncate to 7-dp
+    * decimals before the order-independent cluster sums, reported
+    * values 4-dp (silhouette toward-zero — it carries sign). Pairs
+    * with coincident centroids (d = 0) are skipped in the DB max
+    * rather than emitting ∞; a cluster with no distinct-centroid
+    * peer reports db_r NULL. Empty clusters simply have no row.
+    */
+  def clusterQuality(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "clusterQuality needs >= 2 centroids")
+    val spark = corpus.sparkSession
+    val assigned = assignClusters(corpus.select(id.as("id"), vec.as("v")), centroids)
+    val cents = typedLit(centroids.map(_.toSeq).toSeq)
+    val norms = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
+    val pts = assigned.withColumn("__vv", dot(col("v"), col("v")))
+      .select(col("id"), col("cluster"), col("v"), col("__vv"),
+        posexplode(cents).as(Seq("__j", "__c")))
+      .withColumn("__d", sqrt(greatest(lit(0.0),
+        element_at(norms, col("__j") + 1) - dot(col("v"), col("__c")) * 2d
+          + col("__vv"))))
+    val ab = pts.groupBy("id", "cluster").agg(
+      min(when(col("__j") === col("cluster"), col("__d"))).as("__a"),
+      min(when(col("__j") =!= col("cluster"), col("__d"))).as("__b"))
+    val si = ab.select(col("cluster"),
+      (floor(when(greatest(col("__a"), col("__b")) === 0d, lit(0.0))
+        .otherwise((col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+        * 1e7) / 1e7).cast("decimal(18,7)").as("__sd"),
+      (floor(col("__a") * 1e7) / 1e7).cast("decimal(18,7)").as("__ad"))
+    val perCluster = si.groupBy("cluster").agg(count(lit(1)).as("n"),
+        sum(col("__sd")).as("__ssum"), sum(col("__ad")).as("__asum"))
+      .localCheckpoint() // two consumers: the DB pair join + the report
+    val withSig = perCluster
+      .join(broadcast(centroidsToDf(spark, centroids)), "cluster")
+      .select(col("cluster"),
+        (col("__asum").cast("double") / col("n")).as("__sig"), col("centroid"))
+    val x = withSig.select(col("cluster").as("__xc"), col("__sig").as("__xs"),
+      col("centroid").as("__xcen"))
+    val y = withSig.select(col("cluster").as("__yc"), col("__sig").as("__ys"),
+      col("centroid").as("__ycen"))
+    val cd = sqrt(greatest(lit(0.0),
+      dot(col("__xcen"), col("__xcen")) - dot(col("__xcen"), col("__ycen")) * 2d
+        + dot(col("__ycen"), col("__ycen"))))
+    val pairs = x.join(broadcast(y), col("__xc") =!= col("__yc"))
+      .select(col("__xc").as("cluster"),
+        when(cd > 0d, (col("__xs") + col("__ys")) / cd).as("__r"))
+    val db = pairs.groupBy("cluster").agg(max(col("__r")).as("__dbr"))
+    perCluster.join(db, Seq("cluster"), "left").select(
+      col("cluster"), col("n"),
+      Num.t4zero(col("__ssum").cast("double") / col("n")).as("mean_silhouette"),
+      Num.t4floor(col("__asum").cast("double") / col("n")).as("sigma"),
+      Num.t4floor(col("__dbr")).as("db_r"))
+  }
+
   /** Probe a STORED IVF index: each query ranks the centroids, visits
     * its `nProbe` nearest clusters, and pays exact cosine only there —
     * candidate work O(|corpus|·nProbe/nCentroids) per query, never

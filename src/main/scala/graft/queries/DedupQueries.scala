@@ -228,6 +228,57 @@ object DedupQueries {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The q_cluster_quality oracle: 3 Lloyd rounds (k=8), then the
+    * simplified-silhouette / Davies-Bouldin arithmetic — per-point
+    * distances row-local IEEE, s and a truncated to 7-dp decimals
+    * before the cluster sums, the k×k DB pair max skipping
+    * coincident-centroid pairs, 4-dp reporting (silhouette
+    * toward-zero).
+    */
+  private def clusterQualityOracle: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${ivfLloydCtes(iters = 3, d = 64, kExpr = "8")},
+       |iv AS (SELECT id, cluster, v, list_dot_product(v, v) AS vv FROM idx),
+       |pts AS (SELECT i.id, i.cluster, c.cluster AS j,
+       |    sqrt(greatest(0.0, list_dot_product(c.cen, c.cen)
+       |      - list_dot_product(i.v, c.cen) * 2.0 + i.vv)) AS d
+       |  FROM iv i, cen3 c),
+       |ab AS (SELECT id, cluster,
+       |    min(CASE WHEN j = cluster THEN d END) AS a,
+       |    min(CASE WHEN j != cluster THEN d END) AS b
+       |  FROM pts GROUP BY id, cluster),
+       |si AS (SELECT cluster,
+       |    CAST(floor((CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+       |                     ELSE (b - a) / greatest(a, b) END) * 1e7) / 1e7
+       |      AS DECIMAL(18,7)) AS sd,
+       |    CAST(floor(a * 1e7) / 1e7 AS DECIMAL(18,7)) AS ad
+       |  FROM ab),
+       |pc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |    sum(sd) AS ssum, sum(ad) AS asum FROM si GROUP BY cluster),
+       |sg AS (SELECT p.cluster, CAST(p.asum AS DOUBLE) / p.n AS sig, c.cen
+       |  FROM pc p JOIN cen3 c USING (cluster)),
+       |pr AS (SELECT x.cluster AS cluster,
+       |    CASE WHEN sqrt(greatest(0.0, list_dot_product(x.cen, x.cen)
+       |        - list_dot_product(x.cen, y.cen) * 2.0
+       |        + list_dot_product(y.cen, y.cen))) > 0.0
+       |      THEN (x.sig + y.sig)
+       |        / sqrt(greatest(0.0, list_dot_product(x.cen, x.cen)
+       |            - list_dot_product(x.cen, y.cen) * 2.0
+       |            + list_dot_product(y.cen, y.cen)))
+       |    END AS r
+       |  FROM sg x, sg y WHERE x.cluster != y.cluster),
+       |db AS (SELECT cluster, max(r) AS dbr FROM pr GROUP BY cluster)
+       |SELECT p.cluster, p.n,
+       |  sign(CAST(p.ssum AS DOUBLE) / p.n)
+       |    * (floor(abs(CAST(p.ssum AS DOUBLE) / p.n) * 1e4) / 1e4) + 0.0
+       |    AS mean_silhouette,
+       |  floor(CAST(p.asum AS DOUBLE) / p.n * 1e4) / 1e4 AS sigma,
+       |  floor(dbr * 1e4) / 1e4 AS db_r
+       |FROM pc p LEFT JOIN db USING (cluster)
+       |ORDER BY cluster""".stripMargin
+
   /** CTE chain replaying [[graft.operators.Similarity.trainPqCodebooks]]
     * over a 64-dim `(id, v)` source CTE — the PQ-family oracle core,
     * the Lloyd template per subspace: sliced subvectors, seeded
@@ -1260,6 +1311,20 @@ object DedupQueries {
           queryId = col("vec_id"), queryVec = col("v"),
           k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    },
+
+    // D111: cluster-quality diagnostics over the trained IVF
+    // quantizer — simplified silhouette + Davies-Bouldin per cluster,
+    // the measurement that decides k before an index config commits.
+    // Exact oracle: the Lloyd replay hands the identical centroids to
+    // the identical row-local distance arithmetic.
+    Q("q_cluster_quality", clusterQualityOracle) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = Similarity.trainIvfCentroids(
+        e, col("id"), col("v"), nCentroids = 8, iters = 3)
+      Similarity.clusterQuality(e, col("id"), col("v"), centroids)
+        .orderBy("cluster")
     },
 
     // D57: product-quantization ANN (Jégou et al., TPAMI'11) — train

@@ -785,6 +785,49 @@ class DedupSpec extends SparkSpec {
     assert(top.forall { case (vid, d) => vid % 4 == 1 && d == 0.0 })
   }
 
+  test("clusterQuality: hand-computed silhouette, sigma, and Davies-Bouldin") {
+    // c0=(0,0), c1=(10,0); A,B→c0 with a=0,1; C,D→c1 symmetric.
+    // s_A = (10-0)/10 = 1; s_B = (9-1)/9 = 8/9 → 0.8888888 at 7 dp;
+    // mean_sil = 1.8888888/2 → 0.9444 toward zero; sigma = 0.5 each;
+    // DB ratio = (0.5+0.5)/10 = 0.1 for both clusters.
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(9.0, 0.0))
+    ).toDF("id", "v")
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val out = Similarity.clusterQuality(df, col("id"), col("v"), cents)
+      .orderBy("cluster").collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("n") == 2L)
+      assert(r.getAs[Double]("mean_silhouette") == 0.9444)
+      assert(r.getAs[Double]("sigma") == 0.5)
+      assert(r.getAs[Double]("db_r") == 0.1)
+    }
+  }
+
+  test("clusterQuality: coincident centroids skip the DB pair; ties score 0") {
+    // both centroids at the origin: every point assigns to cluster 0
+    // (first-min tiebreak), cluster 1 is empty, and cluster 0 has no
+    // distinct-centroid peer → db_r NULL; the on-centroid point has
+    // a = b = 0 → silhouette 0 by the max(a,b)=0 guard.
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(2.0, 0.0))).toDF("id", "v")
+    val cents = Array(Array(0.0, 0.0), Array(0.0, 0.0))
+    val out = Similarity.clusterQuality(df, col("id"), col("v"), cents)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Int]("cluster") == 0)
+    assert(r.getAs[Long]("n") == 2L)
+    // s(point at origin) = 0 (guard), s(2,0): a = b = 2 → 0 too
+    assert(r.getAs[Double]("mean_silhouette") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("db_r")))
+    intercept[IllegalArgumentException] {
+      Similarity.clusterQuality(df, col("id"), col("v"),
+        Array(Array(0.0, 0.0)))
+    }
+  }
+
   test("IVF-PQ recovers planted twins on real embeddings; more probes never hurt") {
     val base = sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
