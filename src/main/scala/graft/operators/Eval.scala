@@ -281,6 +281,78 @@ object Eval {
       degenerate.as("degenerate"))
   }
 
+  /** BLEU/ROUGE-style n-gram overlap between a candidate and a
+    * reference text per row — the generation-eval face of the n-gram
+    * machinery the dedup family already runs: clipped n-gram
+    * precisions p1..p4 (Papineni et al. '02 modified precision:
+    * Σ_g min(cnt_cand, cnt_ref) / Σ_g cnt_cand), ROUGE-1/2 recall
+    * (Lin '04: same clipped matches over the reference mass), the
+    * BLEU-4 precision core as the geometric mean via
+    * sqrt(sqrt(((p1·p2)·p3)·p4)) — two CORRECTLY-ROUNDED sqrts of a
+    * fixed-association product, so the value is engine-portable where
+    * a pow(·, 0.25) or the exp-based brevity penalty would not be
+    * (the DoReMi libm lesson); length_ratio is reported so callers
+    * can apply any BP policy downstream on exact inputs.
+    *
+    * Null contract: a side with no n-grams at level n (fewer than n
+    * tokens) leaves that precision/recall NULL — a 0 would read as
+    * "attested disagreement" where nothing was measurable — and any
+    * NULL p_n nulls bleu_p; a measured-but-zero overlap propagates
+    * an exact 0.0 instead. Counts are exact integers; the single
+    * double division per reported ratio is identical IEEE on both
+    * engines; 4-dp floor reporting.
+    *
+    * Shape at scale: tokenize once (localCheckpoint), 2·4 gram
+    * explosions into one (id, n, gram) count table per side, one
+    * full-outer join per (id, n, gram), two partial-agg collapses —
+    * grams never leave their doc key, nothing all-pairs.
+    */
+  def ngramOverlap(df: DataFrame, id: Column, candidate: Column,
+      reference: Column): DataFrame = {
+    import graft.functions.{tokens, shingles}
+    val nMax = 4
+    val base = df.select(id.as("id"), tokens(candidate).as("__ct"),
+        tokens(reference).as("__rt"))
+      .localCheckpoint() // tokenized once; 2·nMax gram scans + lengths
+    val lens = base.select(col("id"),
+      size(col("__ct")).cast("long").as("len_cand"),
+      size(col("__rt")).cast("long").as("len_ref"))
+    def gramCounts(side: String, out: String): DataFrame =
+      (1 to nMax).map { n =>
+        base.select(col("id"), lit(n).as("__n"),
+          explode(shingles(col(side), n)).as("__g"))
+      }.reduce(_ unionByName _)
+        .groupBy("id", "__n", "__g").agg(count(lit(1)).as(out))
+    val perN = gramCounts("__ct", "__cc")
+      .join(gramCounts("__rt", "__cr"), Seq("id", "__n", "__g"), "full_outer")
+      .groupBy("id", "__n").agg(
+        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
+          .as("__m"),
+        sum(coalesce(col("__cc"), lit(0L))).as("__dc"),
+        sum(coalesce(col("__cr"), lit(0L))).as("__dr"))
+    val aggs = (1 to nMax).flatMap { n =>
+      Seq(sum(when(col("__n") === n, col("__m"))).as(s"__m$n"),
+        sum(when(col("__n") === n, col("__dc"))).as(s"__dc$n"),
+        sum(when(col("__n") === n, col("__dr"))).as(s"__dr$n"))
+    }
+    val wide = perN.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    def p(n: Int): Column = when(coalesce(col(s"__dc$n"), lit(0L)) > 0,
+      col(s"__m$n").cast("double") / col(s"__dc$n").cast("double"))
+    def r(n: Int): Column = when(coalesce(col(s"__dr$n"), lit(0L)) > 0,
+      col(s"__m$n").cast("double") / col(s"__dr$n").cast("double"))
+    val prod = p(1) * p(2) * p(3) * p(4)
+    lens.join(wide, Seq("id"), "left").select(
+      col("id"), col("len_cand"), col("len_ref"),
+      Num.t4floor(p(1)).as("p1"), Num.t4floor(p(2)).as("p2"),
+      Num.t4floor(p(3)).as("p3"), Num.t4floor(p(4)).as("p4"),
+      Num.t4floor(r(1)).as("rouge1_recall"),
+      Num.t4floor(r(2)).as("rouge2_recall"),
+      Num.t4floor(sqrt(sqrt(prod))).as("bleu_p"),
+      when(col("len_ref") > 0, Num.t4floor(
+        col("len_cand").cast("double") / col("len_ref").cast("double")))
+        .as("length_ratio"))
+  }
+
   /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
     * values are computed ONCE here in Scala and interpolated as
     * literals into both the Spark plan and the SQL twin, because the

@@ -261,6 +261,84 @@ object EvalQueries {
       Eval.fleissKappa(docs, col("it"), col("cat"))
     },
 
+    // D112: BLEU/ROUGE n-gram overlap — candidate = the 4/5 token
+    // truncation, reference = the original text (the corpus's own
+    // planted-rendition pair family). The oracle replays the token
+    // slice, the four gram levels, clipped-min counts, and the
+    // sqrt(sqrt(product)) BLEU core on identical doubles.
+    Q(
+      "q_ngram_overlap",
+      """WITH tk1 AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+'),
+        |      t -> len(t) > 0) AS rt
+        |  FROM documents),
+        |pairs AS (SELECT id, rt,
+        |    rt[1:greatest(CAST(floor(len(rt) * 4 / 5) AS BIGINT), 1)] AS ct
+        |  FROM tk1),
+        |cg AS (
+        |  SELECT id, n, unnest(list_transform(range(1, len(ct) - n + 2),
+        |      i -> array_to_string(ct[i:i+n-1], ' '))) AS g
+        |  FROM pairs, unnest(generate_series(1, 4)) AS gg(n)
+        |  WHERE len(ct) >= n),
+        |rg AS (
+        |  SELECT id, n, unnest(list_transform(range(1, len(rt) - n + 2),
+        |      i -> array_to_string(rt[i:i+n-1], ' '))) AS g
+        |  FROM pairs, unnest(generate_series(1, 4)) AS gg(n)
+        |  WHERE len(rt) >= n),
+        |ccnt AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS cc
+        |         FROM cg GROUP BY 1, 2, 3),
+        |rcnt AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS cr
+        |         FROM rg GROUP BY 1, 2, 3),
+        |j AS (SELECT coalesce(c.id, r.id) AS id, coalesce(c.n, r.n) AS n,
+        |    least(coalesce(cc, 0), coalesce(cr, 0)) AS m,
+        |    coalesce(cc, 0) AS dc, coalesce(cr, 0) AS dr
+        |  FROM ccnt c FULL OUTER JOIN rcnt r
+        |    ON c.id = r.id AND c.n = r.n AND c.g = r.g),
+        |pern AS (SELECT id, n, CAST(sum(m) AS BIGINT) AS m,
+        |    CAST(sum(dc) AS BIGINT) AS dc, CAST(sum(dr) AS BIGINT) AS dr
+        |  FROM j GROUP BY 1, 2),
+        |wide AS (SELECT id,
+        |    sum(CASE WHEN n=1 THEN m END) AS m1, sum(CASE WHEN n=1 THEN dc END) AS dc1, sum(CASE WHEN n=1 THEN dr END) AS dr1,
+        |    sum(CASE WHEN n=2 THEN m END) AS m2, sum(CASE WHEN n=2 THEN dc END) AS dc2, sum(CASE WHEN n=2 THEN dr END) AS dr2,
+        |    sum(CASE WHEN n=3 THEN m END) AS m3, sum(CASE WHEN n=3 THEN dc END) AS dc3, sum(CASE WHEN n=3 THEN dr END) AS dr3,
+        |    sum(CASE WHEN n=4 THEN m END) AS m4, sum(CASE WHEN n=4 THEN dc END) AS dc4, sum(CASE WHEN n=4 THEN dr END) AS dr4
+        |  FROM pern GROUP BY id),
+        |lens AS (SELECT id, CAST(len(ct) AS BIGINT) AS len_cand,
+        |    CAST(len(rt) AS BIGINT) AS len_ref FROM pairs)
+        |SELECT l.id, len_cand, len_ref,
+        |  CASE WHEN coalesce(dc1,0) > 0 THEN floor(CAST(m1 AS DOUBLE)/CAST(dc1 AS DOUBLE)*1e4)/1e4 END AS p1,
+        |  CASE WHEN coalesce(dc2,0) > 0 THEN floor(CAST(m2 AS DOUBLE)/CAST(dc2 AS DOUBLE)*1e4)/1e4 END AS p2,
+        |  CASE WHEN coalesce(dc3,0) > 0 THEN floor(CAST(m3 AS DOUBLE)/CAST(dc3 AS DOUBLE)*1e4)/1e4 END AS p3,
+        |  CASE WHEN coalesce(dc4,0) > 0 THEN floor(CAST(m4 AS DOUBLE)/CAST(dc4 AS DOUBLE)*1e4)/1e4 END AS p4,
+        |  CASE WHEN coalesce(dr1,0) > 0 THEN floor(CAST(m1 AS DOUBLE)/CAST(dr1 AS DOUBLE)*1e4)/1e4 END AS rouge1_recall,
+        |  CASE WHEN coalesce(dr2,0) > 0 THEN floor(CAST(m2 AS DOUBLE)/CAST(dr2 AS DOUBLE)*1e4)/1e4 END AS rouge2_recall,
+        |  CASE WHEN coalesce(dc1,0) > 0 AND coalesce(dc2,0) > 0
+        |       AND coalesce(dc3,0) > 0 AND coalesce(dc4,0) > 0
+        |    THEN floor(sqrt(sqrt(
+        |        ((CAST(m1 AS DOUBLE)/CAST(dc1 AS DOUBLE))
+        |         * (CAST(m2 AS DOUBLE)/CAST(dc2 AS DOUBLE)))
+        |        * (CAST(m3 AS DOUBLE)/CAST(dc3 AS DOUBLE))
+        |        * (CAST(m4 AS DOUBLE)/CAST(dc4 AS DOUBLE)))) * 1e4)/1e4
+        |  END AS bleu_p,
+        |  CASE WHEN len_ref > 0
+        |    THEN floor(CAST(len_cand AS DOUBLE)/CAST(len_ref AS DOUBLE)*1e4)/1e4
+        |  END AS length_ratio
+        |FROM lens l LEFT JOIN wide w USING (id)
+        |ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.tokens
+      val d = table(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val tk = tokens(col("text"))
+      val cand = array_join(slice(tk, lit(1),
+        greatest(floor(size(tk) * 4 / 5), lit(1)).cast("int")), " ")
+      val pairs = d.select(col("id"), cand.as("cand"), col("text").as("ref"))
+      Eval.ngramOverlap(pairs, col("id"), col("cand"), col("ref"))
+        .orderBy("id")
+    },
+
     // D104: retrieval quality vs a label-match gold set — brute top-10
     // per query scored against "same label as the query" relevance:
     // hits/P/R@10, MRR, binary nDCG@10. Discounts and ideal-DCG are

@@ -163,6 +163,45 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Boolean]("degenerate"))
   }
 
+  test("ngramOverlap: hand-computed precisions, clipping, rouge, bleu core") {
+    val df = Seq(
+      // prefix: p1=p2=p3=1, p4 NULL (3 tokens) → bleu NULL;
+      // rouge1 = 3/6, rouge2 = 2/5, length_ratio = 0.5
+      (1L, "the cat sat", "the cat sat on the mat"),
+      // clipping: p1 = min(4,1)/4 = 0.25; p2..p4 = 0 → bleu exact 0;
+      // rouge1 = 1/2, rouge2 = 0, ratio 2.0
+      (2L, "the the the the", "the cat"),
+      // identical: everything 1
+      (3L, "a b c d e", "a b c d e"),
+      // empty candidate: p NULL (nothing measurable), rouge 0 (measured)
+      (4L, "", "x y")
+    ).toDF("id", "cand", "ref")
+    val out = Eval.ngramOverlap(df, col("id"), col("cand"), col("ref"))
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Double]("p1") == 1.0 && r1.getAs[Double]("p3") == 1.0)
+    assert(r1.isNullAt(r1.fieldIndex("p4")))
+    assert(r1.isNullAt(r1.fieldIndex("bleu_p")))
+    assert(r1.getAs[Double]("rouge1_recall") == 0.5)
+    assert(r1.getAs[Double]("rouge2_recall") == 0.4)
+    assert(r1.getAs[Double]("length_ratio") == 0.5)
+    val r2 = out(1)
+    assert(r2.getAs[Double]("p1") == 0.25)
+    assert(r2.getAs[Double]("p2") == 0.0)
+    assert(r2.getAs[Double]("bleu_p") == 0.0)
+    assert(r2.getAs[Double]("rouge1_recall") == 0.5)
+    assert(r2.getAs[Double]("rouge2_recall") == 0.0)
+    assert(r2.getAs[Double]("length_ratio") == 2.0)
+    val r3 = out(2)
+    assert(r3.getAs[Double]("bleu_p") == 1.0)
+    assert(r3.getAs[Double]("p4") == 1.0)
+    assert(r3.getAs[Double]("rouge1_recall") == 1.0)
+    val r4 = out(3)
+    assert(r4.getAs[Long]("len_cand") == 0L)
+    assert(r4.isNullAt(r4.fieldIndex("p1")))
+    assert(r4.getAs[Double]("rouge1_recall") == 0.0)
+  }
+
   test("fleissKappa hand computation with varying n and a singleton exclusion") {
     // A: [x,x,x] P=1; B: [x,y] P=0; C: [y,y,y,x] P=(10-4)/12=0.5;
     // D: [x] excluded (n<2). P̄ = 1.5/3 = 0.5.
