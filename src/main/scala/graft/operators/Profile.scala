@@ -513,13 +513,21 @@ object Profile {
     require(width >= 2, "width must be >= 2")
     require(depth >= 1 && depth <= 16, "depth in [1, 16]")
     df.select(key.as("__k")).where(col("__k").isNotNull)
-      .select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("d"),
-          pmod(xxhash64(col("__k"), lit(i)), lit(width.toLong)).cast("int")
-            .as("b"))): _*)).as("e"))
+      .select(explode(cmsCoords(col("__k"), width, depth)).as("e"))
       .groupBy(col("e.d").as("depth"), col("e.b").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** The CMS cell coordinates of one key as an array of `depth`
+    * (d, b) structs — ONE definition shared by the batch build, the
+    * probe, and the streaming twin (E30), so the hash family can
+    * never silently diverge between them (the Num-object lesson).
+    */
+  private[graft] def cmsCoords(key: Column, width: Int, depth: Int): Column =
+    array((0 until depth).map(i =>
+      struct(lit(i).as("d"),
+        pmod(xxhash64(key, lit(i)), lit(width.toLong)).cast("int")
+          .as("b"))): _*)
 
   /** Cell-wise sum of persisted CMS tables (same width/depth — the
     * caller's contract, as with HLL's lgConfigK). Exactly equals the
@@ -544,10 +552,7 @@ object Profile {
       width: Int = 1024,
       depth: Int = 4): DataFrame =
     keys.select(key.as("term")).where(col("term").isNotNull)
-      .select(col("term"), explode(array((0 until depth).map(i =>
-        struct(lit(i).as("d"),
-          pmod(xxhash64(col("term"), lit(i)), lit(width.toLong)).cast("int")
-            .as("b"))): _*)).as("e"))
+      .select(col("term"), explode(cmsCoords(col("term"), width, depth)).as("e"))
       .join(broadcast(sketch.withColumnsRenamed(
         Map("depth" -> "__d", "bucket" -> "__b"))),
         col("e.d") === col("__d") && col("e.b") === col("__b"), "left")

@@ -717,6 +717,48 @@ object EventStreams {
       }
   }
 
+  case class CmsIn(d: Int, b: Int)
+
+  case class CmsState(cnt: Long)
+
+  case class CmsCell(depth: Int, bucket: Int, cnt: Long)
+
+  /** E30: streaming Count-Min sketch maintenance — the stateful twin
+    * of [[graft.operators.Profile.countMinSketch]] for a live term
+    * ingest: rows explode to their `depth` cell coordinates through
+    * the SHARED [[graft.operators.Profile.cmsCoords]] hash family (one
+    * definition, batch + probe + stream — divergence impossible),
+    * state per touched cell is ONE count, and each touching
+    * micro-batch emits the cell's CURRENT count, so the LAST emission
+    * per cell equals the batch sketch EXACTLY — cells are plain
+    * counts, the one sketch in the family whose streaming form is
+    * lossless by construction (HLL/KLL merge tiers approximate; CMS
+    * adds). Point queries stay [[graft.operators.Profile.cmsEstimate]]
+    * over the latest cells; state is bounded by width·depth (config),
+    * NOT by corpus — no watermark, a count never un-happens.
+    */
+  def cmsCellStream(terms: DataFrame, width: Int = 1024,
+      depth: Int = 4): Dataset[CmsCell] = {
+    implicit val inEnc = Encoders.product[CmsIn]
+    implicit val outEnc = Encoders.product[CmsCell]
+    implicit val stEnc = Encoders.product[CmsState]
+    implicit val keyEnc = Encoders.product[(Int, Int)]
+    terms.select(col("term").cast("string").as("term"))
+      .filter(col("term").isNotNull)
+      .select(explode(
+        graft.operators.Profile.cmsCoords(col("term"), width, depth)).as("e"))
+      .select(col("e.d").as("d"), col("e.b").as("b"))
+      .as[CmsIn]
+      .groupByKey(r => (r.d, r.b))
+      .flatMapGroupsWithState[CmsState, CmsCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: (Int, Int), rows: Iterator[CmsIn], state: GroupState[CmsState]) =>
+          val cnt = state.getOption.map(_.cnt).getOrElse(0L) + rows.size
+          state.update(CmsState(cnt))
+          Iterator.single(CmsCell(k._1, k._2, cnt))
+      }
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

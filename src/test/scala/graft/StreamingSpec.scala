@@ -1059,6 +1059,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E30 cmsCellStream: final cells equal the batch CMS exactly across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val terms = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "c")
+    val input = MemoryStream[String](spark)
+    val q = graft.streaming.EventStreams.cmsCellStream(
+        input.toDF().toDF("term"), width = 64, depth = 4)
+      .writeStream.format("memory").queryName("e30_out").outputMode("append").start()
+    try {
+      input.addData(terms.take(6)) // a×3 b×2 c×1 before the split
+      q.processAllAvailable()
+      input.addData(terms.drop(6))
+      q.processAllAvailable()
+      // LAST emission per cell (batch-ordinal max count — counts only
+      // grow) == the batch sketch cell for cell
+      val streamed = spark.table("e30_out")
+        .groupBy("depth", "bucket").agg(max("cnt").as("cnt"))
+      val batch = graft.operators.Profile.countMinSketch(
+        terms.toDF("t"), col("t"), width = 64, depth = 4)
+      assert(streamed.as[(Int, Int, Long)].collect().toSet ==
+        batch.as[(Int, Int, Long)].collect().toSet)
+      // and the probe side agrees: estimates off the streamed cells
+      // == estimates off the batch sketch for every distinct term
+      val keys = terms.distinct.toDF("t")
+      val estS = graft.operators.Profile.cmsEstimate(
+          keys, col("t"), streamed, width = 64, depth = 4)
+        .as[(String, Long)].collect().toMap
+      val estB = graft.operators.Profile.cmsEstimate(
+          keys, col("t"), batch, width = 64, depth = 4)
+        .as[(String, Long)].collect().toMap
+      assert(estS == estB)
+      assert(estS("a") == 4L) // no collision at width 64 on 5 keys
+    } finally q.stop()
+  }
+
   test("E27 vocabFirstSeenStream: first-seen attribution equals batch vocabGrowth across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // bucket 0: {x, y}; bucket 1: {y, z}; bucket 2: {x} — the batch
