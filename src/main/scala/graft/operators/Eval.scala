@@ -281,6 +281,81 @@ object Eval {
       degenerate.as("degenerate"))
   }
 
+  /** Multi-class classification report — the confusion-derived
+    * per-class precision/recall/F1 table plus macro and micro summary
+    * rows, the standard eval surface for the [[Classify]] family's
+    * single-label outputs (the binary pr_curve/auc tier doesn't
+    * generalize past two classes). One partial-agg pass to the
+    * bounded |truth|×|pred| cell table; classes = the UNION of truth
+    * and predicted labels, so phantom predictions (a class the model
+    * invents) and missed classes both get rows.
+    *
+    * Per class: n_true (support), n_pred, tp, precision = tp/n_pred,
+    * recall = tp/n_true, f1 — a side with zero mass leaves its ratio
+    * NULL (unmeasurable), but the MACRO means count those classes at
+    * 0 (the scikit zero_division=0 convention: inventing or missing
+    * a class must drag the average down, not vanish from it). Macro
+    * means run over 7-dp decimal lanes (order-independent); the
+    * `__micro__` row is accuracy = Σtp/N in all three metric columns
+    * (micro-P = micro-R for single-label). Rows with a NULL label or
+    * prediction are excluded. All counts exact integers; one double
+    * division per reported ratio; 4-dp floors.
+    */
+  def classReport(df: DataFrame, label: Column, predicted: Column): DataFrame = {
+    val t = df.select(label.cast("string").as("__y"),
+        predicted.cast("string").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val cells = t.groupBy("__y", "__p").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // three consumers: truth/pred margins + total
+    val byTrue = cells.groupBy("__y").agg(
+      sum(col("cnt")).as("n_true"),
+      coalesce(sum(when(col("__y") === col("__p"), col("cnt"))), lit(0L))
+        .as("__tp"))
+    val byPred = cells.groupBy("__p").agg(sum(col("cnt")).as("n_pred"))
+    val classes = byTrue.select(col("__y").as("class"))
+      .unionByName(byPred.select(col("__p").as("class"))).distinct()
+    val per = classes
+      .join(byTrue.withColumnRenamed("__y", "class"), Seq("class"), "left")
+      .join(byPred.withColumnRenamed("__p", "class"), Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+      .withColumn("__pr", when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("__rc", when(col("n_true") > 0,
+        col("tp").cast("double") / col("n_true").cast("double")))
+      .withColumn("__f1", when(col("__pr").isNotNull && col("__rc").isNotNull,
+        when(col("__pr") + col("__rc") === 0d, lit(0.0))
+          .otherwise(lit(2.0) * col("__pr") * col("__rc")
+            / (col("__pr") + col("__rc")))))
+      .localCheckpoint() // two consumers: report rows + macro lanes
+    def lane(c: Column): Column =
+      (floor(coalesce(c, lit(0.0)) * 1e7) / 1e7).cast("decimal(18,7)")
+    val summary = per.agg(
+      count(lit(1)).as("__k"),
+      coalesce(sum(col("n_true")), lit(0L)).as("n_true"),
+      coalesce(sum(col("n_pred")), lit(0L)).as("n_pred"),
+      coalesce(sum(col("tp")), lit(0L)).as("tp"),
+      sum(lane(col("__pr"))).as("__sp"), sum(lane(col("__rc"))).as("__sr"),
+      sum(lane(col("__f1"))).as("__sf"))
+    val perRows = per.select(col("class"), col("n_true"), col("n_pred"),
+      col("tp"), Num.t4floor(col("__pr")).as("precision"),
+      Num.t4floor(col("__rc")).as("recall"),
+      Num.t4floor(col("__f1")).as("f1"))
+    val macroRow = summary.select(lit("__macro__").as("class"),
+      col("n_true"), col("n_pred"), col("tp"),
+      Num.t4floor(col("__sp").cast("double") / col("__k")).as("precision"),
+      Num.t4floor(col("__sr").cast("double") / col("__k")).as("recall"),
+      Num.t4floor(col("__sf").cast("double") / col("__k")).as("f1"))
+    val acc = when(col("n_true") > 0,
+      floor(col("tp").cast("double") / col("n_true").cast("double") * 1e4) / 1e4)
+    val microRow = summary.select(lit("__micro__").as("class"),
+      col("n_true"), col("n_pred"), col("tp"),
+      acc.as("precision"), acc.as("recall"), acc.as("f1"))
+    perRows.unionByName(macroRow).unionByName(microRow)
+  }
+
   /** BLEU/ROUGE-style n-gram overlap between a candidate and a
     * reference text per row — the generation-eval face of the n-gram
     * machinery the dedup family already runs: clipped n-gram

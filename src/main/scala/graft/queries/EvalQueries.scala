@@ -261,6 +261,69 @@ object EvalQueries {
       Eval.fleissKappa(docs, col("it"), col("cat"))
     },
 
+    // D113: multi-class classification report — truth = source, the
+    // predictor mislabels every 7th doc as the phantom class 'noise'
+    // (exercising the n_true=0 → recall NULL → macro-0 path) and every
+    // 31st label is NULL (dropped). Exact oracle on integer cells +
+    // 7-dp macro lanes.
+    Q(
+      "q_class_report",
+      """WITH t AS (
+        |  SELECT CASE WHEN doc_id % 31 = 0 THEN NULL ELSE source END AS y,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'noise' ELSE source END AS p
+        |  FROM documents),
+        |cells AS (SELECT y, p, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t WHERE y IS NOT NULL AND p IS NOT NULL GROUP BY 1, 2),
+        |bt AS (SELECT y AS class, CAST(sum(cnt) AS BIGINT) AS n_true,
+        |    CAST(coalesce(sum(CASE WHEN y = p THEN cnt END), 0) AS BIGINT) AS tp
+        |  FROM cells GROUP BY 1),
+        |bp AS (SELECT p AS class, CAST(sum(cnt) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY 1),
+        |cls AS (SELECT class FROM bt UNION SELECT class FROM bp),
+        |per AS (SELECT c.class,
+        |    coalesce(bt.n_true, 0) AS n_true, coalesce(bp.n_pred, 0) AS n_pred,
+        |    coalesce(bt.tp, 0) AS tp
+        |  FROM cls c LEFT JOIN bt USING (class) LEFT JOIN bp USING (class)),
+        |pm AS (SELECT class, n_true, n_pred, tp,
+        |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS pr,
+        |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS rc
+        |  FROM per),
+        |pf AS (SELECT *, CASE WHEN pr IS NOT NULL AND rc IS NOT NULL THEN
+        |    CASE WHEN pr + rc = 0 THEN 0.0 ELSE 2.0 * pr * rc / (pr + rc) END
+        |  END AS f1 FROM pm),
+        |mac AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(coalesce(sum(n_true), 0) AS BIGINT) AS n_true,
+        |    CAST(coalesce(sum(n_pred), 0) AS BIGINT) AS n_pred,
+        |    CAST(coalesce(sum(tp), 0) AS BIGINT) AS tp,
+        |    sum(CAST(floor(coalesce(pr, 0.0) * 1e7) / 1e7 AS DECIMAL(18,7))) AS sp,
+        |    sum(CAST(floor(coalesce(rc, 0.0) * 1e7) / 1e7 AS DECIMAL(18,7))) AS sr,
+        |    sum(CAST(floor(coalesce(f1, 0.0) * 1e7) / 1e7 AS DECIMAL(18,7))) AS sf
+        |  FROM pf)
+        |SELECT class, n_true, n_pred, tp,
+        |  floor(pr * 1e4) / 1e4 AS "precision",
+        |  floor(rc * 1e4) / 1e4 AS recall,
+        |  floor(f1 * 1e4) / 1e4 AS f1
+        |FROM pf
+        |UNION ALL
+        |SELECT '__macro__', n_true, n_pred, tp,
+        |  floor(CAST(sp AS DOUBLE) / k * 1e4) / 1e4,
+        |  floor(CAST(sr AS DOUBLE) / k * 1e4) / 1e4,
+        |  floor(CAST(sf AS DOUBLE) / k * 1e4) / 1e4
+        |FROM mac
+        |UNION ALL
+        |SELECT '__micro__', n_true, n_pred, tp, a, a, a
+        |FROM (SELECT n_true, n_pred, tp,
+        |    CASE WHEN n_true > 0
+        |      THEN floor(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) * 1e4) / 1e4
+        |    END AS a FROM mac)
+        |ORDER BY class""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        when(col("doc_id") % 31 === 0, lit(null)).otherwise(col("source")).as("y"),
+        when(col("doc_id") % 7 === 0, lit("noise")).otherwise(col("source")).as("p"))
+      Eval.classReport(d, col("y"), col("p")).orderBy("class")
+    },
+
     // D112: BLEU/ROUGE n-gram overlap — candidate = the 4/5 token
     // truncation, reference = the original text (the corpus's own
     // planted-rendition pair family). The oracle replays the token

@@ -163,6 +163,45 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Boolean]("degenerate"))
   }
 
+  test("classReport: hand-computed per-class, phantom class, macro/micro") {
+    // a: n_true=4 tp=3 n_pred=4 → P=R=0.75; b: 3/2/3 → 2/3;
+    // c: truth-only (P NULL, R 0); z: phantom pred (P 0, R NULL);
+    // macro counts NULLs as 0: (0.75 + 0.6666666)/4 = 0.3541;
+    // micro = accuracy = 5/8 = 0.625. NULL rows drop.
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("b", "z"),
+      ("c", "a"),
+      (null, "a"), ("a", null)
+    ).toDF("y", "p")
+    val out = Eval.classReport(rows, col("y"), col("p"))
+      .orderBy("class").collect()
+      .map(r => r.getAs[String]("class") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_true") == 4L && a.getAs[Long]("tp") == 3L)
+    assert(a.getAs[Double]("precision") == 0.75 && a.getAs[Double]("f1") == 0.75)
+    val b = out("b")
+    assert(b.getAs[Double]("precision") == 0.6666)
+    assert(b.getAs[Double]("recall") == 0.6666)
+    val c = out("c")
+    assert(c.isNullAt(c.fieldIndex("precision")))
+    assert(c.getAs[Double]("recall") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("f1")))
+    val z = out("z")
+    assert(z.getAs[Long]("n_true") == 0L && z.getAs[Long]("n_pred") == 1L)
+    assert(z.getAs[Double]("precision") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("recall")))
+    val mac = out("__macro__")
+    assert(mac.getAs[Long]("n_true") == 8L && mac.getAs[Long]("tp") == 5L)
+    assert(mac.getAs[Double]("precision") == 0.3541)
+    assert(mac.getAs[Double]("recall") == 0.3541)
+    val mic = out("__micro__")
+    assert(mic.getAs[Double]("precision") == 0.625)
+    assert(mic.getAs[Double]("recall") == 0.625)
+    assert(mic.getAs[Double]("f1") == 0.625)
+    assert(out.size == 6)
+  }
+
   test("ngramOverlap: hand-computed precisions, clipping, rouge, bleu core") {
     val df = Seq(
       // prefix: p1=p2=p3=1, p4 NULL (3 tokens) → bleu NULL;
