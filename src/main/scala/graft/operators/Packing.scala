@@ -99,4 +99,35 @@ object Packing {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /** Similarity-ordered sequence packing — the cluster approximation
+    * of In-Context Pretraining (Shi et al., ICLR'24): instead of
+    * concatenating documents in arrival order, related documents pack
+    * ADJACENTLY so a training sequence carries coherent context
+    * across its document boundaries. The paper's traveling-salesman
+    * nearest-neighbor chain is corpus-sequential and cannot run at
+    * 100 TB; the scalable form is coarse-cluster-then-order: the IVF
+    * quantizer's cells are the coherence unit, each cell packs
+    * independently as its own shard ([[packSequences]]'s
+    * always-partitioned window — a global similarity chain would
+    * serialize the corpus through one task), and within a cell the
+    * deterministic id order keeps the packing stable across runs.
+    * Output: (id, cluster, n_tokens, seq_id, tok_offset) — seq ids
+    * are CLUSTER-local, exactly packSequences' shard contract.
+    */
+  def packBySimilarity(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      nTokens: Column,
+      centroids: Array[Array[Double]],
+      budget: Int): DataFrame = {
+    val toks = corpus.select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+    val asg = Similarity.ivfAssign(corpus, id, vec, centroids)
+      .select(col("id"), col("cluster"))
+    packSequences(asg.join(toks, "id"), col("cluster"), Seq(col("id")),
+        col("n_tokens"), budget)
+      .select(col("id"), col("cluster"), col("n_tokens"), col("seq_id"),
+        col("tok_offset"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.tokens
-import graft.operators.{Dedup, Sampling, Similarity, TextMetrics}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextMetrics}
 
 /** Near-duplicate detection and similarity search (SURVEY §2.D2-D7).
   *
@@ -1325,6 +1325,42 @@ object DedupQueries {
         e, col("id"), col("v"), nCentroids = 8, iters = 3)
       Similarity.clusterQuality(e, col("id"), col("v"), centroids)
         .orderBy("cluster")
+    },
+
+    // D114: similarity-ordered sequence packing (cluster-approximated
+    // In-Context Pretraining) — IVF cells as coherence units, each
+    // packing independently under the 512-token budget. Exact oracle:
+    // Lloyd replay + the exclusive-running-sum window + integer
+    // div/mod, all deterministic.
+    Q("q_pack_similar",
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |${ivfLloydCtes(iters = 3, d = 64, kExpr = "8")},
+         |tk AS (SELECT doc_id AS id,
+         |    CAST(len(list_filter(regexp_split_to_array(
+         |      regexp_replace(lower(text), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'),
+         |      t -> len(t) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT i.id, i.cluster, t.n_tokens FROM idx i JOIN tk t USING (id)),
+         |c AS (SELECT id, cluster, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY cluster ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM j)
+         |SELECT id, cluster, n_tokens,
+         |  CAST(cum // 512 AS BIGINT) AS seq_id,
+         |  CAST(cum % 512 AS BIGINT) AS tok_offset
+         |FROM c ORDER BY cluster, id""".stripMargin) { (s, dir) =>
+      import graft.functions.tokens
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val d = table(s, dir, "documents").select(
+        col("doc_id").as("id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      val cents = Similarity.trainIvfCentroids(
+        e, col("id"), col("v"), nCentroids = 8, iters = 3)
+      Packing.packBySimilarity(e.join(d, "id"), col("id"), col("v"),
+          col("n_toks"), cents, budget = 512)
+        .orderBy("cluster", "id")
     },
 
     // D57: product-quantization ANN (Jégou et al., TPAMI'11) — train

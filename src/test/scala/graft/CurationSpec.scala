@@ -299,6 +299,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packBySimilarity: related docs pack adjacently per cluster, clusters independent") {
+    // two tight 2-d clusters around (0,0) and (10,10); fixed centroids
+    // so assignment is exact. Cluster 0: ids 1,2,3 tokens 300 each →
+    // seq 0,0,1 offsets 0,300,88 under budget 512; cluster 1: ids
+    // 11,12 tokens 500,100 → seq 0,0 offsets 0,500... 500 >= 512? no:
+    // cum=500 < 512 → seq 0 offset 500. Restarting at 0 proves
+    // cluster-local packing.
+    val docs = Seq(
+      (1L, Seq(0.0, 0.1), 300L), (2L, Seq(0.1, 0.0), 300L),
+      (3L, Seq(0.0, 0.0), 300L),
+      (11L, Seq(10.0, 10.1), 500L), (12L, Seq(10.1, 10.0), 100L)
+    ).toDF("id", "v", "n_toks")
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val out = Packing.packBySimilarity(docs, col("id"), col("v"),
+        col("n_toks"), cents, budget = 512)
+      .select("id", "cluster", "seq_id", "tok_offset")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 0 && out(11L)._2 == 1)
+    assert(out(1L)._3 == 0L && out(1L)._4 == 0L)
+    assert(out(2L)._3 == 0L && out(2L)._4 == 300L)
+    assert(out(3L)._3 == 1L && out(3L)._4 == 88L)
+    // cluster 1 restarts its own sequence ids at 0
+    assert(out(11L)._3 == 0L && out(11L)._4 == 0L)
+    assert(out(12L)._3 == 0L && out(12L)._4 == 500L)
+  }
+
   test("curriculumOrder: stages partition by difficulty, positions follow stage order") {
     // difficulties 1..90: stage 1 = 1..30, 2 = 31..60, 3 = 61..90
     val d = (1L to 90L).map(i => (i, i % 3, i.toDouble)).toDF("id", "shard", "diff")
