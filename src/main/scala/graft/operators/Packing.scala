@@ -100,6 +100,36 @@ object Packing {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Length-bucketed batch assignment — the PADDING-mode counterpart
+    * of [[packSequences]]' concat mode, for fine-tuning/eval loaders
+    * that pad each batch to its longest member instead of splitting
+    * documents: per shard, documents order by (n_tokens DESC, id) and
+    * group into consecutive `batchSize`-doc batches, so near-equal
+    * lengths share a batch and the padding a batch wastes
+    * (n_docs·max − Σ len) is minimized for its neighborhood — the
+    * standard dynamic-batching trick. Deterministic: the id tiebreak
+    * pins equal-length order, so batch ids are stable across runs.
+    * Output per doc: (shard, id, n_tokens, batch_id); the padding
+    * report is one groupBy over this frame (see q_length_batches).
+    * Per-shard windows only — the packSequences partitioning
+    * contract; a global length sort would serialize the corpus.
+    */
+  def lengthBucketBatches(
+      df: DataFrame,
+      shard: Column,
+      id: Column,
+      nTokens: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").desc, col("id").asc)
+    df.select(shard.cast("string").as("shard"), id.cast("long").as("id"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(__rn - 1) div ${batchSize.toLong}"))
+      .drop("__rn")
+  }
+
   /** Similarity-ordered sequence packing — the cluster approximation
     * of In-Context Pretraining (Shi et al., ICLR'24): instead of
     * concatenating documents in arrival order, related documents pack

@@ -1259,6 +1259,50 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D115: length-bucketed batch assignment + padding-waste report —
+    // per-source 16-doc batches over the (n_tokens desc, id) order;
+    // the report aggregates each batch's max/sum/waste/fill. Exact
+    // oracle: one ranking window + integer div + a groupBy.
+    Q(
+      "q_length_batches",
+      """WITH tk AS (
+        |  SELECT source AS shard, doc_id AS id,
+        |    CAST(len(list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |a AS (SELECT shard, id, n_tokens,
+        |    CAST((row_number() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens DESC, id ASC) - 1) // 16 AS BIGINT) AS batch_id
+        |  FROM tk)
+        |SELECT shard, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste,
+        |  CASE WHEN count(*) * max(n_tokens) > 0
+        |    THEN floor(CAST(sum(n_tokens) AS DOUBLE)
+        |      / CAST(count(*) * max(n_tokens) AS DOUBLE) * 1e4) / 1e4
+        |  END AS fill_ratio
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.tokens
+      val d = table(s, dir, "documents").select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      Packing.lengthBucketBatches(d, col("source"), col("doc_id"), col("nt"),
+          batchSize = 16)
+        .groupBy("shard", "batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("token_sum"),
+          (count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
+            .as("padding_waste"),
+          when(count(lit(1)) * max(col("n_tokens")) > 0,
+            floor(sum(col("n_tokens")).cast("double")
+              / (count(lit(1)) * max(col("n_tokens"))).cast("double") * 1e4) / 1e4)
+            .as("fill_ratio"))
+        .orderBy("shard", "batch_id")
+    },
+
     // D19b: whole-document FFD bin packing under a 512-token budget —
     // the fine-tuning/eval packing mode (docs never split). The greedy
     // placement is sequential per shard, but DETERMINISTIC — the

@@ -299,6 +299,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lengthBucketBatches: desc-length grouping, id tiebreak, shard isolation") {
+    // shard A tokens by id: 1→100, 2→10, 3→90, 4→5, 5→80; sorted desc
+    // → batches {100,90} {80,10} {5}: total padding 10+70+0 = 80 (the
+    // arrival-order grouping would waste 175). shard B: one doc.
+    val d = Seq(
+      ("A", 1L, 100L), ("A", 2L, 10L), ("A", 3L, 90L),
+      ("A", 4L, 5L), ("A", 5L, 80L),
+      ("B", 9L, 7L)
+    ).toDF("sh", "id", "nt")
+    val out = Packing.lengthBucketBatches(d, col("sh"), col("id"), col("nt"), 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("A", 1L)) == 0L && out(("A", 3L)) == 0L)
+    assert(out(("A", 5L)) == 1L && out(("A", 2L)) == 1L)
+    assert(out(("A", 4L)) == 2L)
+    assert(out(("B", 9L)) == 0L)
+    // equal lengths: id asc pins the order
+    val ties = Seq(("A", 1L, 50L), ("A", 2L, 50L), ("A", 3L, 50L))
+      .toDF("sh", "id", "nt")
+    val t = Packing.lengthBucketBatches(ties, col("sh"), col("id"), col("nt"), 2)
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(t(1L) == 0L && t(2L) == 0L && t(3L) == 1L)
+  }
+
   test("packBySimilarity: related docs pack adjacently per cluster, clusters independent") {
     // two tight 2-d clusters around (0,0) and (10,10); fixed centroids
     // so assignment is exact. Cluster 0: ids 1,2,3 tokens 300 each →
