@@ -1140,4 +1140,72 @@ object Stats {
         col("mean_control"), col("lift"), col("ci_lo"), col("ci_hi"),
         col("p_positive"), col("n_resamples"))
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the experiment
+    * readout that borrows a pre-period covariate to shrink metric
+    * variance: θ = cov(x, y)/var(x) pooled over ALL units (the
+    * shared-θ form, so the adjustment can never leak treatment
+    * signal), adjusted metric y − θ(x − x̄). Per group reports raw vs
+    * adjusted mean and SAMPLE variance plus the realized
+    * variance_reduction = 1 − var_adj/var_raw — the number that says
+    * how much experiment runtime the covariate buys.
+    *
+    * Nothing per-row ever carries a double: group moments (Σy, Σx,
+    * Σxy, Σxx, Σyy) accumulate on exact 6-dp decimal lanes
+    * (q_correlations' contract), pooled sums are sums of group sums
+    * (exact), and the adjusted moments derive ALGEBRAICALLY —
+    * mean_adj = ȳ_g − θ(x̄_g − x̄), var_adj = var_y − 2θ·cov_g + θ²·var_x
+    * (the variance of the adjusted variable, so ≥ 0 for any θ) — a
+    * fixed double expression over exact inputs, identical IEEE on
+    * both engines. Zero pooled covariate variance degenerates to
+    * θ = 0 (report equals raw) + the flag; n < 2 groups report NULL
+    * variances. 4-dp floors.
+    *
+    * Shape at scale: ONE partial-agg moments pass, pooled θ from the
+    * summed group frame (bounded by |groups|), a broadcast join back,
+    * one projection.
+    */
+  def cuped(df: DataFrame, group: Column, metric: Column,
+      covariate: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val t = df.select(group.cast("string").as("__g"),
+        metric.cast("double").as("__y"), covariate.cast("double").as("__x"))
+      .where(col("__g").isNotNull && col("__y").isNotNull &&
+        col("__x").isNotNull)
+    val g = t.groupBy("__g").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("__y"))).as("sy"), sum(dec(col("__x"))).as("sx"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("syy"))
+      .localCheckpoint() // two consumers: pooled θ + the per-group report
+    val pooled = g.agg(sum(col("n")).as("__nn"), sum(col("sy")).as("__py"),
+      sum(col("sx")).as("__px"), sum(col("sxy")).as("__pxy"),
+      sum(col("sxx")).as("__pxx"))
+    val j = g.crossJoin(broadcast(pooled))
+    val nn = col("__nn").cast("double")
+    val px = col("__px").cast("double"); val py = col("__py").cast("double")
+    val covP = nn * col("__pxy").cast("double") - px * py
+    val varP = nn * col("__pxx").cast("double") - px * px
+    val theta = when(varP > 0d, covP / varP).otherwise(lit(0.0))
+    val xbar = px / nn
+    val n = col("n").cast("double")
+    val sy = col("sy").cast("double"); val sx = col("sx").cast("double")
+    val meanRaw = sy / n
+    val meanAdj = meanRaw - theta * (sx / n - xbar)
+    val den = n * (n - lit(1.0))
+    val varRaw = (n * col("syy").cast("double") - sy * sy) / den
+    val covG = (n * col("sxy").cast("double") - sx * sy) / den
+    val varGx = (n * col("sxx").cast("double") - sx * sx) / den
+    val varAdj = varRaw - theta * covG * 2d + theta * theta * varGx
+    j.select(col("__g").as("grp"), col("n"),
+      Num.t4floor(meanRaw).as("mean_raw"),
+      Num.t4floor(meanAdj).as("mean_adj"),
+      when(col("n") >= 2, Num.t4floor(varRaw)).as("var_raw"),
+      when(col("n") >= 2, Num.t4floor(varAdj)).as("var_adj"),
+      when(col("n") >= 2 && varRaw > 0d,
+        Num.t4floor(lit(1.0) - varAdj / varRaw)).as("var_reduction"),
+      Num.t4floor(theta).as("theta"),
+      (varP <= 0d).as("degenerate"))
+  }
 }

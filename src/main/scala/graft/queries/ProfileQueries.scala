@@ -474,6 +474,69 @@ object ProfileQueries {
         col("event_type"), col("value"), groupA = "click", groupB = "view")
     },
 
+    // C78: CUPED variance reduction — covariate = floor(value) +
+    // event_id%7 (integer-valued, decimal-lane exact, strongly
+    // correlated with the metric so θ and the realized reduction are
+    // non-trivial). Oracle replays the moment lanes and the fixed
+    // double expression chain.
+    Q(
+      "q_cuped",
+      """WITH t AS (
+        |  SELECT event_type AS g, value AS y, floor(value) + (event_id % 7) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy
+        |  FROM t GROUP BY 1),
+        |p AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sy) AS py, sum(sx) AS px,
+        |    sum(sxy) AS pxy, sum(sxx) AS pxx FROM gg),
+        |d AS (SELECT gg.g, gg.n, gg.sy, gg.sx, gg.sxy, gg.sxx, gg.syy,
+        |    CAST(p.nn AS DOUBLE) * CAST(p.pxx AS DOUBLE)
+        |      - CAST(p.px AS DOUBLE) * CAST(p.px AS DOUBLE) AS varp,
+        |    CAST(p.nn AS DOUBLE) * CAST(p.pxy AS DOUBLE)
+        |      - CAST(p.px AS DOUBLE) * CAST(p.py AS DOUBLE) AS covp,
+        |    CAST(p.px AS DOUBLE) / CAST(p.nn AS DOUBLE) AS xbar
+        |  FROM gg CROSS JOIN p),
+        |e AS (SELECT *, CASE WHEN varp > 0.0 THEN covp / varp ELSE 0.0 END AS th
+        |  FROM d),
+        |f AS (SELECT g, n, th, varp,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mr,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - th * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar) AS ma,
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vr,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cg,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vx
+        |  FROM e)
+        |SELECT g AS grp, n,
+        |  floor(mr * 1e4) / 1e4 AS mean_raw,
+        |  floor(ma * 1e4) / 1e4 AS mean_adj,
+        |  CASE WHEN n >= 2 THEN floor(vr * 1e4) / 1e4 END AS var_raw,
+        |  CASE WHEN n >= 2
+        |    THEN floor((vr - th * cg * 2.0 + th * th * vx) * 1e4) / 1e4
+        |  END AS var_adj,
+        |  CASE WHEN n >= 2 AND vr > 0.0
+        |    THEN floor((1.0 - (vr - th * cg * 2.0 + th * th * vx) / vr) * 1e4) / 1e4
+        |  END AS var_reduction,
+        |  floor(th * 1e4) / 1e4 AS theta,
+        |  varp <= 0.0 AS degenerate
+        |FROM f ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      val e = graft.sources.Tables.events(s, dir).select(col("event_type"),
+        col("value"),
+        (floor(col("value")) + pmod(col("event_id"), lit(7))).as("x"))
+      graft.operators.Stats.cuped(e, col("event_type"), col("value"), col("x"))
+        .orderBy("grp")
+    },
+
     // D58: classifier threshold sweep (PR curve) — confusion counts +
     // precision/recall/F1 of `score >= t` per candidate cut, ALL
     // thresholds in ONE aggregate scan (the attrition shape). Score =

@@ -481,4 +481,37 @@ class BehaviorSpec extends SparkSpec {
     assert(cal.zip(cal.tail).forall { case (a, b) => a <= b },
       s"not monotone: ${cal.toSeq}")
   }
+
+  test("cuped: perfectly linear covariate eliminates variance; hand-exact theta") {
+    // y = 2x globally → pooled θ = 2, x̄ = 3; group A (x=1,2,3),
+    // B (x=4,5): adjusted means both equal 6, adjusted variances 0,
+    // reduction exactly 1.
+    val df = Seq(
+      ("A", 2.0, 1.0), ("A", 4.0, 2.0), ("A", 6.0, 3.0),
+      ("B", 8.0, 4.0), ("B", 10.0, 5.0)
+    ).toDF("g", "y", "x")
+    val out = graft.operators.Stats.cuped(df, col("g"), col("y"), col("x"))
+      .orderBy("grp").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Double]("theta") == 2.0)
+    assert(a.getAs[Double]("mean_raw") == 4.0 && a.getAs[Double]("mean_adj") == 6.0)
+    assert(a.getAs[Double]("var_raw") == 4.0 && a.getAs[Double]("var_adj") == 0.0)
+    assert(a.getAs[Double]("var_reduction") == 1.0)
+    assert(b.getAs[Double]("mean_raw") == 9.0 && b.getAs[Double]("mean_adj") == 6.0)
+    assert(b.getAs[Double]("var_adj") == 0.0)
+    assert(!a.getAs[Boolean]("degenerate"))
+  }
+
+  test("cuped: constant covariate degenerates to theta 0, report equals raw") {
+    val df = Seq(("A", 1.0, 5.0), ("A", 3.0, 5.0), ("B", 2.0, 5.0),
+      ("B", 4.0, 5.0)).toDF("g", "y", "x")
+    val out = graft.operators.Stats.cuped(df, col("g"), col("y"), col("x"))
+      .orderBy("grp").collect()
+    assert(out.forall(_.getAs[Boolean]("degenerate")))
+    assert(out.forall(r => r.getAs[Double]("theta") == 0.0))
+    assert(out.forall(r =>
+      r.getAs[Double]("mean_adj") == r.getAs[Double]("mean_raw")))
+    assert(out.forall(r =>
+      r.getAs[Double]("var_adj") == r.getAs[Double]("var_raw")))
+  }
 }
