@@ -1141,6 +1141,72 @@ object Stats {
         col("p_positive"), col("n_resamples"))
   }
 
+  /** Sample-ratio-mismatch check — the validity gate that runs BEFORE
+    * any experiment readout ([[twoSampleZ]], [[cuped]]): a χ²
+    * goodness-of-fit of observed arm counts against the DECLARED
+    * allocation (not the independence test — [[chiSquared]] — which
+    * asks a different question). An experiment whose traffic split
+    * disagrees with its design is biased in ways no downstream
+    * correction fixes, so the standard practice is a tiny α — the
+    * default `critical` 10.828 is χ²(1) at α=0.001 for a two-arm
+    * split; callers with k arms pass the χ²(k−1) value for their α.
+    *
+    * Output: one row per DECLARED arm (n_obs, n_expected = frac·N,
+    * the arm's χ² term) plus one row per UNDECLARED observed arm
+    * (frac/term NULL — its existence alone flags the experiment:
+    * traffic in an arm the design doesn't know about IS a mismatch);
+    * every row carries the totals (chi2, dof = k−1, srm_flagged,
+    * degenerate = no observations in any declared arm). N counts
+    * declared arms only. χ² terms ride 7-dp decimal lanes (the
+    * chiSquared contract); one partial-agg pass, config-sized frames
+    * after it.
+    */
+  def srmCheck(df: DataFrame, group: Column,
+      expected: Seq[(String, Double)],
+      critical: Double = 10.828): DataFrame = {
+    require(expected.nonEmpty, "expected allocation must be non-empty")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "duplicate arm in expected")
+    require(expected.forall(_._2 > 0), "expected fractions must be > 0")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      "expected fractions must sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expDf = expected.toDF("grp", "frac")
+    val counts = df.select(group.cast("string").as("grp"))
+      .where(col("grp").isNotNull)
+      .groupBy("grp").agg(count(lit(1)).as("n_obs"))
+    val arms = expDf.join(counts, Seq("grp"), "full_outer")
+      .select(col("grp"), col("frac"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .localCheckpoint() // three consumers: N, terms, report
+    val tot = arms.agg(
+      coalesce(sum(when(col("frac").isNotNull, col("n_obs"))), lit(0L)).as("__N"),
+      coalesce(sum(when(col("frac").isNull, lit(1L))), lit(0L)).as("__n_undeclared"))
+    val j = arms.crossJoin(broadcast(tot))
+    val nExp = col("frac") * col("__N").cast("double")
+    val term = when(col("frac").isNotNull && col("__N") > 0,
+      (col("n_obs").cast("double") - nExp) * (col("n_obs").cast("double") - nExp)
+        / nExp)
+    val withTerm = j.withColumn("__term", term).localCheckpoint()
+    val chi = withTerm.agg(
+      coalesce(sum((floor(col("__term") * 1e7) / 1e7).cast("decimal(20,7)")),
+        lit(0).cast("decimal(20,7)")).as("__chi2"))
+    val out = withTerm.crossJoin(broadcast(chi))
+    val chi2 = floor(col("__chi2").cast("double") * 1e4) / 1e4
+    val degenerate = col("__N") === 0
+    val flagged = !degenerate &&
+      (col("__n_undeclared") > 0 || col("__chi2").cast("double") > critical)
+    out.select(col("grp"),
+      col("n_obs"),
+      Num.t4floor(col("frac")).as("frac_expected"),
+      when(col("frac").isNotNull, Num.t4floor(nExp)).as("n_expected"),
+      Num.t4floor(col("__term")).as("chi2_term"),
+      chi2.as("chi2"),
+      lit(expected.size.toLong - 1L).as("dof"),
+      flagged.as("srm_flagged"),
+      degenerate.as("degenerate"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the experiment
     * readout that borrows a pre-period covariate to shrink metric
     * variance: θ = cov(x, y)/var(x) pooled over ALL units (the

@@ -474,6 +474,53 @@ object ProfileQueries {
         col("event_type"), col("value"), groupA = "click", groupB = "view")
     },
 
+    // C79: sample-ratio-mismatch gate — arms = user_id parity with a
+    // planted 211-cycle 'ghost' arm the design doesn't declare, so
+    // the undeclared-arm path flags. Exact oracle on the 7-dp term
+    // lanes.
+    Q(
+      "q_srm_check",
+      """WITH t AS (
+        |  SELECT CASE WHEN user_id % 211 = 0 THEN 'ghost'
+        |    ELSE CAST(user_id % 2 AS VARCHAR) END AS grp
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_obs FROM t GROUP BY 1),
+        |exp0(grp, frac) AS (VALUES ('0', CAST(0.5 AS DOUBLE)), ('1', CAST(0.5 AS DOUBLE))),
+        |arms AS (SELECT coalesce(e.grp, c.grp) AS grp, e.frac,
+        |    coalesce(c.n_obs, 0) AS n_obs
+        |  FROM exp0 e FULL OUTER JOIN cnt c ON e.grp = c.grp),
+        |tot AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN frac IS NOT NULL THEN n_obs END), 0) AS BIGINT) AS N,
+        |    CAST(coalesce(sum(CASE WHEN frac IS NULL THEN 1 END), 0) AS BIGINT) AS undecl
+        |  FROM arms),
+        |j AS (SELECT arms.grp, arms.frac, arms.n_obs, tot.N, tot.undecl,
+        |    CASE WHEN frac IS NOT NULL AND N > 0 THEN
+        |      (CAST(n_obs AS DOUBLE) - frac * CAST(N AS DOUBLE))
+        |      * (CAST(n_obs AS DOUBLE) - frac * CAST(N AS DOUBLE))
+        |      / (frac * CAST(N AS DOUBLE)) END AS term
+        |  FROM arms CROSS JOIN tot),
+        |chi AS (SELECT coalesce(sum(CAST(floor(term * 1e7) / 1e7 AS DECIMAL(20,7))),
+        |    CAST(0 AS DECIMAL(20,7))) AS c2 FROM j)
+        |SELECT grp, n_obs,
+        |  floor(frac * 1e4) / 1e4 AS frac_expected,
+        |  CASE WHEN frac IS NOT NULL
+        |    THEN floor(frac * CAST(N AS DOUBLE) * 1e4) / 1e4 END AS n_expected,
+        |  floor(term * 1e4) / 1e4 AS chi2_term,
+        |  floor(CAST(c2 AS DOUBLE) * 1e4) / 1e4 AS chi2,
+        |  CAST(1 AS BIGINT) AS dof,
+        |  (N > 0) AND (undecl > 0 OR CAST(c2 AS DOUBLE) > 10.828) AS srm_flagged,
+        |  N = 0 AS degenerate
+        |FROM j CROSS JOIN chi ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      val e = graft.sources.Tables.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(when(col("user_id") % 211 === 0, lit("ghost"))
+          .otherwise(pmod(col("user_id"), lit(2)).cast("string")).as("arm"))
+      graft.operators.Stats.srmCheck(e, col("arm"),
+          Seq("0" -> 0.5, "1" -> 0.5))
+        .orderBy("grp")
+    },
+
     // C78: CUPED variance reduction — covariate = floor(value) +
     // event_id%7 (integer-valued, decimal-lane exact, strongly
     // correlated with the metric so θ and the realized reduction are

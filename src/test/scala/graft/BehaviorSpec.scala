@@ -482,6 +482,44 @@ class BehaviorSpec extends SparkSpec {
       s"not monotone: ${cal.toSeq}")
   }
 
+  test("srmCheck: balanced passes, skew flags, undeclared arm flags, empty degenerates") {
+    import graft.operators.Stats
+    val even = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("arm")
+    val ok = Stats.srmCheck(even, col("arm"), Seq("a" -> 0.5, "b" -> 0.5))
+      .collect()
+    assert(ok.forall(!_.getAs[Boolean]("srm_flagged")))
+    assert(ok.forall(_.getAs[Double]("chi2") == 0.0))
+    assert(ok.head.getAs[Double]("n_expected") == 50.0)
+
+    // 90/10 on a declared 50/50: terms (40)²/50 = 32 each → chi2 64
+    val skew = (Seq.fill(90)("a") ++ Seq.fill(10)("b")).toDF("arm")
+    val bad = Stats.srmCheck(skew, col("arm"), Seq("a" -> 0.5, "b" -> 0.5))
+      .collect()
+    assert(bad.forall(_.getAs[Boolean]("srm_flagged")))
+    assert(bad.head.getAs[Double]("chi2") == 64.0)
+    assert(bad.head.getAs[Double]("chi2_term") == 32.0)
+
+    // balanced declared arms + traffic in an arm the design ignores
+    val ghost = (Seq.fill(50)("a") ++ Seq.fill(50)("b") ++ Seq.fill(5)("x"))
+      .toDF("arm")
+    val g = Stats.srmCheck(ghost, col("arm"), Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(g.size == 3)
+    assert(g("x").isNullAt(g("x").fieldIndex("frac_expected")))
+    assert(g.values.forall(_.getAs[Boolean]("srm_flagged")))
+    assert(g("a").getAs[Double]("chi2") == 0.0) // the χ² itself is clean
+
+    val empty = Seq.empty[String].toDF("arm")
+    val e = Stats.srmCheck(empty, col("arm"), Seq("a" -> 0.5, "b" -> 0.5))
+      .collect()
+    assert(e.forall(_.getAs[Boolean]("degenerate")))
+    assert(e.forall(!_.getAs[Boolean]("srm_flagged")))
+
+    intercept[IllegalArgumentException] {
+      Stats.srmCheck(even, col("arm"), Seq("a" -> 0.7, "b" -> 0.7))
+    }
+  }
+
   test("cuped: perfectly linear covariate eliminates variance; hand-exact theta") {
     // y = 2x globally → pooled θ = 2, x̄ = 3; group A (x=1,2,3),
     // B (x=4,5): adjusted means both equal 6, adjusted variances 0,
