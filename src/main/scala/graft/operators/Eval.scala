@@ -281,6 +281,66 @@ object Eval {
       degenerate.as("degenerate"))
   }
 
+  /** Krippendorff's alpha (nominal metric) — the agreement
+    * coefficient built for ARBITRARY missingness, completing the
+    * family ([[cohenKappa]]: 2 raters; [[fleissKappa]]: n raters,
+    * chance from category prevalence): alpha compares observed to
+    * expected DISAGREEMENT over the coincidence matrix, so items
+    * with any number of ratings ≥ 2 contribute exactly their
+    * pairable mass and no fixed-panel assumption ever enters.
+    *
+    *   A  = Σ_i Σ_c n_ic(n_ic−1)/(n_i−1)   (diagonal coincidence)
+    *   D_o = n − A            D_e = (n² − Σ_c n_c²)/(n−1)
+    *   α  = 1 − D_o/D_e
+    *
+    * Exactness: per-item diagonal mass is a ratio of integers
+    * truncated to a 7-dp decimal before the order-independent item
+    * sum (the [[fleissKappa]] lane); n, n_c and Σn_c² ride
+    * integer/decimal(38) lanes; two double divisions at the end.
+    * D_e = 0 (every rating one category, or n ≤ 1) flags
+    * `degenerate` with α = 0 — same convention as the kappas.
+    * Shape: the fleissKappa plan — two partial-agg groupBys over the
+    * (item, category) cell table + 1-row aggregates.
+    */
+  def krippendorffAlpha(df: DataFrame, item: Column,
+      category: Column): DataFrame = {
+    val t = df.select(item.cast("string").as("__i"),
+        category.cast("string").as("__c"))
+      .where(col("__i").isNotNull && col("__c").isNotNull)
+    val cells = t.groupBy("__i", "__c").agg(count(lit(1)).as("nic"))
+      .localCheckpoint() // two consumers: per-item mass + margins
+    val items = cells.groupBy("__i").agg(
+        sum(col("nic")).as("ni"),
+        sum(col("nic") * (col("nic") - lit(1L))).as("diagNum"))
+      .where(col("ni") >= 2)
+      .localCheckpoint() // two consumers: A lanes + the pairable filter
+    val aAgg = items.select(
+        ((col("diagNum")).cast("double") / (col("ni") - lit(1L)).cast("double"))
+          .as("ai"))
+      .select((floor(col("ai") * 1e7) / 1e7).cast("decimal(18,7)").as("aid"))
+      .agg(coalesce(sum(col("aid")), lit(0).cast("decimal(18,7)")).as("aSum"),
+        count(lit(1)).as("n_items"))
+    val margins = cells.join(items.select("__i"), "__i")
+      .groupBy("__c").agg(sum(col("nic")).as("nc"))
+      .agg(coalesce(sum(col("nc")), lit(0L)).as("nn"),
+        coalesce(sum(col("nc").cast("decimal(38,0)") *
+          col("nc").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .as("ncsq"),
+        count(lit(1)).as("n_categories"))
+    val j = aAgg.crossJoin(broadcast(margins))
+    val nn = col("nn").cast("double")
+    val dO = nn - col("aSum").cast("double")
+    val dE = when(col("nn") >= 2,
+      (nn * nn - col("ncsq").cast("double")) / (nn - lit(1.0)))
+    val degenerate = col("nn") < 2 || dE <= 0d
+    j.select(col("n_items"), col("nn").as("n_pairable"), col("n_categories"),
+      when(col("nn") === 0, lit(0.0)).otherwise(Num.t4floor(dO)).as("d_o"),
+      when(degenerate, lit(0.0)).otherwise(Num.t4floor(dE)).as("d_e"),
+      when(degenerate, lit(0.0)).otherwise(Num.t4zero(lit(1.0) - dO / dE))
+        .as("alpha"),
+      degenerate.as("degenerate"))
+  }
+
   /** Multi-class classification report — the confusion-derived
     * per-class precision/recall/F1 table plus macro and micro summary
     * rows, the standard eval surface for the [[Classify]] family's

@@ -261,6 +261,71 @@ object EvalQueries {
       Eval.fleissKappa(docs, col("it"), col("cat"))
     },
 
+    // D116: Krippendorff's alpha over the same synthetic rater pool
+    // family as D110 (89-item cohorts, 5 categories, 37-cycle
+    // missing) — the oracle replays the coincidence-diagonal lanes,
+    // integer margins, and the two final divisions.
+    Q(
+      "q_krippendorff",
+      """WITH r AS (
+        |  SELECT CAST(doc_id % 89 AS VARCHAR) AS i,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |         ELSE CAST((n_chars + doc_id) % 5 AS VARCHAR) END AS c
+        |  FROM documents),
+        |rr AS (SELECT i, c FROM r WHERE i IS NOT NULL AND c IS NOT NULL),
+        |cells AS (SELECT i, c, CAST(count(*) AS BIGINT) AS nic
+        |          FROM rr GROUP BY 1, 2),
+        |items AS (
+        |  SELECT i, CAST(sum(nic) AS BIGINT) AS ni,
+        |    CAST(sum(nic * (nic - 1)) AS BIGINT) AS diagnum
+        |  FROM cells GROUP BY 1 HAVING CAST(sum(nic) AS BIGINT) >= 2),
+        |aa AS (
+        |  SELECT coalesce(sum(CAST(floor(
+        |      CAST(diagnum AS DOUBLE) / CAST(ni - 1 AS DOUBLE) * 1e7) / 1e7
+        |      AS DECIMAL(18,7))), CAST(0 AS DECIMAL(18,7))) AS asum,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM items),
+        |mg AS (SELECT c, CAST(sum(nic) AS BIGINT) AS nc
+        |       FROM cells JOIN items USING (i) GROUP BY c),
+        |mm AS (
+        |  SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS nn,
+        |    coalesce(sum(CAST(nc AS DECIMAL(38,0)) * CAST(nc AS DECIMAL(38,0))),
+        |      CAST(0 AS DECIMAL(38,0))) AS ncsq,
+        |    CAST(count(*) AS BIGINT) AS n_categories
+        |  FROM mg)
+        |SELECT n_items, nn AS n_pairable, n_categories,
+        |  CASE WHEN nn = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE floor((CAST(nn AS DOUBLE) - CAST(asum AS DOUBLE)) * 1e4) / 1e4
+        |  END AS d_o,
+        |  CASE WHEN nn < 2 OR (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      - CAST(ncsq AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0) <= 0.0
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE floor((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      - CAST(ncsq AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0) * 1e4) / 1e4
+        |  END AS d_e,
+        |  CASE WHEN nn < 2 OR (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      - CAST(ncsq AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0) <= 0.0
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE sign(1.0 - (CAST(nn AS DOUBLE) - CAST(asum AS DOUBLE))
+        |        / ((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(ncsq AS DOUBLE))
+        |          / (CAST(nn AS DOUBLE) - 1.0)))
+        |      * (floor(abs(1.0 - (CAST(nn AS DOUBLE) - CAST(asum AS DOUBLE))
+        |        / ((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(ncsq AS DOUBLE))
+        |          / (CAST(nn AS DOUBLE) - 1.0))) * 1e4) / 1e4) + 0.0
+        |  END AS alpha,
+        |  (nn < 2 OR (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |    - CAST(ncsq AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0) <= 0.0)
+        |    AS degenerate
+        |FROM aa CROSS JOIN mm""".stripMargin
+    ) { (s, dir) =>
+      val docs = table(s, dir, "documents").select(
+        pmod(col("doc_id"), lit(89L)).as("it"),
+        when(col("doc_id") % 37 === 0, lit(null))
+          .otherwise(((col("n_chars") + col("doc_id")) % 5).cast("string"))
+          .as("cat"))
+      Eval.krippendorffAlpha(docs, col("it"), col("cat"))
+    },
+
     // D113: multi-class classification report — truth = source, the
     // predictor mislabels every 7th doc as the phantom class 'noise'
     // (exercising the n_true=0 → recall NULL → macro-0 path) and every

@@ -262,6 +262,35 @@ class EvalSpec extends SparkSpec {
     assert(!out.getAs[Boolean]("degenerate"))
   }
 
+  test("krippendorffAlpha: hand-exact nominal alpha with missingness") {
+    // A [x,x] diag 2, B [y,y] diag 2, C [x,y] diag 0, D [x] excluded.
+    // n = 6, A = 4 → D_o = 2; margins x=3, y=3 → D_e = (36−18)/5 = 3.6;
+    // α = 1 − 2/3.6 = 0.4444 (toward zero at 4 dp).
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"),
+      ("C", "x"), ("C", "y"), ("D", "x")
+    ).toDF("item", "cat")
+    val out = Eval.krippendorffAlpha(df, col("item"), col("cat")).collect()(0)
+    assert(out.getAs[Long]("n_items") == 3L)
+    assert(out.getAs[Long]("n_pairable") == 6L)
+    assert(out.getAs[Double]("d_o") == 2.0)
+    assert(out.getAs[Double]("d_e") == 3.6)
+    assert(out.getAs[Double]("alpha") == 0.4444)
+    assert(!out.getAs[Boolean]("degenerate"))
+
+    // chance-level: A [x,x], B [x,y], C [y,y,x] → D_o = 4, D_e = 4, α = 0
+    val chance = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y"), ("C", "x")).toDF("item", "cat")
+    val c = Eval.krippendorffAlpha(chance, col("item"), col("cat")).collect()(0)
+    assert(c.getAs[Double]("alpha") == 0.0 && !c.getAs[Boolean]("degenerate"))
+
+    // single category everywhere: D_e = 0 → degenerate
+    val mono = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+      .toDF("item", "cat")
+    val m = Eval.krippendorffAlpha(mono, col("item"), col("cat")).collect()(0)
+    assert(m.getAs[Boolean]("degenerate") && m.getAs[Double]("alpha") == 0.0)
+  }
+
   test("fleissKappa perfect agreement, degenerate single category, empty input") {
     // unanimous items over 2 categories: P̄=1, P̄_e=0.5, κ=1
     val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
