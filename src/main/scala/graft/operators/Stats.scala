@@ -1207,6 +1207,53 @@ object Stats {
       degenerate.as("degenerate"))
   }
 
+  /** Distribution-free quantile confidence interval from ORDER
+    * STATISTICS — the median-CI answer that needs no resampling
+    * ([[graft.operators.Eval.bootstrapCI]] covers means; a bootstrap
+    * for a corpus-scale median costs B full passes, this costs one):
+    * the number of observations ≤ the true q-quantile is
+    * Binomial(n, q), so the interval is a pair of ranks around n·q,
+    *
+    *   rank_lo = max(1, ⌊nq − z·√(nq(1−q))⌋)
+    *   rank_hi = min(n, ⌈nq + z·√(nq(1−q))⌉ + 1)
+    *
+    * (the classic normal-approximation bracket; z = 1.96 ≈ 95%),
+    * and the CI endpoints are the DATA VALUES at those ranks —
+    * reported exactly, no rounding, since a rank picks the same
+    * value on any engine regardless of how row_number breaks ties
+    * between equal values. Point estimate = the type-1 quantile
+    * x_(⌈nq⌉). Per-group windows only; the rank frame is
+    * group-sized and broadcasts.
+    */
+  def quantileCI(df: DataFrame, group: Column, value: Column,
+      q: Double = 0.5, z: Double = 1.96): DataFrame = {
+    require(q > 0 && q < 1, "q in (0, 1)")
+    require(z > 0, "z must be positive")
+    val t = df.select(group.cast("string").as("__g"),
+        value.cast("double").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+    val nd = col("n").cast("double")
+    val se = lit(z) * sqrt(nd * lit(q) * lit(1 - q))
+    val ranks = t.groupBy("__g").agg(count(lit(1)).as("n"))
+      .select(col("__g"), col("n"),
+        greatest(lit(1L), floor(nd * lit(q) - se)).as("rank_lo"),
+        least(col("n"), ceil(nd * lit(q) + se) + lit(1L)).as("rank_hi"),
+        greatest(lit(1L), ceil(nd * lit(q))).as("rank_pt"))
+    val w = Window.partitionBy("__g").orderBy(col("__v").asc)
+    t.withColumn("__r", row_number().over(w))
+      .join(broadcast(ranks), "__g")
+      .filter(col("__r") === col("rank_lo") || col("__r") === col("rank_hi") ||
+        col("__r") === col("rank_pt"))
+      .groupBy("__g").agg(
+        max(col("n")).as("n"),
+        min(when(col("__r") === col("rank_pt"), col("__v"))).as("point"),
+        min(when(col("__r") === col("rank_lo"), col("__v"))).as("ci_lo"),
+        min(when(col("__r") === col("rank_hi"), col("__v"))).as("ci_hi"),
+        max(col("rank_lo")).as("rank_lo"), max(col("rank_hi")).as("rank_hi"))
+      .select(col("__g").as("grp"), col("n"), lit(q).as("q"), col("point"),
+        col("ci_lo"), col("ci_hi"), col("rank_lo"), col("rank_hi"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the experiment
     * readout that borrows a pre-period covariate to shrink metric
     * variance: θ = cov(x, y)/var(x) pooled over ALL units (the

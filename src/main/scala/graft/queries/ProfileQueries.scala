@@ -474,6 +474,38 @@ object ProfileQueries {
         col("event_type"), col("value"), groupA = "click", groupB = "view")
     },
 
+    // C80: order-statistic median CI per event type — rank bracket
+    // replayed exactly; CI endpoints are data values (no rounding
+    // needed: a rank picks the same value on any engine).
+    Q(
+      "q_quantile_ci",
+      """WITH t AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |rk AS (SELECT g, n,
+        |    greatest(1, CAST(floor(CAST(n AS DOUBLE) * 0.5
+        |      - 1.96 * sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5)) AS BIGINT)) AS rank_lo,
+        |    least(n, CAST(ceil(CAST(n AS DOUBLE) * 0.5
+        |      + 1.96 * sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5)) AS BIGINT) + 1) AS rank_hi,
+        |    greatest(1, CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT)) AS rank_pt
+        |  FROM n),
+        |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v ASC) AS r
+        |  FROM t)
+        |SELECT o.g AS grp, rk.n, CAST(0.5 AS DOUBLE) AS q,
+        |  min(CASE WHEN r = rank_pt THEN v END) AS point,
+        |  min(CASE WHEN r = rank_lo THEN v END) AS ci_lo,
+        |  min(CASE WHEN r = rank_hi THEN v END) AS ci_hi,
+        |  rk.rank_lo, rk.rank_hi
+        |FROM o JOIN rk ON o.g = rk.g
+        |WHERE r = rank_lo OR r = rank_hi OR r = rank_pt
+        |GROUP BY o.g, rk.n, rk.rank_lo, rk.rank_hi
+        |ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.quantileCI(graft.sources.Tables.events(s, dir),
+          col("event_type"), col("value"))
+        .orderBy("grp")
+    },
+
     // C79: sample-ratio-mismatch gate — arms = user_id parity with a
     // planted 211-cycle 'ghost' arm the design doesn't declare, so
     // the undeclared-arm path flags. Exact oracle on the 7-dp term

@@ -482,6 +482,28 @@ class BehaviorSpec extends SparkSpec {
       s"not monotone: ${cal.toSeq}")
   }
 
+  test("quantileCI: hand-computed rank bracket, clamping, ties") {
+    import graft.operators.Stats
+    // n=25: nq=12.5, se=1.96·2.5=4.9 → ranks lo=7, pt=13, hi=19
+    val d = (1 to 25).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val r = Stats.quantileCI(d, col("g"), col("v")).collect()(0)
+    assert(r.getAs[Long]("rank_lo") == 7L && r.getAs[Long]("rank_hi") == 19L)
+    assert(r.getAs[Double]("point") == 13.0)
+    assert(r.getAs[Double]("ci_lo") == 7.0 && r.getAs[Double]("ci_hi") == 19.0)
+
+    // n=2: lo clamps to 1, hi clamps to n
+    val tiny = Seq(("a", 10.0), ("a", 20.0)).toDF("g", "v")
+    val t = Stats.quantileCI(tiny, col("g"), col("v")).collect()(0)
+    assert(t.getAs[Double]("point") == 10.0)
+    assert(t.getAs[Double]("ci_lo") == 10.0 && t.getAs[Double]("ci_hi") == 20.0)
+
+    // all-equal values: every endpoint is that value
+    val ties = Seq.fill(9)(("a", 3.5)).toDF("g", "v")
+    val e = Stats.quantileCI(ties, col("g"), col("v")).collect()(0)
+    assert(e.getAs[Double]("ci_lo") == 3.5 && e.getAs[Double]("ci_hi") == 3.5)
+    assert(e.getAs[Double]("point") == 3.5)
+  }
+
   test("srmCheck: balanced passes, skew flags, undeclared arm flags, empty degenerates") {
     import graft.operators.Stats
     val even = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("arm")
