@@ -1163,6 +1163,19 @@ object Stats {
     */
   def srmCheck(df: DataFrame, group: Column,
       expected: Seq[(String, Double)],
+      critical: Double = 10.828): DataFrame =
+    srmCheckCounts(
+      df.select(group.cast("string").as("grp"))
+        .where(col("grp").isNotNull)
+        .groupBy("grp").agg(count(lit(1)).as("n_obs")),
+      expected, critical)
+
+  /** [[srmCheck]] over PRE-AGGREGATED (grp, n_obs) counts — the entry
+    * point for maintained count tables (the E31 streaming cells, a
+    * persisted assignment ledger): same math, same output.
+    */
+  def srmCheckCounts(counts: DataFrame,
+      expected: Seq[(String, Double)],
       critical: Double = 10.828): DataFrame = {
     require(expected.nonEmpty, "expected allocation must be non-empty")
     require(expected.map(_._1).distinct.size == expected.size,
@@ -1170,13 +1183,11 @@ object Stats {
     require(expected.forall(_._2 > 0), "expected fractions must be > 0")
     require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
       "expected fractions must sum to 1")
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     val expDf = expected.toDF("grp", "frac")
-    val counts = df.select(group.cast("string").as("grp"))
-      .where(col("grp").isNotNull)
-      .groupBy("grp").agg(count(lit(1)).as("n_obs"))
-    val arms = expDf.join(counts, Seq("grp"), "full_outer")
+    val arms = expDf
+      .join(counts.select(col("grp"), col("n_obs")), Seq("grp"), "full_outer")
       .select(col("grp"), col("frac"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
       .localCheckpoint() // three consumers: N, terms, report
     val tot = arms.agg(

@@ -759,6 +759,44 @@ object EventStreams {
       }
   }
 
+  case class ArmIn(arm: String)
+
+  case class ArmState(cnt: Long)
+
+  case class ArmCount(grp: String, n_obs: Long)
+
+  /** E31: streaming experiment-arm counting — the live half of the
+    * sample-ratio-mismatch gate ([[graft.operators.Stats.srmCheck]]):
+    * assignment events stream in, per-arm state is ONE count (the
+    * E30 cell contract — lossless by construction, counts only add),
+    * each touching micro-batch emits the arm's CURRENT total, and the
+    * SRM verdict is
+    * [[graft.operators.Stats.srmCheckCounts]] over the latest
+    * emission per arm — so a ramp that drifts off its declared split
+    * flags DURING the experiment, not at readout. The χ²/flag
+    * assembly stays a downstream config-sized query (it needs every
+    * arm at once; per-arm state cannot see its siblings, the same
+    * split as E30's cells vs the CMS probe). State bounded by
+    * distinct arms; no watermark — an assignment never un-happens.
+    */
+  def armCountStream(assignments: DataFrame): Dataset[ArmCount] = {
+    implicit val inEnc = Encoders.product[ArmIn]
+    implicit val outEnc = Encoders.product[ArmCount]
+    implicit val stEnc = Encoders.product[ArmState]
+    implicit val strEnc = Encoders.STRING
+    assignments.select(col("arm").cast("string").as("arm"))
+      .filter(col("arm").isNotNull)
+      .as[ArmIn]
+      .groupByKey(_.arm)
+      .flatMapGroupsWithState[ArmState, ArmCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (arm: String, rows: Iterator[ArmIn], state: GroupState[ArmState]) =>
+          val cnt = state.getOption.map(_.cnt).getOrElse(0L) + rows.size
+          state.update(ArmState(cnt))
+          Iterator.single(ArmCount(arm, cnt))
+      }
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

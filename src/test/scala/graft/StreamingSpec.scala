@@ -1059,6 +1059,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E31 armCountStream: assembled SRM equals the batch gate across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Stats
+    val arms = Seq.fill(40)("a") ++ Seq.fill(10)("b") ++ Seq("x", "x")
+    val input = MemoryStream[String](spark)
+    val q = graft.streaming.EventStreams.armCountStream(
+        input.toDF().toDF("arm"))
+      .writeStream.format("memory").queryName("e31_out").outputMode("append").start()
+    try {
+      input.addData(arms.take(30)) // all 'a' — ghost not yet seen
+      q.processAllAvailable()
+      input.addData(arms.drop(30))
+      q.processAllAvailable()
+      // latest emission per arm (max — counts only grow)
+      val cells = spark.table("e31_out")
+        .groupBy("grp").agg(max("n_obs").as("n_obs"))
+      val streamed = Stats.srmCheckCounts(cells, Seq("a" -> 0.5, "b" -> 0.5))
+        .orderBy("grp").collect()
+      val batch = Stats.srmCheck(arms.toDF("arm"), col("arm"),
+          Seq("a" -> 0.5, "b" -> 0.5))
+        .orderBy("grp").collect()
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+      assert(streamed.forall(_.getAs[Boolean]("srm_flagged")))
+      assert(streamed.head.getAs[Double]("chi2") == 18.0) // (40-25)²/25 ×2 = 18
+    } finally q.stop()
+  }
+
   test("E30 cmsCellStream: final cells equal the batch CMS exactly across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val terms = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "c")
