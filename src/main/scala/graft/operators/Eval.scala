@@ -488,6 +488,78 @@ object Eval {
         .as("length_ratio"))
   }
 
+  /** chrF — character n-gram F-score (Popović '15), the
+    * tokenization-free companion to [[ngramOverlap]]'s word-level
+    * BLEU/ROUGE: morphology-rich and unsegmented languages score
+    * fairly because nothing depends on a word splitter. Whitespace is
+    * removed (the chrF convention), character n-grams n = 1..`maxN`
+    * (default 6) are counted per side, and per-order clipped matches
+    * yield P_n / R_n; chrP / chrR are the arithmetic means over the
+    * MEASURABLE orders (a side shorter than n contributes no order-n
+    * statement — the ngramOverlap NULL contract, not a punitive 0),
+    * and chrF_β folds them with β = 2 (recall-weighted, the standard).
+    *
+    * Determinism: counts are exact integers; each P_n / R_n is one
+    * IEEE division; the order-average sums run over the FIXED order
+    * list 1..maxN textually (never data order); β² enters as integer
+    * literals; 4-dp floor reporting. Rows where no order is
+    * measurable on a side report NULL for that side and NULL chrF.
+    *
+    * Shape at scale: one projection strips whitespace, maxN gram
+    * explosions per side into one (id, n, gram) count table, one
+    * full-outer join per key, two partial-agg collapses — grams never
+    * leave their doc key (the ngramOverlap plan), nothing all-pairs.
+    */
+  def chrF(df: DataFrame, id: Column, candidate: Column,
+      reference: Column, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, "maxN in [1, 10]")
+    val strip = (c: Column) => regexp_replace(c, "\\s+", "")
+    val base = df.select(id.as("id"), strip(candidate).as("__c"),
+        strip(reference).as("__r"))
+      .localCheckpoint() // stripped once; 2·maxN gram scans + lengths
+    val lens = base.select(col("id"),
+      length(col("__c")).cast("long").as("len_cand"),
+      length(col("__r")).cast("long").as("len_ref"))
+    def grams(side: String, n: Int): Column =
+      transform(sequence(lit(1), length(col(side)) - n + 1),
+        i => col(side).substr(i, lit(n)))
+    def gramCounts(side: String, out: String): DataFrame =
+      (1 to maxN).map { n =>
+        base.filter(length(col(side)) >= n)
+          .select(col("id"), lit(n).as("__n"), explode(grams(side, n)).as("__g"))
+      }.reduce(_ unionByName _)
+        .groupBy("id", "__n", "__g").agg(count(lit(1)).as(out))
+    val perN = gramCounts("__c", "__cc")
+      .join(gramCounts("__r", "__cr"), Seq("id", "__n", "__g"), "full_outer")
+      .groupBy("id", "__n").agg(
+        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
+          .as("__m"),
+        sum(coalesce(col("__cc"), lit(0L))).as("__dc"),
+        sum(coalesce(col("__cr"), lit(0L))).as("__dr"))
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(sum(when(col("__n") === n, col("__m"))).as(s"__m$n"),
+        sum(when(col("__n") === n, col("__dc"))).as(s"__dc$n"),
+        sum(when(col("__n") === n, col("__dr"))).as(s"__dr$n"))
+    }
+    val wide = perN.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    def meas(d: String): Column = (1 to maxN).map(n =>
+      when(coalesce(col(s"__$d$n"), lit(0L)) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    def ratioSum(num: String, den: String): Column = (1 to maxN).map(n =>
+      when(coalesce(col(s"__$den$n"), lit(0L)) > 0,
+        col(s"__$num$n").cast("double") / col(s"__$den$n").cast("double"))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val chrp = when(meas("dc") > 0, ratioSum("m", "dc") / meas("dc"))
+    val chrr = when(meas("dr") > 0, ratioSum("m", "dr") / meas("dr"))
+    val f2 = when(chrp.isNotNull && chrr.isNotNull,
+      when(chrp + chrr > 0.0, lit(5.0) * chrp * chrr / (lit(4.0) * chrp + chrr))
+        .otherwise(lit(0.0)))
+    lens.join(wide, Seq("id"), "left").select(
+      col("id"), col("len_cand"), col("len_ref"),
+      Num.t4floor(chrp).as("chrp"), Num.t4floor(chrr).as("chrr"),
+      Num.t4floor(f2).as("chrf2"))
+  }
+
   /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
     * values are computed ONCE here in Scala and interpolated as
     * literals into both the Spark plan and the SQL twin, because the

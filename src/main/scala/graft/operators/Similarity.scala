@@ -1118,4 +1118,86 @@ object Similarity {
     selected.select(col("query_id"), col("mmr_rank"), col("doc_id"),
       col("rel"), col("mmr_score"))
   }
+
+  /** Greedy k-center coreset selection (farthest-point-first traversal,
+    * Gonzalez '85; the coreset active-selection recipe of Sener &
+    * Savarese '18) — the DIVERSITY face of data selection, next to
+    * [[mmrSelect]]'s per-query re-ranking: pick the k corpus points
+    * that 2-approximate the minimal covering radius, so a fine-tuning
+    * budget spends itself on the corpus's spread rather than its mode.
+    * Returns one row per selected center: `(rank, id, gap)` where
+    * `gap` is the squared L2 min-distance of the pick to the centers
+    * chosen before it (NULL for the seed) — the classic non-increasing
+    * gap curve; the last gap upper-bounds the uncovered radius².
+    *
+    * Deterministic end to end: the seed is the DISTINCT-vector pool
+    * entry with the lowest `xxhash64(min id)` (the trainIvfCentroids
+    * geometry-decorrelated contract — a lowest-id seed correlates with
+    * physical layout), each round's pick maximizes the running
+    * min-distance with an id tiebreak, and every distance is the
+    * row-local IEEE `‖c‖² − 2·v·c + ‖v‖²` both engines compute
+    * identically — the whole trajectory replays in SQL (q_kcenter).
+    * Corpora with fewer than k distinct vectors stop early at the
+    * honest maximum (a zero max-gap means every point IS a center —
+    * more picks would re-pick coincident vectors forever).
+    *
+    * Shape at scale: k passes, each ONE codegen'd projection updating
+    * a single running double per row (localCheckpoint-materialized so
+    * round r never replays rounds 1..r−1) + a distributed top-1
+    * (partial TakeOrdered per partition, one row to the driver). The
+    * selected centers are k rows of driver metadata (the IVF-centroid
+    * contract); nothing all-pairs, nothing collect()ed but the picks.
+    * `trainFraction` < 1 selects from a deterministic hash-sample —
+    * the FAISS training-sliver recipe — for corpora where even k
+    * linear passes should not touch every row.
+    */
+  def kCenterSelect(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(k >= 1 && k <= 4096, "k in [1, 4096]")
+    require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0,1]")
+    val spark = df.sparkSession
+    val all = df.select(id.as("id"), transform(vec, x => x.cast("double")).as("v"))
+    val base = (if (trainFraction < 1.0) Sampling.hashSample(all, col("id"), trainFraction)
+                else all)
+      .withColumn("__vv", dot(col("v"), col("v")))
+    val idType = base.schema("id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("gap", org.apache.spark.sql.types.DoubleType)))
+    val seedRows = base.groupBy(col("v")).agg(min(col("id")).as("id"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc).limit(1)
+      .select(col("id"), col("v")).collect()
+    if (seedRows.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    var center = seedRows.head.getSeq[Double](1).toArray
+    val picks = Seq.newBuilder[org.apache.spark.sql.Row]
+    picks += org.apache.spark.sql.Row(0, seedRows.head.get(0), null)
+    var cur = base
+      .withColumn("__dm", lit(Double.PositiveInfinity))
+      .localCheckpoint()
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val cn = center.map(x => x * x).sum
+      cur = cur.withColumn("__dm", least(col("__dm"),
+          lit(cn) - dot(col("v"), array(center.map(lit): _*)) * 2d + col("__vv")))
+        .localCheckpoint()
+      val top = cur.orderBy(col("__dm").desc, col("id").asc).limit(1)
+        .select(col("id"), col("v"), col("__dm")).collect()
+      if (top.isEmpty || top.head.getDouble(2) <= 0.0) exhausted = true
+      else {
+        picks += org.apache.spark.sql.Row(r, top.head.get(0),
+          math.floor(top.head.getDouble(2) * 1e4) / 1e4)
+        center = top.head.getSeq[Double](1).toArray
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picks.result(), 1), outSchema)
+  }
 }

@@ -649,6 +649,66 @@ object Stats {
           / 1e4).as("cramers_v"))
   }
 
+  /** One-way ANOVA across k groups — "does mean value differ by
+    * source/arm/segment?" generalizing [[twoSampleZ]]'s two-group
+    * readout: the between/within variance decomposition, F statistic,
+    * and the η² effect size (share of variance the grouping explains
+    * — the magnitude a dashboard consumes; the [[chiSquared]]
+    * convention: statistic + effect size, no fragile p lane —
+    * an F p-value needs the incomplete beta, which is not
+    * bit-contracted across engines).
+    *
+    * Shape at scale: one partial-aggregated moments pass to a ≤
+    * k-row frame (per group: n, Σx, Σx² on exact decimal lanes), the
+    * per-group S²/n term derived in double with a fixed operation
+    * order and truncated 7 dp into an exact decimal before the
+    * order-independent group sum (the mutualInformation discipline),
+    * three double ops at the end. NULL values and NULL groups are
+    * excluded (a NULL measurement is unmeasured, not zero — the
+    * calibration contract). Degenerate designs (k < 2, N ≤ k, or a
+    * zero within-variance) report f = 0 with `degenerate` = true.
+    *
+    * Returns ONE row: (n, k, ss_between, ss_within, f, eta_sq,
+    * degenerate) — sums of squares 4-dp floored, f/η² 4-dp floored.
+    */
+  def anovaOneWay(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def dec(c: Column): Column = Num.dec(c)
+    val per = df.filter(value.isNotNull && group.isNotNull)
+      .groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(value)).as("__s"),
+        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"))
+    // Σ_g S_g²/n_g: double per group (exact-decimal S cast once,
+    // squared, divided — fixed order), truncated 7 dp into a decimal
+    // so the cross-group sum is order-independent
+    val w7 = (floor(col("__s").cast("double") * col("__s").cast("double")
+      / col("__n") * 1e7) / 1e7).cast("decimal(30,7)")
+    val m = per.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__nn"),
+      count(lit(1)).as("__k"),
+      sum(col("__s")).as("__ts"),
+      sum(col("__q")).as("__tq"),
+      sum(w7).as("__w"))
+    val nn = col("__nn").cast("double")
+    val ssw = greatest(lit(0.0),
+      col("__tq").cast("double") - col("__w").cast("double"))
+    val ssb = greatest(lit(0.0),
+      col("__w").cast("double")
+        - col("__ts").cast("double") * col("__ts").cast("double") / nn)
+    val degenerate = col("__k") < 2 || col("__nn") <= col("__k") || ssw === 0.0
+    val f = when(degenerate, lit(0.0))
+      .otherwise(Num.t4floor((ssb / (col("__k") - 1).cast("double"))
+        / (ssw / (col("__nn") - col("__k")).cast("double"))))
+    m.select(
+      col("__nn").as("n"), col("__k").as("k"),
+      when(col("__nn") > 0, Num.t4floor(ssb)).otherwise(0.0).as("ss_between"),
+      when(col("__nn") > 0, Num.t4floor(ssw)).otherwise(0.0).as("ss_within"),
+      f.as("f"),
+      when(ssb + ssw > 0, Num.t4floor(ssb / (ssb + ssw)))
+        .otherwise(0.0).as("eta_sq"),
+      degenerate.as("degenerate"))
+  }
+
   /** Per-key ordinary-least-squares trend fit — "is this metric
     * drifting?" as a slope with goodness-of-fit, the regression
     * companion to [[rollingZ]]'s point alarms and

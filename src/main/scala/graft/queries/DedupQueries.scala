@@ -279,6 +279,46 @@ object DedupQueries {
        |FROM pc p LEFT JOIN db USING (cluster)
        |ORDER BY cluster""".stripMargin
 
+  /** The q_kcenter oracle: greedy farthest-point-first replay — the
+    * xxhash64(min id) seed over the distinct-vector pool, then k−1
+    * rounds each carrying the running min squared L2 (row-local IEEE
+    * `‖c‖² − 2·v·c + ‖v‖²`, the annIvfOracle association) and taking
+    * the (dm DESC, id ASC) top-1. Gaps floor-truncated 4 dp.
+    */
+  private def kCenterOracle(k: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""e AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ev AS MATERIALIZED (SELECT id, v, list_dot_product(v, v) AS vv FROM e),
+       |kcd AS (SELECT v, min(id) AS id FROM e GROUP BY v),
+       |kch0 AS (SELECT id, v, 42::HUGEINT AS h FROM kcd),
+       |${XxSql.hashLongCtes("kch", "kch0", "id", Seq("id", "v"), "kchh")},
+       |kchs AS (SELECT id, v,
+       |  CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS hs
+       |  FROM kchh),
+       |s0 AS MATERIALIZED (SELECT id, v FROM kchs ORDER BY hs, id LIMIT 1)""".stripMargin
+    for (r <- 1 until k) {
+      val prevPts = if (r == 1) "ev" else s"u${r - 1}"
+      val prevCen = if (r == 1) "s0" else s"p${r - 1}"
+      val prevDm = if (r == 1) "CAST('infinity' AS DOUBLE)" else "e.dm"
+      parts += s"""u$r AS MATERIALIZED (
+         |  SELECT e.id, e.v, e.vv,
+         |    least($prevDm,
+         |      list_dot_product(c.v, c.v) - list_dot_product(e.v, c.v) * 2.0 + e.vv) AS dm
+         |  FROM $prevPts e CROSS JOIN $prevCen c)""".stripMargin
+      parts += s"""p$r AS MATERIALIZED (
+         |  SELECT id, v, dm FROM u$r ORDER BY dm DESC, id ASC LIMIT 1)""".stripMargin
+    }
+    val rows = (s"SELECT CAST(0 AS INT) AS rank, id, CAST(NULL AS DOUBLE) AS gap FROM s0" +:
+      (1 until k).map(r =>
+        s"SELECT CAST($r AS INT), id, floor(dm * 1e4) / 1e4 FROM p$r")).mkString("\nUNION ALL ")
+    s"""WITH ${parts.result().mkString(",\n")}
+       |SELECT rank, id, gap FROM (
+       |$rows)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** CTE chain replaying [[graft.operators.Similarity.trainPqCodebooks]]
     * over a 64-dim `(id, v)` source CTE — the PQ-family oracle core,
     * the Lloyd template per subspace: sliced subvectors, seeded
@@ -1325,6 +1365,17 @@ object DedupQueries {
         e, col("id"), col("v"), nCentroids = 8, iters = 3)
       Similarity.clusterQuality(e, col("id"), col("v"), centroids)
         .orderBy("cluster")
+    },
+
+    // D117: greedy k-center coreset selection (farthest-point-first) —
+    // the diversity-budget data-selection pick sequence over the
+    // embedding corpus. Exact oracle: the seed hash, every running
+    // min-distance, and every (dm DESC, id ASC) top-1 replay in SQL;
+    // gaps are floor-truncated 4 dp on identical IEEE doubles.
+    Q("q_kcenter", kCenterOracle(k = 8)) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      Similarity.kCenterSelect(e, col("vec_id"), col("embedding"), k = 8)
+        .orderBy("rank")
     },
 
     // D114: similarity-ordered sequence packing (cluster-approximated

@@ -21,7 +21,86 @@ import graft.operators.{Eval, Sampling}
   */
 object EvalQueries {
 
+  /** The q_chrf oracle: whitespace-stripped char n-grams n = 1..6 per
+    * side, clipped matches, per-order P/R, order-averages over the
+    * measurable orders, β = 2 fold — every sum in the fixed 1..6
+    * textual order (the ngramOverlap wide-column replay).
+    */
+  private def chrfOracle: String = {
+    val ns = 1 to 6
+    val wideCols = ns.map(n =>
+      s"""    sum(CASE WHEN n=$n THEN m END) AS m$n, sum(CASE WHEN n=$n THEN dc END) AS dc$n, sum(CASE WHEN n=$n THEN dr END) AS dr$n""")
+      .mkString(",\n")
+    def measSum(d: String) = ns.map(n =>
+      s"CASE WHEN coalesce($d$n,0) > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    def ratioSum(d: String) = ns.map(n =>
+      s"CASE WHEN coalesce($d$n,0) > 0 THEN CAST(m$n AS DOUBLE)/CAST($d$n AS DOUBLE) ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id,
+       |    regexp_replace(substring(text, 1,
+       |      CAST(greatest(CAST(floor(length(text) * 4 / 5) AS BIGINT), 1) AS INT)),
+       |      '\\s+', '', 'g') AS c,
+       |    regexp_replace(text, '\\s+', '', 'g') AS r
+       |  FROM documents),
+       |cg AS (
+       |  SELECT id, n, unnest(list_transform(range(1, length(c) - n + 2),
+       |      i -> substring(c, CAST(i AS INT), CAST(n AS INT)))) AS g
+       |  FROM tk, unnest(generate_series(1, 6)) AS gg(n)
+       |  WHERE length(c) >= n),
+       |rg AS (
+       |  SELECT id, n, unnest(list_transform(range(1, length(r) - n + 2),
+       |      i -> substring(r, CAST(i AS INT), CAST(n AS INT)))) AS g
+       |  FROM tk, unnest(generate_series(1, 6)) AS gg(n)
+       |  WHERE length(r) >= n),
+       |ccnt AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS cc FROM cg GROUP BY 1,2,3),
+       |rcnt AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS cr FROM rg GROUP BY 1,2,3),
+       |j AS (SELECT coalesce(cc.id, rc.id) AS id, coalesce(cc.n, rc.n) AS n,
+       |    least(coalesce(cc.cc, 0), coalesce(rc.cr, 0)) AS m,
+       |    coalesce(cc.cc, 0) AS dc, coalesce(rc.cr, 0) AS dr
+       |  FROM ccnt cc FULL OUTER JOIN rcnt rc
+       |    ON cc.id = rc.id AND cc.n = rc.n AND cc.g = rc.g),
+       |pern AS (SELECT id, n, CAST(sum(m) AS BIGINT) AS m,
+       |    CAST(sum(dc) AS BIGINT) AS dc, CAST(sum(dr) AS BIGINT) AS dr
+       |  FROM j GROUP BY 1, 2),
+       |wide AS (SELECT id,
+       |$wideCols
+       |  FROM pern GROUP BY id),
+       |lens AS (SELECT id, CAST(length(c) AS BIGINT) AS len_cand,
+       |    CAST(length(r) AS BIGINT) AS len_ref FROM tk),
+       |fin AS (SELECT l.id, len_cand, len_ref,
+       |    ${measSum("dc")} AS mp, ${measSum("dr")} AS mr,
+       |    ${ratioSum("dc")} AS sp, ${ratioSum("dr")} AS sr
+       |  FROM lens l LEFT JOIN wide w USING (id))
+       |SELECT id, len_cand, len_ref,
+       |  CASE WHEN mp > 0 THEN floor(sp / mp * 1e4) / 1e4 END AS chrp,
+       |  CASE WHEN mr > 0 THEN floor(sr / mr * 1e4) / 1e4 END AS chrr,
+       |  CASE WHEN mp > 0 AND mr > 0 THEN
+       |    CASE WHEN sp / mp + sr / mr > 0.0
+       |      THEN floor(5.0 * (sp / mp) * (sr / mr)
+       |        / (4.0 * (sp / mp) + (sr / mr)) * 1e4) / 1e4
+       |      ELSE 0.0 END
+       |  END AS chrf2
+       |FROM fin
+       |ORDER BY id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // D118: chrF character n-gram F-score — candidate = the 4/5
+    // character prefix, reference = the original text (the
+    // q_ngram_overlap pairing at character level). Exact oracle: the
+    // stripped strings, the 6 gram levels, clipped counts, and the
+    // fixed-order averages replay on identical doubles.
+    Q("q_chrf", chrfOracle) { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val cand = col("text").substr(lit(1),
+        greatest(floor(length(col("text")) * 4 / 5), lit(1)).cast("int"))
+      val pairs = d.select(col("id"), cand.as("cand"), col("text").as("ref"))
+      Eval.chrF(pairs, col("id"), col("cand"), col("ref"))
+        .orderBy("id")
+    },
 
     // D90: unbiased pass@k (k = 4) per problem from sampled attempts.
     Q(

@@ -474,6 +474,44 @@ object ProfileQueries {
         col("event_type"), col("value"), groupA = "click", groupB = "view")
     },
 
+    // C81: one-way ANOVA of value across all event types — the
+    // k-group generalization of q_two_sample_z; per-group moments on
+    // exact decimal lanes, the S²/n group terms 7-dp truncated before
+    // the order-independent sum, F and eta² 4-dp floored.
+    Q(
+      "q_anova",
+      """WITH v AS (SELECT event_type AS g, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |        AS DECIMAL(38,12))) AS q
+        |  FROM v GROUP BY g),
+        |m AS (SELECT
+        |    coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
+        |    sum(s) AS ts, sum(q) AS tq,
+        |    sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7
+        |        AS DECIMAL(30,7))) AS w
+        |  FROM per),
+        |d AS (SELECT nn, k,
+        |    greatest(0.0, CAST(tq AS DOUBLE) - CAST(w AS DOUBLE)) AS ssw,
+        |    greatest(0.0, CAST(w AS DOUBLE)
+        |      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssb
+        |  FROM m)
+        |SELECT CAST(nn AS BIGINT) AS n, k,
+        |  CASE WHEN nn > 0 THEN floor(ssb * 1e4) / 1e4 ELSE 0.0 END AS ss_between,
+        |  CASE WHEN nn > 0 THEN floor(ssw * 1e4) / 1e4 ELSE 0.0 END AS ss_within,
+        |  CASE WHEN k < 2 OR nn <= k OR ssw = 0.0 THEN 0.0
+        |       ELSE floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e4) / 1e4 END AS f,
+        |  CASE WHEN ssb + ssw > 0 THEN floor(ssb / (ssb + ssw) * 1e4) / 1e4
+        |       ELSE 0.0 END AS eta_sq,
+        |  (k < 2 OR nn <= k OR ssw = 0.0) AS degenerate
+        |FROM d""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.anovaOneWay(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"))
+    },
+
     // C80: order-statistic median CI per event type — rank bracket
     // replayed exactly; CI endpoints are data values (no rounding
     // needed: a rank picks the same value on any engine).

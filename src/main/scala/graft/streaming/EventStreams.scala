@@ -797,6 +797,63 @@ object EventStreams {
       }
   }
 
+  case class RetIn(u: Long, w: Long)
+
+  case class RetState(ws: Seq[Long])
+
+  case class RetUser(u: Long, cohort: Long, ws: Seq[Long])
+
+  /** E32: streaming retention-cohort state — the live twin of
+    * [[graft.operators.Behavior.retentionCohorts]]: activity events
+    * stream in pre-bucketed to periods, per-user state is the SET of
+    * distinct periods seen (bounded by the time horizon — a year of
+    * weekly buckets is 52 longs — never by event volume), and each
+    * touching micro-batch emits the user's CURRENT (cohort, periods)
+    * row. The cohort is min-of-set, so a LATE-arriving earlier period
+    * legally rewrites the user's cohort — the emission carries the
+    * whole corrected state (no retraction protocol needed), and the
+    * assembly takes the LATEST emission per user (the E30/E31
+    * latest-cell contract: the set only grows, so latest = largest)
+    * then counts (cohort, period − cohort) — equal to the batch
+    * operator row for row. No watermark: activity never un-happens.
+    */
+  def retentionStateStream(activity: DataFrame): Dataset[RetUser] = {
+    implicit val inEnc = Encoders.product[RetIn]
+    implicit val outEnc = Encoders.product[RetUser]
+    implicit val stEnc = Encoders.product[RetState]
+    implicit val longEnc = Encoders.scalaLong
+    activity.select(col("u").cast("long"), col("w").cast("long"))
+      .filter(col("u").isNotNull && col("w").isNotNull)
+      .as[RetIn]
+      .groupByKey(_.u)
+      .flatMapGroupsWithState[RetState, RetUser](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (u: Long, rows: Iterator[RetIn], state: GroupState[RetState]) =>
+          val seen = state.getOption.map(_.ws.toSet).getOrElse(Set.empty[Long])
+          val merged = seen ++ rows.map(_.w)
+          val sorted = merged.toSeq.sorted
+          state.update(RetState(sorted))
+          Iterator.single(RetUser(u, sorted.head, sorted))
+      }
+  }
+
+  /** Assemble the retention table from the LATEST [[retentionStateStream]]
+    * emission per user (largest period set — the set only grows):
+    * explode periods, count (cohort, offset). Column-compatible with
+    * the batch operator's output.
+    */
+  def retentionAssemble(states: DataFrame): DataFrame = {
+    val latest = states
+      .withColumn("__sz", size(col("ws")))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")
+          .orderBy(col("__sz").desc, col("cohort").asc)))
+      .filter(col("__rk") === 1)
+    latest.select(col("cohort"), explode(col("ws")).as("w"))
+      .groupBy(col("cohort"), (col("w") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

@@ -93,6 +93,37 @@ class BehaviorSpec extends SparkSpec {
     assert(ab.getBoolean(5) == ba.getBoolean(5), s"$ab vs $ba")
   }
 
+  test("anovaOneWay: hand-computed F and eta²; degenerate designs; NULLs excluded") {
+    import graft.operators.Stats
+    // a={1,2,3} b={5,6,7} c={11,12,13}: SSW=6, SSB=152, F=(152/2)/(6/6)=76
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0),
+      ("c", 11.0), ("c", 12.0), ("c", 13.0)).toDF("g", "v")
+    val Array(r) = Stats.anovaOneWay(d, col("g"), col("v")).collect()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L, r.toString)
+    assert(r.getDouble(2) == 152.0 && r.getDouble(3) == 6.0, r.toString)
+    assert(r.getDouble(4) == 76.0, r.toString)
+    assert(r.getDouble(5) == math.floor(152.0 / 158.0 * 1e4) / 1e4, r.toString)
+    assert(!r.getBoolean(6), r.toString)
+    // NULL group / NULL value rows are unmeasured, not zero
+    val dn = d.union(Seq((null: String, 99.0)).toDF("g", "v"))
+      .union(Seq(("b", null: java.lang.Double)).toDF("g", "v"))
+    val Array(rn) = Stats.anovaOneWay(dn, col("g"), col("v")).collect()
+    assert(rn.getDouble(4) == 76.0 && rn.getLong(0) == 9L, rn.toString)
+    // single group and zero within-variance both degenerate to f=0
+    val single = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val Array(s) = Stats.anovaOneWay(single, col("g"), col("v")).collect()
+    assert(s.getDouble(4) == 0.0 && s.getBoolean(6), s.toString)
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0)).toDF("g", "v")
+    val Array(fl) = Stats.anovaOneWay(flat, col("g"), col("v")).collect()
+    assert(fl.getBoolean(6) && fl.getDouble(4) == 0.0 && fl.getDouble(2) == 16.0,
+      fl.toString)
+    // empty input: clean zero row, no NULL cascade
+    val Array(e) = Stats.anovaOneWay(Seq.empty[(String, Double)].toDF("g", "v"),
+      col("g"), col("v")).collect()
+    assert(e.getLong(0) == 0L && e.getDouble(4) == 0.0 && e.getBoolean(6), e.toString)
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")

@@ -1269,4 +1269,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(run() == run())
   }
+
+  test("kCenterSelect greedily maximizes the min-distance with non-increasing gaps") {
+    import spark.implicits._
+    val pts: Map[Long, Array[Double]] = Map(
+      1L -> Array(0.0, 0.0), 2L -> Array(0.1, 0.0), 3L -> Array(10.0, 0.0),
+      4L -> Array(10.0, 0.2), 5L -> Array(0.0, 7.0), 6L -> Array(5.0, 3.0))
+    val df = pts.toSeq.map { case (i, v) => (i, v) }.toDF("id", "v")
+    val out = Similarity.kCenterSelect(df, col("id"), col("v"), k = 4)
+      .orderBy("rank").collect()
+    assert(out.length == 4 && out.head.isNullAt(2))
+    // replay the greedy trajectory in plain Scala from the same seed
+    val seedId = out.head.getLong(1)
+    // replay the operator's own association: (‖c‖² − 2·v·c) + ‖v‖² —
+    // the (x−y)² form differs in the last ulp and can flip a floor cell
+    def d2(c: Array[Double], v: Array[Double]) = {
+      val cn = c.map(x => x * x).sum
+      val vc = v.zip(c).map { case (a, b) => a * b }.sum
+      cn - vc * 2.0 + v.map(x => x * x).sum
+    }
+    var centers = List(seedId)
+    for (r <- 1 to 3) {
+      val (bestId, bestD) = pts.toSeq
+        .map { case (i, v) => i -> centers.map(c => d2(pts(c), v)).min }
+        .minBy { case (i, d) => (-d, i) }
+      assert(out(r).getLong(1) == bestId, s"rank $r pick")
+      assert(math.abs(out(r).getDouble(2) - math.floor(bestD * 1e4) / 1e4) < 1e-9)
+      centers ::= bestId
+    }
+    val gaps = out.tail.map(_.getDouble(2))
+    assert(gaps.zip(gaps.tail).forall { case (a, b) => a >= b })
+    // fewer distinct vectors than k: stops at the honest maximum
+    val dup = Seq((1L, Array(1.0, 1.0)), (2L, Array(1.0, 1.0)),
+      (3L, Array(2.0, 2.0)), (4L, Array(2.0, 2.0))).toDF("id", "v")
+    val few = Similarity.kCenterSelect(dup, col("id"), col("v"), k = 4).collect()
+    assert(few.length == 2)
+  }
 }

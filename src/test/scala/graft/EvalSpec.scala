@@ -241,6 +241,38 @@ class EvalSpec extends SparkSpec {
     assert(r4.getAs[Double]("rouge1_recall") == 0.0)
   }
 
+  test("chrF: hand-computed order averages, whitespace stripping, NULL contract") {
+    val df = Seq(
+      // n=1: P=4/4, R=4/6; n=2: P=3/3, R=3/5 →
+      // chrP = 1.0, chrR = (2/3 + 3/5)/2, F2 = 5PR/(4P+R)
+      (1L, "abcd", "abcdef"),
+      // whitespace is stripped before gramming: same as row 1
+      (2L, "a b cd", "ab c def"),
+      // identical → all 1.0
+      (3L, "xyz", "xyz"),
+      // empty candidate: chrp / chrf2 NULL, chrr measured 0
+      (4L, "", "ab")
+    ).toDF("id", "cand", "ref")
+    val out = Eval.chrF(df, col("id"), col("cand"), col("ref"), maxN = 2)
+      .orderBy("id").collect()
+    val expR = (4.0 / 6.0 + 3.0 / 5.0) / 2
+    val expF = math.floor(5.0 * 1.0 * expR / (4.0 * 1.0 + expR) * 1e4) / 1e4
+    for (i <- 0 to 1) {
+      val r = out(i)
+      assert(r.getAs[Double]("chrp") == 1.0, r.toString)
+      assert(r.getAs[Double]("chrr") == math.floor(expR * 1e4) / 1e4, r.toString)
+      assert(r.getAs[Double]("chrf2") == expF, r.toString)
+      assert(r.getAs[Long]("len_cand") == 4L && r.getAs[Long]("len_ref") == 6L)
+    }
+    val r3 = out(2)
+    assert(r3.getAs[Double]("chrp") == 1.0 && r3.getAs[Double]("chrr") == 1.0
+      && r3.getAs[Double]("chrf2") == 1.0, r3.toString)
+    val r4 = out(3)
+    assert(r4.isNullAt(r4.fieldIndex("chrp")), r4.toString)
+    assert(r4.getAs[Double]("chrr") == 0.0, r4.toString)
+    assert(r4.isNullAt(r4.fieldIndex("chrf2")), r4.toString)
+  }
+
   test("fleissKappa hand computation with varying n and a singleton exclusion") {
     // A: [x,x,x] P=1; B: [x,y] P=0; C: [y,y,y,x] P=(10-4)/12=0.5;
     // D: [x] excluded (n<2). P̄ = 1.5/3 = 0.5.

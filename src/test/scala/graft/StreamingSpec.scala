@@ -1086,6 +1086,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E32 retentionStateStream: assembled cohorts equal batch retention across a split with a late cohort rewrite") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // user 2's EARLIEST period (3) arrives in batch 2 — the late
+    // arrival legally rewrites the cohort and the assembly must
+    // reflect the corrected state, not the first emission
+    val acts = Seq(
+      (1L, 0L), (1L, 1L), (2L, 5L), (3L, 0L), (1L, 0L),
+      (2L, 3L), (2L, 6L), (3L, 2L), (1L, 3L))
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = graft.streaming.EventStreams.retentionStateStream(
+        input.toDF().toDF("u", "w"))
+      .writeStream.format("memory").queryName("e32_out").outputMode("append").start()
+    try {
+      input.addData(acts.take(5))
+      q.processAllAvailable()
+      input.addData(acts.drop(5))
+      q.processAllAvailable()
+      val streamed = graft.streaming.EventStreams.retentionAssemble(
+          spark.table("e32_out"))
+        .orderBy("cohort", "week_offset")
+        .collect()
+      // batch twin over the same events: bucketUs = 1 makes w = t
+      val batch = graft.operators.Behavior.retentionCohorts(
+          acts.toDF("u", "t"), col("u"), col("t"), bucketUs = 1L)
+        .orderBy("cohort", "week_offset").collect()
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+      // the rewrite really happened: user 2's cohort is 3, not 5
+      val u2 = spark.table("e32_out").filter(col("u") === 2L)
+        .orderBy(org.apache.spark.sql.functions.size(col("ws")).desc)
+        .select("cohort").as[Long].head()
+      assert(u2 == 3L)
+    } finally q.stop()
+  }
+
   test("E30 cmsCellStream: final cells equal the batch CMS exactly across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val terms = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "c")
