@@ -7,10 +7,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
+    // Force FULL materialization of the declared output. count() is
+    // not that: the optimizer legally deletes a left join whose
+    // aggregated right side is provably duplicate-free when only row
+    // COUNT is demanded — q_chrf's entire gram pipeline collapsed to
+    // a checkpoint-scan count and benched at 1.1 s where the honest
+    // cost was ~15 s (caught r10). The noop sink evaluates every
+    // output column of the plan AS DECLARED and discards rows
+    // executor-side — no driver collect, no filesystem write.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Warm the JVM/codegen once so measured times reflect the plans,
     // not first-query classloading.
     SparkEntry.queries.get("q1_agg").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid);
     // the driver never sets it, so round benches always cover everything
@@ -22,7 +32,7 @@ object Bench {
       .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { exec(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // per-query isolation: several operators localCheckpoint
         // intermediates (cluster propagation, IVF k-means, incremental

@@ -505,57 +505,46 @@ object Eval {
     * literals; 4-dp floor reporting. Rows where no order is
     * measurable on a side report NULL for that side and NULL chrF.
     *
-    * Shape at scale: one projection strips whitespace, maxN gram
-    * explosions per side into one (id, n, gram) count table, one
-    * full-outer join per key, two partial-agg collapses — grams never
-    * leave their doc key (the ngramOverlap plan), nothing all-pairs.
+    * Shape at scale: chrF is embarrassingly ROW-LOCAL (candidate and
+    * reference live on the same row), so the whole computation is one
+    * shuffle-free projection: the [[graft.functions.ChrFStats]]
+    * Catalyst Expression sorts each row's own gram index arrays and
+    * merge-counts the clipped matches (O(maxN·L log L) per row, no
+    * per-gram allocation) — never the explode → hash-agg →
+    * full-outer-join pipeline, which would shuffle ~2·maxN rows per
+    * CHARACTER for a computation that needs no shuffle at all (the
+    * r10 bench-honesty find: count() had silently pruned exactly that
+    * pipeline, hiding a ~14× hidden cost).
     */
   def chrF(df: DataFrame, id: Column, candidate: Column,
       reference: Column, maxN: Int = 6): DataFrame = {
     require(maxN >= 1 && maxN <= 10, "maxN in [1, 10]")
     val strip = (c: Column) => regexp_replace(c, "\\s+", "")
-    val base = df.select(id.as("id"), strip(candidate).as("__c"),
-        strip(reference).as("__r"))
-      .localCheckpoint() // stripped once; 2·maxN gram scans + lengths
-    val lens = base.select(col("id"),
-      length(col("__c")).cast("long").as("len_cand"),
-      length(col("__r")).cast("long").as("len_ref"))
-    def grams(side: String, n: Int): Column =
-      transform(sequence(lit(1), length(col(side)) - n + 1),
-        i => col(side).substr(i, lit(n)))
-    def gramCounts(side: String, out: String): DataFrame =
-      (1 to maxN).map { n =>
-        base.filter(length(col(side)) >= n)
-          .select(col("id"), lit(n).as("__n"), explode(grams(side, n)).as("__g"))
-      }.reduce(_ unionByName _)
-        .groupBy("id", "__n", "__g").agg(count(lit(1)).as(out))
-    val perN = gramCounts("__c", "__cc")
-      .join(gramCounts("__r", "__cr"), Seq("id", "__n", "__g"), "full_outer")
-      .groupBy("id", "__n").agg(
-        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
-          .as("__m"),
-        sum(coalesce(col("__cc"), lit(0L))).as("__dc"),
-        sum(coalesce(col("__cr"), lit(0L))).as("__dr"))
-    val aggs = (1 to maxN).flatMap { n =>
-      Seq(sum(when(col("__n") === n, col("__m"))).as(s"__m$n"),
-        sum(when(col("__n") === n, col("__dc"))).as(s"__dc$n"),
-        sum(when(col("__n") === n, col("__dr"))).as(s"__dr$n"))
-    }
-    val wide = perN.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    def meas(d: String): Column = (1 to maxN).map(n =>
-      when(coalesce(col(s"__$d$n"), lit(0L)) > 0, 1).otherwise(0))
-      .reduce(_ + _)
-    def ratioSum(num: String, den: String): Column = (1 to maxN).map(n =>
-      when(coalesce(col(s"__$den$n"), lit(0L)) > 0,
-        col(s"__$num$n").cast("double") / col(s"__$den$n").cast("double"))
+    // scaleOut: the per-row gram sort is a CPU-bound kernel stage; a
+    // single-split doc table must not serialize it onto one task
+    val base = scaleOut(df.select(id.as("id"), candidate.as("__c0"),
+        reference.as("__r0")))
+      .select(col("id"), strip(col("__c0")).as("__c"),
+        strip(col("__r0")).as("__r"))
+      .withColumn("__st",
+        graft.functions.ChrFStats.chrfStats(col("__c"), col("__r"), maxN))
+    def m(n: Int): Column = element_at(col("__st"), 3 * (n - 1) + 1)
+    def dc(n: Int): Column = element_at(col("__st"), 3 * (n - 1) + 2)
+    def dr(n: Int): Column = element_at(col("__st"), 3 * (n - 1) + 3)
+    def meas(d: Int => Column): Column = (1 to maxN).map(n =>
+      when(d(n) > 0, 1).otherwise(0)).reduce(_ + _)
+    def ratioSum(d: Int => Column): Column = (1 to maxN).map(n =>
+      when(d(n) > 0, m(n).cast("double") / d(n).cast("double"))
         .otherwise(lit(0.0))).reduce(_ + _)
-    val chrp = when(meas("dc") > 0, ratioSum("m", "dc") / meas("dc"))
-    val chrr = when(meas("dr") > 0, ratioSum("m", "dr") / meas("dr"))
+    val chrp = when(meas(dc) > 0, ratioSum(dc) / meas(dc))
+    val chrr = when(meas(dr) > 0, ratioSum(dr) / meas(dr))
     val f2 = when(chrp.isNotNull && chrr.isNotNull,
       when(chrp + chrr > 0.0, lit(5.0) * chrp * chrr / (lit(4.0) * chrp + chrr))
         .otherwise(lit(0.0)))
-    lens.join(wide, Seq("id"), "left").select(
-      col("id"), col("len_cand"), col("len_ref"),
+    base.select(
+      col("id"),
+      length(col("__c")).cast("long").as("len_cand"),
+      length(col("__r")).cast("long").as("len_ref"),
       Num.t4floor(chrp).as("chrp"), Num.t4floor(chrr).as("chrr"),
       Num.t4floor(f2).as("chrf2"))
   }
@@ -684,9 +673,12 @@ object Eval {
     // NULL values are EXCLUDED, not zero-counted: a null row in n and
     // in the resample weight denominators would bias every mean low
     // (caught in review -- the effectiveSampleSize exclusion contract)
-    val base = df.select(group.as("grp"), id.cast("long").as("__id"),
+    // scaleOut: the b-way explode + weight CASE is a CPU-bound kernel
+    // stage; a single-split source would otherwise run all N·b rows in
+    // one task (the r10 honest-bench find: 13.5 s single-task at sf0.1)
+    val base = scaleOut(df.select(group.as("grp"), id.cast("long").as("__id"),
       value.cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull))
     // values pre-round to 6 dp BEFORE the decimal cast: the cast of an
     // exactly-6-dp double is faithful in both engines, where a direct
     // double->decimal cast of an arbitrary double would expose the

@@ -47,7 +47,9 @@ object Profile {
             col(c).cast("string")))
       }: _*)
     val rowHash = conv(substring(md5(rendered), 1, 15), 16, 10).cast("decimal(20,0)")
-    df.agg(
+    // scaleOut: the per-row render + md5 is a CPU kernel; a
+    // single-split table must not digest through one task
+    scaleOut(df.select(cols.map(col): _*)).agg(
       count(lit(1)).as("n_rows"),
       sum(rowHash).cast("decimal(38,0)").cast("string").as("digest"))
   }
@@ -116,7 +118,11 @@ object Profile {
         min(col(c)).cast("string").as(s"__${c}_min"),
         max(col(c)).cast("string").as(s"__${c}_max"))
     }
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // scaleOut: k exact count(distinct)s EXPAND to k rows per input
+    // row before the partial agg — a single-split table would push
+    // that whole blow-up through one task (8 s at sf0.1, r10 find)
+    val wide = scaleOut(df.select(cols.map(col): _*))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
     val rows = cols.map { c =>
       struct(
         lit(c).as("col_name"),

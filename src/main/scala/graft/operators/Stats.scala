@@ -709,6 +709,36 @@ object Stats {
       degenerate.as("degenerate"))
   }
 
+  /** Brown-Forsythe robust variance-equality test — [[anovaOneWay]]'s
+    * companion question: not "do the MEANS differ" but "do the
+    * SPREADS differ" (heteroscedasticity breaks the pooled-variance
+    * assumption behind ANOVA and many samplers). The Levene family
+    * with the MEDIAN center (Brown & Forsythe '74 — robust to the
+    * heavy tails real metric distributions have): W = the one-way
+    * ANOVA F applied to z_ij = |x_ij − median_j|, so the whole
+    * statistic reuses [[anovaOneWay]] verbatim and inherits its
+    * output row and degenerate contract.
+    *
+    * Determinism: per-group medians are TYPE-1 order statistics
+    * (x_⌈n/2⌉ via [[quantileCI]] — a rank picks the same data value
+    * on any engine); each z truncates 6 dp toward zero (non-negative,
+    * so a plain floor) into the exact decimal lanes. Shape at scale:
+    * the quantileCI rank pass (per-group keyed window — the exact
+    * order-statistic cost class, C80), one broadcast join of the
+    * ≤ k-row median frame, then the one-pass ANOVA moments.
+    */
+  def brownForsythe(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val t = df.select(group.cast("string").as("__g"),
+        value.cast("double").as("__x"))
+      .where(col("__g").isNotNull && col("__x").isNotNull)
+    val med = quantileCI(t, col("__g"), col("__x"))
+      .select(col("grp").as("__g"), col("point").cast("double").as("__med"))
+    val z = t.join(broadcast(med), Seq("__g"))
+      .select(col("__g"),
+        (floor(abs(col("__x") - col("__med")) * 1e6) / 1e6).as("__z"))
+    anovaOneWay(z, col("__g"), col("__z"))
+  }
+
   /** Per-key ordinary-least-squares trend fit — "is this metric
     * drifting?" as a slope with goodness-of-fit, the regression
     * companion to [[rollingZ]]'s point alarms and
@@ -1148,9 +1178,11 @@ object Stats {
     require(b >= 10 && b <= 10000, "b in [10, 10000]")
     require(level > 0 && level < 1, "level in (0,1)")
     val alpha = 1.0 - level
-    val base = df.select(treat.cast("boolean").as("__t"),
+    // scaleOut: same b-way-explode kernel class as bootstrapCI — a
+    // single-split source must not run N·b rows in one task
+    val base = scaleOut(df.select(treat.cast("boolean").as("__t"),
         id.cast("long").as("__id"), value.cast("double").as("__v"))
-      .filter(col("__t").isNotNull && col("__v").isNotNull)
+      .filter(col("__t").isNotNull && col("__v").isNotNull))
     val vLane = Num.dec(round(col("__v"), 6))
     val point = base.agg(
       coalesce(sum(when(col("__t"), 1L)), lit(0L)).as("n_treat"),

@@ -512,6 +512,52 @@ object ProfileQueries {
         col("event_type"), col("value"))
     },
 
+    // C82: Brown-Forsythe variance-equality test across event types —
+    // ANOVA on |value − group median|; type-1 medians replay as rank
+    // picks, z lanes 6-dp floored, then the q_anova moment replay.
+    Q(
+      "q_brown_forsythe",
+      """WITH v AS (SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |rk AS (SELECT g, greatest(1, CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT))
+        |    AS rank_pt FROM cnt),
+        |o AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x ASC) AS r
+        |  FROM v),
+        |md AS (SELECT o.g, min(x) AS med
+        |  FROM o JOIN rk ON o.g = rk.g AND o.r = rk.rank_pt GROUP BY o.g),
+        |zt AS (SELECT v.g, floor(abs(v.x - md.med) * 1e6) / 1e6 AS value
+        |  FROM v JOIN md ON v.g = md.g),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |        AS DECIMAL(38,12))) AS q
+        |  FROM zt GROUP BY g),
+        |m AS (SELECT
+        |    coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
+        |    sum(s) AS ts, sum(q) AS tq,
+        |    sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7
+        |        AS DECIMAL(30,7))) AS w
+        |  FROM per),
+        |d AS (SELECT nn, k,
+        |    greatest(0.0, CAST(tq AS DOUBLE) - CAST(w AS DOUBLE)) AS ssw,
+        |    greatest(0.0, CAST(w AS DOUBLE)
+        |      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssb
+        |  FROM m)
+        |SELECT CAST(nn AS BIGINT) AS n, k,
+        |  CASE WHEN nn > 0 THEN floor(ssb * 1e4) / 1e4 ELSE 0.0 END AS ss_between,
+        |  CASE WHEN nn > 0 THEN floor(ssw * 1e4) / 1e4 ELSE 0.0 END AS ss_within,
+        |  CASE WHEN k < 2 OR nn <= k OR ssw = 0.0 THEN 0.0
+        |       ELSE floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e4) / 1e4 END AS f,
+        |  CASE WHEN ssb + ssw > 0 THEN floor(ssb / (ssb + ssw) * 1e4) / 1e4
+        |       ELSE 0.0 END AS eta_sq,
+        |  (k < 2 OR nn <= k OR ssw = 0.0) AS degenerate
+        |FROM d""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.brownForsythe(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"))
+    },
+
     // C80: order-statistic median CI per event type — rank bracket
     // replayed exactly; CI endpoints are data values (no rounding
     // needed: a rank picks the same value on any engine).

@@ -124,6 +124,24 @@ class BehaviorSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getDouble(4) == 0.0 && e.getBoolean(6), e.toString)
   }
 
+  test("brownForsythe: hand-computed W on median-centered deviations; equal spreads give 0") {
+    import graft.operators.Stats
+    // a=[1,2,3,10]: type-1 median = x_ceil(2) = 2 → z=[1,0,1,8]
+    // b=[5,5,5,5]: z=[0,0,0,0] → SSB=12.5, SSW=41, W=(12.5/1)/(41/6)
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val Array(r) = Stats.brownForsythe(d, col("g"), col("v")).collect()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 12.5 && r.getDouble(3) == 41.0, r.toString)
+    assert(r.getDouble(4) == math.floor(75.0 / 41.0 * 1e4) / 1e4, r.toString)
+    assert(!r.getBoolean(6), r.toString)
+    // identical spreads around different centers: W = 0 exactly
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0)).toDF("g", "v")
+    val Array(e) = Stats.brownForsythe(eq, col("g"), col("v")).collect()
+    assert(e.getDouble(4) == 0.0 && e.getDouble(2) == 0.0 && !e.getBoolean(6),
+      e.toString)
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")
