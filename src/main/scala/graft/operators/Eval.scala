@@ -437,54 +437,45 @@ object Eval {
     * double division per reported ratio is identical IEEE on both
     * engines; 4-dp floor reporting.
     *
-    * Shape at scale: tokenize once (localCheckpoint), 2·4 gram
-    * explosions into one (id, n, gram) count table per side, one
-    * full-outer join per (id, n, gram), two partial-agg collapses —
-    * grams never leave their doc key, nothing all-pairs.
+    * Shape at scale: candidate and reference live on the SAME ROW, so
+    * the whole computation is one shuffle-free projection — the
+    * [[graft.functions.TokenGramStats]] Catalyst Expression sorts each
+    * row's own gram index arrays and merge-counts the clipped matches
+    * (the ChrFStats shape at word level), never the explode →
+    * hash-agg → full-outer-join pipeline that shuffled ~2·nMax rows
+    * per TOKEN for a row-local computation (the r10 bench-honesty
+    * find).
     */
   def ngramOverlap(df: DataFrame, id: Column, candidate: Column,
       reference: Column): DataFrame = {
-    import graft.functions.{tokens, shingles}
+    import graft.functions.tokens
     val nMax = 4
-    val base = df.select(id.as("id"), tokens(candidate).as("__ct"),
-        tokens(reference).as("__rt"))
-      .localCheckpoint() // tokenized once; 2·nMax gram scans + lengths
-    val lens = base.select(col("id"),
-      size(col("__ct")).cast("long").as("len_cand"),
-      size(col("__rt")).cast("long").as("len_ref"))
-    def gramCounts(side: String, out: String): DataFrame =
-      (1 to nMax).map { n =>
-        base.select(col("id"), lit(n).as("__n"),
-          explode(shingles(col(side), n)).as("__g"))
-      }.reduce(_ unionByName _)
-        .groupBy("id", "__n", "__g").agg(count(lit(1)).as(out))
-    val perN = gramCounts("__ct", "__cc")
-      .join(gramCounts("__rt", "__cr"), Seq("id", "__n", "__g"), "full_outer")
-      .groupBy("id", "__n").agg(
-        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__cr"), lit(0L))))
-          .as("__m"),
-        sum(coalesce(col("__cc"), lit(0L))).as("__dc"),
-        sum(coalesce(col("__cr"), lit(0L))).as("__dr"))
-    val aggs = (1 to nMax).flatMap { n =>
-      Seq(sum(when(col("__n") === n, col("__m"))).as(s"__m$n"),
-        sum(when(col("__n") === n, col("__dc"))).as(s"__dc$n"),
-        sum(when(col("__n") === n, col("__dr"))).as(s"__dr$n"))
-    }
-    val wide = perN.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    def p(n: Int): Column = when(coalesce(col(s"__dc$n"), lit(0L)) > 0,
-      col(s"__m$n").cast("double") / col(s"__dc$n").cast("double"))
-    def r(n: Int): Column = when(coalesce(col(s"__dr$n"), lit(0L)) > 0,
-      col(s"__m$n").cast("double") / col(s"__dr$n").cast("double"))
+    // scaleOut: tokenization + per-row gram sort is a CPU kernel stage
+    val base = scaleOut(df.select(id.as("id"), candidate.as("__c0"),
+        reference.as("__r0")))
+      .select(col("id"), tokens(col("__c0")).as("__ct"),
+        tokens(col("__r0")).as("__rt"))
+      .withColumn("__st",
+        graft.functions.TokenGramStats.tokenGramStats(
+          col("__ct"), col("__rt"), nMax))
+    def m(n: Int): Column = element_at(col("__st"), 3 * (n - 1) + 1)
+    def dc(n: Int): Column = element_at(col("__st"), 3 * (n - 1) + 2)
+    def dr(n: Int): Column = element_at(col("__st"), 3 * (n - 1) + 3)
+    def p(n: Int): Column = when(dc(n) > 0,
+      m(n).cast("double") / dc(n).cast("double"))
+    def r(n: Int): Column = when(dr(n) > 0,
+      m(n).cast("double") / dr(n).cast("double"))
     val prod = p(1) * p(2) * p(3) * p(4)
-    lens.join(wide, Seq("id"), "left").select(
-      col("id"), col("len_cand"), col("len_ref"),
+    val lenC = size(col("__ct")).cast("long")
+    val lenR = size(col("__rt")).cast("long")
+    base.select(
+      col("id"), lenC.as("len_cand"), lenR.as("len_ref"),
       Num.t4floor(p(1)).as("p1"), Num.t4floor(p(2)).as("p2"),
       Num.t4floor(p(3)).as("p3"), Num.t4floor(p(4)).as("p4"),
       Num.t4floor(r(1)).as("rouge1_recall"),
       Num.t4floor(r(2)).as("rouge2_recall"),
       Num.t4floor(sqrt(sqrt(prod))).as("bleu_p"),
-      when(col("len_ref") > 0, Num.t4floor(
-        col("len_cand").cast("double") / col("len_ref").cast("double")))
+      when(lenR > 0, Num.t4floor(lenC.cast("double") / lenR.cast("double")))
         .as("length_ratio"))
   }
 
