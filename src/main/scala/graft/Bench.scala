@@ -63,11 +63,14 @@ object Bench {
     // and the detail path — comfortably inside the capture window.
     val detailPath = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json")).getAbsolutePath
+    // "force":"noop" marks the materialization methodology so the
+    // round_check drift stage never compares a noop-forced round
+    // against a count()-forced one row for row (the r10 flip)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","queries":${jmap(results)},"sf":"$sfDir"}""")
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":${jmap(failed ++ slowest)},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","n_queries":${results.size},"n_failed":${failed.size},"queries":${jmap(failed ++ slowest)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,13 +54,29 @@ def classify_bench_drift(root, sf_dir="/root/testdata/sf0.1"):
     if len(pair) < 2:
         return []
 
-    def qmap(path):
+    def rec(path):
         d = json.load(open(path))
         # the driver wraps Bench's JSON line under "parsed"
-        return d.get("parsed", d).get("queries", {}) or {}
+        return d.get("parsed", d) or {}
 
-    prev = qmap(pair[0])
-    cur = qmap(pair[1])
+    prevr, curr = rec(pair[0]), rec(pair[1])
+    # cross-METHODOLOGY comparison is meaningless: r10 switched the
+    # bench from count() (which let the optimizer prune entire
+    # pipelines) to noop-forced full materialization — every honest
+    # row would read as a fake "regression" against a pruned prior
+    if prevr.get("force") != curr.get("force"):
+        note = {"methodology_flip": {
+            "prior": prevr.get("force") or "count",
+            "latest": curr.get("force") or "count"}}
+        print("bench drift: methodology changed "
+              f"({note['methodology_flip']['prior']} -> "
+              f"{note['methodology_flip']['latest']}) — skipping row "
+              "triage this round; comparisons resume next round")
+        with open(os.path.join(root, "BENCH_DRIFT.json"), "w") as f:
+            json.dump(note, f, indent=1, sort_keys=True)
+        return []
+    prev = prevr.get("queries", {}) or {}
+    cur = curr.get("queries", {}) or {}
     suspects = sorted(
         q for q, t in cur.items()
         if t is not None and t > 1.0 and prev.get(q) is not None
