@@ -739,6 +739,78 @@ object Stats {
     anovaOneWay(z, col("__g"), col("__z"))
   }
 
+  /** Kruskal-Wallis rank ANOVA — the NONPARAMETRIC member of the
+    * k-group test triad ([[anovaOneWay]] compares means and assumes
+    * shape; [[brownForsythe]] compares spreads; this compares whole
+    * DISTRIBUTIONS by rank and assumes nothing) — the k-group
+    * generalization of [[mannWhitney]] and its exact machinery:
+    * values quantize to `dp` decimals, one partial-aggregated
+    * groupBy(value, group) collapses the corpus to a bounded frame,
+    * mid-ranks come from the cumulative window OVER THAT BOUNDED
+    * FRAME (2·avgrank = 2·cumBefore + t + 1 keeps every rank an
+    * exact integer lane), per-group rank sums accumulate in exact
+    * decimals, and
+    *
+    *   H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1),
+    *   h_adj = H / (1 − Σ(t³−t)/(N³−N))   (the tie correction)
+    *
+    * derive in double with a fixed operation order — each group's
+    * R²/4n term truncated 7 dp into the order-independent sum (the
+    * mutualInformation discipline), the tie cubes and N³−N on the
+    * mannWhitney 13-digit decimal lanes (never a long overflow).
+    * Reports the statistic + dof = k−1, no p lane (the chiSquared
+    * convention; at these dof H is χ²_{k−1} — compare downstream).
+    * Degenerate designs (k < 2, or every value tied so the
+    * correction denominator vanishes) report 0 flagged. Returns ONE
+    * row: (n, k, dof, h, h_adj, degenerate); H clamps at 0 before
+    * the 4-dp floor.
+    */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column,
+      dp: Int = 6): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]: the quantization bounds the rank frame")
+    val t = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.cast("string").as("__g"),
+        round(value.cast("double"), dp).as("__v"))
+    val vg = t.groupBy("__v", "__g").agg(count(lit(1)).as("__nvg"))
+    val vt = vg.groupBy("__v").agg(sum(col("__nvg")).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v")).rowsBetween(Long.MinValue, -1)
+    def b13(c: Column): Column = c.cast("decimal(13,0)")
+    def b19(c: Column): Column = c.cast("decimal(19,0)")
+    val vtc = vt
+      .withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__tc",
+        (b13(col("__t")) * b13(col("__t")) * b13(col("__t")) - col("__t"))
+          .cast("decimal(38,0)"))
+    val perG = vg.join(vtc, "__v")
+      .groupBy("__g").agg(
+        sum(col("__nvg")).as("__n"),
+        sum((b19(col("__nvg")) * (b19(col("__cum")) * 2 + col("__t") + 1))
+          .cast("decimal(38,0)")).as("__r2"))
+    val term7 = (floor(col("__r2").cast("double") * col("__r2").cast("double")
+      / (col("__n").cast("double") * 4.0) * 1e7) / 1e7).cast("decimal(30,7)")
+    val m = perG.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__nn"),
+      count(lit(1)).as("__k"),
+      sum(term7).as("__s"))
+    val ties = vtc.agg(
+      coalesce(sum(col("__tc")), lit(0).cast("decimal(38,0)")).as("__sumtc"))
+    val nd = col("__nn").cast("double")
+    val h = greatest(lit(0.0),
+      lit(12.0) / (nd * (nd + 1.0)) * col("__s").cast("double")
+        - lit(3.0) * (nd + 1.0))
+    val n3n = (b13(col("__nn")) * b13(col("__nn")) * b13(col("__nn"))
+      - col("__nn")).cast("decimal(38,0)").cast("double")
+    val corr = lit(1.0) - col("__sumtc").cast("double") / n3n
+    val degenerate = col("__k") < 2 || col("__nn") < 2 || corr <= 0.0
+    m.crossJoin(ties).select(
+      col("__nn").as("n"), col("__k").as("k"),
+      when(col("__k") > 0, col("__k") - 1).otherwise(0L).as("dof"),
+      when(degenerate, 0.0).otherwise(Num.t4floor(h)).as("h"),
+      when(degenerate, 0.0).otherwise(Num.t4floor(h / corr)).as("h_adj"),
+      degenerate.as("degenerate"))
+  }
+
   /** Per-key ordinary-least-squares trend fit — "is this metric
     * drifting?" as a slope with goodness-of-fit, the regression
     * companion to [[rollingZ]]'s point alarms and

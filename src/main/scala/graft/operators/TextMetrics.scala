@@ -746,6 +746,74 @@ object TextMetrics {
           .as("avg_logprob"))
   }
 
+  /** Kneser-Ney smoothed bigram scoring (Kneser & Ney '95, the
+    * absolute-discount form with a single discount D) — the
+    * PRINCIPLED tier above [[bigramLogProb]]'s Jelinek-Mercer
+    * interpolation: discounting frees exactly D of probability mass
+    * per SEEN bigram type, and the freed mass backs off to the
+    * CONTINUATION unigram — how many distinct contexts a word
+    * completes, not how often it occurs ("Francisco" is frequent but
+    * completes almost nothing except "San Francisco"; its raw count
+    * inflates a JM backoff, its continuation count does not — the
+    * canonical failure KN exists to fix).
+    *
+    *   p(w|v) = max(c(v,w) − D, 0)/c(v) + D·N₁₊(v·)/c(v) · p_cont(w)
+    *   p_cont(w) = N₁₊(·w) / N₁₊(··)
+    *
+    * Determinism: D = 0.75 is exact in binary; all counts and type
+    * counts are exact integers; p derives in double with the fixed
+    * textual order `disc + (D·nf/np)·(nc/nt)`, clamps at 1e-10 (a
+    * scorer applied outside its training corpus must not emit −∞),
+    * and ln rounds to 7 dp (the proven bigram lane); per-doc means
+    * run over exact decimals. Scoring joins are INNER (the D44
+    * contract: self-scoring covers every position; cross-corpus
+    * scoring persists the model tables and owns its miss policy).
+    * Docs with < 2 tokens drop out. Returns (id, n_bigrams,
+    * avg_logprob).
+    *
+    * Shape at scale: one tokenize pass (localCheckpoint), the model =
+    * three partial-aggregated count tables over the bigram frame
+    * (persistable artifacts), scoring = two keyed joins back — the
+    * bigramLogProb plan with continuation tables instead of raw
+    * unigrams.
+    */
+  def knBigramLogProb(
+      df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0,1)")
+    val tk = graft.operators.scaleOut(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), tokens(col("__text")).as("tk"))
+      .localCheckpoint()
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("id"),
+        element_at(col("tk"), col("i")).as("prev"),
+        element_at(col("tk"), col("i") + 1).as("cur"))
+    val cb = bi.groupBy("prev", "cur").agg(count(lit(1)).as("nb"))
+    // c(v) and N1+(v·) from the TYPE table (np == the positional
+    // context count by construction); N1+(·w) and N1+(··) likewise
+    val ctx = cb.groupBy("prev").agg(sum(col("nb")).as("np"),
+      count(lit(1)).as("nf"))
+    val cont = cb.groupBy("cur").agg(count(lit(1)).as("nc"))
+    val types = cb.agg(count(lit(1)).as("nt"))
+    val disc = greatest(col("nb").cast("double") - lit(discount), lit(0.0)) /
+      col("np")
+    val lam = lit(discount) * col("nf") / col("np")
+    val pc = col("nc").cast("double") / col("nt")
+    val lp = cb.join(ctx, "prev")
+      .join(cont, "cur")
+      .crossJoin(broadcast(types))
+      .withColumn("lp", round(log(greatest(disc + lam * pc, lit(1e-10))), 7))
+      .select(col("prev"), col("cur"), col("lp"))
+    bi.join(lp, Seq("prev", "cur"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(col("lp").cast("decimal(18,7)")) / count(lit(1))).cast("double"), 4)
+          .as("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", LREC'20): language-ID each document, score it with the

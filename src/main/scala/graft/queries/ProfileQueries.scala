@@ -558,6 +558,60 @@ object ProfileQueries {
         col("event_type"), col("value"))
     },
 
+    // C83: Kruskal-Wallis rank ANOVA — does the length-score
+    // distribution differ across languages? The mann_whitney derived
+    // score (portable 6-dp quantization) with lang as the k-group
+    // key; mid-ranks on the 2·avgrank integer lanes, tie cubes on
+    // 13-digit decimals, H and the tie-corrected H' replayed exactly.
+    Q(
+      "q_kruskal",
+      s"""WITH sc AS (
+         |  SELECT lang AS g, round(least(1.0, len(${tkSql("text")}) / 400.0), 6) AS v
+         |  FROM documents WHERE lang IS NOT NULL),
+         |vg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS nvg FROM sc GROUP BY 1, 2),
+         |vt AS (SELECT v, CAST(sum(nvg) AS BIGINT) AS t FROM vg GROUP BY 1),
+         |vtc AS (SELECT v, t,
+         |    coalesce(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    CAST(CAST(t AS DECIMAL(13,0)) * CAST(t AS DECIMAL(13,0))
+         |      * CAST(t AS DECIMAL(13,0)) - t AS DECIMAL(38,0)) AS tc
+         |  FROM vt),
+         |perg AS (SELECT g, CAST(sum(nvg) AS BIGINT) AS n,
+         |    CAST(sum(CAST(nvg AS DECIMAL(19,0))
+         |      * (CAST(cum AS DECIMAL(19,0)) * 2 + t + 1)) AS DECIMAL(38,0)) AS r2
+         |  FROM vg JOIN vtc USING (v) GROUP BY g),
+         |m AS (SELECT coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
+         |    sum(CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * 4.0) * 1e7) / 1e7 AS DECIMAL(30,7))) AS s
+         |  FROM perg),
+         |ties AS (SELECT CAST(coalesce(sum(tc), 0) AS DECIMAL(38,0)) AS sumtc FROM vtc),
+         |d AS (SELECT nn, k, s, sumtc,
+         |    CAST(nn AS DOUBLE) AS nd,
+         |    CAST(CAST(CAST(nn AS DECIMAL(13,0)) * CAST(nn AS DECIMAL(13,0))
+         |      * CAST(nn AS DECIMAL(13,0)) - nn AS DECIMAL(38,0)) AS DOUBLE) AS n3n
+         |  FROM m CROSS JOIN ties),
+         |e AS (SELECT nn, k,
+         |    greatest(0.0, 12.0 / (nd * (nd + 1.0)) * CAST(s AS DOUBLE)
+         |      - 3.0 * (nd + 1.0)) AS h,
+         |    1.0 - CAST(sumtc AS DOUBLE) / n3n AS corr
+         |  FROM d)
+         |SELECT CAST(nn AS BIGINT) AS n, k,
+         |  CASE WHEN k > 0 THEN k - 1 ELSE 0 END AS dof,
+         |  CASE WHEN k < 2 OR nn < 2 OR corr <= 0.0 THEN 0.0
+         |       ELSE floor(h * 1e4) / 1e4 END AS h,
+         |  CASE WHEN k < 2 OR nn < 2 OR corr <= 0.0 THEN 0.0
+         |       ELSE floor(h / corr * 1e4) / 1e4 END AS h_adj,
+         |  (k < 2 OR nn < 2 OR corr <= 0.0) AS degenerate
+         |FROM e""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.tokens
+      val d = graft.queries.table(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang").as("g"),
+          least(lit(1.0), size(tokens(col("text"))) / lit(400.0)).as("v"))
+      graft.operators.Stats.kruskalWallis(d, col("g"), col("v"))
+    },
+
     // C80: order-statistic median CI per event type — rank bracket
     // replayed exactly; CI endpoints are data values (no rounding
     // needed: a rank picks the same value on any engine).

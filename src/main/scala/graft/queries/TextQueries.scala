@@ -1285,6 +1285,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D119: Kneser-Ney smoothed bigram scoring — absolute discounting
+    // + continuation-unigram backoff, the principled tier above D44's
+    // JM interpolation. The oracle rebuilds the identical count/type
+    // tables and replays the fixed expression shape
+    // disc + (D·nf/np)·(nc/nt) with the 1e-10 clamp and 7-dp ln lane.
+    Q(
+      "q_kn_logprob",
+      s"""WITH d AS (SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+         |bi AS (
+         |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |        FROM d WHERE len(tk) >= 2)),
+         |cb AS (SELECT prev, cur, count(*) AS nb FROM bi GROUP BY 1, 2),
+         |ctx AS (SELECT prev, sum(nb) AS np, count(*) AS nf FROM cb GROUP BY 1),
+         |cont AS (SELECT cur, count(*) AS nc FROM cb GROUP BY 1),
+         |types AS (SELECT count(*) AS nt FROM cb),
+         |lp AS (
+         |  SELECT cb.prev, cb.cur,
+         |    CAST(round(ln(greatest(
+         |      greatest(CAST(nb AS DOUBLE) - CAST(0.75 AS DOUBLE), 0.0) / np +
+         |      CAST(0.75 AS DOUBLE) * nf / np * (CAST(nc AS DOUBLE) / nt),
+         |      CAST(1e-10 AS DOUBLE))), 7) AS DECIMAL(18,7)) AS lp
+         |  FROM cb JOIN ctx USING (prev) JOIN cont USING (cur)
+         |  CROSS JOIN types)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) / count(*) AS DOUBLE), 4) AS avg_logprob
+         |FROM bi JOIN lp ON bi.prev = lp.prev AND bi.cur = lp.cur
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.knBigramLogProb(table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D31: Zipf head coverage — fraction of token instances covered by
     // the k most frequent terms; counts exact longs, ratio truncated
     // at 6 dp (repr-independent).

@@ -142,6 +142,35 @@ class BehaviorSpec extends SparkSpec {
       e.toString)
   }
 
+  test("kruskalWallis: hand-computed ranks, tie correction, degenerate all-tied") {
+    import graft.operators.Stats
+    def fl4(x: Double) = math.floor(x * 1e4) / 1e4
+    // no ties: a={1,2} b={3,4} → R_a=3, R_b=7, ΣR²/n = 29
+    val d = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val Array(r) = Stats.kruskalWallis(d, col("g"), col("v")).collect()
+    val h1 = 12.0 / (4.0 * 5.0) * 29.0 - 3.0 * 5.0
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == fl4(h1) && r.getDouble(4) == fl4(h1), r.toString)
+    assert(!r.getBoolean(5), r.toString)
+    // ties: a={1,1} b={1,2} → mid-rank 2 for the tied triple, rank 4
+    // for the 2; ΣR²/n = 26; ΣT = 24, N³−N = 60 → corr = 1 − 24/60
+    val t = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val Array(rt) = Stats.kruskalWallis(t, col("g"), col("v")).collect()
+    val h2 = 12.0 / (4.0 * 5.0) * 26.0 - 3.0 * 5.0
+    val corr = 1.0 - 24.0 / 60.0
+    assert(rt.getDouble(3) == fl4(math.max(0.0, h2)), rt.toString)
+    assert(rt.getDouble(4) == fl4(math.max(0.0, h2) / corr), rt.toString)
+    assert(!rt.getBoolean(5), rt.toString)
+    // every observation tied: the correction denominator vanishes
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val Array(fl) = Stats.kruskalWallis(flat, col("g"), col("v")).collect()
+    assert(fl.getBoolean(5) && fl.getDouble(4) == 0.0, fl.toString)
+    // empty input: zero row, no NULL cascade
+    val Array(e) = Stats.kruskalWallis(
+      Seq.empty[(String, Double)].toDF("g", "v"), col("g"), col("v")).collect()
+    assert(e.getLong(0) == 0L && e.getBoolean(5), e.toString)
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")

@@ -300,6 +300,35 @@ class TextMetricsSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
+  test("knBigramLogProb: hand-computed KN probabilities; continuation beats raw frequency") {
+    // corpus: d1 "a b a b", d2 "c b" →
+    //   cb: (a,b)=2 (b,a)=1 (c,b)=1; ctx a:(np2,nf1) b:(1,1) c:(1,1)
+    //   cont: b←{a,c}=2, a=1; N1+(··)=3
+    //   p(b|a)=1.25/2 + .75·(1/2)·(2/3)=0.875; p(a|b)=0.25+0.25=0.5
+    //   p(b|c)=0.25 + .75·(2/3)=0.75
+    val df = Seq((1L, "a b a b"), (2L, "c b")).toDF("id", "text")
+    val out = TextMetrics.knBigramLogProb(df, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r7(x: Double) = BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = (2 * r7(math.log(0.875)) + r7(math.log(0.5))) / 3
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L, out.toString)
+    assert(math.abs(out(1L)._2 - exp1) < 1e-4, s"${out(1L)._2} vs $exp1")
+    assert(math.abs(out(2L)._2 - r7(math.log(0.75))) < 1e-4, out.toString)
+    // the KN signature: a word frequent only inside one collocation
+    // gets a LOW continuation weight — "francisco" appears 4 times
+    // (as often as "dog") but always after "san", so a bigram ending
+    // in fresh-context "dog" outscores one ending in "francisco"
+    // under the same unseen-context backoff
+    val kn = Seq(
+      (1L, "san francisco san francisco san francisco san francisco"),
+      (2L, "red dog blue dog green dog gray dog"),
+      (3L, "walk dog"), (4L, "walk francisco")).toDF("id", "text")
+    val s = TextMetrics.knBigramLogProb(kn, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(3L) > s(4L),
+      s"continuation backoff must prefer dog (${s(3L)}) over francisco (${s(4L)})")
+  }
+
   test("dropBlockedDomains: suffix blocks subdomains, exact host blocks only itself") {
     val docs = Seq(
       (1L, "link http://ads.bad-ads.com/x"),       // subdomain of blocked suffix
