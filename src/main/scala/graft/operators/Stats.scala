@@ -811,6 +811,55 @@ object Stats {
       degenerate.as("degenerate"))
   }
 
+  /** CUSUM change detection (Page '54) — the SMALL-PERSISTENT-shift
+    * alarm next to [[rollingZ]]'s single-bucket spikes: a metric that
+    * drifts 0.5σ forever never trips a z-gate but accumulates here.
+    * Two one-sided cumulative sums per key over ordered buckets:
+    *
+    *   hi_i = max(0, hi_{i-1} + (x_i − target − slack))
+    *   lo_i = max(0, lo_{i-1} + (target − slack − x_i))
+    *
+    * computed WITHOUT a recursive scan via the prefix-sum identity
+    * hi_i = P_i − min(0, min_{j≤i} P_j) with P = cumsum(x − target −
+    * slack) — two ordinary key-partitioned ordered windows (one
+    * cumulative sum, one running min over it) that share ONE
+    * exchange+sort. Everything stays on exact 6-dp decimal lanes
+    * (values pre-round 6 dp, target±slack enters as an exact decimal
+    * literal), so the running extrema and the threshold comparison
+    * are engine-exact; the reported statistics floor 4 dp. Input
+    * contract: one row per (key, bucket) (the rollingZ contract).
+    * Returns (key, bucket, value, cusum_hi, cusum_lo, alarm_hi,
+    * alarm_lo).
+    */
+  def cusum(df: DataFrame, key: Column, bucket: Column, value: Column,
+      target: Double, slack: Double, threshold: Double): DataFrame = {
+    require(slack >= 0, "slack must be >= 0")
+    require(threshold > 0, "threshold must be positive")
+    def decLit(x: Double): Column =
+      lit(BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying()).cast("decimal(18,6)")
+    val t = df.select(key.as("key"), bucket.cast("long").as("bucket"),
+        value.cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bucket")
+    val cw = w.rowsBetween(Long.MinValue, 0)
+    val xd = Num.dec(round(col("__x"), 6))
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+    val staged = t
+      .withColumn("__ph", sum(xd - decLit(target + slack)).over(cw))
+      .withColumn("__pl", sum(decLit(target - slack) - xd).over(cw))
+    val ch = col("__ph") - least(min(col("__ph")).over(cw), zero)
+    val cl = col("__pl") - least(min(col("__pl")).over(cw), zero)
+    val thr = decLit(threshold)
+    staged.select(
+      col("key"), col("bucket"), col("__x").as("value"),
+      Num.t4floor(ch.cast("double")).as("cusum_hi"),
+      Num.t4floor(cl.cast("double")).as("cusum_lo"),
+      (ch > thr).as("alarm_hi"),
+      (cl > thr).as("alarm_lo"))
+  }
+
   /** Per-key ordinary-least-squares trend fit — "is this metric
     * drifting?" as a slope with goodness-of-fit, the regression
     * companion to [[rollingZ]]'s point alarms and

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{normFingerprint, tokens}
+import graft.functions.{normFingerprint, shingles, tokens}
 
 /** Text-analysis operators for training-data curation (SURVEY §2.D8-D11):
   * language ID, quality scoring, token counting, fingerprinting.
@@ -812,6 +812,56 @@ object TextMetrics {
         count(lit(1)).as("n_bigrams"),
         round((sum(col("lp").cast("decimal(18,7)")) / count(lit(1))).cast("double"), 4)
           .as("avg_logprob"))
+  }
+
+  /** Good-Turing frequency-of-frequencies estimates (Good '53) — the
+    * vocabulary-mass diagnostic next to [[zipfCoverage]] (head mass)
+    * and vocab growth (D108): N_r = how many distinct terms occur
+    * exactly r times, the Turing-adjusted count r* = (r+1)·N_{r+1}/N_r
+    * (what a count of r is really "worth" once the unseen tail takes
+    * its share), and the headline p_unseen = N_1/N — the probability
+    * the NEXT token is a never-seen type, the number that says
+    * whether a corpus's vocabulary is anywhere near collected.
+    *
+    * Shape at scale: one tokenize/explode pass to term counts
+    * (partial-aggregated), one groupBy(count) collapse to the
+    * frequency-of-frequencies frame (bounded by the number of
+    * DISTINCT frequencies — tiny), a self-join on r+1 over that
+    * bounded frame. Counts exact longs; r* and p_unseen are single
+    * double divisions truncated 6 dp. Rows with no r+1 class report
+    * r* NULL (unmeasurable, not 0 — the ngramOverlap contract).
+    * `gramN` > 1 estimates over token n-grams instead of unigrams —
+    * the estimate a bigram/trigram LM smoother actually consumes
+    * (and the useful setting on small-vocabulary corpora, where
+    * every UNIGRAM sits far above the low-frequency classes).
+    * Returns (r, n_r, n_next, r_star, p_unseen, total_tokens) for
+    * r ≤ maxR, ordered by r.
+    */
+  def goodTuring(df: DataFrame, text: Column, maxR: Int = 10,
+      gramN: Int = 1): DataFrame = {
+    require(maxR >= 1, "maxR must be >= 1")
+    require(gramN >= 1 && gramN <= 8, "gramN in [1, 8]")
+    val tf = graft.operators.scaleOut(df.select(text.as("__text")))
+      .select(explode(shingles(tokens(col("__text")), gramN)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val ff = tf.groupBy(col("n").as("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // 3 consumers: rows, the r+1 join, N1
+    val tot = tf.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
+    val n1 = ff.filter(col("r") === 1)
+      .agg(coalesce(sum(col("n_r")), lit(0L)).as("__n1"))
+    val nxt = ff.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    ff.filter(col("r") <= maxR)
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select(
+        col("r"), col("n_r"), coalesce(col("n_next"), lit(0L)).as("n_next"),
+        when(coalesce(col("n_next"), lit(0L)) > 0,
+          floor((col("r") + 1).cast("double") * col("n_next")
+            / col("n_r") * 1e6) / 1e6).as("r_star"),
+        when(col("total") > 0,
+          floor(col("__n1").cast("double") / col("total") * 1e6) / 1e6)
+          .otherwise(0.0).as("p_unseen"),
+        col("total").as("total_tokens"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:

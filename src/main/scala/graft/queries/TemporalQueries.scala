@@ -535,6 +535,48 @@ object TemporalQueries {
         .orderBy("event_type", "bucket_s")
     },
 
+    // C84: CUSUM change detection over hourly per-type volumes —
+    // small persistent shifts accumulate where C47's z-gate sees
+    // nothing; prefix-sum identity on exact decimal lanes, running
+    // extrema and the threshold compare engine-exact, 4-dp floors.
+    Q(
+      "q_cusum",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT key, bucket, n,
+        |    sum(CAST(n AS DECIMAL(18,6)) - CAST(3.500000 AS DECIMAL(18,6)))
+        |      OVER cw AS ph,
+        |    sum(CAST(2.500000 AS DECIMAL(18,6)) - CAST(n AS DECIMAL(18,6)))
+        |      OVER cw AS pl
+        |  FROM b
+        |  WINDOW cw AS (PARTITION BY key ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT key, bucket, n,
+        |    ph - least(min(ph) OVER cw, CAST(0 AS DECIMAL(18,6))) AS ch,
+        |    pl - least(min(pl) OVER cw, CAST(0 AS DECIMAL(18,6))) AS cl
+        |  FROM p
+        |  WINDOW cw AS (PARTITION BY key ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT key, bucket, CAST(n AS DOUBLE) AS value,
+        |  floor(CAST(ch AS DOUBLE) * 1e4) / 1e4 AS cusum_hi,
+        |  floor(CAST(cl AS DOUBLE) * 1e4) / 1e4 AS cusum_lo,
+        |  ch > CAST(8.000000 AS DECIMAL(18,6)) AS alarm_hi,
+        |  cl > CAST(8.000000 AS DECIMAL(18,6)) AS alarm_lo
+        |FROM c ORDER BY key, bucket""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.cusum(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"), target = 3.0, slack = 0.5, threshold = 8.0)
+        .orderBy("key", "bucket")
+    },
+
     // C26: interval-OVERLAP join (both sides are intervals, unlike
     // C20's point-in-interval) — order activity windows × promo
     // windows. The oracle states the plain two-sided inequality join;

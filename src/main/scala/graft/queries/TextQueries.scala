@@ -1320,6 +1320,39 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D120: Good-Turing frequency-of-frequencies over token TRIGRAMS
+    // (the corpus's 31-word vocabulary has no low-frequency unigram
+    // classes; the trigram table has 16k types spread over r=1..8) —
+    // Turing-adjusted counts r* and the unseen-type mass N1/N; exact
+    // integer classes, one double division per ratio, 6-dp floors.
+    Q(
+      "q_good_turing",
+      s"""WITH d AS (SELECT ${tkSql("text")} AS tk FROM documents),
+         |t AS (SELECT tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS term
+         |  FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+         |        FROM d WHERE len(tk) >= 3)),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+         |ff AS (SELECT n AS r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM tf),
+         |none AS (SELECT CAST(coalesce(sum(n_r), 0) AS BIGINT) AS n1
+         |  FROM ff WHERE r = 1),
+         |nxt AS (SELECT r - 1 AS r, n_r AS n_next FROM ff)
+         |SELECT ff.r, ff.n_r, coalesce(nxt.n_next, 0) AS n_next,
+         |  CASE WHEN coalesce(nxt.n_next, 0) > 0
+         |    THEN floor(CAST(ff.r + 1 AS DOUBLE) * n_next / n_r * 1e6) / 1e6
+         |  END AS r_star,
+         |  CASE WHEN total > 0
+         |    THEN floor(CAST(n1 AS DOUBLE) / total * 1e6) / 1e6
+         |    ELSE 0.0 END AS p_unseen,
+         |  total AS total_tokens
+         |FROM ff LEFT JOIN nxt USING (r) CROSS JOIN tot CROSS JOIN none
+         |WHERE ff.r <= 10 ORDER BY r""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.goodTuring(table(s, dir, "documents"), col("text"),
+          gramN = 3)
+        .orderBy("r")
+    },
+
     // D31: Zipf head coverage — fraction of token instances covered by
     // the k most frequent terms; counts exact longs, ratio truncated
     // at 6 dp (repr-independent).

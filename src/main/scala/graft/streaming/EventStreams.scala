@@ -854,6 +854,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** E33: new-vs-returning assembly over the SAME per-user state
+    * stream as E32 ([[retentionStateStream]] — one state, two batch
+    * twins): latest emission per user, explode the period set,
+    * classify each (user, period) as new (period == cohort) or
+    * returning (period > cohort). Row-compatible with
+    * [[graft.operators.Behavior.newVsReturning]]; late-arriving
+    * earlier periods rewrite the cohort through the E32 correction
+    * contract, so a user re-classifies from new to returning in a
+    * later period exactly as the batch operator would have it.
+    */
+  def newVsReturningAssemble(states: DataFrame): DataFrame = {
+    val latest = states
+      .withColumn("__sz", size(col("ws")))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")
+          .orderBy(col("__sz").desc, col("cohort").asc)))
+      .filter(col("__rk") === 1)
+    latest.select(col("cohort"), explode(col("ws")).as("w"))
+      .groupBy(col("w").as("period"))
+      .agg(
+        sum(when(col("w") === col("cohort"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("w") > col("cohort"), 1L).otherwise(0L)).as("n_returning"))
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

@@ -171,6 +171,38 @@ class BehaviorSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getBoolean(5), e.toString)
   }
 
+  test("cusum: hand-computed one-sided sums, alarms, downward shift, key isolation") {
+    import graft.operators.Stats
+    // upward burst: x=[3,3,10,10,3,3], target 3, slack .5 →
+    // hi = [0,0,6.5,13,12.5,12], lo all 0
+    val d = (Seq(3.0, 3.0, 10.0, 10.0, 3.0, 3.0).zipWithIndex.map {
+      case (v, i) => ("k", i.toLong, v)
+    } ++ Seq.tabulate(4)(i => ("flat", i.toLong, 3.0))).toDF("g", "b", "v")
+    val out = Stats.cusum(d, col("g"), col("b"), col("v"),
+        target = 3.0, slack = 0.5, threshold = 8.0)
+      .filter(col("key") === "k").orderBy("bucket").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0, 6.5, 13.0, 12.5, 12.0))
+    assert(out.map(_.getBoolean(5)).toSeq ==
+      Seq(false, false, false, true, true, true))
+    assert(out.forall(r => r.getDouble(4) == 0.0 && !r.getBoolean(6)))
+    // the flat key never accumulates (isolation across keys)
+    val flat = Stats.cusum(d, col("g"), col("b"), col("v"),
+        target = 3.0, slack = 0.5, threshold = 8.0)
+      .filter(col("key") === "flat").collect()
+    assert(flat.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    // downward drift trips the LOW side only
+    val dn = Seq(3.0, 3.0, 1.0, 1.0, 1.0, 1.0).zipWithIndex.map {
+      case (v, i) => ("k", i.toLong, v)
+    }.toDF("g", "b", "v")
+    val lo = Stats.cusum(dn, col("g"), col("b"), col("v"),
+        target = 3.0, slack = 0.5, threshold = 4.0)
+      .orderBy("bucket").collect()
+    assert(lo.map(_.getDouble(4)).toSeq == Seq(0.0, 0.0, 1.5, 3.0, 4.5, 6.0))
+    assert(lo.map(_.getBoolean(6)).toSeq ==
+      Seq(false, false, false, false, true, true))
+    assert(lo.forall(!_.getBoolean(5)))
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")

@@ -1117,6 +1117,18 @@ class StreamingSpec extends SparkSpec {
         .orderBy(org.apache.spark.sql.functions.size(col("ws")).desc)
         .select("cohort").as[Long].head()
       assert(u2 == 3L)
+      // E33: the SAME state stream assembles into new-vs-returning —
+      // user 2's period-5 row must read RETURNING after the late
+      // period-3 arrival rewrote the cohort
+      val nvr = graft.streaming.EventStreams.newVsReturningAssemble(
+          spark.table("e32_out"))
+        .orderBy("period").collect()
+      val nvrBatch = graft.operators.Behavior.newVsReturning(
+          acts.toDF("u", "t"), col("u"), col("t"), bucketUs = 1L)
+        .orderBy("period").collect()
+      assert(nvr.map(_.toSeq).toSeq == nvrBatch.map(_.toSeq).toSeq)
+      val p5 = nvr.find(_.getLong(0) == 5L).get
+      assert(p5.getLong(1) == 0L && p5.getLong(2) == 1L, p5.toString)
     } finally q.stop()
   }
 

@@ -329,6 +329,22 @@ class TextMetricsSpec extends SparkSpec {
       s"continuation backoff must prefer dog (${s(3L)}) over francisco (${s(4L)})")
   }
 
+  test("goodTuring: hand-computed frequency classes, adjusted counts, unseen mass") {
+    // "a a a b b c": N1=N2=N3=1, N=6 → r*(1)=2, r*(2)=3, r*(3)=NULL,
+    // p_unseen = 1/6 floored at 6 dp
+    val df = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val out = TextMetrics.goodTuring(df, col("text")).orderBy("r").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L))
+    assert(out(0).getDouble(3) == 2.0 && out(1).getDouble(3) == 3.0)
+    assert(out(2).isNullAt(3), out(2).toString)
+    assert(out.forall(_.getDouble(4) == math.floor(1.0 / 6.0 * 1e6) / 1e6))
+    assert(out.forall(_.getLong(5) == 6L))
+    // empty corpus: no classes, no rows (nothing to estimate)
+    val e = TextMetrics.goodTuring(Seq((1L, "")).toDF("id", "text"), col("text"))
+    assert(e.count() == 0L)
+  }
+
   test("dropBlockedDomains: suffix blocks subdomains, exact host blocks only itself") {
     val docs = Seq(
       (1L, "link http://ads.bad-ads.com/x"),       // subdomain of blocked suffix
