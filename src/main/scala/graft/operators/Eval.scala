@@ -540,6 +540,44 @@ object Eval {
       Num.t4floor(f2).as("chrf2"))
   }
 
+  /** Wilson score interval per group — the closed-form binomial CI
+    * for pass/win/violation RATES ([[bootstrapCI]] covers means of
+    * arbitrary values at B-resamples cost; a rate deserves the exact
+    * one-pass answer, and Wilson stays honest at small n and extreme
+    * p̂ where the naive Wald interval collapses):
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * One partial-aggregated (n, successes) pass per group; the
+    * interval derives in double with a fixed textual order over
+    * exact integers (sqrt is correctly rounded on both engines — the
+    * ngramOverlap contract), bounds clamp to [0,1], 6-dp floors.
+    * NULL outcomes are excluded (unmeasured, not failure). Groups
+    * with n = 0 never appear (no rows). Returns
+    * (grp, n, successes, rate, ci_lo, ci_hi).
+    */
+  def wilsonInterval(df: DataFrame, group: Column, success: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, "z must be positive")
+    val s = success.cast("boolean")
+    val g = df.filter(s.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(s, 1L).otherwise(0L)), lit(0L)).as("successes"))
+    val nd = col("n").cast("double")
+    val p = col("successes").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (p + z2 / (nd * 2.0)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nd
+      + z2 / (nd * nd * 4.0)) / denom
+    def f6(c: Column): Column = floor(c * 1e6) / 1e6
+    g.select(col("grp"), col("n"), col("successes"),
+      f6(p).as("rate"),
+      f6(greatest(lit(0.0), center - half)).as("ci_lo"),
+      f6(least(lit(1.0), center + half)).as("ci_hi"))
+  }
+
   /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
     * values are computed ONCE here in Scala and interpolated as
     * literals into both the Spark plan and the SQL twin, because the

@@ -860,6 +860,59 @@ object Stats {
       (cl > thr).as("alarm_lo"))
   }
 
+  /** Wald's sequential probability ratio test (SPRT, Wald '45) — the
+    * EARLY-STOPPING member of the experiment family (C79 checks the
+    * split, C78 shrinks the variance, this says WHEN you may stop): a
+    * binary metric streams in per key in a fixed order, the
+    * cumulative log-likelihood ratio between H1 (rate p1) and H0
+    * (rate p0) walks up or down, and the first crossing of
+    * ln((1−β)/α) / ln(β/(1−α)) decides — with the guarantee the
+    * fixed-horizon test can't give mid-flight.
+    *
+    * Determinism: the two per-observation increments ln(p1/p0) and
+    * ln((1−p1)/(1−p0)) and both bounds are computed ONCE here in
+    * Scala and enter both engines as 7-dp literals (the ndcgDiscount
+    * pattern — a per-row transcendental would poison the hash);
+    * the cumulative sum runs on exact 7-dp decimal lanes in one
+    * key-partitioned ordered window; `first_decision` marks each
+    * key's earliest crossing via a min-over-key window on the same
+    * partitioning. Input contract: one row per (key, order), order
+    * unique within key (the rollingZ bucket contract). Returns
+    * (key, order_val, llr, decision, first_decision).
+    */
+  def sprt(df: DataFrame, key: Column, order: Column, success: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 in (0,1), distinct")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "alpha, beta in (0,1)")
+    def r7(x: Double): java.math.BigDecimal =
+      BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).underlying()
+    val lw = r7(math.log(p1 / p0))
+    val ll = r7(math.log((1 - p1) / (1 - p0)))
+    val upper = r7(math.log((1 - beta) / alpha))
+    val lower = r7(math.log(beta / (1 - alpha)))
+    def d7(b: java.math.BigDecimal): Column = lit(b).cast("decimal(20,7)")
+    val t = df.select(key.as("key"), order.cast("long").as("order_val"),
+        success.cast("boolean").as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("order_val")
+    val llr = sum(when(col("__x"), d7(lw)).otherwise(d7(ll)))
+      .over(w.rowsBetween(Long.MinValue, 0))
+    val staged = t.withColumn("__llr", llr)
+    val decision = when(col("__llr") >= d7(upper), lit("accept_h1"))
+      .when(col("__llr") <= d7(lower), lit("accept_h0"))
+      .otherwise(lit("continue"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val firstDec = min(when(decision =!= "continue", col("order_val"))).over(wk)
+    staged.select(col("key"), col("order_val"),
+      Num.t4floor(col("__llr").cast("double")).as("llr"),
+      decision.as("decision"),
+      (decision =!= "continue" && col("order_val") === firstDec)
+        .as("first_decision"))
+  }
+
   /** Per-key ordinary-least-squares trend fit — "is this metric
     * drifting?" as a slope with goodness-of-fit, the regression
     * companion to [[rollingZ]]'s point alarms and

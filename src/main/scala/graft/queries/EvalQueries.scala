@@ -87,6 +87,42 @@ object EvalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // D121: Wilson score intervals for per-problem pass rates — the
+    // closed-form binomial CI on the pass_at_k rollout frame; exact
+    // (n, successes) integers, the fixed textual interval derivation,
+    // clamped bounds, 6-dp floors.
+    Q(
+      "q_wilson", {
+        val z = 1.96
+        val z2 = z * z
+        s"""WITH t AS (
+           |  SELECT doc_id % 40 AS grp, (n_chars % 7 = 0) AS ok FROM documents),
+           |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CASE WHEN ok THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS successes
+           |  FROM t GROUP BY 1),
+           |d AS (SELECT grp, n, successes,
+           |    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           |    CAST(n AS DOUBLE) AS nd
+           |  FROM g),
+           |e AS (SELECT grp, n, successes, p, nd,
+           |    1.0 + $z2 / nd AS denom FROM d)
+           |SELECT grp, n, successes,
+           |  floor(p * 1e6) / 1e6 AS rate,
+           |  floor(greatest(0.0, (p + $z2 / (nd * 2.0)) / denom
+           |    - $z * sqrt(p * (1.0 - p) / nd + $z2 / (nd * nd * 4.0)) / denom)
+           |    * 1e6) / 1e6 AS ci_lo,
+           |  floor(least(1.0, (p + $z2 / (nd * 2.0)) / denom
+           |    + $z * sqrt(p * (1.0 - p) / nd + $z2 / (nd * nd * 4.0)) / denom)
+           |    * 1e6) / 1e6 AS ci_hi
+           |FROM e ORDER BY grp""".stripMargin
+      }
+    ) { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select((col("doc_id") % 40).as("pk"), (col("n_chars") % 7 === 0).as("ok"))
+      Eval.wilsonInterval(t, col("pk"), col("ok")).orderBy("grp")
+    },
+
     // D118: chrF character n-gram F-score — candidate = the 4/5
     // character prefix, reference = the original text (the
     // q_ngram_overlap pairing at character level). Exact oracle: the

@@ -577,6 +577,52 @@ object TemporalQueries {
         .orderBy("key", "bucket")
     },
 
+    // C85: SPRT early-stopping over hourly per-type "busy hour"
+    // indicators — cumulative LLR walk on exact 7-dp decimal lanes,
+    // increments and bounds Scala-computed once and shared as
+    // literals with the oracle (the ndcgDiscount pattern).
+    Q(
+      "q_sprt", {
+        def r7(x: Double) = BigDecimal(x)
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP).underlying().toPlainString
+        val lw = r7(math.log(0.6 / 0.4))
+        val ll = r7(math.log(0.4 / 0.6))
+        val upper = r7(math.log(0.8 / 0.05))
+        val lower = r7(math.log(0.2 / 0.95))
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    (epoch_ns(ts) // 3600000000000) * 3600 AS order_val, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |s AS (SELECT key, order_val, (n >= 3) AS x FROM b),
+           |c AS (SELECT key, order_val,
+           |    sum(CASE WHEN x THEN CAST($lw AS DECIMAL(20,7))
+           |             ELSE CAST($ll AS DECIMAL(20,7)) END)
+           |      OVER (PARTITION BY key ORDER BY order_val
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+           |  FROM s),
+           |d AS (SELECT key, order_val, llr,
+           |    CASE WHEN llr >= CAST($upper AS DECIMAL(20,7)) THEN 'accept_h1'
+           |         WHEN llr <= CAST($lower AS DECIMAL(20,7)) THEN 'accept_h0'
+           |         ELSE 'continue' END AS decision
+           |  FROM c),
+           |e AS (SELECT key, order_val, llr, decision,
+           |    min(CASE WHEN decision != 'continue' THEN order_val END)
+           |      OVER (PARTITION BY key) AS fd
+           |  FROM d)
+           |SELECT key, order_val, floor(CAST(llr AS DOUBLE) * 1e4) / 1e4 AS llr,
+           |  decision, (decision != 'continue' AND order_val = fd) AS first_decision
+           |FROM e ORDER BY key, order_val""".stripMargin
+      }
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.sprt(buckets, col("event_type"), col("bucket_s"),
+          col("n_events") >= 3, p0 = 0.4, p1 = 0.6)
+        .orderBy("key", "order_val")
+    },
+
     // C26: interval-OVERLAP join (both sides are intervals, unlike
     // C20's point-in-interval) — order activity windows × promo
     // windows. The oracle states the plain two-sided inequality join;

@@ -878,6 +878,62 @@ object EventStreams {
         sum(when(col("w") > col("cohort"), 1L).otherwise(0L)).as("n_returning"))
   }
 
+  case class CusumIn(key: String, b: Long, xMicro: Long)
+
+  case class CusumState(pHi: Long, mHi: Long, pLo: Long, mLo: Long)
+
+  case class CusumOut(key: String, bucket: Long,
+      cusum_hi_micro: Long, cusum_lo_micro: Long)
+
+  /** E34: streaming CUSUM maintenance — the live twin of
+    * [[graft.operators.Stats.cusum]]: per key the state is FOUR longs
+    * (the two prefix sums and their running minima, all in exact 6-dp
+    * micro-units — the batch operator's decimal lanes as integers,
+    * so stream and batch can never drift by an ulp), each arriving
+    * bucket emits its cusum_hi/lo in micro-units, and the emitted
+    * sequence equals the batch windows row for row (spec across a
+    * split). Alarming stays a downstream compare against
+    * threshold·1e6 — the E30-cells/probe split. Ordering contract as
+    * E26: per-key bucket order ACROSS batches; within a batch rows
+    * sort here. No watermark — a bucket's count never un-happens
+    * (feed FINALIZED buckets, the rollingZ input contract).
+    */
+  def cusumStream(buckets: DataFrame, target: Double,
+      slack: Double): Dataset[CusumOut] = {
+    implicit val inEnc = Encoders.product[CusumIn]
+    implicit val outEnc = Encoders.product[CusumOut]
+    implicit val stEnc = Encoders.product[CusumState]
+    implicit val strEnc = Encoders.STRING
+    def micro(x: Double): Long =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying().movePointRight(6).longValueExact()
+    val up = micro(target + slack)
+    val dn = micro(target - slack)
+    buckets.select(col("key").cast("string").as("key"),
+        col("b").cast("long").as("b"),
+        (org.apache.spark.sql.functions.round(col("v"), 6)
+          .cast("decimal(18,6)") * 1000000).cast("long").as("xMicro"))
+      .filter(col("key").isNotNull && col("xMicro").isNotNull)
+      .as[CusumIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[CusumIn], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.b).map { r =>
+            val pHi = st.pHi + (r.xMicro - up)
+            val mHi = math.min(st.mHi, pHi)
+            val pLo = st.pLo + (dn - r.xMicro)
+            val mLo = math.min(st.mLo, pLo)
+            st = CusumState(pHi, mHi, pLo, mLo)
+            CusumOut(key, r.b,
+              pHi - math.min(mHi, 0L), pLo - math.min(mLo, 0L))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

@@ -203,6 +203,28 @@ class BehaviorSpec extends SparkSpec {
     assert(lo.forall(!_.getBoolean(5)))
   }
 
+  test("sprt: crossings at the exact walk steps, earliest decision flagged, continue in between") {
+    import graft.operators.Stats
+    // p0=0.4, p1=0.6: step ±0.4054651; upper 2.7725887 (7 wins),
+    // lower −1.5581446 (4 losses)
+    val wins = Seq.tabulate(8)(i => ("w", i.toLong, true))
+    val losses = Seq.tabulate(5)(i => ("l", i.toLong, false))
+    val mixed = Seq.tabulate(6)(i => ("m", i.toLong, i % 2 == 0))
+    val df = (wins ++ losses ++ mixed).toDF("k", "o", "x")
+    val out = Stats.sprt(df, col("k"), col("o"), col("x"), p0 = 0.4, p1 = 0.6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("w", 5L)).getString(3) == "continue")
+    assert(out(("w", 6L)).getString(3) == "accept_h1" &&
+      out(("w", 6L)).getBoolean(4))
+    assert(out(("w", 7L)).getString(3) == "accept_h1" &&
+      !out(("w", 7L)).getBoolean(4), "only the FIRST crossing is flagged")
+    assert(out(("w", 2L)).getDouble(2) == math.floor(3 * 0.4054651 * 1e4) / 1e4)
+    assert(out(("l", 2L)).getString(3) == "continue")
+    assert(out(("l", 3L)).getString(3) == "accept_h0" &&
+      out(("l", 3L)).getBoolean(4))
+    assert(mixed.indices.forall(i => out(("m", i.toLong)).getString(3) == "continue"))
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")

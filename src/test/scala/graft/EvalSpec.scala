@@ -273,6 +273,34 @@ class EvalSpec extends SparkSpec {
     assert(r4.isNullAt(r4.fieldIndex("chrf2")), r4.toString)
   }
 
+  test("wilsonInterval: formula replay, clamping at 0/1, NULL exclusion") {
+    val df = Seq(
+      ("a", Some(true)), ("a", Some(false)), ("a", Some(false)), ("a", Some(false)),
+      ("z", Some(false)), ("z", Some(false)),
+      ("o", Some(true)), ("o", Some(true)),
+      ("n", None), ("n", Some(true))).toDF("g", "ok")
+    val out = Eval.wilsonInterval(df, col("g"), col("ok"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def wilson(k: Long, n: Long): (Double, Double, Double) = {
+      val z = 1.96; val z2 = z * z
+      val nd = n.toDouble; val p = k.toDouble / nd
+      val denom = 1.0 + z2 / nd
+      val center = (p + z2 / (nd * 2.0)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / nd + z2 / (nd * nd * 4.0)) / denom
+      def f6(x: Double) = math.floor(x * 1e6) / 1e6
+      (f6(p), f6(math.max(0.0, center - half)), f6(math.min(1.0, center + half)))
+    }
+    val (ra, la, ha) = wilson(1, 4)
+    val a = out("a")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 1L)
+    assert(a.getDouble(3) == ra && a.getDouble(4) == la && a.getDouble(5) == ha)
+    // all-fail clamps lo at exactly 0; all-pass clamps hi at exactly 1
+    assert(out("z").getDouble(4) == 0.0 && out("z").getDouble(3) == 0.0)
+    assert(out("o").getDouble(5) == 1.0 && out("o").getDouble(3) == 1.0)
+    // the NULL outcome is unmeasured: group n has n = 1, not 2
+    assert(out("n").getLong(1) == 1L && out("n").getLong(2) == 1L)
+  }
+
   test("fleissKappa hand computation with varying n and a singleton exclusion") {
     // A: [x,x,x] P=1; B: [x,y] P=0; C: [y,y,y,x] P=(10-4)/12=0.5;
     // D: [x] excluded (n<2). P̄ = 1.5/3 = 0.5.

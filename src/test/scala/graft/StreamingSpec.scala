@@ -1132,6 +1132,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E34 cusumStream: emitted micro-lanes equal the batch windows across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Stats
+    // the burst straddles the batch split, so the accumulating state
+    // (prefix sums + running minima) must carry across
+    val vals = Seq(3.0, 3.0, 10.0, 10.0, 3.0, 3.0).zipWithIndex.map {
+      case (v, i) => ("k", i.toLong, v)
+    }
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val q = graft.streaming.EventStreams.cusumStream(
+        input.toDF().toDF("key", "b", "v"), target = 3.0, slack = 0.5)
+      .writeStream.format("memory").queryName("e34_out").outputMode("append").start()
+    try {
+      input.addData(vals.take(3))
+      q.processAllAvailable()
+      input.addData(vals.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("e34_out").orderBy("bucket")
+        .as[(String, Long, Long, Long)].collect()
+      val batch = Stats.cusum(vals.toDF("g", "b", "v"), col("g"), col("b"),
+          col("v"), target = 3.0, slack = 0.5, threshold = 8.0)
+        .orderBy("bucket").collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case ((_, sb, hi, lo), br) =>
+        assert(sb == br.getLong(1))
+        // micro-units are >= 0, so integer division IS the 4-dp floor
+        assert(hi / 100L / 1e4 == br.getDouble(3), s"hi at $sb")
+        assert(lo / 100L / 1e4 == br.getDouble(4), s"lo at $sb")
+        assert((hi > 8000000L) == br.getBoolean(5), s"alarm at $sb")
+      }
+    } finally q.stop()
+  }
+
   test("E30 cmsCellStream: final cells equal the batch CMS exactly across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val terms = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "c")
