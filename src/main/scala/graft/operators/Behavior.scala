@@ -32,7 +32,37 @@ object Behavior {
       user: Column,
       tsNs: Column,
       eventType: Column,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String]): DataFrame =
+    funnelImpl(events, user, tsNs, eventType, steps, maxGapNs = None)
+
+  /** Windowed funnel — [[funnel]] with a MAX GAP between consecutive
+    * steps: a step counts only within `maxGapNs` of the previous
+    * step's reach time (the "checkout within 24h of add-to-cart"
+    * product question; the uncapped funnel credits a conversion
+    * months later). Same greedy first-touch semantics — each step's
+    * reach time is the EARLIEST qualifying event given the previous
+    * reach (deterministic; a non-greedy matcher that delays step 1 to
+    * rescue step 2's window is a different, search-shaped contract) —
+    * same per-step checkpointed join chain, same output row shape.
+    */
+  def funnelWindowed(
+      events: DataFrame,
+      user: Column,
+      tsNs: Column,
+      eventType: Column,
+      steps: Seq[String],
+      maxGapNs: Long): DataFrame = {
+    require(maxGapNs > 0, "maxGapNs must be positive")
+    funnelImpl(events, user, tsNs, eventType, steps, Some(maxGapNs))
+  }
+
+  private def funnelImpl(
+      events: DataFrame,
+      user: Column,
+      tsNs: Column,
+      eventType: Column,
+      steps: Seq[String],
+      maxGapNs: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(user.as("u"), tsNs.as("t"), eventType.as("et"))
     // each step's frame is read twice (next step's join + its own
@@ -45,9 +75,12 @@ object Behavior {
       .localCheckpoint()
     var stepFrames = Vector((1, steps.head, reached))
     for ((s, i) <- steps.tail.zipWithIndex) {
+      val within = maxGapNs
+        .map(g => col("t") >= col("t_prev") && col("t") <= col("t_prev") + g)
+        .getOrElse(col("t") >= col("t_prev"))
       reached = e.filter(col("et") === s)
         .join(reached.select(col("u"), col("t_r").as("t_prev")), "u")
-        .filter(col("t") >= col("t_prev"))
+        .filter(within)
         .groupBy("u").agg(min(col("t")).as("t_r"))
         .localCheckpoint()
       stepFrames :+= ((i + 2, s, reached))

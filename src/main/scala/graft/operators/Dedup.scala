@@ -1334,6 +1334,42 @@ object Dedup {
       .select(col("id"), col("line_no"), col("line"))
   }
 
+  /** Per-document TEMPLATE SCORE — the measurement face of
+    * [[dropBoilerplateLines]]: instead of excising the boilerplate,
+    * report how much of each document IS boilerplate
+    * (n_lines, n_boiler, boiler_ratio). A doc that is mostly nav
+    * chrome / cookie banners / footer templates is a candidate for
+    * dropping WHOLE (a template page), where a doc with one shared
+    * footer just wants the line cut — the ratio is what separates the
+    * two policies. Same machinery end to end: distinct-per-doc line
+    * doc-frequency on the normalized fingerprint, the tiny
+    * above-cut set broadcast back, one per-doc partial aggregation.
+    */
+  def boilerplateScore(
+      lines: DataFrame,
+      id: Column,
+      line: Column,
+      maxDocFrac: Double = 0.3): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1, "maxDocFrac must be in (0, 1]")
+    val l = lines.select(id.as("id"), line.as("line"))
+      .withColumn("__fp", normFingerprint(col("line")))
+      .persist()
+    val nDocs = l.agg(countDistinct(col("id")).as("n_docs"))
+    val docFreq = l.select(col("__fp"), col("id")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("df"))
+    val boilerplate = docFreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .select(col("__fp"), lit(1L).as("__b"))
+    l.join(broadcast(boilerplate), Seq("__fp"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(col("__b")), lit(0L)).as("n_boiler"))
+      .select(col("id"), col("n_lines"), col("n_boiler"),
+        (floor(col("n_boiler").cast("double") / col("n_lines") * 1e6) / 1e6)
+          .as("boiler_ratio"))
+  }
+
   /** SUBSTRING-level exact dedup (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", ACL'22): document-level dedup
     * misses the boilerplate tail / license block / templated intro

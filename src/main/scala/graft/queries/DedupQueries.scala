@@ -1945,6 +1945,55 @@ object DedupQueries {
         .orderBy("label", "dim")
     },
 
+    // D122: per-doc template score — the same planted-banner fixture
+    // as q_dedup_lines, but MEASURING instead of excising: every doc
+    // carries exactly one 100%-df line, so n_boiler = 1 and the ratio
+    // is 1/(segments+1). Exact oracle over the same fingerprint CTEs.
+    Q(
+      "q_template_score",
+      s"""WITH tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM documents),
+         |s AS (SELECT doc_id, tk, len(tk) AS n FROM tk0 WHERE len(tk) >= 1),
+         |seg AS (
+         |  SELECT doc_id, CAST(start // 8 AS INT) AS line_no,
+         |    array_to_string(tk[start + 1 : start + 8], ' ') AS line
+         |  FROM (SELECT doc_id, n, tk, unnest(range(0, n, 8)) AS start FROM s)),
+         |lines AS (
+         |  SELECT * FROM seg
+         |  UNION ALL
+         |  SELECT doc_id, -1 AS line_no,
+         |    'all rights reserved accept our cookie policy' AS line
+         |  FROM s),
+         |fp AS (
+         |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(line),
+         |    '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM lines),
+         |df AS (
+         |  SELECT f, count(*) AS dfreq
+         |  FROM (SELECT DISTINCT f, doc_id FROM fp) GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM lines),
+         |bset AS (
+         |  SELECT f, 1 AS b FROM df CROSS JOIN nd
+         |  WHERE df.dfreq > nd.n_docs * 0.5)
+         |SELECT fp.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(sum(b), 0) AS BIGINT) AS n_boiler,
+         |  floor(CAST(coalesce(sum(b), 0) AS DOUBLE) / count(*) * 1e6) / 1e6
+         |    AS boiler_ratio
+         |FROM fp LEFT JOIN bset USING (f)
+         |GROUP BY fp.doc_id ORDER BY fp.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val seg = TextMetrics.chunkTokens(table(s, dir, "documents"),
+          col("doc_id"), col("text"), chunkSize = 8, stride = 8)
+        .select(col("id").as("doc_id"), col("chunk_text").as("line"))
+      val planted = table(s, dir, "documents")
+        .join(seg.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          lit("all rights reserved accept our cookie policy").as("line"))
+      Dedup.boilerplateScore(seg.unionByName(planted),
+          col("doc_id"), col("line"), maxDocFrac = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // D29: line-level boilerplate removal — documents are segmented
     // into 8-token "lines" plus one PLANTED boilerplate line per doc
     // (the cookie-banner fixture, line_no = -1, present in 100% of

@@ -283,6 +283,43 @@ object TemporalQueries {
         .orderBy("step")
     },
 
+    // C86: windowed funnel — the same chain with a 48h max gap
+    // between consecutive steps; the gap cap is an integer-epoch
+    // bound, so both engines agree exactly.
+    Q(
+      "q_funnel_windowed",
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t, event_type AS et FROM events),
+        |s1 AS (SELECT u, min(t) AS t_r FROM e WHERE et = 'signup' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.t) AS t_r FROM e
+        |       JOIN s1 ON e.u = s1.u AND e.t >= s1.t_r
+        |         AND e.t <= s1.t_r + 172800000000000
+        |       WHERE et = 'view' GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.t) AS t_r FROM e
+        |       JOIN s2 ON e.u = s2.u AND e.t >= s2.t_r
+        |         AND e.t <= s2.t_r + 172800000000000
+        |       WHERE et = 'click' GROUP BY e.u),
+        |s4 AS (SELECT e.u, min(e.t) AS t_r FROM e
+        |       JOIN s3 ON e.u = s3.u AND e.t >= s3.t_r
+        |         AND e.t <= s3.t_r + 172800000000000
+        |       WHERE et = 'purchase' GROUP BY e.u),
+        |c AS (
+        |  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4),
+        |b AS (SELECT n_users AS base FROM c WHERE step = 1)
+        |SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+        |  floor(n_users / base * 1e6) / 1e6 AS conversion
+        |FROM c CROSS JOIN b ORDER BY step""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.operators.Behavior.funnelWindowed(ev, col("user_id"), col("ts_ns"),
+          col("event_type"), Seq("signup", "view", "click", "purchase"),
+          maxGapNs = 172800000000000L)
+        .orderBy("step")
+    },
+
     // C76: top-20 depth-3 event paths — the transition matrix's
     // narrative extension; two leads in one keyed window, global path
     // counts, distributed top-k.

@@ -21,6 +21,26 @@ class BehaviorSpec extends SparkSpec {
     assert(f(2) == ((1L, 0.333333)), f.toString)     // only u1 did B after A
   }
 
+  test("funnelWindowed: a step outside the gap doesn't count; huge gap equals the plain funnel") {
+    import graft.operators.Behavior
+    // u1 converts within the gap; u2's step-2 lands 100ns after
+    // step 1 with a gap cap of 10 — dropped from step 2 onward
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 5L, "b"),
+      (2L, 0L, "a"), (2L, 100L, "b")).toDF("u", "t", "et")
+    val out = Behavior.funnelWindowed(ev, col("u"), col("t"), col("et"),
+        Seq("a", "b"), maxGapNs = 10L)
+      .orderBy("step").collect()
+    assert(out(0).getLong(2) == 2L && out(1).getLong(2) == 1L, out.toSeq.toString)
+    // a cap wider than every gap reproduces the uncapped funnel
+    val wide = Behavior.funnelWindowed(ev, col("u"), col("t"), col("et"),
+        Seq("a", "b"), maxGapNs = 1000000L)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    val plain = Behavior.funnel(ev, col("u"), col("t"), col("et"),
+        Seq("a", "b")).orderBy("step").collect().map(_.toSeq).toSeq
+    assert(wide == plain)
+  }
+
   test("funnel step at the same instant as the previous counts (at-or-after)") {
     val ev = Seq((1L, 10L, "A"), (1L, 10L, "B")).toDF("u", "t", "et")
     val f = Behavior.funnel(ev, col("u"), col("t"), col("et"), Seq("A", "B"))

@@ -1270,6 +1270,31 @@ class DedupSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("boilerplateScore: shared-line ratio per doc, normalization-insensitive") {
+    // "FOOTER!" normalizes to the same fingerprint as "footer" — the
+    // shared line is boilerplate at maxDocFrac 0.5 (df 3/3), unique
+    // lines are not
+    val lines = Seq(
+      (1L, "footer"), (1L, "alpha"),
+      (2L, "FOOTER!"), (2L, "beta"), (2L, "gamma"),
+      (3L, "  footer "), (3L, "d1"), (3L, "d2"), (3L, "d3"))
+      .toDF("id", "line")
+    val out = Dedup.boilerplateScore(lines, col("id"), col("line"),
+        maxDocFrac = 0.5)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)))
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(1).getDouble(3) == math.floor(1.0 / 3.0 * 1e6) / 1e6)
+    assert(out(2).getDouble(3) == 0.25)
+    // nothing shared above the cut: every ratio 0 (3 docs at frac
+    // 0.5 — a df-1 line is 1/3 of docs, below the cut)
+    val uniq = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "line")
+    val z = Dedup.boilerplateScore(uniq, col("id"), col("line"),
+      maxDocFrac = 0.5).collect()
+    assert(z.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
+
   test("kCenterSelect greedily maximizes the min-distance with non-increasing gaps") {
     import spark.implicits._
     val pts: Map[Long, Array[Double]] = Map(
