@@ -145,6 +145,62 @@ object Packing {
     * Output: (id, cluster, n_tokens, seq_id, tok_offset) — seq ids
     * are CLUSTER-local, exactly packSequences' shard contract.
     */
+  /** FIM (fill-in-the-middle) transformation (Bavarian et al.,
+    * "Efficient Training of Language Models to Fill in the Middle",
+    * '22) — the code-corpus preprocessing step that teaches infilling:
+    * a deterministic fraction of documents is split at two
+    * pseudorandom character positions into (prefix, middle, suffix)
+    * and re-serialized with sentinel tokens, PSM order
+    * `pre‖prefix‖suf‖suffix‖mid‖middle` or the paper's SPM variant
+    * `suf‖suffix‖pre‖prefix‖mid‖middle`; the rest pass through as
+    * `plain`. Character = Unicode code point (the chrF substring
+    * contract, so the SQL twin lands on identical splits).
+    *
+    * Determinism: apply/mode decisions ride [[Sampling.hashBucket]]
+    * on salted id keys, split offsets ride [[Sampling.hashMod]] over
+    * len+1 — RNG-free and engine-replayable; re-running never churns
+    * which docs transform (the hash-nested sampling contract). One
+    * codegen'd projection, no shuffle, no state. Returns (id, mode,
+    * fim_text, n_prefix, n_middle, n_suffix) — char counts NULL for
+    * plain rows (unmeasured, not zero).
+    */
+  def fimTransform(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      fimRate: Double = 0.5,
+      spmRate: Double = 0.5,
+      preTok: String = "<|fim_pre|>",
+      sufTok: String = "<|fim_suf|>",
+      midTok: String = "<|fim_mid|>"): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, "fimRate in [0,1]")
+    require(spmRate >= 0 && spmRate <= 1, "spmRate in [0,1]")
+    val t = df.select(id.cast("long").as("id"), text.as("text"))
+    val len = length(col("text"))
+    val applyFim = Sampling.hashBucket(col("id") * 31 + 3) <
+      math.round(fimRate * Sampling.buckets)
+    val spm = Sampling.hashBucket(col("id") * 31 + 4) <
+      math.round(spmRate * Sampling.buckets)
+    val o1 = Sampling.hashMod(col("id") * 31 + 1, len + 1)
+    val o2 = Sampling.hashMod(col("id") * 31 + 2, len + 1)
+    val lo = least(o1, o2)
+    val hi = greatest(o1, o2)
+    val prefix = col("text").substr(lit(1), lo.cast("int"))
+    val middle = col("text").substr((lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suffix = col("text").substr((hi + 1).cast("int"), (len - hi).cast("int"))
+    val psm = concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle)
+    val spmText = concat(lit(sufTok), suffix, lit(preTok), prefix, lit(midTok), middle)
+    t.select(
+      col("id"),
+      when(!applyFim, lit("plain")).when(spm, lit("spm"))
+        .otherwise(lit("psm")).as("mode"),
+      when(!applyFim, col("text")).when(spm, spmText)
+        .otherwise(psm).as("fim_text"),
+      when(applyFim, lo.cast("long")).as("n_prefix"),
+      when(applyFim, (hi - lo).cast("long")).as("n_middle"),
+      when(applyFim, (len - hi).cast("long")).as("n_suffix"))
+  }
+
   def packBySimilarity(
       corpus: DataFrame,
       id: Column,

@@ -42,6 +42,18 @@ object Sampling {
   def hashBucketSql(key: String): String =
     s"(((($key % $prime + $prime) % $prime) * $mult) % $prime % ${buckets})"
 
+  /** [[hashBucket]] with a CALLER-SIZED modulus — a deterministic
+    * pseudorandom draw in [0, m) per key (FIM split offsets, salted
+    * position picks). Same overflow-safe reduce-then-multiply chain;
+    * `m` must be positive and ≪ p for negligible modulo bias.
+    */
+  def hashMod(key: Column, m: Column): Column =
+    pmod(pmod(key.cast("long"), lit(prime)) * lit(mult), lit(prime)) % m
+
+  /** SQL twin of [[hashMod]] (oracle side). */
+  def hashModSql(key: String, m: String): String =
+    s"(((($key % $prime + $prime) % $prime) * $mult) % $prime % ($m))"
+
   /** Deterministic `fraction` sample: keeps rows whose bucket falls
     * below fraction×1000. Same rows survive on every run and engine.
     */

@@ -1259,6 +1259,45 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D123: FIM transformation — half the docs split at two
+    // hash-drawn character offsets and re-serialized with sentinels
+    // (PSM/SPM 50/50), the rest pass through. Exact oracle: the
+    // portable hash idiom + code-point substring replay.
+    Q(
+      "q_fim", {
+        val ap = graft.operators.Sampling.hashBucketSql("(doc_id * 31 + 3)")
+        val sp = graft.operators.Sampling.hashBucketSql("(doc_id * 31 + 4)")
+        val o1 = graft.operators.Sampling.hashModSql("(doc_id * 31 + 1)", "length(text) + 1")
+        val o2 = graft.operators.Sampling.hashModSql("(doc_id * 31 + 2)", "length(text) + 1")
+        s"""WITH b AS (
+           |  SELECT doc_id AS id, text, length(text) AS len,
+           |    $ap < 500 AS apply_fim, $sp < 500 AS spm,
+           |    least($o1, $o2) AS lo, greatest($o1, $o2) AS hi
+           |  FROM documents),
+           |p AS (SELECT id, apply_fim, spm, len, lo, hi, text,
+           |    substring(text, 1, CAST(lo AS INT)) AS pre,
+           |    substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) AS mid,
+           |    substring(text, CAST(hi + 1 AS INT), CAST(len - hi AS INT)) AS suf
+           |  FROM b)
+           |SELECT id,
+           |  CASE WHEN NOT apply_fim THEN 'plain'
+           |       WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+           |  CASE WHEN NOT apply_fim THEN text
+           |       WHEN spm THEN '<|fim_suf|>' || suf || '<|fim_pre|>' || pre
+           |         || '<|fim_mid|>' || mid
+           |       ELSE '<|fim_pre|>' || pre || '<|fim_suf|>' || suf
+           |         || '<|fim_mid|>' || mid END AS fim_text,
+           |  CASE WHEN apply_fim THEN CAST(lo AS BIGINT) END AS n_prefix,
+           |  CASE WHEN apply_fim THEN CAST(hi - lo AS BIGINT) END AS n_middle,
+           |  CASE WHEN apply_fim THEN CAST(len - hi AS BIGINT) END AS n_suffix
+           |FROM p ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      Packing.fimTransform(table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("id")
+    },
+
     // D115: length-bucketed batch assignment + padding-waste report —
     // per-source 16-doc batches over the (n_tokens desc, id) order;
     // the report aggregates each batch's max/sum/waste/fill. Exact

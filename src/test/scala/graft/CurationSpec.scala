@@ -568,4 +568,48 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("mi") == 1.0 && r.getAs[Double]("nmi") == 1.0,
       s"NULL-level cells must stay in the MI sum: $r")
   }
+
+  test("fimTransform: reassembly invariant, sentinel order, rates 0/1, determinism") {
+    import graft.operators.Packing
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"fn main$i() { return compute($i) + $i; }"))
+      .toDF("id", "text")
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Packing.fimTransform(docs, col("id"), col("text")).collect()
+    assert(out.map(_.getString(1)).toSet == Set("plain", "psm", "spm"),
+      "all three modes appear at 0.5/0.5 rates over 60 docs")
+    out.foreach { r =>
+      val (id, mode, txt) = (r.getLong(0), r.getString(1), r.getString(2))
+      if (mode == "plain") {
+        assert(txt == byId(id) && r.isNullAt(3))
+      } else {
+        val Seq(p, s, m) = Seq("<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>")
+        assert(txt.startsWith(if (mode == "psm") p else s), r.toString)
+        // parse by sentinel positions, reassemble the original
+        val iM = txt.indexOf(m)
+        val mid = txt.substring(iM + m.length)
+        val (pre, suf) = if (mode == "psm") {
+          val iS = txt.indexOf(s)
+          (txt.substring(p.length, iS), txt.substring(iS + s.length, iM))
+        } else {
+          val iP = txt.indexOf(p)
+          (txt.substring(iP + p.length, iM), txt.substring(s.length, iP))
+        }
+        assert(pre + mid + suf == byId(id), s"reassembly failed for $r")
+        assert(r.getLong(3) == pre.length && r.getLong(4) == mid.length
+          && r.getLong(5) == suf.length, r.toString)
+      }
+    }
+    // rate 0: everything plain; rate 1 + spm 0: everything psm
+    val none = Packing.fimTransform(docs, col("id"), col("text"), fimRate = 0)
+      .select("mode").distinct().collect().map(_.getString(0)).toSeq
+    assert(none == Seq("plain"))
+    val allPsm = Packing.fimTransform(docs, col("id"), col("text"),
+        fimRate = 1, spmRate = 0)
+      .select("mode").distinct().collect().map(_.getString(0)).toSeq
+    assert(allPsm == Seq("psm"))
+    // determinism: identical output on re-run
+    val again = Packing.fimTransform(docs, col("id"), col("text")).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
