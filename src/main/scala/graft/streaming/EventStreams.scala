@@ -878,6 +878,44 @@ object EventStreams {
         sum(when(col("w") > col("cohort"), 1L).otherwise(0L)).as("n_returning"))
   }
 
+  case class LinePair(fp: String, doc: Long)
+
+  /** E35: streaming line document-frequency maintenance — the live
+    * twin of the D29/D122 boilerplate family's df table: (line
+    * fingerprint, doc) pairs stream in through the SHARED
+    * `functions.normFingerprint` (one normalization for batch drop,
+    * batch score, and stream — divergence impossible), each DISTINCT
+    * pair emits exactly once (the E27 first-seen contract; a doc
+    * repeating its own footer 50× still counts once — the batch
+    * distinct-per-doc rule), and the assembly is two counts over the
+    * emissions: df per fingerprint and nDocs as distinct docs — the
+    * exact inputs `dropBoilerplateLines`/`boilerplateScore` derive
+    * batch-side, so the above-cut boilerplate SET matches the batch
+    * one at every prefix of the stream. State per pair is one
+    * boolean, bounded by distinct (line, doc) pairs (the E27
+    * vocabulary class); no watermark — a line never un-appears.
+    */
+  def lineFirstSeenStream(lines: DataFrame): Dataset[LinePair] = {
+    implicit val outEnc = Encoders.product[LinePair]
+    implicit val stEnc = Encoders.product[SeenState]
+    implicit val keyEnc = Encoders.product[(String, Long)]
+    lines.select(
+        graft.functions.normFingerprint(col("line")).as("fp"),
+        col("doc").cast("long").as("doc"))
+      .filter(col("fp").isNotNull && col("doc").isNotNull)
+      .as[LinePair]
+      .groupByKey(r => (r.fp, r.doc))
+      .flatMapGroupsWithState[SeenState, LinePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: (String, Long), _: Iterator[LinePair], state: GroupState[SeenState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(SeenState(true))
+            Iterator.single(LinePair(k._1, k._2))
+          }
+      }
+  }
+
   case class CusumIn(key: String, b: Long, xMicro: Long)
 
   case class CusumState(pHi: Long, mHi: Long, pLo: Long, mLo: Long)

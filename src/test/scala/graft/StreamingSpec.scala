@@ -1165,6 +1165,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E35 lineFirstSeenStream: assembled df/nDocs equal the batch inputs across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // doc 1 repeats its own footer (must count once); doc 3's copy of
+    // the footer arrives in batch 2 — df rises across the split;
+    // "FOOTER!" and "footer" share a normalized fingerprint
+    val lines = Seq(
+      (1L, "footer"), (1L, "FOOTER!"), (1L, "alpha"),
+      (2L, "footer"), (2L, "beta"),
+      (3L, "  footer "), (3L, "gamma"), (2L, "beta"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.EventStreams.lineFirstSeenStream(
+        input.toDF().toDF("doc", "line"))
+      .writeStream.format("memory").queryName("e35_out").outputMode("append").start()
+    try {
+      input.addData(lines.take(5))
+      q.processAllAvailable()
+      input.addData(lines.drop(5))
+      q.processAllAvailable()
+      val em = spark.table("e35_out")
+      val dfStream = em.groupBy("fp").count()
+        .as[(String, Long)].collect().toMap
+      // batch inputs: distinct-per-doc fingerprint doc frequency
+      val batch = lines.toDF("doc", "line")
+        .select(col("doc"), graft.functions.normFingerprint(col("line")).as("fp"))
+        .distinct().groupBy("fp").count()
+        .as[(String, Long)].collect().toMap
+      assert(dfStream == batch)
+      assert(dfStream.values.max == 3L) // the footer across all 3 docs
+      val nDocsStream = em.select("doc").distinct().count()
+      assert(nDocsStream == 3L)
+      // the above-cut boilerplate set matches the batch rule
+      val cut = dfStream.filter { case (_, df) => df > 3L * 0.5 }.keySet
+      assert(cut.size == 1)
+    } finally q.stop()
+  }
+
   test("E30 cmsCellStream: final cells equal the batch CMS exactly across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val terms = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "c")
