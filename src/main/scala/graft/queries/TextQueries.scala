@@ -485,6 +485,56 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D124: consistent PII pseudonymization — docs share planted
+    // emails (doc_id % 5) so the SAME address maps to the SAME
+    // pseudonym across docs; the digit-run ref is per-doc. Exact
+    // oracle: the split/extract/interleave rebuild with md5-derived
+    // tokens replays list-for-list; the full rebuilt text is compared.
+    Q(
+      "q_pseudonymize",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id % 5 AS VARCHAR)
+        |         || '@example.com ref ' || CAST(doc_id * 7919 + 100000000 AS VARCHAR)
+        |         AS tx
+        |  FROM documents),
+        |e1 AS (SELECT doc_id,
+        |    regexp_split_to_array(tx,
+        |      '[\p{L}\p{Nd}._%+-]+@[\p{L}\p{Nd}.-]+\.[\p{L}]{2,}') AS segs,
+        |    regexp_extract_all(tx,
+        |      '[\p{L}\p{Nd}._%+-]+@[\p{L}\p{Nd}.-]+\.[\p{L}]{2,}') AS ms
+        |  FROM d),
+        |r1 AS (SELECT doc_id, array_to_string(list_transform(
+        |    range(1, len(segs) + 1),
+        |    i -> segs[i] || CASE WHEN i <= len(ms)
+        |      THEN '<EMAIL:' || translate(substr(md5(ms[i]), 1, 8),
+        |        '0123456789', 'ghijklmnop') || '>' ELSE '' END),
+        |    '') AS tx
+        |  FROM e1),
+        |e2 AS (SELECT doc_id,
+        |    regexp_split_to_array(tx, '[0-9]{6,}') AS segs,
+        |    regexp_extract_all(tx, '[0-9]{6,}') AS ms
+        |  FROM r1)
+        |SELECT doc_id, array_to_string(list_transform(
+        |    range(1, len(segs) + 1),
+        |    i -> segs[i] || CASE WHEN i <= len(ms)
+        |      THEN '<NUM:' || translate(substr(md5(ms[i]), 1, 8),
+        |        '0123456789', 'ghijklmnop') || '>' ELSE '' END),
+        |    '') AS pseudo_text
+        |FROM e2 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), (col("doc_id") % 5).cast("string"),
+          lit("@example.com ref "),
+          (col("doc_id") * 7919 + 100000000L).cast("string")).as("tx"))
+      planted
+        .select(col("doc_id"),
+          TextMetrics.pseudonymize(col("tx")).as("pseudo_text"))
+        .orderBy("doc_id")
+    },
+
     // D11b: winnowing fingerprints (custom Catalyst Expression). The
     // wraparound rolling hash is not expressible in DuckDB's checked
     // BIGINT arithmetic → rows-only here; exactness is covered by the

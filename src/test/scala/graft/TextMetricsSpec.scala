@@ -345,6 +345,31 @@ class TextMetricsSpec extends SparkSpec {
     assert(e.count() == 0L)
   }
 
+  test("pseudonymize: consistent identity-preserving tokens, no re-matching, pass-through") {
+    val df = Seq(
+      (1L, "mail a@b.com and a@b.com twice, ref 12345678"),
+      (2L, "same a@b.com other c@d.net"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.com")).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextMetrics.pseudonymize(col("t")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tok = "<EMAIL:[a-p]{8}>".r
+    // same address -> same token, within AND across docs
+    val t1 = tok.findAllIn(out(1L)).toSeq
+    assert(t1.size == 2 && t1.distinct.size == 1, out(1L))
+    val t2 = tok.findAllIn(out(2L)).toSeq
+    assert(t2.size == 2 && t2.distinct.size == 2, out(2L))
+    assert(t2.head == t1.head, "a@b.com must map identically across docs")
+    // digit run pseudonymized with its own type; letters-only hex
+    // means the EMAIL token can never re-match the NUM pass
+    assert(out(1L).contains("<NUM:") && !out(1L).contains("12345678"), out(1L))
+    // no matches: byte-identical pass-through
+    assert(out(3L) == "no pii here at all")
+    // whole-string match: nothing but the token remains
+    assert(tok.pattern.matcher(out(4L)).matches, out(4L))
+  }
+
   test("dropBlockedDomains: suffix blocks subdomains, exact host blocks only itself") {
     val docs = Seq(
       (1L, "link http://ads.bad-ads.com/x"),       // subdomain of blocked suffix
