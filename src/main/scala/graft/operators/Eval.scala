@@ -578,6 +578,65 @@ object Eval {
       f6(least(lit(1.0), center + half)).as("ci_hi"))
   }
 
+  /** Cochran's Q — the k-SYSTEM generalization of McNemar (D92):
+    * "do these k models differ on the same graded items?" as one
+    * statistic instead of k(k−1)/2 pairwise McNemars fighting the
+    * multiple-testing tax. Complete blocks only (an item ungraded by
+    * any system is excluded — Cochran's design assumption, reported
+    * via n_excluded);
+    *
+    *   Q = (k−1)·[k·ΣG_j² − (ΣG_j)²] / (k·ΣL_i − ΣL_i²)
+    *
+    * with G_j = system j's successes and L_i = item i's successes.
+    * Under H0, Q ~ χ²_{k−1} (compare downstream — the chiSquared
+    * no-p-lane convention). Exact integer counts; the squares ride
+    * 38-digit decimal lanes (G² overflows long at corpus scale); one
+    * double division, 4-dp floor. All-pass/all-fail-everywhere
+    * degenerates to 0 flagged. Returns ONE row:
+    * (n_items, n_excluded, k, dof, q, degenerate).
+    *
+    * Shape at scale: one groupBy(item) pass (L_i + completeness),
+    * one groupBy(system) pass over the retained long frame, two
+    * 1-row aggregates crossJoined — no window, nothing driver-side.
+    */
+  def cochranQ(df: DataFrame, item: Column, system: Column,
+      success: Column): DataFrame = {
+    val s = success.cast("boolean")
+    val t = df.filter(s.isNotNull)
+      .select(item.as("__i"), system.as("__s"), when(s, 1L).otherwise(0L).as("__x"))
+    val kRow = t.agg(countDistinct(col("__s")).as("__k"))
+    def b19(c: Column): Column = c.cast("decimal(19,0)")
+    val perItem = t.groupBy("__i").agg(
+      count(lit(1)).as("__n"), sum(col("__x")).as("__l"))
+    val items = perItem.crossJoin(broadcast(kRow))
+      .withColumn("__complete", col("__n") === col("__k"))
+    val li = items.agg(
+      coalesce(sum(when(col("__complete"), 1L)), lit(0L)).as("n_items"),
+      coalesce(sum(when(!col("__complete"), 1L)), lit(0L)).as("n_excluded"),
+      coalesce(sum(when(col("__complete"), col("__l"))), lit(0L)).as("__sl"),
+      coalesce(sum(when(col("__complete"),
+        (b19(col("__l")) * b19(col("__l"))).cast("decimal(38,0)"))),
+        lit(0).cast("decimal(38,0)")).as("__sl2"))
+    val retained = t.join(
+      items.filter(col("__complete")).select(col("__i")), Seq("__i"), "left_semi")
+    val gj = retained.groupBy("__s").agg(sum(col("__x")).as("__g"))
+      .agg(
+        coalesce(sum(col("__g")), lit(0L)).as("__sg"),
+        coalesce(sum((b19(col("__g")) * b19(col("__g"))).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("__sg2"))
+    val kd = col("__k").cast("double")
+    val num = (kd * col("__sg2").cast("double")
+      - col("__sg").cast("double") * col("__sg").cast("double"))
+    val den = (kd * col("__sl").cast("double") - col("__sl2").cast("double"))
+    val degenerate = col("__k") < 2 || den <= 0.0
+    li.crossJoin(gj).crossJoin(broadcast(kRow)).select(
+      col("n_items"), col("n_excluded"), col("__k").as("k"),
+      when(col("__k") > 0, col("__k") - 1).otherwise(0L).as("dof"),
+      when(degenerate, 0.0)
+        .otherwise(Num.t4floor((kd - 1.0) * num / den)).as("q"),
+      degenerate.as("degenerate"))
+  }
+
   /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
     * values are computed ONCE here in Scala and interpolated as
     * literals into both the Spark plan and the SQL twin, because the

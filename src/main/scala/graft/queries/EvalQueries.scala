@@ -87,6 +87,61 @@ object EvalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // C87: Cochran's Q across three graded "systems" (the n_chars mod
+    // families), with system c skipping every 41st item to exercise
+    // the incomplete-block exclusion. Exact integer counts, decimal
+    // square lanes, one double division, 4-dp floor.
+    Q(
+      "q_cochran_q",
+      """WITH g AS (
+        |  SELECT doc_id AS i, 'a' AS s, (n_chars % 7 = 0) AS x FROM documents
+        |  UNION ALL SELECT doc_id, 'b', (n_chars % 5 = 0) FROM documents
+        |  UNION ALL SELECT doc_id, 'c', (n_chars % 3 = 0) FROM documents
+        |    WHERE doc_id % 41 != 0),
+        |t AS (SELECT i, s, CASE WHEN x THEN 1 ELSE 0 END AS x FROM g),
+        |kk AS (SELECT count(DISTINCT s) AS k FROM t),
+        |pi AS (SELECT i, count(*) AS n, sum(x) AS l FROM t GROUP BY 1),
+        |it AS (SELECT pi.i, pi.n, pi.l, (pi.n = kk.k) AS complete
+        |  FROM pi CROSS JOIN kk),
+        |li AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN complete THEN 1 END), 0) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN NOT complete THEN 1 END), 0) AS BIGINT) AS n_excluded,
+        |    CAST(coalesce(sum(CASE WHEN complete THEN l END), 0) AS BIGINT) AS sl,
+        |    CAST(coalesce(sum(CASE WHEN complete
+        |      THEN CAST(l AS DECIMAL(19,0)) * CAST(l AS DECIMAL(19,0)) END), 0)
+        |      AS DECIMAL(38,0)) AS sl2
+        |  FROM it),
+        |r AS (SELECT t.i, t.s, t.x FROM t JOIN it ON t.i = it.i AND it.complete),
+        |gj AS (SELECT
+        |    CAST(coalesce(sum(g), 0) AS BIGINT) AS sg,
+        |    CAST(coalesce(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))), 0)
+        |      AS DECIMAL(38,0)) AS sg2
+        |  FROM (SELECT s, sum(x) AS g FROM r GROUP BY 1)),
+        |d AS (SELECT li.*, gj.*, kk.k, CAST(kk.k AS DOUBLE) AS kd
+        |  FROM li CROSS JOIN gj CROSS JOIN kk)
+        |SELECT n_items, n_excluded, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN k > 0 THEN k - 1 ELSE 0 END AS dof,
+        |  CASE WHEN k < 2 OR (kd * CAST(sl AS DOUBLE) - CAST(sl2 AS DOUBLE)) <= 0.0
+        |    THEN 0.0
+        |    ELSE floor((kd - 1.0)
+        |      * (kd * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |      / (kd * CAST(sl AS DOUBLE) - CAST(sl2 AS DOUBLE)) * 1e4) / 1e4 END AS q,
+        |  (k < 2 OR (kd * CAST(sl AS DOUBLE) - CAST(sl2 AS DOUBLE)) <= 0.0)
+        |    AS degenerate
+        |FROM d""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val a = d.select(col("doc_id").as("i"), lit("a").as("s"),
+        (col("n_chars") % 7 === 0).as("x"))
+      val b = d.select(col("doc_id").as("i"), lit("b").as("s"),
+        (col("n_chars") % 5 === 0).as("x"))
+      val c = d.filter(col("doc_id") % 41 =!= 0)
+        .select(col("doc_id").as("i"), lit("c").as("s"),
+          (col("n_chars") % 3 === 0).as("x"))
+      Eval.cochranQ(a.unionByName(b).unionByName(c),
+        col("i"), col("s"), col("x"))
+    },
+
     // D121: Wilson score intervals for per-problem pass rates — the
     // closed-form binomial CI on the pass_at_k rollout frame; exact
     // (n, successes) integers, the fixed textual interval derivation,

@@ -878,6 +878,47 @@ object EventStreams {
         sum(when(col("w") > col("cohort"), 1L).otherwise(0L)).as("n_returning"))
   }
 
+  case class KAnonIn(q: String, s: Option[String])
+
+  case class KAnonState(cnt: Long, svals: Seq[String])
+
+  case class KAnonClass(q: String, class_size: Long, n_sensitive: Long)
+
+  /** E36: streaming k-anonymity class maintenance — the live twin of
+    * [[graft.operators.Profile.kAnonymity]] for a growing release
+    * table: per equivalence class (the caller pre-concatenates its
+    * quasi-identifier columns into `q` — the digest-render discipline,
+    * so the stream never guesses column semantics) the state is the
+    * row count plus the DISTINCT sensitive-value set (bounded by
+    * values per class — the l-diversity quantity itself, the E32
+    * set-state class), each touching batch emits the class's CURRENT
+    * (size, distinct) row, and the latest emission per class equals
+    * the batch operator's row exactly (NULL sensitive counts toward
+    * size, never toward distinct — the countDistinct rule). The k/l
+    * verdicts stay a downstream compare. No watermark — a released
+    * row never un-releases.
+    */
+  def kAnonymityStream(rows: DataFrame): Dataset[KAnonClass] = {
+    implicit val inEnc = Encoders.product[KAnonIn]
+    implicit val outEnc = Encoders.product[KAnonClass]
+    implicit val stEnc = Encoders.product[KAnonState]
+    implicit val strEnc = Encoders.STRING
+    rows.select(col("q").cast("string"), col("s").cast("string"))
+      .filter(col("q").isNotNull)
+      .as[KAnonIn]
+      .groupByKey(_.q)
+      .flatMapGroupsWithState[KAnonState, KAnonClass](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (q: String, rs: Iterator[KAnonIn], state: GroupState[KAnonState]) =>
+          val st = state.getOption.getOrElse(KAnonState(0L, Seq.empty))
+          val arrived = rs.toSeq
+          val svals = (st.svals.toSet ++ arrived.flatMap(_.s)).toSeq.sorted
+          val cnt = st.cnt + arrived.size
+          state.update(KAnonState(cnt, svals))
+          Iterator.single(KAnonClass(q, cnt, svals.size.toLong))
+      }
+  }
+
   case class LinePair(fp: String, doc: Long)
 
   /** E35: streaming line document-frequency maintenance — the live

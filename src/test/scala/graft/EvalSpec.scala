@@ -301,6 +301,31 @@ class EvalSpec extends SparkSpec {
     assert(out("n").getLong(1) == 1L && out("n").getLong(2) == 1L)
   }
 
+  test("cochranQ: textbook 3-system table, incomplete-block exclusion, degenerate all-pass") {
+    // G = (3,3,1), L = (2,3,1,1) → Q = 2·(3·19−49)/(3·7−15) = 8/3
+    val base = Seq(
+      (1L, "a", true), (1L, "b", true), (1L, "c", false),
+      (2L, "a", true), (2L, "b", true), (2L, "c", true),
+      (3L, "a", true), (3L, "b", false), (3L, "c", false),
+      (4L, "a", false), (4L, "b", true), (4L, "c", false))
+    val df = base.toDF("i", "s", "x")
+    val Array(r) = Eval.cochranQ(df, col("i"), col("s"), col("x")).collect()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 0L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 2L)
+    assert(r.getDouble(4) == math.floor(2.0 * 8.0 / 6.0 * 1e4) / 1e4, r.toString)
+    assert(!r.getBoolean(5))
+    // an item graded by only one system is excluded, Q unchanged
+    val withPartial = (base :+ ((5L, "a", true))).toDF("i", "s", "x")
+    val Array(p) = Eval.cochranQ(withPartial, col("i"), col("s"), col("x")).collect()
+    assert(p.getLong(0) == 4L && p.getLong(1) == 1L)
+    assert(p.getDouble(4) == r.getDouble(4))
+    // every system passes every item: zero denominator, flagged
+    val all = (1L to 3L).flatMap(i => Seq("a", "b").map(s => (i, s, true)))
+      .toDF("i", "s", "x")
+    val Array(d) = Eval.cochranQ(all, col("i"), col("s"), col("x")).collect()
+    assert(d.getBoolean(5) && d.getDouble(4) == 0.0, d.toString)
+  }
+
   test("fleissKappa hand computation with varying n and a singleton exclusion") {
     // A: [x,x,x] P=1; B: [x,y] P=0; C: [y,y,y,x] P=(10-4)/12=0.5;
     // D: [x] excluded (n<2). P̄ = 1.5/3 = 0.5.

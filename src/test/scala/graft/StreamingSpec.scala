@@ -1201,6 +1201,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E36 kAnonymityStream: latest class rows equal batch kAnonymity across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // class A crosses k=3 only after the split; a NULL sensitive
+    // counts toward size but never toward distinct
+    val rows = Seq(
+      ("A", "x"), ("A", "y"), ("B", "x"),
+      ("A", null), ("A", "x"), ("B", "z"))
+    val input = MemoryStream[(String, String)](spark)
+    val q = graft.streaming.EventStreams.kAnonymityStream(
+        input.toDF().toDF("q", "s"))
+      .writeStream.format("memory").queryName("e36_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3))
+      q.processAllAvailable()
+      input.addData(rows.drop(3))
+      q.processAllAvailable()
+      // latest per class = largest class_size (counts only grow)
+      val streamed = spark.table("e36_out")
+        .groupBy("q").agg(
+          max(org.apache.spark.sql.functions.struct("class_size", "n_sensitive"))
+            .as("m"))
+        .select(col("q"), col("m.class_size"), col("m.n_sensitive"))
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Profile.kAnonymity(
+          rows.toDF("q", "s"), Seq(col("q")), col("s"), k = 3)
+        .select(col("q"), col("class_size"), col("n_sensitive"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("A", 4L, 2L), ("B", 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("E30 cmsCellStream: final cells equal the batch CMS exactly across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val terms = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "c")
