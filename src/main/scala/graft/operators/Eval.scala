@@ -637,6 +637,78 @@ object Eval {
       degenerate.as("degenerate"))
   }
 
+  /** Friedman test — [[cochranQ]]'s CONTINUOUS-score sibling: k
+    * systems score the same items, each item ranks its k scores
+    * (mid-ranks on ties), and the rank-sum dispersion across systems
+    * says whether any system consistently outranks the rest —
+    * without assuming any score distribution (the repeated-measures
+    * nonparametric ANOVA; [[graft.operators.Stats.kruskalWallis]] is
+    * the UNPAIRED cousin).
+    *
+    *   χ²_F = 12/(n·k·(k+1)) · Σ_j R_j² − 3n(k+1),
+    *   adjusted by the tie correction C = 1 − Σ(t³−t)/(n(k³−k))
+    *
+    * Complete blocks only (n_excluded reported — the cochranQ
+    * contract). Determinism: dp-quantized scores, within-item
+    * mid-ranks as exact 2·rank integer lanes (the kruskalWallis
+    * machinery, item-partitioned — every window frame is k rows),
+    * per-system rank sums exact, the R² terms 7-dp truncated into
+    * the order-independent sum, tie cubes on 13-digit decimal lanes.
+    * χ²_{k−1} downstream (no p lane). Returns ONE row: (n_items,
+    * n_excluded, k, dof, chi2, chi2_adj, degenerate).
+    */
+  def friedman(df: DataFrame, item: Column, system: Column,
+      score: Column, dp: Int = 6): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]")
+    val t = df.filter(score.isNotNull && item.isNotNull && system.isNotNull)
+      .select(item.as("__i"), system.as("__s"),
+        round(score.cast("double"), dp).as("__v"))
+    val kRow = t.agg(countDistinct(col("__s")).as("__k"))
+    val perItem = t.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val flagged = perItem.crossJoin(broadcast(kRow))
+      .select(col("__i"), (col("__n") === col("__k")).as("__complete"))
+    val counts = flagged.agg(
+      coalesce(sum(when(col("__complete"), 1L)), lit(0L)).as("n_items"),
+      coalesce(sum(when(!col("__complete"), 1L)), lit(0L)).as("n_excluded"))
+    val r = t.join(flagged.filter(col("__complete")).select("__i"),
+      Seq("__i"), "left_semi")
+    def b13(c: Column): Column = c.cast("decimal(13,0)")
+    val vg = r.groupBy("__i", "__v").agg(count(lit(1)).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__i").orderBy(col("__v")).rowsBetween(Long.MinValue, -1)
+    val vc = vg
+      .withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__tc",
+        (b13(col("__t")) * b13(col("__t")) * b13(col("__t")) - col("__t"))
+          .cast("decimal(38,0)"))
+    val ties = vc.agg(
+      coalesce(sum(col("__tc")), lit(0).cast("decimal(38,0)")).as("__sumtc"))
+    val perSys = r.join(vc.select(col("__i"), col("__v"), col("__cum"), col("__t")),
+        Seq("__i", "__v"))
+      .select(col("__s"), (col("__cum") * 2 + col("__t") + 1).as("__r2"))
+      .groupBy("__s").agg(sum(col("__r2")).as("__sr2"))
+    val term7 = (floor(col("__sr2").cast("double") * col("__sr2").cast("double")
+      / 4.0 * 1e7) / 1e7).cast("decimal(30,7)")
+    val sumTerms = perSys.agg(sum(term7).as("__sq"))
+    val nd = col("n_items").cast("double")
+    val kd = col("__k").cast("double")
+    val chi2 = greatest(lit(0.0),
+      lit(12.0) / (nd * kd * (kd + 1.0)) * col("__sq").cast("double")
+        - lit(3.0) * nd * (kd + 1.0))
+    val nk3 = (b13(col("n_items")) *
+      (b13(col("__k")) * b13(col("__k")) * b13(col("__k")) - col("__k")))
+      .cast("decimal(38,0)").cast("double")
+    val corr = lit(1.0) - col("__sumtc").cast("double") / nk3
+    val degenerate = col("__k") < 2 || col("n_items") < 1 || corr <= 0.0
+    counts.crossJoin(broadcast(kRow)).crossJoin(sumTerms).crossJoin(ties)
+      .select(
+        col("n_items"), col("n_excluded"), col("__k").as("k"),
+        when(col("__k") > 0, col("__k") - 1).otherwise(0L).as("dof"),
+        when(degenerate, 0.0).otherwise(Num.t4floor(chi2)).as("chi2"),
+        when(degenerate, 0.0).otherwise(Num.t4floor(chi2 / corr)).as("chi2_adj"),
+        degenerate.as("degenerate"))
+  }
+
   /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
     * values are computed ONCE here in Scala and interpolated as
     * literals into both the Spark plan and the SQL twin, because the

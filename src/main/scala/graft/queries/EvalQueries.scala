@@ -142,6 +142,74 @@ object EvalQueries {
         col("i"), col("s"), col("x"))
     },
 
+    // C88: Friedman rank test across three scoring "systems" (mod
+    // families, heavy ties), system c skipping every 43rd item —
+    // within-item mid-ranks on exact 2·rank lanes, tie correction on
+    // decimal cube lanes, exact replay.
+    Q(
+      "q_friedman",
+      """WITH g AS (
+        |  SELECT doc_id AS i, 'a' AS s, CAST(n_chars % 7 AS DOUBLE) AS v
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 'b', CAST(n_chars % 5 AS DOUBLE) FROM documents
+        |  UNION ALL SELECT doc_id, 'c', CAST((n_chars + doc_id) % 9 AS DOUBLE)
+        |    FROM documents WHERE doc_id % 43 != 0),
+        |t AS (SELECT i, s, round(v, 6) AS v FROM g),
+        |kk AS (SELECT count(DISTINCT s) AS k FROM t),
+        |pi AS (SELECT i, count(*) AS n FROM t GROUP BY 1),
+        |fl AS (SELECT pi.i, (pi.n = kk.k) AS complete FROM pi CROSS JOIN kk),
+        |cnt AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN complete THEN 1 END), 0) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN NOT complete THEN 1 END), 0) AS BIGINT)
+        |      AS n_excluded
+        |  FROM fl),
+        |r AS (SELECT t.i, t.s, t.v FROM t JOIN fl ON t.i = fl.i AND fl.complete),
+        |vg AS (SELECT i, v, CAST(count(*) AS BIGINT) AS t FROM r GROUP BY 1, 2),
+        |vc AS (SELECT i, v, t,
+        |    coalesce(sum(t) OVER (PARTITION BY i ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    CAST(CAST(t AS DECIMAL(13,0)) * CAST(t AS DECIMAL(13,0))
+        |      * CAST(t AS DECIMAL(13,0)) - t AS DECIMAL(38,0)) AS tc
+        |  FROM vg),
+        |ties AS (SELECT CAST(coalesce(sum(tc), 0) AS DECIMAL(38,0)) AS sumtc FROM vc),
+        |ps AS (SELECT s, CAST(sum(cum * 2 + t + 1) AS BIGINT) AS sr2
+        |  FROM r JOIN vc USING (i, v) GROUP BY s),
+        |sq AS (SELECT sum(CAST(floor(CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+        |    / 4.0 * 1e7) / 1e7 AS DECIMAL(30,7))) AS sq FROM ps),
+        |d AS (SELECT cnt.n_items, cnt.n_excluded, kk.k,
+        |    CAST(kk.k AS DOUBLE) AS kd, CAST(cnt.n_items AS DOUBLE) AS nd,
+        |    sq.sq, ties.sumtc,
+        |    CAST(CAST(CAST(cnt.n_items AS DECIMAL(13,0))
+        |      * (CAST(kk.k AS DECIMAL(13,0)) * CAST(kk.k AS DECIMAL(13,0))
+        |         * CAST(kk.k AS DECIMAL(13,0)) - kk.k) AS DECIMAL(38,0)) AS DOUBLE)
+        |      AS nk3
+        |  FROM cnt CROSS JOIN kk CROSS JOIN sq CROSS JOIN ties),
+        |e AS (SELECT *,
+        |    greatest(0.0, 12.0 / (nd * kd * (kd + 1.0)) * CAST(sq AS DOUBLE)
+        |      - 3.0 * nd * (kd + 1.0)) AS chi2,
+        |    1.0 - CAST(sumtc AS DOUBLE) / nk3 AS corr
+        |  FROM d)
+        |SELECT n_items, n_excluded, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN k > 0 THEN k - 1 ELSE 0 END AS dof,
+        |  CASE WHEN k < 2 OR n_items < 1 OR corr <= 0.0 THEN 0.0
+        |       ELSE floor(chi2 * 1e4) / 1e4 END AS chi2,
+        |  CASE WHEN k < 2 OR n_items < 1 OR corr <= 0.0 THEN 0.0
+        |       ELSE floor(chi2 / corr * 1e4) / 1e4 END AS chi2_adj,
+        |  (k < 2 OR n_items < 1 OR corr <= 0.0) AS degenerate
+        |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val a = d.select(col("doc_id").as("i"), lit("a").as("s"),
+        (col("n_chars") % 7).cast("double").as("v"))
+      val b = d.select(col("doc_id").as("i"), lit("b").as("s"),
+        (col("n_chars") % 5).cast("double").as("v"))
+      val c = d.filter(col("doc_id") % 43 =!= 0)
+        .select(col("doc_id").as("i"), lit("c").as("s"),
+          ((col("n_chars") + col("doc_id")) % 9).cast("double").as("v"))
+      Eval.friedman(a.unionByName(b).unionByName(c),
+        col("i"), col("s"), col("v"))
+    },
+
     // D121: Wilson score intervals for per-problem pass rates — the
     // closed-form binomial CI on the pass_at_k rollout frame; exact
     // (n, successes) integers, the fixed textual interval derivation,

@@ -326,6 +326,36 @@ class EvalSpec extends SparkSpec {
     assert(d.getBoolean(5) && d.getDouble(4) == 0.0, d.toString)
   }
 
+  test("friedman: perfect-consistency chi2 = n(k-1), mid-rank ties, exclusion, all-tied degenerate") {
+    def frame(rows: Seq[(Long, String, Double)]) = rows.toDF("i", "s", "v")
+    // a < b < c on every item: chi2 = 12/(4·3·4)·224 − 48 = 8 = n(k−1)
+    val strict = (1L to 4L).flatMap(i =>
+      Seq((i, "a", 1.0), (i, "b", 2.0), (i, "c", 3.0)))
+    val Array(r) = Eval.friedman(frame(strict), col("i"), col("s"), col("v"))
+      .collect()
+    assert(r.getLong(0) == 4L && r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 8.0 && r.getDouble(5) == 8.0, r.toString)
+    assert(!r.getBoolean(6))
+    // item 4 fully tied: mid-ranks 2 each → chi2 = 4.5, C = 0.75, adj = 6
+    val tied = (1L to 3L).flatMap(i =>
+      Seq((i, "a", 1.0), (i, "b", 2.0), (i, "c", 3.0))) ++
+      Seq((4L, "a", 5.0), (4L, "b", 5.0), (4L, "c", 5.0))
+    val Array(t) = Eval.friedman(frame(tied), col("i"), col("s"), col("v"))
+      .collect()
+    assert(t.getDouble(4) == 4.5 && t.getDouble(5) == 6.0, t.toString)
+    // an item scored by one system only is excluded, stats unchanged
+    val Array(x) = Eval.friedman(frame(strict :+ ((9L, "a", 7.0))),
+      col("i"), col("s"), col("v")).collect()
+    assert(x.getLong(0) == 4L && x.getLong(1) == 1L
+      && x.getDouble(4) == 8.0, x.toString)
+    // every item fully tied: the correction denominator vanishes
+    val flat = (1L to 3L).flatMap(i =>
+      Seq((i, "a", 1.0), (i, "b", 1.0), (i, "c", 1.0)))
+    val Array(d) = Eval.friedman(frame(flat), col("i"), col("s"), col("v"))
+      .collect()
+    assert(d.getBoolean(6) && d.getDouble(5) == 0.0, d.toString)
+  }
+
   test("fleissKappa hand computation with varying n and a singleton exclusion") {
     // A: [x,x,x] P=1; B: [x,y] P=0; C: [y,y,y,x] P=(10-4)/12=0.5;
     // D: [x] excluded (n<2). P̄ = 1.5/3 = 0.5.
