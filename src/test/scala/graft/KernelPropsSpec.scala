@@ -123,4 +123,54 @@ class KernelPropsSpec extends AnyFunSuite {
       agree(a, b) == ref && agree(b, a) == ref
     }, "agreement count")
   }
+
+  // unicode fuzz alphabet: ASCII, Latin-1, CJK, and ASTRAL code points
+  // (astral chars are 2 UTF-16 units but ONE code point — the unit the
+  // gram kernels and both engines' substring/length count)
+  private val fuzzCp: Gen[Int] = Gen.frequency(
+    6 -> Gen.choose('a'.toInt, 'e'.toInt),
+    2 -> Gen.oneOf(0xE9, 0x4F60, 0x597D), // é 你 好
+    2 -> Gen.oneOf(0x1F600, 0x10400, 0x1D11E)) // emoji, Deseret, clef
+  private val fuzzStr: Gen[String] = for {
+    n <- Gen.choose(0, 24)
+    cps <- Gen.listOfN(n, fuzzCp)
+  } yield cps.flatMap(Character.toChars(_)).mkString
+
+  private def naiveGrams[T](xs: Seq[T], n: Int): Map[Seq[T], Int] =
+    if (xs.length < n) Map.empty
+    else xs.sliding(n).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+
+  private def naiveStats[T](a: Seq[T], b: Seq[T], maxN: Int): Seq[Long] =
+    (1 to maxN).flatMap { n =>
+      val (ga, gb) = (naiveGrams(a, n), naiveGrams(b, n))
+      val m = ga.keySet.intersect(gb.keySet).toSeq
+        .map(g => math.min(ga(g), gb(g))).sum.toLong
+      Seq(m, math.max(a.length - n + 1, 0).toLong,
+        math.max(b.length - n + 1, 0).toLong)
+    }
+
+  test("chrf_stats matches a naive code-point reference on unicode incl. astral chars") {
+    val gen = for { a <- fuzzStr; b <- fuzzStr; n <- Gen.choose(1, 6) } yield (a, b, n)
+    check(Prop.forAll(gen) { case (a, b, n) =>
+      val got = graft.functions.ChrFStats(
+          Literal(UTF8String.fromString(a), StringType),
+          Literal(UTF8String.fromString(b), StringType), n)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      got == naiveStats(a.codePoints().toArray.toSeq,
+        b.codePoints().toArray.toSeq, n)
+    }, "chrf_stats reference equality")
+  }
+
+  test("token_gram_stats matches a naive sliding-window reference incl. unicode tokens") {
+    val tok = Gen.frequency(5 -> word, 1 -> fuzzStr.suchThat(_.nonEmpty))
+    val toks = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, tok))
+    val gen = for { a <- toks; b <- toks; n <- Gen.choose(1, 4) } yield (a, b, n)
+    check(Prop.forAll(gen) { case (a, b, n) =>
+      val got = graft.functions.TokenGramStats(
+          Literal.create(a, ArrayType(StringType)),
+          Literal.create(b, ArrayType(StringType)), n)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      got == naiveStats(a, b, n)
+    }, "token_gram_stats reference equality")
+  }
 }

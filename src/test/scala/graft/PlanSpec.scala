@@ -166,6 +166,36 @@ class PlanSpec extends SparkSpec {
       s"header promotion sorts:\n${out.queryExecution.executedPlan}")
   }
 
+  test("chrF and ngramOverlap plan as shuffle-free row-local projections") {
+    import org.apache.spark.sql.functions.col
+    val d = sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val plans = Seq(
+      graft.operators.Eval.chrF(d, col("id"), col("text"), col("text")),
+      graft.operators.Eval.ngramOverlap(d, col("id"), col("text"), col("text")))
+      .map(run)
+    plans.foreach { plan =>
+      // the r10 rework's whole point: same-row gram stats must never
+      // hash-shuffle, aggregate, or join (scaleOut's round-robin
+      // spread is the only exchange allowed)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(!plan.contains("HashAggregate"), plan)
+      assert(!plan.toLowerCase.contains("join"), plan)
+    }
+  }
+
+  test("cusum evaluates both window layers in one keyed exchange") {
+    val df = SparkEntry.queries("q_cusum")(spark, sf)
+    val plan = finalPlan(run(df))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // hourly-bucket agg + the two same-partitioning window layers:
+    // one shuffle for the groupBy, one for the windows, never more —
+    // and all three Window operators must share ONE sort
+    assert(exchanges <= 2, s"cusum shuffles $exchanges times:\n$plan")
+    val sorts = "Sort \\[key".r.findAllIn(plan).length
+    assert(sorts <= 2, s"cusum sorts $sorts times (windows must share):\n$plan")
+  }
+
   test("sessionize evaluates both windows in one WindowExec pass / one exchange") {
     val df = SparkEntry.queries("q_sessionize")(spark, sf)
     val plan = run(df)
