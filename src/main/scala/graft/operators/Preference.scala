@@ -193,6 +193,46 @@ object Preference {
     * 95/100 one. One unionByName + one partial-aggregable groupBy;
     * 4-dp floor on the derived doubles (shared truncation contract).
     */
+  /** Response-length bias diagnostic for preference pairs — the
+    * known failure mode of reward models and LLM judges (longer
+    * answers win regardless of quality; verbosity leaks into the
+    * policy). Counts how often the LONGER response is the chosen one,
+    * the mean length delta, and a sign-test z over the unequal-length
+    * pairs (W − n/2)/√(n/4) — under no bias, longer wins half the
+    * time. Length = code points (the chrF unit).
+    *
+    * One partial-aggregated pass; exact integer counts and length
+    * sums; z truncated 4 dp toward zero (the twoSampleZ symmetric
+    * gate); equal-length pairs are TIES (reported, excluded from the
+    * test — a sign test has no verdict on them). Returns ONE row:
+    * (n_pairs, longer_wins, shorter_wins, ties, frac_longer_wins,
+    * mean_len_delta, z, significant).
+    */
+  def lengthBias(pairs: DataFrame, chosenText: Column,
+      rejectedText: Column): DataFrame = {
+    val t = pairs.select(length(chosenText).cast("long").as("__lc"),
+        length(rejectedText).cast("long").as("__lr"))
+      .filter(col("__lc").isNotNull && col("__lr").isNotNull)
+    val m = t.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("__lc") > col("__lr"), 1L)), lit(0L)).as("longer_wins"),
+      coalesce(sum(when(col("__lc") < col("__lr"), 1L)), lit(0L)).as("shorter_wins"),
+      coalesce(sum(when(col("__lc") === col("__lr"), 1L)), lit(0L)).as("ties"),
+      coalesce(sum(col("__lc") - col("__lr")), lit(0L)).as("__sd"))
+    val nu = (col("longer_wins") + col("shorter_wins")).cast("double")
+    val z = when(col("longer_wins") + col("shorter_wins") > 0,
+      Num.t4zero((col("longer_wins").cast("double") - nu / 2.0) / sqrt(nu / 4.0)))
+      .otherwise(0.0)
+    m.select(col("n_pairs"), col("longer_wins"), col("shorter_wins"), col("ties"),
+      when(col("longer_wins") + col("shorter_wins") > 0,
+        floor(col("longer_wins").cast("double") / nu * 1e6) / 1e6)
+        .otherwise(0.0).as("frac_longer_wins"),
+      when(col("n_pairs") > 0,
+        Num.t4zero(col("__sd").cast("double") / col("n_pairs")))
+        .otherwise(0.0).as("mean_len_delta"),
+      z.as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
   def winRates(games: DataFrame, winner: Column, loser: Column,
       z: Double = 1.96): DataFrame = {
     val pw = games.select(winner.cast("long").as("player"), lit(1L).as("win"))

@@ -913,6 +913,58 @@ object Stats {
         .as("first_decision"))
   }
 
+  /** Cochran-Mantel-Haenszel test — "does exposure associate with
+    * outcome CONTROLLING for the stratum?" ([[chiSquared]] pools
+    * everything and Simpson's paradox eats it; CMH tests the common
+    * association across K 2×2 tables):
+    *
+    *   CMH = (Σ_k (a_k − E_k))² / Σ_k V_k,
+    *   E = r1·c1/n,  V = r1·r2·c1·c2 / (n²(n−1))
+    *
+    * with a = exposed-and-positive. χ²₁ downstream (no p lane).
+    * Single-row strata carry no variance and are excluded (reported
+    * via n_excluded — the cochranQ incomplete-block convention).
+    * Shape: one groupBy(stratum) pass with conditional counts, E and
+    * V derived double-with-fixed-order and truncated 7 dp into exact
+    * decimal sums (the mutualInformation discipline), two double ops
+    * at the end, 4-dp floor. Degenerate (ΣV ≤ 0) reports 0 flagged.
+    * Returns ONE row: (n_strata, n_excluded, n, cmh, degenerate).
+    */
+  def cmhTest(df: DataFrame, stratum: Column, exposed: Column,
+      outcome: Column): DataFrame = {
+    val e = exposed.cast("boolean")
+    val o = outcome.cast("boolean")
+    val per = df.filter(e.isNotNull && o.isNotNull && stratum.isNotNull)
+      .groupBy(stratum.as("__k"))
+      .agg(
+        count(lit(1)).as("__n"),
+        coalesce(sum(when(e && o, 1L)), lit(0L)).as("__a"),
+        coalesce(sum(when(e, 1L)), lit(0L)).as("__r1"),
+        coalesce(sum(when(o, 1L)), lit(0L)).as("__c1"))
+    val nd = col("__n").cast("double")
+    val ed = col("__r1").cast("double") * col("__c1").cast("double") / nd
+    val vd = col("__r1").cast("double") *
+      (col("__n") - col("__r1")).cast("double") *
+      col("__c1").cast("double") *
+      (col("__n") - col("__c1")).cast("double") /
+      (nd * nd * (nd - 1.0))
+    def t7(c: Column): Column =
+      (signum(c) * (floor(abs(c) * 1e7) / 1e7)).cast("decimal(25,7)")
+    val usable = col("__n") >= 2
+    val m = per.agg(
+      coalesce(sum(when(usable, 1L)), lit(0L)).as("n_strata"),
+      coalesce(sum(when(!usable, 1L)), lit(0L)).as("n_excluded"),
+      coalesce(sum(when(usable, col("__n"))), lit(0L)).as("n"),
+      sum(when(usable, t7(col("__a").cast("double") - ed))).as("__sae"),
+      sum(when(usable, t7(vd))).as("__sv"))
+    val num = col("__sae").cast("double") * col("__sae").cast("double")
+    val den = col("__sv").cast("double")
+    val degenerate = col("n_strata") < 1 || den <= 0.0
+    m.select(col("n_strata"), col("n_excluded"), col("n"),
+      when(degenerate, 0.0).otherwise(Num.t4floor(num / den)).as("cmh"),
+      degenerate.as("degenerate"))
+  }
+
   /** Per-key ordinary-least-squares trend fit — "is this metric
     * drifting?" as a slope with goodness-of-fit, the regression
     * companion to [[rollingZ]]'s point alarms and

@@ -82,6 +82,55 @@ object PreferenceQueries {
 
   val all: Seq[Q] = Seq(
 
+    // D125: response-length bias diagnostic — adjacent-doc pairs with
+    // a pseudo-reward (n_chars % 11) that correlates with but does
+    // not equal length, so both outcomes occur; sign-test z on the
+    // toward-zero lane.
+    Q(
+      "q_length_bias",
+      """WITH d AS (SELECT doc_id, text, n_chars % 11 AS r FROM documents),
+        |p AS (SELECT CASE WHEN a.r > b.r THEN a.text ELSE b.text END AS ct,
+        |             CASE WHEN a.r > b.r THEN b.text ELSE a.text END AS rt
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0 AND a.r <> b.r),
+        |t AS (SELECT length(ct) AS lc, length(rt) AS lr FROM p),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(CASE WHEN lc > lr THEN 1 END), 0) AS BIGINT)
+        |      AS longer_wins,
+        |    CAST(coalesce(sum(CASE WHEN lc < lr THEN 1 END), 0) AS BIGINT)
+        |      AS shorter_wins,
+        |    CAST(coalesce(sum(CASE WHEN lc = lr THEN 1 END), 0) AS BIGINT) AS ties,
+        |    CAST(coalesce(sum(lc - lr), 0) AS BIGINT) AS sd
+        |  FROM t),
+        |e AS (SELECT *, CAST(longer_wins + shorter_wins AS DOUBLE) AS nu FROM m),
+        |f AS (SELECT n_pairs, longer_wins, shorter_wins, ties,
+        |    CASE WHEN longer_wins + shorter_wins > 0
+        |      THEN floor(CAST(longer_wins AS DOUBLE) / nu * 1e6) / 1e6
+        |      ELSE 0.0 END AS frac_longer_wins,
+        |    CASE WHEN n_pairs > 0
+        |      THEN sign(CAST(sd AS DOUBLE) / n_pairs)
+        |        * (floor(abs(CAST(sd AS DOUBLE) / n_pairs) * 1e4) / 1e4) + 0.0
+        |      ELSE 0.0 END AS mean_len_delta,
+        |    CASE WHEN longer_wins + shorter_wins > 0
+        |      THEN sign((CAST(longer_wins AS DOUBLE) - nu / 2.0) / sqrt(nu / 4.0))
+        |        * (floor(abs((CAST(longer_wins AS DOUBLE) - nu / 2.0)
+        |            / sqrt(nu / 4.0)) * 1e4) / 1e4) + 0.0
+        |      ELSE 0.0 END AS z
+        |  FROM e)
+        |SELECT *, abs(z) > 1.96 AS significant FROM f""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"),
+        (col("n_chars") % 11).as("r"))
+      val a = d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("aid"), col("text").as("at"), col("r").as("ar"))
+      val b = d.select((col("doc_id") - 1).as("aid"),
+        col("text").as("bt"), col("r").as("br"))
+      val pairs = a.join(b, "aid").filter(col("ar") =!= col("br"))
+        .select(when(col("ar") > col("br"), col("at")).otherwise(col("bt")).as("ct"),
+          when(col("ar") > col("br"), col("bt")).otherwise(col("at")).as("rt"))
+      Preference.lengthBias(pairs, col("ct"), col("rt"))
+    },
+
     // D85: preference pair assembly + per-rule validation.
     Q(
       "q_pref_pairs",

@@ -512,6 +512,51 @@ object ProfileQueries {
         col("event_type"), col("value"))
     },
 
+    // C89: Cochran-Mantel-Haenszel across event-type strata — user
+    // parity vs high-value outcome controlling for the type; a−E and
+    // V on 7-dp signed lanes, one double division, 4-dp floor.
+    Q(
+      "q_cmh",
+      """WITH v AS (SELECT event_type AS k, (user_id % 2 = 0) AS e,
+        |    (value > 50.0) AS o
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |per AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN e AND o THEN 1 END), 0) AS BIGINT) AS a,
+        |    CAST(coalesce(sum(CASE WHEN e THEN 1 END), 0) AS BIGINT) AS r1,
+        |    CAST(coalesce(sum(CASE WHEN o THEN 1 END), 0) AS BIGINT) AS c1
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT n, a, r1, c1, CAST(n AS DOUBLE) AS nd,
+        |    CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS ed,
+        |    CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+        |      * CAST(n - c1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      AS vd
+        |  FROM per),
+        |m AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 END), 0) AS BIGINT)
+        |      AS n_strata,
+        |    CAST(coalesce(sum(CASE WHEN n < 2 THEN 1 END), 0) AS BIGINT)
+        |      AS n_excluded,
+        |    CAST(coalesce(sum(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT) AS n,
+        |    sum(CASE WHEN n >= 2 THEN CAST(sign(CAST(a AS DOUBLE) - ed)
+        |      * (floor(abs(CAST(a AS DOUBLE) - ed) * 1e7) / 1e7)
+        |      AS DECIMAL(25,7)) END) AS sae,
+        |    sum(CASE WHEN n >= 2 THEN CAST(sign(vd)
+        |      * (floor(abs(vd) * 1e7) / 1e7) AS DECIMAL(25,7)) END) AS sv
+        |  FROM d)
+        |SELECT n_strata, n_excluded, n,
+        |  CASE WHEN n_strata < 1 OR CAST(sv AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE floor(CAST(sae AS DOUBLE) * CAST(sae AS DOUBLE)
+        |      / CAST(sv AS DOUBLE) * 1e4) / 1e4 END AS cmh,
+        |  (n_strata < 1 OR CAST(sv AS DOUBLE) <= 0.0) AS degenerate
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.cmhTest(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("user_id") % 2 === 0, col("value") > 50.0)
+    },
+
     // C82: Brown-Forsythe variance-equality test across event types —
     // ANOVA on |value − group median|; type-1 medians replay as rank
     // picks, z lanes 6-dp floored, then the q_anova moment replay.

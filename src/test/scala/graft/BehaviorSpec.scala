@@ -245,6 +245,33 @@ class BehaviorSpec extends SparkSpec {
     assert(mixed.indices.forall(i => out(("m", i.toLong)).getString(3) == "continue"))
   }
 
+  test("cmhTest: hand-computed two-stratum table, single-row exclusion, no-association zero") {
+    import graft.operators.Stats
+    // per stratum: a=3, r1=4, c1=4, n=8 → E=2, V=256/448;
+    // two identical strata → CMH = 4 / (2·t7(V))
+    def stratum(k: String) = Seq.fill(3)((k, true, true)) ++ Seq((k, true, false)) ++
+      Seq((k, false, true)) ++ Seq.fill(3)((k, false, false))
+    val d = (stratum("s1") ++ stratum("s2")).toDF("k", "e", "o")
+    val Array(r) = Stats.cmhTest(d, col("k"), col("e"), col("o")).collect()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 16L)
+    val v7 = math.floor(256.0 / 448.0 * 1e7) / 1e7
+    assert(r.getDouble(3) == math.floor(4.0 / (2 * v7) * 1e4) / 1e4, r.toString)
+    assert(!r.getBoolean(4))
+    // a single-row stratum is excluded, statistic unchanged
+    val Array(x) = Stats.cmhTest(
+      (stratum("s1") ++ stratum("s2") :+ (("tiny", true, true)))
+        .toDF("k", "e", "o"),
+      col("k"), col("e"), col("o")).collect()
+    assert(x.getLong(0) == 2L && x.getLong(1) == 1L
+      && x.getDouble(3) == r.getDouble(3), x.toString)
+    // perfectly balanced: a == E in every stratum → CMH = 0
+    def balanced(k: String) = Seq((k, true, true), (k, true, false),
+      (k, false, true), (k, false, false))
+    val Array(z) = Stats.cmhTest((balanced("a") ++ balanced("b")).toDF("k", "e", "o"),
+      col("k"), col("e"), col("o")).collect()
+    assert(z.getDouble(3) == 0.0 && !z.getBoolean(4), z.toString)
+  }
+
   test("boxplot: quartiles and whisker outliers on a known distribution") {
     // group g: 1..9 plus a wild outlier 100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0))).toDF("k", "v")

@@ -152,4 +152,28 @@ class PreferenceSpec extends SparkSpec {
       (1.0 + z2 / n)
     assert(out(10L).getAs[Double]("wilson_lo") == math.floor(lo * 1e4) / 1e4)
   }
+
+  test("lengthBias: hand-computed counts, sign test, ties excluded, strong bias flags") {
+    import graft.operators.Preference
+    // lens (chosen, rejected): (5,3) (2,4) (4,4) (6,1) →
+    // longer 2, shorter 1, tie 1; sd=5; z=(2−1.5)/√0.75
+    val pairs = Seq(("abcde", "abc"), ("ab", "abcd"),
+      ("abcd", "wxyz"), ("abcdef", "a")).toDF("c", "r")
+    val Array(o) = Preference.lengthBias(pairs, col("c"), col("r")).collect()
+    assert(o.getLong(0) == 4L && o.getLong(1) == 2L
+      && o.getLong(2) == 1L && o.getLong(3) == 1L, o.toString)
+    assert(o.getDouble(4) == math.floor(2.0 / 3.0 * 1e6) / 1e6)
+    assert(o.getDouble(5) == 1.25)
+    val zRaw = (2.0 - 3.0 / 2.0) / math.sqrt(3.0 / 4.0)
+    assert(o.getDouble(6) == math.floor(zRaw * 1e4) / 1e4, o.toString)
+    assert(!o.getBoolean(7))
+    // longer always wins over 30 pairs: strongly significant
+    val biased = Seq.tabulate(30)(i => ("longer" + "x" * i, "s")).toDF("c", "r")
+    val Array(b) = Preference.lengthBias(biased, col("c"), col("r")).collect()
+    assert(b.getBoolean(7) && b.getDouble(4) == 1.0, b.toString)
+    // all ties: no verdict, clean zeros
+    val ties = Seq(("aa", "bb"), ("cc", "dd")).toDF("c", "r")
+    val Array(t) = Preference.lengthBias(ties, col("c"), col("r")).collect()
+    assert(t.getLong(3) == 2L && t.getDouble(6) == 0.0 && !t.getBoolean(7))
+  }
 }
