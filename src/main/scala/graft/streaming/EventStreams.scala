@@ -919,6 +919,56 @@ object EventStreams {
       }
   }
 
+  case class SprtIn(key: String, o: Long, x: Boolean)
+
+  case class SprtState(llr7: Long)
+
+  case class SprtOut(key: String, order_val: Long, llr7: Long)
+
+  /** E37: streaming SPRT maintenance — the live twin of
+    * [[graft.operators.Stats.sprt]], which is the whole POINT of a
+    * sequential test (the batch form replays history; the stream
+    * decides DURING the experiment): per key the state is ONE long —
+    * the cumulative LLR on the batch operator's exact 7-dp lane as an
+    * integer (llr·1e7, the E34 micro-unit contract, so stream and
+    * batch can never drift by an ulp), each observation emits its
+    * llr7, and the decision/first-crossing assembly is a downstream
+    * compare against the Wald bounds ·1e7 (the E30-cells/probe
+    * split). Increments enter as the same
+    * `BigDecimal(ln …).setScale(7)` values the batch operator and
+    * oracle share. Ordering contract as E26/E34: per-key order
+    * across batches; within a batch rows sort here.
+    */
+  def sprtStream(obs: DataFrame, p0: Double, p1: Double): Dataset[SprtOut] = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 in (0,1), distinct")
+    implicit val inEnc = Encoders.product[SprtIn]
+    implicit val outEnc = Encoders.product[SprtOut]
+    implicit val stEnc = Encoders.product[SprtState]
+    implicit val strEnc = Encoders.STRING
+    def r7micro(x: Double): Long =
+      BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+        .underlying().movePointRight(7).longValueExact()
+    val lw = r7micro(math.log(p1 / p0))
+    val ll = r7micro(math.log((1 - p1) / (1 - p0)))
+    obs.select(col("key").cast("string"), col("o").cast("long"),
+        col("x").cast("boolean"))
+      .filter(col("key").isNotNull && col("x").isNotNull)
+      .as[SprtIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SprtIn], state: GroupState[SprtState]) =>
+          var llr = state.getOption.map(_.llr7).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.o).map { r =>
+            llr += (if (r.x) lw else ll)
+            SprtOut(key, r.o, llr)
+          }
+          state.update(SprtState(llr))
+          out.iterator
+      }
+  }
+
   case class LinePair(fp: String, doc: Long)
 
   /** E35: streaming line document-frequency maintenance — the live

@@ -1233,6 +1233,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E37 sprtStream: micro-lanes equal the batch walk across a split; live crossing detected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Stats
+    // 8 straight wins with the split mid-walk: the 7th observation
+    // crosses the upper Wald bound — detectable live from llr7
+    val obs = Seq.tabulate(8)(i => ("w", i.toLong, true)) ++
+      Seq.tabulate(5)(i => ("l", i.toLong, false))
+    val input = MemoryStream[(String, Long, Boolean)](spark)
+    val q = graft.streaming.EventStreams.sprtStream(
+        input.toDF().toDF("key", "o", "x"), p0 = 0.4, p1 = 0.6)
+      .writeStream.format("memory").queryName("e37_out").outputMode("append").start()
+    try {
+      input.addData(obs.take(4))
+      q.processAllAvailable()
+      input.addData(obs.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("e37_out")
+        .as[(String, Long, Long)].collect()
+        .map { case (k, o, l) => (k, o) -> l }.toMap
+      val batch = Stats.sprt(obs.toDF("k", "o", "x"), col("k"), col("o"),
+          col("x"), p0 = 0.4, p1 = 0.6)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getString(3))).toMap
+      assert(streamed.size == batch.size)
+      val upper7 = BigDecimal(math.log(0.8 / 0.05))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+        .underlying().movePointRight(7).longValueExact()
+      streamed.foreach { case (k, llr7) =>
+        // floor-division reproduces the batch 4-dp floor for any sign
+        assert(math.floorDiv(llr7, 1000L) / 1e4 == batch(k)._1, s"llr at $k")
+        val liveH1 = llr7 >= upper7
+        assert(liveH1 == (batch(k)._2 == "accept_h1"), s"decision at $k")
+      }
+    } finally q.stop()
+  }
+
   test("E30 cmsCellStream: final cells equal the batch CMS exactly across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val terms = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "c")
