@@ -1119,6 +1119,49 @@ object Similarity {
       col("rel"), col("mmr_score"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. '22, MRL) — before
+    * shipping truncated embeddings (the modern storage/latency lever:
+    * serve dim-16 prefixes, keep dim-64 for re-rank), measure what
+    * each prefix length COSTS: per candidate dim, the mean prefix
+    * cosine over sampled pairs plus the mean and max absolute
+    * deviation from the full-dimension cosine — the numbers that
+    * decide which prefix a recall tier can afford. Pure composition:
+    * one prefix-slice + the shared cosine kernel per (pair, dim),
+    * deviations on 7-dp lanes into exact decimal sums (order-
+    * independent), 6-dp floor reporting (mean cosine toward zero —
+    * it is signed). Caller supplies the pair frame (deterministic
+    * pairing is the caller's sampling policy). Returns one row per
+    * dim: (dim, n_pairs, mean_cos_prefix, mean_abs_delta,
+    * max_abs_delta).
+    */
+  def matryoshkaAudit(pairs: DataFrame, vecA: Column, vecB: Column,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
+    val t = pairs.select(
+      transform(vecA, x => x.cast("double")).as("__a"),
+      transform(vecB, x => x.cast("double")).as("__b"))
+    val exploded = t
+      .withColumn("__full", cosine(col("__a"), col("__b")))
+      .select(col("__a"), col("__b"), col("__full"),
+        explode(typedLit(dims)).as("dim"))
+    val cd = cosine(slice(col("__a"), lit(1), col("dim")),
+      slice(col("__b"), lit(1), col("dim")))
+    val absd7 = (floor(abs(cd - col("__full")) * 1e7) / 1e7).cast("decimal(20,7)")
+    val cd7 = (signum(cd) * (floor(abs(cd) * 1e7) / 1e7)).cast("decimal(20,7)")
+    val g = exploded.groupBy("dim").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(absd7).as("__sad"),
+      max(absd7).as("__mad"),
+      sum(cd7).as("__scd"))
+    val meanCos = col("__scd").cast("double") / col("n_pairs")
+    g.select(col("dim"), col("n_pairs"),
+      (signum(meanCos) * (floor(abs(meanCos) * 1e6) / 1e6) + 0.0)
+        .as("mean_cos_prefix"),
+      (floor(col("__sad").cast("double") / col("n_pairs") * 1e6) / 1e6)
+        .as("mean_abs_delta"),
+      (floor(col("__mad").cast("double") * 1e6) / 1e6).as("max_abs_delta"))
+  }
+
   /** Greedy k-center coreset selection (farthest-point-first traversal,
     * Gonzalez '85; the coreset active-selection recipe of Sener &
     * Savarese '18) — the DIVERSITY face of data selection, next to

@@ -1367,6 +1367,46 @@ object DedupQueries {
         .orderBy("cluster")
     },
 
+    // D126: Matryoshka truncation audit — adjacent-id embedding pairs,
+    // prefix dims 8/16/32/64 (64 = full, a built-in zero-delta sanity
+    // row). Exact oracle: list slices + the cosSql kernel + 7-dp
+    // deviation lanes replay.
+    Q(
+      "q_matryoshka",
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |p AS (SELECT a.v AS va, b.v AS vb
+         |  FROM e a JOIN e b ON b.id = a.id + 1 WHERE a.id % 2 = 0),
+         |x AS (SELECT va, vb, ${cosSql("va", "vb")} AS fullc FROM p),
+         |dd AS (SELECT dim, va[1:dim] AS sa, vb[1:dim] AS sb, fullc
+         |  FROM x, unnest([8, 16, 32, 64]) AS t(dim)),
+         |c AS (SELECT dim, fullc, ${cosSql("sa", "sb")} AS cd FROM dd),
+         |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    sum(CAST(floor(abs(cd - fullc) * 1e7) / 1e7 AS DECIMAL(20,7))) AS sad,
+         |    max(CAST(floor(abs(cd - fullc) * 1e7) / 1e7 AS DECIMAL(20,7))) AS mad,
+         |    sum(CAST(sign(cd) * (floor(abs(cd) * 1e7) / 1e7) AS DECIMAL(20,7)))
+         |      AS scd
+         |  FROM c GROUP BY 1)
+         |SELECT dim, n_pairs,
+         |  sign(CAST(scd AS DOUBLE) / n_pairs)
+         |    * (floor(abs(CAST(scd AS DOUBLE) / n_pairs) * 1e6) / 1e6) + 0.0
+         |    AS mean_cos_prefix,
+         |  floor(CAST(sad AS DOUBLE) / n_pairs * 1e6) / 1e6 AS mean_abs_delta,
+         |  floor(CAST(mad AS DOUBLE) * 1e6) / 1e6 AS max_abs_delta
+         |FROM g ORDER BY dim""".stripMargin
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.where(col("id") % 2 === 0)
+        .select(col("id").as("aid"), col("v").as("va"))
+      val b = e.select((col("id") - 1).as("aid"), col("v").as("vb"))
+      val pairs = a.join(b, "aid").select(col("va"), col("vb"))
+      Similarity.matryoshkaAudit(pairs, col("va"), col("vb"),
+          dims = Seq(8, 16, 32, 64))
+        .orderBy("dim")
+    },
+
     // D117: greedy k-center coreset selection (farthest-point-first) —
     // the diversity-budget data-selection pick sequence over the
     // embedding corpus. Exact oracle: the seed hash, every running

@@ -1295,6 +1295,32 @@ class DedupSpec extends SparkSpec {
     assert(z.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
   }
 
+  test("matryoshkaAudit: hand-computed prefix deltas; full dim is exactly zero-delta") {
+    // pair (1,0) vs (1,1): full cos = 1/√2; dim-1 prefix cos = 1
+    val pairs = Seq((Array(1.0, 0.0), Array(1.0, 1.0))).toDF("va", "vb")
+    val out = Similarity.matryoshkaAudit(pairs, col("va"), col("vb"),
+        dims = Seq(1, 2))
+      .orderBy("dim").collect()
+    val full = 1.0 / (1.0 * math.sqrt(2.0))
+    val d7 = math.floor(math.abs(1.0 - full) * 1e7) / 1e7
+    assert(out(0).getInt(0) == 1 && out(0).getLong(1) == 1L)
+    assert(out(0).getDouble(3) == math.floor(d7 * 1e6) / 1e6, out(0).toString)
+    assert(out(0).getDouble(2) == 1.0) // prefix-1 cosine is exactly 1
+    // the full-length prefix reproduces the full cosine bit for bit
+    assert(out(1).getDouble(3) == 0.0 && out(1).getDouble(4) == 0.0)
+    // on the real corpus, longer prefixes approximate no worse
+    val e = sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.where(col("id") % 2 === 0)
+      .select(col("id").as("aid"), col("v").as("va"))
+    val b = e.select((col("id") - 1).as("aid"), col("v").as("vb"))
+    val real = Similarity.matryoshkaAudit(a.join(b, "aid"),
+        col("va"), col("vb"), dims = Seq(8, 32, 64))
+      .orderBy("dim").collect()
+    assert(real(0).getDouble(3) >= real(1).getDouble(3), real.toSeq.toString)
+    assert(real(2).getDouble(3) == 0.0)
+  }
+
   test("kCenterSelect greedily maximizes the min-distance with non-increasing gaps") {
     import spark.implicits._
     val pts: Map[Long, Array[Double]] = Map(
