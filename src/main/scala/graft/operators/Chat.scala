@@ -186,4 +186,43 @@ object Chat {
       .withColumn("avg_tokens",
         Num.t4floor(col("total_tokens").cast("double") / col("n_turns")))
   }
+
+  /** Context-window truncation planner — the SFT preprocessing step
+    * for conversations longer than the training window: keep every
+    * `system` turn plus the LONGEST SUFFIX of dialog turns that fits
+    * the remaining budget (recency wins — the standard chat-template
+    * policy; dropping the tail instead would discard exactly the
+    * turns the next reply conditions on). Per turn: kept flag and a
+    * reason (`system` / `kept` / `dropped`), so the caller can
+    * rebuild the truncated conversation or aggregate an attrition
+    * report. A system share that alone exceeds the budget still
+    * keeps system turns (flagged by every dialog turn dropping).
+    *
+    * Shape: two windows per conversation key — one unordered sum for
+    * the system share, one turn-DESC running sum for the suffix cost
+    * — one exchange; exact integer token accounting throughout; ties
+    * impossible by contract (turn_idx unique per conversation, the
+    * chat-family input rule).
+    */
+  def truncatePlan(df: DataFrame, convId: Column, turnIdx: Column,
+      role: Column, nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val t = df.select(convId.as("conv_id"), turnIdx.cast("int").as("turn_idx"),
+      role.as("role"), nTokens.cast("long").as("n_tokens"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("turn_idx").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val staged = t
+      .withColumn("__sys",
+        sum(when(col("role") === "system", col("n_tokens")).otherwise(0L)).over(wc))
+      .withColumn("__suf",
+        sum(when(col("role") =!= "system", col("n_tokens")).otherwise(0L)).over(wDesc))
+    val kept = col("role") === "system" ||
+      col("__suf") <= greatest(lit(budget) - col("__sys"), lit(0L))
+    staged.select(col("conv_id"), col("turn_idx"), col("role"), col("n_tokens"),
+      kept.as("kept"),
+      when(col("role") === "system", lit("system"))
+        .when(kept, lit("kept")).otherwise(lit("dropped")).as("reason"))
+  }
 }

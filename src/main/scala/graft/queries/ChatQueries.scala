@@ -70,6 +70,47 @@ object ChatQueries {
 
   val all: Seq[Q] = Seq(
 
+    // D127: context-window truncation planning — a planted system
+    // turn per conversation plus the sentence turns, char counts as
+    // the token proxy, budget 300: keep system + the longest fitting
+    // dialog suffix. Exact oracle: the two window sums replay on
+    // integer lanes.
+    Q(
+      "q_chat_truncate",
+      s"""$turnsSql,
+         |wsys AS (
+         |  SELECT conv_id, -1 AS turn_idx, 'system' AS role,
+         |    CAST(38 AS BIGINT) AS n_tokens
+         |  FROM (SELECT DISTINCT conv_id FROM turns)),
+         |allt AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    CAST(length(content) AS BIGINT) AS n_tokens FROM turns
+         |  UNION ALL SELECT * FROM wsys),
+         |st AS (
+         |  SELECT conv_id, turn_idx, role, n_tokens,
+         |    sum(CASE WHEN role = 'system' THEN n_tokens ELSE 0 END)
+         |      OVER (PARTITION BY conv_id) AS sys,
+         |    sum(CASE WHEN role <> 'system' THEN n_tokens ELSE 0 END)
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suf
+         |  FROM allt)
+         |SELECT conv_id, turn_idx, role, n_tokens,
+         |  (role = 'system' OR suf <= greatest(300 - sys, 0)) AS kept,
+         |  CASE WHEN role = 'system' THEN 'system'
+         |       WHEN suf <= greatest(300 - sys, 0) THEN 'kept'
+         |       ELSE 'dropped' END AS reason
+         |FROM st ORDER BY conv_id, turn_idx""".stripMargin
+    )(chat { t =>
+      val sys = t.select("conv_id").distinct()
+        .select(col("conv_id"), lit(-1).as("turn_idx"),
+          lit("system").as("role"), lit(38L).as("n_tokens"))
+      val turns = t.select(col("conv_id"), col("turn_idx"), col("role"),
+        length(col("content")).cast("long").as("n_tokens"))
+      Chat.truncatePlan(turns.unionByName(sys), col("conv_id"),
+          col("turn_idx"), col("role"), col("n_tokens"), budget = 300L)
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // D80: conversation assembly — scalar shape columns only (the turn
     // array itself is spec-verified; parquet/DuckDB struct-array
     // hashing is not part of the driver contract).

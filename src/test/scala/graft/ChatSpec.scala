@@ -115,4 +115,26 @@ class ChatSpec extends SparkSpec {
     // "Sorry - an engine." drops the dash: sorry/an/engine = 3.
     assert(asst.getAs[Long]("total_tokens") == 4L + 1L + 0L + 3L)
   }
+
+  test("truncatePlan: longest fitting suffix kept, system always survives, over-budget system drops all dialog") {
+    import graft.operators.Chat
+    // conv 1: system 10, dialog [100, 50, 80, 60], budget 200 →
+    // remaining 190; suffix costs 60/140/190/290 → t1..t3 kept, t0 dropped
+    val t = Seq(
+      (1L, -1, "system", 10L), (1L, 0, "user", 100L), (1L, 1, "assistant", 50L),
+      (1L, 2, "user", 80L), (1L, 3, "assistant", 60L),
+      // conv 2: the system share alone exceeds the budget
+      (2L, -1, "system", 300L), (2L, 0, "user", 5L), (2L, 1, "assistant", 5L))
+      .toDF("c", "i", "r", "n")
+    val out = Chat.truncatePlan(t, col("c"), col("i"), col("r"), col("n"),
+        budget = 200L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getBoolean(4), r.getString(5))).toMap
+    assert(out((1L, -1)) == ((true, "system")))
+    assert(out((1L, 0)) == ((false, "dropped")))
+    assert(out((1L, 1)) == ((true, "kept")) && out((1L, 2)) == ((true, "kept"))
+      && out((1L, 3)) == ((true, "kept")))
+    assert(out((2L, -1)) == ((true, "system")))
+    assert(out((2L, 0)) == ((false, "dropped")) && out((2L, 1)) == ((false, "dropped")))
+  }
 }
