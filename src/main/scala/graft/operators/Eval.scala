@@ -602,7 +602,9 @@ object Eval {
   def cochranQ(df: DataFrame, item: Column, system: Column,
       success: Column): DataFrame = {
     val s = success.cast("boolean")
-    val t = df.filter(s.isNotNull)
+    // NULL item/system rows are unattributable, not a real block/arm
+    // (the friedman filter — the two siblings must agree)
+    val t = df.filter(s.isNotNull && item.isNotNull && system.isNotNull)
       .select(item.as("__i"), system.as("__s"), when(s, 1L).otherwise(0L).as("__x"))
     val kRow = t.agg(countDistinct(col("__s")).as("__k"))
     def b19(c: Column): Column = c.cast("decimal(19,0)")

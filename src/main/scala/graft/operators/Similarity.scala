@@ -1203,7 +1203,10 @@ object Similarity {
     require(k >= 1 && k <= 4096, "k in [1, 4096]")
     require(trainFraction > 0 && trainFraction <= 1, "trainFraction in (0,1]")
     val spark = df.sparkSession
+    // a NULL vector has no position: filter it, or its NULL distance
+    // lane would ride every round's least() and orderBy
     val all = df.select(id.as("id"), transform(vec, x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
     val base = (if (trainFraction < 1.0) Sampling.hashSample(all, col("id"), trainFraction)
                 else all)
       .withColumn("__vv", dot(col("v"), col("v")))

@@ -1355,5 +1355,10 @@ class DedupSpec extends SparkSpec {
       (3L, Array(2.0, 2.0)), (4L, Array(2.0, 2.0))).toDF("id", "v")
     val few = Similarity.kCenterSelect(dup, col("id"), col("v"), k = 4).collect()
     assert(few.length == 2)
+    // a NULL vector has no position — excluded, trajectory unchanged
+    val withNull = df.union(Seq((99L, null: Array[Double])).toDF("id", "v"))
+    val same = Similarity.kCenterSelect(withNull, col("id"), col("v"), k = 4)
+      .orderBy("rank").collect()
+    assert(same.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
 }

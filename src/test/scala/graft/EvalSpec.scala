@@ -324,6 +324,13 @@ class EvalSpec extends SparkSpec {
       .toDF("i", "s", "x")
     val Array(d) = Eval.cochranQ(all, col("i"), col("s"), col("x")).collect()
     assert(d.getBoolean(5) && d.getDouble(4) == 0.0, d.toString)
+    // NULL item/system rows are unattributable and excluded (the
+    // friedman filter): the statistic is byte-identical with them
+    val noisy = (base.map { case (i, s, x) => (Some(i), Some(s), x) } ++
+      Seq((None, Some("a"), true), (Some(7L), None, false)))
+      .toDF("i", "s", "x")
+    val Array(nz) = Eval.cochranQ(noisy, col("i"), col("s"), col("x")).collect()
+    assert(nz.toSeq == r.toSeq, s"$nz vs $r")
   }
 
   test("friedman: perfect-consistency chi2 = n(k-1), mid-rank ties, exclusion, all-tied degenerate") {
