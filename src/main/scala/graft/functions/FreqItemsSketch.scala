@@ -159,6 +159,35 @@ case class FreqTopItems(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar per-item bounds from a serialized sketch:
+  * struct(estimate, lower_bound, upper_bound). The library guarantee
+  * is DETERMINISTIC — lower_bound ≤ true count ≤ upper_bound always
+  * holds, for tracked AND untracked items (an untracked item reports
+  * estimate 0 with upper_bound = the sketch's maximum error) — which
+  * is what lets the bounded-verdict oracle assert `within_bound =
+  * TRUE` as a portable contract instead of leaving the row unchecked.
+  */
+case class FreqBounds(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  @transient private lazy val serde = new ArrayOfStringsSerDe
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", LongType),
+    StructField("lower_bound", LongType),
+    StructField("upper_bound", LongType)))
+  override def prettyName: String = "freq_bounds"
+
+  override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val s = ItemsSketch.getInstance(
+      Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]), serde)
+    val it = item.toString
+    InternalRow(s.getEstimate(it), s.getLowerBound(it), s.getUpperBound(it))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqBounds =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Scalar point estimate for one item from a serialized sketch. */
 case class FreqEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -197,6 +226,11 @@ object FreqItemsSketch {
   /** Scalar: top heavy hitters with bounds from a serialized sketch. */
   def freqTopItems(sketch: Column, maxItems: Int): Column =
     Shims.toColumn(FreqTopItems(Shims.toExpression(sketch), Literal(maxItems)))
+
+  /** Scalar: struct(estimate, lower_bound, upper_bound) for one item. */
+  def freqBounds(sketch: Column, item: Column): Column =
+    Shims.toColumn(FreqBounds(Shims.toExpression(sketch),
+      Shims.toExpression(item.cast("string"))))
 
   /** Scalar: point estimate for one item. */
   def freqEstimate(sketch: Column, item: Column): Column =

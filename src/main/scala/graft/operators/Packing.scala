@@ -145,6 +145,22 @@ object Packing {
     * Output: (id, cluster, n_tokens, seq_id, tok_offset) — seq ids
     * are CLUSTER-local, exactly packSequences' shard contract.
     */
+  def packBySimilarity(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      nTokens: Column,
+      centroids: Array[Array[Double]],
+      budget: Int): DataFrame = {
+    val toks = corpus.select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+    val asg = Similarity.ivfAssign(corpus, id, vec, centroids)
+      .select(col("id"), col("cluster"))
+    packSequences(asg.join(toks, "id"), col("cluster"), Seq(col("id")),
+        col("n_tokens"), budget)
+      .select(col("id"), col("cluster"), col("n_tokens"), col("seq_id"),
+        col("tok_offset"))
+  }
+
   /** FIM (fill-in-the-middle) transformation (Bavarian et al.,
     * "Efficient Training of Language Models to Fill in the Middle",
     * '22) — the code-corpus preprocessing step that teaches infilling:
@@ -154,7 +170,9 @@ object Packing {
     * `pre‖prefix‖suf‖suffix‖mid‖middle` or the paper's SPM variant
     * `suf‖suffix‖pre‖prefix‖mid‖middle`; the rest pass through as
     * `plain`. Character = Unicode code point (the chrF substring
-    * contract, so the SQL twin lands on identical splits).
+    * contract, so the SQL twin lands on identical splits). NULL-text
+    * rows are plain passthrough: no split happened, so they must not
+    * claim an spm/psm mode regardless of what the id hash selects.
     *
     * Determinism: apply/mode decisions ride [[Sampling.hashBucket]]
     * on salted id keys, split offsets ride [[Sampling.hashMod]] over
@@ -177,8 +195,9 @@ object Packing {
     require(spmRate >= 0 && spmRate <= 1, "spmRate in [0,1]")
     val t = df.select(id.cast("long").as("id"), text.as("text"))
     val len = length(col("text"))
-    val applyFim = Sampling.hashBucket(col("id") * 31 + 3) <
-      math.round(fimRate * Sampling.buckets)
+    val applyFim = col("text").isNotNull &&
+      Sampling.hashBucket(col("id") * 31 + 3) <
+        math.round(fimRate * Sampling.buckets)
     val spm = Sampling.hashBucket(col("id") * 31 + 4) <
       math.round(spmRate * Sampling.buckets)
     val o1 = Sampling.hashMod(col("id") * 31 + 1, len + 1)
@@ -199,21 +218,5 @@ object Packing {
       when(applyFim, lo.cast("long")).as("n_prefix"),
       when(applyFim, (hi - lo).cast("long")).as("n_middle"),
       when(applyFim, (len - hi).cast("long")).as("n_suffix"))
-  }
-
-  def packBySimilarity(
-      corpus: DataFrame,
-      id: Column,
-      vec: Column,
-      nTokens: Column,
-      centroids: Array[Array[Double]],
-      budget: Int): DataFrame = {
-    val toks = corpus.select(id.as("id"), nTokens.cast("long").as("n_tokens"))
-    val asg = Similarity.ivfAssign(corpus, id, vec, centroids)
-      .select(col("id"), col("cluster"))
-    packSequences(asg.join(toks, "id"), col("cluster"), Seq(col("id")),
-        col("n_tokens"), budget)
-      .select(col("id"), col("cluster"), col("n_tokens"), col("seq_id"),
-        col("tok_offset"))
   }
 }

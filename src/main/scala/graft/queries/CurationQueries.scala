@@ -1271,7 +1271,7 @@ object CurationQueries {
         val o2 = graft.operators.Sampling.hashModSql("(doc_id * 31 + 2)", "length(text) + 1")
         s"""WITH b AS (
            |  SELECT doc_id AS id, text, length(text) AS len,
-           |    $ap < 500 AS apply_fim, $sp < 500 AS spm,
+           |    text IS NOT NULL AND $ap < 500 AS apply_fim, $sp < 500 AS spm,
            |    least($o1, $o2) AS lo, greatest($o1, $o2) AS hi
            |  FROM documents),
            |p AS (SELECT id, apply_fim, spm, len, lo, hi, text,

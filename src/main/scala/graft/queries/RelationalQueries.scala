@@ -454,15 +454,43 @@ object RelationalQueries {
     // C14: sketch aggregates — HyperLogLog++ distinct counts and
     // t-digest-style approximate quantiles, the interactive-query path
     // at 100 TB (exact twins: q_join_pricing's countDistinct and
-    // q_agg_stats' exact percentile). Sketch internals differ across
-    // engines → rows-only; SketchSpec bounds the relative error.
-    Q.rowsOnly("q_approx_stats") { (s, dir) =>
+    // q_agg_stats' exact percentile). The estimates themselves are
+    // engine-specific, so the portable output is the BOUNDED-VERDICT
+    // shape: exact counts (both engines agree) plus a within-envelope
+    // boolean each engine computes from ITS OWN estimate — HLL++ at
+    // rsd=0.01 checked at 5×rsd (3σ is 3%), percentile_approx at
+    // accuracy=1000 (published rank error 1e-3) checked against the
+    // exact p45..p55 value window (50× the published envelope). The
+    // driver then verifies the sketch CONTRACT instead of nothing;
+    // SketchSpec still bounds the raw relative error.
+    Q(
+      "q_approx_stats",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+        |      - count(DISTINCT l_orderkey))
+        |    <= 0.05 * count(DISTINCT l_orderkey) AS distinct_within,
+        |  CAST(approx_quantile(l_quantity, 0.5) AS DOUBLE)
+        |    BETWEEN CAST(quantile_cont(l_quantity, 0.45) AS DOUBLE)
+        |        AND CAST(quantile_cont(l_quantity, 0.55) AS DOUBLE)
+        |    AS median_within
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey", rsd = 0.01).as("approx_orders"),
-          percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx_med"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_orderkey", rsd = 0.01).as("__apx"),
+          percentile_approx($"l_quantity", lit(0.5), lit(1000))
+            .cast("double").as("__med"),
+          expr("percentile(l_quantity, 0.45)").as("__lo"),
+          expr("percentile(l_quantity, 0.55)").as("__hi"))
+        .select($"l_returnflag", $"n_rows", $"exact_orders",
+          (abs($"__apx".cast("double") - $"exact_orders")
+            <= lit(0.05) * $"exact_orders").as("distinct_within"),
+          ($"__med" >= $"__lo" && $"__med" <= $"__hi").as("median_within"))
         .orderBy($"l_returnflag")
     },
 

@@ -6,14 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * seeded-hash dedup family (MinHash/LSH, SimHash, winnowing) from
   * rows-only into EXACTLY oracle-checked queries.
   *
-  * Spark's hash (`org.apache.spark.sql.catalyst.expressions.XXH64`) is
-  * xxHash64 with one deviation worth documenting loudly: its
-  * `PRIME64_2` is `0xC2B2AE3D27D4EB4F`, NOT canonical xxHash's
-  * `0xC2B2AE3D54F25E9D` (verified by decompiling the shipped class —
-  * a from-the-paper reimplementation hashes EVERYTHING differently).
-  * All constants below are the decompiled values, and the whole
-  * machinery is pinned end-to-end in XxSqlSpec: the generated SQL's
-  * hashes equal the engine's on every corpus shingle plus
+  * Spark's hash (`org.apache.spark.sql.catalyst.expressions.XXH64`)
+  * uses the five CANONICAL xxHash64 primes (PRIME64_2 =
+  * `0xC2B2AE3D27D4EB4F` IS the reference-spec value); where Spark
+  * deviates from a stock xxHash64-of-bytes is in the framing — how
+  * each SQL type is serialized before hashing (longs hash as a single
+  * fixed 8-byte lane, strings as raw UTF-8 bytes) and the per-column
+  * seed-chaining `hash(c1, hash(c2, seed))` convention. All constants
+  * below match both the reference spec and the shipped class, and the
+  * whole machinery is pinned end-to-end in XxSqlSpec: the generated
+  * SQL's hashes equal the engine's on every corpus shingle plus
   * length-class / multi-byte edge cases.
   *
   * DuckDB 1.x has no wrapping 64-bit arithmetic (UBIGINT ops RAISE on
@@ -31,7 +33,7 @@ object XxSql {
   private val Two64 = BigInt(1) << 64
   private val M64 = Two64.toString
 
-  // Spark XXH64 primes (decompiled; P2 is Spark's own, see scaladoc)
+  // xxHash64 primes (canonical reference-spec values; see scaladoc)
   val P1 = BigInt("11400714785074694791")
   val P2 = BigInt("14029467366897019727")
   val P3 = BigInt("1609587929392839161")

@@ -611,5 +611,16 @@ class CurationSpec extends SparkSpec {
     // determinism: identical output on re-run
     val again = Packing.fimTransform(docs, col("id"), col("text")).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // NULL text is plain passthrough even at fimRate=1: no split
+    // happened, so the row must not claim spm/psm with NULL fim_text
+    val withNull = (Seq((0L, "real text"), (1L, null: String)))
+      .toDF("id", "text")
+    val nOut = Packing.fimTransform(withNull, col("id"), col("text"),
+        fimRate = 1, spmRate = 0)
+      .orderBy("id").collect()
+    assert(nOut(0).getString(1) == "psm")
+    assert(nOut(1).getString(1) == "plain" && nOut(1).isNullAt(2)
+      && nOut(1).isNullAt(3) && nOut(1).isNullAt(4) && nOut(1).isNullAt(5),
+      s"NULL text must report mode=plain with NULL counts: ${nOut(1)}")
   }
 }

@@ -8,8 +8,9 @@ class SketchSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of exact per group") {
     val li = sources.Tables.load(spark, sf, "lineitem")
-    val approx = SparkEntry.queries("q_approx_stats")(spark, sf)
-      .select($"l_returnflag", $"approx_orders").as[(String, Long)].collect().toMap
+    val approx = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", rsd = 0.01).as("a"))
+      .as[(String, Long)].collect().toMap
     val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("n"))
       .as[(String, Long)].collect().toMap
@@ -17,12 +18,21 @@ class SketchSpec extends SparkSpec {
       val a = approx(k)
       assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
     }
+    // the bounded-verdict query reports the same contract as booleans
+    val out = SparkEntry.queries("q_approx_stats")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("distinct_within"), r.toString)
+      assert(r.getAs[Boolean]("median_within"), r.toString)
+    }
   }
 
   test("percentile_approx brackets the exact median") {
     val li = sources.Tables.load(spark, sf, "lineitem")
-    val approx = SparkEntry.queries("q_approx_stats")(spark, sf)
-      .select($"l_returnflag", $"approx_med").as[(String, Double)].collect().toMap
+    val approx = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_quantity", lit(0.5), lit(1000))
+        .cast("double").as("a"))
+      .as[(String, Double)].collect().toMap
     val exact = li.groupBy($"l_returnflag")
       .agg(percentile($"l_quantity", lit(0.5)).as("m"))
       .as[(String, Double)].collect().toMap
@@ -71,5 +81,29 @@ class SketchSpec extends SparkSpec {
     val est = rows.agg(freqSketch(col("it"), 64).as("s"))
       .select(freqEstimate(col("s"), lit("the-heavy-one"))).collect()(0).getLong(0)
     assert(est >= 1500L - (7500L / 64) && est >= 1500L * 9 / 10)
+  }
+
+  test("freqBounds brackets truth for tracked AND untracked items (C60)") {
+    import graft.functions.FreqItemsSketch._
+    val heavy = Seq.fill(1500)("the-heavy-one")
+    val light = (1 to 6000).map(i => s"light$i")
+    val sk = (heavy ++ light).toDF("it").agg(freqSketch(col("it"), 64).as("s"))
+    // tracked heavy item: lb <= 1500 <= ub
+    val hb = sk.select(freqBounds(col("s"), lit("the-heavy-one")).as("b"))
+      .select("b.*").collect()(0)
+    assert(hb.getAs[Long]("lower_bound") <= 1500L
+      && 1500L <= hb.getAs[Long]("upper_bound"), hb.toString)
+    // purged/untracked light item: true count 1 must still be bracketed
+    // (estimate may be 0, ub = sketch max error — the deterministic
+    // contract the q_freq_sketch bounded-verdict oracle relies on)
+    val lb = sk.select(freqBounds(col("s"), lit("light1")).as("b"))
+      .select("b.*").collect()(0)
+    assert(lb.getAs[Long]("lower_bound") <= 1L
+      && 1L <= lb.getAs[Long]("upper_bound"), lb.toString)
+    // never-seen item: bounds must bracket 0
+    val nb = sk.select(freqBounds(col("s"), lit("never-seen")).as("b"))
+      .select("b.*").collect()(0)
+    assert(nb.getAs[Long]("lower_bound") <= 0L
+      && 0L <= nb.getAs[Long]("upper_bound"), nb.toString)
   }
 }
