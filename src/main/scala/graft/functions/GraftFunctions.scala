@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.Shims
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, StringType}
 
 /** SQL-name registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT simhash64(tokens), ...")` works exactly like the
@@ -32,6 +32,12 @@ object GraftFunctions {
   }
 
   private def intArg(e: Expression, what: String): Int = longArg(e, what).toInt
+
+  private def binaryArg(e: Expression, what: String): Array[Byte] = e match {
+    case Literal(v: Array[Byte], BinaryType) if v != null => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a binary literal, got $other")
+  }
 
   // The kernels read raw ArrayData/UTF8String, so the SQL builders must
   // coerce exactly like the Column wrappers do (.cast("array<double>")
@@ -101,6 +107,97 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(text) => DeflateLen(asString(text))
         case _ => throw new IllegalArgumentException("deflate_len(text)")
+      }),
+    ("chrf_stats",
+      new ExpressionInfo(classOf[ChrFStats].getName, "chrf_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(cand, ref) => ChrFStats(asString(cand), asString(ref), 6)
+        case Seq(cand, ref, n) =>
+          ChrFStats(asString(cand), asString(ref), intArg(n, "maxN"))
+        case _ => throw new IllegalArgumentException("chrf_stats(cand, ref[, maxN])")
+      }),
+    ("token_gram_stats",
+      new ExpressionInfo(classOf[TokenGramStats].getName, "token_gram_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(cand, ref) =>
+          TokenGramStats(asStringArray(cand), asStringArray(ref), 4)
+        case Seq(cand, ref, n) =>
+          TokenGramStats(asStringArray(cand), asStringArray(ref), intArg(n, "maxN"))
+        case _ => throw new IllegalArgumentException(
+          "token_gram_stats(cand_tokens, ref_tokens[, maxN])")
+      }),
+    // the filter rides a BINARY LITERAL (the persisted `BloomFilter`
+    // bytes, e.g. read back from the index table a pipeline wrote) so
+    // SQL users get the same broadcast-free pre-filter as the Column API
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key, filter) => BloomMightContain(
+          Cast(key, org.apache.spark.sql.types.LongType),
+          binaryArg(filter, "filter"))
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(key, filterBytesLiteral)")
+      }),
+    ("kll_sketch",
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => KllSketchAgg(Cast(v, DoubleType), 200).toAggregateExpression()
+        case Seq(v, k) =>
+          KllSketchAgg(Cast(v, DoubleType), intArg(k, "k")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("kll_sketch(value[, k])")
+      }),
+    ("kll_merge",
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => KllMergeAgg(s, 200).toAggregateExpression()
+        case Seq(s, k) => KllMergeAgg(s, intArg(k, "k")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("kll_merge(sketch[, k])")
+      }),
+    ("kll_quantile",
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, r) => KllQuantile(s, Cast(r, DoubleType))
+        case _ => throw new IllegalArgumentException("kll_quantile(sketch, rank)")
+      }),
+    ("kll_count",
+      new ExpressionInfo(classOf[KllCount].getName, "kll_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => KllCount(s)
+        case _ => throw new IllegalArgumentException("kll_count(sketch)")
+      }),
+    ("freq_sketch",
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => FreqSketchAgg(asString(v), 1024).toAggregateExpression()
+        case Seq(v, m) =>
+          FreqSketchAgg(asString(v), intArg(m, "maxMapSize")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("freq_sketch(item[, maxMapSize])")
+      }),
+    ("freq_merge",
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => FreqMergeAgg(s, 1024).toAggregateExpression()
+        case Seq(s, m) =>
+          FreqMergeAgg(s, intArg(m, "maxMapSize")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("freq_merge(sketch[, maxMapSize])")
+      }),
+    ("freq_top_items",
+      new ExpressionInfo(classOf[FreqTopItems].getName, "freq_top_items"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, n) => FreqTopItems(s, Literal(intArg(n, "maxItems")))
+        case _ => throw new IllegalArgumentException("freq_top_items(sketch, maxItems)")
+      }),
+    ("freq_estimate",
+      new ExpressionInfo(classOf[FreqEstimate].getName, "freq_estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, item) => FreqEstimate(s, asString(item))
+        case _ => throw new IllegalArgumentException("freq_estimate(sketch, item)")
+      }),
+    ("freq_bounds",
+      new ExpressionInfo(classOf[FreqBounds].getName, "freq_bounds"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, item) => FreqBounds(s, asString(item))
+        case _ => throw new IllegalArgumentException("freq_bounds(sketch, item)")
       }))
 
   def registerAll(spark: SparkSession): Unit =

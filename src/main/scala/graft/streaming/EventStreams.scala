@@ -111,6 +111,60 @@ object EventStreams {
     events.join(broadcast(dim), Seq(key), joinType)
   }
 
+  /** E38: stream-static AS-OF enrichment — the live-feature-join shape:
+    * every streaming event attaches the latest dim row whose time is
+    * at-or-before the event's time, per key ([[graft.operators.AsOf
+    * .joinBackward]]'s semantics against a STATIC dimension — e.g. a
+    * [[SnapshotStore]] version, so features are point-in-time correct
+    * against the snapshot history instead of leaking the newest value
+    * backward in time).
+    *
+    * The batch union+window formulation cannot run inside a streaming
+    * micro-batch (an unbounded window over a stream is stateful); the
+    * streaming-legal form folds the dim's PER-KEY HISTORY into one
+    * sorted array column (tiny: a dimension's versions-per-key, not
+    * events), broadcasts it, and each event picks its match with a
+    * row-local array scan — a stateless broadcast-hash probe per
+    * micro-batch, no watermark, no state store, same as [[enrich]].
+    * Scale contract: per-key history must be dimension-sized (the
+    * caller controls retention via SnapshotStore's keepLast); the
+    * event stream itself never buffers.
+    *
+    * NULL contract matches joinBackward: null-key/null-ts dim rows
+    * match nothing; null-key/null-ts events get a null payload.
+    * `dimOrder` breaks ties among dim rows with equal (key, ts) — the
+    * greatest wins, exactly the batch window's last-row pick.
+    */
+  def asOfEnrich(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      eventTs: String,
+      dimTs: String,
+      dimPayload: Seq[String],
+      dimOrder: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    require(dimPayload.nonEmpty, "dimPayload must name at least one column")
+    val dimKeyed = (dimTs +: keys).foldLeft(dim)((d, k) => d.filter(col(k).isNotNull))
+    // ts first, then tiebreaks: sort_array's struct order IS the
+    // batch window's (ts, rightOrder) ordering
+    val entry = struct((Seq(dimTs) ++ dimOrder ++ dimPayload).distinct.map(col): _*)
+    val hist = dimKeyed.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(entry)).as("__hist"))
+    val picked = events.join(broadcast(hist), keys, "left")
+      .withColumn("__q", filter(col("__hist"), h => h(dimTs) <= col(eventTs)))
+      .withColumn("__match",
+        when(size(col("__q")) > 0, element_at(col("__q"), size(col("__q")))))
+    val bounded = tolerance match {
+      case Some(tol) => picked.withColumn("__match",
+        when(col(eventTs) - col("__match")(dimTs) <= tol, col("__match")))
+      case None => picked
+    }
+    bounded.select(
+      events.columns.toIndexedSeq.map(col) ++
+        dimPayload.map(c => col("__match")(c).as(c)): _*)
+  }
+
   /** E9: streaming CURATION gate — the batch quality + language gate
     * (q_corpus_curate's first stage) applied UNCHANGED to a document
     * stream: pure per-row projections, so it is stateless (no

@@ -23,10 +23,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the one rename instant — recovered by falling back to the
   *    newest audited version directory.
   *
-  * GC keeps exactly one previous version (the published one's
-  * predecessor survives so an in-flight reader of the old pointer
-  * target never loses its files mid-read); older versions are deleted
-  * best-effort after the flip.
+  * GC keeps the newest `keepLast` audited predecessors (default 1 —
+  * the published one's predecessor survives so an in-flight reader of
+  * the old pointer target never loses its files mid-read); older
+  * versions and unaudited orphans are deleted best-effort after the
+  * flip. Raising `keepLast` turns the retained window into a
+  * TIME-TRAVEL history: [[versions]] lists the audited versions still
+  * on disk and [[readVersion]] reads any of them — the offline half of
+  * a table format's snapshot reads (Iceberg/Delta transactional
+  * commits remain the documented production seam).
   */
 object SnapshotStore {
 
@@ -65,10 +70,42 @@ object SnapshotStore {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentDir(spark, root).map(spark.read.parquet(_))
 
+  /** Audited version numbers still on disk, ascending — the
+    * time-travel index. Unaudited orphans (crashed writes) are never
+    * listed.
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val hfs = fs(spark, root)
+    val rootP = new Path(root)
+    if (!hfs.exists(rootP)) return Seq.empty
+    hfs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong)
+      .filter(v => hfs.exists(new Path(rootP, s"v$v/_SUCCESS")))
+      .sorted
+  }
+
+  /** Time-travel read of a specific AUDITED version, or None if that
+    * version never published, failed its audit, or has been GC'd
+    * (retention is `publish`'s `keepLast`). Version directories are
+    * immutable after publish, so the read is stable even while later
+    * versions land.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
+    val hfs = fs(spark, root)
+    val dir = new Path(new Path(root), s"v$version")
+    if (hfs.exists(new Path(dir, "_SUCCESS"))) Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
   /** Publish `df` as version `version` of the snapshot (WAP as above).
     * Safe to re-run with the same version (streaming batch replay).
+    * `keepLast` is the retention policy: how many audited PREDECESSOR
+    * versions survive the post-flip GC (≥ 1 so an in-flight reader of
+    * the previous pointer target never loses files mid-read).
     */
-  def publish(df: DataFrame, root: String, version: Long): Unit = {
+  def publish(df: DataFrame, root: String, version: Long, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1 (in-flight reader safety)")
     val spark = df.sparkSession
     val hfs = fs(spark, root)
     val rootP = new Path(root)
@@ -82,15 +119,15 @@ object SnapshotStore {
     val ptr = new Path(rootP, Pointer)
     hfs.delete(ptr, false)
     require(hfs.rename(tmp, ptr), s"pointer publish failed for $versionDir")
-    // GC: keep the newly published version and its newest AUDITED
-    // predecessor; everything else — older versions and crashed
-    // writes' unaudited orphans — goes
+    // GC: keep the newly published version and its newest `keepLast`
+    // AUDITED predecessors; everything else — older versions and
+    // crashed writes' unaudited orphans — goes
     val others = hfs.listStatus(rootP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
       .map(s => s.getPath.getName.drop(1).toLong)
       .filter(_ != version)
     val keep = others.filter(v =>
-      hfs.exists(new Path(rootP, s"v$v/_SUCCESS"))).sorted.lastOption
+      hfs.exists(new Path(rootP, s"v$v/_SUCCESS"))).sorted.takeRight(keepLast).toSet
     others.filterNot(keep.contains).foreach(v =>
       hfs.delete(new Path(rootP, s"v$v"), true))
   }

@@ -135,4 +135,99 @@ class SqlFunctionsSpec extends SparkSpec {
       .select(graft.functions.DeflateLen.deflateLen(lit("1234567890")).as("d")).as[Int].head()
     assert(viaSqlInt == viaColInt)
   }
+
+  test("chrf_stats / token_gram_stats SQL names match the Column API incl. maxN") {
+    import graft.functions.{ChrFStats, TokenGramStats}
+    val df = Seq(
+      (1L, "thecat", "thecats", Seq("the", "cat"), Seq("the", "cats")),
+      (2L, "abc", "xyz", Seq("a"), Seq.empty[String]),
+      (3L, null: String, "ref", null: Seq[String], Seq("ref")))
+      .toDF("id", "cand", "ref", "ctoks", "rtoks")
+    df.createOrReplaceTempView("t_gram")
+    val chrSql = spark.sql(
+      "SELECT id, chrf_stats(cand, ref) AS c6, chrf_stats(cand, ref, 2) AS c2 " +
+        "FROM t_gram ORDER BY id").collect().map(_.toSeq)
+    val chrCol = df.select($"id",
+        ChrFStats.chrfStats($"cand", $"ref", 6).as("c6"),
+        ChrFStats.chrfStats($"cand", $"ref", 2).as("c2"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(chrSql.toSeq == chrCol.toSeq)
+    val tgSql = spark.sql(
+      "SELECT id, token_gram_stats(ctoks, rtoks) AS g4, " +
+        "token_gram_stats(ctoks, rtoks, 1) AS g1 FROM t_gram ORDER BY id")
+      .collect().map(_.toSeq)
+    val tgCol = df.select($"id",
+        TokenGramStats.tokenGramStats($"ctoks", $"rtoks", 4).as("g4"),
+        TokenGramStats.tokenGramStats($"ctoks", $"rtoks", 1).as("g1"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(tgSql.toSeq == tgCol.toSeq)
+    // int-token arrays coerce like the Column wrapper casts
+    assert(spark.sql(
+      "SELECT token_gram_stats(array(1, 2), array(1, 2), 1) AS g").collect()(0)
+      .getSeq[Long](0) == Seq(2L, 2L, 2L))
+  }
+
+  test("bloom_might_contain SQL name (hex binary literal) matches the Column API") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = BloomFilter.create(1000, 0.01)
+    Seq(2L, 4L, 6L, 8L).foreach(bloom.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val hex = out.toByteArray.map(b => f"$b%02X").mkString
+    val df = spark.range(10).toDF("id")
+    df.createOrReplaceTempView("t_bloom")
+    val viaSql = spark.sql(
+      s"SELECT id, bloom_might_contain(id, X'$hex') AS hit FROM t_bloom ORDER BY id")
+      .as[(Long, Boolean)].collect().toSeq
+    val viaCol = df.select($"id",
+        graft.functions.BloomMightContain.mightContain($"id", bloom).as("hit"))
+      .orderBy("id").as[(Long, Boolean)].collect().toSeq
+    assert(viaSql == viaCol)
+    // no false negatives through the SQL path either
+    Seq(2L, 4L, 6L, 8L).foreach(k => assert(viaSql(k.toInt)._2, s"missed $k"))
+  }
+
+  test("kll_* SQL names match the Column API across the sketch->merge->read chain") {
+    import graft.functions.KllQuantileSketch._
+    // < k values per group: zero compactions, sketches exact on both paths
+    val df = (1 to 150).map(i => (i % 3, i.toDouble)).toDF("g", "v")
+    df.createOrReplaceTempView("t_kll")
+    val viaSql = spark.sql(
+      """SELECT kll_quantile(kll_merge(sk), 0.5) AS med,
+        |       kll_quantile(kll_merge(sk, 200), 0.9) AS p90,
+        |       kll_count(kll_merge(sk)) AS n
+        |FROM (SELECT kll_sketch(v) AS sk FROM t_kll GROUP BY g)""".stripMargin)
+      .as[(Double, Double, Long)].head()
+    val viaCol = df.groupBy("g").agg(kllSketch($"v").as("sk"))
+      .agg(kllQuantile(kllMerge($"sk"), 0.5).as("med"),
+        kllQuantile(kllMerge($"sk"), 0.9).as("p90"),
+        kllCount(kllMerge($"sk")).as("n"))
+      .as[(Double, Double, Long)].head()
+    assert(viaSql == viaCol && viaSql._3 == 150L)
+  }
+
+  test("freq_* SQL names match the Column API across the sketch->merge->read chain") {
+    import graft.functions.FreqItemsSketch._
+    // 20 distinct items under capacity 64: sketches exact on both paths
+    val df = (1 to 400).map(i => (i % 4, s"item${i % 20}")).toDF("g", "it")
+    df.createOrReplaceTempView("t_freq")
+    val viaSql = spark.sql(
+      """SELECT freq_estimate(m, 'item7') AS e,
+        |       freq_bounds(m, 'item7') AS b,
+        |       freq_top_items(m, 3) AS top
+        |FROM (SELECT freq_merge(sk, 64) AS m
+        |      FROM (SELECT freq_sketch(it, 64) AS sk FROM t_freq GROUP BY g))""".stripMargin)
+      .collect()(0)
+    val viaCol = df.groupBy("g").agg(freqSketch($"it", 64).as("sk"))
+      .agg(freqMerge($"sk", 64).as("m"))
+      .select(freqEstimate($"m", lit("item7")).as("e"),
+        freqBounds($"m", lit("item7")).as("b"),
+        freqTopItems($"m", 3).as("top"))
+      .collect()(0)
+    assert(viaSql.toSeq.map(String.valueOf(_)) == viaCol.toSeq.map(String.valueOf(_)))
+    assert(viaSql.getLong(0) == 20L)
+    // int items coerce to strings like the Column wrapper casts
+    assert(spark.sql("SELECT freq_estimate(freq_sketch(x, 64), '7') AS e " +
+        "FROM (SELECT id % 10 AS x FROM range(100))").as[Long].head() == 10L)
+  }
 }

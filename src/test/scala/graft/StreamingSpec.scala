@@ -272,6 +272,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("E38 asOfEnrich: stream-static as-of against a SnapshotStore version matches batch joinBackward") {
+    val evBatch = sources.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"event_id", $"event_type", $"value")
+      .withColumn("ts_us", unix_micros($"ts"))
+      .limit(2000).cache()
+    val bounds = evBatch.agg(min($"ts_us"), max($"ts_us"))
+      .as[(Long, Long)].head()
+    // dim history: 3 tier versions per user spanning the event range,
+    // plus a (key, ts) TIE disambiguated by ver, a null-key row and a
+    // null-ts row (must match nothing — the joinBackward NULL contract)
+    val span = math.max((bounds._2 - bounds._1) / 3, 1L)
+    val dimHist = evBatch.select($"user_id").distinct()
+      .crossJoin(spark.range(3).toDF("ver"))
+      .select(
+        when($"user_id" % 17 === 0 && $"ver" === 2, lit(null).cast("long"))
+          .otherwise($"user_id").as("user_id"),
+        when($"user_id" % 13 === 0 && $"ver" === 2, lit(null).cast("long"))
+          // ver 0 and 1 of %11 users collide on eff_us: ver breaks the tie
+          .otherwise(lit(bounds._1) +
+            when($"user_id" % 11 === 0 && $"ver" === 1, lit(0L))
+              .otherwise($"ver" * span)).as("eff_us"),
+        $"ver",
+        concat(lit("tier"), $"ver", lit("_u"), coalesce($"user_id", lit(-1)))
+          .as("tier"))
+      .cache()
+    // the dim rides a published snapshot version — point-in-time reads
+    val root = java.nio.file.Files.createTempDirectory("graft_e38").toString + "/dim"
+    SnapshotStore.publish(dimHist, root, 1L, keepLast = 2)
+    SnapshotStore.publish(dimHist.withColumn("tier", concat($"tier", lit("_v2"))),
+      root, 2L, keepLast = 2)
+    val dimV1 = SnapshotStore.readVersion(spark, root, 1L).get
+    val ev = evBatch.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = mkStream()
+    val df = input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+      .withColumn("ts_us", unix_micros($"ts"))
+    val q = EventStreams.asOfEnrich(df, dimV1, Seq("user_id"), "ts_us", "eff_us",
+        Seq("tier"), dimOrder = Seq("ver"))
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("e38_out").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("e38_out").as[(Long, String)].collect().toSet
+      val batch = operators.AsOf.joinBackward(evBatch, dimV1, Seq("user_id"),
+          "ts_us", "eff_us", Seq("tier"), rightOrder = Seq("ver"))
+        .select($"event_id", $"tier").as[(Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"stream/batch as-of divergence: ${streamed.size} vs ${batch.size}")
+      // the enrichment is meaningful: several tiers matched, and the
+      // earliest events (before any dim version took effect for a
+      // %13 user whose v0 was nulled) may carry nulls — batch agrees
+      assert(streamed.exists(_._2 != null))
+    } finally q.stop()
+    // tolerance bounds matches identically on both paths
+    val tolStream = EventStreams.asOfEnrich(evBatch, dimV1, Seq("user_id"),
+        "ts_us", "eff_us", Seq("tier"), dimOrder = Seq("ver"),
+        tolerance = Some(lit(span / 2)))
+      .select($"event_id", $"tier").as[(Long, String)].collect().toSet
+    val tolBatch = operators.AsOf.joinBackward(evBatch, dimV1, Seq("user_id"),
+        "ts_us", "eff_us", Seq("tier"), rightOrder = Seq("ver"),
+        tolerance = Some(lit(span / 2)))
+      .select($"event_id", $"tier").as[(Long, String)].collect().toSet
+    assert(tolStream == tolBatch)
+    assert(tolStream != Set.empty)
+  }
+
   test("E2 sessionize chains late events THROUGH each other into the open session") {
     // regression: events at start-1.5g and start-0.75g arrive in one
     // batch. Individually the first is beyond the gap from the open
@@ -426,6 +493,39 @@ class StreamingSpec extends SparkSpec {
     // ...and ages out one publish later
     assert(!new java.io.File(s"$root/v0").exists() &&
       new java.io.File(s"$root/v1").exists())
+  }
+
+  test("SnapshotStore: time-travel reads + keep-last-k retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/snap"
+    // keepLast=2: publishing v1..v3 retains all three (current + 2)
+    (1L to 3L).foreach { v =>
+      SnapshotStore.publish(Seq((v, s"payload$v")).toDF("k", "v"), root, v,
+        keepLast = 2)
+    }
+    assert(SnapshotStore.versions(spark, root) == Seq(1L, 2L, 3L))
+    // reading version N-1 AFTER a later publish sees N-1's rows, not live
+    val old = SnapshotStore.readVersion(spark, root, 2L).get
+      .as[(Long, String)].collect().toSet
+    assert(old == Set((2L, "payload2")), s"time-travel read drifted: $old")
+    val live = SnapshotStore.read(spark, root).get
+      .as[(Long, String)].collect().toSet
+    assert(live == Set((3L, "payload3")))
+    // v4 ages out v1 (keep v4 + {v3, v2}), never the newer retainees
+    SnapshotStore.publish(Seq((4L, "payload4")).toDF("k", "v"), root, 4L,
+      keepLast = 2)
+    assert(SnapshotStore.versions(spark, root) == Seq(2L, 3L, 4L))
+    // GC'd and never-published versions both read as None, not garbage
+    assert(SnapshotStore.readVersion(spark, root, 1L).isEmpty)
+    assert(SnapshotStore.readVersion(spark, root, 99L).isEmpty)
+    // an unaudited orphan is invisible to versions() and readVersion()
+    val orphan = new java.io.File(s"$root/v50")
+    orphan.mkdirs()
+    assert(SnapshotStore.versions(spark, root) == Seq(2L, 3L, 4L))
+    assert(SnapshotStore.readVersion(spark, root, 50L).isEmpty)
+    // keepLast < 1 is an in-flight-reader hazard and must refuse
+    intercept[IllegalArgumentException] {
+      SnapshotStore.publish(Seq((5L, "x")).toDF("k", "v"), root, 5L, keepLast = 0)
+    }
   }
 
   test("E8 survives a mid-stream crash artifact between batches") {
