@@ -298,21 +298,62 @@ object Dedup {
     require(maxDist >= 1, "maxDist must be >= 1")
     val base = df.select(id.cast("long").as("id"), name.as("__n"),
       block.as("__blk"))
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("__blk")
-    val capped = base
-      .withColumn("__bn", count(lit(1)).over(wB))
-      .filter(col("__bn") <= maxBlock && col("__bn") >= 2).drop("__bn")
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id")
-          && levenshtein(col("a.__n"), col("b.__n")) <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = entityPairs(df, id, name, block, maxDist, maxBlock)
     val comp = connectedComponents(pairs, col("id_a"), col("id_b"))
       .withColumnsRenamed(Map("id" -> "__cid", "comp" -> "cluster"))
     base.join(comp, col("id") === col("__cid"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("id")))
       .select(col("id"), col("cluster"),
         (col("id") === col("cluster")).as("is_rep"))
+  }
+
+  /** [[entityResolve]]'s blocked candidate-pair stage, exposed as a
+    * pair list (id_a < id_b) so the D48-style audit can score a
+    * blocking strategy's recall against [[levenshteinPairsBrute]]'s
+    * exact truth (q_audit_entity) — the measured number behind the
+    * C68 nation-block → suffix-block switch. Same block capping as
+    * entityResolve: blocks above `maxBlock` drop from pairing
+    * entirely (their members resolve as singletons).
+    */
+  def entityPairs(
+      df: DataFrame,
+      id: Column,
+      name: Column,
+      block: Column,
+      maxDist: Int = 1,
+      maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val base = df.select(id.cast("long").as("id"), name.as("__n"),
+      block.as("__blk"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("__blk")
+    val capped = base
+      .withColumn("__bn", count(lit(1)).over(wB))
+      .filter(col("__bn") <= maxBlock && col("__bn") >= 2).drop("__bn")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id")
+          && levenshtein(col("a.__n"), col("b.__n")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Brute all-pairs levenshtein truth tier — AUDIT ONLY (quadratic
+    * by definition, [[Dedup.hammingPairsBrute]]'s contract: run it on
+    * a deterministic hash-cut sample with an ABSOLUTE row cap so the
+    * audit costs a constant at any SF, never on a corpus). The
+    * nested-loop join is the point: no blocking, so its output is
+    * ground truth for what any blocking strategy may miss.
+    */
+  def levenshteinPairsBrute(
+      df: DataFrame,
+      id: Column,
+      name: Column,
+      maxDist: Int = 1): DataFrame = {
+    val base = df.select(id.cast("long").as("id"), name.as("__n"))
+    base.as("a")
+      .join(base.as("b"),
+        col("a.id") < col("b.id")
+          && levenshtein(col("a.__n"), col("b.__n")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
   /** INCREMENTAL entity resolution — a NEW shard of records against a

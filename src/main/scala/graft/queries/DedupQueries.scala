@@ -2346,6 +2346,101 @@ object DedupQueries {
           "precision", "recall", "f1")
     },
 
+    // C68 audit: entity-resolution BLOCKING recall as a measured
+    // number — C68 switched nation-blocking → (nation|name-suffix)
+    // blocking after a measured 2.5→81 s quadratic blowup at 10×, and
+    // this row prices what that switch costs in recall instead of
+    // assuming it free. Two planted rendition classes: MID typos
+    // (deletion at char 5..14 — suffix-invariant, both blockings
+    // catch) and TAIL typos (deletion 2 chars from the end — INSIDE
+    // the right(nm,6) window, suffix blocking's structural blind
+    // spot). Both strategies' blocked pair lists score against BRUTE
+    // all-pairs levenshtein ≤ 1 truth (no blocking) on the same
+    // deterministic sample: even customers, ORDER BY id, ABSOLUTE
+    // 600-entity cap — the quadratic truth tier costs a constant at
+    // any SF (the q_audit_simhash contract). Precision is
+    // structurally 1.0 (blocked pairs re-check the distance inside
+    // the join); recall is the honest number — expect ~1.0 for
+    // nation blocking and ~0.5 for suffix blocking on this mix.
+    Q("q_audit_entity", {
+        val ents =
+          """c0 AS (
+            |  SELECT id, nm, blk FROM (
+            |    SELECT c_custkey AS id,
+            |      c_name || '-' || (c_custkey * 7919) % 100000 AS nm,
+            |      c_nationkey AS blk
+            |    FROM customer WHERE c_custkey % 2 = 0
+            |    ORDER BY c_custkey LIMIT 600)),
+            |t AS (
+            |  SELECT id0 + 1000000 AS id,
+            |    substr(nm, 1, p - 1) || substr(nm, p + 1) AS nm, blk
+            |  FROM (SELECT id AS id0, CAST((id % 10) + 5 AS INT) AS p, nm, blk
+            |        FROM c0)),
+            |t2 AS (
+            |  SELECT id + 2000000 AS id,
+            |    substr(nm, 1, len(nm) - 3) || substr(nm, len(nm) - 1, 1000) AS nm,
+            |    blk
+            |  FROM c0),
+            |u AS MATERIALIZED (
+            |  SELECT * FROM c0 UNION ALL SELECT * FROM t
+            |  UNION ALL SELECT * FROM t2),
+            |truth AS MATERIALIZED (
+            |  SELECT a.id AS id_a, b.id AS id_b FROM u a JOIN u b
+            |  ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1)""".stripMargin
+        def blocked(cte: String, bkey: String): String =
+          s"""${cte}b AS (SELECT id, nm, $bkey AS bkey FROM u),
+             |${cte}n AS (SELECT bkey, count(*) AS c FROM ${cte}b GROUP BY 1),
+             |${cte}c AS (SELECT ${cte}b.* FROM ${cte}b JOIN ${cte}n USING (bkey)
+             |        WHERE c BETWEEN 2 AND 10000),
+             |${cte}found AS (
+             |  SELECT a.id AS id_a, b.id AS id_b FROM ${cte}c a JOIN ${cte}c b
+             |  ON a.bkey = b.bkey AND a.id < b.id
+             |   AND levenshtein(a.nm, b.nm) <= 1)""".stripMargin
+        s"""WITH $ents,
+           |${blocked("sb", "blk || '|' || right(nm, 6)")},
+           |${blocked("nb", "CAST(blk AS VARCHAR)")},
+           |${auditRowCtes("sbfound", "truth", "s")},
+           |${auditRowCtes("nbfound", "truth", "n")}
+           |SELECT 'nation_block_vs_brute_lev1' AS tier, n_found, n_truth, n_hit, "precision", recall, f1 FROM nrow
+           |UNION ALL
+           |SELECT 'suffix_block_vs_brute_lev1' AS tier, n_found, n_truth, n_hit, "precision", recall, f1 FROM srow
+           |ORDER BY tier""".stripMargin
+      }) { (s, dir) =>
+      val c0 = table(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(
+          col("c_custkey").as("id"),
+          concat(col("c_name"), lit("-"),
+            pmod(col("c_custkey") * 7919L, lit(100000L))).as("nm"),
+          col("c_nationkey").as("blk"))
+        .orderBy("id").limit(600)
+      val p = (pmod(col("id"), lit(10L)) + 5).cast("int")
+      val typo = c0.select(
+        (col("id") + 1000000L).as("id"),
+        concat(col("nm").substr(lit(1), p - 1),
+          col("nm").substr(p + 1, lit(1000))).as("nm"),
+        col("blk"))
+      val tailTypo = c0.select(
+        (col("id") + 2000000L).as("id"),
+        concat(col("nm").substr(lit(1), length(col("nm")) - 3),
+          col("nm").substr(length(col("nm")) - 1, lit(1000))).as("nm"),
+        col("blk"))
+      val u = c0.unionByName(typo).unionByName(tailTypo).localCheckpoint()
+      val truth = Dedup.levenshteinPairsBrute(u, col("id"), col("nm"), maxDist = 1)
+        .localCheckpoint()
+      val sfound = Dedup.entityPairs(u, col("id"), col("nm"),
+        concat(col("blk"), lit("|"), expr("right(nm, 6)")), maxDist = 1)
+      val nfound = Dedup.entityPairs(u, col("id"), col("nm"),
+        col("blk").cast("string"), maxDist = 1)
+      Dedup.auditPairs(nfound, truth)
+        .withColumn("tier", lit("nation_block_vs_brute_lev1"))
+        .unionByName(Dedup.auditPairs(sfound, truth)
+          .withColumn("tier", lit("suffix_block_vs_brute_lev1")))
+        .select("tier", "n_found", "n_truth", "n_hit",
+          "precision", "recall", "f1")
+        .orderBy("tier")
+    },
+
     // D95: int8 embedding quantization + per-vector distortion audit.
     // The query projects the codes as a comma-joined string (qvec_csv):
     // the oracle harness hash-sorts frames with pandas, which cannot

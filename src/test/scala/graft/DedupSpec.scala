@@ -1212,6 +1212,36 @@ class DedupSpec extends SparkSpec {
     assert(big.toSeq == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
   }
 
+  test("entityPairs vs levenshteinPairsBrute: blocking recall is the measured gap (C68 audit)") {
+    import spark.implicits._
+    // pair (1,2): same block, lev 1 — both find it. pair (3,4): lev 1
+    // but DIFFERENT blocks — only the brute truth has it. (5,6): same
+    // block, lev 2 — neither (the in-join distance check).
+    val recs = Seq(
+      (1L, "alpha", "b1"), (2L, "alphx", "b1"),
+      (3L, "gamma", "b2"), (4L, "gammx", "b3"),
+      (5L, "delta", "b4"), (6L, "dxxta", "b4"))
+      .toDF("id", "nm", "blk")
+    val blocked = Dedup.entityPairs(recs, col("id"), col("nm"), col("blk"),
+      maxDist = 1)
+    val brute = Dedup.levenshteinPairsBrute(recs, col("id"), col("nm"),
+      maxDist = 1)
+    assert(blocked.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    assert(brute.as[(Long, Long)].collect().toSet == Set((1L, 2L), (3L, 4L)))
+    // auditPairs prices the miss: precision 1 (blocked ⊆ brute on the
+    // same metric), recall 0.5
+    val row = Dedup.auditPairs(blocked, brute).collect()(0)
+    assert(row.getAs[Long]("n_found") == 1L && row.getAs[Long]("n_truth") == 2L
+      && row.getAs[Double]("precision") == 1.0
+      && row.getAs[Double]("recall") == 0.5, row.toString)
+    // entityResolve's pair stage IS entityPairs (the refactor contract)
+    val viaResolve = Dedup.entityResolve(recs, col("id"), col("nm"),
+        col("blk"), maxDist = 1)
+      .filter(!col("is_rep")).select("id", "cluster")
+      .as[(Long, Long)].collect().toSet
+    assert(viaResolve == Set((2L, 1L)))
+  }
+
   test("entityResolveIncremental: min matched cluster, founders, block isolation") {
     import spark.implicits._
     val resolved = Seq(
