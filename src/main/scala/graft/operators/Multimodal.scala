@@ -347,10 +347,18 @@ object Multimodal {
     val feats = frameFeatures(df, id, media, frameBytes, stride, dim)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("video_id").orderBy("frame_idx")
+    // distance on 1/255-QUANTIZED lanes: each feature recovers its
+    // integer lane via round(f·255) (byteFold lanes are integral
+    // there up to float noise orders below .5; decoded-image lanes
+    // quantize to the same 1/255 grid the pixels live on), the
+    // |Δ|-sum is then an exact integer in double, and the one
+    // division + 4-dp floor replays bit-for-bit in the stream twin
+    // AND the SQL oracle — the repo's decimal-lane determinism
+    // contract applied to a float-vector metric.
     val dist = aggregate(
       zip_with(col("features"), col("__prev"),
-        (a, b) => abs(a.cast("double") - b.cast("double"))),
-      lit(0.0), (acc, x) => acc + x) / dim
+        (a, b) => abs(round(a.cast("double") * 255) - round(b.cast("double") * 255))),
+      lit(0.0), (acc, x) => acc + x) / (dim * 255.0)
     feats.withColumn("__prev", lag(col("features"), 1).over(w))
       .withColumn("frame_dist",
         when(col("__prev").isNull, lit(null).cast("double"))

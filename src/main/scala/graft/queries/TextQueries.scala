@@ -1699,16 +1699,38 @@ object TextQueries {
 
     // D40: DEFLATE compression ratio — tokenization-free long-range
     // repetition proxy. Half the corpus is planted with an 8× repeat
-    // of its own text (compresses hard); the compressed length is a
-    // JDK-zlib artifact, so rows-only + TextMetricsSpec bounds.
-    Q.rowsOnly("q_compress_ratio") { (s, dir) =>
+    // of its own text (compresses hard). The compressed length itself
+    // is a JDK-zlib artifact, so the portable output is the BOUNDED-
+    // VERDICT shape (the sketch-tier contract): the exact input byte
+    // length plus two booleans the engine computes from ITS OWN
+    // deflate output — `within_upper` (zlib's deterministic
+    // stored-block expansion bound, ≤ len + 64 at these sizes) and
+    // `planted_compresses` (an 8× self-repeat of a ≥32-byte unit must
+    // land under 50% — the LZ77 window covers every repeat). The
+    // oracle asserts both contracts TRUE and replays the byte length;
+    // raw-ratio bounds stay in TextMetricsSpec.
+    Q(
+      "q_compress_ratio",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN 8 * octet_length(encode(text)) + 7
+        |       ELSE octet_length(encode(text)) END AS BIGINT) AS octet_len,
+        |  doc_id % 2 = 0 AS planted,
+        |  TRUE AS within_upper,
+        |  TRUE AS planted_compresses
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
       val d = table(s, dir, "documents").select(
         col("doc_id"),
         when(col("doc_id") % 2 === 0,
           concat_ws(" ", (0 until 8).map(_ => col("text")): _*))
           .otherwise(col("text")).as("text"))
+      val planted = col("doc_id") % 2 === 0
       TextMetrics.withCompressionRatio(d, col("text"))
-        .select(col("doc_id"), col("octet_len"), col("deflate_len"), col("compress_ratio"))
+        .select(col("doc_id"), col("octet_len"), planted.as("planted"),
+          (col("deflate_len") <= col("octet_len") + lit(64L)).as("within_upper"),
+          (!(planted && col("octet_len") >= 256) ||
+            col("deflate_len") * 2 <= col("octet_len")).as("planted_compresses"))
         .orderBy("doc_id")
     },
 

@@ -705,23 +705,26 @@ object EventStreams {
             if (st == null) {
               out += SceneOut(vid, r.frame_idx, None, scene_change = false)
             } else {
-              // batch kernel replayed: index-ascending abs-diff fold,
-              // one division by dim, 4-dp floor. The batch twin's
-              // features are length-dim by construction; here they
-              // arrive from the stream, so a wrong-dimension array
-              // must fail LOUDLY — a silent min-length fold divided
-              // by the dim param would mis-scale every distance and
-              // quietly diverge from the batch verdicts
+              // batch kernel replayed: 1/255-quantized integer lanes
+              // (round(f·255)), index-ascending |Δ|-sum, one division,
+              // 4-dp floor. The batch twin's features are length-dim
+              // by construction; here they arrive from the stream, so
+              // a wrong-dimension array must fail LOUDLY — a silent
+              // min-length fold divided by the dim param would
+              // mis-scale every distance and quietly diverge from the
+              // batch verdicts
               require(r.features.length == dim && st.lastFeatures.length == dim,
                 s"sceneChangeStream: feature dim ${r.features.length} != configured dim $dim " +
                   s"(video $vid frame ${r.frame_idx}) — pass dim= matching the feature extractor")
               var s = 0.0
               var i = 0
               while (i < dim) {
-                s += math.abs(st.lastFeatures(i).toDouble - r.features(i).toDouble)
+                s += math.abs(
+                  math.round(st.lastFeatures(i).toDouble * 255).toDouble -
+                    math.round(r.features(i).toDouble * 255).toDouble)
                 i += 1
               }
-              val dist = math.floor(s / dim * 1e4) / 1e4
+              val dist = math.floor(s / (dim * 255.0) * 1e4) / 1e4
               out += SceneOut(vid, r.frame_idx, Some(dist), dist > threshold)
             }
             st = SceneState(r.frame_idx, r.features)
