@@ -739,6 +739,62 @@ object Stats {
     anovaOneWay(z, col("__g"), col("__z"))
   }
 
+  /** Tukey-Kramer HSD post-hoc pairwise comparisons — the step AFTER
+    * [[anovaOneWay]] says "some mean differs": WHICH pairs differ.
+    * For every unordered group pair, the mean difference and the
+    * studentized-range statistic
+    *
+    *   q = |m_a − m_b| / sqrt(MSE/2 · (1/n_a + 1/n_b))
+    *
+    * with MSE = SS_within/(N−k) from the SAME exact-decimal moments
+    * pass as the ANOVA (the Tukey-Kramer unequal-n form). Statistic
+    * only, no p lane (the chiSquared convention — studentized-range
+    * quantiles are table lookups, not bit-contracted arithmetic);
+    * compare q against q_{α,k,N−k} downstream.
+    *
+    * Shape at scale: ONE partial-aggregated moments pass collapses
+    * the corpus to a ≤ k-row frame; the pair grid is a k²/2 self-join
+    * of that tiny frame with the 1-row MSE attached by cross join —
+    * the corpus is never touched again. Determinism: the anovaOneWay
+    * lanes (per-group S²/n 7-dp truncated into the order-independent
+    * ssw sum), means/diff/q in double with fixed operation order,
+    * mean_diff 4-dp toward zero, q 4-dp floored. Degenerate designs
+    * (N ≤ k or zero within-variance) report q = 0 flagged.
+    */
+  def tukeyHsd(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def dec(c: Column): Column = Num.dec(c)
+    val per = df.filter(value.isNotNull && group.isNotNull)
+      .groupBy(group.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(value)).as("__s"),
+        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"))
+    val w7 = (floor(col("__s").cast("double") * col("__s").cast("double")
+      / col("__n") * 1e7) / 1e7).cast("decimal(30,7)")
+    val tot = per.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__nn"),
+      count(lit(1)).as("__k"),
+      sum(col("__q")).as("__tq"),
+      sum(w7).as("__w"))
+    val ssw = greatest(lit(0.0),
+      col("__tq").cast("double") - col("__w").cast("double"))
+    val mse = ssw / (col("__nn") - col("__k")).cast("double")
+    val degenerate = col("__nn") <= col("__k") || ssw === 0.0
+    val a = per.select(col("__g").as("grp_a"), col("__n").as("n_a"),
+      (col("__s").cast("double") / col("__n")).as("__ma"))
+    val b = per.select(col("__g").as("grp_b"), col("__n").as("n_b"),
+      (col("__s").cast("double") / col("__n")).as("__mb"))
+    val diff = col("__ma") - col("__mb")
+    val se = sqrt(mse / lit(2.0) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        Num.t4zero(diff).as("mean_diff"),
+        when(degenerate, lit(0.0))
+          .otherwise(Num.t4floor(abs(diff) / se)).as("q"),
+        degenerate.as("degenerate"))
+  }
+
   /** Kruskal-Wallis rank ANOVA — the NONPARAMETRIC member of the
     * k-group test triad ([[anovaOneWay]] compares means and assumes
     * shape; [[brownForsythe]] compares spreads; this compares whole
@@ -858,6 +914,82 @@ object Stats {
       Num.t4floor(cl.cast("double")).as("cusum_lo"),
       (ch > thr).as("alarm_hi"),
       (cl > thr).as("alarm_lo"))
+  }
+
+  /** EWMA control chart / one-step-ahead forecast anomaly — the
+    * exponentially-weighted companion of [[cusum]] (CUSUM accumulates
+    * small persistent shifts; the EWMA chain tracks a drifting level
+    * and flags per-bucket SURPRISE against its own smoothed forecast,
+    * the C47 rolling-window anomaly without a window buffer — which
+    * is also why it streams in O(1) state, see the E39 twin):
+    *
+    *   s_t = (aNum·x_t + (aDen−aNum)·s_{t−1}) / aDen,   s_0 = x_0
+    *   resid_t = x_t − s_{t−1},  alarm_t = |resid_t| > band
+    *
+    * Determinism: the whole recurrence runs on INTEGER 1e6
+    * micro-lanes (the E34 contract) — values quantize once on entry
+    * (round(x·1e6)), α enters as the RATIONAL aNum/aDen so the update
+    * is a floor division, and both engines (and the stream twin)
+    * replay the identical integer walk; outputs divide back to
+    * doubles (exact: micro values sit far under 2^53).
+    *
+    * Shape at scale: one repartition on key + partition-local linear
+    * scan (the justified loop-carried-state kernel class — a linear
+    * recurrence with per-step flooring has no window form); per-key
+    * chains are time-bucket-bounded (the E32 horizon contract), never
+    * event-volume-bounded. NULL key/bucket/value rows are excluded.
+    * Returns (key, bucket, value, ewma, resid, alarm) — resid NULL on
+    * each key's first bucket (no forecast yet, never an alarm).
+    */
+  def ewmaChart(df: DataFrame, key: Column, bucket: Column, value: Column,
+      alphaNum: Int = 1, alphaDen: Int = 4, band: Double = 2.0): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0, 1]")
+    require(band >= 0, "band must be >= 0")
+    val bandMicro = math.round(band * 1e6)
+    val t = df.select(key.cast("string").as("key"),
+        bucket.cast("long").as("bucket"),
+        round(value.cast("double") * 1e6).cast("long").as("__vm"))
+      .filter(col("key").isNotNull && col("bucket").isNotNull
+        && col("__vm").isNotNull)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ewma",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("resid",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("alarm",
+        org.apache.spark.sql.types.BooleanType)))
+    val (aN, aD) = (alphaNum.toLong, alphaDen.toLong)
+    t.repartition(col("key")).sortWithinPartitions("key", "bucket")
+      .mapPartitions { rows =>
+        var curKey: String = null
+        var s = 0L
+        var started = false
+        rows.map { r =>
+          val k = r.getString(0)
+          val b = r.getLong(1)
+          val vm = r.getLong(2)
+          if (k != curKey) { curKey = k; started = false }
+          if (!started) {
+            started = true
+            s = vm
+            org.apache.spark.sql.Row(k, b, vm / 1e6, s / 1e6,
+              null.asInstanceOf[java.lang.Double], false)
+          } else {
+            val resid = vm - s
+            val alarm = math.abs(resid) > bandMicro
+            s = Math.floorDiv(aN * vm + (aD - aN) * s, aD)
+            org.apache.spark.sql.Row(k, b, vm / 1e6, s / 1e6,
+              resid / 1e6, alarm)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Wald's sequential probability ratio test (SPRT, Wald '45) — the

@@ -954,6 +954,75 @@ object CurationQueries {
         .orderBy("doc_id", "word_pos", "sym_pos")
     },
 
+    // D128: WordPiece tokenization — the third tokenizer family next
+    // to BPE (D41) and unigram-LM (D96): frequency-ranked subword
+    // vocabulary (all single chars per alignment class + top-200
+    // multi-char substrings), then greedy longest-match-first
+    // segmentation with ## continuations. Exact oracle: the vocab
+    // ranking replays declaratively and the greedy walk replays as a
+    // recursive CTE stepping each word's position by the longest
+    // vocab match (no ties possible: the match at a position/length
+    // IS the substring).
+    Q(
+      "q_wordpiece",
+      s"""WITH RECURSIVE wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(${tkSql("text")}) AS w FROM documents)
+         |  GROUP BY w),
+         |pos AS (
+         |  SELECT w, cnt, p.pos FROM wf,
+         |    LATERAL (SELECT unnest(range(0, length(w))) AS pos) p),
+         |charp AS (
+         |  SELECT substr(w, pos + 1, 1) AS piece, pos > 0 AS cont
+         |  FROM pos GROUP BY 1, 2),
+         |multi AS (
+         |  SELECT piece, cont FROM (
+         |    SELECT substr(w, pos + 1, ll.l) AS piece, pos > 0 AS cont,
+         |      sum(cnt) AS freq
+         |    FROM pos, LATERAL (SELECT unnest(range(2, 7)) AS l) ll
+         |    WHERE pos + ll.l <= length(w)
+         |    GROUP BY 1, 2)
+         |  ORDER BY freq DESC, cont ASC, piece ASC LIMIT 200),
+         |vocab AS (
+         |  SELECT piece, cont FROM charp
+         |  UNION ALL SELECT piece, cont FROM multi),
+         |topw AS (SELECT w, cnt FROM wf ORDER BY cnt DESC, w ASC LIMIT 100),
+         |cand AS (
+         |  SELECT pw.w, pw.pos, max(length(v.piece)) AS l
+         |  FROM (SELECT t.w, p.pos FROM topw t,
+         |          LATERAL (SELECT unnest(range(0, length(t.w))) AS pos) p) pw
+         |  JOIN vocab v ON v.cont = (pw.pos > 0)
+         |    AND v.piece = substr(pw.w, pw.pos + 1, length(v.piece))
+         |  GROUP BY pw.w, pw.pos),
+         |seg(w, pos, acc, np) AS (
+         |  SELECT w, 0, '', 0 FROM topw
+         |  UNION ALL
+         |  SELECT s.w, s.pos + c.l,
+         |    CASE WHEN s.acc = '' THEN '' ELSE s.acc || ' ' END
+         |      || CASE WHEN s.pos > 0 THEN '##' ELSE '' END
+         |      || substr(s.w, s.pos + 1, c.l),
+         |    s.np + 1
+         |  FROM seg s JOIN cand c ON c.w = s.w AND c.pos = s.pos
+         |  WHERE s.pos < length(s.w))
+         |SELECT t.w, t.cnt, s.acc AS pieces, CAST(s.np AS BIGINT) AS n_pieces
+         |FROM topw t JOIN seg s ON s.w = t.w AND s.pos = length(t.w)
+         |ORDER BY t.cnt DESC, t.w ASC""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.tokens
+      import graft.operators.Wordpiece
+      val d = table(s, dir, "documents")
+      val vocab = Wordpiece.buildVocab(d.select(col("text")), col("text"),
+        maxPieces = 200, maxPieceLen = 6).localCheckpoint()
+      val wf = d.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val topw = wf.orderBy(col("cnt").desc, col("w").asc).limit(100)
+        .localCheckpoint()
+      Wordpiece.segmentWords(topw.select("w"), vocab)
+        .join(topw, Seq("w"))
+        .select(col("w"), col("cnt"), col("pieces"), col("n_pieces"))
+        .orderBy(col("cnt").desc, col("w").asc)
+    },
+
     // D49: deterministic source-interleaved training order — within
     // each shard, positions go round-robin across sources so no batch
     // span sees a single-crawl run; both engines replay the identical

@@ -512,6 +512,43 @@ object ProfileQueries {
         col("event_type"), col("value"))
     },
 
+    // C90: Tukey-Kramer HSD post-hoc — WHICH event-type pairs differ
+    // after q_anova's omnibus F; same moments lanes, pairwise q on
+    // fixed-order doubles, mean_diff 4-dp toward zero, q 4-dp floor.
+    Q(
+      "q_tukey_hsd",
+      """WITH v AS (SELECT event_type AS g, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |        AS DECIMAL(38,12))) AS q
+        |  FROM v GROUP BY g),
+        |m AS (SELECT coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
+        |    sum(q) AS tq,
+        |    sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7
+        |        AS DECIMAL(30,7))) AS w
+        |  FROM per),
+        |d AS (SELECT nn, k,
+        |    greatest(0.0, CAST(tq AS DOUBLE) - CAST(w AS DOUBLE)) AS ssw
+        |  FROM m),
+        |pr AS (SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
+        |    CAST(a.s AS DOUBLE) / a.n AS ma, CAST(b.s AS DOUBLE) / b.n AS mb
+        |  FROM per a JOIN per b ON a.g < b.g)
+        |SELECT grp_a, grp_b, n_a, n_b,
+        |  sign(ma - mb) * (floor(abs(ma - mb) * 1e4) / 1e4) + 0.0 AS mean_diff,
+        |  CASE WHEN nn <= k OR ssw = 0.0 THEN 0.0
+        |       ELSE floor(abs(ma - mb)
+        |         / sqrt(ssw / (nn - k) / 2.0 * (1.0 / n_a + 1.0 / n_b))
+        |         * 1e4) / 1e4 END AS q,
+        |  (nn <= k OR ssw = 0.0) AS degenerate
+        |FROM pr CROSS JOIN d ORDER BY grp_a, grp_b""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.tukeyHsd(graft.sources.Tables.events(s, dir),
+          col("event_type"), col("value"))
+        .orderBy("grp_a", "grp_b")
+    },
+
     // C89: Cochran-Mantel-Haenszel across event-type strata — user
     // parity vs high-value outcome controlling for the type; a−E and
     // V on 7-dp signed lanes, one double division, 4-dp floor.

@@ -1120,6 +1120,65 @@ object EventStreams {
       }
   }
 
+  case class EwmaIn(key: String, b: Long, vMicro: Long)
+
+  case class EwmaState(sMicro: Long, started: Boolean)
+
+  case class EwmaOut(key: String, bucket: Long, value_micro: Long,
+      ewma_micro: Long, resid_micro: Option[Long], alarm: Boolean)
+
+  /** E39: streaming EWMA control chart — the live twin of
+    * [[graft.operators.Stats.ewmaChart]]: per key the state is ONE
+    * long (the smoothed level on the exact 1e6 micro-lane — the E34
+    * contract, ulp drift impossible) plus a started flag; each
+    * finalized bucket scores its residual against the forecast, then
+    * advances the level with the SAME rational-α floor division the
+    * batch kernel uses, so the emitted walk equals batch row for row
+    * (spec across a split). Micro-unit outputs; dividing back to
+    * doubles is a downstream projection (the E30-cells/probe split).
+    * Ordering contract as E26/E34: per-key bucket order ACROSS
+    * batches; within a batch rows sort here. No watermark — feed
+    * FINALIZED buckets.
+    */
+  def ewmaStream(buckets: DataFrame, alphaNum: Int = 1, alphaDen: Int = 4,
+      band: Double = 2.0): Dataset[EwmaOut] = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0, 1]")
+    implicit val inEnc = Encoders.product[EwmaIn]
+    implicit val outEnc = Encoders.product[EwmaOut]
+    implicit val stEnc = Encoders.product[EwmaState]
+    implicit val strEnc = Encoders.STRING
+    val bandMicro = math.round(band * 1e6)
+    val (aN, aD) = (alphaNum.toLong, alphaDen.toLong)
+    buckets.select(col("key").cast("string").as("key"),
+        col("b").cast("long").as("b"),
+        org.apache.spark.sql.functions.round(col("v").cast("double") * 1e6)
+          .cast("long").as("vMicro"))
+      .filter(col("key").isNotNull && col("vMicro").isNotNull)
+      .as[EwmaIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[EwmaIn], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, started = false))
+          val out = rows.toSeq.sortBy(_.b).map { r =>
+            if (!st.started) {
+              st = EwmaState(r.vMicro, started = true)
+              EwmaOut(key, r.b, r.vMicro, st.sMicro, None, alarm = false)
+            } else {
+              val resid = r.vMicro - st.sMicro
+              val alarm = math.abs(resid) > bandMicro
+              st = EwmaState(
+                Math.floorDiv(aN * r.vMicro + (aD - aN) * st.sMicro, aD),
+                started = true)
+              EwmaOut(key, r.b, r.vMicro, st.sMicro, Some(resid), alarm)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

@@ -144,6 +144,40 @@ class BehaviorSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getDouble(4) == 0.0 && e.getBoolean(6), e.toString)
   }
 
+  test("tukeyHsd: hand-computed pairwise q; precision 1 sanity vs anova; degenerate flags") {
+    import graft.operators.Stats
+    // same design as the anova spec: MSE = SSW/(N-k) = 6/6 = 1;
+    // SE per pair = sqrt(1/2 * (1/3 + 1/3)) = sqrt(1/3);
+    // q(a,b) = 4/sqrt(1/3), q(a,c) = 10/sqrt(1/3), q(b,c) = 6/sqrt(1/3)
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0),
+      ("c", 11.0), ("c", 12.0), ("c", 13.0)).toDF("g", "v")
+    val rows = Stats.tukeyHsd(d, col("g"), col("v"))
+      .orderBy("grp_a", "grp_b").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    def q(diff: Double) = math.floor(diff / math.sqrt(1.0 / 3.0) * 1e4) / 1e4
+    assert(rows(0).getAs[Double]("q") == q(4.0), rows(0).toString)
+    assert(rows(1).getAs[Double]("q") == q(10.0), rows(1).toString)
+    assert(rows(2).getAs[Double]("q") == q(6.0), rows(2).toString)
+    // mean_diff is signed toward-zero truncation: a - b = -4
+    assert(rows(0).getAs[Double]("mean_diff") == -4.0, rows(0).toString)
+    assert(rows.forall(!_.getAs[Boolean]("degenerate")))
+    // zero within-variance: every pair degenerate with q = 0, but the
+    // mean differences still report
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0)).toDF("g", "v")
+    val Array(fr) = Stats.tukeyHsd(flat, col("g"), col("v")).collect()
+    assert(fr.getAs[Boolean]("degenerate") && fr.getAs[Double]("q") == 0.0
+      && fr.getAs[Double]("mean_diff") == -4.0, fr.toString)
+    // unequal n uses the Tukey-Kramer SE: a(n=2) vs b(n=4)
+    val uneq = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 6.0),
+      ("b", 8.0), ("b", 9.0)).toDF("g", "v")
+    val Array(u) = Stats.tukeyHsd(uneq, col("g"), col("v")).collect()
+    // means 2 and 7; SSW = 2 + 10 = 12, MSE = 12/4 = 3
+    val se = math.sqrt(3.0 / 2.0 * (1.0 / 2 + 1.0 / 4))
+    assert(u.getAs[Double]("q") == math.floor(5.0 / se * 1e4) / 1e4, u.toString)
+  }
+
   test("brownForsythe: hand-computed W on median-centered deviations; equal spreads give 0") {
     import graft.operators.Stats
     // a=[1,2,3,10]: type-1 median = x_ceil(2) = 2 → z=[1,0,1,8]

@@ -1265,6 +1265,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E39 ewmaStream: emitted micro walk equals batch ewmaChart across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Stats
+    // the level shift straddles the batch split, so the smoothed
+    // state must carry across; two keys prove state isolation
+    val vals = Seq(("a", 0L, 4.0), ("a", 1L, 4.0), ("a", 2L, 12.0),
+      ("b", 0L, 2.0), ("a", 3L, 12.0), ("a", 4L, 12.0), ("b", 1L, 9.0))
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val q = graft.streaming.EventStreams.ewmaStream(
+        input.toDF().toDF("key", "b", "v"), alphaNum = 1, alphaDen = 4,
+        band = 2.0)
+      .writeStream.format("memory").queryName("e39_out").outputMode("append").start()
+    try {
+      input.addData(vals.take(4))
+      q.processAllAvailable()
+      input.addData(vals.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("e39_out").orderBy("key", "bucket")
+        .as[(String, Long, Long, Long, Option[Long], Boolean)].collect()
+      val batch = Stats.ewmaChart(vals.toDF("g", "b", "v"), col("g"),
+          col("b"), col("v"), alphaNum = 1, alphaDen = 4, band = 2.0)
+        .orderBy("key", "bucket").collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case ((k, sb, vm, em, rm, al), br) =>
+        assert(k == br.getString(0) && sb == br.getLong(1))
+        assert(vm / 1e6 == br.getDouble(2), s"value at $k/$sb")
+        assert(em / 1e6 == br.getDouble(3), s"ewma at $k/$sb")
+        assert(rm.map(_ / 1e6) == Option(br.get(4)).map(_.asInstanceOf[Double]),
+          s"resid at $k/$sb")
+        assert(al == br.getBoolean(5), s"alarm at $k/$sb")
+      }
+      // hand-check the walk on key a (micro-units, alpha = 1/4):
+      // s0 = 4e6; resid(1) = 0 no alarm, s1 = 4e6;
+      // resid(2) = 8e6 ALARM, s2 = (12e6 + 3*4e6)/4 = 6e6;
+      // resid(3) = 6e6 ALARM, s3 = (12e6 + 18e6)/4 = 7.5e6;
+      // resid(4) = 4.5e6 ALARM, s4 = (12e6 + 22.5e6)/4 = 8625000
+      val a = streamed.filter(_._1 == "a")
+      assert(a.map(_._4).toSeq ==
+        Seq(4000000L, 4000000L, 6000000L, 7500000L, 8625000L))
+      assert(a.map(_._6).toSeq == Seq(false, false, true, true, true))
+    } finally q.stop()
+  }
+
   test("E35 lineFirstSeenStream: assembled df/nDocs equal the batch inputs across a split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // doc 1 repeats its own footer (must count once); doc 3's copy of
