@@ -477,16 +477,24 @@ object RelationalQueries {
         |    AS median_within
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      table(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
+      val li = table(s, dir, "lineitem")
+      // exact distinct via a two-level aggregate, NOT countDistinct
+      // mixed into the sketch agg: a distinct aggregate next to the
+      // object-buffer percentiles forces Expand + SortAggregate with
+      // per-row object updates (measured 1.0 -> 83 s at sf0.1); the
+      // two-level form keeps both aggregations hash/partial and the
+      // join is 3 broadcast rows
+      val exact = li.groupBy($"l_returnflag", $"l_orderkey").agg(count(lit(1)).as("__c"))
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_orders"))
+      val sk = li.groupBy($"l_returnflag")
         .agg(
           count(lit(1)).as("n_rows"),
-          countDistinct($"l_orderkey").as("exact_orders"),
           approx_count_distinct($"l_orderkey", rsd = 0.01).as("__apx"),
           percentile_approx($"l_quantity", lit(0.5), lit(1000))
             .cast("double").as("__med"),
           expr("percentile(l_quantity, 0.45)").as("__lo"),
           expr("percentile(l_quantity, 0.55)").as("__hi"))
+      sk.join(broadcast(exact), Seq("l_returnflag"))
         .select($"l_returnflag", $"n_rows", $"exact_orders",
           (abs($"__apx".cast("double") - $"exact_orders")
             <= lit(0.05) * $"exact_orders").as("distinct_within"),

@@ -184,6 +184,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("asOfEnrich plans as a broadcast probe on the event side (E38's stateless contract)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val dim = ev.select(col("user_id")).distinct()
+      .select(col("user_id"), (col("user_id") % 100).as("eff_us"),
+        col("user_id").cast("string").as("tier"))
+    val out = graft.streaming.EventStreams.asOfEnrich(
+      ev, dim, Seq("user_id"), "ts_us", "eff_us", Seq("tier"))
+    val plan = run(out)
+    // the event side must probe a BROADCAST history — a sort-merge
+    // join here would shuffle the whole stream per micro-batch, which
+    // is exactly what the operator exists to avoid
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("cusum evaluates both window layers in one keyed exchange") {
     val df = SparkEntry.queries("q_cusum")(spark, sf)
     val plan = finalPlan(run(df))
