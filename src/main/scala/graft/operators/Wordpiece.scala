@@ -77,10 +77,10 @@ object Wordpiece {
     charPieces.unionByName(multiPieces)
   }
 
-  /** Segment a distinct-word table (w[, any other columns preserved? no —
-    * input must carry (w)]) by greedy longest-match-first against the
-    * vocabulary: at each position take the LONGEST vocab piece of the
-    * position's alignment class; any dead end (a character the
+  /** Segment a distinct-word table (one `w` string column) by greedy
+    * longest-match-first against the vocabulary: at each position
+    * take the LONGEST vocab piece of the position's alignment class;
+    * any dead end (a character the
     * vocabulary has never seen in that class) collapses the whole
     * word to [[Unk]] — the WordPiece serving contract. The vocabulary
     * collects to the driver (bounded metadata) and broadcasts into a

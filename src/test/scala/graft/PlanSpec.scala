@@ -201,6 +201,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ewmaChart pays exactly one keyed exchange for the partition-local walk") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    // the operator itself (no presentation orderBy): bucket groupBy +
+    // repartition(key) are the only legal shuffles — the recurrence
+    // is a partition-local kernel and must add none
+    val buckets = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val df = graft.operators.Stats.ewmaChart(
+      buckets, col("event_type"), col("b"), col("n"))
+    val plan = finalPlan(run(df))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"ewmaChart shuffles $exchanges times:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"ewmaChart sorts globally:\n$plan")
+  }
+
   test("cusum evaluates both window layers in one keyed exchange") {
     val df = SparkEntry.queries("q_cusum")(spark, sf)
     val plan = finalPlan(run(df))
