@@ -198,6 +198,34 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(s, item) => FreqBounds(s, asString(item))
         case _ => throw new IllegalArgumentException("freq_bounds(sketch, item)")
+      }),
+    ("theta_sketch",
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => ThetaSketchAgg(asString(v), 12).toAggregateExpression()
+        case Seq(v, k) =>
+          ThetaSketchAgg(asString(v), intArg(k, "lgK")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("theta_sketch(item[, lgK])")
+      }),
+    ("theta_union",
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => ThetaUnionAgg(s, 12).toAggregateExpression()
+        case Seq(s, k) =>
+          ThetaUnionAgg(s, intArg(k, "lgK")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("theta_union(sketch[, lgK])")
+      }),
+    ("theta_estimate",
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => ThetaEstimate(s)
+        case _ => throw new IllegalArgumentException("theta_estimate(sketch)")
+      }),
+    ("theta_intersect_estimate",
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName, "theta_intersect_estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ThetaIntersectEstimate(a, b)
+        case _ => throw new IllegalArgumentException("theta_intersect_estimate(a, b)")
       }))
 
   def registerAll(spark: SparkSession): Unit =

@@ -437,6 +437,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_fps"))
   }
 
+  /** Sketch-tier source-overlap matrix — [[sourceOverlap]]'s scale
+    * path: per-(source, shard) THETA sketches of normalized content
+    * fingerprints ([[graft.functions.ThetaSketch]]) build in one
+    * partial-aggregated pass and union per source; the k×k overlap
+    * matrix is then one self-join of k kilobyte blobs paying one set
+    * INTERSECTION per pair — the corpus is never touched again, where
+    * the exact tier pays a fingerprint-keyed self-join per refresh.
+    * A new source costs one sketch build + k cheap intersections.
+    * Under-capacity sketches are exact (the contract
+    * q_source_overlap_sketch's bounded-verdict oracle checks).
+    * Returns (src_a, src_b, overlap_est, n_a_est, n_b_est) for every
+    * unordered source pair.
+    */
+  def sourceOverlapSketch(
+      df: DataFrame,
+      source: Column,
+      text: Column,
+      shard: Column,
+      lgK: Int = 12): DataFrame = {
+    import graft.functions.ThetaSketch._
+    val perShard = df.select(source.as("src"), shard.as("__sh"),
+        normFingerprint(text).as("__fp"))
+      .groupBy("src", "__sh")
+      .agg(thetaSketch(col("__fp"), lgK).as("__sk"))
+    val merged = perShard.groupBy("src")
+      .agg(thetaUnion(col("__sk"), lgK).as("__sk"))
+    merged.as("a").join(merged.as("b"), col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        thetaIntersectEstimate(col("a.__sk"), col("b.__sk")).as("overlap_est"),
+        thetaEstimate(col("a.__sk")).as("n_a_est"),
+        thetaEstimate(col("b.__sk")).as("n_b_est"))
+  }
+
   /** LSH banding-parameter planner — answers "how should I split my
     * `nPerms` MinHash permutations into bands?" BEFORE a 100 TB
     * signing pass commits to one S-curve. For every factorization

@@ -929,7 +929,8 @@ object Stats {
     * Determinism: the whole recurrence runs on INTEGER 1e6
     * micro-lanes (the E34 contract) — values quantize once on entry
     * (round(x·1e6)), α enters as the RATIONAL aNum/aDen so the update
-    * is a floor division, and both engines (and the stream twin)
+    * is a truncating integer division (toward zero — both Scala's `/`
+    * and DuckDB's `//`), and both engines (and the stream twin)
     * replay the identical integer walk; outputs divide back to
     * doubles (exact: micro values sit far under 2^53).
     *
@@ -984,8 +985,92 @@ object Stats {
           } else {
             val resid = vm - s
             val alarm = math.abs(resid) > bandMicro
-            s = Math.floorDiv(aN * vm + (aD - aN) * s, aD)
+            s = (aN * vm + (aD - aN) * s) / aD
             org.apache.spark.sql.Row(k, b, vm / 1e6, s / 1e6,
+              resid / 1e6, alarm)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Holt linear-trend chart (double exponential smoothing) — the
+    * TRENDING-level member next to [[ewmaChart]] (EWMA tracks a
+    * drifting level; a steadily GROWING series makes every EWMA
+    * residual positive and the chart blind to real anomalies — Holt
+    * carries an explicit trend term so the forecast climbs with the
+    * series):
+    *
+    *   forecast_t = s_{t−1} + b_{t−1},  resid_t = x_t − forecast_t
+    *   s_t = (aNum·x_t + (aDen−aNum)·(s_{t−1}+b_{t−1})) / aDen
+    *   b_t = (bNum·(s_t − s_{t−1}) + (bDen−bNum)·b_{t−1}) / bDen
+    *   s_0 = x_0, b_0 = 0
+    *
+    * Same determinism contract as [[ewmaChart]]: the whole recurrence
+    * on INTEGER 1e6 micro-lanes with rational α/β, TRUNCATING integer
+    * division (toward zero — both Scala's `/` and DuckDB's `//`, so
+    * negative trend lanes replay sign-exactly),
+    * so batch, the E40 stream twin, and the recursive-CTE oracle walk
+    * identical integers. Same kernel shape: one repartition on key +
+    * partition-local linear scan, per-key chains time-bucket-bounded.
+    * Returns (key, bucket, value, level, trend, resid, alarm) — resid
+    * NULL on each key's first bucket.
+    */
+  def holtChart(df: DataFrame, key: Column, bucket: Column, value: Column,
+      alphaNum: Int = 1, alphaDen: Int = 4,
+      betaNum: Int = 1, betaDen: Int = 4, band: Double = 2.0): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0, 1]")
+    require(betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      "beta = betaNum/betaDen must be in (0, 1]")
+    require(band >= 0, "band must be >= 0")
+    val bandMicro = math.round(band * 1e6)
+    val t = df.select(key.cast("string").as("key"),
+        bucket.cast("long").as("bucket"),
+        round(value.cast("double") * 1e6).cast("long").as("__vm"))
+      .filter(col("key").isNotNull && col("bucket").isNotNull
+        && col("__vm").isNotNull)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("level",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("trend",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("resid",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("alarm",
+        org.apache.spark.sql.types.BooleanType)))
+    val (aN, aD) = (alphaNum.toLong, alphaDen.toLong)
+    val (bN, bD) = (betaNum.toLong, betaDen.toLong)
+    t.repartition(col("key")).sortWithinPartitions("key", "bucket")
+      .mapPartitions { rows =>
+        var curKey: String = null
+        var s = 0L
+        var b = 0L
+        var started = false
+        rows.map { r =>
+          val k = r.getString(0)
+          val bk = r.getLong(1)
+          val vm = r.getLong(2)
+          if (k != curKey) { curKey = k; started = false }
+          if (!started) {
+            started = true
+            s = vm
+            b = 0L
+            org.apache.spark.sql.Row(k, bk, vm / 1e6, s / 1e6, 0.0,
+              null.asInstanceOf[java.lang.Double], false)
+          } else {
+            val forecast = s + b
+            val resid = vm - forecast
+            val alarm = math.abs(resid) > bandMicro
+            val sPrev = s
+            s = (aN * vm + (aD - aN) * forecast) / aD
+            b = (bN * (s - sPrev) + (bD - bN) * b) / bD
+            org.apache.spark.sql.Row(k, bk, vm / 1e6, s / 1e6, b / 1e6,
               resid / 1e6, alarm)
           }
         }

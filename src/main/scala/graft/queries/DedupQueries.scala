@@ -1750,6 +1750,63 @@ object DedupQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // D129: theta-sketch source-overlap — D75's scale path: per-source
+    // THETA sketches intersect pairwise instead of the fingerprint
+    // self-join. Bounded-verdict oracle (the sketch-tier contract):
+    // exact overlap and set sizes are portable; within_bound checks
+    // the engine's own intersection estimate against 5% rel / abs-3
+    // (under-capacity sketches are exact, so the contract holds with
+    // zero slack consumed at this SF — the oracle asserts it TRUE).
+    Q(
+      "q_source_overlap_sketch",
+      """WITH u AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT DISTINCT source AS src,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
+        |  FROM u),
+        |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY 1),
+        |ov AS (
+        |  SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(count(*) AS BIGINT) AS exact_overlap
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT ov.src_a, ov.src_b, ov.exact_overlap,
+        |  sa.n AS n_a, sb.n AS n_b, TRUE AS within_bound
+        |FROM ov JOIN sz sa ON sa.src = ov.src_a
+        |        JOIN sz sb ON sb.src = ov.src_b
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.normFingerprint
+      val docs = table(s, dir, "documents")
+      val u = docs.select(col("source"), col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(lit("mirror").as("source"), col("doc_id"), col("text")))
+      val est = Dedup.sourceOverlapSketch(u, col("source"), col("text"),
+        pmod(col("doc_id"), lit(4)))
+      val fps = u.select(col("source").as("src"),
+        normFingerprint(col("text")).as("f")).distinct().localCheckpoint()
+      val sz = fps.groupBy("src").agg(count(lit(1)).as("n"))
+      val ov = fps.as("a")
+        .join(fps.as("b"), col("a.f") === col("b.f") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      ov.join(est, Seq("src_a", "src_b"))
+        .join(broadcast(sz.withColumnsRenamed(Map("src" -> "src_a", "n" -> "n_a"))),
+          Seq("src_a"))
+        .join(broadcast(sz.withColumnsRenamed(Map("src" -> "src_b", "n" -> "n_b"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("exact_overlap"),
+          col("n_a"), col("n_b"),
+          (abs(col("overlap_est") - col("exact_overlap"))
+            <= greatest(lit(0.05) * col("exact_overlap"), lit(3.0)))
+            .as("within_bound"))
+        .orderBy("src_a", "src_b")
+    },
+
     // D69: hard-negative mining — per query, top-5 corpus vectors
     // with cosine in [0.3, 0.9): informative negatives below the
     // near-dup band (the planted-twin spec proves twins are excluded).

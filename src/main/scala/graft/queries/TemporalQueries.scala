@@ -654,6 +654,49 @@ object TemporalQueries {
         .orderBy("key", "bucket")
     },
 
+    // C92: Holt linear-trend chart over hourly per-type volumes —
+    // q_ewma's trending sibling: the forecast carries an explicit
+    // trend lane, so a steadily growing series doesn't drown the
+    // chart in positive residuals. Both integer micro-lanes replay in
+    // one recursive CTE (truncating division both engines).
+    Q(
+      "q_holt",
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS key,
+        |    (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT key, bucket,
+        |    CAST(round(CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS vm,
+        |    row_number() OVER (PARTITION BY key ORDER BY bucket) AS rn
+        |  FROM b),
+        |walk(key, rn, bucket, vm, s, t, resid) AS (
+        |  SELECT key, rn, bucket, vm, vm, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.key, v.rn, v.bucket, v.vm,
+        |    (1 * v.vm + 3 * (w.s + w.t)) // 4,
+        |    (1 * ((1 * v.vm + 3 * (w.s + w.t)) // 4 - w.s) + 3 * w.t) // 4,
+        |    v.vm - (w.s + w.t)
+        |  FROM walk w JOIN v ON v.key = w.key AND v.rn = w.rn + 1)
+        |SELECT key, bucket,
+        |  CAST(vm AS DOUBLE) / 1e6 AS value,
+        |  CAST(s AS DOUBLE) / 1e6 AS level,
+        |  CAST(t AS DOUBLE) / 1e6 AS trend,
+        |  CAST(resid AS DOUBLE) / 1e6 AS resid,
+        |  coalesce(abs(resid) > 2000000, FALSE) AS alarm
+        |FROM walk ORDER BY key, bucket""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.holtChart(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"), alphaNum = 1, alphaDen = 4,
+          betaNum = 1, betaDen = 4, band = 2.0)
+        .orderBy("key", "bucket")
+    },
+
     // C85: SPRT early-stopping over hourly per-type "busy hour"
     // indicators — cumulative LLR walk on exact 7-dp decimal lanes,
     // increments and bounds Scala-computed once and shared as

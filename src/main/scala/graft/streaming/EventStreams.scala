@@ -1132,8 +1132,8 @@ object EventStreams {
     * long (the smoothed level on the exact 1e6 micro-lane — the E34
     * contract, ulp drift impossible) plus a started flag; each
     * finalized bucket scores its residual against the forecast, then
-    * advances the level with the SAME rational-α floor division the
-    * batch kernel uses, so the emitted walk equals batch row for row
+    * advances the level with the SAME rational-α truncating
+    * division the batch kernel uses, so the emitted walk equals batch row for row
     * (spec across a split). Micro-unit outputs; dividing back to
     * doubles is a downstream projection (the E30-cells/probe split).
     * Ordering contract as E26/E34: per-key bucket order ACROSS
@@ -1169,9 +1169,70 @@ object EventStreams {
               val resid = r.vMicro - st.sMicro
               val alarm = math.abs(resid) > bandMicro
               st = EwmaState(
-                Math.floorDiv(aN * r.vMicro + (aD - aN) * st.sMicro, aD),
+                (aN * r.vMicro + (aD - aN) * st.sMicro) / aD,
                 started = true)
               EwmaOut(key, r.b, r.vMicro, st.sMicro, Some(resid), alarm)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class HoltState(sMicro: Long, bMicro: Long, started: Boolean)
+
+  case class HoltOut(key: String, bucket: Long, value_micro: Long,
+      level_micro: Long, trend_micro: Long, resid_micro: Option[Long],
+      alarm: Boolean)
+
+  /** E40: streaming Holt linear-trend chart — the live twin of
+    * [[graft.operators.Stats.holtChart]] and E39's trending sibling:
+    * per key the state is TWO longs (level + trend on the exact 1e6
+    * micro-lanes) plus a started flag; each finalized bucket scores
+    * its residual against the level+trend forecast, then both lanes
+    * advance with the SAME rational-α/β truncating divisions as
+    * batch, so the emitted walk equals batch row for row (spec across
+    * a split through a trend change). E26/E34 ordering contract; no
+    * watermark — feed FINALIZED buckets.
+    */
+  def holtStream(buckets: DataFrame,
+      alphaNum: Int = 1, alphaDen: Int = 4,
+      betaNum: Int = 1, betaDen: Int = 4,
+      band: Double = 2.0): Dataset[HoltOut] = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0, 1]")
+    require(betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      "beta = betaNum/betaDen must be in (0, 1]")
+    implicit val inEnc = Encoders.product[EwmaIn]
+    implicit val outEnc = Encoders.product[HoltOut]
+    implicit val stEnc = Encoders.product[HoltState]
+    implicit val strEnc = Encoders.STRING
+    val bandMicro = math.round(band * 1e6)
+    val (aN, aD) = (alphaNum.toLong, alphaDen.toLong)
+    val (bN, bD) = (betaNum.toLong, betaDen.toLong)
+    buckets.select(col("key").cast("string").as("key"),
+        col("b").cast("long").as("b"),
+        org.apache.spark.sql.functions.round(col("v").cast("double") * 1e6)
+          .cast("long").as("vMicro"))
+      .filter(col("key").isNotNull && col("vMicro").isNotNull)
+      .as[EwmaIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[EwmaIn], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, started = false))
+          val out = rows.toSeq.sortBy(_.b).map { r =>
+            if (!st.started) {
+              st = HoltState(r.vMicro, 0L, started = true)
+              HoltOut(key, r.b, r.vMicro, st.sMicro, 0L, None, alarm = false)
+            } else {
+              val forecast = st.sMicro + st.bMicro
+              val resid = r.vMicro - forecast
+              val alarm = math.abs(resid) > bandMicro
+              val sNew = (aN * r.vMicro + (aD - aN) * forecast) / aD
+              val bNew = (bN * (sNew - st.sMicro) + (bD - bN) * st.bMicro) / bD
+              st = HoltState(sNew, bNew, started = true)
+              HoltOut(key, r.b, r.vMicro, sNew, bNew, Some(resid), alarm)
             }
           }
           state.update(st)

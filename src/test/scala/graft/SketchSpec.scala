@@ -106,4 +106,50 @@ class SketchSpec extends SparkSpec {
     assert(nb.getAs[Long]("lower_bound") <= 0L
       && 0L <= nb.getAs[Long]("upper_bound"), nb.toString)
   }
+
+  test("theta sketches: exact under capacity, shard-merge == whole, intersection on planted sets (D129)") {
+    import graft.functions.ThetaSketch._
+    // A = {0..499}, B = {250..749}: |A|=|B|=500, |A∩B|=250 — all far
+    // under 2^12 capacity, so every estimate must be EXACT
+    val a = (0 until 500).map(i => (i % 4, s"item$i")).toDF("shard", "it")
+    val b = (250 until 750).map(i => (i % 4, s"item$i")).toDF("shard", "it")
+    val skA = a.agg(thetaSketch(col("it")).as("s"))
+    val skB = b.agg(thetaSketch(col("it")).as("s"))
+    assert(skA.select(thetaEstimate(col("s"))).as[Double].head() == 500.0)
+    val inter = skA.crossJoin(skB.withColumnRenamed("s", "s2"))
+      .select(thetaIntersectEstimate(col("s"), col("s2"))).as[Double].head()
+    assert(inter == 250.0, s"exact-capacity intersection drifted: $inter")
+    // per-shard sketches merged == the whole-stream sketch's answer
+    val merged = a.groupBy("shard").agg(thetaSketch(col("it")).as("s"))
+      .agg(thetaUnion(col("s")).as("m"))
+      .select(thetaEstimate(col("m"))).as[Double].head()
+    assert(merged == 500.0, s"shard-merge drifted: $merged")
+    // over capacity (lgK=4 → 16 nominal entries): the estimate must
+    // land within the published rse envelope (~25% at 3σ for lgK=4)
+    val big = (0 until 20000).map(i => s"v$i").toDF("it")
+    val est = big.agg(thetaSketch(col("it"), lgK = 4).as("s"))
+      .select(thetaEstimate(col("s"))).as[Double].head()
+    assert(math.abs(est - 20000.0) / 20000.0 <= 0.75,
+      s"over-capacity estimate out of envelope: $est")
+  }
+
+  test("theta_* SQL names match the Column API across sketch->union->intersect") {
+    import graft.functions.ThetaSketch._
+    val df = (0 until 300).map(i => (i % 3, s"t$i")).toDF("g", "it")
+    df.createOrReplaceTempView("t_theta")
+    val viaSql = spark.sql(
+      """SELECT theta_estimate(theta_union(sk)) AS e,
+        |       theta_intersect_estimate(theta_union(sk), theta_union(sk)) AS i
+        |FROM (SELECT theta_sketch(it, 12) AS sk FROM t_theta GROUP BY g)""".stripMargin)
+      .as[(Double, Double)].head()
+    val viaCol = df.groupBy("g").agg(thetaSketch(col("it"), 12).as("sk"))
+      .agg(thetaUnion(col("sk")).as("m"))
+      .select(thetaEstimate(col("m")).as("e"),
+        thetaIntersectEstimate(col("m"), col("m")).as("i"))
+      .as[(Double, Double)].head()
+    assert(viaSql == viaCol && viaSql._1 == 300.0 && viaSql._2 == 300.0)
+    // int items coerce to strings like the Column wrapper casts
+    assert(spark.sql("SELECT theta_estimate(theta_sketch(x)) AS e " +
+      "FROM (SELECT id % 10 AS x FROM range(100))").as[Double].head() == 10.0)
+  }
 }

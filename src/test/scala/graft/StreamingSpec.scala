@@ -1308,6 +1308,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E40 holtStream: level+trend micro walk equals batch holtChart across a split incl. negative trend") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Stats
+    // rise then FALL: the trend lane must go negative mid-stream, and
+    // the split lands inside the falling segment so two longs of state
+    // (and the truncating-division sign behavior) carry across
+    val vals = Seq(("a", 0L, 4.0), ("a", 1L, 8.0), ("a", 2L, 12.0),
+      ("a", 3L, 6.0), ("a", 4L, 2.0), ("a", 5L, 1.0))
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val q = graft.streaming.EventStreams.holtStream(
+        input.toDF().toDF("key", "b", "v"))
+      .writeStream.format("memory").queryName("e40_out").outputMode("append").start()
+    try {
+      input.addData(vals.take(4))
+      q.processAllAvailable()
+      input.addData(vals.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("e40_out").orderBy("bucket")
+        .as[(String, Long, Long, Long, Long, Option[Long], Boolean)].collect()
+      val batch = Stats.holtChart(vals.toDF("g", "b", "v"), col("g"),
+          col("b"), col("v")).orderBy("bucket").collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case ((k, sb, vm, lm, tm, rm, al), br) =>
+        assert(k == br.getString(0) && sb == br.getLong(1))
+        assert(vm / 1e6 == br.getDouble(2), s"value at $sb")
+        assert(lm / 1e6 == br.getDouble(3), s"level at $sb")
+        assert(tm / 1e6 == br.getDouble(4), s"trend at $sb")
+        assert(rm.map(_ / 1e6) == Option(br.get(5)).map(_.asInstanceOf[Double]),
+          s"resid at $sb")
+        assert(al == br.getBoolean(6), s"alarm at $sb")
+      }
+      // the falling segment must actually drive the trend negative
+      assert(streamed.exists(_._5 < 0L), streamed.mkString(","))
+      // and the climbing segment must NOT alarm once the trend is
+      // learned while the crash does (the whole point vs plain EWMA)
+      assert(streamed.last._7, "the crash-to-1 bucket should alarm")
+    } finally q.stop()
+  }
+
   test("E35 lineFirstSeenStream: assembled df/nDocs equal the batch inputs across a split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // doc 1 repeats its own footer (must count once); doc 3's copy of
