@@ -485,6 +485,32 @@ object Profile {
         .as("sketch"))
   }
 
+  /** Per-group THETA sketches ([[graft.functions.ThetaSketch]] — the
+    * SET-OPERATION member of the sketch family): one partial-agg pass
+    * to a (grp, sketch) frame, persistable like any index artifact;
+    * [[graft.operators.Dedup.sourceOverlapSketch]] is the
+    * overlap-matrix consumer above it.
+    */
+  def thetaSketchTable(
+      df: DataFrame,
+      group: Column,
+      item: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.ThetaSketch.thetaSketch(item, lgK).as("sketch"))
+
+  /** Union per-group theta sketch FRAMES into one sketch frame
+    * (grp, sketch) — [[freqSketchUnion]]'s shape for the theta
+    * family.
+    */
+  def thetaSketchUnion(sketches: Seq[DataFrame], lgK: Int = 12): DataFrame = {
+    require(sketches.nonEmpty, "at least one sketch frame")
+    sketches.reduce(_ unionByName _)
+      .groupBy("grp")
+      .agg(graft.functions.ThetaSketch.thetaUnion(col("sketch"), lgK)
+        .as("sketch"))
+  }
+
   /** Read the top heavy hitters per group off a sketch frame, LONG
     * format: (grp, rank, item, estimate, lower_bound, upper_bound).
     */

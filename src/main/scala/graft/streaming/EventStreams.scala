@@ -1434,6 +1434,43 @@ object EventStreams {
       .start()
   }
 
+  /** E41: streaming THETA-sketch maintenance — the set-operation
+    * member of the streaming sketch family next to E14 (CMS), E20
+    * (KLL), and E23 (frequent items): per micro-batch one
+    * partial-agg sketch build ([[graft.operators.Profile.thetaSketchTable]])
+    * unions into the SnapshotStore-published (grp, sketch) table via
+    * write-audit-publish; the snapshot answers live per-group
+    * distinct counts AND pairwise overlap estimates
+    * (`theta_intersect_estimate` across rows) at any moment without
+    * stream history — the live twin of the D129 source-overlap
+    * matrix. Under-capacity sketches merge EXACTLY (spec-pinned, the
+    * E23 batch-split-invariance contract).
+    */
+  def thetaMaintained(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      snapshotPath: String,
+      checkpointPath: String,
+      lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    items.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchSketch = graft.operators.Profile.thetaSketchTable(
+          batch, col(groupCol), col(itemCol), lgK)
+        val merged = SnapshotStore.read(spark, snapshotPath) match {
+          case Some(prev) =>
+            graft.operators.Profile.thetaSketchUnion(
+              Seq(prev, batchSketch), lgK)
+          case None => batchSketch
+        }
+        SnapshotStore.publish(merged.localCheckpoint(), snapshotPath, batchId)
+      }
+      .start()
+  }
+
   /** E15: streaming PSI drift monitor — per event-time window, the
     * population-stability index of the window's value distribution
     * against a PERSISTED baseline histogram: a watermarked windowed

@@ -833,6 +833,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E41 thetaMaintained: snapshot estimates + pairwise overlap equal one-shot, split-invariant") {
+    import graft.functions.ThetaSketch._
+    val dir = java.nio.file.Files.createTempDirectory("e41").toString
+    // groups a = {0..199}, b = {100..299}: |a|=|b|=200, overlap 100 —
+    // all under 2^12 capacity so every read must be EXACT, and the
+    // split lands items of BOTH groups in every batch
+    val rows = (for (i <- 0 until 200) yield ("a", s"item$i")) ++
+      (for (i <- 100 until 300) yield ("b", s"item$i"))
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    val input = MemoryStream[(String, String)](spark)
+    val q = EventStreams.thetaMaintained(
+      input.toDF().toDF("g", "it"), "g", "it", s"$dir/snap", s"$dir/ckpt")
+    try {
+      input.addData(shuffled.take(150))
+      q.processAllAvailable()
+      input.addData(shuffled.slice(150, 300))
+      q.processAllAvailable()
+      input.addData(shuffled.drop(300))
+      q.processAllAvailable()
+      val snap = streaming.SnapshotStore.read(spark, s"$dir/snap").get
+      val ests = snap.select(col("grp"), thetaEstimate(col("sketch")))
+        .as[(String, Double)].collect().toMap
+      assert(ests == Map("a" -> 200.0, "b" -> 200.0), ests.toString)
+      // the set-operation read: live overlap across the snapshot rows
+      val inter = snap.as("x").join(snap.as("y"), col("x.grp") < col("y.grp"))
+        .select(thetaIntersectEstimate(col("x.sketch"), col("y.sketch")))
+        .as[Double].head()
+      assert(inter == 100.0, s"live overlap drifted: $inter")
+      // split-invariance: equals the one-shot batch build's reads
+      val oneShot = graft.operators.Profile.thetaSketchTable(
+        rows.toDF("g", "it"), col("g"), col("it"))
+      val oneEsts = oneShot.select(col("grp"), thetaEstimate(col("sketch")))
+        .as[(String, Double)].collect().toMap
+      assert(oneEsts == ests)
+    } finally q.stop()
+  }
+
   test("E13 rollingZStream: trailing baselines persist across batches, equals batch rollingZ") {
     // two metric keys, 40 buckets, a planted 100x spike at bucket 25
     val rows = for (k <- 0L to 1L; b <- 0L until 40L) yield
