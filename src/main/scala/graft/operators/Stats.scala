@@ -739,6 +739,89 @@ object Stats {
     anovaOneWay(z, col("__g"), col("__z"))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (Welch '51) — the
+    * unequal-variance OMNIBUS completing the k-group suite:
+    * [[anovaOneWay]] assumes a pooled variance (exactly what
+    * [[brownForsythe]] tests and real per-source metrics usually
+    * fail), Welch's F* weights each group by its own precision
+    * w_j = n_j/s_j² instead:
+    *
+    *   m = Σ w_j x̄_j / W,  W = Σ w_j
+    *   A = Σ w_j (x̄_j − m)²,  B = Σ (1 − w_j/W)² / (n_j − 1)
+    *   F* = (A/(k−1)) / (1 + 2(k−2)/(k²−1) · B)
+    *   dof2 = (k²−1) / (3B)
+    *
+    * Statistic + both dof, no p lane (the chiSquared convention — F
+    * quantiles at fractional dof are not bit-contracted arithmetic).
+    *
+    * Determinism (the anovaOneWay lanes extended): per-group exact
+    * decimal moments; x̄_j, w_j, and the two per-group terms derive
+    * in double with fixed operation order and truncate 7 dp into
+    * exact decimals BEFORE every cross-group sum, so group order
+    * never moves a bit; F-star and dof2 4-dp floored. Degenerate designs
+    * (k < 2, any group with n < 2 or zero variance — an infinite
+    * weight) report 0 flagged. One partial-aggregated moments pass
+    * to a ≤ k-row frame; two 1-row reductions over it.
+    */
+  def welchAnova(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def dec(c: Column): Column = Num.dec(c)
+    def t7(c: Column): Column =
+      (signum(c) * (floor(abs(c) * 1e7) / 1e7) + 0.0).cast("decimal(30,7)")
+    val per = df.filter(value.isNotNull && group.isNotNull)
+      .groupBy(group.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(value)).as("__s"),
+        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"))
+    // per-group lanes: s² via the anova w7 trick, then x̄ and w each
+    // 7-dp truncated so every later cross-group sum is exact decimal
+    val sd = col("__s").cast("double")
+    // n >= 2 guard INSIDE the expression: ANSI mode turns the n-1
+    // division into a hard error on singleton groups otherwise
+    val s2 = when(col("__n") >= 2, (col("__q").cast("double")
+      - floor(sd * sd / col("__n") * 1e7) / 1e7) / (col("__n") - 1))
+    val lanes = per.select(col("__g"), col("__n"),
+      t7(sd / col("__n")).as("__xb"),
+      when(col("__n") >= 2 && s2 > 0, t7(col("__n") / s2)).as("__w"),
+      (col("__n") < 2 || coalesce(s2 <= 0, lit(true))).as("__bad"))
+    val tot = lanes.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__nn"),
+      count(lit(1)).as("__k"),
+      coalesce(max(col("__bad")), lit(false)).as("__anybad"),
+      sum(col("__w")).as("__sumw"),
+      sum(t7(col("__w").cast("double") * col("__xb").cast("double"))).as("__M1"))
+    val m = col("__M1").cast("double") / col("__sumw").cast("double")
+    // global agg (not a groupBy) so an EMPTY input still yields the
+    // one clean degenerate row, the anovaOneWay contract
+    val terms = lanes.crossJoin(broadcast(tot))
+      .select(col("__nn"), col("__k"), col("__anybad"),
+        t7(col("__w").cast("double")
+          * (col("__xb").cast("double") - m) * (col("__xb").cast("double") - m))
+          .as("__a"),
+        when(col("__n") >= 2,
+          t7((lit(1.0) - col("__w").cast("double") / col("__sumw").cast("double"))
+            * (lit(1.0) - col("__w").cast("double") / col("__sumw").cast("double"))
+            / (col("__n") - 1))).as("__b"))
+      .agg(
+        coalesce(max(col("__nn")), lit(0L)).as("__nn"),
+        coalesce(max(col("__k")), lit(0L)).as("__k"),
+        coalesce(max(col("__anybad")), lit(false)).as("__anybad"),
+        sum(col("__a")).as("__A"), sum(col("__b")).as("__B"))
+    val k = col("__k").cast("double")
+    val aD = col("__A").cast("double")
+    val bD = col("__B").cast("double")
+    val degenerate = col("__k") < 2 || col("__anybad")
+    val fw = when(degenerate, lit(0.0)).otherwise(
+      Num.t4floor((aD / (k - 1))
+        / (lit(1.0) + lit(2.0) * (k - 2) / (k * k - 1) * bD)))
+    terms.select(
+      col("__nn").as("n"), col("__k").as("k"),
+      fw.as("f_welch"),
+      (col("__k") - 1).as("dof1"),
+      when(degenerate || bD <= 0, lit(0.0))
+        .otherwise(Num.t4floor((k * k - 1) / (lit(3.0) * bD))).as("dof2"),
+      degenerate.as("degenerate"))
+  }
+
   /** Tukey-Kramer HSD post-hoc pairwise comparisons — the step AFTER
     * [[anovaOneWay]] says "some mean differs": WHICH pairs differ.
     * For every unordered group pair, the mean difference and the

@@ -512,6 +512,71 @@ object ProfileQueries {
         col("event_type"), col("value"))
     },
 
+    // C93: Welch's heteroscedastic ANOVA — the unequal-variance
+    // omnibus next to q_anova (whose pooled variance q_brown_forsythe
+    // tests): precision-weighted means on 7-dp truncated lanes,
+    // F*/dof2 on fixed-order doubles, 4-dp floors.
+    Q(
+      "q_welch_anova",
+      """WITH v AS (SELECT event_type AS g, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |        AS DECIMAL(38,12))) AS q
+        |  FROM v GROUP BY g),
+        |raw AS (SELECT g, n, CAST(s AS DOUBLE) / n AS xb,
+        |    CASE WHEN n >= 2 THEN (CAST(q AS DOUBLE)
+        |      - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7)
+        |      / (n - 1) END AS s2
+        |  FROM per),
+        |lanes AS (SELECT g, n,
+        |    CAST(sign(xb) * (floor(abs(xb) * 1e7) / 1e7) + 0.0
+        |      AS DECIMAL(30,7)) AS xb,
+        |    CASE WHEN n >= 2 AND s2 > 0
+        |      THEN CAST(sign(n / s2) * (floor(abs(n / s2) * 1e7) / 1e7) + 0.0
+        |        AS DECIMAL(30,7)) END AS w,
+        |    (n < 2 OR coalesce(s2 <= 0, TRUE)) AS bad
+        |  FROM raw),
+        |tot AS (SELECT coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
+        |    coalesce(max(bad), FALSE) AS anybad, sum(w) AS bw,
+        |    sum(CAST(sign(wx) * (floor(abs(wx) * 1e7) / 1e7) + 0.0
+        |        AS DECIMAL(30,7))) AS m1
+        |  FROM (SELECT n, bad, w, xb,
+        |          CAST(w AS DOUBLE) * CAST(xb AS DOUBLE) AS wx FROM lanes)),
+        |terms AS (SELECT
+        |    coalesce(max(nn), 0) AS nn, coalesce(max(k), 0) AS k,
+        |    coalesce(max(anybad), FALSE) AS anybad,
+        |    sum(CAST(sign(a0) * (floor(abs(a0) * 1e7) / 1e7) + 0.0
+        |        AS DECIMAL(30,7))) AS aa,
+        |    sum(CAST(sign(b0) * (floor(abs(b0) * 1e7) / 1e7) + 0.0
+        |        AS DECIMAL(30,7))) AS bb
+        |  FROM (SELECT t.nn, t.k, t.anybad,
+        |      CAST(l.w AS DOUBLE)
+        |        * (CAST(l.xb AS DOUBLE) - CAST(t.m1 AS DOUBLE) / CAST(t.bw AS DOUBLE))
+        |        * (CAST(l.xb AS DOUBLE) - CAST(t.m1 AS DOUBLE) / CAST(t.bw AS DOUBLE))
+        |        AS a0,
+        |      CASE WHEN l.n >= 2 THEN
+        |        (1.0 - CAST(l.w AS DOUBLE) / CAST(t.bw AS DOUBLE))
+        |        * (1.0 - CAST(l.w AS DOUBLE) / CAST(t.bw AS DOUBLE))
+        |        / (l.n - 1) END AS b0
+        |    FROM lanes l CROSS JOIN tot t))
+        |SELECT CAST(nn AS BIGINT) AS n, k,
+        |  CASE WHEN k < 2 OR anybad THEN 0.0
+        |       ELSE floor((CAST(aa AS DOUBLE) / (CAST(k AS DOUBLE) - 1))
+        |         / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2) / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)
+        |           * CAST(bb AS DOUBLE)) * 1e4) / 1e4 END AS f_welch,
+        |  CAST(k - 1 AS BIGINT) AS dof1,
+        |  CASE WHEN k < 2 OR anybad OR CAST(bb AS DOUBLE) <= 0 THEN 0.0
+        |       ELSE floor((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)
+        |         / (3.0 * CAST(bb AS DOUBLE)) * 1e4) / 1e4 END AS dof2,
+        |  (k < 2 OR anybad) AS degenerate
+        |FROM terms""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.welchAnova(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"))
+    },
+
     // C90: Tukey-Kramer HSD post-hoc — WHICH event-type pairs differ
     // after q_anova's omnibus F; same moments lanes, pairwise q on
     // fixed-order doubles, mean_diff 4-dp toward zero, q 4-dp floor.

@@ -144,6 +144,39 @@ class BehaviorSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getDouble(4) == 0.0 && e.getBoolean(6), e.toString)
   }
 
+  test("welchAnova: hand-computed F* and dof2; zero-variance/small-group degenerate; NULLs excluded; empty") {
+    import graft.operators.Stats
+    // a={1,3}: mean 2, s²=2, w=1; b={10,14}: mean 12, s²=8, w=0.25
+    // W=1.25, m=4, A=1·4+0.25·64=20, B=0.2²+0.8²=0.68
+    // k=2 → F*=A/(k−1)=20; dof2=3/(3·0.68)=1.47058…→1.4705
+    val d = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0)).toDF("g", "v")
+    val Array(r) = Stats.welchAnova(d, col("g"), col("v")).collect()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L, r.toString)
+    assert(r.getAs[Double]("f_welch") == 20.0, r.toString)
+    assert(r.getAs[Long]("dof1") == 1L, r.toString)
+    assert(r.getAs[Double]("dof2") == 1.4705, r.toString)
+    assert(!r.getAs[Boolean]("degenerate"))
+    // NULL group / NULL value rows are unmeasured, not zero
+    val dn = d.union(Seq((null: String, 99.0)).toDF("g", "v"))
+      .union(Seq(("b", null: java.lang.Double)).toDF("g", "v"))
+    val Array(rn) = Stats.welchAnova(dn, col("g"), col("v")).collect()
+    assert(rn.getAs[Double]("f_welch") == 20.0 && rn.getLong(0) == 4L, rn.toString)
+    // a zero-variance group is an infinite weight: degenerate, f 0
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val Array(fl) = Stats.welchAnova(flat, col("g"), col("v")).collect()
+    assert(fl.getAs[Boolean]("degenerate") && fl.getAs[Double]("f_welch") == 0.0,
+      fl.toString)
+    // a singleton group has no variance estimate: degenerate
+    val single = Seq(("a", 1.0), ("a", 3.0), ("b", 7.0)).toDF("g", "v")
+    val Array(sg) = Stats.welchAnova(single, col("g"), col("v")).collect()
+    assert(sg.getAs[Boolean]("degenerate"), sg.toString)
+    // empty input: one clean degenerate row, no NULL cascade
+    val Array(e) = Stats.welchAnova(Seq.empty[(String, Double)].toDF("g", "v"),
+      col("g"), col("v")).collect()
+    assert(e.getLong(0) == 0L && e.getAs[Double]("f_welch") == 0.0
+      && e.getAs[Boolean]("degenerate"), e.toString)
+  }
+
   test("tukeyHsd: hand-computed pairwise q; precision 1 sanity vs anova; degenerate flags") {
     import graft.operators.Stats
     // same design as the anova spec: MSE = SSW/(N-k) = 6/6 = 1;
