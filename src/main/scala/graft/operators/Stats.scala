@@ -878,6 +878,59 @@ object Stats {
         degenerate.as("degenerate"))
   }
 
+  /** Games-Howell post-hoc pairwise comparisons — [[tukeyHsd]]'s
+    * unequal-variance sibling, pairing with [[welchAnova]] exactly as
+    * Tukey pairs with [[anovaOneWay]]: no pooled MSE, each pair uses
+    * its own two variances,
+    *
+    *   q = |x̄_a − x̄_b| / sqrt((s²_a/n_a + s²_b/n_b) / 2)
+    *   dof = (v_a + v_b)² / (v_a²/(n_a−1) + v_b²/(n_b−1)),  v = s²/n
+    *
+    * (the Welch-Satterthwaite per-pair dof). Statistic + dof, no p
+    * lane (the chiSquared convention). Determinism: per-group x̄ and
+    * v each 7-dp truncated into decimals off the one exact-moments
+    * pass; pair arithmetic on fixed-order doubles, mean_diff 4-dp
+    * toward zero, q/dof 4-dp floored. Pairs touching a singleton or
+    * zero-variance group flag degenerate with q = dof = 0. Same
+    * shape as tukeyHsd: one corpus pass, then a k²/2 self-join of
+    * the ≤ k-row lane frame.
+    */
+  def gamesHowell(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def dec(c: Column): Column = Num.dec(c)
+    def t7(c: Column): Column =
+      (signum(c) * (floor(abs(c) * 1e7) / 1e7) + 0.0).cast("decimal(30,7)")
+    val per = df.filter(value.isNotNull && group.isNotNull)
+      .groupBy(group.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(value)).as("__s"),
+        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"))
+    val sd = col("__s").cast("double")
+    val s2 = when(col("__n") >= 2, (col("__q").cast("double")
+      - floor(sd * sd / col("__n") * 1e7) / 1e7) / (col("__n") - 1))
+    val lanes = per.select(col("__g"), col("__n"),
+      t7(sd / col("__n")).as("__xb"),
+      when(col("__n") >= 2 && s2 > 0, t7(s2 / col("__n"))).as("__v"),
+      (col("__n") < 2 || coalesce(s2 <= 0, lit(true))).as("__bad"))
+    def side(tag: String) = lanes.select(
+      col("__g").as(s"grp_$tag"), col("__n").as(s"n_$tag"),
+      col("__xb").cast("double").as(s"__xb_$tag"),
+      col("__v").cast("double").as(s"__v_$tag"),
+      col("__bad").as(s"__bad_$tag"))
+    val diff = col("__xb_a") - col("__xb_b")
+    val vsum = col("__v_a") + col("__v_b")
+    val degenerate = col("__bad_a") || col("__bad_b")
+    val dof = vsum * vsum /
+      (col("__v_a") * col("__v_a") / (col("n_a") - 1)
+        + col("__v_b") * col("__v_b") / (col("n_b") - 1))
+    side("a").join(side("b"), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        Num.t4zero(diff).as("mean_diff"),
+        when(degenerate, lit(0.0))
+          .otherwise(Num.t4floor(abs(diff) / sqrt(vsum / lit(2.0)))).as("q"),
+        when(degenerate, lit(0.0)).otherwise(Num.t4floor(dof)).as("dof"),
+        degenerate.as("degenerate"))
+  }
+
   /** Kruskal-Wallis rank ANOVA — the NONPARAMETRIC member of the
     * k-group test triad ([[anovaOneWay]] compares means and assumes
     * shape; [[brownForsythe]] compares spreads; this compares whole

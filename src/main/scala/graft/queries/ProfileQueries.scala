@@ -577,6 +577,51 @@ object ProfileQueries {
         col("event_type"), col("value"))
     },
 
+    // C94: Games-Howell post-hoc — q_tukey_hsd's unequal-variance
+    // sibling (pairs with q_welch_anova as Tukey pairs with q_anova):
+    // per-pair own-variance SE and Welch-Satterthwaite dof, all on
+    // the 7-dp truncated lanes.
+    Q(
+      "q_games_howell",
+      """WITH v AS (SELECT event_type AS g, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |        AS DECIMAL(38,12))) AS q
+        |  FROM v GROUP BY g),
+        |raw AS (SELECT g, n, CAST(s AS DOUBLE) / n AS xb,
+        |    CASE WHEN n >= 2 THEN (CAST(q AS DOUBLE)
+        |      - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7)
+        |      / (n - 1) END AS s2
+        |  FROM per),
+        |lanes AS (SELECT g, n,
+        |    CAST(CAST(sign(xb) * (floor(abs(xb) * 1e7) / 1e7) + 0.0
+        |      AS DECIMAL(30,7)) AS DOUBLE) AS xb,
+        |    CAST(CASE WHEN n >= 2 AND s2 > 0
+        |      THEN CAST(sign(s2 / n) * (floor(abs(s2 / n) * 1e7) / 1e7) + 0.0
+        |        AS DECIMAL(30,7)) END AS DOUBLE) AS vv,
+        |    (n < 2 OR coalesce(s2 <= 0, TRUE)) AS bad
+        |  FROM raw)
+        |SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
+        |  sign(a.xb - b.xb) * (floor(abs(a.xb - b.xb) * 1e4) / 1e4) + 0.0
+        |    AS mean_diff,
+        |  CASE WHEN a.bad OR b.bad THEN 0.0
+        |       ELSE floor(abs(a.xb - b.xb) / sqrt((a.vv + b.vv) / 2.0) * 1e4) / 1e4
+        |  END AS q,
+        |  CASE WHEN a.bad OR b.bad THEN 0.0
+        |       ELSE floor((a.vv + b.vv) * (a.vv + b.vv)
+        |         / (a.vv * a.vv / (a.n - 1) + b.vv * b.vv / (b.n - 1))
+        |         * 1e4) / 1e4 END AS dof,
+        |  (a.bad OR b.bad) AS degenerate
+        |FROM lanes a JOIN lanes b ON a.g < b.g
+        |ORDER BY grp_a, grp_b""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.gamesHowell(graft.sources.Tables.events(s, dir),
+          col("event_type"), col("value"))
+        .orderBy("grp_a", "grp_b")
+    },
+
     // C90: Tukey-Kramer HSD post-hoc — WHICH event-type pairs differ
     // after q_anova's omnibus F; same moments lanes, pairwise q on
     // fixed-order doubles, mean_diff 4-dp toward zero, q 4-dp floor.

@@ -177,6 +177,33 @@ class BehaviorSpec extends SparkSpec {
       && e.getAs[Boolean]("degenerate"), e.toString)
   }
 
+  test("gamesHowell: hand-computed q and Welch-Satterthwaite dof; degenerate pair flags") {
+    import graft.operators.Stats
+    // a={1,3}: mean 2, s²=2, v=1; b={10,14}: mean 12, s²=8, v=4
+    // q = 10/sqrt((1+4)/2) = 10/sqrt(2.5); dof = 25/(1+16) = 25/17
+    val d = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0)).toDF("g", "v")
+    val Array(r) = Stats.gamesHowell(d, col("g"), col("v")).collect()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getAs[Double]("mean_diff") == -10.0, r.toString)
+    assert(r.getAs[Double]("q") ==
+      math.floor(10.0 / math.sqrt(2.5) * 1e4) / 1e4, r.toString)
+    assert(r.getAs[Double]("dof") ==
+      math.floor(25.0 / 17.0 * 1e4) / 1e4, r.toString)
+    assert(!r.getAs[Boolean]("degenerate"))
+    // a zero-variance side degenerates ITS pairs only
+    val mix = d.union(Seq(("c", 7.0), ("c", 7.0)).toDF("g", "v"))
+    val rows = Stats.gamesHowell(mix, col("g"), col("v"))
+      .orderBy("grp_a", "grp_b").collect()
+    assert(rows.length == 3)
+    val byPair = rows.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(!byPair(("a", "b")).getAs[Boolean]("degenerate"))
+    assert(byPair(("a", "c")).getAs[Boolean]("degenerate")
+      && byPair(("a", "c")).getAs[Double]("q") == 0.0)
+    assert(byPair(("b", "c")).getAs[Boolean]("degenerate"))
+    // ...but its mean_diff still reports
+    assert(byPair(("a", "c")).getAs[Double]("mean_diff") == -5.0)
+  }
+
   test("tukeyHsd: hand-computed pairwise q; precision 1 sanity vs anova; degenerate flags") {
     import graft.operators.Stats
     // same design as the anova spec: MSE = SSW/(N-k) = 6/6 = 1;
