@@ -134,6 +134,39 @@ object Wordpiece {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Encode a corpus to WORDPIECE IDS — [[Bpe.encodeIds]]'s shape for
+    * this family: LONG format (id, word_pos, piece_pos, piece_id,
+    * is_unk), one row per piece occurrence, no per-doc array
+    * reassembly. The id space is the vocabulary's DISPLAY forms
+    * (`##`-prefixed continuations — collision-free because the
+    * tokenizer never emits `#`) with dense lexicographic ids, derived
+    * once as driver metadata; a word that dead-ends segments to
+    * [[Unk]], which is outside the vocabulary and encodes as
+    * `unk_id` = vocab size with `is_unk` set.
+    */
+  def encodeIds(df: DataFrame, id: Column, text: Column, vocab: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val display = vocab.select(col("piece").cast("string"), col("cont").cast("boolean"))
+      .collect()
+      .map(r => (if (r.getBoolean(1)) "##" else "") + r.getString(0))
+      .distinct.sorted
+    val unkId = display.length.toLong
+    val vocabDf = display.toSeq.zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("sym", "sym_id")
+    val words = scaleOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), posexplode(tokens(col("__t"))).as(Seq("word_pos", "w")))
+    val segd = segmentWords(words.select("w").distinct(), vocab)
+      .select(col("w"), col("pieces"))
+    words.join(segd, Seq("w"))
+      .select(col("id"), col("word_pos"),
+        posexplode(split(col("pieces"), " ")).as(Seq("piece_pos", "sym")))
+      .join(broadcast(vocabDf), Seq("sym"), "left")
+      .select(col("id"), col("word_pos"), col("piece_pos"),
+        coalesce(col("sym_id"), lit(unkId)).as("piece_id"),
+        col("sym_id").isNull.as("is_unk"))
+  }
+
   /** Per-document WordPiece accounting under a held vocabulary — the
     * [[Bpe.segment]] shape: tokenize once, segment the DISTINCT word
     * table, join back. Returns (id, n_words, n_pieces, n_unk_words).

@@ -287,6 +287,56 @@ object CurationQueries {
        |      FROM bpe WHERE r = (SELECT max(r) FROM bpe))
        |ORDER BY rank""".stripMargin
 
+  /** The D128 WordPiece vocabulary replay: frequency-ranked subword
+    * inventory over the corpus word table — emits `vocab`(piece, cont).
+    */
+  private def wordpieceVocabCtes: String =
+    s"""wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(${tkSql("text")}) AS w FROM documents)
+       |  GROUP BY w),
+       |pos AS (
+       |  SELECT w, cnt, p.pos FROM wf,
+       |    LATERAL (SELECT unnest(range(0, length(w))) AS pos) p),
+       |charp AS (
+       |  SELECT substr(w, pos + 1, 1) AS piece, pos > 0 AS cont
+       |  FROM pos GROUP BY 1, 2),
+       |multi AS (
+       |  SELECT piece, cont FROM (
+       |    SELECT substr(w, pos + 1, ll.l) AS piece, pos > 0 AS cont,
+       |      sum(cnt) AS freq
+       |    FROM pos, LATERAL (SELECT unnest(range(2, 7)) AS l) ll
+       |    WHERE pos + ll.l <= length(w)
+       |    GROUP BY 1, 2)
+       |  ORDER BY freq DESC, cont ASC, piece ASC LIMIT 200),
+       |vocab AS (
+       |  SELECT piece, cont FROM charp
+       |  UNION ALL SELECT piece, cont FROM multi)""".stripMargin
+
+  /** Greedy longest-match segmentation replay over `<wordsCte>`(w):
+    * emits `seg`(w, pos, acc, np) — read the completed rows with
+    * `pos = length(w)`. Own-corpus vocab never dead-ends (every char
+    * per alignment class is in), so completion is total.
+    */
+  private def wordpieceSegCtes(wordsCte: String): String =
+    s"""cand AS (
+       |  SELECT pw.w, pw.pos, max(length(v.piece)) AS l
+       |  FROM (SELECT t.w, p.pos FROM $wordsCte t,
+       |          LATERAL (SELECT unnest(range(0, length(t.w))) AS pos) p) pw
+       |  JOIN vocab v ON v.cont = (pw.pos > 0)
+       |    AND v.piece = substr(pw.w, pw.pos + 1, length(v.piece))
+       |  GROUP BY pw.w, pw.pos),
+       |seg(w, pos, acc, np) AS (
+       |  SELECT w, 0, '', 0 FROM $wordsCte
+       |  UNION ALL
+       |  SELECT s.w, s.pos + c.l,
+       |    CASE WHEN s.acc = '' THEN '' ELSE s.acc || ' ' END
+       |      || CASE WHEN s.pos > 0 THEN '##' ELSE '' END
+       |      || substr(s.w, s.pos + 1, c.l),
+       |    s.np + 1
+       |  FROM seg s JOIN cand c ON c.w = s.w AND c.pos = s.pos
+       |  WHERE s.pos < length(s.w))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // D17: per-document top-3 TF-IDF terms. Smoothed idf; ties break
@@ -965,48 +1015,14 @@ object CurationQueries {
     // IS the substring).
     Q(
       "q_wordpiece",
-      s"""WITH RECURSIVE wf AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(${tkSql("text")}) AS w FROM documents)
-         |  GROUP BY w),
-         |pos AS (
-         |  SELECT w, cnt, p.pos FROM wf,
-         |    LATERAL (SELECT unnest(range(0, length(w))) AS pos) p),
-         |charp AS (
-         |  SELECT substr(w, pos + 1, 1) AS piece, pos > 0 AS cont
-         |  FROM pos GROUP BY 1, 2),
-         |multi AS (
-         |  SELECT piece, cont FROM (
-         |    SELECT substr(w, pos + 1, ll.l) AS piece, pos > 0 AS cont,
-         |      sum(cnt) AS freq
-         |    FROM pos, LATERAL (SELECT unnest(range(2, 7)) AS l) ll
-         |    WHERE pos + ll.l <= length(w)
-         |    GROUP BY 1, 2)
-         |  ORDER BY freq DESC, cont ASC, piece ASC LIMIT 200),
-         |vocab AS (
-         |  SELECT piece, cont FROM charp
-         |  UNION ALL SELECT piece, cont FROM multi),
-         |topw AS (SELECT w, cnt FROM wf ORDER BY cnt DESC, w ASC LIMIT 100),
-         |cand AS (
-         |  SELECT pw.w, pw.pos, max(length(v.piece)) AS l
-         |  FROM (SELECT t.w, p.pos FROM topw t,
-         |          LATERAL (SELECT unnest(range(0, length(t.w))) AS pos) p) pw
-         |  JOIN vocab v ON v.cont = (pw.pos > 0)
-         |    AND v.piece = substr(pw.w, pw.pos + 1, length(v.piece))
-         |  GROUP BY pw.w, pw.pos),
-         |seg(w, pos, acc, np) AS (
-         |  SELECT w, 0, '', 0 FROM topw
-         |  UNION ALL
-         |  SELECT s.w, s.pos + c.l,
-         |    CASE WHEN s.acc = '' THEN '' ELSE s.acc || ' ' END
-         |      || CASE WHEN s.pos > 0 THEN '##' ELSE '' END
-         |      || substr(s.w, s.pos + 1, c.l),
-         |    s.np + 1
-         |  FROM seg s JOIN cand c ON c.w = s.w AND c.pos = s.pos
-         |  WHERE s.pos < length(s.w))
-         |SELECT t.w, t.cnt, s.acc AS pieces, CAST(s.np AS BIGINT) AS n_pieces
-         |FROM topw t JOIN seg s ON s.w = t.w AND s.pos = length(t.w)
-         |ORDER BY t.cnt DESC, t.w ASC""".stripMargin
+      // concatenation, NOT nested stripMargin: the helpers contain
+      // `||` concat operators that an outer stripMargin would eat
+      "WITH RECURSIVE " + wordpieceVocabCtes + ",\n" +
+        "topw AS (SELECT w, cnt FROM wf ORDER BY cnt DESC, w ASC LIMIT 100),\n" +
+        wordpieceSegCtes("topw") + "\n" +
+        """SELECT t.w, t.cnt, s.acc AS pieces, CAST(s.np AS BIGINT) AS n_pieces
+          |FROM topw t JOIN seg s ON s.w = t.w AND s.pos = length(t.w)
+          |ORDER BY t.cnt DESC, t.w ASC""".stripMargin
     ) { (s, dir) =>
       import graft.functions.tokens
       import graft.operators.Wordpiece
@@ -1021,6 +1037,55 @@ object CurationQueries {
         .join(topw, Seq("w"))
         .select(col("w"), col("cnt"), col("pieces"), col("n_pieces"))
         .orderBy(col("cnt").desc, col("w").asc)
+    },
+
+    // D130: WordPiece id encoding — q_bpe_ids' shape for the D128
+    // family: the 50-doc subset encodes to dense display-form ids
+    // (## continuations; collision-free, the tokenizer never emits
+    // '#') under the full-corpus vocab. Oracle: the shared vocab +
+    // greedy-seg replay over the subset's distinct words, pieces
+    // exploded by position, ids by row_number over sorted display
+    // forms.
+    Q(
+      "q_wordpiece_ids",
+      "WITH RECURSIVE " + wordpieceVocabCtes + ",\n" +
+        """vids AS (
+          |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+          |    AS sym_id
+          |  FROM (SELECT DISTINCT CASE WHEN cont THEN '##' || piece
+          |                             ELSE piece END AS sym FROM vocab)),
+          |""".stripMargin +
+        s"""dw AS (
+           |  SELECT doc_id, tk[i] AS w, CAST(i - 1 AS INT) AS word_pos
+           |  FROM (SELECT doc_id, ${tkSql("text")} AS tk FROM documents
+           |        WHERE doc_id < 50),
+           |    unnest(generate_series(1, len(tk))) AS g(i)),
+           |dwd AS (SELECT DISTINCT w FROM dw),
+           |""".stripMargin +
+        wordpieceSegCtes("dwd") + ",\n" +
+        """pieces AS (
+          |  SELECT w, string_split(acc, ' ') AS pl FROM seg
+          |  WHERE pos = length(w)),
+          |ex AS (
+          |  SELECT dw.doc_id, dw.word_pos, CAST(i - 1 AS INT) AS piece_pos,
+          |    pl[i] AS sym
+          |  FROM dw JOIN pieces p ON dw.w = p.w,
+          |    unnest(generate_series(1, len(pl))) AS g(i))
+          |SELECT doc_id, word_pos, piece_pos,
+          |  CAST(coalesce(v.sym_id, (SELECT count(*) FROM vids)) AS BIGINT)
+          |    AS piece_id,
+          |  v.sym_id IS NULL AS is_unk
+          |FROM ex LEFT JOIN vids v ON ex.sym = v.sym
+          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Wordpiece
+      val d = table(s, dir, "documents")
+      val vocab = Wordpiece.buildVocab(d.select(col("text")), col("text"),
+        maxPieces = 200, maxPieceLen = 6).localCheckpoint()
+      Wordpiece.encodeIds(d.filter(col("doc_id") < 50), col("doc_id"),
+          col("text"), vocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "word_pos", "piece_pos")
     },
 
     // D49: deterministic source-interleaved training order — within

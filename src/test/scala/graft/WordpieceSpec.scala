@@ -62,6 +62,37 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+  test("encodeIds: dense display-form ids, long format, [UNK] encodes as vocab size") {
+    val docs = Seq((1L, "aa ab"), (2L, "ab aa")).toDF("id", "text")
+    val vocab = Wordpiece.buildVocab(docs, col("text"), maxPieces = 1)
+    // vocab display forms: chars a (initial), ##a, ##b, plus ONE
+    // multi-char piece (aa or ab by the freq/tiebreak order)
+    val out = Wordpiece.encodeIds(docs, col("id"), col("text"), vocab)
+      .orderBy("id", "word_pos", "piece_pos").collect()
+    // same word in different docs encodes to identical id sequences
+    val seqOf = out.groupBy(r => (r.getLong(0), r.getInt(1)))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq).toMap
+    assert(seqOf((1L, 0)) == seqOf((2L, 1)), "aa must encode identically in both docs")
+    assert(seqOf((1L, 1)) == seqOf((2L, 0)))
+    assert(out.forall(!_.getBoolean(4)), "own-corpus vocab never UNKs")
+    // ids are dense and in-range
+    val ids = out.map(_.getLong(3)).toSet
+    val vocabSize = vocab.select(
+      when(col("cont"), concat(lit("##"), col("piece"))).otherwise(col("piece")))
+      .distinct().count()
+    assert(ids.forall(i => i >= 0 && i < vocabSize), s"$ids vs $vocabSize")
+    // a held vocab missing 'b' entirely: 'ab' becomes [UNK] = |vocab|
+    val held = Wordpiece.buildVocab(Seq("aa aa").toDF("text"), col("text"),
+      maxPieces = 0)
+    val heldSize = held.select(
+      when(col("cont"), concat(lit("##"), col("piece"))).otherwise(col("piece")))
+      .distinct().count()
+    val o2 = Wordpiece.encodeIds(docs, col("id"), col("text"), held)
+      .filter(col("is_unk")).collect()
+    assert(o2.nonEmpty && o2.forall(_.getLong(3) == heldSize),
+      s"UNK must encode as vocab size $heldSize: ${o2.mkString(",")}")
+  }
+
   test("segment: per-doc accounting sums pieces over word occurrences, flags UNK words") {
     val docs = Seq((1L, "aa ab aa"), (2L, "ab")).toDF("id", "text")
     // vocab covers 'a' both classes but 'b' only as continuation of a
