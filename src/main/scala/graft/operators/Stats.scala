@@ -1213,6 +1213,69 @@ object Stats {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Mann-Kendall trend test + Sen's slope — the NONPARAMETRIC
+    * companion to [[trendFit]]'s OLS line (rank-based, so outliers
+    * and non-linearity don't fake or hide a trend; the standard
+    * monitoring-series question "is this drifting?" answered without
+    * distributional assumptions):
+    *
+    *   S = Σ_{i<j} sign(v_j − v_i)   (j later in `order`)
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18  (tie-corrected)
+    *   Z = (S∓1)/sqrt(Var(S)),  Sen = median of pairwise slopes
+    *
+    * Determinism: S is an exact integer (CASE-sign sum), Var(S) pure
+    * integer arithmetic over one double division, Z fixed-order
+    * double 4-dp toward zero; Sen's slope is a TYPE-1 order statistic
+    * over the pairwise-slope frame (the [[quantileCI]] rank pick — a
+    * rank selects the same shared double on any engine), 6-dp toward
+    * zero on report. Input contract: one row per (key, order) — the
+    * cusum finalized-bucket shape. Shape at scale: the pair join is
+    * key-local and QUADRATIC in each key's series length — legal
+    * because per-key chains are time-horizon-bounded (the E32
+    * contract; ~700 hourly buckets/month → 245k pairs, constant in
+    * corpus size); for multi-year series at fine grain use the
+    * O(n log n) inversion-count form, a documented seam. Degenerate
+    * keys (n < 2 or zero variance) report z = 0 flagged.
+    */
+  def mannKendall(df: DataFrame, key: Column, order: Column, value: Column): DataFrame = {
+    def t6z(c: Column): Column = signum(c) * (floor(abs(c) * 1e6) / 1e6) + 0.0
+    val t = df.select(key.cast("string").as("key"), order.cast("long").as("__x"),
+        value.cast("double").as("__v"))
+      .filter(col("key").isNotNull && col("__x").isNotNull && col("__v").isNotNull)
+      .localCheckpoint()
+    val pairs = t.as("a").join(t.as("b"),
+        col("a.key") === col("b.key") && col("a.__x") < col("b.__x"))
+      .select(col("a.key").as("key"),
+        when(col("b.__v") > col("a.__v"), 1L)
+          .when(col("b.__v") < col("a.__v"), -1L).otherwise(0L).as("__sg"),
+        ((col("b.__v") - col("a.__v"))
+          / (col("b.__x") - col("a.__x")).cast("double")).as("__slope"))
+      .localCheckpoint()
+    val sAgg = pairs.groupBy("key").agg(sum(col("__sg")).as("s"))
+    val nPer = t.groupBy("key").agg(count(lit(1)).as("n"))
+    val ties = t.groupBy(col("key"), col("__v")).agg(count(lit(1)).as("__t"))
+      .groupBy("key")
+      .agg(sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tie"))
+    val sen = quantileCI(pairs, col("key"), col("__slope"))
+      .select(col("grp").as("key"), col("point").as("__sen"))
+    val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5)
+      - coalesce(col("__tie"), lit(0L))).cast("double") / 18.0
+    val degenerate = col("n") < 2 || varS <= 0.0
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    nPer
+      .join(sAgg, Seq("key"), "left")
+      .join(ties, Seq("key"), "left")
+      .join(sen, Seq("key"), "left")
+      .select(col("key"), col("n"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        when(degenerate, lit(0.0)).otherwise(Num.t4zero(z)).as("z"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(t6z(col("__sen"))).as("sen_slope"),
+        degenerate.as("degenerate"))
+  }
+
   /** Wald's sequential probability ratio test (SPRT, Wald '45) — the
     * EARLY-STOPPING member of the experiment family (C79 checks the
     * split, C78 shrinks the variance, this says WHEN you may stop): a

@@ -654,6 +654,66 @@ object TemporalQueries {
         .orderBy("key", "bucket")
     },
 
+    // C95: Mann-Kendall trend test + Sen's slope over hourly per-type
+    // volumes — the nonparametric "is this drifting?" next to
+    // q_trend_fit's OLS: integer S, tie-corrected Var(S), type-1
+    // median pairwise slope; the pair join is key-local and bounded
+    // by the time horizon.
+    Q(
+      "q_mann_kendall",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    (epoch_ns(ts) // 3600000000000) * 3600 AS x,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.key,
+        |    CASE WHEN b2.v > a.v THEN 1 WHEN b2.v < a.v THEN -1 ELSE 0 END AS sg,
+        |    (b2.v - a.v) / CAST(b2.x - a.x AS DOUBLE) AS slope
+        |  FROM b a JOIN b b2 ON a.key = b2.key AND a.x < b2.x),
+        |sa AS (SELECT key, CAST(sum(sg) AS BIGINT) AS s FROM p GROUP BY 1),
+        |np AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |tt AS (
+        |  SELECT key, sum(t * (t - 1) * (2 * t + 5)) AS tie
+        |  FROM (SELECT key, v, count(*) AS t FROM b GROUP BY 1, 2) GROUP BY 1),
+        |sl AS (
+        |  SELECT key, slope,
+        |    row_number() OVER (PARTITION BY key ORDER BY slope ASC) AS r,
+        |    count(*) OVER (PARTITION BY key) AS m
+        |  FROM p),
+        |sen AS (
+        |  SELECT key, slope AS sv FROM sl
+        |  WHERE r = greatest(1, CAST(ceil(m * 0.5) AS BIGINT))),
+        |d AS (
+        |  SELECT np.key, np.n, coalesce(sa.s, 0) AS s,
+        |    (np.n * (np.n - 1) * (2 * np.n + 5) - coalesce(tt.tie, 0)) / 18.0
+        |      AS var_s,
+        |    sen.sv
+        |  FROM np LEFT JOIN sa ON sa.key = np.key
+        |          LEFT JOIN tt ON tt.key = np.key
+        |          LEFT JOIN sen ON sen.key = np.key)
+        |SELECT key, n, s,
+        |  CASE WHEN n < 2 OR var_s <= 0 THEN 0.0
+        |       WHEN s > 0 THEN sign((s - 1) / sqrt(var_s))
+        |         * (floor(abs((s - 1) / sqrt(var_s)) * 1e4) / 1e4) + 0.0
+        |       WHEN s < 0 THEN sign((s + 1) / sqrt(var_s))
+        |         * (floor(abs((s + 1) / sqrt(var_s)) * 1e4) / 1e4) + 0.0
+        |       ELSE 0.0 END AS z,
+        |  CASE WHEN n < 2 OR var_s <= 0 THEN NULL
+        |       ELSE sign(sv) * (floor(abs(sv) * 1e6) / 1e6) + 0.0 END
+        |    AS sen_slope,
+        |  (n < 2 OR var_s <= 0) AS degenerate
+        |FROM d ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Stats.mannKendall(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"))
+        .orderBy("key")
+    },
+
     // C92: Holt linear-trend chart over hourly per-type volumes —
     // q_ewma's trending sibling: the forecast carries an explicit
     // trend lane, so a steadily growing series doesn't drown the

@@ -177,6 +177,36 @@ class BehaviorSpec extends SparkSpec {
       && e.getAs[Boolean]("degenerate"), e.toString)
   }
 
+  test("mannKendall: hand-computed S/Var(S)/z/Sen with ties; constant series degenerate; key isolation") {
+    import graft.operators.Stats
+    // v = [1,2,3,2,5]: S = 7; one tied value pair (t=2) → Var(S) =
+    // (5·4·15 − 2·1·9)/18 = 282/18; z = 6/sqrt(282/18);
+    // pairwise slopes sorted have their ceil(10/2)=5th value = 1.0
+    val d = Seq(("k", 0L, 1.0), ("k", 1L, 2.0), ("k", 2L, 3.0),
+      ("k", 3L, 2.0), ("k", 4L, 5.0),
+      ("flat", 0L, 4.0), ("flat", 1L, 4.0), ("flat", 2L, 4.0))
+      .toDF("g", "x", "v")
+    val rows = Stats.mannKendall(d, col("g"), col("x"), col("v"))
+      .orderBy("key").collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getAs[Long]("n") == 5L && k.getAs[Long]("s") == 7L, k.toString)
+    val zExp = 6.0 / math.sqrt(282.0 / 18.0)
+    assert(k.getAs[Double]("z") == math.floor(zExp * 1e4) / 1e4, k.toString)
+    assert(k.getAs[Double]("sen_slope") == 1.0, k.toString)
+    assert(!k.getAs[Boolean]("degenerate"))
+    // a constant series: S = 0, Var(S) = 0 → degenerate, null slope
+    val f = rows("flat")
+    assert(f.getAs[Long]("s") == 0L && f.getAs[Boolean]("degenerate")
+      && f.getAs[Double]("z") == 0.0 && f.isNullAt(f.fieldIndex("sen_slope")),
+      f.toString)
+    // a strictly falling series lands the mirrored z
+    val fall = Seq.tabulate(5)(i => ("d", i.toLong, 5.0 - i)).toDF("g", "x", "v")
+    val Array(fr) = Stats.mannKendall(fall, col("g"), col("x"), col("v")).collect()
+    assert(fr.getAs[Long]("s") == -10L, fr.toString)
+    assert(fr.getAs[Double]("sen_slope") == -1.0, fr.toString)
+    assert(fr.getAs[Double]("z") < 0, fr.toString)
+  }
+
   test("gamesHowell: hand-computed q and Welch-Satterthwaite dof; degenerate pair flags") {
     import graft.operators.Stats
     // a={1,3}: mean 2, s²=2, v=1; b={10,14}: mean 12, s²=8, v=4
