@@ -33,6 +33,17 @@ object GraftFunctions {
 
   private def intArg(e: Expression, what: String): Int = longArg(e, what).toInt
 
+  // the SQL entry points must enforce the SAME argument contracts as
+  // the Column wrappers — otherwise spark.sql("freq_sketch(x, 100)")
+  // passes plan-time checks and dies at execution inside the sketch
+  // library where the Column path fails fast with a clear message
+  private def pow2Arg(e: Expression, what: String): Int = {
+    val v = intArg(e, what)
+    if (v < 2 || (v & (v - 1)) != 0)
+      throw new IllegalArgumentException(s"$what must be a power of two >= 2, got $v")
+    v
+  }
+
   private def binaryArg(e: Expression, what: String): Array[Byte] = e match {
     case Literal(v: Array[Byte], BinaryType) if v != null => v
     case other => throw new IllegalArgumentException(
@@ -170,7 +181,7 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(v) => FreqSketchAgg(asString(v), 1024).toAggregateExpression()
         case Seq(v, m) =>
-          FreqSketchAgg(asString(v), intArg(m, "maxMapSize")).toAggregateExpression()
+          FreqSketchAgg(asString(v), pow2Arg(m, "maxMapSize")).toAggregateExpression()
         case _ => throw new IllegalArgumentException("freq_sketch(item[, maxMapSize])")
       }),
     ("freq_merge",
@@ -178,7 +189,7 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(s) => FreqMergeAgg(s, 1024).toAggregateExpression()
         case Seq(s, m) =>
-          FreqMergeAgg(s, intArg(m, "maxMapSize")).toAggregateExpression()
+          FreqMergeAgg(s, pow2Arg(m, "maxMapSize")).toAggregateExpression()
         case _ => throw new IllegalArgumentException("freq_merge(sketch[, maxMapSize])")
       }),
     ("freq_top_items",

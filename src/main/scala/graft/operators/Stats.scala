@@ -739,6 +739,32 @@ object Stats {
     anovaOneWay(z, col("__g"), col("__z"))
   }
 
+  /** ONE exact-decimal moments pass shared by the k-group suite
+    * (welchAnova / tukeyHsd / gamesHowell — one copy of the lanes, so
+    * a determinism fix can never silently desynchronize a sibling):
+    * per group (n, Σx, Σx², min, max) with NULL groups/values
+    * excluded. `__const` is the EXACT zero-variance flag (min == max
+    * on the 6-dp decimal lanes) — the s² lane truncates 7 dp and can
+    * leave a ~1e-7 residue on constant non-dyadic values (three 0.1s
+    * give s² ≈ 5e-8, an effectively infinite precision weight), so
+    * zero variance must be decided by comparison, never by the lane.
+    */
+  private def kGroupMoments(df: DataFrame, group: Column, value: Column): DataFrame = {
+    def dec(c: Column): Column = Num.dec(c)
+    df.filter(value.isNotNull && group.isNotNull)
+      .groupBy(group.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(value)).as("__s"),
+        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"),
+        (min(dec(value)) === max(dec(value))).as("__const"))
+  }
+
+  /** 7-dp toward-zero truncation into an exact decimal lane — the
+    * cross-group-sum discipline shared by the k-group suite.
+    */
+  private def t7lane(c: Column): Column =
+    (signum(c) * (floor(abs(c) * 1e7) / 1e7) + 0.0).cast("decimal(30,7)")
+
   /** Welch's heteroscedastic one-way ANOVA (Welch '51) — the
     * unequal-variance OMNIBUS completing the k-group suite:
     * [[anovaOneWay]] assumes a pooled variance (exactly what
@@ -764,14 +790,8 @@ object Stats {
     * to a ≤ k-row frame; two 1-row reductions over it.
     */
   def welchAnova(df: DataFrame, group: Column, value: Column): DataFrame = {
-    def dec(c: Column): Column = Num.dec(c)
-    def t7(c: Column): Column =
-      (signum(c) * (floor(abs(c) * 1e7) / 1e7) + 0.0).cast("decimal(30,7)")
-    val per = df.filter(value.isNotNull && group.isNotNull)
-      .groupBy(group.cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n"),
-        sum(dec(value)).as("__s"),
-        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"))
+    def t7(c: Column): Column = t7lane(c)
+    val per = kGroupMoments(df, group, value)
     // per-group lanes: s² via the anova w7 trick, then x̄ and w each
     // 7-dp truncated so every later cross-group sum is exact decimal
     val sd = col("__s").cast("double")
@@ -779,10 +799,14 @@ object Stats {
     // division into a hard error on singleton groups otherwise
     val s2 = when(col("__n") >= 2, (col("__q").cast("double")
       - floor(sd * sd / col("__n") * 1e7) / 1e7) / (col("__n") - 1))
+    // __const, not the s2 lane, decides zero variance — see
+    // kGroupMoments: lane residue on constant non-dyadic values would
+    // otherwise fake an enormous precision weight, undegenerated
+    val bad = col("__n") < 2 || col("__const") || coalesce(s2 <= 0, lit(true))
     val lanes = per.select(col("__g"), col("__n"),
       t7(sd / col("__n")).as("__xb"),
-      when(col("__n") >= 2 && s2 > 0, t7(col("__n") / s2)).as("__w"),
-      (col("__n") < 2 || coalesce(s2 <= 0, lit(true))).as("__bad"))
+      when(!bad, t7(col("__n") / s2)).as("__w"),
+      bad.as("__bad"))
     val tot = lanes.agg(
       coalesce(sum(col("__n")), lit(0L)).as("__nn"),
       count(lit(1)).as("__k"),
@@ -845,23 +869,25 @@ object Stats {
     * (N ≤ k or zero within-variance) report q = 0 flagged.
     */
   def tukeyHsd(df: DataFrame, group: Column, value: Column): DataFrame = {
-    def dec(c: Column): Column = Num.dec(c)
-    val per = df.filter(value.isNotNull && group.isNotNull)
-      .groupBy(group.cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n"),
-        sum(dec(value)).as("__s"),
-        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"))
+    val per = kGroupMoments(df, group, value)
     val w7 = (floor(col("__s").cast("double") * col("__s").cast("double")
       / col("__n") * 1e7) / 1e7).cast("decimal(30,7)")
     val tot = per.agg(
       coalesce(sum(col("__n")), lit(0L)).as("__nn"),
       count(lit(1)).as("__k"),
       sum(col("__q")).as("__tq"),
-      sum(w7).as("__w"))
+      sum(w7).as("__w"),
+      // EXACT all-groups-constant flag: the ssw lane can carry a
+      // ~1e-7 truncation residue on constant non-dyadic values (see
+      // kGroupMoments), which would otherwise fake a tiny positive
+      // MSE and astronomically large q on a zero-variance corpus
+      coalesce(min(col("__const").cast("int")) === 1, lit(false))
+        .as("__allconst"))
     val ssw = greatest(lit(0.0),
       col("__tq").cast("double") - col("__w").cast("double"))
     val mse = ssw / (col("__nn") - col("__k")).cast("double")
-    val degenerate = col("__nn") <= col("__k") || ssw === 0.0
+    val degenerate = col("__nn") <= col("__k") || col("__allconst") ||
+      ssw === 0.0
     val a = per.select(col("__g").as("grp_a"), col("__n").as("n_a"),
       (col("__s").cast("double") / col("__n")).as("__ma"))
     val b = per.select(col("__g").as("grp_b"), col("__n").as("n_b"),
@@ -896,21 +922,17 @@ object Stats {
     * the ≤ k-row lane frame.
     */
   def gamesHowell(df: DataFrame, group: Column, value: Column): DataFrame = {
-    def dec(c: Column): Column = Num.dec(c)
-    def t7(c: Column): Column =
-      (signum(c) * (floor(abs(c) * 1e7) / 1e7) + 0.0).cast("decimal(30,7)")
-    val per = df.filter(value.isNotNull && group.isNotNull)
-      .groupBy(group.cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n"),
-        sum(dec(value)).as("__s"),
-        sum((dec(value) * dec(value)).cast("decimal(38,12)")).as("__q"))
+    def t7(c: Column): Column = t7lane(c)
+    val per = kGroupMoments(df, group, value)
     val sd = col("__s").cast("double")
     val s2 = when(col("__n") >= 2, (col("__q").cast("double")
       - floor(sd * sd / col("__n") * 1e7) / 1e7) / (col("__n") - 1))
+    // __const decides zero variance exactly (see kGroupMoments)
+    val bad = col("__n") < 2 || col("__const") || coalesce(s2 <= 0, lit(true))
     val lanes = per.select(col("__g"), col("__n"),
       t7(sd / col("__n")).as("__xb"),
-      when(col("__n") >= 2 && s2 > 0, t7(s2 / col("__n"))).as("__v"),
-      (col("__n") < 2 || coalesce(s2 <= 0, lit(true))).as("__bad"))
+      when(!bad, t7(s2 / col("__n"))).as("__v"),
+      bad.as("__bad"))
     def side(tag: String) = lanes.select(
       col("__g").as(s"grp_$tag"), col("__n").as(s"n_$tag"),
       col("__xb").cast("double").as(s"__xb_$tag"),

@@ -52,13 +52,28 @@ object Wordpiece {
       df: DataFrame,
       text: Column,
       maxPieces: Int = 200,
-      maxPieceLen: Int = 6): DataFrame = {
-    require(maxPieces >= 0, "maxPieces must be >= 0")
-    require(maxPieceLen >= 2, "maxPieceLen must be >= 2")
-    val wordFreq = scaleOut(df.select(text.as("__t")))
+      maxPieceLen: Int = 6): DataFrame =
+    buildVocabFromWords(wordFrequencies(df, text), maxPieces, maxPieceLen)
+
+  /** The corpus word-frequency table (w, cnt) — the ONE tokenize pass
+    * everything in this family derives from; callers that need both
+    * the vocabulary and a word ranking (q_wordpiece) compute it once
+    * and feed [[buildVocabFromWords]] instead of paying a second
+    * corpus-wide tokenize.
+    */
+  def wordFrequencies(df: DataFrame, text: Column): DataFrame =
+    scaleOut(df.select(text.as("__t")))
       .select(explode(tokens(col("__t"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+
+  /** [[buildVocab]] over a precomputed [[wordFrequencies]] frame. */
+  def buildVocabFromWords(
+      wordFreq: DataFrame,
+      maxPieces: Int = 200,
+      maxPieceLen: Int = 6): DataFrame = {
+    require(maxPieces >= 0, "maxPieces must be >= 0")
+    require(maxPieceLen >= 2, "maxPieceLen must be >= 2")
     val positions = wordFreq.select(col("w"), col("cnt"),
       explode(sequence(lit(0), length(col("w")) - 1)).as("pos"))
     val charPieces = positions

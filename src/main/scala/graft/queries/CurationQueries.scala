@@ -1024,13 +1024,14 @@ object CurationQueries {
           |FROM topw t JOIN seg s ON s.w = t.w AND s.pos = length(t.w)
           |ORDER BY t.cnt DESC, t.w ASC""".stripMargin
     ) { (s, dir) =>
-      import graft.functions.tokens
       import graft.operators.Wordpiece
       val d = table(s, dir, "documents")
-      val vocab = Wordpiece.buildVocab(d.select(col("text")), col("text"),
+      // ONE tokenize pass feeds both the vocabulary and the word
+      // ranking (the r11 review find: buildVocab + a separate wf
+      // aggregate paid the corpus-wide tokenize twice)
+      val wf = Wordpiece.wordFrequencies(d.select(col("text")), col("text"))
+      val vocab = Wordpiece.buildVocabFromWords(wf,
         maxPieces = 200, maxPieceLen = 6).localCheckpoint()
-      val wf = d.select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
       val topw = wf.orderBy(col("cnt").desc, col("w").asc).limit(100)
         .localCheckpoint()
       Wordpiece.segmentWords(topw.select("w"), vocab)

@@ -523,9 +523,11 @@ object ProfileQueries {
         |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
         |    sum(CAST(value AS DECIMAL(18,6))) AS s,
         |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
-        |        AS DECIMAL(38,12))) AS q
+        |        AS DECIMAL(38,12))) AS q,
+        |    min(CAST(value AS DECIMAL(18,6))) = max(CAST(value AS DECIMAL(18,6)))
+        |      AS cst
         |  FROM v GROUP BY g),
-        |raw AS (SELECT g, n, CAST(s AS DOUBLE) / n AS xb,
+        |raw AS (SELECT g, n, cst, CAST(s AS DOUBLE) / n AS xb,
         |    CASE WHEN n >= 2 THEN (CAST(q AS DOUBLE)
         |      - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7)
         |      / (n - 1) END AS s2
@@ -533,10 +535,10 @@ object ProfileQueries {
         |lanes AS (SELECT g, n,
         |    CAST(sign(xb) * (floor(abs(xb) * 1e7) / 1e7) + 0.0
         |      AS DECIMAL(30,7)) AS xb,
-        |    CASE WHEN n >= 2 AND s2 > 0
+        |    CASE WHEN NOT (n < 2 OR cst OR coalesce(s2 <= 0, TRUE))
         |      THEN CAST(sign(n / s2) * (floor(abs(n / s2) * 1e7) / 1e7) + 0.0
         |        AS DECIMAL(30,7)) END AS w,
-        |    (n < 2 OR coalesce(s2 <= 0, TRUE)) AS bad
+        |    (n < 2 OR cst OR coalesce(s2 <= 0, TRUE)) AS bad
         |  FROM raw),
         |tot AS (SELECT coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
         |    coalesce(max(bad), FALSE) AS anybad, sum(w) AS bw,
@@ -588,9 +590,11 @@ object ProfileQueries {
         |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
         |    sum(CAST(value AS DECIMAL(18,6))) AS s,
         |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
-        |        AS DECIMAL(38,12))) AS q
+        |        AS DECIMAL(38,12))) AS q,
+        |    min(CAST(value AS DECIMAL(18,6))) = max(CAST(value AS DECIMAL(18,6)))
+        |      AS cst
         |  FROM v GROUP BY g),
-        |raw AS (SELECT g, n, CAST(s AS DOUBLE) / n AS xb,
+        |raw AS (SELECT g, n, cst, CAST(s AS DOUBLE) / n AS xb,
         |    CASE WHEN n >= 2 THEN (CAST(q AS DOUBLE)
         |      - floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7)
         |      / (n - 1) END AS s2
@@ -598,10 +602,10 @@ object ProfileQueries {
         |lanes AS (SELECT g, n,
         |    CAST(CAST(sign(xb) * (floor(abs(xb) * 1e7) / 1e7) + 0.0
         |      AS DECIMAL(30,7)) AS DOUBLE) AS xb,
-        |    CAST(CASE WHEN n >= 2 AND s2 > 0
+        |    CAST(CASE WHEN NOT (n < 2 OR cst OR coalesce(s2 <= 0, TRUE))
         |      THEN CAST(sign(s2 / n) * (floor(abs(s2 / n) * 1e7) / 1e7) + 0.0
         |        AS DECIMAL(30,7)) END AS DOUBLE) AS vv,
-        |    (n < 2 OR coalesce(s2 <= 0, TRUE)) AS bad
+        |    (n < 2 OR cst OR coalesce(s2 <= 0, TRUE)) AS bad
         |  FROM raw)
         |SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
         |  sign(a.xb - b.xb) * (floor(abs(a.xb - b.xb) * 1e4) / 1e4) + 0.0
@@ -632,14 +636,18 @@ object ProfileQueries {
         |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
         |    sum(CAST(value AS DECIMAL(18,6))) AS s,
         |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
-        |        AS DECIMAL(38,12))) AS q
+        |        AS DECIMAL(38,12))) AS q,
+        |    min(CAST(value AS DECIMAL(18,6))) = max(CAST(value AS DECIMAL(18,6)))
+        |      AS cst
         |  FROM v GROUP BY g),
         |m AS (SELECT coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
         |    sum(q) AS tq,
         |    sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e7) / 1e7
-        |        AS DECIMAL(30,7))) AS w
+        |        AS DECIMAL(30,7))) AS w,
+        |    coalesce(min(CASE WHEN cst THEN 1 ELSE 0 END) = 1, FALSE)
+        |      AS allconst
         |  FROM per),
-        |d AS (SELECT nn, k,
+        |d AS (SELECT nn, k, allconst,
         |    greatest(0.0, CAST(tq AS DOUBLE) - CAST(w AS DOUBLE)) AS ssw
         |  FROM m),
         |pr AS (SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
@@ -647,11 +655,11 @@ object ProfileQueries {
         |  FROM per a JOIN per b ON a.g < b.g)
         |SELECT grp_a, grp_b, n_a, n_b,
         |  sign(ma - mb) * (floor(abs(ma - mb) * 1e4) / 1e4) + 0.0 AS mean_diff,
-        |  CASE WHEN nn <= k OR ssw = 0.0 THEN 0.0
+        |  CASE WHEN nn <= k OR allconst OR ssw = 0.0 THEN 0.0
         |       ELSE floor(abs(ma - mb)
         |         / sqrt(ssw / (nn - k) / 2.0 * (1.0 / n_a + 1.0 / n_b))
         |         * 1e4) / 1e4 END AS q,
-        |  (nn <= k OR ssw = 0.0) AS degenerate
+        |  (nn <= k OR allconst OR ssw = 0.0) AS degenerate
         |FROM pr CROSS JOIN d ORDER BY grp_a, grp_b""".stripMargin
     ) { (s, dir) =>
       graft.operators.Stats.tukeyHsd(graft.sources.Tables.events(s, dir),

@@ -1154,7 +1154,8 @@ object EventStreams {
         col("b").cast("long").as("b"),
         org.apache.spark.sql.functions.round(col("v").cast("double") * 1e6)
           .cast("long").as("vMicro"))
-      .filter(col("key").isNotNull && col("vMicro").isNotNull)
+      .filter(col("key").isNotNull && col("b").isNotNull
+        && col("vMicro").isNotNull)
       .as[EwmaIn]
       .groupByKey(_.key)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
@@ -1214,7 +1215,8 @@ object EventStreams {
         col("b").cast("long").as("b"),
         org.apache.spark.sql.functions.round(col("v").cast("double") * 1e6)
           .cast("long").as("vMicro"))
-      .filter(col("key").isNotNull && col("vMicro").isNotNull)
+      .filter(col("key").isNotNull && col("b").isNotNull
+        && col("vMicro").isNotNull)
       .as[EwmaIn]
       .groupByKey(_.key)
       .flatMapGroupsWithState[HoltState, HoltOut](

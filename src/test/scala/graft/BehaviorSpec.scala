@@ -166,6 +166,14 @@ class BehaviorSpec extends SparkSpec {
     val Array(fl) = Stats.welchAnova(flat, col("g"), col("v")).collect()
     assert(fl.getAs[Boolean]("degenerate") && fl.getAs[Double]("f_welch") == 0.0,
       fl.toString)
+    // ...including NON-DYADIC constants, where the truncated s² lane
+    // leaves a ~5e-8 residue that would otherwise fake a finite
+    // precision weight (the r11 review find): min==max must decide
+    val flat01 = Seq(("a", 0.1), ("a", 0.1), ("a", 0.1),
+      ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val Array(f01) = Stats.welchAnova(flat01, col("g"), col("v")).collect()
+    assert(f01.getAs[Boolean]("degenerate") && f01.getAs[Double]("f_welch") == 0.0,
+      f01.toString)
     // a singleton group has no variance estimate: degenerate
     val single = Seq(("a", 1.0), ("a", 3.0), ("b", 7.0)).toDF("g", "v")
     val Array(sg) = Stats.welchAnova(single, col("g"), col("v")).collect()
@@ -232,6 +240,14 @@ class BehaviorSpec extends SparkSpec {
     assert(byPair(("b", "c")).getAs[Boolean]("degenerate"))
     // ...but its mean_diff still reports
     assert(byPair(("a", "c")).getAs[Double]("mean_diff") == -5.0)
+    // a NON-DYADIC constant group (three 0.1s) must degenerate too:
+    // the truncated s² lane's ~5e-8 residue would otherwise produce a
+    // huge q with degenerate=false (the r11 review find)
+    val nd = Seq(("a", 0.1), ("a", 0.1), ("a", 0.1),
+      ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val Array(nr) = Stats.gamesHowell(nd, col("g"), col("v")).collect()
+    assert(nr.getAs[Boolean]("degenerate") && nr.getAs[Double]("q") == 0.0,
+      nr.toString)
   }
 
   test("tukeyHsd: hand-computed pairwise q; precision 1 sanity vs anova; degenerate flags") {
@@ -259,6 +275,14 @@ class BehaviorSpec extends SparkSpec {
     val Array(fr) = Stats.tukeyHsd(flat, col("g"), col("v")).collect()
     assert(fr.getAs[Boolean]("degenerate") && fr.getAs[Double]("q") == 0.0
       && fr.getAs[Double]("mean_diff") == -4.0, fr.toString)
+    // ...and NON-DYADIC constant groups, whose truncated ssw lane
+    // carries a ~1e-7 residue, must flag exactly the same way (the
+    // r11 review find): all-constant is decided by min==max per group
+    val flat01 = Seq(("a", 0.1), ("a", 0.1), ("a", 0.1),
+      ("b", 0.2), ("b", 0.2), ("b", 0.2)).toDF("g", "v")
+    val Array(f01) = Stats.tukeyHsd(flat01, col("g"), col("v")).collect()
+    assert(f01.getAs[Boolean]("degenerate") && f01.getAs[Double]("q") == 0.0,
+      f01.toString)
     // unequal n uses the Tukey-Kramer SE: a(n=2) vs b(n=4)
     val uneq = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 6.0),
       ("b", 8.0), ("b", 9.0)).toDF("g", "v")
