@@ -2,75 +2,178 @@ package graft
 
 /** Per-round benchmark: run every registered query on
   * SPARK_GRAFT_SF_DIR, print ONE JSON line for the driver.
+  *
+  * Isolation model (r12): queries run in CHUNKED CHILD JVMs, not one
+  * long-lived session. r11's 287-query single-JVM run accumulated
+  * state (codegen-class/metaspace/GC pressure) that inflated an
+  * alphabetically-contiguous band up to 11× — q_profile reported
+  * 32.2 s in-suite vs 3.74 s isolated (judge-measured), and the
+  * existing per-query clearCache + blocking-unpersist discipline did
+  * NOT stop it. Per-query forking would cost 287 × ~10 s of Spark
+  * startup, so the compromise is one fork per chunk of
+  * SPARK_GRAFT_CHUNK (default 16) queries: contamination is bounded
+  * by chunk length instead of suite length, startup overhead stays
+  * ~3 min for the full suite, and per-query times stay comparable to
+  * isolated runs. The parent prints the single aggregate JSON line;
+  * child stdout/stderr goes to tmp/bench_child_*.log so the driver's
+  * stdout capture only ever sees the parent's line. A chunk whose
+  * child dies (OOM, fork failure) is re-run in-process so the bench
+  * degrades to the r11 behavior instead of losing queries;
+  * SPARK_GRAFT_NO_FORK=1 forces that in-process path everywhere.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Engine.session("graft-bench")
-    // Force FULL materialization of the declared output. count() is
-    // not that: the optimizer legally deletes a left join whose
-    // aggregated right side is provably duplicate-free when only row
-    // COUNT is demanded — q_chrf's entire gram pipeline collapsed to
-    // a checkpoint-scan count and benched at 1.1 s where the honest
-    // cost was ~15 s (caught r10). The noop sink evaluates every
-    // output column of the plan AS DECLARED and discards rows
-    // executor-side — no driver collect, no filesystem write.
-    def exec(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    // Warm the JVM/codegen once so measured times reflect the plans,
-    // not first-query classloading.
+
+  /** Force FULL materialization of the declared output. count() is
+    * not that: the optimizer legally deletes a left join whose
+    * aggregated right side is provably duplicate-free when only row
+    * COUNT is demanded — q_chrf's entire gram pipeline collapsed to
+    * a checkpoint-scan count and benched at 1.1 s where the honest
+    * cost was ~15 s (caught r10). The noop sink evaluates every
+    * output column of the plan AS DECLARED and discards rows
+    * executor-side — no driver collect, no filesystem write.
+    */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Time `names` in one live session: min of two runs per query (the
+    * first pays codegen/classload, the min reflects steady-state plan
+    * cost), blocking unpersist between runs. Shared by the child
+    * process path and the parent's no-fork/fallback path.
+    */
+  private def runQueries(spark: org.apache.spark.sql.SparkSession,
+      names: Seq[String], sfDir: String): Seq[(String, Double)] = {
+    // Warm the JVM/codegen once so the chunk's first query reflects
+    // its plan, not first-query classloading.
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid);
-    // the driver never sets it, so round benches always cover everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    // min of two runs per query: the first run pays codegen/classload,
-    // the min reflects the steady-state plan cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { exec(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // per-query isolation: several operators localCheckpoint
         // intermediates (cluster propagation, IVF k-means, incremental
-        // indexes); in one long-lived JVM those blocks otherwise pile
-        // up and tax every LATER query with GC pressure — r03 measured
-        // q_epe_shape_b at 9.0 s mid-suite vs 1.0 s isolated. blocking =
-        // true: an async unpersist races the next timed query and
-        // contaminates its measurement (r7 judge measured up to 12×
-        // inflation on q_cms_heavy from exactly this line)
+        // indexes); those blocks otherwise pile up and tax every LATER
+        // query with GC pressure — r03 measured q_epe_shape_b at 9.0 s
+        // mid-suite vs 1.0 s isolated. blocking = true: an async
+        // unpersist races the next timed query and contaminates its
+        // measurement (r7 judge measured up to 12× inflation on
+        // q_cms_heavy from exactly this line)
         spark.sqlContext.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         t
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    def jmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) }
-        .mkString("{", ",", "}")
+  }
+
+  private def jmap(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+
+  /** Child mode: bench the named queries, write `{"queries":{...}}` to
+    * the given path, exit. Never prints to stdout (the parent owns the
+    * driver-facing line).
+    */
+  private def child(outPath: String, names: Array[String], sfDir: String): Unit = {
+    val spark = Engine.session("graft-bench-child")
+    val results = runQueries(spark, names.toSeq, sfDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"queries":${jmap(results)}}""")
+    spark.stop()
+  }
+
+  /** Fork one child JVM per chunk; returns None if the child failed
+    * (caller falls back to in-process). JVM flags are replayed from
+    * this process's own input arguments (the sbt-forked JVM carries
+    * the add-opens + -Xmx + -D set the children need), classpath from
+    * java.class.path.
+    */
+  private def forkChunk(idx: Int, names: Seq[String], sfDir: String): Option[Seq[(String, Double)]] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val outDir = new java.io.File("tmp"); outDir.mkdirs()
+    val out = new java.io.File(outDir, s"bench_chunk_$idx.json")
+    val log = new java.io.File(outDir, s"bench_child_$idx.log")
+    out.delete()
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "--child", out.getAbsolutePath) ++ names
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectOutput(log)
+    pb.redirectErrorStream(true)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    val rc = try pb.start().waitFor() catch { case _: Throwable => -1 }
+    if (rc != 0 || !out.exists()) None
+    else {
+      val txt = java.nio.file.Files.readString(out.toPath)
+      val re = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
+      val parsed = re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // every requested name must come back, else treat the chunk as
+      // failed — a silently dropped query would vanish from the round
+      // record instead of showing as -1
+      if (names.forall(parsed.contains)) Some(names.map(n => n -> parsed(n)))
+      else None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.length >= 2 && args(0) == "--child") {
+      child(args(1), args.drop(2), sfDir)
+      return
+    }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid);
+    // the driver never sets it, so round benches always cover everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val chunkSize = sys.env.get("SPARK_GRAFT_CHUNK").map(_.toInt).getOrElse(16)
+    val noFork = sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
+    // parent-side session is created lazily: in the all-forks-succeed
+    // path the parent never starts Spark at all
+    var sparkStarted = false
+    lazy val fallbackSpark = { sparkStarted = true; Engine.session("graft-bench") }
+    val results: Seq[(String, Double)] =
+      if (noFork) runQueries(fallbackSpark, names, sfDir)
+      else names.grouped(chunkSize).zipWithIndex.flatMap { case (chunk, i) =>
+        forkChunk(i, chunk, sfDir).getOrElse {
+          System.err.println(s"[bench] chunk $i child failed; re-running in-process")
+          runQueries(fallbackSpark, chunk, sfDir)
+        }
+      }.toSeq
     // failed queries stay visible as -1 in `queries` but must not
     // SUBTRACT from the headline total (a failing round would otherwise
     // report a better-looking number than a passing one)
     val total = results.map(_._2).filter(_ >= 0).sum
     // The driver keeps only the LAST 2000 chars of stdout: a JSON line
-    // carrying all ~137 per-query times loses its head and parses as
-    // null (the r2-r4 artifact truncation). So the full record goes to
-    // a FILE and the printed line stays compact — headline total, the
-    // 15 slowest queries (the ones a perf reader needs), any failures,
+    // carrying all per-query times loses its head and parses as null
+    // (the r2-r4 artifact truncation). So the full record goes to a
+    // FILE and the printed line stays compact — headline total, the 15
+    // slowest queries (the ones a perf reader needs), any failures,
     // and the detail path — comfortably inside the capture window.
     val detailPath = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json")).getAbsolutePath
     // "force":"noop" marks the materialization methodology so the
     // round_check drift stage never compares a noop-forced round
-    // against a count()-forced one row for row (the r10 flip)
+    // against a count()-forced one row for row (the r10 flip);
+    // "isolation" marks the r12 fork methodology the same way.
+    val iso = if (noFork) "none" else s"fork$chunkSize"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","queries":${jmap(results)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","isolation":"$iso","queries":${jmap(results)},"sf":"$sfDir"}""")
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","n_queries":${results.size},"n_failed":${failed.size},"queries":${jmap(failed ++ slowest)},"detail":"$detailPath","sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","isolation":"$iso","n_queries":${results.size},"n_failed":${failed.size},"queries":${jmap(failed ++ slowest)},"detail":"$detailPath","sf":"$sfDir"}""")
+    // stop() only if the fallback session was ever materialized — a
+    // bare `fallbackSpark.stop()` here would CREATE a session in the
+    // clean path just to kill it
+    if (sparkStarted) fallbackSpark.stop()
   }
 }
