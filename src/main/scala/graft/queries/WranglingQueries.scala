@@ -411,13 +411,81 @@ object WranglingQueries {
     },
 
     // A13 (environment half): the same planner over the REAL sf-dir
-    // file manifest — rows-only by nature (file sizes are environment
-    // state, one row per live data file); the synthetic-manifest twin
-    // above carries the hash-exactness burden.
-    Q.rowsOnly("q_compaction_fs") { (s, dir) =>
-      val mf = graft.sources.Tables.fileManifest(s, dir)
+    // file listing. Rows-only through r11 because raw file SIZES are
+    // environment state no oracle can see; closed in r12 by splitting
+    // the two concerns the operator actually has — WHICH files exist
+    // (the fileManifest listing, fully real: a missed file, a leaked
+    // `_temporary` entry, or a hidden-ancestor bug changes the file
+    // set and hash-fails) and HOW they pack (FFD placement, already
+    // exactness-carried by the synthetic twin above). The portable
+    // weight is rows×37 per file — parquet-footer metadata both
+    // engines compute identically — instead of byte sizes, and the
+    // path is the environment-independent basename. The per-file
+    // count loop is driver-manifest-sized (one parquet count — a
+    // footer read, no data scan — per live data file; 10 here, and
+    // file manifests are the legitimate-collect class at any corpus
+    // scale).
+    Q(
+      "q_compaction_fs",
+      s"""WITH RECURSIVE m AS (
+         |  SELECT 'customer.parquet' AS path, CAST((SELECT count(*) FROM customer) * 37 AS BIGINT) AS bytes
+         |  UNION ALL SELECT 'documents.parquet', (SELECT count(*) FROM documents) * 37
+         |  UNION ALL SELECT 'embeddings.parquet', (SELECT count(*) FROM embeddings) * 37
+         |  UNION ALL SELECT 'events.parquet', (SELECT count(*) FROM events) * 37
+         |  UNION ALL SELECT 'lineitem.parquet', (SELECT count(*) FROM lineitem) * 37
+         |  UNION ALL SELECT 'nation.parquet', (SELECT count(*) FROM nation) * 37
+         |  UNION ALL SELECT 'orders.parquet', (SELECT count(*) FROM orders) * 37
+         |  UNION ALL SELECT 'part.parquet', (SELECT count(*) FROM part) * 37
+         |  UNION ALL SELECT 'region.parquet', (SELECT count(*) FROM region) * 37
+         |  UNION ALL SELECT 'supplier.parquet', (SELECT count(*) FROM supplier) * 37),
+         |f AS (
+         |  SELECT path, bytes, 'data' AS dir,
+         |    CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS fid
+         |  FROM m),
+         |items AS (
+         |  SELECT dir, fid, bytes,
+         |    row_number() OVER (ORDER BY bytes DESC, fid ASC) AS rn
+         |  FROM f),
+         |ffd AS (
+         |  SELECT 'data' AS dir, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS fid,
+         |    CAST(NULL AS BIGINT) AS bin_id,
+         |    CAST([] AS BIGINT[]) AS bins
+         |  UNION ALL
+         |  SELECT dir, rn, fid,
+         |    CAST(coalesce(pos, len(bins) + 1) - 1 AS BIGINT) AS bin_id,
+         |    CASE WHEN pos IS NULL THEN list_append(bins, 131072 - bytes)
+         |      ELSE bins[1:pos - 1] || [bins[pos] - bytes] || bins[pos + 1:]
+         |    END AS bins
+         |  FROM (
+         |    SELECT i.dir, i.rn, i.fid, i.bytes, x.bins,
+         |      NULLIF(list_position(
+         |        list_transform(x.bins, b -> b >= i.bytes), true), 0) AS pos
+         |    FROM ffd x JOIN items i ON i.rn = x.rn + 1)),
+         |plan AS (SELECT dir, fid, bin_id FROM ffd WHERE rn > 0),
+         |perbin AS (
+         |  SELECT dir, bin_id, CAST(count(*) AS BIGINT) AS n_files_in_bin
+         |  FROM plan GROUP BY 1, 2)
+         |SELECT f.dir, f.path, f.bytes, p.bin_id,
+         |  f.bytes > 131072 AS oversize, pb.n_files_in_bin
+         |FROM f
+         |JOIN plan p ON p.dir = f.dir AND p.fid = f.fid
+         |JOIN perbin pb ON pb.dir = f.dir AND pb.bin_id = p.bin_id
+         |ORDER BY f.dir, p.bin_id, f.path""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // the REAL listing decides which files get planned; `.parquet`
+      // basenames only (a stray non-parquet artifact is not a table)
+      val tbls = graft.sources.Tables.fileManifest(s, dir)
+        .select(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("tbl"))
+        .filter(col("tbl") =!= "")
+        .as[String].collect().sorted
+      val counts = tbls.toSeq.map(t =>
+        (t + ".parquet", s.read.parquet(s"$dir/$t.parquet").count() * 37L))
+      val mf = counts.toDF("path", "bytes")
+        .select(col("path"), col("bytes").cast("long").as("bytes"),
+          lit("data").as("dir"))
       graft.sources.Tables.compactionPlan(mf, col("path"), col("bytes"),
-          col("dir"), targetBytes = 512L << 10)
+          col("dir"), targetBytes = 131072L)
         .orderBy("dir", "bin_id", "path")
     }
   )
