@@ -347,6 +347,163 @@ object Stats {
       (col("n") < 2 || varA <= 0.0 || varB <= 0.0).as("degenerate"))
   }
 
+  /** Strict inversions of `v` (# pairs i<j with v(i) > v(j)) by
+    * iterative bottom-up merge sort — the O(n log n) pair counter
+    * shared by [[kendallTau]] and [[mannKendall]] (Knight '66). Equal
+    * elements merge left-first and count nothing. Mutates `v` (sorted
+    * ascending on return).
+    */
+  private def countInversions(v: Array[Double]): Long = {
+    val n = v.length
+    if (n < 2) return 0L
+    val buf = new Array[Double](n)
+    var inv = 0L
+    var width = 1
+    var src = v
+    var dst = buf
+    while (width < n) {
+      var lo = 0
+      while (lo < n) {
+        val mid = math.min(lo + width, n)
+        val hi = math.min(lo + 2 * width, n)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          // right strictly smaller: everything left of i..mid is bigger
+          if (src(j) < src(i)) { inv += mid - i; dst(k) = src(j); j += 1 }
+          else { dst(k) = src(i); i += 1 }
+          k += 1
+        }
+        while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
+        while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
+        lo = hi
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    if (!(src eq v)) System.arraycopy(src, 0, v, 0, n)
+    inv
+  }
+
+  /** Σ t·(t−1)/2 over runs of equal values in a SORTED array — the
+    * tied-pair count n1/n2/n3 of Knight's formula.
+    */
+  private def tiedPairs(sorted: Array[Double]): Long = {
+    var total = 0L; var i = 0
+    while (i < sorted.length) {
+      var j = i + 1
+      while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+      val t = (j - i).toLong
+      total += t * (t - 1) / 2
+      i = j
+    }
+    total
+  }
+
+  /** Per-key Kendall pair statistics in O(n log n) — the kernel under
+    * [[kendallTau]] and [[mannKendall]]'s S. Input: (key, __x, __y)
+    * rows; per key, over all pairs i<j in (__x, __y) sort order:
+    *
+    *   S = #concordant − #discordant
+    *     = n0 − n1 − n2 + n3 − 2·D          (Knight '66)
+    *
+    * with n0 = n(n−1)/2 total pairs, n1/n2/n3 = pairs tied in x / y /
+    * both, and D = strict inversions of the y-sequence in (x asc,
+    * y asc) order — counted by merge sort, never a pair join (r11's
+    * key-local pair join was honest-but-quadratic, ~700-bucket
+    * horizon; this kernel holds one key's series in memory instead,
+    * the ewmaChart repartition+scan class, linear in series length).
+    * Pairs tied in x contribute 0 — exactly the a.__x < b.__x strict
+    * pair-join semantics this replaced. Returns
+    * (key, n, s, n_pairs, tie_x, tie_y) — everything exact integers.
+    * `senGuard` > 0 throws on any key with n > senGuard (the caller
+    * is about to build the QUADRATIC pairwise-slope frame for Sen's
+    * slope; fail loudly here instead of slowly there).
+    */
+  private def kendallStatsPerKey(t: DataFrame, senGuard: Long = 0L): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pairs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tie_x",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tie_y",
+        org.apache.spark.sql.types.LongType)))
+    t.repartition(col("key")).sortWithinPartitions("key", "__x", "__y")
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = it.hasNext
+          def next(): org.apache.spark.sql.Row = {
+            val key = it.head.getString(0)
+            val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+            while (it.hasNext && it.head.getString(0) == key) {
+              val r = it.next()
+              xs += r.getDouble(1); ys += r.getDouble(2)
+            }
+            val n = xs.length.toLong
+            if (senGuard > 0 && n > senGuard)
+              throw new IllegalArgumentException(
+                s"Sen's slope builds the QUADRATIC pairwise-slope frame: key '$key' has " +
+                s"n=$n > senMaxN=$senGuard (${n * (n - 1) / 2} pairs). Raise senMaxN " +
+                "deliberately or pass computeSen=false (S/z stay O(n log n)).")
+            val n0 = n * (n - 1) / 2
+            val xa = xs.toArray // already (x, y)-sorted within key
+            val ya = ys.toArray
+            // n3 BEFORE mutation: runs of equal (x, y) in the sorted order
+            var n3 = 0L; var i = 0
+            while (i < xa.length) {
+              var j = i + 1
+              while (j < xa.length && xa(j) == xa(i) && ya(j) == ya(i)) j += 1
+              val tt = (j - i).toLong
+              n3 += tt * (tt - 1) / 2
+              i = j
+            }
+            val n1 = tiedPairs(xa) // x already sorted ascending
+            val d = countInversions(ya) // mutates ya to sorted
+            val n2 = tiedPairs(ya)
+            val s = n0 - n1 - n2 + n3 - 2 * d
+            org.apache.spark.sql.Row(key, n, s, n0, n1, n2)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** C96: Kendall's τ-b rank correlation per key — the pair-based
+    * sibling of [[spearman]] (Spearman correlates RANKS and reads
+    * monotone strength; τ-b counts concordant vs discordant PAIRS, is
+    * robust to the same outliers, and its tie correction keeps heavily
+    * discretized columns honest):
+    *
+    *   τ_b = S / sqrt((n0 − n1)(n0 − n2))
+    *
+    * everything from [[kendallStatsPerKey]]'s exact integers, ONE
+    * double derivation at the end (sqrt/divide are IEEE-identical on
+    * any engine), 4-dp toward zero. Degenerate keys (n < 2 or a
+    * constant side) report 0 + flag. NULL/NaN rows are excluded.
+    * Shape at scale: O(n log n) per key, one repartition — never a
+    * pair join.
+    */
+  def kendallTau(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val t = df.select(key.cast("string").as("key"),
+        x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .filter(col("key").isNotNull && col("__x").isNotNull && col("__y").isNotNull
+        && !isnan(col("__x")) && !isnan(col("__y")))
+    val stats = kendallStatsPerKey(t)
+    val varX = (col("n_pairs") - col("tie_x")).cast("double")
+    val varY = (col("n_pairs") - col("tie_y")).cast("double")
+    val degenerate = col("n") < 2 || varX <= 0.0 || varY <= 0.0
+    stats.select(col("key"), col("n"), col("s"),
+      when(degenerate, lit(0.0))
+        .otherwise(Num.t4zero(col("s").cast("double") / sqrt(varX * varY))).as("tau_b"),
+      degenerate.as("degenerate"))
+  }
+
   /** C65: sample autocorrelation function per key — the "what period
     * does this series actually have" probe BEFORE committing a
     * [[seasonalDecompose]] period or reading a [[levelShift]] window:
@@ -1251,51 +1408,69 @@ object Stats {
     * over the pairwise-slope frame (the [[quantileCI]] rank pick — a
     * rank selects the same shared double on any engine), 6-dp toward
     * zero on report. Input contract: one row per (key, order) — the
-    * cusum finalized-bucket shape. Shape at scale: the pair join is
-    * key-local and QUADRATIC in each key's series length — legal
-    * because per-key chains are time-horizon-bounded (the E32
-    * contract; ~700 hourly buckets/month → 245k pairs, constant in
-    * corpus size); for multi-year series at fine grain use the
-    * O(n log n) inversion-count form, a documented seam. Degenerate
-    * keys (n < 2 or zero variance) report z = 0 flagged.
+    * cusum finalized-bucket shape. Shape at scale: S comes from
+    * [[kendallStatsPerKey]]'s O(n log n) merge-count (r12 — the r11
+    * pair join was key-local QUADRATIC with a ~700-bucket honest
+    * horizon; multi-year fine-grain series now cost n log n). Sen's
+    * slope still IS the median of the n(n−1)/2 pairwise slopes, so
+    * the pair frame survives for that alone, behind a LOUD guard:
+    * any key longer than `senMaxN` throws with the pair count in the
+    * message (raise it deliberately, or pass `computeSen = false` to
+    * keep S/z at any length with sen_slope NULL). Degenerate keys
+    * (n < 2 or zero variance) report z = 0 flagged.
     */
-  def mannKendall(df: DataFrame, key: Column, order: Column, value: Column): DataFrame = {
+  def mannKendall(df: DataFrame, key: Column, order: Column, value: Column,
+      senMaxN: Long = 10000L, computeSen: Boolean = true): DataFrame = {
     def t6z(c: Column): Column = signum(c) * (floor(abs(c) * 1e6) / 1e6) + 0.0
     val t = df.select(key.cast("string").as("key"), order.cast("long").as("__x"),
         value.cast("double").as("__v"))
       .filter(col("key").isNotNull && col("__x").isNotNull && col("__v").isNotNull)
       .localCheckpoint()
-    val pairs = t.as("a").join(t.as("b"),
-        col("a.key") === col("b.key") && col("a.__x") < col("b.__x"))
-      .select(col("a.key").as("key"),
-        when(col("b.__v") > col("a.__v"), 1L)
-          .when(col("b.__v") < col("a.__v"), -1L).otherwise(0L).as("__sg"),
-        ((col("b.__v") - col("a.__v"))
-          / (col("b.__x") - col("a.__x")).cast("double")).as("__slope"))
-      .localCheckpoint()
-    val sAgg = pairs.groupBy("key").agg(sum(col("__sg")).as("s"))
-    val nPer = t.groupBy("key").agg(count(lit(1)).as("n"))
+    val stats = kendallStatsPerKey(
+      t.select(col("key"), col("__x").cast("double").as("__x"),
+        col("__v").as("__y")),
+      senGuard = if (computeSen) senMaxN else 0L)
     val ties = t.groupBy(col("key"), col("__v")).agg(count(lit(1)).as("__t"))
       .groupBy("key")
       .agg(sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tie"))
-    val sen = quantileCI(pairs, col("key"), col("__slope"))
-      .select(col("grp").as("key"), col("point").as("__sen"))
+    val sen =
+      if (!computeSen) null
+      else {
+        // try_divide, NOT `/`: quantileCI filters on slope.isNotNull,
+        // and InferFiltersFromConstraints pushes isnotnull(<division>)
+        // into the hash-join's non-equi condition AHEAD of the strict
+        // __x < __x2 predicate — so the ANSI division speculatively
+        // executes on equal-__x candidate pairs of the same key and
+        // throws DIVIDE_BY_ZERO (reproduced r12 in the optimized
+        // plan; r11 masked it by localCheckpoint-materializing the
+        // QUADRATIC pair frame before quantileCI could see the
+        // expression). try_divide is value-identical on every row
+        // that survives the strict filter. Distinct right-side names
+        // (not an "a"/"b" alias) keep the doubly-inlined self-join
+        // unambiguous.
+        val b = t.select(col("key").as("__k2"), col("__x").as("__x2"),
+          col("__v").as("__v2"))
+        val pairs = t.join(b, col("key") === col("__k2") && col("__x") < col("__x2"))
+          .select(col("key"),
+            try_divide(col("__v2") - col("__v"),
+              (col("__x2") - col("__x")).cast("double")).as("__slope"))
+        quantileCI(pairs, col("key"), col("__slope"))
+          .select(col("grp").as("key"), col("point").as("__sen"))
+      }
     val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5)
       - coalesce(col("__tie"), lit(0L))).cast("double") / 18.0
     val degenerate = col("n") < 2 || varS <= 0.0
     val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
       .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
       .otherwise(lit(0.0))
-    nPer
-      .join(sAgg, Seq("key"), "left")
-      .join(ties, Seq("key"), "left")
-      .join(sen, Seq("key"), "left")
-      .select(col("key"), col("n"),
-        coalesce(col("s"), lit(0L)).as("s"),
-        when(degenerate, lit(0.0)).otherwise(Num.t4zero(z)).as("z"),
-        when(degenerate, lit(null).cast("double"))
-          .otherwise(t6z(col("__sen"))).as("sen_slope"),
-        degenerate.as("degenerate"))
+    val base = stats.join(ties, Seq("key"), "left")
+    val joined = if (computeSen) base.join(sen, Seq("key"), "left") else base
+    joined.select(col("key"), col("n"), col("s"),
+      when(degenerate, lit(0.0)).otherwise(Num.t4zero(z)).as("z"),
+      if (computeSen)
+        when(degenerate, lit(null).cast("double")).otherwise(t6z(col("__sen"))).as("sen_slope")
+      else lit(null).cast("double").as("sen_slope"),
+      degenerate.as("degenerate"))
   }
 
   /** Wald's sequential probability ratio test (SPRT, Wald '45) — the

@@ -2126,6 +2126,44 @@ object ProfileQueries {
         col("n_chars"), col("n_chars") + (col("doc_id") % 7) * 10)
     },
 
+    // C96: Kendall τ-b per key — doc length vs a 7-cycle of doc_id
+    // plants heavy ties on BOTH sides (the tie-corrected denominator
+    // path). The oracle replays the pair semantics BRUTE-FORCE (25
+    // rows/source → 300 pairs — constant at any SF since it keys on
+    // source) against the engine's O(n log n) merge-count kernel, so
+    // a single miscounted inversion hash-fails.
+    Q(
+      "q_kendall_tau",
+      """WITH t AS (
+        |  SELECT source AS key, CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(doc_id % 7 AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |n AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |p AS (
+        |  SELECT a.key,
+        |    CAST(coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1
+        |      WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN -1 ELSE 0 END), 0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(CASE WHEN a.x <> b.x THEN 1 ELSE 0 END), 0) AS BIGINT) AS nx,
+        |    CAST(coalesce(sum(CASE WHEN a.y <> b.y THEN 1 ELSE 0 END), 0) AS BIGINT) AS ny
+        |  FROM t a JOIN t b ON a.key = b.key AND a.rn < b.rn
+        |  GROUP BY 1)
+        |SELECT n.key, n.n, coalesce(p.s, 0) AS s,
+        |  CASE WHEN n.n < 2 OR coalesce(p.nx, 0) <= 0 OR coalesce(p.ny, 0) <= 0
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE sign(CAST(p.s AS DOUBLE) / sqrt(CAST(p.nx AS DOUBLE) * CAST(p.ny AS DOUBLE)))
+        |      * (floor(abs(CAST(p.s AS DOUBLE) / sqrt(CAST(p.nx AS DOUBLE) * CAST(p.ny AS DOUBLE)))
+        |        * 1e4) / 1e4) + 0.0
+        |  END AS tau_b,
+        |  (n.n < 2 OR coalesce(p.nx, 0) <= 0 OR coalesce(p.ny, 0) <= 0) AS degenerate
+        |FROM n LEFT JOIN p ON n.key = p.key
+        |ORDER BY n.key""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.kendallTau(table(s, dir, "documents"),
+        col("source"), col("n_chars"), col("doc_id") % 7)
+        .orderBy("key")
+    },
+
     // C60: mergeable frequent-items (Misra-Gries family) sketch —
     // per-source sketches union into corpus-wide top tokens WITHOUT
     // re-reading a shard. Estimates are engine-specific, but the

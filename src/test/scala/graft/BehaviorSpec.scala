@@ -215,6 +215,78 @@ class BehaviorSpec extends SparkSpec {
     assert(fr.getAs[Double]("z") < 0, fr.toString)
   }
 
+  test("mannKendall: long series run in O(n log n) with computeSen=false; Sen guard throws loudly") {
+    import graft.operators.Stats
+    // 50k points/key — the r11 pair join would have built 1.25e9 pairs
+    // per key; the merge-count kernel finishes in seconds. A strictly
+    // rising series has S = n(n−1)/2 exactly; a sawtooth checks a
+    // non-trivial inversion count at length ([s]=2·asc−desc pairs
+    // hand-derivable: v = i % 2 gives S = #(0→1 pairs) − #(1→0 pairs)
+    // = n²/4 − (n/2)(n/2 − 1)/2·2 ... asserted against a direct
+    // O(n²)-free closed form below).
+    val n = 50000
+    val rise = Seq.tabulate(n)(i => ("up", i.toLong, i.toDouble))
+    val d = rise.toDF("g", "x", "v")
+    val Array(r) = Stats.mannKendall(d, col("g"), col("x"), col("v"),
+      computeSen = false).collect()
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("s") == n.toLong * (n - 1) / 2, r.toString)
+    assert(r.getAs[Double]("z") > 0)
+    assert(r.isNullAt(r.fieldIndex("sen_slope")), "computeSen=false => sen NULL")
+    // alternating 0/1 series: for i<j, sign(v_j − v_i) ≠ 0 only when
+    // parities differ; each (even i, odd j) pair is +1, (odd i, even j)
+    // is −1. With n even: #(even,odd i<j) = Σ_{k}(n/2 − k) over even
+    // positions ... by symmetry S = n/2 (only adjacent-parity ordering
+    // asymmetry survives). Derive independently: pairs with i even,
+    // j odd, i<j: count = Σ_{e=0,2,..}(#odds > e) = Σ_{k=0}^{m−1}(m−k)
+    // = m(m+1)/2; i odd, j even: m(m−1)/2 (m = n/2). S = m.
+    val m = 1000
+    val saw = Seq.tabulate(2 * m)(i => ("saw", i.toLong, (i % 2).toDouble))
+    val Array(sr) = Stats.mannKendall(saw.toDF("g", "x", "v"), col("g"),
+      col("x"), col("v"), computeSen = false).collect()
+    assert(sr.getAs[Long]("s") == m.toLong, sr.toString)
+    // Sen's slope stays quadratic, so a series past senMaxN must FAIL
+    // LOUDLY, naming the fix — never silently build the pair frame
+    val big = Seq.tabulate(101)(i => ("k", i.toLong, i.toDouble)).toDF("g", "x", "v")
+    val ex = intercept[Exception] {
+      Stats.mannKendall(big, col("g"), col("x"), col("v"), senMaxN = 100L).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else t.getMessage + " | " + rootMsg(t.getCause)
+    assert(rootMsg(ex).contains("senMaxN"), rootMsg(ex).take(400))
+    // raising the guard deliberately works
+    val ok = Stats.mannKendall(big, col("g"), col("x"), col("v"), senMaxN = 200L)
+      .collect()
+    assert(ok.head.getAs[Double]("sen_slope") == 1.0)
+  }
+
+  test("kendallTau: hand-computed tau-b with ties both sides; degenerate constant side; key isolation") {
+    import graft.operators.Stats
+    // no ties: x=[1,2,3,4], y=[1,3,2,4] → C=5, D=1, S=4, tau=4/6
+    // ties both sides: x=[1,1,2,3], y=[2,5,2,7] → S=2, nx=ny=5, tau=0.4
+    // constant y → degenerate
+    val d = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 3.0), ("a", 3.0, 2.0), ("a", 4.0, 4.0),
+      ("b", 1.0, 2.0), ("b", 1.0, 5.0), ("b", 2.0, 2.0), ("b", 3.0, 7.0),
+      ("c", 1.0, 9.0), ("c", 2.0, 9.0), ("c", 3.0, 9.0))
+      .toDF("g", "x", "y")
+    val rows = Stats.kendallTau(d, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Long]("n") == 4L && a.getAs[Long]("s") == 4L, a.toString)
+    assert(a.getAs[Double]("tau_b") == math.floor(4.0 / 6.0 * 1e4) / 1e4, a.toString)
+    assert(!a.getAs[Boolean]("degenerate"))
+    val b = rows("b")
+    assert(b.getAs[Long]("s") == 2L && b.getAs[Double]("tau_b") == 0.4, b.toString)
+    val c = rows("c")
+    assert(c.getAs[Long]("s") == 0L && c.getAs[Double]("tau_b") == 0.0
+      && c.getAs[Boolean]("degenerate"), c.toString)
+    // anti-correlated series lands tau = −1 exactly
+    val neg = Seq.tabulate(6)(i => ("z", i.toDouble, -i.toDouble)).toDF("g", "x", "y")
+    val Array(zr) = Stats.kendallTau(neg, col("g"), col("x"), col("y")).collect()
+    assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
+  }
+
   test("gamesHowell: hand-computed q and Welch-Satterthwaite dof; degenerate pair flags") {
     import graft.operators.Stats
     // a={1,3}: mean 2, s²=2, v=1; b={10,14}: mean 12, s²=8, v=4
