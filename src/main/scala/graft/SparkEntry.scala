@@ -12,6 +12,7 @@ object SparkEntry {
     RelationalQueries.all ++ WranglingQueries.all ++ TemporalQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ MultimodalQueries.all ++
       CurationQueries.all ++ ProfileQueries.all ++ MergeQueries.all ++
+      MergeQueries.snapshotQueries ++
       GraphQueries.all ++ ChatQueries.all ++ PreferenceQueries.all ++
       EvalQueries.all
 

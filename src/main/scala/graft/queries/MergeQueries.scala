@@ -133,4 +133,66 @@ object MergeQueries {
         .orderBy("label")
     }
   )
+
+  /** E42 contract query: two RACING committers publish disjoint halves
+    * of `documents` to one fresh SnapshotStore root from real threads;
+    * the output proves BOTH landed (the no-lost-update contract the
+    * single-writer pointer flip cannot give). The store round-trip is
+    * collapsed to per-tag counts (2 rows — driver-metadata class) so
+    * the scratch root can be deleted before returning; the oracle
+    * recomputes the same halves straight from the table — if either
+    * commit lost the race, its tag's row count (or the row itself)
+    * hash-fails.
+    */
+  private def snapshotConcurrent(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("source"))
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snap_q").toFile,
+      "snap").getAbsolutePath
+    val halves = Seq("even" -> 0, "odd" -> 1).map { case (tag, par) =>
+      docs.filter(col("doc_id") % 2 === par).withColumn("tag", lit(tag))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = halves.map { d =>
+      new Thread(() => {
+        try graft.streaming.SnapshotStore.commit(d, root, keepLast = 4)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    val versions = graft.streaming.SnapshotStore.committedVersions(s, root)
+    val counts = versions
+      .flatMap(v => graft.streaming.SnapshotStore.readVersion(s, root, v))
+      .map(f => f.groupBy("tag").agg(count(lit(1)).as("n_rows")))
+      .reduce(_ unionByName _)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    // everything needed is in `counts` now — the scratch store can go
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root).getParentFile)
+    counts.toSeq.toDF("tag", "n_rows")
+      .withColumn("committed", lit(true))
+      .orderBy("tag")
+  }
+
+  val snapshotQueries: Seq[Q] = Seq(
+    Q(
+      "q_snapshot_concurrent",
+      """SELECT 'even' AS tag,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS BIGINT) AS n_rows,
+        |  TRUE AS committed
+        |UNION ALL
+        |SELECT 'odd',
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS BIGINT),
+        |  TRUE
+        |ORDER BY tag""".stripMargin
+    )(snapshotConcurrent)
+  )
 }

@@ -528,6 +528,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("SnapshotStore.commit: concurrent publishers both land — no lost update") {
+    val root = java.nio.file.Files.createTempDirectory("graft_occ").toString + "/snap"
+    // two INTERLEAVED publishers race the CAS from real threads, three
+    // commits each; under r11's publish() one pointer flip would
+    // silently eat the other writer's version
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = Seq("w1", "w2").map { w =>
+      new Thread(() => {
+        try (1 to 3).foreach { i =>
+          landed.add(SnapshotStore.commit(
+            Seq((w, i)).toDF("writer", "seq"), root, keepLast = 10))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"commit threw under contention: ${errs.peek()}")
+    // all six commits landed distinct versions
+    import scala.jdk.CollectionConverters._
+    val versions = landed.asScala.toSeq.sorted
+    assert(versions.size == 6 && versions.distinct.size == 6, s"versions: $versions")
+    assert(SnapshotStore.committedVersions(spark, root).toSet == versions.toSet)
+    // no lost update: every (writer, seq) payload is readable at its version
+    val all = versions.flatMap(v =>
+      SnapshotStore.readVersion(spark, root, v).get
+        .as[(String, Int)].collect().toSeq)
+    assert(all.toSet == (for (w <- Seq("w1", "w2"); i <- 1 to 3) yield (w, i)).toSet,
+      s"payloads: $all")
+    // the live read is the HIGHEST committed version's payload
+    val expected = SnapshotStore.readVersion(spark, root, versions.max).get
+      .as[(String, Int)].collect().toSet
+    val live = SnapshotStore.read(spark, root).get.as[(String, Int)].collect().toSet
+    assert(live == expected, s"live: $live, expected v${versions.max}: $expected")
+  }
+
+  test("SnapshotStore.commit: crashed claims stay holes; a stale pointer can't resurrect a lost update") {
+    val root = java.nio.file.Files.createTempDirectory("graft_occ2").toString + "/snap"
+    val v1 = SnapshotStore.commit(Seq(("a", 1)).toDF("k", "n"), root, keepLast = 10)
+    assert(v1 == 1L)
+    // crash INJECTION: a claimant died after the CAS, before the rename
+    // — log entry exists, directory never lands
+    val hole = new java.io.File(s"$root/_commits/5")
+    hole.getParentFile.mkdirs()
+    java.nio.file.Files.write(hole.toPath, "s-dead".getBytes)
+    // the next commit skips PAST the claimed number, never reuses it
+    val v6 = SnapshotStore.commit(Seq(("b", 2)).toDF("k", "n"), root, keepLast = 10)
+    assert(v6 == 6L, s"expected the claim hole to force v6, got v$v6")
+    // the hole is invisible to readers
+    assert(SnapshotStore.committedVersions(spark, root) == Seq(1L, 6L))
+    assert(SnapshotStore.readVersion(spark, root, 5L).isEmpty)
+    // stale pointer (committer A flipped AFTER committer B): readers
+    // take max(pointer, committed log), so the newer commit stays live
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_CURRENT"),
+      "v1".getBytes)
+    // the raw overwrite above bypasses Hadoop's ChecksumFileSystem —
+    // drop the stale .crc sidecar so the read models a real stale
+    // pointer, not a corrupted one
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/._CURRENT.crc"))
+    val live = SnapshotStore.read(spark, root).get.as[(String, Int)].collect().toSet
+    assert(live == Set(("b", 2)), s"stale pointer resurrected a lost update: $live")
+  }
+
   test("E8 survives a mid-stream crash artifact between batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e8crash")
     val (snap, ckpt) = (s"$dir/snapshot", s"$dir/ckpt")
