@@ -1392,6 +1392,225 @@ object Stats {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** C97: Holt-Winters additive seasonal chart — the SEASONAL member
+    * completing the smoothing family ([[ewmaChart]] tracks a level,
+    * [[holtChart]] adds trend; a daily-cycle series makes BOTH alarm
+    * every peak hour — this one carries a per-phase seasonal component
+    * so the forecast breathes with the cycle):
+    *
+    *   forecast_t = s_{t−1} + b_{t−1} + c_{t−p}
+    *   s_t = α(x_t − c_{t−p}) + (1−α)(s_{t−1} + b_{t−1})
+    *   b_t = β(s_t − s_{t−1}) + (1−β)b_{t−1}
+    *   c_t = γ(x_t − s_t) + (1−γ)c_{t−p}
+    *
+    * Initialization is DETERMINISTIC-SIMPLE on purpose: s_0 = x_0,
+    * b_0 = 0, all seasonal components 0 — the chart warms up over the
+    * first cycles instead of fitting an init window, and both engines
+    * (and any future stream twin) replay the identical walk from the
+    * same three literals. Same determinism contract as [[holtChart]]:
+    * INTEGER 1e6 micro-lanes, rational α/β/γ, truncating division
+    * toward zero on both engines; the oracle carries the seasonal
+    * RING as a p-slot list column through the recursive CTE (the FFD
+    * bins idiom). Same kernel shape: one repartition on key +
+    * partition-local linear scan, O(p) state per key, per-key chains
+    * time-bucket-bounded. Input contract: one row per (key, bucket)
+    * on a DENSE grid — phase is ROW-based ((rowIdx−1) mod p), so a
+    * hole would shift every later phase (the [[autocorrelation]]
+    * contract). Returns (key, bucket, value, level, trend, seasonal,
+    * resid, alarm) — resid NULL on each key's first bucket; `seasonal`
+    * is c_t (the freshly updated component for this phase).
+    */
+  def holtWintersChart(df: DataFrame, key: Column, bucket: Column, value: Column,
+      period: Int, alphaNum: Int = 1, alphaDen: Int = 4,
+      betaNum: Int = 1, betaDen: Int = 4,
+      gammaNum: Int = 1, gammaDen: Int = 4, band: Double = 2.0): DataFrame = {
+    require(period >= 2, "period must be >= 2 (a 1-period season is a level)")
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0, 1]")
+    require(betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      "beta = betaNum/betaDen must be in (0, 1]")
+    require(gammaDen > 0 && gammaNum > 0 && gammaNum <= gammaDen,
+      "gamma = gammaNum/gammaDen must be in (0, 1]")
+    require(band >= 0, "band must be >= 0")
+    val bandMicro = math.round(band * 1e6)
+    val t = df.select(key.cast("string").as("key"),
+        bucket.cast("long").as("bucket"),
+        round(value.cast("double") * 1e6).cast("long").as("__vm"))
+      .filter(col("key").isNotNull && col("bucket").isNotNull
+        && col("__vm").isNotNull)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("level",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("trend",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seasonal",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("resid",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("alarm",
+        org.apache.spark.sql.types.BooleanType)))
+    val (aN, aD) = (alphaNum.toLong, alphaDen.toLong)
+    val (bN, bD) = (betaNum.toLong, betaDen.toLong)
+    val (gN, gD) = (gammaNum.toLong, gammaDen.toLong)
+    val p = period
+    t.repartition(col("key")).sortWithinPartitions("key", "bucket")
+      .mapPartitions { rows =>
+        var curKey: String = null
+        var s = 0L
+        var b = 0L
+        var cs: Array[Long] = null
+        var idx = 0
+        var started = false
+        rows.map { r =>
+          val k = r.getString(0)
+          val bk = r.getLong(1)
+          val vm = r.getLong(2)
+          if (k != curKey) { curKey = k; started = false }
+          if (!started) {
+            started = true
+            s = vm; b = 0L; cs = new Array[Long](p); idx = 0
+            // c_0 update at phase 0: γ(x_0 − s_0) = 0 exactly — emit 0
+            idx = 1 % p
+            org.apache.spark.sql.Row(k, bk, vm / 1e6, s / 1e6, 0.0, 0.0,
+              null.asInstanceOf[java.lang.Double], false)
+          } else {
+            val cPrev = cs(idx)
+            val forecast = s + b + cPrev
+            val resid = vm - forecast
+            val alarm = math.abs(resid) > bandMicro
+            val sPrev = s
+            s = (aN * (vm - cPrev) + (aD - aN) * (sPrev + b)) / aD
+            b = (bN * (s - sPrev) + (bD - bN) * b) / bD
+            val cNew = (gN * (vm - s) + (gD - gN) * cPrev) / gD
+            cs(idx) = cNew
+            idx = (idx + 1) % p
+            org.apache.spark.sql.Row(k, bk, vm / 1e6, s / 1e6, b / 1e6,
+              cNew / 1e6, resid / 1e6, alarm)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** C98: best single changepoint per key (binary-segmentation step 1)
+    * — "WHERE did this series change", the location question
+    * [[levelShift]]'s fixed-window contrast and [[cusum]]'s alarm walk
+    * don't answer: over every admissible split k the between-segment
+    * SSE reduction
+    *
+    *   gain(k) = P_k²/k + (S−P_k)²/(n−k) − S²/n
+    *
+    * (P_k = prefix sum, S = total — the ANOVA between-group identity)
+    * is maximized; k needs ≥ `minSeg` points on each side. Shape: ONE
+    * key-partitioned cumulative window over the bucket frame + one
+    * argmax window — no per-split pass, no kernel, linear work.
+    * Determinism: values quantize ONCE to integer 1e6 micro-lanes
+    * (the levelShift reduction), prefix/total sums are exact longs,
+    * gain is ONE double derivation from those integers (IEEE ops —
+    * identical on any engine), argmax tie-breaks (gain DESC, k ASC),
+    * gain reported 4-dp toward zero in value² units, means exact
+    * micro-division. Keys too short for any admissible split report
+    * NULL split + gain 0 + `degenerate`. Returns (key, n, split_x,
+    * n_left, mean_left, mean_right, gain, degenerate) — split_x is
+    * the order value of the LAST point in the left segment.
+    */
+  def bestChangepoint(df: DataFrame, key: Column, order: Column, value: Column,
+      minSeg: Int = 2): DataFrame = {
+    require(minSeg >= 1, "minSeg must be >= 1")
+    val t = df.select(key.cast("string").as("key"), order.cast("long").as("__x"),
+        round(value.cast("double") * 1e6).cast("long").as("__vm"))
+      .filter(col("key").isNotNull && col("__x").isNotNull && col("__vm").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__x")
+    val totals = t.groupBy("key").agg(count(lit(1)).as("n"),
+      sum(col("__vm")).as("__s"))
+    val pref = t
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__p", sum(col("__vm")).over(w.rowsBetween(Long.MinValue, 0)))
+      .join(totals, Seq("key"))
+      .filter(col("__k") >= minSeg && col("__k") <= col("n") - minSeg)
+    def d(c: Column): Column = c.cast("double")
+    val gain = d(col("__p")) * d(col("__p")) / d(col("__k")) +
+      d(col("__s") - col("__p")) * d(col("__s") - col("__p")) / d(col("n") - col("__k")) -
+      d(col("__s")) * d(col("__s")) / d(col("n"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("__gain").desc, col("__k").asc)
+    val best = pref.withColumn("__gain", gain)
+      .withColumn("__r", row_number().over(aw))
+      .filter(col("__r") === 1)
+      .select(col("key"), col("__x").as("split_x"), col("__k").as("n_left"),
+        (d(col("__p")) / d(col("__k")) / 1e6).as("mean_left"),
+        (d(col("__s") - col("__p")) / d(col("n") - col("__k")) / 1e6).as("mean_right"),
+        // micro² → value² units, then 4-dp toward zero (gain ≥ 0)
+        Num.t4zero(col("__gain") / 1e12).as("gain"))
+    totals.join(best, Seq("key"), "left")
+      .select(col("key"), col("n"), col("split_x"), col("n_left"),
+        col("mean_left"), col("mean_right"),
+        coalesce(col("gain"), lit(0.0)).as("gain"),
+        col("split_x").isNull.as("degenerate"))
+  }
+
+  /** C99: Theil-Sen robust line per key — [[mannKendall]]'s Sen slope
+    * completed into a usable LINE (the trendFit OLS alternative that
+    * shrugs off outliers: slope = median pairwise slope, intercept =
+    * median of the per-point intercepts v_i − slope·x_i):
+    *
+    *   slope = median{ (v_j−v_i)/(x_j−x_i) : x_i < x_j }
+    *   intercept = median{ v_i − slope·x_i }
+    *
+    * Both medians are TYPE-1 rank picks over shared doubles (the
+    * quantileCI machinery — a rank selects the same IEEE value on any
+    * engine); the intercept pass uses the RAW picked slope, rounding
+    * only on report (6-dp toward zero, both columns). The pairwise
+    * frame is QUADRATIC per key — the same loud `senMaxN` contract as
+    * mannKendall, enforced here with an un-prunable assert_true filter
+    * (n > senMaxN fails the job with the pair count in the message).
+    * Keys with n < 2 report NULL slope/intercept + `degenerate`.
+    */
+  def theilSen(df: DataFrame, key: Column, order: Column, value: Column,
+      senMaxN: Long = 10000L): DataFrame = {
+    def t6z(c: Column): Column = signum(c) * (floor(abs(c) * 1e6) / 1e6) + 0.0
+    val t = df.select(key.cast("string").as("key"), order.cast("long").as("__x"),
+        value.cast("double").as("__v"))
+      .filter(col("key").isNotNull && col("__x").isNotNull && col("__v").isNotNull)
+      .localCheckpoint()
+    val nPer = t.groupBy("key").agg(count(lit(1)).as("n"))
+    // assert_true INSIDE a filter so column pruning can't delete the
+    // guard; NULL (the pass value) keeps every row
+    val guarded = t.join(nPer, Seq("key"))
+      .filter(assert_true(col("n") <= senMaxN,
+        concat(lit("Theil-Sen builds the QUADRATIC pairwise-slope frame: key '"),
+          col("key"), lit("' has n="), col("n"),
+          lit(s" > senMaxN=$senMaxN. Raise senMaxN deliberately or pre-aggregate."))).isNull)
+      .select("key", "__x", "__v")
+    val b = guarded.select(col("key").as("__k2"), col("__x").as("__x2"),
+      col("__v").as("__v2"))
+    val pairs = guarded.join(b, col("key") === col("__k2") && col("__x") < col("__x2"))
+      .select(col("key"),
+        try_divide(col("__v2") - col("__v"),
+          (col("__x2") - col("__x")).cast("double")).as("__slope"))
+    val slope = quantileCI(pairs, col("key"), col("__slope"))
+      .select(col("grp").as("key"), col("point").as("__sl"))
+    val icepts = t.join(slope, Seq("key"))
+      .select(col("key"), (col("__v") - col("__sl") * col("__x").cast("double")).as("__b"))
+    val intercept = quantileCI(icepts, col("key"), col("__b"))
+      .select(col("grp").as("key"), col("point").as("__ic"))
+    nPer
+      .join(slope, Seq("key"), "left")
+      .join(intercept, Seq("key"), "left")
+      .select(col("key"), col("n"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(t6z(col("__sl"))).as("slope"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(t6z(col("__ic"))).as("intercept"),
+        (col("n") < 2).as("degenerate"))
+  }
+
   /** Mann-Kendall trend test + Sen's slope — the NONPARAMETRIC
     * companion to [[trendFit]]'s OLS line (rank-based, so outliers
     * and non-linearity don't fake or hide a trend; the standard

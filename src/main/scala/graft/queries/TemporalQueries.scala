@@ -757,6 +757,163 @@ object TemporalQueries {
         .orderBy("key", "bucket")
     },
 
+    // C97: Holt-Winters additive seasonal chart over hourly per-type
+    // volumes, period 24 (the daily cycle q_holt's trend lane can't
+    // absorb). Integer micro-lane walk; the oracle carries the 24-slot
+    // seasonal ring as a list column through the recursive CTE (the
+    // q_compaction_plan bins idiom), zero-seasonal deterministic init.
+    Q(
+      "q_holt_winters", {
+        val zeros = Seq.fill(24)("0").mkString("[", ",", "]")
+        s"""WITH RECURSIVE b AS (
+           |  SELECT event_type AS key,
+           |    (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |v AS (
+           |  SELECT key, bucket,
+           |    CAST(round(CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS vm,
+           |    row_number() OVER (PARTITION BY key ORDER BY bucket) AS rn
+           |  FROM b),
+           |walk(key, rn, bucket, vm, s, t, cs, cnew, resid) AS (
+           |  SELECT key, rn, bucket, vm, vm, CAST(0 AS BIGINT),
+           |    CAST($zeros AS BIGINT[]), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+           |  FROM v WHERE rn = 1
+           |  UNION ALL
+           |  SELECT key, rn, bucket, vm, s2,
+           |    (1 * (s2 - s) + 3 * t) // 4,
+           |    cs[1:pos - 1] || [(1 * (vm - s2) + 3 * cprev) // 4] || cs[pos + 1:],
+           |    (1 * (vm - s2) + 3 * cprev) // 4,
+           |    vm - (s + t + cprev)
+           |  FROM (
+           |    SELECT i.key, i.rn, i.bucket, i.vm, w.s, w.t, w.cs, i.pos,
+           |      w.cs[i.pos] AS cprev,
+           |      (1 * (i.vm - w.cs[i.pos]) + 3 * (w.s + w.t)) // 4 AS s2
+           |    FROM walk w JOIN (
+           |      SELECT key, rn, bucket, vm, ((rn - 1) % 24) + 1 AS pos FROM v) i
+           |      ON i.key = w.key AND i.rn = w.rn + 1))
+           |SELECT key, bucket,
+           |  CAST(vm AS DOUBLE) / 1e6 AS value,
+           |  CAST(s AS DOUBLE) / 1e6 AS level,
+           |  CAST(t AS DOUBLE) / 1e6 AS trend,
+           |  CAST(cnew AS DOUBLE) / 1e6 AS seasonal,
+           |  CAST(resid AS DOUBLE) / 1e6 AS resid,
+           |  coalesce(abs(resid) > 2000000, FALSE) AS alarm
+           |FROM walk ORDER BY key, bucket""".stripMargin
+      }
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.holtWintersChart(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"), period = 24, alphaNum = 1, alphaDen = 4,
+          betaNum = 1, betaDen = 4, gammaNum = 1, gammaDen = 4, band = 2.0)
+        .orderBy("key", "bucket")
+    },
+
+    // C98: best single changepoint per event type over hourly volumes
+    // — WHERE the series changed, from one cumulative window + one
+    // argmax; integer micro-lane sums, one double derivation.
+    Q(
+      "q_changepoint",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    (epoch_ns(ts) // 3600000000000) * 3600 AS x, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT key, x,
+        |    CAST(round(CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS vm FROM b),
+        |p AS (
+        |  SELECT key, x, vm,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS k,
+        |    sum(vm) OVER (PARTITION BY key ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM v),
+        |tot AS (SELECT key, CAST(count(*) AS BIGINT) AS n, sum(vm) AS s
+        |        FROM v GROUP BY 1),
+        |g AS (
+        |  SELECT p.key, p.x, p.k, t.n,
+        |    CAST(pp AS DOUBLE) * CAST(pp AS DOUBLE) / CAST(k AS DOUBLE)
+        |      + CAST(t.s - pp AS DOUBLE) * CAST(t.s - pp AS DOUBLE)
+        |        / CAST(t.n - k AS DOUBLE)
+        |      - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |      AS gain,
+        |    CAST(pp AS DOUBLE) / CAST(k AS DOUBLE) / 1e6 AS ml,
+        |    CAST(t.s - pp AS DOUBLE) / CAST(t.n - k AS DOUBLE) / 1e6 AS mr
+        |  FROM p JOIN tot t ON t.key = p.key
+        |  WHERE p.k >= 2 AND p.k <= t.n - 2),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY gain DESC, k ASC) AS r
+        |  FROM g)
+        |SELECT t.key, t.n, w.x AS split_x, w.k AS n_left,
+        |  w.ml AS mean_left, w.mr AS mean_right,
+        |  coalesce(sign(w.gain / 1e12)
+        |    * (floor(abs(w.gain / 1e12) * 1e4) / 1e4) + 0.0, 0.0) AS gain,
+        |  w.x IS NULL AS degenerate
+        |FROM tot t LEFT JOIN (SELECT * FROM best WHERE r = 1) w ON w.key = t.key
+        |ORDER BY t.key""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.bestChangepoint(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"), minSeg = 2)
+        .orderBy("key")
+    },
+
+    // C99: Theil-Sen robust line per event type — Sen's slope plus the
+    // median-intercept, both type-1 rank picks over shared doubles;
+    // the intercept pass uses the RAW picked slope (rounding only on
+    // report) so both engines walk identical IEEE values.
+    Q(
+      "q_theil_sen",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    (epoch_ns(ts) // 3600000000000) * 3600 AS x,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |np AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.key, (b2.v - a.v) / CAST(b2.x - a.x AS DOUBLE) AS slope
+        |  FROM b a JOIN b b2 ON a.key = b2.key AND a.x < b2.x),
+        |sl AS (
+        |  SELECT key, slope,
+        |    row_number() OVER (PARTITION BY key ORDER BY slope ASC) AS r,
+        |    count(*) OVER (PARTITION BY key) AS m
+        |  FROM p),
+        |sen AS (
+        |  SELECT key, slope AS sv FROM sl
+        |  WHERE r = greatest(1, CAST(ceil(m * 0.5) AS BIGINT))),
+        |bi AS (
+        |  SELECT b.key, b.v - sen.sv * CAST(b.x AS DOUBLE) AS bv
+        |  FROM b JOIN sen ON sen.key = b.key),
+        |bir AS (
+        |  SELECT key, bv,
+        |    row_number() OVER (PARTITION BY key ORDER BY bv ASC) AS r,
+        |    count(*) OVER (PARTITION BY key) AS m
+        |  FROM bi),
+        |ic AS (
+        |  SELECT key, bv AS iv FROM bir
+        |  WHERE r = greatest(1, CAST(ceil(m * 0.5) AS BIGINT)))
+        |SELECT np.key, np.n,
+        |  CASE WHEN np.n < 2 THEN NULL
+        |    ELSE sign(sv) * (floor(abs(sv) * 1e6) / 1e6) + 0.0 END AS slope,
+        |  CASE WHEN np.n < 2 THEN NULL
+        |    ELSE sign(iv) * (floor(abs(iv) * 1e6) / 1e6) + 0.0 END AS intercept,
+        |  (np.n < 2) AS degenerate
+        |FROM np LEFT JOIN sen ON sen.key = np.key
+        |        LEFT JOIN ic ON ic.key = np.key
+        |ORDER BY np.key""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Stats.theilSen(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"))
+        .orderBy("key")
+    },
+
     // C85: SPRT early-stopping over hourly per-type "busy hour"
     // indicators — cumulative LLR walk on exact 7-dp decimal lanes,
     // increments and bounds Scala-computed once and shared as

@@ -287,6 +287,78 @@ class BehaviorSpec extends SparkSpec {
     assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
   }
 
+  test("holtWintersChart: hand-walked period-2 integer lanes; seasonal ring; key isolation") {
+    import graft.operators.Stats
+    // v = [10, 0, 10, 0], p=2, α=β=γ=1/2, hand-walked micro-lanes:
+    // t2: s=5e6 b=-2.5e6 c=-2.5e6 resid=-10; t3: s=6.25e6 b=-0.625e6
+    // c=1.875e6 resid=7.5; t4: s=4.0625e6 b=-1.40625e6 c=-3.28125e6
+    // resid=-3.125 (cprev = the t2 seasonal — the RING, not the last c)
+    val d = (Seq.tabulate(4)(i => ("k", i.toLong, if (i % 2 == 0) 10.0 else 0.0))
+      ++ Seq(("solo", 0L, 7.0))).toDF("g", "x", "v")
+    val rows = Stats.holtWintersChart(d, col("g"), col("x"), col("v"),
+      period = 2, alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 2,
+      gammaNum = 1, gammaDen = 2, band = 2.0)
+      .orderBy("key", "bucket").collect()
+    val k = rows.filter(_.getString(0) == "k")
+    assert(k(0).getAs[Double]("level") == 10.0 && k(0).isNullAt(k(0).fieldIndex("resid")))
+    assert(k(1).getAs[Double]("level") == 5.0 && k(1).getAs[Double]("trend") == -2.5
+      && k(1).getAs[Double]("seasonal") == -2.5 && k(1).getAs[Double]("resid") == -10.0
+      && k(1).getAs[Boolean]("alarm"), k(1).toString)
+    assert(k(2).getAs[Double]("level") == 6.25 && k(2).getAs[Double]("trend") == -0.625
+      && k(2).getAs[Double]("seasonal") == 1.875 && k(2).getAs[Double]("resid") == 7.5,
+      k(2).toString)
+    assert(k(3).getAs[Double]("level") == 4.0625 && k(3).getAs[Double]("trend") == -1.40625
+      && k(3).getAs[Double]("seasonal") == -3.28125 && k(3).getAs[Double]("resid") == -3.125,
+      k(3).toString)
+    // key isolation: the singleton key restarts state
+    val solo = rows.filter(_.getString(0) == "solo").head
+    assert(solo.getAs[Double]("level") == 7.0 && solo.isNullAt(solo.fieldIndex("resid")))
+  }
+
+  test("bestChangepoint: exact argmax on a planted step; minSeg bounds; short-series degenerate") {
+    import graft.operators.Stats
+    // [0,0,0,10,10,10]: gain peaks at k=3 with 150.0 (micro²/1e12 =
+    // value² units); means 0 / 10 exact
+    val d = (Seq.tabulate(6)(i => ("k", (i + 1).toLong, if (i < 3) 0.0 else 10.0))
+      ++ Seq(("tiny", 1L, 1.0), ("tiny", 2L, 9.0), ("tiny", 3L, 9.0))).toDF("g", "x", "v")
+    val rows = Stats.bestChangepoint(d, col("g"), col("x"), col("v"), minSeg = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getAs[Long]("n") == 6L && k.getAs[Long]("split_x") == 3L
+      && k.getAs[Long]("n_left") == 3L, k.toString)
+    assert(k.getAs[Double]("mean_left") == 0.0 && k.getAs[Double]("mean_right") == 10.0)
+    assert(k.getAs[Double]("gain") == 150.0, k.toString)
+    assert(!k.getAs[Boolean]("degenerate"))
+    // n=3 < 2·minSeg: no admissible split
+    val tiny = rows("tiny")
+    assert(tiny.isNullAt(tiny.fieldIndex("split_x")) && tiny.getAs[Double]("gain") == 0.0
+      && tiny.getAs[Boolean]("degenerate"), tiny.toString)
+  }
+
+  test("theilSen: outlier-robust slope and intercept; degenerate singleton; guard throws") {
+    import graft.operators.Stats
+    // v = 2x + 5 with one wild outlier: OLS would bend, Theil-Sen
+    // reports slope=2 intercept=5 exactly (median rank picks)
+    val d = (Seq((0L, 5.0), (1L, 7.0), (2L, 9.0), (3L, 100.0), (4L, 13.0))
+      .map { case (x, v) => ("k", x, v) } ++ Seq(("one", 0L, 3.0))).toDF("g", "x", "v")
+    val rows = Stats.theilSen(d, col("g"), col("x"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getAs[Double]("slope") == 2.0 && k.getAs[Double]("intercept") == 5.0,
+      k.toString)
+    val one = rows("one")
+    assert(one.isNullAt(one.fieldIndex("slope")) && one.getAs[Boolean]("degenerate"))
+    // quadratic-pair guard fails loudly past senMaxN
+    val big = Seq.tabulate(51)(i => ("k", i.toLong, i.toDouble)).toDF("g", "x", "v")
+    val ex = intercept[Exception] {
+      Stats.theilSen(big, col("g"), col("x"), col("v"), senMaxN = 50L).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    assert(rootMsg(ex).contains("senMaxN"), rootMsg(ex).take(400))
+  }
+
   test("gamesHowell: hand-computed q and Welch-Satterthwaite dof; degenerate pair flags") {
     import graft.operators.Stats
     // a={1,3}: mean 2, s²=2, v=1; b={10,14}: mean 12, s²=8, v=4
