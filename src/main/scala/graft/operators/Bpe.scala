@@ -181,4 +181,55 @@ object Bpe {
         coalesce(col("sym_id"), lit(unkId)).as("sym_id"),
         col("sym_id").isNull.as("is_unk"))
   }
+
+  /** D132: tokenizer ID round-trip audit under a BOUNDED vocabulary —
+    * the coverage question a fixed id budget forces: real model feeds
+    * cap the symbol table, and every symbol that misses the cut
+    * encodes as `unk`, so decode(encode(w)) ≠ w for any word carrying
+    * one. A word round-trips exactly iff ALL its segmentation symbols
+    * sit inside the top-`vocabSize` symbols by occurrence-weighted
+    * corpus frequency (tie-break: freq DESC, symbol ASC —
+    * deterministic); segmentation itself always concatenates back
+    * (it partitions the word), so the unk id IS the only lossy step.
+    *
+    * Shape at scale: one tokenize pass → per-(group, word) occurrence
+    * counts; segmentation + the lossy flag are computed on the
+    * DISTINCT-WORD frame only (corpus-vocabulary-bounded, the
+    * [[segment]] join discipline) and joined back; the symbol ranking
+    * is one partial-agg over exploded distinct-word symbols weighted
+    * by occurrences. Returns (key, n_words, n_lossy_words, fidelity)
+    * — fidelity = 1 − lossy/total, 4-dp floor (non-negative).
+    */
+  def roundTrip(df: DataFrame, group: Column, text: Column,
+      lexicon: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val words = scaleOut(df.select(group.cast("string").as("key"), text.as("__t")))
+      .select(col("key"), explode(tokens(col("__t"))).as("w"))
+    val occ = words.groupBy("key", "w").agg(count(lit(1)).as("n_occ"))
+    val lex = lexicon.select(col("w"), col("syms"))
+    val seg = occ.select("w").distinct()
+      .join(lex, Seq("w"), "left")
+      .select(col("w"),
+        split(coalesce(col("syms"),
+          concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" " + EndOfWord))),
+          " ").as("__syms"))
+    val wOcc = occ.groupBy("w").agg(sum(col("n_occ")).as("__w_occ"))
+    val topK = seg.join(wOcc, Seq("w"))
+      .select(explode(col("__syms")).as("sym"), col("__w_occ"))
+      .groupBy("sym").agg(sum(col("__w_occ")).as("__freq"))
+      .orderBy(col("__freq").desc, col("sym").asc)
+      .limit(vocabSize)
+      .select(col("sym"), lit(1L).as("__in"))
+    val lossy = seg.select(col("w"), explode(col("__syms")).as("sym"))
+      .join(broadcast(topK), Seq("sym"), "left")
+      .groupBy("w")
+      .agg(max(when(col("__in").isNull, 1L).otherwise(0L)).as("__lossy"))
+    occ.join(lossy, Seq("w"))
+      .groupBy("key")
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("__lossy") * col("n_occ")).as("n_lossy_words"))
+      .select(col("key"), col("n_words"), col("n_lossy_words"),
+        (floor((lit(1.0) - col("n_lossy_words").cast("double")
+          / col("n_words").cast("double")) * 1e4) / 1e4).as("fidelity"))
+  }
 }

@@ -1923,4 +1923,49 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
+
+  /** D131: sorted-neighborhood (SNM) near-dup candidates — the
+    * SORT-based blocking family next to the hash-based ones (MinHash
+    * bands D2, SimHash chunks D3, embedding buckets D5b): sort on a
+    * normalized key, compare each record only against its next
+    * `window − 1` neighbors, flag pairs within `maxDist` edits. The
+    * classic entity-resolution move when hash blocking is too coarse
+    * for SHORT records (titles, addresses) whose near-dups differ by
+    * a few characters and so share sort-order neighborhoods.
+    *
+    * Shape at scale: records partition by a `blockPrefix`-char prefix
+    * of the key and sort WITHIN blocks (keyed windows — never a
+    * single-partition global sort), then `window − 1` lead() columns
+    * make O(n·window) candidate pairs. Pairs straddling a block
+    * boundary are forfeited by contract — the standard multi-pass SNM
+    * answer (re-run with a different key) applies, and the honest
+    * alternative (a global sort) is a deliberate caller choice via
+    * blockPrefix = 0 only at sizes where one partition holds the data.
+    * Levenshtein runs once per candidate (codegen'd), never all-pairs.
+    * Returns (id_a, id_b, dist) with id_a the sort-order predecessor.
+    */
+  def sortedNeighbors(df: DataFrame, id: Column, sortKey: Column,
+      window: Int = 4, maxDist: Int = 5, blockPrefix: Int = 1): DataFrame = {
+    require(window >= 2, "window must be >= 2 (w-1 neighbors per record)")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(blockPrefix >= 0, "blockPrefix must be >= 0 (0 = one global block)")
+    val t = df.select(id.cast("long").as("id"), sortKey.cast("string").as("sk"))
+      .filter(col("id").isNotNull && col("sk").isNotNull)
+      .withColumn("__blk",
+        if (blockPrefix == 0) lit("") else substring(col("sk"), 1, blockPrefix))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__blk").orderBy(col("sk").asc, col("id").asc)
+    val neighborCols = (1 until window).map(i =>
+      struct(lead(col("id"), i).over(w).as("id_b"),
+        lead(col("sk"), i).over(w).as("sk_b")))
+    // two projections: a generator (explode) can't share an operator
+    // with window expressions — materialize the lead array first
+    t.select(col("id").as("id_a"), col("sk").as("sk_a"),
+        array(neighborCols: _*).as("__ns"))
+      .select(col("id_a"), col("sk_a"), explode(col("__ns")).as("__p"))
+      .filter(col("__p.id_b").isNotNull)
+      .select(col("id_a"), col("__p.id_b").as("id_b"),
+        levenshtein(col("sk_a"), col("__p.sk_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -253,6 +253,60 @@ object Similarity {
         col("id").as("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** D133: margin-based bitext match scoring (Artetxe & Schwenk,
+    * ACL'19) — the cross-lingual pair-mining criterion raw cosine
+    * can't give: hubness vectors are near EVERYTHING, so a candidate
+    * only counts if it beats its own neighborhood,
+    *
+    *   margin(x, y) = cos(x, y) / ((Σ_{z∈NNₖ(x)} cos + Σ_{z∈NNₖ(y)} cos) / 2k)
+    *
+    * and each source keeps its best target only when margin ≥
+    * `minMargin` (ratio margin; 1.0 = "beats the average neighbor").
+    * This tier scores the FULL bipartite product — the exact oracle
+    * baseline, [[bruteForceTopK]]'s class; at corpus scale the
+    * candidate set comes from the ANN ladder (D7/D7b/D57) and this
+    * same scoring applies per candidate set. Determinism: cosines are
+    * shared IEEE doubles; the k-NN SETS pin membership by (6-dp
+    * sim, id) ranks; neighborhood sums run on floor(cos·1e7) integer
+    * lanes so the average never depends on float reduction order; the
+    * pick ranks (6-dp margin, id). Degenerate neighborhoods
+    * (non-positive denominator) are excluded. Returns
+    * (src_id, tgt_id, cos_sim, margin), one row per matched source.
+    */
+  def marginMatch(
+      src: DataFrame, tgt: DataFrame,
+      srcId: Column, srcVec: Column,
+      tgtId: Column, tgtVec: Column,
+      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val s = src.select(srcId.as("src_id"), srcVec.as("sv"))
+    val t = tgt.select(tgtId.as("tgt_id"), tgtVec.as("tv"))
+    val scored = s.crossJoin(broadcast(t))
+      .withColumn("cs", cosine(col("sv"), col("tv")))
+      .withColumn("__sim_key", round(col("cs"), 6))
+      .withColumn("__cs7", floor(col("cs") * 1e7).cast("long"))
+      .select("src_id", "tgt_id", "cs", "__sim_key", "__cs7")
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("__sim_key").desc, col("tgt_id").asc)
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("__sim_key").desc, col("src_id").asc)
+    val nnS = scored.withColumn("__r", row_number().over(wS))
+      .filter(col("__r") <= k).groupBy("src_id").agg(sum(col("__cs7")).as("__sx"))
+    val nnT = scored.withColumn("__r", row_number().over(wT))
+      .filter(col("__r") <= k).groupBy("tgt_id").agg(sum(col("__cs7")).as("__sy"))
+    val denom = (col("__sx") + col("__sy")).cast("double") / (2.0 * k * 1e7)
+    val wPick = Window.partitionBy("src_id")
+      .orderBy(round(col("margin"), 6).desc, col("tgt_id").asc)
+    scored.join(nnS, Seq("src_id")).join(nnT, Seq("tgt_id"))
+      .withColumn("__denom", denom)
+      .filter(col("__denom") > 0.0)
+      .withColumn("margin", col("cs") / col("__denom"))
+      .withColumn("__rank", row_number().over(wPick))
+      .filter(col("__rank") === 1 && col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cs"), 4).as("cos_sim"), round(col("margin"), 4).as("margin"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
     * candidate lists — THE hybrid-retrieval merge (BM25 ⊕ dense cosine
     * ⊕ freshness prior …): score(d) = Σ_lists 1/(k0 + rank_list(d)),

@@ -1004,6 +1004,48 @@ object CurationQueries {
         .orderBy("doc_id", "word_pos", "sym_pos")
     },
 
+    // D132: bounded-vocab ID round-trip audit — with the symbol table
+    // capped at 28 (chars + only the hottest merges survive the cut),
+    // genuinely lossy words appear and the per-source fidelity is a
+    // real coverage number, not a tautology. Oracle: the same 10-round
+    // lexicon replay, occurrence-weighted symbol ranking (freq DESC,
+    // sym ASC), word-level any-unk flag on the distinct-word frame.
+    Q(
+      "q_bpe_roundtrip",
+      s"""${bpeLexiconCte(10)},
+         |dw AS (
+         |  SELECT source AS key, unnest(${tkSql("text")}) AS w FROM documents),
+         |occ AS (SELECT key, w, CAST(count(*) AS BIGINT) AS n_occ
+         |        FROM dw GROUP BY 1, 2),
+         |segd AS (
+         |  SELECT d.w, string_split(coalesce(l.syms,
+         |    trim(regexp_replace(d.w, '(.)', '\\1 ', 'g')) || ' </w>'), ' ') AS symlist
+         |  FROM (SELECT DISTINCT w FROM occ) d LEFT JOIN lexicon l ON d.w = l.w),
+         |wocc AS (SELECT w, sum(n_occ) AS w_occ FROM occ GROUP BY 1),
+         |symfreq AS (
+         |  SELECT sym, sum(w_occ) AS freq FROM (
+         |    SELECT s.w, unnest(s.symlist) AS sym FROM segd s) e
+         |  JOIN wocc ON e.w = wocc.w
+         |  GROUP BY 1),
+         |topk AS (SELECT sym FROM symfreq ORDER BY freq DESC, sym ASC LIMIT 28),
+         |lossy AS (
+         |  SELECT e.w, max(CASE WHEN t.sym IS NULL THEN 1 ELSE 0 END) AS lossy
+         |  FROM (SELECT w, unnest(symlist) AS sym FROM segd) e
+         |  LEFT JOIN topk t ON e.sym = t.sym
+         |  GROUP BY 1)
+         |SELECT occ.key, CAST(sum(n_occ) AS BIGINT) AS n_words,
+         |  CAST(sum(lossy * n_occ) AS BIGINT) AS n_lossy_words,
+         |  floor((1 - CAST(sum(lossy * n_occ) AS DOUBLE)
+         |    / CAST(sum(n_occ) AS DOUBLE)) * 1e4) / 1e4 AS fidelity
+         |FROM occ JOIN lossy ON occ.w = lossy.w
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val (_, lexicon) = Bpe.trainModel(d.select(col("text")), col("text"), numMerges = 10)
+      Bpe.roundTrip(d, col("source"), col("text"), lexicon, vocabSize = 28)
+        .orderBy("key")
+    },
+
     // D128: WordPiece tokenization — the third tokenizer family next
     // to BPE (D41) and unigram-LM (D96): frequency-ranked subword
     // vocabulary (all single chars per alignment class + top-200

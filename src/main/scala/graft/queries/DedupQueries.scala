@@ -1193,6 +1193,56 @@ object DedupQueries {
         .orderBy("query_id", "rank")
     },
 
+    // D133: margin-based bitext match scoring (ratio margin, k=4) —
+    // even vec_ids play source, odd play target; a source only keeps
+    // its best target when the cosine beats both neighborhoods'
+    // average (the hubness correction raw cosine lacks). Neighborhood
+    // sums replay on floor(cos·1e7) integer lanes so no float
+    // reduction order leaks into the hash.
+    Q(
+      "q_bitext_margin",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+        |t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
+        |sc AS (
+        |  SELECT src_id, tgt_id, list_cosine_similarity(sv, tv) AS cs,
+        |    CAST(floor(list_cosine_similarity(sv, tv) * 1e7) AS BIGINT) AS cs7
+        |  FROM s, t),
+        |nns AS (
+        |  SELECT src_id, sum(cs7) AS sx FROM (
+        |    SELECT src_id, cs7, row_number() OVER (PARTITION BY src_id
+        |      ORDER BY round(cs, 6) DESC, tgt_id ASC) AS r
+        |    FROM sc) WHERE r <= 4 GROUP BY 1),
+        |nnt AS (
+        |  SELECT tgt_id, sum(cs7) AS sy FROM (
+        |    SELECT tgt_id, cs7, row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY round(cs, 6) DESC, src_id ASC) AS r
+        |    FROM sc) WHERE r <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT sc.src_id, sc.tgt_id, cs,
+        |    cs / (CAST(sx + sy AS DOUBLE) / 80000000.0) AS margin
+        |  FROM sc JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
+        |  WHERE CAST(sx + sy AS DOUBLE) / 80000000.0 > 0.0),
+        |r AS (
+        |  SELECT src_id, tgt_id, cs, margin,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY round(margin, 6) DESC, tgt_id ASC) AS rank
+        |  FROM m)
+        |SELECT src_id, tgt_id, round(cs, 4) AS cos_sim, round(margin, 4) AS margin
+        |FROM r WHERE rank = 1 AND margin >= 1.0
+        |ORDER BY src_id""".stripMargin
+    ) { (s, dir) =>
+      val e = table(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.marginMatch(
+          src = e.filter(col("vec_id") % 2 === 0),
+          tgt = e.filter(col("vec_id") % 2 === 1),
+          srcId = col("vec_id"), srcVec = col("v"),
+          tgtId = col("vec_id"), tgtVec = col("v"),
+          k = 4, minMargin = 1.0)
+        .orderBy("src_id")
+    },
+
     // D7c: MULTI-PROBE LSH ANN — queries probe their bucket plus every
     // Hamming-1 neighbor bucket (one flipped sign bit); the corpus
     // index stays one-bucket-per-vector. The oracle replays the SAME
@@ -1990,6 +2040,45 @@ object DedupQueries {
       Dedup.editDistancePairs(u, col("id"), col("t"),
           block = substring(col("t"), -4, 4), maxDist = 2)
         .withColumn("dist", col("dist").cast("int"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // D131: sorted-neighborhood near-dup candidates — the SORT-based
+    // blocking alternative to D34's equality blocks: the same planted
+    // mid-string substitution, but sorted on the REVERSED name (the
+    // preserved suffix becomes a shared prefix, so each planted twin
+    // is its original's immediate sort neighbor) and compared only
+    // against the next 3 records per 1-char block. The oracle replays
+    // the window semantics with row_number offsets.
+    Q(
+      "q_dedup_snm",
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_name AS t FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    substr(c_name, 1, 5) || 'X' || substr(c_name, 7)
+        |  FROM customer),
+        |d AS (SELECT id, reverse(t) AS sk FROM u),
+        |b AS (
+        |  SELECT id, sk, substr(sk, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substr(sk, 1, 1)
+        |      ORDER BY sk, id) AS rn
+        |  FROM d),
+        |p AS (
+        |  SELECT a.id AS id_a, b2.id AS id_b,
+        |    CAST(levenshtein(a.sk, b2.sk) AS BIGINT) AS dist
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND b2.rn - a.rn BETWEEN 1 AND 3)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val u = c.select(col("c_custkey").as("id"), col("c_name").as("t"))
+        .unionByName(c.select(
+          (col("c_custkey") + 1000000).as("id"),
+          concat(substring(col("c_name"), 1, 5), lit("X"),
+            substring(col("c_name"), 7, 1000000)).as("t")))
+      Dedup.sortedNeighbors(u, col("id"), reverse(col("t")),
+          window = 4, maxDist = 2, blockPrefix = 1)
         .orderBy("id_a", "id_b")
     },
 

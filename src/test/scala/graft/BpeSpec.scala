@@ -139,4 +139,25 @@ class BpeSpec extends SparkSpec {
     // are no adjacent pairs left and the loop must stop early
     assert(a.nonEmpty && a.size < 50)
   }
+
+  test("roundTrip: bounded vocab marks exactly the words carrying cut symbols") {
+    // hand lexicon: aa merged, bb/zz character-fallback. Weighted
+    // symbol freq: </w>=5, aa=3, b=2, z=2 — vocabSize=3 keeps
+    // {</w>, aa, b} (freq DESC, sym ASC tiebreak puts b before z),
+    // so zz is the ONLY lossy word.
+    val docs = Seq(("g1", "aa aa bb"), ("g2", "aa zz")).toDF("g", "text")
+    val lexicon = Seq(("aa", "aa </w>"), ("bb", "b b </w>")).toDF("w", "syms")
+    val rows = Bpe.roundTrip(docs, col("g"), col("text"), lexicon, vocabSize = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = rows("g1")
+    assert(g1.getAs[Long]("n_words") == 3L && g1.getAs[Long]("n_lossy_words") == 0L
+      && g1.getAs[Double]("fidelity") == 1.0, g1.toString)
+    val g2 = rows("g2")
+    assert(g2.getAs[Long]("n_words") == 2L && g2.getAs[Long]("n_lossy_words") == 1L
+      && g2.getAs[Double]("fidelity") == 0.5, g2.toString)
+    // a big-enough vocab makes every word clean (the bound IS the loss)
+    val full = Bpe.roundTrip(docs, col("g"), col("text"), lexicon, vocabSize = 10)
+      .collect()
+    assert(full.forall(_.getAs[Long]("n_lossy_words") == 0L))
+  }
 }

@@ -1391,4 +1391,48 @@ class DedupSpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(same.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
+
+  test("sortedNeighbors: window-bounded pairs per block; cross-block pairs forfeited") {
+    val d = Seq(
+      (1L, "apple"), (2L, "applf"), (3L, "apricot"),
+      (4L, "banana"), (5L, "bananz"), (6L, "bzzzzz")).toDF("id", "sk")
+    // window=2: only immediate sort neighbors within the 1-char block
+    val w2 = Dedup.sortedNeighbors(d, col("id"), col("sk"),
+      window = 2, maxDist = 1, blockPrefix = 1)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w2.toSeq == Seq((1L, 2L, 1L), (4L, 5L, 1L)), w2.mkString(","))
+    // window=3 reaches the second neighbor too (apple->apricot dist > 1
+    // still filtered; raise maxDist to see it)
+    val w3 = Dedup.sortedNeighbors(d, col("id"), col("sk"),
+      window = 3, maxDist = 10, blockPrefix = 1)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(w3.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)),
+      w3.mkString(","))
+    // cross-block pair (apricot, banana) never appears even at huge
+    // maxDist — the documented forfeit
+    assert(!w3.contains((3L, 4L)))
+    // blockPrefix=0: one global block (the deliberate small-data mode)
+    val g = Dedup.sortedNeighbors(d, col("id"), col("sk"),
+      window = 2, maxDist = 10, blockPrefix = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.contains((3L, 4L)))
+  }
+
+  test("marginMatch: hand-computed ratio margins; hub correction; degenerate denominator excluded") {
+    val src = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0))).toDF("id", "v")
+    val tgt = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.6, 0.8)),
+      (3L, Array(0.0, 1.0))).toDF("id", "v")
+    // k=1: NN(10)=1 (cos 1), NN(1)=10 -> margin(10,1) = 1 / ((1e7+1e7)/2e7) = 1.0
+    //      margin(10,2) = 0.6 / ((1e7 + 8e6)/2e7) = 0.6/0.9 < 1 -> pick (10,1)
+    val rows = Similarity.marginMatch(src, tgt, col("id"), col("v"),
+      col("id"), col("v"), k = 1, minMargin = 1.0)
+      .orderBy("src_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 1L), (20L, 3L)), rows.mkString(","))
+    assert(rows.forall(r => r.getAs[Double]("margin") == 1.0
+      && r.getAs[Double]("cos_sim") == 1.0), rows.mkString(","))
+    // raising minMargin above the best margin empties the match set
+    assert(Similarity.marginMatch(src, tgt, col("id"), col("v"),
+      col("id"), col("v"), k = 1, minMargin = 1.5).count() == 0L)
+  }
 }
