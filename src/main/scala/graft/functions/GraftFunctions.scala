@@ -119,6 +119,12 @@ object GraftFunctions {
         case Seq(text) => DeflateLen(asString(text))
         case _ => throw new IllegalArgumentException("deflate_len(text)")
       }),
+    ("lcs_len",
+      new ExpressionInfo(classOf[LcsLen].getName, "lcs_len"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => LcsLen(asStringArray(a), asStringArray(b))
+        case _ => throw new IllegalArgumentException("lcs_len(cand_tokens, ref_tokens)")
+      }),
     ("chrf_stats",
       new ExpressionInfo(classOf[ChrFStats].getName, "chrf_stats"),
       (args: Seq[Expression]) => args match {

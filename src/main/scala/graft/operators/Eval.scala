@@ -540,6 +540,47 @@ object Eval {
       Num.t4floor(f2).as("chrf2"))
   }
 
+  /** D134: ROUGE-L — the LCS-based member completing the
+    * text-similarity eval family ([[chrF]] counts character grams,
+    * [[ngramOverlap]] counts word grams; ROUGE-L rewards IN-ORDER
+    * agreement without requiring contiguity, the standard
+    * summarization score):
+    *
+    *   P = LCS/|cand|, R = LCS/|ref|, F = 2PR/(P+R)
+    *
+    * Candidate and reference live on the same row, so the whole
+    * computation is one shuffle-free projection over the
+    * [[graft.functions.LcsLen]] Catalyst Expression (rolling-row
+    * O(n·m) DP per row). `maxTokens` bounds the quadratic kernel —
+    * sentence/summary-level ROUGE by contract; both sides slice to
+    * the first maxTokens tokens of the SHARED tokenizer, so the
+    * oracle's DP replays on identical token arrays. Empty sides score
+    * NULL precision/recall (unmeasurable, the chrF convention), LCS
+    * 0. Returns (id, n_cand, n_ref, lcs, rouge_p, rouge_r, rouge_lf),
+    * ratios 4-dp floored from exact integer inputs.
+    */
+  def rougeL(df: DataFrame, id: Column, candidate: Column,
+      reference: Column, maxTokens: Int = 64): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    val base = scaleOut(df.select(id.as("id"), candidate.as("__c0"),
+        reference.as("__r0")))
+      .select(col("id"),
+        slice(graft.functions.tokens(col("__c0")), 1, maxTokens).as("__ct"),
+        slice(graft.functions.tokens(col("__r0")), 1, maxTokens).as("__rt"))
+      .withColumn("__lcs",
+        graft.functions.LcsLen.lcsLen(col("__ct"), col("__rt")))
+    val nC = size(col("__ct")).cast("long")
+    val nR = size(col("__rt")).cast("long")
+    val p = when(nC > 0, col("__lcs").cast("double") / nC.cast("double"))
+    val r = when(nR > 0, col("__lcs").cast("double") / nR.cast("double"))
+    val f = when(p.isNotNull && r.isNotNull,
+      when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)))
+    base.select(col("id"), nC.as("n_cand"), nR.as("n_ref"),
+      col("__lcs").as("lcs"),
+      Num.t4floor(p).as("rouge_p"), Num.t4floor(r).as("rouge_r"),
+      Num.t4floor(f).as("rouge_lf"))
+  }
+
   /** Wilson score interval per group — the closed-form binomial CI
     * for pass/win/violation RATES ([[bootstrapCI]] covers means of
     * arbitrary values at B-resamples cost; a rate deserves the exact

@@ -261,6 +261,68 @@ object EvalQueries {
         .orderBy("id")
     },
 
+    // D134: ROUGE-L — reference = the doc, candidate = the doc with
+    // every 4th token substituted (in-order agreement survives, the
+    // substitutions cost LCS). The oracle replays the rolling-row DP
+    // as a recursive CTE carrying the dp row as a list, with the
+    // inner j-loop flattened through the prefix-max identity
+    // dp'[j] = max(dp[j], max_{k≤j}(dp[k−1] + eq(i,k))).
+    Q(
+      "q_rouge_l",
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents WHERE doc_id < 100),
+         |p AS (
+         |  SELECT doc_id AS pid,
+         |    list_transform(tk, (t, i) ->
+         |      CASE WHEN i % 4 = 0 THEN 'x' ELSE t END)[1:24] AS ca,
+         |    tk[1:24] AS cb
+         |  FROM d0),
+         |dp(pid, i, row) AS (
+         |  SELECT pid, 0, list_transform(range(0, len(cb) + 1), x -> CAST(0 AS BIGINT))
+         |  FROM p
+         |  UNION ALL
+         |  SELECT q.pid AS pid, d.i + 1 AS i,
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(q.cb) + 1), j ->
+         |        greatest(d.row[j + 1],
+         |          list_max(list_transform(range(1, j + 1), k ->
+         |            d.row[k] + CASE WHEN q.ca[d.i + 1] = q.cb[k]
+         |              THEN 1 ELSE 0 END))))) AS row
+         |  FROM dp d JOIN p q ON q.pid = d.pid AND d.i < len(q.ca)),
+         |lc AS (
+         |  SELECT d.pid, len(q.ca) AS n_cand, len(q.cb) AS n_ref,
+         |    d.row[len(q.cb) + 1] AS lcs
+         |  FROM dp d JOIN p q ON q.pid = d.pid AND d.i = len(q.ca))
+         |SELECT pid AS id, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_ref AS BIGINT) AS n_ref, CAST(lcs AS BIGINT) AS lcs,
+         |  CASE WHEN n_cand > 0
+         |    THEN floor(CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE) * 1e4) / 1e4
+         |    END AS rouge_p,
+         |  CASE WHEN n_ref > 0
+         |    THEN floor(CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE) * 1e4) / 1e4
+         |    END AS rouge_r,
+         |  CASE WHEN n_cand > 0 AND n_ref > 0 THEN
+         |    CASE WHEN CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE)
+         |           + CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE) > 0.0
+         |      THEN floor(2.0 * (CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE))
+         |        * (CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE))
+         |        / (CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE)
+         |          + CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE)) * 1e4) / 1e4
+         |      ELSE 0.0 END
+         |    END AS rouge_lf
+         |FROM lc ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+      val cand = array_join(
+        transform(graft.functions.tokens(col("text")),
+          (t, i) => when((i + 1) % 4 === 0, lit("x")).otherwise(t)),
+        " ")
+      val pairs = d.select(col("doc_id").as("id"),
+        cand.as("cand"), col("text").as("ref"))
+      Eval.rougeL(pairs, col("id"), col("cand"), col("ref"), maxTokens = 24)
+        .orderBy("id")
+    },
+
     // D90: unbiased pass@k (k = 4) per problem from sampled attempts.
     Q(
       "q_pass_at_k",

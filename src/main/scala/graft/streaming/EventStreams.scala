@@ -1242,6 +1242,83 @@ object EventStreams {
       }
   }
 
+  case class HwState(sMicro: Long, bMicro: Long, cs: Seq[Long], idx: Int,
+      started: Boolean)
+
+  case class HwOut(key: String, bucket: Long, value_micro: Long,
+      level_micro: Long, trend_micro: Long, seasonal_micro: Long,
+      resid_micro: Option[Long], alarm: Boolean)
+
+  /** E43: streaming Holt-Winters additive seasonal chart — the live
+    * twin of [[graft.operators.Stats.holtWintersChart]] and E40's
+    * seasonal sibling: per key the state is level + trend + the
+    * p-slot seasonal RING (O(p) longs on the exact 1e6 micro-lanes)
+    * plus the phase cursor; each finalized bucket scores its residual
+    * against level+trend+c_{t−p}, then all three lanes advance with
+    * the SAME rational-α/β/γ truncating divisions and zero-seasonal
+    * init as batch, so the emitted walk equals batch row for row
+    * (spec across a split landing mid-cycle). E26/E34 ordering
+    * contract; no watermark — feed FINALIZED buckets. Phase is
+    * row-based, so the dense-grid contract of the batch twin applies
+    * per key ACROSS batches too.
+    */
+  def holtWintersStream(buckets: DataFrame, period: Int,
+      alphaNum: Int = 1, alphaDen: Int = 4,
+      betaNum: Int = 1, betaDen: Int = 4,
+      gammaNum: Int = 1, gammaDen: Int = 4,
+      band: Double = 2.0): Dataset[HwOut] = {
+    require(period >= 2, "period must be >= 2 (a 1-period season is a level)")
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0, 1]")
+    require(betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      "beta = betaNum/betaDen must be in (0, 1]")
+    require(gammaDen > 0 && gammaNum > 0 && gammaNum <= gammaDen,
+      "gamma = gammaNum/gammaDen must be in (0, 1]")
+    implicit val inEnc = Encoders.product[EwmaIn]
+    implicit val outEnc = Encoders.product[HwOut]
+    implicit val stEnc = Encoders.product[HwState]
+    implicit val strEnc = Encoders.STRING
+    val bandMicro = math.round(band * 1e6)
+    val (aN, aD) = (alphaNum.toLong, alphaDen.toLong)
+    val (bN, bD) = (betaNum.toLong, betaDen.toLong)
+    val (gN, gD) = (gammaNum.toLong, gammaDen.toLong)
+    val p = period
+    buckets.select(col("key").cast("string").as("key"),
+        col("b").cast("long").as("b"),
+        org.apache.spark.sql.functions.round(col("v").cast("double") * 1e6)
+          .cast("long").as("vMicro"))
+      .filter(col("key").isNotNull && col("b").isNotNull
+        && col("vMicro").isNotNull)
+      .as[EwmaIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[EwmaIn], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0L, 0L, Vector.fill(p)(0L), 0, started = false))
+          val out = rows.toSeq.sortBy(_.b).map { r =>
+            if (!st.started) {
+              st = HwState(r.vMicro, 0L, Vector.fill(p)(0L), 1 % p, started = true)
+              HwOut(key, r.b, r.vMicro, r.vMicro, 0L, 0L, None, alarm = false)
+            } else {
+              val cPrev = st.cs(st.idx)
+              val forecast = st.sMicro + st.bMicro + cPrev
+              val resid = r.vMicro - forecast
+              val alarm = math.abs(resid) > bandMicro
+              val sNew = (aN * (r.vMicro - cPrev)
+                + (aD - aN) * (st.sMicro + st.bMicro)) / aD
+              val bNew = (bN * (sNew - st.sMicro) + (bD - bN) * st.bMicro) / bD
+              val cNew = (gN * (r.vMicro - sNew) + (gD - gN) * cPrev) / gD
+              st = HwState(sNew, bNew, st.cs.updated(st.idx, cNew),
+                (st.idx + 1) % p, started = true)
+              HwOut(key, r.b, r.vMicro, sNew, bNew, cNew, Some(resid), alarm)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class GapIn(key: String, t: Long, tb: Long)
 
   case class GapState(lastT: Long, lastTb: Long)

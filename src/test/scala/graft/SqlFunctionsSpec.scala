@@ -230,4 +230,28 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT freq_estimate(freq_sketch(x, 64), '7') AS e " +
         "FROM (SELECT id % 10 AS x FROM range(100))").as[Long].head() == 10L)
   }
+
+  test("lcs_len SQL name matches the Column API; hand-computed LCS incl. NULL/empty sides") {
+    import graft.functions.LcsLen.lcsLen
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "b", "d", "a", "b"), Seq("b", "d", "c", "a", "b", "a")),
+      (2L, Seq("x", "y"), Seq("y", "x")),
+      (3L, Seq("a", "a", "a"), Seq("a", "a")),
+      (4L, Seq.empty[String], Seq("a")),
+      (5L, Seq("same", "exact", "run"), Seq("same", "exact", "run")))
+      .toDF("id", "ca", "cb")
+    val viaCol = df.select($"id", lcsLen($"ca", $"cb").as("l"))
+      .as[(Long, Long)].collect().toMap
+    // classic textbook case: LCS(abcbdab, bdcaba) = 4
+    assert(viaCol == Map(1L -> 4L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 3L), viaCol)
+    df.createOrReplaceTempView("t_lcs")
+    val viaSql = spark.sql("SELECT id, lcs_len(ca, cb) AS l FROM t_lcs")
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaCol)
+    // NULL side counts as empty, never NULLs the output
+    val n = Seq((9L, null.asInstanceOf[Seq[String]], Seq("a")))
+      .toDF("id", "ca", "cb")
+      .select(lcsLen($"ca", $"cb")).as[Long].head()
+    assert(n == 0L)
+  }
 }

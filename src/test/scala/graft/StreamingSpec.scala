@@ -1447,6 +1447,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E43 holtWintersStream: level+trend+seasonal-ring walk equals batch across a mid-cycle split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Stats
+    // period-3 sawtooth with a level jump: the split lands MID-CYCLE so
+    // the seasonal ring (not just two longs) must carry across batches
+    val pat = Seq(10.0, 2.0, 6.0)
+    val vals = Seq.tabulate(11)(i =>
+      ("a", i.toLong, pat(i % 3) + (if (i >= 6) 20.0 else 0.0)))
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val q = graft.streaming.EventStreams.holtWintersStream(
+        input.toDF().toDF("key", "b", "v"), period = 3)
+      .writeStream.format("memory").queryName("e43_out").outputMode("append").start()
+    try {
+      input.addData(vals.take(5)) // split inside cycle 2 (phase 2 of 3)
+      q.processAllAvailable()
+      input.addData(vals.drop(5))
+      q.processAllAvailable()
+      val streamed = spark.table("e43_out").orderBy("bucket")
+        .as[(String, Long, Long, Long, Long, Long, Option[Long], Boolean)].collect()
+      val batch = Stats.holtWintersChart(vals.toDF("g", "b", "v"), col("g"),
+          col("b"), col("v"), period = 3).orderBy("bucket").collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case ((k, sb, vm, lm, tm, cm, rm, al), br) =>
+        assert(k == br.getString(0) && sb == br.getLong(1))
+        assert(vm / 1e6 == br.getDouble(2), s"value at $sb")
+        assert(lm / 1e6 == br.getDouble(3), s"level at $sb")
+        assert(tm / 1e6 == br.getDouble(4), s"trend at $sb")
+        assert(cm / 1e6 == br.getDouble(5), s"seasonal at $sb")
+        assert(rm.map(_ / 1e6) == Option(br.get(6)).map(_.asInstanceOf[Double]),
+          s"resid at $sb")
+        assert(al == br.getBoolean(7), s"alarm at $sb")
+      }
+      // the seasonal lane must be non-trivial (ring actually used)
+      assert(streamed.exists(_._6 != 0L))
+      // the level jump at bucket 6 must alarm
+      assert(streamed.find(_._2 == 6L).exists(_._8), "level jump should alarm")
+    } finally q.stop()
+  }
+
   test("E35 lineFirstSeenStream: assembled df/nDocs equal the batch inputs across a split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // doc 1 repeats its own footer (must count once); doc 3's copy of
