@@ -1194,7 +1194,9 @@ object DedupQueries {
     },
 
     // D133: margin-based bitext match scoring (ratio margin, k=4) —
-    // even vec_ids play source, odd play target; a source only keeps
+    // even vec_ids under 100 play source (the q_ann_topk bounded-query
+    // discipline: src is constant-sized at any SF, so the benched
+    // product stays LINEAR in corpus), odd play target; a source only keeps
     // its best target when the cosine beats both neighborhoods'
     // average (the hubness correction raw cosine lacks). Neighborhood
     // sums replay on floor(cos·1e7) integer lanes so no float
@@ -1202,7 +1204,8 @@ object DedupQueries {
     Q(
       "q_bitext_margin",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+        |s AS (SELECT vec_id AS src_id, v AS sv FROM e
+        |      WHERE vec_id % 2 = 0 AND vec_id < 100),
         |t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
         |sc AS (
         |  SELECT src_id, tgt_id, list_cosine_similarity(sv, tv) AS cs,
@@ -1235,7 +1238,7 @@ object DedupQueries {
       val e = table(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       Similarity.marginMatch(
-          src = e.filter(col("vec_id") % 2 === 0),
+          src = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100),
           tgt = e.filter(col("vec_id") % 2 === 1),
           srcId = col("vec_id"), srcVec = col("v"),
           tgtId = col("vec_id"), tgtVec = col("v"),

@@ -473,11 +473,15 @@ object WranglingQueries {
          |ORDER BY f.dir, p.bin_id, f.path""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      // the REAL listing decides which files get planned; `.parquet`
-      // basenames only (a stray non-parquet artifact is not a table)
+      // the REAL listing decides which files get planned; the table
+      // token is the path component ending `.parquet` (matches both a
+      // flat `<t>.parquet` file and a multi-file `<t>.parquet/part-*`
+      // directory layout — the 10× probe replica uses the latter);
+      // distinct because a directory table lists one row per part file
       val tbls = graft.sources.Tables.fileManifest(s, dir)
-        .select(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("tbl"))
+        .select(regexp_extract(col("path"), "/([^/]+)\\.parquet", 1).as("tbl"))
         .filter(col("tbl") =!= "")
+        .distinct()
         .as[String].collect().sorted
       val counts = tbls.toSeq.map(t =>
         (t + ".parquet", s.read.parquet(s"$dir/$t.parquet").count() * 37L))
