@@ -809,6 +809,59 @@ object Profile {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** C101: t-closeness per equivalence class — the DISTRIBUTIONAL
+    * tier above [[kAnonymity]]'s k/l counts (a class can hold l
+    * distinct sensitive values and still leak: if 95% of the class is
+    * one diagnosis, membership IS the disclosure). Per quasi-ID class,
+    * the total-variation distance between the class's sensitive-value
+    * distribution and the GLOBAL one:
+    *
+    *   tvd = ½ Σ_v |p_class(v) − p_global(v)|
+    *
+    * and the class passes iff tvd ≤ t (categorical t-closeness; the
+    * ordered-EMD variant is a documented seam). Determinism: the sum
+    * runs on EXACT integer lanes — |cnt_cv·N − cnt_v·N_c| summed as
+    * longs, ONE double division by 2·N_c·N at the end, 4-dp floor.
+    * Shape at scale: two partial-agg groupBys (class×value, value) +
+    * a classes×values frame bounded by both cardinalities (the
+    * kAnonymity class-cardinality contract — quasi-ID classes are
+    * policy-bounded, sensitive domains categorical); the global value
+    * frame broadcasts. `quasi` columns must be pre-aliased. Returns
+    * (quasi…, class_size, tvd, t_close).
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+      t: Double): DataFrame = {
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    require(t > 0 && t <= 1, "t in (0, 1]")
+    val base = df.select((quasi :+ sensitive.as("__v")): _*)
+    val qNames = base.columns.dropRight(1).toSeq
+    val qCols = qNames.map(col)
+    val cv = base.groupBy((qCols :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__cnt_cv"))
+    val classes = cv.groupBy(qCols: _*).agg(sum(col("__cnt_cv")).as("class_size"))
+    val gv = base.groupBy(col("__v")).agg(count(lit(1)).as("__cnt_v"))
+    val totals = gv.agg(sum(col("__cnt_v")).as("__n"))
+    // full accounting: every class × every global value (values absent
+    // from a class contribute p_global(v)/2) — both frames are
+    // cardinality-bounded aggregates, never row-scale
+    val grid = classes.crossJoin(broadcast(gv)).crossJoin(broadcast(totals))
+      .join(cv, qNames :+ "__v", "left")
+      .select((qCols :+ col("class_size") :+
+        abs(coalesce(col("__cnt_cv"), lit(0L)) * col("__n")
+          - col("__cnt_v") * col("class_size")).as("__diff") :+
+        col("__n").as("__n")): _*)
+    grid.groupBy((qCols :+ col("class_size") :+ col("__n")): _*)
+      .agg(sum(col("__diff")).as("__sumdiff"))
+      .select((qCols :+ col("class_size") :+
+        (floor(col("__sumdiff").cast("double")
+          / (lit(2.0) * col("class_size").cast("double") * col("__n").cast("double"))
+          * 1e4) / 1e4).as("tvd")): _*)
+      .withColumn("t_close", col("tvd") <= t)
+  }
+
   /** Join/groupBy key-skew diagnosis: the top-k heaviest keys with
     * their share of all rows and their ratio to the mean key load —
     * the number that tells you whether [[Skew.saltedJoin]] (ratio in

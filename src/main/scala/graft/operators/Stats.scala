@@ -1957,6 +1957,59 @@ object Stats {
         col("trend"), col("seasonal"), col("residual"))
   }
 
+  /** C100: trend/seasonal STRENGTH diagnostics (Wang, Smith &
+    * Hyndman '06) — the one-number readout over [[seasonalDecompose]]
+    * that answers "is this series actually seasonal, and how much is
+    * trend": with r = residual, on the detrended / deseasonalized
+    * reconstructions,
+    *
+    *   F_trend    = max(0, 1 − Var(r)/Var(trend + r))
+    *   F_seasonal = max(0, 1 − Var(r)/Var(seasonal + r))
+    *
+    * Both in [0, 1]; ~0 = that component explains nothing. Interior
+    * rows only (decompose's full-window contract — residual NULL rows
+    * are the warmup edges). Determinism: decompose's outputs already
+    * sit on the 4-dp grid, so the sums run on EXACT 1e4 integer lanes
+    * (19-digit decimal squares — the spearman lanes), the two variance
+    * ratios are ONE double derivation each (n² and the 1e8 lane scale
+    * cancel), 4-dp floor after the max-with-zero clamp. A component
+    * with non-positive reconstruction variance reports 0 + the
+    * `degenerate` flag. Returns (key, n, f_trend, f_seasonal,
+    * degenerate).
+    */
+  def decompositionStrength(df: DataFrame, key: Column, bucket: Column,
+      value: Column, period: Int): DataFrame = {
+    val dec = seasonalDecompose(df, key, bucket, value, period)
+      .filter(col("residual").isNotNull)
+    def lane(c: Column): Column = round(c * 1e4).cast("long")
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val t = dec.select(col("key"),
+      lane(col("residual")).as("__r"),
+      lane(col("trend") + col("residual")).as("__tr"),
+      lane(col("seasonal") + col("residual")).as("__sr"))
+    val m = t.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(big(col("__r"))).as("__r1"),
+      sum(big(col("__r")) * big(col("__r"))).as("__r2"),
+      sum(big(col("__tr"))).as("__t1"),
+      sum(big(col("__tr")) * big(col("__tr"))).as("__t2"),
+      sum(big(col("__sr"))).as("__s1"),
+      sum(big(col("__sr")) * big(col("__sr"))).as("__s2"))
+    def d(c: Column): Column = c.cast("double")
+    def vn(s1: String, s2: String): Column =
+      d(col("n")) * d(col(s2)) - d(col(s1)) * d(col(s1))
+    val vr = vn("__r1", "__r2")
+    val vt = vn("__t1", "__t2")
+    val vs = vn("__s1", "__s2")
+    def strength(vy: Column): Column =
+      when(vy <= 0.0, lit(0.0))
+        .otherwise(floor(greatest(lit(0.0), lit(1.0) - vr / vy) * 1e4) / 1e4)
+    m.select(col("key"), col("n"),
+      strength(vt).as("f_trend"),
+      strength(vs).as("f_seasonal"),
+      (vt <= 0.0 || vs <= 0.0).as("degenerate"))
+  }
+
   /** Calibration / reliability report for a [0, 1]-scored classifier:
     * `nBins` equal-width score bins, each reporting its count, mean
     * predicted score, empirical positive rate, and |gap|; every row

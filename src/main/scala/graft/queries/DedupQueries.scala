@@ -2085,6 +2085,72 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D135: SNM recall/precision audit — the D48 audit discipline for
+    // the new blocking family: found = the windowed SNM candidates,
+    // truth = the UNBLOCKED brute pair set (custkey < 200 keeps the
+    // brute side constant-cost at any SF — the audit class). Precision
+    // is 1 by construction (levenshtein is reversal-invariant, so every
+    // window pair satisfies the truth predicate); recall reads SNM's
+    // honest miss profile (pairs whose reversed forms land > window−1
+    // apart in sort order).
+    Q(
+      "q_audit_snm",
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_name AS t FROM customer WHERE c_custkey < 200
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    substr(c_name, 1, 5) || 'X' || substr(c_name, 7)
+        |  FROM customer WHERE c_custkey < 200),
+        |d AS (SELECT id, reverse(t) AS sk FROM u),
+        |b AS (
+        |  SELECT id, sk, substr(sk, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substr(sk, 1, 1)
+        |      ORDER BY sk, id) AS rn
+        |  FROM d),
+        |fn AS (
+        |  SELECT DISTINCT least(a.id, b2.id) AS a, greatest(a.id, b2.id) AS b
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND b2.rn - a.rn BETWEEN 1 AND 3
+        |  WHERE levenshtein(a.sk, b2.sk) <= 2),
+        |tp AS (
+        |  SELECT DISTINCT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b
+        |  FROM u x JOIN u y ON x.id < y.id
+        |  WHERE levenshtein(x.t, y.t) <= 2),
+        |fh AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_found,
+        |    CAST(coalesce(sum(CASE WHEN tp.a IS NOT NULL THEN 1 END), 0) AS BIGINT)
+        |      AS n_hit
+        |  FROM fn LEFT JOIN tp ON fn.a = tp.a AND fn.b = tp.b),
+        |th AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tp),
+        |pr AS (
+        |  SELECT n_found, n_truth, n_hit,
+        |    CASE WHEN n_found > 0
+        |      THEN floor(CAST(n_hit AS DOUBLE) / n_found * 1e4) / 1e4
+        |      ELSE 0.0 END AS precision,
+        |    CASE WHEN n_truth > 0
+        |      THEN floor(CAST(n_hit AS DOUBLE) / n_truth * 1e4) / 1e4
+        |      ELSE 0.0 END AS recall
+        |  FROM fh CROSS JOIN th)
+        |SELECT n_found, n_truth, n_hit, precision, recall,
+        |  CASE WHEN precision + recall > 0
+        |    THEN floor(2 * precision * recall / (precision + recall) * 1e4) / 1e4
+        |    ELSE 0.0 END AS f1
+        |FROM pr""".stripMargin
+    ) { (s, dir) =>
+      val c = table(s, dir, "customer").filter(col("c_custkey") < 200)
+      val u = c.select(col("c_custkey").as("id"), col("c_name").as("t"))
+        .unionByName(c.select(
+          (col("c_custkey") + 1000000).as("id"),
+          concat(substring(col("c_name"), 1, 5), lit("X"),
+            substring(col("c_name"), 7, 1000000)).as("t")))
+      val found = Dedup.sortedNeighbors(u, col("id"), reverse(col("t")),
+        window = 4, maxDist = 2, blockPrefix = 1)
+      val right = u.select(col("id").as("__id2"), col("t").as("__t2"))
+      val truth = u.join(right,
+          col("id") < col("__id2") && levenshtein(col("t"), col("__t2")) <= 2)
+        .select(col("id").as("id_a"), col("__id2").as("id_b"))
+      Dedup.auditPairs(found, truth)
+    },
+
     // D33: time-windowed exact dedup — per (user, event_type) content
     // key, keep only burst-starting events (> 1h since the previous
     // occurrence, chained); the batch analogue of

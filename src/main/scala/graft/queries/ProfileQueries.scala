@@ -1681,6 +1681,98 @@ object ProfileQueries {
         .orderBy("key", "bucket")
     },
 
+    // C100: Wang-Hyndman trend/seasonal strength over the same
+    // period-25 decomposition — the one-number "is it seasonal"
+    // readout; exact 1e4 integer lanes on the decompose grid, one
+    // double ratio each.
+    Q(
+      "q_seasonal_strength",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT key, bucket, value,
+        |    count(value) OVER w AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) OVER w AS s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (
+        |  SELECT key, bucket, value,
+        |    CASE WHEN n = 25 THEN floor(CAST(s AS DOUBLE) / 25 * 1e4) / 1e4 END AS trend,
+        |    ((bucket % 25) + 25) % 25 AS phase
+        |  FROM t),
+        |se AS (
+        |  SELECT key AS sk, phase AS sp,
+        |    CAST(sum(CAST(value - trend AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS praw
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT sk AS gk,
+        |    CAST(sum(CAST(praw AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS gmean
+        |  FROM se GROUP BY 1),
+        |o AS (
+        |  SELECT tr.key, tr.bucket, tr.value, tr.trend,
+        |    sign(coalesce(praw, 0.0) - coalesce(gmean, 0.0))
+        |      * (floor(abs(coalesce(praw, 0.0) - coalesce(gmean, 0.0)) * 1e4) / 1e4)
+        |      + 0.0 AS seasonal
+        |  FROM tr
+        |  LEFT JOIN se ON tr.key = se.sk AND tr.phase = se.sp
+        |  LEFT JOIN gr ON tr.key = gr.gk),
+        |dec AS (
+        |  SELECT key, trend, seasonal,
+        |    CASE WHEN trend IS NOT NULL THEN
+        |      sign(value - trend - seasonal)
+        |        * (floor(abs(value - trend - seasonal) * 1e4) / 1e4) + 0.0 END AS residual
+        |  FROM o),
+        |lanes AS (
+        |  SELECT key,
+        |    CAST(round(residual * 1e4) AS BIGINT) AS r,
+        |    CAST(round((trend + residual) * 1e4) AS BIGINT) AS trl,
+        |    CAST(round((seasonal + residual) * 1e4) AS BIGINT) AS srl
+        |  FROM dec WHERE residual IS NOT NULL),
+        |m AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r AS DECIMAL(19,0))) AS r1,
+        |    sum(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS r2,
+        |    sum(CAST(trl AS DECIMAL(19,0))) AS t1,
+        |    sum(CAST(trl AS DECIMAL(19,0)) * CAST(trl AS DECIMAL(19,0))) AS t2,
+        |    sum(CAST(srl AS DECIMAL(19,0))) AS s1,
+        |    sum(CAST(srl AS DECIMAL(19,0)) * CAST(srl AS DECIMAL(19,0))) AS s2
+        |  FROM lanes GROUP BY 1)
+        |SELECT key, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE)
+        |      - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE floor(greatest(0.0, 1.0
+        |      - (CAST(n AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |         - CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE)
+        |         - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))) * 1e4) / 1e4
+        |  END AS f_trend,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE floor(greatest(0.0, 1.0
+        |      - (CAST(n AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |         - CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) * 1e4) / 1e4
+        |  END AS f_seasonal,
+        |  (CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE)
+        |     - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) <= 0.0
+        |   OR CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) <= 0.0) AS degenerate
+        |FROM m ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val b = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.Stats.decompositionStrength(
+          b, col("key"), col("bucket"), col("value"), period = 25)
+        .orderBy("key")
+    },
+
     // C53: Count-Min frequency sketch — build over corpus tokens (one
     // pass), point-query the exact top-20 heavy terms through the
     // sketch, report exact vs estimate side by side. EXACT oracle
@@ -1814,6 +1906,44 @@ object ProfileQueries {
           Seq(col("c_nationkey"), col("c_mktsegment")), col("c_acctbal"),
           k = 12, l = 10)
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // C101: t-closeness — the distributional tier above C50: per
+    // (segment) class, total-variation distance of the nation
+    // distribution vs global, on exact |cnt_cv·N − cnt_v·Nc| integer
+    // lanes with one double division.
+    Q(
+      "q_t_closeness",
+      """WITH cv AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS cnt_cv
+        |  FROM customer GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT c_mktsegment, CAST(sum(cnt_cv) AS BIGINT) AS class_size
+        |  FROM cv GROUP BY 1),
+        |gv AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt_v FROM customer
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_v) AS BIGINT) AS n FROM gv),
+        |grid AS (
+        |  SELECT cl.c_mktsegment, cl.class_size, tot.n,
+        |    abs(coalesce(cv.cnt_cv, 0) * tot.n - gv.cnt_v * cl.class_size) AS diff
+        |  FROM cl CROSS JOIN gv CROSS JOIN tot
+        |  LEFT JOIN cv ON cv.c_mktsegment = cl.c_mktsegment
+        |    AND cv.c_nationkey = gv.c_nationkey)
+        |SELECT c_mktsegment, class_size,
+        |  floor(CAST(sum(diff) AS DOUBLE)
+        |    / (2.0 * CAST(class_size AS DOUBLE) * CAST(n AS DOUBLE)) * 1e4) / 1e4
+        |    AS tvd,
+        |  floor(CAST(sum(diff) AS DOUBLE)
+        |    / (2.0 * CAST(class_size AS DOUBLE) * CAST(n AS DOUBLE)) * 1e4) / 1e4
+        |    <= 0.05 AS t_close
+        |FROM grid GROUP BY 1, 2, n
+        |ORDER BY c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      Profile.tCloseness(table(s, dir, "customer"),
+          Seq(col("c_mktsegment").as("c_mktsegment")), col("c_nationkey"),
+          t = 0.05)
+        .orderBy("c_mktsegment")
     },
 
     // C25: fixed-width histogram of extended price — map-side-combined

@@ -287,6 +287,33 @@ class BehaviorSpec extends SparkSpec {
     assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
   }
 
+  test("decompositionStrength: pure-seasonal vs pure-trend vs mixed series land the right F") {
+    import graft.operators.Stats
+    // period 3. "seas": exact 3-cycle, flat trend -> resid 0, Var(tr)=0
+    // (degenerate trend side, f_trend 0) but f_seasonal = 1. "trend":
+    // linear ramp -> seasonal ~0 (degenerate seasonal side), f_trend 1.
+    val pat = Seq(10.0, 0.0, 5.0)
+    val d = (Seq.tabulate(21)(i => ("seas", i.toLong, pat(i % 3)))
+      ++ Seq.tabulate(21)(i => ("trend", i.toLong, i.toDouble))).toDF("g", "b", "v")
+    val rows = Stats.decompositionStrength(d, col("g"), col("b"), col("v"),
+      period = 3).collect().map(r => r.getString(0) -> r).toMap
+    val se = rows("seas")
+    assert(se.getAs[Double]("f_seasonal") == 1.0 && se.getAs[Double]("f_trend") == 0.0
+      && se.getAs[Boolean]("degenerate"), se.toString)
+    val tr = rows("trend")
+    assert(tr.getAs[Double]("f_trend") == 1.0 && tr.getAs[Double]("f_seasonal") == 0.0
+      && tr.getAs[Boolean]("degenerate"), tr.toString)
+    // mixed noisy-ish series: both strengths interior, no degeneracy
+    val mixed = Seq.tabulate(30)(i =>
+      ("m", i.toLong, i * 0.5 + pat(i % 3) + (if (i % 7 == 0) 1.0 else 0.0)))
+      .toDF("g", "b", "v")
+    val Array(m) = Stats.decompositionStrength(mixed, col("g"), col("b"),
+      col("v"), period = 3).collect()
+    assert(!m.getAs[Boolean]("degenerate"), m.toString)
+    assert(m.getAs[Double]("f_trend") > 0.9, m.toString)
+    assert(m.getAs[Double]("f_seasonal") > 0.5, m.toString)
+  }
+
   test("holtWintersChart: hand-walked period-2 integer lanes; seasonal ring; key isolation") {
     import graft.operators.Stats
     // v = [10, 0, 10, 0], p=2, α=β=γ=1/2, hand-walked micro-lanes:

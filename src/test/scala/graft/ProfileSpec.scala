@@ -668,4 +668,24 @@ class ProfileSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("quantileNormalize"), err.getMessage)
   }
+
+  test("tCloseness: hand-computed TVD; skewed class fails, balanced passes; absent values accounted") {
+    import graft.operators.Profile
+    // global: a=6, b=4, N=10. c1={a,a,a,a}: (|4*10-6*4| + |0-4*4|)
+    // / (2*4*10) = 32/80 = 0.4 -- the absent value b contributes its
+    // global share. c2={a,a,b,b}: (4+4)/80 = 0.1. c3={b,b}:
+    // (12+12)/40 = 0.6. t=0.25 passes only the balanced class.
+    val df = (Seq.fill(4)(("c1", "a")) ++ Seq(("c2", "a"), ("c2", "a"),
+      ("c2", "b"), ("c2", "b"), ("c3", "b"), ("c3", "b"))).toDF("q", "v")
+    val rows = Profile.tCloseness(df, Seq(col("q").as("q")), col("v"), t = 0.25)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c1 = rows("c1")
+    assert(c1.getAs[Long]("class_size") == 4L && c1.getAs[Double]("tvd") == 0.4
+      && !c1.getAs[Boolean]("t_close"), c1.toString)
+    val c2 = rows("c2")
+    assert(c2.getAs[Double]("tvd") == 0.1 && c2.getAs[Boolean]("t_close"), c2.toString)
+    val c3 = rows("c3")
+    assert(c3.getAs[Long]("class_size") == 2L && c3.getAs[Double]("tvd") == 0.6
+      && !c3.getAs[Boolean]("t_close"), c3.toString)
+  }
 }
