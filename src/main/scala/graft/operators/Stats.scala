@@ -66,6 +66,62 @@ object Stats {
       (abs(z) > 1.96).as("significant"))
   }
 
+  /** C102: standardized EFFECT SIZES for the two-group comparison —
+    * the magnitude readout [[twoSampleZ]]'s verdict deliberately
+    * doesn't give (at corpus n everything is "significant"; what a
+    * launch review needs is HOW BIG):
+    *
+    *   cohen_d     = (mean_a − mean_b) / s_pooled
+    *   hedges_g    = J·d,  J = 1 − 3/(4(n_a+n_b) − 9)
+    *   glass_delta = (mean_a − mean_b) / s_b   (control-side sd)
+    *
+    * Same one-pass conditional-moments shape and exact decimal lanes
+    * as twoSampleZ; every ratio is ONE double derivation with a fixed
+    * textual order, 4-dp toward zero (signed, symmetric under label
+    * swap). Degenerate inputs (either n < 2 or a zero pooled sd)
+    * report 0 + flag; glass_delta additionally zeroes when s_b = 0.
+    * Returns (n_a, n_b, mean_diff, cohen_d, hedges_g, glass_delta,
+    * degenerate).
+    */
+  def effectSize(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    def t4(c: Column): Column = Num.t4zero(c)
+    def dec(c: Column): Column = Num.dec(c)
+    def side(label: String, tag: String) = Seq(
+      coalesce(sum(when(group === label, 1L).otherwise(0L)), lit(0L)).as(s"__n_$tag"),
+      sum(when(group === label, dec(value)).otherwise(lit(null))).as(s"__s_$tag"),
+      sum(when(group === label, dec(value) * dec(value)).otherwise(lit(null)))
+        .as(s"__ss_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val m = df.filter(value.isNotNull).agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) = col(s"__s_$t").cast("double") / col(s"__n_$t")
+    def variance(t: String) = greatest(lit(0.0),
+      (col(s"__ss_$t").cast("double") -
+        col(s"__s_$t").cast("double") * col(s"__s_$t").cast("double") /
+          col(s"__n_$t")) /
+        (col(s"__n_$t") - 1))
+    val na = col("__n_a").cast("double")
+    val nb = col("__n_b").cast("double")
+    val sPooled = sqrt(((na - 1.0) * variance("a") + (nb - 1.0) * variance("b"))
+      / (na + nb - 2.0))
+    val diff = mean("a") - mean("b")
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0)
+    val degenerate = col("__n_a") < 2 || col("__n_b") < 2 || sPooled === 0.0
+    val d = when(degenerate, lit(0.0)).otherwise(t4(diff / sPooled))
+    val g = when(degenerate, lit(0.0)).otherwise(t4(diff / sPooled * j))
+    val glass = when(degenerate || variance("b") === 0.0, lit(0.0))
+      .otherwise(t4(diff / sqrt(variance("b"))))
+    m.select(
+      col("__n_a").as("n_a"), col("__n_b").as("n_b"),
+      when(degenerate, lit(0.0)).otherwise(t4(diff)).as("mean_diff"),
+      d.as("cohen_d"), g.as("hedges_g"), glass.as("glass_delta"),
+      degenerate.as("degenerate"))
+  }
+
   /** Rolling z-score anomaly flags — the metric-monitoring shape
     * ("did this hour's event volume jump?"): each (key, bucket) value
     * is scored against the TRAILING `lookback` buckets' mean and

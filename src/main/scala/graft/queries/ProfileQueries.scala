@@ -474,6 +474,52 @@ object ProfileQueries {
         col("event_type"), col("value"), groupA = "click", groupB = "view")
     },
 
+    // C102: standardized effect sizes (Cohen's d, Hedges' g, Glass's
+    // Δ) for the same click-vs-view comparison — the magnitude
+    // readout next to C41's verdict; identical moment lanes, mirrored
+    // ratio order.
+    Q(
+      "q_effect_size",
+      """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT
+        |  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) AS na,
+        |  sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(19,6)) END) AS sa,
+        |  sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS ssa,
+        |  coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS nb,
+        |  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(19,6)) END) AS sb,
+        |  sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) END) AS ssb
+        |  FROM v),
+        |d AS (SELECT *,
+        |  CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |  greatest(0.0, (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1)) AS va,
+        |  greatest(0.0, (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1)) AS vb
+        |  FROM m),
+        |e AS (SELECT *,
+        |  sqrt(((CAST(na AS DOUBLE) - 1.0) * va + (CAST(nb AS DOUBLE) - 1.0) * vb)
+        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)) AS sp,
+        |  1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 9.0) AS j
+        |  FROM d)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na < 2 OR nb < 2 OR sp = 0.0 THEN 0.0
+        |    ELSE sign(ma - mb) * (floor(abs(ma - mb) * 1e4) / 1e4) + 0.0 END AS mean_diff,
+        |  CASE WHEN na < 2 OR nb < 2 OR sp = 0.0 THEN 0.0
+        |    ELSE sign((ma - mb) / sp) * (floor(abs((ma - mb) / sp) * 1e4) / 1e4) + 0.0
+        |    END AS cohen_d,
+        |  CASE WHEN na < 2 OR nb < 2 OR sp = 0.0 THEN 0.0
+        |    ELSE sign((ma - mb) / sp * j)
+        |      * (floor(abs((ma - mb) / sp * j) * 1e4) / 1e4) + 0.0 END AS hedges_g,
+        |  CASE WHEN na < 2 OR nb < 2 OR sp = 0.0 OR vb = 0.0 THEN 0.0
+        |    ELSE sign((ma - mb) / sqrt(vb))
+        |      * (floor(abs((ma - mb) / sqrt(vb)) * 1e4) / 1e4) + 0.0 END AS glass_delta,
+        |  (na < 2 OR nb < 2 OR sp = 0.0) AS degenerate
+        |FROM e""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.effectSize(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"), groupA = "click", groupB = "view")
+    },
+
     // C81: one-way ANOVA of value across all event types — the
     // k-group generalization of q_two_sample_z; per-group moments on
     // exact decimal lanes, the S²/n group terms 7-dp truncated before

@@ -287,6 +287,26 @@ class BehaviorSpec extends SparkSpec {
     assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
   }
 
+  test("effectSize: hand-computed Cohen/Hedges/Glass; degenerate singleton group") {
+    import graft.operators.Stats
+    // a={1,3}: mean 2, s²=2; b={10,14}: mean 12, s²=8.
+    // s_pooled = sqrt((2+8)/2) = sqrt(5); d = -10/sqrt(5) = -4.4721…
+    // J = 1 - 3/(4·4-9) = 4/7; g = d·J = -2.5555…; Δ = -10/sqrt(8)
+    val d = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0)).toDF("g", "v")
+    val Array(r) = Stats.effectSize(d, col("g"), col("v"), "a", "b").collect()
+    def t4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4) / 1e4 + 0.0
+    assert(r.getAs[Double]("mean_diff") == -10.0, r.toString)
+    assert(r.getAs[Double]("cohen_d") == t4(-10.0 / math.sqrt(5.0)), r.toString)
+    assert(r.getAs[Double]("hedges_g") == t4(-10.0 / math.sqrt(5.0) * (4.0 / 7.0)),
+      r.toString)
+    assert(r.getAs[Double]("glass_delta") == t4(-10.0 / math.sqrt(8.0)), r.toString)
+    assert(!r.getAs[Boolean]("degenerate"))
+    // a singleton side has no variance estimate — degenerate zeros
+    val one = Seq(("a", 1.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val Array(o) = Stats.effectSize(one, col("g"), col("v"), "a", "b").collect()
+    assert(o.getAs[Double]("cohen_d") == 0.0 && o.getAs[Boolean]("degenerate"))
+  }
+
   test("decompositionStrength: pure-seasonal vs pure-trend vs mixed series land the right F") {
     import graft.operators.Stats
     // period 3. "seas": exact 3-cycle, flat trend -> resid 0, Var(tr)=0
