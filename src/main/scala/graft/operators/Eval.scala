@@ -581,6 +581,43 @@ object Eval {
       Num.t4floor(f).as("rouge_lf"))
   }
 
+  /** D136: corpus SELF-similarity (diversity) report — the self-BLEU
+    * analog for generated/synthetic data QA, built on [[rougeL]]: a
+    * mode-collapsed generator scores high self-similarity long before
+    * a human notices the samples rhyme. Pairs are DETERMINISTIC
+    * adjacent docs in id order within each group (the lead-window
+    * pairing: n−1 pairs per group, never the quadratic all-pairs —
+    * at corpus scale adjacent-in-id is an unbiased-enough probe and
+    * the cost is one keyed window), each scored with the LCS kernel
+    * at `maxTokens`. The mean F returns on exact 1e4 lanes (each
+    * pair's 4-dp-floored F is an exact multiple of 1e-4 → summed as
+    * longs, ONE double division, 4-dp floor), so no float reduction
+    * order leaks. Returns (key, n_pairs, mean_rouge_lf,
+    * max_rouge_lf) per group.
+    */
+  def selfSimilarity(df: DataFrame, group: Column, id: Column, text: Column,
+      maxTokens: Int = 24): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("id")
+    val pairs = df.select(group.cast("string").as("key"), id.as("id"),
+        text.as("__t"))
+      .withColumn("__t2", lead(col("__t"), 1).over(w))
+      .filter(col("__t2").isNotNull)
+    val scored = rougeL(pairs.select(col("key"), col("id"),
+        col("__t").as("__cand"), col("__t2").as("__ref")),
+        col("id"), col("__cand"), col("__ref"), maxTokens)
+      .join(pairs.select(col("key"), col("id")), Seq("id"))
+    scored.groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("rouge_lf") * 1e4).cast("long")).as("__s"),
+        max(col("rouge_lf")).as("max_rouge_lf"))
+      .select(col("key"), col("n_pairs"),
+        // __s is in 1e-4 units: mean = floor(__s/n) back on the grid
+        (floor(col("__s").cast("double") / col("n_pairs").cast("double"))
+          / 1e4).as("mean_rouge_lf"),
+        col("max_rouge_lf"))
+  }
+
   /** Wilson score interval per group — the closed-form binomial CI
     * for pass/win/violation RATES ([[bootstrapCI]] covers means of
     * arbitrary values at B-resamples cost; a rate deserves the exact

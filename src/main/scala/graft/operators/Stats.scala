@@ -560,6 +560,64 @@ object Stats {
       degenerate.as("degenerate"))
   }
 
+  /** C104: partial Pearson correlation r_xy·z — "are x and y related
+    * BEYOND what z explains" (the confounder question a plain C39
+    * correlation matrix can\'t answer: price correlates with quantity,
+    * but is that just both riding discount?):
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²))
+    *
+    * ONE conditional-moments pass (9 sums on exact decimal lanes —
+    * the spearman reduction), the three pairwise r\'s and the partial
+    * derive in double in a fixed textual order from those exact sums
+    * (IEEE-identical on any engine), 4-dp toward zero on REPORT only
+    * (the partial uses the raw r\'s). Degenerate inputs (n < 3, a
+    * zero-variance column, or |r_xz| = 1 / |r_yz| = 1 making the
+    * denominator vanish) report 0 + flag. Returns ONE row:
+    * (n, r_xy, r_xz, r_yz, partial_r, degenerate).
+    */
+  def partialCorrelation(df: DataFrame, x: Column, y: Column,
+      z: Column): DataFrame = {
+    def dec(c: Column): Column = Num.dec(c)
+    val m = df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
+      .select(dec(x.cast("double")).as("__x"), dec(y.cast("double")).as("__y"),
+        dec(z.cast("double")).as("__z"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__z")).as("__sz"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__z") * col("__z")).as("__szz"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__z")).as("__sxz"),
+        sum(col("__y") * col("__z")).as("__syz"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    def cov(sab: String, sa: String, sb: String): Column =
+      nd * d(sab) - d(sa) * d(sb)
+    def varOf(saa: String, sa: String): Column = nd * d(saa) - d(sa) * d(sa)
+    val vx = varOf("__sxx", "__sx")
+    val vy = varOf("__syy", "__sy")
+    val vz = varOf("__szz", "__sz")
+    // try_divide, not `/`: the degenerate CONDITION itself reads
+    // `denom`, which contains the r's — a zero-variance column would
+    // ANSI-throw while EVALUATING the guard meant to catch it. NULL
+    // r's only occur when a variance clause already fires, so the
+    // coalesce(denom, 0) keeps the verdict correct.
+    val rxy = try_divide(cov("__sxy", "__sx", "__sy"), sqrt(vx * vy))
+    val rxz = try_divide(cov("__sxz", "__sx", "__sz"), sqrt(vx * vz))
+    val ryz = try_divide(cov("__syz", "__sy", "__sz"), sqrt(vy * vz))
+    val denom = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val degenerate = col("n") < 3 || vx <= 0.0 || vy <= 0.0 || vz <= 0.0 ||
+      coalesce(denom, lit(0.0)) <= 0.0
+    def rep(c: Column): Column =
+      when(degenerate, lit(0.0)).otherwise(Num.t4zero(c))
+    m.select(col("n"), rep(rxy).as("r_xy"), rep(rxz).as("r_xz"),
+      rep(ryz).as("r_yz"),
+      rep(try_divide(rxy - rxz * ryz, sqrt(denom))).as("partial_r"),
+      degenerate.as("degenerate"))
+  }
+
   /** C65: sample autocorrelation function per key — the "what period
     * does this series actually have" probe BEFORE committing a
     * [[seasonalDecompose]] period or reading a [[levelShift]] window:
@@ -860,6 +918,51 @@ object Stats {
         .otherwise(floor(
           sqrt(col("__chi2").cast("double") / (col("__tot").cast("double") * mink)) * 1e4)
           / 1e4).as("cramers_v"))
+  }
+
+  /** C103: Cochran-Armitage trend test — "does the success RATE trend
+    * with an ORDERED exposure?" ([[chiSquared]] asks independence and
+    * wastes the ordering; a dose-response / funnel-depth / line-number
+    * question needs the one-degree-of-freedom trend lane):
+    *
+    *   T = Σ wᵢrᵢ,  z = (T − p̄·Σwᵢnᵢ) / sqrt(p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N))
+    *
+    * with wᵢ the group's own ordinal weight (the caller's order
+    * column — integer scores, the standard choice), rᵢ/nᵢ the group's
+    * successes/size. One partial-aggregated groupBy(w) collapses the
+    * corpus to the ≤k-row group frame; every moment (T, Σwn, Σw²n, N,
+    * R) is an exact long, the z ONE double derivation in a fixed
+    * textual order, 4-dp toward zero, `significant` at |z| > 1.96.
+    * All-success, all-failure, or zero-variance-weight inputs report
+    * z = 0 + `degenerate`. Returns (n, n_groups, successes, z,
+    * significant, degenerate).
+    */
+  def cochranArmitage(df: DataFrame, orderedGroup: Column,
+      success: Column): DataFrame = {
+    val s = success.cast("boolean")
+    val g = df.filter(orderedGroup.isNotNull && s.isNotNull)
+      .groupBy(orderedGroup.cast("long").as("__w"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(s, 1L).otherwise(0L)).as("__r"))
+    val m = g.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__N"),
+      count(lit(1)).as("__k"),
+      coalesce(sum(col("__r")), lit(0L)).as("__R"),
+      coalesce(sum(col("__w") * col("__r")), lit(0L)).as("__T"),
+      coalesce(sum(col("__w") * col("__n")), lit(0L)).as("__W1"),
+      coalesce(sum(col("__w") * col("__w") * col("__n")), lit(0L)).as("__W2"))
+    def d(c: Column): Column = c.cast("double")
+    val pbar = d(col("__R")) / d(col("__N"))
+    val num = d(col("__T")) - pbar * d(col("__W1"))
+    val varT = pbar * (lit(1.0) - pbar) *
+      (d(col("__W2")) - d(col("__W1")) * d(col("__W1")) / d(col("__N")))
+    val degenerate = col("__N") === 0 || col("__R") === 0 ||
+      col("__R") === col("__N") || varT <= 0.0
+    val z = when(degenerate, lit(0.0)).otherwise(Num.t4zero(num / sqrt(varT)))
+    m.select(col("__N").as("n"), col("__k").as("n_groups"),
+      col("__R").as("successes"), z.as("z"),
+      (!degenerate && abs(z) > 1.96).as("significant"),
+      degenerate.as("degenerate"))
   }
 
   /** One-way ANOVA across k groups — "does mean value differ by

@@ -323,6 +323,59 @@ object EvalQueries {
         .orderBy("id")
     },
 
+    // D136: corpus self-similarity (the self-BLEU analog) — adjacent
+    // doc pairs per source scored with ROUGE-L; group means on exact
+    // 1e4 lanes. The mode-collapse detector for synthetic corpora.
+    Q(
+      "q_self_rouge",
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT source, doc_id, ${tkSql("text")} AS tk FROM documents),
+         |ord AS (
+         |  SELECT source, doc_id, tk,
+         |    lead(tk) OVER (PARTITION BY source ORDER BY doc_id) AS tk2
+         |  FROM d0),
+         |p AS (
+         |  SELECT doc_id AS pid, source, tk[1:24] AS ca, tk2[1:24] AS cb
+         |  FROM ord WHERE tk2 IS NOT NULL),
+         |dp(pid, i, row) AS (
+         |  SELECT pid, 0, list_transform(range(0, len(cb) + 1), x -> CAST(0 AS BIGINT))
+         |  FROM p
+         |  UNION ALL
+         |  SELECT q.pid AS pid, d.i + 1 AS i,
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(q.cb) + 1), j ->
+         |        greatest(d.row[j + 1],
+         |          list_max(list_transform(range(1, j + 1), k ->
+         |            d.row[k] + CASE WHEN q.ca[d.i + 1] = q.cb[k]
+         |              THEN 1 ELSE 0 END))))) AS row
+         |  FROM dp d JOIN p q ON q.pid = d.pid AND d.i < len(q.ca)),
+         |lc AS (
+         |  SELECT q.source, len(q.ca) AS nc, len(q.cb) AS nr,
+         |    d.row[len(q.cb) + 1] AS lcs
+         |  FROM dp d JOIN p q ON q.pid = d.pid AND d.i = len(q.ca)),
+         |f AS (
+         |  SELECT source,
+         |    CASE WHEN nc > 0 AND nr > 0 THEN
+         |      CASE WHEN CAST(lcs AS DOUBLE) / CAST(nc AS DOUBLE)
+         |             + CAST(lcs AS DOUBLE) / CAST(nr AS DOUBLE) > 0.0
+         |        THEN floor(2.0 * (CAST(lcs AS DOUBLE) / CAST(nc AS DOUBLE))
+         |          * (CAST(lcs AS DOUBLE) / CAST(nr AS DOUBLE))
+         |          / (CAST(lcs AS DOUBLE) / CAST(nc AS DOUBLE)
+         |            + CAST(lcs AS DOUBLE) / CAST(nr AS DOUBLE)) * 1e4) / 1e4
+         |        ELSE 0.0 END
+         |      END AS flf
+         |  FROM lc)
+         |SELECT source AS key, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  floor(CAST(sum(CAST(round(flf * 1e4) AS BIGINT)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) / 1e4 AS mean_rouge_lf,
+         |  max(flf) AS max_rouge_lf
+         |FROM f GROUP BY 1 ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      Eval.selfSimilarity(table(s, dir, "documents"),
+          col("source"), col("doc_id"), col("text"), maxTokens = 24)
+        .orderBy("key")
+    },
+
     // D90: unbiased pass@k (k = 4) per problem from sampled attempts.
     Q(
       "q_pass_at_k",

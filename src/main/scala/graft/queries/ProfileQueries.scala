@@ -1445,6 +1445,106 @@ object ProfileQueries {
         table(s, dir, "lineitem"), col("l_returnflag"), col("l_linestatus"))
     },
 
+    // C103: Cochran-Armitage trend — does return rate trend with line
+    // number (the ordered exposure C51 would waste)? All moments exact
+    // longs from one partial-agg pass, one double z.
+    Q(
+      "q_cochran_armitage",
+      """WITH g AS (
+        |  SELECT CAST(l_linenumber AS BIGINT) AS w,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(r) AS BIGINT) AS rr,
+        |    CAST(sum(w * r) AS BIGINT) AS t,
+        |    CAST(sum(w * n) AS BIGINT) AS w1,
+        |    CAST(sum(w * w * n) AS BIGINT) AS w2
+        |  FROM g),
+        |d AS (
+        |  SELECT *,
+        |    CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE) AS pbar,
+        |    CAST(t AS DOUBLE) - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * CAST(w1 AS DOUBLE) AS num,
+        |    (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(w2 AS DOUBLE)
+        |         - CAST(w1 AS DOUBLE) * CAST(w1 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      AS vart
+        |  FROM m),
+        |r AS (
+        |  SELECT nn AS n, k AS n_groups, rr AS successes,
+        |    (nn = 0 OR rr = 0 OR rr = nn OR vart <= 0.0) AS degenerate,
+        |    CASE WHEN nn = 0 OR rr = 0 OR rr = nn OR vart <= 0.0 THEN 0.0
+        |      ELSE sign(num / sqrt(vart))
+        |        * (floor(abs(num / sqrt(vart)) * 1e4) / 1e4) + 0.0 END AS z
+        |  FROM d)
+        |SELECT n, n_groups, successes, z,
+        |  (NOT degenerate AND abs(z) > 1.96) AS significant, degenerate
+        |FROM r""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.cochranArmitage(table(s, dir, "lineitem"),
+        col("l_linenumber"), col("l_returnflag") === "R")
+    },
+
+    // C104: partial correlation — quantity vs extended price with the
+    // discount lane partialled out; nine exact decimal sums, raw-r
+    // formula in one fixed double order, 4-dp toward zero on report.
+    Q(
+      "q_partial_corr",
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(l_discount AS DECIMAL(19,6))) AS sz,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+        |    sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS szz,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS sxz,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS syz
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |d AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vx,
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vy,
+        |    (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) AS vz
+        |  FROM m),
+        |e AS (
+        |  SELECT *, (1.0 - rxz * rxz) * (1.0 - ryz * ryz) AS denom,
+        |    (n < 3 OR vx <= 0.0 OR vy <= 0.0 OR vz <= 0.0
+        |      OR (1.0 - rxz * rxz) * (1.0 - ryz * ryz) <= 0.0) AS degenerate
+        |  FROM d)
+        |SELECT n,
+        |  CASE WHEN degenerate THEN 0.0
+        |    ELSE sign(rxy) * (floor(abs(rxy) * 1e4) / 1e4) + 0.0 END AS r_xy,
+        |  CASE WHEN degenerate THEN 0.0
+        |    ELSE sign(rxz) * (floor(abs(rxz) * 1e4) / 1e4) + 0.0 END AS r_xz,
+        |  CASE WHEN degenerate THEN 0.0
+        |    ELSE sign(ryz) * (floor(abs(ryz) * 1e4) / 1e4) + 0.0 END AS r_yz,
+        |  CASE WHEN degenerate THEN 0.0
+        |    ELSE sign((rxy - rxz * ryz) / sqrt(denom))
+        |      * (floor(abs((rxy - rxz * ryz) / sqrt(denom)) * 1e4) / 1e4) + 0.0
+        |    END AS partial_r,
+        |  degenerate
+        |FROM e""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.partialCorrelation(table(s, dir, "lineitem"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    },
+
     // C52: two-sample Kolmogorov-Smirnov — D as an exact-integer
     // supremum over the grouped distinct-value frame (quantized 4 dp;
     // prices are 2 dp so quantization is lossless), one division at

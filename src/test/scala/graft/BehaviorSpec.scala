@@ -287,6 +287,53 @@ class BehaviorSpec extends SparkSpec {
     assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
   }
 
+  test("cochranArmitage: hand-computed perfect-trend z; all-success degenerate") {
+    import graft.operators.Stats
+    // w=1: 1/10, w=2: 5/10, w=3: 9/10 -> T=38, W1=60, W2=140, p̄=.5
+    // num = 38−30 = 8, var = .25·(140−120) = 5, z = 8/√5 = 3.5777
+    val d = (Seq.tabulate(10)(i => (1L, i < 1)) ++
+      Seq.tabulate(10)(i => (2L, i < 5)) ++
+      Seq.tabulate(10)(i => (3L, i < 9))).toDF("w", "ok")
+    val Array(r) = Stats.cochranArmitage(d, col("w"), col("ok")).collect()
+    assert(r.getAs[Long]("n") == 30L && r.getAs[Long]("successes") == 15L)
+    assert(r.getAs[Double]("z") == math.floor(8.0 / math.sqrt(5.0) * 1e4) / 1e4,
+      r.toString)
+    assert(r.getAs[Boolean]("significant") && !r.getAs[Boolean]("degenerate"))
+    // all-success has no binomial variance — degenerate zero
+    val all = Seq((1L, true), (2L, true), (3L, true)).toDF("w", "ok")
+    val Array(a) = Stats.cochranArmitage(all, col("w"), col("ok")).collect()
+    assert(a.getAs[Double]("z") == 0.0 && a.getAs[Boolean]("degenerate"))
+  }
+
+  test("partialCorrelation: y = x + z with orthogonal x,z partials to ~1; constant-z degenerate") {
+    import graft.operators.Stats
+    // x,z ∈ {0,1}²; y = x+z: r_xy = r_yz = 1/√2, r_xz = 0 →
+    // partial r_xy·z = (1/√2)/√(1−1/2) = 1 exactly (y | z is x)
+    val d = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
+      .map { case (x, z) => (x, x + z, z) }.toDF("x", "y", "z")
+    val Array(r) = Stats.partialCorrelation(d, col("x"), col("y"), col("z"))
+      .collect()
+    assert(r.getAs[Double]("r_xz") == 0.0, r.toString)
+    assert(r.getAs[Double]("partial_r") >= 0.9999, r.toString)
+    assert(!r.getAs[Boolean]("degenerate"))
+    // constant z: no variance to partial out — degenerate
+    val cz = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 7.0, 5.0)).toDF("x", "y", "z")
+    val Array(c) = Stats.partialCorrelation(cz, col("x"), col("y"), col("z"))
+      .collect()
+    assert(c.getAs[Boolean]("degenerate") && c.getAs[Double]("partial_r") == 0.0)
+  }
+
+  test("selfSimilarity: identical-adjacent pair scores 1, disjoint scores 0; exact lane mean") {
+    import graft.operators.{Eval => Ev}
+    val d = Seq((1L, "g", "a b c"), (2L, "g", "a b c"), (3L, "g", "x y z"))
+      .toDF("id", "src", "text")
+    val Array(r) = Ev.selfSimilarity(d, col("src"), col("id"), col("text"))
+      .collect()
+    assert(r.getAs[Long]("n_pairs") == 2L, r.toString)
+    assert(r.getAs[Double]("mean_rouge_lf") == 0.5, r.toString)
+    assert(r.getAs[Double]("max_rouge_lf") == 1.0, r.toString)
+  }
+
   test("effectSize: hand-computed Cohen/Hedges/Glass; degenerate singleton group") {
     import graft.operators.Stats
     // a={1,3}: mean 2, s²=2; b={10,14}: mean 12, s²=8.
