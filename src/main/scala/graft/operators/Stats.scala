@@ -560,6 +560,63 @@ object Stats {
       degenerate.as("degenerate"))
   }
 
+  /** C105: Jonckheere-Terpstra ordered-alternative test — "does the
+    * VALUE tend upward across ORDERED groups" per key, completing the
+    * ordered-exposure pair with [[cochranArmitage]] (that one reads a
+    * RATE trend; this reads a continuous metric, the k-group question
+    * C83's Kruskal-Wallis wastes the ordering on). The statistic is
+    * Kendall\'s S between the group ORDINAL and the value (within-group
+    * pairs tie on x and count nothing — exactly the J-T cross-group
+    * pair count, in S form), computed by [[kendallStatsPerKey]]\'s
+    * O(n log n) merge-count, with the CLASSIC fully tie-corrected
+    * variance (Kendall \'70):
+    *
+    *   Var(S) = [N(N−1)(2N+5) − Σtₓ(tₓ−1)(2tₓ+5) − Σt_y(t_y−1)(2t_y+5)]/18
+    *          + [Σtₓ(tₓ−1)(tₓ−2)]·[Σt_y(t_y−1)(t_y−2)] / (9N(N−1)(N−2))
+    *          + [Σtₓ(tₓ−1)]·[Σt_y(t_y−1)] / (2N(N−1))
+    *
+    * (tₓ = group sizes, t_y = value-tie sizes). Every tie moment is
+    * an exact long from two partial-agg passes; the three variance
+    * terms derive in double in a fixed textual order (the middle
+    * term\'s sum-product would overflow integer lanes — doubles of
+    * exact integers are IEEE-identical on any engine), z = S/√Var
+    * 4-dp toward zero, |z| > 1.96 gate. Keys with n < 2 or
+    * non-positive variance (all one group, or a constant metric)
+    * report 0 + `degenerate`. Returns (key, n, s, z, significant,
+    * degenerate).
+    */
+  def jonckheereTerpstra(df: DataFrame, key: Column, orderedGroup: Column,
+      value: Column): DataFrame = {
+    val t = df.select(key.cast("string").as("key"),
+        orderedGroup.cast("double").as("__x"), value.cast("double").as("__y"))
+      .filter(col("key").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint()
+    val stats = kendallStatsPerKey(t)
+    def tieMoments(c: String, tag: String): DataFrame =
+      t.groupBy(col("key"), col(c)).agg(count(lit(1)).as("__t"))
+        .groupBy("key").agg(
+          sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as(s"__${tag}25"),
+          sum(col("__t") * (col("__t") - 1) * (col("__t") - 2)).as(s"__${tag}12"),
+          sum(col("__t") * (col("__t") - 1)).as(s"__${tag}1"))
+    val tx = tieMoments("__x", "x")
+    val ty = tieMoments("__y", "y")
+    def d(c: Column): Column = c.cast("double")
+    val nd = d(col("n"))
+    val term1 = (nd * (nd - 1.0) * (nd * 2.0 + 5.0)
+      - d(coalesce(col("__x25"), lit(0L))) - d(coalesce(col("__y25"), lit(0L)))) / 18.0
+    val term2 = d(coalesce(col("__x12"), lit(0L))) * d(coalesce(col("__y12"), lit(0L))) /
+      (lit(9.0) * nd * (nd - 1.0) * (nd - 2.0))
+    val term3 = d(coalesce(col("__x1"), lit(0L))) * d(coalesce(col("__y1"), lit(0L))) /
+      (lit(2.0) * nd * (nd - 1.0))
+    val varS = when(col("n") < 3, term1 + term3).otherwise(term1 + term2 + term3)
+    val degenerate = col("n") < 2 || varS <= 0.0
+    val z = when(degenerate, lit(0.0)).otherwise(Num.t4zero(d(col("s")) / sqrt(varS)))
+    stats.join(tx, Seq("key"), "left").join(ty, Seq("key"), "left")
+      .select(col("key"), col("n"), col("s"), z.as("z"),
+        (!degenerate && abs(z) > 1.96).as("significant"),
+        degenerate.as("degenerate"))
+  }
+
   /** C104: partial Pearson correlation r_xy·z — "are x and y related
     * BEYOND what z explains" (the confounder question a plain C39
     * correlation matrix can\'t answer: price correlates with quantity,

@@ -1545,6 +1545,73 @@ object ProfileQueries {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
     },
 
+    // C105: Jonckheere-Terpstra ordered-alternative test per return
+    // flag — does the (5000-bucketed) price trend with line number?
+    // S replays on the cnt-weighted cell frame (7 groups × ≤22 value
+    // buckets per key — bounded), tie moments declaratively, the
+    // three variance terms in the same double order as the kernel.
+    Q(
+      "q_jonckheere",
+      """WITH t AS (
+        |  SELECT l_returnflag AS key, CAST(l_linenumber AS DOUBLE) AS x,
+        |    CAST(floor(l_extendedprice / 5000.0) AS DOUBLE) AS v
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |c AS (SELECT key, x, v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t GROUP BY 1, 2, 3),
+        |nn AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |sv AS (
+        |  SELECT a.key,
+        |    CAST(coalesce(sum(CASE
+        |      WHEN (b.x - a.x) * (b.v - a.v) > 0 THEN a.cnt * b.cnt
+        |      WHEN (b.x - a.x) * (b.v - a.v) < 0 THEN -(a.cnt * b.cnt)
+        |      ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM c a JOIN c b
+        |    ON a.key = b.key AND (a.x < b.x OR (a.x = b.x AND a.v < b.v))
+        |  GROUP BY 1),
+        |tx AS (
+        |  SELECT key, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS x25,
+        |    CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS x12,
+        |    CAST(sum(t * (t - 1)) AS BIGINT) AS x1
+        |  FROM (SELECT key, x, sum(cnt) AS t FROM c GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (
+        |  SELECT key, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS y25,
+        |    CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS y12,
+        |    CAST(sum(t * (t - 1)) AS BIGINT) AS y1
+        |  FROM (SELECT key, v, sum(cnt) AS t FROM c GROUP BY 1, 2) GROUP BY 1),
+        |d AS (
+        |  SELECT nn.key, nn.n, coalesce(sv.s, 0) AS s,
+        |    (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)
+        |       * (CAST(nn.n AS DOUBLE) * 2.0 + 5.0)
+        |     - CAST(coalesce(x25, 0) AS DOUBLE)
+        |     - CAST(coalesce(y25, 0) AS DOUBLE)) / 18.0
+        |    + CASE WHEN nn.n < 3 THEN 0.0
+        |      ELSE CAST(coalesce(x12, 0) AS DOUBLE) * CAST(coalesce(y12, 0) AS DOUBLE)
+        |        / (9.0 * CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)
+        |           * (CAST(nn.n AS DOUBLE) - 2.0)) END
+        |    + CAST(coalesce(x1, 0) AS DOUBLE) * CAST(coalesce(y1, 0) AS DOUBLE)
+        |      / (2.0 * CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)) AS var_s
+        |  FROM nn LEFT JOIN sv ON sv.key = nn.key
+        |          LEFT JOIN tx ON tx.key = nn.key
+        |          LEFT JOIN ty ON ty.key = nn.key),
+        |r AS (
+        |  SELECT key, n, s, (n < 2 OR var_s <= 0.0) AS degenerate,
+        |    CASE WHEN n < 2 OR var_s <= 0.0 THEN 0.0
+        |      ELSE sign(CAST(s AS DOUBLE) / sqrt(var_s))
+        |        * (floor(abs(CAST(s AS DOUBLE) / sqrt(var_s)) * 1e4) / 1e4) + 0.0
+        |      END AS z
+        |  FROM d)
+        |SELECT key, n, s, z, (NOT degenerate AND abs(z) > 1.96) AS significant,
+        |  degenerate
+        |FROM r ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.jonckheereTerpstra(table(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_linenumber"),
+          floor(col("l_extendedprice") / 5000.0))
+        .orderBy("key")
+    },
+
     // C52: two-sample Kolmogorov-Smirnov — D as an exact-integer
     // supremum over the grouped distinct-value frame (quantized 4 dp;
     // prices are 2 dp so quantization is lossless), one division at

@@ -287,6 +287,35 @@ class BehaviorSpec extends SparkSpec {
     assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
   }
 
+  test("jonckheereTerpstra: hand-computed S and tie-corrected Var(S); one-group degenerate") {
+    import graft.operators.Stats
+    // groups 1:[1,2], 2:[2,3]: cross pairs (1,2)+ (1,3)+ (2,2)0 (2,3)+
+    // -> S = 3. N=4, tx: 2 groups of 2 -> Σt(t−1)(2t+5) = 36, ty:
+    // value 2 twice -> 18. term1 = (156−36−18)/18 = 5.6667; term2 = 0
+    // (t−2 = 0 everywhere); term3 = 4·2/(2·4·3) = 1/3. Var = 6.
+    // z = 3/√6 = 1.2247.
+    val d = Seq(("k", 1L, 1.0), ("k", 1L, 2.0), ("k", 2L, 2.0), ("k", 2L, 3.0))
+      .toDF("g", "grp", "v")
+    val Array(r) = Stats.jonckheereTerpstra(d, col("g"), col("grp"), col("v"))
+      .collect()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("s") == 3L, r.toString)
+    assert(r.getAs[Double]("z") == math.floor(3.0 / math.sqrt(6.0) * 1e4) / 1e4,
+      r.toString)
+    assert(!r.getAs[Boolean]("degenerate") && !r.getAs[Boolean]("significant"))
+    // a single group has no cross pairs and zero x-variance — degenerate
+    val one = Seq(("k", 1L, 1.0), ("k", 1L, 2.0), ("k", 1L, 3.0)).toDF("g", "grp", "v")
+    val Array(o) = Stats.jonckheereTerpstra(one, col("g"), col("grp"), col("v"))
+      .collect()
+    assert(o.getAs[Double]("z") == 0.0 && o.getAs[Boolean]("degenerate"), o.toString)
+    // a perfect staircase across 4 groups is decisively significant
+    val stair = (1 to 4).flatMap(g => (1 to 10).map(i =>
+      ("k", g.toLong, g * 100.0 + i))).toDF("g", "grp", "v")
+    val Array(st) = Stats.jonckheereTerpstra(stair, col("g"), col("grp"), col("v"))
+      .collect()
+    assert(st.getAs[Long]("s") == 600L, st.toString) // 6 group pairs × 100
+    assert(st.getAs[Boolean]("significant"), st.toString)
+  }
+
   test("cochranArmitage: hand-computed perfect-trend z; all-success degenerate") {
     import graft.operators.Stats
     // w=1: 1/10, w=2: 5/10, w=3: 9/10 -> T=38, W1=60, W2=140, p̄=.5
