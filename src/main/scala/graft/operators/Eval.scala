@@ -281,6 +281,83 @@ object Eval {
       degenerate.as("degenerate"))
   }
 
+  /** D137: Kendall's W — coefficient of CONCORDANCE for m raters
+    * RANKING n items, completing the agreement family (D93 pairwise
+    * nominal, D110 multi-rater nominal, D116 general distance — this
+    * one answers "do the raters ORDER the items the same way", the
+    * right question when scores are on incomparable scales):
+    *
+    *   W = (12·ΣᵢRᵢ² − 3m²n(n+1)²) / (m²n(n²−1) − m·ΣᵣTᵣ)
+    *
+    * with Rᵢ = summed (midrank-tied) ranks of item i across raters
+    * and Tᵣ = Σ(t³−t) over rater r's tie groups (the tie correction).
+    * W ∈ [0, 1]; 1 = identical orderings. Determinism: ranks are
+    * DOUBLED midranks (the spearman lanes — halves never touch a
+    * double), so 4·ΣRᵢ² = ΣR′ᵢ² is an exact decimal(38) sum,
+    * numerator = 3·ΣR′² − 12·m²·n·(n+1)²... computed as
+    * (3·ΣR′ᵢ² − 3·m²·n·(2n+2)²/4)·... — concretely both numerator and
+    * denominator assemble from exact integer moments and divide ONCE
+    * in double, 4-dp floor (W ≥ 0). Input: LONG format (item, rater,
+    * score), one row per pair; every rater must score every item (the
+    * balanced-panel contract — unbalanced panels need D116). Rater
+    * count m and item count n are frame-derived exact longs.
+    * Degenerate (m < 2, n < 2, or all-tied raters zeroing the
+    * denominator) reports 0 + flag. Returns ONE row:
+    * (n_items, n_raters, w, degenerate).
+    *
+    * Shape at scale: per-rater keyed rank windows over the item frame
+    * + one partial-agg per item — panels are item-bounded by nature.
+    */
+  def kendallW(df: DataFrame, item: Column, rater: Column,
+      score: Column): DataFrame = {
+    val t = df.select(item.as("__i"), rater.cast("string").as("__r"),
+        score.cast("double").as("__s"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull && col("__s").isNotNull)
+    // doubled midrank of each row within its rater: 2·cum + cnt + 1
+    // over the rater-local VALUE frame (spearman's bounded-pass trick)
+    val vf = t.groupBy("__r", "__s").agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__r").orderBy("__s").rowsBetween(Long.MinValue, -1)
+    val ranked = vf
+      .withColumn("__cum", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .select(col("__r"), col("__s"),
+        (col("__cum") * 2 + col("__cnt") + 1).as("__rr"), col("__cnt"))
+    val rows = t.join(ranked, Seq("__r", "__s"))
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val perItem = rows.groupBy("__i")
+      .agg(sum(big(col("__rr"))).as("__ri"), count(lit(1)).as("__m"))
+    // tie correction per rater from the value frame
+    def b13(c: Column): Column = c.cast("decimal(13,0)")
+    val ties = vf.groupBy("__r")
+      .agg(sum(b13(col("__cnt")) * b13(col("__cnt")) * b13(col("__cnt"))
+        - b13(col("__cnt"))).cast("decimal(38,0)").as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0L).cast("decimal(38,0)")).as("__tt"),
+        count(lit(1)).as("__m2"))
+    val moments = perItem.agg(
+      count(lit(1)).as("__n"),
+      coalesce(sum(col("__ri") * col("__ri")), lit(0L).cast("decimal(38,0)"))
+        .as("__sr2"),
+      max(col("__m")).as("__mmax"), min(col("__m")).as("__mmin"))
+    def d(c: Column): Column = c.cast("double")
+    val out = moments.crossJoin(ties)
+    val nd = d(col("__n"))
+    val md = d(col("__m2"))
+    // doubled lanes: ΣR′² = 4·ΣR², so 12·ΣR² = 3·ΣR′² exactly — the
+    // numerator assembles at the STANDARD scale ((2n+2)²/4 = (n+1)²)
+    // and the denominator needs no scale factor:
+    //   W = (3·ΣR′² − 3·m²·n·(2n+2)²/4) / (m²n(n²−1) − m·ΣT)
+    val num = lit(3.0) * d(col("__sr2")) -
+      lit(3.0) * md * md * nd * (nd * 2.0 + 2.0) * (nd * 2.0 + 2.0) / 4.0
+    val den = md * md * nd * (nd * nd - 1.0) - md * d(col("__tt"))
+    val degenerate = col("__m2") < 2 || col("__n") < 2 ||
+      col("__mmax") =!= col("__mmin") || col("__mmax") =!= col("__m2") ||
+      den <= 0.0
+    out.select(col("__n").as("n_items"), col("__m2").as("n_raters"),
+      when(degenerate, lit(0.0))
+        .otherwise(floor(greatest(lit(0.0), num / den) * 1e4) / 1e4).as("w"),
+      degenerate.as("degenerate"))
+  }
+
   /** Krippendorff's alpha (nominal metric) — the agreement
     * coefficient built for ARBITRARY missingness, completing the
     * family ([[cohenKappa]]: 2 raters; [[fleissKappa]]: n raters,

@@ -679,6 +679,67 @@ object EvalQueries {
       Eval.krippendorffAlpha(docs, col("it"), col("cat"))
     },
 
+    // D137: Kendall's W — three deterministic pseudo-raters score every
+    // doc on incomparable scales; the concordance of their ORDERINGS
+    // replays from doubled midranks + the tie correction.
+    Q(
+      "q_kendall_w",
+      """WITH lng AS (
+        |  SELECT doc_id AS i, 'r1' AS r, CAST(n_chars AS DOUBLE) AS s FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'r2', CAST(n_chars + doc_id % 7 AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'r3', CAST(n_chars % 101 AS DOUBLE) FROM documents),
+        |vf AS (SELECT r, s, CAST(count(*) AS BIGINT) AS cnt FROM lng GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT r, s,
+        |    2 * coalesce(sum(cnt) OVER (PARTITION BY r ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS rr
+        |  FROM vf),
+        |rw AS (SELECT lng.i, rk.rr FROM lng JOIN rk ON lng.r = rk.r AND lng.s = rk.s),
+        |per AS (
+        |  SELECT i, CAST(sum(rr) AS DECIMAL(19,0)) AS ri,
+        |    CAST(count(*) AS BIGINT) AS mi
+        |  FROM rw GROUP BY 1),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(ri * ri) AS sr2,
+        |    max(mi) AS mmax, min(mi) AS mmin
+        |  FROM per),
+        |tt AS (
+        |  SELECT CAST(sum(CAST(cnt AS DECIMAL(13,0)) * CAST(cnt AS DECIMAL(13,0))
+        |      * CAST(cnt AS DECIMAL(13,0)) - CAST(cnt AS DECIMAL(13,0)))
+        |      AS DECIMAL(38,0)) AS t,
+        |    CAST(count(DISTINCT r) AS BIGINT) AS m
+        |  FROM vf),
+        |e AS (
+        |  SELECT n, m, mmax, mmin,
+        |    3.0 * CAST(sr2 AS DOUBLE)
+        |      - 3.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) * 2.0 + 2.0) * (CAST(n AS DOUBLE) * 2.0 + 2.0)
+        |        / 4.0 AS num,
+        |    CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)
+        |      - CAST(m AS DOUBLE) * CAST(t AS DOUBLE) AS den
+        |  FROM mo CROSS JOIN tt)
+        |SELECT n AS n_items, m AS n_raters,
+        |  CASE WHEN m < 2 OR n < 2 OR mmax <> mmin OR mmax <> m OR den <= 0.0
+        |    THEN 0.0
+        |    ELSE floor(greatest(0.0, num / den) * 1e4) / 1e4 END AS w,
+        |  (m < 2 OR n < 2 OR mmax <> mmin OR mmax <> m OR den <= 0.0) AS degenerate
+        |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val lng = d.select(col("doc_id").as("i"), lit("r1").as("r"),
+          col("n_chars").cast("double").as("s"))
+        .unionByName(d.select(col("doc_id").as("i"), lit("r2").as("r"),
+          (col("n_chars") + col("doc_id") % 7).cast("double").as("s")))
+        .unionByName(d.select(col("doc_id").as("i"), lit("r3").as("r"),
+          (col("n_chars") % 101).cast("double").as("s")))
+      Eval.kendallW(lng, col("i"), col("r"), col("s"))
+    },
+
     // D113: multi-class classification report — truth = source, the
     // predictor mislabels every 7th doc as the phantom class 'noise'
     // (exercising the n_true=0 → recall NULL → macro-0 path) and every

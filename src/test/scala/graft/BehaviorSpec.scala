@@ -287,6 +287,36 @@ class BehaviorSpec extends SparkSpec {
     assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
   }
 
+  test("kendallW: perfect/reversed/tied panels hand-computed; unbalanced panel degenerate") {
+    import graft.operators.{Eval => Ev}
+    // m=2 raters agree perfectly on 3 items -> W = 1
+    val agree = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (1L, "b", 1.0), (2L, "b", 2.0), (3L, "b", 3.0)).toDF("i", "r", "s")
+    val Array(w1) = Ev.kendallW(agree, col("i"), col("r"), col("s")).collect()
+    assert(w1.getAs[Long]("n_items") == 3L && w1.getAs[Long]("n_raters") == 2L)
+    assert(w1.getAs[Double]("w") == 1.0 && !w1.getAs[Boolean]("degenerate"), w1.toString)
+    // exactly reversed rankings: every R_i equal -> W = 0
+    val rev = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (1L, "b", 3.0), (2L, "b", 2.0), (3L, "b", 1.0)).toDF("i", "r", "s")
+    val Array(w0) = Ev.kendallW(rev, col("i"), col("r"), col("s")).collect()
+    assert(w0.getAs[Double]("w") == 0.0 && !w0.getAs[Boolean]("degenerate"), w0.toString)
+    // ties: rater b scores (1,1,2) -> midranks (1.5,1.5,3), T_b = 6;
+    // R = (2.5, 3.5, 6), W = 78/84 = 0.9285 (4-dp floor)
+    val tied = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (1L, "b", 1.0), (2L, "b", 1.0), (3L, "b", 2.0)).toDF("i", "r", "s")
+    val Array(wt) = Ev.kendallW(tied, col("i"), col("r"), col("s")).collect()
+    assert(wt.getAs[Double]("w") == math.floor(78.0 / 84.0 * 1e4) / 1e4, wt.toString)
+    // a missing rating breaks the balanced-panel contract -> degenerate
+    val unbal = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (1L, "b", 3.0), (2L, "b", 2.0)).toDF("i", "r", "s")
+    val Array(wu) = Ev.kendallW(unbal, col("i"), col("r"), col("s")).collect()
+    assert(wu.getAs[Boolean]("degenerate") && wu.getAs[Double]("w") == 0.0, wu.toString)
+  }
+
   test("jonckheereTerpstra: hand-computed S and tie-corrected Var(S); one-group degenerate") {
     import graft.operators.Stats
     // groups 1:[1,2], 2:[2,3]: cross pairs (1,2)+ (1,3)+ (2,2)0 (2,3)+
