@@ -98,19 +98,27 @@ object Stats {
         .as(s"__ss_$tag"))
     val aggs = side(groupA, "a") ++ side(groupB, "b")
     val m = df.filter(value.isNotNull).agg(aggs.head, aggs.tail: _*)
-    def mean(t: String) = col(s"__s_$t").cast("double") / col(s"__n_$t")
+    // try_divide lanes: whole-stage codegen CSE hoists these
+    // subexpressions UNCONDITIONALLY, so the degenerate guard cannot
+    // rely on when()-laziness — two singleton groups would ANSI-throw
+    // inside the guard meant to catch them (caught by the r12
+    // pre-close edge audit)
+    def mean(t: String) = try_divide(col(s"__s_$t").cast("double"),
+      col(s"__n_$t").cast("double"))
     def variance(t: String) = greatest(lit(0.0),
-      (col(s"__ss_$t").cast("double") -
-        col(s"__s_$t").cast("double") * col(s"__s_$t").cast("double") /
-          col(s"__n_$t")) /
-        (col(s"__n_$t") - 1))
+      try_divide(col(s"__ss_$t").cast("double") -
+        try_divide(col(s"__s_$t").cast("double") * col(s"__s_$t").cast("double"),
+          col(s"__n_$t").cast("double")),
+        (col(s"__n_$t") - 1).cast("double")))
     val na = col("__n_a").cast("double")
     val nb = col("__n_b").cast("double")
-    val sPooled = sqrt(((na - 1.0) * variance("a") + (nb - 1.0) * variance("b"))
-      / (na + nb - 2.0))
+    val sPooled = sqrt(try_divide(
+      (na - 1.0) * variance("a") + (nb - 1.0) * variance("b"),
+      na + nb - 2.0))
     val diff = mean("a") - mean("b")
     val j = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0)
-    val degenerate = col("__n_a") < 2 || col("__n_b") < 2 || sPooled === 0.0
+    val degenerate = col("__n_a") < 2 || col("__n_b") < 2 ||
+      coalesce(sPooled, lit(0.0)) === 0.0
     val d = when(degenerate, lit(0.0)).otherwise(t4(diff / sPooled))
     val g = when(degenerate, lit(0.0)).otherwise(t4(diff / sPooled * j))
     val glass = when(degenerate || variance("b") === 0.0, lit(0.0))
@@ -604,11 +612,19 @@ object Stats {
     val nd = d(col("n"))
     val term1 = (nd * (nd - 1.0) * (nd * 2.0 + 5.0)
       - d(coalesce(col("__x25"), lit(0L))) - d(coalesce(col("__y25"), lit(0L)))) / 18.0
-    val term2 = d(coalesce(col("__x12"), lit(0L))) * d(coalesce(col("__y12"), lit(0L))) /
-      (lit(9.0) * nd * (nd - 1.0) * (nd - 2.0))
-    val term3 = d(coalesce(col("__x1"), lit(0L))) * d(coalesce(col("__y1"), lit(0L))) /
-      (lit(2.0) * nd * (nd - 1.0))
-    val varS = when(col("n") < 3, term1 + term3).otherwise(term1 + term2 + term3)
+    // try_divide + coalesce, not a when(n < 3) branch: codegen CSE
+    // evaluates every term even on short keys, so a singleton key
+    // would ANSI-throw in term3's 2n(n−1) = 0 denominator (caught by
+    // the r12 pre-close edge audit); a NULL term is exactly a
+    // vanishing one (its tie-moment numerator is 0 whenever the
+    // denominator is)
+    val term2 = try_divide(
+      d(coalesce(col("__x12"), lit(0L))) * d(coalesce(col("__y12"), lit(0L))),
+      lit(9.0) * nd * (nd - 1.0) * (nd - 2.0))
+    val term3 = try_divide(
+      d(coalesce(col("__x1"), lit(0L))) * d(coalesce(col("__y1"), lit(0L))),
+      lit(2.0) * nd * (nd - 1.0))
+    val varS = term1 + coalesce(term2, lit(0.0)) + coalesce(term3, lit(0.0))
     val degenerate = col("n") < 2 || varS <= 0.0
     val z = when(degenerate, lit(0.0)).otherwise(Num.t4zero(d(col("s")) / sqrt(varS)))
     stats.join(tx, Seq("key"), "left").join(ty, Seq("key"), "left")
@@ -1009,12 +1025,14 @@ object Stats {
       coalesce(sum(col("__w") * col("__n")), lit(0L)).as("__W1"),
       coalesce(sum(col("__w") * col("__w") * col("__n")), lit(0L)).as("__W2"))
     def d(c: Column): Column = c.cast("double")
-    val pbar = d(col("__R")) / d(col("__N"))
+    // try_divide: codegen CSE evaluates these even on the degenerate
+    // branch — an EMPTY input would ANSI-throw inside the guard
+    val pbar = try_divide(d(col("__R")), d(col("__N")))
     val num = d(col("__T")) - pbar * d(col("__W1"))
     val varT = pbar * (lit(1.0) - pbar) *
-      (d(col("__W2")) - d(col("__W1")) * d(col("__W1")) / d(col("__N")))
+      (d(col("__W2")) - try_divide(d(col("__W1")) * d(col("__W1")), d(col("__N"))))
     val degenerate = col("__N") === 0 || col("__R") === 0 ||
-      col("__R") === col("__N") || varT <= 0.0
+      col("__R") === col("__N") || coalesce(varT, lit(0.0)) <= 0.0
     val z = when(degenerate, lit(0.0)).otherwise(Num.t4zero(num / sqrt(varT)))
     m.select(col("__N").as("n"), col("__k").as("n_groups"),
       col("__R").as("successes"), z.as("z"),

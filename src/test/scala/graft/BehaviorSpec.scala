@@ -337,6 +337,12 @@ class BehaviorSpec extends SparkSpec {
     val Array(o) = Stats.jonckheereTerpstra(one, col("g"), col("grp"), col("v"))
       .collect()
     assert(o.getAs[Double]("z") == 0.0 && o.getAs[Boolean]("degenerate"), o.toString)
+    // r12 edge audit: a SINGLETON key zeroes term3's 2n(n−1) inside
+    // the variance — must degenerate-flag, never ANSI-throw
+    val solo = Seq(("s", 1L, 5.0)).toDF("g", "grp", "v")
+    val Array(so) = Stats.jonckheereTerpstra(solo, col("g"), col("grp"), col("v"))
+      .collect()
+    assert(so.getAs[Boolean]("degenerate") && so.getAs[Double]("z") == 0.0, so.toString)
     // a perfect staircase across 4 groups is decisively significant
     val stair = (1 to 4).flatMap(g => (1 to 10).map(i =>
       ("k", g.toLong, g * 100.0 + i))).toDF("g", "grp", "v")
@@ -362,6 +368,11 @@ class BehaviorSpec extends SparkSpec {
     val all = Seq((1L, true), (2L, true), (3L, true)).toDF("w", "ok")
     val Array(a) = Stats.cochranArmitage(all, col("w"), col("ok")).collect()
     assert(a.getAs[Double]("z") == 0.0 && a.getAs[Boolean]("degenerate"))
+    // r12 edge audit: an EMPTY input's p̄ = 0/0 lives inside the guard
+    // — must degenerate-flag, never ANSI-throw
+    val none = Seq.empty[(Long, Boolean)].toDF("w", "ok")
+    val Array(e) = Stats.cochranArmitage(none, col("w"), col("ok")).collect()
+    assert(e.getAs[Long]("n") == 0L && e.getAs[Boolean]("degenerate"), e.toString)
   }
 
   test("partialCorrelation: y = x + z with orthogonal x,z partials to ~1; constant-z degenerate") {
@@ -411,6 +422,12 @@ class BehaviorSpec extends SparkSpec {
     val one = Seq(("a", 1.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
     val Array(o) = Stats.effectSize(one, col("g"), col("v"), "a", "b").collect()
     assert(o.getAs[Double]("cohen_d") == 0.0 && o.getAs[Boolean]("degenerate"))
+    // r12 edge audit: TWO singletons zero the pooled-sd denominator
+    // inside the guard itself — must degenerate-flag, never ANSI-throw
+    // (codegen CSE evaluates the guard's subexpressions eagerly)
+    val two = Seq(("a", 1.0), ("b", 5.0)).toDF("g", "v")
+    val Array(tw) = Stats.effectSize(two, col("g"), col("v"), "a", "b").collect()
+    assert(tw.getAs[Boolean]("degenerate") && tw.getAs[Double]("cohen_d") == 0.0)
   }
 
   test("decompositionStrength: pure-seasonal vs pure-trend vs mixed series land the right F") {
