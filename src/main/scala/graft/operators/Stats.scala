@@ -993,6 +993,58 @@ object Stats {
           / 1e4).as("cramers_v"))
   }
 
+  /** C106: Wald-Wolfowitz runs test — "is this binary sequence
+    * RANDOM, or does it clump/alternate" per key, the sequence-level
+    * diagnostic the volume charts don\'t give (C47 flags level
+    * anomalies, C65 reads periodicity; this reads serial DEPENDENCE
+    * of a yes/no lane — busy-hour stickiness, flaky-pass streaks):
+    *
+    *   R = #runs,  μ = 2n₁n₀/n + 1,
+    *   σ² = 2n₁n₀(2n₁n₀ − n) / (n²(n−1)),  z = (R − μ)/σ
+    *
+    * z < 0 = clumping (fewer runs than chance), z > 0 = alternation.
+    * One keyed lag window counts boundaries (R = boundaries + 1), one
+    * partial-agg collapses to exact integer moments; μ/σ²/z are ONE
+    * fixed-order double derivation each (2n₁n₀·(2n₁n₀−n) would
+    * overflow long lanes at corpus n — doubles of exact longs are
+    * IEEE-identical), 4-dp toward zero, |z| > 1.96 gate. One-sided
+    * keys (all true / all false) or n < 2 report 0 + `degenerate`.
+    * Input contract: one row per (key, order). Returns
+    * (key, n, n_true, runs, z, significant, degenerate).
+    */
+  def runsTest(df: DataFrame, key: Column, order: Column,
+      flag: Column): DataFrame = {
+    val b = flag.cast("boolean")
+    val t = df.select(key.cast("string").as("key"), order.cast("long").as("__x"),
+        b.as("__b"))
+      .filter(col("key").isNotNull && col("__x").isNotNull && col("__b").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__x")
+    val marked = t.withColumn("__new",
+      when(lag(col("__b"), 1).over(w).isNull
+        || lag(col("__b"), 1).over(w) =!= col("__b"), 1L).otherwise(0L))
+    val m = marked.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("n_true"),
+      sum(col("__new")).as("runs"))
+    def d(c: Column): Column = c.cast("double")
+    val n1 = d(col("n_true"))
+    val n0 = d(col("n") - col("n_true"))
+    val nd = d(col("n"))
+    val two = lit(2.0) * n1 * n0
+    // try_divide: the guard reads σ² (the r12 CSE lesson — n = 1 keys
+    // zero the n−1 denominator inside the guard itself)
+    val mu = try_divide(two, nd) + 1.0
+    val varR = try_divide(two * (two - nd), nd * nd * (nd - 1.0))
+    val degenerate = col("n") < 2 || col("n_true") === 0 ||
+      col("n_true") === col("n") || coalesce(varR, lit(0.0)) <= 0.0
+    val z = when(degenerate, lit(0.0))
+      .otherwise(Num.t4zero((d(col("runs")) - mu) / sqrt(varR)))
+    m.select(col("key"), col("n"), col("n_true"), col("runs"), z.as("z"),
+      (!degenerate && abs(z) > 1.96).as("significant"),
+      degenerate.as("degenerate"))
+  }
+
   /** C103: Cochran-Armitage trend test — "does the success RATE trend
     * with an ORDERED exposure?" ([[chiSquared]] asks independence and
     * wastes the ordering; a dose-response / funnel-depth / line-number

@@ -1488,6 +1488,60 @@ object ProfileQueries {
         col("l_linenumber"), col("l_returnflag") === "R")
     },
 
+    // C106: Wald-Wolfowitz runs test — do "busy hours" (count >= 3)
+    // clump per event type? One keyed lag window counts runs; exact
+    // integer moments, one fixed-order double z.
+    Q(
+      "q_runs_test",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    (epoch_ns(ts) // 3600000000000) * 3600 AS x,
+        |    (count(*) >= 3) AS f
+        |  FROM events GROUP BY 1, 2),
+        |mk AS (
+        |  SELECT key, f,
+        |    CASE WHEN lag(f) OVER (PARTITION BY key ORDER BY x) IS NULL
+        |      OR lag(f) OVER (PARTITION BY key ORDER BY x) <> f
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM b),
+        |m AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |    CAST(sum(nw) AS BIGINT) AS runs
+        |  FROM mk GROUP BY 1),
+        |d AS (
+        |  SELECT *,
+        |    2.0 * CAST(n_true AS DOUBLE) * CAST(n - n_true AS DOUBLE) AS two,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM m),
+        |e AS (
+        |  SELECT key, n, n_true, runs,
+        |    two / nd + 1.0 AS mu,
+        |    two * (two - nd) / (nd * nd * (nd - 1.0)) AS var_r
+        |  FROM d),
+        |r AS (
+        |  SELECT key, n, n_true, runs,
+        |    (n < 2 OR n_true = 0 OR n_true = n
+        |      OR coalesce(var_r, 0.0) <= 0.0) AS degenerate,
+        |    CASE WHEN n < 2 OR n_true = 0 OR n_true = n
+        |        OR coalesce(var_r, 0.0) <= 0.0 THEN 0.0
+        |      ELSE sign((CAST(runs AS DOUBLE) - mu) / sqrt(var_r))
+        |        * (floor(abs((CAST(runs AS DOUBLE) - mu) / sqrt(var_r)) * 1e4) / 1e4)
+        |        + 0.0 END AS z
+        |  FROM e)
+        |SELECT key, n, n_true, runs, z,
+        |  (NOT degenerate AND abs(z) > 1.96) AS significant, degenerate
+        |FROM r ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val buckets = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg((count(lit(1)) >= 3).as("busy"))
+      graft.operators.Stats.runsTest(buckets, col("event_type"),
+          col("bucket_s"), col("busy"))
+        .orderBy("key")
+    },
+
     // C104: partial correlation — quantity vs extended price with the
     // discount lane partialled out; nine exact decimal sums, raw-r
     // formula in one fixed double order, 4-dp toward zero on report.

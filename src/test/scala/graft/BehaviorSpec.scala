@@ -287,6 +287,31 @@ class BehaviorSpec extends SparkSpec {
     assert(zr.getAs[Double]("tau_b") == -1.0, zr.toString)
   }
 
+  test("runsTest: clumped vs alternating hand-z; one-sided key degenerate") {
+    import graft.operators.Stats
+    // n=6, n1=n0=3: mu = 4, sigma^2 = 18*12/(36*5) = 1.2
+    // TTTFFF: runs 2 -> z = -2/sqrt(1.2); TFTFTF: runs 6 -> +2/sqrt(1.2)
+    val d = (Seq.tabulate(6)(i => ("clump", i.toLong, i < 3))
+      ++ Seq.tabulate(6)(i => ("alt", i.toLong, i % 2 == 0))
+      ++ Seq.tabulate(4)(i => ("allt", i.toLong, true))).toDF("g", "x", "f")
+    val rows = Stats.runsTest(d, col("g"), col("x"), col("f"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val zExp = math.floor(2.0 / math.sqrt(1.2) * 1e4) / 1e4
+    val cl = rows("clump")
+    assert(cl.getAs[Long]("runs") == 2L && cl.getAs[Double]("z") == -zExp, cl.toString)
+    val al = rows("alt")
+    assert(al.getAs[Long]("runs") == 6L && al.getAs[Double]("z") == zExp, al.toString)
+    assert(!cl.getAs[Boolean]("degenerate") && !al.getAs[Boolean]("degenerate"))
+    // a one-sided key has a single possible arrangement — degenerate
+    val at = rows("allt")
+    assert(at.getAs[Long]("runs") == 1L && at.getAs[Double]("z") == 0.0
+      && at.getAs[Boolean]("degenerate"), at.toString)
+    // r12 edge-audit class: a singleton key must flag, never throw
+    val Array(solo) = Stats.runsTest(Seq(("s", 1L, true)).toDF("g", "x", "f"),
+      col("g"), col("x"), col("f")).collect()
+    assert(solo.getAs[Boolean]("degenerate"))
+  }
+
   test("kendallW: perfect/reversed/tied panels hand-computed; unbalanced panel degenerate") {
     import graft.operators.{Eval => Ev}
     // m=2 raters agree perfectly on 3 items -> W = 1
