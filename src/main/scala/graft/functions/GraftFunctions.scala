@@ -243,6 +243,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => ThetaIntersectEstimate(a, b)
         case _ => throw new IllegalArgumentException("theta_intersect_estimate(a, b)")
+      }),
+    ("theta_diff_estimate",
+      new ExpressionInfo(classOf[ThetaDiffEstimate].getName, "theta_diff_estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ThetaDiffEstimate(a, b)
+        case _ => throw new IllegalArgumentException("theta_diff_estimate(a, b)")
       }))
 
   def registerAll(spark: SparkSession): Unit =

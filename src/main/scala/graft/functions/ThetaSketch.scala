@@ -157,6 +157,31 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar |A \ B| estimate from two serialized theta sketches — the
+  * third set operation completing the algebra next to union and
+  * intersection: "how many fingerprints are NEW in this shard vs the
+  * corpus" answered from two kilobyte blobs, never re-touching either
+  * side. Exact whenever BOTH inputs are under nominal capacity (set
+  * ops over exact sketches are exact — the library contract the
+  * q_theta_diff bounded-verdict oracle leans on).
+  */
+case class ThetaDiffEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_diff_estimate"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.wrapSketch(Memory.wrap(a.asInstanceOf[Array[Byte]])))
+    op.notB(Sketches.wrapSketch(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    op.getResult(true).getEstimate
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaDiffEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 object ThetaSketch {
   /** Aggregate: absorb a string column into a theta sketch → binary. */
   def thetaSketch(item: Column, lgK: Int = 12): Column =
@@ -176,5 +201,10 @@ object ThetaSketch {
   /** Scalar: |A ∩ B| estimate from two serialized sketches. */
   def thetaIntersectEstimate(a: Column, b: Column): Column =
     Shims.toColumn(ThetaIntersectEstimate(
+      Shims.toExpression(a), Shims.toExpression(b)))
+
+  /** Scalar: |A \ B| estimate from two serialized sketches. */
+  def thetaDiffEstimate(a: Column, b: Column): Column =
+    Shims.toColumn(ThetaDiffEstimate(
       Shims.toExpression(a), Shims.toExpression(b)))
 }

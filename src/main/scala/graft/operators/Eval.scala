@@ -680,10 +680,15 @@ object Eval {
         text.as("__t"))
       .withColumn("__t2", lead(col("__t"), 1).over(w))
       .filter(col("__t2").isNotNull)
-    val scored = rougeL(pairs.select(col("key"), col("id"),
+    // rougeL keys on a single id column; ids need only be unique WITHIN
+    // a group, so the join-back runs on a (key, id) composite — a bare
+    // id join would fan out across groups when ids repeat between them
+    val pid = concat_ws("\u0001", col("key"), col("id").cast("string"))
+    val scored = rougeL(pairs.select(pid.as("__pid"),
         col("__t").as("__cand"), col("__t2").as("__ref")),
-        col("id"), col("__cand"), col("__ref"), maxTokens)
-      .join(pairs.select(col("key"), col("id")), Seq("id"))
+        col("__pid"), col("__cand"), col("__ref"), maxTokens)
+      .withColumnRenamed("id", "__pid")
+      .join(pairs.select(pid.as("__pid"), col("key")), Seq("__pid"))
     scored.groupBy("key")
       .agg(count(lit(1)).as("n_pairs"),
         sum(round(col("rouge_lf") * 1e4).cast("long")).as("__s"),

@@ -846,9 +846,17 @@ object Profile {
     val totals = gv.agg(sum(col("__cnt_v")).as("__n"))
     // full accounting: every class × every global value (values absent
     // from a class contribute p_global(v)/2) — both frames are
-    // cardinality-bounded aggregates, never row-scale
+    // cardinality-bounded aggregates, never row-scale. The join-back is
+    // NULL-SAFE (<=>): gv counts NULL sensitive values as a category, so
+    // a null-unsafe key would drop the class's own NULL count (coalesced
+    // to 0) and inflate tvd for every class containing NULLs; renamed
+    // right-side columns keep the self-derived attributes un-ambiguous
+    val cvR = cv.select((qNames.map(n => col(n).as(s"__r_$n")) :+
+      col("__v").as("__r_v") :+ col("__cnt_cv")): _*)
+    val joinCond = (qNames.map(n => col(n) <=> col(s"__r_$n")) :+
+      (col("__v") <=> col("__r_v"))).reduce(_ && _)
     val grid = classes.crossJoin(broadcast(gv)).crossJoin(broadcast(totals))
-      .join(cv, qNames :+ "__v", "left")
+      .join(cvR, joinCond, "left")
       .select((qCols :+ col("class_size") :+
         abs(coalesce(col("__cnt_cv"), lit(0L)) * col("__n")
           - col("__cnt_v") * col("class_size")).as("__diff") :+

@@ -258,7 +258,11 @@ object Similarity {
     * can't give: hubness vectors are near EVERYTHING, so a candidate
     * only counts if it beats its own neighborhood,
     *
-    *   margin(x, y) = cos(x, y) / ((Σ_{z∈NNₖ(x)} cos + Σ_{z∈NNₖ(y)} cos) / 2k)
+    *   margin(x, y) = cos(x, y) / ((Σ_{z∈NNₖ(x)} cos + Σ_{z∈NNₖ(y)} cos) / (|NNₖ(x)| + |NNₖ(y)|))
+    *
+    * (= the 2k denominator of Artetxe & Schwenk when both sides hold a
+    * full k neighbors; the ACTUAL counts keep the average honest when a
+    * candidate set is smaller than k)
     *
     * and each source keeps its best target only when margin ≥
     * `minMargin` (ratio margin; 1.0 = "beats the average neighbor").
@@ -291,10 +295,18 @@ object Similarity {
     val wT = Window.partitionBy("tgt_id")
       .orderBy(col("__sim_key").desc, col("src_id").asc)
     val nnS = scored.withColumn("__r", row_number().over(wS))
-      .filter(col("__r") <= k).groupBy("src_id").agg(sum(col("__cs7")).as("__sx"))
+      .filter(col("__r") <= k).groupBy("src_id")
+      .agg(sum(col("__cs7")).as("__sx"), count(lit(1)).as("__cn_s"))
     val nnT = scored.withColumn("__r", row_number().over(wT))
-      .filter(col("__r") <= k).groupBy("tgt_id").agg(sum(col("__cs7")).as("__sy"))
-    val denom = (col("__sx") + col("__sy")).cast("double") / (2.0 * k * 1e7)
+      .filter(col("__r") <= k).groupBy("tgt_id")
+      .agg(sum(col("__cs7")).as("__sy"), count(lit(1)).as("__cn_t"))
+    // divide by the ACTUAL neighbor count, not a fixed 2k: when a side
+    // holds fewer than k candidates (|tgt| < k), a 2k denominator would
+    // deflate the average and inflate every margin — a silent deviation
+    // from Artetxe & Schwenk exactly on the small candidate sets the
+    // ANN ladder can hand this scorer
+    val denom = (col("__sx") + col("__sy")).cast("double") /
+      ((col("__cn_s") + col("__cn_t")).cast("double") * 1e7)
     val wPick = Window.partitionBy("src_id")
       .orderBy(round(col("margin"), 6).desc, col("tgt_id").asc)
     scored.join(nnS, Seq("src_id")).join(nnT, Seq("tgt_id"))

@@ -1841,6 +1841,100 @@ object Stats {
         col("split_x").isNull.as("degenerate"))
   }
 
+  /** C107: MULTI-changepoint detection per key — [[bestChangepoint]]
+    * recursively applied (binary segmentation, Scott & Knott '74 /
+    * the standard BinSeg): round r splits EVERY current segment at
+    * its own best cut wherever the between-segment SSE gain clears
+    * `minGain` (value² units), children re-enter the next round, up
+    * to `maxDepth` rounds (≤ 2^maxDepth−1 cuts per key). A min-gain
+    * stop, not a fixed k: the data decides how many breaks exist.
+    *
+    * Shape at scale: each round is ONE join of the row frame to the
+    * (key, lo, hi) segment frame (segments per key ≤ 2^(r−1), so the
+    * fan-out is bounded by 2^maxDepth — a constant) + two keyed
+    * windows (running prefix, argmax) — never a per-split pass; the
+    * row frame localCheckpoints ONCE, the segment frame each round
+    * (2^maxDepth plan growth otherwise). Determinism: the
+    * bestChangepoint contract verbatim — 1e6 micro-lanes quantized
+    * once, exact long prefix/total sums per segment, gain ONE double
+    * derivation from those integers, argmax ties (gain DESC, k ASC),
+    * and the minGain threshold compares in micro² (minGain·1e12, a
+    * Scala-computed literal shared with the SQL replay). Returns one
+    * row per DETECTED changepoint: (key, cp_index by position,
+    * split_x = last left row's order value, n_left, n_right — both
+    * segment-local, mean_left, mean_right, gain 4-dp toward zero in
+    * value² units, depth). Keys with no clearing split emit nothing.
+    */
+  def changepoints(df: DataFrame, key: Column, order: Column, value: Column,
+      minSeg: Int = 2, maxDepth: Int = 3, minGain: Double = 1.0): DataFrame = {
+    require(minSeg >= 1, "minSeg must be >= 1")
+    require(maxDepth >= 1 && maxDepth <= 6,
+      "maxDepth in [1, 6] (segments per key are 2^maxDepth)")
+    require(minGain > 0, "minGain must be > 0 (a zero stop splits down to minSeg)")
+    val thrMicro2 = minGain * 1e12
+    val t = df.select(key.cast("string").as("key"), order.cast("long").as("__x"),
+        round(value.cast("double") * 1e6).cast("long").as("__vm"))
+      .filter(col("key").isNotNull && col("__x").isNotNull && col("__vm").isNotNull)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__x")
+    val rows = t.withColumn("__k", row_number().over(wk).cast("long"))
+      .localCheckpoint()
+    def d(c: Column): Column = c.cast("double")
+    var segs = rows.groupBy("key")
+      .agg((max(col("__k")) + 1L).as("hi"))
+      .select(col("key"), lit(1L).as("lo"), col("hi"))
+    var cuts = List.empty[DataFrame]
+    for (depth <- 1 to maxDepth) {
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("key", "lo").orderBy("__k")
+      val wsAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("key", "lo")
+      val seg = rows.join(segs, Seq("key"))
+        .filter(col("__k") >= col("lo") && col("__k") < col("hi"))
+        .withColumn("__j", row_number().over(ws).cast("long"))
+        .withColumn("__p", sum(col("__vm")).over(ws.rowsBetween(Long.MinValue, 0)))
+        .withColumn("__m", count(lit(1)).over(wsAll))
+        .withColumn("__s", sum(col("__vm")).over(wsAll))
+      val gain = d(col("__p")) * d(col("__p")) / d(col("__j")) +
+        d(col("__s") - col("__p")) * d(col("__s") - col("__p")) / d(col("__m") - col("__j")) -
+        d(col("__s")) * d(col("__s")) / d(col("__m"))
+      val wbest = org.apache.spark.sql.expressions.Window
+        .partitionBy("key", "lo").orderBy(col("__gain").desc, col("__k").asc)
+      val best = seg
+        .filter(col("__j") >= minSeg && col("__j") <= col("__m") - minSeg)
+        .withColumn("__gain", gain)
+        .withColumn("__r", row_number().over(wbest))
+        .filter(col("__r") === 1 && col("__gain") >= thrMicro2)
+        .select(col("key"), col("lo"), col("hi"), col("__k").as("__cut"),
+          col("__x").as("split_x"), col("__j").as("n_left"),
+          (col("__m") - col("__j")).as("n_right"),
+          (d(col("__p")) / d(col("__j")) / 1e6).as("mean_left"),
+          (d(col("__s") - col("__p")) / d(col("__m") - col("__j")) / 1e6).as("mean_right"),
+          Num.t4zero(col("__gain") / 1e12).as("gain"),
+          lit(depth).as("depth"))
+        .localCheckpoint()
+      cuts ::= best
+      if (depth < maxDepth) {
+        val bSeg = best.select(col("key").as("__bk"), col("lo").as("__blo"),
+          col("__cut"))
+        val unsplit = segs.join(bSeg,
+            col("key") === col("__bk") && col("lo") === col("__blo"), "left_anti")
+        segs = unsplit
+          .unionByName(best.select(col("key"), col("lo"), (col("__cut") + 1L).as("hi")))
+          .unionByName(best.select(col("key"), (col("__cut") + 1L).as("lo"), col("hi")))
+          .localCheckpoint()
+      }
+    }
+    val all = cuts.reduce(_.unionByName(_))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("split_x")
+    all.select(col("key"), col("split_x"), col("n_left"), col("n_right"),
+        col("mean_left"), col("mean_right"), col("gain"), col("depth"))
+      .withColumn("cp_index", row_number().over(wi).cast("int"))
+      .select("key", "cp_index", "split_x", "n_left", "n_right",
+        "mean_left", "mean_right", "gain", "depth")
+  }
+
   /** C99: Theil-Sen robust line per key — [[mannKendall]]'s Sen slope
     * completed into a usable LINE (the trendFit OLS alternative that
     * shrugs off outliers: slope = median pairwise slope, intercept =
@@ -1890,11 +1984,15 @@ object Stats {
       .join(slope, Seq("key"), "left")
       .join(intercept, Seq("key"), "left")
       .select(col("key"), col("n"),
-        when(col("n") < 2, lit(null).cast("double"))
+        // degenerate ALSO when the slope came back NULL with n >= 2: a
+        // key whose order values are all equal yields zero pairs, and a
+        // NULL result row must carry the flag (the mannKendall
+        // zero-variance convention), never masquerade as unflagged
+        when(col("n") < 2 || col("__sl").isNull, lit(null).cast("double"))
           .otherwise(t6z(col("__sl"))).as("slope"),
-        when(col("n") < 2, lit(null).cast("double"))
+        when(col("n") < 2 || col("__sl").isNull, lit(null).cast("double"))
           .otherwise(t6z(col("__ic"))).as("intercept"),
-        (col("n") < 2).as("degenerate"))
+        (col("n") < 2 || col("__sl").isNull).as("degenerate"))
   }
 
   /** Mann-Kendall trend test + Sen's slope — the NONPARAMETRIC

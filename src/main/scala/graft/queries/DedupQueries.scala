@@ -1212,20 +1212,20 @@ object DedupQueries {
         |    CAST(floor(list_cosine_similarity(sv, tv) * 1e7) AS BIGINT) AS cs7
         |  FROM s, t),
         |nns AS (
-        |  SELECT src_id, sum(cs7) AS sx FROM (
+        |  SELECT src_id, sum(cs7) AS sx, count(*) AS cns FROM (
         |    SELECT src_id, cs7, row_number() OVER (PARTITION BY src_id
         |      ORDER BY round(cs, 6) DESC, tgt_id ASC) AS r
         |    FROM sc) WHERE r <= 4 GROUP BY 1),
         |nnt AS (
-        |  SELECT tgt_id, sum(cs7) AS sy FROM (
+        |  SELECT tgt_id, sum(cs7) AS sy, count(*) AS cnt FROM (
         |    SELECT tgt_id, cs7, row_number() OVER (PARTITION BY tgt_id
         |      ORDER BY round(cs, 6) DESC, src_id ASC) AS r
         |    FROM sc) WHERE r <= 4 GROUP BY 1),
         |m AS (
         |  SELECT sc.src_id, sc.tgt_id, cs,
-        |    cs / (CAST(sx + sy AS DOUBLE) / 80000000.0) AS margin
+        |    cs / (CAST(sx + sy AS DOUBLE) / (CAST(cns + cnt AS DOUBLE) * 1e7)) AS margin
         |  FROM sc JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
-        |  WHERE CAST(sx + sy AS DOUBLE) / 80000000.0 > 0.0),
+        |  WHERE CAST(sx + sy AS DOUBLE) / (CAST(cns + cnt AS DOUBLE) * 1e7) > 0.0),
         |r AS (
         |  SELECT src_id, tgt_id, cs, margin,
         |    row_number() OVER (PARTITION BY src_id
@@ -1858,6 +1858,62 @@ object DedupQueries {
             <= greatest(lit(0.05) * col("exact_overlap"), lit(3.0)))
             .as("within_bound"))
         .orderBy("src_a", "src_b")
+    },
+
+    // D138: theta-sketch set DIFFERENCE — the a-not-b completing
+    // D129's set algebra: "how many fingerprints are NEW in this
+    // shard vs the corpus" answered from two kilobyte sketch blobs
+    // without re-touching either side. Shard = all fresh docs plus
+    // every 3rd corpus doc mirrored (known-duplicate mass the diff
+    // must EXCLUDE). Bounded-verdict oracle (the D129 contract):
+    // exact set sizes and the exact a-not-b count are portable;
+    // within_bound checks the engine's own estimate against 5% rel /
+    // abs-3 — lgK=13 keeps both sides under nominal capacity through
+    // sf0.1, where set ops over exact sketches are exact, so the
+    // oracle asserts TRUE with zero slack consumed.
+    Q(
+      "q_theta_diff",
+      """WITH fpc AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
+        |  FROM documents WHERE doc_id < 300),
+        |fps AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
+        |  FROM (
+        |    SELECT text FROM documents WHERE doc_id >= 300
+        |    UNION ALL
+        |    SELECT text FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fps) AS n_shard_fps,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fpc) AS n_corpus_fps,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fps
+        |   WHERE f NOT IN (SELECT f FROM fpc)) AS exact_new,
+        |  TRUE AS within_bound""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.normFingerprint
+      import graft.functions.ThetaSketch
+      val docs = table(s, dir, "documents")
+      val fpC = docs.filter(col("doc_id") < 300)
+        .select(normFingerprint(col("text")).as("f")).distinct()
+        .localCheckpoint()
+      val fpS = docs.filter(col("doc_id") >= 300).select(col("text"))
+        .unionByName(docs.filter(col("doc_id") < 300
+            && pmod(col("doc_id"), lit(3)) === 0).select(col("text")))
+        .select(normFingerprint(col("text")).as("f")).distinct()
+        .localCheckpoint()
+      val skC = fpC.agg(ThetaSketch.thetaSketch(col("f"), lgK = 13).as("__skc"),
+        count(lit(1)).as("n_corpus_fps"))
+      val skS = fpS.agg(ThetaSketch.thetaSketch(col("f"), lgK = 13).as("__sks"),
+        count(lit(1)).as("n_shard_fps"))
+      val exact = fpS.join(fpC, Seq("f"), "left_anti")
+        .agg(count(lit(1)).as("exact_new"))
+      skS.crossJoin(skC).crossJoin(exact)
+        .select(col("n_shard_fps"), col("n_corpus_fps"), col("exact_new"),
+          (abs(ThetaSketch.thetaDiffEstimate(col("__sks"), col("__skc"))
+              - col("exact_new").cast("double"))
+            <= greatest(lit(0.05) * col("exact_new").cast("double"), lit(3.0)))
+            .as("within_bound"))
     },
 
     // D69: hard-negative mining — per query, top-5 corpus vectors

@@ -861,6 +861,72 @@ object TemporalQueries {
         .orderBy("key")
     },
 
+    // C107: MULTI-changepoint via binary segmentation (depth 3,
+    // minGain 1.0) over the same hourly volumes — the recursion
+    // unrolls as three chained round-CTEs (segment frame → per-segment
+    // argmax → child segments), generated by the same Scala loop for
+    // both engines so round structure can't drift.
+    Q(
+      "q_changepoints", {
+        def round(i: Int): String = {
+          val prev = s"seg${i - 1}"
+          s"""cand$i AS (
+             |  SELECT s.key, s.lo, s.hi, b.k, b.x,
+             |    row_number() OVER (PARTITION BY s.key, s.lo ORDER BY b.k) AS j,
+             |    sum(b.vm) OVER (PARTITION BY s.key, s.lo ORDER BY b.k) AS p,
+             |    count(*) OVER (PARTITION BY s.key, s.lo) AS m,
+             |    sum(b.vm) OVER (PARTITION BY s.key, s.lo) AS st
+             |  FROM $prev s JOIN b ON b.key = s.key AND b.k >= s.lo AND b.k < s.hi),
+             |g$i AS (
+             |  SELECT key, lo, hi, k, x, j, m, p, st,
+             |    CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(j AS DOUBLE)
+             |      + CAST(st - p AS DOUBLE) * CAST(st - p AS DOUBLE) / CAST(m - j AS DOUBLE)
+             |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(m AS DOUBLE) AS gain
+             |  FROM cand$i WHERE j >= 2 AND j <= m - 2),
+             |best$i AS (
+             |  SELECT key, lo, hi, k, x, j, m, p, st, gain, $i AS depth FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY key, lo ORDER BY gain DESC, k ASC) AS r
+             |    FROM g$i) WHERE r = 1 AND gain >= 1.0e12),
+             |seg$i AS (
+             |  SELECT s.key, s.lo, s.hi FROM $prev s
+             |  LEFT JOIN best$i w ON w.key = s.key AND w.lo = s.lo
+             |  WHERE w.key IS NULL
+             |  UNION ALL SELECT key, lo, k + 1 FROM best$i
+             |  UNION ALL SELECT key, k + 1, hi FROM best$i)""".stripMargin
+        }
+        s"""WITH src AS (
+           |  SELECT event_type AS key,
+           |    (epoch_ns(ts) // 3600000000000) * 3600 AS x,
+           |    CAST(round(CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS vm
+           |  FROM events GROUP BY 1, 2),
+           |b AS (
+           |  SELECT key, x, vm,
+           |    CAST(row_number() OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS k
+           |  FROM src),
+           |seg0 AS (SELECT key, CAST(1 AS BIGINT) AS lo,
+           |         CAST(count(*) + 1 AS BIGINT) AS hi FROM b GROUP BY key),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |allc AS (SELECT * FROM best1 UNION ALL SELECT * FROM best2
+           |         UNION ALL SELECT * FROM best3)
+           |SELECT key,
+           |  CAST(row_number() OVER (PARTITION BY key ORDER BY x) AS INT) AS cp_index,
+           |  x AS split_x, j AS n_left, m - j AS n_right,
+           |  CAST(p AS DOUBLE) / CAST(j AS DOUBLE) / 1e6 AS mean_left,
+           |  CAST(st - p AS DOUBLE) / CAST(m - j AS DOUBLE) / 1e6 AS mean_right,
+           |  sign(gain / 1e12) * (floor(abs(gain / 1e12) * 1e4) / 1e4) + 0.0 AS gain,
+           |  depth
+           |FROM allc ORDER BY key, split_x""".stripMargin
+      }
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      Stats.changepoints(buckets, col("event_type"), col("bucket_s"),
+          col("n_events"), minSeg = 2, maxDepth = 3, minGain = 1.0)
+        .orderBy("key", "split_x")
+    },
+
     // C99: Theil-Sen robust line per event type — Sen's slope plus the
     // median-intercept, both type-1 rank picks over shared doubles;
     // the intercept pass uses the RAW picked slope (rounding only on
@@ -896,11 +962,11 @@ object TemporalQueries {
         |  SELECT key, bv AS iv FROM bir
         |  WHERE r = greatest(1, CAST(ceil(m * 0.5) AS BIGINT)))
         |SELECT np.key, np.n,
-        |  CASE WHEN np.n < 2 THEN NULL
+        |  CASE WHEN np.n < 2 OR sv IS NULL THEN NULL
         |    ELSE sign(sv) * (floor(abs(sv) * 1e6) / 1e6) + 0.0 END AS slope,
-        |  CASE WHEN np.n < 2 THEN NULL
+        |  CASE WHEN np.n < 2 OR sv IS NULL THEN NULL
         |    ELSE sign(iv) * (floor(abs(iv) * 1e6) / 1e6) + 0.0 END AS intercept,
-        |  (np.n < 2) AS degenerate
+        |  (np.n < 2 OR sv IS NULL) AS degenerate
         |FROM np LEFT JOIN sen ON sen.key = np.key
         |        LEFT JOIN ic ON ic.key = np.key
         |ORDER BY np.key""".stripMargin

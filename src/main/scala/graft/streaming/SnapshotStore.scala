@@ -283,7 +283,21 @@ object SnapshotStore {
       .filter(_ != landed)
     val keep = others.filter(v =>
       hfs.exists(new Path(rootP, s"v$v/_SUCCESS"))).sorted.takeRight(keepLast).toSet
-    others.filterNot(keep.contains).foreach(v =>
+    // in-flight guard: a v<N> with a live commit-log entry but no
+    // _SUCCESS yet is a CONCURRENT committer mid-landing on a store
+    // where rename is a non-atomic copy — sweeping it would destroy a
+    // commit whose log claim already exists. Treat it as in-flight
+    // until the staleStagingMs age cutoff (the same abandonment clock
+    // staging dirs get); past that it's a crashed landing and GC-able.
+    val gcCutoff = System.currentTimeMillis() - staleStagingMs
+    val inFlight = others.filterNot(keep.contains).filter { v =>
+      val d = new Path(rootP, s"v$v")
+      !hfs.exists(new Path(d, "_SUCCESS")) &&
+        hfs.exists(new Path(logDir, v.toString)) &&
+        (try hfs.getFileStatus(d).getModificationTime >= gcCutoff
+         catch { case _: java.io.FileNotFoundException => false })
+    }.toSet
+    others.filterNot(v => keep.contains(v) || inFlight.contains(v)).foreach(v =>
       hfs.delete(new Path(rootP, s"v$v"), true))
     val stagingRoot = new Path(rootP, Staging)
     if (hfs.exists(stagingRoot)) {

@@ -530,6 +530,40 @@ class BehaviorSpec extends SparkSpec {
       && tiny.getAs[Boolean]("degenerate"), tiny.toString)
   }
 
+  test("changepoints: planted two-break series — single form reports one, BinSeg reports both; min-gain stop; flat series empty") {
+    import graft.operators.Stats
+    // two level shifts: 0 (x 1-10) → 10 (x 11-20) → 25 (x 21-30)
+    val d = Seq.tabulate(30) { i =>
+      val v = if (i < 10) 0.0 else if (i < 20) 10.0 else 25.0
+      ("k", (i + 1).toLong, v)
+    }.toDF("g", "x", "v")
+    // the single-split form provably reports only ONE break
+    val single = Stats.bestChangepoint(d, col("g"), col("x"), col("v"))
+      .collect()
+    assert(single.length == 1 && !single.head.getAs[Boolean]("degenerate"))
+    // BinSeg finds BOTH breaks, positions exact
+    val multi = Stats.changepoints(d, col("g"), col("x"), col("v"),
+        minSeg = 2, maxDepth = 3, minGain = 1.0)
+      .orderBy("cp_index").collect()
+    assert(multi.map(_.getAs[Long]("split_x")).toSeq == Seq(10L, 20L),
+      multi.mkString(","))
+    assert(multi.map(_.getAs[Int]("cp_index")).toSeq == Seq(1, 2))
+    // the first round picks the larger contrast (x=20 splits 10-means
+    // from 25s); the second refines the left child at x=10
+    val byX = multi.map(r => r.getAs[Long]("split_x") -> r.getAs[Int]("depth")).toMap
+    assert(byX(20L) == 1 && byX(10L) == 2, byX.toString)
+    // segment-local means are exact
+    val cp10 = multi.find(_.getAs[Long]("split_x") == 10L).get
+    assert(cp10.getAs[Double]("mean_left") == 0.0
+      && cp10.getAs[Double]("mean_right") == 10.0, cp10.toString)
+    // min-gain stop: a threshold above every gain emits nothing
+    assert(Stats.changepoints(d, col("g"), col("x"), col("v"),
+      minGain = 1e9).count() == 0L)
+    // flat series: zero changepoints, not a crash
+    val flat = Seq.tabulate(10)(i => ("f", (i + 1).toLong, 5.0)).toDF("g", "x", "v")
+    assert(Stats.changepoints(flat, col("g"), col("x"), col("v")).count() == 0L)
+  }
+
   test("theilSen: outlier-robust slope and intercept; degenerate singleton; guard throws") {
     import graft.operators.Stats
     // v = 2x + 5 with one wild outlier: OLS would bend, Theil-Sen
@@ -543,6 +577,12 @@ class BehaviorSpec extends SparkSpec {
       k.toString)
     val one = rows("one")
     assert(one.isNullAt(one.fieldIndex("slope")) && one.getAs[Boolean]("degenerate"))
+    // n >= 2 but ALL-EQUAL order values: zero pairs, NULL slope — must
+    // carry the degenerate flag, never an unflagged NULL row
+    val flat = Seq(("f", 7L, 1.0), ("f", 7L, 2.0), ("f", 7L, 3.0)).toDF("g", "x", "v")
+    val fr = Stats.theilSen(flat, col("g"), col("x"), col("v")).collect().head
+    assert(fr.getAs[Long]("n") == 3L && fr.isNullAt(fr.fieldIndex("slope"))
+      && fr.getAs[Boolean]("degenerate"), fr.toString)
     // quadratic-pair guard fails loudly past senMaxN
     val big = Seq.tabulate(51)(i => ("k", i.toLong, i.toDouble)).toDF("g", "x", "v")
     val ex = intercept[Exception] {

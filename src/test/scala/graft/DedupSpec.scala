@@ -1434,5 +1434,13 @@ class DedupSpec extends SparkSpec {
     // raising minMargin above the best margin empties the match set
     assert(Similarity.marginMatch(src, tgt, col("id"), col("v"),
       col("id"), col("v"), k = 1, minMargin = 1.5).count() == 0L)
+    // k larger than either candidate set: the denominator averages over
+    // the ACTUAL neighbor counts (3 tgt-side + 2 src-side = 5), never a
+    // fixed 2k=8 — margin(10,1) = 1e7 / ((15999999+1e7)/5) ≈ 1.9231
+    // (a 2k denominator would report 3.0769, inflated)
+    val small = Similarity.marginMatch(src, tgt, col("id"), col("v"),
+      col("id"), col("v"), k = 4, minMargin = 1.0)
+      .orderBy("src_id").collect()
+    assert(small.head.getAs[Double]("margin") == 1.9231, small.mkString(","))
   }
 }

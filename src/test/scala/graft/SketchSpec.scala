@@ -136,6 +136,38 @@ class SketchSpec extends SparkSpec {
       s"over-capacity estimate out of envelope: $est")
   }
 
+  test("theta set difference: exact a-not-b under capacity; disjoint and subset edges; SQL name (D138)") {
+    import graft.functions.ThetaSketch._
+    // A = {0..499}, B = {250..749}: |A \ B| = 250, |B \ A| = 250 —
+    // under capacity, so the estimates must be EXACT
+    val a = (0 until 500).map(i => s"item$i").toDF("it")
+    val b = (250 until 750).map(i => s"item$i").toDF("it")
+    val sks = a.agg(thetaSketch(col("it")).as("sa"))
+      .crossJoin(b.agg(thetaSketch(col("it")).as("sb")))
+    val (ab, ba) = sks.select(
+        thetaDiffEstimate(col("sa"), col("sb")).as("ab"),
+        thetaDiffEstimate(col("sb"), col("sa")).as("ba"))
+      .as[(Double, Double)].head()
+    assert(ab == 250.0 && ba == 250.0, s"a-not-b drifted: $ab / $ba")
+    // subset: A \ A = 0; disjoint: A \ C = |A|
+    val c = (10000 until 10500).map(i => s"item$i").toDF("it")
+    val edges = a.agg(thetaSketch(col("it")).as("sa"))
+      .crossJoin(c.agg(thetaSketch(col("it")).as("sc")))
+      .select(thetaDiffEstimate(col("sa"), col("sa")).as("self"),
+        thetaDiffEstimate(col("sa"), col("sc")).as("disj"))
+      .as[(Double, Double)].head()
+    assert(edges == ((0.0, 500.0)), s"edge cases drifted: $edges")
+    // SQL registration matches the Column API
+    a.createOrReplaceTempView("t_theta_a")
+    b.createOrReplaceTempView("t_theta_b")
+    val viaSql = spark.sql(
+      """SELECT theta_diff_estimate(
+        |  (SELECT theta_sketch(it) FROM t_theta_a),
+        |  (SELECT theta_sketch(it) FROM t_theta_b)) AS d""".stripMargin)
+      .as[Double].head()
+    assert(viaSql == 250.0, s"SQL theta_diff_estimate drifted: $viaSql")
+  }
+
   test("theta_* SQL names match the Column API across sketch->union->intersect") {
     import graft.functions.ThetaSketch._
     val df = (0 until 300).map(i => (i % 3, s"t$i")).toDF("g", "it")

@@ -591,6 +591,26 @@ class StreamingSpec extends SparkSpec {
     assert(live == Set(("b", 2)), s"stale pointer resurrected a lost update: $live")
   }
 
+  test("SnapshotStore.commit GC: a claimed mid-landing version (log entry, no _SUCCESS) survives; past the age cutoff it's swept") {
+    val root = java.nio.file.Files.createTempDirectory("graft_occ3").toString + "/snap"
+    SnapshotStore.commit(Seq(("a", 1)).toDF("k", "n"), root, keepLast = 1)
+    // model a CONCURRENT committer mid-landing on a copy-not-rename
+    // store: log claim exists, v2 partially copied, no _SUCCESS yet
+    val hole = new java.io.File(s"$root/_commits/2")
+    java.nio.file.Files.write(hole.toPath, "s-inflight".getBytes)
+    val midDir = new java.io.File(s"$root/v2")
+    midDir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(midDir, "part-0.parquet").toPath,
+      "partial".getBytes)
+    val v3 = SnapshotStore.commit(Seq(("b", 2)).toDF("k", "n"), root, keepLast = 1)
+    assert(v3 == 3L)
+    assert(midDir.exists(), "GC swept a mid-landing commit with a live log claim")
+    // past staleStagingMs the same directory is a CRASHED landing — GC'd
+    SnapshotStore.commit(Seq(("c", 3)).toDF("k", "n"), root, keepLast = 1,
+      staleStagingMs = 0L)
+    assert(!midDir.exists(), "an abandoned landing past the age cutoff must be swept")
+  }
+
   test("E8 survives a mid-stream crash artifact between batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e8crash")
     val (snap, ckpt) = (s"$dir/snapshot", s"$dir/ckpt")
