@@ -1436,6 +1436,192 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D139: the LLM-corpus pipeline END-TO-END — the D-family analogue
+    // of B18's q_epe_pipeline: quality gate (D94-tier score) → span
+    // decontamination with masked rebuild (D21d/D21e) → INCREMENTAL
+    // MinHash dedup of the new shard against the corpus signature
+    // index (D2b) → temperature mixture (D53) → sequence packing
+    // (D19), ONE registered query with the whole chain replayed in
+    // DuckDB. Fixture geometry: every 7th doc leaks the eval question
+    // (the mask stage must excise it), corpus = doc_id < 250, shard =
+    // fresh docs ≥ 250 PLUS 4/5-truncated renditions of corpus docs
+    // (id+1e6) the dedup stage must swallow. Proves the operators
+    // COMPOSE without plan blow-up — PlanSpec bounds the chain's
+    // exchange count.
+    Q(
+      "q_corpus_build", {
+        val stop = TextMetrics.langMarkers.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        val b = Sampling.hashBucketSql("doc_id")
+        val chainDocs =
+          s"""d0 AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' $evalQuestion'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |rnd AS (
+             |  SELECT doc_id + 1000000 AS doc_id, source,
+             |    array_to_string(tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS INT), 1)], ' ') AS text
+             |  FROM (SELECT doc_id, source, ${tkSql("text")} AS tk
+             |        FROM d0 WHERE doc_id < 250)),
+             |inp AS (SELECT * FROM d0 UNION ALL SELECT * FROM rnd),
+             |tq AS (SELECT doc_id, source, text, ${tkSql("text")} AS tk FROM inp),
+             |mq AS (
+             |  SELECT doc_id, source, tk,
+             |    len(tk) AS n_tokens,
+             |    CASE WHEN len(tk) > 0
+             |      THEN list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+             |      ELSE 0.0 END AS mean_tok_len,
+             |    CASE WHEN len(text) > 0
+             |      THEN (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / len(text)
+             |      ELSE 0.0 END AS punct_ratio,
+             |    CASE WHEN len(tk) > 0
+             |      THEN len(list_filter(tk, t -> t IN $stop)) * 1.0 / len(tk)
+             |      ELSE 0.0 END AS stop_ratio
+             |  FROM tq),
+             |qq AS (
+             |  SELECT doc_id, source, tk,
+             |    CAST(round(CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 0.4 ELSE 0.0 END
+             |        + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+             |        + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END
+             |        + CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.1 ELSE 0.0 END, 4) AS DOUBLE) AS quality
+             |  FROM mq),
+             |fq AS (SELECT * FROM qq WHERE quality >= 0.5),
+             |shq AS (
+             |  SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+4], ' ') AS s
+             |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+             |        FROM fq WHERE len(tk) >= 5)),
+             |probe AS (
+             |  SELECT DISTINCT array_to_string(ptk[i:i+4], ' ') AS s
+             |  FROM (SELECT ptk, unnest(range(1, len(ptk) - 3)) AS i
+             |        FROM (SELECT ${tkSql(s"'$evalQuestion'")} AS ptk))),
+             |hits AS (SELECT doc_id, start FROM shq WHERE s IN (SELECT s FROM probe)),
+             |lose AS (
+             |  SELECT DISTINCT doc_id, pos FROM (
+             |    SELECT doc_id, unnest(range(start, start + 5)) AS pos FROM hits)),
+             |tp AS (
+             |  SELECT doc_id, pos, tk[pos + 1] AS term FROM (
+             |    SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM fq)),
+             |keptq AS (
+             |  SELECT t.doc_id, t.pos, t.term
+             |  FROM tp t LEFT JOIN lose l ON t.doc_id = l.doc_id AND t.pos = l.pos
+             |  WHERE l.doc_id IS NULL),
+             |ctk AS (
+             |  SELECT doc_id, list(term ORDER BY pos) AS ctk,
+             |    count(*) AS n_kept
+             |  FROM keptq GROUP BY doc_id),
+             |cln AS (
+             |  SELECT f.doc_id, f.source, f.quality,
+             |    len(f.tk) - coalesce(c.n_kept, 0) AS n_masked,
+             |    coalesce(c.ctk, CAST([] AS VARCHAR[])) AS ctk
+             |  FROM fq f LEFT JOIN ctk c USING (doc_id)),
+             |docs AS (SELECT doc_id AS id, ctk AS tk FROM cln)""".stripMargin
+        val tail =
+          s"""corpb AS (SELECT id, bucket FROM (
+             |            SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS nn
+             |            FROM (SELECT id, bucket FROM bkt WHERE id < 250))
+             |          WHERE nn <= 200),
+             |shrdb AS (SELECT id, bucket FROM bkt WHERE id >= 250),
+             |cand AS (SELECT DISTINCT x.id AS shard_id, y.id AS corpus_id
+             |         FROM shrdb x JOIN corpb y ON x.bucket = y.bucket),
+             |est AS (SELECT c.shard_id, c.corpus_id, ${DedupQueries.estJaccardSql} AS e4
+             |        FROM cand c JOIN sigl sa ON c.shard_id = sa.id
+             |                    JOIN sigl sb ON c.corpus_id = sb.id),
+             |dup AS (SELECT DISTINCT shard_id FROM est WHERE e4 >= 5000),
+             |surv AS (
+             |  SELECT * FROM cln
+             |  WHERE doc_id < 250 OR doc_id NOT IN (SELECT shard_id FROM dup)),
+             |c2 AS (SELECT source, count(*) AS n FROM surv GROUP BY 1),
+             |w2 AS (SELECT source, n, floor(sqrt(CAST(n AS DOUBLE)) * 1e7) / 1e7 AS w FROM c2),
+             |tot2 AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,7))) AS DOUBLE) AS wsum FROM w2),
+             |r2 AS (SELECT source, least(1.0, 400.0 * w / wsum / n) AS rate
+             |       FROM w2 CROSS JOIN tot2),
+             |sel AS (
+             |  SELECT s.* FROM surv s JOIN r2 USING (source)
+             |  WHERE $b < floor(rate * 1000)),
+             |pk AS (
+             |  SELECT doc_id, source, quality, n_masked,
+             |    len(ctk) AS n_toks, doc_id % 8 AS shard
+             |  FROM sel),
+             |cm AS (
+             |  SELECT *, coalesce(sum(n_toks) OVER (
+             |    PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM pk)
+             |SELECT doc_id, source, quality,
+             |  CAST(n_masked AS BIGINT) AS n_masked,
+             |  CAST(n_toks AS BIGINT) AS n_toks,
+             |  CAST(cum // 512 AS BIGINT) AS seq_id,
+             |  CAST(cum % 512 AS BIGINT) AS tok_offset
+             |FROM cm ORDER BY doc_id""".stripMargin
+        DedupQueries.minHashOracleSql(tail, chainDocs)
+      }
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.tokens
+      // stage 0: fixture — leaked eval question on every 7th doc,
+      // 4/5-truncated renditions of corpus docs as the shard's
+      // known-duplicate mass
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + evalQuestion)))
+            .otherwise(col("text")).as("text"))
+      val rend = base.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          array_join(
+            slice(tokens(col("text")), lit(1),
+              greatest(floor(size(tokens(col("text"))) * 4 / 5), lit(1))
+                .cast("int")), " ").as("text"))
+      val input = base.unionByName(rend)
+      // stage 1: quality gate
+      val gated = TextMetrics.withQuality(input, col("text"))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("source"), col("quality"), col("text"))
+      // stage 2: span decontamination, masked rebuild
+      val probes = Seq(evalQuestion).toDF("text")
+      val masked = Dedup.maskContamination(gated, col("doc_id"), col("text"),
+          probes, col("text"), n = 5)
+        .select(col("id").as("doc_id"), col("n_masked"), col("cleaned_text"))
+      // stage seam: the cleaned frame feeds THREE consumers (corpus
+      // signature build, shard, survivor join-back) — materialize once
+      // (a real pipeline lands stage outputs in the lake) or the plan
+      // re-inlines the whole upstream per consumer (measured: 217
+      // exchanges un-checkpointed vs a bounded tail)
+      val cleaned = masked.join(
+        gated.select(col("doc_id"), col("source"), col("quality")), Seq("doc_id"))
+        .localCheckpoint()
+      // stage 3: incremental MinHash dedup — shard vs the corpus
+      // signature index (built once; a real pipeline reads it from
+      // parquet)
+      val corpus = cleaned.filter(col("doc_id") < 250)
+      val corpusSigs = Dedup.minHashSignatures(corpus, col("doc_id"),
+        col("cleaned_text"))
+      val shard = cleaned.filter(col("doc_id") >= 250)
+      val dups = Dedup.minHashLSHIncremental(shard, col("doc_id"),
+          col("cleaned_text"), corpusSigs,
+          numHashes = 64, bands = 16, shingleSize = 5,
+          threshold = 0.5, maxBucket = 200)
+        .select(col("shard_id").as("doc_id")).distinct()
+      val survivors = corpus
+        .unionByName(shard.join(dups, Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+      // stage 4: temperature mixture over sources (n^0.5 tilt)
+      val mixed = Sampling.temperatureMixture(survivors, col("source"),
+        col("doc_id"), targetRows = 400, alpha = 0.5)
+      // stage 5: sequence packing under a 512-token budget, 8 shards
+      val toks = mixed.select(col("doc_id"), col("source"), col("quality"),
+        col("n_masked"),
+        size(tokens(col("cleaned_text"))).cast("long").as("n_toks"),
+        pmod(col("doc_id"), lit(8L)).as("shard"))
+      Packing.packSequences(toks, col("shard"), Seq(col("doc_id")),
+          col("n_toks"), budget = 512)
+        .select(col("doc_id"), col("source"), col("quality"), col("n_masked"),
+          col("n_toks"), col("seq_id").cast("long").as("seq_id"),
+          col("tok_offset"))
+        .orderBy("doc_id")
+    },
+
     // D123: FIM transformation — half the docs split at two
     // hash-drawn character offsets and re-serialized with sentinels
     // (PSM/SPM 50/50), the rest pass through. Exact oracle: the

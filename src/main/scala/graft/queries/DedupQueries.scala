@@ -601,7 +601,7 @@ object DedupQueries {
     * `bkt`(id, b, sig, bucket). Exactly `Dedup.minHashSignatures` +
     * `minHashBuckets` semantics, replayed in DuckDB.
     */
-  private def minHashOracleSql(tail: String, docsSql: String = truncatedDocsSql): String =
+  private[queries] def minHashOracleSql(tail: String, docsSql: String = truncatedDocsSql): String =
     s"""WITH RECURSIVE
        |$docsSql,
        |dsh AS (SELECT id, unnest(list_transform(range(1, len(tk)-3), i -> array_to_string(tk[i:i+4], ' '))) AS s
@@ -622,7 +622,7 @@ object DedupQueries {
     * floor(agree·10⁴/64 + ½) = (agree·625 + 2) // 4, then /10⁴ —
     * engine-portable (DuckDB's round() half-rounds differently).
     */
-  private val estJaccardSql =
+  private[queries] val estJaccardSql =
     "(list_sum(list_transform(range(1, 65), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))*625 + 2) // 4"
 
   /** Audit-sample corpus: the truncated-docs corpus carrying BOTH the

@@ -33,6 +33,20 @@ class PlanSpec extends SparkSpec {
       s"scan reads unprojected columns:\n$plan")
   }
 
+  test("q_corpus_build composes five stages without plan blow-up (bounded exchanges)") {
+    val df = SparkEntry.queries("q_corpus_build")(spark, sf)
+    val plan = run(df)
+    // the chain's stage seams are materialized (localCheckpoint), so
+    // the executed tail must stay linear: un-seamed, branch reuse
+    // re-inlined the whole upstream per consumer and the same query
+    // planned 217 exchanges (measured r13) — the blow-up this test
+    // exists to catch
+    val total = "Exchange".r.findAllIn(plan).length
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hash <= 8, s"q_corpus_build tail pays $hash keyed shuffles:\n$plan")
+    assert(total <= 20, s"q_corpus_build tail plans $total exchanges:\n$plan")
+  }
+
   test("q_join_pricing broadcasts every dimension side") {
     val plan = planOf("q_join_pricing")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
