@@ -1,0 +1,215 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.EventStreams
+
+/** Streaming throughput probe for the stateful E-family — the one
+  * family whose 100 TB story was argued (stream == batch equality
+  * specs) but never measured. Feeds each flatMapGroupsWithState /
+  * foreachBatch path a deterministic synthetic load through
+  * MemoryStream in B micro-batches, and records:
+  *
+  *   - rows_in, batches, wall_s, rows_per_s  (ingest throughput)
+  *   - state_rows: total state-store rows after the final batch
+  *     (from StreamingQueryProgress.stateOperators) — the number that
+  *     decides whether state is bounded by KEYS (safe: grows with
+  *     cardinality, not volume) or by ROWS (a leak)
+  *   - out_rows: emissions observed at the memory sink
+  *
+  * The load is deterministic (pure integer arithmetic, no RNG) so
+  * round-over-round numbers are comparable. Writes one JSON file
+  * (default STREAM_PROBE_r13.json) and prints the same line.
+  *
+  * Usage: runMain graft.StreamBench [outPath] [nKeys] [nBuckets]
+  */
+object StreamBench {
+
+  case class ProbeResult(name: String, rowsIn: Long, batches: Int,
+      wallS: Double, outRows: Long, stateRows: Long)
+
+  /** Sum of state rows across the query's stateful operators at the
+    * last completed progress (0 for foreachBatch paths — their "state"
+    * is the persisted snapshot table, reported separately).
+    */
+  private def stateRows(q: StreamingQuery): Long = {
+    val p = q.lastProgress
+    if (p == null) 0L
+    else p.stateOperators.map(_.numRowsTotal).sum
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** (key, bucket, value) walk: nKeys keys × nBuckets buckets, values
+    * a deterministic mix of periodic + per-key components with a level
+    * shift at the 60% mark — every chart operator sees level, trend
+    * and alarm regimes, not a constant.
+    */
+  private def chartRows(nKeys: Int, nBuckets: Int): IndexedSeq[(String, Long, Double)] =
+    for {
+      b <- 0 until nBuckets
+      k <- 0 until nKeys
+    } yield {
+      val base = 10.0 + (k % 5) + ((b * 7 + k * 31) % 13) / 10.0
+      val shift = if (b >= (nBuckets * 6) / 10) 4.0 else 0.0
+      (f"k$k%04d", b.toLong, base + shift)
+    }
+
+  private def feedChart(
+      spark: SparkSession,
+      name: String,
+      nKeys: Int, nBuckets: Int, nBatches: Int)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_])
+      : ProbeResult = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val rows = chartRows(nKeys, nBuckets)
+    val q = build(input.toDF().toDF("key", "b", "v"))
+      .writeStream.format("memory").queryName(s"probe_$name")
+      .outputMode("append").start()
+    val per = nBuckets / nBatches
+    val (_, wall) = timed {
+      (0 until nBatches).foreach { i =>
+        val lo = i * per
+        val hi = if (i == nBatches - 1) nBuckets else (i + 1) * per
+        input.addData(rows.filter(r => r._2 >= lo && r._2 < hi))
+        q.processAllAvailable()
+      }
+    }
+    val out = spark.table(s"probe_$name").count()
+    val st = stateRows(q)
+    q.stop()
+    ProbeResult(name, rows.size.toLong, nBatches, wall, out, st)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.lift(0).getOrElse("STREAM_PROBE_r13.json")
+    val nKeys = args.lift(1).map(_.toInt).getOrElse(200)
+    val nBuckets = args.lift(2).map(_.toInt).getOrElse(500)
+    val nBatches = 10
+    val spark = Engine.session("graft-stream-bench")
+    import spark.implicits._
+
+    val results = Seq.newBuilder[ProbeResult]
+
+    // E34 cusum / E39 ewma / E40 holt / E43 holt-winters: per-key
+    // chart state is O(1) per key by design — state_rows must equal
+    // nKeys, independent of rows_in.
+    results += feedChart(spark, "cusum", nKeys, nBuckets, nBatches)(
+      df => EventStreams.cusumStream(df, target = 12.0, slack = 0.5))
+    results += feedChart(spark, "ewma", nKeys, nBuckets, nBatches)(
+      df => EventStreams.ewmaStream(df))
+    results += feedChart(spark, "holt", nKeys, nBuckets, nBatches)(
+      df => EventStreams.holtStream(df))
+    results += feedChart(spark, "holt_winters", nKeys, nBuckets, nBatches)(
+      df => EventStreams.holtWintersStream(df, period = 7))
+
+    // E30-family cell counting: state bounded by the SKETCH geometry
+    // (width × depth cells), not by distinct terms — the property that
+    // makes it safe under unbounded vocabulary.
+    {
+      implicit val enc = org.apache.spark.sql.Encoders.product[Tuple1[String]]
+      val input = MemoryStream[Tuple1[String]](spark)
+      val n = nKeys * nBuckets
+      // zipf-ish collisions: ~n/3 distinct terms
+      val terms = (0 until n).map(i => Tuple1(s"t${(i * 2654435761L) % (n / 3)}"))
+      val q = EventStreams.cmsCellStream(input.toDF().toDF("term"))
+        .writeStream.format("memory").queryName("probe_cms")
+        .outputMode("append").start()
+      val per = n / nBatches
+      val (_, wall) = timed {
+        (0 until nBatches).foreach { i =>
+          input.addData(terms.slice(i * per,
+            if (i == nBatches - 1) n else (i + 1) * per))
+          q.processAllAvailable()
+        }
+      }
+      val out = spark.table("probe_cms").count()
+      val st = stateRows(q)
+      q.stop()
+      results += ProbeResult("cms_cells", n.toLong, nBatches, wall, out, st)
+    }
+
+    // E2 sessionize: event-time timeout state — one row per OPEN
+    // session; closed sessions leave the store. Every 50th event gaps
+    // 13 h so sessions actually close mid-stream.
+    {
+      implicit val enc = org.apache.spark.sql.Encoders.product[
+        (Timestamp, Long, Long, String, Double)]
+      val input = MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
+      val perUser = nBuckets
+      val rows = for {
+        i <- 0 until perUser
+        u <- 0 until nKeys
+      } yield {
+        // base cadence 60 s; a 13 h cliff every 50 events splits sessions
+        val tsUs = (i.toLong * 60L + (i / 50).toLong * 46800L) * 1000000L
+        (new Timestamp(tsUs / 1000L), u.toLong,
+          (i.toLong * nKeys + u), "view", (i % 7).toDouble)
+      }
+      val q = EventStreams.sessionize(
+          input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value"))
+        .writeStream.format("memory").queryName("probe_sessionize")
+        .outputMode("append").start()
+      val per = perUser / nBatches
+      val (_, wall) = timed {
+        (0 until nBatches).foreach { b =>
+          val lo = b * per
+          val hi = if (b == nBatches - 1) perUser else (b + 1) * per
+          input.addData(rows.slice(lo * nKeys, hi * nKeys))
+          q.processAllAvailable()
+        }
+      }
+      val out = spark.table("probe_sessionize").count()
+      val st = stateRows(q)
+      q.stop()
+      results += ProbeResult("sessionize", rows.size.toLong, nBatches, wall, out, st)
+    }
+
+    // E41 thetaMaintained: foreachBatch snapshot maintenance — state is
+    // the persisted sketch table (rows = groups), not the state store.
+    {
+      implicit val enc = org.apache.spark.sql.Encoders.product[(String, String)]
+      val input = MemoryStream[(String, String)](spark)
+      val n = nKeys * nBuckets
+      val items = (0 until n).map(i =>
+        (s"g${i % 8}", s"item${(i * 2654435761L) % (n / 2)}"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_theta_probe")
+      val q = EventStreams.thetaMaintained(
+        input.toDF().toDF("grp", "item"), "grp", "item",
+        s"$dir/snap", s"$dir/ckpt")
+      val per = n / nBatches
+      val (_, wall) = timed {
+        (0 until nBatches).foreach { i =>
+          input.addData(items.slice(i * per,
+            if (i == nBatches - 1) n else (i + 1) * per))
+          q.processAllAvailable()
+        }
+      }
+      val snapRows = graft.streaming.SnapshotStore.read(spark, s"$dir/snap")
+        .map(_.count()).getOrElse(0L)
+      q.stop()
+      results += ProbeResult("theta_maintained", n.toLong, nBatches, wall, 0L, snapRows)
+    }
+
+    val rs = results.result()
+    val json = rs.map { r =>
+      val rps = if (r.wallS > 0) r.rowsIn / r.wallS else 0.0
+      s""""${r.name}":{"rows_in":${r.rowsIn},"batches":${r.batches},""" +
+        s""""wall_s":${BigDecimal(r.wallS).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
+        s""""rows_per_s":${math.round(rps)},"out_rows":${r.outRows},""" +
+        s""""state_rows":${r.stateRows}}"""
+    }.mkString(s"""{"n_keys":$nKeys,"n_buckets":$nBuckets,"probes":{""", ",", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Unigram, Wordpiece}
+
+/** Tokenizer vocab-scale probe: train each of the three tokenizer
+  * families at a REALISTIC vocabulary (32k — the GPT-2/LLaMA class)
+  * over a corpus directory's `documents` table, and record wall time
+  * plus the achieved artifact sizes. The specs train toy vocabs (tens
+  * of merges); the one cost toy fixtures cannot expose is the BPE
+  * merge-loop's ROUND COUNT — this probe measures it, on the
+  * driver-side trainer ([[Bpe.trainModelLocal]]) whose round cost is
+  * heap arithmetic, not a Spark job scheduling.
+  *
+  * Usage: runMain graft.TokenizerBench <sfDir> [outPath] [vocab]
+  */
+object TokenizerBench {
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outPath = args.lift(1).getOrElse("TOKENIZER_PROBE_r13.json")
+    val vocab = args.lift(2).map(_.toInt).getOrElse(32768)
+    val spark = Engine.session("graft-tokenizer-bench")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // shared stats: corpus size + distinct-word (Heaps) count — the
+    // quantity that bounds all three trainers' working sets
+    val nDocs = docs.count()
+    val (nWords, tWf) = timed {
+      Wordpiece.wordFrequencies(docs, col("text")).count()
+    }
+
+    val ((nMerges, nLex), tBpe) = timed {
+      val (m, lx) = Bpe.trainModelLocal(docs, col("text"),
+        numMerges = vocab, minPairFreq = 2L)
+      (m.count(), lx.count())
+    }
+
+    val (nPieces, tWp) = timed {
+      Wordpiece.buildVocab(docs, col("text"),
+        maxPieces = vocab, maxPieceLen = 12).count()
+    }
+
+    val (nUni, tUni) = timed {
+      Unigram.train(docs, col("text"), vocabSize = vocab,
+        seedSize = vocab * 2, maxPieceLen = 8).count()
+    }
+
+    // The testdata corpus is synthetic lorem with a tiny vocabulary —
+    // merges exhaust long before a realistic budget. The merge-LOOP
+    // cost (the one thing small fixtures can't expose) is probed on a
+    // deterministic 200k-word Zipf vocabulary: words are base-26
+    // encodings (3-12 chars), freq ~ N/rank, fed through the
+    // word-frequency seam so the probe measures exactly the loop.
+    import spark.implicits._
+    val zipfWords = (1 to 200000).map { i =>
+      val sb = new StringBuilder
+      var x = i.toLong * 2654435761L % 308915776L // 26^6
+      val len = 3 + (i % 10)
+      var j = 0
+      while (j < len) { sb.append(('a' + (x % 26)).toChar); x = x / 26 + j + i; j += 1 }
+      (sb.toString, math.max(2L, 2000000L / i))
+    }
+    val zdf = zipfWords.toDF("w", "freq")
+      .groupBy("w").agg(max(col("freq")).as("freq"))
+    val ((zMerges, zWords), tZipf) = timed {
+      val (m, lx) = Bpe.trainModelLocalFromWords(zdf, numMerges = vocab,
+        minPairFreq = 2L)
+      (m.count(), lx.count())
+    }
+
+    def d(x: Double): String =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val json =
+      s"""{"sf":"$sfDir","vocab":$vocab,"n_docs":$nDocs,"n_distinct_words":$nWords,""" +
+      s""""word_freq_pass_s":${d(tWf)},""" +
+      s""""bpe_local":{"wall_s":${d(tBpe)},"merges":$nMerges,"lexicon_rows":$nLex},""" +
+      s""""wordpiece":{"wall_s":${d(tWp)},"pieces":$nPieces},""" +
+      s""""unigram":{"wall_s":${d(tUni)},"vocab_rows":$nUni},""" +
+      s""""bpe_local_zipf200k":{"wall_s":${d(tZipf)},"merges":$zMerges,"lexicon_rows":$zWords}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -108,6 +108,182 @@ object Bpe {
     (merges.result().toDF("rank", "left", "right", "merged", "freq"), words)
   }
 
+  /** Code-point (== UTF-8 binary == Spark UTF8String) string order, so
+    * driver-side tie-breaks agree with the distributed `orderBy` even
+    * past the BMP (Java's compareTo orders by UTF-16 unit and ranks
+    * supplementary chars below U+E000..U+FFFF — wrong for this).
+    */
+  private def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** [[trainModel]] with the merge loop on the DRIVER — the
+    * realistic-vocab (32k+) trainer. The distributed loop schedules
+    * one Spark job per merge: exactly right when each round does
+    * cluster-sized work, unusable at numMerges = 32768 (32k sequential
+    * job schedulings dwarf the arithmetic). But BPE training only ever
+    * reads the WORD-FREQUENCY table, whose size is sublinear in corpus
+    * bytes (Heaps' law) and capped here at `maxWords` rows — the same
+    * "model artifacts are driver metadata" contract as IVF centroids
+    * and the subword vocab (SURVEY §5 j). So: ONE distributed
+    * tokenize → word-frequency pass (identical to [[trainModel]]'s),
+    * top-`maxWords` words by (freq desc, w asc) to the driver, then a
+    * heap-driven merge loop (TreeSet keyed (count desc, left asc,
+    * right asc) + a pair→words inverted index; each merge touches only
+    * the words containing its pair — the classic O(merges × touched
+    * symbols) algorithm every production tokenizer trainer uses).
+    *
+    * Result contract: merges and lexicon are IDENTICAL to
+    * [[trainModel]](same args) whenever the corpus has ≤ `maxWords`
+    * distinct words (BpeSpec proves it). Beyond the cap, the Zipf tail
+    * past rank `maxWords` trains nothing and later segments as OOV
+    * char-splits ([[segment]] counts them in `n_oov_words`) — the
+    * documented sampling contract of SentencePiece-class trainers, not
+    * a silent drop.
+    */
+  def trainModelLocal(
+      df: DataFrame,
+      text: Column,
+      numMerges: Int,
+      minPairFreq: Long = 2L,
+      maxWords: Int = 1000000): (DataFrame, DataFrame) = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxWords >= 1, "maxWords must be >= 1")
+    val wordFreq = scaleOut(df.select(text.as("__text")))
+      .select(explode(tokens(col("__text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    trainModelLocalFromWords(wordFreq, numMerges, minPairFreq, maxWords)
+  }
+
+  /** [[trainModelLocal]] over a precomputed (w, freq) table — the
+    * [[Wordpiece.buildVocabFromWords]] seam for this family: callers
+    * that already paid the corpus tokenize pass (or probe harnesses
+    * feeding synthetic Zipf vocabularies) skip straight to the merge
+    * loop.
+    */
+  def trainModelLocalFromWords(
+      wordFreqDf: DataFrame,
+      numMerges: Int,
+      minPairFreq: Long = 2L,
+      maxWords: Int = 1000000): (DataFrame, DataFrame) = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxWords >= 1, "maxWords must be >= 1")
+    val spark = wordFreqDf.sparkSession
+    val wordFreq = wordFreqDf
+      .select(col("w").cast("string").as("w"), col("freq").cast("long").as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+
+    import scala.collection.mutable
+    val n = wordFreq.length
+    val syms = new Array[Array[String]](n)
+    val freqs = new Array[Long](n)
+    val wtexts = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val w = wordFreq(i).getString(0)
+      wtexts(i) = w
+      freqs(i) = wordFreq(i).getLong(1)
+      val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      syms(i) = cps :+ EndOfWord
+      i += 1
+    }
+
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count DESC
+          if (c != 0) c
+          else {
+            val a = cpCompare(x._2, y._2) // left ASC
+            if (a != 0) a else cpCompare(x._3, y._3) // right ASC
+          }
+        }
+      }
+    val heap = mutable.TreeSet.empty[(Long, String, String)]
+
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(k => (s(k), s(k + 1)))
+
+    def bump(p: (String, String), d: Long): Unit = {
+      val old = cnt.getOrElse(p, 0L)
+      val nu = old + d
+      if (old > 0) heap.remove((old, p._1, p._2))
+      if (nu > 0) {
+        cnt(p) = nu
+        heap.add((nu, p._1, p._2))
+      } else cnt.remove(p)
+    }
+
+    i = 0
+    while (i < n) {
+      pairsOf(syms(i)).foreach { p =>
+        bump(p, freqs(i))
+        occ.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+      i += 1
+    }
+
+    def mergeWord(s: Array[String], a: String, b: String, ab: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var k = 0
+      while (k < s.length) {
+        if (k + 1 < s.length && s(k) == a && s(k + 1) == b) { out += ab; k += 2 }
+        else { out += s(k); k += 1 }
+      }
+      out.result()
+    }
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      if (heap.isEmpty || heap.head._1 < minPairFreq) exhausted = true
+      else {
+        val (pf, a, b) = heap.head
+        val ab = a + b
+        merges += ((rank, a, b, ab, pf))
+        val touched = occ.getOrElse((a, b), mutable.Set.empty).toArray
+        occ.remove((a, b))
+        touched.foreach { wi =>
+          val before = syms(wi)
+          val after = mergeWord(before, a, b, ab)
+          // pair-count delta for this word: retract old adjacencies,
+          // assert new ones; inverted index follows presence
+          pairsOf(before).foreach(p => bump(p, -freqs(wi)))
+          pairsOf(after).foreach(p => bump(p, freqs(wi)))
+          val oldSet = pairsOf(before).toSet
+          val newSet = pairsOf(after).toSet
+          (oldSet -- newSet).foreach { p =>
+            occ.get(p).foreach { s => s -= wi; if (s.isEmpty) occ.remove(p) }
+          }
+          (newSet -- oldSet).foreach { p =>
+            occ.getOrElseUpdate(p, mutable.Set.empty) += wi
+          }
+          syms(wi) = after
+        }
+        rank += 1
+      }
+    }
+
+    import spark.implicits._
+    val lexicon = (0 until n).map(k => (wtexts(k), syms(k).mkString(" "), freqs(k)))
+      .toDF("w", "syms", "freq")
+    (merges.result().toDF("rank", "left", "right", "merged", "freq"), lexicon)
+  }
+
   /** Segment a corpus with a trained lexicon: per-doc subword counts
     * under the REAL learned tokenizer (vs the BPE-ish regex of
     * `TextMetrics.withTokenCounts`) — the token accounting that

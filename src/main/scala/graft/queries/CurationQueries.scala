@@ -938,6 +938,19 @@ object CurationQueries {
         .orderBy("rank")
     },
 
+    // D41d: the DRIVER-LOOP trainer (Bpe.trainModelLocal) — the
+    // realistic-vocab (32k) path whose merge rounds are heap
+    // arithmetic over the capped word-frequency table instead of one
+    // Spark job each. Same oracle as q_bpe_merges: the two trainers
+    // are contract-identical (BpeSpec proves merges AND lexicon equal,
+    // ties included), so the 30-round DuckDB replay checks this one's
+    // hash too — a driver-checked row, not just a spec claim.
+    Q("q_bpe_local", bpeMergesOracle) { (s, dir) =>
+      Bpe.trainModelLocal(table(s, dir, "documents").select(col("text")),
+          col("text"), numMerges = 30)._1
+        .orderBy("rank")
+    },
+
     // D41b: trained-tokenizer corpus accounting — segment the corpus
     // with the lexicon its own BPE run induced; per-doc subword / OOV
     // counts are the honest token budget feed. Oracle: replay the

@@ -160,4 +160,41 @@ class BpeSpec extends SparkSpec {
       .collect()
     assert(full.forall(_.getAs[Long]("n_lossy_words") == 0L))
   }
+
+  test("trainModelLocal == trainModel: merges AND lexicon, incl. ties and early exhaustion") {
+    // textbook corpus + tie-heavy filler + words that fully collapse,
+    // over MORE merges than the corpus supports so both forms hit the
+    // exhaustion path; driver loop must replay the distributed
+    // (freq desc, left asc, right asc) choice exactly
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+        Seq.fill(4)("aaa") ++ Seq.fill(2)("banana bandana")
+    ).map(Tuple1(_)).toDF("text")
+    val (dm, dl) = Bpe.trainModel(docs, col("text"), numMerges = 40)
+    val (lm, ll) = Bpe.trainModelLocal(docs, col("text"), numMerges = 40)
+    val dms = dm.orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+    val lms = lm.orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(lms == dms)
+    val dlx = dl.select("w", "syms", "freq").orderBy("w")
+      .as[(String, String, Long)].collect().toSeq
+    val llx = ll.select("w", "syms", "freq").orderBy("w")
+      .as[(String, String, Long)].collect().toSeq
+    assert(llx == dlx)
+  }
+
+  test("trainModelLocal maxWords cap drops the Zipf tail from training, not from minPairFreq") {
+    // 3 distinct words; cap at 2 keeps the two most frequent. The cut
+    // word's pairs never enter the counts, so merges reflect only the
+    // kept head — and the lexicon has exactly maxWords rows.
+    val docs = (Seq.fill(6)("fee") ++ Seq.fill(4)("fie") ++ Seq.fill(1)("foe"))
+      .map(Tuple1(_)).toDF("text")
+    val (m, lx) = Bpe.trainModelLocal(docs, col("text"), numMerges = 10,
+      minPairFreq = 1L, maxWords = 2)
+    assert(lx.count() == 2L)
+    assert(lx.select("w").as[String].collect().toSet == Set("fee", "fie"))
+    // no merge may mention 'o' (only 'foe' carries it)
+    val syms = m.select("merged").as[String].collect()
+    assert(syms.forall(!_.contains("o")))
+  }
 }
