@@ -1,16 +1,131 @@
 package graft
 
-/** Scratch (not registered): count chrf_stats occurrences in plans. */
+/** Scratch (not registered): r13 edge harness — drive every NEW
+  * operator through the degenerate shapes unit specs miss (empty
+  * input, singleton, one-group key, all-equal values, short series).
+  * Pass = no throw and a sane row count printed.
+  */
 object ScratchExplain {
   def main(args: Array[String]): Unit = {
-    val spark = Engine.session("scratch-explain")
-    val df = SparkEntry.queries("q_chrf")(spark, "/root/testdata/sf0.01")
-    val plan = df.queryExecution.optimizedPlan.treeString
-    println("chrf_stats occurrences in optimized plan: " +
-      "chrf_stats".r.findAllIn(plan).length)
-    val bs = SparkEntry.queries("q_bootstrap_ci")(spark, "/root/testdata/sf0.01")
-    println("=== bootstrap_ci optimized ===")
-    println(bs.queryExecution.optimizedPlan.treeString.take(2500))
+    import org.apache.spark.sql.functions._
+    val spark = Engine.session("scratch-edge")
+    import spark.implicits._
+    import graft.operators.{Eval, Stats, TextMetrics}
+
+    def runCase(name: String)(body: => Long): Unit =
+      try println(f"$name%-42s rows=${body}")
+      catch { case e: Throwable =>
+        println(s"$name THREW: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        throw e
+      }
+
+    val empty = Seq.empty[(String, Long, Double)].toDF("g", "b", "v")
+    val single = Seq(("g", 1L, 5.0)).toDF("g", "b", "v")
+    val flat = (0 until 5).map(i => ("g", i.toLong, 7.0)).toDF("g", "b", "v")
+
+    // kaplanMeier / logRank: empty, all-censored, single subject
+    runCase("km empty")(Stats.kaplanMeier(
+      empty.toDF("g", "dur", "obs").withColumn("obs", lit(true)),
+      col("g"), col("dur"), col("obs")).count())
+    runCase("km all-censored")(Stats.kaplanMeier(
+      Seq(("g", 1L, false), ("g", 2L, false)).toDF("g", "dur", "obs"),
+      col("g"), col("dur"), col("obs")).count())
+    runCase("km single")(Stats.kaplanMeier(
+      Seq(("g", 1L, true)).toDF("g", "dur", "obs"),
+      col("g"), col("dur"), col("obs")).count())
+    runCase("logrank empty")(Stats.logRank(
+      Seq.empty[(String, Long, Boolean)].toDF("g", "dur", "obs"),
+      col("g"), col("dur"), col("obs"), "a", "b").count())
+    runCase("logrank singleton-times")(Stats.logRank(
+      Seq(("a", 1L, true), ("b", 1L, true)).toDF("g", "dur", "obs"),
+      col("g"), col("dur"), col("obs"), "a", "b").count())
+
+    // cliffsDelta / wasserstein1d / hillTail: empty, one side, ties
+    runCase("cliffs empty")(Stats.cliffsDelta(
+      Seq.empty[(Double, Boolean)].toDF("v", "a"), col("v"), col("a")).count())
+    runCase("cliffs all-ties")(Stats.cliffsDelta(
+      Seq((1.0, true), (1.0, false), (1.0, true)).toDF("v", "a"),
+      col("v"), col("a")).count())
+    runCase("emd empty")(Stats.wasserstein1d(
+      Seq.empty[(String, Double)].toDF("g", "v"), col("g"), col("v"),
+      "a", "b").count())
+    runCase("emd one-side")(Stats.wasserstein1d(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v"), col("g"), col("v"),
+      "a", "b").count())
+    runCase("emd single-value-both")(Stats.wasserstein1d(
+      Seq(("a", 1.0), ("b", 1.0)).toDF("g", "v"), col("g"), col("v"),
+      "a", "b").count())
+    runCase("hill empty")(Stats.hillTail(empty.select(col("g"), col("v")),
+      col("g"), col("v"), k = 50).count())
+    runCase("hill all-equal")(Stats.hillTail(
+      (1 to 100).map(_ => ("g", 5.0)).toDF("g", "v"),
+      col("g"), col("v"), k = 10).count())
+    runCase("hill negatives-only")(Stats.hillTail(
+      Seq(("g", -1.0), ("g", -2.0)).toDF("g", "v"),
+      col("g"), col("v"), k = 10).count())
+
+    // signFlipTest: empty, no-paired-subjects, one subject
+    runCase("signflip empty")(Stats.signFlipTest(
+      Seq.empty[(Long, String, Double)].toDF("u", "g", "v"),
+      col("u"), col("g"), col("v"), "a", "b").count())
+    runCase("signflip unpaired")(Stats.signFlipTest(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("u", "g", "v"),
+      col("u"), col("g"), col("v"), "a", "b").count())
+    runCase("signflip one-subject")(Stats.signFlipTest(
+      Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("u", "g", "v"),
+      col("u"), col("g"), col("v"), "a", "b").count())
+
+    // markovStationary: empty, single event per user (no transitions),
+    // one state self-loops
+    runCase("markov empty")(Stats.markovStationary(
+      Seq.empty[(Long, Long, Long, String)].toDF("u", "o", "tb", "s"),
+      col("u"), col("o"), col("s"), col("tb")).count())
+    runCase("markov no-transitions")(Stats.markovStationary(
+      Seq((1L, 0L, 0L, "a"), (2L, 0L, 0L, "b")).toDF("u", "o", "tb", "s"),
+      col("u"), col("o"), col("s"), col("tb")).count())
+    runCase("markov one-state")(Stats.markovStationary(
+      Seq((1L, 0L, 0L, "a"), (1L, 1L, 1L, "a")).toDF("u", "o", "tb", "s"),
+      col("u"), col("o"), col("s"), col("tb")).count())
+
+    // pageHinkley: empty, singleton, flat
+    runCase("ph empty")(Stats.pageHinkley(empty, col("g"), col("b"),
+      col("v")).count())
+    runCase("ph single")(Stats.pageHinkley(single, col("g"), col("b"),
+      col("v")).count())
+    runCase("ph flat")(Stats.pageHinkley(flat, col("g"), col("b"),
+      col("v")).count())
+
+    // text wave: empty corpus, empty strings, single doc
+    val emptyDocs = Seq.empty[(String, String)].toDF("src", "text")
+    val blankDocs = Seq(("s", ""), ("s", "   ")).toDF("src", "text")
+    runCase("richness empty")(TextMetrics.lexicalRichness(
+      emptyDocs, col("src"), col("text")).count())
+    runCase("richness blank")(TextMetrics.lexicalRichness(
+      blankDocs, col("src"), col("text")).count())
+    runCase("dispersion empty")(TextMetrics.termDispersion(
+      emptyDocs, col("src"), col("text")).count())
+    runCase("dispersion one-source")(TextMetrics.termDispersion(
+      Seq(("s", "a b c a")).toDF("src", "text"), col("src"), col("text")).count())
+    runCase("burrows empty")(TextMetrics.burrowsDelta(
+      emptyDocs, col("src"), col("text")).count())
+    runCase("burrows one-source")(TextMetrics.burrowsDelta(
+      Seq(("s", "a b c")).toDF("src", "text"), col("src"), col("text")).count())
+
+    // rbo: empty, single item, one group missing a prefix
+    val er = Seq.empty[(String, Long, Double, Double)].toDF("g", "id", "sa", "sb")
+    runCase("rbo empty")(Eval.rbo(er, col("g"), col("id"), col("sa"),
+      col("sb")).count())
+    runCase("rbo single")(Eval.rbo(
+      Seq(("g", 1L, 1.0, 1.0)).toDF("g", "id", "sa", "sb"),
+      col("g"), col("id"), col("sa"), col("sb")).count())
+
+    // bpe local trainer: empty corpus, single char word
+    runCase("bpe-local empty")(graft.operators.Bpe.trainModelLocal(
+      Seq.empty[Tuple1[String]].toDF("text"), col("text"), 5)._1.count())
+    runCase("bpe-local single-char")(graft.operators.Bpe.trainModelLocal(
+      Seq(Tuple1("a a a")).toDF("text"), col("text"), 5)._1.count())
+
+    println("edge harness: ALL CLEAR")
     spark.stop()
   }
 }

@@ -1045,4 +1045,81 @@ object Eval {
         col("ci_lo"), col("ci_hi"),
         coalesce(col("n_resamples"), lit(0L)).as("n_resamples"))
   }
+
+  /** Rank-biased overlap (Webber et al., TOIS'10) between two rankings
+    * of the same items per group — "did swapping the retriever change
+    * what users actually SEE?" Top-weighted where Kendall τ is
+    * uniform: RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·X_d/d with X_d the
+    * overlap of the two depth-d prefixes; p = 0.9 weights the head.
+    *
+    * Inputs are two score columns; each ranks items descending with
+    * an explicit id tiebreak. Items outside BOTH top-k prefixes never
+    * materialize — the frame is ≤ k rows per group, so the depth
+    * explode is a constant k² fan-out of a bounded frame.
+    *
+    * Determinism: p^(d−1) never goes through pow() (libm-dependent) —
+    * 9^(d−1) and d·10^(d−1) join in as EXACT decimal literals from a
+    * broadcast depth table, each depth term is one double division
+    * truncated 9 dp into a decimal, and the geometric sum is
+    * order-independent. Returns one row per group:
+    * (group_key, overlap_at_k, rbo) — 6-dp floored.
+    */
+  def rbo(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      scoreA: Column,
+      scoreB: Column,
+      k: Int = 20,
+      pNum: Int = 9,
+      pDen: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, "k in [1, 100]")
+    require(pNum >= 1 && pNum < pDen, "p = pNum/pDen in (0, 1)")
+    val spark = df.sparkSession
+    val base = df.select(group.as("grp"), id.as("__id"),
+      scoreA.cast("double").as("__sa"), scoreB.cast("double").as("__sb"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("__sa").desc, col("__id").asc)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("__sb").desc, col("__id").asc)
+    val ranked = base
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+      .filter(col("__ra") <= k && col("__rb") <= k)
+      .select(col("grp"), greatest(col("__ra"), col("__rb")).as("__mr"))
+    // exact geometric weights: (d, 9^(d-1), d·10^(d-1)) as decimals
+    import spark.implicits._
+    // strings → decimal(38,0): letting toDF infer decimal(38,18) would
+    // overflow den = k·10^(k−1) at k = 20 (21 integer digits)
+    val depths = (1 to k).map { d =>
+      (d, BigInt(pNum).pow(d - 1).toString,
+        (BigInt(d) * BigInt(pDen).pow(d - 1)).toString)
+    }.toDF("__d", "__n9s", "__dens")
+      .select(col("__d"),
+        col("__n9s").cast("decimal(38,0)").as("__num9"),
+        col("__dens").cast("decimal(38,0)").as("__den"))
+    val xd = ranked
+      .select(col("grp"), explode(sequence(col("__mr"), lit(k))).as("__d"))
+      .groupBy("grp", "__d").agg(count(lit(1)).as("__x"))
+    val terms = xd.join(broadcast(depths), "__d")
+      .select(col("grp"), col("__d"), col("__x"),
+        (floor((col("__x").cast("decimal(19,0)") * col("__num9"))
+          .cast("double") / col("__den").cast("double") * 1e9) / 1e9)
+          .cast("decimal(28,9)").as("__t"))
+    val agg = terms.groupBy("grp")
+      .agg(
+        sum(col("__t")).as("__s"),
+        coalesce(max(when(col("__d") === k, col("__x"))), lit(0L)).as("__xk"))
+      .select(col("grp"),
+        (floor(col("__xk").cast("double") / k * 1e6) / 1e6).as("overlap_at_k"),
+        (floor((lit(1.0) - lit(pNum.toDouble) / pDen) *
+          col("__s").cast("double") * 1e6) / 1e6).as("rbo"))
+    // a group whose two top-k prefixes share NOTHING still reports its
+    // zero (flag, never silently vanish — the quarantine contract)
+    base.select(col("grp")).distinct()
+      .join(agg, Seq("grp"), "left")
+      .select(col("grp").as("group_key"),
+        coalesce(col("overlap_at_k"), lit(0.0)).as("overlap_at_k"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
 }

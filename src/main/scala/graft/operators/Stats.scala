@@ -2919,4 +2919,515 @@ object Stats {
       Num.t4floor(theta).as("theta"),
       (varP <= 0d).as("degenerate"))
   }
+
+  /** Kaplan-Meier survival estimator per group — the churn/retention
+    * curve over right-censored durations ("how long do users stay
+    * active, given some are still active at observation end?").
+    * Input: one row per subject with an integer `duration` and an
+    * `observed` flag (true = the terminal event happened; false =
+    * censored at `duration`).
+    *
+    * Shape at scale: subjects collapse to the ≤(groups × distinct
+    * durations) life table in ONE partial-aggregated groupBy; the
+    * risk set and survival walk are keyed windows over that BOUNDED
+    * frame, never the subject table. Survival is a cumulative
+    * PRODUCT — order-dependent in floating point — so it runs as
+    * exp(Σ ln f_t) with each per-time log-factor truncated to 9 dp
+    * into an exact decimal before the window sum: both engines add
+    * identical decimals and exponentiate the identical double. A risk
+    * set that dies out entirely (d = n) has ln 0 = −∞; the absorbing
+    * state is carried as an explicit flag (cumulative max) and pins
+    * survival to 0.0 from that time on.
+    *
+    * Returns one row per (group, duration with ≥1 terminal event):
+    * (grp, t, n_risk, n_event, n_censor, survival), survival 6-dp
+    * floored.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      group: Column,
+      duration: Column,
+      observed: Column): DataFrame = {
+    val life = df
+      .filter(duration.isNotNull && observed.isNotNull)
+      .groupBy(group.as("grp"), duration.cast("long").as("t"))
+      .agg(
+        sum(when(observed.cast("boolean"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(observed.cast("boolean"), 0L).otherwise(1L)).as("n_censor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("t")
+    val prior = w.rowsBetween(Long.MinValue, -1)
+    val upto = w.rowsBetween(Long.MinValue, 0)
+    val total = sum(col("n_event") + col("n_censor"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("grp"))
+    val atRisk = total - coalesce(
+      sum(col("n_event") + col("n_censor")).over(prior), lit(0L))
+    // ln(1 - d/n) truncated 9 dp into an exact decimal: the window sum
+    // is then order-independent, and exp of the identical double is
+    // engine-identical. d = n (risk set dies out) is the absorbing
+    // zero, flagged and excluded from the log walk.
+    val staged = life
+      .withColumn("__n", atRisk)
+      .withColumn("__dead", col("n_event") === col("__n"))
+      .withColumn("__lf",
+        when(col("__dead"), lit(null))
+          .otherwise((floor(
+            log(lit(1.0) - col("n_event").cast("double") /
+              col("__n").cast("double")) * 1e9) / 1e9).cast("decimal(28,9)")))
+      .withColumn("__zero", max(col("__dead")).over(upto))
+      .withColumn("__ls", sum(col("__lf")).over(upto))
+    staged
+      .filter(col("n_event") > 0)
+      .select(
+        col("grp"), col("t"), col("__n").as("n_risk"),
+        col("n_event"), col("n_censor"),
+        when(col("__zero"), lit(0.0))
+          .otherwise(floor(exp(col("__ls").cast("double")) * 1e6) / 1e6)
+          .as("survival"))
+  }
+
+  /** Log-rank test: do two groups share a survival curve? The
+    * hypothesis-test companion of [[kaplanMeier]] (Mantel-Haenszel
+    * form). At each distinct event time t: e1 = n1·d/n is group A's
+    * expected events under H0, v the hypergeometric variance; the
+    * statistic (Σ(d1−e1))²/Σv is χ²(1).
+    *
+    * Same bounded life-table shape as [[kaplanMeier]]; the per-time
+    * O−E and variance terms derive in double with a fixed operation
+    * order, truncate at 7 dp into exact decimals, and sum
+    * order-independently. Times with n < 2 or d = 0 contribute
+    * nothing (v = 0 there). Returns ONE row: (n_a, n_b, chi2,
+    * significant, degenerate) — chi2 4-dp floored, 5% critical value
+    * 3.841.
+    */
+  def logRank(
+      df: DataFrame,
+      group: Column,
+      duration: Column,
+      observed: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val inA = group === groupA
+    val life = df
+      .filter(duration.isNotNull && observed.isNotNull &&
+        (group === groupA || group === groupB))
+      .groupBy(duration.cast("long").as("t"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("__na"),
+        sum(when(!inA, 1L).otherwise(0L)).as("__nb"),
+        sum(when(inA && observed.cast("boolean"), 1L).otherwise(0L)).as("__da"),
+        sum(when(!inA && observed.cast("boolean"), 1L).otherwise(0L)).as("__db"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(Long.MinValue, -1)
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val staged = life
+      .withColumn("__r1",
+        sum(col("__na")).over(tw) - coalesce(sum(col("__na")).over(w), lit(0L)))
+      .withColumn("__r2",
+        sum(col("__nb")).over(tw) - coalesce(sum(col("__nb")).over(w), lit(0L)))
+    val n1 = col("__r1").cast("double")
+    val n = (col("__r1") + col("__r2")).cast("double")
+    val d = (col("__da") + col("__db")).cast("double")
+    val oe = col("__da").cast("double") - n1 * d / n
+    val v = d * (n1 / n) * (lit(1.0) - n1 / n) *
+      try_divide(n - d, n - 1.0)
+    val terms = staged
+      .filter(col("__da") + col("__db") > 0 && col("__r1") + col("__r2") >= 2)
+      .select(
+        (floor(oe * 1e7) / 1e7).cast("decimal(28,7)").as("__oe"),
+        (floor(coalesce(v, lit(0.0)) * 1e7) / 1e7).cast("decimal(28,7)").as("__v"),
+        col("__na"), col("__nb"))
+    val m = df
+      .filter(duration.isNotNull && observed.isNotNull &&
+        (group === groupA || group === groupB))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b"))
+    val agg = terms.agg(
+      coalesce(sum(col("__oe")), lit(0).cast("decimal(28,7)")).as("__soe"),
+      coalesce(sum(col("__v")), lit(0).cast("decimal(28,7)")).as("__sv"))
+    val soe = col("__soe").cast("double")
+    val sv = col("__sv").cast("double")
+    val degenerate = col("n_a") === 0 || col("n_b") === 0 || sv <= 0.0
+    m.crossJoin(broadcast(agg)).select(
+      col("n_a"), col("n_b"),
+      when(degenerate, 0.0).otherwise(floor(soe * soe / sv * 1e4) / 1e4)
+        .as("chi2"),
+      (!degenerate && soe * soe / sv > 3.841).as("significant"),
+      degenerate.as("degenerate"))
+  }
+
+  /** Cliff's delta — the ORDINAL effect size next to [[effectSize]]'s
+    * standardized-difference family: δ = (#(a>b) − #(a<b)) / (n_a·n_b)
+    * ∈ [−1, 1], assumption-free where Cohen's d assumes comparable
+    * variances. Derived WITHOUT the quadratic pair walk from the same
+    * bounded rank frame as [[mannWhitney]]: 2U = Σ_v na_v·(2·cumB_v +
+    * nb_v) counts every (a>b) pair twice and every tie once, so
+    * δ = (2U − n_a·n_b) / (n_a·n_b) exactly, in integer lanes.
+    *
+    * Returns ONE row: (n_a, n_b, delta, magnitude, degenerate) —
+    * delta 4-dp toward-zero, magnitude the standard |δ| bands
+    * (0.147 / 0.33 / 0.474 — Romano et al.).
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      value: Column,
+      inGroupA: Column,
+      dp: Int = 6): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]")
+    val a = inGroupA.cast("boolean")
+    val g = df.filter(value.isNotNull && inGroupA.isNotNull)
+      .groupBy(round(value.cast("double"), dp).as("__v"))
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("__na"),
+        sum(when(!a, 1L).otherwise(0L)).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v")).rowsBetween(Long.MinValue, -1)
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val contrib = g
+      .withColumn("__cumb", coalesce(sum(col("__nb")).over(w), lit(0L)))
+      .select(
+        (big(col("__na")) * (big(col("__cumb")) * 2 + big(col("__nb"))))
+          .cast("decimal(38,0)").as("__u2"),
+        col("__na"), col("__nb"))
+    val m = contrib.agg(
+      coalesce(sum(col("__u2")), lit(0L).cast("decimal(38,0)")).as("__u2"),
+      coalesce(sum(col("__na")), lit(0L)).as("__na"),
+      coalesce(sum(col("__nb")), lit(0L)).as("__nb"))
+    val prod = (big(col("__na")) * big(col("__nb"))).cast("decimal(38,0)")
+    val degenerate = col("__na") === 0 || col("__nb") === 0
+    val delta = when(degenerate, lit(0.0)).otherwise(
+      Num.t4zero((col("__u2") - prod).cast("double") /
+        (col("__na").cast("double") * col("__nb").cast("double"))))
+    m.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"), delta.as("delta"),
+      when(abs(delta) < 0.147, "negligible")
+        .when(abs(delta) < 0.33, "small")
+        .when(abs(delta) < 0.474, "medium")
+        .otherwise("large").as("magnitude"),
+      degenerate.as("degenerate"))
+  }
+
+  /** 1-D Wasserstein distance (earth mover's) between two samples —
+    * W₁ = ∫|F_a − F_b| dx: "how much mass must move, and how far, to
+    * turn this week's value distribution into last week's". The
+    * actionable-units companion of [[ksTest]] (supremum gap) and
+    * [[Profile.psi]] (binned log drift): W₁ carries the VALUE scale,
+    * so a 2× shift in spend reads in dollars.
+    *
+    * Same bounded ordered pass as [[ksTest]]: quantize to `dp`
+    * decimals, ONE partial-aggregated groupBy(value) with per-side
+    * conditional counts, cumulative window over the ≤10^dp-row frame.
+    * Per-interval terms |cumA·NB − cumB·NA| / (NA·NB) · gap keep the
+    * numerator in exact integer lanes (the argproduct is
+    * engine-independent), truncate at 9 dp into decimals, and sum
+    * order-independently. Returns ONE row: (n_a, n_b, emd) — 6-dp
+    * floored.
+    */
+  def wasserstein1d(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      groupA: String,
+      groupB: String,
+      dp: Int = 4): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]")
+    val v = round(value.cast("double"), dp)
+    val g = df.filter(value.isNotNull && (group === groupA || group === groupB))
+      .groupBy(v.as("__v"))
+      .agg(
+        sum(when(group === groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(group === groupB, 1L).otherwise(0L)).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
+    val cumW = w.rowsBetween(Long.MinValue, 0)
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val cum = g
+      .withColumn("__ca", sum(col("__na")).over(cumW))
+      .withColumn("__cb", sum(col("__nb")).over(cumW))
+      .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
+    val tot = g.agg(
+      coalesce(sum(col("__na")), lit(0L)).as("__ta"),
+      coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
+    val num = abs(big(col("__ca")) * big(col("__tb"))
+      - big(col("__cb")) * big(col("__ta"))).cast("decimal(38,0)")
+    val terms = cum.filter(col("__gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select((floor(
+        num.cast("double") /
+          (col("__ta").cast("double") * col("__tb").cast("double")) *
+          col("__gap") * 1e9) / 1e9).cast("decimal(28,9)").as("__t"))
+    val s = terms.agg(
+      coalesce(sum(col("__t")), lit(0).cast("decimal(28,9)")).as("__s"))
+    val degenerate = col("__ta") === 0 || col("__tb") === 0
+    tot.crossJoin(broadcast(s)).select(
+      col("__ta").as("n_a"), col("__tb").as("n_b"),
+      when(degenerate, 0.0)
+        .otherwise(floor(col("__s").cast("double") * 1e6) / 1e6).as("emd"))
+  }
+
+  /** Hill tail-index estimator per key — "is this metric heavy-tailed,
+    * and how heavy?" The power-law exponent α governs whether means
+    * and variances even exist (α ≤ 2: infinite variance — sampling
+    * and CI machinery silently break), so this is the diagnostic to
+    * run BEFORE trusting [[bootstrapCi]] on spend-like columns.
+    * H = (1/k)·Σ_{i≤k} ln(x_(i) / x_(k+1)) over the k largest order
+    * statistics; α̂ = 1/H.
+    *
+    * Shape at scale: one keyed top-(k+1) window (rank, never a global
+    * sort) over positive values; the k log-excess terms truncate at
+    * 9 dp into exact decimals and sum order-independently. Keys with
+    * fewer than k+2 positive values report degenerate (a tail index
+    * needs a tail). Ties at the threshold keep deterministic
+    * membership via the rank's value-then-rowid order. Returns one row
+    * per key: (key, n, k_used, hill_h, alpha, degenerate) — 4-dp
+    * floored.
+    */
+  def hillTail(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val t = df.select(key.as("key"), value.cast("double").as("__x"))
+      .filter(col("__x").isNotNull && col("__x") > 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("__x").desc)
+    val kw = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val ranked = t
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(kw))
+      .filter(col("__r") <= k + 1)
+    val thresh = ranked.filter(col("__r") === least(lit(k + 1), col("__n")))
+      .select(col("key"), col("__x").as("__xk"), col("__n"))
+    val kept = ranked.join(thresh.drop("__n"), "key")
+      .filter(col("__r") < least(lit(k + 1), col("__n")))
+      .select(col("key"), col("__n"),
+        (floor(log(col("__x") / col("__xk")) * 1e9) / 1e9)
+          .cast("decimal(28,9)").as("__t"))
+    val m = kept.groupBy("key").agg(
+      max(col("__n")).as("n"),
+      count(lit(1)).as("k_used"),
+      sum(col("__t")).as("__s"))
+    val h = try_divide(col("__s").cast("double"), col("k_used").cast("double"))
+    val degenerate = col("n") < k + 2 || coalesce(h, lit(0.0)) <= 0.0
+    m.select(
+      col("key"), col("n"), col("k_used"),
+      when(degenerate, 0.0).otherwise(floor(h * 1e4) / 1e4).as("hill_h"),
+      when(degenerate, 0.0).otherwise(floor(try_divide(lit(1.0), h) * 1e4) / 1e4)
+        .as("alpha"),
+      degenerate.as("degenerate"))
+  }
+
+  /** Stationary distribution of the empirical behavior Markov chain —
+    * "where does a user's session END UP spending its time?" The
+    * long-run companion of the one-step transition matrix
+    * ([[Behavior.transitionMatrix]]'s shape): π = πP by fixed-point
+    * power iteration.
+    *
+    * Shape at scale: transition counts are ONE partial-aggregated
+    * pass over per-user consecutive event pairs (a keyed window lag —
+    * the C69 shape); the resulting k×k matrix is config-sized (k =
+    * event vocabulary) and collects as DRIVER METADATA (the IVF
+    * centroid / BPE-merge contract — model data never does this, the
+    * state space does). The iteration runs `iters` fixed rounds with
+    * per-entry 12-dp truncation — a pure function of the counts, so
+    * any engine replaying the same walk lands on identical decimals.
+    * Rows with absorbing states (no outgoing transitions) self-loop —
+    * the standard stochastic-completion, keeping P row-stochastic.
+    *
+    * Returns one row per state: (state, n_out, stationary) — 6-dp
+    * floored, plus is_absorbing.
+    */
+  def markovStationary(
+      df: DataFrame,
+      subject: Column,
+      order: Column,
+      state: Column,
+      tiebreak: Column,
+      iters: Int = 50): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__o", "__tb")
+    val pairs = df
+      .filter(subject.isNotNull && order.isNotNull && state.isNotNull)
+      .select(subject.as("__u"), order.as("__o"), tiebreak.as("__tb"),
+        state.cast("string").as("__s"))
+      .withColumn("__next", lead(col("__s"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__s").as("from"), col("__next").as("to"))
+      .agg(count(lit(1)).as("cnt"))
+    // driver metadata: the k×k count matrix (k = event vocabulary)
+    val rows = pairs.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val outTot = new Array[Long](k)
+    val cntM = Array.fill(k, k)(0L)
+    rows.foreach { case (f, t, c) =>
+      cntM(idx(f))(idx(t)) += c
+      outTot(idx(f)) += c
+    }
+    // absorbing states self-loop (row-stochastic completion)
+    val p = Array.tabulate(k, k) { (i, j) =>
+      if (outTot(i) == 0L) { if (i == j) 1.0 else 0.0 }
+      else cntM(i)(j).toDouble / outTot(i).toDouble
+    }
+    // the walk runs on 1e12 integer micro-lanes: each product
+    // floor(pi_i/1e12 * p_ij * 1e12) is an exact long, the per-state
+    // sum is exact integer addition (order-free), so the oracle's
+    // recursive-CTE replay lands on identical micros every round
+    val micro = 1000000000000L
+    var pi: Array[Long] = Array.fill(k)(micro / k)
+    var it = 0
+    while (it < iters) {
+      val nx = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        var acc = 0L
+        var i = 0
+        while (i < k) {
+          acc += math.floor(pi(i).toDouble / 1e12 * p(i)(j) * 1e12).toLong
+          i += 1
+        }
+        nx(j) = acc
+        j += 1
+      }
+      pi = nx
+      it += 1
+    }
+    import spark.implicits._
+    states.zipWithIndex.toSeq.map { case (s, i) =>
+      (s, outTot(i), math.floor(pi(i).toDouble / 1e12 * 1e6) / 1e6,
+        outTot(i) == 0L)
+    }.toDF("state", "n_out", "stationary", "is_absorbing")
+  }
+
+  /** Sign-flip randomization test on paired differences — the
+    * distribution-free p-value for "do subjects score higher under A
+    * than B?" with no normality assumption and NO RNG: permutation b
+    * flips subject u's difference by the PARITY of the integer hash
+    * of (u·(B+1) + b), so every engine, run, and backfill sees the
+    * identical B pseudo-permutations (determinism-as-a-scale-feature,
+    * the D18 split contract applied to inference).
+    *
+    * Shape at scale: per-subject paired means in one groupBy, each
+    * difference truncated 6 dp into an exact decimal; the B
+    * permutation sums are ONE explode(×B) + partial-aggregated
+    * groupBy over subjects — B bounded (default 64), so the explode
+    * is a constant fan-out, and T_obs rides the b = 0 identity
+    * permutation. p = (1 + #{|T_b| ≥ |T_obs|, b ≥ 1}) / (B + 1), the
+    * add-one-smoothed two-sided estimate.
+    *
+    * Returns ONE row: (n_subjects, t_obs, n_perms, p_value,
+    * significant) — t_obs 4-dp toward-zero.
+    */
+  def signFlipTest(
+      df: DataFrame,
+      subject: Column,
+      group: Column,
+      value: Column,
+      groupA: String,
+      groupB: String,
+      b: Int = 64): DataFrame = {
+    require(b >= 1 && b <= 4096, "b in [1, 4096]")
+    // per-side means via exact decimal sums (a raw double avg's value
+    // depends on partial-aggregation order), ONE double division each
+    val diffs = df
+      .filter(subject.isNotNull && value.isNotNull &&
+        (group === groupA || group === groupB))
+      .groupBy(subject.cast("long").as("__u"))
+      .agg(
+        sum(when(group === groupA, value.cast("decimal(18,6)"))).as("__sa"),
+        sum(when(group === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(group === groupB, value.cast("decimal(18,6)"))).as("__sb"),
+        sum(when(group === groupB, 1L).otherwise(0L)).as("__cb"))
+      .filter(col("__sa").isNotNull && col("__sb").isNotNull)
+      .select(col("__u"),
+        (floor((col("__sa").cast("double") / col("__ca").cast("double") -
+          col("__sb").cast("double") / col("__cb").cast("double")) * 1e6) / 1e6)
+          .cast("decimal(24,6)").as("__d"))
+    val perms = diffs
+      .select(col("__u"), col("__d"),
+        explode(sequence(lit(0), lit(b))).as("__b"))
+      .select(col("__b"),
+        // b = 0 is the identity permutation (T_obs); b >= 1 flips by
+        // hash parity — replayed exactly by the oracle's hashModSql
+        when(col("__b") === 0, col("__d"))
+          .when(Sampling.hashMod(col("__u") * (b + 1) + col("__b"), lit(2L)) === 0,
+            col("__d"))
+          .otherwise(-col("__d")).as("__sd"))
+      .groupBy("__b")
+      .agg(sum(col("__sd")).as("__t"))
+    val tobs = perms.filter(col("__b") === 0)
+      .select(col("__t").as("__tobs"))
+    val m = perms.filter(col("__b") > 0)
+      .crossJoin(broadcast(tobs))
+      .agg(
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("__t")) >= abs(col("__tobs")), 1L).otherwise(0L))
+          .as("__ge"),
+        first(col("__tobs")).as("__tobs"))
+    val nsub = diffs.agg(count(lit(1)).as("n_subjects"))
+    val p = (col("__ge") + 1L).cast("double") /
+      (col("n_perms") + 1L).cast("double")
+    nsub.crossJoin(broadcast(m)).select(
+      col("n_subjects"),
+      Num.t4zero(col("__tobs").cast("double")).as("t_obs"),
+      col("n_perms"),
+      (floor(p * 1e6) / 1e6).as("p_value"),
+      (floor(p * 1e6) / 1e6 < 0.05).as("significant"))
+  }
+
+  /** Page-Hinkley drift monitor per key — the sequential mean-shift
+    * detector completing the monitoring quartet ([[cusum]] known
+    * target, [[ewmaChart]] forecast surprise, [[levelShift]] windowed
+    * contrast; Page-Hinkley needs NO target: it tracks the RUNNING
+    * mean). m_t = Σ_{i≤t}(x_i − x̄_i − δ); PH_t = m_t − min_{i≤t} m_i;
+    * alarm when PH_t > λ.
+    *
+    * Determinism: x̄_i divides the exact decimal prefix sum by i (the
+    * identical double on every engine); each (x_i − x̄_i − δ) term
+    * truncates to 6 dp into an exact decimal, so the cumulative m
+    * walk and its running minimum are order-independent decimal
+    * arithmetic end to end — the E44 stream twin replays the same
+    * walk in integer micro-lanes. One keyed ordered window chain over
+    * time-bucket-bounded series (the C84 shape).
+    *
+    * Returns (key, bucket, value, ph, alarm) — ph 4-dp floored.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      delta: Double = 0.0,
+      lambda: Double = 10.0): DataFrame = {
+    require(lambda > 0, "lambda must be positive")
+    val t = df.select(key.as("key"), bucket.cast("long").as("bucket"),
+        value.cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bucket")
+    val cw = w.rowsBetween(Long.MinValue, 0)
+    val xd = Num.dec(round(col("__x"), 6))
+    val staged = t
+      .withColumn("__cs", sum(xd).over(cw))
+      .withColumn("__i", count(lit(1)).over(cw))
+      .withColumn("__term",
+        (floor((col("__x") -
+          col("__cs").cast("double") / col("__i").cast("double") -
+          lit(delta)) * 1e6) / 1e6).cast("decimal(24,6)"))
+      .withColumn("__m", sum(col("__term")).over(cw))
+      .withColumn("__minm", min(col("__m")).over(cw))
+    val ph = col("__m") - least(col("__minm"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(24,6)"))
+    staged.select(
+      col("key"), col("bucket"), col("__x").as("value"),
+      Num.t4floor(ph.cast("double")).as("ph"),
+      (ph > lit(BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying()).cast("decimal(24,6)")).as("alarm"))
+  }
 }

@@ -1566,4 +1566,159 @@ object TextMetrics {
         (floor(col("n_distinct").cast("double") / col("n_total") * 1e4) / 1e4)
           .as("distinct_ratio"))
   }
+
+  /** Lexical-richness profile per group — the vocabulary-health
+    * readout next to [[vocabGrowth]]'s curve and [[distinctNgrams]]'
+    * diversity ratio: type-token ratio, hapax share, and Yule's K
+    * (K = 10⁴·(Σ_m m²·V_m − N)/N², the repeat-rate statistic that,
+    * unlike raw TTR, is length-insensitive — the standard "is this
+    * source template-y or genuinely varied?" number).
+    *
+    * Shape at scale: ONE tokenize → (group, word) partial-agg pass;
+    * everything else derives from that bounded frequency table.
+    * Σ m²·V_m = Σ_w cnt_w² stays in exact integer lanes (decimal 38);
+    * the three ratios are single double divisions, 6-dp floored.
+    */
+  def lexicalRichness(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val wf = graft.operators.scaleOut(
+        df.select(group.as("grp"), text.as("__text")))
+      .select(col("grp"), explode(tokens(col("__text"))).as("w"))
+      .groupBy("grp", "w").agg(count(lit(1)).as("cnt"))
+    val m = wf.groupBy("grp").agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+      sum((col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("__m2"))
+    val n = col("n_tokens").cast("double")
+    m.select(
+      col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+      (floor(col("n_types").cast("double") / n * 1e6) / 1e6).as("ttr"),
+      (floor(col("n_hapax").cast("double") /
+        col("n_types").cast("double") * 1e6) / 1e6).as("hapax_ratio"),
+      (floor((col("__m2").cast("double") - n) / (n * n) * 1e4 * 1e6) / 1e6)
+        .as("yule_k"))
+  }
+
+  /** Gries' DP (deviation of proportions) — per-term DISPERSION across
+    * sources: does "click here" live everywhere or in one crawl? The
+    * per-term drilldown under [[sourceJsd]]'s corpus-level verdict;
+    * dedup/quality gates read it to tell boilerplate (high frequency,
+    * LOW dispersion) from genuinely common language (high both).
+    * DP = Σ_s |share_of_tokens(s) − share_of_term(s)| / 2 ∈ [0, 1):
+    * 0 = the term distributes exactly like the corpus, →1 = one
+    * source owns it.
+    *
+    * Shape at scale: one tokenize pass → (source, term) counts; the
+    * top-`k` term set is a config-sized driver decision replayed by
+    * rank; the DP sum runs over the k×|sources| grid (bounded both
+    * ways) with EXACT integer numerators — |st·C_t − ct·T| in decimal
+    * lanes, one double division at the end, 6-dp floored. Terms
+    * absent from a source contribute that source's full token share,
+    * via the grid's left join.
+    */
+  def termDispersion(
+      df: DataFrame,
+      source: Column,
+      text: Column,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = graft.operators.scaleOut(
+        df.select(source.as("src"), text.as("__text")))
+      .select(col("src"), explode(tokens(col("__text"))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val srcTot = tf.groupBy("src").agg(sum(col("ct")).as("st"))
+    val termTot = tf.groupBy("w").agg(sum(col("ct")).as("c_t"))
+    // distributed top-k (TakeOrderedAndProject) — a global row_number
+    // window here would single-partition-sort the whole vocabulary
+    val top = termTot.orderBy(col("c_t").desc, col("w").asc).limit(k)
+    val total = srcTot.agg(sum(col("st")).as("t_tot"))
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val grid = broadcast(top).crossJoin(srcTot)
+      .join(tf, Seq("w", "src"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("w"), col("c_t"), col("t_tot"),
+        abs(big(col("st")) * big(col("c_t")) - big(col("ct")) * big(col("t_tot")))
+          .cast("decimal(38,0)").as("__num"))
+    grid.groupBy("w", "c_t", "t_tot")
+      .agg(sum(col("__num")).as("__s"))
+      .select(col("w").as("term"), col("c_t").as("term_count"),
+        (floor(col("__s").cast("double") /
+          (col("t_tot").cast("double") * col("c_t").cast("double")) /
+          2.0 * 1e6) / 1e6).as("dp_dispersion"))
+  }
+
+  /** Burrows' Delta — the stylometry distance between sources: z-score
+    * each of the top-`m` corpus words' per-mille rate across sources,
+    * then Δ(s₁,s₂) = mean_w |z₁ − z₂|. The classic authorship /
+    * register-shift detector: two crawls of the same register sit
+    * near 0, a forum vs a news source separates on function-word
+    * rates alone.
+    *
+    * Shape at scale: one tokenize pass → (source, word) counts; the
+    * top-m word set and the m×|sources| rate grid are config-sized.
+    * Rates, means and squared deviations truncate into exact decimal
+    * lanes before every cross-source sum (population σ over the
+    * bounded source set), z-scores truncate 6 dp, and the pairwise
+    * mean-|Δz| runs over the bounded source-pair grid. Degenerate
+    * words (σ = 0 — same rate everywhere) contribute 0 to every pair,
+    * the standard convention.
+    */
+  def burrowsDelta(
+      df: DataFrame,
+      source: Column,
+      text: Column,
+      m: Int = 30): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val tf = graft.operators.scaleOut(
+        df.select(source.as("src"), text.as("__text")))
+      .select(col("src"), explode(tokens(col("__text"))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val srcTot = tf.groupBy("src").agg(sum(col("ct")).as("st"))
+    val termTot = tf.groupBy("w").agg(sum(col("ct")).as("c_t"))
+    // distributed top-m, not a vocabulary-wide global window
+    val top = termTot.orderBy(col("c_t").desc, col("w").asc).limit(m)
+      .select(col("w"))
+    // per-mille rate, 9-dp truncated into an exact decimal so the
+    // cross-source mean/variance sums are order-independent
+    val rates = broadcast(top).crossJoin(srcTot)
+      .join(tf, Seq("w", "src"), "left")
+      .select(col("w"), col("src"),
+        (floor(coalesce(col("ct"), lit(0L)).cast("double") /
+          col("st").cast("double") * 1000.0 * 1e9) / 1e9)
+          .cast("decimal(28,9)").as("__f"))
+    val nSrc = srcTot.agg(count(lit(1)).as("__k"))
+    val mom = rates.groupBy("w")
+      .agg(sum(col("__f")).as("__sf"), count(lit(1)).as("__n"))
+      .select(col("w"),
+        (col("__sf").cast("double") / col("__n").cast("double")).as("__mu"),
+        col("__n"))
+    val devs = rates.join(broadcast(mom), "w")
+      .select(col("w"), col("src"), col("__f"), col("__mu"), col("__n"),
+        (floor((col("__f").cast("double") - col("__mu")) *
+          (col("__f").cast("double") - col("__mu")) * 1e9) / 1e9)
+          .cast("decimal(28,9)").as("__d2"))
+    val sig = devs.groupBy("w", "__mu", "__n")
+      .agg(sum(col("__d2")).as("__sd2"))
+      .select(col("w"), col("__mu"),
+        sqrt(col("__sd2").cast("double") / col("__n").cast("double"))
+          .as("__sigma"))
+    val z = rates.join(broadcast(sig), "w")
+      .select(col("w"), col("src"),
+        when(col("__sigma") === 0.0, lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+          .otherwise((floor((col("__f").cast("double") - col("__mu")) /
+            col("__sigma") * 1e6) / 1e6).cast("decimal(18,6)")).as("__z"))
+    val pairs = z.as("a").join(z.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+        abs(col("a.__z") - col("b.__z")).as("__az"))
+    pairs.groupBy("source_a", "source_b")
+      .agg(sum(col("__az")).as("__s"), count(lit(1)).as("n_terms"))
+      .select(col("source_a"), col("source_b"), col("n_terms"),
+        (floor(col("__s").cast("double") /
+          col("n_terms").cast("double") * 1e4) / 1e4).as("delta"))
+  }
 }

@@ -1014,6 +1014,63 @@ object EvalQueries {
       Eval.bootstrapCI(ev, col("event_type"), col("event_id"), col("value"),
           b = 200, level = 0.95)
         .orderBy("group_key")
+    },
+
+    // D142: rank-biased overlap between two per-language document
+    // rankings (by chars vs by tokens) — "did swapping the scorer
+    // change what the top of the list SHOWS?" Top-weighted where
+    // Kendall τ is uniform; the geometric weights 9^(d−1)/(d·10^(d−1))
+    // join in as exact decimal literals, so no libm pow() anywhere.
+    Q(
+      "q_rbo", {
+        val depthVals = (1 to 20).map(d =>
+          s"($d, ${BigInt(9).pow(d - 1)}, ${BigInt(d) * BigInt(10).pow(d - 1)})")
+          .mkString(", ")
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS sa,
+           |    CAST(len(${tkSql("text")}) AS DOUBLE) AS sb
+           |  FROM documents),
+           |r AS (
+           |  SELECT lang, greatest(ra, rb) AS mr FROM (
+           |    SELECT lang,
+           |      row_number() OVER (PARTITION BY lang
+           |        ORDER BY sa DESC, doc_id) AS ra,
+           |      row_number() OVER (PARTITION BY lang
+           |        ORDER BY sb DESC, doc_id) AS rb
+           |    FROM d)
+           |  WHERE ra <= 20 AND rb <= 20),
+           |dep AS (SELECT * FROM (VALUES $depthVals) AS t(dd, n9, den)),
+           |xd AS (
+           |  SELECT lang, dd, n9, den, CAST(count(*) AS BIGINT) AS x
+           |  FROM r JOIN dep ON dep.dd >= r.mr GROUP BY 1, 2, 3, 4),
+           |terms AS (
+           |  SELECT lang, dd, x,
+           |    CAST(floor(CAST(CAST(x AS DECIMAL(19,0))
+           |      * CAST(n9 AS DECIMAL(38,0)) AS DOUBLE)
+           |      / CAST(CAST(den AS DECIMAL(38,0)) AS DOUBLE) * 1e9) / 1e9
+           |      AS DECIMAL(28,9)) AS t
+           |  FROM xd),
+           |agg AS (
+           |  SELECT lang, sum(t) AS s,
+           |    coalesce(max(CASE WHEN dd = 20 THEN x END), 0) AS xk
+           |  FROM terms GROUP BY lang)
+           |SELECT d.lang AS group_key,
+           |  coalesce(floor(CAST(xk AS DOUBLE) / 20 * 1e6) / 1e6, 0.0)
+           |    AS overlap_at_k,
+           |  coalesce(floor((CAST(1.0 AS DOUBLE) - CAST(9.0 AS DOUBLE) / 10)
+           |    * CAST(s AS DOUBLE) * 1e6) / 1e6, 0.0) AS rbo
+           |FROM (SELECT DISTINCT lang FROM d) d
+           |LEFT JOIN agg ON agg.lang = d.lang
+           |ORDER BY group_key""".stripMargin
+      }
+    ) { (s, dir) =>
+      import graft.functions.tokens
+      val d = graft.sources.Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("sa"),
+        size(tokens(col("text"))).cast("double").as("sb"))
+      Eval.rbo(d, col("lang"), col("doc_id"), col("sa"), col("sb"), k = 20)
+        .orderBy("group_key")
     }
   )
 }

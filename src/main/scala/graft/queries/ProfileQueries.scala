@@ -2651,6 +2651,200 @@ object ProfileQueries {
       graft.operators.Stats.benjaminiHochberg(hyp, col("key"), col("p"),
           q = 0.05)
         .orderBy("key")
+    },
+
+    // C110: Cliff's delta for click-vs-view values — the ordinal
+    // effect size next to q_effect_size's standardized family,
+    // derived from the q_mann_whitney bounded rank frame (2U integer
+    // lanes), never the quadratic pair walk.
+    Q(
+      "q_cliffs_delta",
+      """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS val, event_type = 'click' AS a
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |g AS (
+        |  SELECT round(val, 6) AS s,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT na, nb,
+        |    coalesce(sum(nb) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g),
+        |m AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CAST(na AS DECIMAL(19,0))
+        |      * (CAST(cumb AS DECIMAL(19,0)) * 2
+        |         + CAST(nb AS DECIMAL(19,0)))), 0) AS DECIMAL(38,0)) AS u2,
+        |    CAST(coalesce(sum(na), 0) AS BIGINT) AS na,
+        |    CAST(coalesce(sum(nb), 0) AS BIGINT) AS nb
+        |  FROM c),
+        |d AS (
+        |  SELECT na, nb,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |      ELSE sign(CAST(u2 - CAST(na AS DECIMAL(19,0))
+        |          * CAST(nb AS DECIMAL(19,0)) AS DOUBLE)
+        |          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+        |        * (floor(abs(CAST(u2 - CAST(na AS DECIMAL(19,0))
+        |          * CAST(nb AS DECIMAL(19,0)) AS DOUBLE)
+        |          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1e4) / 1e4)
+        |        + 0.0 END AS delta
+        |  FROM m)
+        |SELECT na AS n_a, nb AS n_b, delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude,
+        |  (na = 0 OR nb = 0) AS degenerate
+        |FROM d""".stripMargin
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+      graft.operators.Stats.cliffsDelta(ev, col("value"),
+        col("event_type") === "click")
+    },
+
+    // C111: 1-D Wasserstein (earth mover's) distance between the
+    // click and view value distributions — the actionable-units drift
+    // number next to q_ks_test's supremum; exact integer CDF-gap
+    // numerators over the bounded quantized frame.
+    Q(
+      "q_emd",
+      """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS val, event_type AS et
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |g AS (
+        |  SELECT round(val, 2) AS s,
+        |    CAST(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT s, na, nb,
+        |    CAST(sum(na) OVER cw AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER cw AS BIGINT) AS cb,
+        |    lead(s) OVER (ORDER BY s) - s AS gap
+        |  FROM g
+        |  WINDOW cw AS (ORDER BY s
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS ta,
+        |    CAST(coalesce(sum(nb), 0) AS BIGINT) AS tb
+        |  FROM g),
+        |terms AS (
+        |  SELECT CAST(floor(
+        |    CAST(abs(CAST(ca AS DECIMAL(19,0)) * CAST(tb AS DECIMAL(19,0))
+        |      - CAST(cb AS DECIMAL(19,0)) * CAST(ta AS DECIMAL(19,0)))
+        |      AS DOUBLE)
+        |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) * gap * 1e9) / 1e9
+        |    AS DECIMAL(28,9)) AS t
+        |  FROM c, tot WHERE gap IS NOT NULL),
+        |s2 AS (SELECT coalesce(sum(t), CAST(0 AS DECIMAL(28,9))) AS s FROM terms)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  CASE WHEN ta = 0 OR tb = 0 THEN 0.0
+        |    ELSE floor(CAST(s AS DOUBLE) * 1e6) / 1e6 END AS emd
+        |FROM tot, s2""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.wasserstein1d(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"), groupA = "click", groupB = "view",
+        dp = 2)
+    },
+
+    // C112: Hill tail-index per event type — "does this value column
+    // even have a finite variance?" The heavy-tail diagnostic to run
+    // before trusting bootstrap CIs; keyed top-51 window, 9-dp
+    // truncated log-excess terms, exact decimal sum.
+    Q(
+      "q_hill_tail",
+      """WITH t AS (
+        |  SELECT event_type AS key, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |r AS (
+        |  SELECT key, x,
+        |    row_number() OVER (PARTITION BY key ORDER BY x DESC) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n
+        |  FROM t),
+        |th AS (SELECT key, x AS xk FROM r WHERE rk = least(51, n)),
+        |kept AS (
+        |  SELECT r.key, r.n,
+        |    CAST(floor(ln(r.x / th.xk) * 1e9) / 1e9 AS DECIMAL(28,9)) AS tt
+        |  FROM r JOIN th ON r.key = th.key
+        |  WHERE r.rk < least(51, r.n)),
+        |m AS (
+        |  SELECT key, max(n) AS n, CAST(count(*) AS BIGINT) AS k_used,
+        |    sum(tt) AS s
+        |  FROM kept GROUP BY key)
+        |SELECT key, n, k_used,
+        |  CASE WHEN n < 52 OR CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) <= 0.0
+        |    THEN 0.0
+        |    ELSE floor(CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) * 1e4) / 1e4
+        |    END AS hill_h,
+        |  CASE WHEN n < 52 OR CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) <= 0.0
+        |    THEN 0.0
+        |    ELSE floor(1.0 / (CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE)) * 1e4)
+        |      / 1e4 END AS alpha,
+        |  (n < 52 OR CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) <= 0.0)
+        |    AS degenerate
+        |FROM m ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.hillTail(graft.sources.Tables.events(s, dir),
+          col("event_type"), col("value"), k = 50)
+        .orderBy("key")
+    },
+
+    // C113: sign-flip randomization test on per-user click-minus-view
+    // paired differences — a distribution-free p-value with NO RNG:
+    // permutation b flips user u by the parity of hashMod(u·65 + b),
+    // so the oracle replays the identical 64 pseudo-permutations.
+    Q(
+      "q_signflip_test", {
+        val flip = Sampling.hashModSql("(u * 65 + b)", "2")
+        s"""WITH d0 AS (
+           |  SELECT user_id AS u,
+           |    sum(CASE WHEN event_type = 'click'
+           |        THEN CAST(value AS DECIMAL(18,6)) END) AS sa,
+           |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+           |    sum(CASE WHEN event_type = 'view'
+           |        THEN CAST(value AS DECIMAL(18,6)) END) AS sb,
+           |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+           |  FROM events
+           |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+           |    AND event_type IN ('click', 'view')
+           |  GROUP BY u),
+           |d1 AS (
+           |  SELECT u, CAST(floor((CAST(sa AS DOUBLE) / ca
+           |    - CAST(sb AS DOUBLE) / cb) * 1e6) / 1e6 AS DECIMAL(24,6)) AS d
+           |  FROM d0 WHERE sa IS NOT NULL AND sb IS NOT NULL),
+           |perms AS (
+           |  SELECT b,
+           |    sum(CASE WHEN b = 0 THEN d
+           |        WHEN $flip = 0 THEN d ELSE -d END) AS tt
+           |  FROM d1, (SELECT unnest(range(0, 65)) AS b)
+           |  GROUP BY b),
+           |tobs AS (SELECT tt AS tobs FROM perms WHERE b = 0),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_perms,
+           |    CAST(sum(CASE WHEN abs(tt) >= abs(tobs) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ge,
+           |    max(tobs) AS tobs
+           |  FROM perms, tobs WHERE b > 0),
+           |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects FROM d1)
+           |SELECT n_subjects,
+           |  sign(CAST(tobs AS DOUBLE))
+           |    * (floor(abs(CAST(tobs AS DOUBLE)) * 1e4) / 1e4) + 0.0 AS t_obs,
+           |  n_perms,
+           |  floor(CAST(ge + 1 AS DOUBLE) / CAST(n_perms + 1 AS DOUBLE) * 1e6)
+           |    / 1e6 AS p_value,
+           |  floor(CAST(ge + 1 AS DOUBLE) / CAST(n_perms + 1 AS DOUBLE) * 1e6)
+           |    / 1e6 < 0.05 AS significant
+           |FROM ns, m""".stripMargin
+      }
+    ) { (s, dir) =>
+      graft.operators.Stats.signFlipTest(graft.sources.Tables.events(s, dir),
+        col("user_id"), col("event_type"), col("value"),
+        groupA = "click", groupB = "view", b = 64)
     }
   )
 }

@@ -592,12 +592,19 @@ object TemporalQueries {
         |  WINDOW cw AS (PARTITION BY key ORDER BY bucket
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |c AS (
+        |  -- CASE, not least(): DuckDB's least() returns DOUBLE for
+        |  -- DECIMAL inputs (latent 4-dp-boundary landmine, caught by
+        |  -- q_page_hinkley at sf0.01)
         |  SELECT key, bucket, n,
-        |    ph - least(min(ph) OVER cw, CAST(0 AS DECIMAL(18,6))) AS ch,
-        |    pl - least(min(pl) OVER cw, CAST(0 AS DECIMAL(18,6))) AS cl
-        |  FROM p
-        |  WINDOW cw AS (PARTITION BY key ORDER BY bucket
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    ph - (CASE WHEN mh < CAST(0 AS DECIMAL(38,6)) THEN mh
+        |          ELSE CAST(0 AS DECIMAL(38,6)) END) AS ch,
+        |    pl - (CASE WHEN ml < CAST(0 AS DECIMAL(38,6)) THEN ml
+        |          ELSE CAST(0 AS DECIMAL(38,6)) END) AS cl
+        |  FROM (SELECT key, bucket, n, ph, pl,
+        |          min(ph) OVER cw AS mh, min(pl) OVER cw AS ml
+        |        FROM p
+        |        WINDOW cw AS (PARTITION BY key ORDER BY bucket
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
         |SELECT key, bucket, CAST(n AS DOUBLE) AS value,
         |  floor(CAST(ch AS DOUBLE) * 1e4) / 1e4 AS cusum_hi,
         |  floor(CAST(cl AS DOUBLE) * 1e4) / 1e4 AS cusum_lo,
@@ -1061,6 +1068,274 @@ object TemporalQueries {
         .groupBy("promo_id")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("promo_id")
+    },
+
+    // C108: Kaplan-Meier survival per entry-event cohort — per-user
+    // activity spans (hours between first and last event), censored
+    // when the last event falls inside the final 24 h of the feed
+    // (the user may still be active). Life table + risk set + the
+    // exp(Σ trunc9 ln(1−d/n)) survival walk replay exactly.
+    Q(
+      "q_kaplan_meier",
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+        |    event_type AS et
+        |  FROM events),
+        |per AS (
+        |  SELECT u, min(t) AS f, max(t) AS l,
+        |    max(CASE WHEN rn = 1 THEN et END) AS cohort
+        |  FROM (SELECT u, t, eid, et,
+        |          row_number() OVER (PARTITION BY u ORDER BY t, eid) AS rn
+        |        FROM e)
+        |  GROUP BY u),
+        |h AS (SELECT max(t) - 86400000000 AS hz FROM e),
+        |subj AS (
+        |  SELECT cohort, (l - f) // 3600000000 AS dur, l < hz AS obs
+        |  FROM per, h),
+        |life AS (
+        |  SELECT cohort AS grp, dur AS t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+        |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS n_censor
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (
+        |  SELECT grp, t, n_event, n_censor,
+        |    CAST(sum(n_event + n_censor) OVER (PARTITION BY grp)
+        |      - coalesce(sum(n_event + n_censor) OVER (PARTITION BY grp
+        |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS BIGINT) AS n_risk
+        |  FROM life),
+        |sv AS (
+        |  SELECT grp, t, n_risk, n_event, n_censor,
+        |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER cw AS dead,
+        |    sum(CASE WHEN n_event = n_risk THEN NULL
+        |        ELSE CAST(floor(ln(1.0 - CAST(n_event AS DOUBLE)
+        |          / CAST(n_risk AS DOUBLE)) * 1e9) / 1e9 AS DECIMAL(28,9))
+        |        END) OVER cw AS ls
+        |  FROM r
+        |  WINDOW cw AS (PARTITION BY grp ORDER BY t
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT grp, t, n_risk, n_event, n_censor,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE floor(exp(CAST(ls AS DOUBLE)) * 1e6) / 1e6 END AS survival
+        |FROM sv WHERE n_event > 0
+        |ORDER BY grp, t""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val per = ev
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("f"), max("ts_us").as("l"),
+          max(when(col("__rn") === 1, col("event_type"))).as("cohort"))
+      val hz = ev.agg((max(col("ts_us")) - lit(86400000000L)).as("hz"))
+      val subj = per.crossJoin(broadcast(hz)).select(
+        col("cohort"), expr("(l - f) div 3600000000").as("dur"),
+        (col("l") < col("hz")).as("obs"))
+      graft.operators.Stats.kaplanMeier(subj, col("cohort"), col("dur"),
+          col("obs"))
+        .orderBy("grp", "t")
+    },
+
+    // C109: log-rank test — do the click-entry and view-entry cohorts
+    // share a survival curve? Same per-user spans; the per-time O−E
+    // and hypergeometric-variance terms truncate 7 dp into decimals
+    // before the order-free sums, chi2 4-dp floored.
+    Q(
+      "q_logrank",
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+        |    event_type AS et
+        |  FROM events),
+        |per AS (
+        |  SELECT u, min(t) AS f, max(t) AS l,
+        |    max(CASE WHEN rn = 1 THEN et END) AS cohort
+        |  FROM (SELECT u, t, eid, et,
+        |          row_number() OVER (PARTITION BY u ORDER BY t, eid) AS rn
+        |        FROM e)
+        |  GROUP BY u),
+        |h AS (SELECT max(t) - 86400000000 AS hz FROM e),
+        |subj AS (
+        |  SELECT cohort, (l - f) // 3600000000 AS dur, l < hz AS obs
+        |  FROM per, h
+        |  WHERE cohort IN ('click', 'view')),
+        |life AS (
+        |  SELECT dur AS t,
+        |    CAST(sum(CASE WHEN cohort = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN cohort <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN cohort = 'click' AND obs THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN cohort <> 'click' AND obs THEN 1 ELSE 0 END) AS BIGINT) AS db
+        |  FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    CAST(sum(na) OVER ()
+        |      - coalesce(sum(na) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS r1,
+        |    CAST(sum(nb) OVER ()
+        |      - coalesce(sum(nb) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS r2
+        |  FROM life),
+        |terms AS (
+        |  SELECT
+        |    CAST(floor((CAST(da AS DOUBLE)
+        |      - CAST(r1 AS DOUBLE) * CAST(da + db AS DOUBLE)
+        |        / CAST(r1 + r2 AS DOUBLE)) * 1e7) / 1e7 AS DECIMAL(28,7)) AS oe,
+        |    CAST(floor(coalesce(
+        |      CAST(da + db AS DOUBLE)
+        |        * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+        |        * (1.0 - CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+        |        * ((CAST(r1 + r2 AS DOUBLE) - CAST(da + db AS DOUBLE))
+        |           / (CAST(r1 + r2 AS DOUBLE) - 1.0)),
+        |      0.0) * 1e7) / 1e7 AS DECIMAL(28,7)) AS v
+        |  FROM r WHERE da + db > 0 AND r1 + r2 >= 2),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN cohort = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN cohort <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM subj),
+        |agg AS (
+        |  SELECT coalesce(sum(oe), CAST(0 AS DECIMAL(28,7))) AS soe,
+        |    coalesce(sum(v), CAST(0 AS DECIMAL(28,7))) AS sv
+        |  FROM terms)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR CAST(sv AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE floor(CAST(soe AS DOUBLE) * CAST(soe AS DOUBLE)
+        |      / CAST(sv AS DOUBLE) * 1e4) / 1e4 END AS chi2,
+        |  (NOT (n_a = 0 OR n_b = 0 OR CAST(sv AS DOUBLE) <= 0.0))
+        |    AND CAST(soe AS DOUBLE) * CAST(soe AS DOUBLE)
+        |      / CAST(sv AS DOUBLE) > 3.841 AS significant,
+        |  (n_a = 0 OR n_b = 0 OR CAST(sv AS DOUBLE) <= 0.0) AS degenerate
+        |FROM m, agg""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val per = ev
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("f"), max("ts_us").as("l"),
+          max(when(col("__rn") === 1, col("event_type"))).as("cohort"))
+      val hz = ev.agg((max(col("ts_us")) - lit(86400000000L)).as("hz"))
+      val subj = per.crossJoin(broadcast(hz)).select(
+        col("cohort"), expr("(l - f) div 3600000000").as("dur"),
+        (col("l") < col("hz")).as("obs"))
+      graft.operators.Stats.logRank(subj, col("cohort"), col("dur"),
+        col("obs"), groupA = "click", groupB = "view")
+    },
+
+    // C116: stationary distribution of the per-user behavior Markov
+    // chain — the long-run companion of q_transition's one-step
+    // matrix. The k×k matrix is driver metadata (k = event
+    // vocabulary); the 50-round power iteration runs on exact 1e12
+    // integer micro-lanes, replayed by the oracle as ONE recursive
+    // CTE carrying pi as a list.
+    Q(
+      "q_markov_stationary",
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS eid,
+        |    event_type AS et
+        |  FROM events),
+        |l AS (
+        |  SELECT et AS fe, lead(et) OVER (PARTITION BY u ORDER BY t, eid) AS te
+        |  FROM e),
+        |g AS (
+        |  SELECT fe, te, CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE te IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT s, row_number() OVER (ORDER BY s) - 1 AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM (SELECT DISTINCT s FROM
+        |        (SELECT fe AS s FROM g UNION SELECT te AS s FROM g))),
+        |ot AS (SELECT fe AS s, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1),
+        |cell AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CASE WHEN ot.tot IS NULL
+        |      THEN (CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END)
+        |      ELSE coalesce(CAST(gg.n AS DOUBLE) / CAST(ot.tot AS DOUBLE), 0.0)
+        |    END AS p
+        |  FROM st a CROSS JOIN st b
+        |  LEFT JOIN ot ON ot.s = a.s
+        |  LEFT JOIN g gg ON gg.fe = a.s AND gg.te = b.s),
+        |pm AS (
+        |  SELECT list(pr ORDER BY i) AS mat FROM
+        |    (SELECT i, list(p ORDER BY j) AS pr FROM cell GROUP BY i)),
+        |pi AS (
+        |  SELECT 0 AS r, (SELECT list(1000000000000 // k) FROM st) AS v
+        |  UNION ALL
+        |  SELECT r + 1,
+        |    list_transform(range(1, len(v) + 1), j ->
+        |      CAST(list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        CAST(floor(v[i] / 1e12 * mat[i][j] * 1e12) AS BIGINT)))
+        |        AS BIGINT))
+        |  FROM pi, pm WHERE r < 50)
+        |SELECT st.s AS state, coalesce(ot.tot, 0) AS n_out,
+        |  floor(fin.v[st.i + 1] / 1e12 * 1e6) / 1e6 AS stationary,
+        |  ot.s IS NULL AS is_absorbing
+        |FROM st CROSS JOIN (SELECT v FROM pi WHERE r = 50) fin
+        |LEFT JOIN ot ON ot.s = st.s
+        |ORDER BY state""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.markovStationary(Tables.events(s, dir),
+          col("user_id"), col("ts_ns"), col("event_type"),
+          tiebreak = col("event_id"), iters = 50)
+        .orderBy("state")
+    },
+
+    // C117: Page-Hinkley drift monitor over hourly per-type volumes —
+    // the no-target companion of q_cusum (tracks the RUNNING mean).
+    // Exact decimal prefix sums, one double mean division per row,
+    // 6-dp term truncation, decimal running min — engine-exact.
+    Q(
+      "q_page_hinkley",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    (epoch_ns(ts) // 3600000000000) * 3600 AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT key, bucket, n,
+        |    sum(CAST(round(CAST(n AS DOUBLE), 6) AS DECIMAL(18,6))) OVER cw AS cs,
+        |    count(*) OVER cw AS i
+        |  FROM b
+        |  WINDOW cw AS (PARTITION BY key ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT key, bucket, n,
+        |    CAST(floor((CAST(n AS DOUBLE)
+        |      - CAST(cs AS DOUBLE) / CAST(i AS DOUBLE) - 0.5) * 1e6) / 1e6
+        |      AS DECIMAL(24,6)) AS term
+        |  FROM p),
+        |m AS (
+        |  SELECT key, bucket, n, sum(term) OVER cw AS mm
+        |  FROM t
+        |  WINDOW cw AS (PARTITION BY key ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  -- CASE, not least(): DuckDB's least() returns DOUBLE for
+        |  -- DECIMAL inputs, and the large-magnitude cancellation in
+        |  -- mm - min(mm) then lands on 4-dp floor boundaries
+        |  SELECT key, bucket, n,
+        |    mm - (CASE WHEN mn < CAST(0 AS DECIMAL(38,6)) THEN mn
+        |          ELSE CAST(0 AS DECIMAL(38,6)) END) AS ph
+        |  FROM (SELECT key, bucket, n, mm, min(mm) OVER cw AS mn
+        |        FROM m
+        |        WINDOW cw AS (PARTITION BY key ORDER BY bucket
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        |SELECT key, bucket, CAST(n AS DOUBLE) AS value,
+        |  floor(CAST(ph AS DOUBLE) * 1e4) / 1e4 AS ph,
+        |  ph > CAST(8.000000 AS DECIMAL(24,6)) AS alarm
+        |FROM c ORDER BY key, bucket""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (expr("ts_ns div 3600000000000") * 3600).as("bucket_s"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Stats.pageHinkley(buckets, col("event_type"),
+          col("bucket_s"), col("n_events"), delta = 0.5, lambda = 8.0)
+        .orderBy("key", "bucket")
     }
   )
 }

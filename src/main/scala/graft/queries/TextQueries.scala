@@ -1776,6 +1776,136 @@ object TextQueries {
             .otherwise(lit(""))).as("txt"))
       TextMetrics.ccLuhnReport(planted, col("source"), col("txt"))
         .orderBy("source")
+    },
+
+    // D139: lexical-richness profile per source — TTR, hapax share,
+    // and Yule's K (length-insensitive repeat rate) from the one
+    // (source, word) frequency pass; Σm²V_m in exact integer lanes.
+    Q(
+      "q_lexical_richness",
+      s"""WITH wf AS (
+         |  SELECT grp, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source AS grp, unnest(${tkSql("text")}) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |    CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS m2
+         |  FROM wf GROUP BY grp)
+         |SELECT grp, n_tokens, n_types, n_hapax,
+         |  floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) / 1e6
+         |    AS ttr,
+         |  floor(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) * 1e6) / 1e6
+         |    AS hapax_ratio,
+         |  floor((CAST(m2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+         |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         |    * 1e4 * 1e6) / 1e6 AS yule_k
+         |FROM m ORDER BY grp""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.lexicalRichness(table(s, dir, "documents"),
+          col("source"), col("text"))
+        .orderBy("grp")
+    },
+
+    // D140: Gries' DP dispersion for the top-20 corpus terms — the
+    // boilerplate-vs-common-language drilldown: high frequency with
+    // LOW dispersion is template text. Exact integer |st·C − ct·T|
+    // numerators over the bounded term×source grid.
+    Q(
+      "q_term_dispersion",
+      s"""WITH tf AS (
+         |  SELECT src, w, CAST(count(*) AS BIGINT) AS ct
+         |  FROM (SELECT source AS src, unnest(${tkSql("text")}) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |srct AS (SELECT src, CAST(sum(ct) AS BIGINT) AS st FROM tf GROUP BY 1),
+         |ttot AS (SELECT w, CAST(sum(ct) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+         |top AS (
+         |  SELECT w, c_t FROM
+         |    (SELECT w, c_t, row_number() OVER (ORDER BY c_t DESC, w) AS r
+         |     FROM ttot)
+         |  WHERE r <= 20),
+         |tot AS (SELECT CAST(sum(st) AS BIGINT) AS t_tot FROM srct),
+         |grid AS (
+         |  SELECT top.w, top.c_t, tot.t_tot,
+         |    CAST(abs(CAST(srct.st AS DECIMAL(19,0))
+         |        * CAST(top.c_t AS DECIMAL(19,0))
+         |      - CAST(coalesce(tf.ct, 0) AS DECIMAL(19,0))
+         |        * CAST(tot.t_tot AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS num
+         |  FROM top CROSS JOIN srct
+         |  LEFT JOIN tf ON tf.w = top.w AND tf.src = srct.src
+         |  CROSS JOIN tot)
+         |SELECT w AS term, c_t AS term_count,
+         |  floor(CAST(sum(num) AS DOUBLE)
+         |    / (CAST(t_tot AS DOUBLE) * CAST(c_t AS DOUBLE)) / 2.0 * 1e6) / 1e6
+         |    AS dp_dispersion
+         |FROM grid GROUP BY w, c_t, t_tot
+         |ORDER BY term""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.termDispersion(table(s, dir, "documents"),
+          col("source"), col("text"), k = 20)
+        .orderBy("term")
+    },
+
+    // D141: Burrows' Delta stylometry distance between source pairs —
+    // z-scored per-mille rates of the top-30 corpus words, mean |Δz|
+    // per pair; decimal truncation lanes around every cross-source
+    // sum so both engines walk identical moments.
+    Q(
+      "q_burrows_delta",
+      s"""WITH tf AS (
+         |  SELECT src, w, CAST(count(*) AS BIGINT) AS ct
+         |  FROM (SELECT source AS src, unnest(${tkSql("text")}) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |srct AS (SELECT src, CAST(sum(ct) AS BIGINT) AS st FROM tf GROUP BY 1),
+         |ttot AS (SELECT w, CAST(sum(ct) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+         |top AS (
+         |  SELECT w FROM
+         |    (SELECT w, row_number() OVER (ORDER BY c_t DESC, w) AS r FROM ttot)
+         |  WHERE r <= 30),
+         |rates AS (
+         |  SELECT top.w, srct.src,
+         |    CAST(floor(CAST(coalesce(tf.ct, 0) AS DOUBLE)
+         |      / CAST(srct.st AS DOUBLE) * 1000.0 * 1e9) / 1e9
+         |      AS DECIMAL(28,9)) AS f
+         |  FROM top CROSS JOIN srct
+         |  LEFT JOIN tf ON tf.w = top.w AND tf.src = srct.src),
+         |mom AS (
+         |  SELECT w, CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM rates GROUP BY w),
+         |devs AS (
+         |  SELECT rates.w, rates.src, rates.f, mom.mu, mom.n,
+         |    CAST(floor((CAST(rates.f AS DOUBLE) - mom.mu)
+         |      * (CAST(rates.f AS DOUBLE) - mom.mu) * 1e9) / 1e9
+         |      AS DECIMAL(28,9)) AS d2
+         |  FROM rates JOIN mom ON mom.w = rates.w),
+         |sig AS (
+         |  SELECT w, mu, sqrt(CAST(sum(d2) AS DOUBLE) / CAST(n AS DOUBLE))
+         |    AS sigma
+         |  FROM devs GROUP BY w, mu, n),
+         |z AS (
+         |  SELECT rates.w, rates.src,
+         |    CASE WHEN sig.sigma = 0.0 THEN CAST(0 AS DECIMAL(18,6))
+         |      ELSE CAST(floor((CAST(rates.f AS DOUBLE) - sig.mu)
+         |        / sig.sigma * 1e6) / 1e6 AS DECIMAL(18,6)) END AS z
+         |  FROM rates JOIN sig ON sig.w = rates.w),
+         |pairs AS (
+         |  SELECT a.src AS source_a, b.src AS source_b, abs(a.z - b.z) AS az
+         |  FROM z a JOIN z b ON a.w = b.w AND a.src < b.src)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_terms,
+         |  floor(CAST(sum(az) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4) / 1e4
+         |    AS delta
+         |FROM pairs GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin
+    ) { (s, dir) =>
+      TextMetrics.burrowsDelta(table(s, dir, "documents"),
+          col("source"), col("text"), m = 30)
+        .orderBy("source_a", "source_b")
     }
   )
 }

@@ -1120,6 +1120,62 @@ object EventStreams {
       }
   }
 
+  case class PhIn(key: String, b: Long, x: Double, xMicro: Long)
+
+  case class PhState(cnt: Long, cs: Long, m: Long, minM: Long)
+
+  case class PhOut(key: String, bucket: Long, ph_micro: Long)
+
+  /** E44: streaming Page-Hinkley drift monitor — the live twin of
+    * [[graft.operators.Stats.pageHinkley]] completing the streaming
+    * monitoring quartet (E34 known-target CUSUM, E39 forecast
+    * surprise, E17 windowed contrast; this one needs NO target — it
+    * tracks the RUNNING mean). Per key the state is FOUR longs: the
+    * bucket count, the exact 6-dp micro prefix sum (the batch
+    * operator's decimal lane as an integer), the cumulative m walk
+    * and its running minimum. Each arriving bucket computes the mean
+    * by the SAME two-step double division batch uses
+    * (nearest(csExact) then /i — ulp drift impossible), floors its
+    * (x − x̄ − δ) term to micros, and emits PH = m − min(minM, 0) in
+    * micro-units; the emitted walk equals the batch frame row for row
+    * (spec across a split). Alarming is a downstream compare against
+    * λ·1e6 (the E30-cells/probe split). Ordering contract as E26/E34:
+    * per-key bucket order ACROSS batches; within a batch rows sort
+    * here. No watermark — feed FINALIZED buckets.
+    */
+  def pageHinkleyStream(buckets: DataFrame,
+      delta: Double = 0.0): Dataset[PhOut] = {
+    implicit val inEnc = Encoders.product[PhIn]
+    implicit val outEnc = Encoders.product[PhOut]
+    implicit val stEnc = Encoders.product[PhState]
+    implicit val strEnc = Encoders.STRING
+    buckets.select(col("key").cast("string").as("key"),
+        col("b").cast("long").as("b"),
+        col("v").cast("double").as("x"),
+        (org.apache.spark.sql.functions.round(col("v"), 6)
+          .cast("decimal(18,6)") * 1000000).cast("long").as("xMicro"))
+      .filter(col("key").isNotNull && col("xMicro").isNotNull)
+      .as[PhIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[PhIn], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.b).map { r =>
+            val cnt = st.cnt + 1
+            val cs = st.cs + r.xMicro
+            val mean = cs.toDouble / 1e6 / cnt.toDouble
+            val term = math.floor((r.x - mean - delta) * 1e6).toLong
+            val m = st.m + term
+            val minM = math.min(st.minM, m)
+            st = PhState(cnt, cs, m, minM)
+            PhOut(key, r.b, m - math.min(minM, 0L))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class EwmaIn(key: String, b: Long, vMicro: Long)
 
   case class EwmaState(sMicro: Long, started: Boolean)

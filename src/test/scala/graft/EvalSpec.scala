@@ -504,4 +504,27 @@ class EvalSpec extends SparkSpec {
       ro.getAs[Long]("n_resamples") < 200)
     assert(ro.getAs[Double]("ci_lo") == 3.5 && ro.getAs[Double]("ci_hi") == 3.5)
   }
+
+  test("D142 rbo: identical rankings = 1, disjoint prefixes = 0, hand overlap in between") {
+    // 5 items, scoreA == scoreB -> X_d = d at every depth, RBO = 1
+    // (truncated at k = 5 it's the depth-5 partial sum / its own max)
+    val same = (1 to 30).map(i => ("g", i.toLong, (100 - i).toDouble,
+      (100 - i).toDouble)).toDF("g", "id", "sa", "sb")
+    val r1 = Eval.rbo(same, col("g"), col("id"), col("sa"), col("sb"), k = 20)
+      .select("overlap_at_k", "rbo").as[(Double, Double)].head()
+    assert(r1._1 == 1.0)
+    // truncated-at-k identical-ranking RBO = (1-p) sum_{d<=k} p^(d-1)
+    // = 1 - p^k
+    assert(math.abs(r1._2 - (1.0 - math.pow(0.9, 20))) < 1e-4, r1.toString)
+    // disjoint top-20s: scoreA ranks ids 1..20 first, scoreB ranks
+    // ids 21..40 first -> no overlap anywhere
+    val dis = (1 to 40).map { i =>
+      val sa = if (i <= 20) 1000.0 - i else 100.0 - i
+      val sb = if (i > 20) 1000.0 - i else 100.0 - i
+      ("g", i.toLong, sa, sb)
+    }.toDF("g", "id", "sa", "sb")
+    val r0 = Eval.rbo(dis, col("g"), col("id"), col("sa"), col("sb"), k = 20)
+      .select("overlap_at_k", "rbo").as[(Double, Double)].head()
+    assert(r0 == ((0.0, 0.0)), r0.toString)
+  }
 }

@@ -1385,6 +1385,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E44 pageHinkleyStream: emitted micro walk equals batch pageHinkley across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Stats
+    // the level shift straddles the batch split, so the running-mean
+    // state (count + prefix sum + m walk + min) must carry across;
+    // a second key proves state isolation
+    val vals = Seq(("k", 0L, 10.0), ("k", 1L, 10.0), ("k", 2L, 10.0),
+      ("j", 0L, 5.0), ("k", 3L, 20.0), ("k", 4L, 20.0), ("k", 5L, 20.0),
+      ("j", 1L, 5.0))
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val q = graft.streaming.EventStreams.pageHinkleyStream(
+        input.toDF().toDF("key", "b", "v"), delta = 0.5)
+      .writeStream.format("memory").queryName("e44_out")
+      .outputMode("append").start()
+    try {
+      input.addData(vals.take(4))
+      q.processAllAvailable()
+      input.addData(vals.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("e44_out").orderBy("key", "bucket")
+        .as[(String, Long, Long)].collect()
+      val batch = Stats.pageHinkley(vals.toDF("g", "b", "v"), col("g"),
+          col("b"), col("v"), delta = 0.5, lambda = 8.0)
+        .orderBy("key", "bucket").collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case ((sk, sb, phm), br) =>
+        assert(sk == br.getString(0) && sb == br.getLong(1))
+        // ph micro-units are >= 0: integer division IS the 4-dp floor
+        assert(phm / 100L / 1e4 == br.getDouble(3), s"ph at ($sk, $sb)")
+        assert((phm > 8000000L) == br.getBoolean(4), s"alarm at ($sk, $sb)")
+      }
+      // the shift actually alarms within the streamed feed
+      assert(streamed.exists { case (k, _, p) => k == "k" && p > 8000000L })
+    } finally q.stop()
+  }
+
   test("E39 ewmaStream: emitted micro walk equals batch ewmaChart across a split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Stats

@@ -754,4 +754,43 @@ class TextMetricsSpec extends SparkSpec {
     // all values in [0, 1]
     assert(r.values.forall { case (_, j) => j >= 0.0 && j <= 1.0 })
   }
+
+  test("D139 lexicalRichness: hand frequency spectrum") {
+    // corpus per group: "a a a b b c" -> N=6, V=3, hapax=1 (c),
+    // sum m^2 Vm = 9 + 4 + 1 = 14, YuleK = 1e4*(14-6)/36
+    val df = Seq(("s1", "a a a b b c")).toDF("src", "text")
+    val r = TextMetrics.lexicalRichness(df, col("src"), col("text"))
+      .select("n_tokens", "n_types", "n_hapax", "ttr", "hapax_ratio", "yule_k")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(r._1 == 6L && r._2 == 3L && r._3 == 1L)
+    assert(math.abs(r._4 - 0.5) < 1e-6)
+    assert(math.abs(r._5 - 1.0 / 3) < 1e-5)
+    assert(math.abs(r._6 - 1e4 * 8 / 36.0) < 0.01, r.toString)
+  }
+
+  test("D140 termDispersion: concentrated term high DP, uniform term low") {
+    // two sources, equal token mass (8 each). "zz" lives only in s1;
+    // "aa" spreads exactly like the corpus -> DP 0.
+    val df = Seq(
+      ("s1", "aa aa zz zz zz zz aa aa"),
+      ("s2", "aa aa aa aa bb bb bb bb")).toDF("src", "text")
+    val r = TextMetrics.termDispersion(df, col("src"), col("text"), k = 10)
+      .select("term", "dp_dispersion").as[(String, Double)].collect().toMap
+    assert(r("zz") == 0.5, r.toString) // all in the 1/2-mass source
+    assert(r("aa") < 0.17) // 6 of 8 vs the 1/2 split
+  }
+
+  test("D141 burrowsDelta: identical sources sit at zero, register shift separates") {
+    val df = Seq(
+      ("s1", "the cat sat on the mat and the dog ran"),
+      ("s2", "the cat sat on the mat and the dog ran"),
+      ("s3", "equations govern dynamics therefore theorem proofs converge"))
+      .toDF("src", "text")
+    val r = TextMetrics.burrowsDelta(df, col("src"), col("text"), m = 10)
+      .select("source_a", "source_b", "delta")
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r(("s1", "s2")) == 0.0)
+    assert(r(("s1", "s3")) > 0.5, r.toString)
+  }
 }
