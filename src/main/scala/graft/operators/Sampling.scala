@@ -716,4 +716,73 @@ object Sampling {
           / col("__sww").cast("double") / col("n") * 1e4) / 1e4)
           .as("ess_ratio"))
   }
+
+  /** Consistent-hash ring segments for `nShards` shards × `vnodes`
+    * virtual nodes on a 2^20 ring — pure integer arithmetic from the
+    * module's shared hash constants, so the ring is a config-sized
+    * pure function both engines (and any future backfill) rebuild
+    * identically. Returns (lo exclusive, hi inclusive, shard) segments
+    * covering [0, ringSize); position ties across vnodes resolve to
+    * the smallest shard id.
+    */
+  def ringIntervals(
+      nShards: Int,
+      vnodes: Int,
+      ringSize: Long = 1L << 20): Seq[(Long, Long, Int)] = {
+    require(nShards >= 1 && vnodes >= 1, "nShards and vnodes must be >= 1")
+    val pts = (for { s <- 0 until nShards; v <- 0 until vnodes } yield {
+      val key = s.toLong * 131071L + v.toLong
+      val pos = (((key % prime + prime) % prime) * mult) % prime % ringSize
+      (pos, s)
+    }).sorted
+    val dedup = pts.foldLeft(Vector.empty[(Long, Int)]) { (acc, e) =>
+      if (acc.nonEmpty && acc.last._1 == e._1) acc else acc :+ e
+    }
+    val segs = dedup.sliding(2).collect {
+      case Seq((lo, _), (hi, s)) => (lo, hi, s)
+    }.toVector
+    // wrap: positions past the last vnode (and at/below the first)
+    // belong to the FIRST vnode clockwise — the ring's smallest point
+    ((-1L, dedup.head._1, dedup.head._2) +: segs) :+
+      ((dedup.last._1, ringSize - 1, dedup.head._2))
+  }
+
+  /** Consistent-hash shard REBALANCE plan: where does every row live
+    * under `nOld` shards, where under `nNew`, and what fraction moves?
+    * The 100 TB point of consistent hashing is the answer "≈1/(n+1) of
+    * the corpus" instead of mod-sharding's "almost all of it" — this
+    * operator PROVES that for the actual key population before anyone
+    * schedules the migration.
+    *
+    * Shape at scale: both rings are config-sized driver metadata
+    * (nShards × vnodes segments, [[ringIntervals]]); each row computes
+    * ONE integer hash position and broadcast-range-joins the two
+    * segment tables (a few hundred rows each) — per-row work is two
+    * bounded lookups in whole-stage codegen, no shuffle beyond the
+    * caller's. Deterministic end to end: same constants, same plan,
+    * any engine.
+    */
+  def consistentHashPlan(
+      df: DataFrame,
+      key: Column,
+      nOld: Int,
+      nNew: Int,
+      vnodes: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ringSize = 1L << 20
+    val oldIv = ringIntervals(nOld, vnodes, ringSize)
+      .toDF("__lo_o", "__hi_o", "shard_old")
+    val newIv = ringIntervals(nNew, vnodes, ringSize)
+      .toDF("__lo_n", "__hi_n", "shard_new")
+    val t = df.select(key.as("__k"),
+      hashMod(key, lit(ringSize)).as("__pos"))
+    t.join(org.apache.spark.sql.functions.broadcast(oldIv),
+        col("__pos") > col("__lo_o") && col("__pos") <= col("__hi_o"))
+      .join(org.apache.spark.sql.functions.broadcast(newIv),
+        col("__pos") > col("__lo_n") && col("__pos") <= col("__hi_n"))
+      .select(col("__k").as("key"), col("__pos").as("ring_pos"),
+        col("shard_old"), col("shard_new"),
+        (col("shard_old") =!= col("shard_new")).as("moved"))
+  }
 }

@@ -3430,4 +3430,225 @@ object Stats {
       (ph > lit(BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .underlying()).cast("decimal(24,6)")).as("alarm"))
   }
+
+  /** Seasonal Mann-Kendall (Hirsch & Slack '84) — "is this DRIFTING,
+    * once the daily/weekly cycle is factored out?" The C95 trend test
+    * compares every pair of hours, so a strong diurnal cycle drowns a
+    * slow drift; the seasonal form compares each season-slot only
+    * with ITSELF across cycles (hour-3 vs hour-3 of later days):
+    * S = Σ_seasons S_season, Var = Σ_seasons Var_season (independent-
+    * season form), z with the ±1 continuity correction.
+    *
+    * Shape at scale: the same O(n log n) merge-count kernel as C95,
+    * keyed by (key, season) — period× more keys, each period× shorter;
+    * variance numerators stay exact integers summed per key, ONE
+    * double division by 18 at the end. Sen's slope is deliberately
+    * not computed here (C95 owns it; the seasonal test is the
+    * VERDICT lane).
+    *
+    * Returns one row per key: (key, n, n_seasons, s, z, degenerate) —
+    * z 4-dp toward zero.
+    */
+  def seasonalMannKendall(
+      df: DataFrame,
+      key: Column,
+      order: Column,
+      value: Column,
+      period: Int): DataFrame = {
+    require(period >= 2 && period <= 10000, "period in [2, 10000]")
+    // \u0001 never appears in tokenized key columns; substring_index
+    // recovers the original key exactly
+    val sep = "\u0001"
+    val t = df.select(key.cast("string").as("__k0"),
+        order.cast("long").as("__xl"), value.cast("double").as("__v"))
+      .filter(col("__k0").isNotNull && col("__xl").isNotNull &&
+        col("__v").isNotNull)
+      .select(
+        concat(col("__k0"), lit(sep), pmod(col("__xl"), lit(period.toLong)))
+          .as("key"),
+        col("__k0"), col("__xl"), col("__v"))
+      .localCheckpoint()
+    val stats = kendallStatsPerKey(
+      t.select(col("key"), col("__xl").cast("double").as("__x"),
+        col("__v").as("__y")))
+    val ties = t.groupBy(col("key"), col("__v")).agg(count(lit(1)).as("__t"))
+      .groupBy("key")
+      .agg(sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tie"))
+    val perSeason = stats.join(ties, Seq("key"), "left")
+      .select(
+        substring_index(col("key"), sep, 1).as("__k0"),
+        col("n"), col("s"),
+        // exact integer variance NUMERATOR (the /18 happens once,
+        // after the cross-season sum)
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5)
+          - coalesce(col("__tie"), lit(0L))).as("__vnum"))
+    val m = perSeason.groupBy(col("__k0").as("key")).agg(
+      sum(col("n")).as("n"),
+      count(lit(1)).as("n_seasons"),
+      sum(col("s")).as("s"),
+      sum(col("__vnum")).as("__vnum"))
+    val varS = col("__vnum").cast("double") / 18.0
+    val degenerate = col("n") < 2 || varS <= 0.0
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    m.select(col("key"), col("n"), col("n_seasons"), col("s"),
+      when(degenerate, lit(0.0)).otherwise(Num.t4zero(z)).as("z"),
+      degenerate.as("degenerate"))
+  }
+
+  /** Empirical-Bayes (beta-binomial) rate shrinkage — the honest
+    * per-key CTR/defect-rate dashboard: a key with 2/3 successes
+    * should NOT outrank one with 180/300, and the fix is to shrink
+    * every rate toward the population prior by its own evidence:
+    * shrunk = (x + α)/(n + α + β), with (α, β) fitted by method of
+    * moments on the observed per-key rates (κ = μ(1−μ)/σ² − 1).
+    *
+    * Shape at scale: per-key (x, n) in ONE partial-agg pass; the
+    * moment fit is a second aggregate over the collapsed key frame
+    * (9-dp truncated decimal lanes so μ and σ² are order-free); α/β
+    * derive once and broadcast back — per-row shrinkage stays in
+    * whole-stage codegen. Under-dispersed or degenerate populations
+    * (σ² = 0, κ ≤ 0, fewer than 2 keys) shrink fully to the prior
+    * mean is WRONG — they report shrunk = raw rate with the
+    * degenerate flag instead.
+    *
+    * Returns one row per key: (key, x, n, rate, shrunk_rate, alpha,
+    * beta, degenerate) — rates 6-dp floored.
+    */
+  def ebShrink(
+      df: DataFrame,
+      key: Column,
+      success: Column,
+      trial: Column): DataFrame = {
+    val per = df
+      .filter(key.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(
+        coalesce(sum(success.cast("long")), lit(0L)).as("x"),
+        coalesce(sum(trial.cast("long")), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+    // decimal(19,9), not (28,9): the square must fit (38,18) EXACTLY
+    // (Spark reduces the scale of an over-38 product under the default
+    // allowPrecisionLoss, silently rounding spp to 6 dp — caught by
+    // the sf0.01 oracle diff)
+    val rates = per.withColumn("__p",
+      (floor(col("x").cast("double") / col("n").cast("double") * 1e9) / 1e9)
+        .cast("decimal(19,9)"))
+    val mom = rates.agg(
+      count(lit(1)).as("__k"),
+      coalesce(sum(col("__p")), lit(0).cast("decimal(19,9)")).as("__sp"),
+      coalesce(sum((col("__p") * col("__p")).cast("decimal(38,18)")),
+        lit(0).cast("decimal(38,18)")).as("__spp"))
+    val kD = col("__k").cast("double")
+    val mu = col("__sp").cast("double") / kD
+    val v = try_divide(
+      col("__spp").cast("double") -
+        col("__sp").cast("double") * col("__sp").cast("double") / kD,
+      kD - 1.0)
+    val kappa = try_divide(mu * (lit(1.0) - mu), v) - 1.0
+    val prior = mom.select(
+      col("__k"), mu.as("__mu"), coalesce(v, lit(0.0)).as("__v"),
+      coalesce(kappa, lit(0.0)).as("__kappa"))
+    val joined = rates.crossJoin(broadcast(prior))
+    val degenerate = col("__k") < 2 || col("__v") <= 0.0 || col("__kappa") <= 0.0
+    val alpha = col("__mu") * col("__kappa")
+    val beta = (lit(1.0) - col("__mu")) * col("__kappa")
+    val shrunk = (col("x").cast("double") + alpha) /
+      (col("n").cast("double") + alpha + beta)
+    joined.select(
+      col("key"), col("x"), col("n"),
+      (floor(col("x").cast("double") / col("n").cast("double") * 1e6) / 1e6)
+        .as("rate"),
+      when(degenerate,
+        floor(col("x").cast("double") / col("n").cast("double") * 1e6) / 1e6)
+        .otherwise(floor(shrunk * 1e6) / 1e6).as("shrunk_rate"),
+      when(degenerate, 0.0).otherwise(floor(alpha * 1e6) / 1e6).as("alpha"),
+      when(degenerate, 0.0).otherwise(floor(beta * 1e6) / 1e6).as("beta"),
+      degenerate.as("degenerate"))
+  }
+
+  /** Holm-Bonferroni step-down correction — [[benjaminiHochberg]]'s
+    * FAMILY-WISE sibling: BH controls the false-discovery RATE (some
+    * false positives tolerated), Holm controls the probability of ANY
+    * false positive — the right gate when one bad discovery poisons a
+    * pipeline decision. adj_i = max_{j≤i} min(1, (m−j+1)·p_j) over
+    * p-ascending ranks; reject while adj ≤ α (the running max makes
+    * rejection prefix-closed by construction).
+    *
+    * Same bounded-hypothesis-frame shape as C59: ranks and the
+    * running max are ONE global ordered window over the ≤m-row
+    * hypothesis frame (m = families under test, config-sized by
+    * definition). NULL p-values are kept, flagged `untested`, and
+    * excluded from m. Returns (key, p_value, rank, m, adj_p,
+    * discovery, untested) — adj_p 6-dp floored (the compare runs on
+    * the raw value, mirrored textually by the oracle).
+    */
+  def holmBonferroni(
+      df: DataFrame,
+      key: Column,
+      p: Column,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val t = df.select(key.as("key"), p.cast("double").as("__p"))
+    val tested = t.filter(col("__p").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__p").asc, col("key").asc)
+    val mw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val cw = w.rowsBetween(Long.MinValue, 0)
+    val ranked = tested
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(mw))
+      .withColumn("__raw",
+        least(lit(1.0), (col("__m") - col("__r") + 1).cast("double") * col("__p")))
+      .withColumn("__adj", max(col("__raw")).over(cw))
+    val out = ranked.select(
+      col("key"), col("__p").as("p_value"), col("__r").as("rank"),
+      col("__m").as("m"),
+      (floor(col("__adj") * 1e6) / 1e6).as("adj_p"),
+      (col("__adj") <= alpha).as("discovery"),
+      lit(false).as("untested"))
+    val un = t.filter(col("__p").isNull).select(
+      col("key"), lit(null).cast("double").as("p_value"),
+      lit(null).cast("long").as("rank"), lit(null).cast("long").as("m"),
+      lit(null).cast("double").as("adj_p"),
+      lit(false).as("discovery"), lit(true).as("untested"))
+    out.unionByName(un)
+  }
+
+  /** Dominant period detection per key — [[autocorrelation]] read as
+    * a VERDICT: the lag ≥ 2 with the highest sample autocorrelation,
+    * with the standard ±2/√n white-noise band as the significance
+    * gate ("this series has a real 24-bucket cycle" vs "that peak is
+    * noise"). The probe to run before committing a
+    * [[seasonalDecompose]] / [[holtWintersChart]] period or a
+    * [[seasonalMannKendall]] season count.
+    *
+    * Same dense-grid contract and determinism as C65 (this IS the
+    * C65 frame plus one keyed top-1); series length n = n_pairs + lag
+    * recovers exactly. Flat series report degenerate.
+    */
+  def dominantPeriod(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 2 && maxLag <= 200, "maxLag in [2, 200]")
+    val a = autocorrelation(df, key, bucket, value, maxLag)
+      .filter(col("lag") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("acf").desc, col("lag").asc)
+    a.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("key"), col("lag").as("period"),
+        col("acf").as("acf_peak"),
+        (col("n_pairs") + col("lag")).as("n"),
+        (!col("degenerate") &&
+          col("acf") > lit(2.0) /
+            sqrt((col("n_pairs") + col("lag")).cast("double")))
+          .as("significant"),
+        col("degenerate"))
+  }
 }

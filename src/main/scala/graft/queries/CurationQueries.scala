@@ -1287,6 +1287,42 @@ object CurationQueries {
         .orderBy("shard")
     },
 
+    // D143: consistent-hash shard REBALANCE plan, 8 -> 9 shards — the
+    // minimal-movement proof before scheduling a migration: both
+    // rings are pure-integer driver metadata (Sampling.ringIntervals,
+    // shared verbatim with the oracle as VALUES), each doc range-joins
+    // the two broadcast segment tables. Mod-sharding would move ~8/9
+    // of the corpus; the ring moves ~1/9.
+    Q(
+      "q_consistent_hash", {
+        def vals(iv: Seq[(Long, Long, Int)]): String =
+          iv.map { case (lo, hi, s) => s"($lo, $hi, $s)" }.mkString(", ")
+        val oldIv = vals(Sampling.ringIntervals(8, 32))
+        val newIv = vals(Sampling.ringIntervals(9, 32))
+        val pos = Sampling.hashModSql("doc_id", "1048576")
+        s"""WITH t AS (SELECT doc_id, $pos AS pos FROM documents),
+           |o AS (SELECT * FROM (VALUES $oldIv) AS o(lo, hi, shard_old)),
+           |n AS (SELECT * FROM (VALUES $newIv) AS n(lo, hi, shard_new)),
+           |j AS (
+           |  SELECT t.doc_id, o.shard_old, n.shard_new
+           |  FROM t
+           |  JOIN o ON t.pos > o.lo AND t.pos <= o.hi
+           |  JOIN n ON t.pos > n.lo AND t.pos <= n.hi)
+           |SELECT CAST(shard_old AS INT) AS shard_old,
+           |  CAST(shard_new AS INT) AS shard_new,
+           |  shard_old <> shard_new AS moved,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM j GROUP BY 1, 2, 3
+           |ORDER BY shard_old, shard_new""".stripMargin
+      }
+    ) { (s, dir) =>
+      Sampling.consistentHashPlan(table(s, dir, "documents"),
+          col("doc_id"), nOld = 8, nNew = 9, vnodes = 32)
+        .groupBy(col("shard_old"), col("shard_new"), col("moved"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard_old", "shard_new")
+    },
+
     // D68: first-come token-budget admission — exact ordered gate
     // (distinct from the probabilistic mixture thinning): per-shard
     // exclusive cumsum, admit while tokens_before < budget; the

@@ -2653,6 +2653,231 @@ object ProfileQueries {
         .orderBy("key")
     },
 
+    // C119: empirical-Bayes beta-binomial shrinkage of per-user click
+    // rates — 2/3 must not outrank 180/300; method-of-moments prior
+    // on 9-dp decimal lanes, alpha/beta derived once, broadcast back.
+    Q(
+      "q_eb_shrinkage",
+      """WITH per AS (
+        |  SELECT user_id AS key,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |r AS (
+        |  SELECT key, x, n,
+        |    CAST(floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) / 1e9
+        |      AS DECIMAL(19,9)) AS p
+        |  FROM per WHERE n > 0),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    coalesce(sum(p), CAST(0 AS DECIMAL(19,9))) AS sp,
+        |    coalesce(sum(CAST(p * p AS DECIMAL(38,18))),
+        |      CAST(0 AS DECIMAL(38,18))) AS spp
+        |  FROM r),
+        |pr AS (
+        |  SELECT k,
+        |    CAST(sp AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+        |    coalesce((CAST(spp AS DOUBLE)
+        |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / nullif(CAST(k AS DOUBLE) - 1.0, 0.0), 0.0) AS v
+        |  FROM mom),
+        |pr2 AS (
+        |  SELECT k, mu, v,
+        |    coalesce(mu * (1.0 - mu) / nullif(v, 0.0) - 1.0, 0.0) AS kappa
+        |  FROM pr)
+        |SELECT key, x, n,
+        |  floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6 AS rate,
+        |  CASE WHEN k < 2 OR v <= 0.0 OR kappa <= 0.0
+        |    THEN floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+        |    ELSE floor((CAST(x AS DOUBLE) + mu * kappa)
+        |      / (CAST(n AS DOUBLE) + mu * kappa + (1.0 - mu) * kappa) * 1e6)
+        |      / 1e6 END AS shrunk_rate,
+        |  CASE WHEN k < 2 OR v <= 0.0 OR kappa <= 0.0 THEN 0.0
+        |    ELSE floor(mu * kappa * 1e6) / 1e6 END AS alpha,
+        |  CASE WHEN k < 2 OR v <= 0.0 OR kappa <= 0.0 THEN 0.0
+        |    ELSE floor((1.0 - mu) * kappa * 1e6) / 1e6 END AS beta,
+        |  (k < 2 OR v <= 0.0 OR kappa <= 0.0) AS degenerate
+        |FROM r, pr2 ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val ev = graft.sources.Tables.events(s, dir)
+      graft.operators.Stats.ebShrink(ev, col("user_id"),
+          (col("event_type") === "click").cast("long"), lit(1L))
+        .orderBy("key")
+    },
+
+    // C120: Lorenz curve deciles of per-doc character mass per source
+    // — q_gini's number unpacked into the curve; integer-exact bins
+    // and cumulative sums over the (source × 10) frame.
+    Q(
+      "q_lorenz",
+      """WITH t AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS m
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |r AS (
+        |  SELECT grp, m,
+        |    row_number() OVER (PARTITION BY grp ORDER BY m) AS rk,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM t),
+        |b AS (
+        |  SELECT grp, CAST((rk - 1) * 10 // n + 1 AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(coalesce(sum(m), 0) AS BIGINT) AS s
+        |  FROM r GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, bin,
+        |    CAST(sum(c) OVER cw AS BIGINT) AS cc,
+        |    CAST(sum(s) OVER cw AS BIGINT) AS cs,
+        |    CAST(sum(c) OVER tw AS BIGINT) AS tc,
+        |    CAST(sum(s) OVER tw AS BIGINT) AS ts
+        |  FROM b
+        |  WINDOW cw AS (PARTITION BY grp ORDER BY bin
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         tw AS (PARTITION BY grp))
+        |SELECT grp, bin, cc AS cum_rows,
+        |  floor(CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE) * 1e6) / 1e6
+        |    AS cum_row_share,
+        |  CASE WHEN ts = 0 THEN 0.0
+        |    ELSE floor(CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE) * 1e6) / 1e6
+        |    END AS cum_mass_share
+        |FROM c ORDER BY grp, bin""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Profile.lorenzCurve(table(s, dir, "documents"),
+          col("source"), col("n_chars"), nBins = 10)
+        .orderBy("grp", "bin")
+    },
+
+    // C121: Holm-Bonferroni step-down over the q_bh_fdr hypothesis
+    // feed — the family-wise sibling (any false positive vs a false
+    // discovery RATE); running max over the bounded hypothesis frame.
+    Q(
+      "q_holm",
+      """WITH h AS (
+        |  SELECT g AS key,
+        |    CASE WHEN g % 13 = 0 THEN NULL
+        |         WHEN g % 7 = 0 THEN base * 0.001
+        |         ELSE base END AS p
+        |  FROM (
+        |    SELECT g, min(hv) / 996.0 AS base
+        |    FROM (SELECT doc_id % 80 AS g, (doc_id * 7919) % 997 AS hv
+        |          FROM documents)
+        |    GROUP BY g)),
+        |t AS (SELECT key, p FROM h WHERE p IS NOT NULL),
+        |r AS (
+        |  SELECT key, p,
+        |    CAST(row_number() OVER (ORDER BY p, key) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM t),
+        |a AS (
+        |  SELECT key, p, rk, m,
+        |    max(least(1.0, CAST(m - rk + 1 AS DOUBLE) * p))
+        |      OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS adj
+        |  FROM r)
+        |SELECT key, p AS p_value, rk AS rank, m,
+        |  floor(adj * 1e6) / 1e6 AS adj_p,
+        |  adj <= 0.05 AS discovery, false AS untested
+        |FROM a
+        |UNION ALL
+        |SELECT key, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), false, true
+        |FROM h WHERE p IS NULL
+        |ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val h = table(s, dir, "documents").select(
+        (col("doc_id") % 80).as("g"),
+        ((col("doc_id") * 7919) % 997).as("hv"))
+      val hyp = h.groupBy("g").agg((min(col("hv")) / lit(996.0)).as("base"))
+        .select(col("g").as("key"),
+          when(col("g") % 13 === 0, lit(null).cast("double"))
+            .when(col("g") % 7 === 0, col("base") * lit(0.001))
+            .otherwise(col("base")).as("p"))
+      graft.operators.Stats.holmBonferroni(hyp, col("key"), col("p"),
+          alpha = 0.05)
+        .orderBy("key")
+    },
+
+    // C122: dominant-period detection per event type — the q_acf frame
+    // read as a verdict (keyed top-1 over lags >= 2 with the 2/sqrt(n)
+    // white-noise gate); the probe to run before committing any
+    // seasonal period.
+    Q(
+      "q_dominant_period", {
+        val maxLag = 36
+        val lagSels = (1 to maxLag).map { l =>
+          s"""SELECT key, $l AS lag,
+             |  CAST(c6 AS DECIMAL(38,0))
+             |    * lag(c6, $l) OVER (PARTITION BY key ORDER BY bucket) AS p
+             |FROM c""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    epoch_ns(ts) // 3600000000000 AS bucket,
+           |    CAST(count(*) AS DOUBLE) AS value
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+           |  FROM b GROUP BY 1),
+           |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM sp),
+           |d AS (
+           |  SELECT g.key, g.bucket, coalesce(b.value, 0.0) AS value
+           |  FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket),
+           |mu AS (
+           |  SELECT key,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT d.key, d.bucket,
+           |    CAST((d.value - mu.mu) * 1e6 AS DECIMAL(18,0)) AS c6
+           |  FROM d JOIN mu ON d.key = mu.key),
+           |den AS (
+           |  SELECT key, sum(CAST(c6 AS DECIMAL(38,0)) * c6) AS dn
+           |  FROM c GROUP BY 1),
+           |l AS (
+           |  $lagSels),
+           |a AS (
+           |  SELECT key, lag, CAST(count(p) AS BIGINT) AS n_pairs,
+           |    coalesce(sum(p), 0) AS num
+           |  FROM l GROUP BY 1, 2),
+           |acf AS (
+           |  SELECT a.key, a.lag, a.n_pairs,
+           |    CASE WHEN CAST(den.dn AS DOUBLE) <= 0.0 THEN CAST(0.0 AS DOUBLE)
+           |      ELSE sign(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |        * (floor(abs(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |          * 1e4) / 1e4) + 0.0
+           |    END AS acf,
+           |    CAST(den.dn AS DOUBLE) <= 0.0 AS degenerate
+           |  FROM a JOIN den ON a.key = den.key
+           |  WHERE a.lag >= 2),
+           |top AS (
+           |  SELECT key, lag, n_pairs, acf, degenerate,
+           |    row_number() OVER (PARTITION BY key ORDER BY acf DESC, lag ASC)
+           |      AS r
+           |  FROM acf)
+           |SELECT key, CAST(lag AS INT) AS period, acf AS acf_peak,
+           |  CAST(n_pairs + lag AS BIGINT) AS n,
+           |  (NOT degenerate)
+           |    AND acf > 2.0 / sqrt(CAST(n_pairs + lag AS DOUBLE))
+           |    AS significant,
+           |  degenerate
+           |FROM top WHERE r = 1 ORDER BY key""".stripMargin
+      }
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val span = counts.groupBy("key")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val dense = span
+        .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        .join(counts, Seq("key", "bucket"), "left")
+        .withColumn("value", coalesce(col("value"), lit(0.0)))
+      graft.operators.Stats.dominantPeriod(dense, col("key"), col("bucket"),
+          col("value"), maxLag = 36)
+        .orderBy("key")
+    },
+
     // C110: Cliff's delta for click-vs-view values — the ordinal
     // effect size next to q_effect_size's standardized family,
     // derived from the q_mann_whitney bounded rank frame (2U integer

@@ -721,6 +721,64 @@ object TemporalQueries {
         .orderBy("key")
     },
 
+    // C118: seasonal Mann-Kendall over hourly per-type volumes with a
+    // 24-hour season — each hour-of-day slot trends against ITSELF
+    // across days, so the diurnal cycle can't drown a slow drift.
+    // Exact integer S and variance numerators per (key, season),
+    // summed per key, ONE /18 division.
+    Q(
+      "q_seasonal_mk",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) // 3600000000000 AS x,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bs AS (SELECT key, x % 24 AS season, x, v FROM b),
+        |p AS (
+        |  SELECT a.key, a.season,
+        |    CASE WHEN b2.v > a.v THEN 1 WHEN b2.v < a.v THEN -1 ELSE 0 END AS sg
+        |  FROM bs a JOIN bs b2
+        |    ON a.key = b2.key AND a.season = b2.season AND a.x < b2.x),
+        |sa AS (
+        |  SELECT key, season, CAST(sum(sg) AS BIGINT) AS s
+        |  FROM p GROUP BY 1, 2),
+        |np AS (
+        |  SELECT key, season, CAST(count(*) AS BIGINT) AS n
+        |  FROM bs GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT key, season, sum(t * (t - 1) * (2 * t + 5)) AS tie
+        |  FROM (SELECT key, season, v, count(*) AS t FROM bs GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT np.key, np.n, coalesce(sa.s, 0) AS s,
+        |    np.n * (np.n - 1) * (2 * np.n + 5) - coalesce(tt.tie, 0) AS vnum
+        |  FROM np LEFT JOIN sa ON sa.key = np.key AND sa.season = np.season
+        |          LEFT JOIN tt ON tt.key = np.key AND tt.season = np.season),
+        |m AS (
+        |  SELECT key, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(s) AS BIGINT) AS s,
+        |    CAST(sum(vnum) AS DOUBLE) / 18.0 AS var_s
+        |  FROM per GROUP BY key)
+        |SELECT key, n, n_seasons, s,
+        |  CASE WHEN n < 2 OR var_s <= 0 THEN 0.0
+        |       WHEN s > 0 THEN sign((s - 1) / sqrt(var_s))
+        |         * (floor(abs((s - 1) / sqrt(var_s)) * 1e4) / 1e4) + 0.0
+        |       WHEN s < 0 THEN sign((s + 1) / sqrt(var_s))
+        |         * (floor(abs((s + 1) / sqrt(var_s)) * 1e4) / 1e4) + 0.0
+        |       ELSE 0.0 END AS z,
+        |  (n < 2 OR var_s <= 0) AS degenerate
+        |FROM m ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_ns div 3600000000000").as("hour_idx"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      graft.operators.Stats.seasonalMannKendall(buckets, col("event_type"),
+          col("hour_idx"), col("n_events"), period = 24)
+        .orderBy("key")
+    },
+
     // C92: Holt linear-trend chart over hourly per-type volumes —
     // q_ewma's trending sibling: the forecast carries an explicit
     // trend lane, so a steadily growing series doesn't drown the

@@ -134,4 +134,99 @@ class RandomizationDriftSpec extends SparkSpec {
       .filter(col("alarm")).select(min(col("bucket"))).as[Long].head()
     assert(a >= 30L && a <= 35L, s"first alarm at $a")
   }
+
+  test("seasonalMannKendall flags drift the plain MK drowns in a cycle") {
+    // strong period-4 cycle (amplitude 100) + slow drift (+0.2/cycle);
+    // plain MK's cross-phase pairs swamp the drift signal
+    val vals = (0 until 80).map { t =>
+      val cycle = Seq(0.0, 100.0, 50.0, -80.0)(t % 4)
+      ("k", t.toLong, cycle + 0.2 * (t / 4))
+    }.toDF("g", "t", "v")
+    val seasonal = Stats.seasonalMannKendall(vals, col("g"), col("t"),
+        col("v"), period = 4)
+      .select("s", "z", "n_seasons").as[(Long, Double, Long)].head()
+    // every within-season pair rises: S = 4 seasons x C(20,2) = 760
+    assert(seasonal._1 == 760L && seasonal._3 == 4L, seasonal.toString)
+    assert(seasonal._2 > 1.96)
+    val plain = Stats.mannKendall(vals.toDF("g", "t", "v"), col("g"),
+        col("t"), col("v"), computeSen = false)
+      .select("z").as[Double].head()
+    assert(math.abs(plain) < seasonal._2, s"plain $plain vs ${seasonal._2}")
+  }
+
+  test("ebShrink pulls small-n rates toward the prior and can flip a ranking") {
+    // many stable keys around 0.5, one 2/2=1.0 key, one 180/300=0.6
+    val per = (1 to 40).map(i => (i.toLong, 50L + (i % 7), 100L)) ++
+      Seq((100L, 2L, 2L), (101L, 180L, 300L))
+    val df = per.flatMap { case (u, x, n) =>
+      (1L to n).map(j => (u, j <= x))
+    }.toDF("u", "hit")
+    val r = Stats.ebShrink(df, col("u"), col("hit").cast("long"), lit(1L))
+      .select("key", "rate", "shrunk_rate", "degenerate")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(!r(100L)._4)
+    // raw: 1.0 > 0.6; shrunk: the 2-trial key collapses toward ~0.5
+    assert(r(100L)._2 == 1.0 && r(101L)._2 == 0.6)
+    assert(r(100L)._3 < r(101L)._3, s"${r(100L)} vs ${r(101L)}")
+    assert(r(100L)._3 > 0.4 && r(100L)._3 < 1.0)
+  }
+
+  test("holmBonferroni is stepwise-stricter than BH and flags untested") {
+    val hyp = Seq(("a", 0.001), ("b", 0.011), ("c", 0.02), ("d", 0.9))
+      .toDF("k", "p")
+      .unionByName(Seq(("e", Option.empty[Double])).toDF("k", "p"))
+    val r = Stats.holmBonferroni(hyp, col("k"), col("p"), alpha = 0.05)
+      .collect().map(x => x.getString(0) -> x).toMap
+    // adj: a = min(1, 4x0.001) = 0.004; b = max(0.004, 3x0.011=0.033);
+    // c = max(0.033, 2x0.02=0.04); d = max(..., 1x0.9) = 0.9
+    assert(r("a").getAs[Boolean]("discovery"))
+    assert(r("b").getAs[Boolean]("discovery"))
+    assert(r("c").getAs[Boolean]("discovery"))
+    assert(!r("d").getAs[Boolean]("discovery"))
+    assert(math.abs(r("c").getAs[Double]("adj_p") - 0.04) < 1e-9)
+    assert(r("e").getAs[Boolean]("untested") && !r("e").getAs[Boolean]("discovery"))
+  }
+
+  test("dominantPeriod finds a planted period-6 cycle; flat series degenerate") {
+    val vals = (0 until 120).map(t =>
+      ("k", t.toLong, Seq(0.0, 5.0, 9.0, 5.0, 0.0, -9.0)(t % 6)))
+      .toDF("g", "b", "v")
+    val r = Stats.dominantPeriod(vals, col("g"), col("b"), col("v"),
+        maxLag = 24)
+      .select("period", "significant", "degenerate")
+      .as[(Int, Boolean, Boolean)].head()
+    assert(r._1 == 6 && r._2 && !r._3, r.toString)
+    val flatS = (0 until 60).map(t => ("k", t.toLong, 3.0)).toDF("g", "b", "v")
+    val f = Stats.dominantPeriod(flatS, col("g"), col("b"), col("v"))
+      .select("degenerate").as[Boolean].head()
+    assert(f)
+  }
+
+  test("lorenzCurve: uniform masses walk the diagonal, one whale bends it") {
+    import graft.operators.Profile
+    val uni = (1 to 100).map(i => ("u", 10L)).toDF("g", "m")
+    val r = Profile.lorenzCurve(uni, col("g"), col("m"), nBins = 10)
+      .orderBy("bin").select("cum_row_share", "cum_mass_share")
+      .as[(Double, Double)].collect()
+    r.foreach { case (rows, mass) => assert(math.abs(rows - mass) < 1e-6) }
+    // 99 rows of 1 + one of 901: bottom 90% carries under 10% of mass
+    val whale = ((1 to 99).map(_ => ("w", 1L)) :+ (("w", 901L))).toDF("g", "m")
+    val w = Profile.lorenzCurve(whale, col("g"), col("m"), nBins = 10)
+      .orderBy("bin").select("bin", "cum_mass_share")
+      .as[(Int, Double)].collect().toMap
+    assert(w(9) < 0.1 && w(10) == 1.0, w.toString)
+  }
+
+  test("consistentHashPlan moves ~1/9 on 8->9 shards; every row keeps exactly one segment per ring") {
+    import graft.operators.Sampling
+    val keys = (1L to 5000L).map(Tuple1(_)).toDF("k")
+    val plan = Sampling.consistentHashPlan(keys, col("k"), nOld = 8,
+      nNew = 9, vnodes = 32)
+    assert(plan.count() == 5000L) // one (old, new) row per key - no segment gaps/overlaps
+    val moved = plan.filter(col("moved")).count().toDouble / 5000.0
+    assert(moved > 0.02 && moved < 0.35, s"moved fraction $moved")
+    // rows that move must land on shards (consistency sanity)
+    assert(plan.filter(col("shard_new") < 0 || col("shard_new") > 8).count() == 0)
+  }
 }

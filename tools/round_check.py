@@ -31,7 +31,12 @@ def latest_correctness(root):
 
 
 def last_two_benches(root):
-    cands = glob.glob(os.path.join(root, "BENCH_r*.json"))
+    # strict BENCH_r<N>.json only — scale artifacts like
+    # BENCH_r13_10x.json measure DIFFERENT data and must never become
+    # a drift baseline (caught r13: every sf0.1 row read as a
+    # "regression" against its own 10x-replica time)
+    cands = [p for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+             if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))]
     cands.sort(key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
     return cands[-2:] if len(cands) >= 2 else []
 
@@ -59,7 +64,12 @@ def classify_bench_drift(root, sf_dir="/root/testdata/sf0.1"):
     # the driver only writes BENCH_r{N}.json at round close, after the
     # builder's last commit, so the in-round adjudication needs this.
     if os.environ.get("BENCH_LATEST"):
-        prior = pair[-1] if pair else None
+        # candidate mode: compare against the last driver round's FULL
+        # per-query detail (bench_detail.json) — the BENCH_r{N}.json
+        # driver wrapper truncates `queries` to the top 15
+        prior = os.path.join(root, "bench_detail.json")
+        if not os.path.exists(prior):
+            prior = pair[-1] if pair else None
         if not prior:
             return []
         pair = [prior, os.environ["BENCH_LATEST"]]
