@@ -1606,6 +1606,66 @@ object EventStreams {
       .start()
   }
 
+  /** E45: streaming theta-diff ADMISSION gate — D138's a-not-b put to
+    * work on arrivals: each micro-batch sketches itself per group,
+    * scores "how much of this shard is NEW vs the corpus"
+    * (`theta_diff_estimate(batch, corpus)`) BEFORE merging into the
+    * persisted corpus sketch, and appends one verdict row per
+    * (batch, group) to E7-style per-batch dirs — replay-idempotent,
+    * no state store (both sketches are kilobyte blobs; the corpus is
+    * never re-read). The novelty ratio est_new/est_batch is the
+    * dedup-worthiness signal: a shard that is 95% old skips the
+    * expensive dedup tiers entirely. Estimates are EXACT under
+    * nominal capacity (the D138 library contract) and overcount-only
+    * above it — an all-old shard can never read as new.
+    */
+  def thetaAdmitStream(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      snapshotPath: String,
+      outPath: String,
+      checkpointPath: String,
+      lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    items.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchSketch = graft.operators.Profile.thetaSketchTable(
+          batch, col(groupCol), col(itemCol), lgK).localCheckpoint()
+        val prev = SnapshotStore.read(spark, snapshotPath)
+        val verdict = prev match {
+          case Some(corpus) =>
+            batchSketch.as("b").join(
+                corpus.withColumnRenamed("sketch", "__cs").as("c"),
+                Seq("grp"), "left")
+              .select(col("grp"),
+                graft.functions.ThetaSketch.thetaEstimate(col("sketch"))
+                  .as("est_batch"),
+                when(col("__cs").isNull,
+                  graft.functions.ThetaSketch.thetaEstimate(col("sketch")))
+                  .otherwise(graft.functions.ThetaSketch.thetaDiffEstimate(
+                    col("sketch"), col("__cs"))).as("est_new"))
+          case None =>
+            batchSketch.select(col("grp"),
+              graft.functions.ThetaSketch.thetaEstimate(col("sketch"))
+                .as("est_batch"),
+              graft.functions.ThetaSketch.thetaEstimate(col("sketch"))
+                .as("est_new"))
+        }
+        verdict.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        val merged = prev match {
+          case Some(corpus) => graft.operators.Profile.thetaSketchUnion(
+            Seq(corpus, batchSketch), lgK)
+          case None => batchSketch
+        }
+        SnapshotStore.publish(merged.localCheckpoint(), snapshotPath, batchId)
+      }
+      .start()
+  }
+
   /** E15: streaming PSI drift monitor — per event-time window, the
     * population-stability index of the window's value distribution
     * against a PERSISTED baseline histogram: a watermarked windowed

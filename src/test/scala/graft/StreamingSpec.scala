@@ -953,6 +953,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E45 thetaAdmitStream: per-batch novelty verdicts exact under capacity, corpus accumulates") {
+    import graft.functions.ThetaSketch._
+    val dir = java.nio.file.Files.createTempDirectory("e45").toString
+    val input = MemoryStream[(String, String)](spark)
+    val q = EventStreams.thetaAdmitStream(
+      input.toDF().toDF("g", "it"), "g", "it",
+      s"$dir/snap", s"$dir/out", s"$dir/ckpt")
+    try {
+      // batch 0: 200 fresh items — no corpus yet, everything is new
+      input.addData((0 until 200).map(i => ("a", s"item$i")))
+      q.processAllAvailable()
+      // batch 1: 50 old (150..199) + 100 new (200..299) — the verdict
+      // must read EXACTLY 100
+      input.addData((150 until 300).map(i => ("a", s"item$i")))
+      q.processAllAvailable()
+      // batch 2: all old — the all-old shard must read 0, never > 0
+      input.addData((0 until 80).map(i => ("a", s"item$i")))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("batch_id", "grp", "est_batch", "est_new")
+        .as[(Long, String, Double, Double)].collect()
+        .map(r => r._1 -> (r._3, r._4)).toMap
+      assert(out(0L) == ((200.0, 200.0)), out.toString)
+      assert(out(1L) == ((150.0, 100.0)), out.toString)
+      assert(out(2L) == ((80.0, 0.0)), out.toString)
+      // the corpus snapshot accumulated everything
+      val snap = streaming.SnapshotStore.read(spark, s"$dir/snap").get
+      val est = snap.select(thetaEstimate(col("sketch"))).as[Double].head()
+      assert(est == 300.0, s"corpus estimate $est")
+    } finally q.stop()
+  }
+
   test("E13 rollingZStream: trailing baselines persist across batches, equals batch rollingZ") {
     // two metric keys, 40 buckets, a planted 100x spike at bucket 25
     val rows = for (k <- 0L to 1L; b <- 0L until 40L) yield
