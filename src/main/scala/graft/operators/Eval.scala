@@ -1057,6 +1057,16 @@ object Eval {
     * materialize — the frame is ≤ k rows per group, so the depth
     * explode is a constant k² fan-out of a bounded frame.
     *
+    * Short-list contract: depths run over the FIXED range 1..k even
+    * when a group holds fewer than k items, so a group with n < k
+    * items tops out at overlap_at_k = n/k and at the truncated-RBO
+    * mass its n items can carry — identical short rankings score
+    * < 1 BY DESIGN (a 3-item agreement is weaker evidence than a
+    * 20-item agreement; fixed-depth truncation also keeps the weight
+    * table a single broadcast shared by every group). Callers who
+    * want per-group depth min(k, n) should pre-trim k to the known
+    * list length.
+    *
     * Determinism: p^(d−1) never goes through pow() (libm-dependent) —
     * 9^(d−1) and d·10^(d−1) join in as EXACT decimal literals from a
     * broadcast depth table, each depth term is one double division

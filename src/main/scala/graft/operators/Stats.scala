@@ -3178,10 +3178,14 @@ object Stats {
     * sort) over positive values; the k log-excess terms truncate at
     * 9 dp into exact decimals and sum order-independently. Keys with
     * fewer than k+2 positive values report degenerate (a tail index
-    * needs a tail). Ties at the threshold keep deterministic
-    * membership via the rank's value-then-rowid order. Returns one row
-    * per key: (key, n, k_used, hill_h, alpha, degenerate) — 4-dp
-    * floored.
+    * needs a tail) — including n = 1 keys, which anchor a degenerate
+    * row rather than vanishing. Ties at the rank-k boundary are
+    * order-NONdeterministic (value-desc only) but result-invariant:
+    * tied rows carry identical values, so whichever lands inside the
+    * prefix contributes the same log-excess and the per-key SUM (and
+    * the threshold value x_(k+1)) is the same under any tie
+    * permutation. Returns one row per key:
+    * (key, n, k_used, hill_h, alpha, degenerate) — 4-dp floored.
     */
   def hillTail(
       df: DataFrame,
@@ -3205,10 +3209,16 @@ object Stats {
       .select(col("key"), col("__n"),
         (floor(log(col("__x") / col("__xk")) * 1e9) / 1e9)
           .cast("decimal(28,9)").as("__t"))
-    val m = kept.groupBy("key").agg(
-      max(col("__n")).as("n"),
+    // anchor on thresh (one row per key with >=1 positive value), so a
+    // key with a single positive value reports its degenerate row
+    // instead of vanishing when `kept` is empty for it
+    val m0 = kept.groupBy("key").agg(
       count(lit(1)).as("k_used"),
       sum(col("__t")).as("__s"))
+    val m = thresh.select(col("key"), col("__n").as("n"))
+      .join(m0, Seq("key"), "left")
+      .select(col("key"), col("n"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"), col("__s"))
     val h = try_divide(col("__s").cast("double"), col("k_used").cast("double"))
     val degenerate = col("n") < k + 2 || coalesce(h, lit(0.0)) <= 0.0
     m.select(
@@ -3251,7 +3261,13 @@ object Stats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__u").orderBy("__o", "__tb")
     val pairs = df
-      .filter(subject.isNotNull && order.isNotNull && state.isNotNull)
+      // tiebreak joins the filter: a null tiebreak would make the
+      // (order, tiebreak) window ordering nondeterministic when order
+      // values tie, so transition counts could vary across runs —
+      // rows without a usable tiebreak are excluded, not ordered
+      // arbitrarily (the determinism contract above)
+      .filter(subject.isNotNull && order.isNotNull && state.isNotNull &&
+        tiebreak.isNotNull)
       .select(subject.as("__u"), order.as("__o"), tiebreak.as("__tb"),
         state.cast("string").as("__s"))
       .withColumn("__next", lead(col("__s"), 1).over(w))
@@ -3336,9 +3352,15 @@ object Stats {
     // per-side means via exact decimal sums (a raw double avg's value
     // depends on partial-aggregation order), ONE double division each
     val diffs = df
-      .filter(subject.isNotNull && value.isNotNull &&
+      // subject must survive the long cast, not merely be non-null: a
+      // non-integral subject would otherwise either throw (ANSI) or
+      // cast to null and collapse every such row into ONE null
+      // pseudo-subject whose pooled means silently enter the test as
+      // a single paired difference — try_cast + isNotNull excludes
+      // unparseable subjects instead of merging (or killing) them
+      .filter(subject.try_cast("long").isNotNull && value.isNotNull &&
         (group === groupA || group === groupB))
-      .groupBy(subject.cast("long").as("__u"))
+      .groupBy(subject.try_cast("long").as("__u"))
       .agg(
         sum(when(group === groupA, value.cast("decimal(18,6)"))).as("__sa"),
         sum(when(group === groupA, 1L).otherwise(0L)).as("__ca"),

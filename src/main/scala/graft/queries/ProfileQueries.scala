@@ -2991,28 +2991,29 @@ object ProfileQueries {
         |    row_number() OVER (PARTITION BY key ORDER BY x DESC) AS rk,
         |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n
         |  FROM t),
-        |th AS (SELECT key, x AS xk FROM r WHERE rk = least(51, n)),
+        |th AS (SELECT key, x AS xk, n FROM r WHERE rk = least(51, n)),
         |kept AS (
-        |  SELECT r.key, r.n,
+        |  SELECT r.key,
         |    CAST(floor(ln(r.x / th.xk) * 1e9) / 1e9 AS DECIMAL(28,9)) AS tt
         |  FROM r JOIN th ON r.key = th.key
         |  WHERE r.rk < least(51, r.n)),
         |m AS (
-        |  SELECT key, max(n) AS n, CAST(count(*) AS BIGINT) AS k_used,
-        |    sum(tt) AS s
+        |  SELECT key, CAST(count(*) AS BIGINT) AS k_used, sum(tt) AS s
         |  FROM kept GROUP BY key)
-        |SELECT key, n, k_used,
-        |  CASE WHEN n < 52 OR CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) <= 0.0
+        |SELECT th.key, th.n AS n, coalesce(m.k_used, 0) AS k_used,
+        |  CASE WHEN th.n < 52
+        |      OR CAST(m.s AS DOUBLE) / CAST(m.k_used AS DOUBLE) <= 0.0
         |    THEN 0.0
-        |    ELSE floor(CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) * 1e4) / 1e4
-        |    END AS hill_h,
-        |  CASE WHEN n < 52 OR CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) <= 0.0
+        |    ELSE floor(CAST(m.s AS DOUBLE) / CAST(m.k_used AS DOUBLE) * 1e4)
+        |      / 1e4 END AS hill_h,
+        |  CASE WHEN th.n < 52
+        |      OR CAST(m.s AS DOUBLE) / CAST(m.k_used AS DOUBLE) <= 0.0
         |    THEN 0.0
-        |    ELSE floor(1.0 / (CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE)) * 1e4)
-        |      / 1e4 END AS alpha,
-        |  (n < 52 OR CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE) <= 0.0)
+        |    ELSE floor(1.0 / (CAST(m.s AS DOUBLE) / CAST(m.k_used AS DOUBLE))
+        |      * 1e4) / 1e4 END AS alpha,
+        |  (th.n < 52 OR CAST(m.s AS DOUBLE) / CAST(m.k_used AS DOUBLE) <= 0.0)
         |    AS degenerate
-        |FROM m ORDER BY key""".stripMargin
+        |FROM th LEFT JOIN m ON th.key = m.key ORDER BY th.key""".stripMargin
     ) { (s, dir) =>
       graft.operators.Stats.hillTail(graft.sources.Tables.events(s, dir),
           col("event_type"), col("value"), k = 50)

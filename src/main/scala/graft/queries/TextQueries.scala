@@ -1778,7 +1778,7 @@ object TextQueries {
         .orderBy("source")
     },
 
-    // D139: lexical-richness profile per source — TTR, hapax share,
+    // D144: lexical-richness profile per source — TTR, hapax share,
     // and Yule's K (length-insensitive repeat rate) from the one
     // (source, word) frequency pass; Σm²V_m in exact integer lanes.
     Q(

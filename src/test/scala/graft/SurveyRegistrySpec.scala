@@ -30,6 +30,22 @@ class SurveyRegistrySpec extends AnyFunSuite {
       s"registered queries missing from SURVEY §2 (silent): ${silent.mkString(", ")}")
   }
 
+  test("SURVEY §2 operator ids are unique") {
+    // r13 shipped TWO distinct rows both labeled D139 (corpus-build
+    // flagship + lexical richness) — the query bijection above can't
+    // see that class of ledger bug, so the id column gets its own
+    // machine check.
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      "UTF-8")
+    val s2 = text.split("## §2", 2)(1).split("## §3", 2)(0)
+    val idCell = "(?m)^\\| ([A-E]\\d+[a-z]?) \\|".r
+    val ids = idCell.findAllMatchIn(s2).map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).collect { case (id, v) if v.size > 1 => id }
+    assert(dups.isEmpty,
+      s"SURVEY §2 operator ids used by more than one row: ${dups.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every oracle-less query is the exception, not the rule") {
     // r12 closed the last rows-only driver row (q_compaction_fs); keep
     // the registry at zero oracle-less queries so a new rows-only entry

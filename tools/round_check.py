@@ -100,9 +100,14 @@ def classify_bench_drift(root, sf_dir="/root/testdata/sf0.1"):
     prev = prevr.get("queries", {}) or {}
     cur = curr.get("queries", {}) or {}
     m = re.search(r"_r(\d+)", os.path.basename(pair[1]))
+    # the final fallback (derive from the PRIOR's name) can itself miss
+    # (e.g. prior == bench_detail.json in candidate mode) — guard it
+    # instead of .group()ing a None match
+    m_prev = re.search(r"_r(\d+)", os.path.basename(pair[0]))
     round_n = (int(os.environ["BENCH_ROUND"]) if os.environ.get("BENCH_ROUND")
                else int(m.group(1)) if m
-               else int(re.search(r"_r(\d+)", pair[0]).group(1)) + 1)
+               else int(m_prev.group(1)) + 1 if m_prev
+               else 0)
     suspects = sorted(
         q for q, t in cur.items()
         if t is not None and t > 1.0 and prev.get(q) is not None
