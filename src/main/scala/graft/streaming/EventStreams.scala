@@ -332,8 +332,14 @@ object EventStreams {
         val hasCommitted = hfs.exists(rootP) &&
           hfs.globStatus(new org.apache.hadoop.fs.Path(indexPath, "batch_id=*/_SUCCESS"))
             .nonEmpty
+        // a crash AFTER this batch's index write but BEFORE the
+        // checkpoint commit replays the batch with its OWN
+        // fingerprints already on disk — unfiltered, the replay would
+        // reject every row and overwrite the output dir EMPTY (data
+        // loss). Replays only ever see strictly-older batches.
         val index =
           if (hasCommitted) spark.read.parquet(indexPath)
+            .filter(col("batch_id") < batchId).drop("batch_id")
           else
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -394,8 +400,13 @@ object EventStreams {
         val hasCommitted = hfs.exists(rootP) &&
           hfs.globStatus(new org.apache.hadoop.fs.Path(sigPath, "batch_id=*/_SUCCESS"))
             .nonEmpty
+        // exclude this batch's own signatures on replay (crash between
+        // the sig write and the checkpoint commit) — same data-loss
+        // mode as E7: the batch would otherwise near-dup-match ITSELF
+        // and land empty
         val index =
           if (hasCommitted) spark.read.parquet(sigPath)
+            .filter(col("batch_id") < batchId).drop("batch_id")
           else
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1664,6 +1675,189 @@ object EventStreams {
         SnapshotStore.publish(merged.localCheckpoint(), snapshotPath, batchId)
       }
       .start()
+  }
+
+  /** E46: the streaming COMPOSED flagship — the E-family analogue of
+    * batch `q_corpus_build`: theta ADMISSION (E45) → stateless quality
+    * gate (E9) → incremental MinHash near-dedup with signature-index
+    * maintenance (E11), ONE streaming pipeline with every artifact
+    * maintained per batch. Proves the streaming operators COMPOSE the
+    * way the batch ones provably do (CorpusStreamSpec replays the
+    * identical shard sequence through the batch operators and gets
+    * identical admissions, verdicts, and accepted rows).
+    *
+    * Per micro-batch N:
+    *  1. ADMIT: sketch the batch per source group, score
+    *     `theta_diff_estimate(batch, corpus)` against the persisted
+    *     corpus sketch — groups whose novelty ratio est_new/est_batch
+    *     falls below `minNovelty` are REJECTED whole (a shard that is
+    *     95% already-seen content skips the expensive tiers; theta
+    *     overcounts only, so an all-old shard can never sneak in as
+    *     new). One verdict row per group lands in
+    *     `verdictPath/batch_id=N`.
+    *  2. GATE: stateless per-row curation ([[curateStream]]) — quality
+    *     score + language-id thresholds; no state, no shuffle.
+    *  3. DEDUP: gated rows run `Dedup.minHashLSHIncremental` against
+    *     the on-disk signature index (bipartite — the corpus is never
+    *     re-signed), then within-batch LSH + min-id cluster winners;
+    *     accepted rows and their signatures land in per-batch dirs.
+    *  4. MAINTAIN: the corpus theta sketch merges the ACCEPTED rows
+    *     (the sketch tracks what the corpus actually holds) and
+    *     publishes as snapshot version N.
+    *
+    * Replay determinism (at-least-once → exactly-once output): every
+    * read of mutable state is version-fenced to strictly-older batches
+    * — the theta snapshot reads the newest version < N (publish keeps
+    * 2 versions so the predecessor survives its successor's GC) and
+    * the signature index filters `batch_id < N` — so a crash between
+    * the artifact writes and the checkpoint commit replays batch N
+    * against exactly the pre-N state and rewrites byte-identical
+    * output (seeded hash family, deterministic winners).
+    *
+    * 100 TB shape: admission is kilobyte sketch blobs (no state
+    * store), the gate is stateless, dedup work is bounded by
+    * batch × bands with `maxBucket`-capped corpus buckets, and
+    * unbounded dedup memory lives in the on-disk index where it
+    * belongs.
+    */
+  def corpusBuildStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      thetaSnapshotPath: String,
+      sigPath: String,
+      outPath: String,
+      verdictPath: String,
+      checkpointPath: String,
+      minNovelty: Double = 0.2,
+      minQuality: Double = 0.3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpusBuildBatch(batch, batchId, textCol, idCol, groupCol,
+          thetaSnapshotPath, sigPath, outPath, verdictPath,
+          minNovelty, minQuality, numHashes, bands, shingleSize,
+          threshold, lgK)
+      }
+      .start()
+  }
+
+  /** One E46 micro-batch, callable directly on a static frame — the
+    * spec's batch-equality proof drives THIS function with the same
+    * shard sequence the stream sees, so stream==batch is equality of
+    * orchestration, not a re-implementation that could drift.
+    */
+  def corpusBuildBatch(
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      thetaSnapshotPath: String,
+      sigPath: String,
+      outPath: String,
+      verdictPath: String,
+      minNovelty: Double = 0.2,
+      minQuality: Double = 0.3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      lgK: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    import graft.functions.ThetaSketch
+
+    // ---- 1. ADMIT: per-group novelty vs the version-fenced corpus sketch
+    val batchSketch = graft.operators.Profile.thetaSketchTable(
+      batch, col(groupCol), col(textCol), lgK).localCheckpoint()
+    val prev = SnapshotStore.versions(spark, thetaSnapshotPath)
+      .filter(_ < batchId).lastOption
+      .flatMap(v => SnapshotStore.readVersion(spark, thetaSnapshotPath, v))
+    val scored = prev match {
+      case Some(corpus) =>
+        batchSketch.as("b").join(
+            corpus.withColumnRenamed("sketch", "__cs").as("c"),
+            Seq("grp"), "left")
+          .select(col("grp"),
+            ThetaSketch.thetaEstimate(col("sketch")).as("est_batch"),
+            when(col("__cs").isNull, ThetaSketch.thetaEstimate(col("sketch")))
+              .otherwise(ThetaSketch.thetaDiffEstimate(col("sketch"), col("__cs")))
+              .as("est_new"))
+      case None =>
+        batchSketch.select(col("grp"),
+          ThetaSketch.thetaEstimate(col("sketch")).as("est_batch"),
+          ThetaSketch.thetaEstimate(col("sketch")).as("est_new"))
+    }
+    val verdict = scored
+      .select(col("grp"), col("est_batch"), col("est_new"),
+        coalesce(try_divide(col("est_new"), col("est_batch")), lit(0.0))
+          .as("novelty"))
+      .withColumn("admitted", col("novelty") >= minNovelty)
+      .localCheckpoint()
+    verdict.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$verdictPath/batch_id=$batchId")
+    val admitted = batch.join(
+      broadcast(verdict.filter(col("admitted")).select(col("grp").as("__adm"))),
+      col(groupCol) === col("__adm"), "left_semi")
+
+    // ---- 2. GATE: stateless quality + language curation
+    val gated = curateStream(admitted, textCol, minQuality)
+
+    // ---- 3. DEDUP: vs the batch-fenced signature index, then in-batch
+    val rootP = new org.apache.hadoop.fs.Path(sigPath)
+    val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommitted = hfs.exists(rootP) &&
+      hfs.globStatus(new org.apache.hadoop.fs.Path(sigPath, "batch_id=*/_SUCCESS"))
+        .nonEmpty
+    val index =
+      if (hasCommitted) spark.read.parquet(sigPath)
+        .filter(col("batch_id") < batchId).drop("batch_id")
+      else
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sig",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType, containsNull = false)))))
+    val hits = graft.operators.Dedup.minHashLSHIncremental(
+        gated, col(idCol), col(textCol), index,
+        numHashes, bands, shingleSize, threshold)
+      .select(col("shard_id").as("__drop")).distinct()
+    val survivors = gated.join(hits, col(idCol) === col("__drop"), "left_anti")
+    val pairs = graft.operators.Dedup.minHashLSH(
+      survivors, col(idCol), col(textCol),
+      numHashes, bands, shingleSize, threshold)
+    val drops = graft.operators.Dedup.clusterDuplicates(
+      pairs, col("id_a"), col("id_b"))
+    val accepted = survivors
+      .join(drops, col(idCol) === col("drop_id"), "left_anti")
+      .localCheckpoint()
+    accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    graft.operators.Dedup.minHashSignatures(
+        accepted, col(idCol), col(textCol), numHashes, shingleSize)
+      .write.mode("overwrite").parquet(s"$sigPath/batch_id=$batchId")
+
+    // ---- 4. MAINTAIN: corpus sketch tracks the ACCEPTED corpus
+    val accSketch = graft.operators.Profile.thetaSketchTable(
+      accepted, col(groupCol), col(textCol), lgK)
+    val merged = prev match {
+      case Some(corpus) =>
+        graft.operators.Profile.thetaSketchUnion(Seq(corpus, accSketch), lgK)
+      case None => accSketch
+    }
+    // keepLast = 2: the predecessor must survive this publish's GC so
+    // a replay of THIS batch can still read it (the version fence)
+    SnapshotStore.publish(merged.localCheckpoint(), thetaSnapshotPath,
+      batchId, keepLast = 2)
   }
 
   /** E15: streaming PSI drift monitor — per event-time window, the
