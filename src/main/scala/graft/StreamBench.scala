@@ -15,32 +15,45 @@ import graft.streaming.EventStreams
   * MemoryStream in B micro-batches, and records:
   *
   *   - rows_in, batches, wall_s, rows_per_s  (ingest throughput)
-  *   - state_rows: total state-store rows after the final batch
-  *     (from StreamingQueryProgress.stateOperators) — the number that
-  *     decides whether state is bounded by KEYS (safe: grows with
-  *     cardinality, not volume) or by ROWS (a leak)
-  *   - out_rows: emissions observed at the memory sink
+  *   - state_rows / state_bytes: state-store totals after the final
+  *     batch (from StreamingQueryProgress.stateOperators) — the
+  *     numbers that decide whether state is bounded by KEYS (safe:
+  *     grows with cardinality, not volume) or by ROWS (a leak)
+  *   - out_rows: emissions summed from per-batch sink progress
+  *
+  * r13 probed 100k rows / 10 batches and measured 6.8k-18.5k rows/s —
+  * micro-batch-overhead-dominated, useless as a capacity number. The
+  * r14 shape feeds 1M-row micro-batches (10M rows default), generates
+  * each batch lazily (the driver never holds the whole feed), sinks to
+  * noop (a memory sink would hold every output row on the driver), and
+  * takes a state-store provider arg so the HDFS-backed default and
+  * RocksDB can be compared on the same load.
   *
   * The load is deterministic (pure integer arithmetic, no RNG) so
-  * round-over-round numbers are comparable. Writes one JSON file
-  * (default STREAM_PROBE_r13.json) and prints the same line.
+  * round-over-round numbers are comparable. Writes one JSON file and
+  * prints the same line.
   *
-  * Usage: runMain graft.StreamBench [outPath] [nKeys] [nBuckets]
+  * Usage: runMain graft.StreamBench [outPath] [nKeys] [nBuckets] [provider]
+  *   provider: "hdfs" (default) | "rocksdb"
   */
 object StreamBench {
 
   case class ProbeResult(name: String, rowsIn: Long, batches: Int,
-      wallS: Double, outRows: Long, stateRows: Long)
+      wallS: Double, outRows: Long, stateRows: Long, stateBytes: Long)
 
-  /** Sum of state rows across the query's stateful operators at the
-    * last completed progress (0 for foreachBatch paths — their "state"
-    * is the persisted snapshot table, reported separately).
+  /** (state rows, state bytes) across the query's stateful operators
+    * at the last completed progress (0 for foreachBatch paths — their
+    * "state" is the persisted snapshot table, reported separately).
     */
-  private def stateRows(q: StreamingQuery): Long = {
+  private def stateOf(q: StreamingQuery): (Long, Long) = {
     val p = q.lastProgress
-    if (p == null) 0L
-    else p.stateOperators.map(_.numRowsTotal).sum
+    if (p == null) (0L, 0L)
+    else (p.stateOperators.map(_.numRowsTotal).sum,
+      p.stateOperators.map(_.memoryUsedBytes).sum)
   }
+
+  private def outRowsOf(q: StreamingQuery): Long =
+    q.recentProgress.iterator.map(_.sink.numOutputRows).filter(_ > 0).sum
 
   private def timed[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -48,14 +61,16 @@ object StreamBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** (key, bucket, value) walk: nKeys keys × nBuckets buckets, values
-    * a deterministic mix of periodic + per-key components with a level
-    * shift at the 60% mark — every chart operator sees level, trend
-    * and alarm regimes, not a constant.
+  /** (key, bucket, value) rows for buckets [lo, hi): nKeys keys per
+    * bucket, values a deterministic mix of periodic + per-key
+    * components with a level shift at the 60% mark — every chart
+    * operator sees level, trend and alarm regimes, not a constant.
+    * Generated PER BATCH so the driver never materializes the feed.
     */
-  private def chartRows(nKeys: Int, nBuckets: Int): IndexedSeq[(String, Long, Double)] =
+  private def chartRows(nKeys: Int, nBuckets: Int, lo: Int, hi: Int)
+      : IndexedSeq[(String, Long, Double)] =
     for {
-      b <- 0 until nBuckets
+      b <- lo until hi
       k <- 0 until nKeys
     } yield {
       val base = 10.0 + (k % 5) + ((b * 7 + k * 31) % 13) / 10.0
@@ -71,33 +86,37 @@ object StreamBench {
       : ProbeResult = {
     implicit val enc = org.apache.spark.sql.Encoders.product[(String, Long, Double)]
     val input = MemoryStream[(String, Long, Double)](spark)
-    val rows = chartRows(nKeys, nBuckets)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_probe_$name")
     val q = build(input.toDF().toDF("key", "b", "v"))
-      .writeStream.format("memory").queryName(s"probe_$name")
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$ckpt/ckpt")
       .outputMode("append").start()
     val per = nBuckets / nBatches
     val (_, wall) = timed {
       (0 until nBatches).foreach { i =>
         val lo = i * per
         val hi = if (i == nBatches - 1) nBuckets else (i + 1) * per
-        input.addData(rows.filter(r => r._2 >= lo && r._2 < hi))
+        input.addData(chartRows(nKeys, nBuckets, lo, hi))
         q.processAllAvailable()
       }
     }
-    val out = spark.table(s"probe_$name").count()
-    val st = stateRows(q)
+    val out = outRowsOf(q)
+    val (st, sb) = stateOf(q)
     q.stop()
-    ProbeResult(name, rows.size.toLong, nBatches, wall, out, st)
+    ProbeResult(name, nKeys.toLong * nBuckets, nBatches, wall, out, st, sb)
   }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.lift(0).getOrElse("STREAM_PROBE_r13.json")
-    val nKeys = args.lift(1).map(_.toInt).getOrElse(200)
-    val nBuckets = args.lift(2).map(_.toInt).getOrElse(500)
+    val outPath = args.lift(0).getOrElse("STREAM_PROBE_r14.json")
+    val nKeys = args.lift(1).map(_.toInt).getOrElse(10000)
+    val nBuckets = args.lift(2).map(_.toInt).getOrElse(1000)
+    val provider = args.lift(3).getOrElse("hdfs")
     val nBatches = 10
     val spark = Engine.session("graft-stream-bench")
+    if (provider == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
-
     val results = Seq.newBuilder[ProbeResult]
 
     // E34 cusum / E39 ewma / E40 holt / E43 holt-winters: per-key
@@ -119,23 +138,25 @@ object StreamBench {
       implicit val enc = org.apache.spark.sql.Encoders.product[Tuple1[String]]
       val input = MemoryStream[Tuple1[String]](spark)
       val n = nKeys * nBuckets
-      // zipf-ish collisions: ~n/3 distinct terms
-      val terms = (0 until n).map(i => Tuple1(s"t${(i * 2654435761L) % (n / 3)}"))
+      def terms(lo: Int, hi: Int): IndexedSeq[Tuple1[String]] =
+        (lo until hi).map(i => Tuple1(s"t${(i * 2654435761L) % (n / 3)}"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_cms")
       val q = EventStreams.cmsCellStream(input.toDF().toDF("term"))
-        .writeStream.format("memory").queryName("probe_cms")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckpt/ckpt")
         .outputMode("append").start()
       val per = n / nBatches
       val (_, wall) = timed {
         (0 until nBatches).foreach { i =>
-          input.addData(terms.slice(i * per,
+          input.addData(terms(i * per,
             if (i == nBatches - 1) n else (i + 1) * per))
           q.processAllAvailable()
         }
       }
-      val out = spark.table("probe_cms").count()
-      val st = stateRows(q)
+      val out = outRowsOf(q)
+      val (st, sb) = stateOf(q)
       q.stop()
-      results += ProbeResult("cms_cells", n.toLong, nBatches, wall, out, st)
+      results += ProbeResult("cms_cells", n.toLong, nBatches, wall, out, st, sb)
     }
 
     // E2 sessionize: event-time timeout state — one row per OPEN
@@ -146,32 +167,36 @@ object StreamBench {
         (Timestamp, Long, Long, String, Double)]
       val input = MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
       val perUser = nBuckets
-      val rows = for {
-        i <- 0 until perUser
-        u <- 0 until nKeys
-      } yield {
-        // base cadence 60 s; a 13 h cliff every 50 events splits sessions
-        val tsUs = (i.toLong * 60L + (i / 50).toLong * 46800L) * 1000000L
-        (new Timestamp(tsUs / 1000L), u.toLong,
-          (i.toLong * nKeys + u), "view", (i % 7).toDouble)
-      }
+      def sessRows(lo: Int, hi: Int): IndexedSeq[(Timestamp, Long, Long, String, Double)] =
+        for {
+          i <- lo until hi
+          u <- 0 until nKeys
+        } yield {
+          // base cadence 60 s; a 13 h cliff every 50 events splits sessions
+          val tsUs = (i.toLong * 60L + (i / 50).toLong * 46800L) * 1000000L
+          (new Timestamp(tsUs / 1000L), u.toLong,
+            (i.toLong * nKeys + u), "view", (i % 7).toDouble)
+        }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_sess")
       val q = EventStreams.sessionize(
           input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value"))
-        .writeStream.format("memory").queryName("probe_sessionize")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckpt/ckpt")
         .outputMode("append").start()
       val per = perUser / nBatches
       val (_, wall) = timed {
         (0 until nBatches).foreach { b =>
           val lo = b * per
           val hi = if (b == nBatches - 1) perUser else (b + 1) * per
-          input.addData(rows.slice(lo * nKeys, hi * nKeys))
+          input.addData(sessRows(lo, hi))
           q.processAllAvailable()
         }
       }
-      val out = spark.table("probe_sessionize").count()
-      val st = stateRows(q)
+      val out = outRowsOf(q)
+      val (st, sb) = stateOf(q)
       q.stop()
-      results += ProbeResult("sessionize", rows.size.toLong, nBatches, wall, out, st)
+      results += ProbeResult("sessionize", nKeys.toLong * perUser, nBatches,
+        wall, out, st, sb)
     }
 
     // E41 thetaMaintained: foreachBatch snapshot maintenance — state is
@@ -180,8 +205,8 @@ object StreamBench {
       implicit val enc = org.apache.spark.sql.Encoders.product[(String, String)]
       val input = MemoryStream[(String, String)](spark)
       val n = nKeys * nBuckets
-      val items = (0 until n).map(i =>
-        (s"g${i % 8}", s"item${(i * 2654435761L) % (n / 2)}"))
+      def items(lo: Int, hi: Int): IndexedSeq[(String, String)] =
+        (lo until hi).map(i => (s"g${i % 8}", s"item${(i * 2654435761L) % (n / 2)}"))
       val dir = java.nio.file.Files.createTempDirectory("graft_theta_probe")
       val q = EventStreams.thetaMaintained(
         input.toDF().toDF("grp", "item"), "grp", "item",
@@ -189,7 +214,7 @@ object StreamBench {
       val per = n / nBatches
       val (_, wall) = timed {
         (0 until nBatches).foreach { i =>
-          input.addData(items.slice(i * per,
+          input.addData(items(i * per,
             if (i == nBatches - 1) n else (i + 1) * per))
           q.processAllAvailable()
         }
@@ -197,7 +222,8 @@ object StreamBench {
       val snapRows = graft.streaming.SnapshotStore.read(spark, s"$dir/snap")
         .map(_.count()).getOrElse(0L)
       q.stop()
-      results += ProbeResult("theta_maintained", n.toLong, nBatches, wall, 0L, snapRows)
+      results += ProbeResult("theta_maintained", n.toLong, nBatches, wall,
+        0L, snapRows, 0L)
     }
 
     val rs = results.result()
@@ -206,8 +232,10 @@ object StreamBench {
       s""""${r.name}":{"rows_in":${r.rowsIn},"batches":${r.batches},""" +
         s""""wall_s":${BigDecimal(r.wallS).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
         s""""rows_per_s":${math.round(rps)},"out_rows":${r.outRows},""" +
-        s""""state_rows":${r.stateRows}}"""
-    }.mkString(s"""{"n_keys":$nKeys,"n_buckets":$nBuckets,"probes":{""", ",", "}}")
+        s""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
+    }.mkString(
+      s"""{"n_keys":$nKeys,"n_buckets":$nBuckets,"provider":"$provider","probes":{""",
+      ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
     spark.stop()

@@ -77,13 +77,63 @@ object TokenizerBench {
 
     def d(x: Double): String =
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // r14 probe: a web-scale corpus has 10^6-10^7 distinct words, not
+    // 2×10^5. Generate a 5M-word Zipf lexicon DISTRIBUTED (the driver
+    // only ever holds the maxWords-capped head — the documented
+    // sampling contract), then measure the 32k merge loop at (a) the
+    // default 1M-word cap (the production contract) and (b) the FULL
+    // 5M lexicon, with peak driver heap recorded for both so the cap's
+    // memory bound is measured, not argued.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def resetPeaks(): Unit =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .foreach(_.resetPeakUsage())
+    def peakHeapMb(): Long =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).sum / (1 << 20)
+    val z5 = spark.range(1, 5000001).select(col("id"))
+      .as[Long].map { i =>
+        val sb = new StringBuilder
+        var x = i * 2654435761L % 308915776L
+        val len = 3 + (i % 10).toInt
+        var j = 0
+        while (j < len) { sb.append(('a' + (x % 26)).toChar); x = x / 26 + j + i; j += 1 }
+        (sb.toString, math.max(2L, 20000000L / i))
+      }.toDF("w", "freq")
+      .groupBy("w").agg(max(col("freq")).as("freq"))
+      .localCheckpoint()
+    val z5Distinct = z5.count()
+    def zipfRun(cap: Int): String = {
+      System.gc(); resetPeaks()
+      val res = try {
+        val ((m, lx), t) = timed {
+          val (m0, lx0) = Bpe.trainModelLocalFromWords(z5, numMerges = vocab,
+            minPairFreq = 2L, maxWords = cap)
+          (m0.count(), lx0.count())
+        }
+        s"""{"wall_s":${d(t)},"merges":$m,"lexicon_rows":$lx,"peak_heap_mb":${peakHeapMb()}}"""
+      } catch { case e: OutOfMemoryError =>
+        s"""{"error":"OOM","peak_heap_mb":${peakHeapMb()}}"""
+      }
+      res
+    }
+    val zipf5mCapped = zipfRun(1000000)
+    val zipf5mFull = zipfRun(6000000)
+
     val json =
       s"""{"sf":"$sfDir","vocab":$vocab,"n_docs":$nDocs,"n_distinct_words":$nWords,""" +
       s""""word_freq_pass_s":${d(tWf)},""" +
       s""""bpe_local":{"wall_s":${d(tBpe)},"merges":$nMerges,"lexicon_rows":$nLex},""" +
       s""""wordpiece":{"wall_s":${d(tWp)},"pieces":$nPieces},""" +
       s""""unigram":{"wall_s":${d(tUni)},"vocab_rows":$nUni},""" +
-      s""""bpe_local_zipf200k":{"wall_s":${d(tZipf)},"merges":$zMerges,"lexicon_rows":$zWords}}"""
+      s""""bpe_local_zipf200k":{"wall_s":${d(tZipf)},"merges":$zMerges,"lexicon_rows":$zWords},""" +
+      s""""zipf5m_distinct":$z5Distinct,""" +
+      s""""bpe_local_zipf5m_cap1m":$zipf5mCapped,""" +
+      s""""bpe_local_zipf5m_full":$zipf5mFull}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
     spark.stop()

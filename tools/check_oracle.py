@@ -16,6 +16,7 @@ BIGINT, r4's q_zipf_coverage) still hash-fails at the driver. Catch it
 here first.
 """
 import json
+import os
 import math
 import sys
 
@@ -36,8 +37,12 @@ def norm(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written
+        # replicas (BenchScale) are part-file DIRECTORIES — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
