@@ -366,4 +366,64 @@ object Behavior {
         round(col("n").cast("double") / sum(col("n")).over(wf), 4))
       .select(col("from_event"), col("to_event"), col("n"), col("p"))
   }
+
+  /** C129: RFM segmentation — the classic customer-value grid over an
+    * event stream: per user, Recency (periods since last activity,
+    * against the CORPUS max timestamp so the score is a property of
+    * the data, not of when the job ran), Frequency (event count),
+    * Monetary (exact decimal value mass), each quintiled 1-5 and
+    * concatenated into the familiar "R F M" segment label
+    * (5-5-5 = recent/frequent/big spender). The per-user companion of
+    * [[activeUsers]]' aggregate curves.
+    *
+    * Shape at scale: ONE keyed aggregation to the per-user frame,
+    * then three ntile windows over it — the user frame is corpus-
+    * cardinality (bounded by |users|, not |events|) and each window
+    * is a single total-order pass, the same class as [[Profile]]'s
+    * rank windows. At extreme user cardinality (where even the user
+    * frame shouldn't total-order) swap the exact quintiles for
+    * KLL-sketch thresholds ([[graft.functions.KllQuantileSketch]],
+    * C58) broadcast back — same output contract, approximate
+    * boundaries. Determinism: every ntile orders by (metric,
+    * user_id) — a bare metric order would tie-break arbitrarily and
+    * flip boundary users between quintiles across engines. Recency
+    * ntiles DESCENDING (most recent = score 5), frequency/monetary
+    * ascending (biggest = 5): scores always read "bigger is better".
+    *
+    * Returns one row per user: (user_id, recency_periods, frequency,
+    * monetary, r_score, f_score, m_score, segment).
+    */
+  def rfm(
+      df: DataFrame,
+      user: Column,
+      tsNs: Column,
+      value: Column,
+      periodNs: Long = 86400L * 1000000000L): DataFrame = {
+    require(periodNs > 0, "periodNs must be positive")
+    val per = df.filter(user.isNotNull && tsNs.isNotNull)
+      .select(user.as("user_id"), tsNs.cast("long").as("__ts"),
+        value.cast("decimal(18,2)").as("__v"))
+      .groupBy("user_id")
+      .agg(
+        max(col("__ts")).as("__last"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(col("__v")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("monetary"))
+    val hz = per.agg(max(col("__last")).as("__hz"))
+    // integer `div`, never double division: an ns difference can
+    // exceed 2^53 and silently round under a double quotient
+    val t = per.crossJoin(broadcast(hz))
+      .withColumn("recency_periods", expr(s"(__hz - __last) div ${periodNs}L"))
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.orderBy(col("recency_periods").desc, col("user_id").asc)
+    val wf2 = Window.orderBy(col("frequency").asc, col("user_id").asc)
+    val wm = Window.orderBy(col("monetary").asc, col("user_id").asc)
+    t.withColumn("r_score", ntile(5).over(wr))
+      .withColumn("f_score", ntile(5).over(wf2))
+      .withColumn("m_score", ntile(5).over(wm))
+      .select(col("user_id"), col("recency_periods"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat_ws("-", col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+  }
 }

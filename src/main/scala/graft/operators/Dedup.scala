@@ -1968,4 +1968,109 @@ object Dedup {
         levenshtein(col("sk_a"), col("__p.sk_b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** D145: exact TF-WEIGHTED Jaccard over candidate pairs — the
+    * precision tier for repetition-heavy corpora where SET Jaccard
+    * lies: two docs sharing a vocabulary but repeating it very
+    * differently (a template stamped 40× vs once) read ~1.0 on set
+    * overlap and honestly low here. wJ(a,b) = Σ_t min(tf_a, tf_b) /
+    * Σ_t max(tf_a, tf_b) over the token MULTISETS — the weighted-
+    * Jaccard quantity consistent-weighted-sampling sketches estimate
+    * (Ioffe ICDM'10), computed exactly on the bounded candidate set
+    * instead of sketched over all pairs.
+    *
+    * Shape at scale: candidates come from any recall tier (SNM, LSH
+    * banding, containment prefixes) so the verify cost is
+    * O(|candidates| × doc length), never all-pairs; the per-pair
+    * min/max sums are ONE partial-aggregated groupBy over the two
+    * TF-joined sides (a full outer join on (pair, token) — each side
+    * hash-partitioned on the pair id, no window, no driver data).
+    * All counts are exact longs; the single division truncates 4-dp.
+    *
+    * Returns one row per candidate pair: (id_a, id_b, n_inter_tf,
+    * n_union_tf, weighted_jaccard, is_dup).
+    */
+  def weightedJaccardVerify(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      candidates: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val tf = scaleOut(docs.select(id.as("__id"), text.as("__text")))
+      .select(col("__id"), explode(graft.functions.tokens(col("__text"))).as("tok"))
+      .groupBy("__id", "tok").agg(count(lit(1)).as("tf"))
+    val cand = candidates.select(col("id_a"), col("id_b"))
+    val a = cand.join(tf, col("id_a") === col("__id"))
+      .select(col("id_a"), col("id_b"), col("tok"), col("tf").as("tfa"))
+    val b = cand.join(tf, col("id_b") === col("__id"))
+      .select(col("id_a"), col("id_b"), col("tok"), col("tf").as("tfb"))
+    a.join(b, Seq("id_a", "id_b", "tok"), "full_outer")
+      .groupBy("id_a", "id_b")
+      .agg(
+        sum(least(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
+          .as("n_inter_tf"),
+        sum(greatest(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
+          .as("n_union_tf"))
+      .select(col("id_a"), col("id_b"), col("n_inter_tf"), col("n_union_tf"),
+        coalesce(
+          floor(try_divide(col("n_inter_tf").cast("double"),
+            col("n_union_tf").cast("double")) * 1e4) / 1e4, lit(0.0))
+          .as("weighted_jaccard"))
+      .withColumn("is_dup", col("weighted_jaccard") >= threshold)
+  }
+
+  /** D146: duplicated-n-gram coverage gate (the ONION quantity,
+    * Pomikálek '11): per document, the fraction of its n-gram
+    * OCCURRENCES whose n-gram appears in ≥ `minDf` documents
+    * corpus-wide. [[Dedup]]'s whole-doc and span tiers ask "is this
+    * doc a copy of some OTHER doc"; this asks "how much of this doc
+    * is made of corpus-common material at all" — the score that
+    * catches franken-documents stitched from boilerplate that match
+    * nothing pairwise. Distinct from D24 (corpus top-k heavy
+    * shingles) and D9b (WITHIN-doc repetition): the unit here is
+    * per-doc coverage against corpus document frequency.
+    *
+    * Shape at scale: one shingle explode (distinct-per-doc for the df
+    * count, full multiset for the coverage denominator) partial-aggs
+    * to the df table, which joins back shingle-partitioned — the
+    * ngramJaccard exchange shape without the pair join; no window
+    * over unbounded partitions, no driver data. Coverage truncates
+    * 4-dp; docs shorter than n grams report 0 coverage and
+    * `too_short`.
+    *
+    * Returns one row per doc: (doc_id, n_grams, n_dup_grams,
+    * dup_coverage, flagged, too_short).
+    */
+  def duplicatedNgramCoverage(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      minDf: Int = 2,
+      maxCoverage: Double = 0.8): DataFrame = {
+    require(n >= 1 && n <= 16, "n in [1, 16]")
+    require(minDf >= 2, "minDf must be >= 2 (df 1 = unique material)")
+    val base = scaleOut(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        graft.functions.shingles(graft.functions.tokens(col("__text")), n)
+          .as("__sh"))
+    val occ = base
+      .select(col("doc_id"), explode(col("__sh")).as("sh"))
+      .repartition(col("sh"))
+    val df2 = occ.select(col("doc_id"), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("sh"))
+    val perDoc = occ.join(df2, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    base.select(col("doc_id"), size(col("__sh")).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_coverage",
+        coalesce(floor(try_divide(col("n_dup_grams").cast("double"),
+          col("n_grams").cast("double")) * 1e4) / 1e4, lit(0.0)))
+      .withColumn("flagged", col("dup_coverage") > maxCoverage)
+      .withColumn("too_short", col("n_grams") === 0L)
+  }
 }

@@ -3673,4 +3673,315 @@ object Stats {
           .as("significant"),
         col("degenerate"))
   }
+
+  /** C123: Ljung-Box portmanteau test per key — "is this series white
+    * noise at all?" as ONE number instead of eyeballing [[autocorrelation]]'s
+    * per-lag rows: Q = n(n+2)·Σ_{k=1..m} r_k²/(n−k), χ²_m under H₀.
+    * The pre-flight for every model that assumes independent
+    * residuals (EWMA bands, bootstrap CIs, SPRT) — the same reason
+    * [[runsTest]] exists, but powered against AUTOCORRELATED
+    * alternatives rather than runs structure.
+    *
+    * Built literally ON the C65 output: r_k is the published 4-dp
+    * autocorrelation and (n−k) is its n_pairs column, so the
+    * statistic is a pure function of an already-deterministic frame —
+    * each term r_k²/(n−k) truncates 9-dp into an exact decimal, the
+    * lag sum is order-free, and one double multiply by n(n+2)
+    * finishes. `critical` is the caller's χ² cut for m dof (default
+    * the 5% value for m = 3, the default lag budget).
+    *
+    * Returns one row per key: (key, max_lag, n, q_stat, significant,
+    * degenerate) — q_stat 4-dp floored; degenerate (flat series)
+    * reports 0/false.
+    */
+  def ljungBox(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      maxLag: Int = 3,
+      critical: Double = 7.815): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 200, "maxLag in [1, 200]")
+    val a = autocorrelation(df, key, bucket, value, maxLag)
+    val term = (floor(col("acf") * col("acf") /
+        col("n_pairs").cast("double") * 1e9) / 1e9)
+      .cast("decimal(28,9)")
+    a.groupBy("key").agg(
+        max(col("n_pairs") + col("lag")).as("n"),
+        sum(term).as("__s"),
+        max(col("lag")).as("max_lag"),
+        max(col("degenerate")).as("degenerate"))
+      .select(col("key"), col("max_lag"), col("n"),
+        when(col("degenerate"), 0.0)
+          .otherwise(floor(col("n").cast("double") * (col("n") + 2) *
+            col("__s").cast("double") * 1e4) / 1e4).as("q_stat"),
+        (!col("degenerate") &&
+          col("n").cast("double") * (col("n") + 2) *
+            col("__s").cast("double") > critical).as("significant"),
+        col("degenerate"))
+  }
+
+  /** C124: Bartlett's test of equal variances across k groups — the
+    * PARAMETRIC power tier above [[brownForsythe]]: sharper when the
+    * data really is normal (it tests the variances directly, not
+    * median-centered spreads), notoriously sensitive when it isn't —
+    * which is exactly why both belong in the toolbox, run side by
+    * side. χ² = [(N−k)·ln(Sp²) − Σ(n_i−1)·ln(s_i²)] / C with
+    * C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Shape at scale: ONE partial-aggregated pass computes per-group
+    * exact decimal moments (the anova kernel); everything after runs
+    * on the k-row group frame. Determinism: each group's
+    * (n_i−1)·ln(s_i²), 1/(n_i−1), and (n_i−1)·s_i² terms truncate
+    * 9-dp into exact decimals BEFORE the cross-group sums (a raw
+    * double Σ would be partial-aggregation-order dependent), and the
+    * two ln() calls that remain operate on already-truncated inputs.
+    * Groups with n_i < 2 or zero variance flag `degenerate` (ln
+    * explodes there) and the statistic reports 0.
+    *
+    * Returns ONE row: (k, n, chi2, df, significant, degenerate) —
+    * chi2 4-dp floored; `critical` is the caller's χ²_{k−1} cut
+    * (default the 5% value for k−1 = 4).
+    */
+  def bartlett(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      critical: Double = 9.488): DataFrame = {
+    val g = df.filter(group.isNotNull && value.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(
+        count(lit(1)).as("ni"),
+        sum(Num.dec(value)).as("__s"),
+        sum(Num.dec(value) * Num.dec(value)).as("__ss"))
+    val ni = col("ni").cast("double")
+    // sample variance from exact moments: (n·Σx² − (Σx)²) / (n(n−1))
+    val s2 = (ni * col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")) /
+      (ni * (ni - 1.0))
+    val terms = g.select(
+      col("ni"),
+      (floor(coalesce(
+        when(col("ni") >= 2 && s2 > 0.0, (ni - 1.0) * log(s2)), lit(0.0))
+        * 1e9) / 1e9).cast("decimal(28,9)").as("__lnterm"),
+      (floor(coalesce(
+        when(col("ni") >= 2, lit(1.0) / (ni - 1.0)), lit(0.0))
+        * 1e9) / 1e9).cast("decimal(28,9)").as("__invterm"),
+      (floor(coalesce(
+        when(col("ni") >= 2 && s2 > 0.0, (ni - 1.0) * s2), lit(0.0))
+        * 1e9) / 1e9).cast("decimal(28,9)").as("__ssterm"),
+      (col("ni") < 2 || s2 <= 0.0).as("__bad"))
+    val m = terms.agg(
+      count(lit(1)).as("k"),
+      sum(col("ni")).as("n"),
+      sum(col("__lnterm")).as("__sln"),
+      sum(col("__invterm")).as("__sinv"),
+      sum(col("__ssterm")).as("__sss"),
+      max(col("__bad")).as("degenerate"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val pooled = col("__sss").cast("double") / (nD - kD)
+    val c = lit(1.0) + (col("__sinv").cast("double") - lit(1.0) / (nD - kD)) /
+      (lit(3.0) * (kD - 1.0))
+    val chi2 = ((nD - kD) * log(pooled) - col("__sln").cast("double")) / c
+    val bad = col("degenerate") || col("k") < 2 || nD - kD <= 0.0
+    m.select(
+      col("k"), col("n"),
+      when(bad, 0.0).otherwise(Num.t4zero(chi2)).as("chi2"),
+      (col("k") - 1).as("df"),
+      (!bad && chi2 > critical).as("significant"),
+      bad.as("degenerate"))
+  }
+
+  /** C125: Durbin-Watson statistic per key — residual serial
+    * correlation of the per-key OLS trend line ([[trendFit]]'s fit,
+    * diagnosed): DW = Σ(e_t − e_{t−1})² / Σe_t², ≈ 2(1−ρ̂). The
+    * question it answers for dashboard series: "is that trend fit's
+    * error bar a lie because consecutive residuals move together?"
+    * (DW → 0: positive serial correlation, the usual failure; DW → 4:
+    * alternation.)
+    *
+    * ONE pass of exact decimal moments fits the line (the C55
+    * kernel), residuals quantize ONCE to 6-dp integer lanes, and the
+    * lag-difference and square sums are exact decimal arithmetic over
+    * one keyed ordered window — the C65 determinism recipe end to
+    * end. Keys need n ≥ 3 and a non-flat regressor and residual;
+    * otherwise `degenerate` with DW = 0.
+    *
+    * Returns one row per key: (key, n, dw, rho_approx, degenerate) —
+    * dw 4-dp floored, rho_approx = 1 − DW/2 4-dp toward zero.
+    */
+  def durbinWatson(
+      df: DataFrame,
+      key: Column,
+      x: Column,
+      y: Column): DataFrame = {
+    val t = df.filter(x.isNotNull && y.isNotNull)
+      .select(key.as("key"), x.cast("double").as("__x"),
+        y.cast("double").as("__y"))
+    val m = t.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(Num.dec(col("__x"))).as("__sx"),
+      sum(Num.dec(col("__y"))).as("__sy"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__y"))).as("__sxy"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__x"))).as("__sxx"))
+    val nD = col("n").cast("double")
+    val varX = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val fit = m.select(col("key"), col("n"),
+      when(varX === 0.0, 0.0)
+        .otherwise((nD * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) / varX)
+        .as("__b"),
+      (varX === 0.0).as("__flatx"))
+    // residual via e'_t = y − b·x then explicit demeaning: the fitted
+    // intercept is exactly mean(e'), so e' − mean(e') IS the
+    // intercept-fitted residual — one join instead of a second
+    // moment pass for the intercept
+    val r = t.join(fit, Seq("key"))
+      .withColumn("__e", col("__y") - col("__b") * col("__x"))
+    val mu = r.groupBy("key").agg(
+      (sum(Num.dec(col("__e"))).cast("double") / count(lit(1))).as("__mu"))
+    val r6 = r.join(mu, Seq("key"))
+      .withColumn("__e6",
+        ((col("__e") - col("__mu")) * 1e6).cast("decimal(18,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__x")
+    // decimal(19,0): the squared term must land at the proven
+    // 38-digit product width (see kpss) — 38×38 would overflow the
+    // TYPE, not the value
+    val lagged = r6.withColumn("__d",
+      (col("__e6") - lag(col("__e6"), 1).over(w)).cast("decimal(19,0)"))
+    lagged.groupBy("key").agg(
+        max(col("n")).as("n"),
+        max(col("__flatx")).as("__fx"),
+        sum((col("__d") * col("__d")).cast("decimal(38,0)")).as("__num"),
+        sum((col("__e6").cast("decimal(38,0)") * col("__e6"))
+          .cast("decimal(38,0)")).as("__den"))
+      .select(col("key"), col("n"),
+        when(col("__fx") || col("n") < 3 ||
+            col("__den").cast("double") <= 0.0, 0.0)
+          .otherwise(floor(col("__num").cast("double") /
+            col("__den").cast("double") * 1e4) / 1e4).as("dw"),
+        when(col("__fx") || col("n") < 3 ||
+            col("__den").cast("double") <= 0.0, 0.0)
+          .otherwise(Num.t4zero(lit(1.0) - col("__num").cast("double") /
+            col("__den").cast("double") / 2.0)).as("rho_approx"),
+        (col("__fx") || col("n") < 3 ||
+          col("__den").cast("double") <= 0.0).as("degenerate"))
+  }
+
+  /** C126: KPSS level-stationarity statistic per key — the
+    * flip side of drift ALARMS ([[pageHinkley]], [[cusum]]): those
+    * fire on a shift, this SCORES how non-stationary the whole series
+    * is. η = Σ_t S_t² / (n²·σ̂²) with S_t the partial sums of the
+    * demeaned series and σ̂² the plain sample variance (the lag-0 /
+    * no-HAC variant — the long-run-variance bandwidth is a modeling
+    * choice this engine won't silently make; DOCUMENTED contract).
+    * Under level stationarity η stays small; the 5% critical value
+    * for the level test is 0.463 (Kwiatkowski et al. '92, table 1).
+    *
+    * Determinism: demeaned values quantize ONCE to 6-dp integer
+    * lanes; partial sums, their squares, and the variance sum are
+    * exact integer-decimal arithmetic over one keyed ordered window —
+    * the 1e6 units cancel in the ratio (S² and c² both carry 1e12).
+    * Flat series report degenerate.
+    *
+    * Returns one row per key: (key, n, kpss, significant, degenerate)
+    * — kpss 4-dp floored.
+    */
+  def kpss(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      critical: Double = 0.463): DataFrame = {
+    val t = df.select(key.as("key"), bucket.cast("long").as("bucket"),
+        value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val mu = t.groupBy("key").agg(
+      (sum(Num.dec(col("__v"))).cast("double") / count(lit(1))).as("__mu"))
+    val c = t.join(mu, Seq("key"))
+      .withColumn("__c6",
+        ((col("__v") - col("__mu")) * 1e6).cast("decimal(18,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bucket")
+      .rowsBetween(Long.MinValue, 0)
+    // partial sums cap at decimal(19,0) so the square lands exactly at
+    // the proven 38-digit product width (the C65 lagged-product
+    // pattern) on BOTH engines — a 38×38 product would overflow the
+    // type system, not just the value
+    val s = c.withColumn("__ps", sum(col("__c6")).over(w).cast("decimal(19,0)"))
+    s.groupBy("key").agg(
+        count(lit(1)).as("n"),
+        sum((col("__ps") * col("__ps")).cast("decimal(38,0)")).as("__ss"),
+        sum((col("__c6").cast("decimal(38,0)") * col("__c6"))
+          .cast("decimal(38,0)")).as("__cc"))
+      .select(col("key"), col("n"),
+        when(col("__cc").cast("double") <= 0.0, 0.0)
+          .otherwise(floor(col("__ss").cast("double") /
+            (col("n").cast("double") * col("__cc").cast("double")) * 1e4)
+            / 1e4).as("kpss"),
+        (col("__cc").cast("double") > 0.0 &&
+          col("__ss").cast("double") /
+            (col("n").cast("double") * col("__cc").cast("double")) > critical)
+          .as("significant"),
+        (col("__cc").cast("double") <= 0.0).as("degenerate"))
+  }
+
+  /** C128: Grubbs' max-deviation outlier statistic per key —
+    * G = max|x − x̄|/s with the offending value attached: "is the
+    * worst point in this group an outlier, and WHICH one is it?" The
+    * single-point complement of [[rollingZ]] (windowless, whole-group)
+    * and [[winsorize]]-class treatments (this one NAMES the point
+    * instead of squashing it). The critical value depends on n via the
+    * t-distribution — a quantile this engine doesn't hand-roll —
+    * so `critical` is caller-supplied (the standard table value for
+    * the group sizes at hand); the statistic itself is always
+    * reported.
+    *
+    * ONE exact-decimal moment pass + one max-struct pass: |x − x̄|
+    * quantizes to 6-dp integer lanes and the (dev6, value) struct max
+    * makes the winning point deterministic under ties. Groups with
+    * n < 3 or zero variance report degenerate.
+    *
+    * Returns one row per key: (key, n, g_stat, outlier_value,
+    * significant, degenerate) — g_stat 4-dp floored.
+    */
+  def grubbs(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      critical: Double = 3.0): DataFrame = {
+    val t = df.filter(value.isNotNull)
+      .select(key.as("key"), value.cast("double").as("__v"))
+    val m = t.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(Num.dec(col("__v"))).as("__s"),
+      sum(Num.dec(col("__v")) * Num.dec(col("__v"))).as("__ss"))
+    val nD = col("n").cast("double")
+    val mv = m.select(col("key"), col("n"),
+      (col("__s").cast("double") / nD).as("__mu"),
+      when(col("n") >= 2,
+        (nD * col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double")) /
+          (nD * (nD - 1.0))).otherwise(0.0).as("__s2"))
+    val dev = t.join(mv, Seq("key"))
+      .withColumn("__dev6",
+        floor(abs(col("__v") - col("__mu")) * 1e6).cast("long"))
+    dev.groupBy("key").agg(
+        max(col("n")).as("n"),
+        max(col("__s2")).as("__s2v"),
+        max(struct(col("__dev6"), col("__v"))).as("__w"))
+      .select(col("key"), col("n"),
+        when(col("n") < 3 || col("__s2v") <= 0.0, 0.0)
+          .otherwise(floor(col("__w.__dev6").cast("double") / 1e6 /
+            sqrt(col("__s2v")) * 1e4) / 1e4).as("g_stat"),
+        when(col("n") < 3 || col("__s2v") <= 0.0, lit(null).cast("double"))
+          .otherwise(col("__w.__v")).as("outlier_value"),
+        (col("n") >= 3 && col("__s2v") > 0.0 &&
+          col("__w.__dev6").cast("double") / 1e6 / sqrt(col("__s2v"))
+            > critical).as("significant"),
+        (col("n") < 3 || col("__s2v") <= 0.0).as("degenerate"))
+  }
 }

@@ -2877,6 +2877,120 @@ object DedupQueries {
           col("vec_id"), col("embedding"), nComponents = 1, rounds = 8)
         .select(col("id"), col("removed_share"))
         .orderBy("id")
+    },
+
+    // D145: exact TF-weighted Jaccard verify — planted DOUBLED docs
+    // (text||' '||text) score exactly 0.5 on the multiset ratio where
+    // set Jaccard would read 1.0 (the lie this tier exists to catch);
+    // cross pairs (doc, doc+1) stay honest-low. Candidates are the
+    // planted map — the verify tier's contract is "any recall tier's
+    // candidate frame".
+    Q(
+      "q_dedup_wjaccard",
+      s"""WITH u AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' ' || text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |cand AS (
+         |  SELECT doc_id AS id_a, doc_id + 200000 AS id_b
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT d1.doc_id, d2.doc_id
+         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+         |  WHERE d1.doc_id % 11 = 0),
+         |tf AS (
+         |  SELECT id, t AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT id, unnest(${tkSql("text")}) AS t FROM u)
+         |  GROUP BY id, t),
+         |a AS (
+         |  SELECT c.id_a, c.id_b, tf.tok, tf.tf AS tfa
+         |  FROM cand c JOIN tf ON c.id_a = tf.id),
+         |b AS (
+         |  SELECT c.id_a, c.id_b, tf.tok, tf.tf AS tfb
+         |  FROM cand c JOIN tf ON c.id_b = tf.id),
+         |j AS (
+         |  SELECT coalesce(a.id_a, b.id_a) AS id_a,
+         |    coalesce(a.id_b, b.id_b) AS id_b,
+         |    coalesce(a.tfa, 0) AS tfa, coalesce(b.tfb, 0) AS tfb
+         |  FROM a FULL JOIN b
+         |    ON a.id_a = b.id_a AND a.id_b = b.id_b AND a.tok = b.tok),
+         |g AS (
+         |  SELECT id_a, id_b,
+         |    CAST(sum(least(tfa, tfb)) AS BIGINT) AS n_inter_tf,
+         |    CAST(sum(greatest(tfa, tfb)) AS BIGINT) AS n_union_tf
+         |  FROM j GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, n_inter_tf, n_union_tf,
+         |  CASE WHEN n_union_tf = 0 THEN 0.0
+         |    ELSE floor(CAST(n_inter_tf AS DOUBLE) / CAST(n_union_tf AS DOUBLE)
+         |      * 1e4) / 1e4 END AS weighted_jaccard,
+         |  CASE WHEN n_union_tf = 0 THEN 0.0
+         |    ELSE floor(CAST(n_inter_tf AS DOUBLE) / CAST(n_union_tf AS DOUBLE)
+         |      * 1e4) / 1e4 END >= 0.4 AS is_dup
+         |FROM g ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val u = d.select(col("doc_id").as("id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      val cand = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
+        .unionByName(d.as("d1")
+          .join(d.as("d2"), col("d2.doc_id") === col("d1.doc_id") + 1)
+          .filter(col("d1.doc_id") % 11 === 0)
+          .select(col("d1.doc_id").as("id_a"), col("d2.doc_id").as("id_b")))
+      Dedup.weightedJaccardVerify(u, col("id"), col("text"), cand,
+          threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D146: duplicated-n-gram coverage (ONION) — every fifth doc gets
+    // a shared boilerplate suffix, pushing its trigram coverage up
+    // against the natural lorem baseline; df >= 5, flag above 0.5.
+    Q(
+      "q_dup_coverage",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text ||
+         |      ' subscribe to our newsletter today for fresh offers'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM d),
+         |occ AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+         |        FROM tk0 WHERE len(tk) >= 3)),
+         |dfreq AS (
+         |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM occ)
+         |  GROUP BY sh HAVING count(*) >= 5),
+         |per AS (
+         |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM occ o JOIN dfreq USING (sh)
+         |  GROUP BY o.doc_id),
+         |tot AS (
+         |  SELECT doc_id, CAST(greatest(len(tk) - 2, 0) AS BIGINT) AS n_grams
+         |  FROM tk0)
+         |SELECT t.doc_id, t.n_grams,
+         |  coalesce(p.n_dup, 0) AS n_dup_grams,
+         |  CASE WHEN t.n_grams = 0 THEN 0.0
+         |    ELSE floor(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_grams
+         |      * 1e4) / 1e4 END AS dup_coverage,
+         |  CASE WHEN t.n_grams = 0 THEN 0.0
+         |    ELSE floor(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_grams
+         |      * 1e4) / 1e4 END > 0.5 AS flagged,
+         |  t.n_grams = 0 AS too_short
+         |FROM tot t LEFT JOIN per p USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d2 = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"),
+            lit(" subscribe to our newsletter today for fresh offers")))
+            .otherwise(col("text")).as("text"))
+      Dedup.duplicatedNgramCoverage(d2, col("doc_id"), col("text"),
+          n = 3, minDf = 5, maxCoverage = 0.5)
+        .orderBy("doc_id")
     }
   )
 }

@@ -3071,6 +3071,326 @@ object ProfileQueries {
       graft.operators.Stats.signFlipTest(graft.sources.Tables.events(s, dir),
         col("user_id"), col("event_type"), col("value"),
         groupA = "click", groupB = "view", b = 64)
+    },
+
+    // C123: Ljung-Box portmanteau on the hourly-count series per event
+    // type — the q_acf frame aggregated to ONE white-noise verdict:
+    // Q = n(n+2)·Σ r_k²/(n−k) over lags 1..3 with r_k the published
+    // 4-dp autocorrelations, so the oracle replays C65 then the sum.
+    Q(
+      "q_ljung_box", {
+        def lagSel(l: Int): String =
+          s"""SELECT key, $l AS lag,
+             |  CAST(c6 AS DECIMAL(38,0))
+             |    * lag(c6, $l) OVER (PARTITION BY key ORDER BY bucket) AS p
+             |FROM c""".stripMargin
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    epoch_ns(ts) // 3600000000000 AS bucket,
+           |    CAST(count(*) AS DOUBLE) AS value
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+           |  FROM b GROUP BY 1),
+           |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM sp),
+           |d AS (
+           |  SELECT g.key, g.bucket, coalesce(b.value, 0.0) AS value
+           |  FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket),
+           |mu AS (
+           |  SELECT key,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT d.key, d.bucket,
+           |    CAST((d.value - mu.mu) * 1e6 AS DECIMAL(18,0)) AS c6
+           |  FROM d JOIN mu ON d.key = mu.key),
+           |den AS (
+           |  SELECT key, sum(CAST(c6 AS DECIMAL(38,0)) * c6) AS dn
+           |  FROM c GROUP BY 1),
+           |l AS (
+           |  ${lagSel(1)}
+           |  UNION ALL
+           |  ${lagSel(2)}
+           |  UNION ALL
+           |  ${lagSel(3)}),
+           |a AS (
+           |  SELECT key, lag, CAST(count(p) AS BIGINT) AS n_pairs,
+           |    coalesce(sum(p), 0) AS num
+           |  FROM l GROUP BY 1, 2),
+           |r AS (
+           |  SELECT a.key, a.lag, a.n_pairs,
+           |    CASE WHEN CAST(den.dn AS DOUBLE) <= 0.0 THEN CAST(0.0 AS DOUBLE)
+           |      ELSE sign(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |        * (floor(abs(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |          * 1e4) / 1e4) + 0.0
+           |    END AS acf,
+           |    CAST(den.dn AS DOUBLE) <= 0.0 AS degenerate
+           |  FROM a JOIN den ON a.key = den.key),
+           |g AS (
+           |  SELECT key, max(n_pairs + lag) AS n, max(lag) AS max_lag,
+           |    sum(CAST(floor(acf * acf / n_pairs * 1e9) / 1e9
+           |      AS DECIMAL(28,9))) AS s,
+           |    bool_or(degenerate) AS degenerate
+           |  FROM r GROUP BY key)
+           |SELECT key, max_lag, n,
+           |  CASE WHEN degenerate THEN 0.0
+           |    ELSE floor(CAST(n AS DOUBLE) * (n + 2) * CAST(s AS DOUBLE)
+           |      * 1e4) / 1e4 END AS q_stat,
+           |  (NOT degenerate) AND
+           |    CAST(n AS DOUBLE) * (n + 2) * CAST(s AS DOUBLE) > 7.815
+           |    AS significant,
+           |  degenerate
+           |FROM g ORDER BY key""".stripMargin
+      }
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val span = counts.groupBy("key")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val dense = span
+        .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        .join(counts, Seq("key", "bucket"), "left")
+        .withColumn("value", coalesce(col("value"), lit(0.0)))
+      graft.operators.Stats.ljungBox(dense, col("key"), col("bucket"),
+          col("value"), maxLag = 3, critical = 7.815)
+        .orderBy("key")
+    },
+
+    // C126: KPSS level-stationarity score on the same dense hourly
+    // series — partial sums of the demeaned 6-dp lanes, all-integer
+    // arithmetic, 0.463 the 5% level-test critical value.
+    Q(
+      "q_kpss",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM b GROUP BY 1),
+        |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM sp),
+        |d AS (
+        |  SELECT g.key, g.bucket, coalesce(b.value, 0.0) AS value
+        |  FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket),
+        |mu AS (
+        |  SELECT key,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT d.key, d.bucket,
+        |    CAST((d.value - mu.mu) * 1e6 AS DECIMAL(18,0)) AS c6
+        |  FROM d JOIN mu ON d.key = mu.key),
+        |s AS (
+        |  SELECT key, bucket, c6,
+        |    CAST(sum(c6) OVER (PARTITION BY key ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(19,0)) AS ps
+        |  FROM c),
+        |g AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(ps * ps AS DECIMAL(38,0))) AS ss,
+        |    sum(CAST(c6 AS DECIMAL(38,0)) * c6) AS cc
+        |  FROM s GROUP BY key)
+        |SELECT key, n,
+        |  CASE WHEN CAST(cc AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE floor(CAST(ss AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(cc AS DOUBLE)) * 1e4) / 1e4
+        |    END AS kpss,
+        |  CAST(cc AS DOUBLE) > 0.0 AND
+        |    CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cc AS DOUBLE))
+        |      > 0.463 AS significant,
+        |  CAST(cc AS DOUBLE) <= 0.0 AS degenerate
+        |FROM g ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val span = counts.groupBy("key")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val dense = span
+        .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        .join(counts, Seq("key", "bucket"), "left")
+        .withColumn("value", coalesce(col("value"), lit(0.0)))
+      graft.operators.Stats.kpss(dense, col("key"), col("bucket"), col("value"))
+        .orderBy("key")
+    },
+
+    // C125: Durbin-Watson on the hourly-count series per event type —
+    // residuals of the per-key OLS trend line, lag-difference ratio.
+    Q(
+      "q_durbin_watson",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    CAST(epoch_ns(ts) // 3600000000000 AS DOUBLE) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY key, epoch_ns(ts) // 3600000000000),
+        |m AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx
+        |  FROM b GROUP BY key),
+        |f AS (
+        |  SELECT key, n,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 AS flatx
+        |  FROM m),
+        |r AS (
+        |  SELECT b.key, b.x, f.n, f.flatx, b.y - f.slope * b.x AS e
+        |  FROM b JOIN f ON b.key = f.key),
+        |emu AS (
+        |  SELECT key,
+        |    CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+        |  FROM r GROUP BY key),
+        |r6 AS (
+        |  SELECT r.key, r.x, r.n, r.flatx,
+        |    CAST((r.e - emu.mu) * 1e6 AS DECIMAL(18,0)) AS e6
+        |  FROM r JOIN emu ON r.key = emu.key),
+        |lagd AS (
+        |  SELECT key, n, flatx, e6,
+        |    CAST(e6 - lag(e6, 1) OVER (PARTITION BY key ORDER BY x)
+        |      AS DECIMAL(19,0)) AS dd
+        |  FROM r6),
+        |g AS (
+        |  SELECT key, max(n) AS n, bool_or(flatx) AS fx,
+        |    sum(CAST(dd * dd AS DECIMAL(38,0))) AS num,
+        |    sum(CAST(e6 AS DECIMAL(38,0)) * e6) AS den
+        |  FROM lagd GROUP BY key)
+        |SELECT key, n,
+        |  CASE WHEN fx OR n < 3 OR CAST(den AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e4) / 1e4
+        |    END AS dw,
+        |  CASE WHEN fx OR n < 3 OR CAST(den AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE sign(1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0)
+        |      * (floor(abs(1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |        / 2.0) * 1e4) / 1e4) + 0.0 END AS rho_approx,
+        |  (fx OR n < 3 OR CAST(den AS DOUBLE) <= 0.0) AS degenerate
+        |FROM g ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.Stats.durbinWatson(counts, col("key"),
+          col("bucket"), col("value"))
+        .orderBy("key")
+    },
+
+    // C124: Bartlett's equal-variance test over event values by type —
+    // the parametric tier next to q_brown_forsythe, per-group ln terms
+    // truncated 9-dp before the cross-group sums.
+    Q(
+      "q_bartlett",
+      """WITH g AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS ni,
+        |    sum(CAST(value AS DECIMAL(19,6))) AS s,
+        |    sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+        |      AS ss
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY grp),
+        |v AS (
+        |  SELECT ni,
+        |    (CAST(ni AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0)) AS s2
+        |  FROM g),
+        |t AS (
+        |  SELECT ni,
+        |    CAST(floor(coalesce(CASE WHEN ni >= 2 AND s2 > 0.0
+        |      THEN (CAST(ni AS DOUBLE) - 1.0) * ln(s2) END, 0.0) * 1e9) / 1e9
+        |      AS DECIMAL(28,9)) AS lnterm,
+        |    CAST(floor(coalesce(CASE WHEN ni >= 2
+        |      THEN 1.0 / (CAST(ni AS DOUBLE) - 1.0) END, 0.0) * 1e9) / 1e9
+        |      AS DECIMAL(28,9)) AS invterm,
+        |    CAST(floor(coalesce(CASE WHEN ni >= 2 AND s2 > 0.0
+        |      THEN (CAST(ni AS DOUBLE) - 1.0) * s2 END, 0.0) * 1e9) / 1e9
+        |      AS DECIMAL(28,9)) AS ssterm,
+        |    (ni < 2 OR s2 <= 0.0) AS bad
+        |  FROM v),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+        |    sum(lnterm) AS sln, sum(invterm) AS sinv, sum(ssterm) AS sss,
+        |    bool_or(bad) AS degenerate
+        |  FROM t),
+        |x AS (
+        |  SELECT k, n, degenerate,
+        |    CAST(sss AS DOUBLE) / (CAST(n AS DOUBLE) - k) AS pooled,
+        |    1.0 + (CAST(sinv AS DOUBLE) - 1.0 / (CAST(n AS DOUBLE) - k))
+        |      / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS c,
+        |    CAST(sln AS DOUBLE) AS sln
+        |  FROM m)
+        |SELECT k, n,
+        |  CASE WHEN degenerate OR k < 2 OR CAST(n AS DOUBLE) - k <= 0.0
+        |    THEN 0.0
+        |    ELSE sign(((CAST(n AS DOUBLE) - k) * ln(pooled) - sln) / c)
+        |      * (floor(abs(((CAST(n AS DOUBLE) - k) * ln(pooled) - sln) / c)
+        |        * 1e4) / 1e4) + 0.0 END AS chi2,
+        |  k - 1 AS df,
+        |  (NOT (degenerate OR k < 2 OR CAST(n AS DOUBLE) - k <= 0.0)) AND
+        |    ((CAST(n AS DOUBLE) - k) * ln(pooled) - sln) / c > 9.488
+        |    AS significant,
+        |  (degenerate OR k < 2 OR CAST(n AS DOUBLE) - k <= 0.0) AS degenerate
+        |FROM x""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.bartlett(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"), critical = 9.488)
+    },
+
+    // C128: Grubbs' max-deviation outlier statistic over event values
+    // per type, with the winning point pinned by the (dev6, value)
+    // struct max.
+    Q(
+      "q_grubbs",
+      """WITH t AS (
+        |  SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS DECIMAL(19,6))) AS s,
+        |    sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS ss
+        |  FROM t GROUP BY key),
+        |mv AS (
+        |  SELECT key, n, CAST(s AS DOUBLE) / n AS mu,
+        |    CASE WHEN n >= 2 THEN (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    ELSE 0.0 END AS s2
+        |  FROM m),
+        |d AS (
+        |  SELECT t.key, mv.n, mv.s2, t.v,
+        |    CAST(floor(abs(t.v - mv.mu) * 1e6) AS BIGINT) AS dev6
+        |  FROM t JOIN mv ON t.key = mv.key),
+        |md AS (SELECT key, max(dev6) AS mdev FROM d GROUP BY key),
+        |w AS (
+        |  SELECT d.key, max(d.v) AS wv
+        |  FROM d JOIN md ON d.key = md.key AND d.dev6 = md.mdev
+        |  GROUP BY d.key),
+        |g AS (
+        |  SELECT d.key, max(d.n) AS n, max(d.s2) AS s2, max(d.dev6) AS mdev
+        |  FROM d GROUP BY d.key)
+        |SELECT g.key, g.n,
+        |  CASE WHEN g.n < 3 OR g.s2 <= 0.0 THEN 0.0
+        |    ELSE floor(CAST(g.mdev AS DOUBLE) / 1e6 / sqrt(g.s2) * 1e4) / 1e4
+        |    END AS g_stat,
+        |  CASE WHEN g.n < 3 OR g.s2 <= 0.0 THEN NULL ELSE w.wv END
+        |    AS outlier_value,
+        |  g.n >= 3 AND g.s2 > 0.0 AND
+        |    CAST(g.mdev AS DOUBLE) / 1e6 / sqrt(g.s2) > 3.0 AS significant,
+        |  (g.n < 3 OR g.s2 <= 0.0) AS degenerate
+        |FROM g JOIN w ON g.key = w.key
+        |ORDER BY g.key""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.grubbs(graft.sources.Tables.events(s, dir),
+          col("event_type"), col("value"), critical = 3.0)
+        .orderBy("key")
     }
   )
 }

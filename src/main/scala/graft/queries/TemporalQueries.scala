@@ -1394,6 +1394,46 @@ object TemporalQueries {
       graft.operators.Stats.pageHinkley(buckets, col("event_type"),
           col("bucket_s"), col("n_events"), delta = 0.5, lambda = 8.0)
         .orderBy("key", "bucket")
+    },
+
+    // C129: RFM segmentation per user — recency vs the corpus horizon
+    // (data-relative, not wall-clock), frequency, exact-decimal
+    // monetary mass, ntile(5) quintiles with (metric, user_id)
+    // tiebreaks so boundary users land identically on both engines.
+    Q(
+      "q_rfm",
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(epoch_ns(ts)) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE)
+        |      AS monetary
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |hz AS (SELECT max(last_ts) AS hz FROM per),
+        |t AS (
+        |  SELECT user_id,
+        |    (hz - last_ts) // 86400000000000 AS recency_periods,
+        |    frequency, monetary
+        |  FROM per, hz),
+        |sc AS (
+        |  SELECT user_id, recency_periods, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_periods DESC, user_id ASC)
+        |      AS INTEGER) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)
+        |      AS INTEGER) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id ASC)
+        |      AS INTEGER) AS m_score
+        |  FROM t)
+        |SELECT user_id, recency_periods, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+        |    || '-' || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Behavior.rfm(graft.sources.Tables.events(s, dir),
+          col("user_id"), col("ts_ns"), col("value"))
+        .orderBy("user_id")
     }
   )
 }

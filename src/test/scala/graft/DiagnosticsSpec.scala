@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Behavior, Dedup, Stats}
+
+/** Hand-computed fixtures for the r14 diagnostics additions:
+  * C123 Ljung-Box, C124 Bartlett, C125 Durbin-Watson, C126 KPSS,
+  * C128 Grubbs, C129 RFM, D145 weighted-Jaccard verify, D146
+  * duplicated-n-gram coverage.
+  */
+class DiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grubbs: hand-computed G, winning point, degenerate small group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0), ("b", 5.0)).toDF("k", "v")
+    val out = Stats.grubbs(df, col("k"), col("v"), critical = 3.0)
+      .orderBy("key").collect()
+    val a = out(0)
+    // mean 4, s2 = (4*114-256)/12 = 16.666.., G = 6/sqrt(s2) = 1.4696(9)
+    assert(a.getLong(1) == 4L)
+    assert(math.abs(a.getDouble(2) - 1.4696) < 1e-9, s"g=${a.getDouble(2)}")
+    assert(a.getDouble(3) == 10.0)
+    assert(!a.getBoolean(4) && !a.getBoolean(5))
+    val b = out(1)
+    assert(b.getBoolean(5), "n=2 must be degenerate")
+    assert(b.getDouble(2) == 0.0 && b.isNullAt(3))
+  }
+
+  test("grubbs: tie on the max deviation resolves to the larger value") {
+    val df = Seq(("a", 0.0), ("a", 10.0), ("a", -10.0), ("a", 0.0))
+      .toDF("k", "v")
+    val out = Stats.grubbs(df, col("k"), col("v")).collect()(0)
+    assert(out.getDouble(3) == 10.0, "struct max must break the dev tie upward")
+  }
+
+  test("ljungBox: ramp is significant, flat is degenerate, white-ish is not") {
+    val ramp = (0 until 40).map(i => ("r", i.toLong, i.toDouble)).toDF("k", "b", "v")
+    val r = Stats.ljungBox(ramp, col("k"), col("b"), col("v"), maxLag = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 40L && r.getAs[Int]("max_lag") == 3)
+    assert(r.getAs[Double]("q_stat") > 7.815 && r.getAs[Boolean]("significant"))
+    val flat = (0 until 40).map(i => ("f", i.toLong, 5.0)).toDF("k", "b", "v")
+    val f = Stats.ljungBox(flat, col("k"), col("b"), col("v"), maxLag = 3)
+      .collect()(0)
+    assert(f.getAs[Boolean]("degenerate") && f.getAs[Double]("q_stat") == 0.0)
+    // strict alternation has r1 ~ -1: hugely significant too — the
+    // interesting non-significant case is near-zero autocorrelation
+    // (murmur scramble: a multiplicative-mod walk keeps lag structure)
+    val mixed = (0 until 40).map(i =>
+      ("m", i.toLong,
+        (scala.util.hashing.MurmurHash3.stringHash(i.toString) % 23).toDouble))
+      .toDF("k", "b", "v")
+    val m = Stats.ljungBox(mixed, col("k"), col("b"), col("v"), maxLag = 3)
+      .collect()(0)
+    assert(m.getAs[Double]("q_stat") < 7.815 && !m.getAs[Boolean]("significant"),
+      s"hash-scramble series should look white: q=${m.getAs[Double]("q_stat")}")
+  }
+
+  test("bartlett: hand-computed chi2 on a 2-group variance split") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).map(("a", _)) ++
+      Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0).map(("b", _))).toDF("g", "v")
+    val out = Stats.bartlett(df, col("g"), col("v"), critical = 3.841)
+      .collect()(0)
+    assert(out.getAs[Long]("k") == 2L && out.getAs[Long]("n") == 12L)
+    // (10·ln(176.75) − (5·ln3.5 + 5·ln350)) / 1.1 = 14.7236...
+    assert(math.abs(out.getAs[Double]("chi2") - 14.7236) < 0.01,
+      s"chi2=${out.getAs[Double]("chi2")}")
+    assert(out.getAs[Boolean]("significant") && !out.getAs[Boolean]("degenerate"))
+    val eq = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val e = Stats.bartlett(eq, col("g"), col("v")).collect()(0)
+    assert(math.abs(e.getAs[Double]("chi2")) < 1e-6 && !e.getAs[Boolean]("significant"))
+    // a constant group explodes ln(s2): must flag, not NaN
+    val cst = (Seq(1.0, 1.0, 1.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val c = Stats.bartlett(cst, col("g"), col("v")).collect()(0)
+    assert(c.getAs[Boolean]("degenerate") && c.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("durbinWatson: alternation reads high, smooth walk low, perfect fit degenerate") {
+    val alt = (0 until 30).map(i =>
+      ("a", i.toDouble, (if (i % 2 == 0) 1.0 else -1.0))).toDF("k", "x", "y")
+    val a = Stats.durbinWatson(alt, col("k"), col("x"), col("y")).collect()(0)
+    assert(a.getAs[Double]("dw") > 2.5, s"alternating residuals: dw=${a.getAs[Double]("dw")}")
+    assert(a.getAs[Double]("rho_approx") < 0.0)
+    val smooth = (0 until 30).map(i =>
+      ("s", i.toDouble, math.sin(i / 8.0) * 10.0)).toDF("k", "x", "y")
+    val sm = Stats.durbinWatson(smooth, col("k"), col("x"), col("y")).collect()(0)
+    assert(sm.getAs[Double]("dw") < 1.0, s"smooth residuals: dw=${sm.getAs[Double]("dw")}")
+    val perfect = (0 until 10).map(i =>
+      ("p", i.toDouble, 2.0 * i + 1.0)).toDF("k", "x", "y")
+    val p = Stats.durbinWatson(perfect, col("k"), col("x"), col("y")).collect()(0)
+    assert(p.getAs[Boolean]("degenerate"), "zero residual variance must flag")
+  }
+
+  test("kpss: trend blows the level test, stationary noise does not, flat degenerate") {
+    val trend = (0 until 60).map(i => ("t", i.toLong, i.toDouble)).toDF("k", "b", "v")
+    val t = Stats.kpss(trend, col("k"), col("b"), col("v")).collect()(0)
+    assert(t.getAs[Double]("kpss") > 0.463 && t.getAs[Boolean]("significant"),
+      s"kpss(trend)=${t.getAs[Double]("kpss")}")
+    val noise = (0 until 60).map(i =>
+      ("n", i.toLong, ((i * 2654435761L) % 13).toDouble)).toDF("k", "b", "v")
+    val n = Stats.kpss(noise, col("k"), col("b"), col("v")).collect()(0)
+    assert(n.getAs[Double]("kpss") < 0.463 && !n.getAs[Boolean]("significant"),
+      s"kpss(noise)=${n.getAs[Double]("kpss")}")
+    val flat = (0 until 10).map(i => ("f", i.toLong, 3.0)).toDF("k", "b", "v")
+    val f = Stats.kpss(flat, col("k"), col("b"), col("v")).collect()(0)
+    assert(f.getAs[Boolean]("degenerate"))
+  }
+
+  test("rfm: 5 distinct users land one per quintile on every axis") {
+    val day = 86400L * 1000000000L
+    // user u: last activity day u, u events, value mass 10·u
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, u.toLong * day - (i - 1), 10.0 * u / u))
+    }
+    val df = rows.toDF("user_id", "ts_ns", "value")
+    val out = Behavior.rfm(df, col("user_id"), col("ts_ns"), col("value"))
+      .orderBy("user_id").collect()
+    // user 5: most recent + most frequent + biggest spender = 5-5-5
+    val u5 = out(4)
+    assert(u5.getAs[Int]("r_score") == 5 && u5.getAs[Int]("f_score") == 5 &&
+      u5.getAs[Int]("m_score") == 5 && u5.getAs[String]("segment") == "5-5-5")
+    val u1 = out(0)
+    assert(u1.getAs[Int]("r_score") == 1 && u1.getAs[Int]("f_score") == 1 &&
+      u1.getAs[String]("segment") == "1-1-1")
+    assert(u1.getAs[Long]("recency_periods") == 4L)
+    assert(out.map(_.getAs[Int]("f_score")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("weightedJaccardVerify: multiset ratio where set Jaccard lies") {
+    val docs = Seq((1L, "a a b"), (2L, "a b b"), (3L, "x y z"),
+      (4L, "a a b a a b")).toDF("id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.weightedJaccardVerify(docs, col("id"), col("text"), cand,
+        threshold = 0.4)
+      .orderBy("id_b").collect()
+    // {a:2,b:1} vs {a:1,b:2}: min 2, max 4 -> 0.5 (set Jaccard = 1.0)
+    assert(out(0).getAs[Long]("n_inter_tf") == 2L &&
+      out(0).getAs[Long]("n_union_tf") == 4L &&
+      out(0).getAs[Double]("weighted_jaccard") == 0.5 &&
+      out(0).getAs[Boolean]("is_dup"))
+    // disjoint vocabularies: 0
+    assert(out(1).getAs[Double]("weighted_jaccard") == 0.0 &&
+      !out(1).getAs[Boolean]("is_dup"))
+    // doc vs its doubling: exactly 0.5
+    assert(out(2).getAs[Double]("weighted_jaccard") == 0.5)
+  }
+
+  test("duplicatedNgramCoverage: df gate, per-doc coverage, short docs") {
+    val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
+      (4L, "p q")).toDF("id", "text")
+    val out = Dedup.duplicatedNgramCoverage(docs, col("id"), col("text"),
+        n = 3, minDf = 2, maxCoverage = 0.4)
+      .orderBy("doc_id").collect()
+    // "x y z" df=3 >= 2; each 4-token doc has 2 trigrams, 1 duplicated
+    (0 until 3).foreach { i =>
+      assert(out(i).getAs[Long]("n_grams") == 2L &&
+        out(i).getAs[Long]("n_dup_grams") == 1L &&
+        out(i).getAs[Double]("dup_coverage") == 0.5 &&
+        out(i).getAs[Boolean]("flagged"))
+    }
+    val short = out(3)
+    assert(short.getAs[Long]("n_grams") == 0L &&
+      short.getAs[Boolean]("too_short") && !short.getAs[Boolean]("flagged"))
+  }
+}
