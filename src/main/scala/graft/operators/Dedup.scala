@@ -2019,6 +2019,39 @@ object Dedup {
       .withColumn("is_dup", col("weighted_jaccard") >= threshold)
   }
 
+  /** D147: duplication-aware loss weights — keep EVERY rendition but
+    * down-weight each duplicate-cluster member by 1/|cluster|, so a
+    * document stamped 40 times across the crawl contributes one
+    * document's worth of gradient instead of 40 (the soft alternative
+    * to [[clusterDuplicates]]' hard drop; Muennighoff et al.
+    * NeurIPS'23 measure the repeat-epoch decay this weight
+    * compensates). Pairs come from any near-dup tier; docs outside
+    * every pair weight 1.0.
+    *
+    * Shape at scale: [[connectedComponents]] over the (bounded)
+    * pair frame, one component-size aggregation, one left join back
+    * to the corpus id frame — the cluster machinery is shared with
+    * D16, the weight step adds a broadcast-sized size table (clusters
+    * are few by construction or the corpus was ALL duplicates).
+    *
+    * Returns one row per doc: (doc_id, cluster_size, weight) —
+    * weight = 1/cluster_size truncated 6-dp.
+    */
+  def duplicationWeights(
+      docs: DataFrame,
+      id: Column,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs, col("id_a"), col("id_b"))
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("__sz"))
+    docs.select(id.as("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"),
+        (floor(lit(1.0) / coalesce(col("__sz"), lit(1L)).cast("double") * 1e6)
+          / 1e6).as("weight"))
+  }
+
   /** D146: duplicated-n-gram coverage gate (the ONION quantity,
     * Pomikálek '11): per document, the fraction of its n-gram
     * OCCURRENCES whose n-gram appears in ≥ `minDf` documents

@@ -3929,6 +3929,82 @@ object Stats {
         (col("__cc").cast("double") <= 0.0).as("degenerate"))
   }
 
+  /** C130: Cook's distance + leverage per point of the per-key simple
+    * OLS fit — WHICH observations own the trend line ([[trendFit]]
+    * says what the line is, [[durbinWatson]] whether its errors are
+    * honest; this names the points that could flip it):
+    * h_i = 1/n + (x_i − x̄)²/Sxx,
+    * D_i = e_i²·h_i / (p·s²·(1 − h_i)²) with p = 2, s² = SSE/(n−2).
+    *
+    * ONE exact-moment pass fits the line and Sxx; residuals and SSE
+    * run on 6-dp quantized lanes (the C125 recipe) so every engine
+    * sees identical squares; the per-row formula is then pure double
+    * arithmetic on deterministic inputs, 4-dp floored. The standard
+    * 4/n influence cut is the default flag. Keys with n < 4, a flat
+    * regressor, or zero residual variance report degenerate rows
+    * (leverage still prints — it is defined without residuals).
+    *
+    * Returns one row per point: (key, x, leverage, cooks_d,
+    * influential, degenerate).
+    */
+  def cooksDistance(
+      df: DataFrame,
+      key: Column,
+      x: Column,
+      y: Column): DataFrame = {
+    val t = df.filter(x.isNotNull && y.isNotNull)
+      .select(key.as("key"), x.cast("double").as("__x"),
+        y.cast("double").as("__y"))
+    val m = t.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(Num.dec(col("__x"))).as("__sx"),
+      sum(Num.dec(col("__y"))).as("__sy"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__y"))).as("__sxy"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__x"))).as("__sxx"))
+    val nD = col("n").cast("double")
+    val varX = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val fit = m.select(col("key"), col("n"),
+      (col("__sx").cast("double") / nD).as("__mx"),
+      when(varX === 0.0, 0.0)
+        .otherwise((nD * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) / varX)
+        .as("__b"),
+      (varX / nD).as("__sxxc"), // Sxx = Σ(x−x̄)² = varX/n
+      (varX === 0.0).as("__flatx"))
+    val r = t.join(fit, Seq("key"))
+      .withColumn("__e0", col("__y") - col("__b") * col("__x"))
+    val mu = r.groupBy("key").agg(
+      (sum(Num.dec(col("__e0"))).cast("double") / count(lit(1))).as("__mu"))
+    val r6 = r.join(mu, Seq("key"))
+      .withColumn("__e6",
+        ((col("__e0") - col("__mu")) * 1e6).cast("decimal(18,0)"))
+    val sse = r6.groupBy("key").agg(
+      sum((col("__e6").cast("decimal(38,0)") * col("__e6"))
+        .cast("decimal(38,0)")).as("__sse12"))
+    val h = lit(1.0) / col("n").cast("double") +
+      when(col("__sxxc") <= 0.0, lit(0.0))
+        .otherwise((col("__x") - col("__mx")) * (col("__x") - col("__mx")) /
+          col("__sxxc"))
+    val s2 = col("__sse12").cast("double") / 1e12 /
+      (col("n").cast("double") - 2.0)
+    val e2 = col("__e6").cast("double") * col("__e6").cast("double") / 1e12
+    val bad = col("__flatx") || col("n") < 4 ||
+      col("__sse12").cast("double") <= 0.0
+    // a leverage-1 point (it IS the regressor's variance) has
+    // undefined D — (1−h) = 0 would print engine-dependent infinities;
+    // flag it influential-by-definition with D = 0 and degenerate
+    val hbad = h >= lit(1.0) - lit(1e-9)
+    val d = e2 * h / (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h))
+    r6.join(sse, Seq("key"))
+      .select(col("key"), col("__x").as("x"),
+        (floor(h * 1e4) / 1e4).as("leverage"),
+        when(bad || hbad, 0.0).otherwise(floor(d * 1e4) / 1e4).as("cooks_d"),
+        (!bad && (hbad || d > lit(4.0) / col("n").cast("double")))
+          .as("influential"),
+        (bad || hbad).as("degenerate"))
+  }
+
   /** C128: Grubbs' max-deviation outlier statistic per key —
     * G = max|x − x̄|/s with the offending value attached: "is the
     * worst point in this group an outlier, and WHICH one is it?" The

@@ -2945,6 +2945,55 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D147: duplication-aware loss weights — the q_dedup_clusters
+    // component replay extended by one size aggregation: every corpus
+    // doc appears, cluster members weigh 1/|cluster|, singletons 1.0.
+    Q(
+      "q_dup_weights", {
+        val rounds = ccUnrollSql(8)
+        s"""WITH $truncatedDocsSql,
+           |sh AS (
+           |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM docs WHERE len(tk) >= 5)),
+           |rare AS (
+           |  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+           |idx AS (SELECT id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+           |  FROM idx a JOIN idx b ON a.s = b.s AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM inter
+           |  JOIN sizes na ON na.id = id_a
+           |  JOIN sizes nb ON nb.id = id_b
+           |  WHERE round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+           |sym AS MATERIALIZED (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS comp FROM sym),
+           |$rounds,
+           |csz AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+           |        FROM l8 GROUP BY comp)
+           |SELECT d.id AS doc_id,
+           |  coalesce(csz.sz, 1) AS cluster_size,
+           |  floor(1.0 / coalesce(csz.sz, 1) * 1e6) / 1e6 AS weight
+           |FROM (SELECT id FROM docs) d
+           |LEFT JOIN l8 ON l8.id = d.id
+           |LEFT JOIN csz ON csz.comp = l8.comp
+           |ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val docs = truncatedDocs(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, col("id"), col("text"),
+        n = 5, dfCap = 20, threshold = 0.5)
+      Dedup.duplicationWeights(docs, col("id"), pairs)
+        .orderBy("doc_id")
+    },
+
     // D146: duplicated-n-gram coverage (ONION) — every fifth doc gets
     // a shared boilerplate suffix, pushing its trigram coverage up
     // against the natural lorem baseline; df >= 5, flag above 0.5.

@@ -3284,6 +3284,81 @@ object ProfileQueries {
         .orderBy("key")
     },
 
+    // C130: Cook's distance + leverage on the hourly-count trend fit —
+    // which hours own each event type's trend line; 4/n influence cut.
+    Q(
+      "q_cooks_distance",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    CAST(epoch_ns(ts) // 3600000000000 AS DOUBLE) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY key, epoch_ns(ts) // 3600000000000),
+        |m AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx
+        |  FROM b GROUP BY key),
+        |f AS (
+        |  SELECT key, n, CAST(sx AS DOUBLE) / n AS mx,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS sxxc,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 AS flatx
+        |  FROM m),
+        |r AS (
+        |  SELECT b.key, b.x, f.n, f.flatx, f.mx, f.sxxc,
+        |    b.y - f.slope * b.x AS e
+        |  FROM b JOIN f ON b.key = f.key),
+        |emu AS (
+        |  SELECT key,
+        |    CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+        |  FROM r GROUP BY key),
+        |r6 AS (
+        |  SELECT r.key, r.x, r.n, r.flatx, r.mx, r.sxxc,
+        |    CAST((r.e - emu.mu) * 1e6 AS DECIMAL(18,0)) AS e6
+        |  FROM r JOIN emu ON r.key = emu.key),
+        |sse AS (
+        |  SELECT key, sum(CAST(e6 AS DECIMAL(38,0)) * e6) AS sse12
+        |  FROM r6 GROUP BY key),
+        |p AS (
+        |  SELECT r6.key, r6.x,
+        |    1.0 / r6.n + CASE WHEN r6.sxxc <= 0.0 THEN 0.0
+        |      ELSE (r6.x - r6.mx) * (r6.x - r6.mx) / r6.sxxc END AS h,
+        |    CAST(r6.e6 AS DOUBLE) * CAST(r6.e6 AS DOUBLE) / 1e12 AS e2,
+        |    CAST(sse.sse12 AS DOUBLE) / 1e12 / (r6.n - 2.0) AS s2,
+        |    (r6.flatx OR r6.n < 4 OR CAST(sse.sse12 AS DOUBLE) <= 0.0)
+        |      AS bad,
+        |    r6.n AS n
+        |  FROM r6 JOIN sse ON r6.key = sse.key)
+        |SELECT key, x,
+        |  floor(h * 1e4) / 1e4 AS leverage,
+        |  CASE WHEN bad OR h >= 1.0 - 1e-9 THEN 0.0
+        |    ELSE floor(e2 * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) * 1e4)
+        |      / 1e4 END AS cooks_d,
+        |  (NOT bad) AND (h >= 1.0 - 1e-9 OR
+        |    e2 * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) > 4.0 / n)
+        |    AS influential,
+        |  (bad OR h >= 1.0 - 1e-9) AS degenerate
+        |FROM p ORDER BY key, x""".stripMargin
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.Stats.cooksDistance(counts, col("key"),
+          col("bucket"), col("value"))
+        .orderBy("key", "x")
+    },
+
     // C124: Bartlett's equal-variance test over event values by type —
     // the parametric tier next to q_brown_forsythe, per-group ln terms
     // truncated 9-dp before the cross-group sums.

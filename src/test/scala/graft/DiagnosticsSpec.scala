@@ -150,6 +150,47 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("weighted_jaccard") == 0.5)
   }
 
+  test("cooksDistance: outlier point dominates, perfect fit degenerate, leverage-1 guarded") {
+    // a clean line with one blown-out point: that point owns the fit
+    val pts = (0 until 20).map(i =>
+      ("a", i.toDouble, if (i == 10) 50.0 else 2.0 * i)).toDF("k", "x", "y")
+    val out = Stats.cooksDistance(pts, col("k"), col("x"), col("y"))
+      .orderBy("x").collect()
+    val d10 = out(10)
+    assert(d10.getAs[Boolean]("influential"),
+      s"the planted outlier must flag: ${d10}")
+    assert(out.count(_.getAs[Boolean]("influential")) <= 3,
+      "the clean points must not all flag")
+    // perfect fit: zero residuals -> degenerate, D = 0
+    val perfect = (0 until 10).map(i => ("p", i.toDouble, 3.0 * i))
+      .toDF("k", "x", "y")
+    val p = Stats.cooksDistance(perfect, col("k"), col("x"), col("y"))
+      .collect()
+    assert(p.forall(r => r.getAs[Boolean]("degenerate") &&
+      r.getAs[Double]("cooks_d") == 0.0))
+    // leverage ~1: the lone far point must not print infinities
+    val lev = Seq(("l", 0.0, 1.0), ("l", 0.0, 2.0), ("l", 0.0, 1.5),
+      ("l", 100.0, 9.0)).toDF("k", "x", "y")
+    val lv = Stats.cooksDistance(lev, col("k"), col("x"), col("y"))
+      .orderBy("x").collect()
+    val far = lv(3)
+    assert(far.getAs[Double]("leverage") > 0.9 &&
+      !far.getAs[Double]("cooks_d").isInfinite)
+  }
+
+  test("duplicationWeights: cluster members share one doc's worth, singletons weigh 1") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicationWeights(docs, col("id"), pairs)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("cluster_size")).toSeq == Seq(3L, 3L, 3L, 1L, 1L))
+    assert(out(0).getAs[Double]("weight") == 0.333333)
+    assert(out(3).getAs[Double]("weight") == 1.0)
+    // total gradient mass: 3 dups count ~1, singletons 1 each
+    val mass = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(mass - 3.0) < 1e-3)
+  }
+
   test("duplicatedNgramCoverage: df gate, per-doc coverage, short docs") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
       (4L, "p q")).toDF("id", "text")

@@ -34,8 +34,18 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
+    """Fresh connection with view setup. Per-QUERY at large SFs: one
+    OOM'd query poisons its connection's allocator, and without a
+    reconnect every later query cascades into 'bad allocation' (the
+    r14 sf1 sweep lost 218 queries to one recursive-CTE OOM)."""
     con = duckdb.connect()
+    # bound memory and spill to disk instead of dying: the sf1 replica
+    # runs recursive-CTE replays whose intermediates exceed RAM
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET threads=16")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written
         # replicas (BenchScale) are part-file DIRECTORIES — glob those
@@ -43,11 +53,27 @@ def main(sf_dir, out_dir):
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def main(sf_dir, out_dir, resume_log=None):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    skip = set()
+    if resume_log and os.path.exists(resume_log):
+        import re as _re
+        with open(resume_log) as f:
+            skip = set(_re.findall(r"^PASS (\S+)", f.read(), _re.M))
+        print(f"[resume] skipping {len(skip)} already-passed queries")
     n_pass = n_fail = 0
+    n_pass += len(skip)
+    con = None
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            continue
         try:
+            if con is None:
+                con = connect(sf_dir)
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got_rel.columns)
@@ -58,8 +84,14 @@ def main(sf_dir, out_dir):
             exp_types = dict(zip(exp_rel.columns, map(str, exp_rel.types)))
             exp = exp_rel.select(", ".join(f'"{c}"' for c in exp_cols)).fetchall()
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
+            print(f"FAIL {name}: exec error: {e}", flush=True)
             n_fail += 1
+            # poisoned-allocator guard: rebuild the connection
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = None
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
@@ -76,7 +108,7 @@ def main(sf_dir, out_dir):
         g = [tuple(norm(v) for v in row) for row in got]
         e = [tuple(norm(v) for v in row) for row in exp]
         if g == e:
-            print(f"PASS {name} ({len(g)} rows)")
+            print(f"PASS {name} ({len(g)} rows)", flush=True)
             n_pass += 1
         else:
             n_fail += 1
@@ -93,4 +125,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
