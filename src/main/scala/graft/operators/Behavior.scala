@@ -409,6 +409,17 @@ object Behavior {
         count(lit(1)).as("frequency"),
         coalesce(sum(col("__v")), lit(0).cast("decimal(18,2)"))
           .cast("double").as("monetary"))
+    rfmScores(per, periodNs)
+  }
+
+  /** The scoring stage of [[rfm]] over an already-aggregated per-user
+    * frame (user_id, __last epoch-ns, frequency, monetary) — exposed
+    * so the E47 streaming snapshot (which maintains exactly that
+    * frame incrementally) scores through the IDENTICAL code path the
+    * batch operator uses.
+    */
+  def rfmScores(per: DataFrame, periodNs: Long = 86400L * 1000000000L): DataFrame = {
+    require(periodNs > 0, "periodNs must be positive")
     val hz = per.agg(max(col("__last")).as("__hz"))
     // integer `div`, never double division: an ns difference can
     // exceed 2^53 and silently round under a double quotient

@@ -3929,6 +3929,67 @@ object Stats {
         (col("__cc").cast("double") <= 0.0).as("degenerate"))
   }
 
+  /** C131: forecastability score per key — "is this series worth a
+    * seasonal model at all?" before anyone commits a
+    * [[holtWintersChart]] period: the M-competition benchmark
+    * discipline applied to the two zero-parameter baselines,
+    * MAE(seasonal-naive, lag m) / MAE(naive, lag 1). Ratio < 1 means
+    * last-season beats last-value — real seasonal structure at m;
+    * ratio ≈ 1 means the seasonal model starts with no edge; > 1
+    * means m is actively wrong. Complements [[dominantPeriod]] (which
+    * finds m) by scoring whether m HELPS.
+    *
+    * Determinism: values quantize ONCE to 6-dp lanes, both error
+    * streams are |integer differences| summed exactly; the two MAEs
+    * are each ONE double division, the ratio one more, 4-dp floored.
+    * Errors are averaged over each stream's own comparable count
+    * (n−1 vs n−m — both reported). Flat series (naive MAE 0) report
+    * degenerate.
+    *
+    * Returns one row per key: (key, n, mae_naive, mae_seasonal,
+    * mase_ratio, seasonal_helps, degenerate).
+    */
+  def forecastability(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column,
+      period: Int = 24): DataFrame = {
+    require(period >= 2, "period must be >= 2 (1 would be the naive lag)")
+    val t = df.select(key.as("key"), bucket.cast("long").as("bucket"),
+        value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__v6", (col("__v") * 1e6).cast("decimal(18,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bucket")
+    val lagged = t
+      .withColumn("__e1",
+        abs(col("__v6") - lag(col("__v6"), 1).over(w)).cast("decimal(28,0)"))
+      .withColumn("__em",
+        abs(col("__v6") - lag(col("__v6"), period).over(w)).cast("decimal(28,0)"))
+    val mae1 = col("__s1").cast("double") / 1e6 / col("__n1").cast("double")
+    val maem = col("__sm").cast("double") / 1e6 / col("__nm").cast("double")
+    lagged.groupBy("key").agg(
+        count(lit(1)).as("n"),
+        count(col("__e1")).as("__n1"),
+        coalesce(sum(col("__e1")), lit(0).cast("decimal(28,0)")).as("__s1"),
+        count(col("__em")).as("__nm"),
+        coalesce(sum(col("__em")), lit(0).cast("decimal(28,0)")).as("__sm"))
+      .select(col("key"), col("n"),
+        when(col("__n1") === 0, 0.0)
+          .otherwise(floor(mae1 * 1e4) / 1e4).as("mae_naive"),
+        when(col("__nm") === 0, 0.0)
+          .otherwise(floor(maem * 1e4) / 1e4).as("mae_seasonal"),
+        when(col("__n1") === 0 || col("__nm") === 0 ||
+            col("__s1").cast("double") <= 0.0, 0.0)
+          .otherwise(floor(maem / mae1 * 1e4) / 1e4).as("mase_ratio"),
+        (col("__n1") > 0 && col("__nm") > 0 &&
+          col("__s1").cast("double") > 0.0 && maem / mae1 < 1.0)
+          .as("seasonal_helps"),
+        (col("__n1") === 0 || col("__nm") === 0 ||
+          col("__s1").cast("double") <= 0.0).as("degenerate"))
+  }
+
   /** C130: Cook's distance + leverage per point of the per-key simple
     * OLS fit — WHICH observations own the trend line ([[trendFit]]
     * says what the line is, [[durbinWatson]] whether its errors are

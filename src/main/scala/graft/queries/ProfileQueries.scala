@@ -3284,6 +3284,67 @@ object ProfileQueries {
         .orderBy("key")
     },
 
+    // C131: forecastability — seasonal-naive (lag 24) vs naive (lag 1)
+    // MAE ratio on the dense hourly series: does a daily period HELP?
+    Q(
+      "q_forecastability",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM b GROUP BY 1),
+        |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM sp),
+        |d AS (
+        |  SELECT g.key, g.bucket, coalesce(b.value, 0.0) AS value
+        |  FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket),
+        |v AS (
+        |  SELECT key, bucket, CAST(value * 1e6 AS DECIMAL(18,0)) AS v6
+        |  FROM d),
+        |l AS (
+        |  SELECT key, bucket, v6,
+        |    CAST(abs(v6 - lag(v6, 1) OVER w) AS DECIMAL(28,0)) AS e1,
+        |    CAST(abs(v6 - lag(v6, 24) OVER w) AS DECIMAL(28,0)) AS em
+        |  FROM v WINDOW w AS (PARTITION BY key ORDER BY bucket)),
+        |g AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(e1) AS BIGINT) AS n1, coalesce(sum(e1), 0) AS s1,
+        |    CAST(count(em) AS BIGINT) AS nm, coalesce(sum(em), 0) AS sm
+        |  FROM l GROUP BY key)
+        |SELECT key, n,
+        |  CASE WHEN n1 = 0 THEN 0.0
+        |    ELSE floor(CAST(s1 AS DOUBLE) / 1e6 / CAST(n1 AS DOUBLE) * 1e4)
+        |      / 1e4 END AS mae_naive,
+        |  CASE WHEN nm = 0 THEN 0.0
+        |    ELSE floor(CAST(sm AS DOUBLE) / 1e6 / CAST(nm AS DOUBLE) * 1e4)
+        |      / 1e4 END AS mae_seasonal,
+        |  CASE WHEN n1 = 0 OR nm = 0 OR CAST(s1 AS DOUBLE) <= 0.0 THEN 0.0
+        |    ELSE floor((CAST(sm AS DOUBLE) / 1e6 / CAST(nm AS DOUBLE))
+        |      / (CAST(s1 AS DOUBLE) / 1e6 / CAST(n1 AS DOUBLE)) * 1e4) / 1e4
+        |    END AS mase_ratio,
+        |  n1 > 0 AND nm > 0 AND CAST(s1 AS DOUBLE) > 0.0 AND
+        |    (CAST(sm AS DOUBLE) / 1e6 / CAST(nm AS DOUBLE))
+        |      / (CAST(s1 AS DOUBLE) / 1e6 / CAST(n1 AS DOUBLE)) < 1.0
+        |    AS seasonal_helps,
+        |  (n1 = 0 OR nm = 0 OR CAST(s1 AS DOUBLE) <= 0.0) AS degenerate
+        |FROM g ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val span = counts.groupBy("key")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val dense = span
+        .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        .join(counts, Seq("key", "bucket"), "left")
+        .withColumn("value", coalesce(col("value"), lit(0.0)))
+      graft.operators.Stats.forecastability(dense, col("key"), col("bucket"),
+          col("value"), period = 24)
+        .orderBy("key")
+    },
+
     // C130: Cook's distance + leverage on the hourly-count trend fit —
     // which hours own each event type's trend line; 4/n influence cut.
     Q(

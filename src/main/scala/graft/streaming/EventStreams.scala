@@ -1860,6 +1860,60 @@ object EventStreams {
       batchId, keepLast = 2)
   }
 
+  /** E47: streaming RFM snapshot maintenance — the C129 customer-value
+    * grid kept live: each micro-batch partial-aggregates to per-user
+    * (last_ts, frequency, monetary-decimal) and merges into the
+    * persisted per-user snapshot — max/sum/sum, all exactly mergeable
+    * (monetary stays decimal(18,2) IN the snapshot so incremental sums
+    * equal the batch sum bit for bit; it goes double only at scoring).
+    * Scoring is on-demand via [[graft.operators.Behavior.rfmScores]]
+    * over the snapshot — the IDENTICAL code path the batch operator
+    * uses, which is what the spec proves (stream-maintained snapshot
+    * scored == batch rfm over the full feed).
+    *
+    * Replay-safe the E46 way: reads the newest snapshot version
+    * strictly below the current batch id (publish keeps 2), so a
+    * crash between publish and checkpoint-commit replays batch N
+    * against the pre-N state. State is |users| rows of fixed width on
+    * disk — no state store, mergeable at any scale.
+    */
+  def rfmMaintained(
+      events: DataFrame,
+      userCol: String,
+      tsNsCol: String,
+      valueCol: String,
+      snapshotPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch
+          .filter(col(userCol).isNotNull && col(tsNsCol).isNotNull)
+          .groupBy(col(userCol).as("user_id"))
+          .agg(
+            max(col(tsNsCol).cast("long")).as("__last"),
+            count(lit(1)).as("frequency"),
+            coalesce(sum(col(valueCol).cast("decimal(18,2)")),
+              lit(0).cast("decimal(18,2)")).as("monetary"))
+        val prev = SnapshotStore.versions(spark, snapshotPath)
+          .filter(_ < batchId).lastOption
+          .flatMap(v => SnapshotStore.readVersion(spark, snapshotPath, v))
+        val merged = (prev match {
+          case Some(p) => p.unionByName(b)
+          case None => b
+        }).groupBy("user_id")
+          .agg(
+            max(col("__last")).as("__last"),
+            sum(col("frequency")).as("frequency"),
+            sum(col("monetary")).cast("decimal(18,2)").as("monetary"))
+        SnapshotStore.publish(merged.localCheckpoint(), snapshotPath,
+          batchId, keepLast = 2)
+      }
+      .start()
+  }
+
   /** E15: streaming PSI drift monitor — per event-time window, the
     * population-stability index of the window's value distribution
     * against a PERSISTED baseline histogram: a watermarked windowed

@@ -191,6 +191,53 @@ class DiagnosticsSpec extends SparkSpec {
     assert(math.abs(mass - 3.0) < 1e-3)
   }
 
+  test("forecastability: planted period helps, anti-period hurts, flat degenerate") {
+    // period-4 sawtooth: lag-4 errors are 0, lag-1 errors are not
+    val seasonal = (0 until 40).map(i =>
+      ("s", i.toLong, (i % 4).toDouble * 3.0)).toDF("k", "b", "v")
+    val s4 = Stats.forecastability(seasonal, col("k"), col("b"), col("v"),
+      period = 4).collect()(0)
+    assert(s4.getAs[Double]("mae_seasonal") == 0.0 &&
+      s4.getAs[Double]("mase_ratio") == 0.0 &&
+      s4.getAs[Boolean]("seasonal_helps"))
+    // the same series at a WRONG period (3): seasonal lag sees the
+    // sawtooth out of phase and must NOT help
+    val s3 = Stats.forecastability(seasonal, col("k"), col("b"), col("v"),
+      period = 3).collect()(0)
+    assert(!s3.getAs[Boolean]("seasonal_helps"),
+      s"wrong period must not help: ${s3}")
+    val flat = (0 until 20).map(i => ("f", i.toLong, 2.0)).toDF("k", "b", "v")
+    val f = Stats.forecastability(flat, col("k"), col("b"), col("v"),
+      period = 4).collect()(0)
+    assert(f.getAs[Boolean]("degenerate"))
+  }
+
+  test("E47 rfmMaintained: streamed snapshot scores identically to batch rfm") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val day = 86400L * 1000000000L
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, u.toLong * day + i, 2.5 * i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_e47").toString
+    val input = MemoryStream[(Long, Long, Double)](spark)
+    val q = graft.streaming.EventStreams.rfmMaintained(
+      input.toDF().toDF("user_id", "ts_ns", "value"),
+      "user_id", "ts_ns", "value", s"$dir/snap", s"$dir/ckpt")
+    try {
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val snap = graft.streaming.SnapshotStore.read(spark, s"$dir/snap").get
+      .withColumn("monetary", col("monetary").cast("double"))
+    val streamed = Behavior.rfmScores(snap).orderBy("user_id").collect().toSeq
+    val batch = Behavior.rfm(rows.toDF("user_id", "ts_ns", "value"),
+        col("user_id"), col("ts_ns"), col("value"))
+      .orderBy("user_id").collect().toSeq
+    assert(streamed == batch,
+      s"stream-maintained RFM drifted from batch:\n$streamed\nvs\n$batch")
+  }
+
   test("duplicatedNgramCoverage: df gate, per-doc coverage, short docs") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
       (4L, "p q")).toDF("id", "text")
