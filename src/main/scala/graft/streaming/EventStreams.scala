@@ -1860,6 +1860,83 @@ object EventStreams {
       batchId, keepLast = 2)
   }
 
+  /** E48: streaming duplicated-n-gram COVERAGE gate — D146's ONION
+    * quantity kept live: each arriving doc scores "how much of me is
+    * corpus-common material" against the PERSISTED shingle
+    * document-frequency table (version-fenced read, the E46 fence),
+    * then the batch's own distinct-per-doc shingle counts merge into
+    * the table. Flag-not-drop (the E16 discipline): every row lands
+    * with (n_grams, n_dup_grams, dup_coverage, flagged) so a
+    * downstream exact pass makes the final call.
+    *
+    * Scale shape: the df table is the big on-disk index (the E7/E11
+    * signature-index class — shingle-partitioned parquet, never
+    * driver-side); scoring is one shingle-explode + semi-join against
+    * it, merging is one partial-aggregated groupBy sum. Scoring uses
+    * df from batches < N only, so a doc never scores against its own
+    * batch's material and a crash-replay rewrites byte-identical
+    * verdicts.
+    */
+  def dupCoverageMaintained(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      dfPath: String,
+      outPath: String,
+      checkpointPath: String,
+      n: Int = 3,
+      minDf: Int = 2,
+      maxCoverage: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = batch.select(col(idCol).as("doc_id"),
+            graft.functions.shingles(
+              graft.functions.tokens(col(textCol)), n).as("__sh"))
+          .localCheckpoint()
+        val occ = base.select(col("doc_id"), explode(col("__sh")).as("sh"))
+        val rootP = new org.apache.hadoop.fs.Path(dfPath)
+        val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasCommitted = hfs.exists(rootP) &&
+          hfs.globStatus(new org.apache.hadoop.fs.Path(dfPath, "batch_id=*/_SUCCESS"))
+            .nonEmpty
+        // per-batch PARTIAL df counts land in batch_id dirs; the live
+        // df of a shingle is the SUM over committed batches < N
+        val dfTable =
+          if (hasCommitted)
+            spark.read.parquet(dfPath).filter(col("batch_id") < batchId)
+              .groupBy("sh").agg(sum(col("df")).as("df"))
+          else
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("sh",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("df",
+                  org.apache.spark.sql.types.LongType))))
+        val dupSet = dfTable.filter(col("df") >= minDf).select("sh")
+        val perDoc = occ.join(dupSet, Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+        val scored = base
+          .select(col("doc_id"), size(col("__sh")).cast("long").as("n_grams"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+          .withColumn("dup_coverage",
+            coalesce(floor(try_divide(col("n_dup_grams").cast("double"),
+              col("n_grams").cast("double")) * 1e4) / 1e4, lit(0.0)))
+          .withColumn("flagged", col("dup_coverage") > maxCoverage)
+        scored.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        occ.select(col("doc_id"), col("sh")).distinct()
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$dfPath/batch_id=$batchId")
+      }
+      .start()
+  }
+
   /** E47: streaming RFM snapshot maintenance — the C129 customer-value
     * grid kept live: each micro-batch partial-aggregates to per-user
     * (last_ts, frequency, monetary-decimal) and merges into the

@@ -238,6 +238,35 @@ class DiagnosticsSpec extends SparkSpec {
       s"stream-maintained RFM drifted from batch:\n$streamed\nvs\n$batch")
   }
 
+  test("E48 dupCoverageMaintained: arrivals score against prior batches only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_e48").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.EventStreams.dupCoverageMaintained(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      s"$dir/df", s"$dir/out", s"$dir/ckpt", n = 3, minDf = 2,
+      maxCoverage = 0.4)
+    try {
+      // batch 0: "x y z" appears in two docs -> df 2, but NOTHING is
+      // flagged (no prior corpus to score against)
+      input.addData((1L, "x y z w"), (2L, "x y z q"))
+      q.processAllAvailable()
+      // batch 1: a doc made of batch-0 material flags; fresh text not
+      input.addData((3L, "x y z r"), (4L, "p q r s"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("batch_id", "doc_id", "n_dup_grams", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set((0L, 1L, 0L, false), (0L, 2L, 0L, false),
+      (1L, 3L, 1L, true), (1L, 4L, 0L, false)), s"got $out")
+    // the df table accumulated batch 0's AND batch 1's counts
+    val df3 = spark.read.parquet(s"$dir/df")
+      .groupBy("sh").agg(sum("df").as("df"))
+      .filter(col("sh") === "x y z").select("df").as[Long].head()
+    assert(df3 == 3L, s"x y z df must be 3, got $df3")
+  }
+
   test("duplicatedNgramCoverage: df gate, per-doc coverage, short docs") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
       (4L, "p q")).toDF("id", "text")

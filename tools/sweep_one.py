@@ -22,7 +22,7 @@ from check_oracle import TABLES, norm  # noqa: E402
 
 def main(sf_dir, out_dir, name):
     con = duckdb.connect()
-    con.execute("SET memory_limit='90GB'")
+    con.execute("SET memory_limit='35GB'")
     con.execute("SET threads=8")
     con.execute("SET preserve_insertion_order=false")
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
