@@ -1444,17 +1444,29 @@ object Stats {
         sum(col("__nvg")).as("__n"),
         sum((b19(col("__nvg")) * (b19(col("__cum")) * 2 + col("__t") + 1))
           .cast("decimal(38,0)")).as("__r2"))
-    val term7 = (floor(col("__r2").cast("double") * col("__r2").cast("double")
-      / (col("__n").cast("double") * 4.0) * 1e7) / 1e7).cast("decimal(30,7)")
+    // ⌊r2²·10⁷/(4n)⌋ on EXACT integer lanes (pmod-subtract then the
+    // exact division): the previous floor(double·1e7) form returned a
+    // LONG, and r2²·1e7/(4n) blows past Long.MaxValue around sf1 —
+    // every term silently clamped to Long.MaxValue/1e7 and H collapsed
+    // to 0 (caught by the r14 sf1 sweep). The integer form keeps the
+    // same 1e-7 term quantization with no float and no long anywhere:
+    // exact while r2²·10⁷ fits 38 digits, i.e. N ≲ 3·10⁷ grouped rows
+    // (the same bounded-lane class as the 13-digit tie cubes below;
+    // beyond it, pre-aggregate or sample — rank tests at that N are
+    // asymptotically saturated anyway).
+    val r2sq7 = ((b19(col("__r2")) * b19(col("__r2"))).cast("decimal(38,0)")
+      * lit(10000000L)).cast("decimal(38,0)")
+    val den4n = (col("__n") * 4).cast("decimal(19,0)")
+    val termInt = ((r2sq7 - pmod(r2sq7, den4n)) / den4n).cast("decimal(38,0)")
     val m = perG.agg(
       coalesce(sum(col("__n")), lit(0L)).as("__nn"),
       count(lit(1)).as("__k"),
-      sum(term7).as("__s"))
+      sum(termInt).as("__s"))
     val ties = vtc.agg(
       coalesce(sum(col("__tc")), lit(0).cast("decimal(38,0)")).as("__sumtc"))
     val nd = col("__nn").cast("double")
     val h = greatest(lit(0.0),
-      lit(12.0) / (nd * (nd + 1.0)) * col("__s").cast("double")
+      lit(12.0) / (nd * (nd + 1.0)) * (col("__s").cast("double") / 1e7)
         - lit(3.0) * (nd + 1.0))
     val n3n = (b13(col("__nn")) * b13(col("__nn")) * b13(col("__nn"))
       - col("__nn")).cast("decimal(38,0)").cast("double")

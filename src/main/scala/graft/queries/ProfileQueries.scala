@@ -827,8 +827,8 @@ object ProfileQueries {
          |      * (CAST(cum AS DECIMAL(19,0)) * 2 + t + 1)) AS DECIMAL(38,0)) AS r2
          |  FROM vg JOIN vtc USING (v) GROUP BY g),
          |m AS (SELECT coalesce(sum(n), 0) AS nn, CAST(count(*) AS BIGINT) AS k,
-         |    sum(CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
-         |      / (CAST(n AS DOUBLE) * 4.0) * 1e7) / 1e7 AS DECIMAL(30,7))) AS s
+         |    sum(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT) * 10000000
+         |      // (4 * n)) AS s
          |  FROM perg),
          |ties AS (SELECT CAST(coalesce(sum(tc), 0) AS DECIMAL(38,0)) AS sumtc FROM vtc),
          |d AS (SELECT nn, k, s, sumtc,
@@ -837,7 +837,7 @@ object ProfileQueries {
          |      * CAST(nn AS DECIMAL(13,0)) - nn AS DECIMAL(38,0)) AS DOUBLE) AS n3n
          |  FROM m CROSS JOIN ties),
          |e AS (SELECT nn, k,
-         |    greatest(0.0, 12.0 / (nd * (nd + 1.0)) * CAST(s AS DOUBLE)
+         |    greatest(0.0, 12.0 / (nd * (nd + 1.0)) * (CAST(s AS DOUBLE) / 1e7)
          |      - 3.0 * (nd + 1.0)) AS h,
          |    1.0 - CAST(sumtc AS DOUBLE) / n3n AS corr
          |  FROM d)
