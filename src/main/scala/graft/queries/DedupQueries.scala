@@ -2039,27 +2039,40 @@ object DedupQueries {
     // D2b: incremental MinHash — the shard's truncated renditions pair
     // against the corpus' STORED signature index (no corpus re-sign,
     // bipartite bucket join). Seeded hash family → rows-only; DedupSpec
-    // asserts planted recall and shard↔corpus orientation.
+    // asserts planted recall and shard↔corpus orientation. The shard
+    // id marker is 10^12 (not the corpus-wide 10^6 rendition offset):
+    // this oracle is the ONE place membership is INFERRED from the id,
+    // and BenchScale replicas carry ids up to factor×10^8 — a 10^6
+    // sentinel mis-classified every replica doc as shard at sf1 (the
+    // r14 sweep's one true construction bug).
     Q("q_dedup_minhash_incr",
       minHashOracleSql(
         """corpb AS (SELECT id, bucket FROM (
           |            SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS nn
-          |            FROM (SELECT id, bucket FROM bkt WHERE id < 1000000))
+          |            FROM (SELECT id, bucket FROM bkt WHERE id < 1000000000000))
           |          WHERE nn <= 200),
-          |shrdb AS (SELECT id, bucket FROM bkt WHERE id >= 1000000),
+          |shrdb AS (SELECT id, bucket FROM bkt WHERE id >= 1000000000000),
           |cand AS (SELECT DISTINCT x.id AS shard_id, y.id AS corpus_id
           |         FROM shrdb x JOIN corpb y ON x.bucket = y.bucket),
           |est AS (SELECT c.shard_id, c.corpus_id, """.stripMargin + estJaccardSql + """ AS e4
           |        FROM cand c JOIN sigl sa ON c.shard_id = sa.id JOIN sigl sb ON c.corpus_id = sb.id)
           |SELECT shard_id, corpus_id, e4 / 10000.0 AS est_jaccard FROM est
-          |WHERE e4 >= 5000 ORDER BY shard_id, corpus_id""".stripMargin)) { (s, dir) =>
+          |WHERE e4 >= 5000 ORDER BY shard_id, corpus_id""".stripMargin,
+        docsSql =
+          """tk0 AS (
+            |  SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', ' ', 'g'), '\s+'), t -> len(t) > 0) AS tk
+            |  FROM documents),
+            |docs AS (
+            |  SELECT doc_id AS id, tk FROM tk0
+            |  UNION ALL
+            |  SELECT doc_id + 1000000000000, tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS BIGINT), 1)] FROM tk0)""".stripMargin)) { (s, dir) =>
       val d = graft.operators.scaleOut(
         table(s, dir, "documents").select(col("doc_id").as("id"), col("text")))
       // the corpus signature index a real pipeline would read from
       // parquet; built here from the same table
       val corpusSigs = Dedup.minHashSignatures(d, col("id"), col("text"))
       val shard = d.select(
-        (col("id") + 1000000).as("id"),
+        (col("id") + 1000000000000L).as("id"),
         array_join(
           flatten(transform(array(tokens(col("text"))), tk =>
             slice(tk, lit(1), greatest(floor(size(tk) * 4 / 5), lit(1)).cast("int")))),
