@@ -1809,7 +1809,13 @@ object DedupQueries {
     // exact overlap and set sizes are portable; within_bound checks
     // the engine's own intersection estimate against 5% rel / abs-3
     // (under-capacity sketches are exact, so the contract holds with
-    // zero slack consumed at this SF — the oracle asserts it TRUE).
+    // zero slack consumed — the oracle asserts it TRUE). lgK = 14:
+    // nominal capacity must COVER the largest per-source set at the
+    // biggest swept scale (sf1's mirror source holds 7142 fps; the
+    // default 2^12 left it estimating and 6 pairs broke the 5% bound —
+    // the r14 sweep catch; above-capacity intersection error scales
+    // with the SET sizes, not the overlap, so capacity is the
+    // contract, not slack).
     Q(
       "q_source_overlap_sketch",
       """WITH u AS (
@@ -1839,7 +1845,7 @@ object DedupQueries {
         .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
           .select(lit("mirror").as("source"), col("doc_id"), col("text")))
       val est = Dedup.sourceOverlapSketch(u, col("source"), col("text"),
-        pmod(col("doc_id"), lit(4)))
+        pmod(col("doc_id"), lit(4)), lgK = 14)
       val fps = u.select(col("source").as("src"),
         normFingerprint(col("text")).as("f")).distinct().localCheckpoint()
       val sz = fps.groupBy("src").agg(count(lit(1)).as("n"))
