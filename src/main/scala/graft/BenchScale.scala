@@ -78,7 +78,19 @@ object BenchScale {
         .withColumn("o_custkey", col("o_custkey") + lit(i * Off))
     }
     replicate("customer") { (df, i) =>
+      // c_name re-derives from the OFFSET key (the TPC-H rule:
+      // 'Customer#' + 9-digit key): the naive copy left every name
+      // verbatim ×factor, turning each name-blocked dedup block into a
+      // factor-sized duplicate cluster and inflating pair joins
+      // ~factor² (the same unrealism the documents vowel-rotation
+      // avoids). Key-derived names keep the realistic shape: unique
+      // names whose digit tails collide uniformly across the 10^k
+      // block space, exactly like a real ×factor customer table. Width
+      // 11: offset keys reach factor×10^8 and lpad TRUNCATES overlong
+      // inputs — a 9-wide pad silently collided every 10th replica.
       df.withColumn("c_custkey", col("c_custkey") + lit(i * Off))
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 11, "0")))
     }
     replicate("supplier") { (df, i) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * Off))

@@ -1,41 +1,35 @@
 package graft
 
-/** Scratch (not registered): ad-hoc divergence debugging. */
+/** Scratch (not registered): r14 100x scaled-parameter probe. */
 object ScratchDebug {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = Engine.session("scratch-debug")
-    import graft.functions.tokens
-    val d0 = spark.read.parquet("/tmp/graft_sf1/documents.parquet")
-      .filter(col("lang").isNotNull)
-      .select(col("lang").as("__g0"),
-        least(lit(1.0), size(tokens(col("text"))) / lit(400.0)).as("__v0"))
-    val t = d0.select(col("__g0").cast("string").as("__g"),
-      round(col("__v0").cast("double"), 6).as("__v"))
-    val vg = t.groupBy("__v", "__g").agg(count(lit(1)).as("__nvg"))
-    val vt = vg.groupBy("__v").agg(sum(col("__nvg")).as("__t"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v")).rowsBetween(Long.MinValue, -1)
-    def b13(c: org.apache.spark.sql.Column) = c.cast("decimal(13,0)")
-    def b19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
-    val vtc = vt
-      .withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
-      .withColumn("__tc",
-        (b13(col("__t")) * b13(col("__t")) * b13(col("__t")) - col("__t"))
-          .cast("decimal(38,0)"))
-    val perG = vg.join(vtc, "__v")
-      .groupBy("__g").agg(
-        sum(col("__nvg")).as("__n"),
-        sum((b19(col("__nvg")) * (b19(col("__cum")) * 2 + col("__t") + 1))
-          .cast("decimal(38,0)")).as("__r2"))
-    val term7 = (floor(col("__r2").cast("double") * col("__r2").cast("double")
-      / (col("__n").cast("double") * 4.0) * 1e7) / 1e7).cast("decimal(30,7)")
-    perG.select(col("__g"), col("__n"), col("__r2"), term7.as("t7")).show(false)
-    val m = perG.agg(
-      coalesce(sum(col("__n")), lit(0L)).as("__nn"),
-      count(lit(1)).as("__k"),
-      sum(term7).as("__s"))
-    m.show(false)
+    val spark = Engine.session("scratch-100x")
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/tmp/graft_sf10")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[100x] $label rows=$n wall=${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val u = c.select(col("c_custkey").as("id"), col("c_name").as("t"))
+      .unionByName(c.select((col("c_custkey") + 50000000000L).as("id"),
+        concat(substring(col("c_name"), 1, 5), lit("X"),
+          substring(col("c_name"), 7, 1000000)).as("t")))
+    time("editdist block=last11")(
+      graft.operators.Dedup.editDistancePairs(u, col("id"), col("t"),
+        block = substring(col("t"), -11, 11), maxDist = 2).count())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ue = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .unionByName(e.select((col("vec_id") + 50000000000L).as("id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.01f)),
+          slice(col("embedding"), 2, 63)).as("v")))
+    time("embedding LSH auto-planes")(
+      graft.operators.Dedup.embeddingCosineLSH(ue, col("id"), col("v"),
+        threshold = 0.99, dim = 64, nPlanes = 0).count())
+    val c2 = c.select(col("c_custkey").as("id"), reverse(col("c_name")).as("sk"))
+    time("sorted-neighborhood blockPrefix=6")(
+      graft.operators.Dedup.sortedNeighbors(c2, col("id"), col("sk"),
+        window = 4, maxDist = 5, blockPrefix = 6).count())
     spark.stop()
   }
 }
