@@ -2004,18 +2004,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("tok"), col("tf").as("tfa"))
     val b = cand.join(tf, col("id_b") === col("__id"))
       .select(col("id_a"), col("id_b"), col("tok"), col("tf").as("tfb"))
-    a.join(b, Seq("id_a", "id_b", "tok"), "full_outer")
+    val sums = a.join(b, Seq("id_a", "id_b", "tok"), "full_outer")
       .groupBy("id_a", "id_b")
       .agg(
         sum(least(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
           .as("n_inter_tf"),
         sum(greatest(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
           .as("n_union_tf"))
-      .select(col("id_a"), col("id_b"), col("n_inter_tf"), col("n_union_tf"),
+    // anchor on the CANDIDATES: a pair whose docs both tokenize empty
+    // has no TF rows and would silently vanish from the verdict —
+    // report (0, 0, 0.0, false) instead (the quarantine contract:
+    // flag, never vanish)
+    cand.join(sums, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_inter_tf"), lit(0L)).as("n_inter_tf"),
+        coalesce(col("n_union_tf"), lit(0L)).as("n_union_tf"))
+      .withColumn("weighted_jaccard",
         coalesce(
           floor(try_divide(col("n_inter_tf").cast("double"),
-            col("n_union_tf").cast("double")) * 1e4) / 1e4, lit(0.0))
-          .as("weighted_jaccard"))
+            col("n_union_tf").cast("double")) * 1e4) / 1e4, lit(0.0)))
       .withColumn("is_dup", col("weighted_jaccard") >= threshold)
   }
 

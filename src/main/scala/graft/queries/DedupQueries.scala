@@ -2938,7 +2938,12 @@ object DedupQueries {
          |  SELECT id_a, id_b,
          |    CAST(sum(least(tfa, tfb)) AS BIGINT) AS n_inter_tf,
          |    CAST(sum(greatest(tfa, tfb)) AS BIGINT) AS n_union_tf
-         |  FROM j GROUP BY id_a, id_b)
+         |  FROM j GROUP BY id_a, id_b),
+         |anch AS (
+         |  SELECT c.id_a, c.id_b,
+         |    coalesce(g.n_inter_tf, 0) AS n_inter_tf,
+         |    coalesce(g.n_union_tf, 0) AS n_union_tf
+         |  FROM cand c LEFT JOIN g USING (id_a, id_b))
          |SELECT id_a, id_b, n_inter_tf, n_union_tf,
          |  CASE WHEN n_union_tf = 0 THEN 0.0
          |    ELSE floor(CAST(n_inter_tf AS DOUBLE) / CAST(n_union_tf AS DOUBLE)
@@ -2946,7 +2951,7 @@ object DedupQueries {
          |  CASE WHEN n_union_tf = 0 THEN 0.0
          |    ELSE floor(CAST(n_inter_tf AS DOUBLE) / CAST(n_union_tf AS DOUBLE)
          |      * 1e4) / 1e4 END >= 0.4 AS is_dup
-         |FROM g ORDER BY id_a, id_b""".stripMargin
+         |FROM anch ORDER BY id_a, id_b""".stripMargin
     ) { (s, dir) =>
       val d = table(s, dir, "documents")
       val u = d.select(col("doc_id").as("id"), col("text"))
