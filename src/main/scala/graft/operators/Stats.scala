@@ -3941,6 +3941,52 @@ object Stats {
         (col("__cc").cast("double") <= 0.0).as("degenerate"))
   }
 
+  /** C132: contingency cell diagnostics — the row [[chiSquared]]'s
+    * verdict can't give: WHICH cells drive the dependence. Per cell of
+    * the COMPLETED a×b grid (zero cells included — an empty cell can
+    * be the most diagnostic one), the adjusted standardized residual
+    * r = (o − e)/√(e·(1 − rowShare)·(1 − colShare)) — approximately
+    * N(0,1) under independence, so |r| > 2 names the driving cells
+    * (Agresti's post-hoc discipline).
+    *
+    * Shape at scale: one partial-agg pass to the cell frame (bounded
+    * by the category product), margins by aggregations over it, grid
+    * completion by a cross join of the two margin frames — all
+    * config-sized after the first pass. Exact counts everywhere; the
+    * per-cell formula is double arithmetic on them, 4-dp truncated.
+    * A single-row or single-column table makes every adjusted
+    * denominator 0 — those report degenerate.
+    *
+    * Returns one row per (a, b) grid cell: (a, b, n_obs, expected,
+    * std_residual, outlier, degenerate).
+    */
+  def contingencyCells(
+      df: DataFrame,
+      a: Column,
+      b: Column,
+      critical: Double = 2.0): DataFrame = {
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("string").as("a"), b.cast("string").as("b"))
+      .agg(count(lit(1)).as("__n"))
+    val ra = cells.groupBy("a").agg(sum(col("__n")).as("__rt"))
+    val rb = cells.groupBy("b").agg(sum(col("__n")).as("__ct"))
+    val tot = cells.agg(sum(col("__n")).as("__tot"))
+    val grid = ra.crossJoin(rb).crossJoin(broadcast(tot))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("n_obs", coalesce(col("__n"), lit(0L)))
+    val totD = col("__tot").cast("double")
+    val e = col("__rt").cast("double") * col("__ct").cast("double") / totD
+    val adj = e * (lit(1.0) - col("__rt").cast("double") / totD) *
+      (lit(1.0) - col("__ct").cast("double") / totD)
+    val r = (col("n_obs").cast("double") - e) / sqrt(adj)
+    val bad = adj <= 0.0
+    grid.select(col("a"), col("b"), col("n_obs"),
+      (floor(e * 1e4) / 1e4).as("expected"),
+      when(bad, 0.0).otherwise(Num.t4zero(r)).as("std_residual"),
+      (!bad && abs(r) > critical).as("outlier"),
+      bad.as("degenerate"))
+  }
+
   /** C131: forecastability score per key — "is this series worth a
     * seasonal model at all?" before anyone commits a
     * [[holtWintersChart]] period: the M-competition benchmark

@@ -3284,6 +3284,46 @@ object ProfileQueries {
         .orderBy("key")
     },
 
+    // C132: contingency cell diagnostics — q_chi_squared's verdict
+    // decomposed: adjusted standardized residuals over the completed
+    // returnflag × linestatus grid name the driving cells.
+    Q(
+      "q_cell_residuals",
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+        |grid AS (
+        |  SELECT ra.a, rb.b, ra.rt, rb.ct, t.tot,
+        |    coalesce(cells.n, 0) AS n_obs
+        |  FROM ra CROSS JOIN rb CROSS JOIN t
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = rb.b),
+        |p AS (
+        |  SELECT a, b, n_obs,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE) AS e,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE)
+        |      * (1.0 - CAST(rt AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * (1.0 - CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE)) AS adj
+        |  FROM grid)
+        |SELECT a, b, n_obs,
+        |  floor(e * 1e4) / 1e4 AS expected,
+        |  CASE WHEN adj <= 0.0 THEN 0.0
+        |    ELSE sign((CAST(n_obs AS DOUBLE) - e) / sqrt(adj))
+        |      * (floor(abs((CAST(n_obs AS DOUBLE) - e) / sqrt(adj)) * 1e4)
+        |        / 1e4) + 0.0 END AS std_residual,
+        |  adj > 0.0 AND abs((CAST(n_obs AS DOUBLE) - e) / sqrt(adj)) > 2.0
+        |    AS outlier,
+        |  adj <= 0.0 AS degenerate
+        |FROM p ORDER BY a, b""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.contingencyCells(table(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_linestatus"), critical = 2.0)
+        .orderBy("a", "b")
+    },
+
     // C131: forecastability — seasonal-naive (lag 24) vs naive (lag 1)
     // MAE ratio on the dense hourly series: does a daily period HELP?
     Q(

@@ -267,6 +267,30 @@ class DiagnosticsSpec extends SparkSpec {
     assert(df3 == 3L, s"x y z df must be 3, got $df3")
   }
 
+  test("contingencyCells: hand-computed residuals, grid completion, degenerate 1-col") {
+    // 2x2: a strong diagonal; off-diagonal cell (x,2) is EMPTY and
+    // must still appear (grid completion) with a negative residual
+    val df = (Seq.fill(8)(("x", "1")) ++ Seq.fill(2)(("y", "1")) ++
+      Seq.fill(8)(("y", "2"))).toDF("g", "h")
+    val out = Stats.contingencyCells(df, col("g"), col("h"))
+      .orderBy("a", "b").collect()
+    assert(out.length == 4, "completed 2x2 grid")
+    val x2 = out(1) // (x, 2): observed 0
+    assert(x2.getAs[Long]("n_obs") == 0L &&
+      x2.getAs[Double]("std_residual") < -2.0 && x2.getAs[Boolean]("outlier"))
+    // hand check (x,1): e = 8*10/18 = 4.444, adj = e*(10/18)*(8/18),
+    // r = (8-4.4444)/sqrt(4.4444*0.5555*0.4444) = +3.3941
+    val x1 = out(0)
+    assert(math.abs(x1.getAs[Double]("expected") - 4.4444) < 1e-9)
+    assert(math.abs(x1.getAs[Double]("std_residual") - 3.3941) < 1e-3,
+      s"r=${x1.getAs[Double]("std_residual")}")
+    // single-column table: adjusted denominator 0 -> degenerate
+    val one = Seq(("x", "1"), ("y", "1")).toDF("g", "h")
+    val d1 = Stats.contingencyCells(one, col("g"), col("h")).collect()
+    assert(d1.forall(r => r.getAs[Boolean]("degenerate") &&
+      r.getAs[Double]("std_residual") == 0.0))
+  }
+
   test("duplicatedNgramCoverage: df gate, per-doc coverage, short docs") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
       (4L, "p q")).toDF("id", "text")
