@@ -3941,6 +3941,84 @@ object Stats {
         (col("__cc").cast("double") <= 0.0).as("degenerate"))
   }
 
+  /** C133: Breusch-Pagan heteroscedasticity test per key — the third
+    * leg of the OLS diagnostic family ([[durbinWatson]] asks "are the
+    * errors serially dependent", [[cooksDistance]] "which points own
+    * the fit"; this asks "does the error VARIANCE drift with the
+    * regressor" — the failure that silently invalidates every
+    * constant-σ band downstream): LM = n·R² of the auxiliary
+    * regression e² ~ x, χ²₁ under homoscedasticity (5% critical
+    * 3.841).
+    *
+    * Same determinism recipe as C125: one exact-moment pass fits the
+    * line, residuals quantize ONCE to 6-dp lanes, squared residuals
+    * re-quantize to 6-dp decimals, and the auxiliary R² comes from a
+    * second exact-moment pass — doubles only at the final ratios.
+    * Keys need n ≥ 4, a non-flat regressor, and non-flat squared
+    * residuals; else degenerate.
+    *
+    * Returns one row per key: (key, n, lm_stat, significant,
+    * degenerate) — lm_stat 4-dp floored.
+    */
+  def breuschPagan(
+      df: DataFrame,
+      key: Column,
+      x: Column,
+      y: Column,
+      critical: Double = 3.841): DataFrame = {
+    val t = df.filter(x.isNotNull && y.isNotNull)
+      .select(key.as("key"), x.cast("double").as("__x"),
+        y.cast("double").as("__y"))
+    val m = t.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(Num.dec(col("__x"))).as("__sx"),
+      sum(Num.dec(col("__y"))).as("__sy"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__y"))).as("__sxy"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__x"))).as("__sxx"))
+    val nD = col("n").cast("double")
+    val varX = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val fit = m.select(col("key"), col("n"),
+      when(varX === 0.0, 0.0)
+        .otherwise((nD * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) / varX)
+        .as("__b"),
+      (varX === 0.0).as("__flatx"))
+    val r = t.join(fit, Seq("key"))
+      .withColumn("__e0", col("__y") - col("__b") * col("__x"))
+    val mu = r.groupBy("key").agg(
+      (sum(Num.dec(col("__e0"))).cast("double") / count(lit(1))).as("__mu"))
+    // e² on re-quantized 6-dp lanes: the auxiliary regressand
+    val r6 = r.join(mu, Seq("key"))
+      .withColumn("__e6",
+        ((col("__e0") - col("__mu")) * 1e6).cast("decimal(18,0)"))
+      .withColumn("__z",
+        floor(col("__e6").cast("double") * col("__e6").cast("double") / 1e12
+          * 1e6) / 1e6)
+    val aux = r6.groupBy("key").agg(
+      max(col("n")).as("n"),
+      max(col("__flatx")).as("__fx"),
+      sum(Num.dec(col("__x"))).as("__ax"),
+      sum(Num.dec(col("__z"))).as("__az"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__z"))).as("__axz"),
+      sum(Num.dec(col("__x")) * Num.dec(col("__x"))).as("__axx"),
+      sum(Num.dec(col("__z")) * Num.dec(col("__z"))).as("__azz"))
+    val an = col("n").cast("double")
+    val avx = an * col("__axx").cast("double") -
+      col("__ax").cast("double") * col("__ax").cast("double")
+    val avz = an * col("__azz").cast("double") -
+      col("__az").cast("double") * col("__az").cast("double")
+    val acov = an * col("__axz").cast("double") -
+      col("__ax").cast("double") * col("__az").cast("double")
+    val r2 = acov * acov / (avx * avz)
+    val bad = col("__fx") || col("n") < 4 || avx <= 0.0 || avz <= 0.0
+    val lm = an * r2
+    aux.select(col("key"), col("n"),
+      when(bad, 0.0).otherwise(floor(lm * 1e4) / 1e4).as("lm_stat"),
+      (!bad && lm > critical).as("significant"),
+      bad.as("degenerate"))
+  }
+
   /** C132: contingency cell diagnostics — the row [[chiSquared]]'s
     * verdict can't give: WHICH cells drive the dependence. Per cell of
     * the COMPLETED a×b grid (zero cells included — an empty cell can

@@ -3284,6 +3284,86 @@ object ProfileQueries {
         .orderBy("key")
     },
 
+    // C133: Breusch-Pagan heteroscedasticity on the hourly-count trend
+    // fit — LM = n·R²(e² ~ x), the third OLS diagnostic next to
+    // q_durbin_watson and q_cooks_distance.
+    Q(
+      "q_breusch_pagan",
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    CAST(epoch_ns(ts) // 3600000000000 AS DOUBLE) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY key, epoch_ns(ts) // 3600000000000),
+        |m AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx
+        |  FROM b GROUP BY key),
+        |f AS (
+        |  SELECT key, n,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 AS flatx
+        |  FROM m),
+        |r AS (
+        |  SELECT b.key, b.x, f.n, f.flatx, b.y - f.slope * b.x AS e
+        |  FROM b JOIN f ON b.key = f.key),
+        |emu AS (
+        |  SELECT key,
+        |    CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+        |  FROM r GROUP BY key),
+        |r6 AS (
+        |  SELECT r.key, r.x, r.n, r.flatx,
+        |    CAST((r.e - emu.mu) * 1e6 AS DECIMAL(18,0)) AS e6
+        |  FROM r JOIN emu ON r.key = emu.key),
+        |rz AS (
+        |  SELECT key, x, n, flatx,
+        |    floor(CAST(e6 AS DOUBLE) * CAST(e6 AS DOUBLE) / 1e12 * 1e6) / 1e6
+        |      AS z
+        |  FROM r6),
+        |aux AS (
+        |  SELECT key, max(n) AS n, bool_or(flatx) AS fx,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS ax,
+        |    sum(CAST(z AS DECIMAL(19,6))) AS az,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS axz,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS axx,
+        |    sum(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS azz
+        |  FROM rz GROUP BY key),
+        |d AS (
+        |  SELECT key, n, fx,
+        |    CAST(n AS DOUBLE) * CAST(axx AS DOUBLE)
+        |      - CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE) AS avx,
+        |    CAST(n AS DOUBLE) * CAST(azz AS DOUBLE)
+        |      - CAST(az AS DOUBLE) * CAST(az AS DOUBLE) AS avz,
+        |    CAST(n AS DOUBLE) * CAST(axz AS DOUBLE)
+        |      - CAST(ax AS DOUBLE) * CAST(az AS DOUBLE) AS acov
+        |  FROM aux)
+        |SELECT key, n,
+        |  CASE WHEN fx OR n < 4 OR avx <= 0.0 OR avz <= 0.0 THEN 0.0
+        |    ELSE floor(CAST(n AS DOUBLE) * acov * acov / (avx * avz) * 1e4)
+        |      / 1e4 END AS lm_stat,
+        |  (NOT (fx OR n < 4 OR avx <= 0.0 OR avz <= 0.0)) AND
+        |    CAST(n AS DOUBLE) * acov * acov / (avx * avz) > 3.841
+        |    AS significant,
+        |  (fx OR n < 4 OR avx <= 0.0 OR avz <= 0.0) AS degenerate
+        |FROM d ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.Stats.breuschPagan(counts, col("key"),
+          col("bucket"), col("value"))
+        .orderBy("key")
+    },
+
     // C132: contingency cell diagnostics — q_chi_squared's verdict
     // decomposed: adjusted standardized residuals over the completed
     // returnflag × linestatus grid name the driving cells.

@@ -291,6 +291,27 @@ class DiagnosticsSpec extends SparkSpec {
       r.getAs[Double]("std_residual") == 0.0))
   }
 
+  test("breuschPagan: fanning variance flags, constant variance does not") {
+    // residual spread grows with x: heteroscedastic by construction
+    val fan = (1 to 60).map(i =>
+      ("f", i.toDouble, 2.0 * i + (if (i % 2 == 0) i * 0.5 else -i * 0.5)))
+      .toDF("k", "x", "y")
+    val f = Stats.breuschPagan(fan, col("k"), col("x"), col("y")).collect()(0)
+    assert(f.getAs[Double]("lm_stat") > 3.841 && f.getAs[Boolean]("significant"),
+      s"fanning: lm=${f.getAs[Double]("lm_stat")}")
+    // constant ±1 residuals: homoscedastic
+    val const = (1 to 60).map(i =>
+      ("c", i.toDouble, 2.0 * i + (if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("k", "x", "y")
+    val c = Stats.breuschPagan(const, col("k"), col("x"), col("y")).collect()(0)
+    assert(!c.getAs[Boolean]("significant"),
+      s"constant: lm=${c.getAs[Double]("lm_stat")}")
+    // perfect fit: zero residual variance -> degenerate
+    val perfect = (1 to 10).map(i => ("p", i.toDouble, 3.0 * i)).toDF("k", "x", "y")
+    val p = Stats.breuschPagan(perfect, col("k"), col("x"), col("y")).collect()(0)
+    assert(p.getAs[Boolean]("degenerate"))
+  }
+
   test("duplicatedNgramCoverage: df gate, per-doc coverage, short docs") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
       (4L, "p q")).toDF("id", "text")
