@@ -27,9 +27,16 @@ package graft
   * the fact. Now the run (a) records /proc/loadavg at suite start and
   * end, (b) compares each query against the prior round's detail
   * (bench_detail.json or SPARK_GRAFT_BENCH_PRIOR) and re-runs every
-  * >1.5x mover ALONE in a fork-of-1, and (c) adjudicates the headline
-  * to min(suite, isolated) while emitting BOTH numbers ("raw" +
-  * "isolated_reruns") so the call is re-derivable.
+  * mover ALONE in fork-of-1s, and (c) adjudicates the headline while
+  * emitting every number ("raw" + "isolated_reruns") so the call is
+  * re-derivable. r15 made the adjudication SYMMETRIC (r14 advice:
+  * slower-only min(suite,isolated) was a best-of that biased the
+  * headline downward): movers are flagged in BOTH directions
+  * (>1.5x slower OR >1.5x faster than prior), each mover gets TWO
+  * isolated runs, and the adjudicated time is median(suite, iso1,
+  * iso2) — replacing the suite number requires two isolated runs
+  * agreeing, and an intermittent real regression can no longer be
+  * erased by one lucky rerun.
   */
 object Bench {
 
@@ -82,6 +89,12 @@ object Bench {
   private def jmap(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
+
+  private def jmapList(rs: Seq[(String, Seq[Double])]): String =
+    rs.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(v =>
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
 
   /** Child mode: bench the named queries, write `{"queries":{...}}` to
     * the given path, exit. Never prints to stdout (the parent owns the
@@ -193,25 +206,36 @@ object Bench {
       }.toSeq
     val loadEnd = loadAvg()
     // Self-adjudication (r13 lesson): a query reading >1.5x its
-    // prior-round time is a MOVER — either a real regression or
-    // machine load. Don't guess: re-run each mover alone in a fresh
-    // fork-of-1 and adjudicate to min(suite, isolated). A true
-    // regression reproduces isolated; a load artifact doesn't. Both
-    // numbers are emitted so the judge can re-derive the call.
+    // prior-round time in EITHER direction is a MOVER — a real
+    // regression/improvement or machine load. Don't guess: re-run
+    // each mover alone in TWO fresh fork-of-1s and adjudicate to
+    // median(suite, iso1, iso2). Symmetric by construction (r14
+    // advice: the old slower-only min(suite, isolated) best-of biased
+    // the headline downward and let one lucky isolated rerun erase a
+    // real intermittent regression): anomalously FAST suite times get
+    // re-checked too, and moving away from the suite number requires
+    // two isolated runs agreeing. All three numbers are emitted
+    // ("raw" + "isolated_reruns") so the call is re-derivable.
     val prior = loadPrior()
     val movers = rawResults.filter { case (q, t) =>
-      t > 1.0 && prior.get(q).exists(p => p > 0 && t > 1.5 * p)
+      math.max(t, prior.getOrElse(q, 0.0)) > 1.0 &&
+        prior.get(q).exists(p => p > 0 && (t > 1.5 * p || p > 1.5 * t))
     }.map(_._1)
-    val isolated: Map[String, Double] =
+    val isolated: Map[String, Seq[Double]] =
       if (noFork || movers.isEmpty) Map.empty
       else movers.zipWithIndex.map { case (q, i) =>
-        val t = forkChunk(10000 + i, Seq(q), sfDir)
-          .map(_.head._2).getOrElse(-1.0)
-        System.err.println(f"[bench] mover $q: suite ${rawResults.toMap.apply(q)}%.2fs, isolated $t%.2fs")
-        q -> t
+        val ts = (0 to 1).map { rep =>
+          forkChunk(10000 + 2 * i + rep, Seq(q), sfDir)
+            .map(_.head._2).getOrElse(-1.0)
+        }.filter(_ >= 0)
+        System.err.println(f"[bench] mover $q: suite ${rawResults.toMap.apply(q)}%.2fs, isolated ${ts.mkString(", ")}s")
+        q -> ts
       }.toMap
     val results: Seq[(String, Double)] = rawResults.map { case (q, t) =>
-      q -> isolated.get(q).filter(_ >= 0).map(math.min(t, _)).getOrElse(t)
+      isolated.get(q).filter(_.size == 2) match {
+        case Some(ts) => q -> (t +: ts).sorted.apply(1) // median of 3
+        case None     => q -> t // <2 clean isolated runs: keep suite time
+      }
     }
     // failed queries stay visible as -1 in `queries` but must not
     // SUBTRACT from the headline total (a failing round would otherwise
@@ -234,7 +258,7 @@ object Bench {
     // "queries" so loadPrior()'s everything-after-"queries": parse
     // reads only the adjudicated map next round
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","isolation":"$iso","load_start":"$loadStart","load_end":"$loadEnd","n_movers":${movers.size},"raw":${jmap(rawResults)},"isolated_reruns":${jmap(isolated.toSeq.sortBy(_._1))},"queries":${jmap(results)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","isolation":"$iso","load_start":"$loadStart","load_end":"$loadEnd","n_movers":${movers.size},"raw":${jmap(rawResults)},"isolated_reruns":${jmapList(isolated.toSeq.sortBy(_._1))},"queries":${jmap(results)},"sf":"$sfDir"}""")
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
     println(s"""{"metric":"total","value":$total,"unit":"sec","force":"noop","isolation":"$iso","load_start":"$loadStart","load_end":"$loadEnd","n_movers":${movers.size},"n_queries":${results.size},"n_failed":${failed.size},"queries":${jmap(failed ++ slowest)},"detail":"$detailPath","sf":"$sfDir"}""")

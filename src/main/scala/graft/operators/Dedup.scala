@@ -1987,8 +1987,9 @@ object Dedup {
     * hash-partitioned on the pair id, no window, no driver data).
     * All counts are exact longs; the single division truncates 4-dp.
     *
-    * Returns one row per candidate pair: (id_a, id_b, n_inter_tf,
-    * n_union_tf, weighted_jaccard, is_dup).
+    * Returns one row per DISTINCT candidate pair (the input frame is
+    * deduped — recall tiers may emit a pair once per band):
+    * (id_a, id_b, n_inter_tf, n_union_tf, weighted_jaccard, is_dup).
     */
   def weightedJaccardVerify(
       docs: DataFrame,
@@ -1999,7 +2000,14 @@ object Dedup {
     val tf = scaleOut(docs.select(id.as("__id"), text.as("__text")))
       .select(col("__id"), explode(graft.functions.tokens(col("__text"))).as("tok"))
       .groupBy("__id", "tok").agg(count(lit(1)).as("tf"))
-    val cand = candidates.select(col("id_a"), col("id_b"))
+    // distinct FIRST: the contract is "any recall tier's candidate
+    // frame", and recall tiers can emit a pair k times (multi-band
+    // LSH). Without it the pair joins the TF table k times per side,
+    // the full-outer join fans out k² rows per token — n_inter_tf /
+    // n_union_tf inflate k²-fold (the ratio survives but the
+    // published counts lie) and the anchored output emits k duplicate
+    // verdict rows per pair (r14 advice).
+    val cand = candidates.select(col("id_a"), col("id_b")).distinct()
     val a = cand.join(tf, col("id_a") === col("__id"))
       .select(col("id_a"), col("id_b"), col("tok"), col("tf").as("tfa"))
     val b = cand.join(tf, col("id_b") === col("__id"))

@@ -1439,11 +1439,25 @@ object Stats {
       .withColumn("__tc",
         (b13(col("__t")) * b13(col("__t")) * b13(col("__t")) - col("__t"))
           .cast("decimal(38,0)"))
-    val perG = vg.join(vtc, "__v")
+    val perGRaw = vg.join(vtc, "__v")
       .groupBy("__g").agg(
         sum(col("__nvg")).as("__n"),
         sum((b19(col("__nvg")) * (b19(col("__cum")) * 2 + col("__t") + 1))
           .cast("decimal(38,0)")).as("__r2"))
+    // LOUD lane-bound guard (r14 advice): past r2 ≈ 10^15.5 the
+    // r2²·10⁷ product exceeds 38 decimal digits (and past 10^19 the
+    // b19 cast itself), where non-ANSI casts go NULL and sum()
+    // silently drops the group's term — the same silent-wrong-H
+    // class the r14 sweep caught at Long.MaxValue, one lane wider.
+    // assert_true INSIDE a filter so column pruning can't delete it
+    // (the senMaxN idiom); fails with the group and its rank sum.
+    val perG = perGRaw.filter(assert_true(
+      col("__r2").cast("double") <= 3.16e15,
+      concat(lit("Kruskal-Wallis exact-lane bound: group '"), col("__g"),
+        lit("' has rank-sum r2="), col("__r2").cast("string"),
+        lit(" > 3.16e15 — r2^2*1e7 would overflow the 38-digit decimal " +
+          "lane and H would go silently wrong. Pre-aggregate or sample; " +
+          "rank tests are asymptotically saturated at this N."))).isNull)
     // ⌊r2²·10⁷/(4n)⌋ on EXACT integer lanes (pmod-subtract then the
     // exact division): the previous floor(double·1e7) form returned a
     // LONG, and r2²·1e7/(4n) blows past Long.MaxValue around sf1 —
@@ -1451,9 +1465,9 @@ object Stats {
     // to 0 (caught by the r14 sf1 sweep). The integer form keeps the
     // same 1e-7 term quantization with no float and no long anywhere:
     // exact while r2²·10⁷ fits 38 digits, i.e. N ≲ 3·10⁷ grouped rows
-    // (the same bounded-lane class as the 13-digit tie cubes below;
-    // beyond it, pre-aggregate or sample — rank tests at that N are
-    // asymptotically saturated anyway).
+    // (the same bounded-lane class as the 13-digit tie cubes below);
+    // the bound is ENFORCED by the loud per-group assert above, not
+    // just documented.
     val r2sq7 = ((b19(col("__r2")) * b19(col("__r2"))).cast("decimal(38,0)")
       * lit(10000000L)).cast("decimal(38,0)")
     val den4n = (col("__n") * 4).cast("decimal(19,0)")
@@ -3703,8 +3717,10 @@ object Stats {
     * the 5% value for m = 3, the default lag budget).
     *
     * Returns one row per key: (key, max_lag, n, q_stat, significant,
-    * degenerate) — q_stat 4-dp floored; degenerate (flat series)
-    * reports 0/false.
+    * degenerate) — q_stat 4-dp floored; degenerate (flat series, or
+    * a series too short for the lag budget: n ≤ maxLag) reports
+    * 0/false. n is the true series length, read off the lag-1 row's
+    * n_pairs + 1.
     */
   def ljungBox(
       df: DataFrame,
@@ -3718,11 +3734,21 @@ object Stats {
     val term = (floor(col("acf") * col("acf") /
         col("n_pairs").cast("double") * 1e9) / 1e9)
       .cast("decimal(28,9)")
+    // n comes from the lag-1 row ONLY (n_pairs + 1 = series length):
+    // the old max(n_pairs + lag) overstated n for series shorter than
+    // maxLag, where zero-pair lag rows made n_pairs + lag = lag (r14
+    // advice: n=2, maxLag=3 reported n=3, inflating n(n+2)).
+    // Zero-pair terms are filtered EXPLICITLY rather than relying on
+    // 0/0→NULL silently dropping from sum(), and a series too short
+    // for its lag budget (n <= maxLag) flags degenerate instead of
+    // publishing a statistic missing lag terms.
     a.groupBy("key").agg(
-        max(col("n_pairs") + col("lag")).as("n"),
-        sum(term).as("__s"),
+        max(when(col("lag") === 1, col("n_pairs") + 1)).as("n"),
+        sum(when(col("n_pairs") > 0, term)).as("__s"),
         max(col("lag")).as("max_lag"),
         max(col("degenerate")).as("degenerate"))
+      .withColumn("degenerate",
+        col("degenerate") || col("n") <= lit(maxLag))
       .select(col("key"), col("max_lag"), col("n"),
         when(col("degenerate"), 0.0)
           .otherwise(floor(col("n").cast("double") * (col("n") + 2) *
@@ -3817,8 +3843,12 @@ object Stats {
     * kernel), residuals quantize ONCE to 6-dp integer lanes, and the
     * lag-difference and square sums are exact decimal arithmetic over
     * one keyed ordered window — the C65 determinism recipe end to
-    * end. Keys need n ≥ 3 and a non-flat regressor and residual;
-    * otherwise `degenerate` with DW = 0.
+    * end. The lag window orders by (x, e6): duplicate (key, x) rows
+    * carry different residuals, so ordering by x alone would make
+    * Σ(e_t − e_{t−1})² genuinely nondeterministic run-to-run; the
+    * quantized-residual tiebreak pins a total order. Keys need n ≥ 3
+    * and a non-flat regressor and residual; otherwise `degenerate`
+    * with DW = 0.
     *
     * Returns one row per key: (key, n, dw, rho_approx, degenerate) —
     * dw 4-dp floored, rho_approx = 1 − DW/2 4-dp toward zero.
@@ -3857,8 +3887,13 @@ object Stats {
     val r6 = r.join(mu, Seq("key"))
       .withColumn("__e6",
         ((col("__e") - col("__mu")) * 1e6).cast("decimal(18,0)"))
+    // tiebreak on the quantized residual: duplicate (key, x) rows
+    // would otherwise make lag() ordering nondeterministic, and since
+    // tied-x rows carry DIFFERENT residuals, Σ(e_t−e_{t−1})² would
+    // genuinely change run-to-run (r14 advice — same class as the
+    // stateTransitions tiebreak)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy("__x")
+      .partitionBy("key").orderBy(col("__x"), col("__e6"))
     // decimal(19,0): the squared term must land at the proven
     // 38-digit product width (see kpss) — 38×38 would overflow the
     // TYPE, not the value

@@ -3126,11 +3126,16 @@ object ProfileQueries {
            |    CAST(den.dn AS DOUBLE) <= 0.0 AS degenerate
            |  FROM a JOIN den ON a.key = den.key),
            |g AS (
-           |  SELECT key, max(n_pairs + lag) AS n, max(lag) AS max_lag,
-           |    sum(CAST(floor(acf * acf / n_pairs * 1e9) / 1e9
-           |      AS DECIMAL(28,9))) AS s,
-           |    bool_or(degenerate) AS degenerate
-           |  FROM r GROUP BY key)
+           |  SELECT key,
+           |    max(CASE WHEN lag = 1 THEN n_pairs + 1 END) AS n,
+           |    max(lag) AS max_lag,
+           |    sum(CASE WHEN n_pairs > 0
+           |      THEN CAST(floor(acf * acf / n_pairs * 1e9) / 1e9
+           |        AS DECIMAL(28,9)) END) AS s,
+           |    bool_or(degenerate) AS deg0
+           |  FROM r GROUP BY key),
+           |g2 AS (SELECT key, n, max_lag, s,
+           |    (deg0 OR n <= max_lag) AS degenerate FROM g)
            |SELECT key, max_lag, n,
            |  CASE WHEN degenerate THEN 0.0
            |    ELSE floor(CAST(n AS DOUBLE) * (n + 2) * CAST(s AS DOUBLE)
@@ -3139,7 +3144,7 @@ object ProfileQueries {
            |    CAST(n AS DOUBLE) * (n + 2) * CAST(s AS DOUBLE) > 7.815
            |    AS significant,
            |  degenerate
-           |FROM g ORDER BY key""".stripMargin
+           |FROM g2 ORDER BY key""".stripMargin
       }
     ) { (s, dir) =>
       val counts = graft.sources.Tables.events(s, dir)
@@ -3256,7 +3261,7 @@ object ProfileQueries {
         |  FROM r JOIN emu ON r.key = emu.key),
         |lagd AS (
         |  SELECT key, n, flatx, e6,
-        |    CAST(e6 - lag(e6, 1) OVER (PARTITION BY key ORDER BY x)
+        |    CAST(e6 - lag(e6, 1) OVER (PARTITION BY key ORDER BY x, e6)
         |      AS DECIMAL(19,0)) AS dd
         |  FROM r6),
         |g AS (

@@ -57,6 +57,31 @@ class DiagnosticsSpec extends SparkSpec {
       .collect()(0)
     assert(m.getAs[Double]("q_stat") < 7.815 && !m.getAs[Boolean]("significant"),
       s"hash-scramble series should look white: q=${m.getAs[Double]("q_stat")}")
+    // r14 advice: a series SHORTER than the lag budget must report its
+    // true length (lag-1 pairs + 1, not max(n_pairs + lag)) and flag
+    // degenerate instead of publishing a statistic missing lag terms
+    val short = Seq(("s", 0L, 1.0), ("s", 1L, 9.0)).toDF("k", "b", "v")
+    val s = Stats.ljungBox(short, col("k"), col("b"), col("v"), maxLag = 3)
+      .collect()(0)
+    assert(s.getAs[Long]("n") == 2L,
+      s"n must be the true series length, got ${s.getAs[Long]("n")}")
+    assert(s.getAs[Boolean]("degenerate") && s.getAs[Double]("q_stat") == 0.0,
+      "n <= maxLag must flag degenerate")
+  }
+
+  test("durbinWatson: duplicate-x rows stay deterministic via the residual tiebreak") {
+    // two rows share x=2 with different y (hence different residuals):
+    // the (x, e6) tiebreak pins one total order, so repeated runs over
+    // shuffled input produce the identical statistic
+    val rows = Seq(("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 2.0),
+      ("a", 2.0, 8.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0))
+    val dws = (0 until 3).map { i =>
+      val df = scala.util.Random.shuffle(rows).toDF("k", "x", "y")
+        .repartition(4 + i)
+      Stats.durbinWatson(df, col("k"), col("x"), col("y"))
+        .collect()(0).getAs[Double]("dw")
+    }
+    assert(dws.distinct.size == 1, s"DW must not vary run-to-run: $dws")
   }
 
   test("bartlett: hand-computed chi2 on a 2-group variance split") {
@@ -148,6 +173,15 @@ class DiagnosticsSpec extends SparkSpec {
       !out(1).getAs[Boolean]("is_dup"))
     // doc vs its doubling: exactly 0.5
     assert(out(2).getAs[Double]("weighted_jaccard") == 0.5)
+    // a recall tier that emits the same pair k times (multi-band LSH)
+    // must NOT inflate the counts k^2-fold or emit k verdict rows
+    val dupCand = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val dup = Dedup.weightedJaccardVerify(docs, col("id"), col("text"),
+        dupCand, threshold = 0.4).collect()
+    assert(dup.length == 1, s"one verdict row per distinct pair: ${dup.toSeq}")
+    assert(dup(0).getAs[Long]("n_inter_tf") == 2L &&
+      dup(0).getAs[Long]("n_union_tf") == 4L &&
+      dup(0).getAs[Double]("weighted_jaccard") == 0.5)
   }
 
   test("cooksDistance: outlier point dominates, perfect fit degenerate, leverage-1 guarded") {
