@@ -381,10 +381,12 @@ object Behavior {
     * cardinality (bounded by |users|, not |events|) and each window
     * is a single total-order pass, the same class as [[Profile]]'s
     * rank windows. At extreme user cardinality (where even the user
-    * frame shouldn't total-order) swap the exact quintiles for
-    * KLL-sketch thresholds ([[graft.functions.KllQuantileSketch]],
+    * frame shouldn't total-order) use [[rfmSketched]]: KLL-sketch
+    * quintile boundaries ([[graft.functions.KllQuantileSketch]],
     * C58) broadcast back — same output contract, approximate
-    * boundaries. Determinism: every ntile orders by (metric,
+    * boundaries, zero global windows; [[rfmScores]] auto-routes
+    * there above a caller-set `sketchAbove` cardinality.
+    * Determinism: every ntile orders by (metric,
     * user_id) — a bare metric order would tie-break arbitrarily and
     * flip boundary users between quintiles across engines. Recency
     * ntiles DESCENDING (most recent = score 5), frequency/monetary
@@ -417,9 +419,27 @@ object Behavior {
     * so the E47 streaming snapshot (which maintains exactly that
     * frame incrementally) scores through the IDENTICAL code path the
     * batch operator uses.
+    *
+    * `sketchAbove` is the scale escape hatch: when set (default
+    * Long.MaxValue = never, zero overhead on the exact path) the
+    * frame is localCheckpoint-ed, counted once, and a user count
+    * above the threshold routes scoring through
+    * [[rfmScoresSketched]] — the exact ntile path is a
+    * single-partition total-order sort, correct but a
+    * driver-adjacent serialization point at 10⁹ users.
     */
-  def rfmScores(per: DataFrame, periodNs: Long = 86400L * 1000000000L): DataFrame = {
+  def rfmScores(per0: DataFrame, periodNs: Long = 86400L * 1000000000L,
+      sketchAbove: Long = Long.MaxValue): DataFrame = {
     require(periodNs > 0, "periodNs must be positive")
+    val (per, sketched) =
+      if (sketchAbove == Long.MaxValue) (per0, false)
+      else {
+        // seam first so the routing count() doesn't recompute the
+        // upstream aggregation a second time for the scoring pass
+        val p = per0.localCheckpoint()
+        (p, p.count() > sketchAbove)
+      }
+    if (sketched) return rfmScoresSketched(per, periodNs)
     val hz = per.agg(max(col("__last")).as("__hz"))
     // integer `div`, never double division: an ns difference can
     // exceed 2^53 and silently round under a double quotient
@@ -432,6 +452,87 @@ object Behavior {
     t.withColumn("r_score", ntile(5).over(wr))
       .withColumn("f_score", ntile(5).over(wf2))
       .withColumn("m_score", ntile(5).over(wm))
+      .select(col("user_id"), col("recency_periods"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat_ws("-", col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+  }
+
+  /** C129b: RFM segmentation at EXTREME user cardinality — [[rfm]]'s
+    * output contract with the three exact ntile(5) total-order sorts
+    * (single-partition windows, the one place the exact operator
+    * would serialize at 10⁹ users) replaced by KLL-sketch quintile
+    * BOUNDARIES: one partial-aggregated pass builds three mergeable
+    * sketches (C58 machinery), four boundaries per metric read off
+    * each sketch, and the 12-value boundary row broadcasts back for
+    * a stateless per-row score — zero global windows, zero
+    * total-order sorts, every stage partial-aggregated.
+    *
+    * Scoring rule: ascending quintile s(v) = 1 + #{i : v > q(0.2·i)}
+    * (recency inverts: r = 6 − s, most recent = 5). Under the
+    * inclusive-rank quantile rule this reproduces exact ntile
+    * assignments when n divides 5 and values are distinct; TIED
+    * values all take the smallest applicable score (ntile splits tie
+    * mass by user_id position — a rank artifact, not a property of
+    * the user). Boundary users can shift ±1 quintile within KLL's
+    * rank-error envelope (~1.65% at k=200, 99% confidence) — the
+    * q_rfm_sketch oracle pins that band, and RfmSketchSpec pins
+    * sub-capacity exactness.
+    *
+    * Returns one row per user: (user_id, recency_periods, frequency,
+    * monetary, r_score, f_score, m_score, segment).
+    */
+  def rfmSketched(
+      df: DataFrame,
+      user: Column,
+      tsNs: Column,
+      value: Column,
+      periodNs: Long = 86400L * 1000000000L,
+      k: Int = 200): DataFrame = {
+    require(periodNs > 0, "periodNs must be positive")
+    val per = df.filter(user.isNotNull && tsNs.isNotNull)
+      .select(user.as("user_id"), tsNs.cast("long").as("__ts"),
+        value.cast("decimal(18,2)").as("__v"))
+      .groupBy("user_id")
+      .agg(
+        max(col("__ts")).as("__last"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(col("__v")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("monetary"))
+    rfmScoresSketched(per, periodNs, k)
+  }
+
+  /** The sketched scoring stage ([[rfmSketched]]'s tail) over the
+    * same per-user frame contract as [[rfmScores]] — the route
+    * `rfmScores(sketchAbove = …)` takes above its threshold.
+    */
+  def rfmScoresSketched(per: DataFrame,
+      periodNs: Long = 86400L * 1000000000L,
+      k: Int = 200): DataFrame = {
+    require(periodNs > 0, "periodNs must be positive")
+    import graft.functions.KllQuantileSketch.{kllSketch, kllQuantile}
+    val hz = per.agg(max(col("__last")).as("__hz"))
+    val t = per.crossJoin(broadcast(hz))
+      .withColumn("recency_periods", expr(s"(__hz - __last) div ${periodNs}L"))
+    // one partial-aggregated pass, three sketches; boundaries are a
+    // single 12-column row — driver-metadata-sized by construction
+    val sk = t.agg(
+      kllSketch(col("recency_periods").cast("double"), k).as("__skr"),
+      kllSketch(col("frequency").cast("double"), k).as("__skf"),
+      kllSketch(col("monetary"), k).as("__skm"))
+    val boundCols = for {
+      (m, s) <- Seq("r" -> "__skr", "f" -> "__skf", "m" -> "__skm")
+      i <- 1 to 4
+    } yield kllQuantile(col(s), i * 0.2).as(s"__b$m$i")
+    val bounds = sk.select(boundCols: _*)
+    def asc(v: Column, p: String): Column =
+      (1 to 4).map(i => when(v > col(s"__b$p$i"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    t.crossJoin(broadcast(bounds))
+      .withColumn("r_score",
+        lit(6) - asc(col("recency_periods").cast("double"), "r"))
+      .withColumn("f_score", asc(col("frequency").cast("double"), "f"))
+      .withColumn("m_score", asc(col("monetary"), "m"))
       .select(col("user_id"), col("recency_periods"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         concat_ws("-", col("r_score"), col("f_score"), col("m_score"))

@@ -1434,6 +1434,96 @@ object TemporalQueries {
       graft.operators.Behavior.rfm(graft.sources.Tables.events(s, dir),
           col("user_id"), col("ts_ns"), col("value"))
         .orderBy("user_id")
+    },
+
+    // C129b: sketched RFM — KLL quintile boundaries instead of exact
+    // ntile total-order sorts (the 10^9-user path; zero global
+    // windows, PlanSpec-pinned). Scores are estimator-specific, so
+    // the portable shape is the bounded verdict (the C58 idiom): each
+    // engine checks its OWN boundary-estimate scores against exact
+    // rank windows q(0.2i ± 0.05) — 3x the published KLL k=200 rank
+    // error; RfmSketchSpec pins sub-capacity exactness vs exact rfm.
+    Q(
+      "q_rfm_sketch", {
+        val metrics = Seq(
+          "r" -> "CAST(recency_periods AS DOUBLE)",
+          "f" -> "CAST(frequency AS DOUBLE)",
+          "m" -> "monetary")
+        // one scalar per boundary: the engine's own estimator at
+        // q(0.2i) plus the exact window edges q(0.2i ∓ 0.05)
+        val boundAgg = metrics.flatMap { case (p, c) =>
+          (1 to 4).flatMap { i =>
+            val q = i * 0.2
+            Seq(
+              f"approx_quantile($c, $q%.2f) AS a$p$i",
+              f"quantile_cont($c, ${q - 0.05}%.2f) AS lo$p$i",
+              f"quantile_cont($c, ${q + 0.05}%.2f) AS hi$p$i")
+          }
+        }.mkString(",\n    ")
+        def score(v: String, cols: Int => String) = (1 to 4).map(i =>
+          s"CASE WHEN $v > ${cols(i)} THEN 1 ELSE 0 END")
+          .mkString("1 + ", " + ", "")
+        val inBand = metrics.map { case (p, c) =>
+          val v = c.replace("recency_periods", "t.recency_periods")
+            .replace("frequency", "t.frequency")
+            .replace("monetary", "t.monetary")
+          s"(${score(v, i => s"b.a$p$i")})" +
+            s" BETWEEN (${score(v, i => s"b.hi$p$i")})" +
+            s" AND (${score(v, i => s"b.lo$p$i")}) AS ${p}_in_band"
+        }.mkString(",\n  ")
+        s"""WITH per AS (
+          |  SELECT user_id,
+          |    max(epoch_ns(ts)) AS last_ts,
+          |    CAST(count(*) AS BIGINT) AS frequency,
+          |    CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE)
+          |      AS monetary
+          |  FROM events WHERE user_id IS NOT NULL
+          |  GROUP BY user_id),
+          |hz AS (SELECT max(last_ts) AS hz FROM per),
+          |t AS (
+          |  SELECT user_id,
+          |    (hz - last_ts) // 86400000000000 AS recency_periods,
+          |    frequency, monetary
+          |  FROM per, hz),
+          |b AS (
+          |  SELECT $boundAgg
+          |  FROM t)
+          |SELECT t.user_id, t.recency_periods, t.frequency, t.monetary,
+          |  $inBand
+          |FROM t, b ORDER BY t.user_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val scored = graft.operators.Behavior.rfmSketched(
+        graft.sources.Tables.events(s, dir),
+        col("user_id"), col("ts_ns"), col("value"))
+      val ranks = "array(0.15,0.25,0.35,0.45,0.55,0.65,0.75,0.85)"
+      val bands = scored.agg(
+        expr(s"percentile(cast(recency_periods as double), $ranks)").as("__qr"),
+        expr(s"percentile(cast(frequency as double), $ranks)").as("__qf"),
+        expr(s"percentile(monetary, $ranks)").as("__qm"))
+      // s_hi counts the LOW-side boundaries q(0.2i - 0.05) (elements
+      // 1,3,5,7), s_lo the HIGH side q(0.2i + 0.05) (elements 2,4,6,8)
+      def band(v: org.apache.spark.sql.Column, q: String,
+          els: Seq[Int]): org.apache.spark.sql.Column =
+        els.map(e => when(v > element_at(col(q), e), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+      val hiEls = Seq(1, 3, 5, 7)
+      val loEls = Seq(2, 4, 6, 8)
+      scored.crossJoin(broadcast(bands))
+        .select(col("user_id"), col("recency_periods"), col("frequency"),
+          col("monetary"),
+          (lit(6) - col("r_score")).between(
+            band(col("recency_periods").cast("double"), "__qr", loEls),
+            band(col("recency_periods").cast("double"), "__qr", hiEls))
+            .as("r_in_band"),
+          col("f_score").between(
+            band(col("frequency").cast("double"), "__qf", loEls),
+            band(col("frequency").cast("double"), "__qf", hiEls))
+            .as("f_in_band"),
+          col("m_score").between(
+            band(col("monetary"), "__qm", loEls),
+            band(col("monetary"), "__qm", hiEls)).as("m_in_band"))
+        .orderBy("user_id")
     }
   )
 }

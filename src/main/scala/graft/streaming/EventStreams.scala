@@ -1946,7 +1946,12 @@ object EventStreams {
     * Scoring is on-demand via [[graft.operators.Behavior.rfmScores]]
     * over the snapshot — the IDENTICAL code path the batch operator
     * uses, which is what the spec proves (stream-maintained snapshot
-    * scored == batch rfm over the full feed).
+    * scored == batch rfm over the full feed). At extreme user
+    * cardinality score with `rfmScores(snapshot, sketchAbove = N)`:
+    * above N users the scorer swaps its exact single-partition ntile
+    * sorts for broadcast KLL quintile boundaries
+    * ([[graft.operators.Behavior.rfmScoresSketched]]) — the snapshot
+    * contract is unchanged either way.
     *
     * Replay-safe the E46 way: reads the newest snapshot version
     * strictly below the current batch id (publish keeps 2), so a

@@ -156,6 +156,35 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("f_score")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("rfmSketched: sub-capacity scores match exact rfm; rfmScores auto-routes") {
+    // n = 10 users, distinct metric values, n divisible by 5: the KLL
+    // sketches stay exact (far below k=200 capacity) and the
+    // inclusive-rank boundary rule reproduces ntile assignments
+    // exactly, so sketched == exact row for row
+    val day = 86400L * 1000000000L
+    val rows = (1 to 10).flatMap { u =>
+      (0 until u).map(i => (s"u$u", (u * 10 + i) * day, u * 3.0 + i))
+    }
+    val df = rows.toDF("user_id", "ts_ns", "value")
+    val exact = Behavior.rfm(df, col("user_id"), col("ts_ns"), col("value"))
+      .orderBy("user_id").collect().toSeq
+    val sk = Behavior.rfmSketched(df, col("user_id"), col("ts_ns"), col("value"))
+      .orderBy("user_id").collect().toSeq
+    assert(sk == exact, s"sub-capacity sketched must equal exact:\n$sk\nvs\n$exact")
+    // the rfmScores escape hatch: above the caller-set cardinality the
+    // scorer routes through the sketched path (same rows here)
+    val per = df.groupBy("user_id").agg(
+      max(col("ts_ns")).as("__last"), count(lit(1)).as("frequency"),
+      sum(col("value")).cast("double").as("monetary"))
+    val routed = Behavior.rfmScores(per, sketchAbove = 5L)
+      .orderBy("user_id").collect().toSeq
+    assert(routed == exact, s"routed-sketched must equal exact here:\n$routed")
+    // below the threshold the exact path runs unchanged
+    val unrouted = Behavior.rfmScores(per, sketchAbove = 100L)
+      .orderBy("user_id").collect().toSeq
+    assert(unrouted == exact)
+  }
+
   test("weightedJaccardVerify: multiset ratio where set Jaccard lies") {
     val docs = Seq((1L, "a a b"), (2L, "a b b"), (3L, "x y z"),
       (4L, "a a b a a b")).toDF("id", "text")

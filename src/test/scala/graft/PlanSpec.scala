@@ -80,12 +80,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("windows are partitioned - no global single-partition window anywhere") {
+    // q_rfm_sketch is on this list BY CONTRACT: the sketched RFM
+    // scorer exists precisely to eliminate exact rfm's three
+    // single-partition ntile sorts (r14 verdict's one weak component)
     for (name <- Seq("q_topn_per_group", "q_window_running", "q_sessionize",
         "q_asof_join", "q_epe_shape_b", "q_pack_sequences", "q_quantile_bucket",
         "q_tfidf_topterms", "q_dedup_sorted", "q_dedup_spans",
         "q_perplexity_buckets", "q_admit_budget", "q_shuffle_shards",
         "q_token_loops", "q_seasonal", "q_decontaminate_spans",
-        "q_level_shift", "q_attribution_credit")) {
+        "q_level_shift", "q_attribution_credit", "q_rfm_sketch")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = globalWindows(df)
       assert(bad.isEmpty, s"$name has a global window: ${bad.mkString("\n")}")
