@@ -112,7 +112,9 @@ object TokenizerBench {
       val res = try {
         val ((m, lx), t) = timed {
           val (m0, lx0) = Bpe.trainModelLocalFromWords(z5, numMerges = vocab,
-            minPairFreq = 2L, maxWords = cap)
+            // the probe MEASURES the heap cliff the production guard
+            // protects against, so it opts past the bound deliberately
+            minPairFreq = 2L, maxWords = cap, allowLargeLexicon = true)
           (m0.count(), lx0.count())
         }
         s"""{"wall_s":${d(t)},"merges":$m,"lexicon_rows":$lx,"peak_heap_mb":${peakHeapMb()}}"""

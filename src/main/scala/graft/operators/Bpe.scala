@@ -155,14 +155,28 @@ object Bpe {
       text: Column,
       numMerges: Int,
       minPairFreq: Long = 2L,
-      maxWords: Int = 1000000): (DataFrame, DataFrame) = {
+      maxWords: Int = 1000000,
+      allowLargeLexicon: Boolean = false): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(maxWords >= 1, "maxWords must be >= 1")
     val wordFreq = scaleOut(df.select(text.as("__text")))
       .select(explode(tokens(col("__text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    trainModelLocalFromWords(wordFreq, numMerges, minPairFreq, maxWords)
+    trainModelLocalFromWords(wordFreq, numMerges, minPairFreq, maxWords,
+      allowLargeLexicon)
   }
+
+  /** MEASURED driver-heap bound for the local merge loop
+    * (TOKENIZER_PROBE r14, 32,768 merges): maxWords = 1M peaks at
+    * ~6.3 GB driver heap, the full 4.24M-word Zipf lexicon at
+    * ~12.7 GB — roughly 3 GB per million retained words. Past this
+    * bound a default driver dies in an OutOfMemoryError with no hint
+    * of which knob caused it, so [[trainModelLocal]] fails LOUDLY at
+    * maxWords > this unless the caller opts in (the senMaxN idiom:
+    * raising the cap is a deliberate act with a sized JVM, never an
+    * accident).
+    */
+  val localTrainWordBound: Int = 4250000
 
   /** [[trainModelLocal]] over a precomputed (w, freq) table — the
     * [[Wordpiece.buildVocabFromWords]] seam for this family: callers
@@ -174,9 +188,17 @@ object Bpe {
       wordFreqDf: DataFrame,
       numMerges: Int,
       minPairFreq: Long = 2L,
-      maxWords: Int = 1000000): (DataFrame, DataFrame) = {
+      maxWords: Int = 1000000,
+      allowLargeLexicon: Boolean = false): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(maxWords >= 1, "maxWords must be >= 1")
+    require(maxWords <= localTrainWordBound || allowLargeLexicon,
+      s"maxWords=$maxWords exceeds the measured driver-heap bound " +
+        s"($localTrainWordBound words ~ 12.7 GB peak heap; ~3 GB per " +
+        "million retained words, TOKENIZER_PROBE r14). A lexicon this " +
+        "size silently OOMs a default driver mid-merge-loop. Pass " +
+        "allowLargeLexicon = true deliberately with a sized JVM, or " +
+        "keep the cap and let the Zipf tail segment as OOV.")
     val spark = wordFreqDf.sparkSession
     val wordFreq = wordFreqDf
       .select(col("w").cast("string").as("w"), col("freq").cast("long").as("freq"))

@@ -1336,16 +1336,55 @@ object Dedup {
     * single-edit pairs longer than twice the block length; heavily
     * shared prefixes (ids, "Customer#…") should block on the SUFFIX.
     * Work is O(Σ block²) — block on enough characters to keep blocks
-    * small, exactly like LSH bucket sizing.
+    * small, exactly like LSH bucket sizing. That contract is ENFORCED
+    * (r14 scale probe: a saturated block space went ≥130× superlinear
+    * at 100×): an un-prunable per-block assert fails the job loudly —
+    * with the block and its pair count — when any block's n(n−1)/2
+    * exceeds `maxBlockPairs` (the theilSen senMaxN idiom). Raising it
+    * is a deliberate act, not an accident of data growth.
     */
   def editDistancePairs(
       df: DataFrame,
       id: Column,
       text: Column,
       block: Column,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2,
+      maxBlockPairs: Long = 10000000L,
+      maxTotalPairs: Long = 100000000L): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val d = df.select(id.as("id"), text.as("__t"), block.as("__blk"))
+    require(maxBlockPairs >= 1, "maxBlockPairs must be >= 1")
+    require(maxTotalPairs >= maxBlockPairs,
+      "maxTotalPairs must be >= maxBlockPairs")
+    val d0 = df.select(id.as("id"), text.as("__t"), block.as("__blk"))
+    val mass = d0.groupBy("__blk").agg(count(lit(1)).as("__bn"))
+    // TOTAL pair mass too, not just the hottest block: the r14 probe
+    // kill was the block SPACE saturating — per-block counts grow
+    // linearly with data, so Σ n(n−1)/2 grows quadratically even when
+    // no single block is hot
+    val total = mass.agg(
+      sum(col("__bn") * (col("__bn") - 1) / 2).as("__tp"))
+    // assert_true INSIDE a filter so column pruning can't delete the
+    // guard; NULL (the pass value) keeps every row
+    val d = d0.join(mass, Seq("__blk")).crossJoin(broadcast(total))
+      .filter(assert_true(
+        col("__bn") * (col("__bn") - 1) / 2 <= maxBlockPairs,
+        concat(lit("edit-distance blocking SATURATED: block '"),
+          col("__blk").cast("string"), lit("' holds "), col("__bn"),
+          lit(" rows = "),
+          (col("__bn") * (col("__bn") - 1) / 2).cast("string"),
+          lit(s" candidate pairs > maxBlockPairs=$maxBlockPairs — the " +
+            "block self-join is quadratic there. Block on more " +
+            "characters (or the suffix) or raise maxBlockPairs " +
+            "deliberately."))).isNull)
+      .filter(assert_true(
+        col("__tp") <= maxTotalPairs,
+        concat(lit("edit-distance block space SATURATED: "),
+          col("__tp").cast("string"),
+          lit(s" total candidate pairs > maxTotalPairs=$maxTotalPairs " +
+            "— per-block mass grows quadratically with data under a " +
+            "fixed blocking key. Block on more characters or raise " +
+            "maxTotalPairs deliberately."))).isNull)
+      .select("id", "__t", "__blk")
     val a = d.select(col("id").as("id_a"), col("__t").as("__ta"), col("__blk"))
     val b = d.select(col("id").as("id_b"), col("__t").as("__tb"), col("__blk"))
     a.join(b, Seq("__blk"))

@@ -4084,7 +4084,11 @@ object Stats {
     val ra = cells.groupBy("a").agg(sum(col("__n")).as("__rt"))
     val rb = cells.groupBy("b").agg(sum(col("__n")).as("__ct"))
     val tot = cells.agg(sum(col("__n")).as("__tot"))
-    val grid = ra.crossJoin(rb).crossJoin(broadcast(tot))
+    // broadcast the column-margin side explicitly: both margin frames
+    // are category-bounded, but a high-cardinality categorical fed by
+    // a careless caller should never turn grid completion into a
+    // shuffled cartesian (r14 advice — free insurance)
+    val grid = ra.crossJoin(broadcast(rb)).crossJoin(broadcast(tot))
       .join(cells, Seq("a", "b"), "left")
       .withColumn("n_obs", coalesce(col("__n"), lit(0L)))
     val totD = col("__tot").cast("double")

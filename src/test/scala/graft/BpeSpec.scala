@@ -197,4 +197,20 @@ class BpeSpec extends SparkSpec {
     val syms = m.select("merged").as[String].collect()
     assert(syms.forall(!_.contains("o")))
   }
+
+  test("trainModelLocal fails loudly past the measured driver-heap word bound") {
+    val docs = Seq("a b c").map(Tuple1(_)).toDF("text")
+    // above the measured ~12.7 GB envelope: refuse unless opted in
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainModelLocal(docs, col("text"), numMerges = 1,
+        maxWords = Bpe.localTrainWordBound + 1)
+    }
+    assert(e.getMessage.contains("driver-heap") &&
+      e.getMessage.contains("allowLargeLexicon"), e.getMessage)
+    // the deliberate opt-in path still trains
+    val (m, lx) = Bpe.trainModelLocal(docs, col("text"), numMerges = 1,
+      minPairFreq = 1L, maxWords = Bpe.localTrainWordBound + 1,
+      allowLargeLexicon = true)
+    assert(lx.count() == 3L && m.count() == 1L)
+  }
 }

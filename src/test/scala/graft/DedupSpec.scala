@@ -544,6 +544,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (3L, 4L)), pairs.toString)
   }
 
+  test("editDistancePairs: a saturated block fails LOUDLY with its pair count") {
+    // 6 rows land in one block: 15 candidate pairs > maxBlockPairs=10
+    val rows = (1 to 6).map(i => (i.toLong, s"same prefix $i")).toDF("id", "t")
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(rows, col("id"), col("t"),
+          block = substring(col("t"), 1, 4), maxDist = 2,
+          maxBlockPairs = 10L)
+        .collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("SATURATED") && msg.contains("15"),
+      s"expected the loud block-mass failure, got: $msg")
+    // the TOTAL-mass guard fires even when no single block is hot:
+    // 4 blocks x 3 rows = 12 pairs total, each block only 3
+    val spread = (0 until 12).map(i =>
+      (i.toLong, s"blk${i % 4} item $i")).toDF("id", "t")
+    val e2 = intercept[Exception] {
+      Dedup.editDistancePairs(spread, col("id"), col("t"),
+          block = substring(col("t"), 1, 4), maxDist = 2,
+          maxBlockPairs = 5L, maxTotalPairs = 10L)
+        .collect()
+    }
+    val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("block space SATURATED") && msg2.contains("12"),
+      s"expected the total-mass failure, got: $msg2")
+    // under the caps the guard passes rows through untouched
+    val ok = Dedup.editDistancePairs(rows, col("id"), col("t"),
+        block = substring(col("t"), 1, 4), maxDist = 2,
+        maxBlockPairs = 15L)
+      .collect()
+    assert(ok.length == 15, s"all dist-1 pairs of the block: ${ok.length}")
+  }
+
   test("dropBoilerplateLines drops high-df lines via NORMALIZED matching, keeps the rest") {
     // the footer appears in 3/4 docs with varying case/punctuation;
     // content lines are unique per doc
