@@ -1503,11 +1503,14 @@ object CurationQueries {
           .map(w => s"'$w'").mkString("(", ", ", ")")
         val b = Sampling.hashBucketSql("doc_id")
         val chainDocs =
-          s"""d0 AS (
+          s"""dcap AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  ORDER BY $b, doc_id LIMIT 3000),
+             |d0 AS (
              |  SELECT doc_id, source,
              |    CASE WHEN doc_id % 7 = 0 THEN text || ' $evalQuestion'
              |         ELSE text END AS text
-             |  FROM documents),
+             |  FROM dcap),
              |rnd AS (
              |  SELECT doc_id + 1000000 AS doc_id, source,
              |    array_to_string(tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS INT), 1)], ' ') AS text
@@ -1610,8 +1613,20 @@ object CurationQueries {
       import graft.functions.tokens
       // stage 0: fixture — leaked eval question on every 7th doc,
       // 4/5-truncated renditions of corpus docs as the shard's
-      // known-duplicate mass
+      // known-duplicate mass. The input is CAPPED at 3000 docs by
+      // deterministic hash-bucket order (inert at sf0.01's 600 docs;
+      // TakeOrderedAndProject above it) so the DuckDB replay of the
+      // composed chain stays feasible at ANY scale factor — the r14
+      // sf1 sweep's uncapped recursive-CTE minhash replay exhausted
+      // process address space, leaving the flagship unverifiable
+      // exactly where scale bugs compose. Full-corpus scale coverage
+      // lives in the constituent stages (q_gopher_gate,
+      // q_decontaminate_spans, q_dedup_minhash_incr,
+      // q_temperature_mixture, q_pack_sequences — all sf1 hash-green
+      // uncapped) and in E46's streaming twin.
+      val bkt = Sampling.hashBucket(col("doc_id"))
       val base = table(s, dir, "documents")
+        .orderBy(bkt, col("doc_id")).limit(3000)
         .select(col("doc_id"), col("source"),
           when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" " + evalQuestion)))

@@ -40,6 +40,46 @@ object DedupQueries {
     d.unionByName(trunc)
   }
 
+  /** [[truncatedDocs]] with an ABSOLUTE deterministic cap on the BASE
+    * docs (hash-bucket order, doc_id tiebreak — the q_audit_* idiom)
+    * BEFORE renditions derive, so every kept base doc keeps its
+    * planted rendition and the frame is ≤ 2·cap rows at ANY scale
+    * factor. This is what makes the composed-flagship oracles
+    * sf1-feasible (r14: the uncapped minhash replay exhausted DuckDB's
+    * address space) — the cap is inert below it (sf0.01's 600 docs
+    * pass through untouched), and a TakeOrderedAndProject, never a
+    * global sort, above it.
+    */
+  private def truncatedDocsCapped(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
+    val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val base = table(s, dir, "documents")
+      .orderBy(bkt, col("doc_id")).limit(cap)
+      .select(col("doc_id").as("id"), col("text"))
+    val d = graft.operators.scaleOut(base)
+    val trunc = d.select(
+      (col("id") + 1000000).as("id"),
+      array_join(
+        flatten(transform(array(tokens(col("text"))), tk =>
+          slice(tk, lit(1), greatest(floor(size(tk) * 4 / 5), lit(1)).cast("int")))),
+        " ").as("text"))
+    d.unionByName(trunc)
+  }
+
+  /** DuckDB twin of [[truncatedDocsCapped]] — ends in `docs`(id, tk). */
+  private def truncatedDocsCappedSql(cap: Int): String = {
+    val b = graft.operators.Sampling.hashBucketSql("doc_id")
+    s"""tkc AS (
+       |  SELECT doc_id, text FROM documents ORDER BY $b, doc_id LIMIT $cap),
+       |tk0 AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}\\s]', ' ', 'g'), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM tkc),
+       |docs AS (
+       |  SELECT doc_id AS id, tk FROM tk0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, tk[1:greatest(CAST(floor(len(tk) * 4 / 5) AS BIGINT), 1)] FROM tk0)""".stripMargin
+  }
+
   /** Same corpus in DuckDB. */
   private val truncatedDocsSql: String =
     """tk0 AS (
@@ -2485,8 +2525,15 @@ object DedupQueries {
     // EXACT oracle since r10: the XxSql replay generates the est-tier
     // candidates, the exact-Jaccard confirm recomputes shingle overlap
     // declaratively (LEFT JOIN so zero-overlap candidates read 0).
+    // r15: the corpus is the 1500-base-doc CAPPED frame (inert at
+    // sf0.01's 600 docs; renditions derive AFTER the cap so planted
+    // pairs stay whole) — the r14 sf1 sweep's uncapped exact-confirm
+    // replay needed >100 GB DuckDB temp, so the flagship was
+    // unverifiable exactly where scale bugs would compose. The
+    // full-corpus scale exercise lives in the constituent tiers
+    // (q_dedup_minhash, q_dedup_prefix — sf1 hash-green, uncapped).
     Q("q_dedup_verified",
-      minHashOracleSql(
+      minHashOracleSql(docsSql = truncatedDocsCappedSql(1500), tail =
         """cap AS (SELECT id, bucket FROM (
           |          SELECT id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS nn FROM bkt)
           |        WHERE nn BETWEEN 2 AND 200),
@@ -2509,7 +2556,8 @@ object DedupQueries {
           |JOIN vsizes na ON na.id = p.id_a JOIN vsizes nb ON nb.id = p.id_b
           |WHERE round(COALESCE(i.n_inter, 0) * 1.0 / (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 4) >= 0.5
           |ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
-      Dedup.minHashLSHVerified(truncatedDocs(s, dir), col("id"), col("text"),
+      Dedup.minHashLSHVerified(truncatedDocsCapped(s, dir, 1500),
+          col("id"), col("text"),
           estThreshold = 0.4, jaccardThreshold = 0.5)
         .orderBy("id_a", "id_b")
     },
