@@ -111,6 +111,9 @@ object StreamBench {
     val nKeys = args.lift(1).map(_.toInt).getOrElse(10000)
     val nBuckets = args.lift(2).map(_.toInt).getOrElse(1000)
     val provider = args.lift(3).getOrElse("hdfs")
+    // optional comma-separated leg filter (single-leg profiling runs)
+    val legs = args.lift(4).map(_.split(",").map(_.trim).toSet)
+    def want(n: String): Boolean = legs.forall(_.contains(n))
     val nBatches = 10
     val spark = Engine.session("graft-stream-bench")
     if (provider == "rocksdb")
@@ -122,19 +125,23 @@ object StreamBench {
     // E34 cusum / E39 ewma / E40 holt / E43 holt-winters: per-key
     // chart state is O(1) per key by design — state_rows must equal
     // nKeys, independent of rows_in.
-    results += feedChart(spark, "cusum", nKeys, nBuckets, nBatches)(
-      df => EventStreams.cusumStream(df, target = 12.0, slack = 0.5))
-    results += feedChart(spark, "ewma", nKeys, nBuckets, nBatches)(
-      df => EventStreams.ewmaStream(df))
-    results += feedChart(spark, "holt", nKeys, nBuckets, nBatches)(
-      df => EventStreams.holtStream(df))
-    results += feedChart(spark, "holt_winters", nKeys, nBuckets, nBatches)(
-      df => EventStreams.holtWintersStream(df, period = 7))
+    if (want("cusum"))
+      results += feedChart(spark, "cusum", nKeys, nBuckets, nBatches)(
+        df => EventStreams.cusumStream(df, target = 12.0, slack = 0.5))
+    if (want("ewma"))
+      results += feedChart(spark, "ewma", nKeys, nBuckets, nBatches)(
+        df => EventStreams.ewmaStream(df))
+    if (want("holt"))
+      results += feedChart(spark, "holt", nKeys, nBuckets, nBatches)(
+        df => EventStreams.holtStream(df))
+    if (want("holt_winters"))
+      results += feedChart(spark, "holt_winters", nKeys, nBuckets, nBatches)(
+        df => EventStreams.holtWintersStream(df, period = 7))
 
     // E30-family cell counting: state bounded by the SKETCH geometry
     // (width × depth cells), not by distinct terms — the property that
     // makes it safe under unbounded vocabulary.
-    {
+    if (want("cms_cells")) {
       implicit val enc = org.apache.spark.sql.Encoders.product[Tuple1[String]]
       val input = MemoryStream[Tuple1[String]](spark)
       val n = nKeys * nBuckets
@@ -162,7 +169,7 @@ object StreamBench {
     // E2 sessionize: event-time timeout state — one row per OPEN
     // session; closed sessions leave the store. Every 50th event gaps
     // 13 h so sessions actually close mid-stream.
-    {
+    if (want("sessionize")) {
       implicit val enc = org.apache.spark.sql.Encoders.product[
         (Timestamp, Long, Long, String, Double)]
       val input = MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
@@ -201,7 +208,7 @@ object StreamBench {
 
     // E41 thetaMaintained: foreachBatch snapshot maintenance — state is
     // the persisted sketch table (rows = groups), not the state store.
-    {
+    if (want("theta_maintained")) {
       implicit val enc = org.apache.spark.sql.Encoders.product[(String, String)]
       val input = MemoryStream[(String, String)](spark)
       val n = nKeys * nBuckets
