@@ -871,6 +871,78 @@ object Eval {
         degenerate.as("degenerate"))
   }
 
+  /** C139: Page's L trend test — [[friedman]]'s ORDERED-alternative
+    * sibling (exactly as Jonckheere-Terpstra sharpens
+    * [[graft.operators.Stats.kruskalWallis]]): when the k systems
+    * carry a PRE-SPECIFIED order (model checkpoints over training,
+    * dose steps, context lengths), test for a monotone trend in the
+    * within-item ranks instead of "any difference":
+    * L = Σ_j j·R_j, z = (L − n·k(k+1)²/4) / √(n·k²(k+1)(k²−1)/144).
+    * Far more powerful than Friedman against the monotone alternative
+    * the caller actually cares about ("is the metric still climbing
+    * checkpoint over checkpoint?").
+    *
+    * Complete blocks only (n_excluded reported, the friedman/cochranQ
+    * contract). Determinism: dp-quantized scores, within-item
+    * mid-ranks as exact 2·rank integer lanes (friedman's machinery —
+    * every window frame is k rows), L on exact integer lanes
+    * (L2 = Σ j·R2_j, L = L2/2), μ/σ one fixed double derivation, z
+    * 4-dp toward zero. Mid-rank TIES shrink the true variance below
+    * the tie-free formula used here — z is slightly conservative
+    * under heavy ties (documented contract; the friedman row carries
+    * the tie-corrected omnibus). `critical` is the caller's two-sided
+    * cut (default 1.96). Returns ONE row: (n_items, n_excluded, k,
+    * l_stat, z, significant, degenerate).
+    */
+  def pageTrend(df: DataFrame, item: Column, ord: Column,
+      score: Column, dp: Int = 6, critical: Double = 1.96): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]")
+    val t = df.filter(score.isNotNull && item.isNotNull && ord.isNotNull)
+      .select(item.as("__i"), ord.cast("long").as("__j"),
+        round(score.cast("double"), dp).as("__v"))
+    val kRow = t.agg(countDistinct(col("__j")).as("__k"))
+    val perItem = t.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val flagged = perItem.crossJoin(broadcast(kRow))
+      .select(col("__i"), (col("__n") === col("__k")).as("__complete"))
+    val counts = flagged.agg(
+      coalesce(sum(when(col("__complete"), 1L)), lit(0L)).as("n_items"),
+      coalesce(sum(when(!col("__complete"), 1L)), lit(0L)).as("n_excluded"))
+    val r = t.join(flagged.filter(col("__complete")).select("__i"),
+      Seq("__i"), "left_semi")
+    // the caller's ordinal values need not be 1..k — DENSE-rank them
+    // into the canonical 1..k weights on the (bounded, ≤k-row)
+    // distinct-ordinal frame, broadcast back
+    val ordMap = r.select(col("__j")).distinct()
+      .withColumn("__w", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__j"))))
+    val vg = r.groupBy("__i", "__v").agg(count(lit(1)).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__i").orderBy(col("__v")).rowsBetween(Long.MinValue, -1)
+    val vc = vg.withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
+    // 2·rank lanes joined back to rows, weighted by the canonical
+    // ordinal: L2 = Σ w·(2·rank) exact
+    val l2 = r.join(vc.select(col("__i"), col("__v"), col("__cum"), col("__t")),
+        Seq("__i", "__v"))
+      .join(broadcast(ordMap), Seq("__j"))
+      .select((col("__w").cast("decimal(19,0)") *
+        (col("__cum") * 2 + col("__t") + 1)).cast("decimal(38,0)").as("__lw"))
+      .agg(coalesce(sum(col("__lw")), lit(0).cast("decimal(38,0)")).as("__l2"))
+    val nd = col("n_items").cast("double")
+    val kd = col("__k").cast("double")
+    val lStat = col("__l2").cast("double") / 2.0
+    val mu = nd * kd * (kd + 1.0) * (kd + 1.0) / 4.0
+    val sigma = sqrt(nd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0)
+    val degenerate = col("__k") < 3 || col("n_items") < 1
+    val z = (lStat - mu) / sigma
+    counts.crossJoin(broadcast(kRow)).crossJoin(l2)
+      .select(
+        col("n_items"), col("n_excluded"), col("__k").as("k"),
+        when(degenerate, 0.0).otherwise(floor(lStat * 1e4) / 1e4).as("l_stat"),
+        when(degenerate, 0.0).otherwise(Num.t4zero(z)).as("z"),
+        (!degenerate && abs(z) > critical).as("significant"),
+        degenerate.as("degenerate"))
+  }
+
   /** Rank discounts 1/log2(i+1) for nDCG, pre-rounded to 7 dp — the
     * values are computed ONCE here in Scala and interpolated as
     * literals into both the Spark plan and the SQL twin, because the

@@ -4296,4 +4296,337 @@ object Stats {
             > critical).as("significant"),
         (col("n") < 3 || col("__s2v") <= 0.0).as("degenerate"))
   }
+
+  /** C134: G-test of independence (log-likelihood ratio) — the
+    * information-theoretic twin of [[chiSquared]], preferred when
+    * cells are small-but-nonzero or the table will be DECOMPOSED
+    * (G is exactly additive over nested partitions, χ² only
+    * approximately — the reason log-linear modeling standardized on
+    * it): G = 2·Σ o·ln(o/e). Zero cells contribute 0 by the
+    * o·ln(o) → 0 limit.
+    *
+    * Same bounded shape as C51: one partial-aggregated pass to the
+    * ≤ r·c contingency frame, margins by broadcast null-safe joins
+    * over it, expected counts in one fixed operation order. Each
+    * cell's o·ln(o/e) truncates 7-dp into an exact decimal so the
+    * cross-cell sum is order-independent; the ln() runs on
+    * fixed-order doubles of exact longs (the bartlett discipline).
+    *
+    * Returns ONE row: (n, n_cells, dof, g_stat, degenerate) — g_stat
+    * 4-dp floored; single-row/column tables report 0 + degenerate.
+    */
+  def gTest(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__rt"))
+    val rb = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__ct"))
+    val g = cells
+      .join(broadcast(ra.withColumnRenamed("__a", "__ka")),
+        col("__a") <=> col("__ka"))
+      .join(broadcast(rb.withColumnRenamed("__b", "__kb")),
+        col("__b") <=> col("__kb"))
+    val tot = cells.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__tot"),
+      count(lit(1)).as("n_cells"))
+    val nr = ra.agg(count(lit(1)).as("__r"))
+    val nc = rb.agg(count(lit(1)).as("__c"))
+    val exp = col("__rt").cast("double") * col("__ct").cast("double") /
+      col("__tot").cast("double")
+    val term = col("__n").cast("double") *
+      log(col("__n").cast("double") / exp)
+    val gSum = g.crossJoin(broadcast(tot.select(col("__tot"))))
+      .select(when(col("__n") > 0,
+        (floor(term * 1e7) / 1e7).cast("decimal(20,7)"))
+        .otherwise(lit(0).cast("decimal(20,7)")).as("__t7"))
+      .agg(sum(col("__t7")).as("__g2"))
+    val m = tot.crossJoin(nr).crossJoin(nc).crossJoin(gSum)
+    val dof = when(col("__r") === 0 || col("__c") === 0, lit(0L))
+      .otherwise((col("__r") - 1) * (col("__c") - 1))
+    val degenerate = dof === 0 || col("__g2").isNull
+    m.select(
+      col("__tot").as("n"),
+      col("n_cells").as("n_cells"),
+      dof.as("dof"),
+      when(degenerate, 0.0)
+        .otherwise(floor(greatest(lit(0.0),
+          col("__g2").cast("double") * 2.0) * 1e4) / 1e4).as("g_stat"),
+      degenerate.as("degenerate"))
+  }
+
+  /** C135: Mood's median test — the BLUNTEST k-group location test:
+    * does each group put the same fraction of mass above the POOLED
+    * median? Far less powerful than [[kruskalWallis]] but immune to
+    * wildly different group shapes/tails (it only reads the
+    * above/below bit), which is exactly when KW's rank variance
+    * assumption wobbles — run both, disagree = look at the tails.
+    * χ² over the 2×k (above | not-above) table, dof = k−1.
+    *
+    * Determinism: values quantize ONCE to 6-dp micro longs; the
+    * pooled median is the exact interpolated percentile of those
+    * integers ((a+b)/2 of integers is exactly representable), so the
+    * above/below comparison is engine-exact. One partial-agg pass to
+    * per-group (n, n_above), the χ² over that k-row frame with 7-dp
+    * truncated terms. Groups above/below empty in TOTAL (all mass on
+    * one side — e.g. >half the pooled values tie at the median) or
+    * k < 2 report degenerate.
+    *
+    * Returns ONE row: (n, k, dof, chi2, n_above_total, degenerate) —
+    * chi2 4-dp floored.
+    */
+  def moodMedian(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val t = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.cast("string").as("__g"),
+        (round(value.cast("double"), 6) * 1e6).cast("long").as("__v6"))
+    val med = t.agg(expr("percentile(__v6, 0.5)").as("__m6"))
+    val perG = t.crossJoin(broadcast(med))
+      .groupBy("__g").agg(
+        count(lit(1)).as("__n"),
+        sum(when(col("__v6").cast("double") > col("__m6"), 1L)
+          .otherwise(0L)).as("__ab"))
+    val tot = perG.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__nn"),
+      coalesce(sum(col("__ab")), lit(0L)).as("__a"),
+      count(lit(1)).as("__k"))
+    val nn = col("__nn").cast("double")
+    val aTot = col("__a").cast("double")
+    // expected above = n_i·A/N, below = n_i·(N−A)/N; term per group =
+    // (o−e)²/e for both cells, 7-dp truncated into the exact sum
+    val eAb = col("__n").cast("double") * aTot / nn
+    val eBe = col("__n").cast("double") * (nn - aTot) / nn
+    val oAb = col("__ab").cast("double")
+    val oBe = (col("__n") - col("__ab")).cast("double")
+    // try_divide BY CONSTRUCTION (the r12 ANSI lesson): the all-tied
+    // input makes eAb or eBe exactly 0 and the degenerate guard is
+    // DOWNSTREAM of this projection — when()-laziness is not
+    // protection once codegen CSE hoists the division
+    val term = coalesce(try_divide((oAb - eAb) * (oAb - eAb), eAb), lit(0.0)) +
+      coalesce(try_divide((oBe - eBe) * (oBe - eBe), eBe), lit(0.0))
+    val chi = perG.crossJoin(broadcast(tot))
+      .select((floor(term * 1e7) / 1e7).cast("decimal(20,7)").as("__t7"))
+      .agg(sum(col("__t7")).as("__chi2"))
+    val degenerate = col("__k") < 2 || col("__a") === 0 ||
+      col("__a") === col("__nn") || col("__chi2").isNull
+    tot.crossJoin(chi).select(
+      col("__nn").as("n"), col("__k").as("k"),
+      when(col("__k") > 0, col("__k") - 1).otherwise(0L).as("dof"),
+      when(degenerate, 0.0)
+        .otherwise(floor(greatest(lit(0.0), col("__chi2").cast("double"))
+          * 1e4) / 1e4).as("chi2"),
+      col("__a").as("n_above_total"),
+      degenerate.as("degenerate"))
+  }
+
+  /** C136: two-sample Cramér-von Mises — [[ksTest]]'s INTEGRATED
+    * sibling: where KS reads only the single worst CDF gap (sharp on
+    * one localized shift, blind to many small ones), CvM sums the
+    * SQUARED gap over every pooled observation —
+    * T = n·m/(n+m)² · Σ_pooled (F_a(x) − F_b(x))² — so distributed
+    * shape differences (variance, tails) that never open one big gap
+    * still accumulate. Run both: KS flags "where", CvM flags
+    * "overall".
+    *
+    * Same bounded-ordered-pass shape as ksTest: dp-quantized value
+    * grid from one partial-agg pass, one cumulative window over the
+    * ≤10^dp-row frame. Per grid value the CDF gap is the EXACT
+    * integer |ca·tb − cb·ta| (decimal lanes); its square and weight
+    * (na+nb pooled observations at that value) compute in one fixed
+    * double order and truncate 9-dp into an exact decimal, so the
+    * cross-value sum is order-independent (the ljungBox discipline;
+    * term magnitudes are ≤ weight, so the decimal(28,9) lane holds to
+    * ~10¹⁹ rows). `significant` applies the asymptotic 5% cut
+    * (T > 0.461, Anderson '62). Empty side → 0 + degenerate.
+    *
+    * Returns ONE row: (n_a, n_b, t_stat, significant, degenerate) —
+    * t_stat 4-dp floored.
+    */
+  def cramerVonMises(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      groupA: String,
+      groupB: String,
+      dp: Int = 4,
+      critical: Double = 0.461): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]: the quantization bounds the ordered pass")
+    val v = round(value.cast("double"), dp)
+    val g = df.filter(value.isNotNull && (group === groupA || group === groupB))
+      .groupBy(v.as("__v"))
+      .agg(
+        sum(when(group === groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(group === groupB, 1L).otherwise(0L)).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v")).rowsBetween(Long.MinValue, 0)
+    def big(c: Column): Column = c.cast("decimal(19,0)")
+    val cum = g
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+    val tot = g.agg(
+      coalesce(sum(col("__na")), lit(0L)).as("__ta"),
+      coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
+    val ta = col("__ta").cast("double")
+    val tb = col("__tb").cast("double")
+    // gap as exact integer then ONE fixed-order double chain:
+    // (d/ta/tb)²·weight, 9-dp truncated per value
+    val dInt = abs(big(col("__ca")) * big(col("__tb"))
+      - big(col("__cb")) * big(col("__ta"))).cast("decimal(38,0)")
+    val term = (col("__na") + col("__nb")).cast("double") *
+      (dInt.cast("double") / ta / tb) * (dInt.cast("double") / ta / tb)
+    val sumT = cum.crossJoin(broadcast(tot))
+      .select((floor(term * 1e9) / 1e9).cast("decimal(28,9)").as("__t9"))
+      .agg(sum(col("__t9")).as("__s"))
+    val one = tot.crossJoin(sumT)
+    val degenerate = col("__ta") === 0 || col("__tb") === 0 ||
+      col("__s").isNull
+    val tStat = ta * tb / ((ta + tb) * (ta + tb)) *
+      col("__s").cast("double")
+    one.select(
+      col("__ta").as("n_a"), col("__tb").as("n_b"),
+      when(degenerate, 0.0).otherwise(floor(tStat * 1e4) / 1e4).as("t_stat"),
+      (!degenerate && tStat > critical).as("significant"),
+      degenerate.as("degenerate"))
+  }
+
+  /** C137: Hosmer-Lemeshow calibration test — the HYPOTHESIS-TEST
+    * face of [[calibration]]'s ECE report: group predictions into
+    * g quantile bins of predicted probability, compare observed
+    * positives o_i against expected e_i = Σp̂ per bin:
+    * HL = Σ (o_i − e_i)² / (e_i·(1 − e_i/n_i)), χ²_{g−2} under
+    * calibration. ECE says "how far off"; this says "farther than
+    * chance would allow".
+    *
+    * Shape at scale: bin EDGES are exact interpolated percentiles of
+    * the 6-dp-quantized score (one aggregation, broadcast back as
+    * g−1 doubles — never an ntile total-order sort); per-bin o/e/n
+    * from one partial-agg pass, Σp̂ on exact decimal(28,6) lanes.
+    * Bins with e = 0 or e = n (the term denominator vanishes) flag
+    * degenerate rather than printing infinities.
+    *
+    * Returns ONE row: (n, g, dof, hl_stat, degenerate) — hl_stat
+    * 4-dp floored, dof = g−2 (0-pinned when g < 3).
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, "bins in [2, 100]")
+    val t = df.filter(score.isNotNull && label.isNotNull)
+      .select((round(score.cast("double"), 6) * 1e6).cast("long").as("__s6"),
+        label.cast("boolean").cast("int").as("__y"))
+    val ranks = (1 until bins).map(i => i.toDouble / bins)
+    val edges = t.agg(
+      expr(s"percentile(__s6, array(${ranks.mkString(",")}))").as("__e"))
+    val binCol = ranks.indices.map(i =>
+      when(col("__s6").cast("double") > element_at(col("__e"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val perBin = t.crossJoin(broadcast(edges))
+      .withColumn("__bin", binCol)
+      .groupBy("__bin").agg(
+        count(lit(1)).as("__n"),
+        sum(col("__y")).as("__o"),
+        // exact integer micro-sum; ONE division to double at the end
+        // (n·1e6 stays far under 2^53 — the fixed-order double is
+        // engine-identical)
+        sum(col("__s6")).as("__se"))
+    val nD = col("__n").cast("double")
+    val e = col("__se").cast("double") / 1e6
+    val bad = e <= 0.0 || e >= nD
+    val term = (col("__o").cast("double") - e) * (col("__o").cast("double") - e) /
+      (e * (lit(1.0) - e / nD))
+    val agg = perBin.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"),
+      count(lit(1)).as("g"),
+      sum(when(bad, lit(null).cast("decimal(20,7)"))
+        .otherwise((floor(term * 1e7) / 1e7).cast("decimal(20,7)")))
+        .as("__hl"),
+      max(bad.cast("int")).as("__anybad"))
+    val degenerate = col("g") < 3 || col("__anybad") === 1 ||
+      col("__hl").isNull
+    agg.select(
+      col("n"), col("g"),
+      when(col("g") < 3, 0L).otherwise(col("g") - 2).as("dof"),
+      when(degenerate, 0.0)
+        .otherwise(floor(greatest(lit(0.0), col("__hl").cast("double"))
+          * 1e4) / 1e4).as("hl_stat"),
+      degenerate.as("degenerate"))
+  }
+
+  /** C138: Dunn's test — the post-hoc that belongs to
+    * [[kruskalWallis]] the way [[tukeyHsd]] belongs to [[anova]]:
+    * after KW says "some group differs", Dunn says WHICH pairs, using
+    * the SAME pooled mid-ranks (never per-pair re-ranking, which
+    * changes the question): z_ij = (R̄_i − R̄_j) / √(S²·(1/n_i +
+    * 1/n_j)) with the tie-corrected pooled rank variance
+    * S² = (N(N+1) − Σ(t³−t)/(N−1)) / 12.
+    *
+    * Shape at scale: the kruskalWallis rank machinery verbatim (one
+    * dp-quantized value-grid pass, exact 2·rank integer lanes), then
+    * everything runs on the k-row group frame — the pair join is
+    * k², config-sized. Mean ranks derive once per group in a fixed
+    * double order; z truncates 4-dp toward zero. `critical` is the
+    * caller's two-sided cut — default 2.394, the Bonferroni 5% value
+    * for k = 3 (3 pairwise comparisons); pass the value for your k.
+    *
+    * Returns one row per unordered pair: (g_a, g_b, n_a, n_b,
+    * mean_rank_a, mean_rank_b, z, significant, degenerate) — mean
+    * ranks 4-dp floored.
+    */
+  def dunnTest(df: DataFrame, group: Column, value: Column,
+      dp: Int = 6, critical: Double = 2.394): DataFrame = {
+    require(dp >= 0 && dp <= 7, "dp in [0, 7]: the quantization bounds the rank frame")
+    val t = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.cast("string").as("__g"),
+        round(value.cast("double"), dp).as("__v"))
+    val vg = t.groupBy("__v", "__g").agg(count(lit(1)).as("__nvg"))
+    val vt = vg.groupBy("__v").agg(sum(col("__nvg")).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v")).rowsBetween(Long.MinValue, -1)
+    def b13(c: Column): Column = c.cast("decimal(13,0)")
+    def b19(c: Column): Column = c.cast("decimal(19,0)")
+    val vtc = vt
+      .withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__tc",
+        (b13(col("__t")) * b13(col("__t")) * b13(col("__t")) - col("__t"))
+          .cast("decimal(38,0)"))
+    // __r2 = 2·Σranks per group (exact integer lanes, the KW recipe)
+    val perG = vg.join(vtc, "__v")
+      .groupBy("__g").agg(
+        sum(col("__nvg")).as("__n"),
+        sum((b19(col("__nvg")) * (b19(col("__cum")) * 2 + col("__t") + 1))
+          .cast("decimal(38,0)")).as("__r2"))
+    val ties = vtc.agg(
+      coalesce(sum(col("__tc")), lit(0).cast("decimal(38,0)")).as("__sumtc"))
+    val tot = perG.agg(coalesce(sum(col("__n")), lit(0L)).as("__nn"),
+      count(lit(1)).as("__k"))
+    val withS = tot.crossJoin(ties)
+    val nn = col("__nn").cast("double")
+    // S² in one fixed double order; ties saturating S² ≤ 0 (all
+    // values equal) flags degenerate downstream
+    val s2 = (nn * (nn + 1.0) -
+      col("__sumtc").cast("double") / (nn - 1.0)) / 12.0
+    val aSide = perG.select(col("__g").as("g_a"), col("__n").as("__na"),
+      col("__r2").as("__r2a"))
+    val bSide = perG.select(col("__g").as("g_b"), col("__n").as("__nb"),
+      col("__r2").as("__r2b"))
+    val pairs = aSide.join(bSide, col("g_a") < col("g_b"))
+      .crossJoin(broadcast(withS.select(col("__nn"), col("__k"),
+        s2.as("__s2"))))
+    val ma = col("__r2a").cast("double") / 2.0 / col("__na").cast("double")
+    val mb = col("__r2b").cast("double") / 2.0 / col("__nb").cast("double")
+    val se = sqrt(col("__s2") *
+      (lit(1.0) / col("__na").cast("double") +
+        lit(1.0) / col("__nb").cast("double")))
+    val degenerate = col("__k") < 2 || col("__nn") < 2 || col("__s2") <= 0.0
+    val z = (ma - mb) / se
+    pairs.select(
+      col("g_a"), col("g_b"),
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      (floor(ma * 1e4) / 1e4).as("mean_rank_a"),
+      (floor(mb * 1e4) / 1e4).as("mean_rank_b"),
+      when(degenerate, 0.0).otherwise(Num.t4zero(z)).as("z"),
+      (!degenerate && abs(z) > critical).as("significant"),
+      degenerate.as("degenerate"))
+      .orderBy("g_a", "g_b")
+  }
 }

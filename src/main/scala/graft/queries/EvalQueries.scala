@@ -210,6 +210,63 @@ object EvalQueries {
         col("i"), col("s"), col("v"))
     },
 
+    // C139: Page's L trend test — four ORDERED "checkpoints" score
+    // every doc with a planted upward tilt (+0.3 per step), every
+    // 43rd doc misses checkpoint 4 (the incomplete-block exclusion
+    // path). The fixture's ordinals are already 1..k, so the SQL
+    // weight is j itself (the operator dense-ranks arbitrary
+    // ordinals to the same 1..k).
+    Q(
+      "q_page_trend",
+      """WITH g AS (
+        |  SELECT doc_id AS i, j,
+        |    round(CAST((n_chars + j * doc_id) % 11 AS DOUBLE) + j * 0.3, 6) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+        |  WHERE NOT (j = 4 AND doc_id % 43 = 0)),
+        |kk AS (SELECT count(DISTINCT j) AS k FROM g),
+        |pi AS (SELECT i, count(*) AS n FROM g GROUP BY 1),
+        |fl AS (SELECT pi.i, (pi.n = kk.k) AS complete FROM pi CROSS JOIN kk),
+        |cnt AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN complete THEN 1 END), 0) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(CASE WHEN NOT complete THEN 1 END), 0) AS BIGINT)
+        |      AS n_excluded
+        |  FROM fl),
+        |r AS (SELECT g.i, g.j, g.v FROM g JOIN fl ON g.i = fl.i AND fl.complete),
+        |vg AS (SELECT i, v, CAST(count(*) AS BIGINT) AS t FROM r GROUP BY 1, 2),
+        |vc AS (SELECT i, v, t,
+        |    coalesce(sum(t) OVER (PARTITION BY i ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM vg),
+        |l2 AS (SELECT CAST(coalesce(sum(CAST(r.j AS DECIMAL(19,0))
+        |      * (vc.cum * 2 + vc.t + 1)), 0) AS DECIMAL(38,0)) AS l2
+        |  FROM r JOIN vc ON r.i = vc.i AND r.v = vc.v),
+        |d AS (SELECT cnt.n_items, cnt.n_excluded, kk.k,
+        |    CAST(cnt.n_items AS DOUBLE) AS nd, CAST(kk.k AS DOUBLE) AS kd,
+        |    CAST(l2.l2 AS DOUBLE) / 2.0 AS l
+        |  FROM cnt CROSS JOIN kk CROSS JOIN l2),
+        |e AS (SELECT *,
+        |    (l - nd * kd * (kd + 1.0) * (kd + 1.0) / 4.0)
+        |      / sqrt(nd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0) AS zv,
+        |    (k < 3 OR n_items < 1) AS degenerate
+        |  FROM d)
+        |SELECT n_items, n_excluded, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN degenerate THEN 0.0 ELSE floor(l * 1e4) / 1e4 END AS l_stat,
+        |  CASE WHEN degenerate THEN 0.0
+        |       ELSE sign(zv) * (floor(abs(zv) * 1e4) / 1e4) + 0.0 END AS z,
+        |  (NOT degenerate) AND abs(zv) > 1.96 AS significant,
+        |  degenerate
+        |FROM e""".stripMargin
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val steps = (1 to 4).map { j =>
+        d.filter(if (j == 4) col("doc_id") % 43 =!= 0 else lit(true))
+          .select(col("doc_id").as("i"), lit(j.toLong).as("j"),
+            round((col("n_chars") + lit(j) * col("doc_id")) % 11 +
+              lit(j * 0.3), 6).as("v"))
+      }.reduce(_ unionByName _)
+      Eval.pageTrend(steps, col("i"), col("j"), col("v"))
+    },
+
     // D121: Wilson score intervals for per-problem pass rates — the
     // closed-form binomial CI on the pass_at_k rollout frame; exact
     // (n, successes) integers, the fixed textual interval derivation,

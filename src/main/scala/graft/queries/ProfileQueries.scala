@@ -858,6 +858,62 @@ object ProfileQueries {
       graft.operators.Stats.kruskalWallis(d, col("g"), col("v"))
     },
 
+    // C138: Dunn's post-hoc on the same per-language frame as
+    // q_kruskal — WHICH language pairs differ, from the SAME pooled
+    // mid-ranks (exact 2·rank integer lanes), tie-corrected pooled
+    // rank variance, z 4-dp toward zero.
+    Q(
+      "q_dunn",
+      s"""WITH sc AS (
+         |  SELECT lang AS g, round(least(1.0, len(${tkSql("text")}) / 400.0), 6) AS v
+         |  FROM documents WHERE lang IS NOT NULL),
+         |vg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS nvg FROM sc GROUP BY 1, 2),
+         |vt AS (SELECT v, CAST(sum(nvg) AS BIGINT) AS t FROM vg GROUP BY 1),
+         |vtc AS (SELECT v, t,
+         |    coalesce(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    CAST(CAST(t AS DECIMAL(13,0)) * CAST(t AS DECIMAL(13,0))
+         |      * CAST(t AS DECIMAL(13,0)) - t AS DECIMAL(38,0)) AS tc
+         |  FROM vt),
+         |perg AS (SELECT g, CAST(sum(nvg) AS BIGINT) AS n,
+         |    CAST(sum(CAST(nvg AS DECIMAL(19,0))
+         |      * (CAST(cum AS DECIMAL(19,0)) * 2 + t + 1)) AS DECIMAL(38,0)) AS r2
+         |  FROM vg JOIN vtc USING (v) GROUP BY g),
+         |ties AS (SELECT CAST(coalesce(sum(tc), 0) AS DECIMAL(38,0)) AS sumtc FROM vtc),
+         |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS k FROM perg),
+         |s2 AS (SELECT nn, k,
+         |    (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+         |      - CAST(sumtc AS DOUBLE) / (CAST(nn AS DOUBLE) - 1.0)) / 12.0 AS s2
+         |  FROM tot CROSS JOIN ties),
+         |pairs AS (
+         |  SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+         |    CAST(a.r2 AS DOUBLE) / 2.0 / CAST(a.n AS DOUBLE) AS ma,
+         |    CAST(b.r2 AS DOUBLE) / 2.0 / CAST(b.n AS DOUBLE) AS mb,
+         |    s2.nn, s2.k, s2.s2
+         |  FROM perg a JOIN perg b ON a.g < b.g CROSS JOIN s2),
+         |z AS (SELECT *,
+         |    (ma - mb) / sqrt(s2 * (1.0 / CAST(n_a AS DOUBLE)
+         |      + 1.0 / CAST(n_b AS DOUBLE))) AS zv,
+         |    (k < 2 OR nn < 2 OR s2 <= 0.0) AS degenerate
+         |  FROM pairs)
+         |SELECT g_a, g_b, n_a, n_b,
+         |  floor(ma * 1e4) / 1e4 AS mean_rank_a,
+         |  floor(mb * 1e4) / 1e4 AS mean_rank_b,
+         |  CASE WHEN degenerate THEN 0.0
+         |       ELSE sign(zv) * (floor(abs(zv) * 1e4) / 1e4) + 0.0 END AS z,
+         |  (NOT degenerate) AND abs(zv) > 2.394 AS significant,
+         |  degenerate
+         |FROM z ORDER BY g_a, g_b""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.tokens
+      val d = graft.queries.table(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang").as("g"),
+          least(lit(1.0), size(tokens(col("text"))) / lit(400.0)).as("v"))
+      graft.operators.Stats.dunnTest(d, col("g"), col("v"))
+    },
+
     // C80: order-statistic median CI per event type — rank bracket
     // replayed exactly; CI endpoints are data values (no rounding
     // needed: a rank picks the same value on any engine).
@@ -1121,6 +1177,61 @@ object ProfileQueries {
           .as("score"),
         lower(col("text")).contains("data").as("y"))
       graft.operators.Stats.calibration(d, col("score"), col("y"), nBins = 10)
+    },
+
+    // C137: Hosmer-Lemeshow on the same score/label frame as
+    // q_calibration — decile edges as exact interpolated percentiles
+    // of the 6-dp micro score (broadcast, never an ntile sort),
+    // per-bin exact integer micro-sums, chi2_{g-2} terms 7-dp
+    // truncated.
+    Q(
+      "q_hosmer_lemeshow", {
+        val ranks = (1 until 10).map(i => i / 10.0).mkString(", ")
+        val binSql = (1 to 9).map(i =>
+          s"CASE WHEN CAST(s6 AS DOUBLE) > e[$i] THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH sc AS (
+           |  SELECT CAST(round(least(1.0, len(${tkSql("text")}) / 400.0), 6) * 1e6
+           |      AS BIGINT) AS s6,
+           |    CASE WHEN contains(lower(text), 'data') THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |ed AS (SELECT quantile_cont(s6, [$ranks]) AS e FROM sc),
+           |pb AS (
+           |  SELECT ($binSql) AS bin, s6, y
+           |  FROM sc CROSS JOIN ed),
+           |g AS (
+           |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) AS o, CAST(sum(s6) AS BIGINT) AS se
+           |  FROM pb GROUP BY bin),
+           |t AS (
+           |  SELECT bin, n, o, CAST(se AS DOUBLE) / 1e6 AS e FROM g),
+           |agg AS (
+           |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS g,
+           |    sum(CASE WHEN e <= 0.0 OR e >= CAST(n AS DOUBLE)
+           |      THEN CAST(NULL AS DECIMAL(20,7))
+           |      ELSE CAST(floor(
+           |        (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+           |        / (e * (1.0 - e / CAST(n AS DOUBLE))) * 1e7) / 1e7
+           |        AS DECIMAL(20,7)) END) AS hl,
+           |    max(CASE WHEN e <= 0.0 OR e >= CAST(n AS DOUBLE)
+           |      THEN 1 ELSE 0 END) AS anybad
+           |  FROM t)
+           |SELECT n, g,
+           |  CASE WHEN g < 3 THEN 0 ELSE g - 2 END AS dof,
+           |  CASE WHEN g < 3 OR anybad = 1 OR hl IS NULL THEN 0.0
+           |       ELSE floor(greatest(0.0, CAST(hl AS DOUBLE)) * 1e4) / 1e4
+           |  END AS hl_stat,
+           |  (g < 3 OR anybad = 1 OR hl IS NULL) AS degenerate
+           |FROM agg""".stripMargin
+      }
+    ) { (s, dir) =>
+      val d = table(s, dir, "documents").select(
+        least(lit(1.0), size(graft.functions.tokens(col("text"))) / lit(400.0))
+          .as("score"),
+        lower(col("text")).contains("data").as("y"))
+      graft.operators.Stats.hosmerLemeshow(d, col("score"), col("y"),
+        bins = 10)
     },
 
     // C72: Murphy decomposition of the Brier score over the same
@@ -1445,6 +1556,87 @@ object ProfileQueries {
         table(s, dir, "lineitem"), col("l_returnflag"), col("l_linestatus"))
     },
 
+    // C134: G-test (log-likelihood ratio) of independence on the same
+    // contingency table as q_chi_squared — additive over nested
+    // partitions where chi2 is only approximately. Per-cell o·ln(o/e)
+    // 7-dp truncated into exact decimals; ln() on fixed-order doubles
+    // of exact longs (the bartlett discipline).
+    Q(
+      "q_g_test",
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n) AS rt FROM cells GROUP BY 1),
+        |rb AS (SELECT b, sum(n) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot, count(*) AS n_cells FROM cells),
+        |nr AS (SELECT count(*) AS r FROM ra),
+        |nc AS (SELECT count(*) AS c FROM rb),
+        |terms AS (
+        |  SELECT CASE WHEN cells.n > 0 THEN
+        |    CAST(floor(CAST(cells.n AS DOUBLE)
+        |      * ln(CAST(cells.n AS DOUBLE)
+        |        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |      * 1e7) / 1e7 AS DECIMAL(20,7))
+        |    ELSE CAST(0 AS DECIMAL(20,7)) END AS t7
+        |  FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t),
+        |x AS (SELECT sum(t7) AS g2 FROM terms)
+        |SELECT CAST(tot AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  CASE WHEN (r - 1) * (c - 1) = 0 OR g2 IS NULL THEN 0.0
+        |       ELSE floor(greatest(0.0, CAST(g2 AS DOUBLE) * 2.0) * 1e4) / 1e4
+        |  END AS g_stat,
+        |  ((r - 1) * (c - 1) = 0 OR g2 IS NULL) AS degenerate
+        |FROM t CROSS JOIN nr CROSS JOIN nc CROSS JOIN x""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.gTest(
+        table(s, dir, "lineitem"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // C135: Mood's median test — per-event-type values against the
+    // POOLED 6-dp-micro median ((a+b)/2 of integers, exactly
+    // representable both engines); chi2 over the 2xk table.
+    Q(
+      "q_mood_median",
+      """WITH t AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DOUBLE), 6) * 1e6 AS BIGINT) AS v6
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |med AS (SELECT quantile_cont(v6, 0.5) AS m6 FROM t),
+        |perg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN CAST(v6 AS DOUBLE) > m6 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ab
+        |  FROM t CROSS JOIN med GROUP BY g),
+        |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+        |    CAST(coalesce(sum(ab), 0) AS BIGINT) AS a,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM perg),
+        |terms AS (
+        |  SELECT CAST(floor((
+        |      coalesce(
+        |        (CAST(ab AS DOUBLE) - CAST(n AS DOUBLE) * CAST(a AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (CAST(ab AS DOUBLE) - CAST(n AS DOUBLE) * CAST(a AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        / nullif(CAST(n AS DOUBLE) * CAST(a AS DOUBLE) / CAST(nn AS DOUBLE), 0.0), 0.0)
+        |    + coalesce(
+        |        (CAST(n - ab AS DOUBLE) - CAST(n AS DOUBLE) * CAST(nn - a AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (CAST(n - ab AS DOUBLE) - CAST(n AS DOUBLE) * CAST(nn - a AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        / nullif(CAST(n AS DOUBLE) * CAST(nn - a AS DOUBLE) / CAST(nn AS DOUBLE), 0.0), 0.0)
+        |    ) * 1e7) / 1e7 AS DECIMAL(20,7)) AS t7
+        |  FROM perg CROSS JOIN tot),
+        |x AS (SELECT sum(t7) AS chi2 FROM terms)
+        |SELECT nn AS n, k,
+        |  CASE WHEN k > 0 THEN k - 1 ELSE 0 END AS dof,
+        |  CASE WHEN k < 2 OR a = 0 OR a = nn OR chi2 IS NULL THEN 0.0
+        |       ELSE floor(greatest(0.0, CAST(chi2 AS DOUBLE)) * 1e4) / 1e4
+        |  END AS chi2,
+        |  a AS n_above_total,
+        |  (k < 2 OR a = 0 OR a = nn OR chi2 IS NULL) AS degenerate
+        |FROM tot CROSS JOIN x""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.moodMedian(graft.sources.Tables.events(s, dir),
+        col("event_type"), col("value"))
+    },
+
     // C103: Cochran-Armitage trend — does return rate trend with line
     // number (the ordered exposure C51 would waste)? All moments exact
     // longs from one partial-agg pass, one double z.
@@ -1706,6 +1898,56 @@ object ProfileQueries {
         |FROM t CROSS JOIN s""".stripMargin
     ) { (s, dir) =>
       graft.operators.Stats.ksTest(
+        table(s, dir, "orders"), col("o_orderstatus"), col("o_totalprice"),
+        groupA = "O", groupB = "F")
+    },
+
+    // C136: two-sample Cramér-von Mises on the same O-vs-F totalprice
+    // split as q_ks_test — the integrated-gap companion to KS's
+    // supremum. Exact integer CDF gaps, per-value terms 9-dp
+    // truncated into exact decimals.
+    Q(
+      "q_cvm",
+      """WITH g AS (
+        |  SELECT round(CAST(o_totalprice AS DOUBLE), 4) AS v,
+        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nb
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O', 'F')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT na, nb,
+        |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM g),
+        |t AS (SELECT coalesce(sum(na), 0) AS ta, coalesce(sum(nb), 0) AS tb FROM g),
+        |terms AS (
+        |  SELECT CAST(floor(
+        |    CAST(na + nb AS DOUBLE)
+        |    * (CAST(abs(CAST(ca AS DECIMAL(19,0)) * tb
+        |         - CAST(cb AS DECIMAL(19,0)) * ta) AS DOUBLE)
+        |       / CAST(ta AS DOUBLE) / CAST(tb AS DOUBLE))
+        |    * (CAST(abs(CAST(ca AS DECIMAL(19,0)) * tb
+        |         - CAST(cb AS DECIMAL(19,0)) * ta) AS DOUBLE)
+        |       / CAST(ta AS DOUBLE) / CAST(tb AS DOUBLE))
+        |    * 1e9) / 1e9 AS DECIMAL(28,9)) AS t9
+        |  FROM c CROSS JOIN t),
+        |s AS (SELECT sum(t9) AS sm FROM terms)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  CASE WHEN ta = 0 OR tb = 0 OR sm IS NULL THEN 0.0
+        |       ELSE floor(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |         / ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+        |            * (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+        |         * CAST(sm AS DOUBLE) * 1e4) / 1e4 END AS t_stat,
+        |  (ta > 0 AND tb > 0 AND sm IS NOT NULL AND
+        |   CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |     / ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+        |        * (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+        |     * CAST(sm AS DOUBLE) > 0.461) AS significant,
+        |  (ta = 0 OR tb = 0 OR sm IS NULL) AS degenerate
+        |FROM t CROSS JOIN s""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Stats.cramerVonMises(
         table(s, dir, "orders"), col("o_orderstatus"), col("o_totalprice"),
         groupA = "O", groupB = "F")
     },

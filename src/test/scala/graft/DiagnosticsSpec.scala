@@ -156,6 +156,127 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("f_score")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("gTest: hand-computed G on a perfectly dependent 2x2, zero on independence") {
+    // diagonal table: o=10, e=5 per filled cell -> G = 4*10*ln2
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val g = Stats.gTest(dep, col("a"), col("b")).collect()(0)
+    assert(g.getAs[Long]("dof") == 1L)
+    assert(math.abs(g.getAs[Double]("g_stat") - 40.0 * math.log(2.0)) < 0.001,
+      s"g=${g.getAs[Double]("g_stat")}")
+    // uniform table: o == e everywhere -> G = 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val g0 = Stats.gTest(ind, col("a"), col("b")).collect()(0)
+    assert(g0.getAs[Double]("g_stat") == 0.0 && !g0.getAs[Boolean]("degenerate"))
+    // single-column table: degenerate
+    val deg = Seq(("x", "p"), ("y", "p")).toDF("a", "b")
+    assert(Stats.gTest(deg, col("a"), col("b")).collect()(0)
+      .getAs[Boolean]("degenerate"))
+  }
+
+  test("moodMedian: hand-computed chi2 on separated groups") {
+    // pooled median of {1,2,3,7,8,9} = 5; above: a=0/3, b=3/3
+    // per group: (o-e)^2/e over both cells = 1.5+1.5 -> chi2 = 6
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(7.0, 8.0, 9.0).map(("b", _))).toDF("g", "v")
+    val out = Stats.moodMedian(df, col("g"), col("v")).collect()(0)
+    assert(out.getAs[Long]("n") == 6L && out.getAs[Long]("k") == 2L)
+    assert(out.getAs[Double]("chi2") == 6.0, s"chi2=${out.getAs[Double]("chi2")}")
+    assert(out.getAs[Long]("n_above_total") == 3L)
+    assert(!out.getAs[Boolean]("degenerate"))
+    // all values equal: everything ties at the median -> degenerate
+    val flat = Seq(("a", 5.0), ("b", 5.0), ("a", 5.0)).toDF("g", "v")
+    assert(Stats.moodMedian(flat, col("g"), col("v")).collect()(0)
+      .getAs[Boolean]("degenerate"))
+  }
+
+  test("cramerVonMises: hand-computed T, zero on identical samples") {
+    // A={1,2}, B={3,4}: per-value terms 0.25+1+0.25+0 = 1.5,
+    // T = (2*2/16)*1.5 = 0.375
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val out = Stats.cramerVonMises(df, col("g"), col("v"), "a", "b")
+      .collect()(0)
+    assert(out.getAs[Double]("t_stat") == 0.375,
+      s"t=${out.getAs[Double]("t_stat")}")
+    // identical samples: every gap is 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val z = Stats.cramerVonMises(same, col("g"), col("v"), "a", "b")
+      .collect()(0)
+    assert(z.getAs[Double]("t_stat") == 0.0 && !z.getAs[Boolean]("significant"))
+    // a large clean shift IS significant
+    val big = ((1 to 200).map(i => ("a", i / 200.0)) ++
+      (1 to 200).map(i => ("b", 2.0 + i / 200.0))).toDF("g", "v")
+    assert(Stats.cramerVonMises(big, col("g"), col("v"), "a", "b")
+      .collect()(0).getAs[Boolean]("significant"))
+  }
+
+  test("hosmerLemeshow: calibrated small, miscalibrated large, one-score degenerate") {
+    // near-calibrated: within each score stratum the positive rate
+    // equals the score
+    val cal = (0 until 10).flatMap { b =>
+      val p = (b + 0.5) / 10.0
+      (0 until 40).map(i => (p + b * 1e-5, i < (40 * p).round))
+    }.toDF("score", "y")
+    val c = Stats.hosmerLemeshow(cal, col("score"), col("y")).collect()(0)
+    assert(!c.getAs[Boolean]("degenerate") && c.getAs[Long]("g") >= 3L)
+    val calHl = c.getAs[Double]("hl_stat")
+    // grossly miscalibrated: same scores, labels inverted
+    val mis = (0 until 10).flatMap { b =>
+      val p = (b + 0.5) / 10.0
+      (0 until 40).map(i => (p + b * 1e-5, i >= (40 * p).round))
+    }.toDF("score", "y")
+    val m = Stats.hosmerLemeshow(mis, col("score"), col("y")).collect()(0)
+    assert(m.getAs[Double]("hl_stat") > calHl * 5,
+      s"cal=$calHl mis=${m.getAs[Double]("hl_stat")}")
+    // one distinct score: a single bin -> degenerate
+    val one = (0 until 20).map(i => (0.5, i % 2 == 0)).toDF("score", "y")
+    assert(Stats.hosmerLemeshow(one, col("score"), col("y")).collect()(0)
+      .getAs[Boolean]("degenerate"))
+  }
+
+  test("dunnTest: hand-computed z on tie-free separated groups") {
+    // pooled ranks 1..9: mean ranks 2/5/8, S^2 = 9*10/12 = 7.5,
+    // z_ab = -3/sqrt(7.5*(2/3)) = -1.3416...
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _)) ++
+      Seq(7.0, 8.0, 9.0).map(("c", _))).toDF("g", "v")
+    val out = Stats.dunnTest(df, col("g"), col("v")).collect()
+    assert(out.length == 3)
+    val ab = out.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Double]("mean_rank_a") == 2.0 &&
+      ab.getAs[Double]("mean_rank_b") == 5.0)
+    assert(ab.getAs[Double]("z") == -1.3416, s"z=${ab.getAs[Double]("z")}")
+    val ac = out.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getAs[Double]("z") == -2.6832 && ac.getAs[Boolean]("significant"))
+  }
+
+  test("pageTrend: perfect monotone trend gives the closed-form L and z") {
+    // 3 items, k=4, score = ordinal -> L = 3*(1+4+9+16) = 90,
+    // mu = 75, sigma = 5 -> z = 3
+    val df = (for { i <- 1 to 3; j <- 1 to 4 }
+      yield (s"i$i", j.toLong, j.toDouble)).toDF("i", "j", "v")
+    val out = graft.operators.Eval.pageTrend(df, col("i"), col("j"), col("v"))
+      .collect()(0)
+    assert(out.getAs[Long]("n_items") == 3L && out.getAs[Long]("k") == 4L)
+    assert(out.getAs[Double]("l_stat") == 90.0 &&
+      out.getAs[Double]("z") == 3.0 && out.getAs[Boolean]("significant"),
+      out.toString)
+    // non-1..k ordinals dense-rank to the same weights
+    val df2 = (for { i <- 1 to 3; j <- 1 to 4 }
+      yield (s"i$i", j * 100L + 7, j.toDouble)).toDF("i", "j", "v")
+    val out2 = graft.operators.Eval.pageTrend(df2, col("i"), col("j"), col("v"))
+      .collect()(0)
+    assert(out2.getAs[Double]("l_stat") == 90.0 && out2.getAs[Double]("z") == 3.0)
+    // an anti-monotone trend flags with z = -3
+    val anti = (for { i <- 1 to 3; j <- 1 to 4 }
+      yield (s"i$i", j.toLong, -j.toDouble)).toDF("i", "j", "v")
+    assert(graft.operators.Eval.pageTrend(anti, col("i"), col("j"), col("v"))
+      .collect()(0).getAs[Double]("z") == -3.0)
+  }
+
   test("rfmSketched: sub-capacity scores match exact rfm; rfmScores auto-routes") {
     // n = 10 users, distinct metric values, n divisible by 5: the KLL
     // sketches stay exact (far below k=200 capacity) and the
