@@ -2160,4 +2160,103 @@ object Dedup {
       .withColumn("flagged", col("dup_coverage") > maxCoverage)
       .withColumn("too_short", col("n_grams") === 0L)
   }
+
+  /** D149: duplicated-n-gram TRIM — the ACTION tier over
+    * [[duplicatedNgramCoverage]]'s measurement (ONION, Laurençon et
+    * al.): instead of flagging a franken-document, EXCISE the
+    * duplicated material — every token position covered by an n-gram
+    * occurring in ≥ `minDf` docs is dropped and the document rebuilt
+    * from what remains, so boilerplate (nav chrome, license headers,
+    * newsletter footers) vanishes while each document's unique prose
+    * survives. The n-gram-level sibling of [[dropBoilerplateLines]]
+    * (which needs line structure) and the corpus-frequency sibling of
+    * [[maskContamination]] (which needs a probe set).
+    *
+    * Shape at scale: positioned shingles from one pass, the duplicated
+    * set by a df-filtered partial-agg on the shingle hash (distinct
+    * per doc first — self-repetition is [[textRepetition]]'s job, not
+    * df), covered positions by a bounded explode (n per hit), rebuild
+    * by the maskContamination position-anti-join — no window over
+    * corpus rows, no driver data. The tokens frame feeds three
+    * consumers and is localCheckpoint-ed once.
+    *
+    * Returns one row per doc: (doc_id, n_tokens, n_dropped,
+    * drop_ratio, trimmed_text) — drop_ratio 4-dp floored; docs
+    * shorter than n tokens pass through untrimmed.
+    */
+  def duplicatedNgramTrim(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    require(n >= 2 && n <= 16, "n in [2, 16]: unigram trims would strip every shared word")
+    require(minDf >= 2, "minDf must be >= 2 (df 1 = unique material)")
+    val tk = scaleOut(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        graft.functions.tokens(col("__text")).as("tk"))
+      .localCheckpoint()
+    val occ = tk.filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.shingles(col("tk"), n))
+          .as(Seq("start", "sh")))
+      .repartition(col("sh"))
+    val dup = occ.select(col("doc_id"), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("sh"))
+    val lose = occ.join(dup, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val tkpos = tk.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("pos", "term")))
+    val rebuilt = tkpos.join(lose, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("__kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            s => s.getField("term")), " ").as("__trimmed"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_dropped"),
+        coalesce(floor(try_divide(
+          (col("n_tokens") - coalesce(col("__kept"), lit(0L))).cast("double"),
+          col("n_tokens").cast("double")) * 1e4) / 1e4, lit(0.0))
+          .as("drop_ratio"),
+        coalesce(col("__trimmed"), lit("")).as("trimmed_text"))
+  }
+
+  /** D148: cluster-aware k-fold cross-validation assignment —
+    * [[splitByCluster]]'s CV sibling: near-duplicate documents must
+    * never straddle a fold boundary (a memorized twin in the training
+    * folds inflates every held-out metric), so folds are assigned per
+    * CLUSTER, not per document: connected components over the
+    * caller's near-dup pair frame, then a deterministic hash of the
+    * cluster label picks fold ∈ [0, k). Singletons (docs outside
+    * every pair) hash their own id — same id ↔ same fold on every
+    * run and engine, and fold sizes are balanced in expectation by
+    * the hash.
+    *
+    * Returns one row per input doc: (id, cluster, fold).
+    */
+  def cvFolds(
+      df: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      idA: Column,
+      idB: Column,
+      k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 1000, "k in [2, 1000]")
+    val comp = connectedComponents(pairs, idA, idB)
+    df.select(id.as("id"))
+      .join(comp.withColumnsRenamed(Map("id" -> "__cid", "comp" -> "cluster")),
+        col("id") === col("__cid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id").cast("long")))
+      .select(col("id"), col("cluster"),
+        graft.operators.Sampling.hashMod(col("cluster"), lit(k.toLong))
+          .cast("int").as("fold"))
+  }
 }

@@ -3112,6 +3112,110 @@ object DedupQueries {
       Dedup.duplicatedNgramCoverage(d2, col("doc_id"), col("text"),
           n = 3, minDf = 5, maxCoverage = 0.5)
         .orderBy("doc_id")
+    },
+
+    // D149: duplicated-n-gram TRIM — the same planted-boilerplate
+    // fixture as q_dup_coverage, but the duplicated trigram spans are
+    // EXCISED and the doc rebuilt (the keptq position-anti-join idiom
+    // from q_corpus_build's mask stage).
+    Q(
+      "q_dup_trim",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text ||
+         |      ' subscribe to our newsletter today for fresh offers'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |tk0 AS (SELECT doc_id, ${tkSql("text")} AS tk FROM d),
+         |occ AS (
+         |  SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+2], ' ') AS sh
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+         |        FROM tk0 WHERE len(tk) >= 3)),
+         |dfreq AS (
+         |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM occ)
+         |  GROUP BY sh HAVING count(*) >= 5),
+         |lose AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT o.doc_id, unnest(range(o.start, o.start + 3)) AS pos
+         |    FROM occ o JOIN dfreq USING (sh))),
+         |tp AS (
+         |  SELECT doc_id, pos, tk[pos + 1] AS term FROM (
+         |    SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM tk0)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.term
+         |  FROM tp t LEFT JOIN lose l ON t.doc_id = l.doc_id AND t.pos = l.pos
+         |  WHERE l.doc_id IS NULL),
+         |reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(term ORDER BY pos), ' ') AS trimmed
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk0)
+         |SELECT t.doc_id, t.n_tokens,
+         |  t.n_tokens - coalesce(r.n_kept, 0) AS n_dropped,
+         |  CASE WHEN t.n_tokens = 0 THEN 0.0
+         |    ELSE floor(CAST(t.n_tokens - coalesce(r.n_kept, 0) AS DOUBLE)
+         |      / t.n_tokens * 1e4) / 1e4 END AS drop_ratio,
+         |  coalesce(r.trimmed, '') AS trimmed_text
+         |FROM tot t LEFT JOIN reb r USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d2 = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"),
+            lit(" subscribe to our newsletter today for fresh offers")))
+            .otherwise(col("text")).as("text"))
+      Dedup.duplicatedNgramTrim(d2, col("doc_id"), col("text"),
+          n = 3, minDf = 5)
+        .orderBy("doc_id")
+    },
+
+    // D148: cluster-aware k-fold CV assignment — the q_dup_weights
+    // near-dup clusters hashed to 5 folds; every cluster member (a
+    // doc and its 4/5-truncated rendition) must land in the SAME
+    // fold, singletons hash their own id.
+    Q(
+      "q_cv_folds", {
+        val rounds = ccUnrollSql(8)
+        val fold = graft.operators.Sampling.hashModSql("cluster", "5")
+        s"""WITH $truncatedDocsSql,
+           |sh AS (
+           |  SELECT DISTINCT id, array_to_string(tk[i:i+4], ' ') AS s
+           |  FROM (SELECT id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM docs WHERE len(tk) >= 5)),
+           |rare AS (
+           |  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+           |idx AS (SELECT id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+           |  FROM idx a JOIN idx b ON a.s = b.s AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM inter
+           |  JOIN sizes na ON na.id = id_a
+           |  JOIN sizes nb ON nb.id = id_b
+           |  WHERE round(n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+           |sym AS MATERIALIZED (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS comp FROM sym),
+           |$rounds,
+           |asg AS (
+           |  SELECT d.id, coalesce(l8.comp, d.id) AS cluster
+           |  FROM (SELECT id FROM docs) d
+           |  LEFT JOIN l8 ON l8.id = d.id)
+           |SELECT id, CAST(cluster AS BIGINT) AS cluster,
+           |  CAST($fold AS INT) AS fold
+           |FROM asg ORDER BY id""".stripMargin
+      }
+    ) { (s, dir) =>
+      val docs = truncatedDocs(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, col("id"), col("text"),
+        n = 5, dfCap = 20, threshold = 0.5)
+      Dedup.cvFolds(docs, col("id"), pairs, col("id_a"), col("id_b"), k = 5)
+        .orderBy("id")
     }
   )
 }

@@ -577,6 +577,48 @@ class DedupSpec extends SparkSpec {
     assert(ok.length == 15, s"all dist-1 pairs of the block: ${ok.length}")
   }
 
+  test("duplicatedNgramTrim excises shared spans, keeps unique prose, short docs pass") {
+    val docs = Seq(
+      (1L, "alpha beta gamma all rights reserved today"),
+      (2L, "delta epsilon zeta all rights reserved today"),
+      (3L, "unique content entirely its own here"),
+      (4L, "too short")
+    ).toDF("id", "text")
+    val out = Dedup.duplicatedNgramTrim(docs, col("id"), col("text"),
+        n = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+    // the shared 4-token tail ("all rights reserved today") spans two
+    // duplicated trigrams covering exactly those 4 positions
+    assert(out(0).getAs[String]("trimmed_text") == "alpha beta gamma" &&
+      out(0).getAs[Long]("n_dropped") == 4L, out(0).toString)
+    assert(out(1).getAs[String]("trimmed_text") == "delta epsilon zeta")
+    // unique doc untouched
+    assert(out(2).getAs[Long]("n_dropped") == 0L &&
+      out(2).getAs[String]("trimmed_text") == "unique content entirely its own here")
+    // sub-n doc passes through whole
+    assert(out(3).getAs[Long]("n_dropped") == 0L &&
+      out(3).getAs[String]("trimmed_text") == "too short")
+  }
+
+  test("cvFolds: cluster members share a fold, singletons deterministic, folds in range") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.cvFolds(docs, col("id"), pairs, col("id_a"), col("id_b"),
+        k = 4).collect()
+    val byId = out.map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("cluster"), r.getAs[Int]("fold"))).toMap
+    // chain 1-2-3 is one cluster -> one fold; pair 10-11 likewise
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1, byId.toString)
+    assert(byId(10L) == byId(11L))
+    assert(out.forall(r => r.getAs[Int]("fold") >= 0 && r.getAs[Int]("fold") < 4))
+    // deterministic across runs
+    val out2 = Dedup.cvFolds(docs, col("id"), pairs, col("id_a"), col("id_b"),
+        k = 4).collect()
+    assert(out.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq)
+    // every fold is populated at this size (hash balance sanity)
+    assert(out.map(_.getAs[Int]("fold")).distinct.length == 4)
+  }
+
   test("dropBoilerplateLines drops high-df lines via NORMALIZED matching, keeps the rest") {
     // the footer appears in 3/4 docs with varying case/punctuation;
     // content lines are unique per doc
