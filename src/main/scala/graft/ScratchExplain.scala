@@ -125,6 +125,61 @@ object ScratchExplain {
     runCase("bpe-local single-char")(graft.operators.Bpe.trainModelLocal(
       Seq(Tuple1("a a a")).toDF("text"), col("text"), 5)._1.count())
 
+    // r15 wave: gTest / moodMedian / cramerVonMises / hosmerLemeshow /
+    // dunnTest / pageTrend / rfmSketched / duplicatedNgramTrim / cvFolds
+    val eAb = Seq.empty[(String, String)].toDF("a", "b")
+    runCase("gtest empty")(Stats.gTest(eAb, col("a"), col("b")).count())
+    runCase("gtest one-cell")(Stats.gTest(
+      Seq(("x", "y")).toDF("a", "b"), col("a"), col("b")).count())
+    val eGv = Seq.empty[(String, Double)].toDF("g", "v")
+    runCase("mood empty")(Stats.moodMedian(eGv, col("g"), col("v")).count())
+    runCase("mood one-group")(Stats.moodMedian(
+      Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v"), col("g"), col("v")).count())
+    runCase("mood all-tied")(Stats.moodMedian(
+      Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v"), col("g"), col("v")).count())
+    runCase("cvm empty")(Stats.cramerVonMises(
+      eGv, col("g"), col("v"), "a", "b").count())
+    runCase("cvm one-side")(Stats.cramerVonMises(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v"),
+      col("g"), col("v"), "a", "b").count())
+    val eSy = Seq.empty[(Double, Boolean)].toDF("s", "y")
+    runCase("hl empty")(Stats.hosmerLemeshow(eSy, col("s"), col("y")).count())
+    runCase("hl one-score")(Stats.hosmerLemeshow(
+      Seq((0.5, true), (0.5, false)).toDF("s", "y"),
+      col("s"), col("y")).count())
+    runCase("dunn empty")(Stats.dunnTest(eGv, col("g"), col("v")).count())
+    runCase("dunn one-group")(Stats.dunnTest(
+      Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v"), col("g"), col("v")).count())
+    runCase("dunn all-tied")(Stats.dunnTest(
+      Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v"), col("g"), col("v")).count())
+    val eIjv = Seq.empty[(String, Long, Double)].toDF("i", "j", "v")
+    runCase("page empty")(Eval.pageTrend(eIjv, col("i"), col("j"),
+      col("v")).count())
+    runCase("page k2")(Eval.pageTrend(
+      Seq(("i", 1L, 1.0), ("i", 2L, 2.0)).toDF("i", "j", "v"),
+      col("i"), col("j"), col("v")).count())
+    runCase("page all-tied")(Eval.pageTrend(
+      (for { i <- 1 to 2; j <- 1 to 3 } yield (s"i$i", j.toLong, 1.0))
+        .toDF("i", "j", "v"), col("i"), col("j"), col("v")).count())
+    val eUsr = Seq.empty[(String, Long, Double)].toDF("u", "ts", "v")
+    runCase("rfm-sketched empty")(graft.operators.Behavior.rfmSketched(
+      eUsr, col("u"), col("ts"), col("v")).count())
+    runCase("rfm-sketched single-user")(graft.operators.Behavior.rfmSketched(
+      Seq(("u", 86400000000000L, 5.0)).toDF("u", "ts", "v"),
+      col("u"), col("ts"), col("v")).count())
+    val eDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    runCase("dup-trim empty")(graft.operators.Dedup.duplicatedNgramTrim(
+      eDocs, col("id"), col("text")).count())
+    runCase("dup-trim blank-doc")(graft.operators.Dedup.duplicatedNgramTrim(
+      Seq((1L, ""), (2L, "a")).toDF("id", "text"),
+      col("id"), col("text")).count())
+    val ePairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    runCase("cv-folds no-pairs")(graft.operators.Dedup.cvFolds(
+      Seq((1L, "x")).toDF("id", "text"), col("id"), ePairs,
+      col("id_a"), col("id_b")).count())
+    runCase("cv-folds empty")(graft.operators.Dedup.cvFolds(
+      eDocs, col("id"), ePairs, col("id_a"), col("id_b")).count())
+
     println("edge harness: ALL CLEAR")
     spark.stop()
   }

@@ -933,7 +933,9 @@ object Eval {
     val mu = nd * kd * (kd + 1.0) * (kd + 1.0) / 4.0
     val sigma = sqrt(nd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0)
     val degenerate = col("__k") < 3 || col("n_items") < 1
-    val z = (lStat - mu) / sigma
+    // try_divide: zero items (or k < 2) makes sigma 0 and the
+    // degenerate when() is not protection under codegen CSE
+    val z = coalesce(try_divide(lStat - mu, sigma), lit(0.0))
     counts.crossJoin(broadcast(kRow)).crossJoin(l2)
       .select(
         col("n_items"), col("n_excluded"), col("__k").as("k"),

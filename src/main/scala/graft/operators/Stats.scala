@@ -4467,11 +4467,14 @@ object Stats {
     val ta = col("__ta").cast("double")
     val tb = col("__tb").cast("double")
     // gap as exact integer then ONE fixed-order double chain:
-    // (d/ta/tb)²·weight, 9-dp truncated per value
+    // (d/ta/tb)²·weight, 9-dp truncated per value. try_divide BY
+    // CONSTRUCTION: an empty side makes ta or tb 0 and these rows
+    // still evaluate (the degenerate guard is downstream)
     val dInt = abs(big(col("__ca")) * big(col("__tb"))
       - big(col("__cb")) * big(col("__ta"))).cast("decimal(38,0)")
-    val term = (col("__na") + col("__nb")).cast("double") *
-      (dInt.cast("double") / ta / tb) * (dInt.cast("double") / ta / tb)
+    val ratio = coalesce(
+      try_divide(try_divide(dInt.cast("double"), ta), tb), lit(0.0))
+    val term = (col("__na") + col("__nb")).cast("double") * ratio * ratio
     val sumT = cum.crossJoin(broadcast(tot))
       .select((floor(term * 1e9) / 1e9).cast("decimal(28,9)").as("__t9"))
       .agg(sum(col("__t9")).as("__s"))
@@ -4532,8 +4535,11 @@ object Stats {
     val nD = col("__n").cast("double")
     val e = col("__se").cast("double") / 1e6
     val bad = e <= 0.0 || e >= nD
-    val term = (col("__o").cast("double") - e) * (col("__o").cast("double") - e) /
-      (e * (lit(1.0) - e / nD))
+    // try_divide BY CONSTRUCTION: the bad-bin guard is a when() and
+    // codegen CSE can hoist the division out of it (the r12 lesson)
+    val term = coalesce(try_divide(
+      (col("__o").cast("double") - e) * (col("__o").cast("double") - e),
+      e * (lit(1.0) - e / nD)), lit(0.0))
     val agg = perBin.agg(
       coalesce(sum(col("__n")), lit(0L)).as("n"),
       count(lit(1)).as("g"),
@@ -4618,7 +4624,9 @@ object Stats {
       (lit(1.0) / col("__na").cast("double") +
         lit(1.0) / col("__nb").cast("double")))
     val degenerate = col("__k") < 2 || col("__nn") < 2 || col("__s2") <= 0.0
-    val z = (ma - mb) / se
+    // try_divide: an all-tied input makes se = 0 and the degenerate
+    // when() downstream is not protection under codegen CSE
+    val z = coalesce(try_divide(ma - mb, se), lit(0.0))
     pairs.select(
       col("g_a"), col("g_b"),
       col("__na").as("n_a"), col("__nb").as("n_b"),
