@@ -219,4 +219,53 @@ object Packing {
       when(applyFim, (hi - lo).cast("long")).as("n_middle"),
       when(applyFim, (len - hi).cast("long")).as("n_suffix"))
   }
+
+  /** D150: head+tail token truncation — the long-document budget
+    * policy that beats naive head-only truncation for training data:
+    * documents over `budget` tokens keep the first
+    * ceil(budget·headFrac) and the last budget−that tokens (LongT5 /
+    * "middle truncation" family — the lead carries the thesis, the
+    * tail the conclusion; the middle is the cheapest cut), rebuilt
+    * with a single ellipsis marker between the halves. Documents at
+    * or under budget pass through whole. Output text is the
+    * NORMALIZED token stream re-joined (the shared tokenizer's
+    * lower/strip contract) — the downstream packer consumes tokens,
+    * not raw bytes.
+    *
+    * Pure per-row projection — no shuffle, no window, no state;
+    * tokenization runs ONCE per row (the array-wrap lambda trick).
+    * Deterministic by construction: the cut is a pure function of
+    * the token count.
+    *
+    * Returns one row per doc: (doc_id, n_tokens, kept_head,
+    * kept_tail, was_truncated, truncated_text).
+    */
+  def headTailTruncate(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      budget: Int = 512,
+      headFrac: Double = 0.75,
+      marker: String = "..."): DataFrame = {
+    require(budget >= 2, "budget must be >= 2 (one head and one tail token)")
+    require(headFrac > 0 && headFrac < 1, "headFrac in (0, 1)")
+    val nHead = math.max(1, math.ceil(budget * headFrac).toInt)
+    val nTail = math.max(1, budget - nHead)
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .select(col("doc_id"), flatten(transform(
+        array(graft.functions.tokens(col("__text"))), tk => tk)).as("__tk"))
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        when(size(col("__tk")) <= budget, size(col("__tk")).cast("long"))
+          .otherwise(lit(nHead.toLong)).as("kept_head"),
+        when(size(col("__tk")) <= budget, 0L)
+          .otherwise(lit(nTail.toLong)).as("kept_tail"),
+        (size(col("__tk")) > budget).as("was_truncated"),
+        when(size(col("__tk")) <= budget, array_join(col("__tk"), " "))
+          .otherwise(concat(
+            array_join(slice(col("__tk"), 1, nHead), " "),
+            lit(" " + marker + " "),
+            array_join(slice(col("__tk"), -nTail, nTail), " ")))
+          .as("truncated_text"))
+  }
 }

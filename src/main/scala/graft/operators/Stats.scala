@@ -4297,6 +4297,56 @@ object Stats {
         (col("n") < 3 || col("__s2v") <= 0.0).as("degenerate"))
   }
 
+  /** C140: partial autocorrelation (PACF, lags 1-3) per key — the
+    * model-identification companion to [[autocorrelation]]: ACF says
+    * "correlated at lag k", PACF says "correlated at lag k AFTER the
+    * shorter lags explain what they can" — the number that separates
+    * an AR(1) whose ACF tail is all echo (PACF cuts off at 1) from
+    * genuine higher-order structure. Durbin-Levinson unrolled in
+    * closed form over the published 4-dp ACF values:
+    * p1 = r1; p2 = (r2 − r1²)/(1 − r1²);
+    * p3 = (r3 − φ21·r2 − p2·r1)/(1 − φ21·r1 − p2·r2) with
+    * φ21 = r1(1 − p2).
+    *
+    * Shape at scale: [[autocorrelation]]'s one-pass machinery, then a
+    * k-row pivot per key — everything after the ACF is a bounded
+    * projection. Determinism: inputs are the already-deterministic
+    * 4-dp ACF lanes; each pacf derives in one fixed double order,
+    * try_divide by construction (|r1| = 1 exactly zeroes the first
+    * denominator), 4-dp toward zero. Keys with n ≤ 3, a flat series,
+    * or a vanishing denominator flag degenerate.
+    *
+    * Returns one row per key: (key, n, pacf1, pacf2, pacf3,
+    * degenerate).
+    */
+  def pacf(
+      df: DataFrame,
+      key: Column,
+      bucket: Column,
+      value: Column): DataFrame = {
+    val a = autocorrelation(df, key, bucket, value, maxLag = 3)
+    val p = a.groupBy("key").agg(
+      max(when(col("lag") === 1, col("n_pairs") + 1)).as("n"),
+      max(when(col("lag") === 1, col("acf"))).as("__r1"),
+      max(when(col("lag") === 2, col("acf"))).as("__r2"),
+      max(when(col("lag") === 3, col("acf"))).as("__r3"),
+      max(col("degenerate")).as("__deg"))
+    val r1 = col("__r1")
+    val r2 = col("__r2")
+    val r3 = col("__r3")
+    val p2 = try_divide(r2 - r1 * r1, lit(1.0) - r1 * r1)
+    val phi21 = r1 * (lit(1.0) - p2)
+    val p3 = try_divide(r3 - phi21 * r2 - p2 * r1,
+      lit(1.0) - phi21 * r1 - p2 * r2)
+    val degenerate = col("__deg") || col("n") <= 3 ||
+      p2.isNull || p3.isNull
+    p.select(col("key"), col("n"),
+      when(degenerate, 0.0).otherwise(Num.t4zero(r1)).as("pacf1"),
+      when(degenerate, 0.0).otherwise(Num.t4zero(p2)).as("pacf2"),
+      when(degenerate, 0.0).otherwise(Num.t4zero(p3)).as("pacf3"),
+      degenerate.as("degenerate"))
+  }
+
   /** C134: G-test of independence (log-likelihood ratio) — the
     * information-theoretic twin of [[chiSquared]], preferred when
     * cells are small-but-nonzero or the table will be DECOMPOSED

@@ -1485,6 +1485,30 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // D150: head+tail token truncation under a 96-token budget
+    // (head 72 / tail 24) — long docs keep lead + conclusion with one
+    // ellipsis marker; short docs pass through byte-identical.
+    Q(
+      "q_truncate_headtail",
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, ${tkSql("text")} AS tk FROM documents)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tk) <= 96 THEN CAST(len(tk) AS BIGINT)
+         |    ELSE 72 END AS kept_head,
+         |  CAST(CASE WHEN len(tk) <= 96 THEN 0 ELSE 24 END AS BIGINT)
+         |    AS kept_tail,
+         |  len(tk) > 96 AS was_truncated,
+         |  CASE WHEN len(tk) <= 96 THEN array_to_string(tk, ' ')
+         |    ELSE array_to_string(tk[1:72], ' ') || ' ... ' ||
+         |      array_to_string(tk[len(tk) - 23:len(tk)], ' ')
+         |  END AS truncated_text
+         |FROM tk0 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Packing.headTailTruncate(table(s, dir, "documents"),
+          col("doc_id"), col("text"), budget = 96, headFrac = 0.75)
+        .orderBy("doc_id")
+    },
+
     // D139: the LLM-corpus pipeline END-TO-END — the D-family analogue
     // of B18's q_epe_pipeline: quality gate (D94-tier score) → span
     // decontamination with masked rebuild (D21d/D21e) → INCREMENTAL

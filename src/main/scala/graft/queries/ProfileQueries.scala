@@ -3404,6 +3404,105 @@ object ProfileQueries {
         .orderBy("key")
     },
 
+    // C140: PACF (lags 1-3) on the same dense hourly series — the
+    // Durbin-Levinson closed forms over the q_ljung_box ACF chain,
+    // n from the lag-1 row, nullif-guarded denominators.
+    Q(
+      "q_pacf", {
+        def lagSel(l: Int): String =
+          s"""SELECT key, $l AS lag,
+             |  CAST(c6 AS DECIMAL(38,0))
+             |    * lag(c6, $l) OVER (PARTITION BY key ORDER BY bucket) AS p
+             |FROM c""".stripMargin
+        s"""WITH b AS (
+           |  SELECT event_type AS key,
+           |    epoch_ns(ts) // 3600000000000 AS bucket,
+           |    CAST(count(*) AS DOUBLE) AS value
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+           |  FROM b GROUP BY 1),
+           |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM sp),
+           |d AS (
+           |  SELECT g.key, g.bucket, coalesce(b.value, 0.0) AS value
+           |  FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket),
+           |mu AS (
+           |  SELECT key,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+           |  FROM d GROUP BY 1),
+           |c AS (
+           |  SELECT d.key, d.bucket,
+           |    CAST((d.value - mu.mu) * 1e6 AS DECIMAL(18,0)) AS c6
+           |  FROM d JOIN mu ON d.key = mu.key),
+           |den AS (
+           |  SELECT key, sum(CAST(c6 AS DECIMAL(38,0)) * c6) AS dn
+           |  FROM c GROUP BY 1),
+           |l AS (
+           |  ${lagSel(1)}
+           |  UNION ALL
+           |  ${lagSel(2)}
+           |  UNION ALL
+           |  ${lagSel(3)}),
+           |a AS (
+           |  SELECT key, lag, CAST(count(p) AS BIGINT) AS n_pairs,
+           |    coalesce(sum(p), 0) AS num
+           |  FROM l GROUP BY 1, 2),
+           |r AS (
+           |  SELECT a.key, a.lag, a.n_pairs,
+           |    CASE WHEN CAST(den.dn AS DOUBLE) <= 0.0 THEN CAST(0.0 AS DOUBLE)
+           |      ELSE sign(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |        * (floor(abs(CAST(a.num AS DOUBLE) / CAST(den.dn AS DOUBLE))
+           |          * 1e4) / 1e4) + 0.0
+           |    END AS acf,
+           |    CAST(den.dn AS DOUBLE) <= 0.0 AS degenerate
+           |  FROM a JOIN den ON a.key = den.key),
+           |pv AS (
+           |  SELECT key,
+           |    max(CASE WHEN lag = 1 THEN n_pairs + 1 END) AS n,
+           |    max(CASE WHEN lag = 1 THEN acf END) AS r1,
+           |    max(CASE WHEN lag = 2 THEN acf END) AS r2,
+           |    max(CASE WHEN lag = 3 THEN acf END) AS r3,
+           |    bool_or(degenerate) AS deg
+           |  FROM r GROUP BY key),
+           |f AS (
+           |  SELECT key, n, r1, r2, r3, deg,
+           |    (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p2
+           |  FROM pv),
+           |f2 AS (
+           |  SELECT *, r1 * (1.0 - p2) AS phi21 FROM f),
+           |f3 AS (
+           |  SELECT *,
+           |    (r3 - phi21 * r2 - p2 * r1)
+           |      / nullif(1.0 - phi21 * r1 - p2 * r2, 0.0) AS p3
+           |  FROM f2),
+           |g AS (SELECT *,
+           |    (deg OR n <= 3 OR p2 IS NULL OR p3 IS NULL) AS degenerate
+           |  FROM f3)
+           |SELECT key, n,
+           |  CASE WHEN degenerate THEN 0.0
+           |    ELSE sign(r1) * (floor(abs(r1) * 1e4) / 1e4) + 0.0 END AS pacf1,
+           |  CASE WHEN degenerate THEN 0.0
+           |    ELSE sign(p2) * (floor(abs(p2) * 1e4) / 1e4) + 0.0 END AS pacf2,
+           |  CASE WHEN degenerate THEN 0.0
+           |    ELSE sign(p3) * (floor(abs(p3) * 1e4) / 1e4) + 0.0 END AS pacf3,
+           |  degenerate
+           |FROM g ORDER BY key""".stripMargin
+      }
+    ) { (s, dir) =>
+      val counts = graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val span = counts.groupBy("key")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val dense = span
+        .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        .join(counts, Seq("key", "bucket"), "left")
+        .withColumn("value", coalesce(col("value"), lit(0.0)))
+      graft.operators.Stats.pacf(dense, col("key"), col("bucket"),
+          col("value"))
+        .orderBy("key")
+    },
+
     // C126: KPSS level-stationarity score on the same dense hourly
     // series — partial sums of the demeaned 6-dp lanes, all-integer
     // arithmetic, 0.463 the 5% level-test critical value.

@@ -156,6 +156,49 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("f_score")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("pacf: closed forms match the ACF frame; AR-echo collapses at lag 2; degenerates flag") {
+    // a smooth ramp: ACF high at every lag (all echo of lag 1), so
+    // PACF must concentrate at lag 1
+    val ramp = (0 until 40).map(i => ("r", i.toLong, i.toDouble)).toDF("k", "b", "v")
+    val p = Stats.pacf(ramp, col("k"), col("b"), col("v")).collect()(0)
+    assert(p.getAs[Long]("n") == 40L && !p.getAs[Boolean]("degenerate"))
+    assert(p.getAs[Double]("pacf1") > 0.8, p.toString)
+    assert(math.abs(p.getAs[Double]("pacf2")) < p.getAs[Double]("pacf1"))
+    // self-consistency: pacf2 equals the Durbin-Levinson closed form
+    // over the published 4-dp ACF values
+    val acf = Stats.autocorrelation(ramp, col("k"), col("b"), col("v"), 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    val expP2 = (acf(2) - acf(1) * acf(1)) / (1.0 - acf(1) * acf(1))
+    val t4 = math.signum(expP2) * math.floor(math.abs(expP2) * 1e4) / 1e4
+    assert(p.getAs[Double]("pacf2") == t4,
+      s"pacf2=${p.getAs[Double]("pacf2")} expected $t4")
+    // flat series and too-short series flag degenerate
+    val flat = (0 until 10).map(i => ("f", i.toLong, 5.0)).toDF("k", "b", "v")
+    assert(Stats.pacf(flat, col("k"), col("b"), col("v")).collect()(0)
+      .getAs[Boolean]("degenerate"))
+    val short = (0 until 3).map(i => ("s", i.toLong, i * 2.0)).toDF("k", "b", "v")
+    assert(Stats.pacf(short, col("k"), col("b"), col("v")).collect()(0)
+      .getAs[Boolean]("degenerate"))
+  }
+
+  test("headTailTruncate: over-budget docs keep head+tail, short docs pass whole") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "short doc here")
+    ).toDF("id", "text")
+    val out = graft.operators.Packing.headTailTruncate(docs, col("id"),
+        col("text"), budget = 6, headFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("truncated_text") == "a b c ... h i j",
+      out(0).toString)
+    assert(out(0).getAs[Long]("kept_head") == 3L &&
+      out(0).getAs[Long]("kept_tail") == 3L &&
+      out(0).getAs[Boolean]("was_truncated"))
+    assert(out(1).getAs[String]("truncated_text") == "short doc here" &&
+      !out(1).getAs[Boolean]("was_truncated") &&
+      out(1).getAs[Long]("kept_tail") == 0L)
+  }
+
   test("gTest: hand-computed G on a perfectly dependent 2x2, zero on independence") {
     // diagonal table: o=10, e=5 per filled cell -> G = 4*10*ln2
     val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
