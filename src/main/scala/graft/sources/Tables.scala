@@ -501,6 +501,39 @@ object Tables {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** A16: parquet BLOOM-FILTER layout — the point-lookup complement to
+    * [[writeZOrdered]]'s range story: min/max footer stats prune range
+    * predicates, but an equality probe on a HIGH-CARDINALITY key
+    * (doc_id, user_id, url hash) hits every file whose range happens
+    * to span the value — at 100 TB that's most of them. Writing with
+    * per-column split-block bloom filters
+    * (`parquet.bloom.filter.enabled#col`) lets the reader skip row
+    * groups whose filter excludes the probe value: false positives
+    * re-read a group, false negatives are impossible, so skipping is
+    * always safe. `ndv` sizes each filter (bits ~ ndv·ln(1/fpp));
+    * oversizing wastes footer bytes, undersizing degrades to
+    * read-everything — never to wrong answers.
+    *
+    * Spark's reader consumes the filters automatically when a
+    * pushed-down equality predicate reaches the scan (the C1 pushdown
+    * story; SourcesSpec pins both the footer advertisement and the
+    * pushed filter).
+    */
+  def writeBloomFiltered(
+      df: DataFrame,
+      path: String,
+      bloomCols: Seq[(String, Long)],
+      sortCol: Option[String] = None): Unit = {
+    require(bloomCols.nonEmpty, "at least one (column, ndv) pair")
+    val base = sortCol.map(c => df.sortWithinPartitions(col(c))).getOrElse(df)
+    val w = bloomCols.foldLeft(base.write.mode("overwrite")) {
+      case (wr, (c, ndv)) =>
+        wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Schema-evolution read: parquet shards written over a schema's
     * lifetime (columns added release by release) union into ONE frame
     * — `mergeSchema` reconciles per-file footers, old shards surface

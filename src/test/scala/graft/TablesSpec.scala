@@ -378,6 +378,48 @@ class TablesSpec extends SparkSpec {
     assert(avgRy < 40.0, s"y ranges not clustered: $avgRy")
   }
 
+  test("writeBloomFiltered advertises bloom filters in the footer and keeps the pushdown (A16)") {
+    val out = Files.createTempDirectory("graft_bloom").toString + "/t"
+    val docs = sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    sources.Tables.writeBloomFiltered(docs, out,
+      bloomCols = Seq(("doc_id", 100000L)), sortCol = Some("doc_id"))
+    // footer check: every row group's doc_id column must carry a bloom
+    // filter offset (the writer option actually landed)
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try {
+        val groups = rd.getFooter.getBlocks
+        assert(!groups.isEmpty)
+        groups.forEach { g =>
+          val cc = g.getColumns.asScala
+            .find(_.getPath.toDotString == "doc_id").get
+          assert(cc.getBloomFilterOffset > 0,
+            s"${f.getName}: doc_id row group carries no bloom filter")
+          val other = g.getColumns.asScala
+            .find(_.getPath.toDotString == "source").get
+          assert(other.getBloomFilterOffset <= 0,
+            "bloom filters must be per-requested-column, not global")
+        }
+      } finally rd.close()
+    }
+    // read side: the equality probe still pushes down to the scan and
+    // the round-trip answers correctly
+    val probe = spark.read.parquet(out).filter(col("doc_id") === 42L)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
+    assert(probe.count() == docs.filter(col("doc_id") === 42L).count())
+  }
+
   test("fileManifest lists real data files with sizes and parent dirs") {
     val mf = sources.Tables.fileManifest(spark, sf).collect()
     assert(mf.length >= 10) // one parquet per table
