@@ -4582,6 +4582,54 @@ object Stats {
         // (n·1e6 stays far under 2^53 — the fixed-order double is
         // engine-identical)
         sum(col("__s6")).as("__se"))
+    hlFromBins(perBin)
+  }
+
+  /** [[hosmerLemeshow]] over caller-FIXED bin edges (score units) —
+    * the streaming contract: percentile edges cannot be maintained
+    * incrementally, but a per-(bin) frame of exact integer sums
+    * (n, Σy, Σscore-micro) is perfectly mergeable, so E49 maintains
+    * that snapshot per micro-batch against baseline-frozen edges and
+    * scores through THIS identical tail. Batch callers use it to
+    * score drift against a reference period's edges.
+    */
+  def hosmerLemeshowFixed(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted, "edges sorted, nonempty")
+    hlFromBins(hlBins(df, score, label, edges))
+  }
+
+  /** The mergeable per-bin frame (one row per OCCUPIED bin:
+    * __bin, __n, __o, __se) under fixed `edges` — E49's snapshot
+    * payload; merge = groupBy(__bin).sum over any shard split.
+    */
+  def hlBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      edges: Seq[Double]): DataFrame = {
+    val t = df.filter(score.isNotNull && label.isNotNull)
+      .select((round(score.cast("double"), 6) * 1e6).cast("long").as("__s6"),
+        label.cast("boolean").cast("int").as("__y"))
+    val edgeMicros = edges.map(e => math.round(e * 1e6))
+    val binCol = edgeMicros.map(em =>
+      when(col("__s6") > lit(em), 1).otherwise(0)).reduce(_ + _)
+    t.withColumn("__bin", binCol)
+      .groupBy("__bin").agg(
+        count(lit(1)).as("__n"),
+        sum(col("__y")).as("__o"),
+        sum(col("__s6")).as("__se"))
+  }
+
+  /** Shared scoring tail over a per-bin frame (__bin ignored beyond
+    * counting): HL = Σ(o−e)²/(e(1−e/n)), dof = g−2. PUBLIC because
+    * E49 scores its maintained snapshot (exactly an [[hlBins]] frame)
+    * through this identical path on demand.
+    */
+  def hlFromBins(perBin: DataFrame): DataFrame = {
     val nD = col("__n").cast("double")
     val e = col("__se").cast("double") / 1e6
     val bad = e <= 0.0 || e >= nD

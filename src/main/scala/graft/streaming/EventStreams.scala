@@ -1996,6 +1996,52 @@ object EventStreams {
       .start()
   }
 
+  /** E49: streaming CALIBRATION snapshot maintenance — the C137
+    * Hosmer-Lemeshow monitor kept live: a production gate classifier
+    * whose scores drift off their probabilities silently corrupts
+    * every downstream threshold, so each micro-batch of (score,
+    * label) rows partial-aggregates to the per-bin mergeable frame
+    * (n, Σy, Σscore-micro — exact integers under baseline-FROZEN bin
+    * edges; percentile edges cannot be maintained incrementally and
+    * freezing them is the honest contract) and merges into the
+    * persisted snapshot by bin-sum. Scoring is on-demand via
+    * [[graft.operators.Stats.hosmerLemeshowFixed]]'s shared tail over
+    * the snapshot — the IDENTICAL code path the batch operator uses
+    * (the E47 discipline; the spec proves stream-maintained == batch
+    * over the full feed). Replay-safe the E46 way: reads the newest
+    * snapshot version strictly below the current batch id. State is
+    * ≤ |edges|+1 rows of three integers — no state store.
+    */
+  def hlMaintained(
+      scores: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      edges: Seq[Double],
+      snapshotPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(edges.nonEmpty && edges == edges.sorted, "edges sorted, nonempty")
+    scores.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = graft.operators.Stats.hlBins(
+          batch, col(scoreCol), col(labelCol), edges)
+        val prev = SnapshotStore.versions(spark, snapshotPath)
+          .filter(_ < batchId).lastOption
+          .flatMap(v => SnapshotStore.readVersion(spark, snapshotPath, v))
+        val merged = (prev match {
+          case Some(p) => p.unionByName(b)
+          case None => b
+        }).groupBy("__bin")
+          .agg(sum(col("__n")).as("__n"), sum(col("__o")).as("__o"),
+            sum(col("__se")).as("__se"))
+        SnapshotStore.publish(merged.localCheckpoint(), snapshotPath,
+          batchId, keepLast = 2)
+      }
+      .start()
+  }
+
   /** E15: streaming PSI drift monitor — per event-time window, the
     * population-stability index of the window's value distribution
     * against a PERSISTED baseline histogram: a watermarked windowed

@@ -465,6 +465,33 @@ class DiagnosticsSpec extends SparkSpec {
       s"stream-maintained RFM drifted from batch:\n$streamed\nvs\n$batch")
   }
 
+  test("E49 hlMaintained: streamed calibration snapshot scores identically to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val edges = (1 to 4).map(_ / 5.0)
+    val rows = (0 until 200).map { i =>
+      val p = (i % 100) / 100.0
+      (p, (i * 37) % 100 < (100 * p).round)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_e49").toString
+    val input = MemoryStream[(Double, Boolean)](spark)
+    val q = graft.streaming.EventStreams.hlMaintained(
+      input.toDF().toDF("score", "y"), "score", "y", edges,
+      s"$dir/snap", s"$dir/ckpt")
+    try {
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val snap = graft.streaming.SnapshotStore.read(spark, s"$dir/snap").get
+    val streamed = graft.operators.Stats.hlFromBins(snap).collect()(0)
+    val batch = graft.operators.Stats.hosmerLemeshowFixed(
+      rows.toDF("score", "y"), col("score"), col("y"), edges).collect()(0)
+    assert(streamed == batch,
+      s"stream-maintained HL drifted from batch:\n$streamed\nvs\n$batch")
+    assert(streamed.getAs[Long]("n") == 200L &&
+      streamed.getAs[Long]("g") == 5L)
+  }
+
   test("E48 dupCoverageMaintained: arrivals score against prior batches only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = java.nio.file.Files.createTempDirectory("graft_e48").toString
