@@ -1008,8 +1008,12 @@ object TextQueries {
          |      AS DECIMAL(18,7)) AS lr
          |  FROM tf CROSS JOIN tot),
          |scored AS (
+         |  -- + 0.0 normalizes NEGATIVE ZERO: DuckDB's round() keeps
+         |  -- the sign of a tiny negative mean (-0.0) where Spark's
+         |  -- BigDecimal rounding cannot produce one — caught by the
+         |  -- r15 sf1 sweep (160 replica docs round to zero from below)
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    round(CAST(sum(lr) / count(*) AS DOUBLE), 4) AS avg_log_ratio
+         |    round(CAST(sum(lr) / count(*) AS DOUBLE), 4) + 0.0 AS avg_log_ratio
          |  FROM t JOIN lr USING (feat)
          |  GROUP BY doc_id)
          |SELECT doc_id, n_tokens, avg_log_ratio,
