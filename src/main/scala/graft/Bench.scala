@@ -171,7 +171,11 @@ object Bench {
       val qObj = txt.split("\"queries\":", 2)
       if (qObj.length < 2) Map.empty
       else {
-        val re = "\"(q\\d*_[a-zA-Z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+        // \s* after the colon: Bench's own compact artifact has none,
+        // but python-formatted priors (BENCH_r*_10x.json) do — without
+        // it a formatted prior silently parses to ZERO entries and the
+        // whole mover-adjudication pass no-ops (caught r15)
+        val re = "\"(q\\d*_[a-zA-Z0-9_]+)\":\\s*(-?[0-9][0-9.eE+-]*)".r
         re.findAllMatchIn(qObj(1))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }

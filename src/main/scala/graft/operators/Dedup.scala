@@ -1355,36 +1355,43 @@ object Dedup {
     require(maxBlockPairs >= 1, "maxBlockPairs must be >= 1")
     require(maxTotalPairs >= maxBlockPairs,
       "maxTotalPairs must be >= maxBlockPairs")
-    val d0 = df.select(id.as("id"), text.as("__t"), block.as("__blk"))
-    val mass = d0.groupBy("__blk").agg(count(lit(1)).as("__bn"))
+    val d = df.select(id.as("id"), text.as("__t"), block.as("__blk"))
+    // The saturation guard lives on a SEPARATE 1-row branch cross-
+    // joined onto the result, NOT as per-row asserts inside the join
+    // inputs: entangling the guard lineage with the self-join either
+    // recomputes it per side or (localCheckpoint-seamed) breaks
+    // whole-stage codegen for the levenshtein kernel — measured 7.6x
+    // / 12x on the 10x replica. The 1-row broadcast keeps the hot
+    // path byte-identical to the unguarded plan; dropping the guard
+    // column after the join cannot prune the join itself (Catalyst
+    // has no inner-join elimination), so the asserts always run.
     // TOTAL pair mass too, not just the hottest block: the r14 probe
     // kill was the block SPACE saturating — per-block counts grow
     // linearly with data, so Σ n(n−1)/2 grows quadratically even when
-    // no single block is hot
-    val total = mass.agg(
-      sum(col("__bn") * (col("__bn") - 1) / 2).as("__tp"))
-    // assert_true INSIDE a filter so column pruning can't delete the
-    // guard; NULL (the pass value) keeps every row
-    val d = d0.join(mass, Seq("__blk")).crossJoin(broadcast(total))
+    // no single block is hot.
+    val mass = d.groupBy("__blk").agg(count(lit(1)).as("__bn"))
+      .select(col("__blk"), (col("__bn") * (col("__bn") - 1) / 2).as("__bp"))
+    val guard = mass.agg(
+        max_by(col("__blk").cast("string"), col("__bp")).as("__wblk"),
+        max(col("__bp")).as("__mbp"),
+        sum(col("__bp")).as("__tp"))
       .filter(assert_true(
-        col("__bn") * (col("__bn") - 1) / 2 <= maxBlockPairs,
+        col("__mbp").isNull || col("__mbp") <= maxBlockPairs,
         concat(lit("edit-distance blocking SATURATED: block '"),
-          col("__blk").cast("string"), lit("' holds "), col("__bn"),
-          lit(" rows = "),
-          (col("__bn") * (col("__bn") - 1) / 2).cast("string"),
+          col("__wblk"), lit("' holds "), col("__mbp").cast("string"),
           lit(s" candidate pairs > maxBlockPairs=$maxBlockPairs — the " +
             "block self-join is quadratic there. Block on more " +
             "characters (or the suffix) or raise maxBlockPairs " +
             "deliberately."))).isNull)
       .filter(assert_true(
-        col("__tp") <= maxTotalPairs,
+        col("__tp").isNull || col("__tp") <= maxTotalPairs,
         concat(lit("edit-distance block space SATURATED: "),
           col("__tp").cast("string"),
           lit(s" total candidate pairs > maxTotalPairs=$maxTotalPairs " +
             "— per-block mass grows quadratically with data under a " +
             "fixed blocking key. Block on more characters or raise " +
             "maxTotalPairs deliberately."))).isNull)
-      .select("id", "__t", "__blk")
+      .select(lit(1).as("__guard_ok"))
     val a = d.select(col("id").as("id_a"), col("__t").as("__ta"), col("__blk"))
     val b = d.select(col("id").as("id_b"), col("__t").as("__tb"), col("__blk"))
     a.join(b, Seq("__blk"))
@@ -1394,6 +1401,7 @@ object Dedup {
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
       .filter(col("dist") <= maxDist)
+      .crossJoin(broadcast(guard))
       .select(col("id_a"), col("id_b"), col("dist"))
     // no distinct: each row carries exactly one block value, so a pair
     // can only form once per call (the two-pass prefix∪suffix recipe
