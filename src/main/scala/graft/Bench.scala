@@ -221,8 +221,14 @@ object Bench {
     // two isolated runs agreeing. All three numbers are emitted
     // ("raw" + "isolated_reruns") so the call is re-derivable.
     val prior = loadPrior()
+    // t > 0 guard (r15 advice): a FAILED query reports t = -1, and for
+    // any prior p > 1 the symmetric test `p > 1.5*t` is trivially true —
+    // without the guard the failure would get isolated reruns and
+    // median(-1, iso1, iso2) would replace the -1 with a positive time,
+    // silently erasing the failure from n_failed. Failures must stay
+    // visible as -1 through adjudication; only live times adjudicate.
     val movers = rawResults.filter { case (q, t) =>
-      math.max(t, prior.getOrElse(q, 0.0)) > 1.0 &&
+      t > 0 && math.max(t, prior.getOrElse(q, 0.0)) > 1.0 &&
         prior.get(q).exists(p => p > 0 && (t > 1.5 * p || p > 1.5 * t))
     }.map(_._1)
     val isolated: Map[String, Seq[Double]] =

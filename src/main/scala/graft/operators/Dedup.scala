@@ -2259,7 +2259,14 @@ object Dedup {
       k: Int = 5): DataFrame = {
     require(k >= 2 && k <= 1000, "k in [2, 1000]")
     val comp = connectedComponents(pairs, idA, idB)
-    df.select(id.as("id"))
+    // Same loud integral-id contract as the pairs side (r15 advice):
+    // a string doc id would cast to NULL in the singleton fallback
+    // below, silently emitting NULL cluster/fold rows while the pairs
+    // frame was already loudly rejected by connectedComponents.
+    val docsProj = df.select(id.as("id"))
+    requireIntegralId(docsProj.schema("id").dataType,
+      "cvFolds", "hash or dense-rank string ids to longs first")
+    docsProj
       .join(comp.withColumnsRenamed(Map("id" -> "__cid", "comp" -> "cluster")),
         col("id") === col("__cid"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("id").cast("long")))

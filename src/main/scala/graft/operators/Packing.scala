@@ -249,8 +249,13 @@ object Packing {
       marker: String = "..."): DataFrame = {
     require(budget >= 2, "budget must be >= 2 (one head and one tail token)")
     require(headFrac > 0 && headFrac < 1, "headFrac in (0, 1)")
-    val nHead = math.max(1, math.ceil(budget * headFrac).toInt)
-    val nTail = math.max(1, budget - nHead)
+    // nHead clamps to budget-1 (r15 advice): when ceil(budget*headFrac)
+    // == budget (e.g. budget=2, headFrac=0.75) the unclamped split kept
+    // budget+1 tokens — over budget, and a doc of exactly budget+1
+    // tokens was flagged truncated with nothing excised. head+tail must
+    // equal budget exactly for every (budget, headFrac).
+    val nHead = math.min(budget - 1, math.max(1, math.ceil(budget * headFrac).toInt))
+    val nTail = budget - nHead
     docs.select(id.as("doc_id"), text.as("__text"))
       .select(col("doc_id"), flatten(transform(
         array(graft.functions.tokens(col("__text"))), tk => tk)).as("__tk"))

@@ -3223,11 +3223,22 @@ object Stats {
       .filter(col("__x").isNotNull && col("__x") > 0.0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy(col("__x").desc)
-    val kw = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    // The per-key positive count comes from a partial-aggregated
+    // groupBy joined back AFTER the rank filter — NOT from
+    // count(*).over(partitionBy key). The window form forced every
+    // row of a key through one task's window buffer (key here is
+    // typically low-cardinality: a handful of tasks each sort-
+    // buffering the whole corpus at scale), and the interposed count
+    // window also sat between the rank window and its filter, which
+    // blocks Spark 4's InferWindowGroupLimit rewrite. With the filter
+    // DIRECTLY above row_number, WindowGroupLimitExec runs a partial
+    // top-(k+1) per map task, so the per-key sort never materializes
+    // more than k+1 rows on any task.
+    val counts = t.groupBy("key").agg(count(lit(1)).as("__n"))
     val ranked = t
       .withColumn("__r", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(kw))
       .filter(col("__r") <= k + 1)
+      .join(counts, "key")
     val thresh = ranked.filter(col("__r") === least(lit(k + 1), col("__n")))
       .select(col("key"), col("__x").as("__xk"), col("__n"))
     val kept = ranked.join(thresh.drop("__n"), "key")

@@ -1377,7 +1377,7 @@ object TextMetrics {
     // otherwise be silently ABSENT — the most-divergent pairs are the
     // ones a mixture designer most needs to see
     val allPairs = tot.select(col("src").as("src_a"))
-      .crossJoin(tot.select(col("src").as("src_b")))
+      .crossJoin(broadcast(tot.select(col("src").as("src_b"))))
       .filter(col("src_a") < col("src_b"))
     allPairs.join(shared, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),

@@ -95,6 +95,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_hill_tail plans a partial top-(k+1) per map task, no full-key window buffer") {
+    // The r15 verdict's one real plan finding: hillTail used to stack
+    // count(*).over(partitionBy key) under the rank filter, which (a)
+    // buffered EVERY row of a low-cardinality key through one task's
+    // window sort and (b) blocked InferWindowGroupLimit. The fix moves
+    // the count to a groupBy join-back and keeps `__r <= k+1` directly
+    // above row_number, so Spark 4 plans WindowGroupLimitExec (partial
+    // per-map-task top-(k+1)) and no window carries an unbounded frame.
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = SparkEntry.queries("q_hill_tail")(spark, sf)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val limits = nodes.collect { case w: WindowGroupLimitExec => w }
+    assert(limits.nonEmpty,
+      s"q_hill_tail lost its WindowGroupLimitExec rewrite:\n${df.queryExecution.executedPlan}")
+    val unbounded = nodes.collect {
+      case w: WindowExec if w.toString.contains("unboundedfollowing") => w
+    }
+    assert(unbounded.isEmpty,
+      s"q_hill_tail buffers full key partitions through an unbounded window frame:\n${unbounded.mkString("\n")}")
+  }
+
   test("registry-wide audit: every global window sits above an aggregate") {
     // The hand-picked list above pins NO-global-window for queries
     // where even a bounded one would be a bug; this sweep holds the
