@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** r16 scale probe (kept out of the driver contract): measured
+  * evidence that the A16 parquet bloom-filter layout PRUNES at the
+  * 10x replica — not just that the footers advertise filters
+  * (TablesSpec proves that; the r15 verdict asked for skipped > 0 on
+  * real data, mirroring A14's per-file range proof).
+  *
+  * Method: write the replica's lineitem (6M rows) hash-ordered on
+  * l_orderkey — adversarial for min/max stats (every row group's key
+  * range spans every probe), so any skipped group is attributable to
+  * the bloom filter — with a 4MB block size for many row groups, then
+  * probe ONE existing l_orderkey:
+  *   1. parquet-API truth: surviving row groups under (stats+bloom)
+  *      vs (stats only), dictionary filtering off on both sides;
+  *   2. Spark-scan truth: numOutputRows of the executed scan with
+  *      read-side bloom filtering on vs off (rows that survive
+  *      row-group pruning and reach the post-scan filter);
+  *   3. wall time both ways.
+  *
+  * Output: one JSON file (args(0), default BLOOM_PROBE_r16.json).
+  */
+object ScaleProbeR16 {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.lift(0).getOrElse("BLOOM_PROBE_r16.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
+    val spark = Engine.session("graft-scale-probe-r16")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def d2(x: Double): String =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val layout = "/tmp/graft_bloom_probe_r16"
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    val nRows = li.count()
+    val (_, tWrite) = timed {
+      sources.Tables.writeBloomFiltered(
+        li.repartition(8).sortWithinPartitions(hash(col("l_orderkey"))),
+        layout,
+        bloomCols = Seq(("l_orderkey", 2000000L)),
+        sortCol = None,
+        options = Map("parquet.block.size" -> (4 * 1024 * 1024).toString))
+    }
+
+    // a key that exists (deterministic pick: the max key <= 4242)
+    val probeKey: Long = li.filter(col("l_orderkey") <= 4242)
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+
+    // -- 1. parquet-API survivors per file, summed
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.HadoopReadOptions
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pred = FilterApi.eq(FilterApi.longColumn("l_orderkey"),
+      java.lang.Long.valueOf(probeKey))
+    val files = new java.io.File(layout).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def survivors(useBloom: Boolean): (Int, Long) =
+      files.map { f =>
+        val opts = HadoopReadOptions.builder(conf)
+          .withRecordFilter(FilterCompat.get(pred))
+          .useStatsFilter(true)
+          .useDictionaryFilter(false)
+          .useBloomFilter(useBloom)
+          .build()
+        val rd = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf), opts)
+        try {
+          val gs = rd.getRowGroups.asScala
+          (gs.size, gs.map(_.getRowCount).sum)
+        } finally rd.close()
+      }.foldLeft((0, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val (groupsBloom, rowsBloom) = survivors(useBloom = true)
+    val (groupsStats, rowsStats) = survivors(useBloom = false)
+
+    // -- 2+3. Spark scan rows + wall, bloom read filtering on vs off
+    def scanProbe(bloomEnabled: Boolean): (Long, Long, Double) = {
+      val df = spark.read
+        .option("parquet.filter.dictionary.enabled", "false")
+        .option("parquet.filter.bloom.enabled", bloomEnabled.toString)
+        .parquet(layout)
+        .filter(col("l_orderkey") === probeKey)
+      val (n, t) = timed(df.collect().length.toLong)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: nodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          s +: nodes(s.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val scanRows = nodes(df.queryExecution.executedPlan).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.getOrElse(-1L)
+      (n, scanRows, t)
+    }
+    val (hitOn, scanRowsOn, tOn) = scanProbe(bloomEnabled = true)
+    val (hitOff, scanRowsOff, tOff) = scanProbe(bloomEnabled = false)
+    require(hitOn == hitOff, s"result changed with bloom off: $hitOn vs $hitOff")
+
+    val json =
+      s"""{
+         | "note": "r16 A16 probe: bloom filters must SKIP row groups, not just exist. lineitem@10x hash-ordered on l_orderkey (stats can never prune), 4MB row groups, equality probe on one existing key. groups/rows surviving under stats+bloom vs stats-only via the parquet reader API (dictionary filtering off both sides), plus the executed Spark scan's numOutputRows with read-side bloom on vs off.",
+         | "sf_dir": "$sfDir",
+         | "n_rows": $nRows,
+         | "n_files": ${files.length},
+         | "probe_key": $probeKey,
+         | "matching_rows": $hitOn,
+         | "write_wall_s": ${d2(tWrite)},
+         | "row_groups_total": $groupsStats,
+         | "row_groups_surviving_bloom": $groupsBloom,
+         | "rows_surviving_stats_only": $rowsStats,
+         | "rows_surviving_bloom": $rowsBloom,
+         | "spark_scan_rows_bloom_on": $scanRowsOn,
+         | "spark_scan_rows_bloom_off": $scanRowsOff,
+         | "probe_wall_s_bloom_on": ${d2(tOn)},
+         | "probe_wall_s_bloom_off": ${d2(tOff)}
+         |}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+  }
+}

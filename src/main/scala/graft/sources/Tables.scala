@@ -523,10 +523,11 @@ object Tables {
       df: DataFrame,
       path: String,
       bloomCols: Seq[(String, Long)],
-      sortCol: Option[String] = None): Unit = {
+      sortCol: Option[String] = None,
+      options: Map[String, String] = Map.empty): Unit = {
     require(bloomCols.nonEmpty, "at least one (column, ndv) pair")
     val base = sortCol.map(c => df.sortWithinPartitions(col(c))).getOrElse(df)
-    val w = bloomCols.foldLeft(base.write.mode("overwrite")) {
+    val w = bloomCols.foldLeft(base.write.mode("overwrite").options(options)) {
       case (wr, (c, ndv)) =>
         wr.option(s"parquet.bloom.filter.enabled#$c", "true")
           .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)

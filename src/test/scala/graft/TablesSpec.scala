@@ -420,6 +420,95 @@ class TablesSpec extends SparkSpec {
     assert(probe.count() == docs.filter(col("doc_id") === 42L).count())
   }
 
+  test("bloom filters actually SKIP row groups on an equality probe (A16 end-to-end)") {
+    // The footer test above proves the filters EXIST; this proves they
+    // PRUNE. Layout is adversarial-for-stats by construction: rows
+    // land in hash order, so every row group's doc_id min/max spans
+    // the probe value and stats pruning is powerless — any skipped
+    // group is the bloom filter's doing. Small writer block size
+    // forces many row groups in one file.
+    val out = Files.createTempDirectory("graft_bloom_skip").toString + "/t"
+    // 200k-key layout fixture (pure layout proof — the sf0.001 tables
+    // are a single row group at any block size, which can't skip)
+    val docs = spark.range(0, 200000)
+      .select(col("id").as("doc_id"),
+        (col("id") % 1000).as("n_chars"))
+      .repartition(1)
+      .sortWithinPartitions(org.apache.spark.sql.functions.hash(col("doc_id")))
+    sources.Tables.writeBloomFiltered(docs, out,
+      bloomCols = Seq(("doc_id", 100000L)), sortCol = None,
+      options = Map("parquet.block.size" -> "65536",
+        "parquet.page.size" -> "16384"))
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.HadoopReadOptions
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val probeId = 42L
+    val pred = FilterApi.eq(FilterApi.longColumn("doc_id"),
+      java.lang.Long.valueOf(probeId))
+    // survivors under (stats + bloom) vs (stats only) — dictionary
+    // filtering off on BOTH sides so the delta is attributable to the
+    // bloom filter alone
+    def survivors(useBloom: Boolean): (Int, Long) = {
+      val opts = HadoopReadOptions.builder(conf)
+        .withRecordFilter(FilterCompat.get(pred))
+        .useStatsFilter(true)
+        .useDictionaryFilter(false)
+        .useBloomFilter(useBloom)
+        .build()
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file.getAbsolutePath), conf), opts)
+      try {
+        val gs = rd.getRowGroups.asScala
+        (gs.size, gs.map(_.getRowCount).sum)
+      } finally rd.close()
+    }
+    val (withBloom, rowsWithBloom) = survivors(useBloom = true)
+    val (withoutBloom, rowsWithout) = survivors(useBloom = false)
+    assert(withoutBloom >= 4,
+      s"fixture too small to prove skipping: only $withoutBloom row groups")
+    assert(withBloom < withoutBloom,
+      s"bloom filter skipped NOTHING: $withBloom of $withoutBloom row groups survive")
+    assert(rowsWithBloom < rowsWithout,
+      s"bloom pruning dropped no rows: $rowsWithBloom vs $rowsWithout")
+    // end-to-end through the Spark scan: with bloom read filtering on
+    // (default) the scan emits only surviving groups' rows; with it
+    // off, every group's rows reach the post-scan filter. Dictionary
+    // filtering off on both reads, same attribution logic as above.
+    def scanRows(bloomEnabled: Boolean): Long = {
+      val df = spark.read
+        .option("parquet.filter.dictionary.enabled", "false")
+        .option("parquet.filter.bloom.enabled", bloomEnabled.toString)
+        .parquet(out)
+        .filter(col("doc_id") === probeId)
+      // metrics must come from THIS execution (count() would plan a
+      // separate query whose scan never runs here)
+      assert(df.collect().length == 1, "probe row must exist exactly once")
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: nodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          s +: nodes(s.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val scan = nodes(df.queryExecution.executedPlan)
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.get
+      scan.metrics("numOutputRows").value
+    }
+    val scanOn = scanRows(bloomEnabled = true)
+    val scanOff = scanRows(bloomEnabled = false)
+    assert(scanOn <= rowsWithBloom && scanOn < scanOff,
+      s"Spark scan did not skip row groups via bloom: on=$scanOn off=$scanOff")
+  }
+
   test("fileManifest lists real data files with sizes and parent dirs") {
     val mf = sources.Tables.fileManifest(spark, sf).collect()
     assert(mf.length >= 10) // one parquet per table
