@@ -206,6 +206,108 @@ object StreamBench {
         wall, out, st, sb)
     }
 
+    // E3 dedup gate (r16, the heavy-state probe the RocksDB question
+    // is about): dropDuplicatesWithinWatermark state = one row per
+    // DISTINCT fingerprint still inside the watermark — the state
+    // population scales with corpus arrival rate, exactly where the
+    // HDFS provider's in-memory map stops fitting an executor and
+    // RocksDB's off-heap/on-disk store is the 100 TB answer. Feed:
+    // 50% planted duplicates so the gate actually drops rows.
+    if (want("dedup_gate")) {
+      implicit val enc = org.apache.spark.sql.Encoders.product[(Timestamp, String)]
+      val input = MemoryStream[(Timestamp, String)](spark)
+      val n = nKeys * nBuckets
+      def rows(lo: Int, hi: Int): IndexedSeq[(Timestamp, String)] =
+        (lo until hi).map { i =>
+          val fp = (i * 2654435761L) % (n / 2) // ~half the id space: 50% dups
+          (new Timestamp(i.toLong / 1000L + 1000000L), f"fp$fp%012d")
+        }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_dedupgate")
+      val q = EventStreams.dedupStream(
+          input.toDF().toDF("ts", "fp"), Seq("fp"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .outputMode("append").start()
+      val per = n / nBatches
+      val (_, wall) = timed {
+        (0 until nBatches).foreach { i =>
+          input.addData(rows(i * per, if (i == nBatches - 1) n else (i + 1) * per))
+          q.processAllAvailable()
+        }
+      }
+      val out = outRowsOf(q)
+      val (st, sb) = stateOf(q)
+      q.stop()
+      results += ProbeResult("dedup_gate", n.toLong, nBatches, wall, out, st, sb)
+    }
+
+    // E44 vocab first-seen (the n-gram coverage gate's state-store
+    // form): one boolean state row per DISTINCT TERM, bounded by
+    // vocabulary not corpus — but a real vocabulary is millions of
+    // n-grams, the second place provider choice matters.
+    if (want("vocab_first_seen")) {
+      implicit val enc = org.apache.spark.sql.Encoders.product[(String, Long)]
+      val input = MemoryStream[(String, Long)](spark)
+      val n = nKeys * nBuckets
+      def rows(lo: Int, hi: Int): IndexedSeq[(String, Long)] =
+        (lo until hi).map { i =>
+          (s"t${(i * 2654435761L) % (n / 3)}", (i / (n / nBuckets)).toLong)
+        }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_vocab")
+      val q = EventStreams.vocabFirstSeenStream(
+          input.toDF().toDF("term", "bucket"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .outputMode("append").start()
+      val per = n / nBatches
+      val (_, wall) = timed {
+        (0 until nBatches).foreach { i =>
+          input.addData(rows(i * per, if (i == nBatches - 1) n else (i + 1) * per))
+          q.processAllAvailable()
+        }
+      }
+      val out = outRowsOf(q)
+      val (st, sb) = stateOf(q)
+      q.stop()
+      results += ProbeResult("vocab_first_seen", n.toLong, nBatches, wall, out, st, sb)
+    }
+
+    // E32 retention state (the RFM-class per-USER growing state in
+    // its state-store form — rfmMaintained itself keeps state in
+    // parquet snapshots by design, so the provider is a no-op there):
+    // one period-set row per user, sets growing batch over batch.
+    if (want("retention_state")) {
+      implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long)]
+      val input = MemoryStream[(Long, Long)](spark)
+      val nUsers = nKeys * 10
+      val perUser = math.max(1, nBuckets / 100)
+      val n = nUsers * perUser
+      def rows(lo: Int, hi: Int): IndexedSeq[(Long, Long)] =
+        for (w <- lo until hi; u <- 0 until nUsers)
+          yield (u.toLong, ((u * 7 + w * 3) % 52).toLong)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_ret")
+      val q = EventStreams.retentionStateStream(
+          input.toDF().toDF("u", "w"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .outputMode("append").start()
+      val per = math.max(1, perUser / nBatches)
+      val (_, wall) = timed {
+        var lo = 0
+        var b = 0
+        while (lo < perUser) {
+          val hi = math.min(perUser, lo + per)
+          input.addData(rows(lo, hi))
+          q.processAllAvailable()
+          lo = hi; b += 1
+        }
+      }
+      val out = outRowsOf(q)
+      val (st, sb) = stateOf(q)
+      q.stop()
+      results += ProbeResult("retention_state", n.toLong, nBatches, wall, out, st, sb)
+    }
+
     // E41 thetaMaintained: foreachBatch snapshot maintenance — state is
     // the persisted sketch table (rows = groups), not the state store.
     if (want("theta_maintained")) {

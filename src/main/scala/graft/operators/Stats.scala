@@ -2848,6 +2848,18 @@ object Stats {
     * between equal values. Point estimate = the type-1 quantile
     * x_(⌈nq⌉). Per-group windows only; the rank frame is
     * group-sized and broadcasts.
+    *
+    * CARDINALITY CONTRACT (the r16 keyed-window sweep): this is the
+    * one operator left whose keyed window sorts ROW-LEVEL data and
+    * cannot be group-limited — a mid-rank pick (rank_lo ≈ n·q) needs
+    * the whole ordered group, unlike top-k shapes which Spark 4
+    * rewrites to WindowGroupLimitExec (see [[hillTail]]). Every row
+    * of a group therefore passes through one task's window sort:
+    * exact order statistics over few, huge groups serialize by
+    * construction. That is inherent to EXACT rank CIs, not a plan
+    * bug; at 100 TB with low-cardinality groups use the sketch path
+    * (`approx_percentile` / the C14 KLL tier) and keep this for
+    * group sizes a task can sort.
     */
   def quantileCI(df: DataFrame, group: Column, value: Column,
       q: Double = 0.5, z: Double = 1.96): DataFrame = {
