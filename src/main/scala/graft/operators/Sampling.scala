@@ -70,9 +70,24 @@ object Sampling {
     *
     * `hashSample` keeps a fraction only in expectation per stratum;
     * this is the exact-quota form used for balanced eval sets and
-    * per-source corpus mixing. Cost: one shuffle on the group key
-    * shared by both window functions (rank + group count) — no second
-    * aggregation pass, no join, no driver participation.
+    * per-source corpus mixing.
+    *
+    * Scale shape (r16, the [[capPerGroup]] design): strata are FEW —
+    * sources, languages — so the obvious one-window-per-group form
+    * serializes entire strata through single tasks at 100 TB. Instead:
+    * (1) a map-side-combined (group, bucket) count — ≤ [[buckets]]
+    * rows per group however big the group — plus cumulative/total
+    * windows over THAT tiny frame find each group's quota
+    * (ceil(f·n)), threshold bucket, and residual quota inside it;
+    * (2) rows below the threshold bucket pass a pure codegen'd filter
+    * after a broadcast join (the bulk of the data never shuffles at
+    * all), and only the boundary bucket's rows (~1/1000 of each
+    * group) pay a ranked window for the remainder. The selected SET
+    * is identical to the rank form — same (bucket, key) order, same
+    * quota — so oracles and the nested-fraction property are
+    * unchanged. Null hash buckets (null keys) coalesce to -1: they
+    * sort first, exactly where the window's nulls-first ordering put
+    * them before.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -80,12 +95,34 @@ object Sampling {
       key: Column,
       fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
-    val rk = row_number().over(w.orderBy(hashBucket(key).asc, key.asc))
-    val n = count(lit(1)).over(w)
-    df.withColumn("__rk", rk).withColumn("__n", n)
-      .filter(col("__rk") <= ceil(lit(fraction) * col("__n")))
-      .drop("__rk", "__n")
+    if (fraction == 0.0) return df.limit(0) // quota ceil(0)=0 everywhere
+    val w = org.apache.spark.sql.expressions.Window
+    val cols = df.columns
+    val withB = df.withColumn("__g", group)
+      .withColumn("__b", coalesce(hashBucket(key), lit(-1L)))
+    val counts = withB.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+    val cum = sum(col("__c")).over(w.partitionBy(col("__g")).orderBy(col("__b").asc))
+    val nTot = sum(col("__c")).over(w.partitionBy(col("__g")))
+    // quota >= 1 (f > 0) and <= n, so every non-empty group has exactly
+    // one threshold row: the first bucket where the running count
+    // reaches the quota, carrying how many of ITS rows still fit
+    val thresholds = counts
+      .withColumn("__cum", cum)
+      .withColumn("__q", ceil(lit(fraction) * nTot).cast("long"))
+      .filter(col("__cum") >= col("__q") && col("__cum") - col("__c") < col("__q"))
+      .select(col("__g").as("__tg"), col("__b").as("__tb"),
+        (col("__q") - (col("__cum") - col("__c"))).as("__r"))
+    // null-safe: the NULL group is a stratum like any other
+    val joined = withB.join(broadcast(thresholds),
+      col("__g") <=> col("__tg"), "left")
+    val below = joined.filter(col("__b") < col("__tb"))
+    val boundary = joined.filter(col("__b") === col("__tb"))
+      .withColumn("__rk", row_number()
+        .over(w.partitionBy(col("__g")).orderBy(key.asc)))
+      .filter(col("__rk") <= col("__r"))
+      .drop("__rk")
+    below.unionByName(boundary)
+      .select(cols.map(col): _*)
   }
 
   /** Deterministic data-mixture sampling — the per-source rate control

@@ -55,6 +55,32 @@ class CurationSpec extends SparkSpec {
     assert(s05.subsetOf(s25.map(_._1).toSet), "stratified samples are not nested")
   }
 
+  test("stratifiedSample two-phase selection IS the rank selection (r16 scale shape)") {
+    // the bucket-threshold form must pick the IDENTICAL row set as the
+    // straightforward rank-window form it replaced — verified against
+    // an in-test rank replay on a skewed fixture (one whale stratum,
+    // one tiny one, fractions landing mid-bucket both sides)
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(5000).select(
+      col("id"),
+      when(pmod(col("id"), lit(50)) === 0, "tiny").otherwise("whale").as("g"))
+    for (f <- Seq(0.25, 0.031, 1.0)) {
+      val got = Sampling.stratifiedSample(df, col("g"), col("id"), f)
+        .as[(Long, String)].collect().map(_._1).toSet
+      val w = Window.partitionBy("g")
+      val expected = df
+        .withColumn("__rk", row_number().over(
+          w.orderBy(Sampling.hashBucket(col("id")).asc, col("id").asc)))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__rk") <= ceil(lit(f) * col("__n")))
+        .as[(Long, String, Int, Long)].collect().map(_._1).toSet
+      assert(got == expected,
+        s"f=$f: two-phase and rank selections differ by ${(got diff expected) ++ (expected diff got)}")
+    }
+    // fraction 0 keeps nothing
+    assert(Sampling.stratifiedSample(df, col("g"), col("id"), 0.0).count() == 0L)
+  }
+
   test("capPerGroup keeps exactly the cap per big group, whole small groups, nested") {
     // 4 groups: g0..g2 have 300 rows each, g3 has 40 (under every cap)
     val df = spark.range(940).select(

@@ -619,6 +619,18 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("fold")).distinct.length == 4)
   }
 
+  test("cvFolds rejects non-integral doc ids loudly (r15 advice)") {
+    // a string doc id would cast to NULL in the singleton fallback and
+    // silently emit NULL cluster/fold rows; the docs side must fail as
+    // loudly as the pairs side already does
+    val docs = Seq(("a", "doc a"), ("b", "doc b")).toDF("id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cvFolds(docs, col("id"), pairs, col("id_a"), col("id_b"), k = 3)
+    }
+    assert(e.getMessage.contains("cvFolds"), e.getMessage)
+  }
+
   test("dropBoilerplateLines drops high-df lines via NORMALIZED matching, keeps the rest") {
     // the footer appears in 3/4 docs with varying case/punctuation;
     // content lines are unique per doc

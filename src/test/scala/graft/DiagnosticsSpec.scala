@@ -199,6 +199,23 @@ class DiagnosticsSpec extends SparkSpec {
       out(1).getAs[Long]("kept_tail") == 0L)
   }
 
+  test("headTailTruncate never exceeds budget at the ceil==budget edge (r15 advice)") {
+    // budget=2, headFrac=0.75: unclamped ceil(1.5)=2 kept 2+1=3 tokens
+    // and flagged a 3-token doc truncated with nothing excised; the
+    // clamp pins nHead=1, nTail=1 so head+tail == budget exactly
+    val docs = Seq((1L, "x y z"), (2L, "x y")).toDF("id", "text")
+    val out = graft.operators.Packing.headTailTruncate(docs, col("id"),
+        col("text"), budget = 2, headFrac = 0.75)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("kept_head") + out(0).getAs[Long]("kept_tail") == 2L,
+      out(0).toString)
+    assert(out(0).getAs[String]("truncated_text") == "x ... z")
+    assert(out(0).getAs[Boolean]("was_truncated"))
+    // at-budget doc passes whole, untouched
+    assert(out(1).getAs[String]("truncated_text") == "x y" &&
+      !out(1).getAs[Boolean]("was_truncated"))
+  }
+
   test("gTest: hand-computed G on a perfectly dependent 2x2, zero on independence") {
     // diagonal table: o=10, e=5 per filled cell -> G = 4*10*ln2
     val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
