@@ -25,6 +25,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbeR16 {
   def main(args: Array[String]): Unit = {
     val outPath = args.lift(0).getOrElse("BLOOM_PROBE_r16.json")
+    val mode = args.lift(1).getOrElse("bloom")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
     val spark = Engine.session("graft-scale-probe-r16")
 
@@ -34,6 +35,8 @@ object ScaleProbeR16 {
     }
     def d2(x: Double): String =
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+    if (mode == "strat") { stratProbe(spark, outPath); spark.stop(); return }
 
     val layout = "/tmp/graft_bloom_probe_r16"
     val li = sources.Tables.load(spark, sfDir, "lineitem")
@@ -130,5 +133,69 @@ object ScaleProbeR16 {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
     spark.stop()
+  }
+
+  /** The stratifiedSample whale probe: the two-phase rewrite costs
+    * ~0.3s of fixed overhead at sf0.1 (50k docs — visible in the r16
+    * re-pin as q_stratified_sample's 2.4× ratio) and exists for THIS
+    * shape: few, huge strata, where the old one-window-per-group form
+    * serializes every stratum through a single task's sort. 20M rows
+    * across 3 strata, both forms noop-forced, selections compared for
+    * equality on a sample.
+    */
+  private def stratProbe(spark: org.apache.spark.sql.SparkSession,
+      outPath: String): Unit = {
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def d2(x: Double): String =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val n = 20000000L
+    val df = spark.range(n).select(col("id"),
+        (col("id") % 3).cast("string").as("g"))
+      .localCheckpoint()
+    val f = 0.25
+    // old form: rank + count windows over the full data, one task per
+    // stratum (inline replication of the pre-r16 implementation)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val oldForm = df
+      .withColumn("__rk", row_number().over(
+        w.orderBy(graft.operators.Sampling.hashBucket(col("id")).asc, col("id").asc)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") <= ceil(lit(f) * col("__n")))
+      .drop("__rk", "__n")
+    val (_, tOld) = timed {
+      oldForm.write.format("noop").mode("overwrite").save()
+    }
+    val newForm = graft.operators.Sampling.stratifiedSample(
+      df, col("g"), col("id"), f)
+    val (_, tNew) = timed {
+      newForm.write.format("noop").mode("overwrite").save()
+    }
+    // equality witness on a deterministic slice (full collect would be
+    // 5M rows; the slice plus matching counts pins the same-set claim
+    // alongside CurationSpec's exhaustive small-fixture proof)
+    val cOld = oldForm.count()
+    val cNew = newForm.count()
+    val sliceOld = oldForm.filter(col("id") % 9973 === 0)
+      .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head
+    val sliceNew = newForm.filter(col("id") % 9973 === 0)
+      .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head
+    require(cOld == cNew && sliceOld == sliceNew,
+      s"selection mismatch: $cOld/$cNew $sliceOld/$sliceNew")
+    val json =
+      s"""{
+         | "note": "r16 stratifiedSample whale probe: 20M rows, 3 strata, f=0.25, both forms noop-forced in one session. old = pre-r16 rank+count windows (every stratum through ONE task's sort); new = two-phase bucket-threshold (bulk rows pass a broadcast-join filter, only boundary-bucket rows pay a window). Identical selections (counts + deterministic slice checksum).",
+         | "n_rows": $n,
+         | "n_strata": 3,
+         | "fraction": $f,
+         | "selected_rows": $cNew,
+         | "old_rank_window_wall_s": ${d2(tOld)},
+         | "new_two_phase_wall_s": ${d2(tNew)},
+         | "speedup": ${d2(tOld / math.max(tNew, 1e-9))}
+         |}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
   }
 }
