@@ -18,7 +18,7 @@ Verdict rule per query:
     sf0.1 pins used min(suite,isolated) best-of; r15+ uses symmetric
     median-of-3), not code.
 
-Output: BENCH_DRIFT.json (committed).
+Output: BENCH_DRIFT_AB_r16.json (committed; BENCH_DRIFT.json belongs to round_check, do not collide).
 """
 import json
 
@@ -83,7 +83,7 @@ def main():
         "method": "mean of 2 isolated fork-of-1 reps at sf0.1; 1 rep at the 10x replica",
         "queries": out,
     }
-    with open("BENCH_DRIFT.json", "w") as f:
+    with open("BENCH_DRIFT_AB_r16.json", "w") as f:
         json.dump(doc, f, indent=1)
     for q, v in out.items():
         print(f"{q:22s} sf01 {v['jar_ratio_sf01']} 10x {v['jar_ratio_10x']} -> {v['verdict']}")
