@@ -180,6 +180,24 @@ object ScratchExplain {
     runCase("cv-folds empty")(graft.operators.Dedup.cvFolds(
       eDocs, col("id"), ePairs, col("id_a"), col("id_b")).count())
 
+    // r16 wave: the two-phase stratifiedSample (empty, null group,
+    // null key, singleton stratum, fraction 1.0) — the rewrite's
+    // threshold join must treat the NULL stratum/bucket like any other
+    val eSamp = Seq.empty[(String, java.lang.Long)].toDF("g", "id")
+    runCase("strat empty")(graft.operators.Sampling.stratifiedSample(
+      eSamp, col("g"), col("id"), 0.25).count())
+    runCase("strat null-group")(graft.operators.Sampling.stratifiedSample(
+      Seq(("a", 1L), (null, 2L), (null, 3L)).toDF("g", "id").toDF("g", "id"),
+      col("g"), col("id"), 0.5).count())
+    runCase("strat null-key")(graft.operators.Sampling.stratifiedSample(
+      Seq(("a", java.lang.Long.valueOf(1L)), ("a", null: java.lang.Long))
+        .toDF("g", "id"), col("g"), col("id"), 0.5).count())
+    runCase("strat singleton-stratum")(graft.operators.Sampling.stratifiedSample(
+      Seq(("a", 1L)).toDF("g", "id"), col("g"), col("id"), 0.01).count())
+    runCase("strat f=1 keeps all")(graft.operators.Sampling.stratifiedSample(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id"),
+      col("g"), col("id"), 1.0).count())
+
     println("edge harness: ALL CLEAR")
     spark.stop()
   }
