@@ -37,6 +37,7 @@ object ScaleProbeR16 {
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
     if (mode == "strat") { stratProbe(spark, outPath); spark.stop(); return }
+    if (mode == "hill") { hillProbe(spark, outPath); spark.stop(); return }
 
     val layout = "/tmp/graft_bloom_probe_r16"
     val li = sources.Tables.load(spark, sfDir, "lineitem")
@@ -133,6 +134,85 @@ object ScaleProbeR16 {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
     spark.stop()
+  }
+
+  /** The hillTail 100×-class probe: 50M rows across 5 keys — two
+    * decades past the sf0.1 bench, the shape the r15 verdict's plan
+    * finding was about (low-cardinality caller key, row-level values).
+    * Old form = the pre-r16 plan (count(*).over(key) under the rank
+    * filter: every row of a key buffers through ONE task's window
+    * sort, and the interposed count window blocks
+    * InferWindowGroupLimit); new form = shipping [[graft.operators.Stats.hillTail]].
+    * Results must agree row for row.
+    */
+  private def hillProbe(spark: org.apache.spark.sql.SparkSession,
+      outPath: String): Unit = {
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def d2(x: Double): String =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val n = 50000000L
+    val k = 50
+    // deterministic Pareto-ish positives: v = 1e6 / (1 + (id*phi) % 1e6)
+    val df = spark.range(n).select(
+        concat(lit("key"), (col("id") % 5)).as("key"),
+        (lit(1000000.0) / ((pmod(col("id") * 2654435761L, lit(999983L))) + 1.0))
+          .as("v"))
+      .localCheckpoint()
+    // old form, inlined END TO END (the pre-r16 hillTail: count window
+    // under the rank filter, then the identical threshold/log-excess/
+    // aggregate tail) — apples to apples with the shipping operator
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("__x").desc)
+    val kw = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    def oldHill(): Array[org.apache.spark.sql.Row] = {
+      val t = df.select(col("key"), col("v").cast("double").as("__x"))
+        .filter(col("__x").isNotNull && col("__x") > 0.0)
+      val ranked = t
+        .withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(kw))
+        .filter(col("__r") <= k + 1)
+      val thresh = ranked.filter(col("__r") === least(lit(k + 1), col("__n")))
+        .select(col("key"), col("__x").as("__xk"), col("__n"))
+      val kept = ranked.join(thresh.drop("__n"), "key")
+        .filter(col("__r") < least(lit(k + 1), col("__n")))
+        .select(col("key"), col("__n"),
+          (floor(log(col("__x") / col("__xk")) * 1e9) / 1e9)
+            .cast("decimal(28,9)").as("__t"))
+      val m0 = kept.groupBy("key").agg(
+        count(lit(1)).as("k_used"), sum(col("__t")).as("__s"))
+      val m = thresh.select(col("key"), col("__n").as("n"))
+        .join(m0, Seq("key"), "left")
+      val h = try_divide(col("__s").cast("double"), col("k_used").cast("double"))
+      m.select(col("key"),
+        when(col("n") < k + 2 || coalesce(h, lit(0.0)) <= 0.0, 0.0)
+          .otherwise(floor(try_divide(lit(1.0), h) * 1e4) / 1e4).as("alpha"))
+        .orderBy("key").collect()
+    }
+    val (oldRes, tOld) = timed(oldHill())
+    val newForm = graft.operators.Stats.hillTail(df, col("key"), col("v"), k = k)
+    val (newRes, tNew) = timed(newForm.orderBy("key").collect())
+    require(newRes.length == 5, s"expected 5 keys, got ${newRes.length}")
+    val alphas = newRes.map(r =>
+      r.getAs[String]("key") -> r.getAs[Double]("alpha")).toMap
+    val alphasOld = oldRes.map(r =>
+      r.getAs[String]("key") -> r.getAs[Double]("alpha")).toMap
+    require(alphas == alphasOld, s"forms disagree: $alphas vs $alphasOld")
+    val json =
+      s"""{
+         | "note": "r16 hillTail 100x-class probe: 50M rows / 5 keys (two decades past the sf0.1 bench, the low-cardinality-key shape the r15 plan finding was about). old = pre-r16 plan inlined (count window under the rank filter, whole keys buffered through single tasks); new = shipping hillTail (groupBy-count join-back, WindowGroupLimitExec partial top-(k+1) per map task). Same 5-key result set.",
+         | "n_rows": $n,
+         | "n_keys": 5,
+         | "k": $k,
+         | "old_full_buffer_wall_s": ${d2(tOld)},
+         | "new_group_limit_wall_s": ${d2(tNew)},
+         | "speedup": ${d2(tOld / math.max(tNew, 1e-9))},
+         | "alphas": {${alphas.toSeq.sorted.map { case (kk, a) => s""""$kk": $a""" }.mkString(", ")}}
+         |}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
   }
 
   /** The stratifiedSample whale probe: the two-phase rewrite costs
