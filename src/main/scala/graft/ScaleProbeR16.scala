@@ -38,6 +38,7 @@ object ScaleProbeR16 {
 
     if (mode == "strat") { stratProbe(spark, outPath); spark.stop(); return }
     if (mode == "hill") { hillProbe(spark, outPath); spark.stop(); return }
+    if (mode == "bucket") { bucketProbe(spark, sfDir, outPath); spark.stop(); return }
 
     val layout = "/tmp/graft_bloom_probe_r16"
     val li = sources.Tables.load(spark, sfDir, "lineitem")
@@ -134,6 +135,118 @@ object ScaleProbeR16 {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
     spark.stop()
+  }
+
+  /** The C15 bucketed-join probe at the 10× replica: BucketingSpec
+    * proves the executed plan carries NO hashpartitioning exchange;
+    * this measures what that buys on real fact-fact volume —
+    * lineitem ⋈ orders on the order key, bucketed both sides vs plain
+    * parquet, broadcast disabled so both runs must pick sort-merge.
+    * At 1000 executors the delta is the whole shuffle fabric for
+    * every REPEATED join on the bucket key (the write cost amortizes
+    * across reads — that is the point of the layout).
+    */
+  private def bucketProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outPath: String): Unit = {
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def d2(x: Double): String =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // WIDE projections on purpose: the shuffle cost being probed is
+    // row serialization; a 3-column slice makes it trivially cheap
+    // even for 6M rows and the measurement degenerates to task
+    // scheduling noise
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    val o = sources.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val (_, tWrite) = timed {
+      sources.Tables.writeBucketed(li, "probe_b_lineitem", Seq("l_orderkey"), 32)
+      sources.Tables.writeBucketed(o, "probe_b_orders", Seq("o_orderkey"), 32)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the measured job MATERIALIZES the joined rows (noop sink): an
+      // aggregate-only probe lets column pruning strip the payload
+      // before the exchange and the "shuffle" shrinks to join keys —
+      // the realistic workload this layout serves is enriching the
+      // full fact row
+      def joined(l: org.apache.spark.sql.DataFrame,
+          r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        l.join(r, col("l_orderkey") === col("o_orderkey"))
+      def checksum(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
+        df.agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("s")).head()
+      val bucketed = joined(spark.table("probe_b_lineitem"),
+        spark.table("probe_b_orders"))
+      val (_, tBucketed) = timed(
+        bucketed.write.format("noop").mode("overwrite").save())
+      val rowB = checksum(spark.table("probe_b_lineitem")
+        .join(spark.table("probe_b_orders"),
+          col("l_orderkey") === col("o_orderkey")))
+      val planB = bucketed.queryExecution.executedPlan.toString
+      require(!planB.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$planB")
+      // bytes that crossed the shuffle: the number that becomes network
+      // traffic on a real cluster (local[32] loopback makes the WALL
+      // delta small by construction — the claim is the fabric, not
+      // this box). Measured at the source of truth: a stage-completion
+      // listener summing task-level shuffle write bytes (AQE re-plans
+      // exchanges inside query stages, so plan-node metric objects on
+      // the final plan read zero).
+      val shuffleWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleWritten.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measuredShuffle(body: => Unit): Long = {
+        shuffleWritten.set(0L)
+        body
+        Thread.sleep(3000) // listener bus drain (no public waitUntilEmpty)
+        shuffleWritten.get()
+      }
+      val bytesBucketed = measuredShuffle {
+        joined(spark.table("probe_b_lineitem"), spark.table("probe_b_orders"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      var tPlain = 0.0
+      val bytesPlain = measuredShuffle {
+        val (_, t) = timed(
+          joined(li, o).write.format("noop").mode("overwrite").save())
+        tPlain = t
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      val rowP = checksum(joined(li, o))
+      require(rowB == rowP, s"results differ: $rowB vs $rowP")
+      val json =
+        s"""{
+           | "note": "r16 C15 probe: lineitem(6M) JOIN orders(1.5M) on the order key at the 10x replica, broadcast off (both runs sort-merge). bucketed = both sides written via Tables.writeBucketed(32) - executed plan verified to carry ZERO hashpartitioning exchanges; plain = the same join over unbucketed parquet (shuffles both sides). Both runs MATERIALIZE the joined rows (noop sink) - an aggregate-only probe lets column pruning strip the payload before the exchange. Identical checksums. The honest read: on local[32] the shuffle is loopback memory, so the wall delta is modest - the scale number is shuffle_bytes, which becomes NETWORK traffic on a real cluster, paid again on EVERY repeated join on this key; the bucketed layout pays its sort once at write time and the joins read co-located forever after.",
+           | "sf_dir": "$sfDir",
+           | "n_left": ${li.count()},
+           | "n_right": ${o.count()},
+           | "joined_rows": ${rowB.getLong(0)},
+           | "bucketed_write_wall_s": ${d2(tWrite)},
+           | "bucketed_join_wall_s": ${d2(tBucketed)},
+           | "shuffled_join_wall_s": ${d2(tPlain)},
+           | "wall_speedup_local32": ${d2(tPlain / math.max(tBucketed, 1e-9))},
+           | "shuffle_bytes_bucketed": $bytesBucketed,
+           | "shuffle_bytes_plain": $bytesPlain
+           |}""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+      println(json)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      spark.sql("DROP TABLE IF EXISTS probe_b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS probe_b_orders")
+    }
   }
 
   /** The hillTail 100×-class probe: 50M rows across 5 keys — two
